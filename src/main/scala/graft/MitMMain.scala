@@ -1,0 +1,36 @@
+package graft
+
+import graft.stats.MitMPipeline
+import org.apache.spark.sql.SparkSession
+
+/** User-facing CLI for the MitM statistics pipeline — the graft equivalent of
+  * the reference program (reference: src/main/scala/Main.scala:45-217).
+  *
+  * Usage:
+  *   runMain graft.MitMMain <originalGraph.txt> <perturbedGraph.txt> <out.yaml> [seed]
+  *
+  * Paths may be local, hdfs:// or s3:// (resolved through Hadoop FS). Unlike
+  * the reference, runs are seeded-deterministic.
+  */
+object MitMMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: MitMMain <originalGraph.txt> <perturbedGraph.txt> <out.yaml> [seed]")
+    val seed = if (args.length > 3) args(3).toLong else 42L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-mitm")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = MitMPipeline.runFiles(spark, args(0), args(1), args(2),
+      MitMPipeline.Config(seed = seed))
+    println(s"Correct matches (TP): ${r.correctMatches.length}")
+    println(s"Incorrect matches (FP): ${r.incorrectMatches.length}")
+    println(s"Successful walks: ${r.succPerPartition.sum}; unsuccessful: ${r.unsuccPerPartition.sum}")
+    println(s"Statistics written to ${args(2)}")
+    spark.stop()
+  }
+}

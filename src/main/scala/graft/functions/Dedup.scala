@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines. All variants are
+  * expressed as declarative plans (explode → hash-aggregate → self-join on
+  * bucket keys) so Catalyst handles partial aggregation and AQE handles skew;
+  * nothing collects to the driver. Hash functions are md5-derived so results
+  * are deterministic and portable across engines for oracle checking.
+  */
+object Dedup {
+
+  /** Portable 32-bit hash of a string column: first 8 hex chars of md5 as a
+    * long (same value via DuckDB's ('0x'||substr(md5(x),1,8))::BIGINT).
+    */
+  def md5Hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup: group identical texts by full md5, keep group size and the
+    * minimal doc id (the canonical survivor). One shuffle on a 128-bit key —
+    * at 100 TB this is the cheapest possible exact pass.
+    */
+  def exactDuplicates(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_doc_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Word-level shingles of size k as a distinct array column. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(k)))),
+        s => size(split(s, " ")) === k))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded permutations, the min
+    * over shingles of a seeded md5-based hash. Returns array<long> of length
+    * `numHashes`. Portable: seed is concatenated into the hashed string.
+    */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = shingles(text, k)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => md5Hash32(concat(lit(seed + ":"), s))))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-dup candidate pairs: signatures are cut into
+    * `bands` bands of `rowsPerBand` hashes; docs sharing any band bucket are
+    * candidates. The band explode keeps the self-join an equi-join on
+    * (band, bucket-hash) — shuffle-partitionable, no cross join anywhere.
+    * Emits (doc_a, doc_b) with doc_a < doc_b, deduplicated across bands.
+    */
+  def minhashCandidates(docs: DataFrame, textCol: String, k: Int,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(col(textCol), k, bands * rowsPerBand)
+    val banded = docs
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), posexplode(
+        array((0 until bands).map(b => slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** SimHash: 32-bit signature from per-bit majority vote over token hashes.
+    * Pure columnar integer arithmetic (no UDF): for each bit position, count
+    * tokens with that bit set vs total, set the bit if count*2 >= total.
+    */
+  def simhash32(text: Column): Column = {
+    val toks = array_distinct(split(text, " "))
+    val hashes = transform(toks, t => md5Hash32(t))
+    val total = size(toks)
+    (0 until 32).map { bit =>
+      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << bit)) =!= 0))
+      when(ones * 2 >= total, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash values (for near-dup thresholds). */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** N-gram Jaccard similarity between candidate pairs: explode shingles,
+    * equi-join on shingle, count co-occurrences, divide by union size.
+    * `docs` needs (doc_id, text). Returns pairs with jaccard >= threshold.
+    * This is the verify stage behind [[minhashCandidates]]; at scale, run it
+    * only on LSH candidates (pass them in as `candidates`) instead of all
+    * pairs.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, k: Int, threshold: Double,
+                        candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = docs.select(col("doc_id"), explode(shingles(col(textCol), k)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val joined = sh.alias("x").join(sh.alias("y"),
+      col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+    val pairCandidates = candidates match {
+      case Some(c) => joined.join(c,
+        col("x.doc_id") === c("doc_a") && col("y.doc_id") === c("doc_b"), "left_semi")
+      case None => joined
+    }
+    pairCandidates
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("size_a") + col("size_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to
+    * LSH candidate buckets from [[Similarity.lshBuckets]] when provided —
+    * otherwise all-pairs (test scale only; the bucketed path is the 100 TB
+    * plan).
+    */
+  def embeddingNearDups(embs: DataFrame, threshold: Double,
+                        buckets: Option[DataFrame] = None): DataFrame = {
+    val withNorm = embs.select(
+      col("vec_id"), col("embedding"),
+      sqrt(aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x * x)).as("norm"))
+    val pairs = buckets match {
+      case Some(bk) =>
+        val l = bk.join(withNorm, "vec_id")
+        val r = l.select(col("bucket"), col("vec_id").as("vid_b"),
+          col("embedding").as("emb_b"), col("norm").as("norm_b"))
+        l.join(r, l("bucket") === r("bucket") && l("vec_id") < r("vid_b"))
+          .select(l("vec_id").as("vec_a"), col("vid_b").as("vec_b"),
+            l("embedding").as("emb_a"), col("emb_b"), l("norm").as("norm_a"), col("norm_b"))
+          .distinct()
+      case None =>
+        val r = withNorm.select(col("vec_id").as("vid_b"),
+          col("embedding").as("emb_b"), col("norm").as("norm_b"))
+        withNorm.crossJoin(r).filter(col("vec_id") < col("vid_b"))
+          .select(col("vec_id").as("vec_a"), col("vid_b").as("vec_b"),
+            col("embedding").as("emb_a"), col("emb_b"), col("norm").as("norm_a"), col("norm_b"))
+    }
+    pairs
+      // rounded to 4 decimals: double summation order differs across engines
+      // at the 1e-6 level, and near-dup semantics don't need more precision
+      .withColumn("cosine", round(
+        zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y)
+          .pipe(a => aggregate(a, lit(0.0d), (acc, x) => acc + x)) /
+          (col("norm_a") * col("norm_b")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  private implicit class ColumnPipe(private val c: Column) extends AnyVal {
+    def pipe(f: Column => Column): Column = f(c)
+  }
+}

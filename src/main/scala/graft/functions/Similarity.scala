@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two tiers:
+  *
+  *  - [[bruteForceTopK]] — exact cosine top-k via a broadcast of the query
+  *    vectors; one scan over the corpus, no shuffle of the corpus itself.
+  *    The baseline and the verifier for the approximate tier.
+  *  - [[lshBuckets]] + [[lshTopK]] — random-hyperplane LSH: each vector maps
+  *    to a small set of bucket keys; candidates come from an equi-join on
+  *    bucket, so the 100 TB path never materializes the cross product.
+  *
+  * Dot products run through `zip_with` + `aggregate` (codegen'd higher-order
+  * functions) in Double precision.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine similarity against a single query vector (as a
+    * literal array, broadcast inside the plan). Deterministic ordering:
+    * (similarity desc, vec_id asc); similarity rounded to 6 decimals so
+    * ranking is stable across summation orders.
+    */
+  def bruteForceTopK(embs: DataFrame, query: Seq[Float], k: Int,
+                     excludeSelf: Option[Long] = None): DataFrame = {
+    val q = typedLit(query)
+    val base = excludeSelf.map(id => embs.filter(col("vec_id") =!= id)).getOrElse(embs)
+    base
+      .select(col("vec_id"), round(cosine(col("embedding"), q), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
+    * md5-derived value in [-0.5, 0.5). Pure columnar, engine-portable.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (conv(substring(md5(concat_ws("_", lit(plane), dim)), 1, 8), 16, 10).cast("double")
+      / lit(4294967296.0d)) - lit(0.5d)
+
+  /** Random-hyperplane LSH bucket id per vector: `numPlanes` sign bits packed
+    * into one long. Vectors in the same bucket are ANN candidates.
+    * Returns (vec_id, bucket).
+    */
+  def lshBuckets(embs: DataFrame, numPlanes: Int): DataFrame = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    embs.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
+  }
+
+  /** ANN top-k for every vector at once (k-NN join): candidates restricted to
+    * shared LSH buckets, then per-vector window top-k. At scale the bucket
+    * join is the only shuffle; skewed buckets are split by AQE.
+    */
+  def lshTopK(embs: DataFrame, numPlanes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bk = lshBuckets(embs, numPlanes).join(embs, "vec_id")
+    val r = bk.select(col("bucket").as("bucket_b"), col("vec_id").as("vid_b"),
+      col("embedding").as("emb_b"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
+    bk.join(r, col("bucket") === col("bucket_b") && col("vec_id") =!= col("vid_b"))
+      .select(col("vec_id"), col("vid_b"),
+        round(cosine(col("embedding"), col("emb_b")), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

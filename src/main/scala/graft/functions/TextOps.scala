@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * entirely from codegen'd `org.apache.spark.sql.functions` — no UDFs in the
+  * hot path, so whole-stage codegen spans the full pipeline and the same plan
+  * scales to a 100 TB documents table.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (split on single spaces — the canonical
+    * normalized form; callers normalize first if needed).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count over whitespace tokenization. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count approximation: words + punctuation marks counted
+    * separately (a cheap, deterministic proxy for tokenizer load estimation).
+    */
+  def approxBpeCount(text: Column): Column =
+    size(split(text, """\s+|(?=[\p{Punct}])""")) // split before each punct too
+
+  /** Distinct-token count (vocabulary richness). */
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Quality-score components: length, alpha ratio, punctuation ratio,
+    * stopword ratio, mean token length. All exact-arithmetic (counts and
+    * rounded ratios) so results are engine-portable.
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, w => array_contains(typedLit(stopwords), w)))
+    df.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      stopHits.as("n_stopwords"),
+      round(stopHits.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(length(regexp_replace(t, """[^\p{Punct}]""", "")).cast("double") / greatest(length(t), lit(1)), 4)
+        .as("punct_ratio"),
+      round(length(t).cast("double") / nTok, 4).as("mean_token_len"))
+  }
+
+  /** N-gram-heuristic language ID: score text against per-language marker
+    * token sets and take the arg-max (deterministic tie-break by language
+    * order). Tiny marker lists stand in for real n-gram profiles; the Spark
+    * plumbing (arrays, arg-max across score columns) is the real deliverable.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un", "una", "es", "por"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(toks, w => array_contains(typedLit(markers), w))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // arg-max over languages; on ties array_max picks the lexicographically
+    // greatest struct, so negate nothing — order by (score, lang) is stable.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Rolling-hash document fingerprint: 64-bit FNV-1a over the text via a
+    * native codegen'd Catalyst expression ([[Fnv1a64]] — wrapping multiply
+    * isn't expressible in ANSI-mode SQL arithmetic).
+    */
+  def fnv1a64(text: Column): Column = Fnv1a64.col(text)
+
+  /** MD5-based fingerprint (first 16 hex chars) — the cross-engine-checkable
+    * variant.
+    */
+  def md5Fingerprint(text: Column): Column = substring(md5(text), 1, 16)
+}

@@ -1,0 +1,124 @@
+package graft.io
+
+import graft.model._
+import org.apache.spark.sql.SparkSession
+
+/** Reader/writer for the NetGameSim single-line graph text format:
+  * `List(NodeObject(...), ...)` + ":" + `List(Action(...), ...)`.
+  *
+  * Format semantics per the reference parser
+  * (reference: src/main/scala/HelperFunction.scala:76-124): node records carry
+  * ten comma-separated fields (8 Int, 1 Double — possibly negative or in
+  * scientific notation — 1 Boolean); edge records embed two full node records
+  * plus `fromId, toId, None|Some(n), cost`.
+  *
+  * The files are single-line and small relative to the graphs being analyzed
+  * (the adjacency is broadcast anyway), so parsing happens driver-side and the
+  * result is exposed both as a local graph (for the broadcast walk engine) and
+  * as Datasets (for the relational layer). Paths resolve through Hadoop's
+  * FileSystem, so file://, hdfs:// and s3:// all work unchanged at cluster
+  * scale.
+  */
+object GraphText {
+
+  private val NodeRe = """NodeObject\(([^)]+)\)""".r
+  private val ActionRe =
+    """Action\((\d+),\s?NodeObject\([^)]+\),\s?NodeObject\([^)]+\),\s?\d+,\s?\d+,\s?(?:None|Some\(\d+\)),\s?[0-9.]+\)""".r
+
+  /** Parse a ten-field node record body (without the `NodeObject(...)` wrapper). */
+  def parseNode(body: String): NodeObject = {
+    val f = body.split(',').map(_.trim)
+    if (f.length != 10)
+      throw new IllegalArgumentException(s"NodeStr: NodeObject($body) doesn't have 10 fields!")
+    NodeObject(
+      id = f(0).toInt, children = f(1).toInt, props = f(2).toInt,
+      currentDepth = f(3).toInt, propValueRange = f(4).toInt, maxDepth = f(5).toInt,
+      maxBranchingFactor = f(6).toInt, maxProperties = f(7).toInt,
+      storedValue = f(8).toDouble, valuableData = f(9).toBoolean)
+  }
+
+  /** Parse a full `NodeObject(...)` record string. */
+  def parseNodeRecord(s: String): NodeObject = NodeRe.findFirstMatchIn(s) match {
+    case Some(m) => parseNode(m.group(1))
+    case None    => throw new IllegalArgumentException(s"not a NodeObject record: $s")
+  }
+
+  /** Parse an `Action(...)` record string (embedded node records included). */
+  def parseAction(s: String): EdgeAction = {
+    val nodes = NodeRe.findAllMatchIn(s).map(m => parseNode(m.group(1))).toVector
+    if (nodes.length != 2)
+      throw new IllegalArgumentException(s"Action record must embed exactly 2 nodes: $s")
+    val remainder = NodeRe.replaceAllIn(s, "")
+    // remainder now looks like Action(actionType,,,fromId,toId,resultingValue,cost)
+    val inner = remainder.substring(remainder.indexOf('(') + 1, remainder.lastIndexOf(')'))
+    val parts = inner.split(',').map(_.trim).filter(_.nonEmpty)
+    if (parts.length != 5)
+      throw new IllegalArgumentException(s"Action record must have 5 scalar fields: $s")
+    val resultingValue: Option[Int] =
+      if (parts(3) == "None") None
+      else if (parts(3).startsWith("Some(")) Some(parts(3).stripPrefix("Some(").stripSuffix(")").toInt)
+      else None
+    EdgeAction(
+      actionType = parts(0).toInt, fromNode = nodes(0), toNode = nodes(1),
+      fromId = parts(1).toInt, toId = parts(2).toInt,
+      resultingValue = resultingValue, cost = parts(4).toDouble)
+  }
+
+  /** Split the single-line payload into (nodesPart, edgesPart) at the `:`
+    * separating the two `List(...)` blocks. The node block never contains
+    * `:`, so splitting at the first `:` is exact.
+    */
+  def splitSections(content: String): (String, String) = {
+    val i = content.indexOf(':')
+    if (i < 0) throw new IllegalArgumentException("graph text must contain a ':' section separator")
+    val strip = (s: String) => {
+      val t = s.trim
+      if (!t.startsWith("List(") || !t.endsWith(")"))
+        throw new IllegalArgumentException("each section must be a List(...) block")
+      t.substring(5, t.length - 1)
+    }
+    (strip(content.substring(0, i)), strip(content.substring(i + 1)))
+  }
+
+  def parseGraph(content: String): NetGraphLocal = {
+    val (nodesPart, edgesPart) = splitSections(content)
+    val nodes = NodeRe.findAllMatchIn(nodesPart).map(m => parseNode(m.group(1))).toVector
+    val edges = ActionRe.findAllIn(edgesPart).map(parseAction).toVector
+    val g = NetGraphLocal(nodes, edges)
+    g.initNode // validate presence of id==0, same contract as the reference
+    g
+  }
+
+  /** Load a graph from any Hadoop-visible path (local/HDFS/S3). */
+  def load(spark: SparkSession, path: String): NetGraphLocal = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try parseGraph(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  // ---- writer (inverse of the parser; for round-trip tests) -----------------
+  // (reference: NetGraph/src/main/scala/NGStoText.scala:81-89)
+
+  def renderNode(n: NodeObject): String =
+    s"NodeObject(${n.id},${n.children},${n.props},${n.currentDepth},${n.propValueRange}," +
+      s"${n.maxDepth},${n.maxBranchingFactor},${n.maxProperties},${n.storedValue},${n.valuableData})"
+
+  def renderAction(e: EdgeAction): String = {
+    val rv = e.resultingValue.map(v => s"Some($v)").getOrElse("None")
+    s"Action(${e.actionType},${renderNode(e.fromNode)},${renderNode(e.toNode)},${e.fromId},${e.toId},$rv,${e.cost})"
+  }
+
+  def renderGraph(g: NetGraphLocal): String =
+    g.nodes.map(renderNode).mkString("List(", ", ", ")") + ":" +
+      g.edges.map(renderAction).mkString("List(", ", ", ")")
+
+  def write(spark: SparkSession, g: NetGraphLocal, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(renderGraph(g).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -1,0 +1,71 @@
+package graft.io
+
+import graft.model._
+import org.apache.spark.sql.SparkSession
+
+import java.io.{InputStream, ObjectInputStream, ObjectStreamClass}
+
+/** Best-effort reader for the NetGameSim binary `.ngs` format: Java
+  * serialization (magic ACED0005) of a `List` of graph components — node
+  * records, edge records, and terminal sentinels
+  * (reference: src/main/scala/HelperFunction.scala:127-178).
+  *
+  * The stream was written with classes named `NetGraphAlgebraDefs.NodeObject` /
+  * `.Action`; this reader remaps those descriptors onto graft's own model
+  * classes by field-compatible substitution (`readClassDescriptor` override —
+  * the standard rename-compatibility hook). Sentinel records and anything
+  * unrecognized are dropped, like the reference's `collect { case n: NodeObject
+  * => n }` partition (reference: HelperFunction.scala:134-137). After decode,
+  * each edge's embedded endpoints are re-linked to the canonical node instance
+  * with the same id (reference: HelperFunction.scala:145-149).
+  *
+  * The text format is canonical; this exists for compatibility. The decode is
+  * driver-side (the files are single serialized lists — not splittable), and
+  * paths go through Hadoop FS so HDFS/S3 work unchanged.
+  */
+object NgsReader {
+
+  /** Maps serialized class names from the NetGameSim namespace onto local model
+    * classes, taking the local class's own descriptor so serialVersionUID
+    * checks pass when the field shapes line up.
+    */
+  private final class RemappingObjectInputStream(in: InputStream)
+      extends ObjectInputStream(in) {
+    private val remap: Map[String, Class[_]] = Map(
+      "NetGraphAlgebraDefs.NodeObject" -> classOf[NodeObject],
+      "NetGraphAlgebraDefs.Action" -> classOf[EdgeAction])
+
+    override protected def readClassDescriptor(): ObjectStreamClass = {
+      val desc = super.readClassDescriptor()
+      remap.get(desc.getName) match {
+        case Some(local) => ObjectStreamClass.lookup(local)
+        case None        => desc
+      }
+    }
+
+    override protected def resolveClass(desc: ObjectStreamClass): Class[_] =
+      remap.getOrElse(desc.getName, super.resolveClass(desc))
+  }
+
+  def load(spark: SparkSession, path: String): NetGraphLocal = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val ois = new RemappingObjectInputStream(in)
+      val components = ois.readObject().asInstanceOf[List[Any]]
+      val nodes = components.collect { case n: NodeObject => n }.toVector
+      val rawEdges = components.collect { case e: EdgeAction => e }.toVector
+      val byId = nodes.map(n => n.id -> n).toMap
+      // Re-link embedded endpoints to canonical node instances by id.
+      val edges = rawEdges.map { e =>
+        e.copy(
+          fromNode = byId.getOrElse(e.fromNode.id, e.fromNode),
+          toNode = byId.getOrElse(e.toNode.id, e.toNode))
+      }
+      val g = NetGraphLocal(nodes, edges)
+      g.initNode // same id==0 contract as the text loader
+      g
+    } finally in.close()
+  }
+}

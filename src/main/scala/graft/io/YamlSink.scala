@@ -1,0 +1,59 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Insertion-ordered YAML statistics sink.
+  *
+  * The reference dumps a LinkedHashMap through SnakeYAML with pretty flow
+  * (reference: src/main/scala/HelperFunction.scala:375-409). SnakeYAML is not a
+  * dependency of this build, so the writer emits the same pretty-flow map form
+  * directly: `{` newline, one `'key': 'value',` line per entry (long values
+  * wrapped), `}` — enough to diff-clean against the reference's checked-in
+  * outputs for the same data. Paths resolve through Hadoop FileSystem, so
+  * local/HDFS/S3 targets all work.
+  */
+object YamlSink {
+
+  private def quote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Render in SnakeYAML pretty-flow style: keys in insertion order, values
+    * stringified, lines soft-wrapped at ~80 chars with 2-space continuations
+    * (matching the reference's checked-in output format).
+    */
+  def render(data: Seq[(String, String)]): String = {
+    val sb = new StringBuilder("{\n")
+    data.zipWithIndex.foreach { case ((k, v), i) =>
+      val entry = s"  ${quote(k)}: ${quote(v)}" + (if (i < data.length - 1) "," else "")
+      sb.append(wrap(entry, 80)).append('\n')
+    }
+    sb.append("}\n")
+    sb.toString
+  }
+
+  private def wrap(line: String, width: Int): String = {
+    if (line.length <= width) line
+    else {
+      val parts = scala.collection.mutable.ListBuffer.empty[String]
+      var rest = line
+      var first = true
+      while (rest.length > width) {
+        val limit = if (first) width else width - 2
+        val cut = rest.lastIndexOf(' ', limit)
+        val at = if (cut <= 0) limit else cut
+        parts += rest.substring(0, at)
+        rest = rest.substring(at).stripLeading()
+        first = false
+      }
+      if (rest.nonEmpty) parts += rest
+      parts.head + parts.tail.map("\n    " + _).mkString
+    }
+  }
+
+  def write(spark: SparkSession, data: Seq[(String, String)], path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(render(data).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.model
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Graph vertex with 10 fixed properties.
+  *
+  * Mirrors the reference's vertex record
+  * (reference: NetGraph/src/main/scala/NetGraphAlgebraDefs/NetGraphComponent.scala:5-7):
+  * 8 Int fields, a Double payload, and a Boolean marking "valuable data".
+  */
+final case class NodeObject(
+    id: Int,
+    children: Int,
+    props: Int,
+    currentDepth: Int,
+    propValueRange: Int,
+    maxDepth: Int,
+    maxBranchingFactor: Int,
+    maxProperties: Int,
+    storedValue: Double,
+    valuableData: Boolean)
+
+/** Directed edge carrying full copies of both endpoint nodes plus edge
+  * attributes (reference: NetGraphComponent.scala:9-10). The denormalized
+  * endpoints are load-bearing: walks and SimRank join on whole-node equality.
+  * `resultingValue` is optional → nullable int column in the Spark schema.
+  */
+final case class EdgeAction(
+    actionType: Int,
+    fromNode: NodeObject,
+    toNode: NodeObject,
+    fromId: Int,
+    toId: Int,
+    resultingValue: Option[Int],
+    cost: Double)
+
+/** Edge-list property graph as a pair of Datasets (GraphFrames-style).
+  *
+  * The reference holds both lists driver-side
+  * (reference: src/main/scala/HelperFunction.scala:22); here each side is a
+  * `Dataset` so every downstream operator is a Catalyst plan. `initNode` is
+  * defined as the node with id == 0 (reference: HelperFunction.scala:121).
+  */
+final case class NetGraphDS(nodes: Dataset[NodeObject], edges: Dataset[EdgeAction]) {
+  def initNode: NodeObject =
+    nodes.filter(_.id == 0).head()
+}
+
+/** Plain driver-side graph for the walk engine: the adjacency structures are
+  * small relative to the data being matched and are broadcast to executors,
+  * exactly like the reference broadcasts both whole graphs
+  * (reference: src/main/scala/Main.scala:72-73).
+  */
+final case class NetGraphLocal(nodes: Vector[NodeObject], edges: Vector[EdgeAction]) {
+  lazy val initNode: NodeObject =
+    nodes.find(_.id == 0).getOrElse(
+      throw new IllegalArgumentException("NodeObject with id == 0 not found in the loaded graph nodes!"))
+
+  /** Out-adjacency as a hash map — replaces the reference's O(|E|) linear scan
+    * per walk step (reference: HelperFunction.scala:316-318).
+    */
+  lazy val outAdjacency: Map[NodeObject, Vector[NodeObject]] =
+    edges.groupBy(_.fromNode).map { case (k, v) => k -> v.map(_.toNode) }
+
+  /** In-adjacency (parent map): nodes with no in-edges are absent, matching
+    * the reference (reference: HelperFunction.scala:189-199).
+    */
+  lazy val parentMap: Map[NodeObject, Vector[NodeObject]] =
+    edges.groupBy(_.toNode).map { case (k, v) => k -> v.map(_.fromNode) }
+
+  def toDS(spark: SparkSession): NetGraphDS = {
+    import spark.implicits._
+    NetGraphDS(spark.createDataset(nodes), spark.createDataset(edges))
+  }
+}
+
+object GraphSchemas {
+  val nodeSchema: StructType = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("children", IntegerType, nullable = false),
+    StructField("props", IntegerType, nullable = false),
+    StructField("currentDepth", IntegerType, nullable = false),
+    StructField("propValueRange", IntegerType, nullable = false),
+    StructField("maxDepth", IntegerType, nullable = false),
+    StructField("maxBranchingFactor", IntegerType, nullable = false),
+    StructField("maxProperties", IntegerType, nullable = false),
+    StructField("storedValue", DoubleType, nullable = false),
+    StructField("valuableData", BooleanType, nullable = false)))
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("actionType", IntegerType, nullable = false),
+    StructField("fromNode", nodeSchema, nullable = false),
+    StructField("toNode", nodeSchema, nullable = false),
+    StructField("fromId", IntegerType, nullable = false),
+    StructField("toId", IntegerType, nullable = false),
+    StructField("resultingValue", IntegerType, nullable = true),
+    StructField("cost", DoubleType, nullable = false)))
+}

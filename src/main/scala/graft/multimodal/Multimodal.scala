@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata; per-item
+  * decode / feature-extraction runs through `mapPartitions` over an
+  * Arrow-friendly row shape (the JVM analog of `mapInPandas` batches).
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * environment): [[decodeStub]] derives deterministic fake features from the
+  * bytes. Everything around it — schema, batch iteration, partitioning,
+  * column pruning — is the real production plumbing and is tested.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Build a media table from any binary source column. */
+  def asMediaTable(df: DataFrame, idCol: String, payloadCol: String,
+                   mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(mediaType).as("media_type"),
+      col(payloadCol).cast("binary").as("payload"),
+      lit(null).cast("int").as("width"),
+      lit(null).cast("int").as("height"),
+      lit(null).cast("long").as("duration_ms"))
+
+  /** STUB decode: deterministic pseudo-features from payload bytes. A real
+    * deployment swaps this body for an image/audio codec call; the signature
+    * (bytes → fixed-length float vector) and the surrounding plan stay
+    * unchanged.
+    */
+  def decodeStub(payload: Array[Byte], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    if (payload != null) {
+      var h = 2166136261L
+      var i = 0
+      while (i < payload.length) {
+        h = (h ^ (payload(i) & 0xffL)) * 16777619L
+        out(i % dims) += ((h % 1000) / 1000.0f)
+        i += 1
+      }
+    }
+    out
+  }
+
+  final case class MediaFeatures(media_id: Long, media_type: String, features: Array[Float])
+
+  /** Feature extraction over partition-sized batches: one decoder init per
+    * partition (the expensive part in production — model load), then a
+    * streaming map over rows. This is the `mapInPandas` batch shape in
+    * Dataset form.
+    */
+  def extractFeatures(media: DataFrame, dims: Int = 16): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init goes here in production
+        rows.map { case (id, mtype, payload) =>
+          MediaFeatures(id, mtype, decodeStub(payload, dims))
+        }
+      }
+  }
+
+  /** Resize/frame-sample stub: keeps every `stride`-th byte — stands in for
+    * a real resize kernel while exercising the binary-transform plan shape.
+    */
+  def downsamplePayload(media: DataFrame, stride: Int): DataFrame = {
+    val ds = udf((b: Array[Byte]) =>
+      if (b == null) null
+      else b.grouped(stride).map(_.head).toArray)
+    media.withColumn("payload", ds(col("payload")))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational graph operators, one per SURVEY.md §2 row, each a pure
+  * `Dataset → Dataset` Catalyst plan. The reference computes these with Scala
+  * collections on the driver (reference: src/main/scala/HelperFunction.scala);
+  * here every operator is declarative so Catalyst picks broadcast vs shuffle
+  * joins and pushes filters into scans — the same code runs at 100 TB.
+  */
+object GraphOps {
+
+  /** G1/J1 — start nodes: vertices with no incoming edge.
+    * Reference semantics: `nodes.distinct diff edges.map(_.toNode).distinct`
+    * (reference: HelperFunction.scala:181-186). Anti-join on the full node
+    * struct; the edge side is deduplicated by Catalyst's join itself.
+    */
+  def startNodes(g: NetGraphDS): Dataset[NodeObject] = {
+    val targets = g.edges.select(col("toNode.*"))
+    g.nodes.dropDuplicates("id")
+      .join(targets, g.nodes("id") === targets("id"), "left_anti")
+      .as[NodeObject](g.nodes.encoder)
+  }
+
+  /** G2/A1 — in-adjacency (parent map): `toNode → list of fromNode`.
+    * Nodes with no in-edges are absent, matching the reference
+    * (reference: HelperFunction.scala:189-199). Single hash aggregation, with
+    * map-side partial aggregation for free.
+    */
+  def parentMap(edges: Dataset[EdgeAction]): DataFrame =
+    edges.groupBy(col("toNode").as("node"))
+      .agg(collect_list(col("fromNode")).as("parents"))
+
+  /** Out-adjacency: `fromNode → list of toNode` (the walk-step lookup J5,
+    * reference: HelperFunction.scala:316-318, hash-built instead of scanned).
+    */
+  def childMap(edges: Dataset[EdgeAction]): DataFrame =
+    edges.groupBy(col("fromNode").as("node"))
+      .agg(collect_list(col("toNode")).as("children"))
+
+  /** P6 — induced subgraph edges: both endpoints must be in `nodes`
+    * (reference: HelperFunction.scala:336, 355). Two left-semi joins on the
+    * full struct; Catalyst broadcasts the (small) node set.
+    */
+  def inducedEdges(edges: Dataset[EdgeAction], nodes: Dataset[NodeObject]): Dataset[EdgeAction] = {
+    val n1 = nodes.select(struct(col("*")).as("n"))
+    edges
+      .join(n1, col("fromNode") === col("n"), "left_semi")
+      .join(n1, col("toNode") === col("n"), "left_semi")
+      .as[EdgeAction](edges.encoder)
+  }
+
+  /** A3 — arg-max per key: keep the (ngNode, score) with max score per pgNode.
+    * Replaces the reference's executor-side MapAccumulator.add
+    * (reference: src/main/scala/Main.scala:29-37) with a deterministic global
+    * aggregation. Expects columns (pgNode, ngNode, score); ties broken by
+    * lowest ngNode id for determinism (the accumulator kept the first seen —
+    * order-dependent; see SURVEY §7.3).
+    */
+  def argmaxMatchTable(matches: DataFrame): DataFrame =
+    matches.groupBy(col("pgNode"))
+      .agg(max_by(struct(col("ngNode"), col("score")), struct(col("score"), -col("ngNode.id"))).as("best"))
+      .select(col("pgNode"), col("best.ngNode").as("ngNode"), col("best.score").as("score"))
+
+  /** J2 — coverage gap: valuable original-graph node ids never matched
+    * (reference: Main.scala:165-168).
+    */
+  def uncoveredValuable(ngNodes: Dataset[NodeObject], matchedPgIds: DataFrame): DataFrame =
+    ngNodes.filter(col("valuableData")).select(col("id"))
+      .join(matchedPgIds, Seq("id"), "left_anti")
+
+  /** A8/G5 — best node match by field-equality scoring.
+    * Per PG node: exact-struct candidate wins outright; otherwise +1 per equal
+    * field among {children, props, maxDepth, maxProperties}
+    * (reference: HelperFunction.scala:274-301). Window arg-max, ties broken by
+    * candidate id for determinism. Input columns: (pgNode, ngNode, score).
+    */
+  def bestNodeMatch(candidates: DataFrame): DataFrame = {
+    val fieldScore =
+      (col("pgNode.children") === col("ngNode.children")).cast("int") +
+      (col("pgNode.props") === col("ngNode.props")).cast("int") +
+      (col("pgNode.maxDepth") === col("ngNode.maxDepth")).cast("int") +
+      (col("pgNode.maxProperties") === col("ngNode.maxProperties")).cast("int")
+    val exact = (col("pgNode") === col("ngNode")).cast("int")
+    val w = Window.partitionBy(col("pgNode"))
+      .orderBy(desc("exactMatch"), desc("fieldScore"), asc("ngNode.id"))
+    candidates
+      .withColumn("exactMatch", exact)
+      .withColumn("fieldScore", fieldScore)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "exactMatch", "fieldScore")
+  }
+
+  /** J7/A6 — walk classification. `walks` columns: (partition: Long,
+    * walkIds: array<int>); a walk is unsuccessful if it touches any
+    * incorrectly-matched PG id, successful if it touches a correct id and no
+    * incorrect one (reference: Main.scala:189-202).
+    */
+  def classifyWalks(walks: DataFrame, correctIds: Column, incorrectIds: Column): DataFrame =
+    walks.select(
+      col("partition"),
+      arrays_overlap(col("walkIds"), correctIds).as("hitsCorrect"),
+      arrays_overlap(col("walkIds"), incorrectIds).as("hitsIncorrect"))
+      .groupBy(col("partition"))
+      .agg(
+        count_if(col("hitsCorrect") && !col("hitsIncorrect")).as("successful"),
+        count_if(col("hitsIncorrect")).as("unsuccessful"))
+}

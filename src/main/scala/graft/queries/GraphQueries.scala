@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.io.GraphText
+import graft.model._
+import graft.ops.GraphOps
+import graft.stats.MitMPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.10 graph/iterative operators exercised on the reference's own
+  * graph fixtures (read-only at /root/reference/input). These have no
+  * relational oracle (the fixtures aren't in the sfDir star schema) — the
+  * driver records rows-only checks; unit tests pin exact expected values.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val fixtureDir = "/root/reference/input"
+  private val originalPath = s"$fixtureDir/Graph200.txt"
+  private val perturbedPath = s"$fixtureDir/Graph200.txt.perturbed"
+
+  private def graph50(spark: SparkSession): NetGraphDS =
+    GraphText.load(spark, s"$fixtureDir/Graph50.txt").toDS(spark)
+
+  val queries: Map[String, Q] = Map(
+    // S1 — graph text scan: nodes of Graph50 as a typed Dataset
+    "q_gs1_text_scan" -> ((s, _) =>
+      graph50(s).nodes.toDF().orderBy(col("id"))),
+
+    // G1/J1 — start nodes (no incoming edges), Dataset anti-join form
+    "q_gg1_start_nodes" -> ((s, _) =>
+      GraphOps.startNodes(graph50(s)).toDF()
+        .select(col("id")).orderBy(col("id"))),
+
+    // G2/A1 — parent map sizes (in-degree distribution)
+    "q_gg2_parent_map" -> ((s, _) =>
+      GraphOps.parentMap(graph50(s).edges)
+        .select(col("node.id").as("node_id"), size(col("parents")).as("n_parents"))
+        .orderBy(col("node_id"))),
+
+    // P6 — induced subgraph edges for the valuable-node subset
+    "q_gp6_induced" -> ((s, _) => {
+      val g = graph50(s)
+      val valuable = g.nodes.filter(col("valuableData"))
+      GraphOps.inducedEdges(g.edges, valuable).toDF()
+        .select(col("fromId"), col("toId")).orderBy(col("fromId"), col("toId"))
+    }),
+
+    // G3-G7 — the flagship end-to-end MitM statistics pipeline (seeded)
+    "q_gg7_mitm_match_table" -> ((s, _) => {
+      val ng = GraphText.load(s, originalPath)
+      val pg = GraphText.load(s, perturbedPath)
+      val r = MitMPipeline.run(s, ng, pg, MitMPipeline.Config(seed = 42L))
+      MitMPipeline.matchTableDF(s, r)
+    })
+  )
+}

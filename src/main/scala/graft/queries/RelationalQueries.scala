@@ -1,0 +1,617 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The SURVEY.md §2 operator inventory, each operator exercised as a query
+  * over the driver-generated tables (TESTDATA.md) with a DuckDB-equivalent
+  * oracle in [[oracleSql]]. Naming convention: `q_<survey-row>_<shape>`.
+  *
+  * Design rules applied throughout (they matter at 100 TB):
+  *  - aggregates output exact-arithmetic values (counts, min/max, integral
+  *    sums) or explicitly rounded doubles, so results are order-independent
+  *    and engine-portable;
+  *  - every query ends in a deterministic ORDER BY;
+  *  - filters/projections sit directly on the scan so they push down;
+  *  - small dimension sides are broadcast (Catalyst auto-broadcasts under the
+  *    10 MB default; `broadcast()` hints mark the intent explicitly).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- S: sources / scans -------------------------------------------------
+    "q_s5_init_lookup" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_custkey") === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+
+    // ---- P: projections / filters / predicates ------------------------------
+    "q_p1_project" -> ((s, d) =>
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_p2_filter" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_p3_threshold" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_discount") > 0.05)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_p4_id_equality" -> ((s, d) =>
+      Tables.lineitem(s, d).filter(col("l_partkey") === col("l_suppkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q_p5_nonempty_groups" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count_if(col("o_orderstatus") === "P").as("n_pending"))
+        .filter(col("n_pending") > 0)
+        .orderBy(col("o_custkey"))),
+
+    "q_p6_induced_edges" -> ((s, d) => {
+      // induced-subgraph membership: keep lineitems whose BOTH endpoints
+      // (order, part) are in filtered node sets — double left-semi join
+      // (SURVEY P6; reference: HelperFunction.scala:336,355)
+      val li = Tables.lineitem(s, d)
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      val bigParts = Tables.part(s, d).filter(col("p_size") > 40)
+      li.join(bigOrders, li("l_orderkey") === bigOrders("o_orderkey"), "left_semi")
+        .join(bigParts, li("l_partkey") === bigParts("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- J: joins -----------------------------------------------------------
+    "q_j1_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_j2_anti_ids" -> ((s, d) => {
+      val p = Tables.part(s, d)
+      val li = Tables.lineitem(s, d)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_j3_cross_init" -> ((s, d) => {
+      // SimRank pair-space init: score 1.0 on identity else 0.0 (SURVEY J3)
+      val r = Tables.region(s, d)
+      val n = Tables.nation(s, d)
+      r.crossJoin(n)
+        .select(col("r_regionkey"), col("n_nationkey"),
+          when(col("r_regionkey") === col("n_regionkey"), 1.0d).otherwise(0.0d).as("score"))
+        .orderBy(col("r_regionkey"), col("n_nationkey"))
+    }),
+
+    "q_j4_left_coalesce" -> ((s, d) => {
+      // left join with missing-side fallback (SURVEY J4: parents-absent ⇒ 0)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d).filter(col("n_regionkey") < 2)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n_name"), lit("NONE")).as("nation_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_j5_adjacency_lookup" -> ((s, d) => {
+      // broadcast dimension lookup per fact row (SURVEY J5: per-step
+      // out-neighbor lookup against broadcast adjacency)
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_j6_relink" -> ((s, d) => {
+      // re-link embedded keys to canonical rows (SURVEY J6)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000.0)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_j7_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- A: aggregations ----------------------------------------------------
+    "q_a1_group_collect" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("partkeys"))
+        .orderBy(col("l_suppkey"))),
+
+    "q_a2_union_merge" -> ((s, d) => {
+      // batch-merge: union of two match sets re-grouped per key (SURVEY A2)
+      val o = Tables.orders(s, d)
+      val high = o.filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"), lit(1L).as("n"))
+      val pending = o.filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"), lit(1L).as("n"))
+      high.union(pending)
+        .groupBy(col("o_custkey")).agg(sum(col("n")).as("n_matches"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_a3_argmax" -> ((s, d) => {
+      // arg-max per key with deterministic tie-break (SURVEY A3; reference:
+      // Main.scala:29-37). Window form: ties broken by lowest linenumber.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(desc("l_extendedprice"), asc("l_linenumber"))
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "q_a4_sum_scores" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_a5_coeff" -> ((s, d) =>
+      // scalar coefficient 1/(n_a·n_b) (SURVEY A5; reference:
+      // HelperFunction.scala:240)
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        .select(col("o_custkey"), col("n_orders"),
+          round(lit(1.0d) / col("n_orders"), 6).as("coeff"))
+        .orderBy(col("o_custkey"))),
+
+    "q_a6_count_if" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count_if(col("o_totalprice") > 200000.0).as("n_big"),
+          count_if(col("o_totalprice") <= 200000.0).as("n_small"))
+        .orderBy(col("o_orderstatus"))),
+
+    "q_a7_global_agg" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    "q_a8_tiebreak_score" -> ((s, d) => {
+      // field-equality scoring + per-group arg-max (SURVEY A8; reference:
+      // HelperFunction.scala:274-301)
+      val score = (col("s_acctbal") > 5000.0).cast("int") +
+        (col("s_suppkey") % 2 === 0).cast("int")
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(desc("score"), asc("s_suppkey"))
+      Tables.supplier(s, d)
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("s_nationkey"), col("s_suppkey"), col("score"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // ---- O: sort / limit / top-k -------------------------------------------
+    "q_o1_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // ---- E: set operators ---------------------------------------------------
+    "q_e1_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q_e2_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_e3_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_e4_union" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .union(c.filter(col("c_acctbal") > 9000.0).select(col("c_custkey")))
+        .distinct()
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- F: scalar functions ------------------------------------------------
+    "q_f_string" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_type"), 1, 5)).as("type_prefix"),
+          regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int").as("brand_num"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          col("p_name").startsWith("a").as("starts_a"),
+          length(col("p_name")).as("name_len"))
+        .orderBy(col("p_partkey"))),
+
+    "q_f_cast_round" -> ((s, d) =>
+      // casts + HALF_UP rounding at scale 2 (SURVEY §2.8; reference:
+      // HelperFunction.scala:250) + integer div/mod
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice") / 7.0d, 2).as("price_div"),
+          (col("o_orderkey") % 97).cast("int").as("key_mod"),
+          floor(col("o_totalprice")).cast("long").as("price_floor"),
+          col("o_totalprice").cast("int").as("price_int"))
+        .orderBy(col("o_orderkey"))),
+
+    // ---- W: window functions ------------------------------------------------
+    "q_w1_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_w2_rank_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).as("ship_seq"),
+          coalesce(lag(col("l_quantity"), 1).over(w), lit(0.0d)).as("prev_qty"))
+        .orderBy(col("l_partkey"), col("ship_seq"))
+    }),
+
+    // ---- events: time-series -----------------------------------------------
+    "q_ev1_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))),
+
+    "q_ev2_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id"))),
+
+    // ---- documents: text analysis (SURVEY §7.4 extension surface) -----------
+    "q_t1_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.distinctTokenCount(col("text")).as("n_distinct"))
+        .orderBy(col("doc_id"))),
+
+    "q_t2_quality" -> ((s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "q_t3_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "q_t4_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.md5Fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // ---- dedup --------------------------------------------------------------
+    "q_d1_exact_dup" -> ((s, d) =>
+      Dedup.exactDuplicates(Tables.documents(s, d))
+        .orderBy(col("text_md5"))),
+
+    "q_d2_minhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.minhashSignature(col("text"), k = 3, numHashes = 4).as("sig"))
+        .select(col("doc_id"),
+          col("sig")(0).as("mh0"), col("sig")(1).as("mh1"),
+          col("sig")(2).as("mh2"), col("sig")(3).as("mh3"))
+        .orderBy(col("doc_id"))),
+
+    "q_d3_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    "q_d4_lsh_candidates" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "text",
+        k = 3, bands = 4, rowsPerBand = 2)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_d5_embed_neardup" -> ((s, d) =>
+      // threshold calibrated to the synthetic corpus (random embeddings peak
+      // ~0.48 cosine) so the operator produces verifiable pairs
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.3)
+        .orderBy(col("vec_a"), col("vec_b"))),
+
+    // ---- similarity search --------------------------------------------------
+    "q_v1_knn_brute" -> ((s, d) => {
+      val spark = s
+      val query = Tables.embeddings(spark, d).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      Similarity.bruteForceTopK(Tables.embeddings(spark, d), query, k = 10,
+        excludeSelf = Some(0L))
+    }),
+
+    "q_v2_knn_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), numPlanes = 4, k = 5)
+        .orderBy(col("vec_id"), desc("cosine"), col("vid_b")))
+  )
+
+  /** DuckDB-runnable oracle SQL, one per query where SQL-expressible.
+    * Column names and ordering match the Spark side exactly.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q_s5_init_lookup" ->
+      "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey = 0",
+
+    "q_p1_project" ->
+      "SELECT l_orderkey, l_linenumber FROM lineitem ORDER BY 1, 2",
+
+    "q_p2_filter" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'O' AND o_totalprice > 400000.0 ORDER BY 1""",
+
+    "q_p3_threshold" ->
+      """SELECT l_returnflag, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+         FROM lineitem WHERE l_discount > 0.05 GROUP BY 1 ORDER BY 1""",
+
+    "q_p4_id_equality" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         WHERE l_partkey = l_suppkey ORDER BY 1, 2""",
+
+    "q_p5_nonempty_groups" ->
+      """SELECT o_custkey, count(*) FILTER (o_orderstatus = 'P') AS n_pending
+         FROM orders GROUP BY 1 HAVING n_pending > 0 ORDER BY 1""",
+
+    "q_p6_induced_edges" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+           AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+         ORDER BY 1, 2""",
+
+    "q_j1_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY 1""",
+
+    "q_j2_anti_ids" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         ORDER BY 1""",
+
+    "q_j3_cross_init" ->
+      """SELECT r_regionkey, n_nationkey,
+                CASE WHEN r_regionkey = n_regionkey THEN 1.0 ELSE 0.0 END AS score
+         FROM region CROSS JOIN nation ORDER BY 1, 2""",
+
+    "q_j4_left_coalesce" ->
+      """SELECT c_custkey, coalesce(n_name, 'NONE') AS nation_name
+         FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 2) n
+           ON c_nationkey = n_nationkey
+         ORDER BY 1""",
+
+    "q_j5_adjacency_lookup" ->
+      """SELECT p_brand, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_j6_relink" ->
+      """SELECT o_orderkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 450000.0 ORDER BY 1""",
+
+    "q_j7_semi_join" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY 1""",
+
+    "q_a1_group_collect" ->
+      """SELECT l_suppkey, list_sort(list(DISTINCT l_partkey)) AS partkeys
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_a2_union_merge" ->
+      """SELECT o_custkey, sum(n)::BIGINT AS n_matches FROM (
+           SELECT o_custkey, 1::BIGINT AS n FROM orders WHERE o_totalprice > 300000.0
+           UNION ALL
+           SELECT o_custkey, 1::BIGINT AS n FROM orders WHERE o_orderstatus = 'P')
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_a3_argmax" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_orderkey, l_linenumber, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_orderkey
+                    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+           FROM lineitem) WHERE rn = 1 ORDER BY 1""",
+
+    "q_a4_sum_scores" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_a5_coeff" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                round(1.0 / count(*), 6) AS coeff
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_a6_count_if" ->
+      """SELECT o_orderstatus,
+                count(*) FILTER (o_totalprice > 200000.0) AS n_big,
+                count(*) FILTER (o_totalprice <= 200000.0) AS n_small
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_a7_global_agg" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+                sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price,
+                max(l_extendedprice) AS max_price
+         FROM lineitem""",
+
+    "q_a8_tiebreak_score" ->
+      """SELECT s_nationkey, s_suppkey, score FROM (
+           SELECT s_nationkey, s_suppkey,
+                  (s_acctbal > 5000.0)::INT + (s_suppkey % 2 = 0)::INT AS score,
+                  row_number() OVER (PARTITION BY s_nationkey
+                    ORDER BY (s_acctbal > 5000.0)::INT + (s_suppkey % 2 = 0)::INT DESC,
+                             s_suppkey) AS rn
+           FROM supplier) WHERE rn = 1 ORDER BY 1""",
+
+    "q_o1_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "q_e1_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+
+    "q_e2_except" ->
+      """SELECT o_custkey FROM orders
+         EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY 1""",
+
+    "q_e3_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY 1""",
+
+    "q_e4_union" ->
+      """SELECT DISTINCT c_custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+           UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+         ORDER BY 1""",
+
+    "q_f_string" ->
+      """SELECT p_partkey, upper(substr(p_type, 1, 5)) AS type_prefix,
+                regexp_extract(p_brand, '#(\d+)', 1)::INT AS brand_num,
+                concat_ws('|', p_brand, p_type) AS brand_type,
+                starts_with(p_name, 'a') AS starts_a,
+                length(p_name) AS name_len
+         FROM part ORDER BY 1""",
+
+    "q_f_cast_round" ->
+      """SELECT o_orderkey, round(o_totalprice / 7.0, 2) AS price_div,
+                (o_orderkey % 97)::INT AS key_mod,
+                floor(o_totalprice)::BIGINT AS price_floor,
+                trunc(o_totalprice)::INT AS price_int
+         FROM orders ORDER BY 1""",
+
+    "q_w1_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+         FROM orders ORDER BY 1, 2""",
+
+    "q_w2_rank_lag" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber,
+                row_number() OVER w AS ship_seq,
+                coalesce(lag(l_quantity, 1) OVER w, 0.0) AS prev_qty
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         ORDER BY l_partkey, ship_seq""",
+
+    "q_t1_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct
+         FROM documents ORDER BY 1""",
+
+    "q_t2_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+                len(list_filter(string_split(text, ' '),
+                  w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w))) AS n_stopwords,
+                round(len(list_filter(string_split(text, ' '),
+                  w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))::DOUBLE
+                  / len(string_split(text, ' ')), 4) AS stopword_ratio,
+                round(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                  / greatest(length(text), 1), 4) AS punct_ratio,
+                round(length(text)::DOUBLE / len(string_split(text, ' ')), 4) AS mean_token_len
+         FROM documents ORDER BY 1""",
+
+    "q_t3_langid" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+         sc AS (SELECT doc_id, [
+           {'score': len(list_filter(t, w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], w))), 'lang': 'en'},
+           {'score': len(list_filter(t, w -> list_contains(['der','die','und','das','ist','ein','nicht','mit','zu','den'], w))), 'lang': 'de'},
+           {'score': len(list_filter(t, w -> list_contains(['le','la','et','les','des','un','une','est','que','pour'], w))), 'lang': 'fr'},
+           {'score': len(list_filter(t, w -> list_contains(['el','la','de','que','y','los','un','una','es','por'], w))), 'lang': 'es'}] l
+          FROM toks)
+         SELECT doc_id, list_max(l)['lang'] AS lang_pred FROM sc ORDER BY 1""",
+
+    "q_t4_fingerprint" ->
+      "SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents ORDER BY 1",
+
+    "q_d1_exact_dup" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_dups,
+                min(doc_id) AS canonical_doc_id
+         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+
+    "q_d2_minhash" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct([
+             array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+         SELECT doc_id,
+           list_min([('0x' || substr(md5('0:' || s), 1, 8))::BIGINT FOR s IN shingles]) AS mh0,
+           list_min([('0x' || substr(md5('1:' || s), 1, 8))::BIGINT FOR s IN shingles]) AS mh1,
+           list_min([('0x' || substr(md5('2:' || s), 1, 8))::BIGINT FOR s IN shingles]) AS mh2,
+           list_min([('0x' || substr(md5('3:' || s), 1, 8))::BIGINT FOR s IN shingles]) AS mh3
+         FROM sh ORDER BY 1""",
+
+    "q_d5_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+         ORDER BY 1, 2""",
+
+    "q_v1_knn_brute" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "q_ev1_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_ev2_json" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+         FROM events ORDER BY 1"""
+  )
+}

@@ -1,0 +1,168 @@
+package graft.simrank
+
+import graft.model.NodeObject
+import scala.collection.mutable
+
+/** Single-pass SimRank variant used to match perturbed-graph walk subgraphs
+  * against the original graph
+  * (reference: src/main/scala/HelperFunction.scala:202-271).
+  *
+  * Semantics reproduced exactly:
+  *  - pair space = (subgraph nodes × original nodes), minus pairs whose
+  *    either side already appears in the running match table (the
+  *    "accumulator cache", reference :203-210);
+  *  - identical pairs (full-struct equality) score 1.0 and are never
+  *    recomputed;
+  *  - non-identical pairs with both parent lists present score
+  *    `round₂( Σ base(pa,pb) / (|parents(p)|·|parents(n)|) )` over the
+  *    parent-pair cross product; a missing parent list ⇒ 0.0. Decay C = 1
+  *    (the reference's intentional deviation from standard SimRank's C≈0.8);
+  *  - base scores for pairs outside the local pair space fall back to the
+  *    match-table cache, else 0 (reference :245-248);
+  *  - rounding is HALF_UP at scale 2 on the Float result (reference :250);
+  *  - output grouped by subgraph node with zero scores pruned (reference
+  *    :262-266).
+  *
+  * Two evaluation orders (SURVEY §7.3 hazard 3):
+  *  - [[Mode.Jacobi]] (default): every pair reads the *initial* state —
+  *    deterministic, order-independent, the right semantics for a
+  *    set-oriented engine;
+  *  - [[Mode.GaussSeidel]]: in-place updates in (subgraph × original) list
+  *    order, so later pairs see earlier updates — bit-compatible with the
+  *    reference for parity testing.
+  */
+object SimRank {
+
+  sealed trait Mode
+  object Mode {
+    case object Jacobi extends Mode
+    case object GaussSeidel extends Mode
+  }
+
+  /** Running match table entry: pgNode -> (ngNode, score). */
+  type MatchTable = Map[NodeObject, (NodeObject, Float)]
+
+  def round2(f: Float): Float =
+    BigDecimal(f.toDouble).setScale(2, BigDecimal.RoundingMode.HALF_UP).toFloat
+
+  def score(
+      allPgNodes: Vector[NodeObject],
+      pgParents: Map[NodeObject, Vector[NodeObject]],
+      allNgNodes: Vector[NodeObject],
+      ngParents: Map[NodeObject, Vector[NodeObject]],
+      matchTable: MatchTable,
+      mode: Mode = Mode.Jacobi): Map[NodeObject, List[(NodeObject, Float)]] = {
+
+    val ignorePg = matchTable.keySet
+    val ignoreNg = matchTable.values.map(_._1).toSet
+    val pgNodes = allPgNodes.filterNot(ignorePg.contains)
+    val ngNodes = allNgNodes.filterNot(ignoreNg.contains)
+
+    // cache lookup for pairs outside the local pair space
+    val cachePairs: Map[(NodeObject, NodeObject), Float] =
+      matchTable.map { case (pg, (ng, s)) => (pg, ng) -> s }
+
+    val pgSet = pgNodes.toSet
+    val ngSet = ngNodes.toSet
+    def baseInit(pa: NodeObject, pb: NodeObject): Float =
+      if (pgSet.contains(pa) && ngSet.contains(pb)) { if (pa == pb) 1.0f else 0.0f }
+      else cachePairs.getOrElse((pa, pb), 0.0f)
+
+    val out = mutable.LinkedHashMap.empty[NodeObject, mutable.ListBuffer[(NodeObject, Float)]]
+    pgNodes.foreach(p => out(p) = mutable.ListBuffer.empty)
+
+    mode match {
+      case Mode.Jacobi =>
+        pgNodes.foreach { p =>
+          ngNodes.foreach { n =>
+            val s: Float =
+              if (p == n) 1.0f
+              else (pgParents.get(p), ngParents.get(n)) match {
+                case (Some(pp), Some(np)) =>
+                  val coeff = 1.0f / (pp.length * np.length)
+                  var sum = 0.0f
+                  pp.foreach(pa => np.foreach(pb => sum += baseInit(pa, pb)))
+                  round2(coeff * sum)
+                case _ => 0.0f
+              }
+            if (s != 0.0f) out(p) += ((n, s))
+          }
+        }
+      case Mode.GaussSeidel =>
+        // in-place updates in list order, exactly like the reference loop
+        val srMap = mutable.Map.empty[(NodeObject, NodeObject), Float]
+        pgNodes.foreach(p => ngNodes.foreach(n =>
+          srMap((p, n)) = if (p == n) 1.0f else 0.0f))
+        pgNodes.foreach { p =>
+          ngNodes.foreach { n =>
+            if (p != n) (pgParents.get(p), ngParents.get(n)) match {
+              case (Some(pp), Some(np)) =>
+                val coeff = 1.0f / (pp.length * np.length)
+                var sum = 0.0f
+                pp.foreach(pa => np.foreach(pb =>
+                  sum += srMap.getOrElse((pa, pb), cachePairs.getOrElse((pa, pb), 0.0f))))
+                srMap((p, n)) = round2(coeff * sum)
+              case _ => srMap((p, n)) = 0.0f
+            }
+          }
+        }
+        pgNodes.foreach { p =>
+          ngNodes.foreach { n =>
+            val s = srMap((p, n))
+            if (s != 0.0f) out(p) += ((n, s))
+          }
+        }
+    }
+    out.map { case (k, v) => k -> v.toList }.toMap
+  }
+
+  /** Best-candidate selection per subgraph node
+    * (reference: HelperFunction.scala:274-301): singleton short-circuit;
+    * exact-struct-equality short-circuit; else +1 per equal field among
+    * {children, props, maxDepth, maxProperties} and take the top scorer.
+    * Tie-break: first candidate (in list order) reaching the max field-score
+    * — deterministic, unlike the reference's hash-order map sort.
+    */
+  def findBestNodeMatch(pgNode: NodeObject,
+                        candidates: List[(NodeObject, Float)]): (NodeObject, Float) = {
+    require(candidates.nonEmpty, "findBestNodeMatch on empty candidate list")
+    if (candidates.lengthCompare(1) == 0) return candidates.head
+    candidates.find(_._1 == pgNode) match {
+      case Some(exact) => exact
+      case None =>
+        def fieldScore(n: NodeObject): Int =
+          (if (pgNode.children == n.children) 1 else 0) +
+          (if (pgNode.props == n.props) 1 else 0) +
+          (if (pgNode.maxDepth == n.maxDepth) 1 else 0) +
+          (if (pgNode.maxProperties == n.maxProperties) 1 else 0)
+        // maxBy keeps the first-encountered maximum — stable and deterministic
+        candidates.maxBy { case (n, _) => fieldScore(n) }
+    }
+  }
+
+  /** A2 batch merge: concatenate candidate lists per subgraph node across
+    * walks (reference: src/main/scala/Main.scala:112-122).
+    */
+  def mergeMatchMaps(maps: Seq[Map[NodeObject, List[(NodeObject, Float)]]])
+      : Map[NodeObject, List[(NodeObject, Float)]] = {
+    val nonEmpty = maps.map(_.filter(_._2.nonEmpty)).filter(_.nonEmpty)
+    if (nonEmpty.isEmpty) Map.empty
+    else nonEmpty.reduce { (m1, m2) =>
+      (m1.toSeq ++ m2.toSeq).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).reduce(_ ++ _) }
+    }
+  }
+
+  /** A3 arg-max accumulate: fold new (pgNode → (ngNode, score)) entries into
+    * the running match table, keeping the higher score per key
+    * (reference: Main.scala:29-37 — `add`; our merge is arg-max everywhere,
+    * not the reference's last-wins cross-task merge, per SURVEY §7.3).
+    */
+  def accumulate(table: MatchTable, entries: MatchTable): MatchTable =
+    entries.foldLeft(table) { case (acc, (pg, (ng, s))) =>
+      acc.get(pg) match {
+        case Some((_, old)) if old >= s => acc
+        case _ => acc.updated(pg, (ng, s))
+      }
+    }
+}

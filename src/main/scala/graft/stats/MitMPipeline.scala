@@ -1,0 +1,229 @@
+package graft.stats
+
+import graft.io.{GraphText, YamlSink}
+import graft.model._
+import graft.simrank.SimRank
+import graft.walk.RandomWalk
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** The flagship end-to-end query: MitM attack statistics over an
+  * (original, perturbed) graph pair — the reference's whole program
+  * (reference: src/main/scala/Main.scala:45-217) re-expressed as a
+  * superstep-driven Spark pipeline.
+  *
+  * Topology: both graphs are broadcast (they are the "dimension" side — even
+  * huge fact data flows through walks partitioned across executors); one
+  * start node per partition; each superstep runs one batch of walks + SimRank
+  * per partition, then the per-batch match candidates are merged into a
+  * global arg-max match table which is re-broadcast as the next batch's
+  * skip-list. This replaces the reference's executor-side accumulator reads
+  * (best-effort, topology-dependent — reference: Main.scala:140) with a
+  * deterministic, cluster-correct exchange (SURVEY §7.3 hazards 1-2).
+  *
+  * Everything is seeded: same (seed, config) ⇒ identical statistics, turning
+  * the reference's run-to-run spread (94 vs 74 TP on identical config) into a
+  * fixed number per seed.
+  */
+object MitMPipeline {
+
+  final case class Config(
+      randomWalkCoeff: Double = 0.5,
+      numOfParallelWalks: Int = 20,
+      numItersPerCompNode: Int = 50,
+      itersBeforeAccum: Int = 10,
+      nodeMatchThreshold: Double = 0.1,
+      seed: Long = 42L,
+      simRankMode: SimRank.Mode = SimRank.Mode.Jacobi,
+      startNodesWithoutReplacement: Boolean = true,
+      resimrankAccumulatedWalks: Boolean = true)
+
+  final case class Result(
+      matchTable: Map[Int, (Int, Float)],          // pgId -> (ngId, score)
+      correctMatches: List[(Int, Int)],
+      incorrectMatches: List[(Int, Int)],
+      uncoveredValuableIds: List[Int],
+      origValuableIds: List[Int],
+      succPerPartition: List[Int],
+      unsuccPerPartition: List[Int],
+      walksPerPartition: List[List[List[Int]]])    // partition -> distinct walks -> node ids
+
+  /** Per-partition walk state carried between supersteps. */
+  private final case class PartState(
+      partition: Long,
+      startNode: NodeObject,
+      visited: List[NodeObject],
+      walks: List[RandomWalk.WalkResult],
+      itersDone: Int)
+
+  /** G1 — start nodes, local form: distinct vertices minus distinct edge
+    * targets (reference: HelperFunction.scala:181-186).
+    */
+  def startNodes(g: NetGraphLocal): Vector[NodeObject] = {
+    val targets = g.edges.map(_.toNode).distinct.toSet
+    g.nodes.distinct.filterNot(targets.contains)
+  }
+
+  /** X3 — start-node selection: without replacement while candidates remain
+    * (the reference's evident intent — its `selectedNodes` buffer is never
+    * appended, reference: HelperFunction.scala:361-372 — SURVEY §7.3
+    * hazard 4), with-replacement fallback once exhausted.
+    */
+  def selectStartNodes(starts: Vector[NodeObject], n: Int, seed: Long,
+                       withoutReplacement: Boolean): Vector[(Long, NodeObject)] = {
+    val rng = new Random(seed)
+    val remaining = scala.collection.mutable.ArrayBuffer(starts: _*)
+    (1L to n.toLong).map { i =>
+      val pick =
+        if (withoutReplacement && remaining.nonEmpty)
+          remaining.remove(rng.nextInt(remaining.length))
+        else starts(rng.nextInt(starts.length))
+      (i, pick)
+    }.toVector
+  }
+
+  def run(spark: SparkSession, original: NetGraphLocal, perturbed: NetGraphLocal,
+          cfg: Config): Result = {
+    import spark.implicits._
+    require(cfg.itersBeforeAccum <= cfg.numItersPerCompNode,
+      "itersBeforeAccum must be <= numItersPerCompNode")
+
+    val sc = spark.sparkContext
+    val pgBV = sc.broadcast(perturbed)
+    val ngBV = sc.broadcast(original)
+    // NG parent map is walk-independent — build once, broadcast once.
+    val ngParentsBV = sc.broadcast(original.parentMap)
+
+    val starts = selectStartNodes(startNodes(perturbed), cfg.numOfParallelWalks,
+      cfg.seed, cfg.startNodesWithoutReplacement)
+
+    // batch sizes: full batches of itersBeforeAccum plus a remainder batch
+    val batchSizes = {
+      val q = cfg.numItersPerCompNode / cfg.itersBeforeAccum
+      val r = cfg.numItersPerCompNode % cfg.itersBeforeAccum
+      List.fill(q)(cfg.itersBeforeAccum) ::: (if (r > 0) List(r) else Nil)
+    }
+
+    var states: List[PartState] =
+      starts.map { case (k, n) => PartState(k, n, Nil, Nil, 0) }.toList
+    var matchTable: SimRank.MatchTable = Map.empty
+
+    batchSizes.foreach { batchSize =>
+      val tableBV = sc.broadcast(matchTable)
+      val cfgLocal = cfg
+      // one Spark task per partition state: walks + SimRank run where the
+      // state lives; only the small match-candidate maps come back
+      val stateRdd = sc.parallelize(states, states.length)
+      val stepped: List[(PartState, SimRank.MatchTable)] = stateRdd.map { st =>
+        val pg = pgBV.value
+        val ng = ngBV.value
+        val ngParents = ngParentsBV.value
+        val table = tableBV.value
+
+        var visited = st.visited
+        var walks = st.walks
+        (1 to batchSize).foreach { j =>
+          val rng = RandomWalk.rngFor(cfgLocal.seed, st.partition, st.itersDone + j)
+          val w = RandomWalk.walk(pg, st.startNode, visited.toSet, cfgLocal.randomWalkCoeff, rng)
+          walks = walks :+ w
+          visited = visited ++ w.nodes
+        }
+
+        // SimRank every accumulated walk against NG with the current
+        // skip-table (the reference re-scores prior batches' walks too —
+        // matched nodes are excluded so this only fills gaps)
+        val walksToScore = if (cfgLocal.resimrankAccumulatedWalks) walks else walks.takeRight(batchSize)
+        val srMaps = walksToScore.map { w =>
+          val pgParents = w.edges.groupBy(_.toNode).map { case (k, v) => k -> v.map(_.fromNode) }
+          SimRank.score(w.nodes, pgParents, ng.nodes, ngParents, table, cfgLocal.simRankMode)
+        }.filter(_.nonEmpty)
+
+        val merged = SimRank.mergeMatchMaps(srMaps)
+        val best: SimRank.MatchTable = merged.collect {
+          case (pgNode, candidates) if candidates.nonEmpty =>
+            pgNode -> SimRank.findBestNodeMatch(pgNode, candidates)
+        }.filter { case (_, (ngNode, _)) => ngNode.valuableData }
+
+        (st.copy(visited = visited, walks = walks, itersDone = st.itersDone + batchSize), best)
+      }.collect().toList
+
+      states = stepped.map(_._1)
+      // A3 global arg-max merge — deterministic, replaces accumulator races
+      matchTable = stepped.foldLeft(matchTable) { case (t, (_, b)) => SimRank.accumulate(t, b) }
+      tableBV.unpersist()
+    }
+
+    pgBV.unpersist(); ngBV.unpersist(); ngParentsBV.unpersist()
+
+    // ---- statistics block (G7) — pure DataFrame ops over small frames ------
+    val idTable = matchTable.map { case (pg, (ng, s)) => (pg.id, ng.id, s) }
+    val correct = idTable.collect {
+      case (pid, nid, s) if pid == nid && s > cfg.nodeMatchThreshold => (pid, nid)
+    }.toList.sortBy(_._1)
+    val incorrect = idTable.collect {
+      case (pid, nid, s) if pid != nid && s > cfg.nodeMatchThreshold => (pid, nid)
+    }.toList.sortBy(_._1)
+
+    val origValuable = original.nodes.filter(_.valuableData).map(_.id).toList
+    val matchedPgIds = idTable.map(_._1).toSet
+    val uncovered = origValuable.filterNot(matchedPgIds.contains)
+
+    val correctIds = correct.map(_._1).toSet
+    val incorrectIds = incorrect.map(_._1).toSet
+    val byPartition = states.sortBy(_.partition)
+    val walksPerPartition = byPartition.map(_.walks.distinct.map(_.nodeIds.toList))
+    def classify(walks: List[List[Int]]): (Int, Int) = {
+      val succ = walks.count(w => w.exists(correctIds.contains) && !w.exists(incorrectIds.contains))
+      val unsucc = walks.count(w => w.exists(incorrectIds.contains))
+      (succ, unsucc)
+    }
+    val classified = walksPerPartition.map(classify)
+
+    Result(
+      matchTable = matchTable.map { case (pg, (ng, s)) => pg.id -> (ng.id, s) },
+      correctMatches = correct,
+      incorrectMatches = incorrect,
+      uncoveredValuableIds = uncovered,
+      origValuableIds = origValuable,
+      succPerPartition = classified.map(_._1),
+      unsuccPerPartition = classified.map(_._2),
+      walksPerPartition = walksPerPartition)
+  }
+
+  /** K1 — YAML statistics report with the reference's key set and insertion
+    * order (reference: Main.scala:204-212).
+    */
+  def statisticsYaml(r: Result): Seq[(String, String)] = Seq(
+    "Original valuable data nodes:" -> r.origValuableIds.mkString("List(", ", ", ")"),
+    "Perturbed nodes not covered by random walks:" -> r.uncoveredValuableIds.mkString("List(", ", ", ")"),
+    "Correct matches (True Positive):" -> r.correctMatches.length.toString,
+    "Incorrect matches (False positive):" -> r.incorrectMatches.length.toString,
+    "Number of distinct unsuccessful walks per part:" -> r.unsuccPerPartition.mkString("List(", ", ", ")"),
+    "Number of total distinct unsuccessful walks:" -> r.unsuccPerPartition.sum.toString,
+    "Number of distinct successful walks per part:" -> r.succPerPartition.mkString("List(", ", ", ")"),
+    "Number of total distinct successful walks:" -> r.succPerPartition.sum.toString)
+
+  /** Full program: load both graphs, run the pipeline, write the YAML report
+    * (reference: Main.scala main flow).
+    */
+  def runFiles(spark: SparkSession, originalPath: String, perturbedPath: String,
+               outPath: String, cfg: Config = Config()): Result = {
+    val ng = GraphText.load(spark, originalPath)
+    val pg = GraphText.load(spark, perturbedPath)
+    val result = run(spark, ng, pg, cfg)
+    YamlSink.write(spark, statisticsYaml(result), outPath)
+    result
+  }
+
+  /** Result as a DataFrame (pgId, ngId, score, correct) — the queryable form
+    * of the match table for the relational layer.
+    */
+  def matchTableDF(spark: SparkSession, r: Result): DataFrame = {
+    import spark.implicits._
+    r.matchTable.toSeq.map { case (pg, (ng, s)) => (pg, ng, s) }
+      .toDF("pgId", "ngId", "score")
+      .withColumn("correct", col("pgId") === col("ngId"))
+      .orderBy(col("pgId"))
+  }
+}

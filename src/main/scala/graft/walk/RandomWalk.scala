@@ -1,0 +1,75 @@
+package graft.walk
+
+import graft.model._
+import scala.collection.mutable.ListBuffer
+import scala.util.Random
+
+/** Seeded random-walk engine over a broadcast-local graph.
+  *
+  * Reproduces the reference walk semantics
+  * (reference: src/main/scala/HelperFunction.scala:305-358):
+  *  - step budget = `coeff * |V|`, counting revisits;
+  *  - at each step, move to a uniformly random out-neighbor, preferring
+  *    neighbors not in the partition-wide `alreadyVisited` list (which only
+  *    includes *prior* walks' nodes, not the current walk's);
+  *  - a node with no out-neighbors ends the walk early;
+  *  - result = induced subgraph: distinct visited nodes, edges with both
+  *    endpoints visited, init = first visited node with no in-edge within the
+  *    subgraph. The reference `.head`-crashes when the subgraph is fully
+  *    cyclic (HelperFunction.scala:337,356); here we fall back to the first
+  *    visited node (SURVEY §7.3 hazard 5).
+  *
+  * Unlike the reference's per-step O(|E|) edge scan, neighbors come from a
+  * pre-built hash adjacency (`NetGraphLocal.outAdjacency`), and the RNG is
+  * injected so runs are reproducible per (seed, partition, iteration).
+  */
+object RandomWalk {
+
+  final case class WalkResult(
+      nodes: Vector[NodeObject],
+      edges: Vector[EdgeAction],
+      initNode: NodeObject) {
+    def nodeIds: Vector[Int] = nodes.map(_.id)
+  }
+
+  def walk(graph: NetGraphLocal, startNode: NodeObject,
+           alreadyVisited: collection.Set[NodeObject],
+           coeff: Double, rng: Random): WalkResult = {
+    val budget = coeff * graph.nodes.length
+    val visited = ListBuffer.empty[NodeObject]
+    var current = startNode
+    var earlyExit = false
+
+    while (!earlyExit && visited.size < budget) {
+      visited += current
+      val neighbors = graph.outAdjacency.getOrElse(current, Vector.empty)
+      if (neighbors.isEmpty) earlyExit = true
+      else {
+        val unvisited = neighbors.filterNot(alreadyVisited.contains)
+        current =
+          if (unvisited.nonEmpty) unvisited(rng.nextInt(unvisited.length))
+          else neighbors(rng.nextInt(neighbors.length))
+      }
+    }
+    inducedSubgraph(graph, visited.toVector)
+  }
+
+  /** Induced subgraph over the visited node sequence (first-visit order kept,
+    * duplicates dropped — `distinct` preserves first occurrence like the
+    * reference's `List.distinct`).
+    */
+  def inducedSubgraph(graph: NetGraphLocal, visitedSeq: Vector[NodeObject]): WalkResult = {
+    val nodes = visitedSeq.distinct
+    val nodeSet = nodes.toSet
+    val edges = graph.edges.filter(e => nodeSet.contains(e.fromNode) && nodeSet.contains(e.toNode))
+    val targets = edges.map(_.toNode).toSet
+    val init = nodes.find(n => !targets.contains(n)).getOrElse(nodes.head)
+    WalkResult(nodes, edges, init)
+  }
+
+  /** Deterministic per-walk RNG: decorrelates (seed, partition, iteration)
+    * without any cross-task coordination.
+    */
+  def rngFor(seed: Long, partition: Long, iteration: Int): Random =
+    new Random(seed * 0x9E3779B97F4A7C15L + partition * 0x100000001B3L + iteration)
+}

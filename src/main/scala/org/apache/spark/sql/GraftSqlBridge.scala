@@ -1,0 +1,16 @@
+/** Bridge into `private[sql]` surface of the classic Spark SQL API.
+  *
+  * Spark 4 hides Column↔Expression conversion behind `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); custom Catalyst
+  * expressions still need it to be exposed as user-facing `Column`s. This
+  * object lives in `org.apache.spark.sql` purely to re-export those two
+  * conversions — the standard technique used by Spark extension libraries.
+  */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class FunctionsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("tokenCount / distinctTokenCount") {
+    val df = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val r = df.select(
+      TextOps.tokenCount($"text"),
+      TextOps.distinctTokenCount($"text")).head()
+    r.getInt(0) shouldBe 4
+    r.getInt(1) shouldBe 3
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "le chat et les chiens est une question")).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextOps.langId($"text").as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    r(1L) shouldBe "en"
+    r(2L) shouldBe "de"
+    r(3L) shouldBe "fr"
+  }
+
+  test("fnv1a64 matches a local implementation") {
+    def local(s: String): Long =
+      s.foldLeft(-3750763034362895579L)((acc, c) => (acc ^ c.toLong) * 1099511628211L)
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val got = df.select(TextOps.fnv1a64($"text")).head().getLong(0)
+    got shouldBe local("hello world")
+  }
+
+  test("shingles builds k-grams and md5Hash32 is stable") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = df.select(Dedup.shingles($"text", 3).as("s")).head().getSeq[String](0)
+    sh should contain theSameElementsAs Seq("a b c", "b c d")
+    val h = df.select(Dedup.md5Hash32(lit("hello"))).head().getLong(0)
+    h shouldBe java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("hello".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+  }
+
+  test("exactDuplicates finds duplicate groups only") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "unique")).toDF("doc_id", "text")
+    val out = Dedup.exactDuplicates(df).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("n_dups") shouldBe 2
+    out.head.getAs[Long]("canonical_doc_id") shouldBe 1
+  }
+
+  test("minhash identical docs share signatures; simhash near for near-dups") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear inside this other document here")
+    ).toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", Dedup.minhashSignature($"text", 3, 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    sigs(1L) shouldBe sigs(2L)
+    sigs(1L) should not be sigs(3L)
+    val sims = df.select($"doc_id", Dedup.simhash32($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sims(1L) shouldBe sims(2L)
+  }
+
+  test("minhashCandidates surfaces the duplicate pair") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear inside this other document here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "text", 3, bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs should contain((1L, 2L))
+  }
+
+  test("ngramJaccardPairs computes jaccard on shared shingles") {
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d x")).toDF("doc_id", "text")
+    // 3-shingles: doc1 {abc,bcd,cde}, doc2 {abc,bcd,cdx} → common 2, union 4
+    val out = Dedup.ngramJaccardPairs(df, "text", 3, threshold = 0.0).collect()
+    out.length shouldBe 1
+    out.head.getAs[Double]("jaccard") shouldBe 0.5
+  }
+
+  test("cosine and bruteForceTopK rank by similarity") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.05f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, Seq(1.0f, 0.0f), k = 2, excludeSelf = Some(0L))
+      .collect().map(_.getLong(0))
+    top.toSeq shouldBe Seq(3L, 1L) // 3 is nearly parallel, then 1, then 2
+  }
+
+  test("lshTopK returns per-vector neighbor lists from shared buckets") {
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0f, 0.0f, 0.5f) else Seq(0.0f, 1.0f, -0.5f)
+      (i.toLong, base.map(_ + (i % 7) * 0.01f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(df, numPlanes = 2, k = 3)
+    out.groupBy("vec_id").count().collect().foreach(_.getLong(1) should be <= 3L)
+  }
+}

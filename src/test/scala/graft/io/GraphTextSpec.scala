@@ -1,0 +1,63 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class GraphTextSpec extends AnyFunSuite with Matchers {
+  private val fixtures = "/root/reference/input"
+
+  test("parses Graph20.0 with expected node/edge counts") {
+    val g = GraphText.load(SparkSpec.spark, s"$fixtures/Graph20.0.txt")
+    g.nodes.length shouldBe 21
+    g.edges.length shouldBe 20
+    g.initNode.id shouldBe 0
+  }
+
+  test("parses Graph50 and Graph200 fixture family") {
+    val g50 = GraphText.load(SparkSpec.spark, s"$fixtures/Graph50.txt")
+    g50.nodes.length shouldBe 51
+    g50.edges.length shouldBe 54
+    val g200 = GraphText.load(SparkSpec.spark, s"$fixtures/Graph200.txt")
+    g200.nodes.length shouldBe 201
+    g200.edges.length shouldBe 345
+    // inconsistent perturbed naming is accepted (FIXTURES.md §A)
+    val p50 = GraphText.load(SparkSpec.spark, s"$fixtures/Graph50.perturbed.txt")
+    p50.nodes.nonEmpty shouldBe true
+    val p200 = GraphText.load(SparkSpec.spark, s"$fixtures/Graph200.txt.perturbed")
+    p200.nodes.nonEmpty shouldBe true
+  }
+
+  test("node parse handles negative and scientific-notation storedValue") {
+    val n = GraphText.parseNodeRecord("NodeObject(7,1,2,1,50,3,4,5,-8.23E-4,true)")
+    n.id shouldBe 7
+    n.storedValue shouldBe -8.23e-4
+    n.valuableData shouldBe true
+  }
+
+  test("node parse rejects wrong arity") {
+    an[IllegalArgumentException] should be thrownBy
+      GraphText.parseNode("1,2,3,4,5")
+  }
+
+  test("action parse round-trips Option and embedded nodes") {
+    val s = "Action(6,NodeObject(1,5,5,1,37,2,3,9,0.725,false),NodeObject(24,3,2,1,11,4,0,7,0.5,true),28,0,Some(3),0.038)"
+    val a = GraphText.parseAction(s)
+    a.actionType shouldBe 6
+    a.fromNode.id shouldBe 1
+    a.toNode.id shouldBe 24
+    a.toNode.valuableData shouldBe true
+    a.resultingValue shouldBe Some(3)
+    a.cost shouldBe 0.038
+    val none = GraphText.parseAction(s.replace("Some(3)", "None"))
+    none.resultingValue shouldBe None
+  }
+
+  test("render/parse round-trip is lossless") {
+    val g = GraphText.load(SparkSpec.spark, s"$fixtures/Graph50.txt")
+    val round = GraphText.parseGraph(GraphText.renderGraph(g))
+    round.nodes shouldBe g.nodes
+    round.edges shouldBe g.edges
+  }
+}

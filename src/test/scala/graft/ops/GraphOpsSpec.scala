@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.io.GraphText
+import graft.stats.MitMPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Dataset-level graph operators checked against the driver-side local
+  * equivalents on the reference fixtures.
+  */
+class GraphOpsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  private lazy val g50local = GraphText.load(spark, "/root/reference/input/Graph50.txt")
+  private lazy val g50 = g50local.toDS(spark)
+
+  test("startNodes matches the local diff semantics") {
+    val ds = GraphOps.startNodes(g50).collect().map(_.id).sorted
+    val local = MitMPipeline.startNodes(g50local).map(_.id).sorted
+    ds.toSeq shouldBe local.toSeq
+  }
+
+  test("parentMap matches local in-adjacency") {
+    val df = GraphOps.parentMap(g50.edges)
+      .select(col("node.id"), org.apache.spark.sql.functions.size(col("parents")))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val local = g50local.parentMap.map { case (n, ps) => n.id -> ps.length }
+    df shouldBe local
+  }
+
+  test("inducedEdges keeps only edges with both endpoints in the node set") {
+    val valuable = g50.nodes.filter(col("valuableData"))
+    val got = GraphOps.inducedEdges(g50.edges, valuable)
+      .collect().map(e => (e.fromId, e.toId)).toSet
+    val vset = g50local.nodes.filter(_.valuableData).toSet
+    val want = g50local.edges
+      .filter(e => vset.contains(e.fromNode) && vset.contains(e.toNode))
+      .map(e => (e.fromId, e.toId)).toSet
+    got shouldBe want
+  }
+
+  test("argmaxMatchTable keeps the max-score row per key") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 10, 0.5), (1, 11, 0.9), (1, 12, 0.9), // tie on score → lower ngNode.id... (-id desc) → 11? see op
+      (2, 20, 0.1)
+    ).toDF("pg", "ng", "score")
+      .select(
+        struct(col("pg").as("id")).as("pgNode"),
+        struct(col("ng").as("id")).as("ngNode"),
+        col("score"))
+    val out = GraphOps.argmaxMatchTable(df)
+      .select(col("pgNode.id"), col("ngNode.id"), col("score"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    out shouldBe Set((1, 11, 0.9), (2, 20, 0.1))
+  }
+
+  test("classifyWalks counts successful/unsuccessful per partition") {
+    import spark.implicits._
+    val walks = Seq(
+      (1L, Seq(1, 2, 3)),   // hits correct {2}, no incorrect → success
+      (1L, Seq(4, 5)),      // hits incorrect {5} → unsuccess
+      (2L, Seq(2, 5)),      // hits both → unsuccess only
+      (2L, Seq(9))          // hits neither → neither
+    ).toDF("partition", "walkIds")
+    val out = GraphOps.classifyWalks(walks,
+        typedLit(Seq(2)), typedLit(Seq(5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set((1L, 1L, 1L), (2L, 0L, 1L))
+  }
+}

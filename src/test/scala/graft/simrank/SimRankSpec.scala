@@ -1,0 +1,119 @@
+package graft.simrank
+
+import graft.model.NodeObject
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SimRankSpec extends AnyFunSuite with Matchers {
+
+  private def node(id: Int, children: Int = 0, props: Int = 0): NodeObject =
+    NodeObject(id, children, props, 1, 10, 2, 3, 4, 0.5, valuableData = true)
+
+  // PG: 0 -> 1 -> 2 ; NG: 0 -> 1 -> 2  (identical chain)
+  private val pg = Vector(node(0), node(1), node(2))
+  private val pgParents = Map(node(1) -> Vector(node(0)), node(2) -> Vector(node(1)))
+
+  test("identical pairs score 1.0; identical-parent pairs reach 1.0") {
+    val out = SimRank.score(pg, pgParents, pg, pgParents, Map.empty)
+    out(node(0)) should contain((node(0), 1.0f))
+    out(node(1)) should contain((node(1), 1.0f))
+    // (1,2): parents (0),(1) — base(0,1)=0 => zero, pruned
+    out(node(1)).map(_._1.id) should not contain 2
+  }
+
+  test("zero scores are pruned and parentless pairs score 0") {
+    val ngOnly = Vector(node(5, children = 9))
+    val out = SimRank.score(pg, pgParents, ngOnly, Map.empty, Map.empty)
+    // node 5 has no parents => all pairs 0 => all lists empty
+    out.values.flatten shouldBe empty
+  }
+
+  test("parent-pair average with HALF_UP rounding at scale 2") {
+    // PG node p has parents {a, b}; NG node n has parent {a}.
+    // base(a,a)=1, base(b,a)=0 → score = 1/2 = 0.5
+    val a = node(10); val b = node(11)
+    val p = node(20); val n = node(21)
+    val out = SimRank.score(
+      Vector(a, b, p), Map(p -> Vector(a, b)),
+      Vector(a, n), Map(n -> Vector(a)),
+      Map.empty)
+    out(p) should contain((n, 0.5f))
+    // rounding: 1/3 → 0.33
+    val p3 = node(30); val c = node(12)
+    val out3 = SimRank.score(
+      Vector(a, b, c, p3), Map(p3 -> Vector(a, b, c)),
+      Vector(a, n), Map(n -> Vector(a)),
+      Map.empty)
+    out3(p3) should contain((n, 0.33f))
+  }
+
+  test("match-table exclusion removes both sides from the pair space") {
+    val table: SimRank.MatchTable = Map(node(0) -> ((node(0), 1.0f)))
+    val out = SimRank.score(pg, pgParents, pg, pgParents, table)
+    out.keySet.map(_.id) should not contain 0
+    out.values.flatten.map(_._1.id) should not contain 0
+  }
+
+  test("cache fallback feeds scores for out-of-space parent pairs") {
+    // p's parent is x (excluded); n's parent is y; cache has (x -> y, 0.8)
+    val x = node(40); val y = node(41)
+    val p = node(42); val n = node(43)
+    val table: SimRank.MatchTable = Map(x -> ((y, 0.8f)))
+    val out = SimRank.score(
+      Vector(x, p), Map(p -> Vector(x)),
+      Vector(y, n), Map(n -> Vector(y)),
+      table)
+    out(p) should contain((n, 0.8f))
+  }
+
+  test("GaussSeidel mode sees earlier updates, Jacobi does not") {
+    // chain where pair (1,1') depends on (0,0') which is updated in-pass:
+    // PG: 0 -> 1, NG: 0' -> 1' with 0 != 0' but parents make (0,0') nonzero
+    // via cache; GS then propagates it to (1,1') while Jacobi uses init 0.
+    val p0 = node(50); val p1 = node(51)
+    val n0 = node(60); val n1 = node(61)
+    val ext = node(70) // shared external parent via cache
+    val table: SimRank.MatchTable = Map(ext -> ((ext, 1.0f)))
+    val pgN = Vector(p0, p1)
+    val ngN = Vector(n0, n1)
+    val pgP = Map(p0 -> Vector(ext), p1 -> Vector(p0))
+    val ngP = Map(n0 -> Vector(ext), n1 -> Vector(n0))
+    val gs = SimRank.score(pgN, pgP, ngN, ngP, table, SimRank.Mode.GaussSeidel)
+    val ja = SimRank.score(pgN, pgP, ngN, ngP, table, SimRank.Mode.Jacobi)
+    gs(p0) should contain((n0, 1.0f))   // 1/(1*1) * base(ext,ext)=1
+    ja(p0) should contain((n0, 1.0f))
+    gs(p1) should contain((n1, 1.0f))   // sees updated (p0,n0)=1
+    ja(p1).find(_._1 == n1) shouldBe None // init (p0,n0)=0 → pruned
+  }
+
+  test("findBestNodeMatch: singleton, exact, field-score, stable ties") {
+    val p = node(80, children = 3, props = 4)
+    SimRank.findBestNodeMatch(p, List((node(1), 0.4f))) shouldBe ((node(1), 0.4f))
+    val exact = (p, 0.2f)
+    SimRank.findBestNodeMatch(p, List((node(1), 0.9f), exact)) shouldBe exact
+    val good = node(2, children = 3, props = 4) // 2 field matches (+maxDepth etc equal by construction)
+    val bad = node(3, children = 9, props = 9)
+    SimRank.findBestNodeMatch(p, List((bad, 0.9f), (good, 0.1f)))._1 shouldBe good
+    // tie → first encountered wins
+    val t1 = node(4, children = 3); val t2 = node(5, children = 3)
+    SimRank.findBestNodeMatch(p, List((t1, 0.1f), (t2, 0.9f)))._1 shouldBe t1
+  }
+
+  test("mergeMatchMaps concatenates candidate lists per key") {
+    val a = node(90); val b = node(91)
+    val m1 = Map(a -> List((b, 0.5f)))
+    val m2 = Map(a -> List((a, 1.0f)), b -> List((a, 0.2f)))
+    val merged = SimRank.mergeMatchMaps(Seq(m1, m2))
+    merged(a) shouldBe List((b, 0.5f), (a, 1.0f))
+    merged(b) shouldBe List((a, 0.2f))
+  }
+
+  test("accumulate keeps per-key arg-max") {
+    val a = node(95); val b = node(96); val c = node(97)
+    val t1 = SimRank.accumulate(Map.empty, Map(a -> ((b, 0.5f))))
+    val t2 = SimRank.accumulate(t1, Map(a -> ((c, 0.3f))))
+    t2(a) shouldBe ((b, 0.5f))
+    val t3 = SimRank.accumulate(t2, Map(a -> ((c, 0.9f))))
+    t3(a) shouldBe ((c, 0.9f))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.stats
+
+import graft.SparkSpec
+import graft.io.GraphText
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class MitMPipelineSpec extends AnyFunSuite with Matchers {
+  private val fixtures = "/root/reference/input"
+  private lazy val spark = SparkSpec.spark
+
+  private lazy val ng20 = GraphText.load(spark, s"$fixtures/Graph20.0.txt")
+  private lazy val pg20 = GraphText.load(spark, s"$fixtures/Graph20.0.perturbed.txt")
+
+  private val smallCfg = MitMPipeline.Config(
+    numOfParallelWalks = 4, numItersPerCompNode = 10, itersBeforeAccum = 5, seed = 42L)
+
+  test("Graph20 run is seeded-deterministic") {
+    val r1 = MitMPipeline.run(spark, ng20, pg20, smallCfg)
+    val r2 = MitMPipeline.run(spark, ng20, pg20, smallCfg)
+    r1.matchTable shouldBe r2.matchTable
+    r1.succPerPartition shouldBe r2.succPerPartition
+    r1.unsuccPerPartition shouldBe r2.unsuccPerPartition
+    r1.walksPerPartition shouldBe r2.walksPerPartition
+  }
+
+  test("different seed changes walks (statistics may differ)") {
+    val r1 = MitMPipeline.run(spark, ng20, pg20, smallCfg)
+    val r2 = MitMPipeline.run(spark, ng20, pg20, smallCfg.copy(seed = 7L))
+    // walks are seeded: at least one partition's walk set should differ
+    r1.walksPerPartition should not be r2.walksPerPartition
+  }
+
+  test("statistics satisfy structural invariants") {
+    val r = MitMPipeline.run(spark, ng20, pg20, smallCfg)
+    // every match is between valuable NG nodes only (the P2 filter)
+    val ngValuable = ng20.nodes.filter(_.valuableData).map(_.id).toSet
+    r.matchTable.values.foreach { case (ngId, _) => ngValuable should contain(ngId) }
+    // correct/incorrect partition the thresholded match set
+    val thresholded = r.matchTable.collect {
+      case (pg, (ng, s)) if s > smallCfg.nodeMatchThreshold => (pg, ng)
+    }.toSet
+    (r.correctMatches.toSet ++ r.incorrectMatches.toSet) shouldBe thresholded
+    r.correctMatches.foreach { case (p, n) => p shouldBe n }
+    r.incorrectMatches.foreach { case (p, n) => p should not be n }
+    // coverage: uncovered ⊆ original valuable
+    r.uncoveredValuableIds.toSet.subsetOf(r.origValuableIds.toSet) shouldBe true
+    // per-partition lists have one entry per partition
+    r.succPerPartition.length shouldBe smallCfg.numOfParallelWalks
+    r.unsuccPerPartition.length shouldBe smallCfg.numOfParallelWalks
+  }
+
+  test("correct matches found on the Graph50 pair (sanity: attack works)") {
+    // Graph20.0 has zero valuableData nodes, so its match table is rightly
+    // empty after the valuable filter; Graph50 carries valuable nodes.
+    val ng50 = GraphText.load(spark, s"$fixtures/Graph50.txt")
+    val pg50 = GraphText.load(spark, s"$fixtures/Graph50.perturbed.txt")
+    val r = MitMPipeline.run(spark, ng50, pg50,
+      smallCfg.copy(numOfParallelWalks = 6, numItersPerCompNode = 20, itersBeforeAccum = 10))
+    r.correctMatches.length should be > 0
+  }
+
+  test("Graph200 statistics land in the reference baseline band") {
+    // Reference runs on identical config spread 94 vs 74 TP, 3 FP (BASELINE.md);
+    // our seeded run must land in that statistical band deterministically.
+    val ng = GraphText.load(spark, s"$fixtures/Graph200.txt")
+    val pg = GraphText.load(spark, s"$fixtures/Graph200.txt.perturbed")
+    val r = MitMPipeline.run(spark, ng, pg, MitMPipeline.Config(seed = 42L))
+    r.correctMatches.length should be >= 60
+    r.incorrectMatches.length should be <= 10
+    r.succPerPartition.sum should be > 0
+  }
+
+  test("YAML report has the reference's key set in order") {
+    val r = MitMPipeline.run(spark, ng20, pg20, smallCfg)
+    val keys = MitMPipeline.statisticsYaml(r).map(_._1)
+    keys shouldBe Seq(
+      "Original valuable data nodes:",
+      "Perturbed nodes not covered by random walks:",
+      "Correct matches (True Positive):",
+      "Incorrect matches (False positive):",
+      "Number of distinct unsuccessful walks per part:",
+      "Number of total distinct unsuccessful walks:",
+      "Number of distinct successful walks per part:",
+      "Number of total distinct successful walks:")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.walk
+
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+class RandomWalkSpec extends AnyFunSuite with Matchers {
+
+  private def node(id: Int): NodeObject =
+    NodeObject(id, id % 3, id % 5, 1, 10, 2, 3, 4, id * 0.1, valuableData = id % 2 == 0)
+
+  private def edge(a: NodeObject, b: NodeObject): EdgeAction =
+    EdgeAction(1, a, b, a.id, b.id, None, 0.1)
+
+  private def chainGraph(n: Int): NetGraphLocal = {
+    val nodes = (0 until n).map(node).toVector
+    val edges = (0 until n - 1).map(i => edge(nodes(i), nodes(i + 1))).toVector
+    NetGraphLocal(nodes, edges)
+  }
+
+  test("walk on a chain visits a prefix and returns its induced subgraph") {
+    val g = chainGraph(10)
+    val w = RandomWalk.walk(g, g.nodes.head, Set.empty, 0.5, RandomWalk.rngFor(1, 1, 1))
+    // budget 5 steps on a chain → first 5 nodes, 4 edges, init = start
+    w.nodeIds shouldBe Vector(0, 1, 2, 3, 4)
+    w.edges.length shouldBe 4
+    w.initNode.id shouldBe 0
+  }
+
+  test("dead-end node ends the walk early") {
+    val g = chainGraph(3)
+    val w = RandomWalk.walk(g, g.nodes.last, Set.empty, 10.0, RandomWalk.rngFor(1, 1, 1))
+    w.nodeIds shouldBe Vector(2)
+    w.edges shouldBe empty
+  }
+
+  test("fully cyclic subgraph falls back to first visited node as init") {
+    val nodes = Vector(node(0), node(1), node(2))
+    val edges = Vector(edge(nodes(0), nodes(1)), edge(nodes(1), nodes(2)), edge(nodes(2), nodes(0)))
+    val g = NetGraphLocal(nodes, edges)
+    val w = RandomWalk.walk(g, nodes(1), Set.empty, 1.0, RandomWalk.rngFor(7, 7, 7))
+    // all three visited, cycle closed — init falls back to first visited
+    w.nodes.toSet shouldBe nodes.toSet
+    w.initNode shouldBe nodes(1)
+  }
+
+  test("same seed reproduces the walk; different seeds diverge somewhere") {
+    val nodes = (0 until 20).map(node).toVector
+    val rng0 = new scala.util.Random(99)
+    val edges = (0 until 60).map { _ =>
+      val a = nodes(rng0.nextInt(nodes.length)); val b = nodes(rng0.nextInt(nodes.length))
+      edge(a, b)
+    }.toVector
+    val g = NetGraphLocal(nodes, edges)
+    val w1 = RandomWalk.walk(g, nodes(0), Set.empty, 2.0, RandomWalk.rngFor(5, 3, 2))
+    val w2 = RandomWalk.walk(g, nodes(0), Set.empty, 2.0, RandomWalk.rngFor(5, 3, 2))
+    w1.nodeIds shouldBe w2.nodeIds
+  }
+
+  test("induced subgraph closure: every edge endpoint is a visited node") {
+    for (n <- 2 to 30; seed <- Seq(0L, 17L, 401L)) {
+      val nodes = (0 until n).map(node).toVector
+      val rng0 = new scala.util.Random(seed)
+      val edges = (0 until n * 2).map { _ =>
+        edge(nodes(rng0.nextInt(n)), nodes(rng0.nextInt(n)))
+      }.toVector
+      val g = NetGraphLocal(nodes, edges)
+      val w = RandomWalk.walk(g, nodes(rng0.nextInt(n)), Set.empty, 0.7, RandomWalk.rngFor(seed, 0, 0))
+      val ns = w.nodes.toSet
+      w.edges.foreach { e =>
+        ns should contain(e.fromNode)
+        ns should contain(e.toNode)
+      }
+      // step budget: the loop may overshoot a fractional budget by one step
+      w.nodes.length.toDouble should be <= (0.7 * n + 1.0)
+    }
+  }
+
+  test("walk prefers unvisited neighbors") {
+    // star: 0 -> {1, 2}; with 1 already visited, first step must go to 2
+    val nodes = Vector(node(0), node(1), node(2))
+    val g = NetGraphLocal(nodes, Vector(edge(nodes(0), nodes(1)), edge(nodes(0), nodes(2))))
+    (1 to 20).foreach { s =>
+      val w = RandomWalk.walk(g, nodes(0), Set(nodes(1)), 0.67, RandomWalk.rngFor(s, 0, 0))
+      w.nodeIds.take(2) shouldBe Vector(0, 2)
+    }
+  }
+}

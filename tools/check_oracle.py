@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same parquet tables, compare to the Spark result parquet
+(columns sorted by name, rows sorted, values hashed). Usage:
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+results = {}
+for name in sorted(os.listdir(outdir)):
+    d = os.path.join(outdir, name)
+    if not os.path.isdir(d):
+        continue
+    spark_df = con.execute(
+        f"SELECT * FROM '{d}/*.parquet'").fetchdf()
+    if name not in oracle:
+        results[name] = f"rows_only: {len(spark_df)} rows"
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        results[name] = f"ORACLE_SQL_ERROR: {e}"
+        continue
+    s = spark_df[sorted(spark_df.columns)]
+    o = duck_df[sorted(duck_df.columns)]
+    if list(s.columns) != list(o.columns):
+        results[name] = f"SCHEMA_MISMATCH spark={list(s.columns)} duck={list(o.columns)}"
+        continue
+    if len(s) != len(o):
+        results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} duck={len(o)}"
+        continue
+    s = s.astype(str)
+    o = o.astype(str)
+    ss = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    oo = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+    try:
+        eq = ss.equals(oo)
+    except Exception as e:
+        results[name] = f"COMPARE_ERROR: {e}"
+        continue
+    if eq:
+        results[name] = "OK"
+    else:
+        diff = (ss.astype(str) != oo.astype(str)).any(axis=1)
+        idx = diff[diff].index[:3]
+        detail = []
+        for i in idx:
+            detail.append({"spark": ss.loc[i].to_dict(), "duck": oo.loc[i].to_dict()})
+        results[name] = f"VALUE_MISMATCH {int(diff.sum())}/{len(ss)} rows, e.g. {json.dumps(detail, default=str)[:400]}"
+
+ok = sum(1 for v in results.values() if v == "OK")
+for k, v in sorted(results.items()):
+    print(f"{'PASS' if v=='OK' else 'INFO' if v.startswith('rows_only') else 'FAIL':5} {k}: {v}")
+print(f"\n{ok} OK / {len(results)} total")
