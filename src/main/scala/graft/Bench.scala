@@ -24,13 +24,25 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't paying startup
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def run1(name: String, pass: Int,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"[bench] pass$pass $name ${dt}%.2fs")
+            dt }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] pass$pass $name failed: ${e.getMessage}"); -1.0 }
+    }
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // two passes; report the per-query minimum — pass 1 absorbs codegen
+    // compilation, file listing and page-cache warmup
+    val m1 = ordered.map { case (name, fn) => name -> run1(name, 1, fn) }.toMap
+    val results = ordered.map { case (name, fn) =>
+      val t2 = run1(name, 2, fn)
+      val t1 = m1(name)
+      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":${v}%.3f""" }
       .mkString("{", ",", "}")

@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{DotProduct, Fnv1a64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's native Catalyst expressions as SQL
+  * functions, so `spark.sql("SELECT fnv1a64(text), dot_product(a, b) ...")`
+  * works alongside the Column API. Install with:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * or spark.sql.extensions=graft.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.info
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    val fnv: FunctionRegistry.FunctionBuilder = args => {
+      require(args.length == 1, "fnv1a64 takes exactly 1 argument")
+      Fnv1a64(args.head)
+    }
+    val dot: FunctionRegistry.FunctionBuilder = args => {
+      require(args.length == 2, "dot_product takes exactly 2 arguments")
+      DotProduct(args(0), args(1))
+    }
+    e.injectFunction((
+      FunctionIdentifier("fnv1a64"),
+      info("fnv1a64", "fnv1a64(str) - 64-bit FNV-1a hash of a string."),
+      fnv))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - double dot product of two float/double arrays."),
+      dot))
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** Register the same functions on an already-running session (the
+    * builder-time extension path requires a fresh session).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("fnv1a64", args => {
+      require(args.length == 1, "fnv1a64 takes exactly 1 argument")
+      Fnv1a64(args.head)
+    }, "built-in")
+    reg.createOrReplaceTempFunction("dot_product", args => {
+      require(args.length == 2, "dot_product takes exactly 2 arguments")
+      DotProduct(args(0), args(1))
+    }, "built-in")
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit utility: dumps the formatted physical plan of each named query
+  * (or all) so pushdown / broadcast / codegen properties can be inspected and
+  * regressions spotted. Usage:
+  *   runMain graft.PlanAudit <sfDir> <outFile> [queryName...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outFile = if (args.length > 1) args(1) else "/tmp/plans.txt"
+    val only = args.drop(2).toSet
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-plan-audit")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only.contains(n) }
+      .filterNot(_._1.startsWith("q_gg7")) // pipeline query has no single plan
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          sb.append(s"\n===== $name =====\n")
+          sb.append(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        } catch {
+          case e: Throwable => sb.append(s"\n===== $name ===== ERROR: ${e.getMessage}\n")
+        }
+      }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
+    println(s"plans written to $outFile")
+    spark.stop()
+  }
+}

@@ -6,8 +6,18 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for training-data pipelines. All variants are
   * expressed as declarative plans (explode → hash-aggregate → self-join on
   * bucket keys) so Catalyst handles partial aggregation and AQE handles skew;
-  * nothing collects to the driver. Hash functions are md5-derived so results
-  * are deterministic and portable across engines for oracle checking.
+  * nothing collects to the driver.
+  *
+  * Signature computation is explode + groupBy rather than nested array
+  * higher-order functions: HOF lambdas evaluate interpreted, and Catalyst's
+  * projection collapse re-inlines (and re-executes) a shingle-array
+  * expression once per signature element. The exploded form computes each
+  * shingle and hash exactly once, gets map-side partial aggregation for the
+  * `min` per hash, and shuffles only (id × numHashes) longs.
+  *
+  * Two hash families: [[xxHasher]] (codegen'd xxhash64 — the fast default)
+  * and [[md5Hasher]] (md5-derived, reproducible in any engine for oracle
+  * checks).
   */
 object Dedup {
 
@@ -15,6 +25,14 @@ object Dedup {
     * long (same value via DuckDB's ('0x'||substr(md5(x),1,8))::BIGINT).
     */
   def md5Hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded hash families for minhash permutations. */
+  type Hasher = (Column, Int) => Column
+  val md5Hasher: Hasher = (c, seed) => md5Hash32(concat(lit(s"$seed:"), c))
+  // xxhash64 skips null inputs (returns the seed hash) — wrap so nulls
+  // propagate like the md5 family, keeping short-doc signatures null
+  val xxHasher: Hasher = (c, seed) =>
+    when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(lit(seed), c))
 
   /** Exact dedup: group identical texts by full md5, keep group size and the
     * minimal doc id (the canonical survivor). One shuffle on a 128-bit key —
@@ -34,16 +52,17 @@ object Dedup {
         s => size(split(s, " ")) === k))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded permutations, the min
-    * over shingles of a seeded md5-based hash. Returns array<long> of length
-    * `numHashes`. Portable: seed is concatenated into the hashed string.
+  /** MinHash signatures for every doc: explode shingles once, hash each with
+    * `numHashes` seeded permutations, take per-doc mins. Returns
+    * (idCol, sig: array<long>). Docs with fewer than k tokens keep a row with
+    * null signature entries (explode_outer).
     */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = shingles(text, k)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => md5Hash32(concat(lit(seed + ":"), s))))
-    }: _*)
-  }
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, numHashes: Int, hasher: Hasher = xxHasher): DataFrame =
+    docs
+      .select(col(idCol), explode_outer(shingles(col(textCol), k)).as("shingle"))
+      .groupBy(col(idCol))
+      .agg(array((0 until numHashes).map(i => min(hasher(col("shingle"), i))): _*).as("sig"))
 
   /** MinHash + LSH near-dup candidate pairs: signatures are cut into
     * `bands` bands of `rowsPerBand` hashes; docs sharing any band bucket are
@@ -52,10 +71,10 @@ object Dedup {
     * Emits (doc_a, doc_b) with doc_a < doc_b, deduplicated across bands.
     */
   def minhashCandidates(docs: DataFrame, textCol: String, k: Int,
-                        bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignature(col(textCol), k, bands * rowsPerBand)
-    val banded = docs
-      .select(col("doc_id"), sig.as("sig"))
+                        bands: Int, rowsPerBand: Int,
+                        hasher: Hasher = xxHasher): DataFrame = {
+    val sigs = minhashSignatures(docs, "doc_id", textCol, k, bands * rowsPerBand, hasher)
+    val banded = sigs
       .select(col("doc_id"), posexplode(
         array((0 until bands).map(b => slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
       .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
@@ -68,18 +87,23 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: 32-bit signature from per-bit majority vote over token hashes.
-    * Pure columnar integer arithmetic (no UDF): for each bit position, count
-    * tokens with that bit set vs total, set the bit if count*2 >= total.
+  /** SimHash signatures for every doc: 32-bit value from per-bit majority
+    * vote over distinct-token hashes. Explode + one aggregation with 32
+    * conditional counters — single shuffle, all codegen'd.
+    * Returns (idCol, simhash: long).
     */
-  def simhash32(text: Column): Column = {
-    val toks = array_distinct(split(text, " "))
-    val hashes = transform(toks, t => md5Hash32(t))
-    val total = size(toks)
-    (0 until 32).map { bit =>
-      val ones = size(filter(hashes, h => h.bitwiseAND(lit(1L << bit)) =!= 0))
-      when(ones * 2 >= total, lit(1L << bit)).otherwise(lit(0L))
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode_outer(array_distinct(split(col(textCol), " "))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val bitCounts = (0 until 32).map(bit =>
+      count_if(col("h").bitwiseAND(lit(1L << bit)) =!= 0).as(s"ones_$bit"))
+    val agged = exploded.groupBy(col(idCol))
+      .agg(count(col("h")).as("total"), bitCounts: _*)
+    val sig = (0 until 32).map { bit =>
+      when(col(s"ones_$bit") * 2 >= col("total"), lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_ + _)
+    agged.select(col(idCol), sig.as("simhash"))
   }
 
   /** Hamming distance between two simhash values (for near-dup thresholds). */
@@ -119,13 +143,14 @@ object Dedup {
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to
     * LSH candidate buckets from [[Similarity.lshBuckets]] when provided —
     * otherwise all-pairs (test scale only; the bucketed path is the 100 TB
-    * plan).
+    * plan). Dot products run through the native codegen'd [[DotProduct]]
+    * expression.
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double,
                         buckets: Option[DataFrame] = None): DataFrame = {
     val withNorm = embs.select(
       col("vec_id"), col("embedding"),
-      sqrt(aggregate(col("embedding"), lit(0.0d), (acc, x) => acc + x * x)).as("norm"))
+      VectorExprs.norm(col("embedding")).as("norm"))
     val pairs = buckets match {
       case Some(bk) =>
         val l = bk.join(withNorm, "vec_id")
@@ -146,14 +171,8 @@ object Dedup {
       // rounded to 4 decimals: double summation order differs across engines
       // at the 1e-6 level, and near-dup semantics don't need more precision
       .withColumn("cosine", round(
-        zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y)
-          .pipe(a => aggregate(a, lit(0.0d), (acc, x) => acc + x)) /
-          (col("norm_a") * col("norm_b")), 4))
+        VectorExprs.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
-  }
-
-  private implicit class ColumnPipe(private val c: Column) extends AnyVal {
-    def pipe(f: Column => Column): Column = f(c)
   }
 }

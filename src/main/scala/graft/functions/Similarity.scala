@@ -7,24 +7,22 @@ import org.apache.spark.sql.functions._
   * (`array<float>`). Two tiers:
   *
   *  - [[bruteForceTopK]] — exact cosine top-k via a broadcast of the query
-  *    vectors; one scan over the corpus, no shuffle of the corpus itself.
+  *    vector; one scan over the corpus, no shuffle of the corpus itself.
   *    The baseline and the verifier for the approximate tier.
   *  - [[lshBuckets]] + [[lshTopK]] — random-hyperplane LSH: each vector maps
-  *    to a small set of bucket keys; candidates come from an equi-join on
-  *    bucket, so the 100 TB path never materializes the cross product.
+  *    to a bucket key; candidates come from an equi-join on bucket, so the
+  *    100 TB path never materializes the cross product.
   *
-  * Dot products run through `zip_with` + `aggregate` (codegen'd higher-order
-  * functions) in Double precision.
+  * Dot products run through the native codegen'd [[DotProduct]] expression
+  * (Double accumulation in element order — same bits as the HOF formulation
+  * it replaced). Hyperplanes are deterministic md5-derived constants,
+  * precomputed driver-side and shipped as literals, so the projection is one
+  * `dot_product` per plane instead of per-element hashing at row time.
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
-
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
-
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
+  def norm(a: Column): Column = VectorExprs.norm(a)
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k by cosine similarity against a single query vector (as a
@@ -42,24 +40,31 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim) —
-    * md5-derived value in [-0.5, 0.5). Pure columnar, engine-portable.
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived value in [-0.5, 0.5). Computed driver-side; matches the
+    * SQL-expressible formula conv(substr(md5(plane||'_'||dim),1,8),16,10)
+    * / 2^32 - 0.5 for cross-engine reproduction.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (conv(substring(md5(concat_ws("_", lit(plane), dim)), 1, 8), 16, 10).cast("double")
-      / lit(4294967296.0d)) - lit(0.5d)
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0d - 0.5d
+  }
+
+  def planeVector(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(d => planeComponent(plane, d))
 
   /** Random-hyperplane LSH bucket id per vector: `numPlanes` sign bits packed
     * into one long. Vectors in the same bucket are ANN candidates.
-    * Returns (vec_id, bucket).
+    * Returns (vec_id, bucket). `dims` defaults to the corpus dimensionality.
     */
-  def lshBuckets(embs: DataFrame, numPlanes: Int): DataFrame = {
+  def lshBuckets(embs: DataFrame, numPlanes: Int, dims: Int = -1): DataFrame = {
+    val d = if (dims > 0) dims
+            else embs.select(size(col("embedding"))).head().getInt(0)
     val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot(col("embedding"), typedLit(planeVector(p, d))) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
     }
     embs.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
   }
@@ -71,12 +76,14 @@ object Similarity {
   def lshTopK(embs: DataFrame, numPlanes: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bk = lshBuckets(embs, numPlanes).join(embs, "vec_id")
+      .select(col("vec_id"), col("bucket"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
     val r = bk.select(col("bucket").as("bucket_b"), col("vec_id").as("vid_b"),
-      col("embedding").as("emb_b"))
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
     bk.join(r, col("bucket") === col("bucket_b") && col("vec_id") =!= col("vid_b"))
       .select(col("vec_id"), col("vid_b"),
-        round(cosine(col("embedding"), col("emb_b")), 6).as("cosine"))
+        round(dot(col("embedding"), col("emb_b")) / (col("nrm") * col("nrm_b")), 6).as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")

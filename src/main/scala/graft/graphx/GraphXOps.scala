@@ -1,0 +1,172 @@
+package graft.graphx
+
+import graft.model._
+import org.apache.spark.graphx.{Edge, EdgeTriplet, Graph, Pregel, VertexId, EdgeDirection}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** GraphX projection of the property-graph model — the scale-out execution
+  * path for graphs too large to broadcast (the north-star "GraphX/Pregel"
+  * approach). The broadcast walk engine (graft.walk) is exact and fast while
+  * both graphs fit on one executor; this layer carries the same operators to
+  * partitioned, distributed graphs.
+  *
+  * Vertex attribute = NodeObject; edge attribute = the EdgeAction minus its
+  * embedded endpoint copies (GraphX keys by VertexId, making the reference's
+  * denormalized endpoints redundant — they're re-attachable via triplets).
+  */
+object GraphXOps {
+
+  final case class EdgeAttr(actionType: Int, resultingValue: Option[Int], cost: Double)
+
+  def toGraphX(spark: SparkSession, g: NetGraphLocal): Graph[NodeObject, EdgeAttr] = {
+    val sc = spark.sparkContext
+    val vertices: RDD[(VertexId, NodeObject)] =
+      sc.parallelize(g.nodes.map(n => (n.id.toLong, n)))
+    val edges: RDD[Edge[EdgeAttr]] =
+      sc.parallelize(g.edges.map(e =>
+        Edge(e.fromNode.id.toLong, e.toNode.id.toLong,
+          EdgeAttr(e.actionType, e.resultingValue, e.cost))))
+    Graph(vertices, edges, defaultVertexAttr = null.asInstanceOf[NodeObject],
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** G1 — start nodes via aggregateMessages: vertices receiving no incoming
+    * message have no in-edges (distributed equivalent of the anti-join).
+    */
+  def startNodes(graph: Graph[NodeObject, EdgeAttr]): RDD[NodeObject] = {
+    val inDeg = graph.aggregateMessages[Int](ctx => ctx.sendToDst(1), _ + _)
+    graph.vertices.leftOuterJoin(inDeg)
+      .filter { case (_, (_, deg)) => deg.isEmpty }
+      .map { case (_, (n, _)) => n }
+  }
+
+  /** G2 — parent map as an RDD: in-neighbor NodeObjects per vertex. */
+  def parentMap(graph: Graph[NodeObject, EdgeAttr]): RDD[(NodeObject, Iterable[NodeObject])] =
+    graph.aggregateMessages[List[NodeObject]](
+        ctx => ctx.sendToDst(List(ctx.srcAttr)), _ ++ _)
+      .join(graph.vertices)
+      .map { case (_, (parents, node)) => (node, parents: Iterable[NodeObject]) }
+
+  /** Multi-source frontier reachability via Pregel: every vertex learns the
+    * set of start nodes that can reach it within `maxSteps` hops. This is the
+    * distributed analog of "which walks can touch this node" — used for
+    * coverage analysis on graphs too large for per-walk simulation, and the
+    * scale-out counterpart of the walk engine's reachability semantics.
+    *
+    * Message = bitmask of source indices (up to 64 sources per run; callers
+    * batch sources beyond that).
+    */
+  def multiSourceReachability(graph: Graph[NodeObject, EdgeAttr],
+                              sources: Seq[VertexId],
+                              maxSteps: Int): RDD[(VertexId, Set[VertexId])] = {
+    require(sources.length <= 64, "batch sources beyond 64 per run")
+    val idx = sources.zipWithIndex.toMap
+    val init = graph.mapVertices { (id, _) =>
+      idx.get(id).map(i => 1L << i).getOrElse(0L)
+    }
+    val result = Pregel(init, initialMsg = 0L, maxIterations = maxSteps,
+      activeDirection = EdgeDirection.Out)(
+      vprog = (_, attr, msg) => attr | msg,
+      sendMsg = (t: EdgeTriplet[Long, EdgeAttr]) =>
+        if ((t.srcAttr | t.dstAttr) != t.dstAttr) Iterator((t.dstId, t.srcAttr))
+        else Iterator.empty,
+      mergeMsg = _ | _)
+    result.vertices.map { case (id, mask) =>
+      id -> sources.zipWithIndex.collect {
+        case (s, i) if (mask & (1L << i)) != 0 => s
+      }.toSet
+    }
+  }
+
+  /** Degree-based SimRank-style structural seeding at scale: for each vertex,
+    * the (inDegree, outDegree) pair — the first-pass structural signature
+    * used to prune the match pair space before exact scoring. Distributed
+    * equivalent of restricting SimRank to structurally-plausible pairs.
+    */
+  def degreeSignatures(graph: Graph[NodeObject, EdgeAttr]): RDD[(VertexId, (Int, Int))] = {
+    val in = graph.inDegrees
+    val out = graph.outDegrees
+    graph.vertices.leftOuterJoin(in).leftOuterJoin(out)
+      .map { case (id, ((_, i), o)) => (id, (i.getOrElse(0), o.getOrElse(0))) }
+  }
+
+  /** Seeded distributed random walks via Pregel supersteps: `walkers` walker
+    * ids start at `sourceFor(walkerId)`; each superstep every active walker
+    * moves to a pseudo-random out-neighbor (deterministic in
+    * (seed, walkerId, step)). Returns (walkerId, visited vertex ids in
+    * order). The Pregel-based counterpart of graft.walk.RandomWalk for
+    * graphs that cannot be broadcast.
+    *
+    * Walker state rides on vertices as Map[walkerId -> path]; messages move
+    * walkers between vertices. Neighbor choice hashes the neighbor list
+    * deterministically, so results are reproducible regardless of
+    * partitioning.
+    */
+  def pregelRandomWalks(graph: Graph[NodeObject, EdgeAttr],
+                        starts: Map[Long, VertexId],
+                        steps: Int, seed: Long): RDD[(Long, List[VertexId])] = {
+    // adjacency snapshot per vertex: ordered out-neighbor ids
+    val withAdj: Graph[(Array[VertexId], Map[Long, List[VertexId]]), EdgeAttr] = {
+      val adj = graph.aggregateMessages[List[VertexId]](
+        ctx => ctx.sendToSrc(List(ctx.dstId)), _ ++ _)
+      graph.outerJoinVertices(adj) { (_, _, nbrs) =>
+        (nbrs.getOrElse(Nil).sorted.toArray,
+          Map.empty[Long, List[VertexId]])
+      }
+    }
+    def choose(nbrs: Array[VertexId], walker: Long, step: Int): VertexId = {
+      // splitmix-style deterministic choice
+      var h = seed ^ (walker * 0x9E3779B97F4A7C15L) ^ (step * 0xC2B2AE3D27D4EB4FL)
+      h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+      nbrs(((h % nbrs.length + nbrs.length) % nbrs.length).toInt)
+    }
+    // init: place walkers on their start vertices
+    val placed = withAdj.mapVertices { (id, attr) =>
+      val here = starts.collect { case (w, v) if v == id => w -> List(id) }
+      (attr._1, attr._2 ++ here)
+    }
+    type Msg = Map[Long, List[VertexId]]
+    // sentinel distinguishing Pregel's init vprog call from real arrivals —
+    // on real arrivals residents are REPLACED (a walker lives at exactly one
+    // vertex; the copy the source held was forwarded in the same superstep),
+    // while dead-end residents stay forever (their walk is finished)
+    val InitSentinel: Msg = Map(Long.MinValue -> Nil)
+    val done = Pregel[(Array[VertexId], Msg), EdgeAttr, Msg](
+      placed, initialMsg = InitSentinel, maxIterations = steps,
+      activeDirection = EdgeDirection.Out)(
+      vprog = { (_, attr, msg) =>
+        if (msg.contains(Long.MinValue)) attr
+        else {
+          val finished = if (attr._1.isEmpty) attr._2 else Map.empty[Long, List[VertexId]]
+          (attr._1, finished ++ msg)
+        }
+      },
+      sendMsg = { t =>
+        val (nbrs, walkers) = t.srcAttr
+        if (nbrs.isEmpty || walkers.isEmpty) Iterator.empty
+        else {
+          val moves = walkers.toSeq.flatMap { case (w, path) =>
+            val nxt = choose(nbrs, w, path.length)
+            if (nxt == t.dstId) Some(w -> (path :+ nxt)) else None
+          }
+          if (moves.isEmpty) Iterator.empty
+          else Iterator((t.dstId, moves.toMap))
+        }
+      },
+      mergeMsg = _ ++ _)
+    done.vertices.flatMap { case (_, (_, walkers)) => walkers }
+      .reduceByKey((a, b) => if (a.length >= b.length) a else b)
+  }
+
+  /** Match-table arg-max as a DataFrame over GraphX-derived candidates —
+    * bridges back into the relational layer (GraphOps.argmaxMatchTable).
+    */
+  def candidatesToDF(spark: SparkSession,
+                     candidates: RDD[(Int, Int, Float)]): DataFrame = {
+    import spark.implicits._
+    candidates.toDF("pgId", "ngId", "score")
+  }
+}

@@ -272,6 +272,31 @@ object RelationalQueries {
           col("o_totalprice").cast("int").as("price_int"))
         .orderBy(col("o_orderkey"))),
 
+    // ---- X: multi-dimensional aggregation (engine breadth beyond the
+    // reference's flat group-bys) ---------------------------------------------
+    "q_x1_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q_x2_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "q_x3_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_custkey"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy(col("o_custkey"))),
+
     // ---- W: window functions ------------------------------------------------
     "q_w1_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -332,17 +357,16 @@ object RelationalQueries {
         .orderBy(col("text_md5"))),
 
     "q_d2_minhash" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          Dedup.minhashSignature(col("text"), k = 3, numHashes = 4).as("sig"))
+      // md5-based hasher for cross-engine oracle reproducibility
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+          k = 3, numHashes = 4, hasher = Dedup.md5Hasher)
         .select(col("doc_id"),
           col("sig")(0).as("mh0"), col("sig")(1).as("mh1"),
           col("sig")(2).as("mh2"), col("sig")(3).as("mh3"))
         .orderBy(col("doc_id"))),
 
     "q_d3_simhash" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+      Dedup.simhashes(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
     "q_d4_lsh_candidates" -> ((s, d) =>
@@ -525,6 +549,24 @@ object RelationalQueries {
                 floor(o_totalprice)::BIGINT AS price_floor,
                 trunc(o_totalprice)::INT AS price_int
          FROM orders ORDER BY 1""",
+
+    "q_x1_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+
+    "q_x2_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+
+    "q_x3_pivot" ->
+      """SELECT o_custkey,
+                count(*) FILTER (o_orderstatus = 'F') AS n_f,
+                count(*) FILTER (o_orderstatus = 'O') AS n_o,
+                count(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_w1_running_sum" ->
       """SELECT o_custkey, o_orderkey,

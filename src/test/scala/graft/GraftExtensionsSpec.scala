@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Verifies the SQL-function surface: runtime registration on the shared
+  * session (the builder-time path reuses the same FunctionBuilder values).
+  */
+class GraftExtensionsSpec extends AnyFunSuite with Matchers {
+
+  test("fnv1a64 and dot_product are callable from SQL") {
+    val spark = SparkSpec.spark
+    GraftExtensions.register(spark)
+
+    val h = spark.sql("SELECT fnv1a64('hello world') AS h").head().getLong(0)
+    val expected = "hello world".getBytes("UTF-8")
+      .foldLeft(-3750763034362895579L)((acc, b) => (acc ^ (b & 0xffL)) * 1099511628211L)
+    h shouldBe expected
+
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    d shouldBe 11.0
+
+    // error surfaces: wrong arity and wrong type report cleanly
+    val arity = intercept[Exception](spark.sql("SELECT fnv1a64('a', 'b')").head())
+    arity.getMessage should include("fnv1a64")
+    val typeErr = intercept[Exception](spark.sql("SELECT dot_product(1, 2)").head())
+    typeErr.getMessage.toLowerCase should include("array")
+  }
+}

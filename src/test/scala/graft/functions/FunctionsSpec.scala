@@ -62,13 +62,38 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       (2L, "the quick brown fox jumps over the lazy dog today"),
       (3L, "completely different words appear inside this other document here")
     ).toDF("doc_id", "text")
-    val sigs = df.select($"doc_id", Dedup.minhashSignature($"text", 3, 8).as("sig"))
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 8)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     sigs(1L) shouldBe sigs(2L)
     sigs(1L) should not be sigs(3L)
-    val sims = df.select($"doc_id", Dedup.simhash32($"text").as("sh"))
+    val sims = Dedup.simhashes(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     sims(1L) shouldBe sims(2L)
+    // both hash families agree on signature equality
+    val md5sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 4, Dedup.md5Hasher)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    md5sigs(1L) shouldBe md5sigs(2L)
+    md5sigs(1L) should not be md5sigs(3L)
+  }
+
+  test("minhashSignatures keeps short docs with null signature entries") {
+    val df = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[java.lang.Long](1)).toMap
+    sigs(1L) shouldBe Seq(null, null) // fewer than k tokens → no shingles
+    sigs(2L).forall(_ != null) shouldBe true
+  }
+
+  test("native dot product matches scala reference and HOF form") {
+    val df = Seq((Seq(1.0f, 2.5f, -3.0f), Seq(0.5f, 2.0f, 4.0f))).toDF("a", "b")
+    val native = df.select(VectorExprs.dot($"a", $"b")).head().getDouble(0)
+    val expected = Seq(1.0f, 2.5f, -3.0f).zip(Seq(0.5f, 2.0f, 4.0f))
+      .map { case (x, y) => x.toDouble * y.toDouble }.sum
+    native shouldBe expected
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)).head().getDouble(0)
+    native shouldBe hof
   }
 
   test("minhashCandidates surfaces the duplicate pair") {

@@ -1,0 +1,66 @@
+package graft.graphx
+
+import graft.SparkSpec
+import graft.io.GraphText
+import graft.stats.MitMPipeline
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class GraphXOpsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  private lazy val g50 = GraphText.load(spark, "/root/reference/input/Graph50.txt")
+  private lazy val gx = GraphXOps.toGraphX(spark, g50)
+
+  test("GraphX startNodes matches the local anti-join semantics") {
+    val got = GraphXOps.startNodes(gx).collect().map(_.id).sorted.toSeq
+    val want = MitMPipeline.startNodes(g50).map(_.id).sorted.toSeq
+    got shouldBe want
+  }
+
+  test("GraphX parentMap matches local in-adjacency") {
+    val got = GraphXOps.parentMap(gx).collect()
+      .map { case (n, ps) => n.id -> ps.map(_.id).toSet }.toMap
+    val want = g50.parentMap.map { case (n, ps) => n.id -> ps.map(_.id).toSet }
+    got shouldBe want
+  }
+
+  test("multiSourceReachability covers out-reachable vertices") {
+    val sources = MitMPipeline.startNodes(g50).map(_.id.toLong).take(3)
+    val reach = GraphXOps.multiSourceReachability(gx, sources, maxSteps = 50)
+      .collect().toMap
+    // each source reaches itself
+    sources.foreach(s => reach(s) should contain(s))
+    // closure: anything reached by s has all its out-neighbors reached by s
+    val out = g50.edges.groupBy(_.fromNode.id.toLong)
+      .map { case (k, v) => k -> v.map(_.toNode.id.toLong).toSet }
+    for ((v, srcs) <- reach; s <- srcs; n <- out.getOrElse(v, Set.empty[Long]))
+      reach(n) should contain(s)
+  }
+
+  test("degreeSignatures match hand-computed degrees") {
+    val sig = GraphXOps.degreeSignatures(gx).collect().toMap
+    val inDeg = g50.edges.groupBy(_.toNode.id.toLong).map { case (k, v) => k -> v.size }
+    val outDeg = g50.edges.groupBy(_.fromNode.id.toLong).map { case (k, v) => k -> v.size }
+    g50.nodes.foreach { n =>
+      sig(n.id.toLong) shouldBe ((inDeg.getOrElse(n.id.toLong, 0), outDeg.getOrElse(n.id.toLong, 0)))
+    }
+  }
+
+  test("pregelRandomWalks: contiguous paths, bounded length, deterministic") {
+    val starts = MitMPipeline.startNodes(g50).take(2).zipWithIndex
+      .map { case (n, i) => i.toLong -> n.id.toLong }.toMap
+    val steps = 10
+    val r1 = GraphXOps.pregelRandomWalks(gx, starts, steps, seed = 7L).collect().toMap
+    val r2 = GraphXOps.pregelRandomWalks(gx, starts, steps, seed = 7L).collect().toMap
+    r1 shouldBe r2
+    val edgeSet = g50.edges.map(e => (e.fromNode.id.toLong, e.toNode.id.toLong)).toSet
+    r1.foreach { case (w, path) =>
+      path.head shouldBe starts(w)
+      path.length should be <= steps + 1
+      path.sliding(2).foreach {
+        case List(a, b) => edgeSet should contain((a, b))
+        case _ =>
+      }
+    }
+  }
+}

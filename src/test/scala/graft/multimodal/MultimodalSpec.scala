@@ -1,0 +1,46 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class MultimodalSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def mediaDF = {
+    val rows = Seq(
+      (1L, "payload-one".getBytes("UTF-8")),
+      (2L, "payload-two-longer".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    Multimodal.asMediaTable(rows.toDF("id", "data"), "id", "data", "image")
+  }
+
+  test("asMediaTable produces the canonical schema") {
+    val df = mediaDF
+    df.schema.fieldNames.toSeq shouldBe Seq(
+      "media_id", "media_type", "payload", "width", "height", "duration_ms")
+    df.count() shouldBe 3
+    df.filter(col("payload").isNull).count() shouldBe 1
+  }
+
+  test("extractFeatures is deterministic and handles null payloads") {
+    val f1 = Multimodal.extractFeatures(mediaDF, dims = 8).collect()
+      .map(m => m.media_id -> m.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(mediaDF, dims = 8).collect()
+      .map(m => m.media_id -> m.features.toSeq).toMap
+    f1 shouldBe f2
+    f1(1L).length shouldBe 8
+    f1(3L) shouldBe Seq.fill(8)(0.0f) // null payload → zero vector
+    f1(1L) should not be f1(2L)
+  }
+
+  test("downsamplePayload shrinks payloads by the stride") {
+    val out = Multimodal.downsamplePayload(mediaDF, stride = 2)
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]](1)).map(_.length)).toMap
+    out(1L) shouldBe Some(6) // ceil(11/2)
+    out(3L) shouldBe None
+  }
+}

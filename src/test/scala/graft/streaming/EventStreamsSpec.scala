@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class EventStreamsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("windowedCounts over a real stream equals the batch aggregation") {
+    // stage the events table as parquet the streaming source can watch
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    Tables.events(spark, sfDir).write.mode("overwrite").parquet(dir)
+
+    val q = EventStreams.startMemoryStream(spark, dir, "ev_counts")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ev_counts")
+      .groupBy("window_start", "event_type").agg(sum("n_events").as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = EventStreams.windowedCounts(Tables.events(spark, sfDir))
+      .groupBy("window_start", "event_type").agg(sum("n_events").as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // append mode only emits windows finalized by the watermark, so the
+    // streamed result is the batch result minus the trailing windows
+    streamed.nonEmpty shouldBe true
+    streamed.foreach { case (k, v) => batch(k) shouldBe v }
+    val withheld = batch.keySet -- streamed.keySet
+    val maxEmitted = streamed.keys.map(_._1.getTime).max
+    withheld.foreach { case (w, _) => w.getTime should be >= maxEmitted }
+  }
+
+  test("sessionize splits on inactivity gaps") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+    val events = Seq(
+      EventStreams.Event(1, ts(0), 7L, "view", 1.0, "{}"),
+      EventStreams.Event(2, ts(60), 7L, "click", 1.0, "{}"),
+      EventStreams.Event(3, ts(5000), 7L, "view", 1.0, "{}"),   // > 1800s gap → new session
+      EventStreams.Event(4, ts(10), 9L, "view", 1.0, "{}")
+    ).toDS()
+    val sessions = EventStreams.sessionize(events, gapSecs = 1800).collect()
+    val byUser = sessions.groupBy(_.user_id)
+    byUser(7L).map(s => (s.n_events, s.duration_secs)).toSet shouldBe Set((2L, 60L), (1L, 0L))
+    byUser(9L).map(_.n_events).toSeq shouldBe Seq(1L)
+  }
+
+  test("slidingUserRate emits overlapping windows") {
+    val out = EventStreams.slidingUserRate(Tables.events(spark, sfDir))
+    // 10-minute window sliding by 5 → each event lands in exactly 2 windows
+    val total = out.agg(sum("n_events")).head().getLong(0)
+    val nEvents = Tables.events(spark, sfDir).count()
+    total shouldBe nEvents * 2
+  }
+}
