@@ -1,0 +1,35 @@
+package graft
+
+import graft.simrank.SimRank
+import graft.stats.MitMPipeline
+import org.apache.spark.sql.SparkSession
+
+/** Runtime configuration surface (SURVEY §2 S6). The reference reads Typesafe
+  * config scoped by a CLI env argument
+  * (reference: Utilities/src/main/scala/GraphEqUtilz/GraphConfigReader.scala:8-12,
+  * application.conf:38-44); the Spark-native equivalent is `spark.conf` keys
+  * under the `spark.graft.` namespace, settable per session, via
+  * `--conf` at submit time, or in spark-defaults.conf — the same knobs, no
+  * extra config library.
+  */
+object GraftConfig {
+  private val Ns = "spark.graft."
+
+  def mitmConfig(spark: SparkSession): MitMPipeline.Config = {
+    def get(key: String, default: String): String =
+      spark.conf.getOption(Ns + key).getOrElse(default)
+    MitMPipeline.Config(
+      randomWalkCoeff = get("randomWalkCoeff", "0.5").toDouble,
+      numOfParallelWalks = get("numOfParallelWalks", "20").toInt,
+      numItersPerCompNode = get("numItersPerCompNode", "50").toInt,
+      itersBeforeAccum = get("itersBeforeAccum", "10").toInt,
+      nodeMatchThreshold = get("nodeMatchThreshold", "0.1").toDouble,
+      seed = get("seed", "42").toLong,
+      simRankMode = get("simRankMode", "jacobi").toLowerCase match {
+        case "gaussseidel" | "reference-order" => SimRank.Mode.GaussSeidel
+        case _ => SimRank.Mode.Jacobi
+      },
+      startNodesWithoutReplacement = get("startNodesWithoutReplacement", "true").toBoolean,
+      resimrankAccumulatedWalks = get("resimrankAccumulatedWalks", "true").toBoolean)
+  }
+}

@@ -25,8 +25,10 @@ object MitMMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = MitMPipeline.runFiles(spark, args(0), args(1), args(2),
-      MitMPipeline.Config(seed = seed))
+    // spark.graft.* conf keys override defaults (GraftConfig); the CLI seed
+    // argument wins over both
+    val cfg = GraftConfig.mitmConfig(spark).copy(seed = seed)
+    val r = MitMPipeline.runFiles(spark, args(0), args(1), args(2), cfg)
     println(s"Correct matches (TP): ${r.correctMatches.length}")
     println(s"Incorrect matches (FP): ${r.incorrectMatches.length}")
     println(s"Successful walks: ${r.succPerPartition.sum}; unsuccessful: ${r.unsuccPerPartition.sum}")

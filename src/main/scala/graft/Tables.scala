@@ -18,8 +18,10 @@ object Tables {
       // for — read the raw int64 and convert to microsecond timestamps.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.functions._
+      // integer `div`, not `/`: epoch-nanos overflow double's 53-bit
+      // mantissa, so float division corrupts the microsecond digit
       spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

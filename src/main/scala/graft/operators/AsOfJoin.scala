@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Left as-of join: for every left row, attach the most recent right row
+  * (same key, right time <= left time). Spark has no built-in as-of join;
+  * this composes one from a union + per-key ordered window, which is the
+  * scalable formulation: ONE shuffle on the key, one sort within partitions
+  * — no range cross-product, no per-row lookup. At 100 TB both sides shuffle
+  * once and stream through the window operator.
+  *
+  * Tie handling: right rows at the same timestamp sort before left rows
+  * (so a left row matches a right row carrying an identical time), and among
+  * same-time right rows the one with the greatest tiebreak wins — fully
+  * deterministic.
+  */
+object AsOfJoin {
+
+  /** @param left       left (probe) side
+    * @param right      right (reference) side
+    * @param leftKey    join key column on the left
+    * @param rightKey   join key column on the right
+    * @param leftTime   event-time column on the left
+    * @param rightTime  event-time column on the right
+    * @param rightVals  right columns to carry onto matches (null when no
+    *                   right row precedes the left row)
+    * @param rightTiebreak deterministic ordering among same-time right rows
+    */
+  def leftAsOf(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightVals: Seq[String],
+               rightTiebreak: Option[String] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    val lSide = left.select(
+      (leftCols.map(col) ++ Seq(
+        col(leftKey).as("__key"),
+        col(leftTime).as("__t"),
+        lit(1).as("__side"), // left rows sort after right rows at equal times
+        lit(0L).as("__tb"),
+        lit(null).cast("struct<__asof_time:timestamp>").as("__dummy"))): _*)
+      .withColumn("__val",
+        lit(null).cast(right.select(
+          struct((col(rightTime).as("__asof_time") +: rightVals.map(col)): _*).as("s"))
+          .schema("s").dataType.catalogString))
+      .drop("__dummy")
+
+    val rSide = {
+      val base = right.select(
+        col(rightKey).as("__key"),
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        rightTiebreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tb"),
+        struct((col(rightTime).as("__asof_time") +: rightVals.map(col)): _*).as("__val"))
+      // null-fill the left columns so both sides share one schema
+      leftCols.foldLeft(base)((df, c) =>
+        df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    }
+
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lSide.unionByName(rSide)
+      .withColumn("__match", last(col("__val"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((leftCols.map(col) :+
+        col("__match.__asof_time").as("asof_time")) ++
+        rightVals.map(c => col(s"__match.$c").as(s"asof_$c")): _*)
+  }
+}

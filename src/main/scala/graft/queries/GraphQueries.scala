@@ -46,6 +46,11 @@ object GraphQueries {
         .select(col("fromId"), col("toId")).orderBy(col("fromId"), col("toId"))
     }),
 
+    // S4 — binary .ngs scan (Java-serialization decode, endpoint re-link)
+    "q_gs4_ngs_scan" -> ((s, _) =>
+      graft.io.NgsReader.load(s, s"$fixtureDir/Graph200.ngs").toDS(s)
+        .nodes.toDF().orderBy(col("id"))),
+
     // G3-G7 — the flagship end-to-end MitM statistics pipeline (seeded)
     "q_gg7_mitm_match_table" -> ((s, _) => {
       val ng = GraphText.load(s, originalPath)

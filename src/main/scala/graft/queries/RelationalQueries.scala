@@ -331,6 +331,25 @@ object RelationalQueries {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy(col("event_id"))),
 
+    "q_ev3_sessions" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.EventStreams.sessionize(
+          Tables.events(s, d).as[graft.streaming.EventStreams.Event], gapSecs = 1800)
+        .toDF()
+        .orderBy(col("user_id"), col("n_events"), col("duration_secs"))
+    }),
+
+    "q_as1_asof_join" -> ((s, d) =>
+      // as-of join: latest order at-or-before each event for the same
+      // customer — composed union+window operator (graft.operators.AsOfJoin)
+      graft.operators.AsOfJoin.leftAsOf(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, d),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightVals = Seq.empty, rightTiebreak = Some("o_orderkey"))
+        .orderBy(col("event_id"))),
+
     // ---- documents: text analysis (SURVEY §7.4 extension surface) -----------
     "q_t1_token_count" -> ((s, d) =>
       Tables.documents(s, d)
@@ -654,6 +673,29 @@ object RelationalQueries {
 
     "q_ev2_json" ->
       """SELECT event_id, json_extract_string(props, '$.k')::INT AS k
-         FROM events ORDER BY 1"""
+         FROM events ORDER BY 1""",
+
+    "q_ev3_sessions" ->
+      """WITH e AS (
+           SELECT user_id, floor(epoch(ts))::BIGINT AS t,
+                  CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+                         OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, t,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id, count(*) AS n_events, (max(t) - min(t)) AS duration_secs
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, n_events, duration_secs""",
+
+    "q_as1_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS asof_time
+         FROM events e ASOF LEFT JOIN orders o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id"""
   )
 }
