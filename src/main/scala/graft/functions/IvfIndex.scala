@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor index: k-means cells +
+  * cell-restricted search. The 100 TB pattern:
+  *
+  *  1. centroids live on the driver (k × dims floats — tiny) and ship to
+  *     executors as plan literals;
+  *  2. cell assignment is one scan with k codegen'd dot products per row
+  *     ([[DotProduct]]), no shuffle;
+  *  3. a query probes `nprobe` cells — the corpus filter on `cell` prunes
+  *     like a partition filter (write the index partitioned by cell and the
+  *     scan skips whole files).
+  *
+  * Training is Lloyd's algorithm with deterministic seeding: initial
+  * centroids are an id-stride sample, each iteration is one groupBy(cell)
+  * aggregation (map-side combined) + driver collect of k centroids.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Vector[Vector[Double]]) {
+    def numCells: Int = centroids.length
+  }
+
+  private def sqDistCol(centroid: Seq[Double]) = {
+    // |x - c|² = |x|² - 2·x·c + |c|² ; |x|² constant per row for argmin, so
+    // rank by (-2·x·c + |c|²)
+    val c2 = centroid.map(v => v * v).sum
+    VectorExprs.dot(col("embedding"), typedLit(centroid)) * lit(-2.0) + lit(c2)
+  }
+
+  /** Nearest-cell id for each row given driver-side centroids. */
+  def assignCells(embs: DataFrame, model: Model): DataFrame = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(sqDistCol(c), 9).as("d"), lit(i).as("cell"))
+    }
+    embs.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+  }
+
+  /** Train a k-cell model: stride-sampled init + `iters` Lloyd steps. */
+  def train(spark: SparkSession, embs: DataFrame, k: Int, iters: Int = 2): Model = {
+    import spark.implicits._
+    val n = embs.count()
+    val stride = math.max(n / k, 1L)
+    val init = embs.filter(col("vec_id") % stride === 0)
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toVector).toVector
+    var model = Model(init)
+    (1 to iters).foreach { _ =>
+      val dims = model.centroids.head.length
+      val means = assignCells(embs, model)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("mean"))
+        .groupBy(col("cell"))
+        .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("mean"))).as("m"))
+        .as[(Int, Map[Int, Double])].collect()
+        .map { case (cell, m) => cell -> (0 until dims).map(d => m(d)).toVector }
+        .toMap
+      // cells that lost all members keep their previous centroid
+      model = Model(model.centroids.zipWithIndex.map {
+        case (prev, i) => means.getOrElse(i, prev)
+      })
+    }
+    model
+  }
+
+  /** Exact top-k within the `nprobe` cells nearest to the query vector. */
+  def topK(embs: DataFrame, model: Model, query: Seq[Float], k: Int,
+           nprobe: Int, excludeSelf: Option[Long] = None): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val cellRank = model.centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
+      (d, i)
+    }.sorted.take(nprobe).map(_._2).toSet
+    val cells = assignCells(embs, model).filter(col("cell").isin(cellRank.toSeq: _*))
+    Similarity.bruteForceTopK(cells.drop("cell"), query, k, excludeSelf)
+  }
+}

@@ -22,8 +22,11 @@ import org.apache.spark.sql.SparkSession
 object GraphText {
 
   private val NodeRe = """NodeObject\(([^)]+)\)""".r
+  // cost accepts scientific notation and sign — the reference's regex
+  // (`[0-9.]+`) silently DROPS edges whose cost serializes as e.g. 5.6E-4;
+  // its fixtures never hit that, but round-tripping our own writer does
   private val ActionRe =
-    """Action\((\d+),\s?NodeObject\([^)]+\),\s?NodeObject\([^)]+\),\s?\d+,\s?\d+,\s?(?:None|Some\(\d+\)),\s?[0-9.]+\)""".r
+    """Action\((\d+),\s?NodeObject\([^)]+\),\s?NodeObject\([^)]+\),\s?\d+,\s?\d+,\s?(?:None|Some\(\d+\)),\s?-?[0-9.Ee+-]+\)""".r
 
   /** Parse a ten-field node record body (without the `NodeObject(...)` wrapper). */
   def parseNode(body: String): NodeObject = {

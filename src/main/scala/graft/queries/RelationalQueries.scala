@@ -410,7 +410,16 @@ object RelationalQueries {
 
     "q_v2_knn_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), numPlanes = 4, k = 5)
-        .orderBy(col("vec_id"), desc("cosine"), col("vid_b")))
+        .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))),
+
+    "q_v3_knn_ivf" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
+      val query = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.functions.IvfIndex.topK(embs, model, query, k = 10, nprobe = 3,
+        excludeSelf = Some(0L))
+    })
   )
 
   /** DuckDB-runnable oracle SQL, one per query where SQL-expressible.

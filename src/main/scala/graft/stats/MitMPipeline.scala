@@ -156,38 +156,29 @@ object MitMPipeline {
 
     pgBV.unpersist(); ngBV.unpersist(); ngParentsBV.unpersist()
 
-    // ---- statistics block (G7) — pure DataFrame ops over small frames ------
-    val idTable = matchTable.map { case (pg, (ng, s)) => (pg.id, ng.id, s) }
-    val correct = idTable.collect {
-      case (pid, nid, s) if pid == nid && s > cfg.nodeMatchThreshold => (pid, nid)
-    }.toList.sortBy(_._1)
-    val incorrect = idTable.collect {
-      case (pid, nid, s) if pid != nid && s > cfg.nodeMatchThreshold => (pid, nid)
-    }.toList.sortBy(_._1)
-
-    val origValuable = original.nodes.filter(_.valuableData).map(_.id).toList
-    val matchedPgIds = idTable.map(_._1).toSet
-    val uncovered = origValuable.filterNot(matchedPgIds.contains)
-
-    val correctIds = correct.map(_._1).toSet
-    val incorrectIds = incorrect.map(_._1).toSet
+    // ---- statistics block (G7) — relational queries (MitMStats) ------------
+    val matchesDF = matchTable.toSeq
+      .map { case (pg, (ng, s)) => (pg.id, ng.id, s) }
+      .toDF("pgId", "ngId", "score")
     val byPartition = states.sortBy(_.partition)
     val walksPerPartition = byPartition.map(_.walks.distinct.map(_.nodeIds.toList))
-    def classify(walks: List[List[Int]]): (Int, Int) = {
-      val succ = walks.count(w => w.exists(correctIds.contains) && !w.exists(incorrectIds.contains))
-      val unsucc = walks.count(w => w.exists(incorrectIds.contains))
-      (succ, unsucc)
-    }
-    val classified = walksPerPartition.map(classify)
+    val walksDF = byPartition
+      .flatMap(st => st.walks.distinct.map(w => (st.partition, w.nodeIds)))
+      .toDF("partition", "walkIds")
+    val ngNodesDS = spark.createDataset(original.nodes)
+
+    val origValuableIds = original.nodes.filter(_.valuableData).map(_.id).toList
+    val stats = MitMStats.compute(spark, matchesDF, walksDF, ngNodesDS,
+      origValuableIds, cfg.nodeMatchThreshold, cfg.numOfParallelWalks)
 
     Result(
       matchTable = matchTable.map { case (pg, (ng, s)) => pg.id -> (ng.id, s) },
-      correctMatches = correct,
-      incorrectMatches = incorrect,
-      uncoveredValuableIds = uncovered,
-      origValuableIds = origValuable,
-      succPerPartition = classified.map(_._1),
-      unsuccPerPartition = classified.map(_._2),
+      correctMatches = stats.correctMatches,
+      incorrectMatches = stats.incorrectMatches,
+      uncoveredValuableIds = stats.uncoveredValuableIds,
+      origValuableIds = stats.origValuableIds,
+      succPerPartition = stats.succPerPartition,
+      unsuccPerPartition = stats.unsuccPerPartition,
       walksPerPartition = walksPerPartition)
   }
 

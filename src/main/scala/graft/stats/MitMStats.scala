@@ -1,0 +1,72 @@
+package graft.stats
+
+import graft.model.NodeObject
+import graft.ops.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** G7 — the statistics block as relational queries
+  * (reference: src/main/scala/Main.scala:161-212, driver-side Scala loops).
+  * Inputs are DataFrames so the same plans run at any scale:
+  *
+  *   matches(pgId, ngId, score)     — the global arg-max match table
+  *   walks(partition, walkIds[])    — distinct walk node-id lists
+  *   ngNodes                        — original-graph node Dataset
+  */
+object MitMStats {
+
+  final case class Stats(
+      correctMatches: List[(Int, Int)],
+      incorrectMatches: List[(Int, Int)],
+      uncoveredValuableIds: List[Int],
+      origValuableIds: List[Int],
+      succPerPartition: List[Int],
+      unsuccPerPartition: List[Int])
+
+  /** TP/FP classification (P3/P4): strict threshold, id equality. */
+  def classifyMatches(matches: DataFrame, threshold: Double): DataFrame =
+    matches.filter(col("score") > threshold)
+      .withColumn("correct", col("pgId") === col("ngId"))
+
+  /** @param origValuableIds valuable NG ids in graph-file order — the
+    *        reference reports these lists in load order, not sorted
+    *        (reference: Main.scala:165-168), so ordering is caller-supplied.
+    */
+  def compute(spark: SparkSession,
+              matches: DataFrame,
+              walks: DataFrame,
+              ngNodes: org.apache.spark.sql.Dataset[NodeObject],
+              origValuableIds: List[Int],
+              threshold: Double,
+              numPartitions: Int): Stats = {
+    import spark.implicits._
+
+    val classified = classifyMatches(matches, threshold).cache()
+    val correct = classified.filter(col("correct"))
+      .select(col("pgId"), col("ngId")).orderBy(col("pgId"))
+      .as[(Int, Int)].collect().toList
+    val incorrect = classified.filter(!col("correct"))
+      .select(col("pgId"), col("ngId")).orderBy(col("pgId"))
+      .as[(Int, Int)].collect().toList
+
+    // J2 coverage: valuable NG ids never matched (anti-join on id),
+    // re-ordered to the caller's file order for report fidelity
+    val origValuable = origValuableIds
+    val uncoveredSet = GraphOps.uncoveredValuable(ngNodes, matches.select(col("pgId").as("id")))
+      .as[Int].collect().toSet
+    val uncovered = origValuable.filter(uncoveredSet.contains)
+
+    // J7/A6 walk classification, per partition
+    val correctIds = typedLit(correct.map(_._1))
+    val incorrectIds = typedLit(incorrect.map(_._1))
+    val perPart = GraphOps.classifyWalks(walks, correctIds, incorrectIds)
+      .as[(Long, Long, Long)].collect()
+      .map { case (p, s, u) => p -> ((s.toInt, u.toInt)) }.toMap
+    classified.unpersist()
+
+    val succ = (1 to numPartitions).map(p => perPart.get(p.toLong).map(_._1).getOrElse(0)).toList
+    val unsucc = (1 to numPartitions).map(p => perPart.get(p.toLong).map(_._2).getOrElse(0)).toList
+
+    Stats(correct, incorrect, uncovered, origValuable, succ, unsucc)
+  }
+}

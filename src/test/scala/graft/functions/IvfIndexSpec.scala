@@ -1,0 +1,50 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class IvfIndexSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("train produces k cells and assignment is deterministic") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(spark, embs, k = 4, iters = 1)
+    model.numCells shouldBe 4
+    val a1 = IvfIndex.assignCells(embs, model).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = IvfIndex.assignCells(embs, model).select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    a1 shouldBe a2
+    a1.values.toSet.size should be > 1 // data actually spreads over cells
+  }
+
+  test("ivf top-k with all cells probed equals brute force") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(spark, embs, k = 4, iters = 1)
+    val query = embs.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ivf = IvfIndex.topK(embs, model, query, k = 10, nprobe = 4, excludeSelf = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(embs, query, k = 10, excludeSelf = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    ivf shouldBe brute
+  }
+
+  test("ivf with fewer probes returns a subset ranking with decent recall") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(spark, embs, k = 8, iters = 2)
+    val query = embs.filter(col("vec_id") === 17)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val ivf = IvfIndex.topK(embs, model, query, k = 10, nprobe = 3, excludeSelf = Some(17L))
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.bruteForceTopK(embs, query, k = 10, excludeSelf = Some(17L))
+      .collect().map(_.getLong(0)).toSet
+    // random synthetic embeddings cluster poorly — just require overlap > 0
+    // and correct size; recall quality is data-dependent
+    ivf.size shouldBe 10
+    (ivf intersect brute).size should be > 0
+  }
+}

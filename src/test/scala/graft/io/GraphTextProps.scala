@@ -1,0 +1,54 @@
+package graft.io
+
+import graft.model._
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based round-trip coverage for the graph text format (SURVEY §5:
+  * parser round-trip under generated inputs, including negative and
+  * scientific-notation doubles).
+  */
+object GraphTextProps extends Properties("GraphText") {
+
+  private val genNode: Gen[NodeObject] = for {
+    id <- Gen.choose(0, 10000)
+    children <- Gen.choose(0, 50)
+    props <- Gen.choose(0, 50)
+    depth <- Gen.choose(0, 10)
+    pvr <- Gen.choose(0, 100)
+    maxDepth <- Gen.choose(0, 10)
+    maxBranch <- Gen.choose(0, 10)
+    maxProps <- Gen.choose(0, 30)
+    stored <- Gen.oneOf(
+      Gen.choose(-1.0, 1.0),
+      Gen.choose(-1e-6, 1e-6), // forces scientific notation in toString
+      Gen.const(0.0))
+    valuable <- Gen.oneOf(true, false)
+  } yield NodeObject(id, children, props, depth, pvr, maxDepth, maxBranch,
+    maxProps, stored, valuable)
+
+  private val genEdge: Gen[EdgeAction] = for {
+    at <- Gen.choose(0, 10)
+    from <- genNode
+    to <- genNode
+    fid <- Gen.choose(0, 100)
+    tid <- Gen.choose(0, 100)
+    rv <- Gen.option(Gen.choose(0, 1000))
+    cost <- Gen.choose(0.0, 1.0)
+  } yield EdgeAction(at, from, to, fid, tid, rv, cost)
+
+  property("node record round-trips") = Prop.forAll(genNode) { n =>
+    GraphText.parseNodeRecord(GraphText.renderNode(n)) == n
+  }
+
+  property("action record round-trips") = Prop.forAll(genEdge) { e =>
+    GraphText.parseAction(GraphText.renderAction(e)) == e
+  }
+
+  property("whole graph round-trips") =
+    Prop.forAll(Gen.listOfN(5, genNode), Gen.listOfN(4, genEdge)) { (ns, es) =>
+      val withInit = NodeObject(0, 1, 1, 1, 1, 1, 1, 1, 0.5, valuableData = false) :: ns
+      val g = NetGraphLocal(withInit.toVector, es.toVector)
+      val round = GraphText.parseGraph(GraphText.renderGraph(g))
+      round.nodes == g.nodes && round.edges == g.edges
+    }
+}
