@@ -50,6 +50,34 @@ object TextOps {
       round(length(t).cast("double") / nTok, 4).as("mean_token_len"))
   }
 
+  /** [[qualityScore]] in the scale shape: one explode of tokens, one
+    * aggregation computing token counts / distinct / stopword hits
+    * (codegen'd count_ifs instead of interpreted array lambdas), joined back
+    * to the per-row length metrics. Output identical to [[qualityScore]].
+    */
+  def qualityScoreExploded(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val base = df.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      round(length(regexp_replace(t, """[^\p{Punct}]""", "")).cast("double") / greatest(length(t), lit(1)), 4)
+        .as("punct_ratio"))
+    val tokStats = df
+      .select(col("doc_id"), explode(tokens(t)).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).cast("int").as("n_distinct_tokens"),
+        count_if(col("tok").isInCollection(stopwords)).cast("int").as("n_stopwords"))
+    base.join(tokStats, "doc_id")
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens").cast("int").as("n_tokens"),
+        col("n_distinct_tokens"), col("n_stopwords"),
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        col("punct_ratio"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4).as("mean_token_len"))
+  }
+
   /** N-gram-heuristic language ID: score text against per-language marker
     * token sets and take the arg-max (deterministic tie-break by language
     * order). Tiny marker lists stand in for real n-gram profiles; the Spark
@@ -71,6 +99,28 @@ object TextOps {
     // arg-max over languages; on ties array_max picks the lexicographically
     // greatest struct, so negate nothing — order by (score, lang) is stable.
     array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** [[langId]] in the scale shape: explode tokens once, broadcast-join the
+    * (lang, marker-word) table, count hits per (doc, lang), arg-max with the
+    * same (score, lang) tuple ordering as the column form. No interpreted
+    * lambdas; the only shuffle carries (doc_id, lang, count) rows.
+    */
+  def langIdJoined(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val markers = langMarkers.flatMap { case (l, ws) => ws.map(w => (l, w)) }
+      .toDF("lang", "word")
+    val langs = langMarkers.map(_._1).toDF("lang")
+    val toks = df.select(col("doc_id"), explode(tokens(lower(col(textCol)))).as("word"))
+    val hits = toks.join(broadcast(markers), "word")
+      .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("score"))
+    df.select(col("doc_id")).crossJoin(broadcast(langs))
+      .join(hits, Seq("doc_id", "lang"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("score"), col("lang"))).as("best"))
+      .select(col("doc_id"), col("best.lang").as("lang_pred"))
   }
 
   /** Rolling-hash document fingerprint: 64-bit FNV-1a over the text via a

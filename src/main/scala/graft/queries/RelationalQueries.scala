@@ -358,12 +358,13 @@ object RelationalQueries {
         .orderBy(col("doc_id"))),
 
     "q_t2_quality" -> ((s, d) =>
-      TextOps.qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+      // explode+aggregate form — identical output to the column form
+      // (TextOps.qualityScore), but codegen'd end to end
+      TextOps.qualityScoreExploded(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     "q_t3_langid" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))),
+      // broadcast-join form — identical output to the column form
+      TextOps.langIdJoined(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
     "q_t4_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -398,6 +399,19 @@ object RelationalQueries {
       // ~0.48 cosine) so the operator produces verifiable pairs
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy(col("vec_a"), col("vec_b"))),
+
+    "q_d6_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", k = 3, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_a9_approx_distinct" -> ((s, d) =>
+      // HLL sketch surface (rows-only check: approximation algorithms differ
+      // across engines); exact distinct rides alongside for the spec
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))),
 
     // ---- similarity search --------------------------------------------------
     "q_v1_knn_brute" -> ((s, d) => {
@@ -666,6 +680,22 @@ object RelationalQueries {
                 round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+         ORDER BY 1, 2""",
+
+    "q_d6_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)])) AS shingle
+           FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)),
+         sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         common AS (
+           SELECT x.doc_id a, y.doc_id b, count(*) c
+           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a AS doc_a, b AS doc_b,
+                round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+         FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE round(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.5
          ORDER BY 1, 2""",
 
     "q_v1_knn_brute" ->
