@@ -68,6 +68,32 @@ object IvfIndex {
     model
   }
 
+  /** Persist the index partitioned by cell: a probe that filters on `cell`
+    * then prunes whole directories at scan time (PartitionFilters), so an
+    * nprobe-cell query reads nprobe/k of the corpus.
+    */
+  def writeIndex(embs: DataFrame, model: Model, path: String): Unit =
+    assignCells(embs, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Read a persisted index; `cellFilter` pushes into partition pruning. */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Top-k against a persisted index — the scan only touches the probed
+    * cells' files.
+    */
+  def topKIndexed(spark: SparkSession, path: String, model: Model,
+                  query: Seq[Float], k: Int, nprobe: Int,
+                  excludeSelf: Option[Long] = None): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probed = model.centroids.zipWithIndex.map { case (c, i) =>
+      (c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sorted.take(nprobe).map(_._2)
+    val cells = readIndex(spark, path).filter(col("cell").isin(probed: _*))
+    Similarity.bruteForceTopK(cells.drop("cell"), query, k, excludeSelf)
+  }
+
   /** Exact top-k within the `nprobe` cells nearest to the query vector. */
   def topK(embs: DataFrame, model: Model, query: Seq[Float], k: Int,
            nprobe: Int, excludeSelf: Option[Long] = None): DataFrame = {

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class AsOfJoinSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("matches latest right row at-or-before each left time, null before first") {
+    val probes = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:00")), // before any order → null
+      (2L, 10L, ts("2024-01-02 12:00:00")), // after first
+      (3L, 10L, ts("2024-01-05 00:00:00")), // exactly at second → matches it
+      (4L, 99L, ts("2024-01-09 00:00:00"))  // key with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val refs = Seq(
+      (10L, ts("2024-01-02 00:00:00"), 100.0),
+      (10L, ts("2024-01-05 00:00:00"), 200.0)
+    ).toDF("custkey", "otime", "price")
+
+    val out = AsOfJoin.leftAsOf(probes, refs,
+        "user_id", "custkey", "ts", "otime", Seq("price"))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(3)), Option(r.get(4))))
+
+    out(0) shouldBe ((1L, None, None))
+    out(1) shouldBe ((2L, Some(ts("2024-01-02 00:00:00")), Some(100.0)))
+    out(2) shouldBe ((3L, Some(ts("2024-01-05 00:00:00")), Some(200.0)))
+    out(3) shouldBe ((4L, None, None))
+  }
+
+  test("same-time right rows resolve by greatest tiebreak") {
+    val probes = Seq((1L, 5L, ts("2024-03-01 00:00:00"))).toDF("event_id", "user_id", "ts")
+    val refs = Seq(
+      (5L, ts("2024-02-01 00:00:00"), 1L, 10.0),
+      (5L, ts("2024-02-01 00:00:00"), 7L, 70.0),
+      (5L, ts("2024-02-01 00:00:00"), 3L, 30.0)
+    ).toDF("custkey", "otime", "okey", "price")
+    val out = AsOfJoin.leftAsOf(probes, refs,
+        "user_id", "custkey", "ts", "otime", Seq("price"),
+        rightTiebreak = Some("okey"))
+      .head()
+    out.getDouble(4) shouldBe 70.0 // okey=7 wins
+  }
+}

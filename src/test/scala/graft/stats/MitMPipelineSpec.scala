@@ -71,6 +71,14 @@ class MitMPipelineSpec extends AnyFunSuite with Matchers {
     r.succPerPartition.sum should be > 0
   }
 
+  test("Gauss-Seidel parity mode runs deterministically") {
+    val cfg = smallCfg.copy(simRankMode = graft.simrank.SimRank.Mode.GaussSeidel)
+    val r1 = MitMPipeline.run(spark, ng20, pg20, cfg)
+    val r2 = MitMPipeline.run(spark, ng20, pg20, cfg)
+    r1.matchTable shouldBe r2.matchTable
+    r1.walksPerPartition shouldBe r2.walksPerPartition
+  }
+
   test("YAML report has the reference's key set in order") {
     val r = MitMPipeline.run(spark, ng20, pg20, smallCfg)
     val keys = MitMPipeline.statisticsYaml(r).map(_._1)
