@@ -43,13 +43,18 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_doc_id"))
       .filter(col("n_dups") > 1)
 
-  /** Word-level shingles of size k as a distinct array column. */
+  /** Word-level shingles of size k as a distinct array column. Generated
+    * from index positions (`sequence`) so only full-length shingles are
+    * built — the transform-all-then-filter form re-split every candidate
+    * shingle to check its length, an interpreted `split` per shingle.
+    */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
-    array_distinct(
-      filter(
-        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(k)))),
-        s => size(split(s, " ")) === k))
+    when(size(toks) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** MinHash signatures for every doc: explode shingles once, hash each with
@@ -60,6 +65,10 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int, hasher: Hasher = xxHasher): DataFrame =
     docs
+      // spread docs before the explode: document corpora often arrive as few
+      // large files (locally: ONE unsplittable parquet file), which would
+      // otherwise serialize the whole shingle+hash phase into one task
+      .repartition(col(idCol))
       .select(col(idCol), explode_outer(shingles(col(textCol), k)).as("shingle"))
       .groupBy(col(idCol))
       .agg(array((0 until numHashes).map(i => min(hasher(col("shingle"), i))): _*).as("sig"))
@@ -94,6 +103,7 @@ object Dedup {
     */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = docs
+      .repartition(col(idCol)) // see minhashSignatures: parallelize the explode
       .select(col(idCol), explode_outer(array_distinct(split(col(textCol), " "))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("h"))
     val bitCounts = (0 until 32).map(bit =>
@@ -110,26 +120,50 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** N-gram Jaccard similarity between candidate pairs: explode shingles,
-    * equi-join on shingle, count co-occurrences, divide by union size.
-    * `docs` needs (doc_id, text). Returns pairs with jaccard >= threshold.
-    * This is the verify stage behind [[minhashCandidates]]; at scale, run it
-    * only on LSH candidates (pass them in as `candidates`) instead of all
-    * pairs.
+  /** Exact candidate pairs for Jaccard >= t via prefix filtering (the
+    * PPJoin-family bound from the set-similarity-join literature): order each
+    * doc's shingles by ascending global frequency; a pair with Jaccard >= t
+    * MUST share a shingle among each doc's first `n - ceil(t*n) + 1`
+    * positions. Joining only on prefix shingles avoids the quadratic blowup
+    * on frequent shingles while provably missing no qualifying pair.
+    */
+  def prefixFilterCandidates(sh: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))
+    val prefix = sh.join(freq, "shingle").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("n_shingles") - ceil(col("n_shingles") * threshold) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val sized = prefix.join(sizes, "doc_id")
+    sized.alias("x").join(sized.alias("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+          // size bound: J >= t forces t·max(|x|,|y|) <= min(|x|,|y|)
+          least(col("x.n_shingles"), col("y.n_shingles")) >=
+            greatest(col("x.n_shingles"), col("y.n_shingles")) * threshold)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard similarity join: explode shingles, generate candidate
+    * pairs (prefix filtering by default — exact; or caller-supplied LSH
+    * candidates — approximate), count co-occurrences per candidate pair,
+    * divide by union size. `docs` needs (doc_id, text). Returns pairs with
+    * jaccard >= threshold. Never joins the full shingle lists of
+    * non-candidate pairs, so frequent shingles don't go quadratic.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, k: Int, threshold: Double,
                         candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col(textCol), k)).as("shingle"))
+    val sh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col(textCol), k)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val joined = sh.alias("x").join(sh.alias("y"),
-      col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-    val pairCandidates = candidates match {
-      case Some(c) => joined.join(c,
-        col("x.doc_id") === c("doc_a") && col("y.doc_id") === c("doc_b"), "left_semi")
-      case None => joined
-    }
-    pairCandidates
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val candPairs = candidates.getOrElse(prefixFilterCandidates(sh, sizes, threshold))
+    candPairs
+      .join(sh.alias("A"), col("doc_a") === col("A.doc_id"))
+      .join(sh.alias("B"),
+        col("doc_b") === col("B.doc_id") && col("A.shingle") === col("B.shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
@@ -148,9 +182,11 @@ object Dedup {
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double,
                         buckets: Option[DataFrame] = None): DataFrame = {
-    val withNorm = embs.select(
-      col("vec_id"), col("embedding"),
-      VectorExprs.norm(col("embedding")).as("norm"))
+    val withNorm = embs
+      .repartition(col("vec_id")) // parallelize the pair stream off single-file input
+      .select(
+        col("vec_id"), col("embedding"),
+        VectorExprs.norm(col("embedding")).as("norm"))
     val pairs = buckets match {
       case Some(bk) =>
         val l = bk.join(withNorm, "vec_id")

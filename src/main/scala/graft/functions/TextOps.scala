@@ -63,6 +63,7 @@ object TextOps {
       round(length(regexp_replace(t, """[^\p{Punct}]""", "")).cast("double") / greatest(length(t), lit(1)), 4)
         .as("punct_ratio"))
     val tokStats = df
+      .repartition(col("doc_id")) // single-file corpora: parallelize the explode
       .select(col("doc_id"), explode(tokens(t)).as("tok"))
       .groupBy(col("doc_id"))
       .agg(
@@ -112,7 +113,8 @@ object TextOps {
     val markers = langMarkers.flatMap { case (l, ws) => ws.map(w => (l, w)) }
       .toDF("lang", "word")
     val langs = langMarkers.map(_._1).toDF("lang")
-    val toks = df.select(col("doc_id"), explode(tokens(lower(col(textCol)))).as("word"))
+    val toks = df.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(lower(col(textCol)))).as("word"))
     val hits = toks.join(broadcast(markers), "word")
       .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("score"))
     df.select(col("doc_id")).crossJoin(broadcast(langs))

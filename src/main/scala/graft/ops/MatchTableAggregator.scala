@@ -1,0 +1,36 @@
+package graft.ops
+
+import graft.model.NodeObject
+import graft.simrank.SimRank
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed accumulator-shaped API for the match table: a drop-in for the
+  * reference's `MapAccumulator` (reference: src/main/scala/Main.scala:22-43)
+  * as a proper Spark `Aggregator` — arg-max in BOTH reduce and merge, fixing
+  * the reference's last-wins cross-task merge (SURVEY §7.3 hazard 2), and
+  * running inside the aggregation operator (partial aggregation, spillable)
+  * instead of the accumulator side-channel.
+  *
+  * Usage: `ds.select(MatchTableAggregator.toColumn)` over a
+  * `Dataset[(NodeObject, (NodeObject, Float))]`, or via `groupByKey.agg`.
+  */
+object MatchTableAggregator
+    extends Aggregator[(NodeObject, (NodeObject, Float)), SimRank.MatchTable, SimRank.MatchTable] {
+
+  override def zero: SimRank.MatchTable = Map.empty
+
+  override def reduce(b: SimRank.MatchTable,
+                      a: (NodeObject, (NodeObject, Float))): SimRank.MatchTable =
+    SimRank.accumulate(b, Map(a))
+
+  override def merge(b1: SimRank.MatchTable, b2: SimRank.MatchTable): SimRank.MatchTable =
+    SimRank.accumulate(b1, b2)
+
+  override def finish(r: SimRank.MatchTable): SimRank.MatchTable = r
+
+  override def bufferEncoder: Encoder[SimRank.MatchTable] =
+    Encoders.kryo[SimRank.MatchTable]
+  override def outputEncoder: Encoder[SimRank.MatchTable] =
+    Encoders.kryo[SimRank.MatchTable]
+}

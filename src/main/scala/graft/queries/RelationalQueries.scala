@@ -339,6 +339,12 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("n_events"), col("duration_secs"))
     }),
 
+    "q_ev4_tumbling" -> ((s, d) =>
+      // the Structured Streaming transform (EventStreams.windowedCounts) run
+      // in batch mode — identical code path as the readStream pipeline
+      graft.streaming.EventStreams.windowedCounts(Tables.events(s, d))
+        .orderBy(col("window_start"), col("event_type"))),
+
     "q_as1_asof_join" -> ((s, d) =>
       // as-of join: latest order at-or-before each event for the same
       // customer — composed union+window operator (graft.operators.AsOfJoin)
@@ -401,7 +407,7 @@ object RelationalQueries {
         .orderBy(col("vec_a"), col("vec_b"))),
 
     "q_d6_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", k = 3, threshold = 0.5)
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", k = 3, threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q_a9_approx_distinct" -> ((s, d) =>
@@ -695,7 +701,7 @@ object RelationalQueries {
          SELECT a AS doc_a, b AS doc_b,
                 round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
          FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-         WHERE round(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.5
+         WHERE round(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.8
          ORDER BY 1, 2""",
 
     "q_v1_knn_brute" ->
@@ -713,6 +719,12 @@ object RelationalQueries {
     "q_ev2_json" ->
       """SELECT event_id, json_extract_string(props, '$.k')::INT AS k
          FROM events ORDER BY 1""",
+
+    "q_ev4_tumbling" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                event_type, count(*) AS n_events,
+                round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_ev3_sessions" ->
       """WITH e AS (

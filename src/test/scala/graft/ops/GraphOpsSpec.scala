@@ -56,6 +56,21 @@ class GraphOpsSpec extends AnyFunSuite with Matchers {
     out shouldBe Set((1, 11, 0.9), (2, 20, 0.1))
   }
 
+  test("MatchTableAggregator arg-maxes across partitions like the relational form") {
+    import spark.implicits._
+    import graft.model.NodeObject
+    def node(id: Int) = NodeObject(id, 0, 0, 1, 1, 1, 1, 1, 0.0, valuableData = true)
+    val entries: Seq[(NodeObject, (NodeObject, Float))] = Seq(
+      (node(1), (node(10), 0.5f)),
+      (node(1), (node(11), 0.9f)),
+      (node(1), (node(12), 0.2f)),
+      (node(2), (node(20), 0.1f)))
+    val ds = spark.createDataset(entries).repartition(3)
+    val table = ds.select(MatchTableAggregator.toColumn).head()
+    table(node(1)) shouldBe ((node(11), 0.9f))
+    table(node(2)) shouldBe ((node(20), 0.1f))
+  }
+
   test("classifyWalks counts successful/unsuccessful per partition") {
     import spark.implicits._
     val walks = Seq(
