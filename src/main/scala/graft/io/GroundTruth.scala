@@ -1,0 +1,96 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+
+/** Reader for NetGameSim's perturbation ground truth (`*.ngs.yaml`) — the
+  * oracle for attack-match quality. The reference declares the file in config
+  * but never reads it (dead `goldenYamlFileName`,
+  * reference: Utilities/src/main/resources/application.conf:6,
+  * GraphConfigReader.scala:8-12); graft uses it to score precision/recall.
+  *
+  * Format (tab-indented, FIXTURES.md §A.3):
+  * {{{
+  * Nodes:
+  *   Modified: [15, 9]
+  *   Removed: [14]
+  *   Added:
+  *     11: 21        # parentId: newNodeId
+  * Edges: ...
+  * }}}
+  */
+object GroundTruth {
+
+  final case class Perturbations(
+      modifiedNodes: Set[Int],
+      removedNodes: Set[Int],
+      addedNodes: Map[Int, Int]) // parentId -> newNodeId
+
+  def parse(content: String): Perturbations = {
+    var section = ""
+    var sub = ""
+    var modified = Set.empty[Int]
+    var removed = Set.empty[Int]
+    var added = Map.empty[Int, Int]
+
+    def parseList(s: String): Set[Int] = {
+      val inner = s.trim.stripPrefix("[").stripSuffix("]").trim
+      if (inner.isEmpty) Set.empty
+      else inner.split(',').map(_.trim.toInt).toSet
+    }
+
+    content.linesIterator.foreach { raw =>
+      val depth = raw.takeWhile(_ == '\t').length
+      val line = raw.trim
+      if (line.nonEmpty) {
+        if (depth == 0) { section = line.stripSuffix(":"); sub = "" }
+        else if (depth == 1 && section == "Nodes") {
+          line.split(":", 2) match {
+            case Array(k, v) =>
+              sub = k.trim
+              sub match {
+                case "Modified" if v.trim.nonEmpty => modified = parseList(v)
+                case "Removed" if v.trim.nonEmpty  => removed = parseList(v)
+                case _ =>
+              }
+            case _ =>
+          }
+        } else if (depth == 2 && section == "Nodes" && sub == "Added") {
+          line.split(":", 2) match {
+            case Array(p, n) => added += (p.trim.toInt -> n.trim.toInt)
+            case _ =>
+          }
+        }
+      }
+    }
+    Perturbations(modified, removed, added)
+  }
+
+  def load(spark: SparkSession, path: String): Perturbations = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try parse(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Match-quality score against ground truth: of the attack's claimed
+    * correct matches, how many are on unperturbed nodes (true positives by
+    * construction — identical in both graphs), and whether any claimed match
+    * lands on an added node id (impossible-in-NG ⇒ always wrong).
+    */
+  final case class MatchQuality(
+      precision: Double, nCorrectOnUnperturbed: Int, nCorrectOnModified: Int,
+      nClaimedOnAdded: Int)
+
+  def score(correct: Seq[(Int, Int)], incorrect: Seq[(Int, Int)],
+            gt: Perturbations): MatchQuality = {
+    val addedIds = gt.addedNodes.values.toSet
+    val claimed = correct.size + incorrect.size
+    MatchQuality(
+      precision = if (claimed == 0) 0.0 else correct.size.toDouble / claimed,
+      nCorrectOnUnperturbed = correct.count { case (pid, _) =>
+        !gt.modifiedNodes.contains(pid) && !addedIds.contains(pid) },
+      nCorrectOnModified = correct.count { case (pid, _) => gt.modifiedNodes.contains(pid) },
+      nClaimedOnAdded = (correct ++ incorrect).count { case (pid, _) => addedIds.contains(pid) })
+  }
+}

@@ -30,6 +30,12 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     r(3L) shouldBe "fr"
   }
 
+  test("approxBpeCount splits on whitespace and before punctuation") {
+    val df = Seq((1L, "hello, world! ok")).toDF("doc_id", "text")
+    // tokens: hello | , | world | ! | ok  → 5
+    df.select(TextOps.approxBpeCount($"text")).head().getInt(0) shouldBe 5
+  }
+
   test("fnv1a64 matches a local implementation") {
     def local(s: String): Long =
       s.foldLeft(-3750763034362895579L)((acc, c) => (acc ^ c.toLong) * 1099511628211L)

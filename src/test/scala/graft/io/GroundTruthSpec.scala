@@ -1,0 +1,41 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.stats.MitMPipeline
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class GroundTruthSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  private val fixtures = "/root/reference/input"
+
+  test("parses Graph200 perturbation record") {
+    val gt = GroundTruth.load(spark, s"$fixtures/Graph200.ngs.yaml")
+    gt.modifiedNodes.size shouldBe 11
+    gt.removedNodes.size shouldBe 15
+    gt.addedNodes.size shouldBe 11
+    gt.removedNodes should contain(152)
+    gt.addedNodes(72) shouldBe 211
+  }
+
+  test("parses Graph20 record (small shapes)") {
+    val gt = GroundTruth.load(spark, s"$fixtures/Graph20.0.ngs.yaml")
+    (gt.modifiedNodes.nonEmpty || gt.removedNodes.nonEmpty || gt.addedNodes.nonEmpty) shouldBe true
+  }
+
+  test("Graph200 attack matches score well against ground truth") {
+    val ng = GraphText.load(spark, s"$fixtures/Graph200.txt")
+    val pg = GraphText.load(spark, s"$fixtures/Graph200.txt.perturbed")
+    val r = MitMPipeline.run(spark, ng, pg, MitMPipeline.Config(seed = 42L))
+    val gt = GroundTruth.load(spark, s"$fixtures/Graph200.ngs.yaml")
+    val q = GroundTruth.score(r.correctMatches, r.incorrectMatches, gt)
+    // seeded Graph200 run: 91 TP / 2 FP → precision ~0.978
+    q.precision should be > 0.9
+    // "correct" means pid==nid, which cannot hold for an added node (added
+    // ids exist only in PG) — structural invariant of the classification
+    r.correctMatches.map(_._1).toSet
+      .intersect(gt.addedNodes.values.toSet) shouldBe empty
+    // most true positives land on unperturbed nodes (identical structs)
+    q.nCorrectOnUnperturbed should be > q.nCorrectOnModified
+  }
+}

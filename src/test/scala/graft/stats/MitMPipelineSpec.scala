@@ -71,6 +71,14 @@ class MitMPipelineSpec extends AnyFunSuite with Matchers {
     r.succPerPartition.sum should be > 0
   }
 
+  test("no-resimrank mode (efficiency path) runs and matches determinism contract") {
+    val cfg = smallCfg.copy(resimrankAccumulatedWalks = false)
+    val r1 = MitMPipeline.run(spark, ng20, pg20, cfg)
+    val r2 = MitMPipeline.run(spark, ng20, pg20, cfg)
+    r1.matchTable shouldBe r2.matchTable
+    r1.walksPerPartition shouldBe r2.walksPerPartition
+  }
+
   test("Gauss-Seidel parity mode runs deterministically") {
     val cfg = smallCfg.copy(simRankMode = graft.simrank.SimRank.Mode.GaussSeidel)
     val r1 = MitMPipeline.run(spark, ng20, pg20, cfg)
