@@ -16,7 +16,13 @@ object Tables {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
       // for — read the raw int64 and convert to microsecond timestamps.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The nanosAsLong conf must be set at session-builder time (Bench,
+      // Verify, MitMMain, SparkSpec all do); mutating it here as a side
+      // effect would silently change how unrelated NANOS-typed parquet is
+      // read for the rest of the session.
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events.parquet is TIMESTAMP(NANOS): build the session with " +
+          "spark.sql.legacy.parquet.nanosAsLong=true")
       import org.apache.spark.sql.functions._
       // integer `div`, not `/`: epoch-nanos overflow double's 53-bit
       // mantissa, so float division corrupts the microsecond digit

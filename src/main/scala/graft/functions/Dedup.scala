@@ -83,6 +83,11 @@ object Dedup {
                         bands: Int, rowsPerBand: Int,
                         hasher: Hasher = xxHasher): DataFrame = {
     val sigs = minhashSignatures(docs, "doc_id", textCol, k, bands * rowsPerBand, hasher)
+      // docs shorter than k tokens have all-null signatures (explode_outer +
+      // null-propagating hashers); hash() skips null array elements, so every
+      // band of every short doc would collapse into one bucket and produce
+      // spurious all-pairs candidates among short docs — drop them up front
+      .filter(col("sig")(0).isNotNull)
     val banded = sigs
       .select(col("doc_id"), posexplode(
         array((0 until bands).map(b => slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
@@ -126,47 +131,65 @@ object Dedup {
     * MUST share a shingle among each doc's first `n - ceil(t*n) + 1`
     * positions. Joining only on prefix shingles avoids the quadratic blowup
     * on frequent shingles while provably missing no qualifying pair.
+    *
+    * Input is the per-doc shingle-array table (doc_id, shingles, n_shingles)
+    * from [[ngramJaccardPairs]]. Two additional provably-safe pruning bounds
+    * run inside the join:
+    *  - size bound: J >= t forces t·max(|x|,|y|) <= min(|x|,|y|);
+    *  - PPJoin positional bound: a qualifying pair needs overlap >=
+    *    t/(1+t)·(|x|+|y|), but a match at prefix positions (px, py) can reach
+    *    at most 1 + min(|x|−px, |y|−py) — the first (loosest-bound) shared
+    *    prefix shingle of a qualifying pair always survives, so no pair is
+    *    lost while most spurious bucket collisions die inside the join.
     */
-  def prefixFilterCandidates(sh: DataFrame, sizes: DataFrame, threshold: Double): DataFrame = {
+  def prefixFilterCandidates(docSh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sh = docSh.select(col("doc_id"), col("n_shingles"),
+      explode(col("shingles")).as("shingle"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))
-    val prefix = sh.join(freq, "shingle").join(sizes, "doc_id")
+    val prefix = sh.join(freq, "shingle")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <=
         col("n_shingles") - ceil(col("n_shingles") * threshold) + 1)
-      .select(col("doc_id"), col("shingle"))
-    val sized = prefix.join(sizes, "doc_id")
-    sized.alias("x").join(sized.alias("y"),
+      .select(col("doc_id"), col("shingle"), col("pos"), col("n_shingles"))
+    val minOverlap =
+      (col("x.n_shingles") + col("y.n_shingles")) * lit(threshold / (1.0 + threshold))
+    prefix.alias("x").join(prefix.alias("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
-          // size bound: J >= t forces t·max(|x|,|y|) <= min(|x|,|y|)
           least(col("x.n_shingles"), col("y.n_shingles")) >=
-            greatest(col("x.n_shingles"), col("y.n_shingles")) * threshold)
+            greatest(col("x.n_shingles"), col("y.n_shingles")) * threshold &&
+          lit(1) + least(col("x.n_shingles") - col("x.pos"),
+            col("y.n_shingles") - col("y.pos")) >= minOverlap - lit(1e-9))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
 
-  /** N-gram Jaccard similarity join: explode shingles, generate candidate
-    * pairs (prefix filtering by default — exact; or caller-supplied LSH
-    * candidates — approximate), count co-occurrences per candidate pair,
-    * divide by union size. `docs` needs (doc_id, text). Returns pairs with
-    * jaccard >= threshold. Never joins the full shingle lists of
-    * non-candidate pairs, so frequent shingles don't go quadratic.
+  /** N-gram Jaccard similarity join: build each doc's distinct shingle array
+    * once (persisted — the subtree feeds candidate generation AND both sides
+    * of verification; without the cache Spark re-runs the scan+shingle
+    * pipeline per consumer), generate candidate pairs (prefix filtering by
+    * default — exact; or caller-supplied LSH candidates — approximate), then
+    * verify each candidate with a single codegen'd `array_intersect` over the
+    * two shingle arrays. Verification is one row per candidate pair — no
+    * explode-join blowup — and candidate generation never joins the full
+    * shingle lists of non-candidate pairs, so frequent shingles don't go
+    * quadratic. Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, k: Int, threshold: Double,
                         candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(shingles(col(textCol), k)).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val candPairs = candidates.getOrElse(prefixFilterCandidates(sh, sizes, threshold))
-    candPairs
-      .join(sh.alias("A"), col("doc_a") === col("A.doc_id"))
-      .join(sh.alias("B"),
-        col("doc_b") === col("B.doc_id") && col("A.shingle") === col("B.shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+    val docSh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("n_shingles", size(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candPairs = candidates.getOrElse(prefixFilterCandidates(docSh, threshold))
+    val a = docSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("n_shingles").as("size_a"))
+    val b = docSh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      col("n_shingles").as("size_b"))
+    candPairs.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")), 4))

@@ -135,9 +135,15 @@ object RelationalQueries {
 
     // ---- A: aggregations ----------------------------------------------------
     "q_a1_group_collect" -> ((s, d) =>
+      // group-collect (SURVEY A1, parent map). The collected list is emitted
+      // as a sorted comma-joined string: the driver's compare hashes column
+      // values through pandas, which cannot sort/hash raw array cells.
       Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("partkeys"))
+        .agg(
+          array_join(sort_array(collect_set(col("l_partkey"))).cast("array<string>"), ",")
+            .as("partkeys"),
+          count_distinct(col("l_partkey")).as("n_parts"))
         .orderBy(col("l_suppkey"))),
 
     "q_a2_union_merge" -> ((s, d) => {
@@ -512,7 +518,9 @@ object RelationalQueries {
          ORDER BY 1""",
 
     "q_a1_group_collect" ->
-      """SELECT l_suppkey, list_sort(list(DISTINCT l_partkey)) AS partkeys
+      """SELECT l_suppkey,
+                array_to_string(list_sort(list(DISTINCT l_partkey)), ',') AS partkeys,
+                count(DISTINCT l_partkey) AS n_parts
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_a2_union_merge" ->

@@ -72,6 +72,9 @@ object MitMPipeline {
     */
   def selectStartNodes(starts: Vector[NodeObject], n: Int, seed: Long,
                        withoutReplacement: Boolean): Vector[(Long, NodeObject)] = {
+    require(starts.nonEmpty,
+      "perturbed graph has no start nodes (every vertex has an incoming edge); " +
+        "random walks need at least one in-degree-0 node to seed from")
     val rng = new Random(seed)
     val remaining = scala.collection.mutable.ArrayBuffer(starts: _*)
     (1L to n.toLong).map { i =>

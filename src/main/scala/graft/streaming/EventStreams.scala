@@ -46,9 +46,35 @@ object EventStreams {
   final case class SessionState(nEvents: Long, start: Long, lastTs: Long)
   final case class Session(user_id: Long, n_events: Long, duration_secs: Long)
 
-  /** Gap-based sessionization: a session closes after `gapSecs` of user
-    * inactivity. Custom state via flatMapGroupsWithState — the engine's
-    * mapGroupsWithState surface (SURVEY §2.11 extension).
+  /** Folds one user's time-sorted events into closed sessions plus the
+    * still-open trailing state (if any). Shared by the batch and streaming
+    * sessionizers so both paths have identical gap semantics.
+    */
+  private def foldSessions(userId: Long, init: Option[SessionState],
+                           evts: Iterator[Event], gapSecs: Long
+                          ): (List[Session], Option[SessionState]) = {
+    val sorted = evts.toSeq.sortBy(_.ts.getTime)
+    val out = scala.collection.mutable.ListBuffer.empty[Session]
+    var st = init.getOrElse(SessionState(0, 0, Long.MinValue))
+    sorted.foreach { e =>
+      val t = e.ts.getTime / 1000
+      if (st.nEvents > 0 && t - st.lastTs > gapSecs) {
+        out += Session(userId, st.nEvents, st.lastTs - st.start)
+        st = SessionState(0, 0, Long.MinValue)
+      }
+      st =
+        if (st.nEvents == 0) SessionState(1, t, t)
+        else st.copy(nEvents = st.nEvents + 1, lastTs = t)
+    }
+    (out.toList, if (st.nEvents > 0) Some(st) else None)
+  }
+
+  /** Gap-based sessionization over a COMPLETE input: a session closes after
+    * `gapSecs` of user inactivity, and the trailing session of each user is
+    * emitted eagerly because no further events can arrive. This is the batch
+    * variant — running it over an unbounded stream would split sessions that
+    * span micro-batch boundaries; use [[sessionizeStreaming]] there, which
+    * holds open sessions in state until an event-time timeout closes them.
     */
   def sessionize(events: Dataset[Event], gapSecs: Long = 1800): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -57,27 +83,60 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, evts: Iterator[Event], state: GroupState[SessionState]) =>
-          // batch-friendly variant: fold sorted events, emitting closed sessions
-          val sorted = evts.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ListBuffer.empty[Session]
-          var st = state.getOption.getOrElse(SessionState(0, 0, Long.MinValue))
-          sorted.foreach { e =>
-            val t = e.ts.getTime / 1000
-            if (st.nEvents > 0 && t - st.lastTs > gapSecs) {
-              out += Session(userId, st.nEvents, st.lastTs - st.start)
-              st = SessionState(0, 0, Long.MinValue)
-            }
-            st =
-              if (st.nEvents == 0) SessionState(1, t, t)
-              else st.copy(nEvents = st.nEvents + 1, lastTs = t)
-          }
-          if (st.nEvents > 0) {
-            // close the trailing session in batch mode (state won't time out)
-            out += Session(userId, st.nEvents, st.lastTs - st.start)
-            state.remove()
-          }
-          out.iterator
+          val (closed, open) = foldSessions(userId, state.getOption, evts, gapSecs)
+          state.remove()
+          // complete input: close the trailing session too
+          (closed ++ open.map(st => Session(userId, st.nEvents, st.lastTs - st.start))).iterator
       }
+  }
+
+  /** Gap-based sessionization over an unbounded stream: open sessions stay in
+    * state across micro-batches and close only when the gap is observed
+    * in-batch or when the event-time timeout fires (watermark passes
+    * lastTs + gapSecs) — sessions spanning micro-batch boundaries are NOT
+    * split. Input must carry a watermark on `ts` (see
+    * [[startSessionStream]]); state per active user only, so memory is
+    * bounded by concurrent users, not history.
+    */
+  def sessionizeStreaming(events: Dataset[Event], gapSecs: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evts: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, st.nEvents, st.lastTs - st.start))
+          } else {
+            val (closed, open) = foldSessions(userId, state.getOption, evts, gapSecs)
+            open match {
+              case Some(st) =>
+                state.update(st)
+                // close once the watermark passes the gap; clamp above the
+                // current watermark (timeouts strictly in the future)
+                state.setTimeoutTimestamp(
+                  math.max(st.lastTs * 1000 + gapSecs * 1000,
+                    state.getCurrentWatermarkMs() + 1))
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Wire an event stream through [[sessionizeStreaming]] with the matching
+    * watermark into an in-memory sink (tests / ad-hoc monitoring).
+    */
+  def startSessionStream(events: DataFrame, gapSecs: Long,
+                         queryName: String): StreamingQuery = {
+    import events.sparkSession.implicits._
+    sessionizeStreaming(
+        events.withWatermark("ts", s"$gapSecs seconds").as[Event], gapSecs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
   }
 
   /** Wire a parquet-directory stream through [[windowedCounts]] into an

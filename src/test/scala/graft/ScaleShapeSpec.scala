@@ -22,10 +22,10 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
       .select(col("embedding")).head().getSeq[Float](0)
     val probedScan = IvfIndex.readIndex(spark, path).filter(col("cell").isin(0, 1))
     val plan = probedScan.queryExecution.executedPlan.toString
-    plan should include("PartitionFilters")
-    // the scan object reports the pruned partition count; assert the filter
-    // survived to the scan rather than being applied post-read
-    plan should include("cell")
+    // the filter must survive INSIDE the scan's PartitionFilters list (every
+    // FileSourceScan prints an — possibly empty — "PartitionFilters: [...]",
+    // so asserting the two substrings separately would be vacuous)
+    plan should include regex """PartitionFilters: \[[^\]]*cell"""
 
     val viaIndex = IvfIndex.topKIndexed(spark, path, model, query, k = 5,
       nprobe = 4, excludeSelf = Some(3L))

@@ -50,6 +50,37 @@ class EventStreamsSpec extends AnyFunSuite with Matchers {
     byUser(9L).map(_.n_events).toSeq shouldBe Seq(1L)
   }
 
+  test("sessionizeStreaming keeps sessions open across micro-batches and closes on timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventStreams.Event]
+    val q = EventStreams.startSessionStream(src.toDF(), gapSecs = 1800, "ev_sessions")
+    try {
+      // batch 1: two events of one session for user 7
+      src.addData(EventStreams.Event(1, ts(0), 7L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: 60s later — same session, must NOT have been split at the
+      // micro-batch boundary
+      src.addData(EventStreams.Event(2, ts(60), 7L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      spark.table("ev_sessions").count() shouldBe 0 // session still open
+      // batch 3: far-future event for another user advances the watermark
+      // past 60 + 1800 → user 7's open session times out and closes
+      src.addData(EventStreams.Event(3, ts(10000), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // timeout processing happens against the batch-3 watermark; one more
+      // batch lets the state-store timeout fire if it lagged a cycle
+      src.addData(EventStreams.Event(4, ts(10001), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val sessions = spark.table("ev_sessions")
+        .as[EventStreams.Session].collect()
+      sessions.filter(_.user_id == 7L).map(s => (s.n_events, s.duration_secs))
+        .toSeq shouldBe Seq((2L, 60L))
+    } finally q.stop()
+  }
+
   test("slidingUserRate emits overlapping windows") {
     val out = EventStreams.slidingUserRate(Tables.events(spark, sfDir))
     // 10-minute window sliding by 5 → each event lands in exactly 2 windows
