@@ -84,14 +84,18 @@ object Dedup {
                         hasher: Hasher = xxHasher): DataFrame = {
     val sigs = minhashSignatures(docs, "doc_id", textCol, k, bands * rowsPerBand, hasher)
       // docs shorter than k tokens have all-null signatures (explode_outer +
-      // null-propagating hashers); hash() skips null array elements, so every
-      // band of every short doc would collapse into one bucket and produce
-      // spurious all-pairs candidates among short docs — drop them up front
+      // null-propagating hashers); every band of every short doc would
+      // otherwise collapse into one shared bucket and produce spurious
+      // all-pairs candidates among short docs — drop them up front
       .filter(col("sig")(0).isNotNull)
+    // the bucket key is the band slice itself (LSH banding IS exact equality
+    // of band slices): joining on the array is collision-free, engine-portable
+    // for the oracle, and still an equi-join — rowsPerBand longs per key
+    // instead of one hashed int is a negligible shuffle-width cost
     val banded = sigs
       .select(col("doc_id"), posexplode(
         array((0 until bands).map(b => slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
-      .select(col("doc_id"), col("pos").as("band"), hash(col("col")).as("bucket"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b,
@@ -104,13 +108,16 @@ object Dedup {
   /** SimHash signatures for every doc: 32-bit value from per-bit majority
     * vote over distinct-token hashes. Explode + one aggregation with 32
     * conditional counters — single shuffle, all codegen'd.
-    * Returns (idCol, simhash: long).
+    * Returns (idCol, simhash: long). `tokenHash` defaults to codegen'd
+    * xxhash64 (production); pass [[md5Hash32]] for an engine-portable
+    * signature the DuckDB oracle can reproduce.
     */
-  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashes(docs: DataFrame, idCol: String, textCol: String,
+                tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val exploded = docs
       .repartition(col(idCol)) // see minhashSignatures: parallelize the explode
       .select(col(idCol), explode_outer(array_distinct(split(col(textCol), " "))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
+      .select(col(idCol), tokenHash(col("tok")).as("h"))
     val bitCounts = (0 until 32).map(bit =>
       count_if(col("h").bitwiseAND(lit(1L << bit)) =!= 0).as(s"ones_$bit"))
     val agged = exploded.groupBy(col(idCol))
@@ -124,6 +131,25 @@ object Dedup {
   /** Hamming distance between two simhash values (for near-dup thresholds). */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Duplicate-cluster formation: turn a near-dup PAIR list into per-doc
+    * cluster labels (min doc id of each connected component) via GraphX
+    * connected components — Pregel min-label propagation, the shape that
+    * holds when the pair graph no longer fits anywhere whole. Every doc in
+    * `docs` gets a label; docs with no dup partner are their own singleton
+    * cluster. Downstream dedup keeps `doc_id == cluster_id` rows (the
+    * canonical survivor per cluster).
+    */
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = docs.sparkSession
+    val vertices = docs.select(col("doc_id").cast("long"))
+      .rdd.map(r => (r.getLong(0), ()))
+    val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val labeled = Graph(vertices, edges).connectedComponents().vertices
+    spark.createDataFrame(labeled).toDF("doc_id", "cluster_id")
+  }
 
   /** Exact candidate pairs for Jaccard >= t via prefix filtering (the
     * PPJoin-family bound from the set-similarity-join literature): order each

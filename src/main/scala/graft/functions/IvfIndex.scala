@@ -94,6 +94,42 @@ object IvfIndex {
     Similarity.bruteForceTopK(cells.drop("cell"), query, k, excludeSelf)
   }
 
+  /** ANN k-NN JOIN: top-k neighbors for EVERY vector at once. Each vector
+    * ranks all centroids in-plan (k codegen'd dot products), probes its
+    * `nprobe` nearest cells, and joins the cell-assigned corpus on `cell` —
+    * the one shuffle. Per-vector top-k via window row_number. This is the
+    * scale shape for corpus-wide embedding near-dup: the cross product never
+    * materializes, candidate volume is bounded by cell populations (skewed
+    * cells are AQE's skew-join case).
+    */
+  def knnJoin(embs: DataFrame, model: Model, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(sqDistCol(c), 9).as("d"), lit(i).as("cell"))
+    }
+    val probes = embs
+      .select(col("vec_id"), col("embedding"),
+        slice(array_sort(array(scored: _*)), 1, nprobe).as("probes"))
+      .select(col("vec_id"), col("embedding"),
+        VectorExprs.norm(col("embedding")).as("nrm"),
+        explode(col("probes.cell")).as("cell"))
+    val index = assignCells(embs, model).select(col("cell"),
+      col("vec_id").as("vid_b"), col("embedding").as("emb_b"),
+      VectorExprs.norm(col("embedding")).as("nrm_b"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
+    probes.join(index, Seq("cell"))
+      .filter(col("vec_id") =!= col("vid_b"))
+      .select(col("vec_id"), col("vid_b"),
+        round(VectorExprs.dot(col("embedding"), col("emb_b")) /
+          (col("nrm") * col("nrm_b")), 6).as("cosine"))
+      // a pair probed via several shared cells appears once per cell —
+      // dedup before ranking
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Exact top-k within the `nprobe` cells nearest to the query vector. */
   def topK(embs: DataFrame, model: Model, query: Seq[Float], k: Int,
            nprobe: Int, excludeSelf: Option[Long] = None): DataFrame = {

@@ -351,6 +351,28 @@ object RelationalQueries {
       graft.streaming.EventStreams.windowedCounts(Tables.events(s, d))
         .orderBy(col("window_start"), col("event_type"))),
 
+    "q_ev5_sliding" -> ((s, d) =>
+      // 10-min windows sliding by 5 — every event lands in exactly two
+      // windows; identical code path as the readStream pipeline
+      graft.streaming.EventStreams.slidingUserRate(Tables.events(s, d))
+        .orderBy(col("window_start"), col("user_id"))),
+
+    // ---- multimodal plumbing (binary payload + typed metadata) --------------
+    "q_m1_media_features" -> ((s, d) => {
+      // documents.text cast to binary stands in for real image/audio bytes;
+      // extractFeatures runs the partition-batched (stub) decoder — the
+      // oracle checks the metadata plumbing (payload byte length preserved
+      // through the binary cast, fixed feature dimensionality out)
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        Tables.documents(s, d), "doc_id", "text", "text")
+      val feats = graft.multimodal.Multimodal.extractFeatures(media, dims = 16)
+        .toDF().select(col("media_id"), size(col("features")).as("n_dims"))
+      media.join(feats, "media_id")
+        .select(col("media_id"), col("media_type"),
+          octet_length(col("payload")).as("n_bytes"), col("n_dims"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_as1_asof_join" -> ((s, d) =>
       // as-of join: latest order at-or-before each event for the same
       // customer — composed union+window operator (graft.operators.AsOfJoin)
@@ -398,12 +420,17 @@ object RelationalQueries {
         .orderBy(col("doc_id"))),
 
     "q_d3_simhash" -> ((s, d) =>
-      Dedup.simhashes(Tables.documents(s, d), "doc_id", "text")
+      // md5-derived token hash for cross-engine oracle reproducibility
+      // (production default is codegen'd xxhash64)
+      Dedup.simhashes(Tables.documents(s, d), "doc_id", "text",
+          tokenHash = Dedup.md5Hash32)
         .orderBy(col("doc_id"))),
 
     "q_d4_lsh_candidates" -> ((s, d) =>
+      // md5 hash family + exact band-slice buckets: the full LSH banding
+      // pipeline is reproduced by the DuckDB oracle, hash for hash
       Dedup.minhashCandidates(Tables.documents(s, d), "text",
-        k = 3, bands = 4, rowsPerBand = 2)
+        k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q_d5_embed_neardup" -> ((s, d) =>
@@ -415,6 +442,16 @@ object RelationalQueries {
     "q_d6_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", k = 3, threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_d7_dup_clusters" -> ((s, d) => {
+      // pair list → per-doc cluster labels (GraphX connected components);
+      // oracled by a DuckDB recursive-CTE min-label propagation
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(docs, "text",
+        k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+      Dedup.duplicateClusters(docs.select(col("doc_id")), pairs)
+        .orderBy(col("doc_id"))
+    }),
 
     "q_a9_approx_distinct" -> ((s, d) =>
       // HLL sketch surface (rows-only check: approximation algorithms differ
@@ -445,6 +482,16 @@ object RelationalQueries {
         .select(col("embedding")).head().getSeq[Float](0)
       graft.functions.IvfIndex.topK(embs, model, query, k = 10, nprobe = 3,
         excludeSelf = Some(0L))
+    }),
+
+    "q_v4_knn_join" -> ((s, d) => {
+      // corpus-wide ANN k-NN join: every vector gets its top-k via
+      // nprobe-cell IVF probing (rows-only: k-means cells aren't
+      // SQL-reproducible; exactness at nprobe=k is pinned by IvfIndexSpec)
+      val embs = Tables.embeddings(s, d)
+      val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
+      graft.functions.IvfIndex.knnJoin(embs, model, k = 3, nprobe = 2)
+        .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))
     })
   )
 
@@ -755,6 +802,72 @@ object RelationalQueries {
       """SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS asof_time
          FROM events e ASOF LEFT JOIN orders o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-         ORDER BY e.event_id"""
+         ORDER BY e.event_id""",
+
+    "q_d3_simhash" ->
+      """WITH hs AS (
+           SELECT doc_id, [('0x'||substr(md5(t),1,8))::BIGINT
+             FOR t IN list_distinct(string_split(text,' '))] AS h
+           FROM documents)
+         SELECT doc_id,
+                list_sum([CASE WHEN len(list_filter(h, x -> (x >> b) & 1 = 1)) * 2 >= len(h)
+                               THEN 1::BIGINT << b ELSE 0::BIGINT END
+                          FOR b IN generate_series(0, 31)])::BIGINT AS simhash
+         FROM hs ORDER BY 1""",
+
+    "q_d4_lsh_candidates" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sig AS (
+           SELECT doc_id, [list_min([('0x' || substr(md5(s::VARCHAR || ':' || sh2), 1, 8))::BIGINT
+             FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
+           FROM sh WHERE len(shingles) > 0),
+         banded AS (
+           SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
+           FROM sig, generate_series(0, 3) t(b))
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         ORDER BY 1, 2""",
+
+    "q_ev5_sliding" ->
+      """WITH w AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b FROM events),
+         a AS (SELECT user_id, b AS window_start FROM w
+               UNION ALL
+               SELECT user_id, b - INTERVAL '5 minutes' AS window_start FROM w)
+         SELECT window_start, user_id, count(*) AS n_events
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_m1_media_features" ->
+      """SELECT doc_id AS media_id, 'text' AS media_type,
+                octet_length(encode(text)) AS n_bytes, 16 AS n_dims
+         FROM documents ORDER BY 1""",
+
+    "q_d7_dup_clusters" ->
+      """WITH RECURSIVE
+           sh AS (
+             SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+           sig AS (
+             SELECT doc_id, [list_min([('0x' || substr(md5(s::VARCHAR || ':' || sh2), 1, 8))::BIGINT
+               FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
+             FROM sh WHERE len(shingles) > 0),
+           banded AS (
+             SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
+             FROM sig, generate_series(0, 3) t(b)),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           e AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+           r AS (
+             SELECT doc_id AS doc, doc_id AS root FROM documents
+             UNION
+             SELECT e.b AS doc, r.root FROM r JOIN e ON e.a = r.doc)
+         SELECT doc AS doc_id, min(root)::BIGINT AS cluster_id
+         FROM r GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -113,6 +113,15 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     pairs should contain((1L, 2L))
   }
 
+  test("duplicateClusters labels connected components with the min doc id") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // pairs chain 1-2-3 into one cluster, 5-6 into another; 4 is a singleton
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L)
+  }
+
   test("ngramJaccardPairs computes jaccard on shared shingles") {
     val df = Seq(
       (1L, "a b c d e"),

@@ -33,6 +33,22 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     ivf shouldBe brute
   }
 
+  test("knnJoin with all cells probed equals per-vector brute force") {
+    val embs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 30)
+    val model = IvfIndex.train(spark, embs, k = 3, iters = 1)
+    val joined = IvfIndex.knnJoin(embs, model, k = 4, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ids = embs.select("vec_id").collect().map(_.getLong(0))
+    ids.take(5).foreach { id =>
+      val q = embs.filter(col("vec_id") === id)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val brute = Similarity.bruteForceTopK(embs, q, k = 4, excludeSelf = Some(id))
+        .collect().map(_.getLong(0)).toSet
+      joined(id) shouldBe brute
+    }
+  }
+
   test("ivf with fewer probes returns a subset ranking with decent recall") {
     val embs = Tables.embeddings(spark, sfDir)
     val model = IvfIndex.train(spark, embs, k = 8, iters = 2)
