@@ -28,7 +28,16 @@ object Dedup {
 
   /** Seeded hash families for minhash permutations. */
   type Hasher = (Column, Int) => Column
-  val md5Hasher: Hasher = (c, seed) => md5Hash32(concat(lit(s"$seed:"), c))
+
+  /** md5-derived family: one md5 yields FOUR independent 32-bit hashes (the
+    * digest's four 8-hex-char slices), so permutation i only recomputes md5
+    * per group of four — i/4 picks the seeded digest, i%4 the slice. Exactly
+    * reproducible in DuckDB as
+    * ('0x'||substr(md5((i//4)||':'||x), 1+8*(i%4), 8))::BIGINT.
+    */
+  val md5Hasher: Hasher = (c, i) =>
+    conv(substring(md5(concat(lit(s"${i / 4}:"), c)), 1 + 8 * (i % 4), 8), 16, 10)
+      .cast("long")
   // xxhash64 skips null inputs (returns the seed hash) — wrap so nulls
   // propagate like the md5 family, keeping short-doc signatures null
   val xxHasher: Hasher = (c, seed) =>

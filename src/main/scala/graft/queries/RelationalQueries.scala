@@ -400,6 +400,27 @@ object RelationalQueries {
       // broadcast-join form — identical output to the column form
       TextOps.langIdJoined(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
+    "q_t5_corpus_filter" -> ((s, d) => {
+      // flagship training-corpus filter — the composition a 100 TB pipeline
+      // runs end to end: language gate ∧ quality gate ∧ one survivor per
+      // exact-duplicate group, in one declarative plan (each stage is its
+      // own shuffle-partitionable subplan; nothing collects)
+      val docs = Tables.documents(s, d)
+      val lang = TextOps.langIdJoined(docs)
+      val qual = TextOps.qualityScoreExploded(docs)
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+      val canon = docs.groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      docs.select(col("doc_id"))
+        .join(canon, "doc_id")
+        .join(lang, "doc_id").filter(col("lang_pred") === "en")
+        .join(qual, "doc_id")
+        .filter(col("n_tokens") >= 20 && col("stopword_ratio") >= 0.02)
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_t4_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.md5Fingerprint(col("text")).as("fingerprint"))
@@ -718,6 +739,29 @@ object RelationalQueries {
     "q_t4_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents ORDER BY 1",
 
+    "q_t5_corpus_filter" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+         sc AS (SELECT doc_id, [
+           {'score': len(list_filter(t, w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], w))), 'lang': 'en'},
+           {'score': len(list_filter(t, w -> list_contains(['der','die','und','das','ist','ein','nicht','mit','zu','den'], w))), 'lang': 'de'},
+           {'score': len(list_filter(t, w -> list_contains(['le','la','et','les','des','un','une','est','que','pour'], w))), 'lang': 'fr'},
+           {'score': len(list_filter(t, w -> list_contains(['el','la','de','que','y','los','un','una','es','por'], w))), 'lang': 'es'}] l
+          FROM toks),
+         lang AS (SELECT doc_id, list_max(l)['lang'] AS lang_pred FROM sc),
+         q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                 round(len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))::DOUBLE
+                   / len(string_split(text, ' ')), 4) AS stopword_ratio
+               FROM documents),
+         canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         SELECT d.doc_id, lang.lang_pred, q.n_tokens, q.stopword_ratio
+         FROM documents d
+           JOIN canon USING (doc_id)
+           JOIN lang USING (doc_id)
+           JOIN q USING (doc_id)
+         WHERE lang.lang_pred = 'en' AND q.n_tokens >= 20 AND q.stopword_ratio >= 0.02
+         ORDER BY 1""",
+
     "q_d1_exact_dup" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_dups,
                 min(doc_id) AS canonical_doc_id
@@ -731,9 +775,9 @@ object RelationalQueries {
            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
          SELECT doc_id,
            list_min([('0x' || substr(md5('0:' || s), 1, 8))::BIGINT FOR s IN shingles]) AS mh0,
-           list_min([('0x' || substr(md5('1:' || s), 1, 8))::BIGINT FOR s IN shingles]) AS mh1,
-           list_min([('0x' || substr(md5('2:' || s), 1, 8))::BIGINT FOR s IN shingles]) AS mh2,
-           list_min([('0x' || substr(md5('3:' || s), 1, 8))::BIGINT FOR s IN shingles]) AS mh3
+           list_min([('0x' || substr(md5('0:' || s), 9, 8))::BIGINT FOR s IN shingles]) AS mh1,
+           list_min([('0x' || substr(md5('0:' || s), 17, 8))::BIGINT FOR s IN shingles]) AS mh2,
+           list_min([('0x' || substr(md5('0:' || s), 25, 8))::BIGINT FOR s IN shingles]) AS mh3
          FROM sh ORDER BY 1""",
 
     "q_d5_embed_neardup" ->
@@ -821,7 +865,7 @@ object RelationalQueries {
              FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
          sig AS (
-           SELECT doc_id, [list_min([('0x' || substr(md5(s::VARCHAR || ':' || sh2), 1, 8))::BIGINT
+           SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
              FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
            FROM sh WHERE len(shingles) > 0),
          banded AS (
@@ -852,7 +896,7 @@ object RelationalQueries {
                FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
            sig AS (
-             SELECT doc_id, [list_min([('0x' || substr(md5(s::VARCHAR || ':' || sh2), 1, 8))::BIGINT
+             SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
                FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
              FROM sh WHERE len(shingles) > 0),
            banded AS (

@@ -139,6 +139,18 @@ object EventStreams {
       .start()
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen,
+    * with state bounded by the watermark window — the streaming half of the
+    * training-data dedup surface (at-least-once sources re-deliver; this
+    * makes the pipeline effectively-once). State holds only ids younger than
+    * the watermark delay, so memory is bounded by event rate × delay, not
+    * history.
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Wire a parquet-directory stream through [[windowedCounts]] into an
     * in-memory sink; used by tests via `processAllAvailable()`.
     */

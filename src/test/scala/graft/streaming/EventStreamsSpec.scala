@@ -81,6 +81,30 @@ class EventStreamsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("dedupStream drops redelivered event ids across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupStream(src.toDF(), "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ev_dedup").start()
+    try {
+      src.addData(
+        EventStreams.Event(1, ts(0), 7L, "view", 1.0, "{}"),
+        EventStreams.Event(1, ts(0), 7L, "view", 1.0, "{}")) // same-batch dup
+      q.processAllAvailable()
+      // redelivery in a LATER micro-batch, still inside the watermark window
+      src.addData(EventStreams.Event(1, ts(5), 7L, "view", 1.0, "{}"),
+        EventStreams.Event(2, ts(10), 7L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      val ids = spark.table("ev_dedup").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      ids.sorted shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
   test("slidingUserRate emits overlapping windows") {
     val out = EventStreams.slidingUserRate(Tables.events(spark, sfDir))
     // 10-minute window sliding by 5 → each event lands in exactly 2 windows
