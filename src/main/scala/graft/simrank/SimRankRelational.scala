@@ -1,0 +1,103 @@
+package graft.simrank
+
+import graft.model.NodeObject
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** G4 — the reference's single-pass SimRank variant
+  * (reference: src/main/scala/HelperFunction.scala:202-271) — as ONE
+  * declarative Catalyst plan: J3 (cross-join pair-space init) + J4 (parent
+  * lookups, missing side ⇒ 0) + A4/A5 (sum over parent pairs ×
+  * 1/(|pa|·|pb|)) + HALF_UP `round(_, 2)`.
+  *
+  * [[SimRank.score]] is the task-local scorer used inside walk partitions
+  * (each walk subgraph is small); this plan is the scale tier for when the
+  * pair space itself is the big object — every step is a join/aggregation
+  * that shuffles on its keys, nothing collects. Jacobi evaluation only:
+  * a set-oriented plan has no sequential order to depend on (SURVEY §7.3
+  * hazard 3).
+  *
+  * Semantics mirrored from [[SimRank.score]]:
+  *  - pairs whose either side appears in `matchTable` are excluded up front
+  *    (anti-joins), and match-table scores feed back as the base-score cache
+  *    for parent pairs outside the local pair space — a cached parent pair
+  *    (pa, pb) always has pa excluded from the local space, so the identity
+  *    branch and the cache branch are disjoint by construction;
+  *  - identical pairs (whole-struct equality, storedValue included) score
+  *    1.0 outright;
+  *  - non-identical pairs sum identity hits (pa == pb with both sides in the
+  *    local space) plus cache hits over the parents cross product;
+  *  - zero scores are pruned from the output.
+  *
+  * One deliberate divergence: sums accumulate in Double with engine-chosen
+  * order instead of Float in loop order, so a score sitting within Float
+  * epsilon of a .xx5 rounding boundary can round differently than the
+  * task-local Float loop (`SimRankRelationalSpec` pins exact equality on the
+  * reference fixtures, where this does not occur).
+  */
+object SimRankRelational {
+
+  /** One scoring pass.
+    *
+    * @param pgNodes       perturbed-side (walk subgraph) node set
+    * @param ngNodes       original-graph node set
+    * @param pgParentPairs (node, parent) rows for the perturbed side
+    * @param ngParentPairs (node, parent) rows for the original side
+    * @param matchTable    running match table (pgNode, ngNode, score)
+    * @return (pgNode, ngNode, score) with score > 0
+    */
+  def scorePass(pgNodes: Dataset[NodeObject], ngNodes: Dataset[NodeObject],
+                pgParentPairs: DataFrame, ngParentPairs: DataFrame,
+                matchTable: DataFrame): DataFrame = {
+    // pair-space exclusion (reference :203-210): drop already-matched sides
+    val pg = pgNodes.select(struct(col("*")).as("p"))
+      .join(matchTable.select(col("pgNode").as("p")), Seq("p"), "left_anti")
+    val ng = ngNodes.select(struct(col("*")).as("n"))
+      .join(matchTable.select(col("ngNode").as("n")), Seq("n"), "left_anti")
+
+    val pgPar = pgParentPairs.select(col("node").as("p"), col("parent").as("pa"))
+      .join(pg, Seq("p"), "left_semi")
+    val ngPar = ngParentPairs.select(col("node").as("n"), col("parent").as("pb"))
+      .join(ng, Seq("n"), "left_semi")
+
+    // A5 coefficient denominators: parent-list lengths (duplicates count,
+    // like the reference's List lengths)
+    val pgCnt = pgPar.groupBy(col("p")).agg(count(lit(1)).as("np_p"))
+    val ngCnt = ngPar.groupBy(col("n")).agg(count(lit(1)).as("np_n"))
+
+    // identity contributions: parent pairs with pa == pb, both sides inside
+    // the local pair space (baseInit's first branch)
+    val pgMembers = pg.select(col("p").as("m"))
+    val ngMembers = ng.select(col("n").as("m"))
+    val idContrib = pgPar.join(ngPar, col("pa") === col("pb"))
+      .join(pgMembers, col("pa") === col("m"), "left_semi")
+      .join(ngMembers, col("pb") === col("m"), "left_semi")
+      .groupBy(col("p"), col("n"))
+      .agg(count(lit(1)).cast("double").as("id_sum"))
+
+    // cache contributions: parent pairs that hit the match table
+    // (baseInit's fallback branch — reference :245-248)
+    val cacheC = matchTable.select(col("pgNode").as("ca"), col("ngNode").as("cb"),
+      col("score").cast("double").as("cs"))
+    val cacheContrib = pgPar.join(cacheC, col("pa") === col("ca"))
+      .join(ngPar, col("pb") === col("cb"))
+      .groupBy(col("p"), col("n"))
+      .agg(sum(col("cs")).as("cache_sum"))
+
+    val ident = pg.join(ng, col("p") === col("n"))
+      .select(col("p").as("pgNode"), col("n").as("ngNode"), lit(1.0f).as("score"))
+
+    val nonIdent = pg.join(pgCnt, Seq("p")) // inner: parentless ⇒ 0 ⇒ pruned
+      .crossJoin(ng.join(ngCnt, Seq("n")))
+      .filter(col("p") =!= col("n"))
+      .join(idContrib, Seq("p", "n"), "left")
+      .join(cacheContrib, Seq("p", "n"), "left")
+      .withColumn("score", round(
+        (coalesce(col("id_sum"), lit(0.0d)) + coalesce(col("cache_sum"), lit(0.0d))) /
+          (col("np_p") * col("np_n")), 2).cast("float"))
+      .filter(col("score") =!= 0.0f)
+      .select(col("p").as("pgNode"), col("n").as("ngNode"), col("score"))
+
+    ident.unionByName(nonIdent)
+  }
+}

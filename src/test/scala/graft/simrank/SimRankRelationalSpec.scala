@@ -1,0 +1,55 @@
+package graft.simrank
+
+import graft.SparkSpec
+import graft.io.GraphText
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The relational G4 plan must reproduce the task-local Jacobi scorer
+  * bit for bit on the reference fixtures.
+  */
+class SimRankRelationalSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+
+  private lazy val ng = GraphText.load(spark, "/root/reference/input/Graph50.txt")
+  private lazy val pg = GraphText.load(spark, "/root/reference/input/Graph50.perturbed.txt")
+
+  private def relational(table: SimRank.MatchTable): Set[(Int, Int, Float)] = {
+    import spark.implicits._
+    val tableDF = table.toSeq.map { case (p, (n, s)) => (p, n, s) }
+      .toDF("pgNode", "ngNode", "score")
+    val pgDS = spark.createDataset(pg.nodes.distinct)
+    val ngDS = spark.createDataset(ng.nodes.distinct)
+    def parentPairs(g: graft.model.NetGraphLocal) =
+      spark.createDataset(g.edges).toDF()
+        .select(col("toNode").as("node"), col("fromNode").as("parent"))
+    SimRankRelational.scorePass(pgDS, ngDS,
+        parentPairs(pg), parentPairs(ng), tableDF)
+      .select(col("pgNode.id"), col("ngNode.id"), col("score"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getFloat(2))).toSet
+  }
+
+  private def local(table: SimRank.MatchTable): Set[(Int, Int, Float)] =
+    SimRank.score(pg.nodes.distinct, pg.parentMap, ng.nodes.distinct,
+        ng.parentMap, table, SimRank.Mode.Jacobi)
+      .flatMap { case (p, cands) => cands.map { case (n, s) => (p.id, n.id, s) } }
+      .toSet
+
+  test("relational pass equals the task-local Jacobi scorer (empty table)") {
+    val rel = relational(Map.empty)
+    val loc = local(Map.empty)
+    rel should not be empty
+    rel shouldBe loc
+  }
+
+  test("relational pass equals the task-local scorer with a running match table") {
+    // seed the cache/exclusion path with two real matches from a first pass
+    val first = local(Map.empty)
+    val seed: SimRank.MatchTable = first.toSeq.sortBy(t => (-t._3, t._1)).take(2)
+      .map { case (pId, nId, s) =>
+        pg.nodes.find(_.id == pId).get -> (ng.nodes.find(_.id == nId).get, s)
+      }.toMap
+    relational(seed) shouldBe local(seed)
+  }
+}
