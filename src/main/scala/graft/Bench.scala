@@ -34,16 +34,26 @@ object Bench {
             dt }
       catch { case e: Throwable =>
         System.err.println(s"[bench] pass$pass $name failed: ${e.getMessage}"); -1.0 }
+      finally spark.catalog.clearCache() // queries may persist subtrees
+      // (shingle/candidate caches); drop them so later passes re-execute the
+      // real plan instead of reading pass 1's cache
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // two passes; report the per-query minimum — pass 1 absorbs codegen
-    // compilation, file listing and page-cache warmup
-    val m1 = ordered.map { case (name, fn) => name -> run1(name, 1, fn) }.toMap
-    val results = ordered.map { case (name, fn) =>
-      val t2 = run1(name, 2, fn)
-      val t1 = m1(name)
-      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // 3+ passes, per-query MEDIAN: pass 1 absorbs codegen compilation, file
+    // listing and page-cache warmup; the median (vs min-of-2) absorbs the
+    // host-VM CPU-throttling spikes documented in SCALE.md
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val byPass = (1 to passes).map { p =>
+      ordered.map { case (name, fn) => name -> run1(name, p, fn) }.toMap
+    }
+    val results = ordered.map { case (name, _) =>
+      val ts = byPass.map(_(name))
+      name -> (if (ts.exists(_ < 0)) -1.0
+               else ts.sorted.apply(ts.length / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":${v}%.3f""" }
       .mkString("{", ",", "}")

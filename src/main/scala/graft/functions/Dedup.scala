@@ -134,7 +134,12 @@ object Dedup {
     val sig = (0 until 32).map { bit =>
       when(col(s"ones_$bit") * 2 >= col("total"), lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_ + _)
-    agged.select(col(idCol), sig.as("simhash"))
+    // NULL text explodes to a single null token → total = 0 and every
+    // majority vote "0*2 >= 0" trivially passes (simhash 0xFFFFFFFF);
+    // emit 0 instead — the value DuckDB's formulation yields for NULL docs —
+    // so the operator is total and engine-portable without fixture luck
+    agged.select(col(idCol),
+      when(col("total") > 0, sig).otherwise(lit(0L)).as("simhash"))
   }
 
   /** Hamming distance between two simhash values (for near-dup thresholds). */

@@ -123,8 +123,11 @@ object IvfIndex {
         round(VectorExprs.dot(col("embedding"), col("emb_b")) /
           (col("nrm") * col("nrm_b")), 6).as("cosine"))
       // a pair probed via several shared cells appears once per cell —
-      // dedup before ranking
-      .distinct()
+      // dedup on the PAIR KEY alone (not (pair, cosine)): the duplicated
+      // rows carry the same deterministic cosine today, but keying the dedup
+      // on the float would silently break if recomputation ever reordered
+      // the summation
+      .dropDuplicates("vec_id", "vid_b")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")

@@ -62,9 +62,14 @@ object EventStreams {
         out += Session(userId, st.nEvents, st.lastTs - st.start)
         st = SessionState(0, 0, Long.MinValue)
       }
+      // a later micro-batch may legally deliver an event OLDER than the
+      // carried state's bounds (within the watermark delay): merge with
+      // min/max instead of overwriting, so lastTs never regresses (which
+      // would split the session early / set the event-time timeout in the
+      // past) and durations stay non-negative
       st =
         if (st.nEvents == 0) SessionState(1, t, t)
-        else st.copy(nEvents = st.nEvents + 1, lastTs = t)
+        else SessionState(st.nEvents + 1, math.min(st.start, t), math.max(st.lastTs, t))
     }
     (out.toList, if (st.nEvents > 0) Some(st) else None)
   }
