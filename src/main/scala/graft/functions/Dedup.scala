@@ -126,7 +126,12 @@ object Dedup {
     val exploded = docs
       .repartition(col(idCol)) // see minhashSignatures: parallelize the explode
       .select(col(idCol), explode_outer(array_distinct(split(col(textCol), " "))).as("tok"))
-      .select(col(idCol), tokenHash(col("tok")).as("h"))
+      // null token (NULL text) must hash to null so `total` below counts 0:
+      // xxhash64(null) returns the seed hash, which would smuggle one bogus
+      // "token" into the majority vote
+      .select(col(idCol),
+        when(col("tok").isNull, lit(null).cast("long"))
+          .otherwise(tokenHash(col("tok"))).as("h"))
     val bitCounts = (0 until 32).map(bit =>
       count_if(col("h").bitwiseAND(lit(1L << bit)) =!= 0).as(s"ones_$bit"))
     val agged = exploded.groupBy(col(idCol))
@@ -188,15 +193,30 @@ object Dedup {
       explode(col("shingles")).as("shingle"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))
+    // PPJoin length filter as a JOIN-KEY component: geometric length buckets
+    // with ratio 1/t. A qualifying pair has t·max(|x|,|y|) <= min(|x|,|y|),
+    // so ln(min)/ln(1/t) >= ln(max)/ln(1/t) - 1 and the two floors differ by
+    // at most 1 — x probing {b-1, b, b+1} misses no pair, while a globally
+    // frequent shingle's hot join key is split across every active length
+    // bucket instead of colliding all its docs into one reducer.
+    // (t clamped below 1 to keep the bucket ratio finite; clamping only
+    // widens buckets, so the ±1 bound still holds.)
+    val tEff = math.min(threshold, 0.999)
+    val lb = floor(log(col("n_shingles").cast("double")) /
+      lit(math.log(1.0 / tEff))).cast("int")
     val prefix = sh.join(freq, "shingle")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <=
         col("n_shingles") - ceil(col("n_shingles") * threshold) + 1)
       .select(col("doc_id"), col("shingle"), col("pos"), col("n_shingles"))
+      .withColumn("lb", lb)
+    val probes = prefix.withColumn("lbp",
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
     val minOverlap =
       (col("x.n_shingles") + col("y.n_shingles")) * lit(threshold / (1.0 + threshold))
-    prefix.alias("x").join(prefix.alias("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+    probes.alias("x").join(prefix.alias("y"),
+        col("x.shingle") === col("y.shingle") && col("x.lbp") === col("y.lb") &&
+          col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n_shingles"), col("y.n_shingles")) >=
             greatest(col("x.n_shingles"), col("y.n_shingles")) * threshold &&
           lit(1) + least(col("x.n_shingles") - col("x.pos"),
@@ -215,6 +235,11 @@ object Dedup {
     * explode-join blowup — and candidate generation never joins the full
     * shingle lists of non-candidate pairs, so frequent shingles don't go
     * quadratic. Returns (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    *
+    * NOTE on the cache: the shingle table is persisted for the lifetime of
+    * the returned plan (it feeds candidate generation and both verify
+    * sides); callers running many invocations in one session should
+    * `spark.catalog.clearCache()` between runs — Bench and Verify do.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, k: Int, threshold: Double,
                         candidates: Option[DataFrame] = None): DataFrame = {

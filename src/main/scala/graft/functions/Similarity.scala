@@ -72,18 +72,36 @@ object Similarity {
   /** ANN top-k for every vector at once (k-NN join): candidates restricted to
     * shared LSH buckets, then per-vector window top-k. At scale the bucket
     * join is the only shuffle; skewed buckets are split by AQE.
+    *
+    * `reps` independent bucketings (repetition r uses planes
+    * r*numPlanes .. r*numPlanes+numPlanes-1) are unioned before the window:
+    * with a single bucketing any vector alone in its bucket silently gets
+    * ZERO neighbors — a recall hole, not an approximation. Each extra
+    * repetition gives every vector an independent chance at a populated
+    * bucket; recall-vs-brute-force is pinned in FunctionsSpec.
     */
-  def lshTopK(embs: DataFrame, numPlanes: Int, k: Int): DataFrame = {
+  def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bk = lshBuckets(embs, numPlanes).join(embs, "vec_id")
-      .select(col("vec_id"), col("bucket"), col("embedding"),
-        norm(col("embedding")).as("nrm"))
-    val r = bk.select(col("bucket").as("bucket_b"), col("vec_id").as("vid_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    val d = embs.select(size(col("embedding"))).head().getInt(0)
+    val repBuckets = array((0 until reps).map { r =>
+      (0 until numPlanes).map { p =>
+        when(dot(col("embedding"), typedLit(planeVector(r * numPlanes + p, d))) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val bk = embs
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        posexplode(repBuckets).as(Seq("rep", "bucket")))
+    val r = bk.select(col("rep").as("rep_b"), col("bucket").as("bucket_b"),
+      col("vec_id").as("vid_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
-    bk.join(r, col("bucket") === col("bucket_b") && col("vec_id") =!= col("vid_b"))
+    bk.join(r, col("rep") === col("rep_b") && col("bucket") === col("bucket_b") &&
+        col("vec_id") =!= col("vid_b"))
       .select(col("vec_id"), col("vid_b"),
         round(dot(col("embedding"), col("emb_b")) / (col("nrm") * col("nrm_b")), 6).as("cosine"))
+      // a pair sharing buckets in several repetitions appears once per rep —
+      // dedup on the pair key alone (not the float) before ranking
+      .dropDuplicates("vec_id", "vid_b")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")

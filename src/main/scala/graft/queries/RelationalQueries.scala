@@ -454,22 +454,44 @@ object RelationalQueries {
         k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    "q_d5_embed_neardup" -> ((s, d) =>
+    "q_d5_embed_neardup" -> ((s, d) => {
       // threshold calibrated to the synthetic corpus (random embeddings peak
-      // ~0.48 cosine) so the operator produces verifiable pairs
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.3)
-        .orderBy(col("vec_a"), col("vec_b"))),
+      // ~0.48 cosine) so the operator produces verifiable pairs.
+      // The gated plan is the BUCKETED one (the 100 TB shape): candidates
+      // come from an equi-join on the md5-hyperplane LSH bucket, never the
+      // cross product; the DuckDB oracle reproduces the bucketing hash for
+      // hash from the documented plane formula (Similarity.planeComponent).
+      val embs = Tables.embeddings(s, d)
+      Dedup.embeddingNearDups(embs, threshold = 0.3,
+          buckets = Some(Similarity.lshBuckets(embs, numPlanes = 4)))
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
 
-    "q_d6_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", k = 3, threshold = 0.8)
-        .orderBy(col("doc_a"), col("doc_b"))),
+    "q_d6_ngram_jaccard" -> ((s, d) => {
+      // the gated plan generates candidates via minhash+LSH banding (the
+      // 100 TB default — bucketed equi-join, immune to shingle-frequency
+      // skew) and verifies exact Jaccard per candidate; the DuckDB oracle
+      // replicates banding + verification hash for hash. The exact
+      // PPJoin prefix-filter path stays the spec-level verifier
+      // (FunctionsSpec pins it against this approximate path).
+      val docs = Tables.documents(s, d)
+      Dedup.ngramJaccardPairs(docs, "text", k = 3, threshold = 0.8,
+          candidates = Some(Dedup.minhashCandidates(docs, "text",
+            k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     "q_d7_dup_clusters" -> ((s, d) => {
       // pair list → per-doc cluster labels (GraphX connected components);
-      // oracled by a DuckDB recursive-CTE min-label propagation
+      // oracled by a DuckDB recursive-CTE min-label propagation.
+      // The pair DataFrame is persisted: GraphX materializes the edge RDD
+      // more than once while building the graph, and without the cache each
+      // materialization re-runs the whole minhash+banding pipeline.
+      // (Bench/Verify clearCache() between queries.)
       val docs = Tables.documents(s, d)
       val pairs = Dedup.minhashCandidates(docs, "text",
-        k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+          k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Dedup.duplicateClusters(docs.select(col("doc_id")), pairs)
         .orderBy(col("doc_id"))
     }),
@@ -493,7 +515,10 @@ object RelationalQueries {
     }),
 
     "q_v2_knn_lsh" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d), numPlanes = 4, k = 5)
+      // 4 independent bucketings (reps) close the single-bucket recall hole;
+      // the md5-hyperplane bucketing is engine-reproducible, so this has a
+      // FULL DuckDB oracle (bucketing + candidate join + window top-k)
+      Similarity.lshTopK(Tables.embeddings(s, d), numPlanes = 4, k = 5, reps = 4)
         .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))),
 
     "q_v3_knn_ivf" -> ((s, d) => {
@@ -512,6 +537,19 @@ object RelationalQueries {
       val embs = Tables.embeddings(s, d)
       val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
       graft.functions.IvfIndex.knnJoin(embs, model, k = 3, nprobe = 2)
+        .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))
+    }),
+
+    "q_v5_knn_join_exact" -> ((s, d) => {
+      // the SAME knnJoin plan at nprobe = numCells, where IVF probing is
+      // provably exhaustive — every (query, candidate) pair survives the
+      // cell equi-join exactly once. This gives the ANN join a full DuckDB
+      // oracle (per-vector brute-force window top-k) instead of a rows-only
+      // check: the operator's join/dedup/rank machinery is hash-verified,
+      // and approximate nprobe<k runs reuse the identical plan.
+      val embs = Tables.embeddings(s, d)
+      val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
+      graft.functions.IvfIndex.knnJoin(embs, model, k = 3, nprobe = model.numCells)
         .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))
     })
   )
@@ -781,27 +819,97 @@ object RelationalQueries {
          FROM sh ORDER BY 1""",
 
     "q_d5_embed_neardup" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.3
+      // reproduces Similarity.planeComponent / lshBuckets exactly: plane p,
+      // dim d component = md5-derived value in [-0.5, 0.5); bucket = packed
+      // sign bits of the 4 plane projections; pairs restricted to equal
+      // buckets (the Spark plan's equi-join), then exact cosine verify
+      """WITH planes AS (
+           SELECT p, [('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
+                      / 4294967296.0 - 0.5
+             FOR d IN generate_series(0, 63)] AS v
+           FROM generate_series(0, 3) t(p)),
+         bk AS (
+           SELECT vec_id,
+                  sum(CASE WHEN list_dot_product(embedding::DOUBLE[], v) >= 0
+                           THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+           FROM embeddings, planes GROUP BY vec_id)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+         FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         JOIN embeddings ea ON ea.vec_id = a.vec_id
+         JOIN embeddings eb ON eb.vec_id = b.vec_id
+         WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.3
          ORDER BY 1, 2""",
 
     "q_d6_ngram_jaccard" ->
+      // candidates via the same md5 minhash+LSH banding as q_d4, then exact
+      // Jaccard verification over the full shingle sets — mirrors the Spark
+      // plan's candidate hook + array_intersect verify step
       """WITH sh AS (
-           SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-             FOR i IN generate_series(1, len(toks) - 2)])) AS shingle
-           FROM (SELECT doc_id, string_split(text, ' ') toks FROM documents)),
-         sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-         common AS (
-           SELECT x.doc_id a, y.doc_id b, count(*) c
-           FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-           GROUP BY 1, 2)
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sig AS (
+           SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
+             FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
+           FROM sh WHERE len(shingles) > 0),
+         banded AS (
+           SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
+           FROM sig, generate_series(0, 3) t(b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM banded x JOIN banded y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
          SELECT a AS doc_a, b AS doc_b,
-                round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
-         FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-         WHERE round(c::DOUBLE / (sa.n + sb.n - c), 4) >= 0.8
+                round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+                      (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+         FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b
+         WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+                     (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.8
          ORDER BY 1, 2""",
+
+    "q_v2_knn_lsh" ->
+      // full oracle for the multi-repetition LSH k-NN join: 16 md5 planes =
+      // 4 repetitions x 4 sign bits; candidates share (rep, bucket); exact
+      // cosine + per-vector window top-5 with the Spark plan's tie-break
+      """WITH planes AS (
+           SELECT p, [('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
+                      / 4294967296.0 - 0.5
+             FOR d IN generate_series(0, 63)] AS v
+           FROM generate_series(0, 15) t(p)),
+         bk AS (
+           SELECT vec_id, p // 4 AS rep,
+                  sum(CASE WHEN list_dot_product(embedding::DOUBLE[], v) >= 0
+                           THEN (1::BIGINT << (p % 4)) ELSE 0 END)::BIGINT AS bucket
+           FROM embeddings, planes GROUP BY vec_id, rep),
+         pairs AS (
+           SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS vid_b
+           FROM bk a JOIN bk b ON a.rep = b.rep AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         sc AS (
+           SELECT p.vec_id, p.vid_b,
+                  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+           FROM pairs p JOIN embeddings ea ON ea.vec_id = p.vec_id
+                        JOIN embeddings eb ON eb.vec_id = p.vid_b),
+         ranked AS (
+           SELECT vec_id, vid_b, cosine,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, vid_b) AS rn
+           FROM sc)
+         SELECT vec_id, vid_b, cosine FROM ranked WHERE rn <= 5
+         ORDER BY vec_id, cosine DESC, vid_b""",
+
+    "q_v5_knn_join_exact" ->
+      // knnJoin at nprobe = numCells is exhaustive, so the oracle is plain
+      // per-vector brute-force top-3 by cosine
+      """WITH sc AS (
+           SELECT a.vec_id, b.vec_id AS vid_b,
+                  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT vec_id, vid_b, cosine,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, vid_b) AS rn
+           FROM sc)
+         SELECT vec_id, vid_b, cosine FROM ranked WHERE rn <= 3
+         ORDER BY vec_id, cosine DESC, vid_b""",
 
     "q_v1_knn_brute" ->
       """WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0)

@@ -152,4 +152,82 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     val out = Similarity.lshTopK(df, numPlanes = 2, k = 3)
     out.groupBy("vec_id").count().collect().foreach(_.getLong(1) should be <= 3L)
   }
+
+  test("lshTopK multi-rep: no empty neighbor lists and recall@k >= 0.9 vs brute force") {
+    // clustered corpus: near neighbors share hyperplane signs, so the LSH
+    // candidates should recover (almost) the true top-k. Deterministic seed —
+    // the md5-derived planes are fixed, so this pins real recall, not luck.
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val centers = Array.fill(4)(Array.fill(dims)(rnd.nextGaussian()))
+    val vecs = (0 until 60).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 3
+    val got = Similarity.lshTopK(df, numPlanes = 4, k = k, reps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the r2 design had a recall HOLE: a vector alone in its single bucket
+    // got zero neighbors; with 4 independent bucketings none may be empty
+    vecs.foreach { case (id, _) =>
+      withClue(s"vector $id has no neighbors: ") { got.getOrElse(id, Set.empty) should not be empty }
+    }
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vecs.toMap
+    val hits = vecs.map { case (id, v) =>
+      val truth = vecs.filter(_._1 != id)
+        .map { case (j, u) => (j, cos(v, u)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+      (truth & got.getOrElse(id, Set.empty)).size
+    }.sum
+    val recall = hits.toDouble / (vecs.size * k)
+    recall should be >= 0.9
+  }
+
+  test("prefixFilterCandidates stays exact under the length-bucketed join key") {
+    // mixed doc lengths across several geometric buckets plus a globally
+    // frequent shared tail (the skew case the bucketing splits); the exact
+    // prefix-filter path must still find EXACTLY the brute-force pairs
+    val docs = (0 until 30).map { i =>
+      val rep = 3 + (i % 5) * 4
+      val words = (0 until rep).map(j => s"w${i / 3}_$j").mkString(" ")
+      (i.toLong, words + " shared tail words here")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val t = 0.6
+    val out = Dedup.ngramJaccardPairs(df, "text", 3, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def sh(s: String): Set[String] = {
+      val w = s.split(" "); (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val ref = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      sa = sh(ta); sb = sh(tb)
+      inter = (sa & sb).size
+      jr = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= t
+    } yield (a, b, jr)).toSet
+    ref should not be empty // the fixture must actually exercise the join
+    out shouldBe ref
+  }
+
+  test("simhashes is total: NULL text gets simhash 0 under both hash families") {
+    val df = Seq((1L, null: String), (2L, "hello world hello"))
+      .toDF("doc_id", "text")
+    for (family <- Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        xxhash64(_), Dedup.md5Hash32)) {
+      val out = Dedup.simhashes(df, "doc_id", "text", tokenHash = family)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      out(1L) shouldBe 0L
+      out(2L) should not be 0L
+    }
+  }
 }

@@ -81,6 +81,33 @@ class EventStreamsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming absorbs an out-of-order event from a later micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventStreams.Event]
+    val q = EventStreams.startSessionStream(src.toDF(), gapSecs = 1800, "ev_ooo")
+    try {
+      src.addData(EventStreams.Event(1, ts(1000), 7L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // batch 2 delivers an event OLDER than the carried state's lastTs —
+      // legal inside the 1800s watermark delay. It must extend the session
+      // backwards (start=400), NOT regress lastTs (which would split the
+      // session early and yield a negative duration)
+      src.addData(EventStreams.Event(2, ts(400), 7L, "click", 1.0, "{}"))
+      q.processAllAvailable()
+      // advance the watermark far past 1000 + 1800 to close user 7's session
+      src.addData(EventStreams.Event(3, ts(10000), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      src.addData(EventStreams.Event(4, ts(10001), 9L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      val s7 = spark.table("ev_ooo").as[EventStreams.Session].collect()
+        .filter(_.user_id == 7L)
+      s7.map(s => (s.n_events, s.duration_secs)).toSeq shouldBe Seq((2L, 600L))
+    } finally q.stop()
+  }
+
   test("dedupStream drops redelivered event ids across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
