@@ -108,17 +108,27 @@ object MitMPipeline {
       List.fill(q)(cfg.itersBeforeAccum) ::: (if (r > 0) List(r) else Nil)
     }
 
-    var states: List[PartState] =
+    val initStates: List[PartState] =
       starts.map { case (k, n) => PartState(k, n, Nil, Nil, 0) }.toList
     var matchTable: SimRank.MatchTable = Map.empty
+
+    // Walk state LIVES ON THE EXECUTORS for the whole superstep loop: each
+    // batch maps the persisted state RDD to the next one and collects ONLY
+    // the kilobyte-sized match-candidate maps. The accumulated walks (the
+    // O(batches × walks × walkLen) payload) never round-trip through the
+    // driver — they come back exactly once, after the last batch, for the
+    // statistics block. The previous batch's cache is dropped as soon as
+    // its successor is materialized, so at most two superstep snapshots are
+    // resident at a time.
+    var stateRdd = sc.parallelize(initStates, initStates.length)
+    var prevCached: Option[org.apache.spark.rdd.RDD[(PartState, SimRank.MatchTable)]] = None
 
     batchSizes.foreach { batchSize =>
       val tableBV = sc.broadcast(matchTable)
       val cfgLocal = cfg
       // one Spark task per partition state: walks + SimRank run where the
       // state lives; only the small match-candidate maps come back
-      val stateRdd = sc.parallelize(states, states.length)
-      val stepped: List[(PartState, SimRank.MatchTable)] = stateRdd.map { st =>
+      val stepped = stateRdd.map { st =>
         val pg = pgBV.value
         val ng = ngBV.value
         val ngParents = ngParentsBV.value
@@ -149,13 +159,22 @@ object MitMPipeline {
         }.filter { case (_, (ngNode, _)) => ngNode.valuableData }
 
         (st.copy(visited = visited, walks = walks, itersDone = st.itersDone + batchSize), best)
-      }.collect().toList
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-      states = stepped.map(_._1)
+      // collect order is partition order — same deterministic arg-max fold
+      // as the driver-side loop it replaces
+      val bests = stepped.map(_._2).collect()
       // A3 global arg-max merge — deterministic, replaces accumulator races
-      matchTable = stepped.foldLeft(matchTable) { case (t, (_, b)) => SimRank.accumulate(t, b) }
+      matchTable = bests.foldLeft(matchTable)((t, b) => SimRank.accumulate(t, b))
+      prevCached.foreach(_.unpersist(blocking = false))
+      prevCached = Some(stepped)
+      stateRdd = stepped.map(_._1)
       tableBV.unpersist()
     }
+
+    // the one full-state round-trip: final walks for the statistics block
+    val states = stateRdd.collect().toList
+    prevCached.foreach(_.unpersist(blocking = false))
 
     pgBV.unpersist(); ngBV.unpersist(); ngParentsBV.unpersist()
 

@@ -69,6 +69,16 @@ class MitMPipelineSpec extends AnyFunSuite with Matchers {
     r.correctMatches.length should be >= 60
     r.incorrectMatches.length should be <= 10
     r.succPerPartition.sum should be > 0
+
+    // byte-diff golden: the written YAML report (reference key order,
+    // Main.scala:204-212) must be byte-identical to the committed golden
+    // for this (graph pair, seed) — pins formatting AND statistics
+    val tmp = java.nio.file.Files.createTempFile("mitm_g200", ".yaml").toString
+    graft.io.YamlSink.write(spark, MitMPipeline.statisticsYaml(r), tmp)
+    val got = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tmp))
+    val golden = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/Graph200_seed42.golden.yaml").toURI))
+    new String(got, "UTF-8") shouldBe new String(golden, "UTF-8")
   }
 
   test("no-resimrank mode (efficiency path) runs and matches determinism contract") {
