@@ -6,20 +6,85 @@ import org.apache.spark.sql.SparkSession
 /** User-facing CLI for the MitM statistics pipeline — the graft equivalent of
   * the reference program (reference: src/main/scala/Main.scala:45-217).
   *
-  * Usage:
-  *   runMain graft.MitMMain <originalGraph.txt> <perturbedGraph.txt> <out.yaml> [seed]
+  * Two invocation forms:
   *
-  * Paths may be local, hdfs:// or s3:// (resolved through Hadoop FS). Unlike
+  *   1. Explicit paths (the native form):
+  *      runMain graft.MitMMain <originalGraph.txt> <perturbedGraph.txt> <out.yaml> [seed]
+  *
+  *   2. Env-scope shim (drop-in for the reference's CLI, which dispatches on
+  *      args(0) ∈ {local, hdfs, aws} and reads per-scope paths from scoped
+  *      config — reference: Main.scala:49-55,
+  *      Utilities/src/main/resources/application.conf:1-36):
+  *      runMain graft.MitMMain <local|hdfs|aws> [seed]
+  *      Paths come from graft-env.properties on the classpath (override the
+  *      file with -Dgraft.env.conf=<path>, or any key with a same-named
+  *      system property).
+  *
+  * Paths may be local, hdfs:// or s3a:// (resolved through Hadoop FS). Unlike
   * the reference, runs are seeded-deterministic.
   */
 object MitMMain {
+
+  val Scopes: Set[String] = Set("local", "hdfs", "aws")
+
+  /** Resolved env-scope paths: (originalPath, perturbedPath, outPath, master). */
+  final case class ScopePaths(original: String, perturbed: String,
+                              out: String, master: String)
+
+  /** Pure scope resolution (unit-tested without a SparkSession): composes
+    * dir + file name per the reference's convention; system properties
+    * override individual keys.
+    */
+  def resolveScope(scope: String, props: java.util.Properties): ScopePaths = {
+    require(Scopes.contains(scope),
+      s"unknown env scope '$scope' (expected one of ${Scopes.mkString(", ")})")
+    def get(key: String): String = {
+      val k = s"$scope.$key"
+      sys.props.getOrElse(k,
+        Option(props.getProperty(k)).getOrElse(
+          throw new IllegalArgumentException(s"missing key $k in graft-env config")))
+    }
+    val dir = get("NGSGraphDir")
+    val sep = if (dir.endsWith("/")) "" else "/"
+    ScopePaths(
+      original = dir + sep + get("originalGraphFileName"),
+      perturbed = dir + sep + get("perturbedGraphFileName"),
+      out = get("statisticsOutputFileName"),
+      master = get("master"))
+  }
+
+  /** Load graft-env.properties from -Dgraft.env.conf or the classpath. */
+  def loadEnvProps(): java.util.Properties = {
+    val props = new java.util.Properties()
+    val in = sys.props.get("graft.env.conf") match {
+      case Some(path) => new java.io.FileInputStream(path)
+      case None => getClass.getResourceAsStream("/graft-env.properties")
+    }
+    require(in != null, "graft-env.properties not found on classpath")
+    try props.load(in) finally in.close()
+    props
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3,
-      "usage: MitMMain <originalGraph.txt> <perturbedGraph.txt> <out.yaml> [seed]")
-    val seed = if (args.length > 3) args(3).toLong else 42L
+    require(args.nonEmpty,
+      "usage: MitMMain <originalGraph.txt> <perturbedGraph.txt> <out.yaml> [seed]\n" +
+        "   or: MitMMain <local|hdfs|aws> [seed]")
+    val (orig, pert, out, seedArg, masterDefault) =
+      if (Scopes.contains(args(0))) {
+        val sp = resolveScope(args(0), loadEnvProps())
+        (sp.original, sp.perturbed, sp.out,
+          if (args.length > 1) Some(args(1)) else None, sp.master)
+      } else {
+        require(args.length >= 3,
+          "usage: MitMMain <originalGraph.txt> <perturbedGraph.txt> <out.yaml> [seed]")
+        (args(0), args(1), args(2),
+          if (args.length > 3) Some(args(3)) else None,
+          s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      }
+    val seed = seedArg.map(_.toLong).getOrElse(42L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .master(sys.env.getOrElse("SPARK_MASTER", masterDefault))
       .appName("graft-mitm")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
@@ -29,11 +94,11 @@ object MitMMain {
     // spark.graft.* conf keys override defaults (GraftConfig); the CLI seed
     // argument wins over both
     val cfg = GraftConfig.mitmConfig(spark).copy(seed = seed)
-    val r = MitMPipeline.runFiles(spark, args(0), args(1), args(2), cfg)
+    val r = MitMPipeline.runFiles(spark, orig, pert, out, cfg)
     println(s"Correct matches (TP): ${r.correctMatches.length}")
     println(s"Incorrect matches (FP): ${r.incorrectMatches.length}")
     println(s"Successful walks: ${r.succPerPartition.sum}; unsuccessful: ${r.unsuccPerPartition.sum}")
-    println(s"Statistics written to ${args(2)}")
+    println(s"Statistics written to $out")
     spark.stop()
   }
 }

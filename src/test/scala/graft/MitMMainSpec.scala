@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class MitMMainSpec extends AnyFunSuite with Matchers {
+
+  test("resolveScope composes dir + file names per scope (reference CLI compat)") {
+    val props = MitMMain.loadEnvProps()
+    val local = MitMMain.resolveScope("local", props)
+    local.original shouldBe "./input/Graph200.txt"
+    local.perturbed shouldBe "./input/Graph200.txt.perturbed"
+    local.out shouldBe "./output/MitM-statistics.yaml"
+
+    val hdfs = MitMMain.resolveScope("hdfs", props)
+    hdfs.original should startWith("hdfs://")
+    val aws = MitMMain.resolveScope("aws", props)
+    aws.original should startWith("s3a://")
+  }
+
+  test("resolveScope rejects unknown scopes, like the reference's assert") {
+    val ex = intercept[IllegalArgumentException] {
+      MitMMain.resolveScope("gcp", MitMMain.loadEnvProps())
+    }
+    ex.getMessage should include("unknown env scope")
+  }
+
+  test("system properties override individual scope keys") {
+    sys.props("local.originalGraphFileName") = "Other.txt"
+    try {
+      val sp = MitMMain.resolveScope("local", MitMMain.loadEnvProps())
+      sp.original shouldBe "./input/Other.txt"
+    } finally sys.props.remove("local.originalGraphFileName")
+  }
+}
