@@ -105,7 +105,13 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         array((0 until bands).map(b => slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.alias("a")
+    // SHUFFLE_HASH instead of the auto-chosen broadcast: both sides of the
+    // self-join then shuffle on the same key with canonically-identical
+    // subtrees, so the second exchange becomes a ReusedExchange and the
+    // expensive explode+hash+minhash pipeline runs ONCE (a broadcast side
+    // has no exchange to reuse and re-computes it). Also the only join shape
+    // that exists at 100 TB, where the banded table can't broadcast.
+    val a = banded.alias("a").hint("shuffle_hash")
     val b = banded.alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -278,11 +284,15 @@ object Dedup {
     val pairs = buckets match {
       case Some(bk) =>
         val l = bk.join(withNorm, "vec_id")
-        val r = l.select(col("bucket"), col("vec_id").as("vid_b"),
-          col("embedding").as("emb_b"), col("norm").as("norm_b"))
-        l.join(r, l("bucket") === r("bucket") && l("vec_id") < r("vid_b"))
-          .select(l("vec_id").as("vec_a"), col("vid_b").as("vec_b"),
-            l("embedding").as("emb_a"), col("emb_b"), l("norm").as("norm_a"), col("norm_b"))
+        // shuffle-hash self-join via plan aliases: the bucketing+norm
+        // subtree shuffles once on the bucket key and the second exchange is
+        // reused, instead of recomputing for a broadcast side
+        l.alias("a").hint("shuffle_hash")
+          .join(l.alias("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"),
+            col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
           .distinct()
       case None =>
         val r = withNorm.select(col("vec_id").as("vid_b"),

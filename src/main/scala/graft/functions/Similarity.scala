@@ -92,13 +92,20 @@ object Similarity {
     val bk = embs
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         posexplode(repBuckets).as(Seq("rep", "bucket")))
-    val r = bk.select(col("rep").as("rep_b"), col("bucket").as("bucket_b"),
-      col("vec_id").as("vid_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
-    bk.join(r, col("rep") === col("rep_b") && col("bucket") === col("bucket_b") &&
-        col("vec_id") =!= col("vid_b"))
-      .select(col("vec_id"), col("vid_b"),
-        round(dot(col("embedding"), col("emb_b")) / (col("nrm") * col("nrm_b")), 6).as("cosine"))
+    // shuffle-hash SELF-join via plan aliases (not rename projections — a
+    // rename side canonicalizes differently and defeats exchange reuse):
+    // both sides shuffle the canonically-identical bk subtree on the bucket
+    // key, so the per-vector plane projections compute once and the second
+    // exchange is a ReusedExchange (a broadcast side would re-compute them).
+    // Also the only shape that exists when the corpus can't broadcast.
+    bk.alias("a").hint("shuffle_hash")
+      .join(bk.alias("b"),
+        col("a.rep") === col("b.rep") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("vid_b"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       // a pair sharing buckets in several repetitions appears once per rep —
       // dedup on the pair key alone (not the float) before ranking
       .dropDuplicates("vec_id", "vid_b")

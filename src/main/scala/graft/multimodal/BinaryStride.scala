@@ -1,0 +1,50 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Codegen'd every-`stride`-th-byte selection over a binary column — the
+  * resize/frame-sample stub's kernel as a native Catalyst expression instead
+  * of a Scala UDF, keeping the multimodal path inside whole-stage codegen
+  * (no serialization boundary per row, no interpreted closure call).
+  * Output length is ceil(len / stride), bytes at indices 0, stride, 2·stride…
+  * — identical to `grouped(stride).map(_.head)`.
+  */
+case class BinaryStride(child: Expression, stride: Int) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType && stride >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"binary_stride requires a binary arg and stride >= 1, got " +
+        s"${child.dataType.catalogString}, stride=$stride")
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Byte]((b.length + stride - 1) / stride)
+    var i = 0
+    while (i < out.length) { out(i) = b(i * stride); i += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = ($c.length + $stride - 1) / $stride;
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $c[$i * $stride];
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BinaryStride =
+    copy(child = newChild)
+  override def prettyName: String = "binary_stride"
+}

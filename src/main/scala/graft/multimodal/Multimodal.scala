@@ -77,11 +77,12 @@ object Multimodal {
 
   /** Resize/frame-sample stub: keeps every `stride`-th byte — stands in for
     * a real resize kernel while exercising the binary-transform plan shape.
+    * Runs through the codegen'd [[BinaryStride]] expression (zero Scala UDFs
+    * anywhere in main).
     */
   def downsamplePayload(media: DataFrame, stride: Int): DataFrame = {
-    val ds = udf((b: Array[Byte]) =>
-      if (b == null) null
-      else b.grouped(stride).map(_.head).toArray)
-    media.withColumn("payload", ds(col("payload")))
+    import org.apache.spark.sql.GraftSqlBridge
+    media.withColumn("payload", GraftSqlBridge.column(
+      BinaryStride(GraftSqlBridge.expression(col("payload")), stride)))
   }
 }

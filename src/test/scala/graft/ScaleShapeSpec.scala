@@ -58,4 +58,24 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("self-join operators reuse the shuffled subtree instead of recomputing it") {
+    import graft.functions.{Dedup, Similarity}
+    val docs = Tables.documents(spark, sfDir)
+    val embs = Tables.embeddings(spark, sfDir)
+    // count ReusedExchange in the FINAL adaptive plan (inspect after an
+    // action — the pre-execution plan string still shows isFinalPlan=false)
+    def reuses(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "ReusedExchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    // each of these self-joins shuffles a canonically-identical expensive
+    // subtree (minhash signatures / plane projections / bucket+norm) on both
+    // sides; without a ReusedExchange that subtree computes TWICE — the
+    // broadcast-side-recompute regression this test pins against
+    reuses(Dedup.minhashCandidates(docs, "text", 3, 4, 2, Dedup.md5Hasher)) should be >= 1
+    reuses(Similarity.lshTopK(embs, 4, 5, reps = 4)) should be >= 1
+    reuses(Dedup.embeddingNearDups(embs, 0.3,
+      Some(Similarity.lshBuckets(embs, 4)))) should be >= 1
+  }
 }

@@ -43,4 +43,14 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out(1L) shouldBe Some(6) // ceil(11/2)
     out(3L) shouldBe None
   }
+
+  test("BinaryStride matches the grouped(stride).head reference for several strides") {
+    val bytes = "payload-two-longer".getBytes("UTF-8")
+    for (stride <- Seq(1, 2, 3, 5, 32)) {
+      val got = Multimodal.downsamplePayload(mediaDF, stride)
+        .filter(col("media_id") === 2L)
+        .select("payload").head().getAs[Array[Byte]](0)
+      got shouldBe bytes.grouped(stride).map(_.head).toArray
+    }
+  }
 }
