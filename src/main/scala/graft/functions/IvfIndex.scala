@@ -122,12 +122,11 @@ object IvfIndex {
       .select(col("vec_id"), col("vid_b"),
         round(VectorExprs.dot(col("embedding"), col("emb_b")) /
           (col("nrm") * col("nrm_b")), 6).as("cosine"))
-      // a pair probed via several shared cells appears once per cell —
-      // dedup on the PAIR KEY alone (not (pair, cosine)): the duplicated
-      // rows carry the same deterministic cosine today, but keying the dedup
-      // on the float would silently break if recomputation ever reordered
-      // the summation
-      .dropDuplicates("vec_id", "vid_b")
+      // no pair-dedup needed BY CONSTRUCTION: the index side assigns each
+      // vector to exactly ONE cell, so (query, candidate) joins at most once
+      // — via the candidate's single cell, if probed. (IvfIndexSpec pins
+      // pair uniqueness.) Skipping dropDuplicates saves a full shuffle of
+      // the candidate pair stream.
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .drop("rn")

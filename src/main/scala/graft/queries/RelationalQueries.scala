@@ -551,6 +551,19 @@ object RelationalQueries {
       val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
       graft.functions.IvfIndex.knnJoin(embs, model, k = 3, nprobe = model.numCells)
         .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))
+    }),
+
+    "q_v6_knn_ivf_exact" -> ((s, d) => {
+      // IVF single-query probe at nprobe = numCells: exercises train →
+      // assignCells → cell-filter → top-k with an exhaustive probe set, so
+      // the result provably equals brute force and the whole IVF query path
+      // gets a DuckDB oracle (q_v3's nprobe<numCells run reuses this plan)
+      val embs = Tables.embeddings(s, d)
+      val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
+      val query = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.functions.IvfIndex.topK(embs, model, query, k = 10,
+        nprobe = model.numCells, excludeSelf = Some(0L))
     })
   )
 
@@ -896,6 +909,14 @@ object RelationalQueries {
            FROM sc)
          SELECT vec_id, vid_b, cosine FROM ranked WHERE rn <= 5
          ORDER BY vec_id, cosine DESC, vid_b""",
+
+    "q_v6_knn_ivf_exact" ->
+      // exhaustive-probe IVF == brute force: same oracle shape as q_v1
+      """WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
 
     "q_v5_knn_join_exact" ->
       // knnJoin at nprobe = numCells is exhaustive, so the oracle is plain

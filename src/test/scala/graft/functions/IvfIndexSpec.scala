@@ -49,6 +49,16 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("knnJoin candidate pairs are unique by construction (single cell per index row)") {
+    // the plan relies on this invariant instead of a pair-dedup shuffle: the
+    // index assigns each vector to exactly one cell, so a (query, candidate)
+    // pair can join at most once even when the query probes several cells
+    val embs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 50)
+    val model = IvfIndex.train(spark, embs, k = 4, iters = 1)
+    val out = IvfIndex.knnJoin(embs, model, k = 1000, nprobe = 4)
+    out.count() shouldBe out.dropDuplicates("vec_id", "vid_b").count()
+  }
+
   test("ivf with fewer probes returns a subset ranking with decent recall") {
     val embs = Tables.embeddings(spark, sfDir)
     val model = IvfIndex.train(spark, embs, k = 8, iters = 2)
