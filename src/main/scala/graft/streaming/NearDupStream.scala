@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection — the unbounded-stream analog of the
+  * batch minhash+LSH candidate pass (graft.functions.Dedup.minhashCandidates):
+  * each arriving document is minhashed and banded EXACTLY like the batch
+  * path (word shingles → seeded 32-bit hashes → per-band signature slices),
+  * and per-(band, bucket) state holds the doc ids already seen in that
+  * bucket. A new arrival emits one candidate pair per already-present
+  * member, then joins the bucket.
+  *
+  * Scale/state design:
+  *  - state is keyed by bucket (not by doc), so lookup cost per arrival is
+  *    one state fetch per band — no stream-stream join, no growing
+  *    pair-table state;
+  *  - each bucket's member list is FIFO-capped (`maxPerBucket`): a
+  *    degenerate hot bucket (the streaming analog of the batch short-doc
+  *    guard) costs bounded memory and bounded emissions per arrival;
+  *  - buckets idle past the event-time watermark are reaped by the
+  *    EventTimeTimeout, so total state is bounded by (active buckets ×
+  *    maxPerBucket), not stream history;
+  *  - a pair sharing several bands is emitted once per band — consumers
+  *    needing global uniqueness dedup downstream (`dropDuplicates` within
+  *    their own watermark), keeping this operator's state minimal.
+  */
+object NearDupStream {
+
+  final case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  final case class BandedDoc(bucket_key: String, doc_id: Long, ts: java.sql.Timestamp)
+  final case class BucketState(docIds: List[Long], lastTs: Long)
+  final case class NearDupCandidate(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Driver/executor-local minhash banding of one document — same shingling
+    * as `Dedup.shingles` (word k-grams, distinct) with an FNV-1a 64-bit
+    * seeded hash family. Docs with fewer than k tokens produce no bands
+    * (the batch path's short-doc guard).
+    */
+  def bandKeys(text: String, k: Int, bands: Int, rowsPerBand: Int): Seq[String] = {
+    if (text == null) return Seq.empty
+    val toks = text.split(" ")
+    if (toks.length < k) return Seq.empty
+    val shingles = (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).distinct
+    def fnv(seed: Int, s: String): Long = {
+      var h = -3750763034362895579L ^ seed.toLong
+      var i = 0
+      while (i < s.length) { h = (h ^ s.charAt(i).toLong) * 1099511628211L; i += 1 }
+      h
+    }
+    val sig = Array.tabulate(bands * rowsPerBand)(p => shingles.map(fnv(p, _)).min)
+    (0 until bands).map { b =>
+      val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+      s"$b:${slice.mkString(",")}"
+    }
+  }
+
+  /** Wire a doc stream into per-bucket candidate emission. The watermark is
+    * applied to the banded stream INSIDE this function (a typed flatMap
+    * drops the input's event-time tag, so a caller-side watermark would not
+    * survive to the stateful operator); `watermarkDelay` bounds how
+    * out-of-order doc events may arrive, and the timeout reaps idle buckets.
+    */
+  def nearDupCandidates(docs: Dataset[DocEvent], k: Int, bands: Int,
+                        rowsPerBand: Int, maxPerBucket: Int = 64,
+                        bucketIdleMs: Long = 3600 * 1000L,
+                        watermarkDelay: String = "1 hour"): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => bandKeys(d.text, k, bands, rowsPerBand).map(bk => BandedDoc(bk, d.doc_id, d.ts)))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.bucket_key)
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = key.takeWhile(_ != ':').toInt
+            var st = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
+            val out = scala.collection.mutable.ListBuffer.empty[NearDupCandidate]
+            // deterministic emission: process arrivals in (ts, doc_id) order
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+              if (!st.docIds.contains(r.doc_id)) {
+                st.docIds.foreach { prev =>
+                  out += NearDupCandidate(math.min(prev, r.doc_id), math.max(prev, r.doc_id), band)
+                }
+                // FIFO cap: newest members kept, oldest dropped
+                st = BucketState((st.docIds :+ r.doc_id).takeRight(maxPerBucket),
+                  math.max(st.lastTs, r.ts.getTime))
+              } else st = st.copy(lastTs = math.max(st.lastTs, r.ts.getTime))
+            }
+            state.update(st)
+            // reap this bucket once the watermark passes its last activity +
+            // idle window (clamped strictly above the current watermark)
+            state.setTimeoutTimestamp(math.max(st.lastTs + bucketIdleMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+}

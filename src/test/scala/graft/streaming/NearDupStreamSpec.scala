@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class NearDupStreamSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+
+  private val dupText = "the quick brown fox jumps over the lazy dog today"
+  private val otherText = "completely different words appear inside this other document here"
+
+  test("bandKeys matches the batch banding contract") {
+    // identical docs share every band; different docs share none; short
+    // docs produce no bands (the batch short-doc guard)
+    NearDupStream.bandKeys(dupText, 3, 4, 2) shouldBe NearDupStream.bandKeys(dupText, 3, 4, 2)
+    NearDupStream.bandKeys(dupText, 3, 4, 2).toSet
+      .intersect(NearDupStream.bandKeys(otherText, 3, 4, 2).toSet) shouldBe empty
+    NearDupStream.bandKeys("a b", 3, 4, 2) shouldBe empty
+    NearDupStream.bandKeys(null, 3, 4, 2) shouldBe empty
+  }
+
+  test("streaming near-dup flags pairs within and ACROSS micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[NearDupStream.DocEvent]
+    val q = NearDupStream.nearDupCandidates(
+        src.toDF().as[NearDupStream.DocEvent],
+        k = 3, bands = 4, rowsPerBand = 2)
+      .writeStream.outputMode("append").format("memory").queryName("neardup").start()
+    try {
+      // batch 1: 1 and 2 are near-dups, 3 unrelated → pair (1,2) in-batch
+      src.addData(
+        NearDupStream.DocEvent(1, ts(0), dupText),
+        NearDupStream.DocEvent(2, ts(1), dupText),
+        NearDupStream.DocEvent(3, ts(2), otherText))
+      q.processAllAvailable()
+      // batch 2: 4 duplicates the batch-1 docs → cross-batch pairs via state
+      src.addData(NearDupStream.DocEvent(4, ts(10), dupText))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup")
+        .select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs shouldBe Set((1L, 2L), (1L, 4L), (2L, 4L))
+    } finally q.stop()
+  }
+
+  test("hot buckets stay bounded by the FIFO cap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[NearDupStream.DocEvent]
+    val q = NearDupStream.nearDupCandidates(
+        src.toDF().as[NearDupStream.DocEvent],
+        k = 3, bands = 4, rowsPerBand = 2, maxPerBucket = 2)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_cap").start()
+    try {
+      src.addData((1 to 5).map(i =>
+        NearDupStream.DocEvent(i.toLong, ts(i.toLong), dupText)): _*)
+      q.processAllAvailable()
+      // doc 6 can only pair with the 2 newest bucket members (4 and 5)
+      src.addData(NearDupStream.DocEvent(6, ts(100), dupText))
+      q.processAllAvailable()
+      val withSix = spark.table("neardup_cap")
+        .select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => p._1 == 6L || p._2 == 6L).toSet
+      withSix shouldBe Set((4L, 6L), (5L, 6L))
+    } finally q.stop()
+  }
+}
