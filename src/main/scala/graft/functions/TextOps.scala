@@ -125,6 +125,45 @@ object TextOps {
       .select(col("doc_id"), col("best.lang").as("lang_pred"))
   }
 
+  /** Repetition statistics — the C4/RefinedWeb-style quality signal: how
+    * dominated a document is by its most frequent token. One explode + two
+    * aggregations, both map-side combined; the shuffle carries (doc, token,
+    * count) rows, never text. Returns (doc_id, n_tokens, max_tok_freq,
+    * top_tok_ratio).
+    */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"), max(col("cnt")).as("max_tok_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("max_tok_freq"),
+        round(col("max_tok_freq").cast("double") / col("n_tokens"), 4).as("top_tok_ratio"))
+
+  /** Per-document top-k terms by TF-IDF — keyword extraction as one
+    * declarative plan: term frequencies per (doc, term), document
+    * frequencies per term (broadcast — vocabulary-sized), corpus size as a
+    * broadcast scalar (stays lazy, no driver count()), smoothed
+    * idf = ln((N+1)/(df+1)), window top-k per doc. Shuffles carry
+    * (doc, term, count) rows only.
+    */
+  def tfidfTopK(df: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    val nDocs = df.agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("nd") + 1.0) / (col("dft") + 1.0)), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("score"))
+  }
+
   /** Rolling-hash document fingerprint: 64-bit FNV-1a over the text via a
     * native codegen'd Catalyst expression ([[Fnv1a64]] — wrapping multiply
     * isn't expressible in ANSI-mode SQL arithmetic).

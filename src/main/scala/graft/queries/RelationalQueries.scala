@@ -426,6 +426,17 @@ object RelationalQueries {
         .select(col("doc_id"), TextOps.md5Fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
+    "q_t6_repetition" -> ((s, d) =>
+      // C4-style repetition quality signal: share of the most frequent token
+      TextOps.repetitionStats(Tables.documents(s, d)).orderBy(col("doc_id"))),
+
+    "q_t7_tfidf" -> ((s, d) =>
+      // per-doc top-3 keywords by smoothed TF-IDF — two shuffles of
+      // (doc, term, count) rows; document frequencies and corpus size ride
+      // as broadcasts
+      TextOps.tfidfTopK(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"), desc("score"), col("term"))),
+
     // ---- dedup --------------------------------------------------------------
     "q_d1_exact_dup" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d))
@@ -789,6 +800,33 @@ object RelationalQueries {
 
     "q_t4_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents ORDER BY 1",
+
+    "q_t6_repetition" ->
+      """WITH tc AS (
+           SELECT doc_id, tok, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY 1, 2)
+         SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, max(cnt)::BIGINT AS max_tok_freq,
+                round(max(cnt)::DOUBLE / sum(cnt), 4) AS top_tok_ratio
+         FROM tc GROUP BY doc_id ORDER BY 1""",
+
+    "q_t7_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS nd FROM documents),
+         scored AS (
+           SELECT doc_id, term,
+                  round(tf * ln(((SELECT nd FROM n) + 1.0) / (dft + 1.0)), 4) AS score
+           FROM tf JOIN dfreq USING (term)),
+         ranked AS (
+           SELECT doc_id, term, score,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+           FROM scored)
+         SELECT doc_id, term, score FROM ranked WHERE rn <= 3
+         ORDER BY doc_id, score DESC, term""",
 
     "q_t5_corpus_filter" ->
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),

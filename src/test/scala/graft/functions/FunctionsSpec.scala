@@ -219,6 +219,24 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out shouldBe ref
   }
 
+  test("repetitionStats and tfidfTopK compute textbook values") {
+    val df = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
+    val rep = TextOps.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    rep(1L) shouldBe ((4L, 3L, 0.75))
+    rep(2L) shouldBe ((2L, 1L, 0.5))
+
+    val tfidf = TextOps.tfidfTopK(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // every term appears in exactly 1 of 2 docs → idf = ln(3/2) for all
+    val idf = math.log(3.0 / 2.0)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    tfidf((1L, "a")) shouldBe r4(3 * idf)
+    tfidf((1L, "b")) shouldBe r4(1 * idf)
+    tfidf((2L, "x")) shouldBe r4(1 * idf)
+    tfidf((2L, "y")) shouldBe r4(1 * idf)
+  }
+
   test("simhashes is total: NULL text gets simhash 0 under both hash families") {
     val df = Seq((1L, null: String), (2L, "hello world hello"))
       .toDF("doc_id", "text")
