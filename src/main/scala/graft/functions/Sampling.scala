@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines. All three
+  * avoid RNG state entirely — selection is a pure function of the row's key,
+  * so results are reproducible across runs, engines, partitionings and
+  * cluster sizes (per-partition RNG sampling is none of those), and the
+  * predicates push into the scan.
+  */
+object Sampling {
+
+  /** md5-derived uniform hash of a key in [0, 2^32). */
+  def hashKey(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Keep a deterministic `fraction` of rows: the id's md5 bucket falls
+    * below fraction · 2^32. Stable under data movement; sampling a 100 TB
+    * corpus is one codegen'd filter on the scan, no shuffle.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of [0,1]: $fraction")
+    df.filter(hashKey(col(idCol)) < lit((fraction * 4294967296.0).toLong))
+  }
+
+  /** Keep at most `quota` rows per key, chosen in deterministic `orderCol`
+    * order — the domain/label balancing pass (cap over-represented sources).
+    * One shuffle on the key; the window's WindowGroupLimit pushes the cut
+    * below the sort at scale.
+    */
+  def quotaPerKey(df: DataFrame, keyCol: String, orderCol: String, quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+      .drop("rn")
+  }
+
+  /** Deterministic token-budget packing: hash docs into `bins` (the output
+    * shards), order each bin by the id hash (a reproducible shuffle), and
+    * keep each bin's prefix whose running token total stays within
+    * `budgetPerBin` — "fill a training mix to N tokens per shard" as one
+    * window plan. Per-bin windows keep the sort distributed; a single
+    * global running sum would serialize the corpus into one task.
+    * Returns (idCol, bin, n_tokens, cum_tokens).
+    */
+  def tokenBudgetPack(docs: DataFrame, idCol: String, textCol: String,
+                      budgetPerBin: Long, bins: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bin")).orderBy(col("hk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        hashKey(col(idCol)).as("hk"))
+      .withColumn("bin", (col("hk") % bins).cast("int"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerBin)
+      .select(col(idCol), col("bin"), col("n_tokens"), col("cum_tokens"))
+  }
+}

@@ -437,6 +437,28 @@ object RelationalQueries {
       TextOps.tfidfTopK(Tables.documents(s, d), k = 3)
         .orderBy(col("doc_id"), desc("score"), col("term"))),
 
+    // ---- deterministic sampling --------------------------------------------
+    "q_sp1_hash_sample" -> ((s, d) =>
+      // RNG-free sampling: pure function of the id, reproducible across
+      // engines/runs/partitionings; one pushed-down filter, no shuffle
+      graft.functions.Sampling.hashSample(Tables.documents(s, d), "doc_id", 0.3)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    "q_sp2_quota_per_key" -> ((s, d) =>
+      // label balancing: at most 50 vectors per label, deterministic order
+      graft.functions.Sampling.quotaPerKey(
+          Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+          "label", "vec_id", quota = 50)
+        .orderBy(col("vec_id"))),
+
+    "q_sp3_token_budget" -> ((s, d) =>
+      // per-shard token-budget packing: each of 8 bins keeps its hash-ordered
+      // prefix up to 2000 tokens
+      graft.functions.Sampling.tokenBudgetPack(Tables.documents(s, d),
+          "doc_id", "text", budgetPerBin = 2000L, bins = 8)
+        .orderBy(col("doc_id"))),
+
     // ---- dedup --------------------------------------------------------------
     "q_d1_exact_dup" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d))
@@ -800,6 +822,32 @@ object RelationalQueries {
 
     "q_t4_fingerprint" ->
       "SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint FROM documents ORDER BY 1",
+
+    "q_sp1_hash_sample" ->
+      """SELECT doc_id FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               < (0.3 * 4294967296.0)::BIGINT
+         ORDER BY 1""",
+
+    "q_sp2_quota_per_key" ->
+      """SELECT vec_id, label FROM (
+           SELECT vec_id, label,
+                  row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+           FROM embeddings)
+         WHERE rn <= 50 ORDER BY vec_id""",
+
+    "q_sp3_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS hk
+           FROM documents),
+         c AS (
+           SELECT doc_id, (hk % 8)::INT AS bin, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+           FROM t)
+         SELECT doc_id, bin, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 2000 ORDER BY doc_id""",
 
     "q_t6_repetition" ->
       """WITH tc AS (

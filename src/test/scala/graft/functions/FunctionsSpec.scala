@@ -219,6 +219,30 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out shouldBe ref
   }
 
+  test("deterministic sampling: hash fraction, per-key quota, token-budget packing") {
+    val ids = (0 until 1000).map(i => Tuple1(i.toLong)).toDF("id")
+    val n1 = Sampling.hashSample(ids, "id", 0.3).count()
+    n1 shouldBe Sampling.hashSample(ids, "id", 0.3).count() // reproducible
+    n1.toDouble shouldBe 300.0 +- 60.0                      // ~uniform
+    // nested fractions: a bigger fraction strictly contains a smaller one
+    val small = Sampling.hashSample(ids, "id", 0.1).collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(ids, "id", 0.5).collect().map(_.getLong(0)).toSet
+    small.subsetOf(big) shouldBe true
+
+    val kv = (0 until 100).map(i => (i.toLong, i % 3)).toDF("id", "k")
+    val q = Sampling.quotaPerKey(kv, "k", "id", 10)
+    q.count() shouldBe 30
+    q.groupBy("k").count().collect().foreach(_.getLong(1) shouldBe 10L)
+
+    val docs = (0 until 50).map(i => (i.toLong, Seq.fill(5)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Sampling.tokenBudgetPack(docs, "doc_id", "text",
+      budgetPerBin = 20, bins = 4)
+    val rows = packed.collect()
+    rows.foreach(_.getAs[Long]("cum_tokens") should be <= 20L)
+    rows.groupBy(_.getAs[Int]("bin")).values.foreach(_.length should be <= 4)
+  }
+
   test("repetitionStats and tfidfTopK compute textbook values") {
     val df = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
     val rep = TextOps.repetitionStats(df).collect()
