@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.{Dedup, Sampling, TextOps, VectorExprs}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Property-style checks for the custom Catalyst expressions and the
+  * deterministic operators: each native/codegen implementation is pinned
+  * against an executable Scala reference over seeded generated inputs
+  * (deterministic, so failures reproduce), covering the contracts beyond
+  * the hand-picked spec fixtures. Generated cases are batched into single
+  * DataFrames so each property costs a handful of Spark jobs, not hundreds.
+  */
+class PropertySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("Fnv1a64 expression == Scala FNV-1a fold over generated strings") {
+    def local(s: String): Long =
+      s.foldLeft(-3750763034362895579L)((acc, c) => (acc ^ c.toLong) * 1099511628211L)
+    val cases = (0 until 200).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong, List.fill(len)((rnd.nextInt(95) + 32).toChar).mkString)
+    }
+    val got = cases.toDF("id", "s")
+      .select($"id", TextOps.fnv1a64($"s").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (i, s) => got(i) shouldBe local(s) }
+  }
+
+  test("DotProduct expression is bit-identical to element-order Double accumulation") {
+    val cases = (0 until 200).map { i =>
+      val n = rnd.nextInt(16) + 1
+      val a = List.fill(n)(rnd.nextFloat() * 200f - 100f)
+      val b = List.fill(n)(rnd.nextFloat() * 200f - 100f)
+      (i.toLong, a, b)
+    }
+    val got = cases.toDF("id", "a", "b")
+      .select($"id", VectorExprs.dot($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (i, a, b) =>
+      val ref = a.zip(b).foldLeft(0.0d) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      got(i) shouldBe ref // exact bits: same order, same widening
+    }
+  }
+
+  test("BinaryStride == grouped(stride).head over generated payloads and strides") {
+    for (stride <- 1 to 8) {
+      val cases = (0 until 30).map { i =>
+        (i.toLong, Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte))
+      }
+      val media = Multimodal.asMediaTable(cases.toDF("id", "data"), "id", "data", "image")
+      val got = Multimodal.downsamplePayload(media, stride)
+        .select("media_id", "payload")
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      cases.foreach { case (i, bytes) =>
+        got(i) shouldBe bytes.grouped(stride).map(_.head).toArray
+      }
+    }
+  }
+
+  test("shingles yields max(0, n-k+1) distinct k-grams of distinct tokens") {
+    for (k <- 2 to 4) {
+      val cases = (0 until 15).map { i =>
+        val n = rnd.nextInt(12)
+        (i.toLong, n, (0 until n).map(j => s"w$j").mkString(" "))
+      }
+      val got = cases.map { case (i, n, t) => (i, t) }.toDF("id", "text")
+        .select($"id", Dedup.shingles($"text", k).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      cases.foreach { case (i, n, _) =>
+        if (n >= k) got(i).length shouldBe n - k + 1 else got(i) shouldBe empty
+      }
+    }
+  }
+
+  test("hashSample fractions nest for generated fraction pairs; hashKey in [0, 2^32)") {
+    val ids = (0 until 400).map(i => Tuple1(i.toLong)).toDF("id")
+    val keys = ids.select(Sampling.hashKey($"id").as("h"))
+      .collect().map(_.getLong(0))
+    all(keys) should (be >= 0L and be < 4294967296L)
+    // nesting follows from the shared key threshold — verify end to end for
+    // a few generated fraction pairs
+    (0 until 5).foreach { _ =>
+      val f1 = rnd.nextDouble(); val f2 = rnd.nextDouble()
+      val lo = math.min(f1, f2); val hi = math.max(f1, f2)
+      val sLo = Sampling.hashSample(ids, "id", lo).collect().map(_.getLong(0)).toSet
+      val sHi = Sampling.hashSample(ids, "id", hi).collect().map(_.getLong(0)).toSet
+      withClue(s"fractions $lo ⊄ $hi: ") { sLo.subsetOf(sHi) shouldBe true }
+    }
+  }
+}
