@@ -1,10 +1,12 @@
 package graft
 
 import graft.functions.{DotProduct, Fnv1a64}
+import graft.multimodal.BinaryStride
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session extension registering graft's native Catalyst expressions as SQL
   * functions, so `spark.sql("SELECT fnv1a64(text), dot_product(a, b) ...")`
@@ -35,12 +37,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("dot_product",
         "dot_product(a, b) - double dot product of two float/double arrays."),
       dot))
+    e.injectFunction((
+      FunctionIdentifier("binary_stride"),
+      info("binary_stride",
+        "binary_stride(bin, n) - every n-th byte of a binary value (n an int literal)."),
+      GraftExtensions.strideBuilder))
   }
 }
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private[graft] val strideBuilder: FunctionRegistry.FunctionBuilder = args => {
+    require(args.length == 2, "binary_stride takes exactly 2 arguments")
+    args(1) match {
+      case Literal(v: Int, IntegerType) => BinaryStride(args(0), v)
+      case _ => throw new IllegalArgumentException(
+        "binary_stride: stride must be an integer literal")
+    }
+  }
 
   /** Register the same functions on an already-running session (the
     * builder-time extension path requires a fresh session).
@@ -55,5 +71,6 @@ object GraftExtensions {
       require(args.length == 2, "dot_product takes exactly 2 arguments")
       DotProduct(args(0), args(1))
     }, "built-in")
+    reg.createOrReplaceTempFunction("binary_stride", strideBuilder, "built-in")
   }
 }

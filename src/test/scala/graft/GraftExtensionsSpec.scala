@@ -27,4 +27,15 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     val typeErr = intercept[Exception](spark.sql("SELECT dot_product(1, 2)").head())
     typeErr.getMessage.toLowerCase should include("array")
   }
+
+  test("binary_stride is callable from SQL with a literal stride") {
+    val spark = SparkSpec.spark
+    GraftExtensions.register(spark)
+    val out = spark.sql(
+      "SELECT binary_stride(cast('abcdef' AS BINARY), 2) AS b").head().getAs[Array[Byte]](0)
+    new String(out, "UTF-8") shouldBe "ace"
+    val nonLit = intercept[Exception](
+      spark.sql("SELECT binary_stride(cast('abc' AS BINARY), cast(rand()*2 AS INT))").head())
+    nonLit.getMessage should include("integer literal")
+  }
 }
