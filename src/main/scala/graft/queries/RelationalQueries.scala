@@ -437,6 +437,30 @@ object RelationalQueries {
       TextOps.tfidfTopK(Tables.documents(s, d), k = 3)
         .orderBy(col("doc_id"), desc("score"), col("term"))),
 
+    "q_t8_training_mix" -> ((s, d) => {
+      // the end-to-end training-mix builder, composing the whole surface in
+      // ONE declarative plan: language ∧ quality gates → exact-dup survivor
+      // → deterministic 50% hash sample → per-shard token-budget packing.
+      // Every stage is shuffle-partitionable; nothing collects; the same
+      // plan is the 100 TB corpus build.
+      val docs = Tables.documents(s, d)
+      val lang = TextOps.langIdJoined(docs)
+      val qual = TextOps.qualityScoreExploded(docs)
+        .select(col("doc_id"), col("n_tokens"))
+      val canon = docs.groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val kept = docs
+        .join(canon, "doc_id")
+        .join(lang, "doc_id").filter(col("lang_pred") === "en")
+        .join(qual, "doc_id").filter(col("n_tokens") >= 20)
+        .select(col("doc_id"), col("text"))
+      graft.functions.Sampling.tokenBudgetPack(
+          graft.functions.Sampling.hashSample(kept, "doc_id", 0.5),
+          "doc_id", "text", budgetPerBin = 3000L, bins = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deterministic sampling --------------------------------------------
     "q_sp1_hash_sample" -> ((s, d) =>
       // RNG-free sampling: pure function of the id, reproducible across
@@ -828,6 +852,34 @@ object RelationalQueries {
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                < (0.3 * 4294967296.0)::BIGINT
          ORDER BY 1""",
+
+    "q_t8_training_mix" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+         sc AS (SELECT doc_id, [
+           {'score': len(list_filter(t, w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], w))), 'lang': 'en'},
+           {'score': len(list_filter(t, w -> list_contains(['der','die','und','das','ist','ein','nicht','mit','zu','den'], w))), 'lang': 'de'},
+           {'score': len(list_filter(t, w -> list_contains(['le','la','et','les','des','un','une','est','que','pour'], w))), 'lang': 'fr'},
+           {'score': len(list_filter(t, w -> list_contains(['el','la','de','que','y','los','un','una','es','por'], w))), 'lang': 'es'}] l
+          FROM toks),
+         lang AS (SELECT doc_id, list_max(l)['lang'] AS lang_pred FROM sc),
+         canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         kept AS (
+           SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+                  ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT AS hk
+           FROM documents d
+             JOIN canon USING (doc_id)
+             JOIN lang USING (doc_id)
+           WHERE lang.lang_pred = 'en'
+             AND len(string_split(d.text, ' ')) >= 20
+             AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                 < (0.5 * 4294967296.0)::BIGINT),
+         c AS (
+           SELECT doc_id, (hk % 4)::INT AS bin, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY hk % 4 ORDER BY hk, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+           FROM kept)
+         SELECT doc_id, bin, n_tokens, cum_tokens FROM c
+         WHERE cum_tokens <= 3000 ORDER BY doc_id""",
 
     "q_sp2_quota_per_key" ->
       """SELECT vec_id, label FROM (

@@ -1,0 +1,17 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SparkEntrySpec extends AnyFunSuite with Matchers {
+
+  test("entry returns a non-empty flagship result (driver smoke contract)") {
+    val df = SparkEntry.entry(SparkSpec.spark)
+    df.count() should be > 0L
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val qs = SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keySet.diff(qs) shouldBe empty
+  }
+}
