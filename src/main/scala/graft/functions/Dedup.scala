@@ -293,7 +293,11 @@ object Dedup {
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"),
             col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
-          .distinct()
+          // no pair-dedup: Similarity.lshBuckets emits exactly ONE bucket per
+          // vec_id, so the self-join cannot duplicate a pair; a distinct here
+          // would shuffle embedding-carrying rows for nothing. Callers
+          // passing multi-bucket assignments must dedup (vec_a, vec_b)
+          // themselves before the cosine verify.
       case None =>
         val r = withNorm.select(col("vec_id").as("vid_b"),
           col("embedding").as("emb_b"), col("norm").as("norm_b"))

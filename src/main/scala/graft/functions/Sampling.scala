@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** md5-derived uniform hash of a key in [0, 2^32). */
-  def hashKey(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+  /** md5-derived uniform hash of a key in [0, 2^32) — the same portable
+    * formula as [[Dedup.md5Hash32]] (single source of truth), over the
+    * key's canonical string form.
+    */
+  def hashKey(c: Column): Column = Dedup.md5Hash32(c.cast("string"))
 
   /** Keep a deterministic `fraction` of rows: the id's md5 bucket falls
     * below fraction · 2^32. Stable under data movement; sampling a 100 TB

@@ -850,7 +850,7 @@ object RelationalQueries {
     "q_sp1_hash_sample" ->
       """SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-               < (0.3 * 4294967296.0)::BIGINT
+               < trunc(0.3 * 4294967296.0)::BIGINT
          ORDER BY 1""",
 
     "q_t8_training_mix" ->
@@ -872,7 +872,7 @@ object RelationalQueries {
            WHERE lang.lang_pred = 'en'
              AND len(string_split(d.text, ' ')) >= 20
              AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
-                 < (0.5 * 4294967296.0)::BIGINT),
+                 < trunc(0.5 * 4294967296.0)::BIGINT),
          c AS (
            SELECT doc_id, (hk % 4)::INT AS bin, n_tokens,
                   sum(n_tokens) OVER (PARTITION BY hk % 4 ORDER BY hk, doc_id

@@ -5,11 +5,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Streaming near-duplicate detection — the unbounded-stream analog of the
   * batch minhash+LSH candidate pass (graft.functions.Dedup.minhashCandidates):
-  * each arriving document is minhashed and banded EXACTLY like the batch
-  * path (word shingles → seeded 32-bit hashes → per-band signature slices),
-  * and per-(band, bucket) state holds the doc ids already seen in that
-  * bucket. A new arrival emits one candidate pair per already-present
-  * member, then joins the bucket.
+  * each arriving document goes through the same shingling and banding SHAPE
+  * as the batch path (word k-gram shingles → seeded hash family → per-band
+  * signature slices), using a task-local seeded FNV-1a family — streaming
+  * bucket keys are NOT interchangeable with the batch path's
+  * xxhash64/md5-family buckets, so backfill and live data must both run
+  * through one path or the other. Per-(band, bucket) state holds the doc
+  * ids already seen in that bucket; a new arrival emits one candidate pair
+  * per already-present member, then joins the bucket.
   *
   * Scale/state design:
   *  - state is keyed by bucket (not by doc), so lookup cost per arrival is
