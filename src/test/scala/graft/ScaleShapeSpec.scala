@@ -59,6 +59,35 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("filters and projections push into the parquet scan") {
+    val df = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 400000.0)
+      .select("o_orderkey", "o_totalprice")
+    val plan = df.queryExecution.executedPlan.toString
+    // the filter reaches the scan, not a Filter node above it...
+    plan should include regex """PushedFilters: \[[^\]]*o_orderstatus"""
+    plan should include regex """PushedFilters: \[[^\]]*o_totalprice"""
+    // ...and the scan schema is pruned to the projected+filtered columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    readSchema should include("o_orderkey")
+    readSchema should not include "o_custkey"
+  }
+
+  test("window top-k gets a WindowGroupLimit cut; tfidf broadcasts df and N") {
+    import graft.functions.{Sampling, TextOps}
+    val q = Sampling.quotaPerKey(
+      Tables.embeddings(spark, sfDir).select("vec_id", "label"), "label", "vec_id", 5)
+    q.collect()
+    // the top-k cut runs below the shuffle (partial) as well as above it —
+    // per-key limits never materialize the full sorted partitions
+    q.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+    val t = TextOps.tfidfTopK(Tables.documents(spark, sfDir), k = 3)
+    t.collect()
+    // document frequencies AND the corpus-size scalar ship as broadcasts
+    "BroadcastExchange".r.findAllIn(t.queryExecution.executedPlan.toString)
+      .length should be >= 2
+  }
+
   test("self-join operators reuse the shuffled subtree instead of recomputing it") {
     import graft.functions.{Dedup, Similarity}
     val docs = Tables.documents(spark, sfDir)
