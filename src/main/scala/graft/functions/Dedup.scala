@@ -210,10 +210,16 @@ object Dedup {
     val tEff = math.min(threshold, 0.999)
     val lb = floor(log(col("n_shingles").cast("double")) /
       lit(math.log(1.0 / tEff))).cast("int")
+    // every threshold comparison below carries a 1e-9 slack: the double
+    // products can land one ulp ABOVE the exact rational value (e.g.
+    // 100 * 0.55 = 55.000000000000001), and without the slack a pair whose
+    // Jaccard equals the threshold exactly is silently dropped — the
+    // exactness contract only holds with the guard (extra boundary
+    // candidates are harmless: verification re-filters on real Jaccard)
     val prefix = sh.join(freq, "shingle")
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <=
-        col("n_shingles") - ceil(col("n_shingles") * threshold) + 1)
+        col("n_shingles") - ceil(col("n_shingles") * threshold - 1e-9) + 1)
       .select(col("doc_id"), col("shingle"), col("pos"), col("n_shingles"))
       .withColumn("lb", lb)
     val probes = prefix.withColumn("lbp",
@@ -224,7 +230,7 @@ object Dedup {
         col("x.shingle") === col("y.shingle") && col("x.lbp") === col("y.lb") &&
           col("x.doc_id") < col("y.doc_id") &&
           least(col("x.n_shingles"), col("y.n_shingles")) >=
-            greatest(col("x.n_shingles"), col("y.n_shingles")) * threshold &&
+            greatest(col("x.n_shingles"), col("y.n_shingles")) * threshold - lit(1e-9) &&
           lit(1) + least(col("x.n_shingles") - col("x.pos"),
             col("y.n_shingles") - col("y.pos")) >= minOverlap - lit(1e-9))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -42,12 +42,19 @@ object IvfIndex {
   /** Train a k-cell model: stride-sampled init + `iters` Lloyd steps. */
   def train(spark: SparkSession, embs: DataFrame, k: Int, iters: Int = 2): Model = {
     import spark.implicits._
+    def collectInit(df: DataFrame): Vector[Vector[Double]] =
+      df.orderBy(col("vec_id")).limit(k)
+        .select(col("embedding")).as[Seq[Float]].collect()
+        .map(_.map(_.toDouble).toVector).toVector
     val n = embs.count()
     val stride = math.max(n / k, 1L)
-    val init = embs.filter(col("vec_id") % stride === 0)
-      .orderBy(col("vec_id")).limit(k)
-      .select(col("embedding")).as[Seq[Float]].collect()
-      .map(_.map(_.toDouble).toVector).toVector
+    val strideInit = collectInit(embs.filter(col("vec_id") % stride === 0))
+    // sparse or offset id spaces can miss the stride lattice (e.g. all-odd
+    // ids with an even stride → zero hits); fall back to the first k by id
+    // so the model always carries min(k, corpus) cells instead of crashing
+    // or silently training a degenerate cell set
+    val init = if (strideInit.length < k) collectInit(embs) else strideInit
+    require(init.nonEmpty, "IvfIndex.train: embeddings input is empty")
     var model = Model(init)
     (1 to iters).foreach { _ =>
       val dims = model.centroids.head.length

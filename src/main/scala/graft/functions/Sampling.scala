@@ -34,9 +34,11 @@ object Sampling {
   def quotaPerKey(df: DataFrame, keyCol: String, orderCol: String, quota: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= quota)
-      .drop("rn")
+    // collision-safe internal name: a caller's own "rn" column must survive
+    val rn = "__graft_quota_rn"
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= quota)
+      .drop(rn)
   }
 
   /** Deterministic token-budget packing: hash docs into `bins` (the output

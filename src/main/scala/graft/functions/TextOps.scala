@@ -70,7 +70,10 @@ object TextOps {
         count(lit(1)).as("n_tokens"),
         countDistinct(col("tok")).cast("int").as("n_distinct_tokens"),
         count_if(col("tok").isInCollection(stopwords)).cast("int").as("n_stopwords"))
-    base.join(tokStats, "doc_id")
+    // LEFT join: a NULL-text doc explodes to zero rows and would otherwise
+    // vanish from the output, while the column form emits it with NULL
+    // metrics — the two forms must stay row-identical on every input
+    base.join(tokStats, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_chars"), col("n_tokens").cast("int").as("n_tokens"),
         col("n_distinct_tokens"), col("n_stopwords"),

@@ -17,10 +17,13 @@ import org.apache.spark.sql.types._
   * codegen), which dominates runtime on O(n²) similarity-join pair streams.
   * The emitted loop reads primitive elements straight out of UnsafeArrayData
   * — same summation order, so results are bit-identical to the HOF form and
-  * existing oracles.
+  * existing oracles. Mismatched array lengths yield NULL (also matching the
+  * HOF form, whose zip_with pads with null): a wrong-dimension vector must
+  * fail loudly, not rank with a silently-truncated similarity.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
@@ -36,7 +39,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val at = elemType(left).get
     val bt = elemType(right).get
     var acc = 0.0d
@@ -58,12 +62,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val aGet = if (elemType(left).get == FloatType) s"$a.getFloat($i)" else s"$a.getDouble($i)"
       val bGet = if (elemType(right).get == FloatType) s"$b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $aGet) * ((double) $bGet);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $aGet) * ((double) $bGet);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

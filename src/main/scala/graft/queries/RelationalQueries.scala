@@ -22,6 +22,25 @@ import org.apache.spark.sql.expressions.Window
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared corpus gate for the two flagship pipelines (q_t5, q_t8):
+    * language = en ∧ n_tokens >= 20 ∧ one survivor per exact-duplicate
+    * group. Returns the doc rows joined with (lang_pred, n_tokens,
+    * stopword_ratio) so callers add their own extra filters/projections —
+    * one definition keeps the two pipelines (and their oracles) in sync.
+    */
+  private def gatedEnglishDocs(docs: DataFrame): DataFrame = {
+    val lang = TextOps.langIdJoined(docs)
+    val qual = TextOps.qualityScoreExploded(docs)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+    val canon = docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs
+      .join(canon, "doc_id")
+      .join(lang, "doc_id").filter(col("lang_pred") === "en")
+      .join(qual, "doc_id").filter(col("n_tokens") >= 20)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- S: sources / scans -------------------------------------------------
     "q_s5_init_lookup" -> ((s, d) =>
@@ -400,26 +419,15 @@ object RelationalQueries {
       // broadcast-join form — identical output to the column form
       TextOps.langIdJoined(Tables.documents(s, d)).orderBy(col("doc_id"))),
 
-    "q_t5_corpus_filter" -> ((s, d) => {
+    "q_t5_corpus_filter" -> ((s, d) =>
       // flagship training-corpus filter — the composition a 100 TB pipeline
       // runs end to end: language gate ∧ quality gate ∧ one survivor per
       // exact-duplicate group, in one declarative plan (each stage is its
       // own shuffle-partitionable subplan; nothing collects)
-      val docs = Tables.documents(s, d)
-      val lang = TextOps.langIdJoined(docs)
-      val qual = TextOps.qualityScoreExploded(docs)
-        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
-      val canon = docs.groupBy(md5(col("text")).as("text_md5"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      docs.select(col("doc_id"))
-        .join(canon, "doc_id")
-        .join(lang, "doc_id").filter(col("lang_pred") === "en")
-        .join(qual, "doc_id")
-        .filter(col("n_tokens") >= 20 && col("stopword_ratio") >= 0.02)
+      gatedEnglishDocs(Tables.documents(s, d))
+        .filter(col("stopword_ratio") >= 0.02)
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("stopword_ratio"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     "q_t4_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -443,17 +451,7 @@ object RelationalQueries {
       // → deterministic 50% hash sample → per-shard token-budget packing.
       // Every stage is shuffle-partitionable; nothing collects; the same
       // plan is the 100 TB corpus build.
-      val docs = Tables.documents(s, d)
-      val lang = TextOps.langIdJoined(docs)
-      val qual = TextOps.qualityScoreExploded(docs)
-        .select(col("doc_id"), col("n_tokens"))
-      val canon = docs.groupBy(md5(col("text")).as("text_md5"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select(col("doc_id"))
-      val kept = docs
-        .join(canon, "doc_id")
-        .join(lang, "doc_id").filter(col("lang_pred") === "en")
-        .join(qual, "doc_id").filter(col("n_tokens") >= 20)
+      val kept = gatedEnglishDocs(Tables.documents(s, d))
         .select(col("doc_id"), col("text"))
       graft.functions.Sampling.tokenBudgetPack(
           graft.functions.Sampling.hashSample(kept, "doc_id", 0.5),
@@ -564,10 +562,9 @@ object RelationalQueries {
 
     // ---- similarity search --------------------------------------------------
     "q_v1_knn_brute" -> ((s, d) => {
-      val spark = s
-      val query = Tables.embeddings(spark, d).filter(col("vec_id") === 0)
+      val query = Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
-      Similarity.bruteForceTopK(Tables.embeddings(spark, d), query, k = 10,
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), query, k = 10,
         excludeSelf = Some(0L))
     }),
 
@@ -1093,8 +1090,12 @@ object RelationalQueries {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_ev3_sessions" ->
+      // the running-sum window must accumulate in the SAME total order as
+      // the brk window (ts, event_id) — ordering by the second-truncated t
+      // alone leaves same-second ties unordered, and a brk=1/brk=0 tie pair
+      // could nondeterministically split a session
       """WITH e AS (
-           SELECT user_id, floor(epoch(ts))::BIGINT AS t,
+           SELECT user_id, ts, event_id, floor(epoch(ts))::BIGINT AS t,
                   CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
                          OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
                        THEN 1 ELSE 0 END AS brk
@@ -1102,7 +1103,7 @@ object RelationalQueries {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (
            SELECT user_id, t,
-                  sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM e)
          SELECT user_id, count(*) AS n_events, (max(t) - min(t)) AS duration_secs

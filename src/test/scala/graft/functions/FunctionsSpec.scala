@@ -90,6 +90,15 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     sigs(2L).forall(_ != null) shouldBe true
   }
 
+  test("native dot product yields NULL on mismatched vector lengths (like the HOF form)") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    df.select(VectorExprs.dot($"a", $"b")).head().isNullAt(0) shouldBe true
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)).head()
+    hof.isNullAt(0) shouldBe true // the contract the native expr mirrors
+  }
+
   test("native dot product matches scala reference and HOF form") {
     val df = Seq((Seq(1.0f, 2.5f, -3.0f), Seq(0.5f, 2.0f, 4.0f))).toDF("a", "b")
     val native = df.select(VectorExprs.dot($"a", $"b")).head().getDouble(0)
@@ -217,6 +226,18 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     } yield (a, b, jr)).toSet
     ref should not be empty // the fixture must actually exercise the join
     out shouldBe ref
+  }
+
+  test("prefix filter keeps a pair whose Jaccard EQUALS the threshold (fp boundary)") {
+    // 55 shingles ⊂ 100 shingles → Jaccard exactly 55/100 = 0.55; the double
+    // product 100*0.55 lands one ulp above 55, so without the epsilon slack
+    // the size bound and the ceil prefix length both silently drop this pair
+    val x = (1 to 57).map(i => s"w$i").mkString(" ")   // 55 shingles (k=3)
+    val y = (1 to 102).map(i => s"w$i").mkString(" ")  // 100 shingles, superset
+    val df = Seq((1L, x), (2L, y)).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, "text", 3, threshold = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq((1L, 2L, 0.55))
   }
 
   test("deterministic sampling: hash fraction, per-key quota, token-budget packing") {

@@ -49,6 +49,16 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("train survives sparse/offset id spaces (stride lattice miss)") {
+    // all-odd vec_ids: with an even stride the old init filter matched zero
+    // rows; the fallback must still produce k cells
+    val embs = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 2 === 1)
+    val model = IvfIndex.train(spark, embs, k = 4, iters = 1)
+    model.numCells shouldBe 4
+    IvfIndex.assignCells(embs, model).select("cell").distinct().count() should be >= 2L
+  }
+
   test("knnJoin candidate pairs are unique by construction (single cell per index row)") {
     // the plan relies on this invariant instead of a pair-dedup shuffle: the
     // index assigns each vector to exactly one cell, so a (query, candidate)
