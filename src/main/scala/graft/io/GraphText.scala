@@ -87,6 +87,23 @@ object GraphText {
     val (nodesPart, edgesPart) = splitSections(content)
     val nodes = NodeRe.findAllMatchIn(nodesPart).map(m => parseNode(m.group(1))).toVector
     val edges = ActionRe.findAllIn(edgesPart).map(parseAction).toVector
+    // regex-based extraction silently skips records it does not match (an
+    // out-of-grammar Action — e.g. a negative Some(...) — would simply
+    // vanish); count the record openers so malformed input is an ERROR, not
+    // a silently smaller graph feeding wrong walks downstream
+    def occurrences(hay: String, needle: String): Int = {
+      var c = 0; var i = hay.indexOf(needle)
+      while (i >= 0) { c += 1; i = hay.indexOf(needle, i + 1) }
+      c
+    }
+    val expectedNodes = occurrences(nodesPart, "NodeObject(")
+    val expectedEdges = occurrences(edgesPart, "Action(")
+    if (nodes.length != expectedNodes)
+      throw new IllegalArgumentException(
+        s"graph text: parsed ${nodes.length} of $expectedNodes node records — malformed NodeObject present")
+    if (edges.length != expectedEdges)
+      throw new IllegalArgumentException(
+        s"graph text: parsed ${edges.length} of $expectedEdges edge records — malformed Action present")
     val g = NetGraphLocal(nodes, edges)
     g.initNode // validate presence of id==0, same contract as the reference
     g

@@ -6,11 +6,14 @@ import org.apache.spark.sql.SparkSession
   *
   * The reference dumps a LinkedHashMap through SnakeYAML with pretty flow
   * (reference: src/main/scala/HelperFunction.scala:375-409). SnakeYAML is not a
-  * dependency of this build, so the writer emits the same pretty-flow map form
+  * dependency of this build, so the writer emits the same pretty-flow map FORM
   * directly: `{` newline, one `'key': 'value',` line per entry (long values
-  * wrapped), `}` — enough to diff-clean against the reference's checked-in
-  * outputs for the same data. Paths resolve through Hadoop FileSystem, so
-  * local/HDFS/S3 targets all work.
+  * wrapped), `}`. Byte-level parity with the reference's checked-in files is
+  * not a goal — their key order is HashMap-iteration-dependent and SnakeYAML
+  * breaks long lines at the first space AFTER overflowing the width, where
+  * this writer breaks at the last space before it. Graft's own output is
+  * deterministic and byte-pinned by the committed golden. Paths resolve
+  * through Hadoop FileSystem, so local/HDFS/S3 targets all work.
   */
 object YamlSink {
 

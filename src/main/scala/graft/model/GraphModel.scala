@@ -69,6 +69,14 @@ final case class NetGraphLocal(nodes: Vector[NodeObject], edges: Vector[EdgeActi
   lazy val parentMap: Map[NodeObject, Vector[NodeObject]] =
     edges.groupBy(_.toNode).map { case (k, v) => k -> v.map(_.fromNode) }
 
+  /** Out-edges with their position in the original edge list, for induced
+    * subgraphs that must preserve the edge-list order without re-scanning
+    * all of `edges` per walk.
+    */
+  lazy val outEdgeIndex: Map[NodeObject, Vector[(Int, EdgeAction)]] =
+    edges.zipWithIndex.map { case (e, i) => (i, e) }
+      .groupBy(_._2.fromNode).map { case (k, v) => k -> v.toVector }
+
   def toDS(spark: SparkSession): NetGraphDS = {
     import spark.implicits._
     NetGraphDS(spark.createDataset(nodes), spark.createDataset(edges))

@@ -118,10 +118,14 @@ object SimRank {
 
   /** Best-candidate selection per subgraph node
     * (reference: HelperFunction.scala:274-301): singleton short-circuit;
-    * exact-struct-equality short-circuit; else +1 per equal field among
-    * {children, props, maxDepth, maxProperties} and take the top scorer.
-    * Tie-break: first candidate (in list order) reaching the max field-score
-    * — deterministic, unlike the reference's hash-order map sort.
+    * exact-struct-equality short-circuit; else OCCURRENCE-WEIGHTED field
+    * scoring — each occurrence of a candidate in the merged list adds +1 per
+    * equal field among {children, props, maxDepth, maxProperties} (the
+    * reference's `scores(n) += 1` accumulates across duplicate entries, so a
+    * candidate recurring in several walks is boosted: total = occurrences ×
+    * field-score). Winner = first candidate (in list order) carrying the
+    * maximum total — deterministic, unlike the reference's hash-order map
+    * sort whose tie winner depends on Map iteration order.
     */
   def findBestNodeMatch(pgNode: NodeObject,
                         candidates: List[(NodeObject, Float)]): (NodeObject, Float) = {
@@ -135,13 +139,27 @@ object SimRank {
           (if (pgNode.props == n.props) 1 else 0) +
           (if (pgNode.maxDepth == n.maxDepth) 1 else 0) +
           (if (pgNode.maxProperties == n.maxProperties) 1 else 0)
-        // maxBy keeps the first-encountered maximum — stable and deterministic
-        candidates.maxBy { case (n, _) => fieldScore(n) }
+        val totals: Map[NodeObject, Int] =
+          candidates.groupBy(_._1).map { case (n, occ) => n -> occ.length * fieldScore(n) }
+        val best = totals.values.max
+        // first list-order occurrence of a max-total candidate (the
+        // reference's `.find` also returns the first occurrence's pair)
+        candidates.find { case (n, _) => totals(n) == best }.get
     }
   }
 
   /** A2 batch merge: concatenate candidate lists per subgraph node across
     * walks (reference: src/main/scala/Main.scala:112-122).
+    *
+    * Two DELIBERATE divergences from the reference's merge:
+    *  - a batch with exactly ONE non-empty map still contributes (the
+    *    reference's `nonEmptyMaps.length > 1` guard silently discards a
+    *    single map's matches for that iteration — an accident, not a
+    *    semantic: with itersBeforeAccum=1 it would discard every batch);
+    *  - the maps merged are always the CURRENT batch's fresh re-scores; the
+    *    reference merges an ever-growing buffer that still contains prior
+    *    batches' stale maps computed under older skip-tables, duplicating
+    *    candidates with outdated scores (see MitMPipeline superstep notes).
     */
   def mergeMatchMaps(maps: Seq[Map[NodeObject, List[(NodeObject, Float)]]])
       : Map[NodeObject, List[(NodeObject, Float)]] = {

@@ -49,11 +49,16 @@ object MitMPipeline {
       unsuccPerPartition: List[Int],
       walksPerPartition: List[List[List[Int]]])    // partition -> distinct walks -> node ids
 
-  /** Per-partition walk state carried between supersteps. */
+  /** Per-partition walk state carried between supersteps. `visited` is a
+    * SET: it is only ever consumed for membership (walk exclusion), and the
+    * reference's duplicate-accumulating list form would both inflate the
+    * persisted state and cost O(iters² × walkLen) in repeated
+    * list→set conversions inside the superstep task.
+    */
   private final case class PartState(
       partition: Long,
       startNode: NodeObject,
-      visited: List[NodeObject],
+      visited: Set[NodeObject],
       walks: List[RandomWalk.WalkResult],
       itersDone: Int)
 
@@ -109,7 +114,7 @@ object MitMPipeline {
     }
 
     val initStates: List[PartState] =
-      starts.map { case (k, n) => PartState(k, n, Nil, Nil, 0) }.toList
+      starts.map { case (k, n) => PartState(k, n, Set.empty, Nil, 0) }.toList
     var matchTable: SimRank.MatchTable = Map.empty
 
     // Walk state LIVES ON THE EXECUTORS for the whole superstep loop: each
@@ -138,14 +143,18 @@ object MitMPipeline {
         var walks = st.walks
         (1 to batchSize).foreach { j =>
           val rng = RandomWalk.rngFor(cfgLocal.seed, st.partition, st.itersDone + j)
-          val w = RandomWalk.walk(pg, st.startNode, visited.toSet, cfgLocal.randomWalkCoeff, rng)
+          val w = RandomWalk.walk(pg, st.startNode, visited, cfgLocal.randomWalkCoeff, rng)
           walks = walks :+ w
           visited = visited ++ w.nodes
         }
 
         // SimRank every accumulated walk against NG with the current
         // skip-table (the reference re-scores prior batches' walks too —
-        // matched nodes are excluded so this only fills gaps)
+        // matched nodes are excluded so this only fills gaps). DELIBERATE
+        // divergence: only the fresh re-scores are merged; the reference
+        // additionally keeps every prior batch's STALE maps (computed under
+        // older skip-tables) in its grow-only buffer and re-merges them,
+        // duplicating candidates with outdated scores (Main.scala:104-108).
         val walksToScore = if (cfgLocal.resimrankAccumulatedWalks) walks else walks.takeRight(batchSize)
         val srMaps = walksToScore.map { w =>
           val pgParents = w.edges.groupBy(_.toNode).map { case (k, v) => k -> v.map(_.fromNode) }
@@ -204,8 +213,13 @@ object MitMPipeline {
       walksPerPartition = walksPerPartition)
   }
 
-  /** K1 — YAML statistics report with the reference's key set and insertion
-    * order (reference: Main.scala:204-212).
+  /** K1 — YAML statistics report with the reference's key set, in the
+    * reference SOURCE's declared insertion order (Main.scala:204-212). Note
+    * the reference's own checked-in files show a different order: it builds
+    * a plain `Map` (HashMap beyond 4 entries) and copies it into the
+    * LinkedHashMap in hash-iteration order, so its file order is an
+    * implementation accident. Graft's order is the declared one and is
+    * byte-pinned by the committed golden (`MitMPipelineSpec`).
     */
   def statisticsYaml(r: Result): Seq[(String, String)] = Seq(
     "Original valuable data nodes:" -> r.origValuableIds.mkString("List(", ", ", ")"),

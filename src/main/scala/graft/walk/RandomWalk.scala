@@ -35,6 +35,9 @@ object RandomWalk {
   def walk(graph: NetGraphLocal, startNode: NodeObject,
            alreadyVisited: collection.Set[NodeObject],
            coeff: Double, rng: Random): WalkResult = {
+    // a non-positive coeff gives a zero step budget → empty visited sequence
+    // → opaque executor crash in inducedSubgraph; fail with the actual cause
+    require(coeff > 0, s"randomWalkCoeff must be > 0 (got $coeff)")
     val budget = coeff * graph.nodes.length
     val visited = ListBuffer.empty[NodeObject]
     var current = startNode
@@ -45,6 +48,12 @@ object RandomWalk {
       val neighbors = graph.outAdjacency.getOrElse(current, Vector.empty)
       if (neighbors.isEmpty) earlyExit = true
       else {
+        // SET exclusion, a documented divergence: the reference's
+        // `neighbors.diff(visitedNodesList)` is a multiset difference, so on
+        // a MULTIGRAPH a partially-cancelled parallel neighbor would remain
+        // preferred-selectable there but not here. All NetGameSim fixtures
+        // are simple graphs (verified: zero duplicate (from,to) pairs), where
+        // the two semantics coincide; the set form keeps O(1) exclusion.
         val unvisited = neighbors.filterNot(alreadyVisited.contains)
         current =
           if (unvisited.nonEmpty) unvisited(rng.nextInt(unvisited.length))
@@ -56,12 +65,19 @@ object RandomWalk {
 
   /** Induced subgraph over the visited node sequence (first-visit order kept,
     * duplicates dropped — `distinct` preserves first occurrence like the
-    * reference's `List.distinct`).
+    * reference's `List.distinct`). Edges come from the per-node out-edge
+    * index — O(edges of visited nodes) instead of one O(|E|) scan per walk —
+    * re-sorted by original edge-list position so the result is identical
+    * (content AND order) to filtering `graph.edges`.
     */
   def inducedSubgraph(graph: NetGraphLocal, visitedSeq: Vector[NodeObject]): WalkResult = {
+    require(visitedSeq.nonEmpty, "inducedSubgraph needs at least one visited node")
     val nodes = visitedSeq.distinct
     val nodeSet = nodes.toSet
-    val edges = graph.edges.filter(e => nodeSet.contains(e.fromNode) && nodeSet.contains(e.toNode))
+    val edges = nodes
+      .flatMap(n => graph.outEdgeIndex.getOrElse(n, Vector.empty))
+      .filter { case (_, e) => nodeSet.contains(e.toNode) }
+      .sortBy(_._1).map(_._2)
     val targets = edges.map(_.toNode).toSet
     val init = nodes.find(n => !targets.contains(n)).getOrElse(nodes.head)
     WalkResult(nodes, edges, init)

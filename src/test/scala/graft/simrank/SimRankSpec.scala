@@ -99,6 +99,20 @@ class SimRankSpec extends AnyFunSuite with Matchers {
     SimRank.findBestNodeMatch(p, List((t1, 0.1f), (t2, 0.9f)))._1 shouldBe t1
   }
 
+  test("findBestNodeMatch weights recurring candidates by occurrence (reference semantics)") {
+    val p = node(80, children = 3, props = 4)
+    // strong: 2 matching fields + the always-equal defaults; weak: 1 fewer —
+    // but weak occurs twice across walks, so occurrence-weighting flips it:
+    // total(weak) = 2 × score > total(strong) = 1 × (score + 1)
+    val strong = node(2, children = 3, props = 4)
+    val weak = node(3, children = 3, props = 9)
+    SimRank.findBestNodeMatch(p,
+      List((strong, 0.5f), (weak, 0.4f), (weak, 0.3f)))._1 shouldBe weak
+    // the returned pair is the FIRST occurrence of the winner
+    SimRank.findBestNodeMatch(p,
+      List((strong, 0.5f), (weak, 0.4f), (weak, 0.3f)))._2 shouldBe 0.4f
+  }
+
   test("mergeMatchMaps concatenates candidate lists per key") {
     val a = node(90); val b = node(91)
     val m1 = Map(a -> List((b, 0.5f)))
