@@ -4,6 +4,7 @@ import graft.model._
 import org.apache.spark.graphx.{Edge, EdgeTriplet, Graph, Pregel, VertexId, EdgeDirection}
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** GraphX projection of the property-graph model — the scale-out execution
@@ -21,6 +22,14 @@ object GraphXOps {
   final case class EdgeAttr(actionType: Int, resultingValue: Option[Int], cost: Double)
 
   def toGraphX(spark: SparkSession, g: NetGraphLocal): Graph[NodeObject, EdgeAttr] = {
+    // dangling endpoints would materialize vertices with a NULL attribute
+    // (defaultVertexAttr below) that flow silently into startNodes/parentMap
+    // results — validate at build time while the graph is driver-local
+    val ids = g.nodes.map(_.id).toSet
+    g.edges.foreach { e =>
+      require(ids.contains(e.fromNode.id) && ids.contains(e.toNode.id),
+        s"edge ${e.fromNode.id}->${e.toNode.id} references a node absent from the node list")
+    }
     val sc = spark.sparkContext
     val vertices: RDD[(VertexId, NodeObject)] =
       sc.parallelize(g.nodes.map(n => (n.id.toLong, n)))
@@ -108,6 +117,11 @@ object GraphXOps {
   def pregelRandomWalks(graph: Graph[NodeObject, EdgeAttr],
                         starts: Map[Long, VertexId],
                         steps: Int, seed: Long): RDD[(Long, List[VertexId])] = {
+    // Long.MinValue keys the init sentinel below: a walker with that id
+    // would make every one of its arrivals look like the sentinel, freezing
+    // it (and dropping co-arriving walkers merged into the same message)
+    require(!starts.contains(Long.MinValue),
+      "walker id Long.MinValue is reserved for the Pregel init sentinel")
     // adjacency snapshot per vertex: ordered out-neighbor ids
     val withAdj: Graph[(Array[VertexId], Map[Long, List[VertexId]]), EdgeAttr] = {
       val adj = graph.aggregateMessages[List[VertexId]](
@@ -161,12 +175,24 @@ object GraphXOps {
       .reduceByKey((a, b) => if (a.length >= b.length) a else b)
   }
 
-  /** Match-table arg-max as a DataFrame over GraphX-derived candidates —
-    * bridges back into the relational layer (GraphOps.argmaxMatchTable).
+  /** GraphX-derived candidates as a DataFrame (pgId, ngId, score) — id-level
+    * rows (the full NodeObject structs live on the graph, not here), so the
+    * relational arg-max over them is [[argmaxById]], NOT
+    * GraphOps.argmaxMatchTable (which expects struct columns).
     */
   def candidatesToDF(spark: SparkSession,
                      candidates: RDD[(Int, Int, Float)]): DataFrame = {
     import spark.implicits._
     candidates.toDF("pgId", "ngId", "score")
   }
+
+  /** A3 arg-max over id-level candidates from [[candidatesToDF]]: max score
+    * per pgId, ties broken by the lowest ngId — the same contract as
+    * GraphOps.argmaxMatchTable, on flat id columns.
+    */
+  def argmaxById(candidates: DataFrame): DataFrame =
+    candidates.groupBy(col("pgId"))
+      .agg(max_by(struct(col("score"), col("ngId")),
+        struct(col("score"), -col("ngId"))).as("best"))
+      .select(col("pgId"), col("best.ngId").as("ngId"), col("best.score").as("score"))
 }

@@ -23,7 +23,8 @@ case class BinaryStride(child: Expression, stride: Int) extends UnaryExpression 
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
-    val out = new Array[Byte]((b.length + stride - 1) / stride)
+    // ceil-divide in Long: len + stride - 1 overflows Int for huge strides
+    val out = new Array[Byte](((b.length.toLong + stride - 1) / stride).toInt)
     var i = 0
     while (i < out.length) { out(i) = b(i * stride); i += 1 }
     out
@@ -35,7 +36,7 @@ case class BinaryStride(child: Expression, stride: Int) extends UnaryExpression 
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
       s"""
-         |int $n = ($c.length + $stride - 1) / $stride;
+         |int $n = (int) (($c.length + (long) $stride - 1L) / $stride);
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
          |  $out[$i] = $c[$i * $stride];

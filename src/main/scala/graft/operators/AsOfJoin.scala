@@ -40,21 +40,26 @@ object AsOfJoin {
         col(leftKey).as("__key"),
         col(leftTime).as("__t"),
         lit(1).as("__side"), // left rows sort after right rows at equal times
-        lit(0L).as("__tb"),
-        lit(null).cast("struct<__asof_time:timestamp>").as("__dummy"))): _*)
+        lit(0L).as("__tb"))): _*)
       .withColumn("__val",
         lit(null).cast(right.select(
           struct((col(rightTime).as("__asof_time") +: rightVals.map(col)): _*).as("s"))
           .schema("s").dataType.catalogString))
-      .drop("__dummy")
 
     val rSide = {
-      val base = right.select(
-        col(rightKey).as("__key"),
-        col(rightTime).as("__t"),
-        lit(0).as("__side"),
-        rightTiebreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tb"),
-        struct((col(rightTime).as("__asof_time") +: rightVals.map(col)): _*).as("__val"))
+      val base = right
+        // a right row with a null key or null time can never be a legitimate
+        // as-of match; unfiltered, a null time would sort FIRST in the
+        // partition (asc nulls-first) and its values would be picked up by
+        // every left row, and null keys would spuriously match null-key left
+        // rows (no SQL join matches null to null)
+        .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+        .select(
+          col(rightKey).as("__key"),
+          col(rightTime).as("__t"),
+          lit(0).as("__side"),
+          rightTiebreak.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("__tb"),
+          struct((col(rightTime).as("__asof_time") +: rightVals.map(col)): _*).as("__val"))
       // null-fill the left columns so both sides share one schema
       leftCols.foldLeft(base)((df, c) =>
         df.withColumn(c, lit(null).cast(left.schema(c).dataType)))

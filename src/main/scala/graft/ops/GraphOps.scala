@@ -15,13 +15,17 @@ object GraphOps {
 
   /** G1/J1 — start nodes: vertices with no incoming edge.
     * Reference semantics: `nodes.distinct diff edges.map(_.toNode).distinct`
-    * (reference: HelperFunction.scala:181-186). Anti-join on the full node
-    * struct; the edge side is deduplicated by Catalyst's join itself.
+    * (reference: HelperFunction.scala:181-186) — STRUCT-level: a node whose
+    * edge-side denormalized copy disagrees on any field (the stale-copy
+    * hazard of perturbed graphs) stays a start node, and distinct structs
+    * sharing an id are kept apart. The anti-join therefore compares the full
+    * node struct, not the id.
     */
   def startNodes(g: NetGraphDS): Dataset[NodeObject] = {
-    val targets = g.edges.select(col("toNode.*"))
-    g.nodes.dropDuplicates("id")
-      .join(targets, g.nodes("id") === targets("id"), "left_anti")
+    val nodes = g.nodes.dropDuplicates()
+    val targets = g.edges.select(struct(col("toNode.*")).as("n"))
+    nodes
+      .join(targets, struct(nodes.columns.map(col): _*) === col("n"), "left_anti")
       .as[NodeObject](g.nodes.encoder)
   }
 
@@ -72,11 +76,16 @@ object GraphOps {
     ngNodes.filter(col("valuableData")).select(col("id"))
       .join(matchedPgIds, Seq("id"), "left_anti")
 
-  /** A8/G5 — best node match by field-equality scoring.
-    * Per PG node: exact-struct candidate wins outright; otherwise +1 per equal
-    * field among {children, props, maxDepth, maxProperties}
-    * (reference: HelperFunction.scala:274-301). Window arg-max, ties broken by
-    * candidate id for determinism. Input columns: (pgNode, ngNode, score).
+  /** A8/G5 — best node match by OCCURRENCE-WEIGHTED field-equality scoring,
+    * the relational form of [[graft.simrank.SimRank.findBestNodeMatch]].
+    * Per PG node: an exact-struct candidate wins outright; otherwise each
+    * occurrence of a candidate adds +1 per equal field among
+    * {children, props, maxDepth, maxProperties} (total = occurrences ×
+    * field-score — recurrence across walks boosts a candidate, reference:
+    * HelperFunction.scala:286-295). Ties broken by candidate id; the winner
+    * carries its max input score (the relational canonical form — input rows
+    * are unordered, so "first occurrence's score" has no meaning here).
+    * Input columns: (pgNode, ngNode, score).
     */
   def bestNodeMatch(candidates: DataFrame): DataFrame = {
     val fieldScore =
@@ -86,13 +95,15 @@ object GraphOps {
       (col("pgNode.maxProperties") === col("ngNode.maxProperties")).cast("int")
     val exact = (col("pgNode") === col("ngNode")).cast("int")
     val w = Window.partitionBy(col("pgNode"))
-      .orderBy(desc("exactMatch"), desc("fieldScore"), asc("ngNode.id"))
+      .orderBy(desc("exactMatch"), desc("totalScore"), asc("ngNode.id"))
     candidates
+      .groupBy(col("pgNode"), col("ngNode"))
+      .agg(count(lit(1)).as("occ"), max(col("score")).as("score"))
       .withColumn("exactMatch", exact)
-      .withColumn("fieldScore", fieldScore)
+      .withColumn("totalScore", col("occ") * fieldScore)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn", "exactMatch", "fieldScore")
+      .drop("rn", "occ", "exactMatch", "totalScore")
   }
 
   /** J7/A6 — walk classification. `walks` columns: (partition: Long,

@@ -20,12 +20,26 @@ object MatchTableAggregator
 
   override def zero: SimRank.MatchTable = Map.empty
 
+  // equal scores tie-break on the LOWER ngNode id: partial-aggregate merge
+  // order is nondeterministic in Spark, so "keep the first seen" (what
+  // SimRank.accumulate does in the pipeline's deterministic fold) would make
+  // the winner depend on task-completion order here — the exact hazard this
+  // class claims to fix. Matches argmaxMatchTable's tie-break.
+  private def better(a: (NodeObject, Float), b: (NodeObject, Float)): (NodeObject, Float) =
+    if (a._2 > b._2) a
+    else if (b._2 > a._2) b
+    else if (a._1.id <= b._1.id) a else b
+
+  private def put(t: SimRank.MatchTable, pg: NodeObject,
+                  v: (NodeObject, Float)): SimRank.MatchTable =
+    t.updated(pg, t.get(pg).map(better(_, v)).getOrElse(v))
+
   override def reduce(b: SimRank.MatchTable,
                       a: (NodeObject, (NodeObject, Float))): SimRank.MatchTable =
-    SimRank.accumulate(b, Map(a))
+    put(b, a._1, a._2)
 
   override def merge(b1: SimRank.MatchTable, b2: SimRank.MatchTable): SimRank.MatchTable =
-    SimRank.accumulate(b1, b2)
+    b2.foldLeft(b1) { case (acc, (pg, v)) => put(acc, pg, v) }
 
   override def finish(r: SimRank.MatchTable): SimRank.MatchTable = r
 

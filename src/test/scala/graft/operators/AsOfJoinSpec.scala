@@ -34,6 +34,24 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     out(3) shouldBe ((4L, None, None))
   }
 
+  test("right rows with null time or null key never match; null-key left rows get null") {
+    val probes = Seq(
+      (1L, Some(10L), ts("2024-01-03 00:00:00")), // only legit match is the 01-02 row
+      (2L, None: Option[Long], ts("2024-01-03 00:00:00")) // null key → no match
+    ).toDF("event_id", "user_id", "ts")
+    val refs = Seq(
+      (Some(10L), Option(ts("2024-01-02 00:00:00")), 100.0),
+      (Some(10L), None: Option[java.sql.Timestamp], 666.0), // null time — would sort FIRST unfiltered
+      (None: Option[Long], Option(ts("2024-01-01 00:00:00")), 777.0) // null key
+    ).toDF("custkey", "otime", "price")
+    val out = AsOfJoin.leftAsOf(probes, refs,
+        "user_id", "custkey", "ts", "otime", Seq("price"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(4))))
+    out(0) shouldBe ((1L, Some(100.0)))
+    out(1) shouldBe ((2L, None))
+  }
+
   test("same-time right rows resolve by greatest tiebreak") {
     val probes = Seq((1L, 5L, ts("2024-03-01 00:00:00"))).toDF("event_id", "user_id", "ts")
     val refs = Seq(

@@ -56,6 +56,38 @@ class GraphOpsSpec extends AnyFunSuite with Matchers {
     out shouldBe Set((1, 11, 0.9), (2, 20, 0.1))
   }
 
+  test("bestNodeMatch weights recurring candidates by occurrence (matches SimRank)") {
+    import spark.implicits._
+    // pg(children=3, props=4); strong matches all 4 fields once, weak
+    // matches 3 fields but occurs twice → total 6 > 4 → weak wins,
+    // mirroring SimRank.findBestNodeMatch's occurrence weighting
+    def nstruct(id: Int, children: Int, props: Int) =
+      struct(lit(id).as("id"), lit(children).as("children"), lit(props).as("props"),
+        lit(1).as("maxDepth"), lit(1).as("maxProperties"))
+    val rows = Seq((2, 3, 4, 0.5), (3, 3, 9, 0.4), (3, 3, 9, 0.3))
+      .toDF("ng_id", "ng_children", "ng_props", "score")
+      .select(
+        nstruct(80, 3, 4).as("pgNode"),
+        struct(col("ng_id").as("id"), col("ng_children").as("children"),
+          col("ng_props").as("props"), lit(1).as("maxDepth"),
+          lit(1).as("maxProperties")).as("ngNode"),
+        col("score"))
+    val out = GraphOps.bestNodeMatch(rows)
+      .select(col("ngNode.id"), col("score")).collect()
+    out.length shouldBe 1
+    out.head.getInt(0) shouldBe 3
+    out.head.getDouble(1) shouldBe 0.4 // winner carries its max input score
+  }
+
+  test("MatchTableAggregator tie-breaks equal scores by lower ngNode id (merge-order free)") {
+    import graft.model.NodeObject
+    def node(id: Int) = NodeObject(id, 0, 0, 1, 1, 1, 1, 1, 0.0, valuableData = true)
+    val a = Map(node(1) -> ((node(12), 0.5f)))
+    val b = Map(node(1) -> ((node(10), 0.5f)))
+    MatchTableAggregator.merge(a, b)(node(1))._1.id shouldBe 10
+    MatchTableAggregator.merge(b, a)(node(1))._1.id shouldBe 10 // order-insensitive
+  }
+
   test("MatchTableAggregator arg-maxes across partitions like the relational form") {
     import spark.implicits._
     import graft.model.NodeObject
