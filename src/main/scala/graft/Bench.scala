@@ -22,8 +22,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // JVM/codegen warmup so the first measured query isn't paying startup
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // JVM/codegen warmup so the first measured query isn't paying startup.
+    // Best-effort: entry() reads its own fixed fixture path, which may be
+    // absent on a foreign host — a failed warmup must not kill the bench
+    // (per-query failures are survivable, so the warmup is too).
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
 
     def run1(name: String, pass: Int,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -39,26 +44,49 @@ object Bench {
       // real plan instead of reading pass 1's cache
     }
 
-    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (iteration aid)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (iteration aid); entries
+    // are trimmed, and unknown names are reported instead of silently
+    // benchmarking nothing
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] WARNING: unknown query names in SPARK_GRAFT_ONLY: ${unknown.mkString(", ")}")
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // 3+ passes, per-query MEDIAN: pass 1 absorbs codegen compilation, file
     // listing and page-cache warmup; the median (vs min-of-2) absorbs the
-    // host-VM CPU-throttling spikes documented in SCALE.md
+    // host-VM CPU-throttling spikes documented in SCALE.md. For an even pass
+    // count the two middle observations are averaged (a true median — the
+    // upper-middle alone would report the SLOWER of 2 passes).
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val byPass = (1 to passes).map { p =>
       ordered.map { case (name, fn) => name -> run1(name, p, fn) }.toMap
     }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val results = ordered.map { case (name, _) =>
       val ts = byPass.map(_(name))
-      name -> (if (ts.exists(_ < 0)) -1.0
-               else ts.sorted.apply(ts.length / 2))
+      name -> (if (ts.exists(_ < 0)) -1.0 else median(ts))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":${v}%.3f""" }
+    // JSON string escape for the one interpolated path (same contract as
+    // Verify's escaper: a stray quote/backslash must not break the one line
+    // the driver parses)
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val qs = results.map { case (k, v) => "\"" + esc(k) + f"""\":${v}%.3f""" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

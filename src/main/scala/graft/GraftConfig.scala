@@ -26,8 +26,12 @@ object GraftConfig {
       nodeMatchThreshold = get("nodeMatchThreshold", "0.1").toDouble,
       seed = get("seed", "42").toLong,
       simRankMode = get("simRankMode", "jacobi").toLowerCase match {
-        case "gaussseidel" | "reference-order" => SimRank.Mode.GaussSeidel
-        case _ => SimRank.Mode.Jacobi
+        case "gaussseidel" | "gauss-seidel" | "reference-order" => SimRank.Mode.GaussSeidel
+        case "jacobi" => SimRank.Mode.Jacobi
+        // every other key fails loudly on bad input (toInt/toBoolean throw);
+        // a silent Jacobi fallback would run the wrong mode without warning
+        case other => throw new IllegalArgumentException(
+          s"spark.graft.simRankMode: unknown mode '$other' (expected jacobi | gaussseidel | reference-order)")
       },
       startNodesWithoutReplacement = get("startNodesWithoutReplacement", "true").toBoolean,
       resimrankAccumulatedWalks = get("resimrankAccumulatedWalks", "true").toBoolean)

@@ -14,40 +14,32 @@ import org.apache.spark.sql.types.IntegerType
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions)
   *
-  * or spark.sql.extensions=graft.GraftExtensions.
+  * or spark.sql.extensions=graft.GraftExtensions. Both this path and the
+  * running-session [[GraftExtensions.register]] share one builder per
+  * function, so the two registration paths cannot diverge.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.info
+  import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit = {
-    val fnv: FunctionRegistry.FunctionBuilder = args => {
-      require(args.length == 1, "fnv1a64 takes exactly 1 argument")
-      Fnv1a64(args.head)
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
-    val dot: FunctionRegistry.FunctionBuilder = args => {
-      require(args.length == 2, "dot_product takes exactly 2 arguments")
-      DotProduct(args(0), args(1))
-    }
-    e.injectFunction((
-      FunctionIdentifier("fnv1a64"),
-      info("fnv1a64", "fnv1a64(str) - 64-bit FNV-1a hash of a string."),
-      fnv))
-    e.injectFunction((
-      FunctionIdentifier("dot_product"),
-      info("dot_product",
-        "dot_product(a, b) - double dot product of two float/double arrays."),
-      dot))
-    e.injectFunction((
-      FunctionIdentifier("binary_stride"),
-      info("binary_stride",
-        "binary_stride(bin, n) - every n-th byte of a binary value (n an int literal)."),
-      GraftExtensions.strideBuilder))
-  }
 }
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private[graft] val fnvBuilder: FunctionRegistry.FunctionBuilder = args => {
+    require(args.length == 1, "fnv1a64 takes exactly 1 argument")
+    Fnv1a64(args.head)
+  }
+
+  private[graft] val dotBuilder: FunctionRegistry.FunctionBuilder = args => {
+    require(args.length == 2, "dot_product takes exactly 2 arguments")
+    DotProduct(args(0), args(1))
+  }
 
   private[graft] val strideBuilder: FunctionRegistry.FunctionBuilder = args => {
     require(args.length == 2, "binary_stride takes exactly 2 arguments")
@@ -58,19 +50,21 @@ object GraftExtensions {
     }
   }
 
+  private val builders: Seq[(String, String, FunctionRegistry.FunctionBuilder)] = Seq(
+    ("fnv1a64", "fnv1a64(str) - 64-bit FNV-1a hash of a string.", fnvBuilder),
+    ("dot_product",
+      "dot_product(a, b) - double dot product of two float/double arrays.", dotBuilder),
+    ("binary_stride",
+      "binary_stride(bin, n) - every n-th byte of a binary value (n an int literal).",
+      strideBuilder))
+
   /** Register the same functions on an already-running session (the
     * builder-time extension path requires a fresh session).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("fnv1a64", args => {
-      require(args.length == 1, "fnv1a64 takes exactly 1 argument")
-      Fnv1a64(args.head)
-    }, "built-in")
-    reg.createOrReplaceTempFunction("dot_product", args => {
-      require(args.length == 2, "dot_product takes exactly 2 arguments")
-      DotProduct(args(0), args(1))
-    }, "built-in")
-    reg.createOrReplaceTempFunction("binary_stride", strideBuilder, "built-in")
+    builders.foreach { case (name, _, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

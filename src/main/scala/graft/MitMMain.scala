@@ -81,7 +81,6 @@ object MitMMain {
           if (args.length > 3) Some(args(3)) else None,
           s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       }
-    val seed = seedArg.map(_.toLong).getOrElse(42L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", masterDefault))
@@ -92,8 +91,10 @@ object MitMMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // spark.graft.* conf keys override defaults (GraftConfig); the CLI seed
-    // argument wins over both
-    val cfg = GraftConfig.mitmConfig(spark).copy(seed = seed)
+    // argument wins over both — but ONLY when actually passed (a hardcoded
+    // fallback here would stomp a spark.graft.seed the user configured)
+    val cfgBase = GraftConfig.mitmConfig(spark)
+    val cfg = seedArg.map(s => cfgBase.copy(seed = s.toLong)).getOrElse(cfgBase)
     val r = MitMPipeline.runFiles(spark, orig, pert, out, cfg)
     println(s"Correct matches (TP): ${r.correctMatches.length}")
     println(s"Incorrect matches (FP): ${r.incorrectMatches.length}")
