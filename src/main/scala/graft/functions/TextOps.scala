@@ -145,10 +145,16 @@ object TextOps {
 
   /** Per-document top-k terms by TF-IDF — keyword extraction as one
     * declarative plan: term frequencies per (doc, term), document
-    * frequencies per term (broadcast — vocabulary-sized), corpus size as a
-    * broadcast scalar (stays lazy, no driver count()), smoothed
-    * idf = ln((N+1)/(df+1)), window top-k per doc. Shuffles carry
-    * (doc, term, count) rows only.
+    * frequencies per term, corpus size as a broadcast scalar (stays lazy, no
+    * driver count()), smoothed idf = ln((N+1)/(df+1)), window top-k per doc.
+    *
+    * The document-frequency table is VOCABULARY-sized — at 100 TB of text
+    * that is billions of distinct terms, far past any broadcast threshold —
+    * so the tf⋈df join is a plain shuffle equi-join on `term`
+    * (shuffle-hash-hinted so the shared `tf` aggregation exchange is reused
+    * across both branches rather than recomputed). Only the single-row
+    * corpus-size scalar is broadcast. Shuffles carry (doc, term, count)
+    * rows only, never text.
     */
   def tfidfTopK(df: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -158,7 +164,7 @@ object TextOps {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
     val nDocs = df.agg(count(lit(1)).as("nd"))
     val w = Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("term"))
-    tf.join(broadcast(dfreq), "term")
+    tf.hint("shuffle_hash").join(dfreq.hint("shuffle_hash"), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log((col("nd") + 1.0) / (col("dft") + 1.0)), 4))

@@ -618,6 +618,24 @@ object RelationalQueries {
         .select(col("embedding")).head().getSeq[Float](0)
       graft.functions.IvfIndex.topK(embs, model, query, k = 10,
         nprobe = model.numCells, excludeSelf = Some(0L))
+    }),
+
+    "q_v7_ivf_indexed" -> ((s, d) => {
+      // the train-once / write-partitioned / probe-many flow a 100 TB user
+      // actually runs: the index is persisted partitionBy(cell), so a probe's
+      // cell filter prunes whole directories at scan time (PartitionFilters —
+      // plan-pinned on THIS gated query in ScaleShapeSpec). Probed
+      // exhaustively here (nprobe = numCells) so the persisted-index
+      // round-trip provably equals brute force and the pruned-scan path gets
+      // q_v6's full DuckDB oracle, not just a plan assertion.
+      val embs = Tables.embeddings(s, d)
+      val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
+      val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      graft.functions.IvfIndex.writeIndex(embs, model, path)
+      val query = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.functions.IvfIndex.topKIndexed(s, path, model, query, k = 10,
+        nprobe = model.numCells, excludeSelf = Some(0L))
     })
   )
 
@@ -1047,6 +1065,15 @@ object RelationalQueries {
 
     "q_v6_knn_ivf_exact" ->
       // exhaustive-probe IVF == brute force: same oracle shape as q_v1
+      """WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "q_v7_ivf_indexed" ->
+      // exhaustive probe of the PERSISTED cell-partitioned index == brute
+      // force (same oracle as q_v6); hash-verifies the write→prune→scan path
       """WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,
                 round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine

@@ -35,6 +35,17 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     viaIndex shouldBe direct
   }
 
+  test("gated q_v7 probes the persisted index through partition pruning") {
+    // the PartitionFilters evidence on the GATED query itself (not just the
+    // synthetic probe above): q_v7's scan must carry the cell filter in its
+    // partition-pruning slot, proving the hash-verified result flows through
+    // the pruned-scan path a 100 TB probe would use
+    val df = graft.queries.RelationalQueries.queries("q_v7_ivf_indexed")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include regex """PartitionFilters: \[[^\]]*cell"""
+    df.count() shouldBe 10
+  }
+
   test("bucketed tables join without an exchange") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
@@ -73,7 +84,7 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     readSchema should not include "o_custkey"
   }
 
-  test("window top-k gets a WindowGroupLimit cut; tfidf broadcasts df and N") {
+  test("window top-k gets a WindowGroupLimit cut; tfidf shuffles df, broadcasts only N") {
     import graft.functions.{Sampling, TextOps}
     val q = Sampling.quotaPerKey(
       Tables.embeddings(spark, sfDir).select("vec_id", "label"), "label", "vec_id", 5)
@@ -83,9 +94,17 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     q.queryExecution.executedPlan.toString should include("WindowGroupLimit")
     val t = TextOps.tfidfTopK(Tables.documents(spark, sfDir), k = 3)
     t.collect()
-    // document frequencies AND the corpus-size scalar ship as broadcasts
-    "BroadcastExchange".r.findAllIn(t.queryExecution.executedPlan.toString)
-      .length should be >= 2
+    // scope to the FINAL adaptive plan — toString also prints the pre-AQE
+    // "Initial Plan" section, which would double-count every operator
+    val plan = t.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the VOCABULARY-sized document-frequency table must NOT be broadcast —
+    // at 100 TB it is billions of distinct terms; the tf⋈df join shuffles on
+    // `term` instead (shuffle-hash), and the scanned/repartitioned text
+    // exchange is reused across the tf and df branches rather than rescanned
+    plan should include("ShuffledHashJoin")
+    "ReusedExchange".r.findAllIn(plan).length should be >= 1
+    // the ONLY broadcast left is the single-row corpus-size scalar
+    "BroadcastExchange".r.findAllIn(plan).length shouldBe 1
   }
 
   test("self-join operators reuse the shuffled subtree instead of recomputing it") {
