@@ -26,7 +26,10 @@ object SparkEntry {
     RelationalQueries.queries ++ graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables (plus, for the graph fixtures, the tables
+    * Verify exports into its outDir — see GraphQueries.exportFixtureTables).
+    * Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = RelationalQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracleSql ++ graft.queries.GraphQueries.oracleSql
 }

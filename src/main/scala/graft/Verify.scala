@@ -20,6 +20,13 @@ object Verify {
     def deleteRec(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(deleteRec)); f.delete(); ()
     }
+    // fixture graph base tables for the q_g* oracles — single parquet FILES
+    // (never directories: the gate reads every outDir directory as a query
+    // result); referenced from oracle SQL via the {{OUTDIR}} placeholder
+    try graft.queries.GraphQueries.exportFixtureTables(spark, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] fixture export failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -45,8 +52,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // resolve {{OUTDIR}} to an absolute path: the DuckDB compare may run
+    // with a different working directory than this JVM
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{OUTDIR}}", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1,0 +1,15 @@
+package graft
+
+/** Throwaway plan-inspection harness (not a test). */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.spark
+    val t = graft.functions.TextOps.tfidfTopK(
+      Tables.documents(spark, "/root/testdata/sf0.001"), k = 3)
+    t.collect()
+    println("PLANSTART")
+    println(t.queryExecution.executedPlan.toString)
+    println("PLANEND")
+    spark.stop()
+  }
+}
