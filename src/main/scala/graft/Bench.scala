@@ -1,16 +1,31 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query wall seconds. Queries are materialized
   * through the noop sink — unlike `count()`, which lets Spark drop projection
   * work entirely — so timings reflect real execution.
+  *
+  * Throttle-proofing (the round-4 bench died rc 124 with zero signal):
+  *   - the current cumulative JSON line is re-rendered after every query and
+  *     a JVM shutdown hook prints it on SIGTERM/exit, so an external
+  *     `timeout` kill still leaves a parsable line on stdout;
+  *   - SPARK_GRAFT_DEADLINE_SEC (default 3000, 0 = off) is a global soft
+  *     deadline checked between queries: when exceeded the run stops cleanly
+  *     and emits the final JSON from whatever passes completed;
+  *   - the output carries per-pass arrays ("passes") next to the medians and
+  *     an "unstable" list of queries whose pass spread exceeds 5x, so a
+  *     throttle spike is visible instead of silently folded into a median.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = parsePositiveInt("SPARK_GRAFT_PASSES", default = 3)
+    val deadlineSec = parseNonNegativeLong("SPARK_GRAFT_DEADLINE_SEC", default = 3000L)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -29,6 +44,10 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+
+    val startNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startNanos) / 1e9
+    def pastDeadline: Boolean = deadlineSec > 0 && elapsedSec >= deadlineSec
 
     def run1(name: String, pass: Int,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -56,37 +75,118 @@ object Bench {
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // Observations accumulate per query as passes complete; a deadline cut
+    // mid-pass leaves earlier queries with one more observation than later
+    // ones, and the median below works off whatever each query has.
+    val obs = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
+      ordered.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+
+    // Cumulative JSON snapshot, re-rendered after every query so the
+    // shutdown hook can print a parsable partial if the JVM is killed.
+    @volatile var snapshot: String = render(obs.toSeq, sfDir, partial = true)
+    val emitted = new AtomicBoolean(false)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (emitted.compareAndSet(false, true)) {
+        println(snapshot)
+        Console.out.flush()
+      }
+    }))
+
     // 3+ passes, per-query MEDIAN: pass 1 absorbs codegen compilation, file
     // listing and page-cache warmup; the median (vs min-of-2) absorbs the
     // host-VM CPU-throttling spikes documented in SCALE.md. For an even pass
     // count the two middle observations are averaged (a true median — the
     // upper-middle alone would report the SLOWER of 2 passes).
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
-    val byPass = (1 to passes).map { p =>
-      ordered.map { case (name, fn) => name -> run1(name, p, fn) }.toMap
+    var deadlineHit = false
+    var p = 1
+    while (p <= passes && !deadlineHit) {
+      val it = ordered.iterator
+      while (it.hasNext && !deadlineHit) {
+        val (name, fn) = it.next()
+        if (pastDeadline) {
+          deadlineHit = true
+          System.err.println(
+            f"[bench] soft deadline ${deadlineSec}s hit at ${elapsedSec}%.0fs (pass $p, before $name); stopping cleanly")
+        } else {
+          val dt = run1(name, p, fn)
+          // A SIGTERM (external timeout) stops the SparkContext via Spark's
+          // own shutdown hook while this loop is still running; from then on
+          // every query "fails" instantly with "stopped SparkContext". Those
+          // are artifacts of the kill, not measurements — discard and stop so
+          // the -1s don't poison queries that already have good passes (the
+          // shutdown hook prints the last clean snapshot).
+          if (spark.sparkContext.isStopped) {
+            deadlineHit = true
+            System.err.println(s"[bench] SparkContext stopped externally during pass$p $name; aborting")
+          } else {
+            obs(name) = obs(name) :+ dt
+            snapshot = render(obs.toSeq, sfDir, partial = true)
+          }
+        }
+      }
+      p += 1
     }
-    def median(ts: Seq[Double]): Double = {
-      val s = ts.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
-      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+
+    if (emitted.compareAndSet(false, true)) {
+      println(render(obs.toSeq, sfDir, partial = deadlineHit))
+      Console.out.flush()
     }
-    val results = ordered.map { case (name, _) =>
-      val ts = byPass.map(_(name))
-      name -> (if (ts.exists(_ < 0)) -1.0 else median(ts))
-    }
-    // JSON string escape for the one interpolated path (same contract as
-    // Verify's escaper: a stray quote/backslash must not break the one line
-    // the driver parses)
+    spark.stop()
+  }
+
+  private def parsePositiveInt(name: String, default: Int): Int =
+    sys.env.get(name).map { raw =>
+      val v = try raw.trim.toInt catch { case _: NumberFormatException =>
+        sys.error(s"$name must be a positive integer, got '$raw'") }
+      require(v >= 1, s"$name must be >= 1, got $v")
+      v
+    }.getOrElse(default)
+
+  private def parseNonNegativeLong(name: String, default: Long): Long =
+    sys.env.get(name).map { raw =>
+      val v = try raw.trim.toLong catch { case _: NumberFormatException =>
+        sys.error(s"$name must be a non-negative integer (seconds), got '$raw'") }
+      require(v >= 0, s"$name must be >= 0, got $v")
+      v
+    }.getOrElse(default)
+
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** One JSON line: medians under "queries" (the driver's contract), raw
+    * per-pass observations under "passes", queries whose pass spread exceeds
+    * 5x under "unstable" (throttle-spike flag), and "partial":true when the
+    * run was cut before all passes finished. Queries with no observation yet
+    * or any failed pass report -1 and are excluded from the total.
+    */
+  private def render(entries: Seq[(String, Vector[Double])], sfDir: String,
+                     partial: Boolean): String = {
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + f"""\":${v}%.3f""" }
+    val medians = entries.map { case (name, ts) =>
+      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else median(ts))
+    }
+    val unstable = entries.collect {
+      case (name, ts) if ts.count(_ >= 0) >= 2 && {
+        val ok = ts.filter(_ >= 0)
+        ok.min > 0 && ok.max / ok.min > 5.0
+      } => name
+    }
+    val qs = medians.map { case (k, v) => "\"" + esc(k) + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}"}""")
-    spark.stop()
+    val ps = entries.map { case (k, ts) =>
+      "\"" + esc(k) + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val us = unstable.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$ps,"unstable":$us,"partial":$partial,"sf":"${esc(sfDir)}"}"""
   }
 }
