@@ -43,6 +43,16 @@ object Dedup {
   val xxHasher: Hasher = (c, seed) =>
     when(c.isNull, lit(null).cast("long")).otherwise(xxhash64(lit(seed), c))
 
+  /** FNV-1a family on the codegen'd [[Fnv1a64]] expression, seed-prefixed as
+    * "seed:value" — the ONE family shared with the streaming near-dup path
+    * ([[graft.streaming.NearDupStream.bandKeys]] computes the identical
+    * values via [[Fnv1a64.seeded]]), so a batch backfill and a live stream
+    * produce interchangeable bucket keys and candidate pairs. Nulls
+    * propagate through `concat`, keeping short-doc signatures null.
+    */
+  val fnvHasher: Hasher = (c, seed) =>
+    Fnv1a64.col(concat(lit(s"$seed:"), c))
+
   /** Exact dedup: group identical texts by full md5, keep group size and the
     * minimal doc id (the canonical survivor). One shuffle on a 128-bit key —
     * at 100 TB this is the cheapest possible exact pass.

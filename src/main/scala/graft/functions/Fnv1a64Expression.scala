@@ -63,4 +63,26 @@ object Fnv1a64 {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(Fnv1a64(GraftSqlBridge.expression(c)))
   }
+
+  /** Scalar mirror of the expression: FNV-1a 64 over the string's UTF-8
+    * bytes — bit-identical to evaluating [[Fnv1a64]] on the same value.
+    * This is what lets executor-local code (the streaming near-dup path)
+    * share one hash family with batch plans.
+    */
+  def hash(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = OffsetBasis
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * Prime
+      i += 1
+    }
+    h
+  }
+
+  /** Seeded family member i: hash of "i:" + s — the same construction as
+    * [[graft.functions.Dedup.fnvHasher]] builds in-plan, so batch minhash
+    * signatures and streaming band keys agree value-for-value.
+    */
+  def seeded(seed: Int, s: String): Long = hash(s"$seed:$s")
 }

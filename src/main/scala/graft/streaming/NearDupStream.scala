@@ -5,14 +5,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 /** Streaming near-duplicate detection — the unbounded-stream analog of the
   * batch minhash+LSH candidate pass (graft.functions.Dedup.minhashCandidates):
-  * each arriving document goes through the same shingling and banding SHAPE
-  * as the batch path (word k-gram shingles → seeded hash family → per-band
-  * signature slices), using a task-local seeded FNV-1a family — streaming
-  * bucket keys are NOT interchangeable with the batch path's
-  * xxhash64/md5-family buckets, so backfill and live data must both run
-  * through one path or the other. Per-(band, bucket) state holds the doc
-  * ids already seen in that bucket; a new arrival emits one candidate pair
-  * per already-present member, then joins the bucket.
+  * each arriving document goes through the same shingling and banding as the
+  * batch path (word k-gram shingles → seeded FNV-1a family → per-band
+  * signature slices), computed with [[graft.functions.Fnv1a64.seeded]] — the
+  * scalar mirror of the codegen'd expression behind
+  * `Dedup.fnvHasher` — so a batch backfill with `fnvHasher` and a live
+  * stream produce the SAME signatures, bucket keys and candidate pairs
+  * (parity pinned in NearDupStreamSpec). Per-(band, bucket) state holds the
+  * doc ids already seen in that bucket; a new arrival emits one candidate
+  * pair per already-present member, then joins the bucket.
   *
   * Scale/state design:
   *  - state is keyed by bucket (not by doc), so lookup cost per arrival is
@@ -36,22 +37,18 @@ object NearDupStream {
   final case class NearDupCandidate(doc_a: Long, doc_b: Long, band: Int)
 
   /** Driver/executor-local minhash banding of one document — same shingling
-    * as `Dedup.shingles` (word k-grams, distinct) with an FNV-1a 64-bit
-    * seeded hash family. Docs with fewer than k tokens produce no bands
-    * (the batch path's short-doc guard).
+    * as `Dedup.shingles` (word k-grams, distinct; split limit -1 matches
+    * Spark's `split`, which keeps trailing empty tokens) and the same seeded
+    * FNV-1a family as `Dedup.fnvHasher`. Docs with fewer than k tokens
+    * produce no bands (the batch path's short-doc guard).
     */
   def bandKeys(text: String, k: Int, bands: Int, rowsPerBand: Int): Seq[String] = {
     if (text == null) return Seq.empty
-    val toks = text.split(" ")
+    val toks = text.split(" ", -1)
     if (toks.length < k) return Seq.empty
     val shingles = (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" ")).distinct
-    def fnv(seed: Int, s: String): Long = {
-      var h = -3750763034362895579L ^ seed.toLong
-      var i = 0
-      while (i < s.length) { h = (h ^ s.charAt(i).toLong) * 1099511628211L; i += 1 }
-      h
-    }
-    val sig = Array.tabulate(bands * rowsPerBand)(p => shingles.map(fnv(p, _)).min)
+    val sig = Array.tabulate(bands * rowsPerBand)(p =>
+      shingles.map(graft.functions.Fnv1a64.seeded(p, _)).min)
     (0 until bands).map { b =>
       val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
       s"$b:${slice.mkString(",")}"

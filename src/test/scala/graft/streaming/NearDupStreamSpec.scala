@@ -24,6 +24,60 @@ class NearDupStreamSpec extends AnyFunSuite with Matchers {
     NearDupStream.bandKeys(null, 3, 4, 2) shouldBe empty
   }
 
+  test("scalar Fnv1a64.seeded mirrors the codegen'd fnvHasher column bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val values = Seq("the quick brown", "fox jumps over", "", "naïve — utf8 ✓")
+    val seeds = Seq(0, 1, 7)
+    val df = values.toDF("s")
+    for (seed <- seeds) {
+      val fromPlan = df.select(graft.functions.Dedup.fnvHasher(col("s"), seed))
+        .collect().map(_.getLong(0)).toSeq
+      val fromScalar = values.map(graft.functions.Fnv1a64.seeded(seed, _))
+      fromPlan shouldBe fromScalar
+    }
+  }
+
+  test("batch backfill (fnvHasher) and streamed replay emit the SAME candidate pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // near-dups (1,2: one word changed), exact dups (1,5), unrelated (3),
+    // short doc (6) — exercises shared-some-bands, shared-all-bands, and
+    // the short-doc guard on both paths
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again every day",
+      2L -> "the quick brown fox leaps over the lazy dog again and again every day",
+      3L -> "completely different words appear inside this other document here tonight",
+      4L -> "yet another unrelated piece of text with its own distinct vocabulary",
+      5L -> "the quick brown fox jumps over the lazy dog again and again every day",
+      6L -> "a b")
+    // one-row bands: bucket equality == one minhash equality, so the
+    // near-dup pair (J = 9/15) collides with probability ~1-(0.4)^8 while
+    // unrelated docs (no shared shingle) cannot collide at all
+    val (k, bands, rowsPerBand) = (3, 8, 1)
+
+    val batchPairs = Dedup.minhashCandidates(
+        corpus.toDF("doc_id", "text"), "text", k, bands, rowsPerBand, Dedup.fnvHasher)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val src = MemoryStream[NearDupStream.DocEvent]
+    val q = NearDupStream.nearDupCandidates(
+        src.toDF().as[NearDupStream.DocEvent], k, bands, rowsPerBand)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_parity").start()
+    try {
+      src.addData(corpus.map { case (id, text) => NearDupStream.DocEvent(id, ts(id), text) }: _*)
+      q.processAllAvailable()
+      val streamPairs = spark.table("neardup_parity")
+        .select("doc_a", "doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      streamPairs shouldBe batchPairs
+      // the family must actually find the near-dups: exact pair and the
+      // one-word-changed pair both present, unrelated docs absent
+      batchPairs should contain allOf ((1L, 5L), (1L, 2L))
+      batchPairs.flatMap(p => Set(p._1, p._2)) should contain noneOf (3L, 4L, 6L)
+    } finally q.stop()
+  }
+
   test("streaming near-dup flags pairs within and ACROSS micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
