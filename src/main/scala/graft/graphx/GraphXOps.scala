@@ -13,13 +13,29 @@ import org.apache.spark.storage.StorageLevel
   * both graphs fit on one executor; this layer carries the same operators to
   * partitioned, distributed graphs.
   *
-  * Vertex attribute = NodeObject; edge attribute = the EdgeAction minus its
-  * embedded endpoint copies (GraphX keys by VertexId, making the reference's
-  * denormalized endpoints redundant — they're re-attachable via triplets).
+  * Vertex attribute = NodeObject (the node-LIST entry); edge attribute keeps
+  * the EdgeAction's denormalized endpoint copies plus its edge-list position
+  * (see [[GraphXOps.EdgeAttr]] — both are semantic, not redundancy: walk
+  * adjacency is whole-NodeObject-keyed and edge-list-ordered).
   */
 object GraphXOps {
 
-  final case class EdgeAttr(actionType: Int, resultingValue: Option[Int], cost: Double)
+  /** `index` is the edge's position in the original edge list — load-bearing
+    * for walk parity: the reference walk engine draws uniform neighbors from
+    * the EDGE-LIST-ORDERED adjacency (NetGraphLocal.outAdjacency), so any
+    * tier reproducing its walks must reconstruct that exact order.
+    *
+    * `fromNode`/`toNode` are the reference's denormalized endpoint COPIES —
+    * also load-bearing, not redundant with the vertex attributes: adjacency
+    * in the reference is keyed by WHOLE-NodeObject equality
+    * (NetGraphLocal.outAdjacency groups on the embedded fromNode), so in a
+    * perturbed graph a node whose node-list entry no longer equals the
+    * edge-embedded copies is a walk dead end. Id-keyed adjacency would walk
+    * straight through such nodes and diverge from the broadcast engine
+    * (caught by the GraphXOpsSpec parity gate).
+    */
+  final case class EdgeAttr(actionType: Int, resultingValue: Option[Int], cost: Double,
+                            index: Int, fromNode: NodeObject, toNode: NodeObject)
 
   def toGraphX(spark: SparkSession, g: NetGraphLocal): Graph[NodeObject, EdgeAttr] = {
     // dangling endpoints would materialize vertices with a NULL attribute
@@ -34,9 +50,9 @@ object GraphXOps {
     val vertices: RDD[(VertexId, NodeObject)] =
       sc.parallelize(g.nodes.map(n => (n.id.toLong, n)))
     val edges: RDD[Edge[EdgeAttr]] =
-      sc.parallelize(g.edges.map(e =>
+      sc.parallelize(g.edges.zipWithIndex.map { case (e, i) =>
         Edge(e.fromNode.id.toLong, e.toNode.id.toLong,
-          EdgeAttr(e.actionType, e.resultingValue, e.cost))))
+          EdgeAttr(e.actionType, e.resultingValue, e.cost, i, e.fromNode, e.toNode))})
     Graph(vertices, edges, defaultVertexAttr = null.asInstanceOf[NodeObject],
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -173,6 +189,129 @@ object GraphXOps {
       mergeMsg = _ ++ _)
     done.vertices.flatMap { case (_, (_, walkers)) => walkers }
       .reduceByKey((a, b) => if (a.length >= b.length) a else b)
+  }
+
+  /** Walker state for [[referenceWalks]]. The rng is never carried as an
+    * object: `drawBounds` records the bound of every nextInt drawn so far, so
+    * any evaluation site can REPLAY the walker's seeded Random from scratch
+    * (same bounds ⇒ same java.util.Random state) — pure, immutable state that
+    * survives Pregel re-evaluation, message merging and lineage recompute.
+    */
+  final case class RefWalker(partition: Long, iteration: Int,
+                             path: List[NodeObject], drawBounds: List[Int],
+                             excluded: Set[NodeObject])
+
+  /** Reference-semantics random walks on the Pregel tier — the scale-out
+    * counterpart of graft.walk.RandomWalk.walk, computing bit-identical walks
+    * (reference semantics: HelperFunction.scala:305-358):
+    *  - step budget coeff·numNodes counting revisits;
+    *  - uniform draw over edge-list-ordered out-neighbors, preferring those
+    *    not in the walker's exclusion set (prior walks' nodes);
+    *  - dead ends finish a walk early;
+    *  - draw i of walk (partition, iteration) consumes the same
+    *    RandomWalk.rngFor(seed, partition, iteration) sequence as the
+    *    broadcast engine (replayed via RefWalker.drawBounds).
+    *
+    * Runs `iters` sequential walks per walker (one Pregel per iteration —
+    * iteration j's exclusion set contains walks 1..j-1's nodes, the
+    * pipeline's superstep-loop contract), all walkers in parallel within an
+    * iteration. Adjacency follows the reference exactly: a walker "at"
+    * NodeObject c (an edge-embedded copy, or the node-list start entry) may
+    * follow only edges whose embedded fromNode EQUALS c — so a perturbed
+    * node whose copies disagree is a dead end, as in the broadcast engine.
+    * Returns ((partition, iteration) -> visited NodeObjects IN ORDER, with
+    * revisits); `.distinct` of each path is the broadcast tier's
+    * WalkResult.nodes (parity pinned in GraphXOpsSpec).
+    */
+  def referenceWalks(graph: Graph[NodeObject, EdgeAttr], starts: Map[Long, NodeObject],
+                     numNodes: Int, coeff: Double, seed: Long,
+                     iters: Int): Map[(Long, Int), List[NodeObject]] = {
+    require(coeff > 0, s"randomWalkCoeff must be > 0 (got $coeff)")
+    val budget = coeff * numNodes
+    // edge-list-ordered out-edge endpoint copies per vertex (duplicates
+    // kept: a multigraph's parallel edges widen that neighbor's draw weight,
+    // as in the reference)
+    val adj = graph.aggregateMessages[List[(Int, NodeObject, NodeObject)]](
+      ctx => ctx.sendToSrc(List((ctx.attr.index, ctx.attr.fromNode, ctx.attr.toNode))), _ ++ _)
+    val base: Graph[Array[(NodeObject, NodeObject)], EdgeAttr] =
+      graph.outerJoinVertices(adj)((_, _, nbrs) =>
+        nbrs.getOrElse(Nil).sortBy(_._1).map(e => (e._2, e._3)).toArray)
+    base.cache()
+
+    // The walker's current position is the NodeObject COPY it arrived as;
+    // its outgoing neighbor pool is the vertex's out-edges whose fromNode
+    // equals that copy (NetGraphLocal.outAdjacency semantics), in edge-list
+    // order. One deterministic draw per step, computed identically at every
+    // triplet of the source vertex — pure replay, no shared mutable rng.
+    def neighborsOf(w: RefWalker, edges: Array[(NodeObject, NodeObject)]): Array[NodeObject] =
+      edges.collect { case (from, to) if from == w.path.last => to }
+    def step(w: RefWalker, edges: Array[(NodeObject, NodeObject)]): Option[NodeObject] = {
+      val nbrs = neighborsOf(w, edges)
+      if (w.path.length >= budget || nbrs.isEmpty) None
+      else {
+        val unvisited = nbrs.filterNot(w.excluded.contains)
+        val pool = if (unvisited.nonEmpty) unvisited else nbrs
+        val rng = graft.walk.RandomWalk.rngFor(seed, w.partition, w.iteration)
+        w.drawBounds.foreach(rng.nextInt)
+        Some(pool(rng.nextInt(pool.length)))
+      }
+    }
+    def poolSize(w: RefWalker, edges: Array[(NodeObject, NodeObject)]): Int = {
+      val nbrs = neighborsOf(w, edges)
+      val unvisited = nbrs.filterNot(w.excluded.contains)
+      if (unvisited.nonEmpty) unvisited.length else nbrs.length
+    }
+
+    var excluded: Map[Long, Set[NodeObject]] =
+      starts.map { case (w, _) => w -> Set.empty[NodeObject] }
+    val results = scala.collection.mutable.Map.empty[(Long, Int), List[NodeObject]]
+    (1 to iters).foreach { iter =>
+      val exclNow = excluded
+      val placed = base.mapVertices { (id, edges) =>
+        val here = starts.collect { case (w, n) if n.id.toLong == id =>
+          w -> RefWalker(w, iter, List(n), Nil, exclNow(w)) }
+        (edges, here.toMap)
+      }
+      type Msg = Map[Long, RefWalker]
+      // initialMsg is the empty map: Pregel never delivers an empty merged
+      // message, so emptiness IS the init sentinel (no reserved walker id)
+      val done = Pregel[(Array[(NodeObject, NodeObject)], Msg), EdgeAttr, Msg](
+        placed, initialMsg = Map.empty, maxIterations = math.ceil(budget).toInt + 1,
+        activeDirection = EdgeDirection.Out)(
+        vprog = { (_, attr, msg) =>
+          if (msg.isEmpty) attr
+          // arrivals overwrite any stale copy of the same walker (an arrival's
+          // path is strictly longer); copies left at departed-from vertices
+          // are resolved by the final longest-path reduce
+          else (attr._1, attr._2 ++ msg)
+        },
+        sendMsg = { t =>
+          val (edges, walkers) = t.srcAttr
+          if (walkers.isEmpty) Iterator.empty
+          else {
+            val moves = walkers.toSeq.flatMap { case (id, w) =>
+              step(w, edges) match {
+                case Some(next) if next.id.toLong == t.dstId =>
+                  Some(id -> w.copy(path = w.path :+ next,
+                    drawBounds = w.drawBounds :+ poolSize(w, edges)))
+                case _ => None
+              }
+            }
+            if (moves.isEmpty) Iterator.empty else Iterator((t.dstId, moves.toMap))
+          }
+        },
+        mergeMsg = _ ++ _)
+      val finals = done.vertices
+        .flatMap { case (_, (_, walkers)) => walkers }
+        .reduceByKey((a, b) => if (a.path.length >= b.path.length) a else b)
+        .collect()
+      finals.foreach { case (w, walker) =>
+        results((w, iter)) = walker.path
+        excluded += w -> (excluded(w) ++ walker.path)
+      }
+    }
+    base.unpersist(blocking = false)
+    results.toMap
   }
 
   /** GraphX-derived candidates as a DataFrame (pgId, ngId, score) — id-level

@@ -46,6 +46,39 @@ class GraphXOpsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("referenceWalks tier parity: Pregel walks == broadcast-engine walks (Graph200, seed 42)") {
+    import graft.walk.RandomWalk
+    import graft.model.NodeObject
+    // the pipeline walks the PERTURBED graph — same fixture + config the
+    // oracled MitM run uses (Config() defaults: coeff 0.5, 20 walkers, seed 42)
+    val pg = GraphText.load(spark, "/root/reference/input/Graph200.txt.perturbed")
+    val gxPg = GraphXOps.toGraphX(spark, pg)
+    val cfg = MitMPipeline.Config()
+    val starts = MitMPipeline.selectStartNodes(MitMPipeline.startNodes(pg),
+      cfg.numOfParallelWalks, cfg.seed, cfg.startNodesWithoutReplacement)
+    val iters = 2
+
+    // broadcast tier: the exact superstep walk loop from MitMPipeline.run
+    val broadcastWalks = starts.flatMap { case (k, n) =>
+      var visited = Set.empty[NodeObject]
+      (1 to iters).map { j =>
+        val rng = RandomWalk.rngFor(cfg.seed, k, j)
+        val w = RandomWalk.walk(pg, n, visited, cfg.randomWalkCoeff, rng)
+        visited = visited ++ w.nodes
+        (k, j) -> w.nodeIds.map(_.toLong).toList
+      }
+    }.toMap
+
+    val pregelWalks = GraphXOps.referenceWalks(gxPg, starts.toMap,
+        pg.nodes.length, cfg.randomWalkCoeff, cfg.seed, iters)
+      .map { case (key, path) => key -> path.distinct.map(_.id.toLong) } // first-visit order
+
+    pregelWalks.keySet shouldBe broadcastWalks.keySet
+    // full distinct-sequence equality per (walker, iteration) — stronger
+    // than the node-SET equality the tier gate requires
+    pregelWalks shouldBe broadcastWalks
+  }
+
   test("pregelRandomWalks: contiguous paths, bounded length, deterministic") {
     val starts = MitMPipeline.startNodes(g50).take(2).zipWithIndex
       .map { case (n, i) => i.toLong -> n.id.toLong }.toMap
