@@ -53,6 +53,18 @@ object Dedup {
   val fnvHasher: Hasher = (c, seed) =>
     Fnv1a64.col(concat(lit(s"$seed:"), c))
 
+  // At most one persisted shingle table per session (see ngramJaccardPairs);
+  // weak keys let a dropped session GC its entry
+  private val shingleCaches =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
+
+  /** Drop the shingle cache left by the session's last [[ngramJaccardPairs]]
+    * invocation (each invocation already evicts its predecessor's).
+    */
+  def releaseShingleCache(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(shingleCaches.remove(spark)).foreach(_.unpersist(blocking = true))
+
   /** Exact dedup: group identical texts by full md5, keep group size and the
     * minimal doc id (the canonical survivor). One shuffle on a 128-bit key —
     * at 100 TB this is the cheapest possible exact pass.
@@ -83,11 +95,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int, hasher: Hasher = xxHasher): DataFrame =
-    docs
-      // spread docs before the explode: document corpora often arrive as few
-      // large files (locally: ONE unsplittable parquet file), which would
-      // otherwise serialize the whole shingle+hash phase into one task
-      .repartition(col(idCol))
+    Spread.forExplode(docs, col(idCol)) // parallelize the explode off coarse inputs
       .select(col(idCol), explode_outer(shingles(col(textCol), k)).as("shingle"))
       .groupBy(col(idCol))
       .agg(array((0 until numHashes).map(i => min(hasher(col("shingle"), i))): _*).as("sig"))
@@ -139,8 +147,7 @@ object Dedup {
     */
   def simhashes(docs: DataFrame, idCol: String, textCol: String,
                 tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    val exploded = docs
-      .repartition(col(idCol)) // see minhashSignatures: parallelize the explode
+    val exploded = Spread.forExplode(docs, col(idCol))
       .select(col(idCol), explode_outer(array_distinct(split(col(textCol), " "))).as("tok"))
       // null token (NULL text) must hash to null so `total` below counts 0:
       // xxhash64(null) returns the seed hash, which would smuggle one bogus
@@ -260,16 +267,22 @@ object Dedup {
     *
     * NOTE on the cache: the shingle table is persisted for the lifetime of
     * the returned plan (it feeds candidate generation and both verify
-    * sides); callers running many invocations in one session should
-    * `spark.catalog.clearCache()` between runs — Bench and Verify do.
+    * sides). The cache is self-limiting: each invocation evicts the previous
+    * invocation's shingle cache for the same session (a still-held earlier
+    * plan transparently recomputes if re-executed), so long-lived sessions
+    * composing many joins hold AT MOST ONE cached shingle table; call
+    * [[releaseShingleCache]] to drop the last one explicitly.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, k: Int, threshold: Double,
                         candidates: Option[DataFrame] = None): DataFrame = {
-    val docSh = docs.repartition(col("doc_id"))
+    val docSh = Spread.forExplode(docs, col("doc_id"))
       .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("n_shingles", size(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // blocking eviction: deterministic "at most one cached copy" (an async
+    // unpersist could briefly hold two full shingle tables in storage)
+    Option(shingleCaches.put(docs.sparkSession, docSh)).foreach(_.unpersist(blocking = true))
     val candPairs = candidates.getOrElse(prefixFilterCandidates(docSh, threshold))
     val a = docSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
       col("n_shingles").as("size_a"))
@@ -292,8 +305,7 @@ object Dedup {
     */
   def embeddingNearDups(embs: DataFrame, threshold: Double,
                         buckets: Option[DataFrame] = None): DataFrame = {
-    val withNorm = embs
-      .repartition(col("vec_id")) // parallelize the pair stream off single-file input
+    val withNorm = Spread.forExplode(embs, col("vec_id"))
       .select(
         col("vec_id"), col("embedding"),
         VectorExprs.norm(col("embedding")).as("norm"))

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Gate for the "spread before explode" repartition used by the text/vector
+  * operators: locally the fixture corpora are ONE unsplittable parquet file,
+  * which would serialize a whole explode+hash phase into a single task — but
+  * unconditionally repartitioning is a full shuffle of raw document text,
+  * which on a multi-split 100 TB corpus roughly doubles scan-stage IO for
+  * nothing. `forExplode` repartitions only when the input is actually too
+  * coarse to parallelize.
+  *
+  * Controlled by `spark.graft.explodeRepartition`:
+  *  - `auto` (default): repartition only when the scan exposes fewer input
+  *    files than `spark.sql.shuffle.partitions`. `inputFiles` is
+  *    metadata-only (no job) and a LOWER bound on scan splits (large files
+  *    split further), so the heuristic can only over-spread, never
+  *    under-parallelize. Non-file sources report zero files and keep the
+  *    repartition — the safe default for in-memory test frames.
+  *  - `always` / `never`: force either behavior.
+  */
+object Spread {
+  val ConfKey = "spark.graft.explodeRepartition"
+
+  def forExplode(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ConfKey, "auto") match {
+      case "never"  => df
+      case "always" => df.repartition(key)
+      case "auto" =>
+        val shuffleParts = spark.sessionState.conf.numShufflePartitions
+        val files = scala.util.Try(df.inputFiles.length).getOrElse(0)
+        if (files >= shuffleParts) df else df.repartition(key)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be auto|always|never, got '$other'")
+    }
+  }
+}

@@ -62,8 +62,7 @@ object TextOps {
       length(t).as("n_chars"),
       round(length(regexp_replace(t, """[^\p{Punct}]""", "")).cast("double") / greatest(length(t), lit(1)), 4)
         .as("punct_ratio"))
-    val tokStats = df
-      .repartition(col("doc_id")) // single-file corpora: parallelize the explode
+    val tokStats = Spread.forExplode(df, col("doc_id"))
       .select(col("doc_id"), explode(tokens(t)).as("tok"))
       .groupBy(col("doc_id"))
       .agg(
@@ -116,7 +115,7 @@ object TextOps {
     val markers = langMarkers.flatMap { case (l, ws) => ws.map(w => (l, w)) }
       .toDF("lang", "word")
     val langs = langMarkers.map(_._1).toDF("lang")
-    val toks = df.repartition(col("doc_id"))
+    val toks = Spread.forExplode(df, col("doc_id"))
       .select(col("doc_id"), explode(tokens(lower(col(textCol)))).as("word"))
     val hits = toks.join(broadcast(markers), "word")
       .groupBy(col("doc_id"), col("lang")).agg(count(lit(1)).as("score"))
@@ -135,7 +134,7 @@ object TextOps {
     * top_tok_ratio).
     */
   def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.repartition(col("doc_id"))
+    Spread.forExplode(df, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
@@ -158,7 +157,7 @@ object TextOps {
     */
   def tfidfTopK(df: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.repartition(col("doc_id"))
+    val toks = Spread.forExplode(df, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))

@@ -141,6 +141,27 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out.head.getAs[Double]("jaccard") shouldBe 0.5
   }
 
+  test("ngramJaccardPairs holds at most ONE cached shingle table across invocations") {
+    val sc = spark.sparkContext
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d x"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    // compare against a snapshot of PRE-EXISTING persistent RDD ids: other
+    // suites' leftovers can be reaped asynchronously by the ContextCleaner,
+    // so absolute counts are unstable — only RDDs THIS test creates matter
+    Dedup.releaseShingleCache(spark)
+    val preIds = sc.getPersistentRDDs.keySet
+    def ours: Set[Int] = sc.getPersistentRDDs.keySet.diff(preIds).toSet
+    (1 to 3).foreach { _ =>
+      Dedup.ngramJaccardPairs(df, "text", 3, threshold = 0.0).count()
+    }
+    // each invocation evicts (blocking) its predecessor's persisted table
+    ours.size should be <= 1
+    Dedup.releaseShingleCache(spark)
+    ours shouldBe empty
+  }
+
   test("cosine and bruteForceTopK rank by similarity") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)),

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SpreadSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.toString.contains("RepartitionByExpression")
+
+  private def withConf(key: String, value: String)(body: => Unit): Unit = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("auto: in-memory input (no file metadata) keeps the repartition") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    hasRepartition(Spread.forExplode(df, col("doc_id"))) shouldBe true
+  }
+
+  test("auto: a scan with >= shuffle-partition input files skips the repartition") {
+    val dir = java.nio.file.Files.createTempDirectory("spread-many").toString
+    try {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      spark.range(parts * 4L).select(col("id").as("doc_id"), lit("w w w").as("text"))
+        .repartition(parts + 1) // more files than shuffle partitions
+        .write.mode("overwrite").parquet(dir)
+      val scan = spark.read.parquet(dir)
+      scan.inputFiles.length should be >= parts
+      hasRepartition(Spread.forExplode(scan, col("doc_id"))) shouldBe false
+      // ...while a single-file scan of the same data keeps it
+      val one = java.nio.file.Files.createTempDirectory("spread-one").toString
+      scan.coalesce(1).write.mode("overwrite").parquet(one)
+      hasRepartition(Spread.forExplode(spark.read.parquet(one), col("doc_id"))) shouldBe true
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("always / never force the behavior; bad values fail loudly") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    withConf(Spread.ConfKey, "never") {
+      hasRepartition(Spread.forExplode(df, col("doc_id"))) shouldBe false
+    }
+    withConf(Spread.ConfKey, "always") {
+      hasRepartition(Spread.forExplode(df, col("doc_id"))) shouldBe true
+    }
+    withConf(Spread.ConfKey, "sometimes") {
+      an[IllegalArgumentException] should be thrownBy
+        Spread.forExplode(df, col("doc_id"))
+    }
+  }
+
+  test("gated operators stay correct with the repartition disabled") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "something else entirely different here now")).toDF("doc_id", "text")
+    def run() = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 4)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val withSpread = run()
+    withConf(Spread.ConfKey, "never") { run() shouldBe withSpread }
+  }
+}
