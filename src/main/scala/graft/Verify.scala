@@ -22,7 +22,13 @@ object Verify {
     }
     // fixture graph base tables for the q_g* oracles — single parquet FILES
     // (never directories: the gate reads every outDir directory as a query
-    // result); referenced from oracle SQL via the {{OUTDIR}} placeholder
+    // result); referenced from oracle SQL via the {{OUTDIR}} placeholder.
+    // Delete any previous run's exports FIRST: if the export fails, a stale
+    // fixture file would let the q_g* oracles silently validate current
+    // query results against an outdated export (same stale-output hazard the
+    // query loop deletes failed results for).
+    Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet")
+      .foreach(f => deleteRec(new java.io.File(s"$outDir/$f")))
     try graft.queries.GraphQueries.exportFixtureTables(spark, outDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] fixture export failed: ${e.getMessage}")

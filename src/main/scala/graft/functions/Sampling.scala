@@ -52,12 +52,16 @@ object Sampling {
   def tokenBudgetPack(docs: DataFrame, idCol: String, textCol: String,
                       budgetPerBin: Long, bins: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("bin")).orderBy(col("hk"), col(idCol))
+    // collision-safe internal name (quotaPerKey convention): `bin`/`n_tokens`
+    // /`cum_tokens` are the OUTPUT contract, but the hash key is internal and
+    // must not collide with a caller's idCol
+    val hk = "__graft_pack_hk"
+    val w = Window.partitionBy(col("bin")).orderBy(col(hk), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-        hashKey(col(idCol)).as("hk"))
-      .withColumn("bin", (col("hk") % bins).cast("int"))
+        hashKey(col(idCol)).as(hk))
+      .withColumn("bin", (col(hk) % bins).cast("int"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetPerBin)
       .select(col(idCol), col("bin"), col("n_tokens"), col("cum_tokens"))

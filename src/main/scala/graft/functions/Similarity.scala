@@ -80,9 +80,20 @@ object Similarity {
     * repetition gives every vector an independent chance at a populated
     * bucket; recall-vs-brute-force is pinned in FunctionsSpec.
     */
-  def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4): DataFrame = {
+  def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4,
+              dims: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = embs.select(size(col("embedding"))).head().getInt(0)
+    // plane vectors are plan literals, so the dimensionality must be known
+    // at BUILD time: callers that know it pass `dims` (no extra driver job);
+    // otherwise probe one row — and an empty corpus has no neighbors at all,
+    // not a head() crash
+    val d = dims.getOrElse {
+      val first = embs.select(size(col("embedding"))).head(1)
+      if (first.isEmpty)
+        return embs.select(col("vec_id"), col("vec_id").as("vid_b"),
+          lit(0.0).as("cosine")).limit(0)
+      first(0).getInt(0)
+    }
     val repBuckets = array((0 until reps).map { r =>
       (0 until numPlanes).map { p =>
         when(dot(col("embedding"), typedLit(planeVector(r * numPlanes + p, d))) >= 0,

@@ -630,7 +630,12 @@ object RelationalQueries {
       // q_v6's full DuckDB oracle, not just a plan assertion.
       val embs = Tables.embeddings(s, d)
       val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
-      val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      // FIXED path + overwrite mode (writeIndex): repeated invocations (3
+      // bench passes, every verify/spec run) reuse one directory instead of
+      // accumulating a fresh temp index copy per run. Keyed by the source
+      // dir so two sf fixtures don't clobber each other's index mid-session.
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-ivfidx-${Integer.toHexString(d.hashCode)}").toString
       graft.functions.IvfIndex.writeIndex(embs, model, path)
       val query = embs.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
@@ -988,7 +993,10 @@ object RelationalQueries {
       // reproduces Similarity.planeComponent / lshBuckets exactly: plane p,
       // dim d component = md5-derived value in [-0.5, 0.5); bucket = packed
       // sign bits of the 4 plane projections; pairs restricted to equal
-      // buckets (the Spark plan's equi-join), then exact cosine verify
+      // buckets (the Spark plan's equi-join), then exact cosine verify.
+      // generate_series(0, 63) HARDCODES the testdata embedding dim (64)
+      // that the Spark side derives at runtime — regenerate if the fixture
+      // dimensionality changes (same coupling in q_v2)
       """WITH planes AS (
            SELECT p, [('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
                       / 4294967296.0 - 0.5
@@ -1037,7 +1045,9 @@ object RelationalQueries {
     "q_v2_knn_lsh" ->
       // full oracle for the multi-repetition LSH k-NN join: 16 md5 planes =
       // 4 repetitions x 4 sign bits; candidates share (rep, bucket); exact
-      // cosine + per-vector window top-5 with the Spark plan's tie-break
+      // cosine + per-vector window top-5 with the Spark plan's tie-break.
+      // generate_series(0, 63) hardcodes the testdata embedding dim — see
+      // the q_d5 note
       """WITH planes AS (
            SELECT p, [('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR), 1, 8))::BIGINT
                       / 4294967296.0 - 0.5

@@ -162,6 +162,27 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     ours shouldBe empty
   }
 
+  test("lshTopK: explicit dims matches derived dims; empty corpus yields empty, not a crash") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.8f, 0.2f))).toDF("vec_id", "embedding")
+    val derived = Similarity.lshTopK(df, numPlanes = 2, k = 2, reps = 2)
+      .collect().map(_.toSeq).toSet
+    val explicit = Similarity.lshTopK(df, numPlanes = 2, k = 2, reps = 2, dims = Some(2))
+      .collect().map(_.toSeq).toSet
+    explicit shouldBe derived
+    Similarity.lshTopK(df.filter(col("vec_id") < 0), numPlanes = 2, k = 2)
+      .collect() shouldBe empty
+  }
+
+  test("tokenBudgetPack survives an idCol named like its internals") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("hk", "text")
+    val out = Sampling.tokenBudgetPack(docs, "hk", "text", budgetPerBin = 100L, bins = 2)
+    out.columns.toSeq shouldBe Seq("hk", "bin", "n_tokens", "cum_tokens")
+    out.agg(sum(col("n_tokens"))).collect().head.getLong(0) shouldBe 6L
+  }
+
   test("cosine and bruteForceTopK rank by similarity") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)),
