@@ -75,6 +75,31 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling for video/audio payloads: slice the binary payload into
+    * `frameBytes`-sized frames and emit one row per sampled frame — the
+    * explode shape a 100 TB video pipeline feeds into per-frame decoders
+    * (which replace the identity "decode" here exactly like [[decodeStub]]).
+    * Fully declarative and codegen'd (sequence + binary substr, no UDFs);
+    * the trailing partial frame is kept; at most `maxFrames` frames are
+    * emitted per item (the uniform prefix — samplers with a stride policy
+    * plug it into the index sequence). Null/empty payloads produce no rows.
+    * Returns (media_id, media_type, frame_idx, frame: binary).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be > 0 (got $frameBytes)")
+    require(maxFrames > 0, s"maxFrames must be > 0 (got $maxFrames)")
+    val nFrames = least(
+      ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int"),
+      lit(maxFrames))
+    media
+      .filter(col("payload").isNotNull && octet_length(col("payload")) > 0)
+      .select(col("media_id"), col("media_type"),
+        posexplode(transform(sequence(lit(0), nFrames - 1),
+          i => col("payload").substr(i * frameBytes + 1, lit(frameBytes)))))
+      .select(col("media_id"), col("media_type"),
+        col("pos").as("frame_idx"), col("col").as("frame"))
+  }
+
   /** Resize/frame-sample stub: keeps every `stride`-th byte — stands in for
     * a real resize kernel while exercising the binary-transform plan shape.
     * Runs through the codegen'd [[BinaryStride]] expression (zero Scala UDFs

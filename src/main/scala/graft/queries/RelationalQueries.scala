@@ -157,12 +157,17 @@ object RelationalQueries {
       // group-collect (SURVEY A1, parent map). The collected list is emitted
       // as a sorted comma-joined string: the driver's compare hashes column
       // values through pandas, which cannot sort/hash raw array cells.
+      // n_parts = size(collect_set) rather than count_distinct: a distinct
+      // aggregate next to collect_set forces Spark's expand-based two-phase
+      // plan (every input row duplicated per aggregate group); the two
+      // collect_set expressions below dedup to ONE aggregation buffer, so
+      // the plan is a single hash aggregate with no expand
       Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
         .agg(
           array_join(sort_array(collect_set(col("l_partkey"))).cast("array<string>"), ",")
             .as("partkeys"),
-          count_distinct(col("l_partkey")).as("n_parts"))
+          size(collect_set(col("l_partkey"))).cast("long").as("n_parts"))
         .orderBy(col("l_suppkey"))),
 
     "q_a2_union_merge" -> ((s, d) => {
@@ -390,6 +395,21 @@ object RelationalQueries {
         .select(col("media_id"), col("media_type"),
           octet_length(col("payload")).as("n_bytes"), col("n_dims"))
         .orderBy(col("media_id"))
+    }),
+
+    "q_m2_frame_sample" -> ((s, d) => {
+      // binary frame sampling: payload sliced into fixed-size frames, one
+      // row per frame, fingerprinted per frame — the per-frame decode feed
+      // shape. Byte-based Spark slicing equals the oracle's char-based
+      // VARCHAR slicing because the documents fixture is pure ASCII
+      // (DuckDB has no BLOB substring; coupling noted in the oracle)
+      val media = graft.multimodal.Multimodal.asMediaTable(
+        Tables.documents(s, d), "doc_id", "text", "video")
+      graft.multimodal.Multimodal.sampleFrames(media, frameBytes = 32, maxFrames = 4)
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"),
+          octet_length(col("frame")).as("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_idx"))
     }),
 
     "q_as1_asof_join" -> ((s, d) =>
@@ -1193,6 +1213,18 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 'text' AS media_type,
                 octet_length(encode(text)) AS n_bytes, 16 AS n_dims
          FROM documents ORDER BY 1""",
+
+    "q_m2_frame_sample" ->
+      // char-based substring == the Spark side's byte-based binary slicing
+      // ONLY because the documents fixture is pure ASCII (verified at both
+      // sf0.01 and sf0.1); md5(varchar) hashes the same UTF-8 bytes Spark's
+      // md5(binary) sees. Regenerate if the fixture gains non-ASCII text.
+      """SELECT doc_id AS media_id, i AS frame_idx,
+                md5(substring(text, i*32 + 1, 32)) AS frame_md5,
+                octet_length(encode(substring(text, i*32 + 1, 32))) AS frame_bytes
+         FROM documents, generate_series(0, 3) t(i)
+         WHERE length(text) > i*32
+         ORDER BY 1, 2""",
 
     "q_d7_dup_clusters" ->
       """WITH RECURSIVE

@@ -44,6 +44,28 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out(3L) shouldBe None
   }
 
+  test("sampleFrames slices payloads into frames that reassemble exactly") {
+    // frameBytes 4: "payload-one" (11 bytes) → 4+4+3; "payload-two-longer"
+    // (18 bytes) → 4 full frames + partial, capped at maxFrames
+    val frames = Multimodal.sampleFrames(mediaDF, frameBytes = 4, maxFrames = 100)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getAs[Array[Byte]](3)))
+    frames.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap.foreach {
+      case (1L, fs) =>
+        fs.map(_._3.length).toSeq shouldBe Seq(4, 4, 3)
+        new String(fs.flatMap(_._3), "UTF-8") shouldBe "payload-one"
+      case (2L, fs) =>
+        new String(fs.flatMap(_._3), "UTF-8") shouldBe "payload-two-longer"
+      case (id, _) => fail(s"unexpected media_id $id (null payload must emit no rows)")
+    }
+    // the cap keeps the uniform prefix
+    val capped = Multimodal.sampleFrames(mediaDF, frameBytes = 4, maxFrames = 2)
+      .filter(col("media_id") === 2L).collect()
+    capped.length shouldBe 2
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.sampleFrames(mediaDF, frameBytes = 0, maxFrames = 1)
+  }
+
   test("BinaryStride matches the grouped(stride).head reference for several strides") {
     val bytes = "payload-two-longer".getBytes("UTF-8")
     for (stride <- Seq(1, 2, 3, 5, 32)) {
