@@ -297,6 +297,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination — the eval-set overlap pass every training
+    * corpus needs: count, per corpus document, how many of its k-gram
+    * shingles appear anywhere in the (small) benchmark set. The benchmark
+    * side reduces to its DISTINCT shingle set and BROADCASTS (eval suites
+    * are MBs against a 100 TB corpus), so the corpus side is one explode +
+    * broadcast semi-join + per-doc count — no shuffle of corpus text, no
+    * corpus×benchmark pair blowup. Per-doc shingles are already distinct
+    * ([[shingles]]), so the count is the distinct-overlap size. Returns
+    * every corpus doc with its overlap count (0 for clean docs — a LEFT
+    * join, so short/empty docs are kept, trivially clean).
+    */
+  def contaminationScores(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String = "text", k: Int = 3): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(shingles(col(textCol), k)).as("shingle")).distinct()
+    val hits = Spread.forExplode(docs, col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col(textCol), k)).as("shingle"))
+      .join(broadcast(benchSh), "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+  }
+
+  /** Corpus docs whose benchmark shingle overlap stays BELOW `maxOverlap` —
+    * the decontaminated training set.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String = "text",
+                    k: Int = 3, maxOverlap: Int = 1): DataFrame =
+    docs.join(
+      contaminationScores(docs, benchmark, textCol, k)
+        .filter(col("n_contaminated") < maxOverlap)
+        .select(col("doc_id")),
+      "doc_id")
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, restricted to
     * LSH candidate buckets from [[Similarity.lshBuckets]] when provided —
     * otherwise all-pairs (test scale only; the bucketed path is the 100 TB

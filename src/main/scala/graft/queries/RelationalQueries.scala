@@ -571,6 +571,17 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_d8_decontaminate" -> ((s, d) => {
+      // eval-set decontamination: every 50th doc plays the benchmark set;
+      // the rest is the corpus. Overlap counts per corpus doc (0 = clean),
+      // benchmark shingles broadcast — the asymmetric scale shape
+      val all = Tables.documents(s, d)
+      Dedup.contaminationScores(
+          all.filter(col("doc_id") % 50 =!= 0),
+          all.filter(col("doc_id") % 50 === 0), "text", k = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_a9_approx_distinct" -> ((s, d) =>
       // HLL sketch surface (rows-only check: approximation algorithms differ
       // across engines); exact distinct rides alongside for the spec
@@ -1213,6 +1224,23 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 'text' AS media_type,
                 octet_length(encode(text)) AS n_bytes, 16 AS n_dims
          FROM documents ORDER BY 1""",
+
+    "q_d8_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         bench AS (
+           SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 = 0),
+         corpus AS (
+           SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 50 <> 0),
+         hits AS (
+           SELECT doc_id, count(*) AS n_contaminated
+           FROM corpus JOIN bench USING (shingle) GROUP BY 1)
+         SELECT d.doc_id, coalesce(h.n_contaminated, 0) AS n_contaminated
+         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         WHERE d.doc_id % 50 <> 0
+         ORDER BY 1""",
 
     "q_m2_frame_sample" ->
       // char-based substring == the Spark side's byte-based binary slicing

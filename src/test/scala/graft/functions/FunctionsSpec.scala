@@ -162,6 +162,22 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     ours shouldBe empty
   }
 
+  test("contaminationScores counts benchmark shingle overlap; decontaminate filters on it") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),     // shares shingles {a b c, b c d, c d e, d e f} partially
+      (2L, "x y z w v u"),     // disjoint from the benchmark
+      (3L, "a b"),             // too short for 3-shingles → trivially clean
+      (4L, "c d e f g h")).toDF("doc_id", "text")
+    val benchmark = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    // benchmark 3-shingles: {a b c, b c d, c d e}
+    val scores = Dedup.contaminationScores(corpus, benchmark, "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scores shouldBe Map(1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 1L)
+    val clean = Dedup.decontaminate(corpus, benchmark, "text", k = 3, maxOverlap = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    clean shouldBe Set(2L, 3L)
+  }
+
   test("lshTopK: explicit dims matches derived dims; empty corpus yields empty, not a crash") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)),
