@@ -16,23 +16,48 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     val embs = Tables.embeddings(spark, sfDir)
     val model = IvfIndex.train(spark, embs, k = 4, iters = 1)
     val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
-    IvfIndex.writeIndex(embs, model, path)
+    try {
+      IvfIndex.writeIndex(embs, model, path)
 
-    val query = embs.filter(col("vec_id") === 3)
-      .select(col("embedding")).head().getSeq[Float](0)
-    val probedScan = IvfIndex.readIndex(spark, path).filter(col("cell").isin(0, 1))
-    val plan = probedScan.queryExecution.executedPlan.toString
-    // the filter must survive INSIDE the scan's PartitionFilters list (every
-    // FileSourceScan prints an — possibly empty — "PartitionFilters: [...]",
-    // so asserting the two substrings separately would be vacuous)
-    plan should include regex """PartitionFilters: \[[^\]]*cell"""
+      val query = embs.filter(col("vec_id") === 3)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val probedScan = IvfIndex.readIndex(spark, path).filter(col("cell").isin(0, 1))
+      val plan = probedScan.queryExecution.executedPlan.toString
+      // the filter must survive INSIDE the scan's PartitionFilters list (every
+      // FileSourceScan prints an — possibly empty — "PartitionFilters: [...]",
+      // so asserting the two substrings separately would be vacuous)
+      plan should include regex """PartitionFilters: \[[^\]]*cell"""
 
-    val viaIndex = IvfIndex.topKIndexed(spark, path, model, query, k = 5,
-      nprobe = 4, excludeSelf = Some(3L))
-      .collect().map(_.getLong(0)).toSeq
-    val direct = IvfIndex.topK(embs, model, query, k = 5, nprobe = 4,
-      excludeSelf = Some(3L)).collect().map(_.getLong(0)).toSeq
-    viaIndex shouldBe direct
+      val viaIndex = IvfIndex.topKIndexed(spark, path, model, query, k = 5,
+        nprobe = 4, excludeSelf = Some(3L))
+        .collect().map(_.getLong(0)).toSeq
+      val direct = IvfIndex.topK(embs, model, query, k = 5, nprobe = 4,
+        excludeSelf = Some(3L)).collect().map(_.getLong(0)).toSeq
+      viaIndex shouldBe direct
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
+  test("decontamination broadcasts the benchmark shingle set, never the corpus") {
+    val df = graft.queries.RelationalQueries.queries("q_d8_decontaminate")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the overlap join must be a broadcast join (benchmark side); the
+    // per-doc restore join may broadcast too — what must NOT happen is a
+    // shuffle-join of the corpus shingle stream against the benchmark
+    plan should include("BroadcastExchange")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("frame sampling scans only the columns it needs") {
+    val df = graft.queries.RelationalQueries.queries("q_m2_frame_sample")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // asMediaTable selects (doc_id, text): lang/source/n_chars must be
+    // pruned out of the parquet scan
+    plan should include regex """ReadSchema: struct<doc_id:bigint,text:string>"""
   }
 
   test("gated q_v7 probes the persisted index through partition pruning") {
