@@ -26,6 +26,27 @@ object Sampling {
     df.filter(hashKey(col(idCol)) < lit((fraction * 4294967296.0).toLong))
   }
 
+  /** Deterministic weighted mixture: a per-key keep RATE applied through the
+    * same md5 hash gate as [[hashSample]] — the domain/language re-weighting
+    * pass of a training-mix builder ("keep 100% of low-resource languages,
+    * 30% of English", source up/down-weighting). Keys absent from `rates`
+    * fall back to `defaultRate`; like hashSample, selection is a pure
+    * function of the row id, so mixtures are reproducible across engines and
+    * re-runs, compose with any upstream filter, and run as one codegen'd
+    * scan predicate — no shuffle, no RNG state, no per-key passes.
+    */
+  def weightedMixture(df: DataFrame, keyCol: String, idCol: String,
+                      rates: Map[String, Double],
+                      defaultRate: Double = 0.0): DataFrame = {
+    (defaultRate +: rates.values.toSeq).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r"))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(keyCol) === lit(k), lit(r)).otherwise(acc)
+    }
+    df.filter(hashKey(col(idCol)) <
+      (rate * lit(4294967296.0)).cast("long"))
+  }
+
   /** Keep at most `quota` rows per key, chosen in deterministic `orderCol`
     * order — the domain/label balancing pass (cap over-represented sources).
     * One shuffle on the key; the window's WindowGroupLimit pushes the cut

@@ -487,6 +487,15 @@ object RelationalQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    "q_sp4_mixture_weights" -> ((s, d) =>
+      // language re-weighting: per-lang keep rates through the md5 hash
+      // gate — RNG-free, one pushed-down predicate, reproducible mixture
+      graft.functions.Sampling.weightedMixture(Tables.documents(s, d),
+          "lang", "doc_id",
+          Map("en" -> 0.3, "zh" -> 1.0, "de" -> 0.75), defaultRate = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     "q_sp2_quota_per_key" -> ((s, d) =>
       // label balancing: at most 50 vectors per label, deterministic order
       graft.functions.Sampling.quotaPerKey(
@@ -902,6 +911,14 @@ object RelationalQueries {
       """SELECT doc_id FROM documents
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                < trunc(0.3 * 4294967296.0)::BIGINT
+         ORDER BY 1""",
+
+    "q_sp4_mixture_weights" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+               < trunc(CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0
+                                 WHEN 'de' THEN 0.75 ELSE 0.5 END
+                       * 4294967296.0)::BIGINT
          ORDER BY 1""",
 
     "q_t8_training_mix" ->

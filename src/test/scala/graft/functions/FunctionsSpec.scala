@@ -192,6 +192,27 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .collect() shouldBe empty
   }
 
+  test("weightedMixture applies per-key rates through the hash gate") {
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.weightedMixture(df, "lang", "doc_id",
+        Map("en" -> 1.0, "zh" -> 0.0)).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    kept.map(_._2).toSet shouldBe Set("en")
+    kept.length shouldBe 200 // rate 1.0 keeps every en row
+    // a single-rate mixture IS hashSample on that subset
+    val viaMixture = Sampling.weightedMixture(df, "lang", "doc_id",
+        Map("en" -> 0.4, "zh" -> 0.4)).collect().map(_.getLong(0)).toSet
+    val viaSample = Sampling.hashSample(df, "doc_id", 0.4)
+      .collect().map(_.getLong(0)).toSet
+    viaMixture shouldBe viaSample
+    // unknown keys take the default rate
+    Sampling.weightedMixture(df, "lang", "doc_id", Map("fr" -> 1.0),
+      defaultRate = 0.0).count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.weightedMixture(df, "lang", "doc_id", Map("en" -> 1.5))
+  }
+
   test("tokenBudgetPack survives an idCol named like its internals") {
     val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("hk", "text")
     val out = Sampling.tokenBudgetPack(docs, "hk", "text", budgetPerBin = 100L, bins = 2)
