@@ -80,6 +80,24 @@ object Similarity {
     * repetition gives every vector an independent chance at a populated
     * bucket; recall-vs-brute-force is pinned in FunctionsSpec.
     */
+  /** Per-label centroid in LONG form (label, pos, mean_val, n_vecs): each
+    * vector explodes once into (label, dim, value) rows; one
+    * map-side-combined aggregation produces every label's mean per
+    * dimension. Long form is deliberate at scale — the dim axis
+    * parallelizes the shuffle instead of moving whole vectors, and the
+    * array-free output is engine-portable (the DuckDB oracle hashes it
+    * directly). Means are rounded to 4 decimals (float summation order
+    * differs across engines at the 1e-6 level); `+ 0.0` normalizes IEEE
+    * negative zero, whose sign would otherwise depend on which side of
+    * zero the engine's sum landed.
+    */
+  def labelCentroids(embs: DataFrame, labelCol: String = "label"): DataFrame =
+    Spread.forExplode(embs, col("vec_id"))
+      .select(col(labelCol), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg((round(avg(col("v")), 4) + lit(0.0)).as("mean_val"),
+        count(lit(1)).as("n_vecs"))
+
   def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4,
               dims: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -615,6 +615,13 @@ object RelationalQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), numPlanes = 4, k = 5, reps = 4)
         .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))),
 
+    "q_v8_label_centroids" -> ((s, d) =>
+      // per-label embedding centroid, long form: explode once into
+      // (label, dim) rows, one map-side-combined aggregation — the
+      // cluster-summarization shape that never shuffles whole vectors
+      Similarity.labelCentroids(Tables.embeddings(s, d))
+        .orderBy(col("label"), col("pos"))),
+
     "q_v3_knn_ivf" -> ((s, d) => {
       val embs = Tables.embeddings(s, d)
       val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
@@ -1089,6 +1096,15 @@ object RelationalQueries {
          WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
                      (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.8
          ORDER BY 1, 2""",
+
+    "q_v8_label_centroids" ->
+      // + 0 matches the Spark side's IEEE negative-zero normalization
+      """SELECT label, u.pos, round(avg(u.v), 4) + 0 AS mean_val, count(*) AS n_vecs
+         FROM (SELECT label,
+                 unnest([{'pos': i - 1, 'v': embedding[i]}
+                   FOR i IN generate_series(1, len(embedding))]) AS u
+               FROM embeddings)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_v2_knn_lsh" ->
       // full oracle for the multi-repetition LSH k-NN join: 16 md5 planes =

@@ -220,6 +220,18 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out.agg(sum(col("n_tokens"))).collect().head.getLong(0) shouldBe 6L
   }
 
+  test("labelCentroids averages per (label, dimension)") {
+    val df = Seq(
+      (0L, Seq(1.0f, 3.0f), 1),
+      (1L, Seq(3.0f, 5.0f), 1),
+      (2L, Seq(10.0f, 20.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(df)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    out shouldBe Map(
+      (1, 0) -> (2.0, 2L), (1, 1) -> (4.0, 2L),
+      (2, 0) -> (10.0, 1L), (2, 1) -> (20.0, 1L))
+  }
+
   test("cosine and bruteForceTopK rank by similarity") {
     val df = Seq(
       (0L, Seq(1.0f, 0.0f)),
