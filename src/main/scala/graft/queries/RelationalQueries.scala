@@ -381,6 +381,22 @@ object RelationalQueries {
       graft.streaming.EventStreams.slidingUserRate(Tables.events(s, d))
         .orderBy(col("window_start"), col("user_id"))),
 
+    "q_ev6_enrich_dim" -> ((s, d) =>
+      // stream-static dimension lookup: stateless per-micro-batch broadcast
+      // join; LEFT keeps fact rows with no dimension match
+      graft.streaming.EventStreams.enrichWithDim(Tables.events(s, d),
+          Tables.customer(s, d).select(col("c_custkey").as("user_id"),
+            col("c_name"), col("c_nationkey")), "user_id")
+        .select(col("event_id"), col("user_id"), col("c_name"), col("c_nationkey"))
+        .orderBy(col("event_id"))),
+
+    "q_ev7_interval_join" -> ((s, d) =>
+      // stream-stream interval self-join (batch form of the identical plan):
+      // same-user events within 10 minutes after each event
+      graft.streaming.EventStreams.intervalSelfJoin(Tables.events(s, d),
+          intervalSecs = 600)
+        .orderBy(col("event_a"), col("event_b"))),
+
     // ---- multimodal plumbing (binary payload + typed metadata) --------------
     "q_m1_media_features" -> ((s, d) => {
       // documents.text cast to binary stands in for real image/audio bytes;
@@ -1243,6 +1259,18 @@ object RelationalQueries {
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM banded x JOIN banded y
            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         ORDER BY 1, 2""",
+
+    "q_ev6_enrich_dim" ->
+      """SELECT event_id, user_id, c_name, c_nationkey
+         FROM events LEFT JOIN customer ON c_custkey = user_id
+         ORDER BY 1""",
+
+    "q_ev7_interval_join" ->
+      """SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id
+         FROM events a JOIN events b
+           ON a.user_id = b.user_id AND a.event_id <> b.event_id
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 600 SECOND
          ORDER BY 1, 2""",
 
     "q_ev5_sliding" ->

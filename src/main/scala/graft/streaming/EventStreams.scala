@@ -24,6 +24,37 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Stream-static dimension enrichment: join the unbounded event stream
+    * with a bounded dimension table on `key`. Stateless — no watermark and
+    * no streaming state: each micro-batch hash-joins against the broadcast
+    * static side, which file-backed sources re-resolve per batch, so
+    * slowly-changing dimensions are picked up. LEFT join keeps events whose
+    * key has no dimension row (a fact stream must never lose rows to a
+    * missing dimension).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval self-join: pair each event with SAME-USER events
+    * up to `intervalSecs` later. The watermark plus the two-sided time bound
+    * on b.ts is what makes the join FEASIBLE unbounded: Spark reaps both
+    * sides' join state once the watermark passes the interval, so state
+    * holds only the trailing window per side instead of stream history.
+    * The identical plan runs batch (DuckDB-oracled) and streaming
+    * (cross-batch pairing pinned in EventStreamsSpec).
+    */
+  def intervalSelfJoin(events: DataFrame, intervalSecs: Long,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val wm = events.withWatermark("ts", watermarkDelay)
+    wm.alias("a").join(wm.alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") =!= col("b.event_id") &&
+          col("b.ts") >= col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr(s"INTERVAL $intervalSecs SECONDS"))
+      .select(col("a.event_id").as("event_a"), col("b.event_id").as("event_b"),
+        col("a.user_id").as("user_id"))
+  }
+
   /** Tumbling-window counts/sums per event type with a 10-minute watermark. */
   def windowedCounts(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
     events

@@ -35,6 +35,51 @@ class EventStreamsSpec extends AnyFunSuite with Matchers {
     withheld.foreach { case (w, _) => w.getTime should be >= maxEmitted }
   }
 
+  test("enrichWithDim joins a live stream against a static dimension per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val src = MemoryStream[EventStreams.Event]
+    val q = EventStreams.enrichWithDim(src.toDF(), dim, "user_id")
+      .select("event_id", "user_id", "name")
+      .writeStream.outputMode("append").format("memory").queryName("ev_enrich").start()
+    try {
+      src.addData(EventStreams.Event(10L, t0, 1L, "click", 1.0, ""))
+      q.processAllAvailable()
+      src.addData(
+        EventStreams.Event(11L, t0, 2L, "click", 1.0, ""),
+        EventStreams.Event(12L, t0, 99L, "click", 1.0, "")) // no dimension row
+      q.processAllAvailable()
+      val rows = spark.table("ev_enrich").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+      rows shouldBe Map(10L -> Some("alice"), 11L -> Some("bob"), 12L -> None)
+    } finally q.stop()
+  }
+
+  test("intervalSelfJoin pairs same-user events ACROSS micro-batches within the interval") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+    def ev(id: Long, user: Long, secs: Long) =
+      EventStreams.Event(id, ts(secs), user, "click", 1.0, "")
+    val src = MemoryStream[EventStreams.Event]
+    val q = EventStreams.intervalSelfJoin(src.toDF(), intervalSecs = 60)
+      .writeStream.outputMode("append").format("memory").queryName("ev_pairs").start()
+    try {
+      src.addData(ev(1, 7L, 0), ev(2, 7L, 30), ev(3, 8L, 10))
+      q.processAllAvailable()
+      // batch 2: joins against batch-1 state; id 4 within 60s of id 2 only;
+      // id 5 is beyond the interval from everything
+      src.addData(ev(4, 7L, 80), ev(5, 8L, 700))
+      q.processAllAvailable()
+      val pairs = spark.table("ev_pairs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairs shouldBe Set((1L, 2L), (2L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionize splits on inactivity gaps") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
