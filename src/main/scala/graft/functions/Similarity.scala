@@ -98,6 +98,21 @@ object Similarity {
       .agg((round(avg(col("v")), 4) + lit(0.0)).as("mean_val"),
         count(lit(1)).as("n_vecs"))
 
+  /** k-NN label classification: predict each vector's label by majority
+    * vote among its `k` nearest neighbors. `neighbors` is any
+    * (vec_id, vid_b, cosine) top-k table — [[IvfIndex.knnJoin]] at scale,
+    * brute force for the oracle; `labels` maps vec_id -> label. Ties break
+    * deterministically: highest vote count, then LOWEST label. One shuffle
+    * on the neighbor table (votes are (vec_id, label, count) rows — tiny).
+    */
+  def knnClassify(neighbors: DataFrame, labels: DataFrame): DataFrame =
+    neighbors
+      .join(labels.select(col("vec_id").as("vid_b"), col("label")), "vid_b")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("label"), struct(col("votes"), -col("label"))).as("pred_label"))
+
   def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4,
               dims: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window

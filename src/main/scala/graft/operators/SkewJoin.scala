@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit skew mitigation for equi-joins with hot keys: salt-split the
+  * skewed side across `salts` sub-keys.
+  *
+  * The skewed (left) side tags each row with a DETERMINISTIC salt — the
+  * positive mod of its full-row hash, so re-executions and retries land each
+  * row on the same sub-key — and the right side replicates each row once per
+  * salt; the join then runs on (key, salt), spreading a hot key's rows over
+  * `salts` reducers instead of serializing them into one. Each left row
+  * carries exactly one salt and meets exactly one replica of every matching
+  * right row, so the result EQUALS the unsalted inner join (spec-pinned and
+  * DuckDB-oracled via q_j8).
+  *
+  * AQE's runtime skew-join split covers most cases without this; the
+  * operator is the planned-ahead form — for when AQE is off, the skew is
+  * known in advance, or a reproducible partitioning is required. Cost: the
+  * right side shuffles `salts`× its size — use with a small-to-medium right
+  * side and a genuinely skewed left.
+  */
+object SkewJoin {
+
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+                     salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1 (got $salts)")
+    val saltCol = "__graft_salt"
+    val l = left.withColumn(saltCol,
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts)).cast("int"))
+    val r = right.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, saltCol)).drop(saltCol)
+  }
+}

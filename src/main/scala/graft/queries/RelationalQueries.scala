@@ -631,6 +631,31 @@ object RelationalQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), numPlanes = 4, k = 5, reps = 4)
         .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))),
 
+    "q_j8_salted_join" -> ((s, d) =>
+      // planned-ahead skew mitigation: salt-split lineitem across 8
+      // sub-keys; result provably equals the plain inner join (the oracle
+      // IS the plain join)
+      graft.operators.SkewJoin.saltedEquiJoin(
+          Tables.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber"), col("l_quantity")),
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          "o_orderkey", salts = 8)
+        .select(col("o_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"), col("l_linenumber"))),
+
+    "q_v9_knn_classify" -> ((s, d) => {
+      // k-NN label vote over the exact-probe neighbor table (nprobe =
+      // numCells ⇒ neighbors == brute force, so the vote gets a full
+      // DuckDB oracle); production swaps in an approximate nprobe
+      val embs = Tables.embeddings(s, d)
+      val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
+      val neighbors = graft.functions.IvfIndex.knnJoin(embs, model, k = 5,
+        nprobe = model.numCells)
+      Similarity.knnClassify(neighbors, embs.select(col("vec_id"), col("label")))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_v8_label_centroids" -> ((s, d) =>
       // per-label embedding centroid, long form: explode once into
       // (label, dim) rows, one map-side-combined aggregation — the
@@ -1112,6 +1137,33 @@ object RelationalQueries {
          WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
                      (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.8
          ORDER BY 1, 2""",
+
+    "q_j8_salted_join" ->
+      """SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity, o_totalprice
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+         ORDER BY 1, 2""",
+
+    "q_v9_knn_classify" ->
+      // brute-force top-5 neighbors (the exact-probe plan's contract, same
+      // tie-break as q_v5) → per-label vote → argmax with (votes desc,
+      // label asc) tie-break
+      """WITH p AS (
+           SELECT a.vec_id, b.vec_id AS vid_b, b.label,
+                  round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         r AS (
+           SELECT vec_id, label,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, vid_b) AS rn
+           FROM p),
+         v AS (
+           SELECT vec_id, label, count(*) AS votes
+           FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT vec_id, label AS pred_label FROM v
+         QUALIFY row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY votes DESC, label) = 1
+         ORDER BY 1""",
 
     "q_v8_label_centroids" ->
       // + 0 matches the Spark side's IEEE negative-zero normalization

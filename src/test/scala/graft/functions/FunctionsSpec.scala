@@ -220,6 +220,17 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out.agg(sum(col("n_tokens"))).collect().head.getLong(0) shouldBe 6L
   }
 
+  test("knnClassify votes by majority with (votes desc, label asc) tie-break") {
+    val neighbors = Seq(
+      // vec 0: labels 1,1,2 → predict 1; vec 1: labels 2,3 tie → predict 2
+      (0L, 10L, 0.9), (0L, 11L, 0.8), (0L, 12L, 0.7),
+      (1L, 12L, 0.9), (1L, 13L, 0.8)).toDF("vec_id", "vid_b", "cosine")
+    val labels = Seq((10L, 1), (11L, 1), (12L, 2), (13L, 3)).toDF("vec_id", "label")
+    val pred = Similarity.knnClassify(neighbors, labels)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    pred shouldBe Map(0L -> 1, 1L -> 2)
+  }
+
   test("labelCentroids averages per (label, dimension)") {
     val df = Seq(
       (0L, Seq(1.0f, 3.0f), 1),

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SkewJoinSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // heavily skewed left: 90% of rows share key 1 (including duplicate rows,
+  // which must join once per occurrence like any inner join)
+  private def skewed = ((1 to 90).map(i => (1L, s"v${i % 7}")) ++
+    Seq((2L, "x"), (3L, "y"), (3L, "y"))).toDF("k", "payload")
+  private def dim = Seq((1L, 10.0), (2L, 20.0), (4L, 40.0)).toDF("k", "price")
+
+  test("salted join equals the plain inner join, for several salt counts") {
+    val plain = skewed.join(dim, "k").collect()
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    for (salts <- Seq(1, 2, 8, 31)) {
+      val salted = SkewJoin.saltedEquiJoin(skewed, dim, "k", salts).collect()
+        .map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      withClue(s"salts=$salts: ") { salted shouldBe plain }
+    }
+  }
+
+  test("salting actually splits the hot key across sub-keys") {
+    import org.apache.spark.sql.functions._
+    val salts = 8
+    val l = skewed.withColumn("__graft_salt",
+      pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts)).cast("int"))
+    val used = l.filter(col("k") === 1L)
+      .select(countDistinct(col("__graft_salt"))).head().getLong(0)
+    used should be > 1L // 90 hot-key rows spread over multiple sub-keys
+  }
+
+  test("invalid salt count fails loudly") {
+    an[IllegalArgumentException] should be thrownBy
+      SkewJoin.saltedEquiJoin(skewed, dim, "k", 0)
+  }
+}
