@@ -83,4 +83,27 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     ivf.size shouldBe 10
     (ivf intersect brute).size should be > 0
   }
+
+  test("corpus-wide knnJoin recall rises with nprobe (quantified, deterministic)") {
+    // training is seeded/deterministic, so corpus-wide recall vs the exact
+    // probe is a FIXED number per nprobe on this fixture (measured 0.76 at
+    // nprobe=4, 0.92 at nprobe=6 of 8 cells); pins sit below with slack.
+    // This is the quality evidence for the rows-only q_v4 approximate tier.
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(spark, embs, k = 8, iters = 2)
+    val exact = IvfIndex.knnJoin(embs, model, k = 5, nprobe = model.numCells)
+      .select(col("vec_id"), col("vid_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(np: Int): Double = {
+      val approx = IvfIndex.knnJoin(embs, model, k = 5, nprobe = np)
+        .select(col("vec_id"), col("vid_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (approx intersect exact).size.toDouble / exact.size
+    }
+    val r4 = recallAt(4)
+    val r6 = recallAt(6)
+    r4 should be >= 0.7
+    r6 should be >= 0.85
+    r6 should be > r4
+  }
 }
