@@ -213,6 +213,92 @@ object MitMPipeline {
       walksPerPartition = walksPerPartition)
   }
 
+  /** The full pipeline driven by the PARTITIONED (GraphX/Pregel) walk tier —
+    * for deployments where the perturbed graph itself is the distributed
+    * object. Walks are computed by [[graft.graphx.GraphXOps.referenceWalks]]
+    * (bit-identical to the broadcast engine, GraphXOpsSpec); the
+    * batch/score/accumulate structure then runs unchanged, which is valid
+    * because walk content depends only on PRIOR WALKS (the exclusion sets),
+    * never on the match table — so walks can be computed up front on the
+    * distributed tier while scoring still sees them batch by batch with the
+    * evolving skip-table, exactly like [[run]]. Same (seed, config) ⇒ same
+    * Result as [[run]] (pinned in MitMPipelineSpec).
+    *
+    * Scoring here is driver-side over the per-walk subgraphs (kilobytes
+    * each) — acceptable because SimRank cost is per-walk-local; the 100 TB
+    * object (the graph) stays on the cluster.
+    */
+  def runPregelTier(spark: SparkSession, original: NetGraphLocal,
+                    perturbed: NetGraphLocal, cfg: Config): Result = {
+    import spark.implicits._
+    require(cfg.itersBeforeAccum <= cfg.numItersPerCompNode,
+      "itersBeforeAccum must be <= numItersPerCompNode")
+    val starts = selectStartNodes(startNodes(perturbed), cfg.numOfParallelWalks,
+      cfg.seed, cfg.startNodesWithoutReplacement)
+    val gx = graft.graphx.GraphXOps.toGraphX(spark, perturbed)
+    val paths = graft.graphx.GraphXOps.referenceWalks(gx, starts.toMap,
+      perturbed.nodes.length, cfg.randomWalkCoeff, cfg.seed,
+      cfg.numItersPerCompNode)
+    val walksPerPart: Map[Long, Vector[RandomWalk.WalkResult]] =
+      starts.map { case (k, _) =>
+        k -> (1 to cfg.numItersPerCompNode).map(j =>
+          RandomWalk.inducedSubgraph(perturbed, paths((k, j)).toVector)).toVector
+      }.toMap
+
+    val ngParents = original.parentMap
+    val batchSizes = {
+      val q = cfg.numItersPerCompNode / cfg.itersBeforeAccum
+      val r = cfg.numItersPerCompNode % cfg.itersBeforeAccum
+      List.fill(q)(cfg.itersBeforeAccum) ::: (if (r > 0) List(r) else Nil)
+    }
+    var matchTable: SimRank.MatchTable = Map.empty
+    var itersDone = 0
+    batchSizes.foreach { batchSize =>
+      // same per-partition scoring body as run()'s superstep task, same
+      // partition iteration order as its collect()
+      val bests = starts.map { case (k, _) =>
+        val walks = walksPerPart(k).take(itersDone + batchSize)
+        val walksToScore =
+          if (cfg.resimrankAccumulatedWalks) walks else walks.takeRight(batchSize)
+        val srMaps = walksToScore.map { w =>
+          val pgParents = w.edges.groupBy(_.toNode).map { case (kk, v) => kk -> v.map(_.fromNode) }
+          SimRank.score(w.nodes, pgParents, original.nodes, ngParents, matchTable, cfg.simRankMode)
+        }.filter(_.nonEmpty)
+        val merged = SimRank.mergeMatchMaps(srMaps.toList)
+        merged.collect {
+          case (pgNode, candidates) if candidates.nonEmpty =>
+            pgNode -> SimRank.findBestNodeMatch(pgNode, candidates)
+        }.filter { case (_, (ngNode, _)) => ngNode.valuableData }
+      }
+      matchTable = bests.foldLeft(matchTable)((t, b) => SimRank.accumulate(t, b))
+      itersDone += batchSize
+    }
+
+    // statistics block — identical to run()'s
+    val matchesDF = matchTable.toSeq
+      .map { case (pg, (ng, s)) => (pg.id, ng.id, s) }
+      .toDF("pgId", "ngId", "score")
+    val byPartition = starts.map { case (k, _) => k -> walksPerPart(k) }.sortBy(_._1)
+    val walksPerPartition = byPartition.map(_._2.toList.distinct.map(_.nodeIds.toList)).toList
+    val walksDF = byPartition
+      .flatMap { case (k, ws) => ws.toList.distinct.map(w => (k, w.nodeIds)) }
+      .toDF("partition", "walkIds")
+    val ngNodesDS = spark.createDataset(original.nodes)
+    val origValuableIds = original.nodes.filter(_.valuableData).map(_.id).toList
+    val stats = MitMStats.compute(spark, matchesDF, walksDF, ngNodesDS,
+      origValuableIds, cfg.nodeMatchThreshold, cfg.numOfParallelWalks)
+
+    Result(
+      matchTable = matchTable.map { case (pg, (ng, s)) => pg.id -> (ng.id, s) },
+      correctMatches = stats.correctMatches,
+      incorrectMatches = stats.incorrectMatches,
+      uncoveredValuableIds = stats.uncoveredValuableIds,
+      origValuableIds = stats.origValuableIds,
+      succPerPartition = stats.succPerPartition,
+      unsuccPerPartition = stats.unsuccPerPartition,
+      walksPerPartition = walksPerPartition)
+  }
+
   /** K1 — YAML statistics report with the reference's key set, in the
     * reference SOURCE's declared insertion order (Main.scala:204-212). Note
     * the reference's own checked-in files show a different order: it builds

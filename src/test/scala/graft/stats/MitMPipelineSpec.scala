@@ -81,6 +81,28 @@ class MitMPipelineSpec extends AnyFunSuite with Matchers {
     new String(got, "UTF-8") shouldBe new String(golden, "UTF-8")
   }
 
+  test("Pregel-tier pipeline produces the IDENTICAL Result to the broadcast tier") {
+    // full end-to-end tier equivalence: walks from GraphXOps.referenceWalks,
+    // scoring/accumulation/stats identical — every Result field must match
+    // bit for bit, across multiple batches (accumulated exclusion sets AND
+    // an evolving skip-table between batches)
+    val ng = GraphText.load(spark, s"$fixtures/Graph50.txt")
+    val pg = GraphText.load(spark, s"$fixtures/Graph50.perturbed.txt")
+    val cfg = MitMPipeline.Config(
+      numOfParallelWalks = 6, numItersPerCompNode = 4, itersBeforeAccum = 2,
+      seed = 42L)
+    val broadcast = MitMPipeline.run(spark, ng, pg, cfg)
+    val pregel = MitMPipeline.runPregelTier(spark, ng, pg, cfg)
+    pregel.matchTable shouldBe broadcast.matchTable
+    pregel.correctMatches shouldBe broadcast.correctMatches
+    pregel.incorrectMatches shouldBe broadcast.incorrectMatches
+    pregel.uncoveredValuableIds shouldBe broadcast.uncoveredValuableIds
+    pregel.origValuableIds shouldBe broadcast.origValuableIds
+    pregel.succPerPartition shouldBe broadcast.succPerPartition
+    pregel.unsuccPerPartition shouldBe broadcast.unsuccPerPartition
+    pregel.walksPerPartition shouldBe broadcast.walksPerPartition
+  }
+
   test("no-resimrank mode (efficiency path) runs and matches determinism contract") {
     val cfg = smallCfg.copy(resimrankAccumulatedWalks = false)
     val r1 = MitMPipeline.run(spark, ng20, pg20, cfg)
