@@ -95,7 +95,14 @@ object MitMMain {
     // fallback here would stomp a spark.graft.seed the user configured)
     val cfgBase = GraftConfig.mitmConfig(spark)
     val cfg = seedArg.map(s => cfgBase.copy(seed = s.toLong)).getOrElse(cfgBase)
-    val r = MitMPipeline.runFiles(spark, orig, pert, out, cfg)
+    // spark.graft.walkTier=pregel runs the walk phase on the partitioned
+    // GraphX tier (same Result by construction and by spec; use when the
+    // graph itself is the distributed object)
+    val tier = spark.conf.get("spark.graft.walkTier", "broadcast")
+    require(tier == "broadcast" || tier == "pregel",
+      s"spark.graft.walkTier: unknown tier '$tier' (expected broadcast | pregel)")
+    val r = MitMPipeline.runFiles(spark, orig, pert, out, cfg,
+      usePregelTier = tier == "pregel")
     println(s"Correct matches (TP): ${r.correctMatches.length}")
     println(s"Incorrect matches (FP): ${r.incorrectMatches.length}")
     println(s"Successful walks: ${r.succPerPartition.sum}; unsuccessful: ${r.unsuccPerPartition.sum}")

@@ -318,13 +318,18 @@ object MitMPipeline {
     "Number of total distinct successful walks:" -> r.succPerPartition.sum.toString)
 
   /** Full program: load both graphs, run the pipeline, write the YAML report
-    * (reference: Main.scala main flow).
+    * (reference: Main.scala main flow). `usePregelTier` switches the walk
+    * phase to the partitioned GraphX tier ([[runPregelTier]] — result
+    * identical by construction and by spec).
     */
   def runFiles(spark: SparkSession, originalPath: String, perturbedPath: String,
-               outPath: String, cfg: Config = Config()): Result = {
+               outPath: String, cfg: Config = Config(),
+               usePregelTier: Boolean = false): Result = {
     val ng = GraphText.load(spark, originalPath)
     val pg = GraphText.load(spark, perturbedPath)
-    val result = run(spark, ng, pg, cfg)
+    val result =
+      if (usePregelTier) runPregelTier(spark, ng, pg, cfg)
+      else run(spark, ng, pg, cfg)
     YamlSink.write(spark, statisticsYaml(result), outPath)
     result
   }
