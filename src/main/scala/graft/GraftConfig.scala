@@ -15,7 +15,32 @@ import org.apache.spark.sql.SparkSession
 object GraftConfig {
   private val Ns = "spark.graft."
 
+  /** Every key the library reads under spark.graft. — the validation
+    * universe for [[validateNamespace]].
+    */
+  val KnownKeys: Set[String] = Set(
+    "randomWalkCoeff", "numOfParallelWalks", "numItersPerCompNode",
+    "itersBeforeAccum", "nodeMatchThreshold", "seed", "simRankMode",
+    "startNodesWithoutReplacement", "resimrankAccumulatedWalks",
+    "walkTier",            // MitMMain: broadcast | pregel
+    "explodeRepartition")  // functions.Spread: auto | always | never
+
+  /** Fail loudly on UNKNOWN spark.graft.* keys: a typo'd key
+    * (walkTeir=pregel) would otherwise be silently ignored and run the
+    * wrong configuration without warning — the same fail-loudly contract
+    * as the per-value validation below.
+    */
+  def validateNamespace(spark: SparkSession): Unit = {
+    val unknown = spark.conf.getAll.keys
+      .filter(_.startsWith(Ns)).map(_.stripPrefix(Ns))
+      .filterNot(KnownKeys.contains)
+    require(unknown.isEmpty,
+      s"unknown spark.graft.* key(s): ${unknown.mkString(", ")} " +
+        s"(known: ${KnownKeys.toSeq.sorted.mkString(", ")})")
+  }
+
   def mitmConfig(spark: SparkSession): MitMPipeline.Config = {
+    validateNamespace(spark)
     def get(key: String, default: String): String =
       spark.conf.getOption(Ns + key).getOrElse(default)
     MitMPipeline.Config(

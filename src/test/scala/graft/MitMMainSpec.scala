@@ -32,4 +32,22 @@ class MitMMainSpec extends AnyFunSuite with Matchers {
       sp.original shouldBe "./input/Other.txt"
     } finally sys.props.remove("local.originalGraphFileName")
   }
+
+  test("unknown spark.graft.* keys fail loudly; known ones pass") {
+    val spark = SparkSpec.spark
+    spark.conf.set("spark.graft.walkTier", "pregel")
+    spark.conf.set("spark.graft.explodeRepartition", "auto")
+    try {
+      GraftConfig.validateNamespace(spark) // all known
+      spark.conf.set("spark.graft.walkTeir", "pregel") // typo'd
+      val ex = intercept[IllegalArgumentException] {
+        GraftConfig.mitmConfig(spark)
+      }
+      ex.getMessage should include("walkTeir")
+    } finally {
+      spark.conf.unset("spark.graft.walkTier")
+      spark.conf.unset("spark.graft.explodeRepartition")
+      spark.conf.unset("spark.graft.walkTeir")
+    }
+  }
 }
