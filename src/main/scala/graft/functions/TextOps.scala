@@ -172,6 +172,23 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("score"))
   }
 
+  /** Corpus length-distribution profile per key — the pre-training corpus
+    * health report (doc counts + exact interpolated percentiles + mean of a
+    * length column, per language/source). Exact `percentile` (sort-based
+    * aggregation per group) keeps the result engine-portable for the
+    * oracle; at 100 TB swap `approx_percentile(…, accuracy)` into the SAME
+    * plan shape for a single-pass sketch.
+    */
+  def lengthProfile(docs: DataFrame, keyCol: String = "lang",
+                    lenCol: String = "n_chars"): DataFrame =
+    docs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(percentile(col(lenCol), lit(0.25)), 4).as("p25"),
+        round(percentile(col(lenCol), lit(0.5)), 4).as("p50"),
+        round(percentile(col(lenCol), lit(0.9)), 4).as("p90"),
+        round(percentile(col(lenCol), lit(0.99)), 4).as("p99"),
+        round(avg(col(lenCol)), 4).as("mean_len"))
+
   /** Rolling-hash document fingerprint: 64-bit FNV-1a over the text via a
     * native codegen'd Catalyst expression ([[Fnv1a64]] — wrapping multiply
     * isn't expressible in ANSI-mode SQL arithmetic).

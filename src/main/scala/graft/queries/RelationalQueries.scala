@@ -481,6 +481,13 @@ object RelationalQueries {
       TextOps.tfidfTopK(Tables.documents(s, d), k = 3)
         .orderBy(col("doc_id"), desc("score"), col("term"))),
 
+    "q_t9_length_profile" -> ((s, d) =>
+      // corpus health report: per-lang doc counts + exact interpolated
+      // length percentiles (engine-portable; approx_percentile is the
+      // single-pass 100 TB swap-in at the same plan shape)
+      graft.functions.TextOps.lengthProfile(Tables.documents(s, d))
+        .orderBy(col("lang"))),
+
     "q_t8_training_mix" -> ((s, d) => {
       // the end-to-end training-mix builder, composing the whole surface in
       // ONE declarative plan: language ∧ quality gates → exact-dup survivor
@@ -960,6 +967,16 @@ object RelationalQueries {
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                < trunc(0.3 * 4294967296.0)::BIGINT
          ORDER BY 1""",
+
+    "q_t9_length_profile" ->
+      // quantile_cont == Spark's exact `percentile` (linear interpolation)
+      """SELECT lang, count(*) AS n_docs,
+                round(quantile_cont(n_chars, 0.25), 4) AS p25,
+                round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                round(quantile_cont(n_chars, 0.99), 4) AS p99,
+                round(avg(n_chars), 4) AS mean_len
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q_sp4_mixture_weights" ->
       """SELECT doc_id, lang FROM documents
