@@ -22,6 +22,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the f"" interpolator formats through the DEFAULT locale: on a host
+    // with comma-decimal locales the one JSON line the driver parses would
+    // render {"value":12,345,...} — pin ROOT before any formatting
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = parsePositiveInt("SPARK_GRAFT_PASSES", default = 3)
@@ -36,6 +40,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftConfig.validateNamespace(spark) // typo'd spark.graft.* keys fail loudly
 
     // JVM/codegen warmup so the first measured query isn't paying startup.
     // Best-effort: entry() reads its own fixed fixture path, which may be

@@ -53,14 +53,23 @@ object Dedup {
   val fnvHasher: Hasher = (c, seed) =>
     Fnv1a64.col(concat(lit(s"$seed:"), c))
 
-  // At most one persisted shingle table per session (see ngramJaccardPairs);
-  // weak keys let a dropped session GC its entry
+  // At most one persisted shingle table per session (see ngramJaccardPairs).
+  // Deliberately a STRONG map — not a WeakHashMap, whose weak keys would be
+  // dead letters here (a DataFrame value strongly references its
+  // SparkSession key, the classic value→key trap), and not weak values,
+  // which would make eviction nondeterministic (the predecessor's plan is
+  // usually unreachable between invocations, so GC could clear it before
+  // the blocking unpersist runs). The cost is bounded and documented: ONE
+  // entry per session that ever called ngramJaccardPairs; an application
+  // cycling through many short-lived sessions should releaseShingleCache
+  // before dropping each one.
   private val shingleCaches =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, DataFrame]())
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
 
   /** Drop the shingle cache left by the session's last [[ngramJaccardPairs]]
-    * invocation (each invocation already evicts its predecessor's).
+    * invocation (each invocation already evicts its predecessor's) and
+    * remove the session's registry entry — call before discarding a
+    * session.
     */
   def releaseShingleCache(spark: org.apache.spark.sql.SparkSession): Unit =
     Option(shingleCaches.remove(spark)).foreach(_.unpersist(blocking = true))

@@ -104,6 +104,9 @@ object Similarity {
     * brute force for the oracle; `labels` maps vec_id -> label. Ties break
     * deterministically: highest vote count, then LOWEST label. One shuffle
     * on the neighbor table (votes are (vec_id, label, count) rows — tiny).
+    * The tie-break is min_by over (-votes, label) — only the COUNT is
+    * negated, so the label column may be any orderable type (negating the
+    * label would throw on string labels under ANSI mode).
     */
   def knnClassify(neighbors: DataFrame, labels: DataFrame): DataFrame =
     neighbors
@@ -111,7 +114,8 @@ object Similarity {
       .groupBy(col("vec_id"), col("label"))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("label"), struct(col("votes"), -col("label"))).as("pred_label"))
+      .agg(min_by(col("label"), struct((-col("votes")).as("nv"), col("label").as("lb")))
+        .as("pred_label"))
 
   def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4,
               dims: Option[Int] = None): DataFrame = {

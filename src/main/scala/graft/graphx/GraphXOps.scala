@@ -20,24 +20,26 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphXOps {
 
-  /** `index` is the edge's position in the original edge list — load-bearing
-    * for walk parity: the reference walk engine draws uniform neighbors from
-    * the EDGE-LIST-ORDERED adjacency (NetGraphLocal.outAdjacency), so any
-    * tier reproducing its walks must reconstruct that exact order.
-    *
-    * `fromNode`/`toNode` are the reference's denormalized endpoint COPIES —
-    * also load-bearing, not redundant with the vertex attributes: adjacency
-    * in the reference is keyed by WHOLE-NodeObject equality
-    * (NetGraphLocal.outAdjacency groups on the embedded fromNode), so in a
-    * perturbed graph a node whose node-list entry no longer equals the
-    * edge-embedded copies is a walk dead end. Id-keyed adjacency would walk
-    * straight through such nodes and diverge from the broadcast engine
-    * (caught by the GraphXOpsSpec parity gate).
-    */
-  final case class EdgeAttr(actionType: Int, resultingValue: Option[Int], cost: Double,
-                            index: Int, fromNode: NodeObject, toNode: NodeObject)
+  final case class EdgeAttr(actionType: Int, resultingValue: Option[Int], cost: Double)
 
-  def toGraphX(spark: SparkSession, g: NetGraphLocal): Graph[NodeObject, EdgeAttr] = {
+  /** Walk-tier edge attribute — kept SEPARATE from [[EdgeAttr]] so the
+    * general operators (start nodes, parent map, reachability, degrees)
+    * don't pay two embedded NodeObject copies per edge in storage and every
+    * shuffle. Both fields are semantic for walk parity, not redundancy:
+    *  - `index` (edge-list position): the reference walk engine draws
+    *    uniform neighbors from the EDGE-LIST-ORDERED adjacency
+    *    (NetGraphLocal.outAdjacency), so the tier must reconstruct that
+    *    exact order;
+    *  - `fromNode`/`toNode` (denormalized endpoint copies): reference
+    *    adjacency is keyed by WHOLE-NodeObject equality, so in a perturbed
+    *    graph a node whose node-list entry no longer equals the
+    *    edge-embedded copies is a walk dead end — id-keyed adjacency would
+    *    walk straight through it and diverge from the broadcast engine
+    *    (caught by the GraphXOpsSpec parity gate).
+    */
+  final case class WalkEdge(index: Int, fromNode: NodeObject, toNode: NodeObject)
+
+  private def validateEndpoints(g: NetGraphLocal): Unit = {
     // dangling endpoints would materialize vertices with a NULL attribute
     // (defaultVertexAttr below) that flow silently into startNodes/parentMap
     // results — validate at build time while the graph is driver-local
@@ -46,13 +48,32 @@ object GraphXOps {
       require(ids.contains(e.fromNode.id) && ids.contains(e.toNode.id),
         s"edge ${e.fromNode.id}->${e.toNode.id} references a node absent from the node list")
     }
+  }
+
+  def toGraphX(spark: SparkSession, g: NetGraphLocal): Graph[NodeObject, EdgeAttr] = {
+    validateEndpoints(g)
     val sc = spark.sparkContext
     val vertices: RDD[(VertexId, NodeObject)] =
       sc.parallelize(g.nodes.map(n => (n.id.toLong, n)))
     val edges: RDD[Edge[EdgeAttr]] =
+      sc.parallelize(g.edges.map(e =>
+        Edge(e.fromNode.id.toLong, e.toNode.id.toLong,
+          EdgeAttr(e.actionType, e.resultingValue, e.cost))))
+    Graph(vertices, edges, defaultVertexAttr = null.asInstanceOf[NodeObject],
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The walk tier's graph projection (see [[WalkEdge]]). */
+  def toWalkGraphX(spark: SparkSession, g: NetGraphLocal): Graph[NodeObject, WalkEdge] = {
+    validateEndpoints(g)
+    val sc = spark.sparkContext
+    val vertices: RDD[(VertexId, NodeObject)] =
+      sc.parallelize(g.nodes.map(n => (n.id.toLong, n)))
+    val edges: RDD[Edge[WalkEdge]] =
       sc.parallelize(g.edges.zipWithIndex.map { case (e, i) =>
         Edge(e.fromNode.id.toLong, e.toNode.id.toLong,
-          EdgeAttr(e.actionType, e.resultingValue, e.cost, i, e.fromNode, e.toNode))})
+          WalkEdge(i, e.fromNode, e.toNode))})
     Graph(vertices, edges, defaultVertexAttr = null.asInstanceOf[NodeObject],
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -197,9 +218,16 @@ object GraphXOps {
     * (same bounds ⇒ same java.util.Random state) — pure, immutable state that
     * survives Pregel re-evaluation, message merging and lineage recompute.
     */
+  /** `next` is the walker's pre-computed move (None = finished or not yet
+    * chosen): the draw happens ONCE per arrival in vprog — where the
+    * vertex's edge array is at hand — instead of being replayed at every
+    * out-triplet in sendMsg, which on a degree-D hub would cost D rng
+    * replays + D neighbor scans per superstep.
+    */
   final case class RefWalker(partition: Long, iteration: Int,
                              path: List[NodeObject], drawBounds: List[Int],
-                             excluded: Set[NodeObject])
+                             excluded: Set[NodeObject],
+                             next: Option[NodeObject])
 
   /** Reference-semantics random walks on the Pregel tier — the scale-out
     * counterpart of graft.walk.RandomWalk.walk, computing bit-identical walks
@@ -223,43 +251,45 @@ object GraphXOps {
     * revisits); `.distinct` of each path is the broadcast tier's
     * WalkResult.nodes (parity pinned in GraphXOpsSpec).
     */
-  def referenceWalks(graph: Graph[NodeObject, EdgeAttr], starts: Map[Long, NodeObject],
+  def referenceWalks(graph: Graph[NodeObject, WalkEdge], starts: Map[Long, NodeObject],
                      numNodes: Int, coeff: Double, seed: Long,
                      iters: Int): Map[(Long, Int), List[NodeObject]] = {
     require(coeff > 0, s"randomWalkCoeff must be > 0 (got $coeff)")
     val budget = coeff * numNodes
     // edge-list-ordered out-edge endpoint copies per vertex (duplicates
     // kept: a multigraph's parallel edges widen that neighbor's draw weight,
-    // as in the reference)
-    val adj = graph.aggregateMessages[List[(Int, NodeObject, NodeObject)]](
-      ctx => ctx.sendToSrc(List((ctx.attr.index, ctx.attr.fromNode, ctx.attr.toNode))), _ ++ _)
-    val base: Graph[Array[(NodeObject, NodeObject)], EdgeAttr] =
+    // as in the reference); ArrayBuffer merge keeps the build O(deg), not
+    // the O(deg^2) of repeated immutable-List concatenation
+    val adj = graph.aggregateMessages[scala.collection.mutable.ArrayBuffer[(Int, NodeObject, NodeObject)]](
+      ctx => ctx.sendToSrc(
+        scala.collection.mutable.ArrayBuffer((ctx.attr.index, ctx.attr.fromNode, ctx.attr.toNode))),
+      (a, b) => { a ++= b; a })
+    val base: Graph[Array[(NodeObject, NodeObject)], WalkEdge] =
       graph.outerJoinVertices(adj)((_, _, nbrs) =>
-        nbrs.getOrElse(Nil).sortBy(_._1).map(e => (e._2, e._3)).toArray)
+        nbrs.map(_.sortBy(_._1).map(e => (e._2, e._3)).toArray)
+          .getOrElse(Array.empty))
     base.cache()
 
     // The walker's current position is the NodeObject COPY it arrived as;
     // its outgoing neighbor pool is the vertex's out-edges whose fromNode
     // equals that copy (NetGraphLocal.outAdjacency semantics), in edge-list
-    // order. One deterministic draw per step, computed identically at every
-    // triplet of the source vertex — pure replay, no shared mutable rng.
-    def neighborsOf(w: RefWalker, edges: Array[(NodeObject, NodeObject)]): Array[NodeObject] =
-      edges.collect { case (from, to) if from == w.path.last => to }
-    def step(w: RefWalker, edges: Array[(NodeObject, NodeObject)]): Option[NodeObject] = {
-      val nbrs = neighborsOf(w, edges)
-      if (w.path.length >= budget || nbrs.isEmpty) None
+    // order. The draw is pure replay of the walker's seeded Random — no
+    // shared mutable rng — computed once per arrival and stored in `next`.
+    def withChoice(w: RefWalker, edges: Array[(NodeObject, NodeObject)]): RefWalker = {
+      if (w.path.length >= budget) w.copy(next = None)
       else {
-        val unvisited = nbrs.filterNot(w.excluded.contains)
-        val pool = if (unvisited.nonEmpty) unvisited else nbrs
-        val rng = graft.walk.RandomWalk.rngFor(seed, w.partition, w.iteration)
-        w.drawBounds.foreach(rng.nextInt)
-        Some(pool(rng.nextInt(pool.length)))
+        val current = w.path.last
+        val nbrs = edges.collect { case (from, to) if from == current => to }
+        if (nbrs.isEmpty) w.copy(next = None)
+        else {
+          val unvisited = nbrs.filterNot(w.excluded.contains)
+          val pool = if (unvisited.nonEmpty) unvisited else nbrs
+          val rng = graft.walk.RandomWalk.rngFor(seed, w.partition, w.iteration)
+          w.drawBounds.foreach(rng.nextInt)
+          w.copy(next = Some(pool(rng.nextInt(pool.length))),
+            drawBounds = w.drawBounds :+ pool.length)
+        }
       }
-    }
-    def poolSize(w: RefWalker, edges: Array[(NodeObject, NodeObject)]): Int = {
-      val nbrs = neighborsOf(w, edges)
-      val unvisited = nbrs.filterNot(w.excluded.contains)
-      if (unvisited.nonEmpty) unvisited.length else nbrs.length
     }
 
     var excluded: Map[Long, Set[NodeObject]] =
@@ -269,38 +299,53 @@ object GraphXOps {
       val exclNow = excluded
       val placed = base.mapVertices { (id, edges) =>
         val here = starts.collect { case (w, n) if n.id.toLong == id =>
-          w -> RefWalker(w, iter, List(n), Nil, exclNow(w)) }
+          w -> withChoice(RefWalker(w, iter, List(n), Nil, exclNow(w), None), edges) }
         (edges, here.toMap)
       }
       type Msg = Map[Long, RefWalker]
+      // Merges are LONGEST-PATH-WINS, never last-wins: a stale walker copy
+      // left at a departed-from vertex is re-activated whenever any other
+      // walker arrives there, and re-sends the walker's old (deterministic)
+      // move — a shorter "echo" that would otherwise overwrite the walker's
+      // longer copy at the destination (e.g. its final resting copy on a
+      // revisited vertex) and truncate the walk when maxIterations cuts the
+      // re-walk short. Keeping the longer path makes state monotone: echoes
+      // can wander but can never regress any copy, so the final
+      // longest-path reduce always sees the true full walk.
+      def longer(a: RefWalker, b: RefWalker): RefWalker =
+        if (a.path.length >= b.path.length) a else b
+      def mergeWalkers(a: Map[Long, RefWalker], b: Map[Long, RefWalker]): Map[Long, RefWalker] =
+        b.foldLeft(a) { case (acc, (k, w)) =>
+          acc.updated(k, acc.get(k).map(longer(_, w)).getOrElse(w))
+        }
       // initialMsg is the empty map: Pregel never delivers an empty merged
-      // message, so emptiness IS the init sentinel (no reserved walker id)
-      val done = Pregel[(Array[(NodeObject, NodeObject)], Msg), EdgeAttr, Msg](
+      // message, so emptiness IS the init sentinel (no reserved walker id).
+      // Arrivals carry next=None (the move into the message is already
+      // appended to path/drawBounds); vprog resolves each arrival's next
+      // choice ONCE with the destination's edge array, then merges.
+      val done = Pregel[(Array[(NodeObject, NodeObject)], Msg), WalkEdge, Msg](
         placed, initialMsg = Map.empty, maxIterations = math.ceil(budget).toInt + 1,
         activeDirection = EdgeDirection.Out)(
         vprog = { (_, attr, msg) =>
           if (msg.isEmpty) attr
-          // arrivals overwrite any stale copy of the same walker (an arrival's
-          // path is strictly longer); copies left at departed-from vertices
-          // are resolved by the final longest-path reduce
-          else (attr._1, attr._2 ++ msg)
+          else (attr._1,
+            mergeWalkers(attr._2, msg.map { case (k, w) => k -> withChoice(w, attr._1) }))
         },
         sendMsg = { t =>
-          val (edges, walkers) = t.srcAttr
+          val (_, walkers) = t.srcAttr
           if (walkers.isEmpty) Iterator.empty
           else {
             val moves = walkers.toSeq.flatMap { case (id, w) =>
-              step(w, edges) match {
+              w.next match {
                 case Some(next) if next.id.toLong == t.dstId =>
-                  Some(id -> w.copy(path = w.path :+ next,
-                    drawBounds = w.drawBounds :+ poolSize(w, edges)))
+                  Some(id -> w.copy(path = w.path :+ next, next = None))
                 case _ => None
               }
             }
             if (moves.isEmpty) Iterator.empty else Iterator((t.dstId, moves.toMap))
           }
         },
-        mergeMsg = _ ++ _)
+        mergeMsg = mergeWalkers)
       val finals = done.vertices
         .flatMap { case (_, (_, walkers)) => walkers }
         .reduceByKey((a, b) => if (a.path.length >= b.path.length) a else b)

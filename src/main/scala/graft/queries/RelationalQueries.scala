@@ -727,10 +727,13 @@ object RelationalQueries {
       val model = graft.functions.IvfIndex.train(s, embs, k = 8, iters = 2)
       // FIXED path + overwrite mode (writeIndex): repeated invocations (3
       // bench passes, every verify/spec run) reuse one directory instead of
-      // accumulating a fresh temp index copy per run. Keyed by the source
-      // dir so two sf fixtures don't clobber each other's index mid-session.
+      // accumulating a fresh temp copy per run. Keyed by the source dir (two
+      // sf fixtures must not clobber each other mid-session) AND the process
+      // pid: two JVMs on one host (bench + verify) would otherwise race one
+      // overwrite-delete against the other's pruned read. One dir per
+      // (process, sfDir), overwritten in place — bounded, race-free.
       val path = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-ivfidx-${Integer.toHexString(d.hashCode)}").toString
+        s"graft-ivfidx-${ProcessHandle.current.pid}-${Integer.toHexString(d.hashCode)}").toString
       graft.functions.IvfIndex.writeIndex(embs, model, path)
       val query = embs.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)

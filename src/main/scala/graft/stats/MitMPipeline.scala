@@ -235,7 +235,7 @@ object MitMPipeline {
       "itersBeforeAccum must be <= numItersPerCompNode")
     val starts = selectStartNodes(startNodes(perturbed), cfg.numOfParallelWalks,
       cfg.seed, cfg.startNodesWithoutReplacement)
-    val gx = graft.graphx.GraphXOps.toGraphX(spark, perturbed)
+    val gx = graft.graphx.GraphXOps.toWalkGraphX(spark, perturbed)
     val paths = graft.graphx.GraphXOps.referenceWalks(gx, starts.toMap,
       perturbed.nodes.length, cfg.randomWalkCoeff, cfg.seed,
       cfg.numItersPerCompNode)

@@ -229,6 +229,13 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     val pred = Similarity.knnClassify(neighbors, labels)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     pred shouldBe Map(0L -> 1, 1L -> 2)
+    // string labels must work too (the tie-break negates only the COUNT):
+    // vec 1 ties "de"/"en" → lowest label "de" wins
+    val strLabels = Seq((10L, "en"), (11L, "en"), (12L, "de"), (13L, "en"))
+      .toDF("vec_id", "label")
+    val strPred = Similarity.knnClassify(neighbors, strLabels)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    strPred shouldBe Map(0L -> "en", 1L -> "de")
   }
 
   test("labelCentroids averages per (label, dimension)") {

@@ -52,7 +52,7 @@ class GraphXOpsSpec extends AnyFunSuite with Matchers {
     // the pipeline walks the PERTURBED graph — same fixture + config the
     // oracled MitM run uses (Config() defaults: coeff 0.5, 20 walkers, seed 42)
     val pg = GraphText.load(spark, "/root/reference/input/Graph200.txt.perturbed")
-    val gxPg = GraphXOps.toGraphX(spark, pg)
+    val gxPg = GraphXOps.toWalkGraphX(spark, pg)
     val cfg = MitMPipeline.Config()
     val starts = MitMPipeline.selectStartNodes(MitMPipeline.startNodes(pg),
       cfg.numOfParallelWalks, cfg.seed, cfg.startNodesWithoutReplacement)
