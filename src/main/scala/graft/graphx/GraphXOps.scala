@@ -13,10 +13,10 @@ import org.apache.spark.storage.StorageLevel
   * both graphs fit on one executor; this layer carries the same operators to
   * partitioned, distributed graphs.
   *
-  * Vertex attribute = NodeObject (the node-LIST entry); edge attribute keeps
-  * the EdgeAction's denormalized endpoint copies plus its edge-list position
-  * (see [[GraphXOps.EdgeAttr]] — both are semantic, not redundancy: walk
-  * adjacency is whole-NodeObject-keyed and edge-list-ordered).
+  * Vertex attribute = NodeObject (the node-LIST entry). Two edge
+  * projections: the slim [[GraphXOps.EdgeAttr]] for the general operators,
+  * and [[GraphXOps.WalkEdge]] (edge-list position + denormalized endpoint
+  * copies — semantic for walk parity, see its doc) for the walk tier.
   */
 object GraphXOps {
 
