@@ -172,6 +172,28 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("score"))
   }
 
+  /** Per-document mean unigram surprisal — the language-model-filtering
+    * proxy (CCNet-style): score = mean over tokens of
+    * −ln((tf+1)/(N+V)) under the corpus's own Laplace-smoothed unigram
+    * model. Low scores ≈ predictable/common text, high ≈ rare-token noise;
+    * quality gates cut both tails. Same scale shape as [[tfidfTopK]]: the
+    * unigram table is VOCABULARY-sized, so it shuffle-joins on `tok`
+    * (shuffle-hash, exploded-token exchange reused across the tf branch);
+    * only the single-row (N, V) scalar broadcasts. Returns
+    * (doc_id, n_tokens, surprisal).
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = Spread.forExplode(df, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val totals = freq.agg(sum(col("tf")).as("n"), count(lit(1)).as("v"))
+    toks.hint("shuffle_hash").join(freq.hint("shuffle_hash"), "tok")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log((col("tf") + 1.0) / (col("n") + col("v")))), 4).as("surprisal"))
+  }
+
   /** Corpus length-distribution profile per key — the pre-training corpus
     * health report (doc counts + exact interpolated percentiles + mean of a
     * length column, per language/source). Exact `percentile` (sort-based

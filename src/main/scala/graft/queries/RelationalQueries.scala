@@ -481,6 +481,13 @@ object RelationalQueries {
       TextOps.tfidfTopK(Tables.documents(s, d), k = 3)
         .orderBy(col("doc_id"), desc("score"), col("term"))),
 
+    "q_t10_unigram_surprisal" -> ((s, d) =>
+      // LM-filtering proxy: per-doc mean unigram surprisal under the
+      // corpus's own smoothed unigram model; vocabulary-sized table
+      // shuffle-joins, only the (N, V) scalar broadcasts
+      graft.functions.TextOps.unigramSurprisal(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     "q_t9_length_profile" -> ((s, d) =>
       // corpus health report: per-lang doc counts + exact interpolated
       // length percentiles (engine-portable; approx_percentile is the
@@ -970,6 +977,16 @@ object RelationalQueries {
          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                < trunc(0.3 * 4294967296.0)::BIGINT
          ORDER BY 1""",
+
+    "q_t10_unigram_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+         tot AS (SELECT sum(tf) AS n, count(*) AS v FROM freq)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(-ln((tf + 1.0) / (n + v))), 4) AS surprisal
+         FROM toks JOIN freq USING (tok), tot
+         GROUP BY 1 ORDER BY 1""",
 
     "q_t9_length_profile" ->
       // quantile_cont == Spark's exact `percentile` (linear interpolation)

@@ -391,6 +391,17 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     tfidf((2L, "y")) shouldBe r4(1 * idf)
   }
 
+  test("unigramSurprisal computes textbook Laplace-smoothed values") {
+    // tokens: a x3, b x1, c x1 → N=5, V=3, denominator 8;
+    // surprisal(a) = -ln(4/8) = ln 2; surprisal(b) = surprisal(c) = ln 4
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.unigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(1L) shouldBe ((3L, r4((2 * math.log(2) + math.log(4)) / 3)))
+    out(2L) shouldBe ((2L, r4((math.log(2) + math.log(4)) / 2)))
+  }
+
   test("simhashes is total: NULL text gets simhash 0 under both hash families") {
     val df = Seq((1L, null: String), (2L, "hello world hello"))
       .toDF("doc_id", "text")
