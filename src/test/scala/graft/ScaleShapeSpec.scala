@@ -130,6 +130,16 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     "ReusedExchange".r.findAllIn(plan).length should be >= 1
     // the ONLY broadcast left is the single-row corpus-size scalar
     "BroadcastExchange".r.findAllIn(plan).length shouldBe 1
+
+    // unigramSurprisal has the identical contract: vocabulary-sized unigram
+    // table shuffle-joins, exploded-token exchange reused, only the
+    // single-row (N, V) scalar broadcasts
+    val u = TextOps.unigramSurprisal(Tables.documents(spark, sfDir))
+    u.collect()
+    val uplan = u.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    uplan should include("ShuffledHashJoin")
+    "ReusedExchange".r.findAllIn(uplan).length should be >= 1
+    "BroadcastExchange".r.findAllIn(uplan).length shouldBe 1
   }
 
   test("self-join operators reuse the shuffled subtree instead of recomputing it") {
