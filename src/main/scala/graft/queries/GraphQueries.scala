@@ -94,6 +94,20 @@ object GraphQueries {
       val pg = GraphText.load(s, perturbedPath)
       val r = MitMPipeline.run(s, ng, pg, MitMPipeline.Config(seed = 42L))
       MitMPipeline.matchTableDF(s, r)
+    }),
+
+    // The same pipeline on the PARTITIONED (GraphX/Pregel) walk tier — runs
+    // per-round so a tier regression surfaces in the correctness suite, not
+    // just in sbt test (rows-only: the only possible oracle is the broadcast
+    // tier itself, and MitMPipelineSpec pins bit-exact equality to it).
+    // Graph50 + a reduced config keeps the per-round cost a few seconds.
+    "q_gg8_mitm_pregel_tier" -> ((s, _) => {
+      val ng = GraphText.load(s, s"$fixtureDir/Graph50.txt")
+      val pg = GraphText.load(s, s"$fixtureDir/Graph50.perturbed.txt")
+      val r = MitMPipeline.runPregelTier(s, ng, pg, MitMPipeline.Config(
+        numOfParallelWalks = 6, numItersPerCompNode = 4, itersBeforeAccum = 2,
+        seed = 42L))
+      MitMPipeline.matchTableDF(s, r)
     })
   )
 
