@@ -32,6 +32,52 @@ class PropertySpec extends AnyFunSuite with Matchers {
     cases.foreach { case (i, s) => got(i) shouldBe local(s) }
   }
 
+  test("Fnv1a64.seeded scalar mirrors the fnvHasher column over UNICODE strings") {
+    // the scalar hashes UTF-8 BYTES — multibyte codepoints are where a
+    // char-based fold would silently diverge from the codegen'd expression
+    val cases = (0 until 200).map { i =>
+      val len = rnd.nextInt(24)
+      val s = List.fill(len) {
+        val cp = rnd.nextInt(0x2FF0) + 0x20
+        if (Character.isValidCodePoint(cp) && !Character.isSurrogate(cp.toChar)) cp.toChar
+        else 'x'
+      }.mkString
+      (i.toLong, s)
+    }
+    for (seed <- Seq(0, 3, 11)) {
+      val got = cases.toDF("id", "s")
+        .select($"id", Dedup.fnvHasher($"s", seed).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cases.foreach { case (i, s) =>
+        got(i) shouldBe graft.functions.Fnv1a64.seeded(seed, s)
+      }
+    }
+  }
+
+  test("streaming bandKeys == batch fnvHasher band slices over generated corpora") {
+    import graft.streaming.NearDupStream
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val (k, bands, rowsPerBand) = (2, 3, 2)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, List.fill(rnd.nextInt(10) + 1)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val sigs = Dedup.minhashSignatures(docs.toDF("doc_id", "text"), "doc_id", "text",
+        k, bands * rowsPerBand, Dedup.fnvHasher)
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Any](1)).map(_.toVector)).toMap
+    docs.foreach { case (id, text) =>
+      val streaming = NearDupStream.bandKeys(text, k, bands, rowsPerBand)
+      val batchSig = sigs(id)
+      if (batchSig.exists(_.head == null)) streaming shouldBe empty // short doc
+      else {
+        val batchKeys = (0 until bands).map { b =>
+          val slice = batchSig.get.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+          s"$b:${slice.mkString(",")}"
+        }
+        streaming shouldBe batchKeys
+      }
+    }
+  }
+
   test("DotProduct expression is bit-identical to element-order Double accumulation") {
     val cases = (0 until 200).map { i =>
       val n = rnd.nextInt(16) + 1
