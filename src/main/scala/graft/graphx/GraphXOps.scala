@@ -50,15 +50,26 @@ object GraphXOps {
     }
   }
 
+  // Partition count sized to the DATA, not the cluster: sc.parallelize's
+  // default (defaultParallelism, 32 on local[32]) makes every Pregel
+  // superstep launch 32-partition jobs even for a 51-node fixture graph —
+  // pure task-launch overhead that dominated the iterative tiers at toy
+  // scale. One partition per CHUNK of elements, capped at the default, keeps
+  // small graphs on few tasks while large graphs still use the full cluster.
+  private def slicesFor(sc: org.apache.spark.SparkContext, n: Int): Int = {
+    val chunk = 4096 // elements per partition before adding tasks
+    math.max(1, math.min(sc.defaultParallelism, (n + chunk - 1) / chunk))
+  }
+
   def toGraphX(spark: SparkSession, g: NetGraphLocal): Graph[NodeObject, EdgeAttr] = {
     validateEndpoints(g)
     val sc = spark.sparkContext
     val vertices: RDD[(VertexId, NodeObject)] =
-      sc.parallelize(g.nodes.map(n => (n.id.toLong, n)))
+      sc.parallelize(g.nodes.map(n => (n.id.toLong, n)), slicesFor(sc, g.nodes.length))
     val edges: RDD[Edge[EdgeAttr]] =
       sc.parallelize(g.edges.map(e =>
         Edge(e.fromNode.id.toLong, e.toNode.id.toLong,
-          EdgeAttr(e.actionType, e.resultingValue, e.cost))))
+          EdgeAttr(e.actionType, e.resultingValue, e.cost))), slicesFor(sc, g.edges.length))
     Graph(vertices, edges, defaultVertexAttr = null.asInstanceOf[NodeObject],
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
@@ -69,11 +80,11 @@ object GraphXOps {
     validateEndpoints(g)
     val sc = spark.sparkContext
     val vertices: RDD[(VertexId, NodeObject)] =
-      sc.parallelize(g.nodes.map(n => (n.id.toLong, n)))
+      sc.parallelize(g.nodes.map(n => (n.id.toLong, n)), slicesFor(sc, g.nodes.length))
     val edges: RDD[Edge[WalkEdge]] =
       sc.parallelize(g.edges.zipWithIndex.map { case (e, i) =>
         Edge(e.fromNode.id.toLong, e.toNode.id.toLong,
-          WalkEdge(i, e.fromNode, e.toNode))})
+          WalkEdge(i, e.fromNode, e.toNode))}, slicesFor(sc, g.edges.length))
     Graph(vertices, edges, defaultVertexAttr = null.asInstanceOf[NodeObject],
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)

@@ -100,13 +100,20 @@ object GraphQueries {
     // per-round so a tier regression surfaces in the correctness suite, not
     // just in sbt test (rows-only: the only possible oracle is the broadcast
     // tier itself, and MitMPipelineSpec pins bit-exact equality to it).
-    // Graph50 + a reduced config keeps the per-round cost a few seconds.
+    // Gate hygiene: each of the `numItersPerCompNode` sequential Pregel runs
+    // costs ~ceil(coeff*numNodes) supersteps of pure launch overhead at toy
+    // scale, so the GATE config trims both knobs (2 iterations, coeff 0.2 →
+    // ~24 supersteps total vs the default config's ~108) — tier PARITY is
+    // pinned at full config in MitMPipelineSpec/GraphXOpsSpec; this query
+    // only needs to exercise the tier end-to-end every round. (Graph20 is
+    // not usable here: all its nodes carry valuableData=false, so the match
+    // table would be empty.)
     "q_gg8_mitm_pregel_tier" -> ((s, _) => {
       val ng = GraphText.load(s, s"$fixtureDir/Graph50.txt")
       val pg = GraphText.load(s, s"$fixtureDir/Graph50.perturbed.txt")
       val r = MitMPipeline.runPregelTier(s, ng, pg, MitMPipeline.Config(
-        numOfParallelWalks = 6, numItersPerCompNode = 4, itersBeforeAccum = 2,
-        seed = 42L))
+        numOfParallelWalks = 6, numItersPerCompNode = 2, itersBeforeAccum = 2,
+        randomWalkCoeff = 0.2, seed = 42L))
       MitMPipeline.matchTableDF(s, r)
     })
   )
