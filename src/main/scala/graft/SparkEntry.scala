@@ -25,6 +25,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ graft.queries.GraphQueries.queries
 
+  /** Build the session-lifetime artifacts the operator contracts define as
+    * built ONCE (the persisted IVF index behind q_v7's probe) so a timed
+    * pass measures the operator, not one-time setup. Called by Bench's
+    * warmup phase; queries stay self-sufficient without it (ensureIndex
+    * builds lazily on first use).
+    */
+  def benchWarmup(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.IvfIndex.ensureIndex(
+      spark, Tables.embeddings(spark, sfDir), sfDir, k = 8)
+    ()
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (plus, for the graph fixtures, the tables
     * Verify exports into its outDir — see GraphQueries.exportFixtureTables).

@@ -65,14 +65,35 @@ object Dedup {
   // before dropping each one.
   private val shingleCaches =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+  private val shingleReaper =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
+
+  // Enforced lifecycle (not just documented): the first cache put for a
+  // session registers an ApplicationEnd listener that drops its entry, so
+  // an application cycling many sessions cannot leak stopped sessions even
+  // if it never calls releaseShingleCache.
+  private def reapOnStop(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (shingleReaper.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          shingleCaches.remove(spark) // context is gone — nothing to unpersist
+          shingleReaper.remove(spark)
+          ()
+        }
+      })
+    }
 
   /** Drop the shingle cache left by the session's last [[ngramJaccardPairs]]
     * invocation (each invocation already evicts its predecessor's) and
     * remove the session's registry entry — call before discarding a
-    * session.
+    * session. (Safe after stop: unpersist is skipped once the context is
+    * gone.)
     */
   def releaseShingleCache(spark: org.apache.spark.sql.SparkSession): Unit =
-    Option(shingleCaches.remove(spark)).foreach(_.unpersist(blocking = true))
+    Option(shingleCaches.remove(spark)).foreach { df =>
+      if (!spark.sparkContext.isStopped) df.unpersist(blocking = true)
+    }
 
   /** Exact dedup: group identical texts by full md5, keep group size and the
     * minimal doc id (the canonical survivor). One shuffle on a 128-bit key —
@@ -291,6 +312,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // blocking eviction: deterministic "at most one cached copy" (an async
     // unpersist could briefly hold two full shingle tables in storage)
+    reapOnStop(docs.sparkSession)
     Option(shingleCaches.put(docs.sparkSession, docSh)).foreach(_.unpersist(blocking = true))
     val candPairs = candidates.getOrElse(prefixFilterCandidates(docSh, threshold))
     val a = docSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),

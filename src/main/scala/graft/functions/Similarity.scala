@@ -119,18 +119,25 @@ object Similarity {
 
   def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4,
               dims: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // plane vectors are plan literals, so the dimensionality must be known
     // at BUILD time: callers that know it pass `dims` (no extra driver job);
     // otherwise probe one row — and an empty corpus has no neighbors at all,
-    // not a head() crash
-    val d = dims.getOrElse {
-      val first = embs.select(size(col("embedding"))).head(1)
-      if (first.isEmpty)
-        return embs.select(col("vec_id"), col("vec_id").as("vid_b"),
+    // not a head() crash. Plain Option flow (no non-local return: that
+    // compiles to a control-flow exception a future enclosing catch-Throwable
+    // would swallow, and Scala 3 drops it).
+    val probed: Option[Int] = dims.orElse(
+      embs.select(size(col("embedding"))).head(1).headOption.map(_.getInt(0)))
+    probed match {
+      case None =>
+        embs.select(col("vec_id"), col("vec_id").as("vid_b"),
           lit(0.0).as("cosine")).limit(0)
-      first(0).getInt(0)
+      case Some(d) => lshTopKKnownDims(embs, numPlanes, k, reps, d)
     }
+  }
+
+  private def lshTopKKnownDims(embs: DataFrame, numPlanes: Int, k: Int,
+                               reps: Int, d: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val repBuckets = array((0 until reps).map { r =>
       (0 until numPlanes).map { p =>
         when(dot(col("embedding"), typedLit(planeVector(r * numPlanes + p, d))) >= 0,
