@@ -23,7 +23,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ graft.queries.GraphQueries.queries
+    RelationalQueries.queries ++ graft.queries.GraphQueries.queries ++
+      graft.queries.StreamParity.queries
 
   /** Build the session-lifetime artifacts the operator contracts define as
     * built ONCE (the persisted IVF index behind q_v7's probe) so a timed
@@ -43,5 +44,6 @@ object SparkEntry {
     * Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ graft.queries.GraphQueries.oracleSql
+    RelationalQueries.oracleSql ++ graft.queries.GraphQueries.oracleSql ++
+      graft.queries.StreamParity.oracleSql
 }

@@ -28,11 +28,18 @@ object Verify {
     // fixture file would let the q_g* oracles silently validate current
     // query results against an outdated export (same stale-output hazard the
     // query loop deletes failed results for).
-    Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet")
+    Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
+        "fx_stream_pairs.parquet")
       .foreach(f => deleteRec(new java.io.File(s"$outDir/$f")))
     try graft.queries.GraphQueries.exportFixtureTables(spark, outDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] fixture export failed: ${e.getMessage}")
+    }
+    // q_d9's oracle: the corpus replayed through the STREAMING near-dup
+    // operator (independent scalar implementation of the shared FNV family)
+    try graft.queries.StreamParity.exportStreamPairs(spark, sfDir, outDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] stream-parity export failed: ${e.getMessage}")
     }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (iteration aid, same
     // contract as Bench); the driver's full gate runs without it

@@ -45,7 +45,7 @@ object GraphQueries {
     writeSingleFile(edgesFlat, s"$outDir/fx_graph50_edges.parquet")
   }
 
-  private def writeSingleFile(df: DataFrame, dest: String): Unit = {
+  private[queries] def writeSingleFile(df: DataFrame, dest: String): Unit = {
     val tmp = dest + ".tmpdir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val dir = new java.io.File(tmp)

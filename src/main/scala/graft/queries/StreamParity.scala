@@ -1,0 +1,83 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Dedup
+import graft.streaming.NearDupStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round batch↔stream near-dup FAMILY gate (q_d9): the batch minhash+LSH
+  * candidate pass under the shared FNV-1a hash family, hash-checked against
+  * the pair set a REPLAYED STREAM of the same corpus emits through
+  * [[NearDupStream]]. The two paths compute signatures independently —
+  * codegen'd [[graft.functions.Fnv1a64]] expression column vs its scalar
+  * mirror inside `flatMapGroupsWithState` — so any drift in shingling,
+  * seeding, banding, or the hash itself surfaces as a per-round hash
+  * mismatch, not just an `sbt test` failure (NearDupStreamSpec pins the same
+  * contract in-suite; this promotes it to the correctness gate, the q_gg8
+  * pattern).
+  *
+  * The oracle side (the streamed replay) is exported by [[exportStreamPairs]]
+  * into Verify's outDir as a single parquet file; q_d9's oracle SQL just
+  * reads it back. NOT circular: the fixture comes from the streaming scalar
+  * path, which shares no code with the Catalyst expression path under test
+  * beyond the algorithm they must both implement.
+  */
+object StreamParity {
+
+  // one parameter set for BOTH sides (q_d4's banding shape, FNV family)
+  private val K = 3
+  private val Bands = 4
+  private val RowsPerBand = 2
+
+  /** The gated batch side: candidate pairs under the production FNV family. */
+  def batchPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(spark, sfDir), "text",
+        k = K, bands = Bands, rowsPerBand = RowsPerBand, hasher = Dedup.fnvHasher)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Replay the corpus through the streaming operator (one MemoryStream
+    * micro-batch, uncapped buckets — the parity contract assumes no FIFO
+    * eviction) and write the distinct pair set as `fx_stream_pairs.parquet`
+    * for q_d9's oracle.
+    */
+  def exportStreamPairs(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect()
+      .map(r => NearDupStream.DocEvent(r.getLong(0),
+        new java.sql.Timestamp(t0 + r.getLong(0) * 1000L),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val src = MemoryStream[NearDupStream.DocEvent]
+    val qname = s"graft_stream_parity_${ProcessHandle.current.pid}"
+    val q = NearDupStream.nearDupCandidates(
+        src.toDF().as[NearDupStream.DocEvent], K, Bands, RowsPerBand,
+        maxPerBucket = Int.MaxValue)
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      src.addData(docs.toIndexedSeq)
+      q.processAllAvailable()
+      val pairs = spark.table(qname)
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+      GraphQueries.writeSingleFile(pairs, s"$outDir/fx_stream_pairs.parquet")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qname)
+      ()
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_d9_stream_parity" -> ((s, d) => batchPairs(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_d9_stream_parity" ->
+      // the replayed-stream pair set exported by exportStreamPairs — an
+      // independent implementation, not a round-trip of the query result
+      "SELECT doc_a, doc_b FROM '{{OUTDIR}}/fx_stream_pairs.parquet' ORDER BY 1, 2")
+}
