@@ -31,9 +31,33 @@ object Verify {
     Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
         "fx_stream_pairs.parquet")
       .foreach(f => deleteRec(new java.io.File(s"$outDir/$f")))
-    try graft.queries.GraphQueries.exportFixtureTables(spark, outDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] fixture export failed: ${e.getMessage}")
+    // Preferred fixture source: the INDEPENDENT cursor-based Python parser
+    // (tools/parse_graph.py, pyarrow) — with it, q_gs1's hash check compares
+    // the Scala parse against a parse that shares no code with it, making it
+    // a real parse oracle instead of a parquet round-trip. The Scala export
+    // is only a fallback for hosts without python3/pyarrow (driver hosts
+    // have both — they run the DuckDB compare), and is logged loudly because
+    // it weakens q_gs1 back to a round-trip check.
+    val pyParser = new java.io.File("tools/parse_graph.py").getAbsolutePath
+    val pyOk =
+      try {
+        val p = new ProcessBuilder("python3", pyParser,
+          "/root/reference/input/Graph50.txt", new java.io.File(outDir).getAbsolutePath,
+          "fx_graph50").inheritIO().start()
+        p.waitFor() == 0 &&
+          new java.io.File(s"$outDir/fx_graph50_nodes.parquet").isFile &&
+          new java.io.File(s"$outDir/fx_graph50_edges.parquet").isFile
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] python fixture parser failed: ${e.getMessage}")
+        false
+      }
+    if (!pyOk) {
+      System.err.println("[verify] WARNING: independent parser unavailable — " +
+        "falling back to the Scala export (q_gs1 degrades to a round-trip check)")
+      try graft.queries.GraphQueries.exportFixtureTables(spark, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] fixture export failed: ${e.getMessage}")
+      }
     }
     // q_d9's oracle: the corpus replayed through the STREAMING near-dup
     // operator (independent scalar implementation of the shared FNV family)

@@ -26,11 +26,14 @@ object GraphQueries {
   private def graph50(spark: SparkSession): NetGraphDS =
     GraphText.load(spark, s"$fixtureDir/Graph50.txt").toDS(spark)
 
-  /** Export the parsed Graph50 fixture as two flat parquet files
+  /** FALLBACK export of the parsed Graph50 fixture as two flat parquet files
     * (`fx_graph50_nodes.parquet`, edges with `from_*`/`to_*` endpoint columns
-    * in `fx_graph50_edges.parquet`) inside the verify `outDir`, so the
-    * fixture graph queries' oracles have DuckDB-readable base tables. Each is
-    * a single parquet FILE, not a Spark output directory — the correctness
+    * in `fx_graph50_edges.parquet`) inside the verify `outDir`. Verify
+    * prefers `tools/parse_graph.py` (an independent parser) for these base
+    * tables so q_gs1 is a real parse oracle; this Scala export — the same
+    * in-process parse the queries use — only runs when python3/pyarrow is
+    * unavailable, degrading q_gs1 to a round-trip check. Each output is a
+    * single parquet FILE, not a Spark output directory — the correctness
     * gate treats every directory under outDir as a query result.
     */
   def exportFixtureTables(spark: SparkSession, outDir: String): Unit = {
@@ -132,8 +135,11 @@ object GraphQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_gs1_text_scan" ->
-      // the parse itself is unit-pinned; this hash-verifies the typed
-      // Dataset scan round-trips the parsed fixture exactly
+      // a REAL parse oracle: Verify exports the base table via the
+      // independent tools/parse_graph.py (cursor-based, pyarrow), so this
+      // hash compares the Scala parse against a parse that shares no code
+      // with it (Scala-export fallback degrades it to a round-trip check,
+      // logged loudly by Verify)
       s"SELECT * FROM $nodesTbl ORDER BY id",
 
     "q_gg1_start_nodes" ->

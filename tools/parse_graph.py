@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Independent NetGameSim graph-text parser for the q_gs1/q_gg* oracle
+fixtures. Deliberately shares NO code or strategy with the Scala parser
+(graft.io.GraphText uses regex extraction + occurrence-count validation;
+this is a cursor-based recursive-descent walk over balanced parens), so the
+fixture export it produces is a genuine independent oracle for the parse,
+not a round-trip of it.
+
+Format (reference: HelperFunction.scala:76-124): one line,
+  List(NodeObject(f0,..,f9), ...):List(Action(t,NodeObject(..),NodeObject(..),from,to,None|Some(n),cost), ...)
+
+Usage: parse_graph.py <graph.txt> <outDir> [prefix]
+Writes <outDir>/<prefix>_nodes.parquet and <outDir>/<prefix>_edges.parquet
+(single files, pyarrow), matching graft.queries.GraphQueries.exportFixtureTables'
+column names/types.
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+NODE_FIELDS = ["id", "children", "props", "currentDepth", "propValueRange",
+               "maxDepth", "maxBranchingFactor", "maxProperties",
+               "storedValue", "valuableData"]
+
+
+class Cursor:
+    def __init__(self, s):
+        self.s = s
+        self.i = 0
+
+    def skip_ws(self):
+        while self.i < len(self.s) and self.s[self.i] in " \t\r\n":
+            self.i += 1
+
+    def expect(self, lit):
+        self.skip_ws()
+        if not self.s.startswith(lit, self.i):
+            raise ValueError(f"expected {lit!r} at offset {self.i}: "
+                             f"...{self.s[self.i:self.i+40]!r}")
+        self.i += len(lit)
+
+    def peek_lit(self, lit):
+        self.skip_ws()
+        return self.s.startswith(lit, self.i)
+
+    def until(self, stops):
+        """Consume and return the raw token up to (not including) the first
+        top-level occurrence of any stop char."""
+        self.skip_ws()
+        j = self.i
+        while j < len(self.s) and self.s[j] not in stops:
+            j += 1
+        tok, self.i = self.s[self.i:j], j
+        return tok.strip()
+
+
+def parse_node(c):
+    c.expect("NodeObject(")
+    vals = []
+    for n in range(10):
+        tok = c.until(",)" if n < 9 else ")")
+        vals.append(tok)
+        c.expect("," if n < 9 else ")")
+    rec = {}
+    for name, tok in zip(NODE_FIELDS, vals):
+        if name == "storedValue":
+            rec[name] = float(tok)
+        elif name == "valuableData":
+            if tok not in ("true", "false"):
+                raise ValueError(f"bad boolean {tok!r}")
+            rec[name] = tok == "true"
+        else:
+            rec[name] = int(tok)
+    return rec
+
+
+def parse_action(c):
+    c.expect("Action(")
+    action_type = int(c.until(","))
+    c.expect(",")
+    from_node = parse_node(c)
+    c.expect(",")
+    to_node = parse_node(c)
+    c.expect(",")
+    from_id = int(c.until(","))
+    c.expect(",")
+    to_id = int(c.until(","))
+    c.expect(",")
+    if c.peek_lit("None"):
+        c.expect("None")
+        rv = None
+    else:
+        c.expect("Some(")
+        rv = int(c.until(")"))
+        c.expect(")")
+    c.expect(",")
+    cost = float(c.until(")"))
+    c.expect(")")
+    return {"actionType": action_type, "fromNode": from_node, "toNode": to_node,
+            "fromId": from_id, "toId": to_id, "resultingValue": rv, "cost": cost}
+
+
+def parse_list(c, item_parser):
+    c.expect("List(")
+    items = []
+    if not c.peek_lit(")"):
+        while True:
+            items.append(item_parser(c))
+            if c.peek_lit(","):
+                c.expect(",")
+            else:
+                break
+    c.expect(")")
+    return items
+
+
+def main():
+    path, outdir = sys.argv[1], sys.argv[2]
+    prefix = sys.argv[3] if len(sys.argv) > 3 else "fx_graph50"
+    with open(path, encoding="utf-8") as f:
+        c = Cursor(f.read())
+    nodes = parse_list(c, parse_node)
+    c.expect(":")
+    edges = parse_list(c, parse_action)
+    c.skip_ws()
+    if c.i != len(c.s):
+        raise ValueError(f"trailing content at offset {c.i}")
+    if not any(n["id"] == 0 for n in nodes):
+        raise ValueError("graph has no init node (id == 0)")
+
+    def node_arrays(recs):
+        cols = {}
+        for name in NODE_FIELDS:
+            vals = [r[name] for r in recs]
+            if name == "storedValue":
+                cols[name] = pa.array(vals, pa.float64())
+            elif name == "valuableData":
+                cols[name] = pa.array(vals, pa.bool_())
+            else:
+                cols[name] = pa.array(vals, pa.int32())
+        return cols
+
+    nt = pa.table(node_arrays(nodes))
+    pq.write_table(nt, f"{outdir}/{prefix}_nodes.parquet")
+
+    ecols = {
+        "actionType": pa.array([e["actionType"] for e in edges], pa.int32()),
+        "fromId": pa.array([e["fromId"] for e in edges], pa.int32()),
+        "toId": pa.array([e["toId"] for e in edges], pa.int32()),
+        "resultingValue": pa.array([e["resultingValue"] for e in edges], pa.int32()),
+        "cost": pa.array([e["cost"] for e in edges], pa.float64()),
+    }
+    for side, key in (("from", "fromNode"), ("to", "toNode")):
+        sub = node_arrays([e[key] for e in edges])
+        for name, arr in sub.items():
+            ecols[f"{side}_{name}"] = arr
+    pq.write_table(pa.table(ecols), f"{outdir}/{prefix}_edges.parquet")
+    print(f"parsed {len(nodes)} nodes, {len(edges)} edges -> "
+          f"{outdir}/{prefix}_{{nodes,edges}}.parquet")
+
+
+if __name__ == "__main__":
+    main()
