@@ -1,0 +1,11 @@
+package graft
+object DevCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.queries.GraphQueries.queries("q_gg8_mitm_pregel_tier")(spark, "")
+    println("GG8_ROWS=" + df.count())
+    spark.stop()
+  }
+}

@@ -234,11 +234,21 @@ object GraphXOps {
     * vertex's edge array is at hand — instead of being replayed at every
     * out-triplet in sendMsg, which on a degree-D hub would cost D rng
     * replays + D neighbor scans per superstep.
+    *
+    * `sent` is the echo-suppression flag: a copy's move is guaranteed
+    * delivered in the superstep that CREATED the copy (creating it makes the
+    * vertex active, so its sendMsg runs that same superstep), so when a
+    * later vprog reactivates the vertex, every already-resident copy has
+    * already sent and is marked `sent = true` — sendMsg skips it. Without
+    * the flag every stale copy along a walker's prefix re-sent its old move
+    * on each reactivation: O(pathLen) messages per superstep, O(budget²)
+    * per walk (correct under the longest-path merge, but pure overhead).
     */
   final case class RefWalker(partition: Long, iteration: Int,
                              path: List[NodeObject], drawBounds: List[Int],
                              excluded: Set[NodeObject],
-                             next: Option[NodeObject])
+                             next: Option[NodeObject],
+                             sent: Boolean = false)
 
   /** Reference-semantics random walks on the Pregel tier — the scale-out
     * counterpart of graft.walk.RandomWalk.walk, computing bit-identical walks
@@ -339,8 +349,17 @@ object GraphXOps {
         activeDirection = EdgeDirection.Out)(
         vprog = { (_, attr, msg) =>
           if (msg.isEmpty) attr
-          else (attr._1,
-            mergeWalkers(attr._2, msg.map { case (k, w) => k -> withChoice(w, attr._1) }))
+          else {
+            // every copy already resident here sent its move in the
+            // superstep that created it — mark it so sendMsg won't echo it;
+            // fresh arrivals (and longer-path replacements, which win the
+            // merge) carry sent = false and get their one send this round
+            val resident = attr._2.map { case (k, w) =>
+              k -> (if (w.sent) w else w.copy(sent = true))
+            }
+            (attr._1,
+              mergeWalkers(resident, msg.map { case (k, w) => k -> withChoice(w, attr._1) }))
+          }
         },
         sendMsg = { t =>
           val (_, walkers) = t.srcAttr
@@ -348,8 +367,10 @@ object GraphXOps {
           else {
             val moves = walkers.toSeq.flatMap { case (id, w) =>
               w.next match {
-                case Some(next) if next.id.toLong == t.dstId =>
-                  Some(id -> w.copy(path = w.path :+ next, next = None))
+                case Some(next) if !w.sent && next.id.toLong == t.dstId =>
+                  // the message resets sent: the arriving copy is NEW state
+                  // at the destination and owes its own (single) send there
+                  Some(id -> w.copy(path = w.path :+ next, next = None, sent = false))
                 case _ => None
               }
             }

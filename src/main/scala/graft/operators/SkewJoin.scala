@@ -20,15 +20,31 @@ import org.apache.spark.sql.functions._
   * known in advance, or a reproducible partitioning is required. Cost: the
   * right side shuffles `salts`× its size — use with a small-to-medium right
   * side and a genuinely skewed left.
+  *
+  * LIMITATION of the default salt: it is a pure function of row CONTENT, so
+  * a hot key whose rows are identical duplicates all hash to ONE salt and
+  * stay on a single reducer — exactly the duplicate-heavy case salting
+  * targets. Pass `disambiguateDuplicates = true` to fold each row's physical
+  * position (`monotonically_increasing_id`) into the salt, which splits
+  * duplicate rows evenly; the trade-off is retry stability: the position
+  * depends on the input's partitioning, so a task retry over a
+  * non-deterministic upstream (e.g. a shuffle whose order changed) may
+  * re-salt rows differently. Join RESULTS are identical either way (every
+  * left row still meets every matching right replica exactly once); only
+  * the reducer placement can move.
   */
 object SkewJoin {
 
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
-                     salts: Int): DataFrame = {
+                     salts: Int, disambiguateDuplicates: Boolean = false): DataFrame = {
     require(salts >= 1, s"salts must be >= 1 (got $salts)")
     val saltCol = "__graft_salt"
-    val l = left.withColumn(saltCol,
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts)).cast("int"))
+    val rowHash =
+      if (disambiguateDuplicates)
+        xxhash64(struct(left.columns.map(col): _*), monotonically_increasing_id())
+      else
+        xxhash64(struct(left.columns.map(col): _*))
+    val l = left.withColumn(saltCol, pmod(rowHash, lit(salts)).cast("int"))
     val r = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, saltCol)).drop(saltCol)

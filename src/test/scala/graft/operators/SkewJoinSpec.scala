@@ -38,4 +38,28 @@ class SkewJoinSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       SkewJoin.saltedEquiJoin(skewed, dim, "k", 0)
   }
+
+  test("disambiguateDuplicates splits identical duplicate rows and keeps results equal") {
+    import org.apache.spark.sql.functions._
+    // the degenerate case the content salt can't split: one hot key whose
+    // rows are ALL identical — default salting lands them on one sub-key
+    val dups = (1 to 64).map(_ => (1L, "same")).toDF("k", "payload")
+    val salts = 8
+    val contentSalts = dups.withColumn("s",
+        pmod(xxhash64(struct(dups.columns.map(col): _*)), lit(salts)))
+      .select(countDistinct(col("s"))).head().getLong(0)
+    contentSalts shouldBe 1L // documents the limitation
+    val disambiguated = dups.withColumn("s",
+        pmod(xxhash64(struct(dups.columns.map(col): _*), monotonically_increasing_id()),
+          lit(salts)))
+      .select(countDistinct(col("s"))).head().getLong(0)
+    disambiguated should be > 1L
+    // inner-join multiplicity is preserved (every duplicate row joins once)
+    val plain = dups.join(dim, "k").collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val salted = SkewJoin.saltedEquiJoin(dups, dim, "k", salts,
+        disambiguateDuplicates = true).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    salted shouldBe plain
+  }
 }
