@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured scale-point harness: synthesize a deterministic `factor`×
+  * expansion of the documents/embeddings tables, run the text/dedup/ANN/
+  * sampling/multimodal families at BOTH scales, and report per-query
+  * scaled/base wall-time ratios — the evidence behind SCALE.md's "would
+  * survive a scale-up" claims. A healthy (shuffle-partitionable,
+  * no-all-pairs) query family should land near the data ratio; anything
+  * super-linear is a plan defect to fix, not a note to write.
+  *
+  * Synthesis (pure column expressions, fully deterministic, no RNG):
+  *  - documents: replica r (0 until factor) keeps replica 0 verbatim and
+  *    Caesar-shifts the alphabet by r for r > 0 (`translate`); byte length,
+  *    token structure and the INTRA-replica duplicate/near-dup structure
+  *    are preserved exactly, while replicas are vocabulary-disjoint (shared
+  *    digits/punctuation aside), so pair-producing families scale linearly
+  *    in the data instead of quadratically in cross-replica dups.
+  *    doc_id -> doc_id * factor + r keeps ids distinct and the id-hash
+  *    samplers uniform.
+  *  - embeddings: replica r rotates each vector by r positions (norms,
+  *    intra-replica cosine structure preserved; cross-replica cosines
+  *    decorrelate) with vec_id * factor + r and the label kept.
+  *
+  * Usage (env, all optional):
+  *   SPARK_GRAFT_SF_DIR      base dir      (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_SCALE_DIR   scaled output (default java.io.tmpdir/graft-scale<factor>x)
+  *   SPARK_GRAFT_FACTOR      expansion     (default 10)
+  *   SPARK_GRAFT_PASSES      timed passes  (default 2; min is reported)
+  *   SPARK_GRAFT_CPUS        local threads (default 32)
+  * Prints one JSON line (metric=scale_ratio) then a markdown ratio table.
+  */
+object ScaleBench {
+
+  /** The doc/emb-family gate queries measured at both scales. Exhaustive
+    * oracle variants (q_v5/q_v6/q_v9 probe every cell; q_v1/q_d5-baseline
+    * are spec baselines) are excluded by design — they are all-pairs ON
+    * PURPOSE to give approximate operators exact oracles at gate scale.
+    */
+  val scaleQueries: Seq[String] = Seq(
+    "q_t1_token_count", "q_t2_quality", "q_t3_langid", "q_t4_fingerprint",
+    "q_t5_corpus_filter", "q_t6_repetition", "q_t7_tfidf", "q_t8_training_mix",
+    "q_t9_length_profile", "q_t10_unigram_surprisal",
+    "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",
+    "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",
+    "q_d9_stream_parity",
+    "q_v4_knn_join", "q_v7_ivf_indexed", "q_v8_label_centroids",
+    "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
+    "q_sp4_mixture_weights",
+    "q_m1_media_features", "q_m2_frame_sample")
+
+  def synthesize(spark: SparkSession, baseDir: String, outDir: String,
+                 factor: Int): Unit = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def caesar(c: org.apache.spark.sql.Column, r: Int) = {
+      val shl = lower.drop(r % 26) + lower.take(r % 26)
+      val shu = upper.drop(r % 26) + upper.take(r % 26)
+      translate(c, lower + upper, shl + shu)
+    }
+    val docs = Tables.documents(spark, baseDir)
+    val docReps = (0 until factor).map { r =>
+      val text = if (r == 0) col("text") else caesar(col("text"), r)
+      docs.select(
+        (col("doc_id") * factor + r).as("doc_id"), text.as("text"),
+        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+    }
+    docReps.reduce(_.unionAll(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val embs = Tables.embeddings(spark, baseDir)
+    val embReps = (0 until factor).map { r =>
+      val emb =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
+          slice(col("embedding"), 1, r))
+      embs.select(
+        (col("vec_id") * factor + r).as("vec_id"),
+        emb.as("embedding"), col("label"))
+    }
+    embReps.reduce(_.unionAll(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** ANN-LSH measured with the production plane-sizing rule
+    * ([[graft.functions.Similarity.autoNumPlanes]]): the gate query q_v2
+    * deliberately fixes numPlanes=4 for its DuckDB oracle, which is
+    * quadratic by construction as the corpus grows — the production
+    * configuration holds expected bucket occupancy constant instead.
+    */
+  private def lshAutoSized(s: SparkSession, d: String): DataFrame = {
+    val embs = Tables.embeddings(s, d)
+    val n = embs.count()
+    graft.functions.Similarity.lshTopK(embs,
+      numPlanes = graft.functions.Similarity.autoNumPlanes(n), k = 5, reps = 4)
+  }
+
+  /** Corpus-wide ANN join with the production cell-sizing rule
+    * ([[graft.functions.IvfIndex.autoNumCells]]) and a bounded training
+    * sample (Lloyd's step cost is cells × training rows; training on an
+    * id-stride sample keeps it flat while assignment still covers the full
+    * corpus). The gate query q_v4 fixes 8 cells for oracle comparability.
+    */
+  private def knnJoinAutoCells(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.IvfIndex
+    val embs = Tables.embeddings(s, d)
+    val n = embs.count()
+    val stride = math.max(1L, n / 2000)
+    val sample = embs.filter(col("vec_id") % stride === 0)
+    val model = IvfIndex.train(s, sample, k = IvfIndex.autoNumCells(n), iters = 2)
+    IvfIndex.knnJoin(embs, model, k = 3, nprobe = 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      new java.io.File(sys.props("java.io.tmpdir"), s"graft-scale${factor}x").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$scaleDir/documents.parquet").exists() ||
+        sys.env.contains("SPARK_GRAFT_RESYNTH")) {
+      System.err.println(s"[scale] synthesizing ${factor}x into $scaleDir")
+      val t0 = System.nanoTime()
+      synthesize(spark, baseDir, scaleDir, factor)
+      System.err.println(f"[scale] synthesis took ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    } else System.err.println(s"[scale] reusing $scaleDir")
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+      scaleQueries.map(n => n -> SparkEntry.queries(n)) ++ Seq(
+        "q_v2_knn_lsh_autoplanes" -> ((s: SparkSession, d: String) => lshAutoSized(s, d)),
+        "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d)))
+
+    def run1(fn: (SparkSession, String) => DataFrame, d: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, d).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      dt
+    }
+    // pre-build per-dir one-time artifacts (the persisted IVF index) so
+    // q_v7 measures the pruned probe at both scales
+    Seq(baseDir, scaleDir).foreach { d =>
+      try SparkEntry.benchWarmup(spark, d)
+      catch { case e: Throwable => System.err.println(s"[scale] warmup($d): ${e.getMessage}") }
+    }
+
+    val rows = queries.map { case (name, fn) =>
+      def best(d: String): Double = {
+        val ts = (1 to passes).map { p =>
+          try { val t = run1(fn, d); System.err.println(f"[scale] $name ${new java.io.File(d).getName} pass$p $t%.2fs"); t }
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $name failed on $d: ${e.getMessage}"); -1.0 }
+        }
+        if (ts.exists(_ < 0)) -1.0 else ts.min
+      }
+      val b = best(baseDir)
+      val sc = best(scaleDir)
+      val ratio = if (b > 0 && sc > 0) sc / b else -1.0
+      (name, b, sc, ratio)
+    }
+
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val qjson = rows.map { case (n, b, sc, r) =>
+      f""""${esc(n)}":{"base":$b%.3f,"scaled":$sc%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"scale_ratio","factor":$factor,"base":"${esc(baseDir)}","queries":$qjson}""")
+    // markdown table for SCALE.md
+    println(s"\n| query | base s | ${factor}x s | ratio |")
+    println("|---|---|---|---|")
+    rows.foreach { case (n, b, sc, r) =>
+      println(f"| $n | $b%.2f | $sc%.2f | $r%.1f× |")
+    }
+    spark.stop()
+  }
+}

@@ -24,6 +24,21 @@ object IvfIndex {
     def numCells: Int = centroids.length
   }
 
+  /** Production sizing rule for the cell count: cells scale WITH the corpus
+    * so per-cell occupancy — and with it the candidate volume a fixed-nprobe
+    * probe scans — stays constant. A fixed cell count makes the corpus-wide
+    * k-NN join quadratic in total work (each query's probed cells grow
+    * linearly); cells ∝ n holds it linear. Clamped to [4, 4096]: centroids
+    * ship as plan literals, and beyond a few thousand cells the per-row
+    * centroid ranking should become its own join against a centroid table
+    * instead (not needed at gate scales).
+    */
+  def autoNumCells(n: Long, targetPerCell: Int = 256): Int = {
+    require(targetPerCell >= 1, s"targetPerCell must be >= 1 (got $targetPerCell)")
+    val cells = math.ceil(math.max(n, 1L).toDouble / targetPerCell).toInt
+    math.min(4096, math.max(4, cells))
+  }
+
   private def sqDistCol(centroid: Seq[Double]) = {
     // |x - c|² = |x|² - 2·x·c + |c|² ; |x|² constant per row for argmin, so
     // rank by (-2·x·c + |c|²)

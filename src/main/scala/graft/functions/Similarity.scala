@@ -117,6 +117,21 @@ object Similarity {
       .agg(min_by(col("label"), struct((-col("votes")).as("nv"), col("label").as("lb")))
         .as("pred_label"))
 
+  /** Production sizing rule for [[lshTopK]]'s `numPlanes`: enough
+    * hyperplanes that the EXPECTED bucket occupancy is `targetPerBucket`
+    * (buckets per repetition = 2^planes). Candidate-pair volume per bucket
+    * is O(occupancy²), so a FIXED plane count goes quadratic as the corpus
+    * grows — planes must scale with log2(n) to hold per-bucket occupancy
+    * (and thus total candidate volume per vector) constant. Clamped to
+    * [1, 62] (bucket ids are a signed-long bitmask).
+    */
+  def autoNumPlanes(n: Long, targetPerBucket: Int = 32): Int = {
+    require(targetPerBucket >= 1, s"targetPerBucket must be >= 1 (got $targetPerBucket)")
+    val planes = math.ceil(math.log(math.max(n, 1L).toDouble / targetPerBucket) /
+      math.log(2.0)).toInt
+    math.min(62, math.max(1, planes))
+  }
+
   def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4,
               dims: Option[Int] = None): DataFrame = {
     // plane vectors are plan literals, so the dimensionality must be known
