@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+// SPARK_GRAFT_JAVA_OPTS passes extra -D flags to the forked run/test JVM
+// (e.g. -Dspark.graft.walkTier=pregel to flip the MitM walk tier from the
+// CLI without editing code)
