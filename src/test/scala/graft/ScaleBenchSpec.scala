@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the scale-point synthesizer's invariants: the 10× measurement in
+  * SCALE.md is only meaningful if the expansion really is structure-
+  * preserving (per-replica) and vocabulary-disjoint (cross-replica).
+  */
+class ScaleBenchSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+
+  private val base = "/root/testdata/sf0.001"
+
+  private def synthed(factor: Int): String = {
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-scalespec-$factor").toString
+    ScaleBench.synthesize(spark, base, out, factor)
+    out
+  }
+
+  test("synthesis preserves counts, bytes, dup structure; replicas stay disjoint") {
+    val factor = 3
+    val out = synthed(factor)
+    val docs0 = Tables.documents(spark, base)
+    val docsN = Tables.documents(spark, out)
+    val embs0 = Tables.embeddings(spark, base)
+    val embsN = Tables.embeddings(spark, out)
+
+    // row counts scale exactly; ids stay distinct
+    docsN.count() shouldBe docs0.count() * factor
+    embsN.count() shouldBe embs0.count() * factor
+    docsN.select("doc_id").distinct().count() shouldBe docsN.count()
+
+    // Caesar shift preserves byte length: total chars scale exactly
+    // (fully-qualified: scalatest Matchers also defines `length`)
+    val charLen = org.apache.spark.sql.functions.length(col("text"))
+    val chars0 = docs0.agg(sum(charLen)).head().getLong(0)
+    docsN.agg(sum(charLen)).head().getLong(0) shouldBe chars0 * factor
+
+    // intra-replica exact-dup structure preserved: dup groups scale exactly
+    val dups0 = graft.functions.Dedup.exactDuplicates(docs0).count()
+    graft.functions.Dedup.exactDuplicates(docsN).count() shouldBe dups0 * factor
+
+    // replicas vocabulary-disjoint: every exact-dup group lives inside ONE
+    // replica (all members share doc_id % factor)
+    val crossReplica = docsN
+      .groupBy(md5(col("text")))
+      .agg(countDistinct(pmod(col("doc_id"), lit(factor))).as("reps"))
+      .filter(col("reps") > 1).count()
+    crossReplica shouldBe 0
+
+    // rotation preserves norms: per-replica norm sums all equal the base's
+    val norm0 = embs0.agg(sum(graft.functions.VectorExprs.norm(col("embedding"))))
+      .head().getDouble(0)
+    val normsByRep = embsN
+      .groupBy(pmod(col("vec_id"), lit(factor)).as("r"))
+      .agg(sum(graft.functions.VectorExprs.norm(col("embedding"))).as("s"))
+      .collect().map(_.getDouble(1))
+    normsByRep should have length factor.toLong.toInt
+    all(normsByRep.map(s => math.abs(s - norm0))) should be < 1e-3
+
+    // determinism: re-synthesizing yields byte-identical content hashes
+    // (bit_xor aggregate: sum would overflow Long under ANSI)
+    val contentHash = expr("bit_xor(xxhash64(doc_id, text))")
+    val h1 = docsN.agg(contentHash).head().getLong(0)
+    ScaleBench.synthesize(spark, base, out, factor)
+    val h2 = Tables.documents(spark, out).agg(contentHash).head().getLong(0)
+    h2 shouldBe h1
+  }
+}
