@@ -309,6 +309,40 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     recall should be >= 0.9
   }
 
+  test("autoNumPlanes holds recall as the corpus grows (the production sizing rule)") {
+    // 4x the corpus of the fixed-plane test above, planes sized by the rule
+    // (occupancy-constant): recall must stay at the same pin — the quality
+    // half of the scaling claim in SCALE.md (the speed half is measured by
+    // ScaleBench's q_v2_knn_lsh_autoplanes row)
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian()))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 3
+    val planes = Similarity.autoNumPlanes(vecs.size.toLong)
+    val got = Similarity.lshTopK(df, numPlanes = planes, k = k, reps = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val hits = vecs.map { case (id, v) =>
+      val truth = vecs.filter(_._1 != id)
+        .map { case (j, u) => (j, cos(v, u)) }
+        .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+      (truth & got.getOrElse(id, Set.empty)).size
+    }.sum
+    val recall = hits.toDouble / (vecs.size * k)
+    recall should be >= 0.9
+  }
+
   test("prefixFilterCandidates stays exact under the length-bucketed join key") {
     // mixed doc lengths across several geometric buckets plus a globally
     // frequent shared tail (the skew case the bucketing splits); the exact
