@@ -51,18 +51,39 @@ object ScaleBench {
     "q_sp4_mixture_weights",
     "q_m1_media_features", "q_m2_frame_sample")
 
+  // langid/quality gate vocabulary that must SURVIVE the Caesar shift: if
+  // marker/stopword tokens were shifted too, every replica r > 0 would fail
+  // the English gate and the flagship pipelines (q_t5/q_t8) would process
+  // only ~1/factor of the scaled corpus past their first stage — the scaled
+  // measurement would silently time the scan+langid front end only.
+  // Preserving these words keeps per-replica gate behavior identical to the
+  // base corpus (a shifted word can in principle LAND on a marker — rare,
+  // and runtime-equivalent noise).
+  private val protectedWords: Seq[String] =
+    (graft.functions.TextOps.stopwords ++
+      graft.functions.TextOps.langMarkers.flatMap(_._2)).distinct
+
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
                  factor: Int): Unit = {
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
+    // factor 27+ would wrap the Caesar shift back to identity (replica 26 ==
+    // replica 0), quietly re-creating the cross-replica duplicate quadratics
+    // the vocabulary-disjoint design exists to prevent
+    require(factor >= 2 && factor <= 26,
+      s"factor must be in [2, 26] (got $factor): replica shifts must stay distinct")
+    val alphaLc = "abcdefghijklmnopqrstuvwxyz"
+    val alphaUc = alphaLc.toUpperCase
     def caesar(c: org.apache.spark.sql.Column, r: Int) = {
-      val shl = lower.drop(r % 26) + lower.take(r % 26)
-      val shu = upper.drop(r % 26) + upper.take(r % 26)
-      translate(c, lower + upper, shl + shu)
+      val shl = alphaLc.drop(r % 26) + alphaLc.take(r % 26)
+      val shu = alphaUc.drop(r % 26) + alphaUc.take(r % 26)
+      translate(c, alphaLc + alphaUc, shl + shu)
     }
+    def caesarText(c: org.apache.spark.sql.Column, r: Int) =
+      array_join(transform(split(c, " "),
+        t => when(array_contains(typedLit(protectedWords), lower(t)), t)
+          .otherwise(caesar(t, r))), " ")
     val docs = Tables.documents(spark, baseDir)
     val docReps = (0 until factor).map { r =>
-      val text = if (r == 0) col("text") else caesar(col("text"), r)
+      val text = if (r == 0) col("text") else caesarText(col("text"), r)
       docs.select(
         (col("doc_id") * factor + r).as("doc_id"), text.as("text"),
         col("lang"), col("source"), length(text).cast("long").as("n_chars"))
@@ -72,6 +93,10 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val embs = Tables.embeddings(spark, baseDir)
+    val dims = embs.select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(factor < math.max(dims, 1),
+      s"factor $factor must be < embedding dims $dims: rotation by >= dims wraps")
     val embReps = (0 until factor).map { r =>
       val emb =
         if (r == 0) col("embedding")
@@ -84,6 +109,12 @@ object ScaleBench {
     embReps.reduce(_.unionAll(_))
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // sentinel LAST: reuse checks it, so a killed partial synthesis (one
+    // table written, the other missing/stale) is re-synthesized, not reused
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_SYNTH_COMPLETE"),
+      s"base=$baseDir factor=$factor")
+    ()
   }
 
   /** ANN-LSH measured with the production plane-sizing rule
@@ -109,8 +140,12 @@ object ScaleBench {
     import graft.functions.IvfIndex
     val embs = Tables.embeddings(s, d)
     val n = embs.count()
-    val stride = math.max(1L, n / 2000)
-    val sample = embs.filter(col("vec_id") % stride === 0)
+    // HASH-based sampling, not an id stride: synthesized ids are
+    // orig*factor + r, so a stride that shares a factor with `factor`
+    // (stride 10 at factor 10 — the default scale point!) would select a
+    // single replica and train on a non-representative 1/factor slice
+    val mod = math.max(1L, n / 2000)
+    val sample = embs.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
     val model = IvfIndex.train(s, sample, k = IvfIndex.autoNumCells(n), iters = 2)
     IvfIndex.knnJoin(embs, model, k = 3, nprobe = 2)
   }
@@ -133,8 +168,13 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    if (!new java.io.File(s"$scaleDir/documents.parquet").exists() ||
-        sys.env.contains("SPARK_GRAFT_RESYNTH")) {
+    // reuse only a COMPLETE synthesis of the same (base, factor): the
+    // sentinel is written after both tables and records the config, so a
+    // partial prior run or a dir built at another factor re-synthesizes
+    val sentinel = new java.io.File(s"$scaleDir/_SYNTH_COMPLETE")
+    val sentinelOk = sentinel.isFile &&
+      java.nio.file.Files.readString(sentinel.toPath) == s"base=$baseDir factor=$factor"
+    if (!sentinelOk || sys.env.contains("SPARK_GRAFT_RESYNTH")) {
       System.err.println(s"[scale] synthesizing ${factor}x into $scaleDir")
       val t0 = System.nanoTime()
       synthesize(spark, baseDir, scaleDir, factor)

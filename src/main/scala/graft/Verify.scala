@@ -38,12 +38,20 @@ object Verify {
     // is only a fallback for hosts without python3/pyarrow (driver hosts
     // have both — they run the DuckDB compare), and is logged loudly because
     // it weakens q_gs1 back to a round-trip check.
-    val pyParser = new java.io.File("tools/parse_graph.py").getAbsolutePath
-    val pyOk =
+    // parser resolution survives a non-repo-root CWD: explicit override
+    // (SPARK_GRAFT_TOOLS_DIR), then CWD-relative (the sbt runMain case)
+    val pyParser = (sys.env.get("SPARK_GRAFT_TOOLS_DIR").map(t => s"$t/parse_graph.py")
+        .toSeq :+ "tools/parse_graph.py")
+      .map(p => new java.io.File(p))
+      .find(_.isFile)
+    if (pyParser.isEmpty)
+      System.err.println("[verify] tools/parse_graph.py not found from CWD " +
+        s"${sys.props("user.dir")} — set SPARK_GRAFT_TOOLS_DIR")
+    val pyOk = pyParser.exists { parser =>
       try {
-        val p = new ProcessBuilder("python3", pyParser,
-          "/root/reference/input/Graph50.txt", new java.io.File(outDir).getAbsolutePath,
-          "fx_graph50").inheritIO().start()
+        val p = new ProcessBuilder("python3", parser.getAbsolutePath,
+          graft.queries.GraphQueries.graph50Path,
+          new java.io.File(outDir).getAbsolutePath, "fx_graph50").inheritIO().start()
         p.waitFor() == 0 &&
           new java.io.File(s"$outDir/fx_graph50_nodes.parquet").isFile &&
           new java.io.File(s"$outDir/fx_graph50_edges.parquet").isFile
@@ -51,6 +59,7 @@ object Verify {
         System.err.println(s"[verify] python fixture parser failed: ${e.getMessage}")
         false
       }
+    }
     if (!pyOk) {
       System.err.println("[verify] WARNING: independent parser unavailable — " +
         "falling back to the Scala export (q_gs1 degrades to a round-trip check)")
@@ -66,9 +75,17 @@ object Verify {
       System.err.println(s"[verify] stream-parity export failed: ${e.getMessage}")
     }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (iteration aid, same
-    // contract as Bench); the driver's full gate runs without it
+    // contract as Bench); the driver's full gate runs without it. UNSELECTED
+    // queries' previous results are DELETED first — left in place, the
+    // DuckDB compare would hash a prior build's parquet against fresh
+    // fixtures and report results that don't reflect HEAD (the same
+    // stale-output hazard the per-query failure handler guards against).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      SparkEntry.queries.keys.filterNot(names.contains)
+        .foreach(n => deleteRec(new java.io.File(s"$outDir/$n")))
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>

@@ -65,23 +65,15 @@ object Dedup {
   // before dropping each one.
   private val shingleCaches =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
-  private val shingleReaper =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 
   // Enforced lifecycle (not just documented): the first cache put for a
-  // session registers an ApplicationEnd listener that drops its entry, so
-  // an application cycling many sessions cannot leak stopped sessions even
-  // if it never calls releaseShingleCache.
+  // session registers an ApplicationEnd cleanup ([[SessionReaper]]) that
+  // drops its entry, so an application cycling many sessions cannot leak
+  // stopped sessions even if it never calls releaseShingleCache.
   private def reapOnStop(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (shingleReaper.add(spark)) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          shingleCaches.remove(spark) // context is gone — nothing to unpersist
-          shingleReaper.remove(spark)
-          ()
-        }
-      })
+    SessionReaper.register(spark, "dedup.shingleCache") { () =>
+      shingleCaches.remove(spark) // context is gone — nothing to unpersist
+      ()
     }
 
   /** Drop the shingle cache left by the session's last [[ngramJaccardPairs]]

@@ -107,8 +107,6 @@ object IvfIndex {
   // discipline as Dedup.shingleCaches.
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Model, String)]()
-  private val cacheReaper =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Train + persist once per (session, `corpusKey`); later calls reuse the
     * cached model and the partitioned on-disk index. The index path is fixed
@@ -117,15 +115,9 @@ object IvfIndex {
     */
   def ensureIndex(spark: SparkSession, embs: DataFrame, corpusKey: String,
                   k: Int, iters: Int = 2): (Model, String) = {
-    if (cacheReaper.add(spark)) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          indexCache.keySet.removeIf(_._1 eq spark)
-          cacheReaper.remove(spark)
-          ()
-        }
-      })
+    SessionReaper.register(spark, "ivf.indexCache") { () =>
+      indexCache.keySet.removeIf(_._1 eq spark)
+      ()
     }
     val fullKey = s"$corpusKey|k=$k|iters=$iters" // distinct configs don't collide
     indexCache.computeIfAbsent((spark, fullKey), { _ =>

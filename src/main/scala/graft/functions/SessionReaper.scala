@@ -1,0 +1,28 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot ApplicationEnd cleanup registration per (session, site) — the
+  * shared lifecycle piece behind the session-scoped caches (Dedup's shingle
+  * table, IvfIndex's trained-index registry), so the
+  * listener-plus-registration-set pattern lives in ONE place instead of a
+  * per-cache copy that can drift. `cleanup` runs when the session's
+  * SparkContext ends (the context is gone by then — cleanups must only drop
+  * registry entries, never touch executors); registration is idempotent per
+  * (session, site).
+  */
+private[graft] object SessionReaper {
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  def register(spark: SparkSession, site: String)(cleanup: () => Unit): Unit =
+    if (registered.add((spark, site))) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          registered.remove((spark, site))
+          cleanup()
+        }
+      })
+    }
+}

@@ -23,8 +23,13 @@ object GraphQueries {
   private val originalPath = s"$fixtureDir/Graph200.txt"
   private val perturbedPath = s"$fixtureDir/Graph200.txt.perturbed"
 
+  /** The Graph50 fixture BOTH the q_g* queries and Verify's independent
+    * oracle parser read — one constant so they can never drift apart.
+    */
+  val graph50Path: String = s"$fixtureDir/Graph50.txt"
+
   private def graph50(spark: SparkSession): NetGraphDS =
-    GraphText.load(spark, s"$fixtureDir/Graph50.txt").toDS(spark)
+    GraphText.load(spark, graph50Path).toDS(spark)
 
   /** FALLBACK export of the parsed Graph50 fixture as two flat parquet files
     * (`fx_graph50_nodes.parquet`, edges with `from_*`/`to_*` endpoint columns

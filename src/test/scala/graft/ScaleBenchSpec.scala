@@ -61,6 +61,16 @@ class ScaleBenchSpec extends AnyFunSuite with Matchers {
     normsByRep should have length factor.toLong.toInt
     all(normsByRep.map(s => math.abs(s - norm0))) should be < 1e-3
 
+    // language-gate behavior preserved per replica: marker/stopword tokens
+    // survive the Caesar shift, so the per-doc langId distribution scales
+    // exactly — without this, replicas r > 0 fail the en-gate and the
+    // flagship pipelines would only measure replica 0 past their first stage
+    val langCounts0 = docs0.select(graft.functions.TextOps.langId(col("text")).as("l"))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langCountsN = docsN.select(graft.functions.TextOps.langId(col("text")).as("l"))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langCountsN shouldBe langCounts0.view.mapValues(_ * factor).toMap
+
     // determinism: re-synthesizing yields byte-identical content hashes
     // (bit_xor aggregate: sum would overflow Long under ANSI)
     val contentHash = expr("bit_xor(xxhash64(doc_id, text))")
