@@ -157,6 +157,10 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     // sides; without a ReusedExchange that subtree computes TWICE — the
     // broadcast-side-recompute regression this test pins against
     reuses(Dedup.minhashCandidates(docs, "text", 3, 4, 2, Dedup.md5Hasher)) should be >= 1
+    // the q_d9 shape: the custom Fnv1a64 expression must CANONICALIZE like a
+    // builtin, or the banded self-join silently recomputes the signature
+    // pipeline on both sides (custom-Expression-specific regression risk)
+    reuses(Dedup.minhashCandidates(docs, "text", 3, 4, 2, Dedup.fnvHasher)) should be >= 1
     reuses(Similarity.lshTopK(embs, 4, 5, reps = 4)) should be >= 1
     reuses(Dedup.embeddingNearDups(embs, 0.3,
       Some(Similarity.lshBuckets(embs, 4)))) should be >= 1
