@@ -80,9 +80,85 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def prettyName: String = "dot_product"
 }
 
+/** Native codegen'd INTEGER dot product over `array<tinyint|smallint|int>`
+  * columns, accumulating in Long — exact (no floating point), which is what
+  * makes the int8-quantized similarity path ([[VectorQuant]])
+  * engine-portable: every engine computing the same integer codes gets the
+  * SAME long, so the oracle can reproduce scores bit-for-bit. Mismatched
+  * lengths yield NULL (same contract as [[DotProduct]]).
+  */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (ByteType | ShortType | IntegerType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int_dot_product requires array<tinyint|smallint|int> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  private def getElem(a: ArrayData, t: DataType, i: Int): Long = t match {
+    case ByteType => a.getByte(i).toLong
+    case ShortType => a.getShort(i).toLong
+    case _ => a.getInt(i).toLong
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val at = elemType(left).get
+    val bt = elemType(right).get
+    var acc = 0L
+    var i = 0
+    while (i < a.numElements()) {
+      acc += getElem(a, at, i) * getElem(b, bt, i)
+      i += 1
+    }
+    acc
+  }
+
+  private def genGet(t: DataType, arr: String, i: String): String = t match {
+    case ByteType => s"$arr.getByte($i)"
+    case ShortType => s"$arr.getShort($i)"
+    case _ => s"$arr.getInt($i)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((long) ${genGet(elemType(left).get, a, i)}) * ((long) ${genGet(elemType(right).get, b, i)});
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntDotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "int_dot_product"
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def intDot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(IntDotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

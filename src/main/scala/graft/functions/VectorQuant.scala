@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 embedding quantization — the standard storage/
+  * IO lever for 100 TB vector corpora: `array<tinyint>` codes are 4× smaller
+  * than `array<float>` on disk and in shuffle, and similarity scoring runs
+  * on exact integer arithmetic ([[IntDotProduct]], codegen'd) with one
+  * float multiply at the end.
+  *
+  * Scheme (the common symmetric max-abs form):
+  *   scale  = max_i |x_i| / 127          (0 for the all-zero vector)
+  *   code_i = round(x_i / scale)         (in [-127, 127] by construction)
+  *   dequant dot(a, b) = scale_a · scale_b · Σ code_a_i · code_b_i
+  *   quantized cosine  = intdot(a, b) / sqrt(intdot(a,a) · intdot(b,b))
+  *     (the scales CANCEL in cosine — ranking needs only the codes)
+  *
+  * Every step is a deterministic double-precision computation, so any
+  * engine repeating the same formula gets bit-identical codes — q_v10's
+  * DuckDB oracle recomputes the whole pipeline from the float embeddings
+  * and must match hash-for-hash. The quantization error per element is
+  * bounded by scale/2 (pinned in FunctionsSpec).
+  *
+  * The encode pass uses `transform`/`aggregate` higher-order functions:
+  * unlike the pair-stream scoring path (where interpreted lambdas dominated
+  * and forced the native expressions), encoding is one O(n·d) pass over the
+  * corpus — the interpreted overhead is paid once per vector, not once per
+  * candidate pair.
+  */
+object VectorQuant {
+
+  /** max_i |x_i| as a double (aggregate, not transform+array_max: one pass). */
+  private def maxAbs(emb: Column): Column =
+    aggregate(emb, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Quantize (idCol, embCol) to (idCol, qemb: array<tinyint>, scale: double).
+    * The all-zero vector gets scale 0 and all-zero codes (dequantizes to 0).
+    */
+  def quantize(embs: DataFrame, idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame =
+    embs
+      .withColumn("scale", maxAbs(col(embCol)) / lit(127.0d))
+      .select(
+        col(idCol),
+        transform(col(embCol), x =>
+          when(col("scale") === 0.0d, lit(0))
+            .otherwise(round(x.cast("double") / col("scale"), 0))
+            .cast("tinyint")).as("qemb"),
+        col("scale"))
+
+  /** Quantized-cosine brute-force top-k of `queryCodes` (int codes of the
+    * query vector) against a [[quantize]]d corpus: exact integer dots,
+    * one double division per row, rank by (cosine desc, id asc). Zero-norm
+    * rows (all-zero vectors) can't rank and are excluded.
+    */
+  def topKQuantized(quantized: DataFrame, queryCodes: Seq[Int], k: Int,
+                    excludeSelf: Option[Long] = None,
+                    idCol: String = "vec_id"): DataFrame = {
+    val q = typedLit(queryCodes)
+    val qNorm = math.sqrt(queryCodes.map(c => c.toLong * c).sum.toDouble)
+    val base = excludeSelf.foldLeft(quantized)((df, id) => df.filter(col(idCol) =!= id))
+    base.select(
+        col(idCol).as("vid_b"),
+        VectorExprs.intDot(col("qemb"), q).as("idot"),
+        sqrt(VectorExprs.intDot(col("qemb"), col("qemb")).cast("double")).as("nrm"))
+      .filter(col("nrm") > 0.0d)
+      .select(col("vid_b"),
+        round(col("idot").cast("double") / (col("nrm") * lit(qNorm)), 4).as("qcosine"))
+      .orderBy(desc("qcosine"), col("vid_b"))
+      .limit(k)
+  }
+}

@@ -684,6 +684,20 @@ object RelationalQueries {
         .orderBy(col("vec_id"))
     }),
 
+    "q_v10_quantized_topk" -> ((s, d) => {
+      // int8-quantized similarity — the 4x storage/shuffle lever for vector
+      // corpora: symmetric max-abs codes, EXACT integer dot products
+      // (codegen'd IntDotProduct), one double divide per row. Fully
+      // deterministic double arithmetic end to end, so the DuckDB oracle
+      // recomputes the whole encode+score pipeline from the float
+      // embeddings and must hash-match.
+      val qt = graft.functions.VectorQuant.quantize(Tables.embeddings(s, d))
+      val queryCodes = qt.filter(col("vec_id") === 0).select(col("qemb")).head()
+        .getSeq[Byte](0).map(_.toInt)
+      graft.functions.VectorQuant.topKQuantized(qt, queryCodes, k = 10,
+        excludeSelf = Some(0L))
+    }),
+
     "q_v8_label_centroids" -> ((s, d) =>
       // per-label embedding centroid, long form: explode once into
       // (label, dim) rows, one map-side-combined aggregation — the
@@ -1222,6 +1236,29 @@ object RelationalQueries {
                    FOR i IN generate_series(1, len(embedding))]) AS u
                FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_v10_quantized_topk" ->
+      // the whole int8 pipeline recomputed from the float embeddings: the
+      // SAME double formula order as VectorQuant (scale = maxabs/127 FIRST,
+      // then round(x/scale) — x*127/maxabs would differ in the last ulp),
+      // integer dots exact in both engines, cosine rounded to 4
+      """WITH q AS (
+           SELECT vec_id,
+                  [round(x::DOUBLE / scale)::INT FOR x IN embedding] AS qemb
+           FROM (SELECT vec_id, embedding,
+                   list_max([abs(x::DOUBLE) FOR x IN embedding]) / 127.0 AS scale
+                 FROM embeddings)
+           WHERE scale > 0),
+         qq AS (SELECT qemb AS query FROM q WHERE vec_id = 0),
+         scored AS (
+           SELECT q.vec_id AS vid_b,
+                  list_dot_product(q.qemb, qq.query) AS idot,
+                  sqrt(list_dot_product(q.qemb, q.qemb)) AS nrm,
+                  sqrt(list_dot_product(qq.query, qq.query)) AS qnrm
+           FROM q, qq WHERE q.vec_id <> 0)
+         SELECT vid_b, round(idot / (nrm * qnrm), 4) AS qcosine
+         FROM scored WHERE nrm > 0
+         ORDER BY qcosine DESC, vid_b LIMIT 10""",
 
     "q_v2_knn_lsh" ->
       // full oracle for the multi-repetition LSH k-NN join: 16 md5 planes =

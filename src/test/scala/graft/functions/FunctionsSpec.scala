@@ -448,6 +448,53 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("int8 quantization: error bound, exact integer dots, ranking fidelity") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian() * (1 + i % 3)).toFloat))) :+
+      (99L, Seq.fill(16)(0.0f)) // the all-zero vector must not crash or rank
+    val df = vecs.toDF("vec_id", "embedding")
+    val qt = VectorQuant.quantize(df).collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1), r.getDouble(2))).toList
+
+    // per-element reconstruction error <= scale/2; codes within [-127, 127]
+    val byId = vecs.toMap
+    qt.foreach { case (id, codes, scale) =>
+      codes.foreach(c => math.abs(c.toInt) should be <= 127)
+      codes.zip(byId(id)).foreach { case (c, x) =>
+        math.abs(c * scale - x) should be <= (scale / 2 + 1e-12)
+      }
+    }
+    // zero vector: scale 0, all-zero codes
+    val (zid, zcodes, zscale) = qt.find(_._1 == 99L).get
+    zscale shouldBe 0.0
+    all(zcodes.map(_.toInt)) shouldBe 0
+
+    // IntDotProduct (codegen path, byte×int-literal) mirrors scalar math
+    val q0 = qt.find(_._1 == 0L).get._2.map(_.toInt)
+    val fromPlan = VectorQuant.quantize(df)
+      .select(col("vec_id"), VectorExprs.intDot(col("qemb"), typedLit(q0)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    qt.foreach { case (id, codes, _) =>
+      fromPlan(id) shouldBe codes.zip(q0).map { case (a, b) => a.toLong * b }.sum
+    }
+
+    // quantized cosine ranking recovers the float top-k (k=5 of 40 vectors,
+    // int8 resolution: identical on this data) and excludes the zero vector
+    def cosF(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    val floatTop = vecs.filter(v => v._1 != 0L && v._1 != 99L)
+      .map { case (j, u) => (j, cosF(byId(0L), u)) }
+      .sortBy { case (j, c) => (-c, j) }.take(5).map(_._1)
+    val qTop = VectorQuant.topKQuantized(VectorQuant.quantize(df), q0, k = 5,
+        excludeSelf = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    qTop should not contain 99L
+    qTop shouldBe floatTop
+  }
+
   test("ANN parameter sizing rules hold occupancy constant and clamp") {
     // planes: 2^planes buckets >= n/target, monotone in n, clamped to [1, 62]
     Similarity.autoNumPlanes(0) shouldBe 1
