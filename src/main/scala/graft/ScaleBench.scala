@@ -47,6 +47,7 @@ object ScaleBench {
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",
     "q_d9_stream_parity",
     "q_v4_knn_join", "q_v7_ivf_indexed", "q_v8_label_centroids",
+    "q_v10_quantized_topk",
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
     "q_sp4_mixture_weights",
     "q_m1_media_features", "q_m2_frame_sample")
@@ -181,10 +182,15 @@ object ScaleBench {
       System.err.println(f"[scale] synthesis took ${(System.nanoTime() - t0) / 1e9}%.1fs")
     } else System.err.println(s"[scale] reusing $scaleDir")
 
+    // SPARK_GRAFT_ONLY=a,b restricts the measured set (same contract as
+    // Bench/Verify — re-measure one family without the full 4-minute sweep)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
-      scaleQueries.map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      (scaleQueries.map(n => n -> SparkEntry.queries(n)) ++ Seq(
         "q_v2_knn_lsh_autoplanes" -> ((s: SparkSession, d: String) => lshAutoSized(s, d)),
-        "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d)))
+        "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d))))
+        .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def run1(fn: (SparkSession, String) => DataFrame, d: String): Double = {
       val t0 = System.nanoTime()

@@ -24,18 +24,19 @@ object IvfIndex {
     def numCells: Int = centroids.length
   }
 
-  /** Production sizing rule for the cell count: cells scale WITH the corpus
-    * so per-cell occupancy — and with it the candidate volume a fixed-nprobe
-    * probe scans — stays constant. A fixed cell count makes the corpus-wide
-    * k-NN join quadratic in total work (each query's probed cells grow
-    * linearly); cells ∝ n holds it linear. Clamped to [4, 4096]: centroids
-    * ship as plan literals, and beyond a few thousand cells the per-row
-    * centroid ranking should become its own join against a centroid table
-    * instead (not needed at gate scales).
+  /** Production sizing rule for the cell count: cells ≈ √n — the textbook
+    * IVF balance. Corpus-wide k-NN join cost has two terms: per-row centroid
+    * RANKING, O(n·cells), and cell-join PROBING, O(n·nprobe·n/cells);
+    * a fixed cell count leaves probing quadratic, while cells ∝ n makes
+    * ranking quadratic instead — √n balances both at O(n^1.5). `scale`
+    * multiplies the baseline (e.g. nprobe) without changing the exponent.
+    * Clamped to [4, 4096]: centroids ship as plan literals, and beyond a
+    * few thousand cells the per-row ranking should become its own join
+    * against a centroid table instead (not needed at gate scales).
     */
-  def autoNumCells(n: Long, targetPerCell: Int = 256): Int = {
-    require(targetPerCell >= 1, s"targetPerCell must be >= 1 (got $targetPerCell)")
-    val cells = math.ceil(math.max(n, 1L).toDouble / targetPerCell).toInt
+  def autoNumCells(n: Long, scale: Double = 1.0): Int = {
+    require(scale > 0, s"scale must be > 0 (got $scale)")
+    val cells = math.ceil(math.sqrt(math.max(n, 1L).toDouble) * scale).toInt
     math.min(4096, math.max(4, cells))
   }
 

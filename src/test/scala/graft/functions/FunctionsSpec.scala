@@ -502,10 +502,11 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     Similarity.autoNumPlanes(2000, targetPerBucket = 32) shouldBe 6 // 64 buckets
     Similarity.autoNumPlanes(20000, targetPerBucket = 32) shouldBe 10 // 1024 buckets
     Similarity.autoNumPlanes(Long.MaxValue, targetPerBucket = 1) shouldBe 62 // clamp
-    // cells: n/target rounded up, clamped to [4, 4096]
+    // cells: ceil(sqrt(n)) — the O(n^1.5) ranking/probing balance — clamped
+    // to [4, 4096]
     IvfIndex.autoNumCells(0) shouldBe 4
-    IvfIndex.autoNumCells(2000, targetPerCell = 256) shouldBe 8
-    IvfIndex.autoNumCells(20000, targetPerCell = 256) shouldBe 79
+    IvfIndex.autoNumCells(2000) shouldBe 45
+    IvfIndex.autoNumCells(20000) shouldBe 142
     IvfIndex.autoNumCells(Long.MaxValue) shouldBe 4096
     an[IllegalArgumentException] should be thrownBy Similarity.autoNumPlanes(10, 0)
     an[IllegalArgumentException] should be thrownBy IvfIndex.autoNumCells(10, 0)
