@@ -42,7 +42,7 @@ object ScaleBench {
   val scaleQueries: Seq[String] = Seq(
     "q_t1_token_count", "q_t2_quality", "q_t3_langid", "q_t4_fingerprint",
     "q_t5_corpus_filter", "q_t6_repetition", "q_t7_tfidf", "q_t8_training_mix",
-    "q_t9_length_profile", "q_t10_unigram_surprisal",
+    "q_t9_length_profile", "q_t10_unigram_surprisal", "q_t11_chunking",
     "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",
     "q_d9_stream_parity",

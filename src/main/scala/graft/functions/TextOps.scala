@@ -211,6 +211,35 @@ object TextOps {
         round(percentile(col(lenCol), lit(0.99)), 4).as("p99"),
         round(avg(col(lenCol)), 4).as("mean_len"))
 
+  /** Sliding-window document chunking — docs to fixed-token training chunks
+    * with overlap (the context-window preparation step between corpus
+    * filtering and tokenization). One `sequence` of 0-based chunk starts per
+    * doc (stride = chunkTokens − overlap), one posexplode, one slice per
+    * chunk — no UDFs, no shuffle (chunking is embarrassingly per-row; the
+    * explode multiplies rows ~n_tokens/stride, so run it AFTER the corpus
+    * gates, not before). NULL texts produce no chunks; an empty string is
+    * one single-token chunk (`split` semantics, matched by the oracle).
+    * Returns (doc_id, chunk_id, chunk, n_chunk_tokens).
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0 (got $chunkTokens)")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens) (got $overlap of $chunkTokens)")
+    val step = chunkTokens - overlap
+    docs
+      // explicit null filter: greatest/least SKIP nulls, so a NULL text
+      // would otherwise fabricate one empty chunk with a wrong token count
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(step)))
+          .as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("chunk"),
+        least(lit(chunkTokens), size(col("toks")) - col("start")).as("n_chunk_tokens"))
+  }
+
   /** Rolling-hash document fingerprint: 64-bit FNV-1a over the text via a
     * native codegen'd Catalyst expression ([[Fnv1a64]] — wrapping multiply
     * isn't expressible in ANSI-mode SQL arithmetic).

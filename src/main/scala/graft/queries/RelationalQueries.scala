@@ -497,6 +497,14 @@ object RelationalQueries {
       graft.functions.TextOps.unigramSurprisal(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    "q_t11_chunking" -> ((s, d) =>
+      // sliding-window context-window chunking (64-token chunks, 16-token
+      // overlap): sequence + posexplode + slice per row, no UDFs, no
+      // shuffle — the doc→training-chunk step between gates and tokenization
+      graft.functions.TextOps.chunkDocs(Tables.documents(s, d),
+          chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     "q_t9_length_profile" -> ((s, d) =>
       // corpus health report: per-lang doc counts + exact interpolated
       // length percentiles (engine-portable; approx_percentile is the
@@ -1013,6 +1021,20 @@ object RelationalQueries {
                 round(avg(-ln((tf + 1.0) / (n + v))), 4) AS surprisal
          FROM toks JOIN freq USING (tok), tot
          GROUP BY 1 ORDER BY 1""",
+
+    "q_t11_chunking" ->
+      // chunk starts via the SCALAR generate_series (returns a list —
+      // the table-function form can't reference lateral columns); slice
+      // bounds are 1-based inclusive, matching Spark's slice(toks, s+1, 64)
+      """WITH t AS (
+           SELECT doc_id, toks,
+                  unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL))
+         SELECT doc_id, s // 48 AS chunk_id,
+                array_to_string(toks[s + 1 : s + 64], ' ') AS chunk,
+                least(64, len(toks) - s) AS n_chunk_tokens
+         FROM t ORDER BY 1, 2""",
 
     "q_t9_length_profile" ->
       // quantile_cont == Spark's exact `percentile` (linear interpolation)

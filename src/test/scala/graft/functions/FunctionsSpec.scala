@@ -448,6 +448,28 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("chunkDocs: boundaries, overlap, short/empty/null docs") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than a chunk
+      (3L, ""),                                       // split("") == [""] — one chunk
+      (4L, null.asInstanceOf[String]))                // no chunks
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, chunkTokens = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    // stride 3: starts 0,3,6,9 — last chunk is the single trailing token
+    out.filter(_._1 == 1L).map(t => (t._3, t._4)) shouldBe Seq(
+      ("w1 w2 w3 w4", 4), ("w4 w5 w6 w7", 4), ("w7 w8 w9 w10", 4), ("w10", 1))
+    out.filter(_._1 == 2L) shouldBe Seq((2L, 0, "a b", 2))
+    out.filter(_._1 == 3L) shouldBe Seq((3L, 0, "", 1))
+    out.filter(_._1 == 4L) shouldBe empty
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.chunkDocs(docs, chunkTokens = 4, overlap = 4)
+    an[IllegalArgumentException] should be thrownBy
+      TextOps.chunkDocs(docs, chunkTokens = 0, overlap = 0)
+  }
+
   test("int8 quantization: error bound, exact integer dots, ranking fidelity") {
     val rnd = new scala.util.Random(13)
     val vecs = (0 until 40).map(i =>
