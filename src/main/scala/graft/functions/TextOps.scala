@@ -217,9 +217,12 @@ object TextOps {
     * doc (stride = chunkTokens − overlap), one posexplode, one slice per
     * chunk — no UDFs, no shuffle (chunking is embarrassingly per-row; the
     * explode multiplies rows ~n_tokens/stride, so run it AFTER the corpus
-    * gates, not before). NULL texts produce no chunks; an empty string is
-    * one single-token chunk (`split` semantics, matched by the oracle).
-    * Returns (doc_id, chunk_id, chunk, n_chunk_tokens).
+    * gates, not before). Chunking stops at the first chunk that reaches the
+    * end of the doc — no redundant tail chunks fully contained in their
+    * predecessor (duplicate training content). NULL texts produce no
+    * chunks; an empty string is one single-token chunk (`split` semantics,
+    * matched by the oracle). Returns (doc_id, chunk_id, chunk,
+    * n_chunk_tokens).
     */
   def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -232,8 +235,15 @@ object TextOps {
       // would otherwise fabricate one empty chunk with a wrong token count
       .filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("toks"))
+      // the last start is the FIRST stride multiple whose chunk reaches the
+      // end of the doc (ceil((n - chunk)/stride)·stride, floored at 0):
+      // striding past it would only emit tail chunks fully CONTAINED in the
+      // previous one — duplicate training content, not coverage
+      .withColumn("last_start",
+        greatest(ceil((size(col("toks")) - chunkTokens).cast("double") / step)
+          .cast("int") * step, lit(0)))
       .select(col(idCol), col("toks"),
-        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(step)))
+        posexplode(sequence(lit(0), col("last_start"), lit(step)))
           .as(Seq("chunk_id", "start")))
       .select(col(idCol), col("chunk_id"),
         concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens))).as("chunk"),

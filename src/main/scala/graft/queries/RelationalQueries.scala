@@ -1024,11 +1024,15 @@ object RelationalQueries {
 
     "q_t11_chunking" ->
       // chunk starts via the SCALAR generate_series (returns a list —
-      // the table-function form can't reference lateral columns); slice
-      // bounds are 1-based inclusive, matching Spark's slice(toks, s+1, 64)
+      // the table-function form can't reference lateral columns), stopping
+      // at the first start whose chunk reaches the doc end (the Spark
+      // side's last_start); slice bounds are 1-based inclusive, matching
+      // Spark's slice(toks, s+1, 64)
       """WITH t AS (
            SELECT doc_id, toks,
-                  unnest(generate_series(0, greatest(len(toks) - 1, 0), 48)) AS s
+                  unnest(generate_series(0,
+                    greatest(cast(ceil((len(toks) - 64) / 48.0) AS INT) * 48, 0),
+                    48)) AS s
            FROM (SELECT doc_id, string_split(text, ' ') AS toks
                  FROM documents WHERE text IS NOT NULL))
          SELECT doc_id, s // 48 AS chunk_id,

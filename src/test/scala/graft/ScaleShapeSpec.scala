@@ -142,6 +142,26 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     "BroadcastExchange".r.findAllIn(uplan).length shouldBe 1
   }
 
+  test("chunking is shuffle-free; quantized top-k takes TakeOrdered, not a global sort") {
+    import graft.functions.{TextOps, VectorQuant}
+    val docs = Tables.documents(spark, sfDir)
+    // chunking is embarrassingly per-row: sequence+posexplode+slice must
+    // introduce NO exchange (an accidental shuffle here would move the whole
+    // corpus text to produce chunks)
+    val chunkPlan = TextOps.chunkDocs(docs, 64, 16)
+      .queryExecution.executedPlan.toString
+    chunkPlan should not include "Exchange"
+    // quantized top-k is orderBy+limit: Spark must plan the k-row
+    // TakeOrderedAndProject (per-partition top-k + driver merge of k rows),
+    // never a full global sort of the scored corpus
+    val qt = VectorQuant.quantize(Tables.embeddings(spark, sfDir))
+    val codes = qt.filter(col("vec_id") === 0).select(col("qemb")).head()
+      .getSeq[Byte](0).map(_.toInt)
+    val topkPlan = VectorQuant.topKQuantized(qt, codes, k = 10, excludeSelf = Some(0L))
+      .queryExecution.executedPlan.toString
+    topkPlan should include("TakeOrderedAndProject")
+  }
+
   test("self-join operators reuse the shuffled subtree instead of recomputing it") {
     import graft.functions.{Dedup, Similarity}
     val docs = Tables.documents(spark, sfDir)

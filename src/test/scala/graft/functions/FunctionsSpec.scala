@@ -458,9 +458,10 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     val out = TextOps.chunkDocs(docs, chunkTokens = 4, overlap = 1)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
       .sortBy(t => (t._1, t._2))
-    // stride 3: starts 0,3,6,9 — last chunk is the single trailing token
+    // stride 3, last_start = ceil((10-4)/3)*3 = 6: starts 0,3,6 — chunk@6
+    // reaches the end, so NO redundant trailing "w10" chunk is emitted
     out.filter(_._1 == 1L).map(t => (t._3, t._4)) shouldBe Seq(
-      ("w1 w2 w3 w4", 4), ("w4 w5 w6 w7", 4), ("w7 w8 w9 w10", 4), ("w10", 1))
+      ("w1 w2 w3 w4", 4), ("w4 w5 w6 w7", 4), ("w7 w8 w9 w10", 4))
     out.filter(_._1 == 2L) shouldBe Seq((2L, 0, "a b", 2))
     out.filter(_._1 == 3L) shouldBe Seq((3L, 0, "", 1))
     out.filter(_._1 == 4L) shouldBe empty
@@ -468,6 +469,40 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       TextOps.chunkDocs(docs, chunkTokens = 4, overlap = 4)
     an[IllegalArgumentException] should be thrownBy
       TextOps.chunkDocs(docs, chunkTokens = 0, overlap = 0)
+  }
+
+  test("chunkDocs invariants on a varied generated corpus: coverage, overlap, reassembly") {
+    val rnd = new scala.util.Random(17)
+    // lengths straddle every boundary: < chunk, == chunk, == stride
+    // multiples, +-1 around them, and long tails
+    val docs = (0 until 120).map { i =>
+      val n = Seq(1, 2, 15, 16, 17, 12, 13, 24, 25, 40, rnd.nextInt(120) + 1)(i % 11)
+      (i.toLong, (0 until n).map(j => s"t${i}_$j").mkString(" "))
+    }
+    val (ct, ov) = (16, 4)
+    val stride = ct - ov
+    val out = TextOps.chunkDocs(docs.toDF("doc_id", "text"), ct, ov)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1)
+    val byId = docs.toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val chunks = out(id).sortBy(_._2)
+      // chunk ids are dense from 0; starts cover every token exactly via
+      // stride; reassembling chunk 0 + each later chunk minus its overlap
+      // prefix reproduces the original token stream
+      chunks.map(_._2) shouldBe chunks.indices.toArray
+      val rebuilt = chunks.head._3.split(" ", -1).toSeq ++
+        chunks.tail.toSeq.flatMap(c => c._3.split(" ", -1).drop(ov).toSeq)
+      rebuilt shouldBe toks.toSeq
+      // every chunk except possibly the last is full-length, and the
+      // reported token count matches the actual chunk content
+      chunks.init.foreach(_._4 shouldBe ct)
+      chunks.foreach { case (_, cid, chunk, nTok) =>
+        chunk.split(" ", -1).length shouldBe nTok
+        nTok shouldBe math.min(ct, toks.length - cid * stride)
+      }
+    }
   }
 
   test("int8 quantization: error bound, exact integer dots, ranking fidelity") {
