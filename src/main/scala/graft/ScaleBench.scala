@@ -71,6 +71,18 @@ object ScaleBench {
     // the vocabulary-disjoint design exists to prevent
     require(factor >= 2 && factor <= 26,
       s"factor must be in [2, 26] (got $factor): replica shifts must stay distinct")
+    // invalidate any previous completion marker FIRST: if this run dies
+    // mid-write (or fails validation below), the directory must read as
+    // partial, not as the previous complete synthesis
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$outDir/_SYNTH_COMPLETE"))
+    // validate the embeddings side BEFORE any table is overwritten, so a
+    // config error can't leave a half-replaced directory
+    val dims = Tables.embeddings(spark, baseDir)
+      .select(size(col("embedding"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(factor < math.max(dims, 1),
+      s"factor $factor must be < embedding dims $dims: rotation by >= dims wraps")
     val alphaLc = "abcdefghijklmnopqrstuvwxyz"
     val alphaUc = alphaLc.toUpperCase
     def caesar(c: org.apache.spark.sql.Column, r: Int) = {
@@ -94,10 +106,6 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val embs = Tables.embeddings(spark, baseDir)
-    val dims = embs.select(size(col("embedding"))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    require(factor < math.max(dims, 1),
-      s"factor $factor must be < embedding dims $dims: rotation by >= dims wraps")
     val embReps = (0 until factor).map { r =>
       val emb =
         if (r == 0) col("embedding")
@@ -144,10 +152,15 @@ object ScaleBench {
     // HASH-based sampling, not an id stride: synthesized ids are
     // orig*factor + r, so a stride that shares a factor with `factor`
     // (stride 10 at factor 10 — the default scale point!) would select a
-    // single replica and train on a non-representative 1/factor slice
-    val mod = math.max(1L, n / 2000)
+    // single replica and train on a non-representative 1/factor slice.
+    // The sample SIZE scales with the requested cell count (≥ ~20 rows per
+    // cell, floor 2000): a fixed 2000-row sample would silently cap the
+    // √n rule at ~2000 cells and train degenerate near-empty cells first
+    val cells = IvfIndex.autoNumCells(n)
+    val targetSample = math.max(2000L, 20L * cells)
+    val mod = math.max(1L, n / targetSample)
     val sample = embs.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
-    val model = IvfIndex.train(s, sample, k = IvfIndex.autoNumCells(n), iters = 2)
+    val model = IvfIndex.train(s, sample, k = cells, iters = 2)
     IvfIndex.knnJoin(embs, model, k = 3, nprobe = 2)
   }
 

@@ -59,15 +59,24 @@ object VectorQuant {
                     idCol: String = "vec_id"): DataFrame = {
     val q = typedLit(queryCodes)
     val qNorm = math.sqrt(queryCodes.map(c => c.toLong * c).sum.toDouble)
-    val base = excludeSelf.foldLeft(quantized)((df, id) => df.filter(col(idCol) =!= id))
-    base.select(
-        col(idCol).as("vid_b"),
-        VectorExprs.intDot(col("qemb"), q).as("idot"),
-        sqrt(VectorExprs.intDot(col("qemb"), col("qemb")).cast("double")).as("nrm"))
-      .filter(col("nrm") > 0.0d)
-      .select(col("vid_b"),
-        round(col("idot").cast("double") / (col("nrm") * lit(qNorm)), 4).as("qcosine"))
-      .orderBy(desc("qcosine"), col("vid_b"))
-      .limit(k)
+    // an all-zero query (the quantized form of a zero embedding) has no
+    // cosine neighbors — empty result like the corpus-side nrm > 0 guard,
+    // instead of dividing by qNorm = 0 and ranking k rows of NaN first
+    // (plain if/else, not a non-local return — see the Similarity.lshTopK
+    // precedent)
+    if (qNorm == 0.0)
+      quantized.select(col(idCol).as("vid_b"), lit(0.0d).as("qcosine")).limit(0)
+    else {
+      val base = excludeSelf.foldLeft(quantized)((df, id) => df.filter(col(idCol) =!= id))
+      base.select(
+          col(idCol).as("vid_b"),
+          VectorExprs.intDot(col("qemb"), q).as("idot"),
+          sqrt(VectorExprs.intDot(col("qemb"), col("qemb")).cast("double")).as("nrm"))
+        .filter(col("nrm") > 0.0d)
+        .select(col("vid_b"),
+          round(col("idot").cast("double") / (col("nrm") * lit(qNorm)), 4).as("qcosine"))
+        .orderBy(desc("qcosine"), col("vid_b"))
+        .limit(k)
+    }
   }
 }

@@ -117,7 +117,7 @@ object GraphQueries {
     // not usable here: all its nodes carry valuableData=false, so the match
     // table would be empty.)
     "q_gg8_mitm_pregel_tier" -> ((s, _) => {
-      val ng = GraphText.load(s, s"$fixtureDir/Graph50.txt")
+      val ng = GraphText.load(s, graph50Path)
       val pg = GraphText.load(s, s"$fixtureDir/Graph50.perturbed.txt")
       val r = MitMPipeline.runPregelTier(s, ng, pg, MitMPipeline.Config(
         numOfParallelWalks = 6, numItersPerCompNode = 2, itersBeforeAccum = 2,

@@ -51,6 +51,18 @@ class ScaleBenchSpec extends AnyFunSuite with Matchers {
       .filter(col("reps") > 1).count()
     crossReplica shouldBe 0
 
+    // NEAR-dup disjointness too: the protected gate words are shared across
+    // replicas, so a shingle of 3+ consecutive protected words could in
+    // principle band-collide cross-replica — pin that the fixture produces
+    // ZERO cross-replica minhash candidates, so the measured dedup-family
+    // ratios really are intra-replica (linear) growth
+    val candidates = graft.functions.Dedup.minhashCandidates(
+      docsN, "text", k = 3, bands = 4, rowsPerBand = 2, graft.functions.Dedup.fnvHasher)
+    val crossReplicaNear = candidates
+      .filter(pmod(col("doc_a"), lit(factor)) =!= pmod(col("doc_b"), lit(factor)))
+      .count()
+    crossReplicaNear shouldBe 0
+
     // rotation preserves norms: per-replica norm sums all equal the base's
     val norm0 = embs0.agg(sum(graft.functions.VectorExprs.norm(col("embedding"))))
       .head().getDouble(0)

@@ -536,6 +536,10 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       fromPlan(id) shouldBe codes.zip(q0).map { case (a, b) => a.toLong * b }.sum
     }
 
+    // an all-zero QUERY has no cosine neighbors: empty result, not k NaNs
+    VectorQuant.topKQuantized(VectorQuant.quantize(df), Seq.fill(16)(0), k = 5)
+      .collect() shouldBe empty
+
     // quantized cosine ranking recovers the float top-k (k=5 of 40 vectors,
     // int8 resolution: identical on this data) and excludes the zero vector
     def cosF(a: Seq[Float], b: Seq[Float]): Double = {
