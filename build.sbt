@@ -30,4 +30,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
 // SPARK_GRAFT_JAVA_OPTS passes extra -D flags to the forked run/test JVM
 // (e.g. -Dspark.graft.walkTier=pregel to flip the MitM walk tier from the
-// CLI without editing code)
+// CLI without editing code). LIMITATION: options are split on spaces — a
+// -D whose VALUE contains a space cannot be passed this way (use a system
+// property file or conf key instead).

@@ -199,8 +199,15 @@ object ScaleBench {
     // Bench/Verify — re-measure one family without the full 4-minute sweep)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // resolve by name with an explicit error: a renamed/removed gate query
+    // must fail naming the stale scaleQueries entry, not crash every run
+    // with a bare key-not-found before any measurement
+    val gateQueries = SparkEntry.queries
+    val stale = scaleQueries.filterNot(gateQueries.contains)
+    require(stale.isEmpty,
+      s"ScaleBench.scaleQueries references unknown gate queries: ${stale.mkString(", ")}")
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
-      (scaleQueries.map(n => n -> SparkEntry.queries(n)) ++ Seq(
+      (scaleQueries.map(n => n -> gateQueries(n)) ++ Seq(
         "q_v2_knn_lsh_autoplanes" -> ((s: SparkSession, d: String) => lshAutoSized(s, d)),
         "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d))))
         .filter { case (n, _) => only.forall(_.contains(n)) }

@@ -31,6 +31,13 @@ object Verify {
     Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
         "fx_stream_pairs.parquet")
       .foreach(f => deleteRec(new java.io.File(s"$outDir/$f")))
+    // selection (used below for the query loop AND to skip fixture exports
+    // no selected query consumes — a SPARK_GRAFT_ONLY=q_t1 iteration must
+    // not pay the stream replay + python parse it doesn't read)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(prefixes: String*): Boolean =
+      only.forall(names => prefixes.exists(p => names.exists(_.startsWith(p))))
     // Preferred fixture source: the INDEPENDENT cursor-based Python parser
     // (tools/parse_graph.py, pyarrow) — with it, q_gs1's hash check compares
     // the Scala parse against a parse that shares no code with it, making it
@@ -38,41 +45,51 @@ object Verify {
     // is only a fallback for hosts without python3/pyarrow (driver hosts
     // have both — they run the DuckDB compare), and is logged loudly because
     // it weakens q_gs1 back to a round-trip check.
-    // parser resolution survives a non-repo-root CWD: explicit override
-    // (SPARK_GRAFT_TOOLS_DIR), then CWD-relative (the sbt runMain case)
-    val pyParser = (sys.env.get("SPARK_GRAFT_TOOLS_DIR").map(t => s"$t/parse_graph.py")
-        .toSeq :+ "tools/parse_graph.py")
-      .map(p => new java.io.File(p))
-      .find(_.isFile)
-    if (pyParser.isEmpty)
-      System.err.println("[verify] tools/parse_graph.py not found from CWD " +
-        s"${sys.props("user.dir")} — set SPARK_GRAFT_TOOLS_DIR")
-    val pyOk = pyParser.exists { parser =>
-      try {
-        val p = new ProcessBuilder("python3", parser.getAbsolutePath,
-          graft.queries.GraphQueries.graph50Path,
-          new java.io.File(outDir).getAbsolutePath, "fx_graph50").inheritIO().start()
-        p.waitFor() == 0 &&
-          new java.io.File(s"$outDir/fx_graph50_nodes.parquet").isFile &&
-          new java.io.File(s"$outDir/fx_graph50_edges.parquet").isFile
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] python fixture parser failed: ${e.getMessage}")
-        false
+    // skip the parse entirely when no selected query reads the q_g* fixture
+    // tables
+    if (selected("q_g")) {
+      // parser resolution survives a non-repo-root CWD: explicit override
+      // (SPARK_GRAFT_TOOLS_DIR), then CWD-relative (the sbt runMain case)
+      val pyParser = (sys.env.get("SPARK_GRAFT_TOOLS_DIR").map(t => s"$t/parse_graph.py")
+          .toSeq :+ "tools/parse_graph.py")
+        .map(p => new java.io.File(p))
+        .find(_.isFile)
+      if (pyParser.isEmpty)
+        System.err.println("[verify] tools/parse_graph.py not found from CWD " +
+          s"${sys.props("user.dir")} — set SPARK_GRAFT_TOOLS_DIR")
+      val pyOk = pyParser.exists { parser =>
+        try {
+          val p = new ProcessBuilder("python3", parser.getAbsolutePath,
+            graft.queries.GraphQueries.graph50Path,
+            new java.io.File(outDir).getAbsolutePath, "fx_graph50").inheritIO().start()
+          // bounded wait: a hung python3 (stuck filesystem, broken pyarrow
+          // import) must degrade to the Scala fallback, not block the gate
+          val done = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+          if (!done) { p.destroyForcibly(); () }
+          done && p.exitValue() == 0 &&
+            new java.io.File(s"$outDir/fx_graph50_nodes.parquet").isFile &&
+            new java.io.File(s"$outDir/fx_graph50_edges.parquet").isFile
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] python fixture parser failed: ${e.getMessage}")
+          false
+        }
       }
-    }
-    if (!pyOk) {
-      System.err.println("[verify] WARNING: independent parser unavailable — " +
-        "falling back to the Scala export (q_gs1 degrades to a round-trip check)")
-      try graft.queries.GraphQueries.exportFixtureTables(spark, outDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] fixture export failed: ${e.getMessage}")
+      if (!pyOk) {
+        System.err.println("[verify] WARNING: independent parser unavailable — " +
+          "falling back to the Scala export (q_gs1 degrades to a round-trip check)")
+        try graft.queries.GraphQueries.exportFixtureTables(spark, outDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] fixture export failed: ${e.getMessage}")
+        }
       }
     }
     // q_d9's oracle: the corpus replayed through the STREAMING near-dup
     // operator (independent scalar implementation of the shared FNV family)
-    try graft.queries.StreamParity.exportStreamPairs(spark, sfDir, outDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] stream-parity export failed: ${e.getMessage}")
+    if (selected("q_d9")) {
+      try graft.queries.StreamParity.exportStreamPairs(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] stream-parity export failed: ${e.getMessage}")
+      }
     }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (iteration aid, same
     // contract as Bench); the driver's full gate runs without it. UNSELECTED
@@ -80,8 +97,6 @@ object Verify {
     // DuckDB compare would hash a prior build's parquet against fresh
     // fixtures and report results that don't reflect HEAD (the same
     // stale-output hazard the per-query failure handler guards against).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
       SparkEntry.queries.keys.filterNot(names.contains)
         .foreach(n => deleteRec(new java.io.File(s"$outDir/$n")))

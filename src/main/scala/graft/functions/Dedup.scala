@@ -53,37 +53,36 @@ object Dedup {
   val fnvHasher: Hasher = (c, seed) =>
     Fnv1a64.col(concat(lit(s"$seed:"), c))
 
-  // At most one persisted shingle table per session (see ngramJaccardPairs).
+  // At most one persisted shingle table per SparkContext (see
+  // ngramJaccardPairs). Keyed by CONTEXT, not session: persisted blocks
+  // live in the context's executor storage, so a shared-context application
+  // cycling `newSession()` per job still holds AT MOST ONE cached shingle
+  // table — the next invocation from ANY session of that context evicts the
+  // predecessor (a still-held earlier plan transparently recomputes).
   // Deliberately a STRONG map — not a WeakHashMap, whose weak keys would be
-  // dead letters here (a DataFrame value strongly references its
-  // SparkSession key, the classic value→key trap), and not weak values,
-  // which would make eviction nondeterministic (the predecessor's plan is
-  // usually unreachable between invocations, so GC could clear it before
-  // the blocking unpersist runs). The cost is bounded and documented: ONE
-  // entry per session that ever called ngramJaccardPairs; an application
-  // cycling through many short-lived sessions should releaseShingleCache
-  // before dropping each one.
+  // dead letters here (the DataFrame value strongly references its context,
+  // the classic value→key trap), and not weak values, which would make
+  // eviction nondeterministic.
   private val shingleCaches =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, DataFrame]()
 
-  // Enforced lifecycle (not just documented): the first cache put for a
-  // session registers an ApplicationEnd cleanup ([[SessionReaper]]) that
-  // drops its entry, so an application cycling many sessions cannot leak
-  // stopped sessions even if it never calls releaseShingleCache.
+  // Backstop lifecycle: when the context ends, drop its registry entry
+  // (ApplicationEnd fires at CONTEXT stop — it cannot see newSession()
+  // disposal, which is why the cache bound above is per-context, not
+  // per-session).
   private def reapOnStop(spark: org.apache.spark.sql.SparkSession): Unit =
     SessionReaper.register(spark, "dedup.shingleCache") { () =>
-      shingleCaches.remove(spark) // context is gone — nothing to unpersist
+      shingleCaches.remove(spark.sparkContext) // context is gone — nothing to unpersist
       ()
     }
 
-  /** Drop the shingle cache left by the session's last [[ngramJaccardPairs]]
-    * invocation (each invocation already evicts its predecessor's) and
-    * remove the session's registry entry — call before discarding a
-    * session. (Safe after stop: unpersist is skipped once the context is
-    * gone.)
+  /** Drop the shingle cache left by the context's last [[ngramJaccardPairs]]
+    * invocation (each invocation already evicts its predecessor's) — call
+    * before discarding a context. (Safe after stop: unpersist is skipped
+    * once the context is gone.)
     */
   def releaseShingleCache(spark: org.apache.spark.sql.SparkSession): Unit =
-    Option(shingleCaches.remove(spark)).foreach { df =>
+    Option(shingleCaches.remove(spark.sparkContext)).foreach { df =>
       if (!spark.sparkContext.isStopped) df.unpersist(blocking = true)
     }
 
@@ -290,10 +289,11 @@ object Dedup {
     * NOTE on the cache: the shingle table is persisted for the lifetime of
     * the returned plan (it feeds candidate generation and both verify
     * sides). The cache is self-limiting: each invocation evicts the previous
-    * invocation's shingle cache for the same session (a still-held earlier
-    * plan transparently recomputes if re-executed), so long-lived sessions
-    * composing many joins hold AT MOST ONE cached shingle table; call
-    * [[releaseShingleCache]] to drop the last one explicitly.
+    * invocation's shingle cache for the same SparkContext (a still-held
+    * earlier plan transparently recomputes if re-executed), so long-lived
+    * applications — even ones cycling `newSession()` per job — hold AT MOST
+    * ONE cached shingle table per context; call [[releaseShingleCache]] to
+    * drop the last one explicitly.
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, k: Int, threshold: Double,
                         candidates: Option[DataFrame] = None): DataFrame = {
@@ -305,7 +305,8 @@ object Dedup {
     // blocking eviction: deterministic "at most one cached copy" (an async
     // unpersist could briefly hold two full shingle tables in storage)
     reapOnStop(docs.sparkSession)
-    Option(shingleCaches.put(docs.sparkSession, docSh)).foreach(_.unpersist(blocking = true))
+    Option(shingleCaches.put(docs.sparkSession.sparkContext, docSh))
+      .foreach(_.unpersist(blocking = true))
     val candPairs = candidates.getOrElse(prefixFilterCandidates(docSh, threshold))
     val a = docSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
       col("n_shingles").as("size_a"))

@@ -22,14 +22,18 @@ import org.apache.spark.sql.expressions.Window
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** The one IVF model every q_v* query shares, via the train-once
-    * session cache: deterministic training (same corpus, k=8, iters=2)
-    * makes the cached model identical to a per-query retrain, so reuse
-    * changes no result — it only stops the bench from re-measuring Lloyd
-    * training inside queries whose operator is the join/probe/vote.
+  /** The one IVF model every q_v* query shares, via the train-once cache:
+    * deterministic training (same corpus, k=8, iters=2) makes the cached
+    * model identical to a per-query retrain, so reuse changes no result —
+    * it only stops the bench from re-measuring Lloyd training inside
+    * queries whose operator is the join/probe/vote. (Model-only: no
+    * on-disk index is written here — q_v7 persists it via ensureIndex.)
+    * Training cost itself stays MEASURED in ScaleBench's
+    * q_v4_knn_join_autocells, which deliberately trains per call at both
+    * scale points.
     */
   private def ivfModel(s: SparkSession, embs: DataFrame, d: String) =
-    graft.functions.IvfIndex.ensureIndex(s, embs, d, k = 8)._1
+    graft.functions.IvfIndex.ensureModel(s, embs, d, k = 8)
 
   /** Shared corpus gate for the two flagship pipelines (q_t5, q_t8):
     * language = en ∧ n_tokens >= 20 ∧ one survivor per exact-duplicate
@@ -767,13 +771,14 @@ object RelationalQueries {
       // round-trip provably equals brute force and the pruned-scan path gets
       // q_v6's full DuckDB oracle, not just a plan assertion.
       //
-      // ensureIndex trains + persists ONCE per (session, sfDir) — later
+      // ensureIndex trains + persists ONCE per (context, sfDir) — later
       // invocations (bench passes 2..N, repeated verifies) measure the
-      // partition-pruned PROBE, which is this query's operator; the one-time
-      // build cost is q_v5/q_v6's measured territory. The index path is
-      // fixed per (process, key): two JVMs on one host (bench + verify)
-      // never race an overwrite against a pruned read, and repeated runs
-      // overwrite one directory instead of accumulating temp copies.
+      // partition-pruned PROBE, which is this query's operator; training
+      // cost stays measured in ScaleBench's autocells variant, which
+      // trains per call. The index path is fixed per (process, key): two
+      // JVMs on one host (bench + verify) never race an overwrite against
+      // a pruned read, and repeated runs overwrite one directory instead
+      // of accumulating temp copies.
       val embs = Tables.embeddings(s, d)
       val (model, path) = graft.functions.IvfIndex.ensureIndex(s, embs, d, k = 8)
       val query = embs.filter(col("vec_id") === 0)
