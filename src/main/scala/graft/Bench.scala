@@ -5,9 +5,15 @@ import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line with per-query wall seconds. Queries are materialized
+  * prints per-query wall seconds as JSON. Queries are materialized
   * through the noop sink — unlike `count()`, which lets Spark drop projection
   * work entirely — so timings reflect real execution.
+  *
+  * Output is TWO stdout lines: the full record (all medians + per-pass
+  * arrays, ~8 KB) followed by a compact summary (total + slowest-15 +
+  * failure/unstable lists, well under 2 KB) as the LAST line, so a harness
+  * that keeps only a bounded stdout tail still captures one complete JSON
+  * object.
   *
   * Throttle-proofing (the round-4 bench died rc 124 with zero signal):
   *   - the current cumulative JSON line is re-rendered after every query and
@@ -93,15 +99,26 @@ object Bench {
     val obs = scala.collection.mutable.LinkedHashMap[String, Vector[Double]](
       ordered.map { case (n, _) => n -> Vector.empty[Double] }: _*)
 
-    // Cumulative JSON snapshot, re-rendered after every query so the
+    // Cumulative JSON snapshots, re-rendered after every query so the
     // shutdown hook can print a parsable partial if the JVM is killed.
+    // Two lines, summary LAST: the full line (~8 KB with per-pass arrays)
+    // and the medians line (~2.2 KB for 87+ queries) both overflow the
+    // driver's 2000-char stdout tail, which left BENCH_r05/r06 with
+    // "parsed": null. The final summary line is a complete, self-contained
+    // JSON object well under the tail budget (total + counts + slowest-15
+    // medians + unstable + partial), so the tail ALWAYS ends with an object
+    // the driver can parse and the 2x gate evaluates mechanically.
     @volatile var snapshot: String = render(obs.toSeq, sfDir, partial = true)
+    @volatile var summarySnapshot: String = renderSummary(obs.toSeq, sfDir, partial = true)
     val emitted = new AtomicBoolean(false)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def emit(full: String, summary: String): Unit =
       if (emitted.compareAndSet(false, true)) {
-        println(snapshot)
+        println(full)
+        println(summary)
         Console.out.flush()
       }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      emit(snapshot, summarySnapshot)
     }))
 
     // 3+ passes, per-query MEDIAN: pass 1 absorbs codegen compilation, file
@@ -133,16 +150,15 @@ object Bench {
           } else {
             obs(name) = obs(name) :+ dt
             snapshot = render(obs.toSeq, sfDir, partial = true)
+            summarySnapshot = renderSummary(obs.toSeq, sfDir, partial = true)
           }
         }
       }
       p += 1
     }
 
-    if (emitted.compareAndSet(false, true)) {
-      println(render(obs.toSeq, sfDir, partial = deadlineHit))
-      Console.out.flush()
-    }
+    emit(render(obs.toSeq, sfDir, partial = deadlineHit),
+         renderSummary(obs.toSeq, sfDir, partial = deadlineHit))
     spark.stop()
   }
 
@@ -176,28 +192,55 @@ object Bench {
     */
   private def render(entries: Seq[(String, Vector[Double])], sfDir: String,
                      partial: Boolean): String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    val medians = entries.map { case (name, ts) =>
-      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else median(ts))
-    }
-    val unstable = entries.collect {
-      case (name, ts) if ts.count(_ >= 0) >= 2 && {
-        val ok = ts.filter(_ >= 0)
-        ok.min > 0 && ok.max / ok.min > 5.0
-      } => name
-    }
+    val medians = medianPerQuery(entries)
     val qs = medians.map { case (k, v) => "\"" + esc(k) + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val ps = entries.map { case (k, ts) =>
       "\"" + esc(k) + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val us = unstable.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
+    val us = unstableList(entries).map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$ps,"unstable":$us,"partial":$partial,"sf":"${esc(sfDir)}"}"""
+  }
+
+  /** The LAST stdout line: a complete JSON object sized for the driver's
+    * 2000-char tail. Full per-query medians live in the preceding `render`
+    * line; here "queries" carries only the slowest 15 (the perf-relevant
+    * ones), with the rest summarized by count + total so nothing is lost
+    * for the 2x gate.
+    */
+  private def renderSummary(entries: Seq[(String, Vector[Double])], sfDir: String,
+                            partial: Boolean): String = {
+    val medians = medianPerQuery(entries)
+    val measured = medians.filter(_._2 >= 0)
+    val failed = medians.collect { case (n, v) if v < 0 && entries.exists {
+      case (en, ts) => en == n && ts.nonEmpty } => n }
+    val total = measured.map(_._2).sum
+    val top = measured.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + esc(k) + f"""\":$v%.2f""" }
+      .mkString("{", ",", "}")
+    val fs = failed.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
+    val us = unstableList(entries).map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${measured.length},"n_failed":${failed.length},"failed":$fs,"slowest":$top,"unstable":$us,"partial":$partial,"sf":"${esc(sfDir)}"}"""
+  }
+
+  private def medianPerQuery(entries: Seq[(String, Vector[Double])]): Seq[(String, Double)] =
+    entries.map { case (name, ts) =>
+      name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else median(ts))
+    }
+
+  private def unstableList(entries: Seq[(String, Vector[Double])]): Seq[String] =
+    entries.collect {
+      case (name, ts) if ts.count(_ >= 0) >= 2 && {
+        val ok = ts.filter(_ >= 0)
+        ok.min > 0 && ok.max / ok.min > 5.0
+      } => name
+    }
+
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 }
