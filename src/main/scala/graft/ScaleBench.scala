@@ -132,12 +132,8 @@ object ScaleBench {
     * quadratic by construction as the corpus grows — the production
     * configuration holds expected bucket occupancy constant instead.
     */
-  private def lshAutoSized(s: SparkSession, d: String): DataFrame = {
-    val embs = Tables.embeddings(s, d)
-    val n = embs.count()
-    graft.functions.Similarity.lshTopK(embs,
-      numPlanes = graft.functions.Similarity.autoNumPlanes(n), k = 5, reps = 4)
-  }
+  private def lshAutoSized(s: SparkSession, d: String): DataFrame =
+    graft.functions.Similarity.lshTopKAuto(Tables.embeddings(s, d), k = 5, reps = 4)
 
   /** Corpus-wide ANN join with the production cell-sizing rule
     * ([[graft.functions.IvfIndex.autoNumCells]]) and a bounded training
@@ -145,24 +141,9 @@ object ScaleBench {
     * id-stride sample keeps it flat while assignment still covers the full
     * corpus). The gate query q_v4 fixes 8 cells for oracle comparability.
     */
-  private def knnJoinAutoCells(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.IvfIndex
-    val embs = Tables.embeddings(s, d)
-    val n = embs.count()
-    // HASH-based sampling, not an id stride: synthesized ids are
-    // orig*factor + r, so a stride that shares a factor with `factor`
-    // (stride 10 at factor 10 — the default scale point!) would select a
-    // single replica and train on a non-representative 1/factor slice.
-    // The sample SIZE scales with the requested cell count (≥ ~20 rows per
-    // cell, floor 2000): a fixed 2000-row sample would silently cap the
-    // √n rule at ~2000 cells and train degenerate near-empty cells first
-    val cells = IvfIndex.autoNumCells(n)
-    val targetSample = math.max(2000L, 20L * cells)
-    val mod = math.max(1L, n / targetSample)
-    val sample = embs.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
-    val model = IvfIndex.train(s, sample, k = cells, iters = 2)
-    IvfIndex.knnJoin(embs, model, k = 3, nprobe = 2)
-  }
+  private def knnJoinAutoCells(s: SparkSession, d: String): DataFrame =
+    graft.functions.IvfIndex.knnJoinAuto(s, Tables.embeddings(s, d),
+      corpusKey = d, k = 3, nprobe = 2)
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)

@@ -214,6 +214,90 @@ object Dedup {
     spark.createDataFrame(labeled).toDF("doc_id", "cluster_id")
   }
 
+  /** Within-document repeated n-gram removal — the INTRA-doc half of corpus
+    * dedup (the cross-doc half is q_d1..q_d9): strip every token covered by a
+    * k-gram whose exact token sequence already occurred earlier in the same
+    * document (boilerplate runs, copy-pasted headers, looped n-gram spans).
+    * Semantics: a k-gram start s is REPEATED iff an identical k-gram starts
+    * at some s' < s in the doc; every token position in [s, s+k) of a
+    * repeated start is dropped; the cleaned text is the surviving tokens in
+    * original order. Position 0 always survives (no earlier start exists),
+    * so no non-empty doc cleans to nothing.
+    *
+    * Scale shape: one posexplode into (doc, start, gram) rows, a min-start
+    * window per (doc, gram), one explode of covered spans, one anti-join on
+    * (doc, pos), one per-doc aggregation — every stage is a shuffle-
+    * partitionable equi-key plan keyed by doc_id (+gram), never all-pairs.
+    * Shuffles carry k-token gram strings; at 100 TB substitute
+    * `xxhash64(gram)` for the gram key (same plan, hash-width keys) — the
+    * string key stays here for cross-engine oracle parity.
+    * Returns (doc_id, n_tokens, n_kept_tokens, clean_text); NULL-text docs
+    * are dropped (as in [[graft.functions.TextOps.chunkDocs]]).
+    */
+  def intraDocDedup(docs: DataFrame, k: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+    val spread = Spread.forExplode(toks, col(idCol))
+    val grams = spread
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+        .as(Seq("start", "gram")))
+    val w = Window.partitionBy(col(idCol), col("gram"))
+    val covered = grams
+      .withColumn("first_start", min(col("start")).over(w))
+      .filter(col("start") > col("first_start"))
+      .select(col(idCol), explode(sequence(col("start"), col("start") + k - 1)).as("pos"))
+      .distinct()
+    val kept = spread
+      .select(col(idCol), size(col("toks")).as("n_tokens"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+    kept.groupBy(col(idCol), col("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_kept_tokens"),
+        // array_sort on struct(pos, tok) orders by pos (positions are unique
+        // per doc) — deterministic reassembly without an orderable collect
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"))
+      .select(col(idCol), col("n_tokens"), col("n_kept_tokens"), col("clean_text"))
+  }
+
+  /** Semantic dedup (the SemDeDup shape): collapse groups of embedding-space
+    * near-duplicates to one survivor each. Pairs above `threshold` come from
+    * [[embeddingNearDups]] — restricted to `buckets` (IVF cells from
+    * [[IvfIndex.assignCells]] or LSH buckets) at scale, exact all-pairs when
+    * None (test scale / the oracle) — then connected components label each
+    * cluster with its minimum vec_id ([[duplicateClusters]], Pregel at
+    * scale) and the survivor per cluster is that labeling vector. Returns
+    * every input vector: (vec_id, cluster_id, cluster_size, keep) with
+    * exactly one keep=true row per cluster (vec_id == cluster_id —
+    * deterministic by the min-label construction, pinned in DedupSpec).
+    * Filtering keep=true yields the semantically-deduplicated corpus.
+    */
+  def semanticDedup(embs: DataFrame, threshold: Double,
+                    buckets: Option[DataFrame] = None): DataFrame = {
+    // persisted: GraphX materializes the edge RDD more than once while
+    // building the graph; without the cache each materialization re-runs
+    // the whole pair-generation plan (same contract as the q_d7 caller)
+    val pairs = embeddingNearDups(embs, threshold, buckets)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val clusters = duplicateClusters(
+      embs.select(col("vec_id").cast("long").as("doc_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+  }
+
   /** Exact candidate pairs for Jaccard >= t via prefix filtering (the
     * PPJoin-family bound from the set-similarity-join literature): order each
     * doc's shingles by ascending global frequency; a pair with Jaccard >= t

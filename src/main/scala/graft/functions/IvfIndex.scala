@@ -214,6 +214,30 @@ object IvfIndex {
       .drop("rn")
   }
 
+  /** [[knnJoin]] with the production sizing rule as the default: cells =
+    * [[autoNumCells]](corpus size) — the √n balance ScaleBench measures at
+    * ~n^1.5 — trained on a bounded HASH sample and cached per
+    * (context, corpusKey, config) via [[ensureModel]]. Sampling is
+    * hash-based, not an id stride: structured id spaces (replicated ids =
+    * orig×factor + r) can share a factor with a stride and collapse the
+    * sample onto one replica. The sample SIZE scales with the cell count
+    * (≥ ~20 rows per cell, floor 2000): a fixed sample would silently cap
+    * the √n rule and train degenerate near-empty cells. Costs one count()
+    * job; callers that know n can size and train explicitly.
+    */
+  def knnJoinAuto(spark: SparkSession, embs: DataFrame, corpusKey: String,
+                  k: Int, nprobe: Int = 2, iters: Int = 2,
+                  cellScale: Double = 1.0): DataFrame = {
+    val n = embs.count()
+    val cells = autoNumCells(n, cellScale)
+    val targetSample = math.max(2000L, 20L * cells)
+    val mod = math.max(1L, n / targetSample)
+    val sample = embs.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+    val model = ensureModel(spark, sample,
+      s"$corpusKey|auto|n=$n|mod=$mod", cells, iters)
+    knnJoin(embs, model, k, nprobe)
+  }
+
   /** Exact top-k within the `nprobe` cells nearest to the query vector. */
   def topK(embs: DataFrame, model: Model, query: Seq[Float], k: Int,
            nprobe: Int, excludeSelf: Option[Long] = None): DataFrame = {

@@ -132,6 +132,18 @@ object Similarity {
     math.min(62, math.max(1, planes))
   }
 
+  /** [[lshTopK]] with the production sizing rule as the default: numPlanes =
+    * [[autoNumPlanes]](corpus size), holding expected bucket occupancy (and
+    * so per-vector candidate volume) constant as the corpus grows — the
+    * configuration ScaleBench measures linear at 10x/20x, now the path of
+    * least resistance. Costs one count() job over the corpus ids; callers
+    * that already know n should call [[lshTopK]] with
+    * `autoNumPlanes(n)` directly.
+    */
+  def lshTopKAuto(embs: DataFrame, k: Int, reps: Int = 4,
+                  targetPerBucket: Int = 32, dims: Option[Int] = None): DataFrame =
+    lshTopK(embs, autoNumPlanes(embs.count(), targetPerBucket), k, reps, dims)
+
   def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4,
               dims: Option[Int] = None): DataFrame = {
     // plane vectors are plan literals, so the dimensionality must be known

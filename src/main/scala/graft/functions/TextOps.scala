@@ -250,6 +250,45 @@ object TextOps {
         least(lit(chunkTokens), size(col("toks")) - col("start")).as("n_chunk_tokens"))
   }
 
+  /** PII / secret redaction patterns, ordered by application: emails first
+    * (their local/domain parts would otherwise partially match the number
+    * and key patterns), then key-shaped tokens, then IPv4, then phone
+    * numbers. Every pattern is deliberately restricted to syntax with
+    * identical semantics in Java regex (Spark codegen'd `regexp_replace`)
+    * and RE2 (the DuckDB oracle): character classes, bounded repetition,
+    * `\b` (ASCII word boundary in both), alternation — no lookaround, no
+    * backreferences.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("key", """\bAKIA[0-9A-Z]{16}\b|\b[0-9a-fA-F]{32,}\b""", "<KEY>"),
+    ("ip", """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""", "<IP>"),
+    ("phone", """\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}""", "<PHONE>"))
+
+  /** PII / secret scrubbing — the redaction pass every production corpus
+    * needs before training: replace emails, key-shaped secrets, IPv4
+    * addresses and international-format phone numbers with typed
+    * placeholder tokens, and report per-document match counts (the
+    * redaction audit trail). One projection, all codegen'd
+    * `regexp_replace` / `regexp_extract_all` — zero UDFs, no shuffle; the
+    * same plan is the 100 TB scrub. Counts are measured on the ORIGINAL
+    * text per category (order-independent), replacements apply in
+    * [[piiPatterns]] order. NULL text yields NULL clean_text and NULL
+    * counts (regexp functions propagate null).
+    * Returns (idCol, clean_text, n_email, n_key, n_ip, n_phone).
+    */
+  def redactPii(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val cleaned = piiPatterns.foldLeft(t) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(t, lit(pat), lit(0))).as(s"n_$name")
+    }
+    df.select(col(idCol) +: cleaned.as("clean_text") +: counts: _*)
+  }
+
   /** Rolling-hash document fingerprint: 64-bit FNV-1a over the text via a
     * native codegen'd Catalyst expression ([[Fnv1a64]] — wrapping multiply
     * isn't expressible in ANSI-mode SQL arithmetic).

@@ -631,6 +631,50 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_d10_semantic_dedup" -> ((s, d) =>
+      // SemDeDup composition in EXACT mode (all-pairs candidates — the
+      // oracle-checkable form; production passes IVF cells or LSH buckets
+      // as the candidate restriction, DedupSpec pins that bucketed clusters
+      // refine these exact ones): cosine pairs >= 0.3 → GraphX connected
+      // components → min-id survivor per semantic cluster
+      Dedup.semanticDedup(Tables.embeddings(s, d), threshold = 0.3)
+        .orderBy(col("vec_id"))),
+
+    "q_t12_intra_doc_dedup" -> ((s, d) =>
+      // within-document repeated 3-gram removal (the Lee et al. 2022
+      // intra-doc half of corpus dedup): tokens covered by a 3-gram whose
+      // exact sequence occurred earlier in the SAME doc are stripped;
+      // shuffles carry (doc, start, gram) rows keyed by doc_id — never
+      // cross-doc, never all-pairs
+      Dedup.intraDocDedup(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"))),
+
+    "q_t13_redact_pii" -> ((s, d) => {
+      // PII/secret scrubbing: the fixture corpus carries no PII, so the
+      // query plants deterministic id-derived PII (emails, phones, IPv4,
+      // AWS-shaped keys) on a varying subset of docs and redacts it — the
+      // DuckDB oracle rebuilds the identical augmented text and regexes,
+      // so the whole regex chain is verified hash for hash. One projection,
+      // all codegen'd regexp functions, zero UDFs, no shuffle.
+      val aug = Tables.documents(s, d).select(col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" call +1 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 2,
+            concat(lit(" from host 10.2."), (col("doc_id") % 250).cast("string"),
+              lit(".7"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 3,
+            concat(lit(" secret AKIA"),
+              lpad((col("doc_id") % 100000000).cast("string"), 16, "0"),
+              lit(" leaked"))).otherwise(lit(""))).as("text"))
+      graft.functions.TextOps.redactPii(aug).orderBy(col("doc_id"))
+    }),
+
     "q_d8_decontaminate" -> ((s, d) => {
       // eval-set decontamination: every 50th doc plays the benchmark set;
       // the rest is the corpus. Overlap counts per corpus doc (0 = clean),
@@ -1483,6 +1527,94 @@ object RelationalQueries {
          FROM documents, generate_series(0, 3) t(i)
          WHERE length(text) > i*32
          ORDER BY 1, 2""",
+
+    "q_d10_semantic_dedup" ->
+      // exact-mode SemDeDup: all-pairs cosine >= 0.3 (same round-4 formula
+      // parity as q_d5), recursive-CTE min-label connected components (the
+      // q_d7 oracle shape), survivor = the min-id labeling vector
+      """WITH RECURSIVE
+           pr AS (
+             SELECT a.vec_id AS va, b.vec_id AS vb
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) >= 0.3),
+           e AS (SELECT va AS a, vb AS b FROM pr UNION SELECT vb, va FROM pr),
+           r AS (
+             SELECT vec_id AS v, vec_id AS root FROM embeddings
+             UNION
+             SELECT e.b AS v, r.root FROM r JOIN e ON e.a = r.v),
+           c AS (SELECT v AS vec_id, min(root)::BIGINT AS cluster_id FROM r GROUP BY 1),
+           s AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1)
+         SELECT c.vec_id, c.cluster_id, s.cluster_size,
+                c.vec_id = c.cluster_id AS keep
+         FROM c JOIN s USING (cluster_id) ORDER BY c.vec_id""",
+
+    "q_t12_intra_doc_dedup" ->
+      // same construction as the Spark plan: 3-gram starts with positions,
+      // min-start window per (doc, gram), covered spans of repeated starts,
+      // anti-join on token positions, ordered reassembly
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, unnest([{'s': i - 1, 'gram': array_to_string(toks[i:i+2], ' ')}
+             FOR i IN generate_series(1, len(toks) - 2)]) AS u
+           FROM t),
+         g2 AS (SELECT doc_id, u.s AS s, u.gram AS gram FROM g),
+         rep AS (
+           SELECT doc_id, s FROM (
+             SELECT doc_id, s, min(s) OVER (PARTITION BY doc_id, gram) AS fs FROM g2)
+           WHERE s > fs),
+         cov AS (
+           SELECT DISTINCT doc_id, pos FROM (
+             SELECT doc_id, unnest(generate_series(s, s + 2)) AS pos FROM rep)),
+         p AS (
+           SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]}
+             FOR i IN generate_series(1, len(toks))]) AS u
+           FROM t),
+         p2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM p),
+         kept AS (
+           SELECT p2.doc_id, p2.pos, p2.tok FROM p2
+           ANTI JOIN cov ON cov.doc_id = p2.doc_id AND cov.pos = p2.pos)
+         SELECT t.doc_id, len(t.toks) AS n_tokens, count(*) AS n_kept_tokens,
+                string_agg(kept.tok, ' ' ORDER BY kept.pos) AS clean_text
+         FROM t JOIN kept ON kept.doc_id = t.doc_id
+         GROUP BY t.doc_id, len(t.toks)
+         ORDER BY t.doc_id""",
+
+    "q_t13_redact_pii" ->
+      // identical augmented text (|| propagates NULL like Spark's concat;
+      // DuckDB's concat() would skip NULLs) and identical RE2/Java-portable
+      // regexes; counts on the original augmented text, replacements in
+      // piiPatterns order with the 'g' flag (Spark replaces all by default)
+      """WITH aug AS (
+           SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' reach user' || doc_id::VARCHAR || '@example.com now'
+                  ELSE '' END
+             || CASE WHEN doc_id % 4 = 1
+                  THEN ' call +1 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE '' END
+             || CASE WHEN doc_id % 5 = 2
+                  THEN ' from host 10.2.' || (doc_id % 250)::VARCHAR || '.7'
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 3
+                  THEN ' secret AKIA' || lpad((doc_id % 100000000)::VARCHAR, 16, '0') || ' leaked'
+                  ELSE '' END
+             AS text
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\bAKIA[0-9A-Z]{16}\b|\b[0-9a-fA-F]{32,}\b', '<KEY>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b|\b[0-9a-fA-F]{32,}\b')) AS n_key,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+           len(regexp_extract_all(text, '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS n_phone
+         FROM aug ORDER BY doc_id""",
 
     "q_d7_dup_clusters" ->
       """WITH RECURSIVE
