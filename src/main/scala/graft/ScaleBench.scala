@@ -97,9 +97,15 @@ object ScaleBench {
     val docs = Tables.documents(spark, baseDir)
     val docReps = (0 until factor).map { r =>
       val text = if (r == 0) col("text") else caesarText(col("text"), r)
+      // n_chars carried VERBATIM from the base fixture for every replica
+      // (Caesar + protected-word substitution are length-preserving, and
+      // split/join on single spaces round-trips): recomputing it as Spark
+      // length() would silently re-define the column's semantics if the
+      // fixture generator used byte/UTF-16 counts on non-ASCII text, making
+      // replica 0 differ from the base corpus in a base-vs-scaled comparison
       docs.select(
         (col("doc_id") * factor + r).as("doc_id"), text.as("text"),
-        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+        col("lang"), col("source"), col("n_chars"))
     }
     docReps.reduce(_.unionAll(_))
       .repartition(spark.sparkContext.defaultParallelism)

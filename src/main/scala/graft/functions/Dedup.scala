@@ -69,12 +69,16 @@ object Dedup {
   // Backstop lifecycle: when the context ends, drop its registry entry
   // (ApplicationEnd fires at CONTEXT stop — it cannot see newSession()
   // disposal, which is why the cache bound above is per-context, not
-  // per-session).
-  private def reapOnStop(spark: org.apache.spark.sql.SparkSession): Unit =
+  // per-session). The cleanup captures only the CONTEXT: closing over the
+  // session would pin it until ApplicationEnd in a newSession()-per-job
+  // application.
+  private def reapOnStop(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
     SessionReaper.register(spark, "dedup.shingleCache") { () =>
-      shingleCaches.remove(spark.sparkContext) // context is gone — nothing to unpersist
+      shingleCaches.remove(sc) // context is gone — nothing to unpersist
       ()
     }
+  }
 
   /** Drop the shingle cache left by the context's last [[ngramJaccardPairs]]
     * invocation (each invocation already evicts its predecessor's) — call

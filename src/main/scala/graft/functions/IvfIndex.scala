@@ -114,12 +114,16 @@ object IvfIndex {
   private val pathCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Lazy[String]]()
 
-  private def reapOnStop(spark: SparkSession): Unit =
+  // cleanup captures only the CONTEXT (a captured session would be pinned
+  // until ApplicationEnd in a newSession()-per-job application)
+  private def reapOnStop(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
     SessionReaper.register(spark, "ivf.caches") { () =>
-      modelCache.keySet.removeIf(_._1 eq spark.sparkContext)
-      pathCache.keySet.removeIf(_._1 eq spark.sparkContext)
+      modelCache.keySet.removeIf(_._1 eq sc)
+      pathCache.keySet.removeIf(_._1 eq sc)
       ()
     }
+  }
 
   private def cached[A](cache: java.util.concurrent.ConcurrentHashMap[
                           (org.apache.spark.SparkContext, String), Lazy[A]],
@@ -150,8 +154,15 @@ object IvfIndex {
     val fullKey = s"$corpusKey|k=$k|iters=$iters" // distinct configs don't collide
     val model = ensureModel(spark, embs, corpusKey, k, iters)
     val path = cached(pathCache, spark, fullKey) {
+      // applicationId in the directory name makes the on-disk key match the
+      // cache key's (context, config) granularity: two contexts in one JVM
+      // (stop/restart, concurrent test sessions) must not share a directory
+      // where one context's writeIndex overwrites files the other's cached
+      // path is still probing
       val p = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-ivfidx-${ProcessHandle.current.pid}-${Integer.toHexString(fullKey.hashCode)}").toString
+        s"graft-ivfidx-${ProcessHandle.current.pid}-" +
+          s"${spark.sparkContext.applicationId}-" +
+          Integer.toHexString(fullKey.hashCode)).toString
       writeIndex(embs, model, p)
       p
     }

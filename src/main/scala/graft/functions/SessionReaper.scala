@@ -1,28 +1,47 @@
 package graft.functions
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.SparkSession
 
-/** One-shot ApplicationEnd cleanup registration per (session, site) — the
-  * shared lifecycle piece behind the session-scoped caches (Dedup's shingle
-  * table, IvfIndex's trained-index registry), so the
+/** One-shot ApplicationEnd cleanup registration per (SparkContext, site) —
+  * the shared lifecycle piece behind the context-scoped caches (Dedup's
+  * shingle table, IvfIndex's trained-index registry), so the
   * listener-plus-registration-set pattern lives in ONE place instead of a
-  * per-cache copy that can drift. `cleanup` runs when the session's
-  * SparkContext ends (the context is gone by then — cleanups must only drop
-  * registry entries, never touch executors); registration is idempotent per
-  * (session, site).
+  * per-cache copy that can drift.
+  *
+  * Keyed by CONTEXT, not session, on both axes: the caches being reaped are
+  * context-keyed, so an application cycling `newSession()` per job must not
+  * add one listener (and pin one session reference) per session to the
+  * shared context's listener bus — at most ONE listener is installed per
+  * context, draining every site's cleanup when that context ends. The
+  * context is gone by then — cleanups must only drop registry entries,
+  * never touch executors. Registration is idempotent per (context, site);
+  * the first cleanup registered for a site wins.
   */
 private[graft] object SessionReaper {
-  private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  private val cleanups =
+    new java.util.concurrent.ConcurrentHashMap[(SparkContext, String), () => Unit]()
+  private val listenerInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkContext]()
 
-  def register(spark: SparkSession, site: String)(cleanup: () => Unit): Unit =
-    if (registered.add((spark, site))) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+  def register(spark: SparkSession, site: String)(cleanup: () => Unit): Unit = {
+    val sc = spark.sparkContext
+    cleanups.putIfAbsent((sc, site), cleanup)
+    if (listenerInstalled.add(sc)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          registered.remove((spark, site))
-          cleanup()
+          listenerInstalled.remove(sc)
+          val it = cleanups.entrySet().iterator()
+          while (it.hasNext) {
+            val entry = it.next()
+            if (entry.getKey._1 eq sc) {
+              it.remove()
+              entry.getValue.apply()
+            }
+          }
         }
       })
     }
+  }
 }

@@ -19,7 +19,11 @@ import org.apache.spark.sql.types._
   * — same summation order, so results are bit-identical to the HOF form and
   * existing oracles. Mismatched array lengths yield NULL (also matching the
   * HOF form, whose zip_with pads with null): a wrong-dimension vector must
-  * fail loudly, not rank with a silently-truncated similarity.
+  * fail loudly, not rank with a silently-truncated similarity. A NULL
+  * ELEMENT likewise yields NULL (zip_with multiplies it to null, which
+  * nulls the aggregate) — the per-element check is emitted only when the
+  * array type says containsNull; schema-non-null arrays keep the
+  * branch-free loop.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
@@ -29,6 +33,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
     case _ => None
   }
+
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
@@ -43,9 +52,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val n = a.numElements()
     val at = elemType(left).get
     val bt = elemType(right).get
+    val checkNulls = mayHaveNullElems
     var acc = 0.0d
     var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = if (at == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bt == FloatType) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -61,6 +72,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val acc = ctx.freshName("acc")
       val aGet = if (elemType(left).get == FloatType) s"$a.getFloat($i)" else s"$a.getDouble($i)"
       val bGet = if (elemType(right).get == FloatType) s"$b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -68,9 +83,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += ((double) $aGet) * ((double) $bGet);
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })
@@ -85,7 +103,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * makes the int8-quantized similarity path ([[VectorQuant]])
   * engine-portable: every engine computing the same integer codes gets the
   * SAME long, so the oracle can reproduce scores bit-for-bit. Mismatched
-  * lengths yield NULL (same contract as [[DotProduct]]).
+  * lengths and NULL elements yield NULL (same contract as [[DotProduct]];
+  * the element check is emitted only for containsNull array types).
   */
 case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
@@ -95,6 +114,11 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
     case ArrayType(t @ (ByteType | ShortType | IntegerType), _) => Some(t)
     case _ => None
   }
+
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
@@ -114,9 +138,11 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
     if (a.numElements() != b.numElements()) return null
     val at = elemType(left).get
     val bt = elemType(right).get
+    val checkNulls = mayHaveNullElems
     var acc = 0L
     var i = 0
     while (i < a.numElements()) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       acc += getElem(a, at, i) * getElem(b, bt, i)
       i += 1
     }
@@ -134,6 +160,10 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -141,9 +171,12 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
          |  int $n = $a.numElements();
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += ((long) ${genGet(elemType(left).get, a, i)}) * ((long) ${genGet(elemType(right).get, b, i)});
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

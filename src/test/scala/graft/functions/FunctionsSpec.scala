@@ -99,6 +99,24 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     hof.isNullAt(0) shouldBe true // the contract the native expr mirrors
   }
 
+  test("native dot products yield NULL on NULL array elements (like the HOF form)") {
+    // containsNull=true inputs with a null element must null the result,
+    // not smuggle a garbage/zero term into the sum — same as zip_with,
+    // whose null product nulls the aggregate
+    val df = Seq((Seq(Option(1.0f), None, Option(3.0f)),
+      Seq(Option(1.0f), Option(2.0f), Option(3.0f)))).toDF("a", "b")
+    df.select(VectorExprs.dot($"a", $"b")).head().isNullAt(0) shouldBe true
+    df.select(VectorExprs.dot($"b", $"a")).head().isNullAt(0) shouldBe true
+    // no-null rows through the SAME containsNull=true schema still compute
+    val ok = Seq((Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f), Option(4.0f))))
+      .toDF("a", "b")
+    ok.select(VectorExprs.dot($"a", $"b")).head().getDouble(0) shouldBe 11.0
+    val di = Seq((Seq(Option(1), None), Seq(Option(2), Option(3)))).toDF("a", "b")
+    di.select(VectorExprs.intDot($"a", $"b")).head().isNullAt(0) shouldBe true
+    val oki = Seq((Seq(Option(2), Option(5)), Seq(Option(3), Option(4)))).toDF("a", "b")
+    oki.select(VectorExprs.intDot($"a", $"b")).head().getLong(0) shouldBe 26L
+  }
+
   test("native dot product matches scala reference and HOF form") {
     val df = Seq((Seq(1.0f, 2.5f, -3.0f), Seq(0.5f, 2.0f, 4.0f))).toDF("a", "b")
     val native = df.select(VectorExprs.dot($"a", $"b")).head().getDouble(0)
