@@ -30,6 +30,9 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_FACTOR      expansion     (default 10)
   *   SPARK_GRAFT_PASSES      timed passes  (default 2; min is reported)
   *   SPARK_GRAFT_CPUS        local threads (default 32)
+  *   SPARK_GRAFT_FAMILIES    "ann" = embeddings-only synthesis + ANN
+  *                           production queries only (factor may exceed 26
+  *                           up to dims−1 — the text Caesar cap is 26)
   * Prints one JSON line (metric=scale_ratio) then a markdown ratio table.
   */
 object ScaleBench {
@@ -43,6 +46,7 @@ object ScaleBench {
     "q_t1_token_count", "q_t2_quality", "q_t3_langid", "q_t4_fingerprint",
     "q_t5_corpus_filter", "q_t6_repetition", "q_t7_tfidf", "q_t8_training_mix",
     "q_t9_length_profile", "q_t10_unigram_surprisal", "q_t11_chunking",
+    "q_t12_intra_doc_dedup", "q_t13_redact_pii",
     "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",
     "q_d9_stream_parity",
@@ -64,13 +68,19 @@ object ScaleBench {
     (graft.functions.TextOps.stopwords ++
       graft.functions.TextOps.langMarkers.flatMap(_._2)).distinct
 
+  /** `annOnly` synthesizes ONLY the embeddings table: the Caesar-shift
+    * design caps the documents factor at 26 (shift 27 wraps to identity),
+    * but vector ROTATION stays distinct up to dims−1 replicas — an ANN-only
+    * scale point can therefore go to 40×+ while text families stop at 26×.
+    */
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
-                 factor: Int): Unit = {
+                 factor: Int, annOnly: Boolean = false): Unit = {
     // factor 27+ would wrap the Caesar shift back to identity (replica 26 ==
     // replica 0), quietly re-creating the cross-replica duplicate quadratics
     // the vocabulary-disjoint design exists to prevent
-    require(factor >= 2 && factor <= 26,
+    require(annOnly || (factor >= 2 && factor <= 26),
       s"factor must be in [2, 26] (got $factor): replica shifts must stay distinct")
+    require(factor >= 2, s"factor must be >= 2 (got $factor)")
     // invalidate any previous completion marker FIRST: if this run dies
     // mid-write (or fails validation below), the directory must read as
     // partial, not as the previous complete synthesis
@@ -94,22 +104,24 @@ object ScaleBench {
       array_join(transform(split(c, " "),
         t => when(array_contains(typedLit(protectedWords), lower(t)), t)
           .otherwise(caesar(t, r))), " ")
-    val docs = Tables.documents(spark, baseDir)
-    val docReps = (0 until factor).map { r =>
-      val text = if (r == 0) col("text") else caesarText(col("text"), r)
-      // n_chars carried VERBATIM from the base fixture for every replica
-      // (Caesar + protected-word substitution are length-preserving, and
-      // split/join on single spaces round-trips): recomputing it as Spark
-      // length() would silently re-define the column's semantics if the
-      // fixture generator used byte/UTF-16 counts on non-ASCII text, making
-      // replica 0 differ from the base corpus in a base-vs-scaled comparison
-      docs.select(
-        (col("doc_id") * factor + r).as("doc_id"), text.as("text"),
-        col("lang"), col("source"), col("n_chars"))
+    if (!annOnly) {
+      val docs = Tables.documents(spark, baseDir)
+      val docReps = (0 until factor).map { r =>
+        val text = if (r == 0) col("text") else caesarText(col("text"), r)
+        // n_chars carried VERBATIM from the base fixture for every replica
+        // (Caesar + protected-word substitution are length-preserving, and
+        // split/join on single spaces round-trips): recomputing it as Spark
+        // length() would silently re-define the column's semantics if the
+        // fixture generator used byte/UTF-16 counts on non-ASCII text, making
+        // replica 0 differ from the base corpus in a base-vs-scaled comparison
+        docs.select(
+          (col("doc_id") * factor + r).as("doc_id"), text.as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      docReps.reduce(_.unionAll(_))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
-    docReps.reduce(_.unionAll(_))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val embs = Tables.embeddings(spark, baseDir)
     val embReps = (0 until factor).map { r =>
@@ -128,9 +140,13 @@ object ScaleBench {
     // table written, the other missing/stale) is re-synthesized, not reused
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/_SYNTH_COMPLETE"),
-      s"base=$baseDir factor=$factor")
+      sentinelContent(baseDir, factor, annOnly))
     ()
   }
+
+  private[graft] def sentinelContent(baseDir: String, factor: Int,
+                                     annOnly: Boolean): String =
+    s"base=$baseDir factor=$factor mode=${if (annOnly) "ann" else "full"}"
 
   /** ANN-LSH measured with the production plane-sizing rule
     * ([[graft.functions.Similarity.autoNumPlanes]]): the gate query q_v2
@@ -151,14 +167,33 @@ object ScaleBench {
     graft.functions.IvfIndex.knnJoinAuto(s, Tables.embeddings(s, d),
       corpusKey = d, k = 3, nprobe = 2)
 
+  /** Cell-bucketed semantic dedup — the production form of q_d10 (whose
+    * gate query is all-pairs ON PURPOSE for its exact-mode oracle):
+    * auto-sized IVF cells restrict the cosine pairs, clusters stay Pregel
+    * CC. DedupSpec pins that bucketed clusters refine the exact ones.
+    */
+  private def semanticDedupBucketed(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{Dedup, IvfIndex}
+    val embs = Tables.embeddings(s, d)
+    val model = IvfIndex.autoModel(s, embs, corpusKey = d)
+    Dedup.semanticDedup(embs, threshold = 0.3,
+      buckets = Some(IvfIndex.assignCells(embs, model)
+        .select(col("vec_id"), col("cell").as("bucket"))))
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_FAMILIES=ann → embeddings-only synthesis + only the ANN
+    // production queries: text replicas cap at 26× (Caesar wrap) but vector
+    // rotation stays distinct to dims−1, so ANN exponents get a 40×+ point
+    val annOnly = sys.env.get("SPARK_GRAFT_FAMILIES").contains("ann")
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
-      new java.io.File(sys.props("java.io.tmpdir"), s"graft-scale${factor}x").toString)
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-scale${factor}x${if (annOnly) "-ann" else ""}").toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scalebench")
@@ -174,11 +209,12 @@ object ScaleBench {
     // partial prior run or a dir built at another factor re-synthesizes
     val sentinel = new java.io.File(s"$scaleDir/_SYNTH_COMPLETE")
     val sentinelOk = sentinel.isFile &&
-      java.nio.file.Files.readString(sentinel.toPath) == s"base=$baseDir factor=$factor"
+      java.nio.file.Files.readString(sentinel.toPath) ==
+        sentinelContent(baseDir, factor, annOnly)
     if (!sentinelOk || sys.env.contains("SPARK_GRAFT_RESYNTH")) {
       System.err.println(s"[scale] synthesizing ${factor}x into $scaleDir")
       val t0 = System.nanoTime()
-      synthesize(spark, baseDir, scaleDir, factor)
+      synthesize(spark, baseDir, scaleDir, factor, annOnly)
       System.err.println(f"[scale] synthesis took ${(System.nanoTime() - t0) / 1e9}%.1fs")
     } else System.err.println(s"[scale] reusing $scaleDir")
 
@@ -193,10 +229,14 @@ object ScaleBench {
     val stale = scaleQueries.filterNot(gateQueries.contains)
     require(stale.isEmpty,
       s"ScaleBench.scaleQueries references unknown gate queries: ${stale.mkString(", ")}")
+    val annQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q_v2_knn_lsh_autoplanes" -> ((s: SparkSession, d: String) => lshAutoSized(s, d)),
+      "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d)))
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
-      (scaleQueries.map(n => n -> gateQueries(n)) ++ Seq(
-        "q_v2_knn_lsh_autoplanes" -> ((s: SparkSession, d: String) => lshAutoSized(s, d)),
-        "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d))))
+      (if (annOnly) annQueries
+       else scaleQueries.map(n => n -> gateQueries(n)) ++ annQueries ++ Seq(
+         "q_d10_semantic_bucketed" ->
+           ((s: SparkSession, d: String) => semanticDedupBucketed(s, d))))
         .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def run1(fn: (SparkSession, String) => DataFrame, d: String): Double = {

@@ -40,20 +40,20 @@ object IvfIndex {
     math.min(4096, math.max(4, cells))
   }
 
-  private def sqDistCol(centroid: Seq[Double]) = {
-    // |x - c|² = |x|² - 2·x·c + |c|² ; |x|² constant per row for argmin, so
-    // rank by (-2·x·c + |c|²)
-    val c2 = centroid.map(v => v * v).sum
-    VectorExprs.dot(col("embedding"), typedLit(centroid)) * lit(-2.0) + lit(c2)
-  }
+  // |x - c|² = |x|² - 2·x·c + |c|² ; |x|² constant per row for argmin, so
+  // cells rank by round(-2·x·c + |c|², 9), ties to the lower cell id. The
+  // ranking runs in the native [[NearestCells]] expression: the former
+  // array(struct(round(dist), cell) × cells) form generated code LINEAR in
+  // the cell count inside one unsplittable tree — past ~140 cells the
+  // containing method crossed the JVM 64 KB limit and the stage silently
+  // fell back to interpreted execution.
+  private def probeCol(model: Model, nprobe: Int) =
+    VectorExprs.nearestCells(col("embedding"),
+      model.centroids.flatten, model.centroids.head.length, nprobe)
 
   /** Nearest-cell id for each row given driver-side centroids. */
-  def assignCells(embs: DataFrame, model: Model): DataFrame = {
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(round(sqDistCol(c), 9).as("d"), lit(i).as("cell"))
-    }
-    embs.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
-  }
+  def assignCells(embs: DataFrame, model: Model): DataFrame =
+    embs.withColumn("cell", element_at(probeCol(model, 1), 1))
 
   /** Train a k-cell model: stride-sampled init + `iters` Lloyd steps. */
   def train(spark: SparkSession, embs: DataFrame, k: Int, iters: Int = 2): Model = {
@@ -197,15 +197,10 @@ object IvfIndex {
     */
   def knnJoin(embs: DataFrame, model: Model, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
-      struct(round(sqDistCol(c), 9).as("d"), lit(i).as("cell"))
-    }
     val probes = embs
       .select(col("vec_id"), col("embedding"),
-        slice(array_sort(array(scored: _*)), 1, nprobe).as("probes"))
-      .select(col("vec_id"), col("embedding"),
         VectorExprs.norm(col("embedding")).as("nrm"),
-        explode(col("probes.cell")).as("cell"))
+        explode(probeCol(model, nprobe)).as("cell"))
     val index = assignCells(embs, model).select(col("cell"),
       col("vec_id").as("vid_b"), col("embedding").as("emb_b"),
       VectorExprs.norm(col("embedding")).as("nrm_b"))
@@ -238,15 +233,21 @@ object IvfIndex {
     */
   def knnJoinAuto(spark: SparkSession, embs: DataFrame, corpusKey: String,
                   k: Int, nprobe: Int = 2, iters: Int = 2,
-                  cellScale: Double = 1.0): DataFrame = {
+                  cellScale: Double = 1.0): DataFrame =
+    knnJoin(embs, autoModel(spark, embs, corpusKey, iters, cellScale), k, nprobe)
+
+  /** The production model path behind [[knnJoinAuto]] (also used by cell-
+    * bucketed semantic dedup): autoNumCells(n) cells trained on a bounded
+    * hash sample, cached per (context, corpusKey, config).
+    */
+  def autoModel(spark: SparkSession, embs: DataFrame, corpusKey: String,
+                iters: Int = 2, cellScale: Double = 1.0): Model = {
     val n = embs.count()
     val cells = autoNumCells(n, cellScale)
     val targetSample = math.max(2000L, 20L * cells)
     val mod = math.max(1L, n / targetSample)
     val sample = embs.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
-    val model = ensureModel(spark, sample,
-      s"$corpusKey|auto|n=$n|mod=$mod", cells, iters)
-    knnJoin(embs, model, k, nprobe)
+    ensureModel(spark, sample, s"$corpusKey|auto|n=$n|mod=$mod", cells, iters)
   }
 
   /** Exact top-k within the `nprobe` cells nearest to the query vector. */

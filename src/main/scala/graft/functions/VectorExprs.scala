@@ -9,6 +9,55 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.types._
 
+/** Static kernels behind [[DotProduct]]'s generated code. A call site emits
+  * ~3 lines (`dotValid` guard + one `dot*` call) instead of an inlined
+  * ~14-line loop: plans that rank a row against MANY vector literals at once
+  * (IVF cell assignment is `cells` dot products in ONE projection) otherwise
+  * blow the JVM's 64 KB method limit around ~140 cells and silently throw
+  * whole-stage codegen into interpreted fallback — a 10x+ regression exactly
+  * where the plan is hottest. The JIT inlines these static calls, and the
+  * loops are the SAME element-order double accumulation as the previous
+  * inline form, so results stay bit-identical.
+  */
+object VecKernels {
+  /** Lengths equal and (when the schema allows null elements) no element
+    * null — the validity contract shared by eval and codegen.
+    */
+  def dotValid(a: ArrayData, b: ArrayData, checkNulls: Boolean): Boolean = {
+    val n = a.numElements()
+    if (n != b.numElements()) return false
+    if (checkNulls) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return false
+        i += 1
+      }
+    }
+    true
+  }
+
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); var acc = 0.0d; var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); var acc = 0.0d; var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
+    acc
+  }
+  def dotDF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); var acc = 0.0d; var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); var acc = 0.0d; var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+}
+
 /** Native codegen'd vector dot product over `array<float>`/`array<double>`
   * columns, accumulating in Double in element order.
   *
@@ -45,50 +94,36 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"dot_product requires array<float|double> args, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
 
+  private def kernelName: String = {
+    val a = if (elemType(left).get == FloatType) "F" else "D"
+    val b = if (elemType(right).get == FloatType) "F" else "D"
+    s"dot$a$b"
+  }
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (a.numElements() != b.numElements()) return null
-    val n = a.numElements()
-    val at = elemType(left).get
-    val bt = elemType(right).get
-    val checkNulls = mayHaveNullElems
-    var acc = 0.0d
-    var i = 0
-    while (i < n) {
-      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
-      val x = if (at == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bt == FloatType) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
-      i += 1
+    if (!VecKernels.dotValid(a, b, mayHaveNullElems)) return null
+    kernelName match {
+      case "dotFF" => VecKernels.dotFF(a, b)
+      case "dotFD" => VecKernels.dotFD(a, b)
+      case "dotDF" => VecKernels.dotDF(a, b)
+      case _ => VecKernels.dotDD(a, b)
     }
-    acc
   }
 
+  // compact call-site codegen (see [[VecKernels]]): an inline loop per dot
+  // is ~14 lines, and cell-assignment plans emit one dot PER CENTROID in a
+  // single method — inline loops cross the 64 KB method limit around ~140
+  // cells and drop the whole stage to interpreted fallback
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val aGet = if (elemType(left).get == FloatType) s"$a.getFloat($i)" else s"$a.getDouble($i)"
-      val bGet = if (elemType(right).get == FloatType) s"$b.getFloat($i)" else s"$b.getDouble($i)"
-      val nullCheck =
-        if (mayHaveNullElems)
-          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-        else ""
+      val k = "graft.functions.VecKernels"
       s"""
-         |if ($a.numElements() != $b.numElements()) {
+         |if (!$k.dotValid($a, $b, $mayHaveNullElems)) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $n = $a.numElements();
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullCheck
-         |    $acc += ((double) $aGet) * ((double) $bGet);
-         |  }
-         |  if (!${ev.isNull}) {
-         |    ${ev.value} = $acc;
-         |  }
+         |  ${ev.value} = $k.$kernelName($a, $b);
          |}
        """.stripMargin
     })
@@ -186,6 +221,123 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
   override def prettyName: String = "int_dot_product"
 }
 
+/** Native IVF cell ranking: ONE expression scores a vector against every
+  * centroid and returns the `nprobe` nearest cell ids, ascending by
+  * (score, cell). Replaces the `array_sort(array(struct(round(dist, 9),
+  * cell) × cells))` construction, whose generated code grows LINEARLY in
+  * the cell count inside one unsplittable expression tree — past ~140
+  * cells the containing method crosses the JVM's 64 KB limit and the whole
+  * stage silently drops to interpreted fallback. Here the centroid matrix
+  * rides as a reference object and the generated call site is constant
+  * size, so auto-sized cell counts (√n) never hit the cliff.
+  *
+  * Scores are bit-identical to the replaced plan: the same element-order
+  * dot accumulation and Spark's `round(x, 9)` double semantics
+  * (BigDecimal HALF_UP, NaN/Infinity passed through), with ties broken by
+  * lower cell id exactly like the lexicographic struct sort.
+  */
+case class NearestCells(child: Expression, centroids: Seq[Double], dims: Int,
+                        nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(dims > 0, s"dims must be > 0 (got $dims)")
+  require(centroids.nonEmpty && centroids.length % dims == 0,
+    s"centroids length ${centroids.length} must be a positive multiple of dims $dims")
+  require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+
+  @transient private lazy val flat: Array[Double] = centroids.toArray
+  @transient private lazy val numCells: Int = flat.length / dims
+  @transient private lazy val cNorm2: Array[Double] = {
+    val out = new Array[Double](numCells)
+    var c = 0
+    while (c < numCells) {
+      var s = 0.0d
+      var j = 0
+      while (j < dims) { val v = flat(c * dims + j); s += v * v; j += 1 }
+      out(c) = s
+      c += 1
+    }
+    out
+  }
+  @transient private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val checkNulls = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires array<float|double>, got ${t.catalogString}")
+  }
+
+  // Spark's Round(x, 9) on DoubleType — scores must not drift from the
+  // previous round(sqDist, 9) plan by an ulp, or tie-breaks change
+  private def round9(x: Double): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The kernel (also the codegen target): null on wrong dims / null
+    * element (the [[VecKernels.dotValid]] contract).
+    */
+  def nearest(ad: ArrayData): ArrayData = {
+    if (ad.numElements() != dims) return null
+    if (checkNulls) {
+      var i = 0
+      while (i < dims) { if (ad.isNullAt(i)) return null; i += 1 }
+    }
+    val k = math.min(nprobe, numCells)
+    // k-slot insertion selection: nprobe is small, cells ≤ 4096 — O(cells·k)
+    // with zero allocation beyond the two slot arrays
+    val selScore = Array.fill(k)(Double.PositiveInfinity)
+    val selCell = Array.fill(k)(Int.MaxValue)
+    var c = 0
+    while (c < numCells) {
+      val base = c * dims
+      var dot = 0.0d
+      var j = 0
+      if (isFloat) while (j < dims) { dot += ad.getFloat(j).toDouble * flat(base + j); j += 1 }
+      else while (j < dims) { dot += ad.getDouble(j) * flat(base + j); j += 1 }
+      val s = round9(-2.0d * dot + cNorm2(c))
+      if (s < selScore(k - 1) || (s == selScore(k - 1) && c < selCell(k - 1))) {
+        var p = k - 1
+        while (p > 0 && (s < selScore(p - 1) ||
+          (s == selScore(p - 1) && c < selCell(p - 1)))) {
+          selScore(p) = selScore(p - 1)
+          selCell(p) = selCell(p - 1)
+          p -= 1
+        }
+        selScore(p) = s
+        selCell(p) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(selCell)
+  }
+
+  override def nullSafeEval(input: Any): Any = nearest(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCells", this, classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = $ref.nearest($a);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_cells"
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
@@ -194,4 +346,10 @@ object VectorExprs {
 
   def intDot(a: Column, b: Column): Column =
     GraftSqlBridge.column(IntDotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** `nprobe` nearest centroid ids for each row's vector (see [[NearestCells]]). */
+  def nearestCells(emb: Column, flatCentroids: Seq[Double], dims: Int,
+                   nprobe: Int): Column =
+    GraftSqlBridge.column(NearestCells(GraftSqlBridge.expression(emb),
+      flatCentroids, dims, nprobe))
 }

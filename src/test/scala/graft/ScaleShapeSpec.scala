@@ -162,6 +162,24 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     topkPlan should include("TakeOrderedAndProject")
   }
 
+  test("redaction is shuffle-free; intra-doc dedup stays doc-keyed (no cross-doc pairs)") {
+    import graft.functions.{Dedup, TextOps}
+    val docs = Tables.documents(spark, sfDir)
+    // redactPii is one projection of codegen'd regexp calls — an accidental
+    // exchange would move the whole corpus text to do per-row regex work
+    val rplan = TextOps.redactPii(docs).queryExecution.executedPlan.toString
+    rplan should not include "Exchange"
+    // intraDocDedup joins only on (doc_id, …) equi-keys: a cross-doc pair
+    // plan (cartesian / nested-loop) would be quadratic in the corpus; the
+    // covered-position subtraction must be the LeftAnti equi-join
+    val d = Dedup.intraDocDedup(docs, k = 3)
+    d.collect()
+    val dplan = d.queryExecution.executedPlan.toString
+    dplan should not include "CartesianProduct"
+    dplan should not include "BroadcastNestedLoopJoin"
+    dplan should include("LeftAnti")
+  }
+
   test("self-join operators reuse the shuffled subtree instead of recomputing it") {
     import graft.functions.{Dedup, Similarity}
     val docs = Tables.documents(spark, sfDir)
