@@ -9,55 +9,6 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.types._
 
-/** Static kernels behind [[DotProduct]]'s generated code. A call site emits
-  * ~3 lines (`dotValid` guard + one `dot*` call) instead of an inlined
-  * ~14-line loop: plans that rank a row against MANY vector literals at once
-  * (IVF cell assignment is `cells` dot products in ONE projection) otherwise
-  * blow the JVM's 64 KB method limit around ~140 cells and silently throw
-  * whole-stage codegen into interpreted fallback — a 10x+ regression exactly
-  * where the plan is hottest. The JIT inlines these static calls, and the
-  * loops are the SAME element-order double accumulation as the previous
-  * inline form, so results stay bit-identical.
-  */
-object VecKernels {
-  /** Lengths equal and (when the schema allows null elements) no element
-    * null — the validity contract shared by eval and codegen.
-    */
-  def dotValid(a: ArrayData, b: ArrayData, checkNulls: Boolean): Boolean = {
-    val n = a.numElements()
-    if (n != b.numElements()) return false
-    if (checkNulls) {
-      var i = 0
-      while (i < n) {
-        if (a.isNullAt(i) || b.isNullAt(i)) return false
-        i += 1
-      }
-    }
-    true
-  }
-
-  def dotFF(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements(); var acc = 0.0d; var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    acc
-  }
-  def dotFD(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements(); var acc = 0.0d; var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getDouble(i); i += 1 }
-    acc
-  }
-  def dotDF(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements(); var acc = 0.0d; var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getFloat(i).toDouble; i += 1 }
-    acc
-  }
-  def dotDD(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements(); var acc = 0.0d; var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
-    acc
-  }
-}
-
 /** Native codegen'd vector dot product over `array<float>`/`array<double>`
   * columns, accumulating in Double in element order.
   *
@@ -94,36 +45,60 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       s"dot_product requires array<float|double> args, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
 
-  private def kernelName: String = {
-    val a = if (elemType(left).get == FloatType) "F" else "D"
-    val b = if (elemType(right).get == FloatType) "F" else "D"
-    s"dot$a$b"
-  }
-
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (!VecKernels.dotValid(a, b, mayHaveNullElems)) return null
-    kernelName match {
-      case "dotFF" => VecKernels.dotFF(a, b)
-      case "dotFD" => VecKernels.dotFD(a, b)
-      case "dotDF" => VecKernels.dotDF(a, b)
-      case _ => VecKernels.dotDD(a, b)
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    val at = elemType(left).get
+    val bt = elemType(right).get
+    val checkNulls = mayHaveNullElems
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
+      val x = if (at == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bt == FloatType) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
     }
+    acc
   }
 
-  // compact call-site codegen (see [[VecKernels]]): an inline loop per dot
-  // is ~14 lines, and cell-assignment plans emit one dot PER CENTROID in a
-  // single method — inline loops cross the 64 KB method limit around ~140
-  // cells and drop the whole stage to interpreted fallback
+  // INLINE loop per call site, deliberately: a shared static kernel was
+  // measured ~25% slower on the n²-pair exhaustive queries (megamorphic
+  // ArrayData dispatch + call/exception-region overhead in the join's hot
+  // loop defeat the monomorphic inlining each generated call site gets).
+  // The flip side — generated-code size LINEAR in dots-per-tree — crossed
+  // the JVM's 64 KB method limit when IVF cell ranking emitted one dot per
+  // centroid (~140+); that many-dot shape now lives in [[NearestCells]]
+  // (constant-size codegen). Plans composing MANY DotProducts in one
+  // projection (e.g. hyperplane bucketing at extreme plane counts) must
+  // follow the same pattern rather than stacking hundreds of these.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val k = "graft.functions.VecKernels"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val aGet = if (elemType(left).get == FloatType) s"$a.getFloat($i)" else s"$a.getDouble($i)"
+      val bGet = if (elemType(right).get == FloatType) s"$b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |if (!$k.dotValid($a, $b, $mayHaveNullElems)) {
+         |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $k.$kernelName($a, $b);
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += ((double) $aGet) * ((double) $bGet);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })
@@ -284,7 +259,7 @@ case class NearestCells(child: Expression, centroids: Seq[Double], dims: Int,
       .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** The kernel (also the codegen target): null on wrong dims / null
-    * element (the [[VecKernels.dotValid]] contract).
+    * element (the [[DotProduct]] null contract).
     */
   def nearest(ad: ArrayData): ArrayData = {
     if (ad.numElements() != dims) return null
