@@ -106,4 +106,45 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     r6 should be >= 0.85
     r6 should be > r4
   }
+
+  test("NearestCells matches the struct-sort formulation it replaced (incl. ties)") {
+    // the expression replaced array_sort(array(struct(round(-2·x·c+|c|²,9),
+    // cell) × cells)) — pin equality against that formulation rebuilt
+    // inline, on the real fixture AND on a tie-heavy synthetic corpus
+    // (identical centroids force (score, cell) tie-breaks)
+    import org.apache.spark.sql.functions.{array, array_sort, lit, round => sround, slice, struct, typedLit}
+    def oldForm(embs: org.apache.spark.sql.DataFrame,
+                model: IvfIndex.Model, nprobe: Int) = {
+      val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+        val c2 = c.map(v => v * v).sum
+        struct(sround(VectorExprs.dot(col("embedding"), typedLit(c)) * lit(-2.0) + lit(c2), 9).as("d"),
+          lit(i).as("cell"))
+      }
+      embs.select(col("vec_id"),
+        slice(array_sort(array(scored: _*)), 1, nprobe).getField("cell").as("cells"))
+    }
+    def newForm(embs: org.apache.spark.sql.DataFrame,
+                model: IvfIndex.Model, nprobe: Int) =
+      embs.select(col("vec_id"),
+        VectorExprs.nearestCells(col("embedding"),
+          model.centroids.flatten, model.centroids.head.length, nprobe).as("cells"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(spark, embs, k = 8, iters = 2)
+    rows(newForm(embs, model, 3)) shouldBe rows(oldForm(embs, model, 3))
+    // tie-heavy: duplicate centroids → equal scores → lower cell id wins
+    val dupModel = IvfIndex.Model(Vector(
+      Vector(1.0, 0.0), Vector(1.0, 0.0), Vector(0.0, 1.0), Vector(0.0, 1.0)))
+    import spark.implicits._
+    val tiny = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.1f, 0.9f)), (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    rows(newForm(tiny, dupModel, 4)) shouldBe rows(oldForm(tiny, dupModel, 4))
+    rows(newForm(tiny, dupModel, 4))(1L) shouldBe Seq(0, 1, 2, 3)
+    // null element / wrong dims → NULL (not garbage ranking)
+    val bad = Seq((1L, Seq(Option(0.9f), None)), (2L, Seq(Option(0.1f)))).toDF("vec_id", "embedding")
+    bad.select(VectorExprs.nearestCells(col("embedding"),
+        dupModel.centroids.flatten, 2, 2).as("cells"))
+      .collect().foreach(_.isNullAt(0) shouldBe true)
+  }
 }
