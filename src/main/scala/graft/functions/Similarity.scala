@@ -165,15 +165,19 @@ object Similarity {
   private def lshTopKKnownDims(embs: DataFrame, numPlanes: Int, k: Int,
                                reps: Int, d: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val repBuckets = array((0 until reps).map { r =>
-      (0 until numPlanes).map { p =>
-        when(dot(col("embedding"), typedLit(planeVector(r * numPlanes + p, d))) >= 0,
-          lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    // ONE native expression computes all reps×numPlanes projections
+    // (HyperplaneBuckets): the per-plane when(dot≥0,…) tree generated code
+    // linear in the plane count, and at auto-sized plane counts the method
+    // crossed HotSpot's ~8 KB huge-method JIT limit — janino still
+    // compiled, Spark reported nothing, and the stage quietly ran in the
+    // JVM interpreter at 2-3× the cost (measured; see SCALE.md). Bucket
+    // values are bit-identical (same dot accumulation order, same ≥ 0 bit
+    // test) — pinned by the q_v2 oracle and SimilaritySpec parity.
+    val flatPlanes = (0 until reps * numPlanes).flatMap(p => planeVector(p, d))
     val bk = embs
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-        posexplode(repBuckets).as(Seq("rep", "bucket")))
+        posexplode(VectorExprs.hyperplaneBuckets(col("embedding"), flatPlanes, d,
+          numPlanes, reps)).as(Seq("rep", "bucket")))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
     // shuffle-hash SELF-join via plan aliases (not rename projections — a
     // rename side canonicalizes differently and defeats exchange reuse):

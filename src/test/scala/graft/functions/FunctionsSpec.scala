@@ -680,6 +680,33 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(6L).isNullAt(2) shouldBe true
   }
 
+  test("HyperplaneBuckets matches the per-plane when(dot>=0) form it replaced") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val d = embs.select(org.apache.spark.sql.functions.size($"embedding"))
+      .head().getInt(0)
+    val reps = 4
+    val planes = 4
+    val oldForm = embs.select($"vec_id", array((0 until reps).map { r =>
+      (0 until planes).map { p =>
+        when(VectorExprs.dot($"embedding",
+          typedLit(Similarity.planeVector(r * planes + p, d))) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*).as("bks"))
+    val flat = (0 until reps * planes).flatMap(p => Similarity.planeVector(p, d))
+    val newForm = embs.select($"vec_id",
+      VectorExprs.hyperplaneBuckets($"embedding", flat, d, planes, reps).as("bks"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows(newForm) shouldBe rows(oldForm)
+    // null element / wrong dims → NULL row, not an all-zero bucket
+    val bad = Seq((1L, Seq(Option(0.9f), None)), (2L, Seq(Option(0.1f))))
+      .toDF("vec_id", "embedding")
+    bad.select(VectorExprs.hyperplaneBuckets($"embedding",
+        (0 until 8).map(_.toDouble), 2, 2, 2).as("bks"))
+      .collect().foreach(_.isNullAt(0) shouldBe true)
+  }
+
   test("auto-sized ANN defaults take the production sizing path") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = embs.count()
