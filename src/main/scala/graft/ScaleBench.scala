@@ -53,7 +53,7 @@ object ScaleBench {
     "q_v4_knn_join", "q_v7_ivf_indexed", "q_v8_label_centroids",
     "q_v10_quantized_topk",
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
-    "q_sp4_mixture_weights",
+    "q_sp4_mixture_weights", "q_sp5_grouped_split",
     "q_m1_media_features", "q_m2_frame_sample")
 
   // langid/quality gate vocabulary that must SURVIVE the Caesar shift: if

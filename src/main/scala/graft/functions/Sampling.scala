@@ -62,6 +62,28 @@ object Sampling {
       .drop(rn)
   }
 
+  /** Leakage-safe train/val/test split: the split is a pure function of a
+    * GROUP key, not the row id, so every member of a group (typically the
+    * near-duplicate cluster id from [[Dedup.duplicateClusters]] /
+    * [[Dedup.semanticDedup]]) lands in the SAME split — near-dups of a
+    * test document can never leak into train, the failure mode row-level
+    * splitting has on any corpus with duplicates. Same md5 hash gate as
+    * [[hashSample]]: reproducible across engines/runs/partitionings, one
+    * codegen'd projection, no shuffle beyond whatever produced the group
+    * column. Adds a `split` column ('train' | 'val' | 'test').
+    */
+  def groupedSplit(df: DataFrame, groupCol: String,
+                   trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac >= 0.0 && valFrac >= 0.0 && trainFrac + valFrac <= 1.0,
+      s"fractions must be non-negative with trainFrac+valFrac <= 1 " +
+        s"(got $trainFrac, $valFrac)")
+    val h = hashKey(col(groupCol))
+    df.withColumn("split",
+      when(h < lit((trainFrac * 4294967296.0).toLong), lit("train"))
+        .when(h < lit(((trainFrac + valFrac) * 4294967296.0).toLong), lit("val"))
+        .otherwise(lit("test")))
+  }
+
   /** Deterministic token-budget packing: hash docs into `bins` (the output
     * shards), order each bin by the id hash (a reproducible shuffle), and
     * keep each bin's prefix whose running token total stays within

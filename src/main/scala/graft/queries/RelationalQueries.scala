@@ -561,6 +561,21 @@ object RelationalQueries {
           "doc_id", "text", budgetPerBin = 2000L, bins = 8)
         .orderBy(col("doc_id"))),
 
+    "q_sp5_grouped_split" -> ((s, d) => {
+      // leakage-safe train/val/test split: assigned per near-duplicate
+      // CLUSTER (GraphX CC over minhash+LSH candidates — the q_d7
+      // pipeline), so duplicates of a test doc can never sit in train.
+      // Pairs persisted for GraphX's multi-materialization (q_d7 note).
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(docs, "text",
+          k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.functions.Sampling.groupedSplit(
+          Dedup.duplicateClusters(docs.select(col("doc_id")), pairs),
+          "cluster_id", trainFrac = 0.8, valFrac = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup --------------------------------------------------------------
     "q_d1_exact_dup" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d))
@@ -1527,6 +1542,41 @@ object RelationalQueries {
          FROM documents, generate_series(0, 3) t(i)
          WHERE length(text) > i*32
          ORDER BY 1, 2""",
+
+    "q_sp5_grouped_split" ->
+      // the q_d7 cluster CTE + the md5 hash gate on the CLUSTER id; the
+      // 3435973836/3865470566 bounds are the exact IEEE longs the Spark
+      // side computes from (0.8, 0.8+0.1)·2^32
+      """WITH RECURSIVE
+           sh AS (
+             SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+           sig AS (
+             SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
+               FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
+             FROM sh WHERE len(shingles) > 0),
+           banded AS (
+             SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
+             FROM sig, generate_series(0, 3) t(b)),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           e AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+           r AS (
+             SELECT doc_id AS doc, doc_id AS root FROM documents
+             UNION
+             SELECT e.b AS doc, r.root FROM r JOIN e ON e.a = r.doc),
+           c AS (SELECT doc AS doc_id, min(root)::BIGINT AS cluster_id
+                 FROM r GROUP BY 1)
+         SELECT doc_id, cluster_id,
+                CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT < 3435973836
+                     THEN 'train'
+                     WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT < 3865470566
+                     THEN 'val'
+                     ELSE 'test' END AS split
+         FROM c ORDER BY doc_id""",
 
     "q_d10_semantic_dedup" ->
       // exact-mode SemDeDup: all-pairs cosine >= 0.3 (same round-4 formula

@@ -680,6 +680,28 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(6L).isNullAt(2) shouldBe true
   }
 
+  test("groupedSplit keeps every group member in one split (leakage-safe)") {
+    // near-dup clusters over the real fixture: no cluster may straddle
+    // splits — row-level splitting would leak near-dups of test docs into
+    // train on any corpus with duplicates
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashCandidates(docs, "text", 3, 4, 2, Dedup.md5Hasher)
+      .persist()
+    val clusters = Dedup.duplicateClusters(docs.select($"doc_id"), pairs)
+    val split = Sampling.groupedSplit(clusters, "cluster_id", 0.8, 0.1)
+    split.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).count() shouldBe 0L
+    // all rows kept, all three splits realized at plausible fractions
+    split.count() shouldBe docs.count()
+    val bySplit = split.groupBy($"split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySplit.keySet shouldBe Set("train", "val", "test")
+    bySplit("train").toDouble / docs.count() should be (0.8 +- 0.1)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.groupedSplit(clusters, "cluster_id", 0.8, 0.3)
+  }
+
   test("HyperplaneBuckets matches the per-plane when(dot>=0) form it replaced") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val d = embs.select(org.apache.spark.sql.functions.size($"embedding"))
