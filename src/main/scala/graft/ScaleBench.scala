@@ -49,7 +49,7 @@ object ScaleBench {
     "q_t12_intra_doc_dedup", "q_t13_redact_pii",
     "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",
-    "q_d9_stream_parity",
+    "q_d9_stream_parity", "q_d11_simhash_neardup",
     "q_v4_knn_join", "q_v7_ivf_indexed", "q_v8_label_centroids",
     "q_v10_quantized_topk",
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",

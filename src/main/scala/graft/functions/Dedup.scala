@@ -199,6 +199,43 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate PAIRS with hamming distance <= `maxDist`, via
+    * pigeonhole banding (the Manku/Jain/Sarma WWW'07 shape): split the
+    * 32-bit signature into `maxDist + 1` bit bands — two signatures within
+    * `maxDist` differing bits MUST agree exactly on at least one band — and
+    * equi-join on (band, band value), then verify the full hamming distance
+    * per candidate. Complements [[simhashes]] (which only computes
+    * signatures): candidate generation is a bucketed self-join like
+    * [[minhashCandidates]] (shuffle-hash + ReusedExchange, skewed buckets
+    * are AQE's case), never all-pairs, so the same plan holds when the
+    * corpus no longer fits anywhere whole. Returns (doc_a, doc_b, hamming)
+    * with doc_a < doc_b, deduplicated across bands.
+    */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+                      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32,
+      s"maxDist must be in [0, 32) (got $maxDist)")
+    val bands = maxDist + 1
+    val sigs = simhashes(docs, "doc_id", "text", tokenHash)
+    // band b covers bits [32·b/bands, 32·(b+1)/bands) — any partition into
+    // maxDist+1 bands preserves the pigeonhole guarantee, so uneven widths
+    // from a non-dividing band count are fine
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map { b =>
+        val lo = 32 * b / bands
+        val hi = 32 * (b + 1) / bands
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+      }: _*)).as(Seq("band", "bval")))
+    val a = banded.alias("a").hint("shuffle_hash")
+    a.join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** Duplicate-cluster formation: turn a near-dup PAIR list into per-doc
     * cluster labels (min doc id of each connected component) via GraphX
     * connected components — Pregel min-label propagation, the shape that

@@ -604,6 +604,14 @@ object RelationalQueries {
         k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q_d11_simhash_neardup" -> ((s, d) =>
+      // SimHash near-dup pairs via pigeonhole banding (hamming <= 3 →
+      // 4 bands, one must match exactly): bucketed equi-join candidates +
+      // per-candidate hamming verify; md5 token hash for oracle parity
+      Dedup.simhashNearDups(Tables.documents(s, d), maxDist = 3,
+          tokenHash = Dedup.md5Hash32)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "q_d5_embed_neardup" -> ((s, d) => {
       // threshold calibrated to the synthetic corpus (random embeddings peak
       // ~0.48 cosine) so the operator produces verifiable pairs.
@@ -1471,6 +1479,29 @@ object RelationalQueries {
                                THEN 1::BIGINT << b ELSE 0::BIGINT END
                           FOR b IN generate_series(0, 31)])::BIGINT AS simhash
          FROM hs ORDER BY 1""",
+
+    "q_d11_simhash_neardup" ->
+      // the q_d3 simhash formulation + 4 byte-bands, equi-join on
+      // (band, value), full-hamming verify at <= 3 via bit_count(xor)
+      """WITH hs AS (
+           SELECT doc_id, [('0x'||substr(md5(t),1,8))::BIGINT
+             FOR t IN list_distinct(string_split(text,' '))] AS h
+           FROM documents),
+         sg AS (
+           SELECT doc_id,
+                  list_sum([CASE WHEN len(list_filter(h, x -> (x >> b) & 1 = 1)) * 2 >= len(h)
+                                 THEN 1::BIGINT << b ELSE 0::BIGINT END
+                            FOR b IN generate_series(0, 31)])::BIGINT AS simhash
+           FROM hs),
+         banded AS (
+           SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bval
+           FROM sg, generate_series(0, 3) t(b))
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                bit_count(xor(x.simhash, y.simhash)) AS hamming
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         ORDER BY 1, 2""",
 
     "q_d4_lsh_candidates" ->
       """WITH sh AS (

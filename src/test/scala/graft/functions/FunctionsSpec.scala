@@ -680,6 +680,25 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(6L).isNullAt(2) shouldBe true
   }
 
+  test("simhashNearDups banding is pigeonhole-COMPLETE at hamming <= maxDist") {
+    // banding is an optimization, not an approximation: candidates from the
+    // (maxDist+1)-band equi-join must contain EVERY pair within maxDist —
+    // compare against the brute-force pair set on the real fixture
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sigs = Dedup.simhashes(docs, "doc_id", "text", Dedup.md5Hash32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, sa) <- sigs
+      (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashNearDups(docs, maxDist = 3, Dedup.md5Hash32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    banded shouldBe brute
+    // the fixture carries exact duplicates (q_d1), so hamming-0 pairs exist
+    brute should not be empty
+  }
+
   test("groupedSplit keeps every group member in one split (leakage-safe)") {
     // near-dup clusters over the real fixture: no cluster may straddle
     // splits — row-level splitting would leak near-dups of test docs into
