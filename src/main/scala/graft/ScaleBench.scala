@@ -236,7 +236,13 @@ object ScaleBench {
       (if (annOnly) annQueries
        else scaleQueries.map(n => n -> gateQueries(n)) ++ annQueries ++ Seq(
          "q_d10_semantic_bucketed" ->
-           ((s: SparkSession, d: String) => semanticDedupBucketed(s, d))))
+           ((s: SparkSession, d: String) => semanticDedupBucketed(s, d)),
+         // production simhash near-dup: 64-bit signatures → 16-bit bands
+         // hold per-band occupancy 256× below the oracle-parity 32-bit gate
+         // form, whose fixed 8-bit bands go quadratic as the corpus grows
+         "q_d11_simhash64" -> ((s: SparkSession, d: String) =>
+           graft.functions.Dedup.simhashNearDups(Tables.documents(s, d),
+             maxDist = 3))))
         .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def run1(fn: (SparkSession, String) => DataFrame, d: String): Double = {

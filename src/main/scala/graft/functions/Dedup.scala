@@ -163,15 +163,19 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash signatures for every doc: 32-bit value from per-bit majority
-    * vote over distinct-token hashes. Explode + one aggregation with 32
-    * conditional counters — single shuffle, all codegen'd.
+  /** SimHash signatures for every doc: `bits`-wide value from per-bit
+    * majority vote over distinct-token hashes. Explode + one aggregation
+    * with `bits` conditional counters — single shuffle, all codegen'd.
     * Returns (idCol, simhash: long). `tokenHash` defaults to codegen'd
     * xxhash64 (production); pass [[md5Hash32]] for an engine-portable
-    * signature the DuckDB oracle can reproduce.
+    * signature the DuckDB oracle can reproduce. Keep `bits` = 32 with
+    * md5Hash32 (a 32-bit hash feeds no higher bits); production near-dup
+    * banding wants 64 (see [[simhashNearDups]]).
     */
   def simhashes(docs: DataFrame, idCol: String, textCol: String,
-                tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+                tokenHash: Column => Column = xxhash64(_),
+                bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64] (got $bits)")
     val exploded = Spread.forExplode(docs, col(idCol))
       .select(col(idCol), explode_outer(array_distinct(split(col(textCol), " "))).as("tok"))
       // null token (NULL text) must hash to null so `total` below counts 0:
@@ -180,11 +184,13 @@ object Dedup {
       .select(col(idCol),
         when(col("tok").isNull, lit(null).cast("long"))
           .otherwise(tokenHash(col("tok"))).as("h"))
-    val bitCounts = (0 until 32).map(bit =>
+    val bitCounts = (0 until bits).map(bit =>
       count_if(col("h").bitwiseAND(lit(1L << bit)) =!= 0).as(s"ones_$bit"))
     val agged = exploded.groupBy(col(idCol))
       .agg(count(col("h")).as("total"), bitCounts: _*)
-    val sig = (0 until 32).map { bit =>
+    // summing distinct powers of two never carries, so bit 63 (the sign
+    // bit) is safe — a negative long is a fine fingerprint
+    val sig = (0 until bits).map { bit =>
       when(col(s"ones_$bit") * 2 >= col("total"), lit(1L << bit)).otherwise(lit(0L))
     }.reduce(_ + _)
     // NULL text explodes to a single null token → total = 0 and every
@@ -212,19 +218,30 @@ object Dedup {
     * with doc_a < doc_b, deduplicated across bands.
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
-                      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32,
-      s"maxDist must be in [0, 32) (got $maxDist)")
+                      tokenHash: Column => Column = xxhash64(_),
+                      bits: Int = 64): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist must be in [0, bits) (got $maxDist of $bits)")
     val bands = maxDist + 1
-    val sigs = simhashes(docs, "doc_id", "text", tokenHash)
-    // band b covers bits [32·b/bands, 32·(b+1)/bands) — any partition into
-    // maxDist+1 bands preserves the pigeonhole guarantee, so uneven widths
-    // from a non-dividing band count are fine
+    val sigs = simhashes(docs, "doc_id", "text", tokenHash, bits)
+    // band b covers bits [bits·b/bands, bits·(b+1)/bands) — any partition
+    // into maxDist+1 bands preserves the pigeonhole guarantee, so uneven
+    // widths from a non-dividing band count are fine. Band WIDTH is the
+    // scale lever: a band's value space is 2^width, and per-band bucket
+    // occupancy is n/2^width, so with a FIXED signature width the candidate
+    // volume grows quadratically in n (the q_d11 gate keeps 32-bit/8-bit
+    // bands for oracle parity — measured 9.5× at 10× data); production
+    // defaults to 64-bit signatures whose 16-bit bands hold occupancy 256×
+    // lower at the same corpus size (measured linear, see SCALE.md).
     val banded = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map { b =>
-        val lo = 32 * b / bands
-        val hi = 32 * (b + 1) / bands
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+        val lo = bits * b / bands
+        val hi = bits * (b + 1) / bands
+        val width = hi - lo
+        val mask = if (width >= 64) lit(-1L) else lit((1L << width) - 1)
+        // LOGICAL shift: bit 63 of a 64-bit signature sets the sign, and an
+        // arithmetic shiftright would smear it across every higher band
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask)
       }: _*)).as(Seq("band", "bval")))
     val a = banded.alias("a").hint("shuffle_hash")
     a.join(banded.alias("b"),

@@ -608,8 +608,11 @@ object RelationalQueries {
       // SimHash near-dup pairs via pigeonhole banding (hamming <= 3 →
       // 4 bands, one must match exactly): bucketed equi-join candidates +
       // per-candidate hamming verify; md5 token hash for oracle parity
+      // bits = 32 here for oracle parity (md5Hash32 is a 32-bit hash);
+      // production defaults to 64-bit signatures — the fixed-width banding
+      // scale story is measured in SCALE.md
       Dedup.simhashNearDups(Tables.documents(s, d), maxDist = 3,
-          tokenHash = Dedup.md5Hash32)
+          tokenHash = Dedup.md5Hash32, bits = 32)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "q_d5_embed_neardup" -> ((s, d) => {

@@ -692,11 +692,26 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       (ib, sb) <- sigs
       if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
     } yield (ia, ib)).toSet
-    val banded = Dedup.simhashNearDups(docs, maxDist = 3, Dedup.md5Hash32)
+    val banded = Dedup.simhashNearDups(docs, maxDist = 3, Dedup.md5Hash32, bits = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     banded shouldBe brute
     // the fixture carries exact duplicates (q_d1), so hamming-0 pairs exist
     brute should not be empty
+    // production default: 64-bit signatures (xxhash64), same completeness —
+    // incl. band extraction across the sign bit (logical shift, not
+    // arithmetic: a sign-smearing band would merge unrelated buckets AND
+    // break completeness only silently at scale)
+    val sigs64 = Dedup.simhashes(docs, "doc_id", "text", bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    sigs64.exists(_._2 < 0) shouldBe true // bit 63 is actually exercised
+    val brute64 = (for {
+      (ia, sa) <- sigs64
+      (ib, sb) <- sigs64
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val banded64 = Dedup.simhashNearDups(docs, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    banded64 shouldBe brute64
   }
 
   test("groupedSplit keeps every group member in one split (leakage-safe)") {
