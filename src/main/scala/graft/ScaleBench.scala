@@ -242,7 +242,12 @@ object ScaleBench {
          // form, whose fixed 8-bit bands go quadratic as the corpus grows
          "q_d11_simhash64" -> ((s: SparkSession, d: String) =>
            graft.functions.Dedup.simhashNearDups(Tables.documents(s, d),
-             maxDist = 3))))
+             maxDist = 3)),
+         // production intra-doc dedup: hash-width gram shuffle keys instead
+         // of k-token strings (output spec-pinned identical)
+         "q_t12_hashkeys" -> ((s: SparkSession, d: String) =>
+           graft.functions.Dedup.intraDocDedup(Tables.documents(s, d),
+             k = 3, hashGramKeys = true))))
         .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def run1(fn: (SparkSession, String) => DataFrame, d: String): Double = {

@@ -286,24 +286,30 @@ object Dedup {
     * window per (doc, gram), one explode of covered spans, one anti-join on
     * (doc, pos), one per-doc aggregation — every stage is a shuffle-
     * partitionable equi-key plan keyed by doc_id (+gram), never all-pairs.
-    * Shuffles carry k-token gram strings; at 100 TB substitute
-    * `xxhash64(gram)` for the gram key (same plan, hash-width keys) — the
-    * string key stays here for cross-engine oracle parity.
+    * With `hashGramKeys` the (doc, gram) window and shuffle key is the
+    * codegen'd `xxhash64(gram)` instead of the k-token string — the 100 TB
+    * default (hash-width shuffle rows; a same-doc gram collision would
+    * need ~2^32 grams IN ONE DOCUMENT to become likely, and at worst drops
+    * that one span). The string key remains the gate form for cross-engine
+    * oracle parity; DedupSpec pins both forms row-identical on the fixture.
     * Returns (doc_id, n_tokens, n_kept_tokens, clean_text); NULL-text docs
     * are dropped (as in [[graft.functions.TextOps.chunkDocs]]).
     */
   def intraDocDedup(docs: DataFrame, k: Int,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    hashGramKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1 (got $k)")
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("toks"))
     val spread = Spread.forExplode(toks, col(idCol))
+    val gramKey: Column => Column =
+      if (hashGramKeys) xxhash64(_) else identity
     val grams = spread
       .filter(size(col("toks")) >= k)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("toks")) - k),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k)))))
+          i => gramKey(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
         .as(Seq("start", "gram")))
     val w = Window.partitionBy(col(idCol), col("gram"))
     val covered = grams

@@ -611,6 +611,17 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 0L
   }
 
+  test("intraDocDedup hashed gram keys reproduce the string-key output exactly") {
+    // the production shuffle key (xxhash64 of the gram) must not change the
+    // result on real data — same window partitioning, hash-width rows
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(hashed: Boolean) =
+      Dedup.intraDocDedup(docs, k = 3, hashGramKeys = hashed)
+        .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3))))
+        .toMap
+    rows(hashed = true) shouldBe rows(hashed = false)
+  }
+
   test("intraDocDedup overlapping repeats cover the union of their spans") {
     // "a b a b a b": 2-grams a b@0, b a@1, a b@2(rep), b a@3(rep), a b@4(rep)
     // covered = {2,3,4,5} → kept "a b"
