@@ -125,6 +125,28 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(array((0 until numHashes).map(i => min(hasher(col("shingle"), i))): _*).as("sig"))
 
+  /** Per-doc LSH band buckets — the shared candidate-generation key table:
+    * minhash signatures cut into `bands` slices of `rowsPerBand` hashes,
+    * one (doc_id, band, bucket) row per slice. The bucket key is the band
+    * slice itself (LSH banding IS exact equality of band slices): joining on
+    * the array is collision-free, engine-portable for the oracle, and still
+    * an equi-join — rowsPerBand longs per key instead of one hashed int is a
+    * negligible shuffle-width cost. Docs shorter than k tokens have all-null
+    * signatures (explode_outer + null-propagating hashers); every band of
+    * every short doc would otherwise collapse into one shared bucket and
+    * produce spurious all-pairs candidates among short docs — dropped up
+    * front. Feeds [[minhashCandidates]] (self-join) and
+    * [[incrementalDedup]] (new-batch × corpus join).
+    */
+  def bandedBuckets(docs: DataFrame, textCol: String, k: Int,
+                    bands: Int, rowsPerBand: Int,
+                    hasher: Hasher = xxHasher): DataFrame =
+    minhashSignatures(docs, "doc_id", textCol, k, bands * rowsPerBand, hasher)
+      .filter(col("sig")(0).isNotNull)
+      .select(col("doc_id"), posexplode(
+        array((0 until bands).map(b => slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+
   /** MinHash + LSH near-dup candidate pairs: signatures are cut into
     * `bands` bands of `rowsPerBand` hashes; docs sharing any band bucket are
     * candidates. The band explode keeps the self-join an equi-join on
@@ -134,20 +156,7 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, textCol: String, k: Int,
                         bands: Int, rowsPerBand: Int,
                         hasher: Hasher = xxHasher): DataFrame = {
-    val sigs = minhashSignatures(docs, "doc_id", textCol, k, bands * rowsPerBand, hasher)
-      // docs shorter than k tokens have all-null signatures (explode_outer +
-      // null-propagating hashers); every band of every short doc would
-      // otherwise collapse into one shared bucket and produce spurious
-      // all-pairs candidates among short docs — drop them up front
-      .filter(col("sig")(0).isNotNull)
-    // the bucket key is the band slice itself (LSH banding IS exact equality
-    // of band slices): joining on the array is collision-free, engine-portable
-    // for the oracle, and still an equi-join — rowsPerBand longs per key
-    // instead of one hashed int is a negligible shuffle-width cost
-    val banded = sigs
-      .select(col("doc_id"), posexplode(
-        array((0 until bands).map(b => slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bandedBuckets(docs, textCol, k, bands, rowsPerBand, hasher)
     // SHUFFLE_HASH instead of the auto-chosen broadcast: both sides of the
     // self-join then shuffle on the same key with canonically-identical
     // subtrees, so the second exchange becomes a ReusedExchange and the
@@ -547,5 +556,140 @@ object Dedup {
         VectorExprs.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
+  }
+
+  /** Corpus-wide boilerplate n-gram removal — the CROSS-doc complement of
+    * [[intraDocDedup]] (C4-style span removal generalized to k-grams): strip
+    * every token covered by a k-gram that occurs in at least `minDocs`
+    * DISTINCT documents (navigation chrome, license headers, shared
+    * templates — content whose repetition is corpus-wide, not intra-doc).
+    * Every input doc with non-null text is returned: a fully-boilerplate doc
+    * keeps (n_kept_tokens = 0, clean_text = "") rather than vanishing — the
+    * pipeline decides whether to drop it.
+    *
+    * Scale shape: the k-gram document-frequency table is VOCABULARY-sized
+    * (billions of grams at 100 TB — far past any broadcast threshold), so
+    * the grams⋈boilerplate join is a plain shuffle equi-join on `gram`,
+    * shuffle-hash-hinted from the gram side so the exploded-gram exchange is
+    * computed once and REUSED by the frequency branch instead of recomputed
+    * (the q_t7/q_t10 vocabulary-join convention). Everything downstream is
+    * keyed by doc_id — never all-pairs, never text-carrying shuffles beyond
+    * the final per-doc reassembly. With `hashGramKeys` the gram join and
+    * frequency keys are codegen'd `xxhash64(gram)` — hash-width shuffle rows,
+    * the 100 TB default; a false boilerplate strip needs a cross-doc 64-bit
+    * collision AND minDocs near-misses. The string key is the gate form for
+    * cross-engine oracle parity ([[intraDocDedup]] convention).
+    * Returns (idCol, n_tokens, n_kept_tokens, clean_text).
+    */
+  def boilerplateRemoval(docs: DataFrame, k: Int, minDocs: Int,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         hashGramKeys: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+    val spread = Spread.forExplode(toks, col(idCol))
+    val gramKey: Column => Column =
+      if (hashGramKeys) xxhash64(_) else identity
+    val grams = spread
+      .filter(size(col("toks")) >= k)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - k),
+          i => gramKey(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+        .as(Seq("start", "gram")))
+    // distinct (doc, gram) before the count: a gram looping inside ONE doc is
+    // intra-doc repetition (intraDocDedup's case), not corpus boilerplate
+    val boilerplate = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("gram"))
+    val covered = grams.hint("shuffle_hash")
+      .join(boilerplate.hint("shuffle_hash"), "gram")
+      .select(col(idCol), explode(sequence(col("start"), col("start") + k - 1)).as("pos"))
+      .distinct()
+    val kept = spread
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"))
+    // LEFT join from the full doc list: a fully-covered doc has zero kept
+    // rows and would otherwise vanish (intraDocDedup never faces this —
+    // its position 0 always survives)
+    spread.select(col(idCol), size(col("toks")).as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Edit-distance verification over candidate pairs — the character-level
+    * near-dup check (OCR noise, small in-place edits) that shingle Jaccard
+    * under-detects: join each candidate pair's texts and score
+    * `levenshtein`, with similarity = 1 − dist / max(len) rounded to 4.
+    * Candidates come from any bucketed generator ([[minhashCandidates]],
+    * [[simhashNearDups]]) — NEVER all-pairs: Levenshtein is O(|a|·|b|) per
+    * pair, so the candidate set is what makes this operator possible at all;
+    * the per-pair cost is then bounded and embarrassingly parallel (two
+    * doc-keyed equi-joins, one codegen'd levenshtein per row, no extra
+    * shuffle). `earlyStop` feeds Spark's thresholded
+    * `levenshtein(l, r, threshold)` which abandons a pair as soon as the
+    * distance provably exceeds it — the production form when only
+    * dist <= earlyStop pairs are kept (rows above threshold report -1 and
+    * are filtered); None computes full distances for every candidate (the
+    * oracle-parity gate form — DuckDB's levenshtein has no threshold arg).
+    * Returns (doc_a, doc_b, edit_dist, similarity).
+    */
+  def editDistanceVerify(docs: DataFrame, candidates: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         earlyStop: Option[Int] = None): DataFrame = {
+    val a = docs.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
+    val b = docs.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
+    val dist = earlyStop match {
+      case Some(t) => levenshtein(col("text_a"), col("text_b"), t)
+      case None    => levenshtein(col("text_a"), col("text_b"))
+    }
+    val joined = candidates.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("edit_dist", dist)
+    earlyStop.fold(joined)(_ => joined.filter(col("edit_dist") >= 0))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"),
+        round(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))), 4).as("similarity"))
+  }
+
+  /** Incremental dedup — the arriving-batch-vs-existing-corpus pass every
+    * growing training corpus runs (the batch analog of the streaming
+    * [[graft.streaming.NearDupStream]]): flag each NEW document as an exact
+    * duplicate of the corpus (md5 identity) and count how many distinct
+    * corpus docs share at least one minhash LSH band bucket with it (its
+    * near-dup exposure; 0 = novel). The corpus side is only ever reduced to
+    * its md5 set and its band-bucket table — both one shuffle each, joined
+    * on hash-width equi-keys; the corpus is never broadcast, never
+    * re-paired against itself (that quadratic pass already happened when
+    * those docs arrived). Returns every new doc:
+    * (doc_id, is_exact_dup, n_near_corpus_docs).
+    */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+                       textCol: String = "text", k: Int = 3,
+                       bands: Int = 4, rowsPerBand: Int = 2,
+                       hasher: Hasher = xxHasher): DataFrame = {
+    val corpusMd5 = corpus.select(md5(col(textCol)).as("text_md5")).distinct()
+      .withColumn("is_exact_dup", lit(true))
+    val exact = newDocs.select(col("doc_id"), md5(col(textCol)).as("text_md5"))
+      .join(corpusMd5, Seq("text_md5"), "left")
+      .select(col("doc_id"), coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"))
+    val hits = bandedBuckets(newDocs, textCol, k, bands, rowsPerBand, hasher)
+      .withColumnRenamed("doc_id", "new_id")
+      .join(bandedBuckets(corpus, textCol, k, bands, rowsPerBand, hasher),
+        Seq("band", "bucket"))
+      .select(col("new_id").as("doc_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_corpus_docs"))
+    exact.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("n_near_corpus_docs"), lit(0L)).as("n_near_corpus_docs"))
   }
 }

@@ -194,6 +194,47 @@ object TextOps {
         round(avg(-log((col("tf") + 1.0) / (col("n") + col("v")))), 4).as("surprisal"))
   }
 
+  /** BM25 top-k document retrieval for a literal query — the
+    * inverted-index-shaped search pass (Robertson/Okapi BM25 with the
+    * Lucene-style smoothed idf = ln(1 + (N − df + 0.5)/(df + 0.5)), k1/b
+    * defaults 1.2/0.75). One token explode feeds BOTH the per-doc length
+    * table and the query-term tf table; the query side is a literal
+    * `isInCollection` filter pushed onto the exploded rows (the inverted
+    * index restricted to the query's posting lists — at 100 TB only rows
+    * for the handful of query terms survive the filter, so the tf and df
+    * aggregations are query-sized, not corpus-sized). Per-term document
+    * frequencies are |query|-row tables and BROADCAST; the doc-length join
+    * is a doc-keyed equi-join; the single-row (N, avgdl) scalar broadcasts.
+    * Top-k is orderBy+limit — TakeOrderedAndProject, per-partition heads
+    * then one k-row merge, never a global sort. Ties break on the ROUNDED
+    * score then doc_id, so the cut is deterministic and engine-portable.
+    * Returns (doc_id, score) — the topK highest-scoring docs.
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], topK: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(topK > 0, s"topK must be > 0 (got $topK)")
+    val toks = Spread.forExplode(docs, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("term").isInCollection(queryTerms))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
+    val idf = log(lit(1.0) + (col("n") - col("dft") + 0.5) / (col("dft") + 0.5))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        idf * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("contrib")), 4).as("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(topK)
+  }
+
   /** Corpus length-distribution profile per key — the pre-training corpus
     * health report (doc counts + exact interpolated percentiles + mean of a
     * length column, per language/source). Exact `percentile` (sort-based

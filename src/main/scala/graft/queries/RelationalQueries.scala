@@ -340,6 +340,26 @@ object RelationalQueries {
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy(col("o_custkey"))),
 
+    "q_x4_bucketed_join" -> ((s, d) => {
+      // co-located join over bucketed tables: both sides laid out ONCE with
+      // bucketBy(8, custkey) (ensureBucketed — write-once per context, the
+      // ensureIndex convention), so this join — and every later join on
+      // custkey — runs with ZERO exchanges (BucketedTablesSpec pins the
+      // plan). The oracle is the identical join over the plain parquet: the
+      // layout must change the plan, never the rows. Table names carry the
+      // sfDir token so sf0.01 and sf0.1 never alias.
+      val tok = Integer.toHexString(d.hashCode)
+      val o = graft.sources.BucketedTables.ensureBucketed(s,
+        Tables.orders(s, d), s"graft_orders_b_$tok", "o_custkey", 8)
+      val c = graft.sources.BucketedTables.ensureBucketed(s,
+        Tables.customer(s, d), s"graft_customer_b_$tok", "c_custkey", 8)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- W: window functions ------------------------------------------------
     "q_w1_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -699,6 +719,46 @@ object RelationalQueries {
               lpad((col("doc_id") % 100000000).cast("string"), 16, "0"),
               lit(" leaked"))).otherwise(lit(""))).as("text"))
       graft.functions.TextOps.redactPii(aug).orderBy(col("doc_id"))
+    }),
+
+    "q_t14_boilerplate_removal" -> ((s, d) =>
+      // cross-doc boilerplate: strip tokens covered by a 3-gram occurring in
+      // >= 3 distinct docs (the C4-style corpus-wide span removal; q_t12 is
+      // the intra-doc half). String gram keys for oracle parity; production
+      // uses hashGramKeys=true (hash-width shuffles, measured in ScaleBench)
+      Dedup.boilerplateRemoval(Tables.documents(s, d), k = 3, minDocs = 3)
+        .orderBy(col("doc_id"))),
+
+    "q_t15_bm25" -> ((s, d) =>
+      // BM25 top-20 for a 3-term query: common + mid + rare term so idf
+      // spread is exercised; ties broken on (rounded score, doc_id) so the
+      // cut is engine-portable
+      TextOps.bm25TopK(Tables.documents(s, d),
+          Seq("join", "customer", "spark"), topK = 20)
+        .orderBy(desc("score"), col("doc_id"))),
+
+    "q_d12_editdist_verify" -> ((s, d) =>
+      // character-level verification of the q_d4 candidate pairs: full
+      // levenshtein per candidate (the oracle-parity form; production passes
+      // earlyStop to abandon pairs past the threshold). Candidates are the
+      // banded equi-join output — never all-pairs, so the O(|a|·|b|)
+      // per-pair cost stays bounded by the candidate count.
+      Dedup.editDistanceVerify(Tables.documents(s, d),
+          Dedup.minhashCandidates(Tables.documents(s, d), "text",
+            k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_d13_incremental_dedup" -> ((s, d) => {
+      // arriving batch (every 5th doc) vs existing corpus (the rest): exact
+      // md5 identity + near-dup band-bucket exposure counts. The corpus side
+      // reduces to its md5 set and band table — one shuffle each, equi-joins
+      // only, nothing broadcast, nothing re-paired against itself.
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "text", k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+        .orderBy(col("doc_id"))
     }),
 
     "q_d8_decontaminate" -> ((s, d) => {
@@ -1699,6 +1759,125 @@ object RelationalQueries {
            len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
            len(regexp_extract_all(text, '\+\d{1,2}[ -]\d{3}[ -]\d{3}[ -]\d{4}')) AS n_phone
          FROM aug ORDER BY doc_id""",
+
+    "q_x4_bucketed_join" ->
+      // the layout changes the PLAN (zero exchanges), never the rows: the
+      // oracle is the plain parquet join
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY 1""",
+
+    "q_t14_boilerplate_removal" ->
+      // the q_t12 construction with the repeated-start rule swapped for the
+      // corpus document-frequency rule (gram in >= 3 distinct docs), and a
+      // LEFT join so fully-boilerplate docs keep an empty-clean_text row
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, unnest([{'s': i - 1, 'gram': array_to_string(toks[i:i+2], ' ')}
+             FOR i IN generate_series(1, len(toks) - 2)]) AS u
+           FROM t),
+         g2 AS (SELECT doc_id, u.s AS s, u.gram AS gram FROM g),
+         bp AS (
+           SELECT gram FROM (
+             SELECT gram, count(DISTINCT doc_id) AS nd FROM g2 GROUP BY 1) x
+           WHERE nd >= 3),
+         cov AS (
+           SELECT DISTINCT doc_id, pos FROM (
+             SELECT doc_id, unnest(generate_series(s, s + 2)) AS pos
+             FROM g2 JOIN bp USING (gram)) y),
+         p AS (
+           SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]}
+             FOR i IN generate_series(1, len(toks))]) AS u
+           FROM t),
+         p2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM p),
+         kept AS (
+           SELECT p2.doc_id, p2.pos, p2.tok FROM p2
+           ANTI JOIN cov ON cov.doc_id = p2.doc_id AND cov.pos = p2.pos),
+         ka AS (
+           SELECT doc_id, count(*) AS n_kept_tokens,
+                  string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY 1)
+         SELECT t.doc_id, len(t.toks) AS n_tokens,
+                coalesce(ka.n_kept_tokens, 0) AS n_kept_tokens,
+                coalesce(ka.clean_text, '') AS clean_text
+         FROM t LEFT JOIN ka USING (doc_id)
+         ORDER BY t.doc_id""",
+
+    "q_t15_bm25" ->
+      // same Lucene-smoothed idf and k1=1.2 / b=0.75 saturation, rounded at
+      // 4 before the (score, doc_id) tie-broken top-20 cut
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('join', 'customer', 'spark') GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1)
+         SELECT doc_id,
+                round(sum(ln(1 + (n - dft + 0.5) / (dft + 0.5)) * (tf * 2.2)
+                          / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 20""",
+
+    "q_d12_editdist_verify" ->
+      // the q_d4 candidate CTE + per-pair levenshtein (DuckDB's levenshtein
+      // has no early-stop arg — matching the gate's full-distance form)
+      """WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sig AS (
+           SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
+             FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
+           FROM sh WHERE len(shingles) > 0),
+         banded AS (
+           SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
+           FROM sig, generate_series(0, 3) t(b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM banded x JOIN banded y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b, levenshtein(a.text, b.text) AS edit_dist,
+                round(1 - levenshtein(a.text, b.text)::DOUBLE
+                      / greatest(len(a.text), len(b.text)), 4) AS similarity
+         FROM cand JOIN documents a ON a.doc_id = cand.doc_a
+                   JOIN documents b ON b.doc_id = cand.doc_b
+         ORDER BY 1, 2""",
+
+    "q_d13_incremental_dedup" ->
+      // one banding CTE over ALL docs (the q_d4 formulation), split into the
+      // new batch (doc_id % 5 = 0) and corpus sides at the join
+      """WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sig AS (
+           SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
+             FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
+           FROM sh WHERE len(shingles) > 0),
+         banded AS (
+           SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
+           FROM sig, generate_series(0, 3) t(b)),
+         cmd5 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+         exact AS (
+           SELECT n.doc_id, (c.h IS NOT NULL) AS is_exact_dup
+           FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0) n
+           LEFT JOIN cmd5 c USING (h)),
+         hits AS (
+           SELECT x.doc_id, count(DISTINCT y.doc_id) AS n_near
+           FROM banded x JOIN banded y
+             ON x.band = y.band AND x.bucket = y.bucket
+           WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+           GROUP BY 1)
+         SELECT e.doc_id, e.is_exact_dup,
+                coalesce(h.n_near, 0) AS n_near_corpus_docs
+         FROM exact e LEFT JOIN hits h USING (doc_id)
+         ORDER BY 1""",
 
     "q_d7_dup_clusters" ->
       """WITH RECURSIVE

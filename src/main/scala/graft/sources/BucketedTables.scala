@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table storage — the co-located-join infrastructure for fact
+  * tables that are joined on the same key again and again (orders⋈customer
+  * on custkey, lineitem⋈orders on orderkey, doc tables on doc_id). Writing
+  * both sides bucketed on the join key with the same bucket count makes
+  * every subsequent equi-join on that key SHUFFLE-FREE: each task reads
+  * matching bucket files from both sides and joins locally — at 100 TB this
+  * converts the dominant repeated cost (a full two-sided exchange per join)
+  * into a one-time layout cost at write, amortized over every query that
+  * joins on the bucket key. `sortBy` on the bucket key additionally lets a
+  * sort-merge join skip its per-task sorts.
+  *
+  * Bucketing rides Spark's catalog (`bucketBy` metadata lives on the table,
+  * not the files), so tables register in the session catalog with explicit
+  * `path` options — the data outlives any single session and re-registers
+  * cheaply. Bucket counts must MATCH on both sides for a shuffle-free plan
+  * (Spark can one-side-shuffle mismatched counts only with
+  * spark.sql.bucketing.coalesceBucketsInJoin enabled); pick the count once
+  * per key domain and reuse it corpus-wide.
+  */
+object BucketedTables {
+
+  /** Write `df` as a bucketed, bucket-sorted parquet table registered in the
+    * session catalog at `path`. Overwrites any existing table of the same
+    * name (drop + rewrite — the idempotent form for re-runs).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    require(numBuckets > 0, s"numBuckets must be > 0 (got $numBuckets)")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    df.write.format("parquet").mode("overwrite").option("path", path)
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+  }
+
+  // Registered-once bookkeeping per (SparkContext, table key): the WRITE is
+  // the expensive step, so queries/bench must lay the table out once and
+  // every later call only reads catalog metadata. Same shape and lifecycle
+  // as IvfIndex's train-once caches (lazy holders so the Spark write runs
+  // outside the map's bin lock; entries dropped at ApplicationEnd).
+  private final class Lazy[A](thunk: => A) { lazy val value: A = thunk }
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.SparkContext, String), Lazy[Unit]]()
+
+  private def reapOnStop(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    graft.functions.SessionReaper.register(spark, "bucketed.tables") { () =>
+      tableCache.keySet.removeIf(_._1 eq sc)
+      ()
+    }
+  }
+
+  /** Ensure `table` exists as a bucketed copy of `df`, writing it at most
+    * once per (context, table, layout). Files land under the JVM temp dir
+    * keyed by pid + applicationId (the [[graft.functions.IvfIndex]]
+    * convention: two contexts in one JVM never overwrite each other's
+    * files). Returns the catalog table, ready for shuffle-free joins.
+    */
+  def ensureBucketed(spark: SparkSession, df: DataFrame, table: String,
+                     bucketCol: String, numBuckets: Int): DataFrame = {
+    reapOnStop(spark)
+    val key = (spark.sparkContext, s"$table|$bucketCol|$numBuckets")
+    val holder = new Lazy[Unit]({
+      val path = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-bucketed-${ProcessHandle.current.pid}-" +
+          s"${spark.sparkContext.applicationId}-$table").toString
+      writeBucketed(df, table, path, bucketCol, numBuckets)
+    })
+    Option(tableCache.putIfAbsent(key, holder)).getOrElse(holder).value
+    spark.table(table)
+  }
+}

@@ -790,4 +790,87 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     val j2 = IvfIndex.knnJoinAuto(spark, embs, "spec-auto", k = 3).collect()
     j2.map(_.toString).sorted shouldBe j1.map(_.toString).sorted
   }
+
+  test("boilerplateRemoval strips corpus-wide grams, keeps doc-local text, is total") {
+    val docs = Seq(
+      (1L, "nav home about x y z"),
+      (2L, "nav home about p q"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "nav home about")).toDF("doc_id", "text")
+    // "nav home about" occurs in docs 1, 2, 4 (>= 2 distinct docs) → its
+    // spans are stripped everywhere; doc 3 is untouched; doc 4 is FULLY
+    // boilerplate and must survive as an empty-clean_text row
+    val out = Dedup.boilerplateRemoval(docs, k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((6, 3L, "x y z"))
+    out(2L) shouldBe ((5, 2L, "p q"))
+    out(3L) shouldBe ((4, 4L, "alpha beta gamma delta"))
+    out(4L) shouldBe ((3, 0L, ""))
+    // minDocs above the corpus frequency → nothing stripped
+    Dedup.boilerplateRemoval(docs, k = 3, minDocs = 4)
+      .filter($"n_kept_tokens" =!= $"n_tokens").count() shouldBe 0L
+    // hashed gram keys reproduce the string-key output exactly
+    val hashed = Dedup.boilerplateRemoval(docs, k = 3, minDocs = 2,
+        hashGramKeys = true)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    hashed shouldBe out
+  }
+
+  test("editDistanceVerify scores candidates; earlyStop drops pairs past the bound") {
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten x"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val full = Dedup.editDistanceVerify(docs, cand)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getDouble(3)))).toMap
+    full((1L, 2L)) shouldBe ((3, 0.5714)) // kitten→sitting, max len 7
+    full((1L, 3L)) shouldBe ((2, 0.75))   // append " x", max len 8
+    val stopped = Dedup.editDistanceVerify(docs, cand, earlyStop = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    stopped shouldBe Map((1L, 3L) -> 2) // (1,2) exceeds the bound and is dropped
+  }
+
+  test("incrementalDedup flags exact and near matches against the corpus only") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee"),
+      (2L, "xx yy zz ww vv")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "aa bb cc dd ee"),       // exact copy of corpus doc 1
+      (11L, "qq rr ss tt uu")).toDF("doc_id", "text") // novel
+    val out = Dedup.incrementalDedup(fresh, corpus, "text",
+        k = 3, bands = 2, rowsPerBand = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2)))).toMap
+    out(10L)._1 shouldBe true
+    out(10L)._2 should be >= 1L // identical signature → both bands collide
+    out(11L) shouldBe ((false, 0L))
+    // a new-batch internal duplicate is NOT counted (corpus side only)
+    val twoNew = Seq((10L, "aa bb cc dd ee"), (12L, "aa bb cc dd ee"))
+      .toDF("doc_id", "text")
+    Dedup.incrementalDedup(twoNew, corpus.limit(0), "text",
+        k = 3, bands = 2, rowsPerBand = 2)
+      .agg(sum($"n_near_corpus_docs")).head().getLong(0) shouldBe 0L
+  }
+
+  test("bm25TopK matches the textbook formula and breaks ties deterministically") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("apple", "cherry"), topK = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def contrib(tf: Double, df: Double, dl: Double) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(1L) shouldBe r4(contrib(2, 1, 3)) // apple ×2
+    out(2L) shouldBe r4(contrib(1, 2, 2)) // cherry ×1
+    out(3L) shouldBe r4(contrib(3, 2, 3)) // cherry ×3
+    // topK cuts on (rounded score desc, doc_id): k=1 keeps the max scorer
+    TextOps.bm25TopK(docs, Seq("apple", "cherry"), topK = 1)
+      .head().getLong(0) shouldBe out.maxBy { case (id, s) => (s, -id) }._1
+  }
 }

@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class BucketedTablesSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // Count exchanges in the FINAL adaptive plan via the plan string (the
+  // ScaleShapeSpec convention): the Spark 4 final plan is wrapped in
+  // ResultQueryStage leaf nodes that SparkPlan.collect does not descend
+  // into, so node-type collects silently undercount to zero.
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // finalize the adaptive plan before inspecting it
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+  }
+
+  test("bucketed join on the bucket key runs with zero exchanges, same rows") {
+    val o = BucketedTables.ensureBucketed(spark,
+      Tables.orders(spark, sf), "spec_orders_b", "o_custkey", 4)
+    val c = BucketedTables.ensureBucketed(spark,
+      Tables.customer(spark, sf), "spec_customer_b", "c_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable broadcast so the join must pick a two-sided strategy — the
+      // case bucketing exists for (at 100 TB neither side broadcasts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      // zero ShuffleExchange: both the join AND the aggregation ride the
+      // bucket layout (groupBy key == bucket key)
+      shuffleCount(joined) shouldBe 0
+      // identical rows to the plain parquet join
+      val po = Tables.orders(spark, sf)
+      val pc = Tables.customer(spark, sf)
+      val plain = po.join(pc, po("o_custkey") === pc("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe plain
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("ensureBucketed writes once per (context, table, layout)") {
+    val t1 = BucketedTables.ensureBucketed(spark,
+      Tables.customer(spark, sf), "spec_once_b", "c_custkey", 4)
+    val path1 = spark.sql("DESCRIBE TABLE EXTENDED spec_once_b")
+      .filter(col("col_name") === "Location").head().getString(1)
+    val mtime1 = new java.io.File(new java.net.URI(path1)).lastModified()
+    // second call only reads catalog metadata — no rewrite
+    BucketedTables.ensureBucketed(spark,
+      Tables.customer(spark, sf), "spec_once_b", "c_custkey", 4)
+    new java.io.File(new java.net.URI(path1)).lastModified() shouldBe mtime1
+    t1.count() shouldBe Tables.customer(spark, sf).count()
+  }
+
+  test("a non-bucket-key join still shuffles (the layout is key-specific)") {
+    val o = BucketedTables.ensureBucketed(spark,
+      Tables.orders(spark, sf), "spec_orders_b", "o_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val joined = o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      shuffleCount(joined) should be > 0
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
