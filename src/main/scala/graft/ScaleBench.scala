@@ -249,7 +249,13 @@ object ScaleBench {
          // of k-token strings (output spec-pinned identical)
          "q_t12_hashkeys" -> ((s: SparkSession, d: String) =>
            graft.functions.Dedup.intraDocDedup(Tables.documents(s, d),
-             k = 3, hashGramKeys = true))))
+             k = 3, hashGramKeys = true)),
+         // production boilerplate removal: same hash-width gram keys (the
+         // gram-df shuffle and join keys shrink to 8 bytes; output
+         // spec-pinned identical to the string-key gate form)
+         "q_t14_hashkeys" -> ((s: SparkSession, d: String) =>
+           graft.functions.Dedup.boilerplateRemoval(Tables.documents(s, d),
+             k = 3, minDocs = 3, hashGramKeys = true))))
         .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def run1(fn: (SparkSession, String) => DataFrame, d: String): Double = {

@@ -597,14 +597,27 @@ object Dedup {
         transform(sequence(lit(0), size(col("toks")) - k),
           i => gramKey(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
         .as(Seq("start", "gram")))
+    // Explicit gram-keyed partitioning: one exchange covers the join's
+    // left-side requirement, and on the frequency branch the (doc, gram)
+    // distinct AND the per-gram count both ride their own single gram
+    // exchange (partitioning by gram satisfies (doc, gram) clustering).
+    // The two branches deliberately RECOMPUTE the map-side explode rather
+    // than share it: their pruned column sets differ (the join needs
+    // `start`, the frequency branch doesn't), so no ReusedExchange is
+    // possible, and stateless scan+split+explode work recomputes cheaper
+    // at 100 TB than a corpus-scale gram table materializes (the q_t12
+    // family convention: shuffle keyed rows, never materialize grams).
+    val gramsP = grams.repartition(col("gram"))
     // distinct (doc, gram) before the count: a gram looping inside ONE doc is
     // intra-doc repetition (intraDocDedup's case), not corpus boilerplate
-    val boilerplate = grams.select(col(idCol), col("gram")).distinct()
+    val boilerplate = gramsP.select(col(idCol), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("gram"))
-    val covered = grams.hint("shuffle_hash")
-      .join(boilerplate.hint("shuffle_hash"), "gram")
+    // shuffle-hash, not broadcast: the boilerplate table is vocabulary-sized
+    // at scale, and a broadcast side would abandon the shared partitioning
+    val covered = gramsP.hint("shuffle_hash")
+      .join(boilerplate, "gram")
       .select(col(idCol), explode(sequence(col("start"), col("start") + k - 1)).as("pos"))
       .distinct()
     val kept = spread

@@ -223,8 +223,11 @@ object TextOps {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dft"))
     val idf = log(lit(1.0) + (col("n") - col("dft") + 0.5) / (col("dft") + 0.5))
+    // the doc-length join is shuffle-hash-hinted: dl is CORPUS-sized and a
+    // common query term's postings are also unbounded, so neither side may
+    // broadcast at scale (the q_t7/q_t10 vocabulary-join convention)
     tf.join(broadcast(dfreq), "term")
-      .join(dl, idCol)
+      .hint("shuffle_hash").join(dl.hint("shuffle_hash"), idCol)
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
         idf * (col("tf") * (k1 + 1.0)) /

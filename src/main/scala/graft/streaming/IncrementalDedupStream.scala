@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.functions.{Dedup, Fnv1a64}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental dedup — each ARRIVING document checked against a
+  * STATIC existing corpus (the stream analog of
+  * [[graft.functions.Dedup.incrementalDedup]], and the complement of
+  * [[NearDupStream]], which pairs stream docs against EACH OTHER). Both
+  * checks are stream-static joins, so the operator is STATELESS: no
+  * watermark-bounded state, no growing pair table — the corpus side is the
+  * maintained dedup index (its md5 set and band-bucket table), loaded as
+  * static DataFrames and refreshed by whatever cadence re-runs the batch
+  * pass.
+  *
+  * The stream side computes minhash band keys PER ROW with higher-order
+  * functions over the shingle array instead of the batch path's
+  * explode → groupBy(min) — a streaming groupBy would be a stateful
+  * aggregation (watermark, late-data semantics) for what is logically a
+  * per-document pure function. The HOF form evaluates interpreted, which is
+  * the right trade on a stream (per-arrival work, no shuffle); the values
+  * are IDENTICAL to the batch family — same [[Dedup.shingles]], same seeded
+  * [[Fnv1a64]] expression — so batch-built corpus buckets and stream-side
+  * keys are interchangeable (parity pinned in IncrementalDedupStreamSpec
+  * and gated per-round as q_d14).
+  */
+object IncrementalDedupStream {
+
+  /** Per-row minhash band buckets as an array of (band, bucket) structs —
+    * the HOF mirror of [[Dedup.bandedBuckets]]'s explode+agg pipeline.
+    * Docs shorter than k tokens (or NULL) produce NULL signature entries;
+    * their buckets never equi-join against the (non-null) corpus buckets,
+    * reproducing the batch path's short-doc guard.
+    */
+  def bandBuckets(text: Column, k: Int, bands: Int, rowsPerBand: Int): Column = {
+    val sh = Dedup.shingles(text, k)
+    val sig = (0 until bands * rowsPerBand).map { p =>
+      array_min(transform(sh, s => Fnv1a64.col(concat(lit(s"$p:"), s))))
+    }
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand): _*).as("bucket"))
+    }: _*)
+  }
+
+  /** The corpus-side band index: batch-built once per corpus snapshot
+    * (FNV family — the shared batch↔stream hash family), renamed for the
+    * stream-static join. At scale this is written to storage by the batch
+    * pass and read back here.
+    */
+  def corpusBandIndex(corpus: DataFrame, textCol: String = "text",
+                      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    Dedup.bandedBuckets(corpus, textCol, k, bands, rowsPerBand, Dedup.fnvHasher)
+      .withColumnRenamed("doc_id", "corpus_id")
+
+  /** Arriving docs flagged as exact duplicates of the corpus: stream-static
+    * LEFT join on the md5 identity — one row per arrival, stateless.
+    * `corpusMd5` is the corpus's distinct `text_md5` column (built by the
+    * batch pass; any schema with that column works).
+    */
+  def exactDupFlags(docStream: DataFrame, corpusMd5: DataFrame): DataFrame =
+    docStream
+      .withColumn("text_md5", md5(col("text")))
+      .join(corpusMd5.select(col("text_md5")).withColumn("hit", lit(true)),
+        Seq("text_md5"), "left")
+      .select(col("doc_id"), col("ts"),
+        coalesce(col("hit"), lit(false)).as("is_exact_dup"))
+
+  /** Per-arrival near-dup exposure rows: one (doc_id, corpus_id, band) row
+    * per corpus document sharing a band bucket with the arriving doc. A
+    * pair sharing several bands emits once per band (the [[NearDupStream]]
+    * convention — global uniqueness is the downstream consumer's dedup, so
+    * this operator stays stateless).
+    */
+  def corpusBandHits(docStream: DataFrame, corpusBands: DataFrame,
+                     k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    docStream
+      .select(col("doc_id"), col("ts"),
+        explode(bandBuckets(col("text"), k, bands, rowsPerBand))
+          .as("bb"))
+      .select(col("doc_id"), col("ts"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .join(corpusBands, Seq("band", "bucket"))
+      .select(col("doc_id"), col("ts"), col("corpus_id"), col("band"))
+}

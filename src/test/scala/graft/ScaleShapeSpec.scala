@@ -203,4 +203,43 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     reuses(Dedup.embeddingNearDups(embs, 0.3,
       Some(Similarity.lshBuckets(embs, 4)))) should be >= 1
   }
+
+  test("bm25 top-k takes TakeOrdered; only query-sized tables broadcast") {
+    import graft.functions.TextOps
+    val docs = Tables.documents(spark, sfDir)
+    val b = TextOps.bm25TopK(docs, Seq("join", "customer", "spark"), topK = 20)
+    b.collect()
+    val plan = b.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the top-k cut is per-partition heads + a k-row merge, never a global
+    // sort of all scored docs
+    plan should include("TakeOrderedAndProject")
+    // broadcasts are the |query|-row df table and the single-row (N, avgdl)
+    // scalar ONLY; the doc-length table is corpus-sized and must equi-join
+    "BroadcastExchange".r.findAllIn(plan).length shouldBe 2
+    plan should not include "CartesianProduct"
+  }
+
+  test("boilerplate removal and incremental dedup stay equi-keyed, corpus never broadcast") {
+    import graft.functions.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    // boilerplateRemoval: gram-df join is the shuffle-hash equi-join (the
+    // vocabulary-sized table must not broadcast at scale), covered-position
+    // subtraction is the LeftAnti equi-join, nothing cross-doc-quadratic
+    val b = Dedup.boilerplateRemoval(docs, k = 3, minDocs = 3)
+    b.collect()
+    val bplan = b.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    bplan should include("ShuffledHashJoin")
+    bplan should include("LeftAnti")
+    bplan should not include "CartesianProduct"
+    bplan should not include "BroadcastNestedLoopJoin"
+    // incrementalDedup: band-bucket and md5 joins are plain equi-joins; at
+    // test scale Catalyst may broadcast the small sides, but there must be
+    // no pair-explosion join shape anywhere
+    val i = Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0))
+    i.collect()
+    val iplan = i.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    iplan should not include "CartesianProduct"
+    iplan should not include "BroadcastNestedLoopJoin"
+  }
 }

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class IncrementalDedupStreamSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+
+  private val corpusRows = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog again and again every day",
+    2L -> "completely different words appear inside this other document here tonight",
+    3L -> "yet another unrelated piece of text with its own distinct vocabulary")
+  private val newRows = Seq(
+    10L -> "the quick brown fox jumps over the lazy dog again and again every day", // exact copy of 1
+    11L -> "the quick brown fox leaps over the lazy dog again and again every day", // near-dup of 1
+    12L -> "fresh novel content sharing absolutely nothing with the existing corpus",
+    13L -> "a b") // short doc: no bands on either path
+
+  test("HOF band buckets equal the batch explode+agg banding bit-for-bit") {
+    val (k, bands, rowsPerBand) = (3, 4, 2)
+    val docs = (corpusRows ++ newRows).toDF("doc_id", "text")
+    val batch = Dedup.bandedBuckets(docs, "text", k, bands, rowsPerBand, Dedup.fnvHasher)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+    val hof = docs
+      .select(col("doc_id"), explode(
+        IncrementalDedupStream.bandBuckets(col("text"), k, bands, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+      // the batch side drops short docs up front; the HOF side emits their
+      // null-signature buckets (harmless: they join nothing) — align here
+      .filter(col("bucket")(0).isNotNull)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2))).toSet
+    hof shouldBe batch
+  }
+
+  test("streamed arrivals reproduce batch incrementalDedup across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (k, bands, rowsPerBand) = (3, 8, 1) // one-row bands (NearDupStreamSpec rationale)
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val expected = Dedup.incrementalDedup(newRows.toDF("doc_id", "text"), corpus,
+        "text", k, bands, rowsPerBand, Dedup.fnvHasher)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+
+    val corpusMd5 = corpus.select(md5(col("text")).as("text_md5")).distinct()
+    val corpusBands = IncrementalDedupStream.corpusBandIndex(corpus, "text", k, bands, rowsPerBand)
+
+    val src = MemoryStream[NearDupStream.DocEvent]
+    val stream = src.toDF()
+    val flagsQ = IncrementalDedupStream.exactDupFlags(stream, corpusMd5)
+      .writeStream.outputMode("append").format("memory").queryName("inc_flags").start()
+    val hitsQ = IncrementalDedupStream.corpusBandHits(stream, corpusBands, k, bands, rowsPerBand)
+      .writeStream.outputMode("append").format("memory").queryName("inc_hits").start()
+    try {
+      // two micro-batches: the operator is stateless, so batch boundaries
+      // must not change per-doc results
+      val (first, second) = newRows.splitAt(2)
+      src.addData(first.map { case (id, t) => NearDupStream.DocEvent(id, ts(id), t) }: _*)
+      flagsQ.processAllAvailable(); hitsQ.processAllAvailable()
+      src.addData(second.map { case (id, t) => NearDupStream.DocEvent(id, ts(id), t) }: _*)
+      flagsQ.processAllAvailable(); hitsQ.processAllAvailable()
+
+      val flags = spark.table("inc_flags")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      val nearCounts = spark.table("inc_hits")
+        .select(col("doc_id"), col("corpus_id")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val streamed = newRows.map { case (id, _) =>
+        id -> ((flags(id), nearCounts.getOrElse(id, 0L)))
+      }.toMap
+      streamed shouldBe expected
+      // and the fixture is non-trivial on every axis
+      expected(10L)._1 shouldBe true   // exact dup flagged
+      expected(11L)._2 should be >= 1L // near-dup exposure found
+      expected(12L) shouldBe ((false, 0L))
+      expected(13L) shouldBe ((false, 0L))
+    } finally {
+      flagsQ.stop(); hitsQ.stop()
+      spark.catalog.dropTempView("inc_flags")
+      spark.catalog.dropTempView("inc_hits")
+      ()
+    }
+  }
+}
