@@ -29,7 +29,7 @@ object Verify {
     // query results against an outdated export (same stale-output hazard the
     // query loop deletes failed results for).
     Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
-        "fx_stream_pairs.parquet")
+        "fx_stream_pairs.parquet", "fx_incdedup_stream.parquet")
       .foreach(f => deleteRec(new java.io.File(s"$outDir/$f")))
     // selection (used below for the query loop AND to skip fixture exports
     // no selected query consumes — a SPARK_GRAFT_ONLY=q_t1 iteration must
@@ -89,6 +89,14 @@ object Verify {
       try graft.queries.StreamParity.exportStreamPairs(spark, sfDir, outDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] stream-parity export failed: ${e.getMessage}")
+      }
+    }
+    // q_d14's oracle: the arriving batch replayed through the STREAMING
+    // incremental-dedup operator (per-row HOF banding) vs the static corpus
+    if (selected("q_d14")) {
+      try graft.queries.StreamParity.exportIncrementalDedup(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] incremental-dedup parity export failed: ${e.getMessage}")
       }
     }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (iteration aid, same

@@ -333,6 +333,86 @@ object TextOps {
     df.select(col(idCol) +: cleaned.as("clean_text") +: counts: _*)
   }
 
+  /** Text normalization — the canonicalization pass that runs BEFORE
+    * hashing/dedup so that byte-level noise (case, curly punctuation,
+    * control characters, whitespace runs) doesn't split otherwise-identical
+    * documents into distinct md5/minhash identities: typographic quotes and
+    * dashes fold to ASCII, control characters strip, whitespace runs
+    * collapse to single spaces, edges trim, case lowers. One projection of
+    * codegen'd `translate`/`regexp_replace`/`lower` — zero UDFs, no shuffle;
+    * patterns restricted to Java/RE2-identical syntax (the [[piiPatterns]]
+    * portability rule). Unicode NFC is deliberately OUT of scope: Spark has
+    * no codegen'd normalizer and a UDF here would put interpreted
+    * per-row work in front of every downstream operator. NULL text stays
+    * NULL. Returns (idCol, norm_text, n_chars, n_norm_chars).
+    */
+  def normalizeText(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    // typographic → ASCII fold (quotes, dashes, ellipsis → '.', NBSP → ' ')
+    val folded = translate(t,
+      "\u2018\u2019\u201c\u201d\u2013\u2014\u2026\u00a0", "''\"\"--. ")
+    // strip NON-whitespace control chars only: tab/newline/CR must reach the
+    // whitespace collapse below as separators — deleting them would glue
+    // adjacent words together
+    val cleaned = regexp_replace(folded, """[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]""", "")
+    val norm = lower(trim(regexp_replace(cleaned, """\s+""", " ")))
+    df.select(col(idCol), norm.as("norm_text"),
+      length(t).as("n_chars"), length(norm).as("n_norm_chars"))
+  }
+
+  /** PMI collocations — top-k adjacent word pairs by pointwise mutual
+    * information under the corpus's own unigram/bigram counts (phrase
+    * mining / tokenizer-merge candidates): pmi = ln((c_ab/B) / ((c_a/N)·
+    * (c_b/N))), kept above `minCount` to cut the noisy low-frequency tail.
+    * Scale shape: one token explode feeds the unigram counts; one
+    * positional bigram explode (the [[graft.functions.Dedup.intraDocDedup]]
+    * gram construction at k=2, counts NOT deduped — PMI needs frequencies)
+    * feeds the bigram counts; both count tables are VOCABULARY-sized, so
+    * the bigram⋈unigram joins are shuffle equi-joins on the word
+    * (shuffle-hash — the q_t7/q_t10 convention) and only the single-row
+    * (N, B) scalar broadcasts. Top-k is orderBy+limit
+    * (TakeOrderedAndProject), tie-broken on the rounded pmi then the pair.
+    * Returns (w1, w2, n_pair, pmi).
+    */
+  def pmiBigrams(docs: DataFrame, minCount: Int, topK: Int,
+                 textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    require(topK > 0, s"topK must be > 0 (got $topK)")
+    val toksArr = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), split(col(textCol), " ").as("toks"))
+    val spread = Spread.forExplode(toksArr, col("doc_id"))
+    val uni = spread
+      .select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totalUni = uni.agg(sum(col("c")).as("n"))
+    val biAll = spread
+      .filter(size(col("toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    // the bigram total is the PRE-filter corpus count: minCount prunes the
+    // reported tail, it must not inflate the kept pairs' probabilities
+    val totalBi = biAll.agg(sum(col("n_pair")).as("b"))
+    val bi = biAll.filter(col("n_pair") >= minCount)
+    bi
+      .hint("shuffle_hash")
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")).hint("shuffle_hash"), "w1")
+      .hint("shuffle_hash")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")).hint("shuffle_hash"), "w2")
+      .crossJoin(broadcast(totalUni))
+      .crossJoin(broadcast(totalBi))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair").cast("double") / col("b")) /
+          ((col("c1").cast("double") / col("n")) *
+            (col("c2").cast("double") / col("n")))), 4).as("pmi"))
+      .orderBy(desc("pmi"), col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Rolling-hash document fingerprint: 64-bit FNV-1a over the text via a
     * native codegen'd Catalyst expression ([[Fnv1a64]] — wrapping multiply
     * isn't expressible in ANSI-mode SQL arithmetic).

@@ -729,6 +729,30 @@ object RelationalQueries {
       Dedup.boilerplateRemoval(Tables.documents(s, d), k = 3, minDocs = 3)
         .orderBy(col("doc_id"))),
 
+    "q_t16_normalize" -> ((s, d) => {
+      // normalization gate: the fixture is already-clean ASCII, so plant
+      // deterministic noise (curly quotes, tab, NBSP, em-dash, ellipsis,
+      // whitespace runs, mixed case) on a varying subset and normalize it --
+      // the DuckDB oracle rebuilds the identical noisy text and fold.
+      // Unicode ESCAPES here, chr() codes there: neither side depends on
+      // literal non-ASCII bytes surviving an encoding trip.
+      val docs = Tables.documents(s, d)
+      val noisy = docs.select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 2 === 0,
+            lit("\u201cQuote\u201d\t\u00a0\u2014 ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("  Trailing\u2026 RUN end  ")).otherwise(lit(""))).as("text"))
+      TextOps.normalizeText(noisy).orderBy(col("doc_id"))
+    }),
+
+    "q_t17_pmi_bigrams" -> ((s, d) =>
+      // top-50 adjacent-pair collocations by PMI over the corpus's own
+      // counts; minCount 5 cuts the low-frequency noise tail
+      TextOps.pmiBigrams(Tables.documents(s, d), minCount = 5, topK = 50)
+        .orderBy(desc("pmi"), col("w1"), col("w2"))),
+
     "q_t15_bm25" -> ((s, d) =>
       // BM25 top-20 for a 3-term query: common + mid + rare term so idf
       // spread is exercised; ties broken on (rounded score, doc_id) so the
@@ -1805,6 +1829,59 @@ object RelationalQueries {
                 coalesce(ka.clean_text, '') AS clean_text
          FROM t LEFT JOIN ka USING (doc_id)
          ORDER BY t.doc_id""",
+
+    "q_t16_normalize" ->
+      // identical planted noise (chr()-built, no literal unicode in the
+      // SQL) and identical fold: per-char replaces (== Spark's translate
+      // for 1:1 maps), strip non-whitespace controls, collapse whitespace
+      // runs, trim, lower
+      """WITH noisy AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+               THEN chr(8220) || 'Quote' || chr(8221) || chr(9) || chr(160) || chr(8212) || ' '
+               ELSE '' END
+             || text
+             || CASE WHEN doc_id % 3 = 0
+               THEN '  Trailing' || chr(8230) || ' RUN end  ' ELSE '' END AS text
+           FROM documents),
+         norm AS (
+           SELECT doc_id, len(text) AS n_chars,
+             lower(trim(regexp_replace(regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(replace(text,
+                 chr(8216), ''''), chr(8217), ''''), chr(8220), '"'), chr(8221), '"'),
+                 chr(8211), '-'), chr(8212), '-'), chr(8230), '.'), chr(160), ' '),
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+               '\s+', ' ', 'g'))) AS norm_text
+           FROM noisy)
+         SELECT doc_id, norm_text, n_chars, len(norm_text) AS n_norm_chars
+         FROM norm ORDER BY doc_id""",
+
+    "q_t17_pmi_bigrams" ->
+      // the same positional bigram construction (frequencies, not distinct),
+      // same Laplace-free PMI formula, round(4), (pmi, w1, w2) tie-break
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         uni AS (
+           SELECT w, count(*) AS c FROM (
+             SELECT unnest(toks) AS w FROM t) x GROUP BY 1),
+         tot AS (SELECT sum(c) AS n FROM uni),
+         biall AS (
+           SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_pair FROM (
+             SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]}
+               FOR i IN generate_series(1, len(toks) - 1)]) AS p
+             FROM t) x2
+           GROUP BY 1, 2),
+         totb AS (SELECT sum(n_pair) AS b FROM biall),
+         bi AS (SELECT * FROM biall WHERE n_pair >= 5)
+         SELECT w1, w2, n_pair,
+                round(ln((n_pair::DOUBLE / b) /
+                  ((c1::DOUBLE / n) * (c2::DOUBLE / n))), 4) AS pmi
+         FROM bi
+         JOIN (SELECT w AS w1, c AS c1 FROM uni) u1 USING (w1)
+         JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2)
+         CROSS JOIN tot CROSS JOIN totb
+         ORDER BY pmi DESC, w1, w2 LIMIT 50""",
 
     "q_t15_bm25" ->
       // same Lucene-smoothed idf and k1=1.2 / b=0.75 saturation, rounded at

@@ -72,12 +72,85 @@ object StreamParity {
     }
   }
 
+  /** The gated batch side of q_d14: incremental dedup (every 5th doc is the
+    * arriving batch, the rest the corpus) under the shared FNV family.
+    */
+  def batchIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0),
+        "text", k = K, bands = Bands, rowsPerBand = RowsPerBand,
+        hasher = Dedup.fnvHasher)
+      .orderBy(col("doc_id"))
+  }
+
+  /** q_d14's oracle: replay the arriving batch through the STREAMING
+    * incremental-dedup operator ([[graft.streaming.IncrementalDedupStream]]
+    * — per-row HOF band keys, a different evaluation path from the batch
+    * explode+agg even though both ride the same Fnv1a64 expression) against
+    * the static corpus index, aggregate flags + distinct corpus exposure to
+    * the batch output schema, and export as `fx_incdedup_stream.parquet`.
+    */
+  def exportIncrementalDedup(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{IncrementalDedupStream, NearDupStream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val corpusMd5 = corpus.select(md5(col("text")).as("text_md5")).distinct()
+    val corpusBands = IncrementalDedupStream.corpusBandIndex(
+      corpus, "text", K, Bands, RowsPerBand)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val arrivals = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect()
+      .map(r => NearDupStream.DocEvent(r.getLong(0),
+        new java.sql.Timestamp(t0 + r.getLong(0) * 1000L),
+        if (r.isNullAt(1)) null else r.getString(1)))
+    val src = MemoryStream[NearDupStream.DocEvent]
+    val pid = ProcessHandle.current.pid
+    val flagsQ = IncrementalDedupStream.exactDupFlags(src.toDF(), corpusMd5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"graft_inc_flags_$pid").start()
+    val hitsQ = IncrementalDedupStream.corpusBandHits(src.toDF(), corpusBands,
+        K, Bands, RowsPerBand)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"graft_inc_hits_$pid").start()
+    try {
+      src.addData(arrivals.toIndexedSeq)
+      flagsQ.processAllAvailable(); hitsQ.processAllAvailable()
+      val nearCounts = spark.table(s"graft_inc_hits_$pid")
+        .select(col("doc_id"), col("corpus_id")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_corpus_docs"))
+      val out = spark.table(s"graft_inc_flags_$pid")
+        .select(col("doc_id"), col("is_exact_dup"))
+        .join(nearCounts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("is_exact_dup"),
+          coalesce(col("n_near_corpus_docs"), lit(0L)).as("n_near_corpus_docs"))
+        .orderBy(col("doc_id"))
+      GraphQueries.writeSingleFile(out, s"$outDir/fx_incdedup_stream.parquet")
+    } finally {
+      flagsQ.stop(); hitsQ.stop()
+      spark.catalog.dropTempView(s"graft_inc_flags_$pid")
+      spark.catalog.dropTempView(s"graft_inc_hits_$pid")
+      ()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_d9_stream_parity" -> ((s, d) => batchPairs(s, d)))
+    "q_d9_stream_parity" -> ((s, d) => batchPairs(s, d)),
+    "q_d14_incremental_parity" -> ((s, d) => batchIncremental(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q_d9_stream_parity" ->
       // the replayed-stream pair set exported by exportStreamPairs — an
       // independent implementation, not a round-trip of the query result
-      "SELECT doc_a, doc_b FROM '{{OUTDIR}}/fx_stream_pairs.parquet' ORDER BY 1, 2")
+      "SELECT doc_a, doc_b FROM '{{OUTDIR}}/fx_stream_pairs.parquet' ORDER BY 1, 2",
+    "q_d14_incremental_parity" ->
+      // the streamed replay exported by exportIncrementalDedup — per-row HOF
+      // evaluation against the static corpus index, not a round-trip
+      """SELECT doc_id, is_exact_dup, n_near_corpus_docs
+         FROM '{{OUTDIR}}/fx_incdedup_stream.parquet' ORDER BY doc_id""")
 }

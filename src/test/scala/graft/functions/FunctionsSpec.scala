@@ -854,6 +854,38 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .agg(sum($"n_near_corpus_docs")).head().getLong(0) shouldBe 0L
   }
 
+  test("normalizeText folds typographic chars, strips controls, collapses whitespace") {
+    val docs = Seq(
+      (1L, "“Hi”\tWorld …  END  "),
+      (2L, "a\nb"), // newline is a SEPARATOR, not a strippable control
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextOps.normalizeText(docs)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    out(1L) shouldBe "\"hi\" world . end"
+    out(2L) shouldBe "a b"
+    out(3L) shouldBe null
+    // idempotent: normalizing normalized text is the identity
+    val once = TextOps.normalizeText(docs).select($"doc_id", $"norm_text".as("text"))
+    TextOps.normalizeText(once)
+      .filter($"norm_text" =!= $"text").count() shouldBe 0L
+  }
+
+  test("pmiBigrams matches hand-computed PMI with the pre-filter bigram total") {
+    val docs = Seq((1L, "x y x y x y"), (2L, "z w")).toDF("doc_id", "text")
+    // unigrams: x3 y3 z1 w1 (N=8); bigrams: xy3 yx2 zw1 (B=6, PRE-filter);
+    // minCount=2 keeps xy, yx
+    val out = TextOps.pmiBigrams(docs, minCount = 2, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pmi(cab: Double, ca: Double, cb: Double) =
+      r4(math.log((cab / 6.0) / ((ca / 8.0) * (cb / 8.0))))
+    out.keySet shouldBe Set(("x", "y"), ("y", "x"))
+    out(("x", "y")) shouldBe ((3L, pmi(3, 3, 3)))
+    out(("y", "x")) shouldBe ((2L, pmi(2, 3, 3)))
+  }
+
   test("bm25TopK matches the textbook formula and breaks ties deterministically") {
     val docs = Seq(
       (1L, "apple banana apple"),
