@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked run JVM's stdout defaults to sbt's LoggedOutput, which
+// prefixes every line with "[info] " — that prefix made every Bench JSON
+// line unparseable to a harness that tails stdout (BENCH_r05..r07 all
+// ended "parsed": null). StdoutOutput inherits the parent's stdout fd, so
+// program output reaches the console byte-for-byte, unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -116,6 +116,7 @@ object Bench {
         println(full)
         println(summary)
         Console.out.flush()
+        writeResultFiles(full, summary)
       }
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       emit(snapshot, summarySnapshot)
@@ -160,6 +161,27 @@ object Bench {
     emit(render(obs.toSeq, sfDir, partial = deadlineHit),
          renderSummary(obs.toSeq, sfDir, partial = deadlineHit))
     spark.stop()
+  }
+
+  /** Stdout proved to be a lossy channel three rounds running (sbt logger
+    * prefixes, bounded tails, external kills), so the bench ALSO persists
+    * its result as files the harness — or a human — can read after the
+    * fact: BENCH_SUMMARY.json (the compact summary object) and
+    * BENCH_FULL.json (all medians + per-pass arrays). Target directory is
+    * SPARK_GRAFT_BENCH_DIR, defaulting to the working directory (the repo
+    * root under `sbt run`). Best-effort: a read-only cwd must not turn a
+    * finished benchmark into a failure.
+    */
+  private def writeResultFiles(full: String, summary: String): Unit = {
+    val dir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
+    def write(name: String, body: String): Unit =
+      try java.nio.file.Files.write(dir.resolve(name),
+        (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $name: ${e.getMessage}") }
+    write("BENCH_SUMMARY.json", summary)
+    write("BENCH_FULL.json", full)
   }
 
   private def parsePositiveInt(name: String, default: Int): Int =
