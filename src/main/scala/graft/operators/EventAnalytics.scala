@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics over (user_id, ts, event_type) tables: cohort
+  * retention and strictly-ordered funnels. Reference analog: the walk
+  * statistics block aggregates per-partition outcome counts
+  * (/root/reference/src/main/scala/Main.scala:189-202); these are the same
+  * outcome-accounting shapes over an event log instead of walk results.
+  *
+  * Scale notes: every aggregate here partial-combines map-side, and the
+  * funnel never sorts a user's full event history — each stage is a
+  * filter + min-aggregate + equi-join on user_id, so the shuffled payload
+  * per stage is one row per SURVIVING user, shrinking monotonically down
+  * the funnel.
+  */
+object EventAnalytics {
+
+  /** Distinct active users per (cohort first-seen day, day offset). The
+    * first-seen table is one row per user — at event-log scale that is
+    * millions of rows, so it joins on user_id without a broadcast hint
+    * (AQE may still elect one when small).
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
+  /** Strictly-ordered funnel: a user reaches stage i+1 only via an event of
+    * that stage's type with ts STRICTLY AFTER their stage-i frontier time
+    * (earliest qualifying event). Output: one row per stage,
+    * (stage = "<i>_<type>" for stable lexicographic stage order, n_users).
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // frontiers(i): user_id, t — earliest completion time of stage i
+    val frontiers = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (stageType, _)) =>
+        val typed = events.filter(col("event_type") === stageType)
+        val qualified = prev match {
+          case None => typed
+          case Some(p) => typed.join(p.select(col("user_id"), col("t").as("t_prev")),
+              "user_id")
+            .filter(col("ts") > col("t_prev"))
+        }
+        Some(qualified.groupBy(col("user_id")).agg(min(col("ts")).as("t")))
+    }.flatten
+    frontiers.zip(stages).zipWithIndex.map { case ((df, stageType), i) =>
+        df.select(lit(s"${i + 1}_$stageType").as("stage"), col("user_id"))
+      }
+      .reduce(_.union(_))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+  }
+}

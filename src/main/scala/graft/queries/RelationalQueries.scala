@@ -430,6 +430,20 @@ object RelationalQueries {
           intervalSecs = 600)
         .orderBy(col("event_a"), col("event_b"))),
 
+    "q_ev8_retention" -> ((s, d) =>
+      // cohort retention: first-seen day per user, then distinct actives
+      // per (cohort day, day offset) — see EventAnalytics.retention for
+      // the shuffle shape
+      graft.operators.EventAnalytics.retention(Tables.events(s, d))
+        .orderBy(col("cohort_day"), col("day_offset"))),
+
+    "q_ev9_funnel" -> ((s, d) =>
+      // strictly-ordered 3-stage funnel (signup → click → purchase): a
+      // stage counts only events AFTER the user's previous-stage frontier
+      graft.operators.EventAnalytics.funnel(Tables.events(s, d),
+          Seq("signup", "click", "purchase"))
+        .orderBy(col("stage"))),
+
     // ---- multimodal plumbing (binary payload + typed metadata) --------------
     "q_m1_media_features" -> ((s, d) => {
       // documents.text cast to binary stands in for real image/audio bytes;
@@ -753,6 +767,25 @@ object RelationalQueries {
       TextOps.pmiBigrams(Tables.documents(s, d), minCount = 5, topK = 50)
         .orderBy(desc("pmi"), col("w1"), col("w2"))),
 
+    "q_t18_entropy" -> ((s, d) => {
+      // per-doc token-distribution Shannon entropy (repetition/diversity
+      // quality gate, complementing q_t6's surface repetition ratio).
+      // Single-join-free formulation: H = log2(n) − (Σ c·log2 c)/n folds
+      // the two-level aggregate into per-(doc,tok) counts → per-doc sums,
+      // both with map-side combine — no self-join of the token table back
+      // onto per-doc totals
+      val toks = graft.functions.Spread
+        .forExplode(Tables.documents(s, d), col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c").cast("double") * log2(col("c"))).as("clog"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          round(log2(col("n")) - col("clog") / col("n"), 4).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_t15_bm25" -> ((s, d) =>
       // BM25 top-20 for a 3-term query: common + mid + rare term so idf
       // spread is exercised; ties broken on (rounded score, doc_id) so the
@@ -804,6 +837,35 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy(col("l_returnflag"))),
+
+    "q_a10_quantiles" -> ((s, d) =>
+      // exact interpolated percentiles (linear at p·(n-1), the same
+      // definition as DuckDB quantile_cont, so this gets a full hash
+      // oracle). Exact percentile buffers each GROUP's values on one
+      // reducer — fine while groups are few and bounded (3 return flags
+      // here); for unbounded group cardinality or trillion-row groups the
+      // scale path is approx_percentile's mergeable t-digest-style sketch,
+      // same pattern as q_a9's HLL-next-to-exact pairing
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    "q_a11_heavy_hitters" -> ((s, d) =>
+      // exact corpus heavy hitters: explode → count with map-side partial
+      // aggregation (token cardinality ≪ token occurrences, so the shuffle
+      // carries the vocabulary, not the corpus) → global top-k planned as
+      // TakeOrderedAndProject (per-partition heaps, no full sort).
+      // Deterministic tie-break on the token keeps the k-boundary stable
+      // across engines.
+      graft.functions.Spread.forExplode(Tables.documents(s, d), col("doc_id"))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(20)),
 
     // ---- similarity search --------------------------------------------------
     "q_v1_knn_brute" -> ((s, d) => {
@@ -1052,6 +1114,21 @@ object RelationalQueries {
                 sum(l_quantity) AS sum_qty, min(l_extendedprice) AS min_price,
                 max(l_extendedprice) AS max_price
          FROM lineitem""",
+
+    "q_a10_quantiles" ->
+      // quantile_cont == Spark's exact `percentile`: both interpolate
+      // linearly at p·(n-1) over the sorted values
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+                count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_a11_heavy_hitters" ->
+      """SELECT tok, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""",
 
     "q_a8_tiebreak_score" ->
       """SELECT s_nationkey, s_suppkey, score FROM (
@@ -1619,6 +1696,31 @@ object RelationalQueries {
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 600 SECOND
          ORDER BY 1, 2""",
 
+    "q_ev8_retention" ->
+      """WITH f AS (
+           SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY 1)
+         SELECT f.cohort_day,
+                datediff('day', f.cohort_day, e.ts::DATE) AS day_offset,
+                count(DISTINCT e.user_id) AS active_users
+         FROM events e JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_ev9_funnel" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT stage, count(*) AS n_users FROM (
+           SELECT '1_signup' AS stage, user_id FROM s1
+           UNION ALL SELECT '2_click', user_id FROM s2
+           UNION ALL SELECT '3_purchase', user_id FROM s3)
+         GROUP BY 1 ORDER BY 1""",
+
     "q_ev5_sliding" ->
       """WITH w AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b FROM events),
          a AS (SELECT user_id, b AS window_start FROM w
@@ -1882,6 +1984,18 @@ object RelationalQueries {
          JOIN (SELECT w AS w2, c AS c2 FROM uni) u2 USING (w2)
          CROSS JOIN tot CROSS JOIN totb
          ORDER BY pmi DESC, w1, w2 LIMIT 50""",
+
+    "q_t18_entropy" ->
+      // same algebraic form as the Spark side (log2(n) − Σ c·log2 c / n)
+      // so the float rounding sees identical intermediate magnitudes
+      """WITH c AS (
+           SELECT doc_id, tok, count(*) AS c FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents) x
+           GROUP BY 1, 2)
+         SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy
+         FROM c GROUP BY 1 ORDER BY 1""",
 
     "q_t15_bm25" ->
       // same Lucene-smoothed idf and k1=1.2 / b=0.75 saturation, rounded at

@@ -1,0 +1,105 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class EventAnalyticsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(rows: (Long, String, String)*) =
+    rows.map { case (u, t, ty) => (u, ts(t), ty) }
+      .toDF("user_id", "ts", "event_type")
+
+  test("funnel requires strict temporal order: purchase BEFORE click does not count") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 12:00:00", "purchase"), // full funnel
+      (2L, "2024-01-01 10:00:00", "signup"),
+      (2L, "2024-01-01 09:00:00", "click"),    // click precedes signup
+      (2L, "2024-01-01 11:00:00", "purchase"), // no click stage → no purchase stage
+      (3L, "2024-01-01 10:00:00", "signup"),
+      (3L, "2024-01-01 11:00:00", "purchase"), // purchase before any click
+      (3L, "2024-01-01 12:00:00", "click"))    // click after → stage 2 only
+    val out = EventAnalytics.funnel(events, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out shouldBe Map("1_signup" -> 3L, "2_click" -> 2L, "3_purchase" -> 1L)
+  }
+
+  test("funnel frontier is the EARLIEST qualifying event, not any event") {
+    // user clicks twice; the purchase lands between the clicks — it is
+    // after the first (frontier) click, so the funnel completes
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 11:00:00", "click"),
+      (1L, "2024-01-01 11:30:00", "purchase"),
+      (1L, "2024-01-01 12:00:00", "click"))
+    val out = EventAnalytics.funnel(events, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out("3_purchase") shouldBe 1L
+  }
+
+  test("funnel ties (equal timestamps) do NOT advance: strictly-after semantics") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "signup"),
+      (1L, "2024-01-01 10:00:00", "click")) // same instant as signup
+    val out = EventAnalytics.funnel(events, Seq("signup", "click"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.get("2_click") shouldBe None
+  }
+
+  test("retention: day-0 actives equal cohort size; offsets count distinct users once") {
+    val events = ev(
+      (1L, "2024-01-01 08:00:00", "view"),
+      (1L, "2024-01-01 20:00:00", "view"), // same user+day twice → 1 active
+      (1L, "2024-01-03 09:00:00", "view"), // offset 2
+      (2L, "2024-01-01 12:00:00", "view"),
+      (2L, "2024-01-02 12:00:00", "view"), // offset 1
+      (3L, "2024-01-02 07:00:00", "view")) // later cohort
+    val out = EventAnalytics.retention(events)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) -> r.getLong(2)).toMap
+    out(("2024-01-01", 0L)) shouldBe 2L
+    out(("2024-01-01", 1L)) shouldBe 1L
+    out(("2024-01-01", 2L)) shouldBe 1L
+    out(("2024-01-02", 0L)) shouldBe 1L
+    out.keySet.map(_._1) shouldBe Set("2024-01-01", "2024-01-02")
+  }
+
+  test("q_t18 entropy formula: uniform tokens give log2(n_distinct), repetition gives 0") {
+    // pin the algebraic identity the query relies on:
+    // H = log2(n) - sum(c*log2 c)/n over per-(doc,tok) counts c
+    val docs = Seq(
+      (1L, "a b c d"),      // 4 distinct, uniform → H = 2.0
+      (2L, "a a a a"),      // single token → H = 0.0
+      (3L, "a a b b"))      // two tokens, uniform → H = 1.0
+      .toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val h = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log2(col("c"))).as("clog"))
+      .select(col("doc_id"),
+        round(log2(col("n")) - col("clog") / col("n"), 4).as("entropy"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    h shouldBe Map(1L -> 2.0, 2L -> 0.0, 3L -> 1.0)
+  }
+
+  test("exact percentile matches the linear p·(n-1) interpolation definition") {
+    // q_a10's oracle equivalence rests on Spark `percentile` ==
+    // DuckDB quantile_cont; pin Spark's side of the definition
+    val df = Seq(10.0, 20.0, 30.0, 40.0).toDF("v")
+    val Array(p50, p90) = df
+      .agg(expr("percentile(v, 0.5)"), expr("percentile(v, 0.9)"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    p50 shouldBe 25.0 // 0.5*(4-1)=1.5 → midpoint of 20,30
+    p90 shouldBe (37.0 +- 1e-9) // 0.9*3=2.7 → 30 + 0.7*(40-30)
+  }
+}
