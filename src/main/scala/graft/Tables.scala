@@ -14,20 +14,30 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native type
-      // for — read the raw int64 and convert to microsecond timestamps.
-      // The nanosAsLong conf must be set at session-builder time (Bench,
-      // Verify, MitMMain, SparkSpec all do); mutating it here as a side
-      // effect would silently change how unrelated NANOS-typed parquet is
-      // read for the rest of the session.
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "events.parquet is TIMESTAMP(NANOS): build the session with " +
-          "spark.sql.legacy.parquet.nanosAsLong=true")
+      // events.ts has shipped with two physical parquet types across fixture
+      // generations: TIMESTAMP(NANOS) (read as int64 under the session-level
+      // nanosAsLong conf) and plain timestamp[us] without UTC adjustment
+      // (read as TIMESTAMP_NTZ). Branch on the LOGICAL type the scan
+      // produces so both generations — and any future regeneration — load
+      // into the same stable session schema: ts TIMESTAMP.
       import org.apache.spark.sql.functions._
-      // integer `div`, not `/`: epoch-nanos overflow double's 53-bit
-      // mantissa, so float division corrupts the microsecond digit
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.types._
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // epoch nanos: integer `div`, not `/` — epoch-nanos overflow
+          // double's 53-bit mantissa, so float division corrupts the
+          // microsecond digit
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // NTZ wall-clock reinterpreted in the session zone (all entry
+          // points pin spark.sql.session.timeZone=UTC, so values are stable)
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other => throw new IllegalArgumentException(
+          s"events.parquet ts has unsupported type $other (expected " +
+            "int64 nanos, timestamp, or timestamp_ntz)")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

@@ -109,18 +109,31 @@ object Verify {
       SparkEntry.queries.keys.filterNot(names.contains)
         .foreach(n => deleteRec(new java.io.File(s"$outDir/$n")))
     }
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // clear any previous run's failure marker for this query
+        new java.io.File(s"$outDir/$name._error").delete()
+      }
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
         // a reused outDir may hold a PREVIOUS run's parquet for this query;
         // left in place, the DuckDB compare would hash stale (passing) data
         // and report a regressed query as correct — remove it so a failure
         // is visible as a missing result
         deleteRec(new java.io.File(s"$outDir/$name"))
+        // …but a SILENTLY missing result made 10 broken queries vanish from
+        // CORRECTNESS_r07 entirely: leave an explicit per-query marker and
+        // collect into the _errors.json manifest so the gate can show `err`
+        // rows instead of absences
+        Files.writeString(Paths.get(s"$outDir/$name._error"),
+          msg.linesIterator.take(20).mkString("\n"))
+        failures(name) = msg.linesIterator.take(3).mkString(" | ").take(500)
       }
       finally spark.catalog.clearCache() // drop query-persisted subtrees
     }
@@ -143,6 +156,17 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{{OUTDIR}}", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // failure manifest: always written (empty object on a clean run) so its
+    // absence vs emptiness is itself unambiguous
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (failures.nonEmpty)
+      // loud, but still rc 0: the driver must proceed to the DuckDB compare
+      // for the queries that DID succeed — the markers carry the red
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-contract smoke test: every Tables.* loads at sf0.001 and the
+  * load-bearing columns have the logical types the query surface assumes.
+  * A driver-side testdata regeneration that changes a physical parquet type
+  * (as the round-7 events.ts timestamp[us] swap did) should fail HERE with a
+  * one-line diagnosis, not as analysis errors scattered across ten queries.
+  */
+class TablesContractSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every table loads and is non-empty") {
+    for (name <- Tables.names) {
+      val df = Tables(spark, sfDir, name)
+      assert(df.head(1).nonEmpty, s"$name is empty at sf0.001")
+    }
+  }
+
+  private def fieldType(table: String, col: String): DataType =
+    Tables(spark, sfDir, table).schema(col).dataType
+
+  test("events.ts loads as session TIMESTAMP regardless of physical type") {
+    assert(fieldType("events", "ts") == TimestampType)
+  }
+
+  test("key column logical types match the query surface's assumptions") {
+    assert(fieldType("events", "event_id") == LongType)
+    assert(fieldType("events", "user_id") == LongType)
+    assert(fieldType("events", "event_type") == StringType)
+    assert(fieldType("events", "value") == DoubleType)
+    assert(fieldType("embeddings", "embedding") == ArrayType(FloatType, containsNull = true)
+      || fieldType("embeddings", "embedding") == ArrayType(FloatType, containsNull = false))
+    assert(fieldType("embeddings", "vec_id") == LongType)
+    assert(fieldType("embeddings", "label") == IntegerType)
+    assert(fieldType("documents", "doc_id") == LongType)
+    assert(fieldType("documents", "text") == StringType)
+    assert(fieldType("lineitem", "l_orderkey") == LongType)
+    assert(fieldType("lineitem", "l_quantity") == DoubleType)
+    assert(fieldType("orders", "o_orderkey") == LongType)
+    assert(fieldType("customer", "c_custkey") == LongType)
+  }
+}
