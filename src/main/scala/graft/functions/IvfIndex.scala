@@ -197,13 +197,23 @@ object IvfIndex {
     */
   def knnJoin(embs: DataFrame, model: Model, k: Int, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val probes = embs
+    // the query side fans out ×nprobe and then carries every pair's dot
+    // product: a one-file local fixture would serialize that whole phase
+    // into a single scan task (measured 5s of the gate's 9s at sf0.1) —
+    // spread it to shuffle-partition width first. Spread is metadata-gated:
+    // a multi-split production corpus skips the extra shuffle.
+    val probes = Spread.forExplode(embs, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         VectorExprs.norm(col("embedding")).as("nrm"),
         explode(probeCol(model, nprobe)).as("cell"))
-    val index = assignCells(embs, model).select(col("cell"),
-      col("vec_id").as("vid_b"), col("embedding").as("emb_b"),
-      VectorExprs.norm(col("embedding")).as("nrm_b"))
+    // the index side is the join's STREAM side whenever the probe side wins
+    // the broadcast (the usual local outcome): it carries the per-pair dot
+    // product, so a one-file scan here single-threads the whole pair phase
+    // even with the probe side spread — gate both sides
+    val index = assignCells(Spread.forExplode(embs, col("vec_id")), model)
+      .select(col("cell"),
+        col("vec_id").as("vid_b"), col("embedding").as("emb_b"),
+        VectorExprs.norm(col("embedding")).as("nrm_b"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
     probes.join(index, Seq("cell"))
       .filter(col("vec_id") =!= col("vid_b"))

@@ -24,13 +24,20 @@ object Spread {
 
   def forExplode(df: DataFrame, key: Column): DataFrame = {
     val spark = df.sparkSession
+    // repartition(n, key), NOT repartition(key): the numberless form is
+    // REPARTITION_BY_COL, which AQE's coalescing sees as a ~KB-sized
+    // shuffle (it can't know about the downstream fan-out) and folds back
+    // to one partition — undoing the spread this helper exists to provide.
+    // The numbered form is user-pinned and AQE leaves it alone.
+    def spread = df.repartition(
+      spark.sessionState.conf.numShufflePartitions, key)
     spark.conf.get(ConfKey, "auto") match {
       case "never"  => df
-      case "always" => df.repartition(key)
+      case "always" => spread
       case "auto" =>
         val shuffleParts = spark.sessionState.conf.numShufflePartitions
         val files = scala.util.Try(df.inputFiles.length).getOrElse(0)
-        if (files >= shuffleParts) df else df.repartition(key)
+        if (files >= shuffleParts) df else spread
       case other => throw new IllegalArgumentException(
         s"$ConfKey must be auto|always|never, got '$other'")
     }
