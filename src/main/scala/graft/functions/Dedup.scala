@@ -341,6 +341,66 @@ object Dedup {
       .select(col(idCol), col("n_tokens"), col("n_kept_tokens"), col("clean_text"))
   }
 
+  /** Corpus-wide exact-substring dedup (the ExactSubstr shape of Lee et al.
+    * 2022 §4.1, at token granularity): when a run of >= `minRun` tokens
+    * occurs at more than one (doc, start) location ANYWHERE in the corpus,
+    * every occurrence except the canonical first one (minimum (doc_id,
+    * start)) is removed; the canonical copy survives. Maximal repeated runs
+    * fall out of gram-span unioning: a repeated run of length L >= minRun
+    * contributes L-minRun+1 duplicated grams at consecutive starts, whose
+    * union covers the whole run — so unlike [[intraDocDedup]]'s fixed-k
+    * gram strip, long runs are removed in full, cross-doc and intra-doc.
+    *
+    * Scale shape: one posexplode into (doc, start, gram) rows, ONE corpus-
+    * wide shuffle keyed by gram for the canonical-occurrence row_number,
+    * one explode of covered spans, one anti-join on (doc, pos), one per-doc
+    * reassembly — all equi-key stages, never all-pairs. `hashGramKeys`
+    * swaps the gram string for codegen'd xxhash64 as the shuffle key (the
+    * 100 TB default: hash-width rows instead of minRun-token strings; a
+    * corpus-wide collision needs ~2^32 DISTINCT grams to become likely and
+    * at worst removes one span). The string key is the gate form for
+    * cross-engine oracle parity.
+    * Returns (doc_id, n_tokens, n_kept_tokens, clean_text); NULL-text docs
+    * are dropped (same contract as [[intraDocDedup]]).
+    */
+  def suffixRunDedup(docs: DataFrame, minRun: Int,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     hashGramKeys: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minRun >= 2, s"minRun must be >= 2 (got $minRun)")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+    val spread = Spread.forExplode(toks, col(idCol))
+    val gramKey: Column => Column =
+      if (hashGramKeys) xxhash64(_) else identity
+    val grams = spread
+      .filter(size(col("toks")) >= minRun)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - minRun),
+          i => gramKey(concat_ws(" ", slice(col("toks"), i + 1, lit(minRun))))))
+        .as(Seq("start", "gram")))
+    // canonical occurrence = row_number 1 in the (doc_id, start) total
+    // order per gram — a full order (both engines agree), unlike min-struct
+    val w = Window.partitionBy(col("gram")).orderBy(col(idCol), col("start"))
+    val covered = grams
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + minRun - 1)).as("pos"))
+      .distinct()
+    val kept = spread
+      .select(col(idCol), size(col("toks")).as("n_tokens"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+    kept.groupBy(col(idCol), col("n_tokens"))
+      .agg(
+        count(lit(1)).as("n_kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).as("clean_text"))
+      .select(col(idCol), col("n_tokens"), col("n_kept_tokens"), col("clean_text"))
+  }
+
   /** Semantic dedup (the SemDeDup shape): collapse groups of embedding-space
     * near-duplicates to one survivor each. Pairs above `threshold` come from
     * [[embeddingNearDups]] — restricted to `buckets` (IVF cells from

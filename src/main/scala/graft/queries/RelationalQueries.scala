@@ -709,6 +709,16 @@ object RelationalQueries {
       Dedup.intraDocDedup(Tables.documents(s, d), k = 3)
         .orderBy(col("doc_id"))),
 
+    "q_t19_suffix_run_dedup" -> ((s, d) =>
+      // corpus-wide exact-substring dedup (Lee et al. 2022 §4.1 ExactSubstr
+      // at token granularity): any run of >= 8 tokens occurring at more
+      // than one (doc, start) location keeps only its canonical first
+      // occurrence; overlapping duplicated 8-gram spans union into maximal
+      // removed runs. One corpus-wide shuffle keyed by gram, then doc-keyed
+      // stages — never all-pairs
+      Dedup.suffixRunDedup(Tables.documents(s, d), minRun = 8)
+        .orderBy(col("doc_id"))),
+
     "q_t13_redact_pii" -> ((s, d) => {
       // PII/secret scrubbing: the fixture corpus carries no PII, so the
       // query plants deterministic id-derived PII (emails, phones, IPv4,
@@ -1838,6 +1848,42 @@ object RelationalQueries {
          cov AS (
            SELECT DISTINCT doc_id, pos FROM (
              SELECT doc_id, unnest(generate_series(s, s + 2)) AS pos FROM rep)),
+         p AS (
+           SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]}
+             FOR i IN generate_series(1, len(toks))]) AS u
+           FROM t),
+         p2 AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM p),
+         kept AS (
+           SELECT p2.doc_id, p2.pos, p2.tok FROM p2
+           ANTI JOIN cov ON cov.doc_id = p2.doc_id AND cov.pos = p2.pos)
+         SELECT t.doc_id, len(t.toks) AS n_tokens, count(*) AS n_kept_tokens,
+                string_agg(kept.tok, ' ' ORDER BY kept.pos) AS clean_text
+         FROM t JOIN kept ON kept.doc_id = t.doc_id
+         GROUP BY t.doc_id, len(t.toks)
+         ORDER BY t.doc_id""",
+
+    "q_t19_suffix_run_dedup" ->
+      // same construction as the Spark plan: 8-gram starts, corpus-wide
+      // canonical occurrence via row_number per gram ordered by (doc_id,
+      // start), covered spans of non-canonical starts, anti-join on token
+      // positions, ordered reassembly
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         g AS (
+           SELECT doc_id, unnest([{'s': i - 1, 'gram': array_to_string(toks[i:i+7], ' ')}
+             FOR i IN generate_series(1, len(toks) - 7)]) AS u
+           FROM t),
+         g2 AS (SELECT doc_id, u.s AS s, u.gram AS gram FROM g),
+         rep AS (
+           SELECT doc_id, s FROM (
+             SELECT doc_id, s,
+                    row_number() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rn
+             FROM g2)
+           WHERE rn > 1),
+         cov AS (
+           SELECT DISTINCT doc_id, pos FROM (
+             SELECT doc_id, unnest(generate_series(s, s + 7)) AS pos FROM rep)),
          p AS (
            SELECT doc_id, unnest([{'pos': i - 1, 'tok': toks[i]}
              FOR i IN generate_series(1, len(toks))]) AS u
