@@ -475,6 +475,46 @@ object RelationalQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    "q_m3_media_metadata" -> ((s, d) => {
+      // REAL header parsing: the fixture has no media files, so the query
+      // plants deterministic doc_id-derived PNG / BMP / canonical-PCM-WAV
+      // headers (correct magics, sizes, endianness) and parses them back
+      // with Multimodal.parseMediaHeaders — the DuckDB oracle recomputes
+      // every metadata field arithmetically from doc_id, so a hash match
+      // proves the byte-level parser inverts real header layouts exactly.
+      // MultimodalSpec additionally pins golden headers from genuine files.
+      import org.apache.spark.sql.Column
+      def be8(x: Column) = lpad(hex(x), 8, "0")
+      def le8(x: Column) = {
+        val h = lpad(hex(x), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le4(x: Column) = {
+        val h = lpad(hex(x), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val id = col("doc_id")
+      val m = id % 3
+      val wp = lit(16) + id % 1024; val hp = lit(16) + (id * 7) % 768
+      val wb = lit(32) + id % 512;  val hb = lit(32) + (id * 3) % 512
+      val ch = lit(1) + id % 2
+      val rate = lit(8000) + (id % 8) * 1000
+      val bits = lit(16)
+      val dataB = lit(2048) + id % 4096
+      val byteRate = rate * ch * 2 // bits/8 = 2
+      val png = concat(lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+        be8(wp), be8(hp), lit("0806000000"), lit("1F15C489"))
+      val bmp = concat(lit("424D"), lit("00000000"), lit("00000000"),
+        lit("36000000"), lit("28000000"), le8(wb), le8(hb))
+      val wav = concat(lit("52494646"), le8(dataB + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), le4(ch), le8(rate),
+        le8(byteRate), le4(ch * 2), le4(bits), lit("64617461"), le8(dataB))
+      val media = Tables.documents(s, d).select(id,
+        unhex(when(m === 0, png).when(m === 1, bmp).otherwise(wav)).as("payload"))
+      graft.multimodal.Multimodal.parseMediaHeaders(media, idCol = "doc_id")
+        .orderBy(col("media_id"))
+    }),
+
     "q_as1_asof_join" -> ((s, d) =>
       // as-of join: latest order at-or-before each event for the same
       // customer — composed union+window operator (graft.operators.AsOfJoin)
@@ -1772,6 +1812,26 @@ object RelationalQueries {
          FROM documents, generate_series(0, 3) t(i)
          WHERE length(text) > i*32
          ORDER BY 1, 2""",
+
+    "q_m3_media_metadata" ->
+      // recompute every metadata field arithmetically from doc_id — the
+      // oracle never touches binary, so a hash match proves the Spark-side
+      // byte parser inverts the planted PNG/BMP/WAV header layouts exactly
+      """SELECT doc_id AS media_id,
+                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+                CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1024
+                                WHEN 1 THEN 32 + doc_id % 512 END::BIGINT AS width,
+                CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 768
+                                WHEN 1 THEN 32 + (doc_id * 3) % 512 END::BIGINT AS height,
+                CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 END::BIGINT AS channels,
+                CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 8) * 1000 END::BIGINT AS sample_rate,
+                CASE doc_id % 3 WHEN 2 THEN 16 END::BIGINT AS bits_per_sample,
+                CASE doc_id % 3 WHEN 2 THEN
+                  ((2048 + doc_id % 4096) * 1000)
+                    // ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2)
+                END::BIGINT AS duration_ms
+         FROM documents
+         ORDER BY media_id""",
 
     "q_sp5_grouped_split" ->
       // the q_d7 cluster CTE + the md5 hash gate on the CLUSTER id; the

@@ -17,6 +17,42 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     Multimodal.asMediaTable(rows.toDF("id", "data"), "id", "data", "image")
   }
 
+  test("parseMediaHeaders reads GENUINE file headers byte-for-byte") {
+    // golden headers from real files / the format specs, not from the
+    // query's own construction: the canonical 1x1 RGBA PNG, a GIF89a
+    // logical screen, a top-down (negative-height) BMP, and a 44-byte
+    // canonical PCM WAV (2ch / 44100 Hz / 16-bit / 2s)
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val png1x1 = hx("89504E470D0A1A0A 0000000D 49484452 00000001 00000001 0806000000 1F15C489")
+    val gif2x3 = hx("474946383961 0200 0300 F70000 00")
+    val bmpTopDown = hx("424D 46000000 00000000 36000000 28000000 04000000 F8FFFFFF")
+    val wav2s = hx("52494646 44620500 57415645 666D7420 10000000 0100 0200" +
+      "44AC0000 10B10200 0400 1000 64617461 20620500")
+    val junk = "not a media file".getBytes("UTF-8")
+    val df = Seq(
+      (1L, png1x1), (2L, gif2x3), (3L, bmpTopDown), (4L, wav2s),
+      (5L, junk), (6L, null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "payload")
+    val out = Multimodal.parseMediaHeaders(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, i: Int): AnyRef =
+      if (out(id).isNullAt(i)) null else out(id).get(i).asInstanceOf[AnyRef]
+    // (media_id, format, width, height, channels, sample_rate, bits, duration_ms)
+    out(1L).getString(1) shouldBe "png"
+    (f(1L, 2), f(1L, 3)) shouldBe ((1L, 1L))
+    out(2L).getString(1) shouldBe "gif"
+    (f(2L, 2), f(2L, 3)) shouldBe ((2L, 3L))
+    out(3L).getString(1) shouldBe "bmp"
+    (f(3L, 2), f(3L, 3)) shouldBe ((4L, -8L)) // negative height = top-down rows
+    out(4L).getString(1) shouldBe "wav"
+    (f(4L, 4), f(4L, 5), f(4L, 6), f(4L, 7)) shouldBe ((2L, 44100L, 16L, 2000L))
+    f(4L, 2) shouldBe null // images-only fields stay NULL for audio
+    out(5L).getString(1) shouldBe "unknown"
+    (2 to 7).foreach(i => f(5L, i) shouldBe null)
+    out(6L).isNullAt(1) shouldBe true // null payload → null format
+  }
+
   test("asMediaTable produces the canonical schema") {
     val df = mediaDF
     df.schema.fieldNames.toSeq shouldBe Seq(
