@@ -175,6 +175,9 @@ object Bench {
   private def writeResultFiles(full: String, summary: String): Unit = {
     val dir = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
+    try java.nio.file.Files.createDirectories(dir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not create $dir: ${e.getMessage}") }
     def write(name: String, body: String): Unit =
       try java.nio.file.Files.write(dir.resolve(name),
         (body + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
