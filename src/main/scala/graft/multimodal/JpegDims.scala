@@ -1,0 +1,111 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** JPEG frame-dimension scan as a native Catalyst expression: walks the
+  * segment-marker stream (variable offsets — NOT expressible with the
+  * fixed-offset substring/hex/conv parsing the other formats use) to the
+  * first SOFn frame header and returns the packed dimensions
+  * `(width << 32) | height`, or NULL when the payload is not a JPEG or has
+  * no frame header before SOS/EOI. Codegen'd (doGenCode) so the scan stays
+  * inside whole-stage codegen like the rest of the media-parse projection;
+  * unpack with the codegen'd shiftright/bitwise-and built-ins.
+  *
+  * Scanner semantics (ITU T.81 §B): after the FFD8 SOI, each segment is
+  * 0xFF, marker, 2-byte big-endian length (which includes itself). 0xFF
+  * fill bytes before a marker are skipped; standalone markers (TEM,
+  * RST0-7, repeated SOI) carry no length. SOFn markers are 0xC0-0xCF
+  * except DHT(C4)/JPG(C8)/DAC(CC); the frame header is
+  * [len][precision][height:2][width:2]. The scan stops at SOS (a legal
+  * stream's SOF precedes entropy-coded data, which may contain stray FFs)
+  * or EOI, returning NULL.
+  */
+case class JpegDims(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jpeg_dims requires a binary arg, got ${child.dataType.catalogString}")
+
+  /** -1 = no dims (maps to NULL); mirrored exactly by the generated Java. */
+  private[multimodal] def scan(b: Array[Byte]): Long = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return -1L
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return -1L // desynchronized stream
+      var marker = b(i + 1) & 0xff
+      while (marker == 0xff && i + 2 < b.length) { i += 1; marker = b(i + 1) & 0xff } // fill bytes
+      if (marker == 0xd9 || marker == 0xda) return -1L // EOI / SOS before any SOF
+      if (marker == 0x01 || marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        i += 2 // standalone marker, no length field
+      } else {
+        if (i + 3 >= b.length) return -1L
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2) return -1L
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 7 || i + 8 >= b.length) return -1L
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return (w.toLong << 32) | h.toLong
+        }
+        i += 2 + len
+      }
+    }
+    -1L
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = scan(input.asInstanceOf[Array[Byte]])
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val len = ctx.freshName("len")
+      val r = ctx.freshName("r")
+      // same automaton as scan(); `r` stays -1 → NULL
+      s"""
+         |byte[] $b = $c;
+         |long $r = -1L;
+         |if ($b.length >= 4 && ($b[0] & 0xff) == 0xff && ($b[1] & 0xff) == 0xd8) {
+         |  int $i = 2;
+         |  while ($i + 1 < $b.length) {
+         |    if (($b[$i] & 0xff) != 0xff) break;
+         |    int $m = $b[$i + 1] & 0xff;
+         |    while ($m == 0xff && $i + 2 < $b.length) { $i++; $m = $b[$i + 1] & 0xff; }
+         |    if ($m == 0xd9 || $m == 0xda) break;
+         |    if ($m == 0x01 || $m == 0xd8 || ($m >= 0xd0 && $m <= 0xd7)) {
+         |      $i += 2;
+         |    } else {
+         |      if ($i + 3 >= $b.length) break;
+         |      int $len = (($b[$i + 2] & 0xff) << 8) | ($b[$i + 3] & 0xff);
+         |      if ($len < 2) break;
+         |      if ($m >= 0xc0 && $m <= 0xcf && $m != 0xc4 && $m != 0xc8 && $m != 0xcc) {
+         |        if ($len >= 7 && $i + 8 < $b.length) {
+         |          $r = ((long) ((($b[$i + 7] & 0xff) << 8) | ($b[$i + 8] & 0xff)) << 32)
+         |             | (long) ((($b[$i + 5] & 0xff) << 8) | ($b[$i + 6] & 0xff));
+         |        }
+         |        break;
+         |      }
+         |      $i += 2 + $len;
+         |    }
+         |  }
+         |}
+         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JpegDims =
+    copy(child = newChild)
+  override def prettyName: String = "jpeg_dims"
+}

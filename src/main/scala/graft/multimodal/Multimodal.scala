@@ -122,12 +122,13 @@ object Multimodal {
   private def magic(payload: Column, pos: Int, hexLit: String): Column =
     hex(substring(payload, pos, hexLit.length / 2)) === lit(hexLit)
 
-  /** REAL multimodal metadata extraction: parse PNG / GIF / BMP / canonical
-    * PCM WAV headers directly from payload bytes — genuine files parse
-    * correctly (MultimodalSpec pins golden headers from the standard 1x1
-    * PNG, GIF89a, BMP and RIFF/WAVE layouts). Fixed-offset formats only;
-    * JPEG's SOF marker scan needs per-byte iteration and would be a custom
-    * Expression (future work — `format` reports 'unknown' for it).
+  /** REAL multimodal metadata extraction: parse PNG / GIF / BMP / JPEG /
+    * canonical PCM WAV headers directly from payload bytes — genuine files
+    * parse correctly (MultimodalSpec pins golden headers from the standard
+    * 1x1 PNG, GIF89a, BMP, multi-segment JPEG and RIFF/WAVE layouts).
+    * Fixed-offset formats parse with substring/hex/conv built-ins; JPEG's
+    * variable-offset SOF marker scan runs in the codegen'd [[JpegDims]]
+    * expression.
     *
     * The whole parse is one codegen'd projection over substring/hex/conv
     * built-ins: zero UDFs, no shuffle, columns prune to `payload` + id.
@@ -144,22 +145,30 @@ object Multimodal {
     */
   def parseMediaHeaders(media: DataFrame, idCol: String = "media_id",
                         payloadCol: String = "payload"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
     val p = col(payloadCol)
     val n = octet_length(p)
     val isPng = n >= 24 && magic(p, 1, "89504E470D0A1A0A") && magic(p, 13, "49484452")
     val isGif = n >= 10 && magic(p, 1, "47494638") // GIF87a/GIF89a
     val isBmp = n >= 26 && magic(p, 1, "424D")
+    val isJpg = n >= 4 && magic(p, 1, "FFD8")
     val isWav = n >= 44 && magic(p, 1, "52494646") && magic(p, 9, "57415645") &&
       magic(p, 13, "666D7420") && leU(p, 17, 4) === 16L && // canonical 16-byte fmt
       magic(p, 37, "64617461")
+    // variable-offset marker scan — the one format needing a native
+    // Expression ([[JpegDims]]); packed (width << 32) | height, NULL-safe
+    val jd = GraftSqlBridge.column(JpegDims(GraftSqlBridge.expression(p)))
     val fmt = when(p.isNull, lit(null).cast("string"))
-      .when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp").when(isWav, "wav")
+      .when(isPng, "png").when(isGif, "gif").when(isBmp, "bmp")
+      .when(isJpg, "jpeg").when(isWav, "wav")
       .otherwise("unknown")
     val nul = lit(null).cast("long")
     val width = when(isPng, beU(p, 17, 4)).when(isGif, leU(p, 7, 2))
-      .when(isBmp, s32(leU(p, 19, 4))).otherwise(nul)
+      .when(isBmp, s32(leU(p, 19, 4)))
+      .when(isJpg, shiftright(jd, 32)).otherwise(nul)
     val height = when(isPng, beU(p, 21, 4)).when(isGif, leU(p, 9, 2))
-      .when(isBmp, s32(leU(p, 23, 4))).otherwise(nul)
+      .when(isBmp, s32(leU(p, 23, 4)))
+      .when(isJpg, jd.bitwiseAND(0xffffffffL)).otherwise(nul)
     val channels = when(isWav, leU(p, 23, 2)).otherwise(nul)
     val rate = when(isWav, leU(p, 25, 4)).otherwise(nul)
     val bits = when(isWav, leU(p, 35, 2)).otherwise(nul)

@@ -477,8 +477,9 @@ object RelationalQueries {
 
     "q_m3_media_metadata" -> ((s, d) => {
       // REAL header parsing: the fixture has no media files, so the query
-      // plants deterministic doc_id-derived PNG / BMP / canonical-PCM-WAV
-      // headers (correct magics, sizes, endianness) and parses them back
+      // plants deterministic doc_id-derived PNG / BMP / multi-segment JPEG
+      // / canonical-PCM-WAV headers (correct magics, sizes, endianness,
+      // marker layout) and parses them back
       // with Multimodal.parseMediaHeaders — the DuckDB oracle recomputes
       // every metadata field arithmetically from doc_id, so a hash match
       // proves the byte-level parser inverts real header layouts exactly.
@@ -493,10 +494,12 @@ object RelationalQueries {
         val h = lpad(hex(x), 4, "0")
         concat(substring(h, 3, 2), substring(h, 1, 2))
       }
+      def be4(x: Column) = lpad(hex(x), 4, "0")
       val id = col("doc_id")
-      val m = id % 3
+      val m = id % 4
       val wp = lit(16) + id % 1024; val hp = lit(16) + (id * 7) % 768
       val wb = lit(32) + id % 512;  val hb = lit(32) + (id * 3) % 512
+      val wj = lit(8) + id % 4096;  val hj = lit(8) + (id * 5) % 4096
       val ch = lit(1) + id % 2
       val rate = lit(8000) + (id % 8) * 1000
       val bits = lit(16)
@@ -506,11 +509,19 @@ object RelationalQueries {
         be8(wp), be8(hp), lit("0806000000"), lit("1F15C489"))
       val bmp = concat(lit("424D"), lit("00000000"), lit("00000000"),
         lit("36000000"), lit("28000000"), le8(wb), le8(hb))
+      // SOI + APP0/JFIF + COM + SOF0 — the scan must walk two variable-
+      // length segments before the frame header
+      val jpg = concat(lit("FFD8"), lit("FFE0"), lit("0010"),
+        lit("4A46494600010100000100010000"),
+        lit("FFFE"), lit("0007"), lit("6772616674"), // COM "graft"
+        lit("FFC0"), lit("0011"), lit("08"), be4(hj), be4(wj),
+        lit("03011100021101031101"), lit("FFD9"))
       val wav = concat(lit("52494646"), le8(dataB + 36), lit("57415645"),
         lit("666D7420"), lit("10000000"), lit("0100"), le4(ch), le8(rate),
         le8(byteRate), le4(ch * 2), le4(bits), lit("64617461"), le8(dataB))
       val media = Tables.documents(s, d).select(id,
-        unhex(when(m === 0, png).when(m === 1, bmp).otherwise(wav)).as("payload"))
+        unhex(when(m === 0, png).when(m === 1, bmp).when(m === 2, jpg)
+          .otherwise(wav)).as("payload"))
       graft.multimodal.Multimodal.parseMediaHeaders(media, idCol = "doc_id")
         .orderBy(col("media_id"))
     }),
@@ -1818,15 +1829,18 @@ object RelationalQueries {
       // oracle never touches binary, so a hash match proves the Spark-side
       // byte parser inverts the planted PNG/BMP/WAV header layouts exactly
       """SELECT doc_id AS media_id,
-                CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
-                CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 1024
-                                WHEN 1 THEN 32 + doc_id % 512 END::BIGINT AS width,
-                CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 768
-                                WHEN 1 THEN 32 + (doc_id * 3) % 512 END::BIGINT AS height,
-                CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 END::BIGINT AS channels,
-                CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 8) * 1000 END::BIGINT AS sample_rate,
-                CASE doc_id % 3 WHEN 2 THEN 16 END::BIGINT AS bits_per_sample,
-                CASE doc_id % 3 WHEN 2 THEN
+                CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                                WHEN 2 THEN 'jpeg' ELSE 'wav' END AS format,
+                CASE doc_id % 4 WHEN 0 THEN 16 + doc_id % 1024
+                                WHEN 1 THEN 32 + doc_id % 512
+                                WHEN 2 THEN 8 + doc_id % 4096 END::BIGINT AS width,
+                CASE doc_id % 4 WHEN 0 THEN 16 + (doc_id * 7) % 768
+                                WHEN 1 THEN 32 + (doc_id * 3) % 512
+                                WHEN 2 THEN 8 + (doc_id * 5) % 4096 END::BIGINT AS height,
+                CASE doc_id % 4 WHEN 3 THEN 1 + doc_id % 2 END::BIGINT AS channels,
+                CASE doc_id % 4 WHEN 3 THEN 8000 + (doc_id % 8) * 1000 END::BIGINT AS sample_rate,
+                CASE doc_id % 4 WHEN 3 THEN 16 END::BIGINT AS bits_per_sample,
+                CASE doc_id % 4 WHEN 3 THEN
                   ((2048 + doc_id % 4096) * 1000)
                     // ((8000 + (doc_id % 8) * 1000) * (1 + doc_id % 2) * 2)
                 END::BIGINT AS duration_ms

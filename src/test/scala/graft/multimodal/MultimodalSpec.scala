@@ -30,9 +30,19 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val wav2s = hx("52494646 44620500 57415645 666D7420 10000000 0100 0200" +
       "44AC0000 10B10200 0400 1000 64617461 20620500")
     val junk = "not a media file".getBytes("UTF-8")
+    // baseline JPEG: SOI, APP0/JFIF, DQT-sized COM stand-in, SOF0 3x2
+    val jpgBase = hx("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+      "FFFE 0007 68656C6C6F" + // COM "hello" — a variable-length segment to walk
+      "FFC0 0011 08 0002 0003 03 011100 021101 031101 FFD9")
+    // progressive JPEG (SOF2) with a fill byte before the marker
+    val jpgProg = hx("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+      "FF FFC2 0011 08 0140 00F0 03 011100 021101 031101 FFD9")
+    // truncated before any SOF: dims NULL, format still jpeg
+    val jpgNoSof = hx("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00 FFD9")
     val df = Seq(
       (1L, png1x1), (2L, gif2x3), (3L, bmpTopDown), (4L, wav2s),
-      (5L, junk), (6L, null.asInstanceOf[Array[Byte]])
+      (5L, junk), (6L, null.asInstanceOf[Array[Byte]]),
+      (7L, jpgBase), (8L, jpgProg), (9L, jpgNoSof)
     ).toDF("media_id", "payload")
     val out = Multimodal.parseMediaHeaders(df).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -51,6 +61,48 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     out(5L).getString(1) shouldBe "unknown"
     (2 to 7).foreach(i => f(5L, i) shouldBe null)
     out(6L).isNullAt(1) shouldBe true // null payload → null format
+    // JPEG: marker walk over APP0 + COM to SOF0 (w=3, h=2)
+    out(7L).getString(1) shouldBe "jpeg"
+    (f(7L, 2), f(7L, 3)) shouldBe ((3L, 2L))
+    // progressive SOF2 behind a fill byte (w=240, h=320)
+    out(8L).getString(1) shouldBe "jpeg"
+    (f(8L, 2), f(8L, 3)) shouldBe ((240L, 320L))
+    // EOI before any SOF: recognized as jpeg, dims NULL
+    out(9L).getString(1) shouldBe "jpeg"
+    (f(9L, 2), f(9L, 3)) shouldBe ((null, null))
+  }
+
+  test("JpegDims interpreted eval and codegen agree on adversarial streams") {
+    // property-style cross-check of nullSafeEval (scan) vs the generated
+    // Java over structured-random marker streams, incl. truncations
+    val rnd = new scala.util.Random(42)
+    def seg(m: Int, payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      Array(0xff.toByte, m.toByte, ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    }
+    val streams = (0 until 60).map { _ =>
+      val segs = (0 until rnd.nextInt(4)).flatMap { _ =>
+        rnd.nextInt(4) match {
+          case 0 => seg(0xe0 + rnd.nextInt(4), Array.fill(rnd.nextInt(10))(rnd.nextInt(256).toByte))
+          case 1 => seg(0xfe, Array.fill(rnd.nextInt(6))(rnd.nextInt(256).toByte))
+          case 2 => Array(0xff.toByte, (0xd0 + rnd.nextInt(8)).toByte) // RSTn
+          case _ => seg(0xc0 + rnd.nextInt(16),
+            Array.fill(7)(rnd.nextInt(256).toByte)) // maybe-SOF
+        }
+      }
+      val full = Array(0xff.toByte, 0xd8.toByte) ++ segs ++ Array(0xff.toByte, 0xd9.toByte)
+      full.take(rnd.nextInt(full.length + 1)) // random truncation
+    } :+ Array[Byte]() :+ "FF".getBytes
+    val expr = JpegDims(org.apache.spark.sql.GraftSqlBridge.expression(col("payload")))
+    val df = streams.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("media_id", "payload")
+    val viaPlan = df.select(col("media_id"),
+        org.apache.spark.sql.GraftSqlBridge.column(expr).as("packed"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    streams.zipWithIndex.foreach { case (b, i) =>
+      val interp = expr.scan(b)
+      val expected = if (interp < 0) -1L else interp
+      viaPlan(i.toLong) shouldBe expected
+    }
   }
 
   test("asMediaTable produces the canonical schema") {
