@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{DotProduct, Fnv1a64}
-import graft.multimodal.BinaryStride
+import graft.functions.{DotProduct, Fnv1a64, IntDotProduct}
+import graft.multimodal.{BinaryStride, JpegDims}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
@@ -50,10 +50,30 @@ object GraftExtensions {
     }
   }
 
+  private[graft] val intDotBuilder: FunctionRegistry.FunctionBuilder = args => {
+    require(args.length == 2, "int_dot_product takes exactly 2 arguments")
+    IntDotProduct(args(0), args(1))
+  }
+
+  private[graft] val jpegDimsBuilder: FunctionRegistry.FunctionBuilder = args => {
+    require(args.length == 1, "jpeg_dims takes exactly 1 argument")
+    JpegDims(args.head)
+  }
+
+  // NearestCells/HyperplaneBuckets are deliberately NOT exposed as SQL
+  // functions: their centroid/plane matrices are driver-side model state
+  // (reference objects), not SQL literals — they are reachable only through
+  // the IvfIndex/Similarity APIs that own that state.
   private val builders: Seq[(String, String, FunctionRegistry.FunctionBuilder)] = Seq(
     ("fnv1a64", "fnv1a64(str) - 64-bit FNV-1a hash of a string.", fnvBuilder),
     ("dot_product",
       "dot_product(a, b) - double dot product of two float/double arrays.", dotBuilder),
+    ("int_dot_product",
+      "int_dot_product(a, b) - exact long dot product of two int/byte arrays.",
+      intDotBuilder),
+    ("jpeg_dims",
+      "jpeg_dims(bin) - packed (width << 32) | height from a JPEG SOF header, " +
+        "NULL if not a JPEG or no frame header.", jpegDimsBuilder),
     ("binary_stride",
       "binary_stride(bin, n) - every n-th byte of a binary value (n an int literal).",
       strideBuilder))

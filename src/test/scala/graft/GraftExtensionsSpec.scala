@@ -28,6 +28,20 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
     typeErr.getMessage.toLowerCase should include("array")
   }
 
+  test("int_dot_product and jpeg_dims are callable from SQL") {
+    val spark = SparkSpec.spark
+    GraftExtensions.register(spark)
+    spark.sql("SELECT int_dot_product(array(1, 2, 3), array(4, 5, 6)) AS d")
+      .head().getLong(0) shouldBe 32L
+    // minimal SOI + SOF0 (5x7) stream via unhex
+    val r = spark.sql(
+      """SELECT jpeg_dims(unhex('FFD8FFC00011080007000503011100021101031101FFD9')) AS p"""
+    ).head()
+    val packed = r.getLong(0)
+    (packed >> 32, packed & 0xffffffffL) shouldBe ((5L, 7L))
+    spark.sql("SELECT jpeg_dims(cast('nope' AS BINARY)) AS p").head().isNullAt(0) shouldBe true
+  }
+
   test("binary_stride is callable from SQL with a literal stride") {
     val spark = SparkSpec.spark
     GraftExtensions.register(spark)
