@@ -29,7 +29,8 @@ object Verify {
     // query results against an outdated export (same stale-output hazard the
     // query loop deletes failed results for).
     Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
-        "fx_stream_pairs.parquet", "fx_incdedup_stream.parquet")
+        "fx_stream_pairs.parquet", "fx_incdedup_stream.parquet",
+        "fx_ivf_probes.parquet", "fx_ivf_centroids.parquet")
       .foreach(f => deleteRec(new java.io.File(s"$outDir/$f")))
     // selection (used below for the query loop AND to skip fixture exports
     // no selected query consumes — a SPARK_GRAFT_ONLY=q_t1 iteration must
@@ -89,6 +90,31 @@ object Verify {
       try graft.queries.StreamParity.exportStreamPairs(spark, sfDir, outDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] stream-parity export failed: ${e.getMessage}")
+      }
+    }
+    // q_v3/q_v4's oracle input: the trained IVF model's full cell ranking
+    // per vector (same ensureModel(k=8) the queries use). With it, DuckDB
+    // reproduces the nprobe candidate join + top-k exactly, upgrading both
+    // approximate-ANN gates from rows-only to hash-checked GIVEN the model;
+    // the model/training itself is verified by the exhaustive-probe
+    // equivalences (q_v5/q_v6 brute-force oracles).
+    if (selected("q_v3", "q_v4")) {
+      try {
+        import spark.implicits._
+        val embs = Tables.embeddings(spark, sfDir)
+        val model = graft.functions.IvfIndex.ensureModel(spark, embs, sfDir, k = 8)
+        graft.queries.GraphQueries.writeSingleFile(
+          graft.functions.IvfIndex.probeTable(embs, model),
+          s"$outDir/fx_ivf_probes.parquet")
+        // centroids too: q_v3's single-query probe set is ranked by the
+        // QUERY vector's distance to each centroid, which DuckDB recomputes
+        // from these (same left-to-right double accumulation → bit-equal)
+        graft.queries.GraphQueries.writeSingleFile(
+          model.centroids.zipWithIndex
+            .map { case (c, i) => (i, c) }.toDF("cell", "centroid"),
+          s"$outDir/fx_ivf_centroids.parquet")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] ivf-probe fixture export failed: ${e.getMessage}")
       }
     }
     // q_d14's oracle: the arriving batch replayed through the STREAMING

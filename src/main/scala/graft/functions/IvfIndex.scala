@@ -55,6 +55,19 @@ object IvfIndex {
   def assignCells(embs: DataFrame, model: Model): DataFrame =
     embs.withColumn("cell", element_at(probeCol(model, 1), 1))
 
+  /** Full cell ranking per vector — (vec_id, ranked_cells) with every cell
+    * id in probe order (same ranking as [[assignCells]]/[[topK]]:
+    * round(−2·x·c + |c|², 9), ties to the lower id; ranked_cells[0] is the
+    * assigned cell). This is the ORACLE-EXPORT surface: Verify dumps it as
+    * a fixture so DuckDB can reproduce any nprobe's candidate set and rank
+    * top-k, upgrading the approximate-ANN gate queries from rows-only to
+    * hash-checked GIVEN the model (training itself is verified by the
+    * exhaustive-probe equivalences q_v5/q_v6).
+    */
+  def probeTable(embs: DataFrame, model: Model): DataFrame =
+    embs.select(col("vec_id"),
+      probeCol(model, model.numCells).as("ranked_cells"))
+
   /** Train a k-cell model: stride-sampled init + `iters` Lloyd steps. */
   def train(spark: SparkSession, embs: DataFrame, k: Int, iters: Int = 2): Model = {
     import spark.implicits._

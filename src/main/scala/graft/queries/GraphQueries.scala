@@ -53,7 +53,7 @@ object GraphQueries {
     writeSingleFile(edgesFlat, s"$outDir/fx_graph50_edges.parquet")
   }
 
-  private[queries] def writeSingleFile(df: DataFrame, dest: String): Unit = {
+  private[graft] def writeSingleFile(df: DataFrame, dest: String): Unit = {
     val tmp = dest + ".tmpdir"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val dir = new java.io.File(tmp)

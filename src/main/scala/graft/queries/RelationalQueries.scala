@@ -995,6 +995,9 @@ object RelationalQueries {
         .orderBy(col("label"), col("pos"))),
 
     "q_v3_knn_ivf" -> ((s, d) => {
+      // approximate nprobe=3 IVF probe — hash-checked against a DuckDB
+      // oracle that re-derives the probe set from the exported model
+      // fixtures (fx_ivf_centroids/fx_ivf_probes); see the oracle comment
       val embs = Tables.embeddings(s, d)
       val model = ivfModel(s, embs, d)
       val query = embs.filter(col("vec_id") === 0)
@@ -1004,9 +1007,10 @@ object RelationalQueries {
     }),
 
     "q_v4_knn_join" -> ((s, d) => {
-      // corpus-wide ANN k-NN join: every vector gets its top-k via
-      // nprobe-cell IVF probing (rows-only: k-means cells aren't
-      // SQL-reproducible; exactness at nprobe=k is pinned by IvfIndexSpec)
+      // corpus-wide ANN k-NN join at the production nprobe=2 — hash-checked
+      // against a DuckDB oracle that rebuilds the identical candidate set
+      // from the exported per-vector cell ranking (fx_ivf_probes); the
+      // exhaustive sibling q_v5 pins the fixture-free brute-force case
       val embs = Tables.embeddings(s, d)
       val model = ivfModel(s, embs, d)
       graft.functions.IvfIndex.knnJoin(embs, model, k = 3, nprobe = 2)
@@ -1612,6 +1616,59 @@ object RelationalQueries {
                   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, vid_b) AS rn
            FROM sc)
          SELECT vec_id, vid_b, cosine FROM ranked WHERE rn <= 5
+         ORDER BY vec_id, cosine DESC, vid_b""",
+
+    "q_v3_knn_ivf" ->
+      // approximate IVF probe, made hash-checkable by the fx_ivf_* fixtures
+      // Verify exports (full per-vector cell ranking + centroids from the
+      // SAME trained model the query uses): DuckDB re-derives the query
+      // vector's 3 probe cells by centroid distance (identical left-to-right
+      // double accumulation; ties to the lower cell id), restricts
+      // candidates to vectors ASSIGNED to those cells, and ranks by cosine.
+      // Training itself is verified by q_v6's exhaustive-probe brute-force
+      // equivalence; this checks the nprobe candidate-restriction machinery.
+      """WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0),
+         probed AS (
+           SELECT cell FROM read_parquet('{{OUTDIR}}/fx_ivf_centroids.parquet')
+           ORDER BY list_distance(centroid, (SELECT qe FROM q)), cell
+           LIMIT 3),
+         assigned AS (
+           SELECT vec_id, ranked_cells[1] AS cell
+           FROM read_parquet('{{OUTDIR}}/fx_ivf_probes.parquet')),
+         cand AS (
+           SELECT a.vec_id FROM assigned a JOIN probed p USING (cell)
+           WHERE a.vec_id <> 0)
+         SELECT e.vec_id,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT qe FROM q)), 6) AS cosine
+         FROM embeddings e JOIN cand USING (vec_id)
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "q_v4_knn_join" ->
+      // approximate nprobe=2 ANN join over the exported cell ranking: each
+      // vector probes its 2 nearest cells, candidates are vectors assigned
+      // to the probed cell, per-vector top-3 by cosine — the exact candidate
+      // set knnJoin builds, so the join/dedup/rank machinery is
+      // hash-verified at the production nprobe too (q_v5 pins the
+      // exhaustive case without fixtures)
+      """WITH pr AS (
+           SELECT vec_id, ranked_cells
+           FROM read_parquet('{{OUTDIR}}/fx_ivf_probes.parquet')),
+         probes AS (SELECT vec_id, unnest(ranked_cells[1:2]) AS cell FROM pr),
+         assigned AS (SELECT vec_id AS vid_b, ranked_cells[1] AS cell FROM pr),
+         cand AS (
+           SELECT p.vec_id, a.vid_b FROM probes p JOIN assigned a USING (cell)
+           WHERE a.vid_b <> p.vec_id),
+         sc AS (
+           SELECT c.vec_id, c.vid_b,
+                  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+           FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.vec_id
+           JOIN embeddings eb ON eb.vec_id = c.vid_b),
+         ranked AS (
+           SELECT vec_id, vid_b, cosine,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, vid_b) AS rn
+           FROM sc)
+         SELECT vec_id, vid_b, cosine FROM ranked WHERE rn <= 3
          ORDER BY vec_id, cosine DESC, vid_b""",
 
     "q_v6_knn_ivf_exact" ->
