@@ -475,6 +475,21 @@ object RelationalQueries {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    "q_io1_jsonl_roundtrip" -> ((s, d) => {
+      // JSONL corpus round-trip: documents → newline-delimited JSON →
+      // schema-on-read back. The oracle reads the PARQUET table directly,
+      // so a hash match proves the JSONL write+read preserves every value
+      // exactly (escaping, unicode, nulls) — the property an interchange
+      // format must have. Explicit read schema: no inference scan (the
+      // 100 TB double-scan trap documented in sources.JsonlCorpus).
+      val docs = Tables.documents(s, d)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_" + Integer.toHexString(d.hashCode)).toString
+      graft.sources.JsonlCorpus.write(docs, tmp)
+      graft.sources.JsonlCorpus.read(s, tmp, docs.schema)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_m3_media_metadata" -> ((s, d) => {
       // REAL header parsing: the fixture has no media files, so the query
       // plants deterministic doc_id-derived PNG / BMP / multi-segment JPEG
@@ -1880,6 +1895,12 @@ object RelationalQueries {
          FROM documents, generate_series(0, 3) t(i)
          WHERE length(text) > i*32
          ORDER BY 1, 2""",
+
+    "q_io1_jsonl_roundtrip" ->
+      // the parquet table IS the oracle: any value the JSONL round-trip
+      // mangles (escaping, unicode, nulls, numeric width) breaks the hash
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
 
     "q_m3_media_metadata" ->
       // recompute every metadata field arithmetically from doc_id — the

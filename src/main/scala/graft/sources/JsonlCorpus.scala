@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSONL (newline-delimited JSON) corpus source/sink — the de-facto
+  * interchange format for LLM training corpora (one document object per
+  * line; RedPajama/Dolma/C4 all ship this way).
+  *
+  * Scale notes:
+  *  - Reads take an EXPLICIT schema: `spark.read.json` without one runs a
+  *    full inference pass over the corpus first — at 100 TB that is a
+  *    second scan costing as much as the real one. Schema-on-read with a
+  *    declared schema is one scan, and unparseable lines land in the
+  *    standard `_corrupt_record` column (PERMISSIVE) instead of killing
+  *    the job — corpus files in the wild always carry a few bad lines.
+  *  - Uncompressed/`gzip` JSONL files are line-splittable/unsplittable
+  *    respectively; writers default to uncompressed so downstream scans
+  *    parallelize per-split (pass `codec` to trade scan parallelism for
+  *    storage — a gzip part is one task forever).
+  *  - The writer keeps the input partitioning (one part file per task —
+  *    the only write shape that scales); single-file output for fixtures
+  *    goes through coalesce at the CALL SITE where the smallness is known.
+  */
+object JsonlCorpus {
+
+  /** Write `df` as a directory of JSONL part files (the distributed
+    * corpus-export shape). Field order follows the schema; null fields are
+    * omitted per Spark's JSON writer (restored as NULL on schema reads).
+    */
+  def write(df: DataFrame, path: String, codec: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
+    codec.fold(w)(c => w.option("compression", c)).json(path)
+  }
+
+  /** Read a JSONL corpus with a DECLARED schema — no inference scan.
+    * PERMISSIVE mode: corrupt lines produce all-NULL rows (plus the
+    * `_corrupt_record` column when the caller includes it in the schema)
+    * rather than failing the scan.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}
