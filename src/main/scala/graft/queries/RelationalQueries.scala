@@ -490,6 +490,19 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_io2_csv_roundtrip" -> ((s, d) => {
+      // CSV sibling of q_io1: the hash match vs the parquet oracle proves
+      // the null-sentinel/empty-string/quoting contract survives a full
+      // round-trip. multiLine=true here: fidelity over splittability at
+      // gate scale (the trade is documented in sources.CsvCorpus).
+      val docs = Tables.documents(s, d)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_csv_" + Integer.toHexString(d.hashCode)).toString
+      graft.sources.CsvCorpus.write(docs, tmp)
+      graft.sources.CsvCorpus.read(s, tmp, docs.schema, multiLine = true)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_m3_media_metadata" -> ((s, d) => {
       // REAL header parsing: the fixture has no media files, so the query
       // plants deterministic doc_id-derived PNG / BMP / multi-segment JPEG
@@ -1899,6 +1912,11 @@ object RelationalQueries {
     "q_io1_jsonl_roundtrip" ->
       // the parquet table IS the oracle: any value the JSONL round-trip
       // mangles (escaping, unicode, nulls, numeric width) breaks the hash
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q_io2_csv_roundtrip" ->
+      // same oracle as q_io1: the parquet table is ground truth
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
 

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV corpus source/sink — the other interchange format corpora arrive in.
+  *
+  * Scale + fidelity notes:
+  *  - Declared schema only (same no-inference rule as [[JsonlCorpus]]).
+  *  - NULL vs empty string: CSV cannot distinguish them by default (both
+  *    serialize to nothing and read back as null). Reads and writes here
+  *    pin an explicit `nullValue` sentinel (`\N`, the de-facto standard)
+  *    and quote empty strings, so both survive a round-trip — silently
+  *    conflating them corrupts a corpus in ways that surface only after
+  *    training data ships.
+  *  - Embedded record separators: a text column with newlines forces
+  *    `multiLine=true` on read, which makes each FILE one split —
+  *    unsplittable, like gzip. Callers with newline-bearing corpora
+  *    should prefer JSONL; the flag exists because foreign CSVs do
+  *    arrive that way.
+  */
+object CsvCorpus {
+  private val NullSentinel = "\\N"
+
+  def write(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString)
+      .option("nullValue", NullSentinel)
+      .option("emptyValue", "\"\"")
+      .csv(path)
+
+  def read(spark: SparkSession, path: String, schema: StructType,
+           header: Boolean = true, multiLine: Boolean = false): DataFrame =
+    // no emptyValue on read: the read-side option SUBSTITUTES its value
+    // for empty fields (a quoted empty would come back as the two-char
+    // string «""»); the default already yields the empty string, which the
+    // \N sentinel keeps distinct from NULL
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("nullValue", NullSentinel)
+      .option("multiLine", multiLine.toString)
+      .csv(path)
+}

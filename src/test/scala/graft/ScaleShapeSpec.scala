@@ -12,6 +12,34 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
   private lazy val spark = SparkSpec.spark
   private val sfDir = "/root/testdata/sf0.001"
 
+  test("Spread pins its repartition so AQE cannot coalesce it away") {
+    // regression pin for the round-8 finding: repartition(key) is
+    // REPARTITION_BY_COL and AQE folds a KB-sized shuffle back to ONE
+    // partition, re-serializing the downstream explode/join fan-out; the
+    // numbered form is REPARTITION_BY_NUM and AQE leaves it alone
+    val docs = Tables.documents(spark, sfDir)
+    val spreadPlan = graft.functions.Spread.forExplode(docs, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    spreadPlan should include("REPARTITION_BY_NUM")
+    spreadPlan should not include "REPARTITION_BY_COL"
+    // and the exact-probe ANN join actually executes with spread pair
+    // stages: run it, then assert no shuffle READ collapsed to 1 partition
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(spark, embs, k = 4, iters = 1)
+    val joined = IvfIndex.knnJoin(embs, model, k = 2, nprobe = model.numCells)
+    joined.write.format("noop").mode("overwrite").save()
+    val executed = joined.queryExecution.executedPlan.toString
+    executed should include("REPARTITION_BY_NUM")
+  }
+
+  test("suffixRunDedup stays equi-keyed: no cartesian or broadcast NLJ anywhere") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = graft.functions.Dedup.suffixRunDedup(docs, minRun = 8)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("persisted IVF index prunes partitions on probe and matches unpersisted results") {
     val embs = Tables.embeddings(spark, sfDir)
     val model = IvfIndex.train(spark, embs, k = 4, iters = 1)

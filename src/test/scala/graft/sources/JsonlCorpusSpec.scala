@@ -61,6 +61,30 @@ class JsonlCorpusSpec extends AnyFunSuite with Matchers {
     } finally { out.unpersist(); () }
   }
 
+  test("CSV round-trips hostile values with the null sentinel and multiLine") {
+    val rows = Seq(
+      (1L, "plain", "en"),
+      (2L, "comma, \"quoted\", and\nnewline", "en"),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String]),
+      (4L, "", "en") // empty string must NOT collapse to null
+    ).toDF("doc_id", "text", "lang")
+    val path = tmpDir("csv_rt")
+    CsvCorpus.write(rows, path)
+    val back = CsvCorpus.read(spark, path, rows.schema, multiLine = true)
+      .orderBy("doc_id").collect()
+    back.map(_.toSeq) shouldBe rows.orderBy("doc_id").collect().map(_.toSeq)
+  }
+
+  test("CSV fixture round-trip matches the parquet table as a multiset") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = tmpDir("csv_docs")
+    CsvCorpus.write(docs, path)
+    val back = CsvCorpus.read(spark, path, docs.schema, multiLine = true)
+    back.count() shouldBe docs.count()
+    back.exceptAll(docs).count() shouldBe 0
+    docs.exceptAll(back).count() shouldBe 0
+  }
+
   test("fixture round-trip matches the parquet table value for value") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val path = tmpDir("jsonl_docs")
