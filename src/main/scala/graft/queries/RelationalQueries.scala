@@ -503,6 +503,21 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_io3_schema_drift_union" -> ((s, d) => {
+      // two corpus generations with drifted schemas (columns retired in
+      // gen1, added in gen2) unioned BY NAME with NULL fill — the oracle
+      // rebuilds the same union with explicit NULL columns, so the hash
+      // match proves alignment-by-name (a positional union would misalign
+      // and mismatch immediately)
+      val docs = Tables.documents(s, d)
+      val gen1 = docs.select(lit(1).as("gen"), col("doc_id"), col("text"),
+        col("lang"))
+      val gen2 = docs.select(lit(2).as("gen"), col("doc_id"), col("text"),
+        col("source"), col("n_chars"), (col("n_chars") % 100).as("quality"))
+      graft.sources.SchemaDrift.unionCorpora(Seq(gen1, gen2))
+        .orderBy(col("gen"), col("doc_id"))
+    }),
+
     "q_m3_media_metadata" -> ((s, d) => {
       // REAL header parsing: the fixture has no media files, so the query
       // plants deterministic doc_id-derived PNG / BMP / multi-segment JPEG
@@ -1919,6 +1934,17 @@ object RelationalQueries {
       // same oracle as q_io1: the parquet table is ground truth
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    "q_io3_schema_drift_union" ->
+      // the by-name union with explicit NULL columns per generation
+      """SELECT 1 AS gen, doc_id, text, lang,
+                NULL::VARCHAR AS source, NULL::BIGINT AS n_chars,
+                NULL::BIGINT AS quality
+         FROM documents
+         UNION ALL
+         SELECT 2, doc_id, text, NULL, source, n_chars, n_chars % 100
+         FROM documents
+         ORDER BY gen, doc_id""",
 
     "q_m3_media_metadata" ->
       // recompute every metadata field arithmetically from doc_id — the

@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Drift-tolerant corpus union: corpus generations accumulate schema drift
+  * (columns added, columns retired — this repo's own events.ts type swap is
+  * the same disease one level down), and the naive positional `union`
+  * silently MISALIGNS values when shapes differ. `unionCorpora` aligns by
+  * NAME and fills columns absent in a generation with NULL, so a reader
+  * gets the union schema with per-generation provenance intact.
+  *
+  * Type CONFLICTS on a shared column are a loud error HERE: Spark's own
+  * union coercion silently widens (int→long, even int→string), and
+  * auto-coercing across generations is how corrupt corpora get shipped.
+  * The caller must cast explicitly where a widening is actually intended.
+  *
+  * Scale shape: union is plan-level glue (no shuffle of its own); each
+  * generation keeps its scan pushdown, and downstream operators see one
+  * relation.
+  */
+object SchemaDrift {
+  def unionCorpora(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionCorpora needs at least one input")
+    val conflicts = dfs.flatMap(_.schema.fields)
+      .groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+      .collect { case (name, fields) if fields.map(_.dataType).distinct.length > 1 =>
+        s"$name: ${fields.map(_.dataType.catalogString).distinct.mkString(" vs ")}"
+      }
+    require(conflicts.isEmpty,
+      "unionCorpora: shared columns drift in TYPE (cast explicitly where " +
+        s"intended): ${conflicts.mkString("; ")}")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}

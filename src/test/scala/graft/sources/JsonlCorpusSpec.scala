@@ -85,6 +85,20 @@ class JsonlCorpusSpec extends AnyFunSuite with Matchers {
     docs.exceptAll(back).count() shouldBe 0
   }
 
+  test("unionCorpora aligns by name, fills NULL, and rejects type conflicts loudly") {
+    val gen1 = Seq((1L, "a")).toDF("doc_id", "text")
+    val gen2 = Seq((2L, "b", 0.9)).toDF("doc_id", "text", "quality")
+    val u = SchemaDrift.unionCorpora(Seq(gen1, gen2)).orderBy("doc_id").collect()
+    u.map(_.toSeq) shouldBe Array(Seq(1L, "a", null), Seq(2L, "b", 0.9))
+    // a type conflict on a shared column must NOT silently coerce — Spark's
+    // own union would widen int→long here; the helper rejects it instead
+    val gen3 = Seq((3, "c")).toDF("doc_id", "text") // doc_id int, not long
+    val conflict = intercept[IllegalArgumentException](
+      SchemaDrift.unionCorpora(Seq(gen1, gen3)))
+    conflict.getMessage should include("doc_id")
+    an[IllegalArgumentException] should be thrownBy SchemaDrift.unionCorpora(Nil)
+  }
+
   test("fixture round-trip matches the parquet table value for value") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val path = tmpDir("jsonl_docs")
