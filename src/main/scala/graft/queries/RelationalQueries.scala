@@ -950,13 +950,20 @@ object RelationalQueries {
       // here); for unbounded group cardinality or trillion-row groups the
       // scale path is approx_percentile's mergeable t-digest-style sketch,
       // same pattern as q_a9's HLL-next-to-exact pairing
+      // ONE percentile aggregate with the percentage array, not three:
+      // each separate percentile(...) call buffers and sorts the group's
+      // values independently (measured 3x the dominant cost for identical
+      // output); the array form shares a single buffer
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"),
+          round(element_at(col("ps"), 3), 4).as("p99"),
+          col("n"))
         .orderBy(col("l_returnflag"))),
 
     "q_a11_heavy_hitters" -> ((s, d) =>
