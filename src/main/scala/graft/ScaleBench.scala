@@ -48,7 +48,7 @@ object ScaleBench {
     "q_t9_length_profile", "q_t10_unigram_surprisal", "q_t11_chunking",
     "q_t12_intra_doc_dedup", "q_t13_redact_pii", "q_t14_boilerplate_removal",
     "q_t15_bm25", "q_t16_normalize", "q_t17_pmi_bigrams", "q_t18_entropy",
-    "q_t19_suffix_run_dedup",
+    "q_t19_suffix_run_dedup", "q_t20_bigram_surprisal",
     "q_a11_heavy_hitters",
     "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",

@@ -194,6 +194,44 @@ object TextOps {
         round(avg(-log((col("tf") + 1.0) / (col("n") + col("v")))), 4).as("surprisal"))
   }
 
+  /** Bigram conditional surprisal — the LM-quality proxy one order above
+    * [[unigramSurprisal]]: per doc, the mean −ln P(w_i | w_{i−1}) under
+    * corpus bigram statistics with add-one smoothing,
+    * P = (c(prev, w) + 1) / (c(prev) + V), where c(prev) is the corpus
+    * unigram count (the standard context approximation) and V the corpus
+    * vocabulary size. Repetitive/templated text scores low, natural prose
+    * sits mid-range, token salad scores high — a sharper filter than the
+    * unigram form because it sees local order, not just frequency.
+    *
+    * Scale shape: bigrams come straight off each doc's token array (no
+    * self-join); the bigram and unigram count tables are
+    * vocabulary-bounded shuffle-joins (shuffle_hash, like q_t7/q_t10 —
+    * a corpus-sized build side must never broadcast), and only the
+    * single-row V scalar broadcasts. Docs with fewer than two tokens have
+    * no bigrams and drop out (same contract as the oracle).
+    * Returns (doc_id, n_bigrams, bigram_surprisal).
+    */
+  def bigramSurprisal(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val base = Spread.forExplode(df, col("doc_id"))
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val toks = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val bigr = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS prev, toks[i + 1] AS cur))")).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val bfreq = bigr.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+    bigr.hint("shuffle_hash").join(bfreq.hint("shuffle_hash"), Seq("prev", "cur"))
+      .join(uni.hint("shuffle_hash").withColumnRenamed("tok", "prev"), "prev")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("cb") + 1.0) / (col("cu") + col("v")))), 4)
+          .as("bigram_surprisal"))
+  }
+
   /** BM25 top-k document retrieval for a literal query — the
     * inverted-index-shaped search pass (Robertson/Okapi BM25 with the
     * Lucene-style smoothed idf = ln(1 + (N − df + 0.5)/(df + 0.5)), k1/b

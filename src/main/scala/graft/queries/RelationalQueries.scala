@@ -803,6 +803,14 @@ object RelationalQueries {
       Dedup.intraDocDedup(Tables.documents(s, d), k = 3)
         .orderBy(col("doc_id"))),
 
+    "q_t20_bigram_surprisal" -> ((s, d) =>
+      // bigram-LM quality proxy: mean −ln P(w_i | w_{i−1}) per doc with
+      // add-one smoothing over corpus bigram/unigram tables — the
+      // order-sensitive sibling of q_t10 (vocabulary-bounded shuffle-joins,
+      // only the scalar V broadcasts)
+      graft.functions.TextOps.bigramSurprisal(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     "q_t19_suffix_run_dedup" -> ((s, d) =>
       // corpus-wide exact-substring dedup (Lee et al. 2022 §4.1 ExactSubstr
       // at token granularity): any run of >= 8 tokens occurring at more
@@ -2064,6 +2072,27 @@ object RelationalQueries {
          FROM t JOIN kept ON kept.doc_id = t.doc_id
          GROUP BY t.doc_id, len(t.toks)
          ORDER BY t.doc_id""",
+
+    "q_t20_bigram_surprisal" ->
+      // same statistics rebuilt in SQL: corpus unigram counts (the context
+      // denominator), vocabulary size, bigram counts from consecutive
+      // positions, add-one-smoothed −ln, mean per doc
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         toks AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY 1),
+         vv AS (SELECT count(*) AS v FROM uni),
+         bg AS (
+           SELECT doc_id, unnest([{'prev': toks[i], 'cur': toks[i + 1]}
+             FOR i IN generate_series(1, len(toks) - 1)]) AS u
+           FROM t WHERE len(toks) >= 2),
+         bg2 AS (SELECT doc_id, u.prev AS prev, u.cur AS cur FROM bg),
+         bfreq AS (SELECT prev, cur, count(*) AS cb FROM bg2 GROUP BY 1, 2)
+         SELECT bg2.doc_id, count(*) AS n_bigrams,
+                round(avg(-ln((cb + 1.0) / (cu + v))), 4) AS bigram_surprisal
+         FROM bg2 JOIN bfreq USING (prev, cur)
+                  JOIN uni ON uni.tok = bg2.prev, vv
+         GROUP BY 1 ORDER BY 1""",
 
     "q_t19_suffix_run_dedup" ->
       // same construction as the Spark plan: 8-gram starts, corpus-wide

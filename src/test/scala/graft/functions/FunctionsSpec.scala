@@ -454,6 +454,26 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe ((2L, r4((math.log(2) + math.log(4)) / 2)))
   }
 
+  test("bigramSurprisal computes add-one-smoothed conditional values; short docs drop") {
+    // corpus: a×3 b×3 z×1 → V=3; bigrams (a,b)×3, (b,a)×1
+    // P(b|a) = (3+1)/(3+3) = 2/3; P(a|b) = (1+1)/(3+3) = 1/3
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextOps.bigramSurprisal(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(1L) shouldBe ((3L, r4((2 * -math.log(2.0 / 3) + -math.log(1.0 / 3)) / 3)))
+    out(2L) shouldBe ((1L, r4(-math.log(2.0 / 3))))
+    out.contains(3L) shouldBe false // no bigrams in a 1-token doc
+    // natural prose vs token salad on a bigger corpus: repeated structure
+    // must score strictly lower than shuffled tokens of the same unigrams
+    val rep = (1 to 50).map(_ => "the cat sat").mkString(" ")
+    val shuf = new scala.util.Random(7).shuffle(rep.split(" ").toSeq).mkString(" ")
+    val two = TextOps.bigramSurprisal(
+      Seq((10L, rep), (11L, shuf)).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    two(10L) should be < two(11L)
+  }
+
   test("simhashes is total: NULL text gets simhash 0 under both hash families") {
     val df = Seq((1L, null: String), (2L, "hello world hello"))
       .toDF("doc_id", "text")
