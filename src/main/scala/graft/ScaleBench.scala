@@ -59,7 +59,7 @@ object ScaleBench {
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
     "q_sp4_mixture_weights", "q_sp5_grouped_split",
     "q_m1_media_features", "q_m2_frame_sample", "q_m3_media_metadata",
-    "q_io1_jsonl_roundtrip", "q_io2_csv_roundtrip")
+    "q_io1_jsonl_roundtrip", "q_io2_csv_roundtrip", "q_io4_orc_roundtrip")
 
   // langid/quality gate vocabulary that must SURVIVE the Caesar shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

@@ -503,6 +503,17 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_io4_orc_roundtrip" -> ((s, d) => {
+      // columnar sibling of q_io1/q_io2: ORC is self-describing (footer
+      // schema, no declared schema) and keeps pushdown/pruning; oracle is
+      // again the parquet table — hash match proves value fidelity
+      val docs = Tables.documents(s, d)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_orc_" + Integer.toHexString(d.hashCode)).toString
+      graft.sources.OrcCorpus.write(docs, tmp)
+      graft.sources.OrcCorpus.read(s, tmp).orderBy(col("doc_id"))
+    }),
+
     "q_io3_schema_drift_union" -> ((s, d) => {
       // two corpus generations with drifted schemas (columns retired in
       // gen1, added in gen2) unioned BY NAME with NULL fill — the oracle
@@ -1947,6 +1958,11 @@ object RelationalQueries {
 
     "q_io2_csv_roundtrip" ->
       // same oracle as q_io1: the parquet table is ground truth
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q_io4_orc_roundtrip" ->
+      // parquet ground truth, same as q_io1/q_io2
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
 

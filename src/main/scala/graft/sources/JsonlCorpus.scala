@@ -41,3 +41,19 @@ object JsonlCorpus {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 }
+
+/** ORC corpus source/sink — the other columnar format corpora arrive in.
+  * Unlike the text formats, ORC is self-describing (schema in the footer,
+  * no inference scan, no declared schema needed) and columnar: predicate
+  * pushdown and column pruning reach the reader exactly as with parquet
+  * (`PushedFilters` in the scan — pinned in ScaleShapeSpec). Round-trip
+  * fidelity is gated the same way as JSONL/CSV: the parquet table is the
+  * oracle.
+  */
+object OrcCorpus {
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+}

@@ -40,6 +40,17 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("ORC scans get predicate pushdown and column pruning like parquet") {
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("orc_shape").toString + "/docs"
+    graft.sources.OrcCorpus.write(docs, tmp)
+    val q = graft.sources.OrcCorpus.read(spark, tmp)
+      .filter(col("doc_id") > 100).select(col("doc_id"), col("lang"))
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)")
+    plan should include("ReadSchema: struct<doc_id:bigint,lang:string>")
+  }
+
   test("persisted IVF index prunes partitions on probe and matches unpersisted results") {
     val embs = Tables.embeddings(spark, sfDir)
     val model = IvfIndex.train(spark, embs, k = 4, iters = 1)
