@@ -389,16 +389,26 @@ object Dedup {
         explode(sequence(col("start"), col("start") + minRun - 1)).as("pos"))
       .distinct()
     val kept = spread
-      .select(col(idCol), size(col("toks")).as("n_tokens"),
-        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col(idCol), posexplode(col("toks")).as(Seq("pos", "tok")))
       .join(covered, Seq(idCol, "pos"), "left_anti")
-    kept.groupBy(col(idCol), col("n_tokens"))
+    val keptAgg = kept.groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_kept_tokens"),
         concat_ws(" ",
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
             s => s.getField("tok"))).as("clean_text"))
-      .select(col(idCol), col("n_tokens"), col("n_kept_tokens"), col("clean_text"))
+    // LEFT join from the doc list, not an inner join from kept rows: a doc
+    // whose ENTIRE content duplicates an earlier doc loses every token
+    // (correct ExactSubstr semantics) and must still appear, as
+    // (n_kept_tokens = 0, clean_text = "") — an inner join would silently
+    // drop it from the corpus report (found by PropertySpec's reference
+    // cross-check; unlike intraDocDedup, position 0 has no survival
+    // guarantee cross-doc)
+    spread.select(col(idCol), size(col("toks")).as("n_tokens"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** Semantic dedup (the SemDeDup shape): collapse groups of embedding-space

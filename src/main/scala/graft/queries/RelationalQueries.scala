@@ -2140,9 +2140,10 @@ object RelationalQueries {
          kept AS (
            SELECT p2.doc_id, p2.pos, p2.tok FROM p2
            ANTI JOIN cov ON cov.doc_id = p2.doc_id AND cov.pos = p2.pos)
-         SELECT t.doc_id, len(t.toks) AS n_tokens, count(*) AS n_kept_tokens,
-                string_agg(kept.tok, ' ' ORDER BY kept.pos) AS clean_text
-         FROM t JOIN kept ON kept.doc_id = t.doc_id
+         SELECT t.doc_id, len(t.toks) AS n_tokens,
+                count(kept.tok) AS n_kept_tokens,
+                coalesce(string_agg(kept.tok, ' ' ORDER BY kept.pos), '') AS clean_text
+         FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id
          GROUP BY t.doc_id, len(t.toks)
          ORDER BY t.doc_id""",
 

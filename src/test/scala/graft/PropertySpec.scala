@@ -109,6 +109,35 @@ class PropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("suffixRunDedup == executable reference over generated small-vocab corpora") {
+    // small vocabulary + short docs force heavy cross-doc run sharing; the
+    // reference reimplements the spec directly (canonical first occurrence
+    // per gram in (doc, start) order, span union)
+    val minRun = 3
+    val docs = (0 until 40).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong, List.fill(n)(('a' + rnd.nextInt(4)).toChar.toString).mkString(" "))
+    }
+    def reference(corpus: Seq[(Long, String)]): Map[Long, (Int, Long, String)] = {
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      val occ = scala.collection.mutable.LinkedHashMap.empty[String, Vector[(Long, Int)]]
+      for ((id, ts) <- toks.sortBy(_._1); s <- 0 to ts.length - minRun)
+        occ.updateWith(ts.slice(s, s + minRun).mkString(" ")) {
+          prev => Some(prev.getOrElse(Vector.empty) :+ (id, s))
+        }
+      val covered = scala.collection.mutable.Set.empty[(Long, Int)]
+      for ((_, locs) <- occ; (id, s) <- locs.sortBy(identity).drop(1); p <- s until s + minRun)
+        covered += ((id, p))
+      toks.map { case (id, ts) =>
+        val kept = ts.zipWithIndex.collect { case (t, p) if !covered((id, p)) => t }
+        id -> ((ts.length, kept.length.toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val got = Dedup.suffixRunDedup(docs.toDF("doc_id", "text"), minRun).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    got shouldBe reference(docs)
+  }
+
   test("shingles yields max(0, n-k+1) distinct k-grams of distinct tokens") {
     for (k <- 2 to 4) {
       val cases = (0 until 15).map { i =>
