@@ -345,15 +345,24 @@ object Dedup {
     * 2022 §4.1, at token granularity): when a run of >= `minRun` tokens
     * occurs at more than one (doc, start) location ANYWHERE in the corpus,
     * every occurrence except the canonical first one (minimum (doc_id,
-    * start)) is removed; the canonical copy survives. Maximal repeated runs
+    * start)) is removed; the canonical copy survives. Caveat for SELF-
+    * OVERLAPPING periodic repeats (e.g. one token repeated 9x with
+    * minRun=8): the non-canonical occurrences start inside the canonical
+    * occurrence's own span, so their covered positions overlap it and the
+    * "canonical copy" keeps only its non-overlapped prefix (1 token in that
+    * example) rather than all minRun tokens — removal is position-based,
+    * not occurrence-based, for this input class. Maximal repeated runs
     * fall out of gram-span unioning: a repeated run of length L >= minRun
     * contributes L-minRun+1 duplicated grams at consecutive starts, whose
     * union covers the whole run — so unlike [[intraDocDedup]]'s fixed-k
     * gram strip, long runs are removed in full, cross-doc and intra-doc.
     *
-    * Scale shape: one posexplode into (doc, start, gram) rows, ONE corpus-
-    * wide shuffle keyed by gram for the canonical-occurrence row_number,
-    * one explode of covered spans, one anti-join on (doc, pos), one per-doc
+    * Scale shape: one posexplode into (doc, start, gram) rows, one map-
+    * side-combinable min(struct(doc, start)) aggregate keyed by gram plus
+    * an AQE-splittable equi-join to mark non-canonical occurrences (no
+    * per-gram sort, no Window — see the inline note on boilerplate-gram
+    * skew), one explode of covered spans, one anti-join on (doc, pos),
+    * one per-doc
     * reassembly — all equi-key stages, never all-pairs. `hashGramKeys`
     * swaps the gram string for codegen'd xxhash64 as the shuffle key (the
     * 100 TB default: hash-width rows instead of minRun-token strings; a
@@ -366,7 +375,6 @@ object Dedup {
   def suffixRunDedup(docs: DataFrame, minRun: Int,
                      idCol: String = "doc_id", textCol: String = "text",
                      hashGramKeys: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(minRun >= 2, s"minRun must be >= 2 (got $minRun)")
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), split(col(textCol), " ").as("toks"))
@@ -379,12 +387,28 @@ object Dedup {
         transform(sequence(lit(0), size(col("toks")) - minRun),
           i => gramKey(concat_ws(" ", slice(col("toks"), i + 1, lit(minRun))))))
         .as(Seq("start", "gram")))
-    // canonical occurrence = row_number 1 in the (doc_id, start) total
-    // order per gram — a full order (both engines agree), unlike min-struct
-    val w = Window.partitionBy(col("gram")).orderBy(col(idCol), col("start"))
-    val covered = grams
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1)
+    // canonical occurrence = minimum (doc_id, start) per gram. Computed as a
+    // map-side-combinable min(struct) aggregate + equi-join rather than a
+    // row_number window: a boilerplate gram occurring 10^8-10^9 times —
+    // exactly what this operator exists to find — would land EVERY
+    // occurrence in one window partition and sort it there (a straggler no
+    // config can split), whereas the aggregate collapses each map partition
+    // to one candidate per gram before the shuffle and AQE's skew-join
+    // splitting can still divide the residual marking join. struct
+    // comparison is lexicographic by field, so min(struct(doc_id, start))
+    // selects the same canonical row the (doc_id, start) total order did —
+    // bit-identical output, same DuckDB oracle. Grams occurring once are
+    // pruned BEFORE the join (occ > 1), so the marking join only moves
+    // duplicated grams.
+    val canon = grams.groupBy(col("gram"))
+      .agg(min(struct(col(idCol), col("start"))).as("canon"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("gram"), col("canon").getField(idCol).as("canon_id"),
+        col("canon").getField("start").as("canon_start"))
+    val covered = grams.join(canon, Seq("gram"))
+      .filter(col(idCol) =!= col("canon_id") ||
+        col("start") =!= col("canon_start"))
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + minRun - 1)).as("pos"))
       .distinct()

@@ -38,6 +38,13 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
       .queryExecution.executedPlan.toString
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
+    // skew pin: canonical-occurrence selection must be the min(struct)
+    // aggregate + equi-join, NEVER a per-gram window — a boilerplate gram
+    // occurring 10^9 times would land every occurrence in one window
+    // partition and sort it there (a straggler AQE cannot split), while
+    // the aggregate partial-combines map-side and the join is skew-split
+    plan should not include "Window"
+    plan should include("partial_min")
   }
 
   test("ORC scans get predicate pushdown and column pruning like parquet") {
