@@ -22,7 +22,18 @@ object Tables {
       // into the same stable session schema: ts TIMESTAMP.
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.types._
-      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      // a TIMESTAMP(NANOS) fixture read in a session WITHOUT the
+      // nanosAsLong conf fails inside spark.read with Spark's raw
+      // "Illegal Parquet type" — before our type branch can run. Rethrow
+      // with the actionable fix instead of the bare schema error.
+      val raw = try spark.read.parquet(s"$sfDir/events.parquet") catch {
+        case e: Exception
+            if String.valueOf(e.getMessage).contains("Illegal Parquet type") =>
+          throw new IllegalArgumentException(
+            "events.parquet uses TIMESTAMP(NANOS); build the session with " +
+              ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\") " +
+              "(all graft entry points set it) or load via graft.Tables", e)
+      }
       raw.schema("ts").dataType match {
         case LongType =>
           // epoch nanos: integer `div`, not `/` — epoch-nanos overflow

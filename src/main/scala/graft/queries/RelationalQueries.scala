@@ -483,8 +483,12 @@ object RelationalQueries {
       // format must have. Explicit read schema: no inference scan (the
       // 100 TB double-scan trap documented in sources.JsonlCorpus).
       val docs = Tables.documents(s, d)
+      // pid in the path (here and q_io2/q_io4): two concurrent processes
+      // over the same dataset would otherwise share the dir, one's
+      // mode(overwrite) deleting part files the other is mid-read on
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_jsonl_" + Integer.toHexString(d.hashCode)).toString
+        "graft_jsonl_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid).toString
       graft.sources.JsonlCorpus.write(docs, tmp)
       graft.sources.JsonlCorpus.read(s, tmp, docs.schema)
         .orderBy(col("doc_id"))
@@ -497,7 +501,8 @@ object RelationalQueries {
       // gate scale (the trade is documented in sources.CsvCorpus).
       val docs = Tables.documents(s, d)
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_csv_" + Integer.toHexString(d.hashCode)).toString
+        "graft_csv_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid).toString
       graft.sources.CsvCorpus.write(docs, tmp)
       graft.sources.CsvCorpus.read(s, tmp, docs.schema, multiLine = true)
         .orderBy(col("doc_id"))
@@ -509,7 +514,8 @@ object RelationalQueries {
       // again the parquet table — hash match proves value fidelity
       val docs = Tables.documents(s, d)
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_orc_" + Integer.toHexString(d.hashCode)).toString
+        "graft_orc_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid).toString
       graft.sources.OrcCorpus.write(docs, tmp)
       graft.sources.OrcCorpus.read(s, tmp).orderBy(col("doc_id"))
     }),
@@ -1691,15 +1697,20 @@ object RelationalQueries {
       // approximate IVF probe, made hash-checkable by the fx_ivf_* fixtures
       // Verify exports (full per-vector cell ranking + centroids from the
       // SAME trained model the query uses): DuckDB re-derives the query
-      // vector's 3 probe cells by centroid distance (identical left-to-right
-      // double accumulation; ties to the lower cell id), restricts
-      // candidates to vectors ASSIGNED to those cells, and ranks by cosine.
-      // Training itself is verified by q_v6's exhaustive-probe brute-force
+      // vector's 3 probe cells by the SAME ranking NearestCells uses —
+      // round(-2*x.c + |c|^2, 9), ties to the lower cell id (not
+      // list_distance: its sqrt can collapse two distinct squared
+      // distances to equal doubles and let the cell tie-break pick a
+      // different nprobe-boundary cell; the round-to-9 form is what the
+      // Spark expression actually compares). Candidates are restricted to
+      // vectors ASSIGNED to those cells and ranked by cosine. Training
+      // itself is verified by q_v6's exhaustive-probe brute-force
       // equivalence; this checks the nprobe candidate-restriction machinery.
       """WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0),
          probed AS (
            SELECT cell FROM read_parquet('{{OUTDIR}}/fx_ivf_centroids.parquet')
-           ORDER BY list_distance(centroid, (SELECT qe FROM q)), cell
+           ORDER BY round(-2 * list_dot_product(centroid, (SELECT qe FROM q))
+                          + list_dot_product(centroid, centroid), 9), cell
            LIMIT 3),
          assigned AS (
            SELECT vec_id, ranked_cells[1] AS cell

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** CSV corpus source/sink — the other interchange format corpora arrive in.
   *
@@ -18,16 +19,36 @@ import org.apache.spark.sql.types.StructType
   *    unsplittable, like gzip. Callers with newline-bearing corpora
   *    should prefer JSONL; the flag exists because foreign CSVs do
   *    arrive that way.
+  *  - Sentinel collision: a text VALUE that is literally the string `\N`
+  *    would be written unquoted and read back as NULL — silent corruption
+  *    of exactly the null-vs-empty class this module exists to prevent,
+  *    and invisible to a round-trip gate unless the fixture happens to
+  *    contain `\N`. Writes REJECT such values with a loud distributed
+  *    error (a codegen'd raise_error guard inline in the write projection
+  *    — no extra scan); callers with genuinely `\N`-bearing corpora
+  *    should use JSONL, which has real escaping.
   */
 object CsvCorpus {
   private val NullSentinel = "\\N"
 
-  def write(df: DataFrame, path: String, header: Boolean = true): Unit =
-    df.write.mode("overwrite")
+  def write(df: DataFrame, path: String, header: Boolean = true): Unit = {
+    val guarded = df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.dataType == StringType =>
+        acc.withColumn(f.name,
+          when(col(f.name) === NullSentinel,
+            raise_error(lit(s"CsvCorpus.write: column '${f.name}' contains " +
+              s"the literal string '$NullSentinel', which collides with the " +
+              "NULL sentinel and would read back as NULL — use JsonlCorpus " +
+              "for this corpus")).cast(StringType))
+            .otherwise(col(f.name)))
+      case (acc, _) => acc
+    }
+    guarded.write.mode("overwrite")
       .option("header", header.toString)
       .option("nullValue", NullSentinel)
       .option("emptyValue", "\"\"")
       .csv(path)
+  }
 
   def read(spark: SparkSession, path: String, schema: StructType,
            header: Boolean = true, multiLine: Boolean = false): DataFrame =

@@ -75,6 +75,23 @@ class JsonlCorpusSpec extends AnyFunSuite with Matchers {
     back.map(_.toSeq) shouldBe rows.orderBy("doc_id").collect().map(_.toSeq)
   }
 
+  test("CSV write rejects values colliding with the null sentinel, loudly") {
+    // a text value that IS the sentinel string \N would serialize unquoted
+    // and read back as NULL — silent null-vs-value corruption. The write
+    // guard must fail the job instead, naming the column.
+    val rows = Seq((1L, "fine"), (2L, "\\N")).toDF("doc_id", "text")
+    val path = tmpDir("csv_sentinel")
+    val e = intercept[Exception](CsvCorpus.write(rows, path))
+    // the raise_error surfaces wrapped in Spark's job-failure chain
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    messages(e).exists(m => m.contains("NULL sentinel") && m.contains("text")) shouldBe true
+    // non-colliding values (including NULL itself and near-misses) still write
+    val ok = Seq((1L, null.asInstanceOf[String]), (2L, "\\\\N"), (3L, "N")).toDF("doc_id", "text")
+    CsvCorpus.write(ok, path)
+    CsvCorpus.read(spark, path, ok.schema).count() shouldBe 3
+  }
+
   test("CSV fixture round-trip matches the parquet table as a multiset") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val path = tmpDir("csv_docs")
