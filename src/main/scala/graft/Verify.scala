@@ -30,7 +30,9 @@ object Verify {
     // query loop deletes failed results for).
     Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
         "fx_stream_pairs.parquet", "fx_incdedup_stream.parquet",
-        "fx_ivf_probes.parquet", "fx_ivf_centroids.parquet")
+        "fx_ivf_probes.parquet", "fx_ivf_centroids.parquet",
+        "fx_mitm_matches.parquet", "fx_mitm_walks.parquet",
+        "fx_mitm_valuable.parquet", "fx_mitm50_matches.parquet")
       .foreach(f => deleteRec(new java.io.File(s"$outDir/$f")))
     // selection (used below for the query loop AND to skip fixture exports
     // no selected query consumes — a SPARK_GRAFT_ONLY=q_t1 iteration must
@@ -117,6 +119,18 @@ object Verify {
         System.err.println(s"[verify] ivf-probe fixture export failed: ${e.getMessage}")
       }
     }
+    // q_gg7's oracle inputs (seeded Graph200 pipeline: raw match table +
+    // distinct walks + valuable ids — DuckDB re-derives the statistics
+    // block) and q_gg8's oracle (the BROADCAST tier's Graph50 match table
+    // — cross-tier parity). The pipeline runs are memoized per context, so
+    // the gate queries reuse them instead of re-running ~20s pipelines.
+    if (selected("q_gg7", "q_gg8")) {
+      try graft.queries.GraphQueries.exportMitMFixtures(spark, outDir,
+        forG7 = selected("q_gg7"), forG8 = selected("q_gg8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] mitm fixture export failed: ${e.getMessage}")
+      }
+    }
     // q_d14's oracle: the arriving batch replayed through the STREAMING
     // incremental-dedup operator (per-row HOF banding) vs the static corpus
     if (selected("q_d14")) {
@@ -135,6 +149,13 @@ object Verify {
       SparkEntry.queries.keys.filterNot(names.contains)
         .foreach(n => deleteRec(new java.io.File(s"$outDir/$n")))
     }
+    // drop result dirs of queries that no longer exist (renames): a ghost
+    // directory in a reused outDir would be hashed as a rows-only result of
+    // a query this build doesn't even define
+    Option(new java.io.File(outDir).listFiles).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .filterNot(f => SparkEntry.queries.contains(f.getName))
+      .foreach(deleteRec)
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }

@@ -31,6 +31,95 @@ object GraphQueries {
   private def graph50(spark: SparkSession): NetGraphDS =
     GraphText.load(spark, graph50Path).toDS(spark)
 
+  // ---- seeded pipeline runs, memoized per SparkContext --------------------
+  // Verify's fixture export AND the q_gg7/q_gg8 gate queries consume the same
+  // seeded Result; the cache makes them share ONE pipeline run instead of
+  // paying ~20s each (determinism itself is pinned separately — golden YAML +
+  // MitMPipelineSpec). Entries are a few MB of walk ids, bounded by contexts
+  // × 3 configs, and a process hosts one context — no reaper needed. The
+  // Lazy-holder keeps the multi-second pipeline run OUTSIDE the map's bin
+  // lock (same hazard note as IvfIndex's caches).
+  private final class Lazy[A](thunk: => A) { lazy val value: A = thunk }
+  private val mitmCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), Lazy[MitMPipeline.Result]]()
+  private def cachedRun(s: SparkSession, key: String)
+                       (thunk: => MitMPipeline.Result): MitMPipeline.Result =
+    mitmCache.computeIfAbsent((s.sparkContext, key), _ => new Lazy(thunk)).value
+
+  /** q_gg7's pipeline: Graph200, default config, seed 42 — the reference's
+    * own flagship invocation (Main.scala:161-212 semantics).
+    */
+  private[graft] def graph200Result(s: SparkSession): MitMPipeline.Result =
+    cachedRun(s, "g200_run") {
+      val ng = GraphText.load(s, originalPath)
+      val pg = GraphText.load(s, perturbedPath)
+      MitMPipeline.run(s, ng, pg, MitMPipeline.Config(seed = 42L))
+    }
+
+  /** The trimmed Graph50 config both q_gg8 tiers run under (see the q_gg8
+    * gate-hygiene note): ONE constant so the Pregel-tier query and the
+    * broadcast-tier oracle fixture can never drift apart.
+    */
+  private[graft] val gateCfg50 = MitMPipeline.Config(
+    numOfParallelWalks = 6, numItersPerCompNode = 2, itersBeforeAccum = 2,
+    randomWalkCoeff = 0.2, seed = 42L)
+
+  private def graph50Pair(s: SparkSession) =
+    (GraphText.load(s, graph50Path),
+      GraphText.load(s, s"$fixtureDir/Graph50.perturbed.txt"))
+
+  private[graft] def graph50PregelResult(s: SparkSession): MitMPipeline.Result =
+    cachedRun(s, "g50_gate_pregel") {
+      val (ng, pg) = graph50Pair(s)
+      MitMPipeline.runPregelTier(s, ng, pg, gateCfg50)
+    }
+
+  private[graft] def graph50BroadcastResult(s: SparkSession): MitMPipeline.Result =
+    cachedRun(s, "g50_gate_broadcast") {
+      val (ng, pg) = graph50Pair(s)
+      MitMPipeline.run(s, ng, pg, gateCfg50)
+    }
+
+  private def matchesDF(s: SparkSession, r: MitMPipeline.Result): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    r.matchTable.toSeq.map { case (pg, (ng, sc)) => (pg, ng, sc) }
+      .toDF("pgId", "ngId", "score")
+  }
+
+  private def walksDF(s: SparkSession, r: MitMPipeline.Result): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    // walksPerPartition is partition-sorted with dense 1-based keys
+    // (starts are keyed 1..numOfParallelWalks in MitMPipeline)
+    r.walksPerPartition.zipWithIndex
+      .flatMap { case (ws, i) => ws.map(w => ((i + 1).toLong, w)) }
+      .toDF("partition", "walkIds")
+  }
+
+  /** Exports for the q_gg7/q_gg8 oracles (Verify, `selected("q_gg")`):
+    * the seeded Graph200 pipeline's raw match table + distinct walks +
+    * valuable-id list (q_gg7's DuckDB SQL re-derives TP/FP/coverage/walk
+    * classification from these — the q_d9/q_d14 replay pattern), and the
+    * BROADCAST-tier Graph50 match table under the gate config (q_gg8's
+    * oracle: the Pregel tier must reproduce it bit-for-bit — a real
+    * cross-engine check, the two tiers share no walk code).
+    */
+  def exportMitMFixtures(spark: SparkSession, outDir: String,
+                         forG7: Boolean, forG8: Boolean): Unit = {
+    import spark.implicits._
+    if (forG7) {
+      val r = graph200Result(spark)
+      writeSingleFile(matchesDF(spark, r), s"$outDir/fx_mitm_matches.parquet")
+      writeSingleFile(walksDF(spark, r), s"$outDir/fx_mitm_walks.parquet")
+      writeSingleFile(
+        r.origValuableIds.zipWithIndex.map { case (id, ord) => (ord, id) }
+          .toDF("ord", "id"),
+        s"$outDir/fx_mitm_valuable.parquet")
+    }
+    if (forG8)
+      writeSingleFile(matchesDF(spark, graph50BroadcastResult(spark)),
+        s"$outDir/fx_mitm50_matches.parquet")
+  }
+
   /** FALLBACK export of the parsed Graph50 fixture as two flat parquet files
     * (`fx_graph50_nodes.parquet`, edges with `from_*`/`to_*` endpoint columns
     * in `fx_graph50_edges.parquet`) inside the verify `outDir`. Verify
@@ -96,34 +185,34 @@ object GraphQueries {
       graft.io.NgsReader.load(s, s"$fixtureDir/Graph200.ngs").toDS(s)
         .nodes.toDF().orderBy(col("id"))),
 
-    // G3-G7 — the flagship end-to-end MitM statistics pipeline (seeded)
-    "q_gg7_mitm_match_table" -> ((s, _) => {
-      val ng = GraphText.load(s, originalPath)
-      val pg = GraphText.load(s, perturbedPath)
-      val r = MitMPipeline.run(s, ng, pg, MitMPipeline.Config(seed = 42L))
-      MitMPipeline.matchTableDF(s, r)
+    // G3-G7 — the flagship end-to-end MitM statistics pipeline (seeded),
+    // output as the long-format statistics block: match table rows PLUS
+    // TP/FP classification, coverage anti-join, and per-partition walk
+    // classification (graft.stats.MitMStats.statsBlockDF). The DuckDB
+    // oracle re-derives every non-match row from the exported
+    // (matches, walks, valuable) fixtures — the reference's principal
+    // query (Main.scala:161-212) oracle-checked end to end.
+    "q_gg7_mitm_stats" -> ((s, _) => {
+      val r = graph200Result(s)
+      graft.stats.MitMStats.statsBlockDF(s, matchesDF(s, r), walksDF(s, r),
+        r.origValuableIds, MitMPipeline.Config().nodeMatchThreshold)
     }),
 
     // The same pipeline on the PARTITIONED (GraphX/Pregel) walk tier — runs
     // per-round so a tier regression surfaces in the correctness suite, not
-    // just in sbt test (rows-only: the only possible oracle is the broadcast
-    // tier itself, and MitMPipelineSpec pins bit-exact equality to it).
+    // just in sbt test. HASH-CHECKED cross-tier: the oracle is the
+    // BROADCAST tier's match table under the same (seed, config), exported
+    // by Verify as fx_mitm50_matches — the two walk engines share rngFor
+    // but no walk code, so a hash match is real per-round tier parity (the
+    // full-config equality stays pinned in MitMPipelineSpec).
     // Gate hygiene: each of the `numItersPerCompNode` sequential Pregel runs
     // costs ~ceil(coeff*numNodes) supersteps of pure launch overhead at toy
     // scale, so the GATE config trims both knobs (2 iterations, coeff 0.2 →
-    // ~24 supersteps total vs the default config's ~108) — tier PARITY is
-    // pinned at full config in MitMPipelineSpec/GraphXOpsSpec; this query
-    // only needs to exercise the tier end-to-end every round. (Graph20 is
+    // ~24 supersteps total vs the default config's ~108). (Graph20 is
     // not usable here: all its nodes carry valuableData=false, so the match
     // table would be empty.)
-    "q_gg8_mitm_pregel_tier" -> ((s, _) => {
-      val ng = GraphText.load(s, graph50Path)
-      val pg = GraphText.load(s, s"$fixtureDir/Graph50.perturbed.txt")
-      val r = MitMPipeline.runPregelTier(s, ng, pg, MitMPipeline.Config(
-        numOfParallelWalks = 6, numItersPerCompNode = 2, itersBeforeAccum = 2,
-        randomWalkCoeff = 0.2, seed = 42L))
-      MitMPipeline.matchTableDF(s, r)
-    })
+    "q_gg8_mitm_pregel_tier" -> ((s, _) =>
+      MitMPipeline.matchTableDF(s, graph50PregelResult(s)))
   )
 
   // ---- DuckDB oracles over the exported fixture tables ---------------------
@@ -172,5 +261,55 @@ object GraphQueries {
           FROM $edgesTbl e
           WHERE EXISTS (SELECT 1 FROM v WHERE ${structEq("from", "v")})
             AND EXISTS (SELECT 1 FROM v WHERE ${structEq("to", "v")})
-          ORDER BY 1, 2""")
+          ORDER BY 1, 2""",
+
+    "q_gg7_mitm_stats" ->
+      // the statistics block re-derived from the exported pipeline
+      // fixtures: thresholded TP/FP classification (P3/P4), coverage
+      // NOT-EXISTS (J2), per-partition walk classification via
+      // list-overlap against the TP/FP id sets (J7/A6). 'match' rows
+      // read the fixture directly (the raw table has no SQL derivation;
+      // its values are pinned by golden YAML + the TP/FP band); every
+      // OTHER row is an independent DuckDB derivation of what Spark
+      // computes relationally in MitMStats.statsBlockDF. Threshold 0.1 =
+      // Config().nodeMatchThreshold.
+      """WITH m AS (SELECT * FROM read_parquet('{{OUTDIR}}/fx_mitm_matches.parquet')),
+         cls AS (SELECT pgId, ngId, (pgId = ngId) AS correct FROM m WHERE score > 0.1),
+         tp AS (SELECT 'tp' AS stat, pgId AS k, ngId AS v FROM cls WHERE correct),
+         fp AS (SELECT 'fp' AS stat, pgId AS k, ngId AS v FROM cls WHERE NOT correct),
+         mr AS (SELECT 'match' AS stat, pgId AS k, ngId AS v FROM m),
+         val AS (SELECT * FROM read_parquet('{{OUTDIR}}/fx_mitm_valuable.parquet')),
+         ov AS (SELECT 'orig_valuable' AS stat, ord AS k, id AS v FROM val),
+         unc AS (SELECT 'uncovered' AS stat, ord AS k, id AS v FROM val
+                 WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.pgId = val.id)),
+         w AS (SELECT * FROM read_parquet('{{OUTDIR}}/fx_mitm_walks.parquet')),
+         tpl AS (SELECT coalesce(list(k), []) AS ids FROM tp),
+         fpl AS (SELECT coalesce(list(k), []) AS ids FROM fp),
+         -- cross join the 1-row id-list tables in: DuckDB rejects subqueries
+         -- inside list_has_any's internal lambda rewrite
+         wcls AS (SELECT "partition",
+                    list_has_any(walkIds, tpl.ids) AS hc,
+                    list_has_any(walkIds, fpl.ids) AS hi
+                  FROM w, tpl, fpl),
+         wagg AS (SELECT "partition",
+                    count(*) FILTER (WHERE hc AND NOT hi) AS succ,
+                    count(*) FILTER (WHERE hi) AS unsucc
+                  FROM wcls GROUP BY "partition"),
+         ws AS (SELECT 'walks_succ' AS stat, "partition"::INT AS k, succ::INT AS v FROM wagg),
+         wu AS (SELECT 'walks_unsucc' AS stat, "partition"::INT AS k, unsucc::INT AS v FROM wagg)
+         SELECT stat AS "stat", k::INT AS "k", v::INT AS "v" FROM (
+           SELECT * FROM mr UNION ALL SELECT * FROM tp UNION ALL SELECT * FROM fp
+           UNION ALL SELECT * FROM ov UNION ALL SELECT * FROM unc
+           UNION ALL SELECT * FROM ws UNION ALL SELECT * FROM wu)
+         ORDER BY stat, k, v""",
+
+    "q_gg8_mitm_pregel_tier" ->
+      // cross-tier parity: the BROADCAST tier's match table (same seed,
+      // same gate config) exported by Verify — the Pregel tier must
+      // reproduce it exactly, scores included (both tiers compute scores
+      // in the same JVM SimRank code over walks from DIFFERENT engines)
+      """SELECT pgId AS "pgId", ngId AS "ngId", score AS "score",
+                (pgId = ngId) AS "correct"
+         FROM read_parquet('{{OUTDIR}}/fx_mitm50_matches.parquet')
+         ORDER BY pgId""")
 }

@@ -2,7 +2,7 @@ package graft.stats
 
 import graft.model.NodeObject
 import graft.ops.GraphOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** G7 — the statistics block as relational queries
@@ -68,5 +68,55 @@ object MitMStats {
     val unsucc = (1 to numPartitions).map(p => perPart.get(p.toLong).map(_._2).getOrElse(0)).toList
 
     Stats(correct, incorrect, uncovered, origValuable, succ, unsucc)
+  }
+
+  /** The statistics block as ONE long-format DataFrame — the oracle-checkable
+    * form of [[compute]] (same operators: P3/P4 classify, J2 anti-join
+    * coverage, J7/A6 walk classification). Schema (stat STRING, k INT, v INT):
+    *
+    *   ('match', pgId, ngId)         — the unfiltered match table
+    *   ('tp'|'fp', pgId, ngId)       — thresholded classification
+    *   ('orig_valuable', ord, id)    — valuable NG ids with file-order ordinal
+    *   ('uncovered', ord, id)        — valuable ids never matched (J2)
+    *   ('walks_succ'|'walks_unsucc', partition, count)
+    *
+    * All-integer payload on purpose: the DuckDB oracle re-derives every row
+    * from the exported (matches, walks, valuable) fixtures with no float
+    * formatting hazards. Partitions come from the walks input (each walk
+    * partition always has >= 1 walk, so no zero-fill divergence vs
+    * [[compute]]'s 1..numPartitions padding).
+    */
+  def statsBlockDF(spark: SparkSession, matches: DataFrame, walks: DataFrame,
+                   origValuableIds: List[Int], threshold: Double): DataFrame = {
+    import spark.implicits._
+    val valuable = origValuableIds.zipWithIndex
+      .map { case (id, ord) => (ord, id) }.toDF("ord", "id")
+    val classified = classifyMatches(matches, threshold).cache()
+    try {
+      val row = (stat: String, k: Column, v: Column) =>
+        Seq(lit(stat).as("stat"), k.cast("int").as("k"), v.cast("int").as("v"))
+      val matchRows = matches.select(row("match", col("pgId"), col("ngId")): _*)
+      val tp = classified.filter(col("correct"))
+        .select(row("tp", col("pgId"), col("ngId")): _*)
+      val fp = classified.filter(!col("correct"))
+        .select(row("fp", col("pgId"), col("ngId")): _*)
+      val ov = valuable.select(row("orig_valuable", col("ord"), col("id")): _*)
+      val unc = valuable
+        .join(matches.select(col("pgId").as("id")), Seq("id"), "left_anti")
+        .select(row("uncovered", col("ord"), col("id")): _*)
+      // correct/incorrect id lists are match-table-sized (kilobytes) — the
+      // same driver-side literal broadcast compute() uses
+      val correctIds = classified.filter(col("correct"))
+        .select(col("pgId")).as[Int].collect().toList
+      val incorrectIds = classified.filter(!col("correct"))
+        .select(col("pgId")).as[Int].collect().toList
+      val wc = GraphOps.classifyWalks(walks,
+        typedLit(correctIds), typedLit(incorrectIds))
+      val ws = wc.select(row("walks_succ", col("partition"), col("successful")): _*)
+      val wu = wc.select(row("walks_unsucc", col("partition"), col("unsuccessful")): _*)
+      matchRows.union(tp).union(fp).union(ov).union(unc)
+        .union(ws).union(wu)
+        .orderBy(col("stat"), col("k"), col("v"))
+    } finally { classified.unpersist(); () }
   }
 }

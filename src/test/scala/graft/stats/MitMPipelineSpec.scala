@@ -103,6 +103,30 @@ class MitMPipelineSpec extends AnyFunSuite with Matchers {
     pregel.walksPerPartition shouldBe broadcast.walksPerPartition
   }
 
+  test("statsBlockDF agrees with compute() row for row (Graph50, gate config)") {
+    // the q_gg7 oracle form must be the SAME statistics compute() collects:
+    // derive both from one Result and cross-check every stat family
+    import spark.implicits._
+    val r = graft.queries.GraphQueries.graph50BroadcastResult(spark)
+    val cfg = graft.queries.GraphQueries.gateCfg50
+    val matches = r.matchTable.toSeq
+      .map { case (pg, (ng, sc)) => (pg, ng, sc) }.toDF("pgId", "ngId", "score")
+    val walks = r.walksPerPartition.zipWithIndex
+      .flatMap { case (ws, i) => ws.map(w => ((i + 1).toLong, w)) }
+      .toDF("partition", "walkIds")
+    val block = MitMStats.statsBlockDF(spark, matches, walks,
+      r.origValuableIds, cfg.nodeMatchThreshold)
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getInt(2)))
+    def rows(stat: String) = block.filter(_._1 == stat).map(t => (t._2, t._3)).toList
+    rows("match").toMap shouldBe r.matchTable.map { case (pg, (ng, _)) => pg -> ng }
+    rows("tp").sorted shouldBe r.correctMatches.sorted
+    rows("fp").sorted shouldBe r.incorrectMatches.sorted
+    rows("orig_valuable").sortBy(_._1).map(_._2) shouldBe r.origValuableIds
+    rows("uncovered").map(_._2).sorted shouldBe r.uncoveredValuableIds.sorted
+    rows("walks_succ").sortBy(_._1).map(_._2) shouldBe r.succPerPartition
+    rows("walks_unsucc").sortBy(_._1).map(_._2) shouldBe r.unsuccPerPartition
+  }
+
   test("no-resimrank mode (efficiency path) runs and matches determinism contract") {
     val cfg = smallCfg.copy(resimrankAccumulatedWalks = false)
     val r1 = MitMPipeline.run(spark, ng20, pg20, cfg)
