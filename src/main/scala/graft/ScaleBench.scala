@@ -59,6 +59,7 @@ object ScaleBench {
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
     "q_sp4_mixture_weights", "q_sp5_grouped_split",
     "q_m1_media_features", "q_m2_frame_sample", "q_m3_media_metadata",
+    "q_m4_wav_pcm_stats",
     "q_io1_jsonl_roundtrip", "q_io2_csv_roundtrip", "q_io4_orc_roundtrip")
 
   // langid/quality gate vocabulary that must SURVIVE the Caesar shift: if
@@ -145,13 +146,69 @@ object ScaleBench {
     // table written, the other missing/stale) is re-synthesized, not reused
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/_SYNTH_COMPLETE"),
-      sentinelContent(baseDir, factor, annOnly))
+      sentinelContent(baseDir, factor, if (annOnly) "ann" else "full"))
     ()
   }
 
   private[graft] def sentinelContent(baseDir: String, factor: Int,
-                                     annOnly: Boolean): String =
-    s"base=$baseDir factor=$factor mode=${if (annOnly) "ann" else "full"}"
+                                     mode: String): String =
+    s"base=$baseDir factor=$factor mode=$mode"
+
+  /** The deliberately-pathological boilerplate the skew point plants: 12
+    * fake tokens (none protected, none in the base vocabulary) appended to
+    * HALF of every replica's documents, LITERALLY IDENTICAL across
+    * replicas. Every 8-token window of it is a gram occurring in 50% of
+    * the whole scaled corpus — the worst-case Zipf head for every
+    * gram-keyed operator (suffix-run dedup's canonical-occurrence
+    * aggregate, boilerplate removal's df table, PPJoin's prefix filter).
+    */
+  private[graft] val plantedBoilerplate: String =
+    "qqzv wwxk jjmb rrpv ttgn ccdy hhfs nnlw ppqa ssuz vvdm kkto"
+
+  /** Skewed-corpus synthesis (documents only): the standard Caesar-replica
+    * expansion PLUS [[plantedBoilerplate]] appended to docs with even BASE
+    * doc_id in every replica — unshifted, so the planted grams collide
+    * corpus-wide at every factor. factor=1 yields the skewed BASE point
+    * (plant only, no replicas): skew ratios compare equally-skewed corpora,
+    * isolating the scaling slope from the planting itself. n_chars is
+    * carried verbatim (timing corpus — the planted docs' stale n_chars is
+    * irrelevant to wall-clock slope and keeps replica structure identical
+    * to [[synthesize]]).
+    */
+  def synthesizeSkewed(spark: SparkSession, baseDir: String, outDir: String,
+                       factor: Int): Unit = {
+    require(factor >= 1 && factor <= 26,
+      s"factor must be in [1, 26] (got $factor)")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$outDir/_SYNTH_COMPLETE"))
+    val alphaLc = "abcdefghijklmnopqrstuvwxyz"
+    val alphaUc = alphaLc.toUpperCase
+    def caesar(c: org.apache.spark.sql.Column, r: Int) = {
+      val shl = alphaLc.drop(r % 26) + alphaLc.take(r % 26)
+      val shu = alphaUc.drop(r % 26) + alphaUc.take(r % 26)
+      translate(c, alphaLc + alphaUc, shl + shu)
+    }
+    def caesarText(c: org.apache.spark.sql.Column, r: Int) =
+      array_join(transform(split(c, " "),
+        t => when(array_contains(typedLit(protectedWords), lower(t)), t)
+          .otherwise(caesar(t, r))), " ")
+    val docs = Tables.documents(spark, baseDir)
+    val reps = (0 until factor).map { r =>
+      val shifted = if (r == 0) col("text") else caesarText(col("text"), r)
+      val planted = when(col("text").isNotNull && col("doc_id") % 2 === 0,
+        concat_ws(" ", shifted, lit(plantedBoilerplate))).otherwise(shifted)
+      docs.select(
+        (col("doc_id") * factor + r).as("doc_id"), planted.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    reps.reduce(_.unionAll(_))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_SYNTH_COMPLETE"),
+      sentinelContent(baseDir, factor, "skew"))
+    ()
+  }
 
   /** ANN-LSH measured with the production plane-sizing rule
     * ([[graft.functions.Similarity.autoNumPlanes]]): the gate query q_v2
@@ -186,19 +243,73 @@ object ScaleBench {
         .select(col("vec_id"), col("cell").as("bucket"))))
   }
 
+  /** Measured recall of the production approximate-ANN operators vs exact
+    * brute force, over a deterministic hash sample of ~`sampleTarget` query
+    * vectors (sample × corpus dot products — bounded at any corpus size).
+    * Returns (recallIvf, recallLsh) at @k. Ground truth and both operators
+    * round cosine to 6 dp, so rank-boundary ties cost at most a point of
+    * measured recall — a measurement artifact, not operator loss.
+    */
+  def annRecall(spark: SparkSession, d: String, k: Int = 10,
+                sampleTarget: Long = 100): (Double, Double) = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{IvfIndex, Similarity, VectorExprs}
+    val embs = Tables.embeddings(spark, d)
+    val n = embs.count()
+    val mod = math.max(1L, n / math.max(sampleTarget, 1L))
+    val sampleIds = embs.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        VectorExprs.norm(col("embedding")).as("qnrm"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vid_b"))
+    val gt = embs.join(broadcast(sampleIds), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid_b"),
+        round(VectorExprs.dot(col("qemb"), col("embedding")) /
+          (col("qnrm") * VectorExprs.norm(col("embedding"))), 6).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vid_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGt = gt.count().toDouble
+    def recallOf(approx: DataFrame): Double = {
+      val hits = gt.join(
+        approx.select(col("vec_id").as("qid"), col("vid_b")),
+        Seq("qid", "vid_b"), "left_semi").count()
+      if (nGt == 0) -1.0 else hits / nGt
+    }
+    try {
+      val rIvf = recallOf(IvfIndex.knnJoinAuto(spark, embs, corpusKey = d,
+        k = k, nprobe = 2))
+      val rLsh = recallOf(Similarity.lshTopKAuto(embs, k = k, reps = 4))
+      (rIvf, rLsh)
+    } finally { gt.unpersist(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val baseDirEnv = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_FAMILIES=ann → embeddings-only synthesis + only the ANN
     // production queries: text replicas cap at 26× (Caesar wrap) but vector
-    // rotation stays distinct to dims−1, so ANN exponents get a 40×+ point
-    val annOnly = sys.env.get("SPARK_GRAFT_FAMILIES").contains("ann")
+    // rotation stays distinct to dims−1, so ANN exponents get a 40×+ point.
+    // SPARK_GRAFT_FAMILIES=skew → skewed-corpus synthesis (planted
+    // boilerplate in half of every replica's docs) at BOTH points and only
+    // the gram-keyed families: the measured slope proves the skew-safety
+    // claims (min-struct canonical aggregate, df-table joins, PPJoin prefix
+    // filter) instead of asserting them.
+    val families = sys.env.get("SPARK_GRAFT_FAMILIES")
+    val annOnly = families.contains("ann")
+    val skewOnly = families.contains("skew")
+    val mode = if (annOnly) "ann" else if (skewOnly) "skew" else "full"
+    // the skew BASE point is itself synthesized (factor-1 planting), so the
+    // ratio compares equally-skewed corpora and isolates the scaling slope
+    val baseDir =
+      if (!skewOnly) baseDirEnv
+      else new java.io.File(sys.props("java.io.tmpdir"), "graft-skew1x").toString
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-scale${factor}x${if (annOnly) "-ann" else ""}").toString)
+        s"graft-scale${factor}x" + (if (annOnly) "-ann" else if (skewOnly) "-skew" else "")).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scalebench")
@@ -209,19 +320,24 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // reuse only a COMPLETE synthesis of the same (base, factor): the
-    // sentinel is written after both tables and records the config, so a
+    // reuse only a COMPLETE synthesis of the same (base, factor, mode): the
+    // sentinel is written after all tables and records the config, so a
     // partial prior run or a dir built at another factor re-synthesizes
-    val sentinel = new java.io.File(s"$scaleDir/_SYNTH_COMPLETE")
-    val sentinelOk = sentinel.isFile &&
-      java.nio.file.Files.readString(sentinel.toPath) ==
-        sentinelContent(baseDir, factor, annOnly)
-    if (!sentinelOk || sys.env.contains("SPARK_GRAFT_RESYNTH")) {
-      System.err.println(s"[scale] synthesizing ${factor}x into $scaleDir")
-      val t0 = System.nanoTime()
-      synthesize(spark, baseDir, scaleDir, factor, annOnly)
-      System.err.println(f"[scale] synthesis took ${(System.nanoTime() - t0) / 1e9}%.1fs")
-    } else System.err.println(s"[scale] reusing $scaleDir")
+    def ensureSynth(dir: String, f: Int): Unit = {
+      val sentinel = new java.io.File(s"$dir/_SYNTH_COMPLETE")
+      val ok = sentinel.isFile &&
+        java.nio.file.Files.readString(sentinel.toPath) ==
+          sentinelContent(baseDirEnv, f, mode)
+      if (!ok || sys.env.contains("SPARK_GRAFT_RESYNTH")) {
+        System.err.println(s"[scale] synthesizing ${f}x ($mode) into $dir")
+        val t0 = System.nanoTime()
+        if (skewOnly) synthesizeSkewed(spark, baseDirEnv, dir, f)
+        else synthesize(spark, baseDirEnv, dir, f, annOnly)
+        System.err.println(f"[scale] synthesis took ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } else System.err.println(s"[scale] reusing $dir")
+    }
+    if (skewOnly) ensureSynth(baseDir, 1)
+    ensureSynth(scaleDir, factor)
 
     // SPARK_GRAFT_ONLY=a,b restricts the measured set (same contract as
     // Bench/Verify — re-measure one family without the full 4-minute sweep)
@@ -237,8 +353,22 @@ object ScaleBench {
     val annQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_v2_knn_lsh_autoplanes" -> ((s: SparkSession, d: String) => lshAutoSized(s, d)),
       "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d)))
+    // the gram-keyed operators the planted-boilerplate point stress-tests,
+    // each in gate form AND (where it exists) the hash-key production form
+    val skewFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q_t19_suffix_run_dedup" -> gateQueries("q_t19_suffix_run_dedup"),
+      "q_t19_hashkeys" -> ((s: SparkSession, d: String) =>
+        graft.functions.Dedup.suffixRunDedup(Tables.documents(s, d),
+          minRun = 8, hashGramKeys = true)),
+      "q_t14_boilerplate_removal" -> gateQueries("q_t14_boilerplate_removal"),
+      "q_t14_hashkeys" -> ((s: SparkSession, d: String) =>
+        graft.functions.Dedup.boilerplateRemoval(Tables.documents(s, d),
+          k = 3, minDocs = 3, hashGramKeys = true)),
+      "q_d6_ngram_jaccard" -> gateQueries("q_d6_ngram_jaccard"),
+      "q_t12_intra_doc_dedup" -> gateQueries("q_t12_intra_doc_dedup"))
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       (if (annOnly) annQueries
+       else if (skewOnly) skewFamily
        else scaleQueries.map(n => n -> gateQueries(n)) ++ annQueries ++ Seq(
          "q_d10_semantic_bucketed" ->
            ((s: SparkSession, d: String) => semanticDedupBucketed(s, d)),
@@ -275,8 +405,9 @@ object ScaleBench {
       dt
     }
     // pre-build per-dir one-time artifacts (the persisted IVF index) so
-    // q_v7 measures the pruned probe at both scales
-    Seq(baseDir, scaleDir).foreach { d =>
+    // q_v7 measures the pruned probe at both scales (skew dirs carry no
+    // embeddings table — nothing to warm)
+    if (!skewOnly) Seq(baseDir, scaleDir).foreach { d =>
       try SparkEntry.benchWarmup(spark, d)
       catch { case e: Throwable => System.err.println(s"[scale] warmup($d): ${e.getMessage}") }
     }
@@ -296,16 +427,40 @@ object ScaleBench {
       (name, b, sc, ratio)
     }
 
+    // measured ANN recall@10 vs exact brute force at BOTH scale points —
+    // the production operators pin recall >= 0.9 at test scale in specs;
+    // this measures it where the index is auto-sized for the scaled corpus.
+    // SPARK_GRAFT_RECALL=0 skips (e.g. a pure-timing iteration).
+    val recall: Option[((Double, Double), (Double, Double))] =
+      if (skewOnly || sys.env.get("SPARK_GRAFT_RECALL").contains("0")) None
+      else try {
+        val rb = annRecall(spark, baseDir)
+        val rs = annRecall(spark, scaleDir)
+        Some((rb, rs))
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] recall measurement failed: ${e.getMessage}")
+        None
+      }
+
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val qjson = rows.map { case (n, b, sc, r) =>
       f""""${esc(n)}":{"base":$b%.3f,"scaled":$sc%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"scale_ratio","factor":$factor,"base":"${esc(baseDir)}","queries":$qjson}""")
+    val rjson = recall.map { case ((bi, bl), (si, sl)) =>
+      f""","recall":{"k":10,"base":{"ivf":$bi%.3f,"lsh":$bl%.3f},"scaled":{"ivf":$si%.3f,"lsh":$sl%.3f}}"""
+    }.getOrElse("")
+    println(f"""{"metric":"scale_ratio","mode":"$mode","factor":$factor,"base":"${esc(baseDir)}","queries":$qjson$rjson}""")
     // markdown table for SCALE.md
     println(s"\n| query | base s | ${factor}x s | ratio |")
     println("|---|---|---|---|")
     rows.foreach { case (n, b, sc, r) =>
       println(f"| $n | $b%.2f | $sc%.2f | $r%.1f× |")
+    }
+    recall.foreach { case ((bi, bl), (si, sl)) =>
+      println(s"\n| recall@10 vs exact | base | ${factor}x |")
+      println("|---|---|---|")
+      println(f"| IVF knnJoinAuto (nprobe=2) | $bi%.3f | $si%.3f |")
+      println(f"| LSH lshTopKAuto (reps=4) | $bl%.3f | $sl%.3f |")
     }
     spark.stop()
   }

@@ -188,6 +188,112 @@ object Multimodal {
       bits.as("bits_per_sample"), durationMs.as("duration_ms"))
   }
 
+  // ---- real audio content decode (no codec libraries required) -----------
+
+  final case class WavStats(media_id: Long, n_samples: Long, sample_rate: Long,
+                            duration_ms: Long, rms: Double, peak: Long,
+                            mean_amp: Double)
+
+  /** REAL PCM decode of a canonical WAV payload (RIFF + 16-byte fmt chunk +
+    * data chunk at offset 36, the same layout [[parseMediaHeaders]] gates
+    * on): reads the fmt fields, then iterates the actual SAMPLES — 8-bit
+    * unsigned (amplitude = value − 128) or 16-bit signed little-endian —
+    * and returns content statistics: sample count, RMS, peak |amplitude|,
+    * mean amplitude, and exact floor-division duration. Mono or
+    * interleaved multi-channel (stats pool all channels). Returns None for
+    * null / non-canonical / non-PCM payloads — callers decide whether to
+    * drop or null-fill.
+    *
+    * Numeric contract (what makes q_m4 hash-checkable): sums accumulate in
+    * Long (exact for any real payload size), the final divisions are
+    * exact-long-to-double, so RMS/mean are single-rounding doubles any
+    * engine reproduces bit-for-bit from the same samples.
+    */
+  def decodeWavPcm(mediaId: Long, p: Array[Byte]): Option[WavStats] = {
+    def leU(off: Int, len: Int): Long = {
+      var v = 0L; var i = len - 1
+      while (i >= 0) { v = (v << 8) | (p(off + i) & 0xffL); i -= 1 }
+      v
+    }
+    def tag(off: Int, s: String): Boolean =
+      s.indices.forall(i => p(off + i) == s.charAt(i).toByte)
+    if (p == null || p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE") ||
+        !tag(12, "fmt ") || leU(16, 4) != 16L || leU(20, 2) != 1L /* PCM */ ||
+        !tag(36, "data")) return None
+    val bits = leU(34, 2)
+    val rate = leU(24, 4)
+    if ((bits != 8 && bits != 16) || rate == 0) return None
+    val declared = leU(40, 4)
+    val bytesPerSample = (bits / 8).toInt
+    val avail = ((p.length - 44) / bytesPerSample) * bytesPerSample
+    val dataLen = math.min(declared, avail.toLong).toInt // truncated payloads: use what exists
+    val n = dataLen / bytesPerSample
+    var i = 0
+    var sumSq = 0L; var sumAmp = 0L; var peak = 0L
+    while (i < n) {
+      val amp: Long =
+        if (bits == 8) (p(44 + i) & 0xff) - 128L
+        else (((p(44 + i * 2 + 1) << 8) | (p(44 + i * 2) & 0xff)).toShort).toLong
+      sumSq += amp * amp; sumAmp += amp
+      val a = math.abs(amp); if (a > peak) peak = a
+      i += 1
+    }
+    val byteRate = rate * bytesPerSample * leU(22, 2) // × channels
+    val durMs = if (byteRate > 0) dataLen.toLong * 1000L / byteRate else 0L
+    val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
+    val mean = if (n > 0) sumAmp.toDouble / n else 0.0
+    Some(WavStats(mediaId, n, rate, durMs, rms, peak, mean))
+  }
+
+  /** The partition-batched content-feature path with a REAL decoder in the
+    * stub's slot: same mapPartitions batch shape as [[extractFeatures]]
+    * (per-partition decoder init, streaming row map), but the body actually
+    * decodes PCM samples. Non-WAV/undecodable payloads are dropped
+    * (flatMap), mirroring how a production decode stage quarantines
+    * unreadable items.
+    */
+  def extractWavStats(media: DataFrame): Dataset[WavStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder init goes here in production
+        rows.flatMap { case (id, p) => decodeWavPcm(id, p) }
+      }
+  }
+
+  /** Little-endian binary encoding of an integer column (WAV header ints). */
+  private def leBytes(v: Column, len: Int): Column = {
+    val h = lpad(hex(v.cast("long")), len * 2, "0")
+    unhex(concat((len - 1 to 0 by -1).map(i => substring(h, i * 2 + 1, 2)): _*))
+  }
+
+  /** Synthesize a CANONICAL 8-bit mono PCM WAV payload whose samples are the
+    * UTF-8 bytes of `textCol` — a declarative header build (binary concat of
+    * codegen'd hex/unhex pieces, zero UDFs). The point (q_m4): the payload
+    * is a genuine WAV file [[parseMediaHeaders]] recognizes and
+    * [[decodeWavPcm]] really decodes, while an independent engine can
+    * recompute the expected sample statistics directly from the TEXT
+    * (amplitude of sample i = ascii(char i) − 128 for ASCII corpora), so
+    * the whole decode path gets a content-level oracle.
+    */
+  def synthesizeWavPayload(textCol: Column, sampleRate: Int): Column = {
+    val data = encode(textCol, "UTF-8")
+    val n = octet_length(data)
+    concat(
+      lit("RIFF".getBytes("US-ASCII")), leBytes(n + 36, 4),
+      lit("WAVEfmt ".getBytes("US-ASCII")), leBytes(lit(16), 4),
+      leBytes(lit(1), 2), // PCM
+      leBytes(lit(1), 2), // mono
+      leBytes(lit(sampleRate), 4),
+      leBytes(lit(sampleRate), 4), // byte rate = rate × 1 ch × 1 byte
+      leBytes(lit(1), 2), // block align
+      leBytes(lit(8), 2), // bits per sample
+      lit("data".getBytes("US-ASCII")), leBytes(n, 4),
+      data)
+  }
+
   /** Resize/frame-sample stub: keeps every `stride`-th byte — stands in for
     * a real resize kernel while exercising the binary-transform plan shape.
     * Runs through the codegen'd [[BinaryStride]] expression (zero Scala UDFs

@@ -586,6 +586,30 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_m4_wav_pcm_stats" -> ((s, d) => {
+      // REAL content decode (not just headers): build genuine 8-bit mono
+      // PCM WAV payloads whose samples are the documents' ASCII bytes
+      // (Multimodal.synthesizeWavPayload — a declarative binary header
+      // build), then run them through the partition-batched PCM decoder
+      // (Multimodal.extractWavStats, the mapPartitions decode interface)
+      // and report per-item content statistics. The oracle recomputes
+      // RMS/peak/mean/duration from the TEXT characters, so a hash match
+      // proves the decoder read the actual samples back out of the binary
+      // payload — sample-for-sample. ASCII-fixture coupling as in q_m2
+      // (ascii(char) == utf8 byte); MultimodalSpec pins multi-byte,
+      // 16-bit, truncated and non-canonical payloads.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.Multimodal.synthesizeWavPayload(col("text"), 8000)
+          .as("payload"))
+      graft.multimodal.Multimodal.extractWavStats(media).toDF()
+        .select(col("media_id"), col("n_samples"), col("sample_rate"),
+          col("duration_ms"), round(col("rms"), 6).as("rms"), col("peak"),
+          round(col("mean_amp"), 6).as("mean_amp"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_as1_asof_join" -> ((s, d) =>
       // as-of join: latest order at-or-before each event for the same
       // customer — composed union+window operator (graft.operators.AsOfJoin)
@@ -2010,6 +2034,27 @@ object RelationalQueries {
                 END::BIGINT AS duration_ms
          FROM documents
          ORDER BY media_id""",
+
+    "q_m4_wav_pcm_stats" ->
+      // recompute the PCM statistics from the TEXT the samples were built
+      // from: amplitude of sample i = ascii(char i) − 128 (8-bit unsigned
+      // PCM, ASCII corpus). Integer sums are exact in both engines, the
+      // final divisions are single-rounding doubles — so this checks the
+      // Spark-side binary decode sample-for-sample without the oracle ever
+      // touching binary.
+      """WITH chars AS (
+           SELECT doc_id, ascii(text[i]) - 128 AS amp
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+           WHERE text IS NOT NULL AND length(text) > 0)
+         SELECT doc_id AS media_id,
+                count(*) AS n_samples,
+                8000::BIGINT AS sample_rate,
+                (count(*) * 1000) // 8000 AS duration_ms,
+                round(sqrt(sum(amp * amp)::DOUBLE / count(*)), 6) AS rms,
+                max(abs(amp))::BIGINT AS peak,
+                round(sum(amp)::DOUBLE / count(*), 6) AS mean_amp
+         FROM chars GROUP BY doc_id ORDER BY media_id""",
 
     "q_sp5_grouped_split" ->
       // the q_d7 cluster CTE + the md5 hash gate on the CLUSTER id; the

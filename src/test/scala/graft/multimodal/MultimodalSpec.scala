@@ -72,6 +72,51 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     (f(9L, 2), f(9L, 3)) shouldBe ((null, null))
   }
 
+  test("decodeWavPcm decodes real 8- and 16-bit PCM samples, rejects non-canonical") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // hand-built 16-bit mono 8000 Hz WAV with 4 known samples:
+    // 1000, -1000, 32767, -32768 (LE: E803 18FC FF7F 0080)
+    val wav16 = hx("52494646 2C000000 57415645 666D7420 10000000 0100 0100" +
+      "401F0000 803E0000 0200 1000 64617461 08000000" +
+      "E803 18FC FF7F 0080")
+    val s16 = Multimodal.decodeWavPcm(1L, wav16).get
+    s16.n_samples shouldBe 4L
+    s16.sample_rate shouldBe 8000L
+    s16.peak shouldBe 32768L
+    s16.mean_amp shouldBe ((1000L - 1000L + 32767L - 32768L).toDouble / 4)
+    s16.rms shouldBe math.sqrt(
+      (1000L * 1000 + 1000L * 1000 + 32767L * 32767 + 32768L * 32768).toDouble / 4)
+    s16.duration_ms shouldBe 8L * 1000 / 16000 // 8 data bytes at 16000 B/s
+    // 8-bit samples are unsigned, amplitude = value - 128
+    val wav8 = hx("52494646 27000000 57415645 666D7420 10000000 0100 0100" +
+      "401F0000 401F0000 0100 0800 64617461 03000000" +
+      "00 80 FF") // amplitudes -128, 0, 127
+    val s8 = Multimodal.decodeWavPcm(2L, wav8).get
+    (s8.n_samples, s8.peak) shouldBe ((3L, 128L))
+    s8.mean_amp shouldBe ((-128L + 0L + 127L).toDouble / 3)
+    // synthesizeWavPayload round-trip: payload built FROM text decodes to
+    // the text's byte amplitudes, and the header parser recognizes it
+    val df = Seq((7L, "AB z")).toDF("media_id", "text")
+      .select(col("media_id"),
+        Multimodal.synthesizeWavPayload(col("text"), 8000).as("payload"))
+    val hdr = Multimodal.parseMediaHeaders(df).head()
+    (hdr.getString(1), hdr.getLong(5), hdr.getLong(6)) shouldBe (("wav", 8000L, 8L))
+    val st = Multimodal.extractWavStats(df).collect().head
+    val amps = "AB z".getBytes("US-ASCII").map(b => (b & 0xff) - 128L)
+    st.n_samples shouldBe 4L
+    st.mean_amp shouldBe amps.sum.toDouble / 4
+    st.rms shouldBe math.sqrt(amps.map(a => a * a).sum.toDouble / 4)
+    // truncated data chunk: stats over the bytes that exist (not a crash)
+    val trunc = wav16.take(44 + 4)
+    Multimodal.decodeWavPcm(3L, trunc).get.n_samples shouldBe 2L
+    // rejects: null, junk, non-PCM format code, odd bit depths
+    Multimodal.decodeWavPcm(4L, null) shouldBe None
+    Multimodal.decodeWavPcm(5L, "junk".getBytes) shouldBe None
+    val nonPcm = wav16.clone(); nonPcm(20) = 3 // IEEE float format code
+    Multimodal.decodeWavPcm(6L, nonPcm) shouldBe None
+  }
+
   test("JpegDims interpreted eval and codegen agree on adversarial streams") {
     // property-style cross-check of nullSafeEval (scan) vs the generated
     // Java over structured-random marker streams, incl. truncations
