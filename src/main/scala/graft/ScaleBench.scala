@@ -246,22 +246,29 @@ object ScaleBench {
   /** Measured recall of the production approximate-ANN operators vs exact
     * brute force, over a deterministic hash sample of ~`sampleTarget` query
     * vectors (sample × corpus dot products — bounded at any corpus size).
-    * Returns (recallIvf, recallLsh) at @k. Ground truth and both operators
-    * round cosine to 6 dp, so rank-boundary ties cost at most a point of
-    * measured recall — a measurement artifact, not operator loss.
+    * Returns (label → recall@k) rows: the IVF production default
+    * (nprobe=2), the IVF 1/8-probe-fraction point (via the asymmetric
+    * [[IvfIndex.knnJoin]] query-set path, so its cost scales with the
+    * sample, not the corpus), and auto-sized LSH. Multiple probe points on
+    * purpose: on unstructured (near-random) embeddings sub-linear ANN
+    * recall is bounded by the PROBED FRACTION of the corpus — the
+    * scale-stability claim is "recall tracks probe fraction, independent
+    * of corpus size", not an absolute number (the >= 0.9 spec pins hold on
+    * clustered corpora, where cells actually capture neighborhoods).
     */
   def annRecall(spark: SparkSession, d: String, k: Int = 10,
-                sampleTarget: Long = 100): (Double, Double) = {
+                sampleTarget: Long = 100): Seq[(String, Double)] = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{IvfIndex, Similarity, VectorExprs}
     val embs = Tables.embeddings(spark, d)
     val n = embs.count()
     val mod = math.max(1L, n / math.max(sampleTarget, 1L))
     val sampleIds = embs.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+    val sampleQ = sampleIds
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"),
         VectorExprs.norm(col("embedding")).as("qnrm"))
     val w = Window.partitionBy(col("qid")).orderBy(desc("cosine"), asc("vid_b"))
-    val gt = embs.join(broadcast(sampleIds), col("vec_id") =!= col("qid"))
+    val gt = embs.join(broadcast(sampleQ), col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("vid_b"),
         round(VectorExprs.dot(col("qemb"), col("embedding")) /
           (col("qnrm") * VectorExprs.norm(col("embedding"))), 6).as("cosine"))
@@ -277,10 +284,15 @@ object ScaleBench {
       if (nGt == 0) -1.0 else hits / nGt
     }
     try {
-      val rIvf = recallOf(IvfIndex.knnJoinAuto(spark, embs, corpusKey = d,
-        k = k, nprobe = 2))
-      val rLsh = recallOf(Similarity.lshTopKAuto(embs, k = k, reps = 4))
-      (rIvf, rLsh)
+      val model = IvfIndex.autoModel(spark, embs, corpusKey = d)
+      val eighth = math.max(2, math.ceil(model.numCells / 8.0).toInt)
+      System.err.println(s"[scale] recall($d): n=$n cells=${model.numCells} " +
+        s"eighth-probe=$eighth sample=${sampleIds.count()}")
+      Seq(
+        "ivf_nprobe2" -> recallOf(IvfIndex.knnJoin(embs, model, k, nprobe = 2)),
+        "ivf_eighth" -> recallOf(IvfIndex.knnJoin(embs, model, k,
+          nprobe = eighth, queries = Some(sampleIds))),
+        "lsh_auto" -> recallOf(Similarity.lshTopKAuto(embs, k = k, reps = 4)))
     } finally { gt.unpersist(); () }
   }
 
@@ -431,13 +443,10 @@ object ScaleBench {
     // the production operators pin recall >= 0.9 at test scale in specs;
     // this measures it where the index is auto-sized for the scaled corpus.
     // SPARK_GRAFT_RECALL=0 skips (e.g. a pure-timing iteration).
-    val recall: Option[((Double, Double), (Double, Double))] =
+    val recall: Option[(Seq[(String, Double)], Seq[(String, Double)])] =
       if (skewOnly || sys.env.get("SPARK_GRAFT_RECALL").contains("0")) None
-      else try {
-        val rb = annRecall(spark, baseDir)
-        val rs = annRecall(spark, scaleDir)
-        Some((rb, rs))
-      } catch { case e: Throwable =>
+      else try Some((annRecall(spark, baseDir), annRecall(spark, scaleDir)))
+      catch { case e: Throwable =>
         System.err.println(s"[scale] recall measurement failed: ${e.getMessage}")
         None
       }
@@ -446,8 +455,12 @@ object ScaleBench {
     val qjson = rows.map { case (n, b, sc, r) =>
       f""""${esc(n)}":{"base":$b%.3f,"scaled":$sc%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
-    val rjson = recall.map { case ((bi, bl), (si, sl)) =>
-      f""","recall":{"k":10,"base":{"ivf":$bi%.3f,"lsh":$bl%.3f},"scaled":{"ivf":$si%.3f,"lsh":$sl%.3f}}"""
+    val rjson = recall.map { case (rb, rs) =>
+      val scaledByName = rs.toMap
+      val entries = rb.map { case (name, b) =>
+        f""""${esc(name)}":{"base":$b%.3f,"scaled":${scaledByName.getOrElse(name, -1.0)}%.3f}"""
+      }.mkString("{", ",", "}")
+      s""","recall":{"k":10,"points":$entries}"""
     }.getOrElse("")
     println(f"""{"metric":"scale_ratio","mode":"$mode","factor":$factor,"base":"${esc(baseDir)}","queries":$qjson$rjson}""")
     // markdown table for SCALE.md
@@ -456,11 +469,13 @@ object ScaleBench {
     rows.foreach { case (n, b, sc, r) =>
       println(f"| $n | $b%.2f | $sc%.2f | $r%.1f× |")
     }
-    recall.foreach { case ((bi, bl), (si, sl)) =>
+    recall.foreach { case (rb, rs) =>
+      val scaledByName = rs.toMap
       println(s"\n| recall@10 vs exact | base | ${factor}x |")
       println("|---|---|---|")
-      println(f"| IVF knnJoinAuto (nprobe=2) | $bi%.3f | $si%.3f |")
-      println(f"| LSH lshTopKAuto (reps=4) | $bl%.3f | $sl%.3f |")
+      rb.foreach { case (name, b) =>
+        println(f"| $name | $b%.3f | ${scaledByName.getOrElse(name, -1.0)}%.3f |")
+      }
     }
     spark.stop()
   }

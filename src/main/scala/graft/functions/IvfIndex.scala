@@ -207,15 +207,21 @@ object IvfIndex {
     * scale shape for corpus-wide embedding near-dup: the cross product never
     * materializes, candidate volume is bounded by cell populations (skewed
     * cells are AQE's skew-join case).
+    *
+    * `queries` makes the join ASYMMETRIC: that set probes the `embs`-built
+    * index instead of a self-join — the retrieval shape (bounded query
+    * batch × huge corpus), also what keeps high-nprobe recall measurement
+    * affordable (cost scales with |queries|, not |corpus|).
     */
-  def knnJoin(embs: DataFrame, model: Model, k: Int, nprobe: Int): DataFrame = {
+  def knnJoin(embs: DataFrame, model: Model, k: Int, nprobe: Int,
+              queries: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the query side fans out ×nprobe and then carries every pair's dot
     // product: a one-file local fixture would serialize that whole phase
     // into a single scan task (measured 5s of the gate's 9s at sf0.1) —
     // spread it to shuffle-partition width first. Spread is metadata-gated:
     // a multi-split production corpus skips the extra shuffle.
-    val probes = Spread.forExplode(embs, col("vec_id"))
+    val probes = Spread.forExplode(queries.getOrElse(embs), col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         VectorExprs.norm(col("embedding")).as("nrm"),
         explode(probeCol(model, nprobe)).as("cell"))
