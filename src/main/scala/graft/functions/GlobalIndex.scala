@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable contiguous global row-index assignment.
+  *
+  * The textbook plan — `row_number() OVER (ORDER BY key)` — compiles to a
+  * Window with an EMPTY partition spec: Spark moves the ENTIRE dataset into
+  * one task to run the global sort-and-number (it even warns
+  * "No Partition Defined for Window operation"). On a 100 TB corpus that is
+  * a single straggler holding every row; the job is dead on arrival.
+  *
+  * [[assign]] produces the IDENTICAL numbering with no global window:
+  *
+  *  1. `repartitionByRange(n, key)` — range-shuffle so partition i holds a
+  *     contiguous key range and ranges ascend with the partition id.
+  *  2. per-partition row counts, aggregated (n rows, one per partition).
+  *  3. exclusive prefix-sum of the counts → each partition's start offset.
+  *     This window runs over n≈thousands of COUNT rows, not data rows.
+  *  4. broadcast-join the offsets back and number rows with a window
+  *     PARTITIONED by the range partition id — every partition numbers its
+  *     own rows in parallel; `offset + (rank within partition) - 1` is the
+  *     global index.
+  *
+  * Because the order key is required to be unique, the result equals the
+  * global `row_number() - 1` regardless of where the sampled range
+  * boundaries land: range partitions are disjoint and ordered, so
+  * (partition rank, within-partition rank) is the total order.
+  *
+  * Cost at scale: two passes over the ranged shuffle output (count pass +
+  * number pass — Spark reuses the exchange, so the range shuffle itself
+  * happens once), versus the unusable single-task sort. This is the same
+  * two-pass contract as `RDD.zipWithIndex`, kept declarative so column
+  * pruning and codegen still apply.
+  */
+object GlobalIndex {
+  /** Append `idxCol` = 0-based contiguous global index ordered by `key`.
+    * `key` must be unique per row (enforce upstream); `numParts = 0` uses
+    * the session shuffle parallelism.
+    */
+  def assign(df: DataFrame, key: Column, idxCol: String = "global_idx",
+             numParts: Int = 0): DataFrame = {
+    val n = if (numParts > 0) numParts
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val pid = "_gi_pid"
+    val ranged = df.repartitionByRange(n, key)
+      .withColumn(pid, spark_partition_id())
+    val counts = ranged.groupBy(col(pid)).agg(count(lit(1)).as("_gi_cnt"))
+    // exclusive prefix sum over ≤ n count rows — the only global window in
+    // the plan, and it sees one row per PARTITION, not per data row
+    val offsets = counts.withColumn("_gi_off",
+      coalesce(sum(col("_gi_cnt")).over(
+        Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(pid), col("_gi_off"))
+    val perPart = Window.partitionBy(col(pid)).orderBy(key)
+    ranged.join(broadcast(offsets), Seq(pid))
+      .withColumn(idxCol,
+        col("_gi_off") + row_number().over(perPart).cast("long") - lit(1L))
+      .drop(pid, "_gi_off")
+  }
+}

@@ -360,6 +360,20 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_x5_global_index" -> ((s, d) =>
+      // scalable contiguous global numbering: the textbook
+      // row_number() OVER (ORDER BY doc_id) funnels the WHOLE corpus into
+      // one window task (Spark warns "No Partition Defined"); GlobalIndex
+      // .assign computes the identical numbering with a range shuffle +
+      // per-partition windows + a partition-count-sized prefix sum
+      // (functions/GlobalIndex.scala). The oracle IS the textbook global
+      // window in DuckDB — the hash match proves the distributed plan
+      // reproduces the single-task total order exactly.
+      graft.functions.GlobalIndex.assign(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          col("doc_id"))
+        .orderBy(col("doc_id"))),
+
     // ---- W: window functions ------------------------------------------------
     "q_w1_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -518,6 +532,45 @@ object RelationalQueries {
         "_p" + ProcessHandle.current().pid).toString
       graft.sources.OrcCorpus.write(docs, tmp)
       graft.sources.OrcCorpus.read(s, tmp).orderBy(col("doc_id"))
+    }),
+
+    "q_io5_partitioned_pruning" -> ((s, d) => {
+      // hive-partitioned layout: documents written partitionBy(lang), read
+      // back with a lang predicate. The filter is satisfied at FILE LISTING
+      // time — pruned languages' directories are never opened (the scan's
+      // PartitionFilters, pinned in ScaleShapeSpec), which is the layout a
+      // 100 TB corpus uses to make per-language jobs touch only their
+      // slice. Oracle = the same filter over the plain parquet table: the
+      // layout must change the scan, never the rows. Column order shifts on
+      // write (partition columns move last) so the read re-selects the
+      // original order; lang NULLs land in the default partition and are
+      // excluded by the equality predicate in both engines.
+      val docs = Tables.documents(s, d)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_partlang_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid).toString
+      docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp).filter(col("lang") === "en")
+        .select(docs.columns.map(col).toIndexedSeq: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_io6_jsonl_gzip" -> ((s, d) => {
+      // compressed interchange: q_io1's JSONL round-trip under a gzip
+      // codec. gzip is NOT splittable — each .gz part file is exactly one
+      // scan task — so read parallelism is fixed by the WRITER's
+      // partitioning (part-file count), not by maxPartitionBytes; at
+      // corpus scale that means sizing write partitions to the cluster, or
+      // preferring a splittable codec (zstd/parquet) for the hot path.
+      // Hash match vs the parquet oracle proves the codec layer is
+      // value-transparent end to end.
+      val docs = Tables.documents(s, d)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonlgz_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid).toString
+      graft.sources.JsonlCorpus.write(docs, tmp, codec = Some("gzip"))
+      graft.sources.JsonlCorpus.read(s, tmp, docs.schema)
+        .orderBy(col("doc_id"))
     }),
 
     "q_io3_schema_drift_union" -> ((s, d) => {
@@ -983,12 +1036,20 @@ object RelationalQueries {
     }),
 
     "q_a9_approx_distinct" -> ((s, d) =>
-      // HLL sketch surface (rows-only check: approximation algorithms differ
-      // across engines); exact distinct rides alongside for the spec
+      // HLL sketch with a HASH-CHECKED accuracy envelope: the raw estimate
+      // can't be recomputed by another engine (HLL register layouts
+      // differ), so instead of a rows-only check the query emits the exact
+      // count plus a boolean pinning the estimate inside ±15% (3× the
+      // default rsd = 0.05). The oracle recomputes the exact side and
+      // asserts the boolean TRUE — a drifting or broken sketch now FAILS
+      // the hash gate instead of sliding through a row count.
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            col("exact_parts") * lit(0.15)).as("approx_within_3rsd"))
         .orderBy(col("l_returnflag"))),
 
     "q_a10_quantiles" -> ((s, d) =>
@@ -1084,6 +1145,32 @@ object RelationalQueries {
         .getSeq[Byte](0).map(_.toInt)
       graft.functions.VectorQuant.topKQuantized(qt, queryCodes, k = 10,
         excludeSelf = Some(0L))
+    }),
+
+    "q_v11_kmeans_step" -> ((s, d) => {
+      // one hash-checked Lloyd step with NO exported fixtures: init = the
+      // k lowest-id embeddings (derivable in plain SQL), assignment = the
+      // production NearestCells ranking (round(-2·x·c + |c|², 9), ties to
+      // the lower cell — VectorExprs.scala), update = per-(cluster, dim)
+      // mean in long form, the q_v8 shape that never shuffles whole
+      // vectors. IvfIndex.train runs exactly this step; q_v5/q_v6 verify
+      // it indirectly via exhaustive-probe equivalence, while this query
+      // pins the step ITSELF against an independent DuckDB re-derivation
+      // (centroid selection, distance ranking, tie-break, and mean update
+      // all recomputed from the raw embeddings).
+      import s.implicits._
+      val embs = Tables.embeddings(s, d)
+      val init = embs.orderBy(col("vec_id")).limit(8)
+        .select(col("embedding")).as[Seq[Float]].collect()
+        .map(_.map(_.toDouble).toVector).toVector
+      val model = graft.functions.IvfIndex.Model(init)
+      graft.functions.IvfIndex.assignCells(embs, model)
+        .select(col("cell").as("cluster"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((round(avg(col("v")), 4) + lit(0.0)).as("mean_val"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy(col("cluster"), col("pos"))
     }),
 
     "q_v8_label_centroids" -> ((s, d) =>
@@ -2000,6 +2087,62 @@ object RelationalQueries {
       // parquet ground truth, same as q_io1/q_io2
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    "q_io5_partitioned_pruning" ->
+      // same predicate over the plain parquet table: the hive layout must
+      // change the scan (PartitionFilters), never the rows
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents WHERE lang = 'en' ORDER BY doc_id""",
+
+    "q_io6_jsonl_gzip" ->
+      // parquet ground truth, same as q_io1 — the codec must be
+      // value-transparent
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    "q_x5_global_index" ->
+      // the TEXTBOOK single-task global window — exactly the plan the
+      // distributed GlobalIndex.assign must reproduce bit-for-bit
+      """SELECT doc_id, n_chars,
+                row_number() OVER (ORDER BY doc_id) - 1 AS global_idx
+         FROM documents ORDER BY doc_id""",
+
+    "q_a9_approx_distinct" ->
+      // exact side recomputed; the accuracy-envelope boolean asserted TRUE
+      // (the estimate itself is engine-specific — the CONTRACT is checked)
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+                true AS approx_within_3rsd
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_v11_kmeans_step" ->
+      // the full Lloyd step re-derived from raw embeddings: k lowest-id
+      // init centroids, the NearestCells score round(-2·x·c + |c|², 9)
+      // with ties to the lower cell, then per-(cluster, dim) means in the
+      // q_v8 long form (+ 0 normalizes IEEE negative zero like q_v8)
+      """WITH c AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                  embedding::DOUBLE[] AS ce
+           FROM embeddings ORDER BY vec_id LIMIT 8),
+         sc AS (
+           SELECT e.vec_id, c.cell,
+                  round(-2 * list_dot_product(e.embedding::DOUBLE[], c.ce)
+                        + list_dot_product(c.ce, c.ce), 9) AS score
+           FROM embeddings e CROSS JOIN c),
+         a AS (
+           SELECT vec_id, cell AS cluster
+           FROM (SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY score, cell) AS rn
+                 FROM sc)
+           WHERE rn = 1),
+         x AS (
+           SELECT a.cluster,
+                  unnest([{'pos': i - 1, 'v': e.embedding[i]}
+                    FOR i IN generate_series(1, len(e.embedding))]) AS u
+           FROM a JOIN embeddings e USING (vec_id))
+         SELECT cluster, u.pos, round(avg(u.v), 4) + 0 AS mean_val,
+                count(*) AS n_vecs
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_io3_schema_drift_union" ->
       // the by-name union with explicit NULL columns per generation

@@ -58,6 +58,22 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should include("ReadSchema: struct<doc_id:bigint,lang:string>")
   }
 
+  test("lang-partitioned corpus layout prunes at file listing (q_io5 shape)") {
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("partlang").toString + "/docs"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    val q = spark.read.parquet(tmp).filter(col("lang") === "en")
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning at
+    // listing time — zero IO for other languages), NOT in PushedFilters
+    // (row-group pruning after the file is already opened)
+    plan should include regex """PartitionFilters: \[[^\]]*lang"""
+    // and the rows must equal the unpartitioned filter
+    val expected = docs.filter(col("lang") === "en").count()
+    q.count() shouldBe expected
+  }
+
   test("persisted IVF index prunes partitions on probe and matches unpersisted results") {
     val embs = Tables.embeddings(spark, sfDir)
     val model = IvfIndex.train(spark, embs, k = 4, iters = 1)

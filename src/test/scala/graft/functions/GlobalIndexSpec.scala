@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** GlobalIndex.assign must equal the single-task global row_number plan —
+  * on hostile inputs (unsorted, negative keys, skewed value clumps) — while
+  * keeping the DATA-side window partitioned.
+  */
+class GlobalIndexSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def groundTruth(keys: Seq[Long]): Map[Long, Long] =
+    keys.sorted.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+
+  test("matches global row_number on shuffled, negative, clumped keys") {
+    // keys deliberately unsorted with a dense clump (many keys inside one
+    // future range partition) and outliers at both ends — exercises uneven
+    // per-partition counts in the offset prefix sum
+    val keys: Seq[Long] =
+      (Seq(-500L, 999999L) ++ (100L until 400L) ++ Seq(7L, -3L, 55L))
+    val shuffled = new scala.util.Random(42).shuffle(keys)
+    val df = shuffled.map(k => (k, s"v$k")).toDF("k", "payload")
+    val got = GlobalIndex.assign(df, col("k"), numParts = 7)
+      .select($"k", $"global_idx").as[(Long, Long)].collect().toMap
+    got shouldBe groundTruth(keys)
+  }
+
+  test("index is contiguous 0..n-1 and follows key order at session parallelism") {
+    val n = 5000
+    val keys = new scala.util.Random(7).shuffle((0 until n).map(_ * 3L + 1))
+    val df = keys.toDF("k")
+    val rows = GlobalIndex.assign(df, col("k"))
+      .select($"k", $"global_idx").as[(Long, Long)].collect()
+    rows.map(_._2).sorted shouldBe (0L until n.toLong).toArray
+    rows.sortBy(_._1).map(_._2) shouldBe (0L until n.toLong).toArray
+  }
+
+  test("empty input yields empty output with the idx column present") {
+    val df = Seq.empty[(Long, String)].toDF("k", "payload")
+    val out = GlobalIndex.assign(df, col("k"))
+    out.columns should contain("global_idx")
+    out.count() shouldBe 0L
+  }
+
+  test("data-side window is partitioned; only the counts prefix-sum is global") {
+    val df = (1L to 100L).toDF("k")
+    val plan = GlobalIndex.assign(df, col("k"), numParts = 4)
+      .queryExecution.optimizedPlan.toString
+    // the row-numbering window must carry the range-partition id in its
+    // partition spec — a bare windowspecdefinition(k ASC...) with no
+    // partition key would be the single-task global sort this helper
+    // exists to avoid
+    plan should include regex """row_number\(\) windowspecdefinition\(_gi_pid"""
+    // exactly one global (partition-less) window is allowed: the exclusive
+    // prefix sum over the per-partition COUNT rows
+    val globalWindows = """windowspecdefinition\(_gi_pid#\d+L? ASC""".r
+      .findAllIn(plan).size
+    globalWindows shouldBe 1
+  }
+
+  test("equals the textbook plan on the fixture documents table") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"))
+    val textbook = docs.withColumn("global_idx",
+        row_number().over(Window.orderBy(col("doc_id"))).cast("long") - 1L)
+      .as[(Long, Long)].collect().toMap
+    val ours = GlobalIndex.assign(docs, col("doc_id"))
+      .as[(Long, Long)].collect().toMap
+    ours shouldBe textbook
+  }
+}
