@@ -61,4 +61,36 @@ object GlobalIndex {
         col("_gi_off") + row_number().over(perPart).cast("long") - lit(1L))
       .drop(pid, "_gi_off")
   }
+
+  /** Append `outCol` = EXCLUSIVE prefix sum of `value` in `key` order —
+    * the generalization of [[assign]] (which is the prefix sum of the
+    * constant 1). Same plan shape: the textbook
+    * `sum(value) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)` is a
+    * single-task global window; here each range partition running-sums its
+    * own rows in parallel and the cross-partition carry is the prefix sum
+    * of ≤ n per-PARTITION totals. `key` must be unique; `value` is summed
+    * as long (token counts, byte sizes — the corpus-layout use cases).
+    */
+  def prefixSum(df: DataFrame, key: Column, value: Column,
+                outCol: String = "prefix_sum", numParts: Int = 0): DataFrame = {
+    val n = if (numParts > 0) numParts
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val pid = "_gi_pid"
+    val v = "_gi_val"
+    val ranged = df.withColumn(v, value.cast("long"))
+      .repartitionByRange(n, key)
+      .withColumn(pid, spark_partition_id())
+    val totals = ranged.groupBy(col(pid)).agg(sum(col(v)).as("_gi_tot"))
+    val offsets = totals.withColumn("_gi_off",
+      coalesce(sum(col("_gi_tot")).over(
+        Window.orderBy(col(pid)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(pid), col("_gi_off"))
+    val perPart = Window.partitionBy(col(pid)).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged.join(broadcast(offsets), Seq(pid))
+      .withColumn(outCol,
+        col("_gi_off") + coalesce(sum(col(v)).over(perPart), lit(0L)))
+      .drop(pid, "_gi_off", v)
+  }
 }

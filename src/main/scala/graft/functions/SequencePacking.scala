@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chop sequence packing — the layout step that turns a
+  * filtered, deduplicated corpus into fixed-length training contexts:
+  * documents are laid head-to-tail in a deterministic key order and the
+  * resulting token stream is cut every `contextLen` tokens (GPT-style
+  * packing: zero padding waste, documents may straddle a cut).
+  *
+  * The core is the corpus-wide EXCLUSIVE running token offset — exactly
+  * the computation pipelines naively write as
+  * `sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)`, a
+  * single-task global window that cannot run at 100 TB.
+  * [[GlobalIndex.prefixSum]] produces the identical offsets with a range
+  * shuffle, per-partition running sums in parallel, and a
+  * partition-count-sized carry — so packing scales like a shuffle, not
+  * like a sort-on-one-executor.
+  *
+  * Output columns (appended):
+  *  - `tok_offset`   — exclusive prefix sum of `tokensCol` in key order
+  *  - `bin_first`    — context window holding the doc's first token
+  *  - `bin_last`     — context window holding its last token (empty docs
+  *                     are pinned to `bin_first`)
+  *  - `crosses_boundary` — doc straddles ≥1 context cut (downstream either
+  *                     masks the straddle or resets attention at doc ends)
+  *
+  * Integer division throughout (`div`): offsets at trillion-token scale
+  * overflow double's 53-bit mantissa, so a float `/` + floor would
+  * misassign bins near the mantissa edge.
+  */
+object SequencePacking {
+  def pack(docs: DataFrame, key: Column, tokensCol: String,
+           contextLen: Long): DataFrame = {
+    require(contextLen > 0, s"contextLen must be > 0 (got $contextLen)")
+    GlobalIndex.prefixSum(docs, key, col(tokensCol), outCol = "tok_offset")
+      .withColumn("_sp_end",
+        col("tok_offset") +
+          greatest(col(tokensCol).cast("long"), lit(1L)) - lit(1L))
+      .withColumn("bin_first", expr(s"tok_offset div ${contextLen}L"))
+      .withColumn("bin_last", expr(s"_sp_end div ${contextLen}L"))
+      .withColumn("crosses_boundary", col("bin_first") < col("bin_last"))
+      .drop("_sp_end")
+  }
+}

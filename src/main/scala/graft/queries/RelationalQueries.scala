@@ -798,6 +798,21 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sp6_sequence_pack" -> ((s, d) => {
+      // GPT-style concat-and-chop packing into 512-token contexts. The
+      // running token offset is the naive single-task
+      // `sum(...) OVER (ORDER BY doc_id)` global window — which is exactly
+      // what the ORACLE runs, while the Spark side computes it with the
+      // distributed GlobalIndex.prefixSum carry (range shuffle +
+      // per-partition running sums). Hash match proves the scalable plan
+      // reproduces the textbook stream layout bit-for-bit.
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.functions.SequencePacking.pack(docs, col("doc_id"), "n_tokens",
+          contextLen = 512L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup --------------------------------------------------------------
     "q_d1_exact_dup" -> ((s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d))
@@ -2233,6 +2248,28 @@ object RelationalQueries {
                      THEN 'val'
                      ELSE 'test' END AS split
          FROM c ORDER BY doc_id""",
+
+    "q_sp6_sequence_pack" ->
+      // the NAIVE single-task plan on purpose: a global running-sum window
+      // — the distributed prefix-sum carry must reproduce it exactly.
+      // Integer division (//) mirrors the Spark side's `div`.
+      """WITH t AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, n_tokens,
+                  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    ::BIGINT AS tok_offset
+           FROM t)
+         SELECT doc_id, n_tokens, tok_offset,
+                (tok_offset // 512)::BIGINT AS bin_first,
+                ((tok_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
+                  AS bin_last,
+                tok_offset // 512 <
+                  (tok_offset + greatest(n_tokens, 1) - 1) // 512
+                  AS crosses_boundary
+         FROM o ORDER BY doc_id""",
 
     "q_d10_semantic_dedup" ->
       // exact-mode SemDeDup: all-pairs cosine >= 0.3 (same round-4 formula

@@ -63,6 +63,46 @@ class GlobalIndexSpec extends AnyFunSuite with Matchers {
     globalWindows shouldBe 1
   }
 
+  test("prefixSum matches local exclusive scan on hostile values (zeros, big, clumped)") {
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0 until 1000).map { i =>
+      val v = i % 7 match {
+        case 0 => 0L                       // zero-token docs
+        case 1 => 1L << 40                 // values overflowing int sums
+        case _ => rnd.nextInt(1000).toLong
+      }
+      (i.toLong * 2 + 1, v)
+    })
+    val expected = {
+      val sorted = rows.sortBy(_._1)
+      val offs = sorted.map(_._2).scanLeft(0L)(_ + _).init
+      sorted.map(_._1).zip(offs).toMap
+    }
+    val got = GlobalIndex.prefixSum(rows.toDF("k", "v"), col("k"), col("v"),
+        numParts = 9)
+      .select($"k", $"prefix_sum").as[(Long, Long)].collect().toMap
+    got shouldBe expected
+  }
+
+  test("SequencePacking: bins are exactly contextLen wide and straddles are flagged") {
+    val docs = Seq(
+      (1L, 100), (2L, 412), (3L, 512), (4L, 1), (5L, 1500), (6L, 0), (7L, 60))
+      .toDF("doc_id", "n_tokens")
+    val out = SequencePacking.pack(docs, col("doc_id"), "n_tokens", 512L)
+      .orderBy(col("doc_id"))
+      .select($"doc_id", $"tok_offset", $"bin_first", $"bin_last",
+        $"crosses_boundary")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    out shouldBe Array(
+      (1L, 0L, 0L, 0L, false),       // fills [0, 100)
+      (2L, 100L, 0L, 0L, false),     // fills [100, 512) — flush with the cut
+      (3L, 512L, 1L, 1L, false),     // exactly one full context
+      (4L, 1024L, 2L, 2L, false),
+      (5L, 1025L, 2L, 4L, true),     // straddles two cuts (1025..2524)
+      (6L, 2525L, 4L, 4L, false),    // empty doc pinned to its offset's bin
+      (7L, 2525L, 4L, 5L, true))     // 2525..2584 straddles the 2560 cut
+  }
+
   test("equals the textbook plan on the fixture documents table") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"))
