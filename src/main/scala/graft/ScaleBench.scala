@@ -57,10 +57,12 @@ object ScaleBench {
     "q_v4_knn_join", "q_v7_ivf_indexed", "q_v8_label_centroids",
     "q_v10_quantized_topk",
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
-    "q_sp4_mixture_weights", "q_sp5_grouped_split",
+    "q_sp4_mixture_weights", "q_sp5_grouped_split", "q_sp6_sequence_pack",
     "q_m1_media_features", "q_m2_frame_sample", "q_m3_media_metadata",
     "q_m4_wav_pcm_stats",
-    "q_io1_jsonl_roundtrip", "q_io2_csv_roundtrip", "q_io4_orc_roundtrip")
+    "q_io1_jsonl_roundtrip", "q_io2_csv_roundtrip", "q_io4_orc_roundtrip",
+    "q_io5_partitioned_pruning", "q_io6_jsonl_gzip",
+    "q_x5_global_index", "q_v11_kmeans_step")
 
   // langid/quality gate vocabulary that must SURVIVE the Caesar shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail
@@ -406,7 +408,19 @@ object ScaleBench {
          // spec-pinned identical to the string-key gate form)
          "q_t19_hashkeys" -> ((s: SparkSession, d: String) =>
            graft.functions.Dedup.suffixRunDedup(Tables.documents(s, d),
-             minRun = 8, hashGramKeys = true))))
+             minRun = 8, hashGramKeys = true)),
+         // the NAIVE single-task global running-sum window q_sp6's
+         // distributed prefix sum replaces — measured side by side so the
+         // straggler cost is a number, not an assertion
+         "q_sp6_textbook_window" -> ((s: SparkSession, d: String) => {
+           import org.apache.spark.sql.expressions.Window
+           val docs = Tables.documents(s, d).select(col("doc_id"),
+             graft.functions.TextOps.tokenCount(col("text")).as("n_tokens"))
+           docs.withColumn("tok_offset",
+             coalesce(sum(col("n_tokens")).over(
+               Window.orderBy(col("doc_id"))
+                 .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+         })))
         .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def run1(fn: (SparkSession, String) => DataFrame, d: String): Double = {

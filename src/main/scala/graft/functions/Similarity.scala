@@ -117,6 +117,34 @@ object Similarity {
       .agg(min_by(col("label"), struct((-col("votes")).as("nv"), col("label").as("lb")))
         .as("pred_label"))
 
+  /** Hard-negative mining for contrastive training: per anchor vector, the
+    * highest-cosine neighbor carrying a DIFFERENT label — the "confusable"
+    * example a contrastive/triplet loss learns the most from. `neighbors`
+    * is any (vec_id, vid_b, cosine) top-k table ([[IvfIndex.knnJoin]] at
+    * corpus scale — ANN candidates suffice, the mined negative only needs
+    * to be hard, not provably hardest; the exhaustive-probe form for the
+    * oracle); `labels` maps vec_id -> label. Anchors whose ENTIRE top-k is
+    * same-label drop out (widen k upstream to recover them). Ties break by
+    * highest cosine then LOWEST neighbor id. Shuffle cost: two broadcastable
+    * label joins + one k-bounded aggregation — the corpus never pairs
+    * beyond the neighbor table it already paid for.
+    */
+  def hardNegatives(neighbors: DataFrame, labels: DataFrame): DataFrame =
+    neighbors
+      .join(labels.select(col("vec_id"), col("label").as("anchor_label")),
+        "vec_id")
+      .join(labels.select(col("vec_id").as("vid_b"),
+        col("label").as("neg_label")), "vid_b")
+      .filter(col("anchor_label") =!= col("neg_label"))
+      .groupBy(col("vec_id"), col("anchor_label"))
+      // only the cosine is negated in the tie-break struct (the q_v9
+      // pattern): neg id may be any orderable type
+      .agg(min_by(
+        struct(col("vid_b").as("neg_id"), col("neg_label"), col("cosine")),
+        struct((-col("cosine")).as("nc"), col("vid_b").as("vb"))).as("hn"))
+      .select(col("vec_id"), col("anchor_label"), col("hn.neg_id"),
+        col("hn.neg_label"), col("hn.cosine"))
+
   /** Production sizing rule for [[lshTopK]]'s `numPlanes`: enough
     * hyperplanes that the EXPECTED bucket occupancy is `targetPerBucket`
     * (buckets per repetition = 2^planes). Candidate-pair volume per bucket

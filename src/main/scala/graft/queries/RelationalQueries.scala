@@ -1162,6 +1162,20 @@ object RelationalQueries {
         excludeSelf = Some(0L))
     }),
 
+    "q_v12_hard_negatives" -> ((s, d) => {
+      // contrastive hard-negative mining over the exhaustive-probe k-NN
+      // join (the q_v5 trick: nprobe = numCells makes the ANN candidates
+      // provably complete, so the DuckDB oracle is plain brute force —
+      // production runs the identical plan at nprobe << numCells)
+      val embs = Tables.embeddings(s, d)
+      val model = ivfModel(s, embs, d)
+      val neighbors = graft.functions.IvfIndex.knnJoin(embs, model, k = 5,
+        nprobe = model.numCells)
+      Similarity.hardNegatives(neighbors,
+          embs.select(col("vec_id"), col("label")))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_v11_kmeans_step" -> ((s, d) => {
       // one hash-checked Lloyd step with NO exported fixtures: init = the
       // k lowest-id embeddings (derivable in plain SQL), assignment = the
@@ -2128,6 +2142,32 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
                 true AS approx_within_3rsd
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_v12_hard_negatives" ->
+      // brute-force top-5 per anchor (== the exhaustive-probe knnJoin),
+      // label join, keep cross-label pairs, argmax by (cosine DESC, id)
+      """WITH sc AS (
+           SELECT a.vec_id, b.vec_id AS vid_b,
+                  round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6)
+                    AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT vec_id, vid_b, cosine,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, vid_b) AS rn
+           FROM sc),
+         hn AS (
+           SELECT r.vec_id, la.label AS anchor_label, r.vid_b AS neg_id,
+                  lb.label AS neg_label, r.cosine,
+                  row_number() OVER (PARTITION BY r.vec_id
+                                     ORDER BY r.cosine DESC, r.vid_b) AS hrn
+           FROM ranked r
+           JOIN embeddings la ON la.vec_id = r.vec_id
+           JOIN embeddings lb ON lb.vec_id = r.vid_b
+           WHERE r.rn <= 5 AND la.label <> lb.label)
+         SELECT vec_id, anchor_label, neg_id, neg_label, cosine
+         FROM hn WHERE hrn = 1 ORDER BY vec_id""",
 
     "q_v11_kmeans_step" ->
       // the full Lloyd step re-derived from raw embeddings: k lowest-id

@@ -256,6 +256,28 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     strPred shouldBe Map(0L -> "en", 1L -> "de")
   }
 
+  test("hardNegatives picks the top cross-label neighbor; same-label-only anchors drop") {
+    val neighbors = Seq(
+      // vec 0: best neighbor 10 shares its label → skipped; 12 (label 2,
+      // cosine .8) ties 13 (label 3, cosine .8) → lower id 12 wins
+      (0L, 10L, 0.9), (0L, 12L, 0.8), (0L, 13L, 0.8),
+      // vec 1: all neighbors same-label → anchor drops out entirely
+      (1L, 10L, 0.9), (1L, 11L, 0.7)).toDF("vec_id", "vid_b", "cosine")
+    val labels = Seq((0L, 1), (1L, 1), (10L, 1), (11L, 1), (12L, 2), (13L, 3))
+      .toDF("vec_id", "label")
+    val out = Similarity.hardNegatives(neighbors, labels)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4)))
+    out shouldBe Array((0L, 1, 12L, 2, 0.8))
+    // string labels survive the tie-break (only cosine is negated)
+    val strLabels = Seq((0L, "en"), (1L, "en"), (10L, "en"), (11L, "en"),
+      (12L, "de"), (13L, "fr")).toDF("vec_id", "label")
+    val strOut = Similarity.hardNegatives(neighbors, strLabels)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    strOut shouldBe Array((0L, "en", 12L, "de"))
+  }
+
   test("labelCentroids averages per (label, dimension)") {
     val df = Seq(
       (0L, Seq(1.0f, 3.0f), 1),
