@@ -61,6 +61,9 @@ object ScaleBench {
     "q_m1_media_features", "q_m2_frame_sample", "q_m3_media_metadata",
     "q_m4_wav_pcm_stats",
     "q_io1_jsonl_roundtrip", "q_io2_csv_roundtrip", "q_io4_orc_roundtrip",
+    // (q_a12 is NOT here: the scale synthesis replicates only the
+    // documents/embeddings corpora, and its sketch shape is already
+    // mergeable by construction)
     "q_io5_partitioned_pruning", "q_io6_jsonl_gzip",
     "q_x5_global_index", "q_v11_kmeans_step")
 
@@ -409,6 +412,16 @@ object ScaleBench {
          "q_t19_hashkeys" -> ((s: SparkSession, d: String) =>
            graft.functions.Dedup.suffixRunDedup(Tables.documents(s, d),
              minRun = 8, hashGramKeys = true)),
+         // production hard-negative mining: auto-sized cells at nprobe=2
+         // (the gate query q_v12 probes exhaustively ON PURPOSE for its
+         // brute-force oracle — quadratic, never the production shape)
+         "q_v12_ann_negatives" -> ((s: SparkSession, d: String) => {
+           val embs = Tables.embeddings(s, d)
+           graft.functions.Similarity.hardNegatives(
+             graft.functions.IvfIndex.knnJoinAuto(s, embs, corpusKey = d,
+               k = 5, nprobe = 2),
+             embs.select(col("vec_id"), col("label")))
+         }),
          // the NAIVE single-task global running-sum window q_sp6's
          // distributed prefix sum replaces — measured side by side so the
          // straggler cost is a number, not an assertion

@@ -60,22 +60,28 @@ object Verify {
       if (pyParser.isEmpty)
         System.err.println("[verify] tools/parse_graph.py not found from CWD " +
           s"${sys.props("user.dir")} — set SPARK_GRAFT_TOOLS_DIR")
-      val pyOk = pyParser.exists { parser =>
+      // Graph50 backs the q_gs1/q_gg* oracles; Graph200 backs q_gs4's —
+      // the .ngs binary and Graph200.txt encode the SAME graph (the
+      // reference generated the text FROM the .ngs), so an independent
+      // text parse is a true oracle for the Java-deserialization reader
+      def pyParse(parser: java.io.File, txt: String, prefix: String): Boolean =
         try {
-          val p = new ProcessBuilder("python3", parser.getAbsolutePath,
-            graft.queries.GraphQueries.graph50Path,
-            new java.io.File(outDir).getAbsolutePath, "fx_graph50").inheritIO().start()
+          val p = new ProcessBuilder("python3", parser.getAbsolutePath, txt,
+            new java.io.File(outDir).getAbsolutePath, prefix).inheritIO().start()
           // bounded wait: a hung python3 (stuck filesystem, broken pyarrow
           // import) must degrade to the Scala fallback, not block the gate
           val done = p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
           if (!done) { p.destroyForcibly(); () }
           done && p.exitValue() == 0 &&
-            new java.io.File(s"$outDir/fx_graph50_nodes.parquet").isFile &&
-            new java.io.File(s"$outDir/fx_graph50_edges.parquet").isFile
+            new java.io.File(s"$outDir/${prefix}_nodes.parquet").isFile &&
+            new java.io.File(s"$outDir/${prefix}_edges.parquet").isFile
         } catch { case e: Throwable =>
           System.err.println(s"[verify] python fixture parser failed: ${e.getMessage}")
           false
         }
+      val pyOk = pyParser.exists { parser =>
+        pyParse(parser, graft.queries.GraphQueries.graph50Path, "fx_graph50") &&
+          pyParse(parser, graft.queries.GraphQueries.graph200Path, "fx_graph200")
       }
       if (!pyOk) {
         System.err.println("[verify] WARNING: independent parser unavailable — " +

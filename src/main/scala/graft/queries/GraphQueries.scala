@@ -21,6 +21,9 @@ object GraphQueries {
 
   private val fixtureDir = "/root/reference/input"
   private val originalPath = s"$fixtureDir/Graph200.txt"
+  // public for Verify's fixture export: the q_gs4 oracle parses this text
+  // form of the SAME graph the .ngs binary serializes
+  val graph200Path: String = originalPath
   private val perturbedPath = s"$fixtureDir/Graph200.txt.perturbed"
 
   /** The Graph50 fixture BOTH the q_g* queries and Verify's independent
@@ -140,6 +143,12 @@ object GraphQueries {
         nodeCols.map(c => col(s"toNode.$c").as(s"to_$c")): _*)
     writeSingleFile(g.nodes.toDF(), s"$outDir/fx_graph50_nodes.parquet")
     writeSingleFile(edgesFlat, s"$outDir/fx_graph50_edges.parquet")
+    // Graph200 nodes for the q_gs4 oracle: even this fallback stays a real
+    // CROSS-FORMAT check there (GraphText.parse vs NgsReader share no
+    // decoding code), unlike q_gs1 where it degrades to a round-trip
+    writeSingleFile(
+      GraphText.load(spark, graph200Path).toDS(spark).nodes.toDF(),
+      s"$outDir/fx_graph200_nodes.parquet")
   }
 
   private[graft] def writeSingleFile(df: DataFrame, dest: String): Unit = {
@@ -180,7 +189,10 @@ object GraphQueries {
         .select(col("fromId"), col("toId")).orderBy(col("fromId"), col("toId"))
     }),
 
-    // S4 — binary .ngs scan (Java-serialization decode, endpoint re-link)
+    // S4 — binary .ngs scan (Java-serialization decode, endpoint re-link).
+    // HASH-CHECKED since round 9: the oracle is the independent text parse
+    // of the same graph (fx_graph200_nodes — see oracleSql), so the binary
+    // decode is field-for-field verified, not just row-counted
     "q_gs4_ngs_scan" -> ((s, _) =>
       graft.io.NgsReader.load(s, s"$fixtureDir/Graph200.ngs").toDS(s)
         .nodes.toDF().orderBy(col("id"))),
@@ -235,6 +247,14 @@ object GraphQueries {
       // with it (Scala-export fallback degrades it to a round-trip check,
       // logged loudly by Verify)
       s"SELECT * FROM $nodesTbl ORDER BY id",
+
+    "q_gs4_ngs_scan" ->
+      // the .ngs binary (Java object serialization) and Graph200.txt encode
+      // the SAME graph — the reference generated the text from the .ngs —
+      // so the independent text parse (tools/parse_graph.py, no code shared
+      // with NgsReader's stream decoding) is a true oracle for the binary
+      // reader: schema, every field, every row
+      "SELECT * FROM '{{OUTDIR}}/fx_graph200_nodes.parquet' ORDER BY id",
 
     "q_gg1_start_nodes" ->
       // struct-level anti-join: a node stays a start node unless an edge's

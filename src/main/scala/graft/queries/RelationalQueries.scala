@@ -1091,6 +1091,29 @@ object RelationalQueries {
           col("n"))
         .orderBy(col("l_returnflag"))),
 
+    "q_a12_approx_quantiles" -> ((s, d) =>
+      // the SCALE path q_a10's scaladoc names, now gated: approx_percentile
+      // is a mergeable sketch (map-side partials, no per-group value
+      // buffer), the shape that survives unbounded group cardinality and
+      // trillion-row groups. Accuracy is engine-specific, so the q_a9
+      // envelope pattern applies: the oracle recomputes the EXACT
+      // interpolated quantiles and asserts each sketch value within ±5% —
+      // a drifting sketch fails the hash gate. (Default accuracy 10000 ⇒
+      // rank error ≤ n/10⁴; ±5% on value is a loose, stable band.)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+            .as("aps"),
+          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"),
+          count(lit(1)).as("n"))
+        .select(Seq(col("l_returnflag"), col("n")) ++
+          Seq(1, 2, 3).map(i =>
+            (abs(element_at(col("aps"), i) - element_at(col("ps"), i)) <=
+              abs(element_at(col("ps"), i)) * lit(0.05))
+              .as(s"p${Seq(50, 90, 99)(i - 1)}_within_5pct")): _*)
+        .orderBy(col("l_returnflag"))),
+
     "q_a11_heavy_hitters" -> ((s, d) =>
       // exact corpus heavy hitters: explode → count with map-side partial
       // aggregation (token cardinality ≪ token occurrences, so the shuffle
@@ -1403,6 +1426,15 @@ object RelationalQueries {
                 round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
                 round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
                 count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_a12_approx_quantiles" ->
+      // exact side recomputed; each sketch-accuracy boolean asserted TRUE
+      // (the q_a9 envelope pattern — the sketch value is engine-specific,
+      // its CONTRACT is not)
+      """SELECT l_returnflag, count(*) AS n,
+                true AS p50_within_5pct, true AS p90_within_5pct,
+                true AS p99_within_5pct
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_a11_heavy_hitters" ->
