@@ -799,4 +799,69 @@ object Dedup {
       .select(col("doc_id"), col("is_exact_dup"),
         coalesce(col("n_near_corpus_docs"), lit(0L)).as("n_near_corpus_docs"))
   }
+
+  /** [[incrementalDedup]] with a Bloom pre-filter on the CORPUS side — the
+    * asymmetry that matters at 100 TB: the arriving batch is small, the
+    * corpus is the 100 TB side, and the vanilla plan still shuffles every
+    * distinct corpus md5 / band bucket into the join. Here the batch's key
+    * sets are sketched into driver-held Bloom filters (Spark's own
+    * `BloomFilterAggregate` / `BloomFilterMightContain` — the codegen'd
+    * expressions behind its runtime join filters, no UDF) that ride into
+    * the corpus scan as literal predicates, so corpus rows that cannot
+    * match any batch key are dropped AT THE SCAN, before the
+    * distinct/shuffle. False positives only let extra rows through to the
+    * exact equi-join; Bloom filters have NO false negatives — the result
+    * is bit-identical to [[incrementalDedup]] (the q_d15 gate runs the
+    * q_d13 oracle unchanged, and the spec pins frame equality).
+    *
+    * Sketch size rides the BATCH (`fpp` at its key count — ~1.2 MB per
+    * million keys at 1%), never the corpus; `expectedItems = 0` counts the
+    * batch (one pass over the SMALL side) to size the filter.
+    */
+  def incrementalDedupBloom(newDocs: DataFrame, corpus: DataFrame,
+                            textCol: String = "text", k: Int = 3,
+                            bands: Int = 4, rowsPerBand: Int = 2,
+                            hasher: Hasher = xxHasher,
+                            fpp: Double = 0.01,
+                            expectedItems: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    def bloomOf(df: DataFrame, c: Column): Array[Byte] = {
+      val n = math.max(if (expectedItems > 0) expectedItems else df.count(), 1L)
+      val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+      df.select(GraftSqlBridge.column(new BloomFilterAggregate(
+          GraftSqlBridge.expression(xxhash64(c)), CatLit(n), CatLit(bits))
+          .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    }
+    def mightContain(bloom: Array[Byte], c: Column): Column =
+      GraftSqlBridge.column(BloomFilterMightContain(
+        CatLit(bloom, BinaryType), GraftSqlBridge.expression(xxhash64(c))))
+
+    val newMd5 = newDocs.select(col("doc_id"), md5(col(textCol)).as("text_md5"))
+    val md5Bloom = bloomOf(newMd5, col("text_md5"))
+    val corpusMd5 = corpus.select(md5(col(textCol)).as("text_md5"))
+      .filter(mightContain(md5Bloom, col("text_md5")))
+      .distinct().withColumn("is_exact_dup", lit(true))
+    val exact = newMd5.join(corpusMd5, Seq("text_md5"), "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"))
+
+    val newBuckets = bandedBuckets(newDocs, textCol, k, bands, rowsPerBand,
+      hasher).withColumnRenamed("doc_id", "new_id")
+    val bucketBloom = bloomOf(newBuckets, struct(col("band"), col("bucket")))
+    val corpusBuckets =
+      bandedBuckets(corpus, textCol, k, bands, rowsPerBand, hasher)
+        .filter(mightContain(bucketBloom, struct(col("band"), col("bucket"))))
+    val hits = newBuckets.join(corpusBuckets, Seq("band", "bucket"))
+      .select(col("new_id").as("doc_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_corpus_docs"))
+    exact.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_exact_dup"),
+        coalesce(col("n_near_corpus_docs"), lit(0L)).as("n_near_corpus_docs"))
+  }
 }

@@ -1039,6 +1039,21 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_d15_bloom_incremental" -> ((s, d) => {
+      // q_d13 with the Bloom corpus pre-filter (Spark's own codegen'd
+      // BloomFilterAggregate/MightContain as scan predicates): the batch's
+      // key sketches drop non-matching CORPUS rows before the
+      // distinct/shuffle. No false negatives ⇒ bit-identical output — this
+      // query runs q_d13's ORACLE unchanged, so the hash gate itself
+      // proves the pre-filter is lossless.
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalDedupBloom(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0),
+          "text", k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_d8_decontaminate" -> ((s, d) => {
       // eval-set decontamination: every 50th doc plays the benchmark set;
       // the rest is the corpus. Overlap counts per corpus doc (0 = clean),
@@ -1310,6 +1325,36 @@ object RelationalQueries {
   /** DuckDB-runnable oracle SQL, one per query where SQL-expressible.
     * Column names and ordering match the Spark side exactly.
     */
+  // shared by q_d13 (vanilla) and q_d15 (Bloom-prefiltered): the two plans
+  // MUST produce identical rows, so they share one oracle verbatim
+  private val incrementalDedupOracle: String =
+    """WITH sh AS (
+         SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+           FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+       sig AS (
+         SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
+           FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
+         FROM sh WHERE len(shingles) > 0),
+       banded AS (
+         SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
+         FROM sig, generate_series(0, 3) t(b)),
+       cmd5 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+       exact AS (
+         SELECT n.doc_id, (c.h IS NOT NULL) AS is_exact_dup
+         FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0) n
+         LEFT JOIN cmd5 c USING (h)),
+       hits AS (
+         SELECT x.doc_id, count(DISTINCT y.doc_id) AS n_near
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.bucket = y.bucket
+         WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+         GROUP BY 1)
+       SELECT e.doc_id, e.is_exact_dup,
+              coalesce(h.n_near, 0) AS n_near_corpus_docs
+       FROM exact e LEFT JOIN hits h USING (doc_id)
+       ORDER BY 1"""
+
   val oracleSql: Map[String, String] = Map(
     "q_s5_init_lookup" ->
       "SELECT c_custkey, c_name, c_nationkey FROM customer WHERE c_custkey = 0",
@@ -2643,35 +2688,16 @@ object RelationalQueries {
                    JOIN documents b ON b.doc_id = cand.doc_b
          ORDER BY 1, 2""",
 
+    "q_d15_bloom_incremental" ->
+      // EXACTLY q_d13's oracle: the Bloom pre-filter must be invisible in
+      // the result (no false negatives), so the lossless-ness claim IS the
+      // hash gate
+      incrementalDedupOracle,
+
     "q_d13_incremental_dedup" ->
       // one banding CTE over ALL docs (the q_d4 formulation), split into the
       // new batch (doc_id % 5 = 0) and corpus sides at the join
-      """WITH sh AS (
-           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
-             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
-           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-         sig AS (
-           SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
-             FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
-           FROM sh WHERE len(shingles) > 0),
-         banded AS (
-           SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
-           FROM sig, generate_series(0, 3) t(b)),
-         cmd5 AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
-         exact AS (
-           SELECT n.doc_id, (c.h IS NOT NULL) AS is_exact_dup
-           FROM (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0) n
-           LEFT JOIN cmd5 c USING (h)),
-         hits AS (
-           SELECT x.doc_id, count(DISTINCT y.doc_id) AS n_near
-           FROM banded x JOIN banded y
-             ON x.band = y.band AND x.bucket = y.bucket
-           WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
-           GROUP BY 1)
-         SELECT e.doc_id, e.is_exact_dup,
-                coalesce(h.n_near, 0) AS n_near_corpus_docs
-         FROM exact e LEFT JOIN hits h USING (doc_id)
-         ORDER BY 1""",
+      incrementalDedupOracle,
 
     "q_d7_dup_clusters" ->
       """WITH RECURSIVE

@@ -934,6 +934,31 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .agg(sum($"n_near_corpus_docs")).head().getLong(0) shouldBe 0L
   }
 
+  test("incrementalDedupBloom is frame-identical to incrementalDedup; plan carries the Bloom predicate") {
+    // generated corpus with planted exact dups, near dups, and novels —
+    // wide enough that some corpus rows genuinely fail the Bloom test
+    val rnd = new scala.util.Random(5)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def sentence() = Seq.fill(6)(words(rnd.nextInt(words.size))).mkString(" ")
+    val corpus = (0L until 200L).map(i => (i, sentence())).toDF("doc_id", "text")
+    val fresh = ((1000L until 1020L).map(i => (i, sentence())) ++
+      Seq((2000L, "aa bb cc dd ee ff"))).toDF("doc_id", "text")
+    val plain = Dedup.incrementalDedup(fresh, corpus, "text",
+      k = 3, bands = 2, rowsPerBand = 2)
+    // tight AND loose fpp: false-positive rate must only affect work, not
+    // output (no-false-negative property)
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Dedup.incrementalDedupBloom(fresh, corpus, "text",
+        k = 3, bands = 2, rowsPerBand = 2, fpp = fpp)
+      bloom.orderBy($"doc_id").collect().toSeq shouldBe
+        plain.orderBy($"doc_id").collect().toSeq
+    }
+    val plan = Dedup.incrementalDedupBloom(fresh, corpus, "text",
+      k = 3, bands = 2, rowsPerBand = 2)
+      .queryExecution.executedPlan.toString
+    plan should include("might_contain")
+  }
+
   test("normalizeText folds typographic chars, strips controls, collapses whitespace") {
     val docs = Seq(
       (1L, "“Hi”\tWorld …  END  "),
