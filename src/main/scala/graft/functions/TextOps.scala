@@ -468,4 +468,61 @@ object TextOps {
     * variant.
     */
   def md5Fingerprint(text: Column): Column = substring(md5(text), 1, 16)
+
+  /** Gopher-style composite document-quality rules (Rae et al. 2021 §A1.1
+    * shape): per-document rule booleans plus the conjunctive `pass` gate a
+    * pre-training pipeline filters on. Rules (thresholds tuned so each one
+    * actually discriminates on word-salad corpora, not just web text):
+    *   r_len      — token count within [minTokens, maxTokens]
+    *   r_mean_len — mean characters per token within [2, 10]
+    *   r_stop     — at least 2 stopword hits ([[stopwords]])
+    *   r_rep      — most-frequent-token share <= maxTopTokRatio
+    *   r_distinct — distinct-token ratio >= minDistinctRatio
+    *
+    * Scale shape: ONE explode of tokens, one map-side-combinable aggregate
+    * per doc (counts, sum of lengths, max per-token count via a two-level
+    * group), a left join back to the doc list so NULL-text docs survive
+    * with NULL metrics and pass=false. All ratios are exact-int divisions
+    * rounded to 4dp — engine-portable, same convention as [[qualityScore]].
+    * Returns (doc_id, n_tokens, mean_tok_len, n_stopwords, top_tok_ratio,
+    * distinct_ratio, r_len..r_distinct, pass).
+    */
+  def gopherQuality(df: DataFrame, textCol: String = "text",
+                    minTokens: Int = 20, maxTokens: Int = 100000,
+                    maxTopTokRatio: Double = 0.12,
+                    minDistinctRatio: Double = 0.45): DataFrame = {
+    val perTok = Spread.forExplode(df, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"), sum(length(col("tok"))).as("chars"))
+    val perDoc = perTok.groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("chars")).as("n_tok_chars"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("max_tok_freq"),
+        sum(when(col("tok").isInCollection(stopwords), col("cnt"))
+          .otherwise(lit(0L))).as("n_stopwords"))
+    val m = df.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("n_tok_chars").cast("double") / col("n_tokens"), 4)
+          .as("mean_tok_len"),
+        col("n_stopwords"),
+        round(col("max_tok_freq").cast("double") / col("n_tokens"), 4)
+          .as("top_tok_ratio"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("distinct_ratio"))
+    val rLen = col("n_tokens").between(minTokens, maxTokens)
+    val rMean = col("mean_tok_len").between(2.0d, 10.0d)
+    val rStop = col("n_stopwords") >= 2
+    val rRep = col("top_tok_ratio") <= maxTopTokRatio
+    val rDis = col("distinct_ratio") >= minDistinctRatio
+    m.select(
+      col("doc_id"), col("n_tokens"), col("mean_tok_len"), col("n_stopwords"),
+      col("top_tok_ratio"), col("distinct_ratio"),
+      rLen.as("r_len"), rMean.as("r_mean_len"), rStop.as("r_stop"),
+      rRep.as("r_rep"), rDis.as("r_distinct"),
+      coalesce(rLen && rMean && rStop && rRep && rDis, lit(false)).as("pass"))
+  }
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC MERGE (upsert/delete) — apply a change batch to a snapshot, the
+  * primitive behind incremental corpus maintenance (Delta/Iceberg MERGE INTO
+  * semantics re-expressed as plain relational algebra so any parquet
+  * snapshot can be maintained without a table format):
+  *
+  *   - changes carry the full payload plus an `op` column ('U' = upsert,
+  *     'D' = delete) and a monotonic `seq` column ordering multiple
+  *     changes to the same key within the batch;
+  *   - per key, only the LATEST change applies (max `seq`; ties broken by
+  *     the lexicographic order of (seq, op, payload) via one max(struct)
+  *     aggregate — deterministic without a window sort);
+  *   - output = snapshot rows whose key has no change, plus the latest
+  *     upsert payloads; keys whose latest change is a delete vanish.
+  *
+  * Scale shape: one map-side-combinable max(struct) aggregate over the
+  * change batch (typically << snapshot, so the subsequent joins broadcast;
+  * at shuffle width both stages are single-key equi-joins AQE can
+  * skew-split). The snapshot is touched by exactly one anti-join — no
+  * window over the snapshot, no full rewrite of unchanged partitions
+  * beyond the scan itself.
+  */
+object MergeInto {
+
+  /** @param snapshot current table state (payload columns only)
+    * @param changes  change batch: snapshot's payload columns + `opCol` +
+    *                 `seqCol`
+    * @param keys     primary-key columns (present in both inputs)
+    * @param opCol    change kind: 'U' upsert, 'D' delete (anything else
+    *                 raises at execution via raise_error — a typo'd op must
+    *                 not silently delete)
+    * @param seqCol   intra-batch change order (orderable type)
+    */
+  def merge(snapshot: DataFrame, changes: DataFrame, keys: Seq[String],
+            opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val payload = snapshot.columns.toSeq
+    val missing = (keys ++ Seq(opCol, seqCol)).filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"changes is missing columns: $missing")
+    require(keys.forall(payload.contains), s"snapshot is missing key columns")
+
+    // latest change per key: max over (seq, op, payload...) — seq dominates;
+    // op/payload only break exact seq ties, keeping the result deterministic
+    // for malformed batches instead of run-dependent
+    val latest = changes
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(
+        col(seqCol) +: col(opCol) +: payload.filterNot(keys.contains).map(col): _*))
+        .as("__latest"))
+    val checkedOp = when(col(s"__latest.$opCol").isin("U", "D"), col(s"__latest.$opCol"))
+      .otherwise(raise_error(concat(
+        lit(s"MergeInto: $opCol must be 'U' or 'D', got "), col(s"__latest.$opCol"))))
+    val latestFlat = latest.select(
+      keys.map(col) ++ Seq(checkedOp.as("__op")) ++
+        payload.filterNot(keys.contains).map(c => col(s"__latest.$c").as(c)): _*)
+
+    val untouched = snapshot.join(latestFlat.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = latestFlat
+      .filter(col("__op") === "U")
+      .select(payload.map(col): _*)
+    untouched.select(payload.map(col): _*).unionByName(upserts)
+  }
+}

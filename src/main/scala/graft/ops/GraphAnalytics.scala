@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Whole-graph analytics beyond the reference's walk/SimRank surface —
+  * the standard read-side queries a graph-analysis user runs next
+  * (degrees, PageRank, triangles), expressed as DataFrame algebra so
+  * Catalyst plans them like any relational query.
+  *
+  * All three take a flat edge list (`fromId`, `toId` long columns) plus a
+  * node list (`id`) so isolated nodes appear in every output — the same
+  * flat shape `GraphText.load` yields and `fx_graph50_edges` exports.
+  */
+object GraphAnalytics {
+
+  /** Per-node out/in degree over the DISTINCT edge set, zero-filled from
+    * the node list. Two map-side-combinable aggregates + two left joins —
+    * each keyed on the node id, no shuffle wider than the edge list.
+    */
+  def degrees(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("fromId"), col("toId")).distinct()
+    val outDeg = e.groupBy(col("fromId").as("id")).agg(count(lit(1)).as("out_deg"))
+    val inDeg = e.groupBy(col("toId").as("id")).agg(count(lit(1)).as("in_deg"))
+    nodes.select(col("id"))
+      .join(outDeg, Seq("id"), "left")
+      .join(inDeg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Fixed-iteration PageRank (power method, damping `d`, no dangling
+    * redistribution — the simple textbook variant so the result is exactly
+    * re-derivable in ANSI SQL). Each iteration is one equi-join of the
+    * edge list with the current rank vector (keyed on fromId) and one
+    * map-side-combinable sum keyed on toId; ranks are rounded to 10 dp
+    * per iteration so floating-point summation order can never compound
+    * across iterations — the property that keeps a 1000-executor run
+    * bit-identical to a single-node oracle. Rank vectors are persisted
+    * per iteration (and the previous one released) so the lineage stays
+    * one-iteration deep instead of growing a 5-deep join tree.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+               d: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val n = nodes.select(col("id")).distinct()
+    val e = edges.select(col("fromId"), col("toId")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("fromId")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outDeg, "fromId")
+    val nCount = n.count().toDouble
+    var ranks = n.select(col("id"), lit(1.0d / nCount).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (1 to iters).foreach { _ =>
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("id", "fromId"), "fromId")
+        .groupBy(col("toId").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("s"))
+      val next = n.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          round(lit((1.0d - d) / nCount) + lit(d) * coalesce(col("s"), lit(0.0d)), 10)
+            .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the previous vector
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+
+  /** Per-node triangle count (plus zero rows from the node list) via the
+    * compact-forward shape: undirect + canonicalize each edge to
+    * (least, greatest), drop self-loops, then the two-join enumeration
+    * e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a < b < c — each triangle is
+    * produced exactly once, and because every join key is the lower-id
+    * endpoint the intermediate size is bounded by sum(deg²) on the
+    * LOW-degree orientation, the standard m^1.5 bound (high-degree hubs
+    * only ever appear as the greatest vertex). All equi-joins — AQE can
+    * skew-split a hub key; nothing is all-pairs.
+    */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    nodes.select(col("id"))
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+}

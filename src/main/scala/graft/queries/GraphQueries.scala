@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.io.GraphText
 import graft.model._
-import graft.ops.GraphOps
+import graft.ops.{GraphAnalytics, GraphOps}
 import graft.stats.MitMPipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -189,6 +189,32 @@ object GraphQueries {
         .select(col("fromId"), col("toId")).orderBy(col("fromId"), col("toId"))
     }),
 
+    // ---- whole-graph analytics beyond the reference surface ----------------
+    // (ops/GraphAnalytics.scala — degrees / fixed-iteration PageRank /
+    // compact-forward triangles, all on the Graph50 fixture so the DuckDB
+    // oracles run over the same independent fx_graph50_* exports)
+    "q_ga1_degrees" -> ((s, _) => {
+      val g = graph50(s)
+      GraphAnalytics.degrees(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")))
+        .orderBy(col("id"))
+    }),
+
+    "q_ga2_pagerank" -> ((s, _) => {
+      val g = graph50(s)
+      GraphAnalytics.pageRank(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")), iters = 5)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    }),
+
+    "q_ga3_triangles" -> ((s, _) => {
+      val g = graph50(s)
+      GraphAnalytics.triangleCounts(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")))
+        .orderBy(col("id"))
+    }),
+
     // S4 — binary .ngs scan (Java-serialization decode, endpoint re-link).
     // HASH-CHECKED since round 9: the oracle is the independent text parse
     // of the same graph (fx_graph200_nodes — see oracleSql), so the binary
@@ -239,7 +265,69 @@ object GraphQueries {
   private def structEq(edgeSide: String, nodeAlias: String): String =
     nodeFields.map(f => s"e.${edgeSide}_$f = $nodeAlias.$f").mkString(" AND ")
 
+  /** Unrolled fixed-iteration PageRank in ANSI SQL — the same simple
+    * power-method variant [[GraphAnalytics.pageRank]] computes, with the
+    * identical per-iteration round(_, 10) so summation-order noise can
+    * never compound across the `iters` chained CTEs.
+    */
+  private def pageRankSql(iters: Int, d: Double): String = {
+    val base =
+      s"""WITH n AS (SELECT id FROM $nodesTbl),
+         e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),
+         od AS (SELECT fromId, count(*) AS deg FROM e GROUP BY 1),
+         nn AS (SELECT count(*)::DOUBLE AS cnt FROM n),
+         r0 AS (SELECT id, 1.0 / nn.cnt AS rank FROM n, nn)"""
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         r$k AS (
+           SELECT n.id,
+                  round((1.0 - $d) / nn.cnt + $d * coalesce(c.s, 0), 10) AS rank
+           FROM n CROSS JOIN nn
+           LEFT JOIN (
+             SELECT e.toId AS id, sum(r.rank / od.deg) AS s
+             FROM e JOIN r${k - 1} r ON r.id = e.fromId
+                    JOIN od ON od.fromId = e.fromId
+             GROUP BY 1) c ON c.id = n.id)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+         SELECT id AS "id", round(rank, 6) AS "rank" FROM r$iters ORDER BY id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_ga1_degrees" ->
+      s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),
+          o AS (SELECT fromId AS id, count(*) AS c FROM e GROUP BY 1),
+          i AS (SELECT toId AS id, count(*) AS c FROM e GROUP BY 1)
+          SELECT n.id AS "id", coalesce(o.c, 0) AS out_deg,
+                 coalesce(i.c, 0) AS in_deg
+          FROM $nodesTbl n
+          LEFT JOIN o ON o.id = n.id
+          LEFT JOIN i ON i.id = n.id
+          ORDER BY n.id""",
+
+    "q_ga2_pagerank" -> pageRankSql(iters = 5, d = 0.85),
+
+    "q_ga3_triangles" ->
+      // compact-forward enumeration, same canonicalized (a < b) edge set
+      s"""WITH und AS (
+            SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+            FROM $edgesTbl WHERE fromId <> toId),
+          tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          pn AS (
+            SELECT id, count(*) AS c FROM (
+              SELECT x AS id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            GROUP BY 1)
+          SELECT n.id AS "id", coalesce(pn.c, 0) AS n_triangles
+          FROM $nodesTbl n LEFT JOIN pn ON pn.id = n.id
+          ORDER BY n.id""",
+
     "q_gs1_text_scan" ->
       // a REAL parse oracle: Verify exports the base table via the
       // independent tools/parse_graph.py (cursor-based, pyarrow), so this

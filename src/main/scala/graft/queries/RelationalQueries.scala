@@ -374,6 +374,32 @@ object RelationalQueries {
           col("doc_id"))
         .orderBy(col("doc_id"))),
 
+    "q_x6_merge_upsert" -> ((s, d) => {
+      // CDC MERGE (Delta/Iceberg MERGE INTO semantics as plain relational
+      // algebra, operators/MergeInto.scala): a deterministic change batch
+      // derived from orders — price upsert (seq 1) on keys %97, a LATER
+      // rewrite (seq 2) on keys %194 exercising last-writer-wins, deletes
+      // (seq 3) on keys %101, and brand-new keys (+100000000) on %103.
+      // One max(struct) aggregate over the batch + one anti-join touching
+      // the snapshot — no snapshot-wide window, no rewrite of unchanged
+      // rows
+      val o = Tables.orders(s, d)
+      val u1 = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0d)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1))
+      val u2 = o.filter(col("o_orderkey") % 194 === 0)
+        .withColumn("o_orderpriority", lit("0-MERGED"))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2))
+      val del = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3))
+      val ins = o.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1))
+      val changes = u1.unionByName(u2).unionByName(del).unionByName(ins)
+      graft.operators.MergeInto.merge(o, changes, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- W: window functions ------------------------------------------------
     "q_w1_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -918,6 +944,14 @@ object RelationalQueries {
       // order-sensitive sibling of q_t10 (vocabulary-bounded shuffle-joins,
       // only the scalar V broadcasts)
       graft.functions.TextOps.bigramSurprisal(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    "q_t21_gopher_quality" -> ((s, d) =>
+      // Gopher-style composite quality rules (Rae et al. 2021 §A1.1 shape):
+      // per-doc rule booleans + the conjunctive pass gate. One explode, one
+      // two-level aggregate (per-token then per-doc, both map-side
+      // combinable), a doc-list left join for NULL-text survival
+      graft.functions.TextOps.gopherQuality(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
     "q_t19_suffix_run_dedup" -> ((s, d) =>
@@ -2213,6 +2247,40 @@ object RelationalQueries {
                 row_number() OVER (ORDER BY doc_id) - 1 AS global_idx
          FROM documents ORDER BY doc_id""",
 
+    "q_x6_merge_upsert" ->
+      // the same change batch rebuilt in SQL, latest-per-key via QUALIFY
+      // (seq is unique within each key by construction: U@1, rewrite@2,
+      // delete@3, inserts on fresh keys), then anti-join + union — the
+      // exact MERGE semantics MergeInto.merge implements relationally
+      """WITH o AS (SELECT * FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+                  o_orderpriority, 'U' AS op, 1 AS seq
+           FROM o WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, '0-MERGED', 'U', 2
+           FROM o WHERE o_orderkey % 194 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'D', 3
+           FROM o WHERE o_orderkey % 101 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority, 'U', 1
+           FROM o WHERE o_orderkey % 103 = 0),
+         latest AS (
+           SELECT * FROM ch
+           QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1)
+         SELECT o.* FROM o
+         WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.o_orderkey = o.o_orderkey)
+         UNION ALL
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM latest WHERE op = 'U'
+         ORDER BY o_orderkey""",
+
     "q_a9_approx_distinct" ->
       // exact side recomputed; the accuracy-envelope boolean asserted TRUE
       // (the estimate itself is engine-specific — the CONTRACT is checked)
@@ -2462,6 +2530,48 @@ object RelationalQueries {
          FROM bg2 JOIN bfreq USING (prev, cur)
                   JOIN uni ON uni.tok = bg2.prev, vv
          GROUP BY 1 ORDER BY 1""",
+
+    "q_t21_gopher_quality" ->
+      // the same five rules re-derived: per-(doc, token) counts + char sums,
+      // per-doc rollup, thresholds on the 4dp-rounded exact-int ratios.
+      // Thresholds mirror gopherQuality's defaults (20..100000 tokens,
+      // mean len [2,10], >=2 stopwords, top-token share <= 0.12,
+      // distinct ratio >= 0.45)
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         pt AS (
+           SELECT doc_id, tok, count(*) AS cnt, sum(length(tok)) AS chars
+           FROM toks GROUP BY 1, 2),
+         pd AS (
+           -- ::BIGINT: DuckDB sums of BIGINT widen to HUGEINT, which
+           -- fetchdf() renders as float64 — Spark's longs must stay int64
+           SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+                  sum(chars)::BIGINT AS n_tok_chars,
+                  count(*) AS n_distinct, max(cnt) AS max_tok_freq,
+                  sum(CASE WHEN tok IN ('the','a','an','and','or','of','to','in','is','it')
+                        THEN cnt ELSE 0 END)::BIGINT AS n_stopwords
+           FROM pt GROUP BY 1),
+         m AS (
+           SELECT d.doc_id, pd.n_tokens,
+                  round(pd.n_tok_chars::DOUBLE / pd.n_tokens, 4) AS mean_tok_len,
+                  pd.n_stopwords,
+                  round(pd.max_tok_freq::DOUBLE / pd.n_tokens, 4) AS top_tok_ratio,
+                  round(pd.n_distinct::DOUBLE / pd.n_tokens, 4) AS distinct_ratio
+           FROM documents d LEFT JOIN pd USING (doc_id))
+         SELECT doc_id, n_tokens, mean_tok_len, n_stopwords, top_tok_ratio,
+                distinct_ratio,
+                (n_tokens BETWEEN 20 AND 100000) AS r_len,
+                (mean_tok_len BETWEEN 2.0 AND 10.0) AS r_mean_len,
+                (n_stopwords >= 2) AS r_stop,
+                (top_tok_ratio <= 0.12) AS r_rep,
+                (distinct_ratio >= 0.45) AS r_distinct,
+                coalesce((n_tokens BETWEEN 20 AND 100000)
+                     AND (mean_tok_len BETWEEN 2.0 AND 10.0)
+                     AND (n_stopwords >= 2)
+                     AND (top_tok_ratio <= 0.12)
+                     AND (distinct_ratio >= 0.45), false) AS pass
+         FROM m ORDER BY doc_id""",
 
     "q_t19_suffix_run_dedup" ->
       // same construction as the Spark plan: 8-gram starts, corpus-wide

@@ -1010,4 +1010,27 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     TextOps.bm25TopK(docs, Seq("apple", "cherry"), topK = 1)
       .head().getLong(0) shouldBe out.maxBy { case (id, s) => (s, -id) }._1
   }
+
+  test("gopherQuality rules discriminate and NULL text fails closed") {
+    val good = (Seq("the", "of") ++ (1 to 28).map(i => s"tok$i")).mkString(" ")
+    val repetitive = ("the of " + Seq.fill(28)("spam").mkString(" "))
+    val df = Seq(
+      (1L, good),              // 30 tokens, 30 distinct, 2 stopwords
+      (2L, repetitive),        // top token 28/30 > 0.12, distinct 3/30 < 0.45
+      (3L, "too short"),       // fails r_len and r_stop
+      (4L, null.asInstanceOf[String])) // NULL text → NULL metrics, pass=false
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getAs[Boolean]("pass") shouldBe true
+    out(2L).getAs[Boolean]("r_rep") shouldBe false
+    out(2L).getAs[Boolean]("r_distinct") shouldBe false
+    out(2L).getAs[Boolean]("pass") shouldBe false
+    out(3L).getAs[Boolean]("r_len") shouldBe false
+    out(3L).getAs[Boolean]("r_stop") shouldBe false
+    out(4L).isNullAt(out(4L).fieldIndex("n_tokens")) shouldBe true
+    out(4L).getAs[Boolean]("pass") shouldBe false
+    // mean token length is exact-int division rounded to 4dp
+    out(3L).getAs[Double]("mean_tok_len") shouldBe 4.0 // "too short" = 8 chars / 2 toks
+  }
 }

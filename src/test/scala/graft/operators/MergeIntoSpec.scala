@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class MergeIntoSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def snap = Seq(
+    (1L, "a", 10.0),
+    (2L, "b", 20.0),
+    (3L, "c", 30.0)).toDF("k", "name", "price")
+
+  test("upsert, last-writer-wins, delete, insert, untouched") {
+    val changes = Seq(
+      (1L, "a1", 11.0, "U", 1), // first update to key 1 ...
+      (1L, "a2", 12.0, "U", 2), // ... overridden by the later one
+      (2L, "b", 20.0, "D", 1),  // key 2 deleted
+      (9L, "new", 90.0, "U", 1) // brand-new key
+    ).toDF("k", "name", "price", "op", "seq")
+    val out = MergeInto.merge(snap, changes, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    out shouldBe Array(
+      (1L, "a2", 12.0), // latest upsert
+      (3L, "c", 30.0),  // untouched
+      (9L, "new", 90.0)) // insert
+  }
+
+  test("delete after upsert wins; upsert after delete resurrects") {
+    val changes = Seq(
+      (1L, "x", 1.0, "U", 1),
+      (1L, "x", 1.0, "D", 2),  // latest for key 1 → gone
+      (2L, "y", 2.0, "D", 1),
+      (2L, "y2", 2.5, "U", 2)  // latest for key 2 → resurrected payload
+    ).toDF("k", "name", "price", "op", "seq")
+    val out = MergeInto.merge(snap, changes, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    out shouldBe Array((2L, "y2", 2.5), (3L, "c", 30.0))
+  }
+
+  test("unknown op raises instead of silently deleting") {
+    val changes = Seq((1L, "a", 1.0, "X", 1)).toDF("k", "name", "price", "op", "seq")
+    val ex = intercept[Exception] {
+      MergeInto.merge(snap, changes, Seq("k")).collect()
+    }
+    // the raise_error message may sit on a wrapped cause depending on where
+    // Spark surfaces the task failure — search the whole chain
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    msgs should include("must be 'U' or 'D'")
+  }
+
+  test("missing change columns reject at plan time") {
+    val changes = Seq((1L, "a", 1.0)).toDF("k", "name", "price")
+    val ex = intercept[IllegalArgumentException] {
+      MergeInto.merge(snap, changes, Seq("k"))
+    }
+    ex.getMessage should include("missing columns")
+  }
+}

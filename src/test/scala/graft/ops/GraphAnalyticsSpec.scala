@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** GraphAnalytics checked against hand-computed values and a local
+  * reference implementation of the same fixed-iteration PageRank.
+  */
+class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // 1→2, 2→3, 3→1 cycle; 4 isolated; duplicate + self-loop noise
+  private def nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+  private def cycleEdges = Seq(
+    (1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L) /* dup */).toDF("fromId", "toId")
+
+  test("degrees zero-fills isolated nodes and dedups edges") {
+    val out = GraphAnalytics.degrees(nodes, cycleEdges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(1L) shouldBe ((1L, 1L))
+    out(2L) shouldBe ((1L, 1L))
+    out(3L) shouldBe ((1L, 1L))
+    out(4L) shouldBe ((0L, 0L))
+  }
+
+  test("pageRank matches a local power iteration (cycle + isolated node)") {
+    val d = 0.85
+    val n = 4
+    // local reference: same variant (no dangling redistribution), same
+    // per-iteration 10dp rounding
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(1L))
+    var rank = Seq(1L, 2L, 3L, 4L).map(_ -> 1.0 / n).toMap
+    (1 to 5).foreach { _ =>
+      val contrib = adj.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> rank(u) / vs.size)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = rank.keys.map(k =>
+        k -> r10((1.0 - d) / n + d * contrib.getOrElse(k, 0.0))).toMap
+    }
+    val out = GraphAnalytics.pageRank(nodes, cycleEdges, iters = 5, d = d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rank.foreach { case (k, v) => out(k) shouldBe v +- 1e-9 }
+    // the isolated node holds the teleport floor
+    out(4L) shouldBe ((1.0 - d) / n) +- 1e-9
+  }
+
+  test("triangleCounts finds each triangle once, ignoring direction/loops") {
+    // triangle 1-2-3 (one edge reversed), pendant 3-4, self-loop 2-2
+    val e = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (2L, 2L))
+      .toDF("fromId", "toId")
+    val out = GraphAnalytics.triangleCounts(nodes, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L)
+  }
+}
