@@ -227,4 +227,33 @@ object Similarity {
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  /** Hybrid two-stage retrieval — the RAG-shaped search pass: a cheap
+    * lexical recall stage (BM25 over the inverted-index-restricted token
+    * explode, [[TextOps.bm25TopK]]) proposes `candidates` docs, then a
+    * dense rerank scores only those candidates by cosine against the query
+    * vector and keeps the top `k`. At 100 TB the expensive vector math
+    * touches `candidates` rows, not the corpus: the candidate list is a
+    * `candidates`-row table that BROADCASTS into the embeddings scan (an
+    * equi-join Catalyst prunes like a filter), and the query vector rides
+    * along as a one-row broadcast. Ties break on (rounded cosine DESC,
+    * doc_id) — deterministic, engine-portable.
+    * Returns (doc_id, bm25_score, cosine), rerank-ordered.
+    */
+  def hybridRetrieve(docs: DataFrame, embs: DataFrame,
+                     queryTerms: Seq[String], queryVecId: Long,
+                     candidates: Int, k: Int): DataFrame = {
+    require(k <= candidates, s"k ($k) must be <= candidates ($candidates)")
+    val lexical = TextOps.bm25TopK(docs, queryTerms, topK = candidates)
+      .select(col("doc_id"), col("score").as("bm25_score"))
+    val qvec = embs.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
+    embs.join(broadcast(lexical), embs("vec_id") === lexical("doc_id"))
+      .crossJoin(broadcast(qvec))
+      .select(col("doc_id"), col("bm25_score"),
+        round(dot(col("embedding"), col("q_emb")) /
+          (norm(col("embedding")) * col("q_nrm")), 6).as("cosine"))
+      .orderBy(desc("cosine"), col("doc_id"))
+      .limit(k)
+  }
 }

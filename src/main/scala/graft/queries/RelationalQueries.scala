@@ -548,6 +548,24 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_io7_compaction" -> ((s, d) => {
+      // small-file compaction (sources/Compaction.scala): fragment the
+      // documents table into 64 tiny parquet files, compact them to
+      // ~quarter-of-total-sized outputs with the shuffle-free coalesce
+      // rewrite, read back. Oracle = the original table: compaction
+      // changes layout, never rows (CompactionSpec pins the file-count
+      // arithmetic and the balance=true variant)
+      val docs = Tables.documents(s, d)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_compact_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid).toString
+      docs.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
+      val total = graft.sources.Compaction.dataBytes(s, s"$base/frag")
+      graft.sources.Compaction.compactParquet(s, s"$base/frag",
+        s"$base/compact", targetBytes = math.max(1L, total / 4))
+      s.read.parquet(s"$base/compact").orderBy(col("doc_id"))
+    }),
+
     "q_io4_orc_roundtrip" -> ((s, d) => {
       // columnar sibling of q_io1/q_io2: ORC is self-describing (footer
       // schema, no declared schema) and keeps pushdown/pruning; oracle is
@@ -954,6 +972,36 @@ object RelationalQueries {
       graft.functions.TextOps.gopherQuality(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    "q_t22_source_stats" -> ((s, d) => {
+      // RefinedWeb-style per-source corpus health report + blocklist gate:
+      // doc/token/dup-rate/lang-spread stats per source, then keep = not
+      // blocklisted ∧ exact-dup share <= 0.5. The dup table is one
+      // hash-width md5 shuffle (the q_d1 key), the per-source rollup is a
+      // 20-row aggregate — nothing corpus-wide survives the group-bys
+      val docs = Tables.documents(s, d)
+      val withDup = docs.select(col("source"), col("lang"), col("n_chars"),
+        TextOps.tokenCount(col("text")).as("n_tokens"), md5(col("text")).as("h"))
+      val dupKeys = withDup.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("h"), lit(true).as("is_dup"))
+      val blocklist = Seq("src7", "src13")
+      withDup.join(dupKeys, Seq("h"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          count_if(col("is_dup")).as("dup_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(avg(col("n_chars")), 4).as("mean_chars"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("dup_docs"),
+          round(col("dup_docs").cast("double") / col("n_docs"), 4).as("dup_ratio"),
+          col("n_langs"), col("mean_chars"),
+          (!col("source").isInCollection(blocklist) &&
+            round(col("dup_docs").cast("double") / col("n_docs"), 4) <= 0.5)
+            .as("keep"))
+        .orderBy(col("source"))
+    }),
+
     "q_t19_suffix_run_dedup" -> ((s, d) =>
       // corpus-wide exact-substring dedup (Lee et al. 2022 §4.1 ExactSubstr
       // at token granularity): any run of >= 8 tokens occurring at more
@@ -1233,6 +1281,16 @@ object RelationalQueries {
       graft.functions.VectorQuant.topKQuantized(qt, queryCodes, k = 10,
         excludeSelf = Some(0L))
     }),
+
+    "q_v13_hybrid_retrieval" -> ((s, d) =>
+      // two-stage RAG-shaped search: BM25 recall (50 lexical candidates for
+      // the q_t15 query terms) → dense cosine rerank against doc 0's
+      // embedding, top-10. The vector math touches 50 broadcast-joined
+      // rows, never the corpus (Similarity.hybridRetrieve)
+      Similarity.hybridRetrieve(Tables.documents(s, d), Tables.embeddings(s, d),
+          Seq("join", "customer", "spark"), queryVecId = 0L,
+          candidates = 50, k = 10)
+        .orderBy(desc("cosine"), col("doc_id"))),
 
     "q_v12_hard_negatives" -> ((s, d) => {
       // contrastive hard-negative mining over the exhaustive-probe k-NN
@@ -2223,6 +2281,12 @@ object RelationalQueries {
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
 
+    "q_io7_compaction" ->
+      // parquet ground truth again: compaction must change the file
+      // layout and NOTHING else
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
     "q_io4_orc_roundtrip" ->
       // parquet ground truth, same as q_io1/q_io2
       """SELECT doc_id, text, lang, source, n_chars
@@ -2287,6 +2351,31 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
                 true AS approx_within_3rsd
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_v13_hybrid_retrieval" ->
+      // stage 1 = the q_t15 BM25 CTE cut at 50; stage 2 = cosine rerank of
+      // exactly those candidates against vec 0's embedding, top-10 on
+      // (rounded cosine DESC, doc_id)
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM toks
+           WHERE term IN ('join', 'customer', 'spark') GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+         cand AS (
+           SELECT doc_id,
+                  round(sum(ln(1 + (n - dft + 0.5) / (dft + 0.5)) * (tf * 2.2)
+                            / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25_score
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+           GROUP BY doc_id
+           ORDER BY bm25_score DESC, doc_id LIMIT 50),
+         q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0)
+         SELECT cand.doc_id, cand.bm25_score,
+                round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
+         FROM cand JOIN embeddings ON embeddings.vec_id = cand.doc_id
+         ORDER BY cosine DESC, cand.doc_id LIMIT 10""",
 
     "q_v12_hard_negatives" ->
       // brute-force top-5 per anchor (== the exhaustive-probe knnJoin),
@@ -2572,6 +2661,33 @@ object RelationalQueries {
                      AND (top_tok_ratio <= 0.12)
                      AND (distinct_ratio >= 0.45), false) AS pass
          FROM m ORDER BY doc_id""",
+
+    "q_t22_source_stats" ->
+      // same rollup: md5 dup table, per-source aggregates, blocklist +
+      // dup-share gate. ::BIGINT on the token sum (HUGEINT → float64 in
+      // fetchdf otherwise); count_if ≡ count(*) FILTER
+      """WITH w AS (
+           SELECT source, lang, n_chars,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  md5(text) AS h
+           FROM documents),
+         dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+         j AS (
+           SELECT w.*, (dup.h IS NOT NULL) AS is_dup
+           FROM w LEFT JOIN dup ON dup.h = w.h),
+         agg AS (
+           SELECT source, count(*) AS n_docs,
+                  sum(n_tokens)::BIGINT AS total_tokens,
+                  count(*) FILTER (WHERE is_dup) AS dup_docs,
+                  count(DISTINCT lang) AS n_langs,
+                  round(avg(n_chars), 4) AS mean_chars
+           FROM j GROUP BY 1)
+         SELECT source, n_docs, total_tokens, dup_docs,
+                round(dup_docs::DOUBLE / n_docs, 4) AS dup_ratio,
+                n_langs, mean_chars,
+                (source NOT IN ('src7', 'src13') AND
+                 round(dup_docs::DOUBLE / n_docs, 4) <= 0.5) AS keep
+         FROM agg ORDER BY source""",
 
     "q_t19_suffix_run_dedup" ->
       // same construction as the Spark plan: 8-gram starts, corpus-wide

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Small-file compaction — the table-maintenance pass every long-lived
+  * 100 TB corpus needs: streaming ingest and per-partition writers leave
+  * thousands of KB-sized parquet files, and scan cost becomes dominated by
+  * file-open overhead and scheduler pressure (one task per tiny split)
+  * instead of bytes. Compaction rewrites a directory into ceil(totalBytes /
+  * targetBytes) files.
+  *
+  * The rewrite uses `coalesce`, not `repartition`: coalesce REDUCES the
+  * partition count by merging co-located read splits with NO shuffle — the
+  * whole job is a scan + write, which is the cheapest possible shape and
+  * exactly what a maintenance pass wants. The trade (documented, not
+  * hidden): coalesced output sizes follow the input file layout rather
+  * than being perfectly balanced; pass `balance = true` to pay one round-
+  * robin shuffle for even output files when downstream consumers need
+  * uniform splits more than the compaction needs to be cheap.
+  *
+  * Value transparency is the contract: the read-back rows must hash-equal
+  * the pre-compaction table (the q_io1 oracle pattern) — compaction
+  * changes the file layout, never the data.
+  */
+object Compaction {
+
+  /** Total byte size of the data files under `dir` (non-recursive match of
+    * part files; `_SUCCESS`/metadata excluded).
+    */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+  }
+
+  /** Compact the parquet dataset at `inDir` into `outDir` targeting
+    * `targetBytes` per output file. Returns the number of output files
+    * actually written — the byte-target count is an UPPER bound under
+    * coalesce: the scan itself already packs tiny files up to
+    * `spark.sql.files.maxPartitionBytes` per split, and coalesce can only
+    * reduce further, so heavily fragmented inputs may compact below the
+    * target count (strictly better). In-flight readers of `outDir` are the
+    * caller's concern (the usual pattern: write to a fresh dir, swap a
+    * pointer).
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long, balance: Boolean = false): Int = {
+    require(targetBytes > 0, s"targetBytes must be > 0 (got $targetBytes)")
+    val total = dataBytes(spark, inDir)
+    val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val sized =
+      if (balance) df.repartition(nFiles)
+      else df.coalesce(nFiles)
+    sized.write.mode("overwrite").parquet(outDir)
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(out).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+  }
+}

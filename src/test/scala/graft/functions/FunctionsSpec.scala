@@ -1011,6 +1011,27 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .head().getLong(0) shouldBe out.maxBy { case (id, s) => (s, -id) }._1
   }
 
+  test("hybridRetrieve reranks only the lexical candidates") {
+    // doc 3 is the best cosine match but shares no query term — it must
+    // NOT appear: the dense stage only sees BM25's candidate list
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "unrelated words entirely")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // query vector
+      (1L, Seq(0.0f, 1.0f)),  // orthogonal → cosine 0
+      (2L, Seq(0.5f, 0.5f)),  // cos ≈ 0.707
+      (3L, Seq(1.0f, 0.0f))). // perfect match but lexically absent
+      toDF("vec_id", "embedding")
+    val out = Similarity.hybridRetrieve(docs, embs, Seq("apple"),
+        queryVecId = 0L, candidates = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    out.map(_._1) shouldBe Array(2L, 1L) // rerank order, not BM25 order
+    out(0)._2 shouldBe 0.707107 +- 1e-6
+    out(1)._2 shouldBe 0.0 +- 1e-9
+  }
+
   test("gopherQuality rules discriminate and NULL text fails closed") {
     val good = (Seq("the", "of") ++ (1 to 28).map(i => s"tok$i")).mkString(" ")
     val repetitive = ("the of " + Seq.fill(28)("spam").mkString(" "))

@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class CompactionSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_compaction_spec_${tag}_p" + ProcessHandle.current().pid).toString
+
+  private def partFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+
+  test("compaction reduces file count to the byte-target arithmetic and keeps rows") {
+    val base = tmpDir("reduce")
+    val df = (1 to 1000).map(i => (i.toLong, s"row $i")).toDF("id", "payload")
+    df.repartition(32).write.mode("overwrite").parquet(s"$base/frag")
+    partFiles(s"$base/frag").length shouldBe 32
+
+    val total = Compaction.dataBytes(spark, s"$base/frag")
+    total should be > 0L
+    // quarter-of-total target → at most ceil-rounded 5 files; the scan may
+    // pack the tiny fragments into even fewer splits (documented upper
+    // bound), but compaction must actually reduce the 32
+    val n = Compaction.compactParquet(spark, s"$base/frag", s"$base/out",
+      targetBytes = math.max(1L, total / 4))
+    n should be <= 5
+    n should be >= 1
+    partFiles(s"$base/out").length shouldBe n
+
+    // value transparency: exactly the same rows
+    val back = spark.read.parquet(s"$base/out")
+      .as[(Long, String)].collect().sortBy(_._1)
+    back shouldBe (1 to 1000).map(i => (i.toLong, s"row $i")).toArray
+  }
+
+  test("oversized target collapses to one file; balance=true still honors count") {
+    val base = tmpDir("one")
+    val df = (1 to 100).map(i => (i.toLong, i.toString)).toDF("id", "v")
+    df.repartition(8).write.mode("overwrite").parquet(s"$base/frag")
+    Compaction.compactParquet(spark, s"$base/frag", s"$base/out",
+      targetBytes = Long.MaxValue / 2) shouldBe 1
+    partFiles(s"$base/out").length shouldBe 1
+
+    val total = Compaction.dataBytes(spark, s"$base/frag")
+    val n = Compaction.compactParquet(spark, s"$base/frag", s"$base/bal",
+      targetBytes = math.max(1L, total / 3), balance = true)
+    partFiles(s"$base/bal").length shouldBe n
+    spark.read.parquet(s"$base/bal").count() shouldBe 100
+  }
+
+  test("dataBytes ignores _SUCCESS markers and missing dirs are zero") {
+    Compaction.dataBytes(spark, tmpDir("nonexistent")) shouldBe 0L
+  }
+}
