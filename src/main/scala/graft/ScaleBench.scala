@@ -49,6 +49,7 @@ object ScaleBench {
     "q_t12_intra_doc_dedup", "q_t13_redact_pii", "q_t14_boilerplate_removal",
     "q_t15_bm25", "q_t16_normalize", "q_t17_pmi_bigrams", "q_t18_entropy",
     "q_t19_suffix_run_dedup", "q_t20_bigram_surprisal",
+    "q_t21_gopher_quality", "q_t22_source_stats",
     "q_a11_heavy_hitters",
     "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",
@@ -56,7 +57,7 @@ object ScaleBench {
     "q_d13_incremental_dedup", "q_d14_incremental_parity",
     "q_d15_bloom_incremental",
     "q_v4_knn_join", "q_v7_ivf_indexed", "q_v8_label_centroids",
-    "q_v10_quantized_topk",
+    "q_v10_quantized_topk", "q_v13_hybrid_retrieval",
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
     "q_sp4_mixture_weights", "q_sp5_grouped_split", "q_sp6_sequence_pack",
     "q_m1_media_features", "q_m2_frame_sample", "q_m3_media_metadata",
@@ -65,7 +66,7 @@ object ScaleBench {
     // (q_a12 is NOT here: the scale synthesis replicates only the
     // documents/embeddings corpora, and its sketch shape is already
     // mergeable by construction)
-    "q_io5_partitioned_pruning", "q_io6_jsonl_gzip",
+    "q_io5_partitioned_pruning", "q_io6_jsonl_gzip", "q_io7_compaction",
     "q_x5_global_index", "q_v11_kmeans_step")
 
   // langid/quality gate vocabulary that must SURVIVE the Caesar shift: if

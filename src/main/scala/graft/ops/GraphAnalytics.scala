@@ -70,6 +70,46 @@ object GraphAnalytics {
     ranks
   }
 
+  /** Single-source BFS levels: minimum hop count from `sourceId` to every
+    * node, NULL for unreachable nodes. Classic distributed frontier
+    * expansion — each level is ONE equi-join of the (tiny) frontier with
+    * the edge list plus one anti-join against the visited set, so the work
+    * per level is proportional to the frontier's out-edges, never the
+    * graph; the driver-side loop runs `diameter` times (bounded by
+    * `maxLevels`), which is exactly the Pregel superstep count — no
+    * per-level shuffle of the full graph. Visited/frontier sets persist
+    * per level and release one level behind.
+    */
+  def bfsLevels(nodes: DataFrame, edges: DataFrame, sourceId: Long,
+                maxLevels: Int = 1000): DataFrame = {
+    val e = edges.select(col("fromId"), col("toId")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = nodes.sparkSession.range(1)
+      .select(lit(sourceId).as("id"), lit(0).as("level"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var level = 0
+    var frontierSize = 1L
+    while (frontierSize > 0 && level < maxLevels) {
+      level += 1
+      val next = e.join(frontier.select(col("id").as("fromId")), "fromId")
+        .select(col("toId").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(level).as("level"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierSize = next.count()
+      val newVisited = visited.unionByName(next)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      newVisited.count()
+      visited.unpersist()
+      if (frontier ne visited) frontier.unpersist()
+      visited = newVisited
+      frontier = next
+    }
+    nodes.select(col("id")).join(visited, Seq("id"), "left")
+      .select(col("id"), col("level"))
+  }
+
   /** Per-node triangle count (plus zero rows from the node list) via the
     * compact-forward shape: undirect + canonicalize each edge to
     * (least, greatest), drop self-loops, then the two-join enumeration

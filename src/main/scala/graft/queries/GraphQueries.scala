@@ -215,6 +215,16 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga4_bfs_levels" -> ((s, _) => {
+      // single-source reachability depth from the init node (id 0 — the
+      // reference's walk start convention): frontier-expansion BFS, one
+      // frontier-sized equi-join + anti-join per level, NULL = unreachable
+      val g = graph50(s)
+      GraphAnalytics.bfsLevels(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")), sourceId = 0L)
+        .orderBy(col("id"))
+    }),
+
     // S4 — binary .ngs scan (Java-serialization decode, endpoint re-link).
     // HASH-CHECKED since round 9: the oracle is the independent text parse
     // of the same graph (fx_graph200_nodes — see oracleSql), so the binary
@@ -307,6 +317,23 @@ object GraphQueries {
           ORDER BY n.id""",
 
     "q_ga2_pagerank" -> pageRankSql(iters = 5, d = 0.85),
+
+    "q_ga4_bfs_levels" ->
+      // bounded recursive enumeration + min per node: UNION dedups exact
+      // (id, lvl) pairs but cycles still climb levels forever, so the
+      // depth bound (60 > |V|, and min level <= |V|-1 always) makes the
+      // recursion finite without changing any minimum
+      s"""WITH RECURSIVE e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),
+          bfs(id, lvl) AS (
+            SELECT CAST(0 AS BIGINT), 0
+            UNION
+            SELECT e.toId, bfs.lvl + 1
+            FROM bfs JOIN e ON e.fromId = bfs.id
+            WHERE bfs.lvl < 60),
+          lv AS (SELECT id, min(lvl)::INT AS level FROM bfs GROUP BY 1)
+          SELECT n.id AS "id", lv.level AS "level"
+          FROM $nodesTbl n LEFT JOIN lv ON lv.id = n.id
+          ORDER BY n.id""",
 
     "q_ga3_triangles" ->
       // compact-forward enumeration, same canonicalized (a < b) edge set

@@ -47,6 +47,21 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out(4L) shouldBe ((1.0 - d) / n) +- 1e-9
   }
 
+  test("bfsLevels: shortest hops, cycle-safe, NULL for unreachable") {
+    // 1→2→3→1 cycle plus 1→3 shortcut; 4 unreachable; 5→1 points INTO the
+    // component so 5 itself stays unreachable from 1
+    val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (5L, 1L))
+      .toDF("fromId", "toId")
+    val out = GraphAnalytics.bfsLevels(n, e, sourceId = 1L)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    out(1L) shouldBe Some(0)
+    out(2L) shouldBe Some(1)
+    out(3L) shouldBe Some(1) // shortcut beats the 2-hop path
+    out(4L) shouldBe None
+    out(5L) shouldBe None
+  }
+
   test("triangleCounts finds each triangle once, ignoring direction/loops") {
     // triangle 1-2-3 (one edge reversed), pendant 3-4, self-loop 2-2
     val e = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (2L, 2L))
