@@ -137,6 +137,24 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
+    "q_j9_full_outer" -> ((s, d) => {
+      // FULL OUTER reconciliation — the two-ledger diff every maintenance
+      // pipeline runs (rows only in A, only in B, or in both): a customer
+      // subset vs per-customer order counts, coalesced keys + defaults on
+      // both missing sides. One shuffle on the key; either side may be
+      // unbounded (no broadcast hint — full-outer can't broadcast anyway)
+      val c = Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("c_name"), lit("UNKNOWN")).as("name"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("custkey"))
+    }),
+
     "q_j5_adjacency_lookup" -> ((s, d) => {
       // broadcast dimension lookup per fact row (SURVEY J5: per-step
       // out-neighbor lookup against broadcast adjacency)
@@ -315,6 +333,38 @@ object RelationalQueries {
           col("o_totalprice").cast("int").as("price_int"))
         .orderBy(col("o_orderkey"))),
 
+    "q_f_datetime" -> ((s, d) =>
+      // temporal function surface over the order timestamps: calendar
+      // extraction, month truncation, day arithmetic against an epoch
+      // date, unix seconds — all codegen'd built-ins, one projection
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("days_since"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))),
+
+    "q_f_array" -> ((s, d) =>
+      // array-function surface over the embedding column: length, element
+      // access (positive/negative), extrema, L2 norm via the codegen'd
+      // native dot — the per-row vector toolkit with zero UDFs
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_v"),
+          round(element_at(col("embedding"), -1).cast("double"), 6).as("last_v"),
+          round(array_max(col("embedding")).cast("double"), 6).as("max_v"),
+          round(array_min(col("embedding")).cast("double"), 6).as("min_v"),
+          round(sqrt(graft.functions.Similarity.dot(col("embedding"), col("embedding"))), 6)
+            .as("l2_norm"))
+        .orderBy(col("vec_id"))),
+
     // ---- X: multi-dimensional aggregation (engine breadth beyond the
     // reference's flat group-bys) ---------------------------------------------
     "q_x1_rollup" -> ((s, d) =>
@@ -328,6 +378,20 @@ object RelationalQueries {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "q_a13_grouping_sets" -> ((s, d) =>
+      // explicit GROUPING SETS that is NEITHER a rollup nor a cube —
+      // ((rf, ls), (ls), ()): per-pair detail, per-linestatus margin, and
+      // the grand total, one Expand + one aggregation pass (no
+      // re-aggregation of the detail level)
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first, col("n_rows"))),
 
     "q_x3_pivot" -> ((s, d) =>
       Tables.orders(s, d)
@@ -1643,6 +1707,47 @@ object RelationalQueries {
                 count(*) FILTER (o_orderstatus = 'O') AS n_o,
                 count(*) FILTER (o_orderstatus = 'P') AS n_p
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_a13_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 4""",
+
+    "q_j9_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0),
+         o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+         SELECT coalesce(c_custkey, o_custkey) AS custkey,
+                coalesce(c_name, 'UNKNOWN') AS name,
+                coalesce(n_orders, 0) AS n_orders
+         FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+         ORDER BY custkey""",
+
+    "q_f_datetime" ->
+      // DuckDB dayofweek is 0-based Sunday; Spark's is 1-based Sunday —
+      // the +1 aligns them. epoch()::BIGINT truncates like unix_timestamp
+      """SELECT o_orderkey,
+                year(o_orderdate)::INT AS yr,
+                month(o_orderdate)::INT AS mo,
+                day(o_orderdate)::INT AS dom,
+                (dayofweek(o_orderdate) + 1)::INT AS dow,
+                date_trunc('month', o_orderdate) AS month_start,
+                date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::INT AS days_since,
+                epoch(o_orderdate)::BIGINT AS epoch_s
+         FROM orders ORDER BY 1""",
+
+    "q_f_array" ->
+      // list_dot_product on DOUBLE[] accumulates left-to-right like the
+      // native DotProduct expression — same bits before the 6dp round
+      """SELECT vec_id,
+                len(embedding)::INT AS n_dims,
+                round(embedding[1]::DOUBLE, 6) AS first_v,
+                round(embedding[-1]::DOUBLE, 6) AS last_v,
+                round(list_aggregate(embedding, 'max')::DOUBLE, 6) AS max_v,
+                round(list_aggregate(embedding, 'min')::DOUBLE, 6) AS min_v,
+                round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+         FROM embeddings ORDER BY 1""",
 
     "q_w1_running_sum" ->
       """SELECT o_custkey, o_orderkey,
