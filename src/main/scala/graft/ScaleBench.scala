@@ -49,7 +49,7 @@ object ScaleBench {
     "q_t12_intra_doc_dedup", "q_t13_redact_pii", "q_t14_boilerplate_removal",
     "q_t15_bm25", "q_t16_normalize", "q_t17_pmi_bigrams", "q_t18_entropy",
     "q_t19_suffix_run_dedup", "q_t20_bigram_surprisal",
-    "q_t21_gopher_quality", "q_t22_source_stats",
+    "q_t21_gopher_quality", "q_t22_source_stats", "q_t23_zipf_profile",
     "q_a11_heavy_hitters",
     "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",
@@ -60,6 +60,7 @@ object ScaleBench {
     "q_v10_quantized_topk", "q_v13_hybrid_retrieval",
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
     "q_sp4_mixture_weights", "q_sp5_grouped_split", "q_sp6_sequence_pack",
+    "q_sp7_temperature_mix",
     "q_m1_media_features", "q_m2_frame_sample", "q_m3_media_metadata",
     "q_m4_wav_pcm_stats",
     "q_io1_jsonl_roundtrip", "q_io2_csv_roundtrip", "q_io4_orc_roundtrip",

@@ -47,6 +47,34 @@ object Sampling {
       (rate * lit(4294967296.0)).cast("long"))
   }
 
+  /** Temperature-scaled source mixture — the multilingual/low-resource
+    * re-weighting trick (the p_k ∝ share^α schedule of multilingual
+    * pre-training): per-key keep rate = min(1, N·n_k^α / (Z·n_k)) with
+    * Z = Σ n_j^α, which preserves the corpus size in expectation while
+    * flattening the source distribution toward uniform as α → 0 (α = 1 is
+    * a no-op: every rate is 1). Rates are DERIVED FROM THE DATA — one
+    * key-count aggregate + a one-row (N, Z) scalar — then broadcast-joined
+    * back and applied through the same deterministic md5 hash gate as
+    * [[weightedMixture]]; nothing collects, so the key cardinality may be
+    * unbounded (per-domain α-sampling, not just per-language). Rates round
+    * to 6dp before the gate so the oracle's libm `pow` cannot drift the
+    * threshold. Returns the kept rows plus their `rate`.
+    */
+  def temperatureMixture(df: DataFrame, keyCol: String, idCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).cast("double").as("__total"),
+      sum(pow(col("__n"), alpha)).as("__z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(keyCol),
+        least(lit(1.0),
+          round(pow(col("__n"), alpha) / col("__z") * col("__total") / col("__n"), 6))
+          .as("rate"))
+    df.join(broadcast(rates), keyCol)
+      .filter(hashKey(col(idCol)) < (col("rate") * lit(4294967296.0)).cast("long"))
+  }
+
   /** Keep at most `quota` rows per key, chosen in deterministic `orderCol`
     * order — the domain/label balancing pass (cap over-represented sources).
     * One shuffle on the key; the window's WindowGroupLimit pushes the cut

@@ -469,6 +469,31 @@ object TextOps {
     */
   def md5Fingerprint(text: Column): Column = substring(md5(text), 1, 16)
 
+  /** Zipf profile of the corpus vocabulary — the token-frequency power-law
+    * fit (log freq vs log rank regression slope, ~−1 for natural language;
+    * a flatter or steeper slope flags synthetic or templated corpora). The
+    * frequency table is vocabulary-sized; ranking uses
+    * [[GlobalIndex.assign]] — the distributed contiguous numbering, NOT a
+    * corpus-wide `row_number() OVER (ORDER BY …)` single task — keyed on
+    * (freq DESC, token) for a deterministic total order; the regression is
+    * ONE map-side-combinable `regr_slope`/`regr_r2` aggregate over
+    * (ln freq, ln rank) pairs. Returns a single row
+    * (n_vocab, n_tokens, zipf_slope, zipf_r2).
+    */
+  def zipfProfile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val freq = Spread.forExplode(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val ranked = GlobalIndex.assign(freq,
+      struct((-col("freq")).as("nf"), col("tok").as("t")))
+    val lnRank = log(col("global_idx") + 1)
+    ranked.agg(
+      count(lit(1)).as("n_vocab"),
+      sum(col("freq")).as("n_tokens"),
+      round(regr_slope(log(col("freq")), lnRank), 4).as("zipf_slope"),
+      round(regr_r2(log(col("freq")), lnRank), 4).as("zipf_r2"))
+  }
+
   /** Gopher-style composite document-quality rules (Rae et al. 2021 §A1.1
     * shape): per-document rule booleans plus the conjunctive `pass` gate a
     * pre-training pipeline filters on. Rules (thresholds tuned so each one

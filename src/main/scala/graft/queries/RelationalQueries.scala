@@ -1036,6 +1036,23 @@ object RelationalQueries {
       graft.functions.TextOps.gopherQuality(Tables.documents(s, d))
         .orderBy(col("doc_id"))),
 
+    "q_t23_zipf_profile" -> ((s, d) =>
+      // corpus vocabulary power-law fit: distributed rank via GlobalIndex
+      // (no corpus-wide single-task window), one regr_slope/regr_r2
+      // aggregate over (ln freq, ln rank) — the Zipf-slope corpus-health
+      // number in one row
+      TextOps.zipfProfile(Tables.documents(s, d))),
+
+    "q_sp7_temperature_mix" -> ((s, d) =>
+      // temperature sampling over languages (alpha = 0.5): rates derived
+      // from the data (key counts + one-row N/Z scalar), broadcast back,
+      // applied through the q_sp1 md5 hash gate — the over-represented
+      // language downsamples, the rest cap at 1.0
+      graft.functions.Sampling.temperatureMixture(
+          Tables.documents(s, d), keyCol = "lang", idCol = "doc_id", alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("rate"))
+        .orderBy(col("doc_id"))),
+
     "q_t22_source_stats" -> ((s, d) => {
       // RefinedWeb-style per-source corpus health report + blocklist gate:
       // doc/token/dup-rate/lang-spread stats per source, then keep = not
@@ -2766,6 +2783,33 @@ object RelationalQueries {
                      AND (top_tok_ratio <= 0.12)
                      AND (distinct_ratio >= 0.45), false) AS pass
          FROM m ORDER BY doc_id""",
+
+    "q_t23_zipf_profile" ->
+      // same fit: rank = row_number over (freq DESC, tok) — identical to
+      // GlobalIndex's struct((-freq), tok) total order — then the same
+      // natural-log regression aggregates
+      """WITH f AS (
+           SELECT tok, count(*) AS freq FROM (
+             SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY 1),
+         r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rnk FROM f)
+         SELECT count(*) AS n_vocab, sum(freq)::BIGINT AS n_tokens,
+                round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
+                round(regr_r2(ln(freq), ln(rnk)), 4) AS zipf_r2
+         FROM r""",
+
+    "q_sp7_temperature_mix" ->
+      // rates re-derived (share^0.5 schedule, 6dp-rounded), same trunc'd
+      // md5 gate as q_sp4
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT sum(n)::DOUBLE AS total, sum(pow(n, 0.5)) AS z FROM c),
+         r AS (SELECT lang, least(1.0, round(pow(n, 0.5) / z * total / n, 6)) AS rate
+               FROM c, t)
+         SELECT d.doc_id, d.lang, r.rate
+         FROM documents d JOIN r USING (lang)
+         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+               < trunc(r.rate * 4294967296.0)::BIGINT
+         ORDER BY 1""",
 
     "q_t22_source_stats" ->
       // same rollup: md5 dup table, per-source aggregates, blocklist +

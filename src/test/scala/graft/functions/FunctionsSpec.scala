@@ -1011,6 +1011,39 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .head().getLong(0) shouldBe out.maxBy { case (id, s) => (s, -id) }._1
   }
 
+  test("zipfProfile fits the textbook regression on a hand-computed corpus") {
+    // freqs: a=4, b=2, c=1 → ranks 1,2,3
+    val df = Seq((1L, "a a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val r = TextOps.zipfProfile(df).head()
+    r.getLong(0) shouldBe 3  // n_vocab
+    r.getLong(1) shouldBe 7  // n_tokens
+    // local least-squares over (ln rank, ln freq)
+    val pts = Seq((math.log(1.0), math.log(4.0)), (math.log(2.0), math.log(2.0)),
+      (math.log(3.0), math.log(1.0)))
+    val mx = pts.map(_._1).sum / 3; val my = pts.map(_._2).sum / 3
+    val slope = pts.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    r.getDouble(2) shouldBe slope +- 1e-3
+    r.getDouble(3) should be > 0.9 // near-perfect power law
+  }
+
+  test("temperatureMixture: alpha=1 keeps everything, alpha<1 downsamples the head") {
+    val rows = (1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "src")
+    Sampling.temperatureMixture(df, "src", "doc_id", alpha = 1.0).count() shouldBe 100
+    val kept = Sampling.temperatureMixture(df, "src", "doc_id", alpha = 0.5)
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Double]("rate")))
+    // small source caps at rate 1.0 → all 10 kept; big source rate < 1
+    kept.filter(_._1 == "small").length shouldBe 10
+    kept.filter(_._1 == "small").foreach(_._2 shouldBe 1.0)
+    val bigRate = kept.find(_._1 == "big").map(_._2)
+    // expected big rate = N / (Z * sqrt(n_big)) = 100 / ((sqrt(90)+sqrt(10)) * sqrt(90))
+    val expected = 100.0 / ((math.sqrt(90) + math.sqrt(10)) * math.sqrt(90))
+    bigRate.foreach(_ shouldBe (BigDecimal(expected).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) +- 1e-9)
+    kept.count(_._1 == "big") should be < 90
+  }
+
   test("hybridRetrieve reranks only the lexical candidates") {
     // doc 3 is the best cosine match but shares no query term — it must
     // NOT appear: the dense stage only sees BM25's candidate list
