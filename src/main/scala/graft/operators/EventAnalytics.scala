@@ -17,6 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Trending top-k event types per tumbling window: windowed counts (the
+    * q_ev4 aggregate) plus a per-window rank cut. The window-partitioned
+    * row_number runs over the COUNT table — one row per (window, type),
+    * bounded by type cardinality × windows, never the event stream — and
+    * WindowGroupLimit pushes the k-cut below the sort. Ties break
+    * (count DESC, event_type) so the cut is deterministic. In a live
+    * stream this runs per micro-batch via foreachBatch over the windowed
+    * state (the rank itself is not an incremental operator).
+    */
+  def trendingTopK(events: DataFrame, k: Int,
+                   windowLen: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val counts = events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("window"))
+      .orderBy(desc("n_events"), col("event_type"))
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("rnk"))
+  }
+
   /** Distinct active users per (cohort first-seen day, day offset). The
     * first-seen table is one row per user — at event-log scale that is
     * millions of rows, so it joins on user_id without a broadcast hint

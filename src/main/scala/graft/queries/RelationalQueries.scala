@@ -365,6 +365,22 @@ object RelationalQueries {
             .as("l2_norm"))
         .orderBy(col("vec_id"))),
 
+    "q_w3_range_frame" -> ((s, d) => {
+      // RANGE-framed window (vs q_w1's ROWS frame): trailing-7-day spend
+      // per customer — the frame bound is a VALUE offset on the ordering
+      // key (epoch seconds), so same-timestamp peers enter the frame
+      // together regardless of row order. Same single-shuffle window
+      // shape as q_w1
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-7L * 86400, 0)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("trailing_7d"),
+          count(lit(1)).over(w).as("n_in_window"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---- X: multi-dimensional aggregation (engine breadth beyond the
     // reference's flat group-bys) ---------------------------------------------
     "q_x1_rollup" -> ((s, d) =>
@@ -517,6 +533,12 @@ object RelationalQueries {
       // windows; identical code path as the readStream pipeline
       graft.streaming.EventStreams.slidingUserRate(Tables.events(s, d))
         .orderBy(col("window_start"), col("user_id"))),
+
+    "q_ev10_trending" -> ((s, d) =>
+      // per-hour trending top-3 event types: the q_ev4 windowed count +
+      // a rank cut over the (window, type)-bounded count table
+      graft.operators.EventAnalytics.trendingTopK(Tables.events(s, d), k = 3)
+        .orderBy(col("window_start"), col("rnk"))),
 
     "q_ev6_enrich_dim" -> ((s, d) =>
       // stream-static dimension lookup: stateless per-micro-batch broadcast
@@ -1052,6 +1074,21 @@ object RelationalQueries {
           Tables.documents(s, d), keyCol = "lang", idCol = "doc_id", alpha = 0.5)
         .select(col("doc_id"), col("lang"), col("rate"))
         .orderBy(col("doc_id"))),
+
+    "q_d16_cross_source_overlap" -> ((s, d) => {
+      // cross-source contamination matrix: how many distinct exact-dup
+      // texts each ordered source pair shares — the "which crawls copy
+      // which" diagnostic behind per-source dedup budgets. One distinct on
+      // (source, md5), one hash-keyed equi self-join (never all-pairs:
+      // the join key is the content hash), a pair-count rollup
+      val sh = Tables.documents(s, d)
+        .select(col("source"), md5(col("text")).as("h")).distinct()
+      sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
 
     "q_t22_source_stats" -> ((s, d) => {
       // RefinedWeb-style per-source corpus health report + blocklist gate:
@@ -1773,6 +1810,17 @@ object RelationalQueries {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
          FROM orders ORDER BY 1, 2""",
 
+    "q_w3_range_frame" ->
+      // same value-offset frame over epoch seconds; count(*) OVER the same
+      // window pins the peer-inclusion semantics, not just the sum
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER w, 2) AS trailing_7d,
+                count(*) OVER w AS n_in_window
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)::BIGINT
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
+
     "q_w2_rank_lag" ->
       """SELECT l_partkey, l_orderkey, l_linenumber,
                 row_number() OVER w AS ship_seq,
@@ -2228,6 +2276,18 @@ object RelationalQueries {
     "q_ev2_json" ->
       """SELECT event_id, json_extract_string(props, '$.k')::INT AS k
          FROM events ORDER BY 1""",
+
+    "q_ev10_trending" ->
+      """WITH c AS (
+           SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                  event_type, count(*) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT window_start, event_type, n_events,
+                row_number() OVER (PARTITION BY window_start
+                  ORDER BY n_events DESC, event_type)::INT AS rnk
+         FROM c
+         QUALIFY rnk <= 3
+         ORDER BY 1, 4""",
 
     "q_ev4_tumbling" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
@@ -2810,6 +2870,13 @@ object RelationalQueries {
          WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
                < trunc(r.rate * 4294967296.0)::BIGINT
          ORDER BY 1""",
+
+    "q_d16_cross_source_overlap" ->
+      """WITH sh AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
+         SELECT a.source AS source_a, b.source AS source_b,
+                count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_t22_source_stats" ->
       // same rollup: md5 dup table, per-source aggregates, blocklist +
