@@ -294,6 +294,175 @@ object Multimodal {
       data)
   }
 
+  final case class PngStats(media_id: Long, width: Int, height: Int,
+                            n_pixels: Long, px_min: Int, px_max: Int,
+                            px_mean: Double)
+
+  /** REAL PNG grayscale decode: signature + IHDR parse, IDAT chunk
+    * concatenation, an actual `java.util.zip.Inflater` zlib inflate of the
+    * pixel stream (any deflate encoding — stored, fixed, or dynamic
+    * Huffman), and scanline de-filtering for PNG filter types 0/1/2
+    * (None/Sub/Up — the types a grayscale encoder emits; Paeth/Average
+    * rows return None rather than silently producing wrong pixels).
+    * Restrictions (checked, not assumed): 8-bit depth, colortype 0,
+    * no interlace. Chunk CRCs are not verified — the decode contract is
+    * about the pixels; [[synthesizePngPayload]] still writes correct CRCs
+    * via the codegen'd `crc32` builtin so payloads are genuine PNGs.
+    */
+  def decodePngGray(mediaId: Long, p: Array[Byte]): Option[PngStats] = {
+    def beU(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (p(off + i) & 0xffL); i += 1 }
+      v
+    }
+    val sig = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (p == null || p.length < 45 ||
+        !sig.indices.forall(i => (p(i) & 0xff) == sig(i))) return None
+    // IHDR must be first (spec): length 13, type at 12
+    if (beU(8, 4) != 13L || beU(12, 4) != 0x49484452L) return None
+    val w = beU(16, 4).toInt
+    val h = beU(20, 4).toInt
+    val bitDepth = p(24) & 0xff
+    val colorType = p(25) & 0xff
+    val interlace = p(28) & 0xff
+    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 0 || interlace != 0)
+      return None
+    // walk chunks, concatenating every IDAT payload
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var done = false
+    while (!done && off + 8 <= p.length) {
+      val len = beU(off, 4).toInt
+      val typ = beU(off + 4, 4)
+      if (len < 0 || off + 8 + len + 4 > p.length) return None
+      if (typ == 0x49444154L) idat.write(p, off + 8, len) // IDAT
+      if (typ == 0x49454e44L) done = true // IEND
+      off += 8 + len + 4
+    }
+    val comp = idat.toByteArray
+    if (comp.isEmpty) return None
+    val raw = new Array[Byte]((w + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // de-filter in place, row by row (bpp = 1 for 8-bit grayscale)
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val rowOff = r * (w + 1)
+      val ft = raw(rowOff) & 0xff
+      if (ft > 2) return None // Average/Paeth unsupported: refuse, not garble
+      var c = 0
+      while (c < w) {
+        val cur = raw(rowOff + 1 + c) & 0xff
+        val left = if (c > 0) px(r * w + c - 1) else 0
+        val up = if (r > 0) px((r - 1) * w + c) else 0
+        px(r * w + c) = ft match {
+          case 0 => cur
+          case 1 => (cur + left) & 0xff
+          case 2 => (cur + up) & 0xff
+        }
+        c += 1
+      }
+      r += 1
+    }
+    var mn = 255; var mx = 0; var sum = 0L
+    px.foreach { v => if (v < mn) mn = v; if (v > mx) mx = v; sum += v }
+    Some(PngStats(mediaId, w, h, px.length.toLong, mn, mx,
+      sum.toDouble / px.length))
+  }
+
+  /** The partition-batched decode path for [[decodePngGray]] — same
+    * mapPartitions batch shape as [[extractWavStats]]; undecodable
+    * payloads are quarantined by the flatMap.
+    */
+  def extractPngStats(media: DataFrame): Dataset[PngStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) => decodePngGray(id, p) })
+  }
+
+  /** Big-endian binary encoding of an integer column (PNG ints). */
+  private def beBytes(v: Column, len: Int): Column =
+    unhex(lpad(hex(v.cast("long")), len * 2, "0"))
+
+  /** A PNG chunk: 4-byte BE length, type, data, CRC32 of type+data — the
+    * CRC through Spark's codegen'd `crc32` builtin, so the synthesized
+    * files are genuine PNGs, not just Inflater-acceptable ones.
+    */
+  private def pngChunk(typ: String, data: Column): Column = {
+    val td = concat(lit(typ.getBytes("US-ASCII")), data)
+    concat(beBytes(octet_length(data), 4), td, beBytes(crc32(td), 4))
+  }
+
+  /** Synthesize a genuine 8-bit grayscale PNG (`width` columns,
+    * `floor(len/width)` rows) whose pixels are the text's ASCII bytes:
+    * IHDR, one IDAT holding a zlib stream with a single STORED deflate
+    * block (so the pixel bytes are recoverable by arithmetic in the SQL
+    * oracle while the Scala decoder runs a full Inflater), correct adler32
+    * (computed declaratively from the text bytes and the known positions
+    * of the zero filter bytes) and chunk CRC32s, IEND. Texts shorter than
+    * one row must be filtered upstream. Fully declarative — one column
+    * expression, zero UDFs.
+    */
+  def synthesizePngPayload(textCol: Column, width: Int): Column = {
+    val h = floor(length(textCol) / width).cast("int")
+    val hw = h * width
+    val used = textCol.substr(lit(1), hw)
+    // raw scanline stream: per row one 0x00 filter byte + the row's bytes
+    val rawRows = transform(sequence(lit(0), h - 1),
+      r => concat(lit(Array[Byte](0)),
+        encode(used.substr(r * width + 1, lit(width)), "UTF-8")))
+    val raw = aggregate(rawRows, lit(Array.empty[Byte]), (acc, x) => concat(acc, x))
+    val rawLen = h * (width + 1)
+    // adler32 over the raw stream: filter zeros contribute nothing, so both
+    // sums reduce to weighted sums over the text bytes at their raw-stream
+    // positions p_j = floor(j/width)*(width+1) + 2 + (j % width), 1-based
+    val byteAt = (j: Column) => ascii(used.substr(j + 1, lit(1))).cast("long")
+    val s1 = (lit(1L) + aggregate(
+      transform(sequence(lit(0), hw - 1), j => byteAt(j)),
+      lit(0L), (acc, x) => acc + x)) % 65521L
+    val s2 = (rawLen.cast("long") + aggregate(
+      transform(sequence(lit(0), hw - 1), j => {
+        // Column `/` is double division — floor() restores the row index
+        val pj = floor(j / width).cast("long") * (width + 1) + lit(2L) + (j % width)
+        byteAt(j) * (rawLen.cast("long") - pj + 1L)
+      }),
+      lit(0L), (acc, x) => acc + x)) % 65521L
+    val zlib = concat(
+      lit(Array[Byte](0x78.toByte, 0x01)), // zlib header, no preset dict
+      lit(Array[Byte](0x01)), // BFINAL=1, BTYPE=00 (stored)
+      // stored-block LEN/NLEN are LITTLE-endian
+      unhex(concat(
+        substring(lpad(hex(rawLen.cast("long")), 4, "0"), 3, 2),
+        substring(lpad(hex(rawLen.cast("long")), 4, "0"), 1, 2))),
+      unhex(concat(
+        substring(lpad(hex((lit(65535) - rawLen).cast("long")), 4, "0"), 3, 2),
+        substring(lpad(hex((lit(65535) - rawLen).cast("long")), 4, "0"), 1, 2))),
+      raw,
+      beBytes(s2 * 65536L + s1, 4))
+    val ihdr = concat(
+      beBytes(lit(width), 4), beBytes(h, 4),
+      lit(Array[Byte](8, 0, 0, 0, 0))) // depth 8, gray, deflate, adaptive, no interlace
+    concat(
+      lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
+      pngChunk("IHDR", ihdr),
+      pngChunk("IDAT", zlib),
+      pngChunk("IEND", lit(Array.empty[Byte])))
+  }
+
   /** Resize/frame-sample stub: keeps every `stride`-th byte — stands in for
     * a real resize kernel while exercising the binary-transform plan shape.
     * Runs through the codegen'd [[BinaryStride]] expression (zero Scala UDFs

@@ -769,6 +769,29 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_m5_png_pixel_stats" -> ((s, d) => {
+      // REAL image content decode: build genuine 8-bit grayscale PNGs
+      // (IHDR/IDAT/IEND, correct CRC32s via the codegen'd crc32 builtin,
+      // zlib stream with correct adler32) whose pixels are the documents'
+      // ASCII bytes, then decode them with a full java.util.zip.Inflater
+      // pipeline + scanline de-filter behind the partition-batched
+      // interface (Multimodal.decodePngGray). The oracle recomputes the
+      // pixel statistics from the TEXT characters, so a hash match proves
+      // the decoder recovered the actual pixels from the compressed
+      // binary. Stored-block deflate in the SYNTHESIS keeps the oracle
+      // arithmetic; the DECODER handles any deflate encoding
+      // (MultimodalSpec pins Deflater-compressed + filtered payloads).
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 16)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.Multimodal.synthesizePngPayload(col("text"), width = 16)
+          .as("payload"))
+      graft.multimodal.Multimodal.extractPngStats(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("px_min"), col("px_max"), round(col("px_mean"), 6).as("px_mean"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_m4_wav_pcm_stats" -> ((s, d) => {
       // REAL content decode (not just headers): build genuine 8-bit mono
       // PCM WAV payloads whose samples are the documents' ASCII bytes
@@ -2648,6 +2671,23 @@ object RelationalQueries {
                 END::BIGINT AS duration_ms
          FROM documents
          ORDER BY media_id""",
+
+    "q_m5_png_pixel_stats" ->
+      // recompute the pixel statistics from the TEXT the pixels were built
+      // from: pixel j = ascii(char j) over the first (length//16)*16 chars
+      // (16-wide rows, partial row dropped) — checks the Inflater +
+      // de-filter decode pixel-for-pixel without touching binary
+      """WITH px AS (
+           SELECT doc_id, (length(text) // 16)::INT AS height,
+                  ascii(text[j]) AS v
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, (length(text) // 16) * 16 + 1)) AS j) u
+           WHERE text IS NOT NULL AND length(text) >= 16)
+         SELECT doc_id AS media_id, 16 AS width, height,
+                count(*) AS n_pixels,
+                min(v)::INT AS px_min, max(v)::INT AS px_max,
+                round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+         FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
 
     "q_m4_wav_pcm_stats" ->
       // recompute the PCM statistics from the TEXT the samples were built

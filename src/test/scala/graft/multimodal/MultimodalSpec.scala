@@ -208,4 +208,95 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       got shouldBe bytes.grouped(stride).map(_.head).toArray
     }
   }
+
+  // hand-rolled PNG encoder with REAL Deflater compression and per-row
+  // filter choices — shares no code with Multimodal.decodePngGray
+  private def buildPng(pixels: Array[Array[Int]], filters: Array[Int]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val raw = new java.io.ByteArrayOutputStream()
+    for (r <- 0 until h) {
+      raw.write(filters(r))
+      for (c <- 0 until w) {
+        val cur = pixels(r)(c)
+        val left = if (c > 0) pixels(r)(c - 1) else 0
+        val up = if (r > 0) pixels(r - 1)(c) else 0
+        val enc = filters(r) match {
+          case 0 => cur
+          case 1 => (cur - left) & 0xff
+          case 2 => (cur - up) & 0xff
+          case _ => cur // unsupported type, written verbatim: decoder must refuse
+        }
+        raw.write(enc)
+      }
+    }
+    val deflater = new java.util.zip.Deflater() // default zlib compression
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val comp = new Array[Byte](raw.size() + 64)
+    val compLen = deflater.deflate(comp)
+    deflater.end()
+    def be(v: Long, len: Int): Array[Byte] =
+      (len - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val td = typ.getBytes("US-ASCII") ++ data
+      val crc = new java.util.zip.CRC32(); crc.update(td)
+      be(data.length.toLong, 4) ++ td ++ be(crc.getValue, 4)
+    }
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", be(w.toLong, 4) ++ be(h.toLong, 4) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+      chunk("IDAT", comp.take(compLen)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("decodePngGray inflates real Deflater streams and undoes Sub/Up filters") {
+    val pixels = Array(
+      Array(10, 20, 30, 40),
+      Array(15, 25, 35, 45),
+      Array(200, 100, 50, 0))
+    // one row of each supported filter type
+    val png = buildPng(pixels, Array(0, 1, 2))
+    val st = Multimodal.decodePngGray(7L, png).get
+    st.width shouldBe 4
+    st.height shouldBe 3
+    st.n_pixels shouldBe 12
+    st.px_min shouldBe 0
+    st.px_max shouldBe 200
+    st.px_mean shouldBe (pixels.flatten.sum.toDouble / 12) +- 1e-12
+  }
+
+  test("decodePngGray refuses what it cannot decode faithfully") {
+    val pixels = Array(Array(1, 2), Array(3, 4))
+    val ok = buildPng(pixels, Array(0, 0))
+    // Paeth-filtered row (type 4) → refuse rather than garble
+    Multimodal.decodePngGray(1L, buildPng(pixels, Array(0, 4))) shouldBe None
+    Multimodal.decodePngGray(1L, ok.take(40)) shouldBe None // truncated
+    Multimodal.decodePngGray(1L, "notapng".getBytes) shouldBe None
+    Multimodal.decodePngGray(1L, null) shouldBe None
+    // color PNG (colortype 2) must be refused (IHDR byte flipped in place;
+    // the decoder deliberately ignores chunk CRCs)
+    val color = ok.clone()
+    color(25) = 2
+    Multimodal.decodePngGray(1L, color) shouldBe None
+    // and the unmodified payload still decodes
+    Multimodal.decodePngGray(1L, ok).get.n_pixels shouldBe 4
+  }
+
+  test("synthesizePngPayload output decodes via an INDEPENDENT ImageIO reader") {
+    // javax.imageio ships with the JDK and shares nothing with our
+    // synthesis: if it reads the same pixels back, the payload is a
+    // genuine PNG (CRCs, adler, chunk layout all correct)
+    val text = "abcdefghijklmnop" * 2 // 32 chars → 16x2
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = df.select(
+      Multimodal.synthesizePngPayload(col("text"), width = 16).as("p"))
+      .head().getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    img should not be null
+    img.getWidth shouldBe 16
+    img.getHeight shouldBe 2
+    for (r <- 0 until 2; c <- 0 until 16)
+      (img.getRaster.getSample(c, r, 0)) shouldBe text.charAt(r * 16 + c).toInt
+    // and our own decoder agrees
+    val st = Multimodal.decodePngGray(1L, payload).get
+    st.px_mean shouldBe (text.map(_.toInt).sum.toDouble / 32) +- 1e-12
+  }
 }
