@@ -46,6 +46,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark) // native SQL fns + TokenCount rewrite
     GraftConfig.validateNamespace(spark) // typo'd spark.graft.* keys fail loudly
 
     // JVM/codegen warmup so the first measured query isn't paying startup.

@@ -21,10 +21,12 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.TokenCountRule)
+  }
 }
 
 object GraftExtensions {
@@ -78,13 +80,18 @@ object GraftExtensions {
       "binary_stride(bin, n) - every n-th byte of a binary value (n an int literal).",
       strideBuilder))
 
-  /** Register the same functions on an already-running session (the
-    * builder-time extension path requires a fresh session).
+  /** Register the same functions AND the optimizer rewrite on an
+    * already-running session (the builder-time extension path requires a
+    * fresh session; `experimental.extraOptimizations` is the running-
+    * session hook for rules). Idempotent.
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(graft.plans.TokenCountRule))
+      spark.experimental.extraOptimizations = extra :+ graft.plans.TokenCountRule
   }
 }

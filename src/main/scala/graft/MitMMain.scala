@@ -90,6 +90,7 @@ object MitMMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // native SQL fns + TokenCount rewrite
     // spark.graft.* conf keys override defaults (GraftConfig); the CLI seed
     // argument wins over both — but ONLY when actually passed (a hardcoded
     // fallback here would stomp a spark.graft.seed the user configured)

@@ -339,6 +339,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark) // native SQL fns + TokenCount rewrite
 
     // reuse only a COMPLETE synthesis of the same (base, factor, mode): the
     // sentinel is written after all tables and records the config, so a

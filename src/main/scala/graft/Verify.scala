@@ -16,6 +16,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // native SQL fns + TokenCount rewrite
     GraftConfig.validateNamespace(spark) // typo'd spark.graft.* keys fail loudly
     new java.io.File(outDir).mkdirs()
     def deleteRec(f: java.io.File): Unit = {

@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native token counter: bit-identical to `size(split(text, " ", -1))` —
+  * the whitespace token count every corpus query starts from — WITHOUT
+  * materializing the split array. `split` builds an `ArrayData` of
+  * `UTF8String` slices per row only for `size` to read its length; at
+  * 100 TB scan scale that is pure allocation. Single-space split never
+  * merges adjacent separators, so the segment count is exactly
+  * (number of 0x20 bytes) + 1 — and because UTF-8 continuation bytes are
+  * always ≥ 0x80, counting the space BYTE equals counting the space
+  * CHARACTER on any input, not just ASCII. NULL in → NULL out (matching
+  * `size`'s non-legacy null contract).
+  *
+  * Installed transparently by [[graft.TokenCountRule]]: plans keep writing
+  * `size(split(...))` and the optimizer swaps this in — the correctness
+  * gate's unchanged oracles then prove the rewrite exact on every query
+  * that counts tokens.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_count requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCount.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // static-call body: constant generated-code size at every call site
+    // (the NearestCells 64KB lesson), and one shared JIT-hot loop
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.TokenCount.count($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+  override def prettyName: String = "token_count"
+}
+
+object TokenCount {
+  /** Segments of a single-space split = space bytes + 1. Shared by eval
+    * and generated code.
+    */
+  def count(s: UTF8String): Int = {
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var spaces = 0
+    var i = 0L
+    while (i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    spaces + 1
+  }
+
+  def col(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(TokenCount(GraftSqlBridge.expression(c)))
+  }
+}

@@ -394,74 +394,20 @@ object Multimodal {
       .mapPartitions(rows => rows.flatMap { case (id, p) => decodePngGray(id, p) })
   }
 
-  /** Big-endian binary encoding of an integer column (PNG ints). */
-  private def beBytes(v: Column, len: Int): Column =
-    unhex(lpad(hex(v.cast("long")), len * 2, "0"))
-
-  /** A PNG chunk: 4-byte BE length, type, data, CRC32 of type+data — the
-    * CRC through Spark's codegen'd `crc32` builtin, so the synthesized
-    * files are genuine PNGs, not just Inflater-acceptable ones.
-    */
-  private def pngChunk(typ: String, data: Column): Column = {
-    val td = concat(lit(typ.getBytes("US-ASCII")), data)
-    concat(beBytes(octet_length(data), 4), td, beBytes(crc32(td), 4))
-  }
-
   /** Synthesize a genuine 8-bit grayscale PNG (`width` columns,
-    * `floor(len/width)` rows) whose pixels are the text's ASCII bytes:
-    * IHDR, one IDAT holding a zlib stream with a single STORED deflate
-    * block (so the pixel bytes are recoverable by arithmetic in the SQL
-    * oracle while the Scala decoder runs a full Inflater), correct adler32
-    * (computed declaratively from the text bytes and the known positions
-    * of the zero filter bytes) and chunk CRC32s, IEND. Texts shorter than
-    * one row must be filtered upstream. Fully declarative — one column
-    * expression, zero UDFs.
+    * `floor(len/width)` rows) whose pixels are the text's ASCII bytes —
+    * one codegen'd call into the native [[PngGray]] expression (real
+    * Deflater zlib, correct adler32 and chunk CRC32s; payloads read back
+    * through an independent `javax.imageio` reader in MultimodalSpec).
+    * Texts shorter than one row yield NULL. The first cut of this builder
+    * was declarative `transform`/`aggregate` column algebra; its
+    * per-character interpreted lambdas cost O(n²) per document and
+    * benched 36s at sf0.1 — the third measured instance of the
+    * interpreted-HOF trap (see SCALE.md), cured the same way as the
+    * others: one native expression, constant-size generated code.
     */
-  def synthesizePngPayload(textCol: Column, width: Int): Column = {
-    val h = floor(length(textCol) / width).cast("int")
-    val hw = h * width
-    val used = textCol.substr(lit(1), hw)
-    // raw scanline stream: per row one 0x00 filter byte + the row's bytes
-    val rawRows = transform(sequence(lit(0), h - 1),
-      r => concat(lit(Array[Byte](0)),
-        encode(used.substr(r * width + 1, lit(width)), "UTF-8")))
-    val raw = aggregate(rawRows, lit(Array.empty[Byte]), (acc, x) => concat(acc, x))
-    val rawLen = h * (width + 1)
-    // adler32 over the raw stream: filter zeros contribute nothing, so both
-    // sums reduce to weighted sums over the text bytes at their raw-stream
-    // positions p_j = floor(j/width)*(width+1) + 2 + (j % width), 1-based
-    val byteAt = (j: Column) => ascii(used.substr(j + 1, lit(1))).cast("long")
-    val s1 = (lit(1L) + aggregate(
-      transform(sequence(lit(0), hw - 1), j => byteAt(j)),
-      lit(0L), (acc, x) => acc + x)) % 65521L
-    val s2 = (rawLen.cast("long") + aggregate(
-      transform(sequence(lit(0), hw - 1), j => {
-        // Column `/` is double division — floor() restores the row index
-        val pj = floor(j / width).cast("long") * (width + 1) + lit(2L) + (j % width)
-        byteAt(j) * (rawLen.cast("long") - pj + 1L)
-      }),
-      lit(0L), (acc, x) => acc + x)) % 65521L
-    val zlib = concat(
-      lit(Array[Byte](0x78.toByte, 0x01)), // zlib header, no preset dict
-      lit(Array[Byte](0x01)), // BFINAL=1, BTYPE=00 (stored)
-      // stored-block LEN/NLEN are LITTLE-endian
-      unhex(concat(
-        substring(lpad(hex(rawLen.cast("long")), 4, "0"), 3, 2),
-        substring(lpad(hex(rawLen.cast("long")), 4, "0"), 1, 2))),
-      unhex(concat(
-        substring(lpad(hex((lit(65535) - rawLen).cast("long")), 4, "0"), 3, 2),
-        substring(lpad(hex((lit(65535) - rawLen).cast("long")), 4, "0"), 1, 2))),
-      raw,
-      beBytes(s2 * 65536L + s1, 4))
-    val ihdr = concat(
-      beBytes(lit(width), 4), beBytes(h, 4),
-      lit(Array[Byte](8, 0, 0, 0, 0))) // depth 8, gray, deflate, adaptive, no interlace
-    concat(
-      lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
-      pngChunk("IHDR", ihdr),
-      pngChunk("IDAT", zlib),
-      pngChunk("IEND", lit(Array.empty[Byte])))
-  }
+  def synthesizePngPayload(textCol: Column, width: Int): Column =
+    PngGray.col(textCol, width)
 
   /** Resize/frame-sample stub: keeps every `stride`-th byte — stands in for
     * a real resize kernel while exercising the binary-transform plan shape.

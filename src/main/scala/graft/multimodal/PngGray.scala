@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native PNG builder: a genuine 8-bit grayscale PNG whose pixels are the
+  * input string's bytes (`width` columns, `len/width` full rows — texts
+  * shorter than one row yield NULL). One codegen'd static call per row —
+  * this replaced a declarative `transform`/`aggregate` formulation whose
+  * per-character interpreted lambdas cost O(n²) per document and put a
+  * 36s outlier in the bench (the SCALE.md interpreted-lambda trap, hit a
+  * third time).
+  *
+  * The zlib stream is REAL `java.util.zip.Deflater` output (correct
+  * adler32 comes with it), chunk CRC32s are `java.util.zip.CRC32` — the
+  * payloads read back through `javax.imageio` (pinned in MultimodalSpec).
+  * Decoding path: [[Multimodal.decodePngGray]].
+  */
+case class PngGray(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1, s"width must be >= 1 (got $width)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"png_gray requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    PngGray.build(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      // build() may return null (text shorter than one row) — propagate
+      s"""
+         |${ev.value} = graft.multimodal.PngGray.build($c, $width);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PngGray =
+    copy(child = newChild)
+  override def prettyName: String = "png_gray"
+}
+
+object PngGray {
+  /** Shared by eval and generated code. Returns null when the text holds
+    * less than one full row of pixels.
+    */
+  def build(text: UTF8String, width: Int): Array[Byte] = {
+    val bytes = text.getBytes
+    val h = bytes.length / width
+    if (h == 0) return null
+    // filtered scanlines: 0x00 (None) + the row's pixel bytes
+    val raw = new Array[Byte](h * (width + 1))
+    var r = 0
+    while (r < h) {
+      System.arraycopy(bytes, r * width, raw, r * (width + 1) + 1, width)
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    val comp =
+      try {
+        deflater.setInput(raw); deflater.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val n = deflater.deflate(buf)
+        java.util.Arrays.copyOf(buf, n)
+      } finally deflater.end()
+    val out = new java.io.ByteArrayOutputStream(comp.length + 64)
+    def be(v: Long, len: Int): Unit =
+      (len - 1 to 0 by -1).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      be(data.length.toLong, 4)
+      val td = typ.getBytes("US-ASCII") ++ data
+      out.write(td, 0, td.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(td)
+      be(crc.getValue, 4)
+    }
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), 0, 8)
+    val ihdr = new java.io.ByteArrayOutputStream()
+    def ibe(v: Long, len: Int): Unit =
+      (len - 1 to 0 by -1).foreach(i => ihdr.write(((v >> (8 * i)) & 0xff).toInt))
+    ibe(width.toLong, 4); ibe(h.toLong, 4)
+    ihdr.write(Array[Byte](8, 0, 0, 0, 0), 0, 5) // depth 8, gray, deflate, adaptive, none
+    chunk("IHDR", ihdr.toByteArray)
+    chunk("IDAT", comp)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  def col(c: Column, width: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(PngGray(GraftSqlBridge.expression(c), width))
+  }
+}

@@ -1,0 +1,36 @@
+package graft.plans
+
+import graft.functions.TokenCount
+import org.apache.spark.sql.catalyst.expressions.{Literal, Size, StringSplit}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Optimizer rule: rewrite `size(split(text, " ", -1))` — the whitespace
+  * token count at the head of every corpus query — into the native
+  * [[TokenCount]] expression, which counts space bytes instead of
+  * materializing the split array per row (see TokenCount's scaladoc for
+  * why the byte count is exact on any UTF-8 input).
+  *
+  * The rewrite is EXPRESSION-LOCAL and fires only on the precise shape it
+  * can prove equivalent: single-space literal pattern, limit −1 (the
+  * two-arg `split` default), non-legacy `size` null semantics, string
+  * input. Everything else — regex patterns, other limits, legacy
+  * size(null) = −1 sessions — is left untouched.
+  *
+  * Installed by [[graft.GraftExtensions]] (both the `withExtensions`
+  * injection and the running-session `register` path, the latter through
+  * `spark.experimental.extraOptimizations`); the correctness gate then
+  * proves the rewrite exact for free — every token-counting query keeps
+  * its oracle, only its plan changes.
+  */
+object TokenCountRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(StringSplit(str, Literal(pat: UTF8String, _), Literal(lim, IntegerType)), false)
+          if lim == -1 && pat != null && pat.toString == " " &&
+            str.dataType == StringType =>
+        TokenCount(str)
+    }
+}

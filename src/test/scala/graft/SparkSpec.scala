@@ -16,6 +16,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(s) // native SQL fns + TokenCount rewrite
     s
   }
 }

@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.TokenCount
+import org.apache.spark.sql.functions.{array_distinct, col}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TokenCountRuleSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val hostile = Seq(
+    "a b c",
+    "",                    // split("") = [""] → 1
+    " ",                   // ["", ""] → 2
+    "a  b",                // adjacent spaces never merge → 3
+    " lead",
+    "trail ",
+    "solo",
+    "tab\tnot a sep x",
+    "unicode é世界 mixed 😀 end", // multi-byte UTF-8
+    null.asInstanceOf[String])
+
+  test("TokenCount is bit-identical to F.size(F.split(text, ' ')) on hostile inputs") {
+    val df = hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val both = df.select(col("id"),
+        F.size(F.split(col("text"), " ")).as("viaSplit"),
+        TokenCount.col(col("text")).as("native"))
+      .collect()
+    both.foreach { r =>
+      val a = if (r.isNullAt(1)) null else r.getInt(1)
+      val b = if (r.isNullAt(2)) null else r.getInt(2)
+      withClue(s"id=${r.getLong(0)}: ") { b shouldBe a }
+    }
+  }
+
+  test("the optimizer rewrites F.size(F.split(_, ' ', -1)) and ONLY that shape") {
+    // range-backed, not Seq-backed: ConvertToLocalRelation eagerly folds
+    // projections over local data before user rules can be observed
+    val df = spark.range(3)
+      .select(F.concat(F.lit("a b "), col("id")).as("text"))
+    def optimized(c: org.apache.spark.sql.Column): String =
+      df.select(c).queryExecution.optimizedPlan.toString
+
+    // the exact shape rewrites (the rule is registered by SparkSpec via
+    // GraftExtensions.register → experimental.extraOptimizations)
+    optimized(F.size(F.split(col("text"), " "))) should include("token_count")
+    // regex pattern: not provably a single-space split → untouched
+    optimized(F.size(F.split(col("text"), "\\s+"))) should not include "token_count"
+    // explicit limit: different segment semantics → untouched
+    optimized(F.size(F.split(col("text"), " ", 2))) should not include "token_count"
+    // different function over the split → untouched
+    optimized(array_distinct(F.split(col("text"), " "))) should not include "token_count"
+  }
+
+  test("the rewritten plan computes the same rows as the unrewritten expression") {
+    val df = hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    // goes through the optimizer (rule fires), vs the native column
+    // (no Size(Split) to rewrite) — both must agree row for row
+    val viaRule = df.select(col("id"), F.size(F.split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -999 else r.getInt(1))).toMap
+    val native = df.select(col("id"), TokenCount.col(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -999 else r.getInt(1))).toMap
+    viaRule shouldBe native
+    viaRule(0L) shouldBe 3
+    viaRule(3L) shouldBe 3 // "a  b" — adjacent separators don't merge
+    viaRule(9L) shouldBe -999 // null → null
+  }
+}
