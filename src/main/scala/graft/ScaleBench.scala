@@ -68,6 +68,7 @@ object ScaleBench {
     // documents/embeddings corpora, and its sketch shape is already
     // mergeable by construction)
     "q_io5_partitioned_pruning", "q_io6_jsonl_gzip", "q_io7_compaction",
+    "q_io8_parquet_zstd",
     "q_x5_global_index", "q_v11_kmeans_step")
 
   // langid/quality gate vocabulary that must SURVIVE the Caesar shift: if

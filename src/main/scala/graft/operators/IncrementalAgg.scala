@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for sum/count aggregates — the other half
+  * of the CDC story ([[MergeInto]] maintains base tables; this maintains
+  * their AGGREGATES without recomputing them): given the current snapshot
+  * `(keys..., n_rows, sum_val)` and a signed delta batch
+  * `(keys..., sign ∈ {+1, −1}, value)`, produce the updated snapshot.
+  *
+  * Cost is proportional to the BATCH, never the history: one
+  * map-side-combinable aggregate over the delta, one full-outer equi-join
+  * against the snapshot (broadcastable when the touched-key set is small —
+  * the usual case), coalesced adds. Keys whose maintained count reaches 0
+  * drop out, so a fully-retracted key leaves no residue row. Counts are
+  * exact; the maintained sum equals the recomputed sum up to float
+  * summation order (sub-ulp — callers that hash-compare round, as
+  * everywhere else in this engine).
+  *
+  * This is the textbook distributive-aggregate IVM shape: it extends to
+  * any commutative-group aggregate (min/max are NOT maintainable under
+  * retraction without per-key state and are deliberately not offered).
+  */
+object IncrementalAgg {
+
+  def maintainSumCount(snapshot: DataFrame, delta: DataFrame,
+                       keys: Seq[String], valueCol: String = "value",
+                       signCol: String = "sign"): DataFrame = {
+    require(keys.nonEmpty, "maintainSumCount needs at least one key column")
+    val checkedSign = when(col(signCol) === 1 || col(signCol) === -1, col(signCol))
+      .otherwise(raise_error(concat(
+        lit(s"IncrementalAgg: $signCol must be +1 or -1, got "),
+        col(signCol).cast("string"))))
+    val dAgg = delta
+      .groupBy(keys.map(col): _*)
+      .agg(sum(checkedSign.cast("long")).as("__dn"),
+        sum(checkedSign.cast("double") * col(valueCol)).as("__dsum"))
+    snapshot.join(dAgg, keys, "full_outer")
+      .select(
+        keys.map(col) ++ Seq(
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("sum_val"), lit(0.0d)) + coalesce(col("__dsum"), lit(0.0d)))
+            .as("sum_val")): _*)
+      .filter(col("n_rows") =!= 0)
+  }
+}

@@ -480,6 +480,31 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_x7_incremental_agg" -> ((s, d) => {
+      // incremental view maintenance (operators/IncrementalAgg.scala): a
+      // per-customer (count, sum) snapshot built WITHOUT the %7 keys is
+      // maintained under a signed delta batch — late inserts (+1, the %7
+      // rows) and cancellations (−1, the %11 rows) — instead of being
+      // recomputed. The oracle aggregates the effective row set (all
+      // orders minus %11) directly, so a hash match proves
+      // snapshot ⊕ delta ≡ recompute. Work ∝ batch: one delta aggregate +
+      // one full-outer join; %77 keys insert and retract in one batch and
+      // must net out exactly
+      val o = Tables.orders(s, d)
+      val snapshot = o.filter(col("o_orderkey") % 7 =!= 0)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("sum_val"))
+      val inserts = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey"), lit(1).as("sign"), col("o_totalprice").as("value"))
+      val retracts = o.filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_custkey"), lit(-1).as("sign"), col("o_totalprice").as("value"))
+      graft.operators.IncrementalAgg.maintainSumCount(
+          snapshot, inserts.unionByName(retracts), Seq("o_custkey"))
+        .select(col("o_custkey"), col("n_rows"),
+          round(col("sum_val"), 2).as("sum_val"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // ---- W: window functions ------------------------------------------------
     "q_w1_running_sum" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -650,6 +675,21 @@ object RelationalQueries {
       graft.sources.Compaction.compactParquet(s, s"$base/frag",
         s"$base/compact", targetBytes = math.max(1L, total / 4))
       s.read.parquet(s"$base/compact").orderBy(col("doc_id"))
+    }),
+
+    "q_io8_parquet_zstd" -> ((s, d) => {
+      // zstd-compressed parquet: the 100 TB archive codec of choice —
+      // SPLITTABLE (unlike the q_io6 gzip JSONL: parquet compresses per
+      // page inside row groups, so scan parallelism survives the codec)
+      // with gzip-class ratios at much cheaper decompression. Value
+      // transparency hash-checked against the plain table; the .zstd
+      // part-file naming is pinned in CompactionSpec's sibling check.
+      val docs = Tables.documents(s, d)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_zstd_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid).toString
+      docs.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+      s.read.parquet(tmp).orderBy(col("doc_id"))
     }),
 
     "q_io4_orc_roundtrip" -> ((s, d) => {
@@ -2492,6 +2532,11 @@ object RelationalQueries {
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
 
+    "q_io8_parquet_zstd" ->
+      // codec value-transparency: same ground truth as q_io1/q_io7
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
     "q_io4_orc_roundtrip" ->
       // parquet ground truth, same as q_io1/q_io2
       """SELECT doc_id, text, lang, source, n_chars
@@ -2549,6 +2594,14 @@ object RelationalQueries {
                 o_orderdate, o_orderpriority
          FROM latest WHERE op = 'U'
          ORDER BY o_orderkey""",
+
+    "q_x7_incremental_agg" ->
+      // the RECOMPUTED aggregate over the effective row set — maintenance
+      // must be indistinguishable from recomputation
+      """SELECT o_custkey, count(*) AS n_rows,
+                round(sum(o_totalprice), 2) AS sum_val
+         FROM orders WHERE o_orderkey % 11 <> 0
+         GROUP BY 1 ORDER BY 1""",
 
     "q_a9_approx_distinct" ->
       // exact side recomputed; the accuracy-envelope boolean asserted TRUE

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class IncrementalAggSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def snap = Seq(
+    (1L, 2L, 30.0),  // two rows, sum 30
+    (2L, 1L, 5.0),
+    (3L, 1L, 7.0)).toDF("k", "n_rows", "sum_val")
+
+  test("insert, retract, full retraction drops the key, new key appears") {
+    val delta = Seq(
+      (1L, 1, 10.0),   // key 1 gains a row
+      (2L, -1, 5.0),   // key 2 fully retracted → must vanish
+      (4L, 1, 9.0),    // brand-new key
+      (4L, 1, 1.0)
+    ).toDF("k", "sign", "value")
+    val out = IncrementalAgg.maintainSumCount(snap, delta, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out shouldBe Array(
+      (1L, 3L, 40.0),
+      (3L, 1L, 7.0),  // untouched
+      (4L, 2L, 10.0))
+  }
+
+  test("insert-and-retract in one batch nets out exactly") {
+    val delta = Seq((9L, 1, 42.0), (9L, -1, 42.0)).toDF("k", "sign", "value")
+    val out = IncrementalAgg.maintainSumCount(snap, delta, Seq("k"))
+      .orderBy("k").collect().map(_.getLong(0))
+    out shouldBe Array(1L, 2L, 3L) // no residue row for key 9
+  }
+
+  test("maintenance equals recomputation on a random-ish workload") {
+    val base = (1 to 200).map(i => (i.toLong % 13, 1, (i * 7 % 101).toDouble))
+    val baseDf = base.toDF("k", "sign", "value")
+    val snapshot = baseDf.groupBy($"k")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum($"value").as("sum_val"))
+    // retract every 3rd base row, insert 50 new ones
+    val delta = base.zipWithIndex.collect { case ((k, _, v), i) if i % 3 == 0 => (k, -1, v) } ++
+      (1 to 50).map(i => ((i * 5 % 13).toLong, 1, (i * 11 % 97).toDouble))
+    val out = IncrementalAgg.maintainSumCount(snapshot, delta.toDF("k", "sign", "value"), Seq("k"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // local recompute of the effective multiset
+    val effective = base.zipWithIndex.collect { case ((k, _, v), i) if i % 3 != 0 => (k, v) } ++
+      (1 to 50).map(i => ((i * 5 % 13).toLong, (i * 11 % 97).toDouble))
+    val expected = effective.groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    out.keySet shouldBe expected.keySet
+    expected.foreach { case (k, (n, s)) =>
+      out(k)._1 shouldBe n
+      out(k)._2 shouldBe s +- 1e-6
+    }
+  }
+
+  test("a sign outside {+1, -1} raises") {
+    val delta = Seq((1L, 2, 1.0)).toDF("k", "sign", "value")
+    val ex = intercept[Exception] {
+      IncrementalAgg.maintainSumCount(snap, delta, Seq("k")).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    msgs should include("must be +1 or -1")
+  }
+}

@@ -57,4 +57,14 @@ class CompactionSpec extends AnyFunSuite with Matchers {
   test("dataBytes ignores _SUCCESS markers and missing dirs are zero") {
     Compaction.dataBytes(spark, tmpDir("nonexistent")) shouldBe 0L
   }
+
+  test("zstd parquet writes actually carry the codec in the part-file name") {
+    val base = tmpDir("zstd")
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.mode("overwrite").option("compression", "zstd").parquet(base)
+    val parts = new java.io.File(base).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    parts should not be empty
+    all(parts) should include(".zstd.parquet")
+  }
 }
