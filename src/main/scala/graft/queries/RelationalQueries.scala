@@ -301,6 +301,38 @@ object RelationalQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    "q_e5_except_all" -> ((s, d) => {
+      // MULTISET difference (vs q_e2's distinct except): each occurrence
+      // cancels one occurrence — the semantics that matter when the column
+      // has duplicates. Spark plans this as a count-annotated aggregate +
+      // generate, not a distinct — no silent dedup
+      val o = Tables.orders(s, d)
+      o.select(col("o_custkey"))
+        .exceptAll(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_e6_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .intersectAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "q_o2_pagination" -> ((s, d) =>
+      // keyset-free OFFSET/LIMIT pagination over a total order — page 3 of
+      // 50 (rows 100-149). At scale the offset still sorts only the
+      // per-partition heads (CollectLimit with skip), but the documented
+      // production pattern is KEYSET pagination (WHERE key > last_seen
+      // ORDER BY key LIMIT n) — the offset form re-pays the prefix every
+      // page, which is why this query pins the semantics, not the
+      // recommendation
+      Tables.orders(s, d)
+        .orderBy(col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .offset(100)
+        .limit(50)),
+
     "q_e4_union" -> ((s, d) => {
       val c = Tables.customer(s, d)
       c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
@@ -1785,6 +1817,23 @@ object RelationalQueries {
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
          INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          ORDER BY 1""",
+
+    "q_e5_except_all" ->
+      """SELECT o_custkey FROM orders
+         EXCEPT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY 1""",
+
+    "q_e6_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT ALL
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY 1""",
+
+    "q_o2_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders ORDER BY o_orderkey
+         LIMIT 50 OFFSET 100""",
 
     "q_e4_union" ->
       """SELECT DISTINCT c_custkey FROM (
