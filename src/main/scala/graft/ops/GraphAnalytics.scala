@@ -70,6 +70,32 @@ object GraphAnalytics {
     ranks
   }
 
+  /** Weakly-connected components over the flat edge list (direction
+    * ignored, the standard weak-CC semantics): each node labeled with the
+    * MINIMUM node id of its component. Delegates to GraphX's Pregel-based
+    * `connectedComponents` — the hash-min label propagation whose
+    * superstep count is the component diameter, each superstep one
+    * edge-partitioned message wave; the same engine tier the dedup
+    * clusters ([[graft.functions.Dedup.duplicateClusters]]) run on, here
+    * exposed for arbitrary node/edge tables.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = nodes.sparkSession
+    val vertices = nodes.select(col("id").cast("long")).rdd.map(r => (r.getLong(0), ()))
+    val es = edges.select(col("fromId").cast("long"), col("toId").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // edge endpoints absent from the node list (dangling references — the
+    // perturbed fixtures contain them) are materialized by GraphX and DO
+    // conduct connectivity; the OUTPUT is restricted back to the declared
+    // node list, matching degrees()/bfsLevels(). A phantom id may still
+    // WIN the min-label — both engines agree because both propagate
+    // through it.
+    spark.createDataFrame(Graph(vertices, es).connectedComponents().vertices)
+      .toDF("id", "component_id")
+      .join(nodes.select(col("id").cast("long")), Seq("id"), "left_semi")
+  }
+
   /** Single-source BFS levels: minimum hop count from `sourceId` to every
     * node, NULL for unreachable nodes. Classic distributed frontier
     * expansion — each level is ONE equi-join of the (tiny) frontier with

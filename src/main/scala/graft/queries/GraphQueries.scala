@@ -215,6 +215,16 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga5_components" -> ((s, _) => {
+      // weak connected components via the GraphX Pregel tier, min-id
+      // labels; the oracle re-derives them with recursive min-label
+      // propagation over the undirected fixture edges
+      val g = graph50(s)
+      GraphAnalytics.connectedComponents(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")))
+        .orderBy(col("id"))
+    }),
+
     "q_ga4_bfs_levels" -> ((s, _) => {
       // single-source reachability depth from the init node (id 0 — the
       // reference's walk start convention): frontier-expansion BFS, one
@@ -317,6 +327,21 @@ object GraphQueries {
           ORDER BY n.id""",
 
     "q_ga2_pagerank" -> pageRankSql(iters = 5, d = 0.85),
+
+    "q_ga5_components" ->
+      // undirected min-label propagation: reach set per node via the
+      // symmetrized edge list, component id = min reached id (every node
+      // reaches itself). Termination: the UNION dedups (node, reached)
+      // pairs and the pair space is finite — no level column to diverge
+      s"""WITH RECURSIVE e AS (
+            SELECT fromId AS a, toId AS b FROM $edgesTbl
+            UNION SELECT toId, fromId FROM $edgesTbl),
+          r(node, reached) AS (
+            SELECT id, id FROM $nodesTbl
+            UNION
+            SELECT r.node, e.b FROM r JOIN e ON e.a = r.reached)
+          SELECT node AS "id", min(reached) AS component_id
+          FROM r GROUP BY 1 ORDER BY 1""",
 
     "q_ga4_bfs_levels" ->
       // bounded recursive enumeration + min per node: UNION dedups exact

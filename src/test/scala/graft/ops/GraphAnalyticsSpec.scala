@@ -47,6 +47,19 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out(4L) shouldBe ((1.0 - d) / n) +- 1e-9
   }
 
+  test("connectedComponents labels weakly-connected sets by min id") {
+    val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // 1-2 and 3→2 (direction must not matter), 4-5 separate, nothing isolated... 6? use 5 alone
+    val e = Seq((1L, 2L), (3L, 2L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.connectedComponents(n, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 1L
+    out(3L) shouldBe 1L // weakly connected through reversed edge
+    out(4L) shouldBe 4L // isolated: own component
+    out(5L) shouldBe 5L
+  }
+
   test("bfsLevels: shortest hops, cycle-safe, NULL for unreachable") {
     // 1→2→3→1 cycle plus 1→3 shortcut; 4 unreachable; 5→1 points INTO the
     // component so 5 itself stays unreachable from 1
