@@ -57,7 +57,7 @@ object ScaleBench {
     "q_d13_incremental_dedup", "q_d14_incremental_parity",
     "q_d15_bloom_incremental", "q_d16_cross_source_overlap",
     "q_v4_knn_join", "q_v7_ivf_indexed", "q_v8_label_centroids",
-    "q_v10_quantized_topk", "q_v13_hybrid_retrieval",
+    "q_v10_quantized_topk", "q_v13_hybrid_retrieval", "q_v14_pq_adc",
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
     "q_sp4_mixture_weights", "q_sp5_grouped_split", "q_sp6_sequence_pack",
     "q_sp7_temperature_mix",

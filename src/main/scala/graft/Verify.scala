@@ -32,6 +32,7 @@ object Verify {
     Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
         "fx_stream_pairs.parquet", "fx_incdedup_stream.parquet",
         "fx_ivf_probes.parquet", "fx_ivf_centroids.parquet",
+        "fx_pq_codebooks.parquet",
         "fx_mitm_matches.parquet", "fx_mitm_walks.parquet",
         "fx_mitm_valuable.parquet", "fx_mitm50_matches.parquet")
       .foreach(f => deleteRec(new java.io.File(s"$outDir/$f")))
@@ -124,6 +125,24 @@ object Verify {
           s"$outDir/fx_ivf_centroids.parquet")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ivf-probe fixture export failed: ${e.getMessage}")
+      }
+    }
+    // q_v14's oracle input: the trained PQ codebooks in long form — DuckDB
+    // re-derives codeword assignment (the NearestCells rounded ranking),
+    // the ADC lookup table, and the top-k from these (training itself
+    // reuses the IVF Lloyd trainer verified by q_v11/q_v5)
+    if (selected("q_v14")) {
+      try {
+        import spark.implicits._
+        val embs = Tables.embeddings(spark, sfDir)
+        val model = graft.functions.PqIndex.ensureModel(spark, embs, sfDir, m = 8, k = 16)
+        graft.queries.GraphQueries.writeSingleFile(
+          model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+            cb.zipWithIndex.map { case (cw, c) => (j, c, cw) }
+          }.toDF("sub", "code", "vec"),
+          s"$outDir/fx_pq_codebooks.parquet")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] pq codebook fixture export failed: ${e.getMessage}")
       }
     }
     // q_gg7's oracle inputs (seeded Graph200 pipeline: raw match table +

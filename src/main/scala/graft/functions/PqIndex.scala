@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the compression tier of the standard
+  * IVF-PQ ANN stack (Jégou et al. 2011 shape): split each d-dim vector
+  * into `m` subvectors of d/m dims, k-means each subspace independently
+  * (`k` codewords), store each vector as `m` tinyint codes (here
+  * 64 float dims → 8 bytes: a 32× in-memory/shuffle reduction), and score
+  * queries WITHOUT decompression via ADC — per query, one m×k lookup
+  * table of exact subspace dot products, then each candidate costs m
+  * table lookups instead of d multiplies.
+  *
+  * 100 TB shape: training and the per-subspace assignment reuse the IVF
+  * machinery (the k×dsub codebooks ride into [[VectorExprs.NearestCells]]
+  * as plan literals — constant-size generated code per subspace); the
+  * corpus never shuffles as floats once encoded, and the ADC scan is a
+  * projection + TakeOrderedAndProject. Determinism: codeword assignment
+  * uses NearestCells' round(−2·x·c + |c|², 9) lower-id tie-break, the
+  * LUT is driver-computed left-to-right double accumulation, and the ADC
+  * sum unrolls j = 0..m−1 in order — the DuckDB oracle re-derives the
+  * whole pipeline from the exported codebooks, hash-for-hash.
+  */
+object PqIndex {
+
+  /** m × k × (d/m) codebooks. */
+  final case class PqModel(codebooks: Vector[Vector[Vector[Double]]]) {
+    def m: Int = codebooks.length
+    def k: Int = codebooks.head.length
+    def dsub: Int = codebooks.head.head.length
+  }
+
+  /** Train per-subspace codebooks by running the IVF Lloyd trainer on
+    * each subvector slice (same init rule, same mean updates).
+    */
+  def train(spark: SparkSession, embs: DataFrame, m: Int, k: Int,
+            iters: Int = 2, embCol: String = "embedding"): PqModel = {
+    val dims = embs.select(size(col(embCol))).head().getInt(0)
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val dsub = dims / m
+    PqModel((0 until m).map { j =>
+      val sub = embs.select(col("vec_id"),
+        slice(col(embCol), j * dsub + 1, dsub).as("embedding"))
+      IvfIndex.train(spark, sub, k, iters).centroids
+    }.toVector)
+  }
+
+  /** Encode each vector to its `m` codeword ids (array<tinyint> — k <= 127
+    * enforced). One NearestCells expression per subspace, nprobe = 1.
+    */
+  def encode(embs: DataFrame, model: PqModel,
+             embCol: String = "embedding"): DataFrame = {
+    require(model.k <= 127, s"k=${model.k} must fit a tinyint code")
+    val codes = array((0 until model.m).map { j =>
+      element_at(VectorExprs.nearestCells(
+        slice(col(embCol), j * model.dsub + 1, model.dsub),
+        model.codebooks(j).flatten, model.dsub, 1), 1).cast("tinyint")
+    }: _*)
+    embs.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** The per-query ADC lookup table: lut(j)(c) = <query_sub_j, codeword_c>
+    * (driver-side, left-to-right accumulation — the oracle's
+    * list_dot_product order).
+    */
+  def lookupTable(model: PqModel, query: Seq[Float]): Vector[Vector[Double]] = {
+    require(query.length == model.m * model.dsub,
+      s"query dims ${query.length} != ${model.m} * ${model.dsub}")
+    model.codebooks.zipWithIndex.map { case (cb, j) =>
+      cb.map { cw =>
+        var s = 0.0d
+        var d = 0
+        while (d < model.dsub) { s += query(j * model.dsub + d).toDouble * cw(d); d += 1 }
+        s
+      }
+    }
+  }
+
+  /** ADC top-k: approximate inner product of `query` with every encoded
+    * vector = Σ_j lut(j)(codes(j)), summed j = 0..m−1 (statically
+    * unrolled — no interpreted lambda), ranked by (rounded score DESC,
+    * vec_id). `excludeSelf` drops the query's own row when it lives in
+    * the corpus.
+    */
+  def adcTopK(encoded: DataFrame, model: PqModel, query: Seq[Float], k: Int,
+              excludeSelf: Option[Long] = None): DataFrame = {
+    val lut = lookupTable(model, query)
+    val score = (0 until model.m).map { j =>
+      element_at(typedLit(lut(j).toArray), element_at(col("codes"), j + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val base = excludeSelf.fold(encoded)(id => encoded.filter(col("vec_id") =!= id))
+    base.select(col("vec_id"), round(score, 6).as("adc_score"))
+      .orderBy(desc("adc_score"), col("vec_id"))
+      .limit(k)
+  }
+
+  // train-once per (context, corpusKey) — the ensureModel convention. The
+  // Lazy holder keeps the multi-second training OUTSIDE the map's bin lock
+  // (same hazard note as IvfIndex's caches).
+  private final class Lazy[A](thunk: => A) { lazy val value: A = thunk }
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), Lazy[PqModel]]()
+
+  def ensureModel(spark: SparkSession, embs: DataFrame, corpusKey: String,
+                  m: Int, k: Int): PqModel =
+    modelCache.computeIfAbsent((spark.sparkContext, s"$corpusKey/m$m/k$k"),
+      _ => new Lazy(train(spark, embs, m, k))).value
+}

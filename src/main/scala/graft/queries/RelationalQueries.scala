@@ -1495,6 +1495,21 @@ object RelationalQueries {
         excludeSelf = Some(0L))
     }),
 
+    "q_v14_pq_adc" -> ((s, d) => {
+      // product quantization + ADC scoring (functions/PqIndex.scala):
+      // 64 float dims → 8 tinyint codes (32× smaller), query scored
+      // against codes via an m×k lookup table — top-10 by approximate
+      // inner product with vec 0. Codebooks export as the oracle fixture;
+      // DuckDB re-derives assignment, LUT, and ranking from them
+      val embs = Tables.embeddings(s, d)
+      val model = graft.functions.PqIndex.ensureModel(s, embs, d, m = 8, k = 16)
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.functions.PqIndex.adcTopK(
+        graft.functions.PqIndex.encode(embs, model), model, q,
+        k = 10, excludeSelf = Some(0L))
+    }),
+
     "q_v13_hybrid_retrieval" -> ((s, d) =>
       // two-stage RAG-shaped search: BM25 recall (50 lexical candidates for
       // the q_t15 query terms) → dense cosine rerank against doc 0's
@@ -2658,6 +2673,36 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
                 true AS approx_within_3rsd
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_v14_pq_adc" ->
+      // full PQ pipeline re-derived from the exported codebooks: codeword
+      // assignment via the NearestCells rounded ranking (round(−2·x·c +
+      // |c|², 9), ties to the lower code), per-query LUT of exact subspace
+      // dot products, ADC score = Σ_j lut(j, code_j), top-10 on (rounded
+      // score DESC, vec_id). dsub = 8 (64 dims / m = 8)
+      """WITH cb AS (
+           SELECT sub, code, vec
+           FROM read_parquet('{{OUTDIR}}/fx_pq_codebooks.parquet')),
+         q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0),
+         dist AS (
+           SELECT v.vec_id, cb.sub, cb.code,
+                  round(-2 * list_dot_product(
+                          v.embedding[cb.sub*8 + 1 : cb.sub*8 + 8]::DOUBLE[], cb.vec)
+                        + list_dot_product(cb.vec, cb.vec), 9) AS dist
+           FROM embeddings v, cb),
+         codes AS (
+           SELECT vec_id, sub, code FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         lut AS (
+           SELECT cb.sub, cb.code,
+                  list_dot_product(q.e[cb.sub*8 + 1 : cb.sub*8 + 8], cb.vec) AS v
+           FROM cb, q),
+         sc AS (
+           SELECT c.vec_id, round(sum(l.v), 6) AS adc_score
+           FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+           GROUP BY 1)
+         SELECT vec_id, adc_score FROM sc WHERE vec_id <> 0
+         ORDER BY adc_score DESC, vec_id LIMIT 10""",
 
     "q_v13_hybrid_retrieval" ->
       // stage 1 = the q_t15 BM25 CTE cut at 50; stage 2 = cosine rerank of

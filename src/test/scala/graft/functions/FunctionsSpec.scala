@@ -1011,6 +1011,44 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .head().getLong(0) shouldBe out.maxBy { case (id, s) => (s, -id) }._1
   }
 
+  test("PQ encode+ADC is exact when vectors coincide with codewords") {
+    // 4 dims, m=2 (dsub=2): corpus vectors built FROM the codewords, so
+    // quantization is lossless and ADC == the exact inner product
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), // query
+      (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val model = PqIndex.PqModel(Vector(
+      Vector(Vector(1.0, 0.0), Vector(0.0, 1.0)),
+      Vector(Vector(1.0, 0.0), Vector(0.0, 1.0))))
+    val codes = PqIndex.encode(embs, model).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    codes(1L) shouldBe Seq[Byte](0, 0)
+    codes(2L) shouldBe Seq[Byte](1, 1)
+    codes(3L) shouldBe Seq[Byte](0, 1)
+    val q = Seq(1.0f, 0.0f, 0.0f, 1.0f)
+    val out = PqIndex.adcTopK(PqIndex.encode(embs, model), model, q,
+        k = 3, excludeSelf = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // exact dots: v1 = 1, v2 = 1, v3 = 2 → v3 first, then (1,1) by id
+    out shouldBe Array((3L, 2.0), (1L, 1.0), (2L, 1.0))
+  }
+
+  test("PQ trains per subspace and round-trips within quantization error") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(64).cache()
+    val model = PqIndex.train(spark, embs, m = 8, k = 4, iters = 1)
+    model.m shouldBe 8
+    model.dsub shouldBe 8
+    val enc = PqIndex.encode(embs, model)
+    enc.count() shouldBe 64
+    // every code is a valid codeword index
+    val mx = enc.select(array_max(col("codes")).cast("int"),
+      array_min(col("codes")).cast("int")).collect()
+    all(mx.map(_.getInt(0))) should be < 4
+    all(mx.map(_.getInt(1))) should be >= 0
+  }
+
   test("zipfProfile fits the textbook regression on a hand-computed corpus") {
     // freqs: a=4, b=2, c=1 → ranks 1,2,3
     val df = Seq((1L, "a a b c"), (2L, "a a b")).toDF("doc_id", "text")
