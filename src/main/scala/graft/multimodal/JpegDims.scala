@@ -92,8 +92,13 @@ case class JpegDims(child: Expression) extends UnaryExpression {
          |      if ($len < 2) break;
          |      if ($m >= 0xc0 && $m <= 0xcf && $m != 0xc4 && $m != 0xc8 && $m != 0xcc) {
          |        if ($len >= 7 && $i + 8 < $b.length) {
-         |          $r = ((long) ((($b[$i + 7] & 0xff) << 8) | ($b[$i + 8] & 0xff)) << 32)
-         |             | (long) ((($b[$i + 5] & 0xff) << 8) | ($b[$i + 6] & 0xff));
+         |          // named longs, no cast-then-shift: janino mis-parses
+         |          // "(long) (expr) << 32" as a type and FAILS the whole
+         |          // stage's codegen (silent interpreter fallback — found
+         |          // by grepping the gate log for CompileException)
+         |          long ${r}_w = (($b[$i + 7] & 0xff) << 8) | ($b[$i + 8] & 0xff);
+         |          long ${r}_h = (($b[$i + 5] & 0xff) << 8) | ($b[$i + 6] & 0xff);
+         |          $r = (${r}_w << 32) | ${r}_h;
          |        }
          |        break;
          |      }
