@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * summation order (sub-ulp — callers that hash-compare round, as
   * everywhere else in this engine).
   *
+  * Contract: retractions must retract PREVIOUSLY-INSERTED (key, value)
+  * rows — the CDC change-stream shape. Under that contract maintenance is
+  * batch-splitting associative (PropertySpec pins it); with fabricated
+  * retract values a key can reach count 0 carrying a float residual,
+  * which the n_rows = 0 drop discards by design.
+  *
   * This is the textbook distributive-aggregate IVM shape: it extends to
   * any commutative-group aggregate (min/max are NOT maintainable under
   * retraction without per-key state and are deliberately not offered).

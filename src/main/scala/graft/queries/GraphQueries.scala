@@ -235,6 +235,20 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // K3 — graph text WRITER: Graph50 rendered back to the reference's
+    // List(...):List(...) text format, re-parsed, nodes emitted. The
+    // oracle is the INDEPENDENT python parse of the ORIGINAL file
+    // (fx_graph50_nodes), so a hash match proves write→parse is a true
+    // inverse of parse — the writer can't drop or reformat a field
+    // without breaking the gate. (Round-trip was previously spec-only.)
+    "q_gk3_writer_roundtrip" -> ((s, _) => {
+      val g = GraphText.load(s, graph50Path)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_g50_rt_p" + ProcessHandle.current().pid + ".txt").toString
+      GraphText.write(s, g, tmp)
+      GraphText.load(s, tmp).toDS(s).nodes.toDF().orderBy(col("id"))
+    }),
+
     // S4 — binary .ngs scan (Java-serialization decode, endpoint re-link).
     // HASH-CHECKED since round 9: the oracle is the independent text parse
     // of the same graph (fx_graph200_nodes — see oracleSql), so the binary
@@ -379,6 +393,11 @@ object GraphQueries {
           SELECT n.id AS "id", coalesce(pn.c, 0) AS n_triangles
           FROM $nodesTbl n LEFT JOIN pn ON pn.id = n.id
           ORDER BY n.id""",
+
+    "q_gk3_writer_roundtrip" ->
+      // the independent parse of the ORIGINAL fixture — identical rows
+      // prove the writer+reparse round-trip lossless
+      s"SELECT * FROM $nodesTbl ORDER BY id",
 
     "q_gs1_text_scan" ->
       // a REAL parse oracle: Verify exports the base table via the

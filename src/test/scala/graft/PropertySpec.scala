@@ -168,4 +168,44 @@ class PropertySpec extends AnyFunSuite with Matchers {
       withClue(s"fractions $lo ⊄ $hi: ") { sLo.subsetOf(sHi) shouldBe true }
     }
   }
+
+  test("MergeInto is idempotent: applying the same batch twice changes nothing") {
+    // idempotence is the property that makes CDC replay safe: a re-delivered
+    // batch (at-least-once ingestion) must be a no-op on the second apply
+    val snap = (1 to 60).map(i => (i.toLong, s"name$i", i * 1.5)).toDF("k", "name", "price")
+    val changes = ((1 to 20).map(i => (i.toLong * 3, s"upd$i", i * 2.0, "U", i)) ++
+      (1 to 10).map(i => (i.toLong * 7, s"x", 0.0, "D", 100 + i)))
+      .toDF("k", "name", "price", "op", "seq")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    val once = graft.operators.MergeInto.merge(snap, changes, Seq("k"))
+    val twice = graft.operators.MergeInto.merge(once, changes, Seq("k"))
+    rows(twice) shouldBe rows(once)
+  }
+
+  test("IncrementalAgg: maintaining two batches == maintaining their union") {
+    // batch-splitting associativity is what lets a streaming maintainer
+    // apply deltas per micro-batch and still equal the batch recompute
+    val rnd2 = new scala.util.Random(42L)
+    val snap = (1 to 30).map(i => (i.toLong % 7, 1L, rnd2.nextInt(100).toDouble))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.size.toLong, vs.map(_._3).sum) }
+      .toSeq.toDF("k", "n_rows", "sum_val")
+    // retracts bounded below each key's snapshot count: the IVM contract
+    // says retractions retract previously-inserted rows, so an honest
+    // delta stream can't drive a key to count 0 while leaving a float
+    // residual (the n=0 drop discards sums by design)
+    val d1 = ((1 to 40).map(_ => (rnd2.nextInt(9).toLong, 1, rnd2.nextInt(50).toDouble)) ++
+      (0 to 6).map(k => (k.toLong, -1, 1.0))).toDF("k", "sign", "value")
+    val d2 = (1 to 40).map(_ => (rnd2.nextInt(9).toLong, 1, rnd2.nextInt(50).toDouble))
+      .toDF("k", "sign", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))
+        .sortBy(_._1)
+    val stepwise = graft.operators.IncrementalAgg.maintainSumCount(
+      graft.operators.IncrementalAgg.maintainSumCount(snap, d1, Seq("k")), d2, Seq("k"))
+    val together = graft.operators.IncrementalAgg.maintainSumCount(
+      snap, d1.unionByName(d2), Seq("k"))
+    rows(stepwise) shouldBe rows(together)
+  }
 }
