@@ -32,7 +32,8 @@ object AsOfJoin {
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                rightVals: Seq[String],
-               rightTiebreak: Option[String] = None): DataFrame = {
+               rightTiebreak: Option[String] = None,
+               forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
 
     val lSide = left.select(
@@ -65,8 +66,13 @@ object AsOfJoin {
         df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     }
 
+    // forward ("next right row at-or-after") is the SAME running-last scan
+    // over time reversed: descending __t, right rows still ahead of left
+    // rows at equal times (__side asc), greatest tiebreak still nearest
+    // to the left row in scan order
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .orderBy(if (forward) col("__t").desc else col("__t").asc,
+        col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lSide.unionByName(rSide)

@@ -899,6 +899,18 @@ object RelationalQueries {
           rightVals = Seq.empty, rightTiebreak = Some("o_orderkey"))
         .orderBy(col("event_id"))),
 
+    "q_as2_asof_forward" -> ((s, d) =>
+      // the FORWARD as-of: earliest order at-or-after each event — same
+      // single-shuffle union+window operator with the scan order reversed
+      graft.operators.AsOfJoin.leftAsOf(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, d),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightVals = Seq.empty, rightTiebreak = Some("o_orderkey"),
+          forward = true)
+        .orderBy(col("event_id"))),
+
     // ---- documents: text analysis (SURVEY §7.4 extension surface) -----------
     "q_t1_token_count" -> ((s, d) =>
       Tables.documents(s, d)
@@ -2447,6 +2459,13 @@ object RelationalQueries {
       """SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS asof_time
          FROM events e ASOF LEFT JOIN orders o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
+
+    "q_as2_asof_forward" ->
+      // DuckDB infers the forward direction from the flipped inequality
+      """SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS asof_time
+         FROM events e ASOF LEFT JOIN orders o
+           ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
          ORDER BY e.event_id""",
 
     "q_d3_simhash" ->

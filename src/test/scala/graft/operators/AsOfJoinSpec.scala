@@ -65,4 +65,23 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
       .head()
     out.getDouble(4) shouldBe 70.0 // okey=7 wins
   }
+
+  test("forward direction matches the EARLIEST right row at-or-after") {
+    val probes = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")), // next ref is 01-02
+      (2L, 10L, ts("2024-01-05 00:00:00")), // exactly at a ref → matches it
+      (3L, 10L, ts("2024-01-09 00:00:00"))  // after the last ref → null
+    ).toDF("event_id", "user_id", "ts")
+    val refs = Seq(
+      (10L, ts("2024-01-02 00:00:00"), 100.0),
+      (10L, ts("2024-01-05 00:00:00"), 200.0)
+    ).toDF("custkey", "otime", "price")
+    val out = AsOfJoin.leftAsOf(probes, refs,
+        "user_id", "custkey", "ts", "otime", Seq("price"), forward = true)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(4))))
+    out(0) shouldBe ((1L, Some(100.0)))
+    out(1) shouldBe ((2L, Some(200.0)))
+    out(2) shouldBe ((3L, None))
+  }
 }
