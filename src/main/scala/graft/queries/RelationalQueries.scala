@@ -512,6 +512,30 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_x8_observed_metrics" -> ((s, d) => {
+      // pipeline telemetry via CollectMetrics (df.observe + Observation):
+      // corpus counters ride the pipeline's OWN action as accumulators —
+      // zero extra scans, the way a 100 TB job reports its input/kept/
+      // dropped counts without a second pass. The query emits the
+      // observed metrics as a one-row table; the oracle recomputes them
+      // from the corpus, so the hash match proves the accumulator path
+      // counts exactly what a recount does
+      import org.apache.spark.sql.Observation
+      val obs = Observation()
+      val docs = Tables.documents(s, d)
+      val observed = docs.observe(obs,
+        count(lit(1)).as("n_in"),
+        count_if(col("lang") === "en").as("n_en"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      val nKept = observed
+        .filter(col("lang") === "en" && col("n_chars") >= 100).count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_in").asInstanceOf[Long], m("n_en").asInstanceOf[Long],
+        m("total_chars").asInstanceOf[Long], nKept))
+        .toDF("n_in", "n_en", "total_chars", "n_kept")
+    }),
+
     "q_x7_incremental_agg" -> ((s, d) => {
       // incremental view maintenance (operators/IncrementalAgg.scala): a
       // per-customer (count, sum) snapshot built WITHOUT the %7 keys is
@@ -2677,6 +2701,14 @@ object RelationalQueries {
                 o_orderdate, o_orderpriority
          FROM latest WHERE op = 'U'
          ORDER BY o_orderkey""",
+
+    "q_x8_observed_metrics" ->
+      // the recount the observe accumulators must equal
+      """SELECT count(*) AS n_in,
+                count(*) FILTER (lang = 'en') AS n_en,
+                sum(length(text))::BIGINT AS total_chars,
+                count(*) FILTER (lang = 'en' AND n_chars >= 100) AS n_kept
+         FROM documents""",
 
     "q_x7_incremental_agg" ->
       // the RECOMPUTED aggregate over the effective row set — maintenance
