@@ -69,7 +69,7 @@ object ScaleBench {
     // mergeable by construction)
     "q_io5_partitioned_pruning", "q_io6_jsonl_gzip", "q_io7_compaction",
     "q_io8_parquet_zstd",
-    "q_x5_global_index", "q_v11_kmeans_step")
+    "q_x5_global_index", "q_v11_kmeans_step", "q_x8_observed_metrics")
 
   // langid/quality gate vocabulary that must SURVIVE the Caesar shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

@@ -74,6 +74,35 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     q.count() shouldBe expected
   }
 
+  test("joining a filtered dim against the partitioned corpus triggers dynamic partition pruning") {
+    // DPP: the dim-side filter's values prune fact partitions at RUNTIME —
+    // the 100 TB join shape where the partition predicate isn't known
+    // until the small side is evaluated (vs q_io5's static literal prune)
+    val docs = Tables.documents(spark, sfDir)
+    val tmp = java.nio.file.Files.createTempDirectory("dpplang").toString + "/docs"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    // the dim must be a real SCAN carrying a filter: a local Seq folds its
+    // filter into the literal relation before planning, and DPP's
+    // has-selective-predicate check then sees nothing to derive pruning from
+    val dimPath = java.nio.file.Files.createTempDirectory("dppdim").toString + "/dim"
+    spark.createDataFrame(
+        Seq(("en", 1.0), ("de", 0.5), ("zh", 0.25), ("fr", 0.1), ("es", 0.1)))
+      .toDF("lang", "weight")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+      .filter(col("weight") >= 0.5) // en + de survive — only their dirs may be read
+    val fact = spark.read.parquet(tmp)
+    val q = fact.join(dim, "lang").groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("dynamicpruning")
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = docs.filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang")).agg(count(lit(1)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+  }
+
   test("persisted IVF index prunes partitions on probe and matches unpersisted results") {
     val embs = Tables.embeddings(spark, sfDir)
     val model = IvfIndex.train(spark, embs, k = 4, iters = 1)

@@ -102,4 +102,47 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     p50 shouldBe 25.0 // 0.5*(4-1)=1.5 → midpoint of 20,30
     p90 shouldBe (37.0 +- 1e-9) // 0.9*3=2.7 → 30 + 0.7*(40-30)
   }
+
+  test("trendingTopK ranks per window with deterministic ties and the k-cut") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0, ""),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0, ""),
+      (3L, ts("2024-01-01 10:15:00"), 1L, "view", 0.0, ""),
+      (4L, ts("2024-01-01 10:20:00"), 1L, "buy", 0.0, ""),
+      (5L, ts("2024-01-01 11:05:00"), 1L, "view", 0.0, ""),
+      (6L, ts("2024-01-01 11:06:00"), 1L, "buy", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventAnalytics.trendingTopK(events, k = 2)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    out shouldBe Array(
+      ("2024-01-01 10:00:00.0", "click", 2L, 1),
+      ("2024-01-01 10:00:00.0", "buy", 1L, 2), // count tie with view → 'buy' first lexicographically
+      ("2024-01-01 11:00:00.0", "buy", 1L, 1),
+      ("2024-01-01 11:00:00.0", "view", 1L, 2))
+  }
+
+  test("trendingTopK runs per micro-batch through foreachBatch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val perBatch = scala.collection.concurrent.TrieMap[Long, Array[(String, Long)]]()
+    val q = src.toDF().toDF("event_id", "ts", "event_type")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        perBatch(id) = EventAnalytics.trendingTopK(batch, k = 1)
+          .collect().map(r => (r.getString(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      src.addData((1L, ts("2024-01-01 10:01:00"), "click"),
+        (2L, ts("2024-01-01 10:02:00"), "click"),
+        (3L, ts("2024-01-01 10:03:00"), "view"))
+      q.processAllAvailable()
+      src.addData((4L, ts("2024-01-01 10:04:00"), "view"))
+      q.processAllAvailable()
+      perBatch(0L) shouldBe Array(("click", 2L))
+      perBatch(1L) shouldBe Array(("view", 1L)) // batch-local trending
+    } finally q.stop()
+  }
 }
