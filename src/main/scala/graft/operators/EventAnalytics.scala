@@ -41,6 +41,54 @@ object EventAnalytics {
         col("n_events"), col("rnk"))
   }
 
+  /** Hourly time-spine gap-fill (resample): the complete (event_type, hour)
+    * grid over the log's global [min, max] hour range, with empty hours
+    * materialized as rows — `n_events`/`sum_value` zero-filled, `is_gap`
+    * flagged, and the last non-empty hour's observation carried forward
+    * (`value_ffill` = that hour's rounded sum — the last-observation-
+    * carried-forward fill; NULL until a type's first non-empty hour). The
+    * shape every monitoring/trend query needs before it can difference or
+    * moving-average a sparse event log. The carried metric is the ROUNDED
+    * sum, not a mean: a mean of 2-decimal data lands exactly on decimal
+    * rounding halves (sum/2 with odd hundredths), where double-rounding
+    * engines legitimately disagree — consumers derive means from the
+    * carried (sum, count) pair under their own rounding policy.
+    *
+    * Scale: the aggregate partial-combines map-side and shuffles one row
+    * per (type, hour); the spine is |types| × |hours| rows built from a
+    * broadcast one-row bounds aggregate + an exploded `sequence` — bounded
+    * by the TIME RANGE and type cardinality, never event volume, which is
+    * also why the forward-fill window (partitioned by type, ordered by
+    * hour) is safe here: it sorts the spine, not the log.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val bounds = events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        round(coalesce(col("sv"), lit(0.0d)), 2).as("sum_value"),
+        col("n").isNull.as("is_gap"),
+        // carry the ROUNDED sum: rounding before the carry pins identical
+        // bits across engines/executor counts (see scaladoc on why not a
+        // mean); also carry the hour's count so consumers can divide
+        round(last(round(col("sv"), 2), ignoreNulls = true).over(w), 2)
+          .as("value_ffill"),
+        last(col("n"), ignoreNulls = true).over(w).as("n_ffill"))
+  }
+
   /** Distinct active users per (cohort first-seen day, day offset). The
     * first-seen table is one row per user — at event-log scale that is
     * millions of rows, so it joins on user_id without a broadcast hint

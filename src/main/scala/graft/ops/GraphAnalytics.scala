@@ -136,6 +136,59 @@ object GraphAnalytics {
       .select(col("id"), col("level"))
   }
 
+  /** Single-source shortest paths over the WEIGHTED edge list (the `cost`
+    * field the reference's Action edges carry, NetGraphComponent.scala:9-10
+    * — the first analytics consumer of that column): minimum total cost
+    * from `sourceId` to every node, NULL for unreachable nodes. Distributed
+    * Bellman-Ford: each round relaxes EVERY settled distance through the
+    * edge list — one equi-join keyed on fromId plus one map-side-combinable
+    * `min` keyed on toId — and the driver loop stops at the first round
+    * with no improvement (≤ |V|−1 rounds, the longest simple path). The
+    * distance vector is |V| rows regardless of edge count, persisted one
+    * round deep like [[pageRank]].
+    *
+    * Determinism note (why there is NO per-iteration rounding, unlike
+    * [[pageRank]]): the only aggregate here is `min`, which is exact and
+    * order-independent over IEEE doubles, and each candidate `d + cost` is
+    * a single addition whose operands are themselves deterministic — so a
+    * 1000-executor run is bit-identical to a single-node oracle with no
+    * rounding shim. Parallel edges are pre-collapsed to `min(cost)`
+    * (IEEE addition is monotone, so `d + min(cost) ≡ min(d + cost)`).
+    * Assumes no negative-cost cycles (negative edges themselves are fine);
+    * `maxIters` bounds the loop regardless.
+    */
+  def sssp(nodes: DataFrame, edges: DataFrame, sourceId: Long,
+           maxIters: Int = 1000): DataFrame = {
+    val e = edges.select(col("fromId"), col("toId"), col("cost"))
+      .groupBy(col("fromId"), col("toId")).agg(min(col("cost")).as("cost"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = nodes.select(col("id")).distinct()
+      .select(col("id"),
+        when(col("id") === sourceId, lit(0.0d)).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var backing: DataFrame = dist
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      it += 1
+      val cand = e.join(dist.filter(col("dist").isNotNull)
+          .select(col("id").as("fromId"), col("dist").as("du")), "fromId")
+        .groupBy(col("toId").as("id"))
+        .agg(min(col("du") + col("cost")).as("cand"))
+      // least() skips NULLs: an unreached node adopts its first candidate,
+      // a candidate-less node keeps its current distance
+      val joined = dist.join(cand, Seq("id"), "left")
+        .select(col("id"), col("dist"),
+          least(col("dist"), col("cand")).as("nd"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = joined.filter(!(col("dist") <=> col("nd"))).count()
+      backing.unpersist()
+      backing = joined
+      dist = joined.select(col("id"), col("nd").as("dist"))
+    }
+    dist
+  }
+
   /** Per-node triangle count (plus zero rows from the node list) via the
     * compact-forward shape: undirect + canonicalize each edge to
     * (least, greatest), drop self-loops, then the two-join enumeration

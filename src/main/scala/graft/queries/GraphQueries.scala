@@ -235,6 +235,19 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga6_sssp" -> ((s, _) => {
+      // weighted single-source shortest paths from the init node (id 0),
+      // over the Action edges' cost field — distributed Bellman-Ford, one
+      // relax join + min-agg per round; bit-exact vs the oracle because
+      // min is order-independent (no rounding shim needed, see sssp doc)
+      val g = graph50(s)
+      GraphAnalytics.sssp(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId"), col("cost")),
+          sourceId = 0L)
+        .select(col("id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("id"))
+    }),
+
     // K3 — graph text WRITER: Graph50 rendered back to the reference's
     // List(...):List(...) text format, re-parsed, nodes emitted. The
     // oracle is the INDEPENDENT python parse of the ORIGINAL file
@@ -328,7 +341,44 @@ object GraphQueries {
          SELECT id AS "id", round(rank, 6) AS "rank" FROM r$iters ORDER BY id"""
   }
 
+  /** Unrolled Bellman-Ford: `iters` chained CTEs, each one relax round —
+    * min(prev.d + cost) per target merged with the carried distance. 60
+    * rounds > |V(Graph50)|−1, and extra rounds past the fixpoint are
+    * no-ops, so both engines land on the same vector regardless of the
+    * Spark side's early stop. No rounding inside the loop: `min` and a
+    * single `+` are bit-deterministic in both engines (see
+    * [[graft.ops.GraphAnalytics.sssp]]).
+    */
+  private def ssspSql(iters: Int, sourceId: Long): String = {
+    val base =
+      s"""WITH e AS MATERIALIZED (
+            SELECT fromId, toId, min(cost) AS cost FROM $edgesTbl
+            GROUP BY 1, 2),
+          d0 AS MATERIALIZED (
+            SELECT id, CASE WHEN id = $sourceId THEN CAST(0 AS DOUBLE) END AS d
+            FROM $nodesTbl)"""
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+          d$k AS MATERIALIZED (
+            SELECT p.id,
+                   CASE WHEN c.m IS NULL THEN p.d
+                        WHEN p.d IS NULL THEN c.m
+                        WHEN c.m < p.d THEN c.m ELSE p.d END AS d
+            FROM d${k - 1} p
+            LEFT JOIN (
+              SELECT e.toId AS id, min(r.d + e.cost) AS m
+              FROM e JOIN d${k - 1} r ON r.id = e.fromId
+              WHERE r.d IS NOT NULL
+              GROUP BY 1) c ON c.id = p.id)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+          SELECT id AS "id", round(d, 6) AS dist FROM d$iters ORDER BY id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_ga6_sssp" -> ssspSql(iters = 60, sourceId = 0L),
+
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),
           o AS (SELECT fromId AS id, count(*) AS c FROM e GROUP BY 1),

@@ -651,6 +651,14 @@ object RelationalQueries {
           Seq("signup", "click", "purchase"))
         .orderBy(col("stage"))),
 
+    "q_ev11_gap_fill" -> ((s, d) =>
+      // hourly time-spine resample: every (type, hour) cell of the global
+      // range materialized, zero-filled counts, gap flags, and mean value
+      // carried forward from the last non-empty hour — the spine is
+      // time-range-sized, so the ffill window sorts it, never the log
+      graft.operators.EventAnalytics.gapFillHourly(Tables.events(s, d))
+        .orderBy(col("event_type"), col("hour"))),
+
     // ---- multimodal plumbing (binary payload + typed metadata) --------------
     "q_m1_media_features" -> ((s, d) => {
       // documents.text cast to binary stands in for real image/audio bytes;
@@ -2579,6 +2587,41 @@ object RelationalQueries {
            UNION ALL SELECT '2_click', user_id FROM s2
            UNION ALL SELECT '3_purchase', user_id FROM s3)
          GROUP BY 1 ORDER BY 1""",
+
+    "q_ev11_gap_fill" ->
+      // complete (type, hour) grid via generate_series over the global hour
+      // bounds; LOCF via last_value IGNORE NULLS over the spine (the same
+      // bounded window Spark's last(_, ignoreNulls=true) runs). The carried
+      // metric is the ROUNDED sum — rounding before the carry pins the
+      // cross-engine bits (a carried MEAN of 2-decimal data lands exactly
+      // on decimal halves, where double rounding diverges)
+      """WITH agg AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+                  count(*) AS n, sum(value) AS sv
+           FROM events GROUP BY 1, 2),
+         b AS (
+           SELECT date_trunc('hour', min(ts)) AS h0,
+                  date_trunc('hour', max(ts)) AS h1
+           FROM events),
+         spine AS (
+           SELECT t.event_type,
+                  unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+           FROM (SELECT DISTINCT event_type FROM events) t, b)
+         SELECT s.event_type, s.hour,
+                coalesce(a.n, 0) AS n_events,
+                round(coalesce(a.sv, 0), 2) AS sum_value,
+                a.n IS NULL AS is_gap,
+                round(last_value(round(a.sv, 2) IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS value_ffill,
+                last_value(a.n IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS n_ffill
+         FROM spine s
+         LEFT JOIN agg a ON a.event_type = s.event_type AND a.hour = s.hour
+         ORDER BY 1, 2""",
 
     "q_ev5_sliding" ->
       """WITH w AS (SELECT user_id, time_bucket(INTERVAL '5 minutes', ts) AS b FROM events),

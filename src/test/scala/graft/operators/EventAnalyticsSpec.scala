@@ -145,4 +145,32 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
       perBatch(1L) shouldBe Array(("view", 1L)) // batch-local trending
     } finally q.stop()
   }
+
+  test("gapFillHourly: empty hours materialize, zero-fill, and carry the last mean forward") {
+    // type a: data at 10:00 (mean 2.0) and 13:00 (mean 6.0), gaps 11-12;
+    // type b: first appears at 12:00 — its 10-11 cells are leading gaps
+    // with NULL ffill (nothing to carry yet)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:10:00"), "a", 1.0),
+      (2L, ts("2024-01-01 10:20:00"), "a", 3.0),
+      (3L, ts("2024-01-01 13:59:00"), "a", 6.0),
+      (4L, ts("2024-01-01 12:30:00"), "b", 5.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val out = EventAnalytics.gapFillHourly(events)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 13)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))))
+      .toMap
+    out.size shouldBe 8 // 2 types x 4 hours (10..13): the FULL grid
+    out(("a", "10")) shouldBe ((2L, 4.0, false, Some(4.0), Some(2L)))
+    out(("a", "11")) shouldBe ((0L, 0.0, true, Some(4.0), Some(2L))) // carried
+    out(("a", "12")) shouldBe ((0L, 0.0, true, Some(4.0), Some(2L)))
+    out(("a", "13")) shouldBe ((1L, 6.0, false, Some(6.0), Some(1L)))
+    out(("b", "10")) shouldBe ((0L, 0.0, true, None, None)) // leading gap: no carry
+    out(("b", "11")) shouldBe ((0L, 0.0, true, None, None))
+    out(("b", "12")) shouldBe ((1L, 5.0, false, Some(5.0), Some(1L)))
+    out(("b", "13")) shouldBe ((0L, 0.0, true, Some(5.0), Some(1L)))
+  }
 }

@@ -75,6 +75,34 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out(5L) shouldBe None
   }
 
+  test("sssp: cheapest weighted path beats fewer hops; parallel edges; NULL unreachable") {
+    // 1→2 (5.0) vs 1→3→2 (1.0+1.5=2.5): the 2-hop path wins on weight;
+    // parallel 1→3 edges keep the cheaper; 4 unreachable; 5→1 points in
+    val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq(
+      (1L, 2L, 5.0), (1L, 3L, 1.0), (1L, 3L, 9.0) /* parallel, ignored */,
+      (3L, 2L, 1.5), (2L, 1L, 0.1) /* back edge: cycle-safe */,
+      (5L, 1L, 0.2))
+      .toDF("fromId", "toId", "cost")
+    val out = GraphAnalytics.sssp(n, e, sourceId = 1L)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    out(1L) shouldBe Some(0.0)
+    out(2L) shouldBe Some(2.5)
+    out(3L) shouldBe Some(1.0)
+    out(4L) shouldBe None
+    out(5L) shouldBe None
+  }
+
+  test("sssp converges early on a DAG and keeps the source at zero") {
+    // chain 1→2→3 with a tempting-but-costlier shortcut 1→3
+    val n = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 3.0))
+      .toDF("fromId", "toId", "cost")
+    val out = GraphAnalytics.sssp(n, e, sourceId = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out shouldBe Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0)
+  }
+
   test("triangleCounts finds each triangle once, ignoring direction/loops") {
     // triangle 1-2-3 (one edge reversed), pendant 3-4, self-loop 2-2
     val e = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (2L, 2L))
