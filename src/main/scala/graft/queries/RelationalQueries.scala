@@ -789,6 +789,26 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_io9_sorted_layout" -> ((s, d) => {
+      // sort-clustered layout: lineitem rewritten repartitionByRange +
+      // sortWithinPartitions on l_orderkey, so part files carry disjoint
+      // min/max bands in their footers (pinned in SortedLayoutSpec) and a
+      // pushed-down range predicate skips whole row groups — zone-map
+      // pruning for high-cardinality columns, the write-side twin of
+      // q_io5's directory pruning. Oracle = the same filter over the
+      // plain table: the layout must change the scan, never the rows.
+      val li = Tables.lineitem(s, d)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_sorted_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid).toString
+      graft.sources.SortedLayout.writeSorted(li, tmp, "l_orderkey", numFiles = 8)
+      s.read.parquet(tmp)
+        .filter(col("l_orderkey").between(500, 1500))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q_io6_jsonl_gzip" -> ((s, d) => {
       // compressed interchange: q_io1's JSONL round-trip under a gzip
       // codec. gzip is NOT splittable — each .gz part file is exactly one
@@ -1480,6 +1500,43 @@ object RelationalQueries {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok")).limit(20)),
 
+    "q_a14_cms_heavy_hitters" -> ((s, d) => {
+      // count-min sketch frequency estimates for the exact top-k heavy
+      // hitters, gated by the q_a9/q_a12 envelope pattern: the sketch is
+      // Spark's mergeable count_min_sketch aggregate (map-side partials,
+      // ONE ~100 KB blob to the driver — the shape that survives unbounded
+      // token cardinality where the exact count table can't), and the
+      // output asserts the CMS guarantees the oracle can re-state — the
+      // estimate never undercounts (structural), and overcounts by at most
+      // eps·N (w.p. ≥ confidence; seeded, so deterministic here). A broken
+      // sketch fails the hash gate. One persisted exploded-token pass
+      // feeds both the exact counts and the sketch.
+      import s.implicits._
+      val eps = 1e-3
+      val toks = graft.functions.Spread.forExplode(
+          Tables.documents(s, d), col("doc_id"))
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(desc("n_exact"), col("tok")).limit(20).collect()
+        val blob = toks
+          .agg(expr(s"count_min_sketch(tok, CAST($eps AS DOUBLE), " +
+            "CAST(0.99 AS DOUBLE), 42)").as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(blob))
+        val bound = math.ceil(eps * cms.totalCount()).toLong
+        top.toSeq.map { r =>
+          val tok = r.getString(0)
+          val exact = r.getLong(1)
+          val est = cms.estimateCount(tok)
+          (tok, exact, est >= exact, est <= exact + bound)
+        }.toDF("tok", "n_exact", "est_ge_exact", "est_within_eps")
+          .orderBy(desc("n_exact"), col("tok"))
+      } finally { toks.unpersist(); () }
+    }),
+
     // ---- similarity search --------------------------------------------------
     "q_v1_knn_brute" -> ((s, d) => {
       val query = Tables.embeddings(s, d).filter(col("vec_id") === 0)
@@ -1849,6 +1906,16 @@ object RelationalQueries {
     "q_a11_heavy_hitters" ->
       """SELECT tok, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""",
+
+    "q_a14_cms_heavy_hitters" ->
+      // envelope oracle (the q_a9/q_a12 pattern): DuckDB re-derives the
+      // exact top-k counts and asserts the CMS guarantee booleans the
+      // Spark side computed from the sketch — never-undercount and
+      // overcount ≤ eps·N must both hold, or the hash gate fails
+      """SELECT tok, count(*) AS n_exact,
+                true AS est_ge_exact, true AS est_within_eps
+         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""",
 
     "q_a8_tiebreak_score" ->
@@ -2703,6 +2770,14 @@ object RelationalQueries {
       // value-transparent
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    "q_io9_sorted_layout" ->
+      // same range predicate over the plain table: sort-clustering must
+      // change the scan (disjoint footer bands), never the rows
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+                round(l_extendedprice, 2) AS l_extendedprice
+         FROM lineitem WHERE l_orderkey BETWEEN 500 AND 1500
+         ORDER BY 1, 2""",
 
     "q_x5_global_index" ->
       // the TEXTBOOK single-task global window — exactly the plan the

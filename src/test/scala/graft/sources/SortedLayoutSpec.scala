@@ -1,0 +1,63 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SortedLayoutSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def tmpDir(tag: String) =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sortedspec_${tag}_p" + ProcessHandle.current().pid).toString
+
+  test("writeSorted produces pairwise-disjoint footer bands; plain write does not") {
+    val df = spark.range(0, 10000).select(col("id").as("k"),
+      (col("id") % 97).as("v"))
+    // shuffle the rows first so the input arrives in no particular order
+    val shuffled = df.orderBy(xxhash64(col("k")))
+
+    val sortedPath = tmpDir("sorted")
+    SortedLayout.writeSorted(shuffled, sortedPath, "k", numFiles = 4)
+    val bands = SortedLayout.footerRanges(spark, sortedPath, "k")
+    bands.size shouldBe 4
+    // disjoint: sort bands by min; each min must exceed the previous max
+    val byMin = bands.sortBy(_._2)
+    byMin.sliding(2).foreach {
+      case Seq((_, _, prevMax), (_, nextMin, _)) =>
+        nextMin should be > prevMax
+      case _ =>
+    }
+    // the bands jointly cover the full domain
+    byMin.head._2 shouldBe 0L
+    byMin.last._3 shouldBe 9999L
+
+    // baseline: the same data written WITHOUT sort-clustering — every part
+    // file's band spans (almost) the whole domain, so a range predicate
+    // can skip nothing. This is the claim .explain cannot show.
+    val plainPath = tmpDir("plain")
+    shuffled.repartition(4).write.mode("overwrite").parquet(plainPath)
+    val plainBands = SortedLayout.footerRanges(spark, plainPath, "k")
+    plainBands.foreach { case (_, mn, mx) =>
+      (mx - mn) should be > 9000L // each file spans ~the full key domain
+    }
+
+    // value transparency: the layout changes the scan, never the rows
+    val back = spark.read.parquet(sortedPath)
+      .filter(col("k").between(2500, 7500))
+    back.count() shouldBe 5001L
+    back.agg(sum(col("v"))).head().getLong(0) shouldBe
+      df.filter(col("k").between(2500, 7500)).agg(sum(col("v"))).head().getLong(0)
+  }
+
+  test("range predicate on the sorted layout is pushed down to the scan") {
+    val path = tmpDir("pushdown")
+    SortedLayout.writeSorted(
+      spark.range(0, 1000).select(col("id").as("k")), path, "k", numFiles = 2)
+    val plan = spark.read.parquet(path).filter(col("k") > 500)
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters: [IsNotNull(k), GreaterThan(k,500)]")
+  }
+}
