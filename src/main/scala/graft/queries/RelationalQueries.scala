@@ -22,6 +22,64 @@ import org.apache.spark.sql.expressions.Window
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Temp views for the SQL-front-door queries (q_sql1–q_sql3): the same
+    * Tables.* readers every DataFrame query uses, exposed under the
+    * standard names so ONE SQL string runs verbatim in Spark and DuckDB.
+    */
+  private def sqlViews(s: SparkSession, d: String): Unit = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+  }
+
+  /** TPC-H Q3 shape (shipping-priority revenue top-k): 3-way join, pushed
+    * date/segment filters, grouped revenue, top-10 on the ROUNDED revenue
+    * so the limit boundary is deterministic cross-engine.
+    */
+  private val sqlQ3: String =
+    """SELECT l_orderkey,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+              o_orderdate
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10"""
+
+  /** TPC-H Q4 shape (order-priority check): correlated EXISTS — Spark
+    * plans it as a left semi join; the subquery predicate correlates on
+    * BOTH the key and the outer row's date. (The fixture has no
+    * l_commitdate/l_receiptdate, so the inner predicate is
+    * shipped-after-ordering instead of Q4's late-commit check.)
+    */
+  private val sqlExists: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** Scalar-subquery threshold: customers above half the maximum balance.
+    * The threshold is max·0.5 — `max` is exact and order-independent and
+    * ×0.5 is a power-of-two scale, so the comparison is bit-identical
+    * cross-engine (an avg-based threshold would differ in the low bits
+    * with summation order).
+    */
+  private val sqlScalar: String =
+    """SELECT c_nationkey, count(*) AS n_above
+       FROM customer
+       WHERE c_acctbal > (SELECT max(c_acctbal) FROM customer) * 0.5
+       GROUP BY c_nationkey
+       ORDER BY c_nationkey"""
+
   /** The one IVF model every q_v* query shares, via the train-once cache:
     * deterministic training (same corpus, k=8, iters=2) makes the cached
     * model identical to a per-query retrain, so reuse changes no result —
@@ -1500,6 +1558,18 @@ object RelationalQueries {
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("tok")).limit(20)),
 
+    // ---- SQL front door -----------------------------------------------------
+    // The same ANSI SQL text runs through BOTH engines: Spark executes it
+    // via spark.sql over temp views of the sfDir tables, and the oracle map
+    // hands the IDENTICAL string to DuckDB — the query and its oracle
+    // cannot drift because they are one constant. This gates the library's
+    // SQL parser/analyzer path (join reordering, semi-join planning for
+    // EXISTS, scalar-subquery broadcast) end to end, not just the
+    // DataFrame DSL the other queries use.
+    "q_sql1_join_topk" -> ((s, d) => { sqlViews(s, d); s.sql(sqlQ3) }),
+    "q_sql2_exists" -> ((s, d) => { sqlViews(s, d); s.sql(sqlExists) }),
+    "q_sql3_scalar_subquery" -> ((s, d) => { sqlViews(s, d); s.sql(sqlScalar) }),
+
     "q_a14_cms_heavy_hitters" -> ((s, d) => {
       // count-min sketch frequency estimates for the exact top-k heavy
       // hitters, gated by the q_a9/q_a12 envelope pattern: the sketch is
@@ -1907,6 +1977,12 @@ object RelationalQueries {
       """SELECT tok, count(*) AS n FROM (
            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""",
+
+    // the SQL front door's oracles ARE the query strings — one constant,
+    // two engines, drift impossible
+    "q_sql1_join_topk" -> sqlQ3,
+    "q_sql2_exists" -> sqlExists,
+    "q_sql3_scalar_subquery" -> sqlScalar,
 
     "q_a14_cms_heavy_hitters" ->
       // envelope oracle (the q_a9/q_a12 pattern): DuckDB re-derives the
