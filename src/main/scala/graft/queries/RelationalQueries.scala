@@ -709,6 +709,14 @@ object RelationalQueries {
           Seq("signup", "click", "purchase"))
         .orderBy(col("stage"))),
 
+    "q_ev12_interval_left_join" -> ((s, d) =>
+      // stream-stream LEFT OUTER interval join (batch form of the identical
+      // plan): errors followed — or NOT followed (NULL event_b) — by a
+      // same-user purchase within 10 minutes
+      graft.streaming.EventStreams.intervalLeftJoin(Tables.events(s, d),
+          leftType = "error", rightType = "purchase", intervalSecs = 600)
+        .orderBy(col("event_a"), col("event_b"))),
+
     "q_ev11_gap_fill" -> ((s, d) =>
       // hourly time-spine resample: every (type, hour) cell of the global
       // range materialized, zero-filled counts, gap flags, and mean value
@@ -2730,6 +2738,21 @@ object RelationalQueries {
            UNION ALL SELECT '2_click', user_id FROM s2
            UNION ALL SELECT '3_purchase', user_id FROM s3)
          GROUP BY 1 ORDER BY 1""",
+
+    "q_ev12_interval_left_join" ->
+      // the right-side type filter belongs in the ON clause (it restricts
+      // MATCHES, not left rows) — mirroring the Spark side's filter-before-
+      // join, which Catalyst keeps on the build side of the outer join
+      """SELECT a.event_id AS event_a, a.user_id AS user_id,
+                b.event_id AS event_b
+         FROM events a
+         LEFT JOIN events b
+           ON b.user_id = a.user_id
+          AND b.event_type = 'purchase'
+          AND b.ts > a.ts
+          AND b.ts <= a.ts + INTERVAL 600 SECONDS
+         WHERE a.event_type = 'error'
+         ORDER BY 1, 3""",
 
     "q_ev11_gap_fill" ->
       // complete (type, hour) grid via generate_series over the global hour

@@ -55,6 +55,33 @@ object EventStreams {
         col("a.user_id").as("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — "which `leftType` events were
+    * (not) followed by a `rightType` event from the same user within
+    * `intervalSecs`?" Unmatched left rows survive with a NULL `event_b`;
+    * in a live stream they are emitted only once the watermark passes
+    * `a.ts + interval` (the engine must be sure no match can still
+    * arrive), which is exactly why BOTH sides carry the watermark and the
+    * join condition bounds b.ts on both ends — the outer side's state is
+    * reaped on the same schedule as the inner join's
+    * ([[intervalSelfJoin]]'s state note applies unchanged). The identical
+    * plan runs batch (q_ev12's DuckDB oracle) and streaming (null
+    * emission after watermark passage pinned in EventStreamsSpec).
+    */
+  def intervalLeftJoin(events: DataFrame, leftType: String, rightType: String,
+                       intervalSecs: Long,
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val wm = events.withWatermark("ts", watermarkDelay)
+    val l = wm.filter(col("event_type") === leftType).alias("a")
+    val r = wm.filter(col("event_type") === rightType).alias("b")
+    l.join(r,
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr(s"INTERVAL $intervalSecs SECONDS"),
+        "left_outer")
+      .select(col("a.event_id").as("event_a"), col("a.user_id").as("user_id"),
+        col("b.event_id").as("event_b"))
+  }
+
   /** Tumbling-window counts/sums per event type with a 10-minute watermark. */
   def windowedCounts(events: DataFrame, windowLen: String = "5 minutes"): DataFrame =
     events

@@ -80,6 +80,38 @@ class EventStreamsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("intervalLeftJoin emits unmatched-left NULL rows only after the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+    def ev(id: Long, user: Long, secs: Long, ty: String) =
+      EventStreams.Event(id, ts(secs), user, ty, 1.0, "")
+    val src = MemoryStream[EventStreams.Event]
+    val q = EventStreams.intervalLeftJoin(src.toDF(), "error", "purchase",
+        intervalSecs = 60, watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ev_leftjoin").start()
+    def rows() = spark.table("ev_leftjoin").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    try {
+      // error 1 matched in-batch; error 2 has no purchase (yet)
+      src.addData(ev(1, 7L, 0, "error"), ev(10, 7L, 30, "purchase"),
+        ev(2, 8L, 10, "error"))
+      q.processAllAvailable()
+      rows() shouldBe Set((1L, Some(10L))) // 2 is still pending, NOT emitted
+      // advance the watermark far past 2's interval+delay: the engine can
+      // now PROVE no match will arrive and emits the NULL row
+      src.addData(ev(99, 9L, 600, "error"))
+      q.processAllAvailable()
+      src.addData(ev(100, 9L, 1200, "purchase")) // nudge watermark again
+      q.processAllAvailable()
+      rows() should contain((2L, None))
+      rows() should not contain ((2L, Some(10L))) // wrong-user never matches
+    } finally q.stop()
+  }
+
   test("sessionize splits on inactivity gaps") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
