@@ -1578,6 +1578,29 @@ object RelationalQueries {
     "q_sql2_exists" -> ((s, d) => { sqlViews(s, d); s.sql(sqlExists) }),
     "q_sql3_scalar_subquery" -> ((s, d) => { sqlViews(s, d); s.sql(sqlScalar) }),
 
+    "q_a15_winsorize" -> ((s, d) => {
+      // per-group winsorization (outlier clipping at p01/p99): one exact
+      // grouped percentile pass (group-count-sized result, broadcast back)
+      // + one clip projection — the standard numeric-cleaning step before
+      // feature aggregation. Parity note: the clip COMPARISON uses the
+      // unrounded percentile on both engines — safe because an interpolated
+      // cut either equals a data value exactly (frac = 0: no arithmetic,
+      // identical bits) or is irrational-ish relative to the 2-decimal
+      // data, so no row sits between the engines' low-bit variants; only
+      // the OUTPUT is rounded. approx_percentile is the unbounded-
+      // cardinality swap-in, as in q_a10/q_a12.
+      val li = Tables.lineitem(s, d)
+      val qs = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.01, 0.99))").as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("lo"), element_at(col("qs"), 2).as("hi"))
+      li.join(broadcast(qs), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 4)
+            .as("clipped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q_a14_cms_heavy_hitters" -> ((s, d) => {
       // count-min sketch frequency estimates for the exact top-k heavy
       // hitters, gated by the q_a9/q_a12 envelope pattern: the sketch is
@@ -1991,6 +2014,21 @@ object RelationalQueries {
     "q_sql1_join_topk" -> sqlQ3,
     "q_sql2_exists" -> sqlExists,
     "q_sql3_scalar_subquery" -> sqlScalar,
+
+    "q_a15_winsorize" ->
+      // quantile_cont == Spark's percentile (linear p·(n−1) interpolation,
+      // the q_a10-proven pairing); the clip compares UNROUNDED cuts — see
+      // the query comment for why that is cross-engine safe here
+      """WITH q AS (
+           SELECT l_returnflag,
+                  quantile_cont(l_extendedprice, 0.01) AS lo,
+                  quantile_cont(l_extendedprice, 0.99) AS hi
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                round(least(greatest(l.l_extendedprice, q.lo), q.hi), 4)
+                  AS clipped
+         FROM lineitem l JOIN q USING (l_returnflag)
+         ORDER BY 1, 2""",
 
     "q_a14_cms_heavy_hitters" ->
       // envelope oracle (the q_a9/q_a12 pattern): DuckDB re-derives the
