@@ -709,6 +709,22 @@ object RelationalQueries {
           Seq("signup", "click", "purchase"))
         .orderBy(col("stage"))),
 
+    "q_ev13_session_window" -> ((s, d) =>
+      // DECLARATIVE sessionization: Spark's built-in session_window grouping
+      // (dynamic-gap merge inside the aggregate — sessions close when the
+      // next event is >= gap after the last). Complements q_ev3's
+      // flatMapGroupsWithState sessionizer: same gap semantics, but this
+      // form is a plain aggregate Catalyst can plan (and, in streaming,
+      // merge with watermark-evicted state) with no user state code.
+      // Session end = last ts + gap, per the [start, end) window contract.
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     "q_ev12_interval_left_join" -> ((s, d) =>
       // stream-stream LEFT OUTER interval join (batch form of the identical
       // plan): errors followed — or NOT followed (NULL event_b) — by a
@@ -2776,6 +2792,33 @@ object RelationalQueries {
            UNION ALL SELECT '2_click', user_id FROM s2
            UNION ALL SELECT '3_purchase', user_id FROM s3)
          GROUP BY 1 ORDER BY 1""",
+
+    "q_ev13_session_window" ->
+      // gaps-and-islands with EXACT interval arithmetic: the break test
+      // compares timestamp differences as INTERVALs (microsecond-exact,
+      // like Spark's internal long-micros session merge) — an epoch()
+      // double would lose micros at 1e9-second magnitudes and could flip
+      // a diff landing exactly on the gap. Break at diff >= gap matches
+      // session_window's [start, end) contract (q_ev3's state sessionizer
+      // breaks at > gap on floored seconds — a deliberately different,
+      // separately-oracled convention).
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
 
     "q_ev12_interval_left_join" ->
       // the right-side type filter belongs in the ON clause (it restricts
