@@ -112,6 +112,40 @@ class EventStreamsSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("session_window aggregate merges sessions across micro-batches, emits on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
+    def ev(id: Long, user: Long, secs: Long) =
+      EventStreams.Event(id, ts(secs), user, "click", 1.0, "")
+    val src = MemoryStream[EventStreams.Event]
+    // the SAME aggregate shape q_ev13 gates in batch, run as a stream:
+    // append mode holds a session open until the watermark passes its end
+    val q = src.toDF().withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("n_events"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ev_sesswin").start()
+    def rows() = spark.table("ev_sesswin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    try {
+      src.addData(ev(1, 7L, 0), ev(2, 7L, 20))
+      q.processAllAvailable()
+      rows() shouldBe Set.empty // session open, watermark behind
+      // 40s is within 30s of the last event (20s) → MERGES into the batch-1
+      // session; the engine must stitch state across micro-batches
+      src.addData(ev(3, 7L, 40))
+      q.processAllAvailable()
+      // advance the watermark far past session end (70s) + delay (60s)
+      src.addData(ev(9, 9L, 600))
+      q.processAllAvailable()
+      rows() shouldBe Set((7L, ts(0), 3L)) // ONE merged 3-event session
+    } finally q.stop()
+  }
+
   test("sessionize splits on inactivity gaps") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(secs: Long) = new java.sql.Timestamp(t0.getTime + secs * 1000)
