@@ -510,6 +510,42 @@ object RelationalQueries {
           coalesce(col("P"), lit(0L)).as("n_p"))
         .orderBy(col("o_custkey"))),
 
+    "q_x9_unpivot" -> ((s, d) =>
+      // UNPIVOT/melt — the missing dual of q_x3's pivot: the four numeric
+      // lineitem measures reshaped wide→long into (measure, value) rows.
+      // One Expand node (each input row fans to 4 output rows in-place),
+      // no shuffle, no UDF; measures are cast to a common double BEFORE
+      // the unpivot in both engines so the value column types agree.
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))),
+
+    "q_w4_rank_variants" -> ((s, d) => {
+      // the rank-variant window family beyond q_w2's rank/lag: ntile
+      // buckets, percent_rank and cume_dist over a fully deterministic
+      // (value, key, key) order. percent_rank = (rank−1)/(n−1) and
+      // cume_dist = peers≤current/n are single divisions of small
+      // integers — identical double bits cross-engine, rounded only for
+      // house style. Same one-shuffle window shape as q_w1/q_w3.
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q_x4_bucketed_join" -> ((s, d) => {
       // co-located join over bucketed tables: both sides laid out ONCE with
       // bucketBy(8, custkey) (ensureBucketed — write-once per context, the
@@ -2130,6 +2166,34 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+
+    "q_x9_unpivot" ->
+      // portable long-form construction (UNION ALL of the four measures)
+      // — semantically exactly DuckDB's UNPIVOT, spelled out so the
+      // measure-name strings match Spark's unpivot output verbatim
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                  l_quantity::DOUBLE AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                  l_extendedprice::DOUBLE FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount',
+                  l_discount::DOUBLE FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax',
+                  l_tax::DOUBLE FROM lineitem)
+         ORDER BY 1, 2, 3""",
+
+    "q_w4_rank_variants" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+                ntile(4) OVER w AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+         ORDER BY l_returnflag, l_orderkey, l_linenumber""",
 
     "q_x3_pivot" ->
       """SELECT o_custkey,
