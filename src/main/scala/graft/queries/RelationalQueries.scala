@@ -1630,6 +1630,25 @@ object RelationalQueries {
     "q_sql2_exists" -> ((s, d) => { sqlViews(s, d); s.sql(sqlExists) }),
     "q_sql3_scalar_subquery" -> ((s, d) => { sqlViews(s, d); s.sql(sqlScalar) }),
 
+    "q_a16_zscore" -> ((s, d) => {
+      // per-group z-score standardization (the feature-scaling step next
+      // to q_a15's clipping): group mean/stddev_samp (group-count-sized,
+      // broadcast back) + one normalize projection. Parity design: the
+      // TWO scalars are rounded to 2 dp BEFORE the per-row math — engines
+      // disagree only in the scalars' low bits, so rounding 2 numbers per
+      // group (instead of 600k row results) collapses the cross-engine
+      // divergence to zero and every (x − mu)/sigma is then bit-identical;
+      // the row-level round(,6) is house style, not a parity crutch.
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy(col("l_returnflag"))
+        .agg(round(avg(col("l_extendedprice")), 2).as("mu"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sigma"))
+      li.join(broadcast(stats), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round((col("l_extendedprice") - col("mu")) / col("sigma"), 6).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q_a15_winsorize" -> ((s, d) => {
       // per-group winsorization (outlier clipping at p01/p99): one exact
       // grouped percentile pass (group-count-sized result, broadcast back)
@@ -2066,6 +2085,19 @@ object RelationalQueries {
     "q_sql1_join_topk" -> sqlQ3,
     "q_sql2_exists" -> sqlExists,
     "q_sql3_scalar_subquery" -> sqlScalar,
+
+    "q_a16_zscore" ->
+      // stddev == stddev_samp (n−1 denominator) in both engines; the two
+      // scalars round before the per-row math — see the query comment
+      """WITH st AS (
+           SELECT l_returnflag,
+                  round(avg(l_extendedprice), 2) AS mu,
+                  round(stddev_samp(l_extendedprice), 2) AS sigma
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                round((l.l_extendedprice - st.mu) / st.sigma, 6) AS z
+         FROM lineitem l JOIN st USING (l_returnflag)
+         ORDER BY 1, 2""",
 
     "q_a15_winsorize" ->
       // quantile_cont == Spark's percentile (linear p·(n−1) interpolation,
