@@ -745,6 +745,43 @@ object RelationalQueries {
           Seq("signup", "click", "purchase"))
         .orderBy(col("stage"))),
 
+    "q_ev14_windowed_distinct" -> ((s, d) =>
+      // distinct users per hourly window — THE canonical stream metric —
+      // with the HLL estimate gated by the q_a9 envelope pattern per
+      // window row. The ±15% band gets a small-count ABSOLUTE floor of 5:
+      // Spark's HLL++ uses dense registers whose small-range bias
+      // correction leaves integer-scale wobble at tiny cardinalities
+      // (measured: off by 3 at exact=17, > 15%), where a relative band is
+      // the wrong instrument — the sketch is deterministic, so the floor
+      // sizes the band honestly rather than hiding flakiness.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id")).as("est"))
+        .select(col("window.start").as("hour"), col("exact_users"),
+          (abs(col("est") - col("exact_users")).cast("double") <=
+            greatest(lit(5.0), col("exact_users") * lit(0.15)))
+            .as("within_3rsd"))
+        .orderBy(col("hour"))),
+
+    "q_j10_nullsafe_join" -> ((s, d) => {
+      // null-safe equi-join (<=>): NULL keys MATCH each other instead of
+      // silently dropping — the semantics a plain equi-join cannot give.
+      // The nullable key is derived (nullif of a real flag) so the NULL
+      // branch actually carries rows; the broadcast dim includes the NULL
+      // group. Row count preserved == the semantic pin: an accidental
+      // plain join would lose every NULL-key row and fail the hash gate.
+      val left = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("grp"))
+      val dim = left.groupBy(col("grp")).agg(count(lit(1)).as("n_grp"))
+      left.join(broadcast(dim).withColumnRenamed("grp", "grp_d"),
+          col("grp") <=> col("grp_d"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("grp"),
+          col("n_grp"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q_ev13_session_window" -> ((s, d) =>
       // DECLARATIVE sessionization: Spark's built-in session_window grouping
       // (dynamic-gap merge inside the aggregate — sessions close when the
@@ -2888,6 +2925,26 @@ object RelationalQueries {
            UNION ALL SELECT '2_click', user_id FROM s2
            UNION ALL SELECT '3_purchase', user_id FROM s3)
          GROUP BY 1 ORDER BY 1""",
+
+    "q_ev14_windowed_distinct" ->
+      // envelope oracle per window row (q_a9 pattern): exact distinct
+      // recomputed, boolean asserted TRUE
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
+                count(DISTINCT user_id) AS exact_users,
+                true AS within_3rsd
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_j10_nullsafe_join" ->
+      // IS NOT DISTINCT FROM == Spark's <=>; the dim is re-derived the
+      // same way, NULL group included
+      """WITH l AS (
+           SELECT l_orderkey, l_linenumber,
+                  nullif(l_returnflag, 'N') AS grp
+           FROM lineitem),
+         dim AS (SELECT grp, count(*) AS n_grp FROM l GROUP BY 1)
+         SELECT l.l_orderkey, l.l_linenumber, l.grp, dim.n_grp
+         FROM l JOIN dim ON l.grp IS NOT DISTINCT FROM dim.grp
+         ORDER BY 1, 2""",
 
     "q_ev13_session_window" ->
       // gaps-and-islands with EXACT interval arithmetic: the break test
