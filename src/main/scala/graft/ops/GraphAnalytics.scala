@@ -136,6 +136,46 @@ object GraphAnalytics {
       .select(col("id"), col("level"))
   }
 
+  /** Personalized PageRank (random-walk-with-restart): like [[pageRank]]
+    * but ALL teleport mass returns to `sourceId` — the stationary
+    * distribution of a walker who restarts at the source with probability
+    * 1−d, i.e. a proximity score TO the source (the similarity/
+    * recommendation variant of PageRank; the reference's walks all start
+    * from init nodes, HelperFunction.scala:305-358, making this the
+    * natural stationary-analysis companion). Same per-iteration shape and
+    * determinism contract as [[pageRank]]: one fromId equi-join + one
+    * map-side-combinable toId sum, 10 dp rounding per iteration so
+    * summation order can never compound, vectors persisted one deep.
+    * Initial mass: all at the source (the walk's t=0 distribution).
+    */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame, sourceId: Long,
+                           iters: Int, d: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val n = nodes.select(col("id")).distinct()
+    val e = edges.select(col("fromId"), col("toId")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("fromId")).agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outDeg, "fromId")
+    var ranks = n.select(col("id"),
+        when(col("id") === sourceId, lit(1.0d)).otherwise(lit(0.0d)).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (1 to iters).foreach { _ =>
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("id", "fromId"), "fromId")
+        .groupBy(col("toId").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("s"))
+      val next = n.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          round(when(col("id") === sourceId, lit(1.0d - d)).otherwise(lit(0.0d)) +
+            lit(d) * coalesce(col("s"), lit(0.0d)), 10).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+
   /** Single-source shortest paths over the WEIGHTED edge list (the `cost`
     * field the reference's Action edges carry, NetGraphComponent.scala:9-10
     * — the first analytics consumer of that column): minimum total cost

@@ -235,6 +235,19 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga7_ppr" -> ((s, _) => {
+      // personalized PageRank from the init node (random-walk-with-restart
+      // proximity): all teleport mass returns to id 0, initial mass at the
+      // source — the stationary companion to the reference's init-rooted
+      // walks. Same determinism shim as q_ga2 (10 dp per-iteration round).
+      val g = graph50(s)
+      GraphAnalytics.personalizedPageRank(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")),
+          sourceId = 0L, iters = 5)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    }),
+
     "q_ga6_sssp" -> ((s, _) => {
       // weighted single-source shortest paths from the init node (id 0),
       // over the Action edges' cost field — distributed Bellman-Ford, one
@@ -376,8 +389,38 @@ object GraphQueries {
           SELECT id AS "id", round(d, 6) AS dist FROM d$iters ORDER BY id"""
   }
 
+  /** Unrolled personalized PageRank: q_ga2's generator reshaped so the
+    * teleport term lands only on the source row and the initial vector
+    * is a point mass there — otherwise identical structure and the same
+    * 10 dp per-iteration determinism shim.
+    */
+  private def pprSql(iters: Int, d: Double, sourceId: Long): String = {
+    val base =
+      s"""WITH n AS (SELECT id FROM $nodesTbl),
+         e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),
+         od AS (SELECT fromId, count(*) AS deg FROM e GROUP BY 1),
+         r0 AS (SELECT id, CASE WHEN id = $sourceId THEN 1.0 ELSE 0.0 END AS rank FROM n)"""
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         r$k AS (
+           SELECT n.id,
+                  round(CASE WHEN n.id = $sourceId THEN ${1.0 - d} ELSE 0.0 END
+                        + $d * coalesce(c.s, 0), 10) AS rank
+           FROM n
+           LEFT JOIN (
+             SELECT e.toId AS id, sum(r.rank / od.deg) AS s
+             FROM e JOIN r${k - 1} r ON r.id = e.fromId
+                    JOIN od ON od.fromId = e.fromId
+             GROUP BY 1) c ON c.id = n.id)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+         SELECT id AS "id", round(rank, 6) AS "rank" FROM r$iters ORDER BY id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_ga6_sssp" -> ssspSql(iters = 60, sourceId = 0L),
+    "q_ga7_ppr" -> pprSql(iters = 5, d = 0.85, sourceId = 0L),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -47,6 +47,25 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out(4L) shouldBe ((1.0 - d) / n) +- 1e-9
   }
 
+  test("personalizedPageRank matches a local restart-walk iteration; isolated node gets zero") {
+    val d = 0.85
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(1L))
+    var rank = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0) // point mass at source
+    (1 to 5).foreach { _ =>
+      val contrib = adj.toSeq.flatMap { case (u, vs) =>
+        vs.map(v => v -> rank(u) / vs.size)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = rank.keys.map(k =>
+        k -> r10((if (k == 1L) 1.0 - d else 0.0) + d * contrib.getOrElse(k, 0.0))).toMap
+    }
+    val out = GraphAnalytics.personalizedPageRank(nodes, cycleEdges,
+        sourceId = 1L, iters = 5, d = d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rank.foreach { case (k, v) => out(k) shouldBe v +- 1e-9 }
+    out(4L) shouldBe 0.0 +- 1e-12 // unreachable from the source: NO teleport floor
+  }
+
   test("connectedComponents labels weakly-connected sets by min id") {
     val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     // 1-2 and 3→2 (direction must not matter), 4-5 separate, nothing isolated... 6? use 5 alone
