@@ -188,6 +188,58 @@ object Bench {
     write("BENCH_FULL.json", full)
   }
 
+  /** Per-query best-pass times from the PREVIOUS round's committed
+    * BENCH_FULL.json (path overridable via SPARK_GRAFT_PREV_BENCH; empty
+    * string disables). The current run diffs its own per-query mins
+    * against these and reports >2x min-over-min slowdowns under
+    * "regressions" — with 40+ queries throttle-flagged unstable each
+    * round, eyeballing round-over-round medians is guesswork; min-vs-min
+    * is the host-independent comparison. Best-effort: a missing or
+    * unparsable previous file yields an empty map, never a failed bench.
+    */
+  private def prevMins(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "BENCH_FULL.json")
+    if (path.isEmpty) return Map.empty
+    try {
+      val f = new java.io.File(path)
+      if (!f.isFile) return Map.empty
+      val body = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(body) \ "passes" match {
+        case JObject(fields) => fields.collect {
+          case (name, JArray(ts)) =>
+            val ok = ts.collect {
+              case JDouble(v) if v >= 0 => v
+              case JInt(v) if v >= 0 => v.toDouble
+            }
+            name -> (if (ok.isEmpty) -1.0 else ok.min)
+        }.filter(_._2 >= 0).toMap
+        case _ => Map.empty
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] previous bench unreadable ($path): ${e.getMessage}")
+      Map.empty
+    }
+  }
+
+  /** Queries whose current min pass exceeds 2x the previous round's min.
+    * Floor of 0.5s on the previous min: sub-second queries' mins wobble
+    * with plan-compile noise, and a 0.1s->0.25s step is not a regression
+    * signal worth a flag. Returns (name, prevMin, currMin) sorted by
+    * ratio, worst first, capped at 10 so the summary line stays inside
+    * the driver's stdout-tail budget.
+    */
+  private def regressionsVsPrev(entries: Seq[(String, Vector[Double])],
+                                prev: Map[String, Double]): Seq[(String, Double, Double)] =
+    entries.flatMap { case (name, ts) =>
+      val ok = ts.filter(_ >= 0)
+      (prev.get(name), if (ok.isEmpty) None else Some(ok.min)) match {
+        case (Some(p), Some(c)) if p >= 0.5 && c > 2.0 * p => Some((name, p, c))
+        case _ => None
+      }
+    }.sortBy { case (_, p, c) => -(c / p) }.take(10)
+
   private def parsePositiveInt(name: String, default: Int): Int =
     sys.env.get(name).map { raw =>
       val v = try raw.trim.toInt catch { case _: NumberFormatException =>
@@ -227,7 +279,8 @@ object Bench {
     val us = unstableList(entries).map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val totalMin = minTotal(entries)
-    f"""{"metric":"total","value":$total%.3f,"total_min":$totalMin%.3f,"unit":"sec","queries":$qs,"passes":$ps,"unstable":$us,"partial":$partial,"sf":"${esc(sfDir)}"}"""
+    val regs = renderRegressions(entries)
+    f"""{"metric":"total","value":$total%.3f,"total_min":$totalMin%.3f,"unit":"sec","queries":$qs,"passes":$ps,"unstable":$us,"regressions":$regs,"partial":$partial,"sf":"${esc(sfDir)}"}"""
   }
 
   /** The LAST stdout line: a complete JSON object sized for the driver's
@@ -253,7 +306,8 @@ object Bench {
     // the min of 3 passes tracks what the engine actually costs on calm
     // hardware; graders should read total_min when "unstable" is non-empty
     val totalMin = minTotal(entries)
-    f"""{"metric":"total","value":$total%.3f,"total_min":$totalMin%.3f,"unit":"sec","n_queries":${measured.length},"n_failed":${failed.length},"failed":$fs,"slowest":$top,"unstable":$us,"partial":$partial,"sf":"${esc(sfDir)}"}"""
+    val regs = renderRegressions(entries)
+    f"""{"metric":"total","value":$total%.3f,"total_min":$totalMin%.3f,"unit":"sec","n_queries":${measured.length},"n_failed":${failed.length},"failed":$fs,"slowest":$top,"unstable":$us,"regressions":$regs,"partial":$partial,"sf":"${esc(sfDir)}"}"""
   }
 
   /** Sum of per-query minimum passes (failed/unobserved queries excluded —
@@ -264,6 +318,15 @@ object Bench {
       val ok = ts.filter(_ >= 0)
       if (ok.isEmpty) None else Some(ok.min)
     }.sum
+
+  // loaded once per JVM: the file is the PREVIOUS round's committed
+  // artifact and does not change under a running bench
+  private lazy val prevBaseline: Map[String, Double] = prevMins()
+
+  private def renderRegressions(entries: Seq[(String, Vector[Double])]): String =
+    regressionsVsPrev(entries, prevBaseline).map { case (n, p, c) =>
+      "\"" + esc(n) + f"""\":{"prev_min":$p%.2f,"min":$c%.2f}"""
+    }.mkString("{", ",", "}")
 
   private def medianPerQuery(entries: Seq[(String, Vector[Double])]): Seq[(String, Double)] =
     entries.map { case (name, ts) =>

@@ -298,18 +298,35 @@ object Multimodal {
                             n_pixels: Long, px_min: Int, px_max: Int,
                             px_mean: Double)
 
-  /** REAL PNG grayscale decode: signature + IHDR parse, IDAT chunk
-    * concatenation, an actual `java.util.zip.Inflater` zlib inflate of the
-    * pixel stream (any deflate encoding — stored, fixed, or dynamic
-    * Huffman), and scanline de-filtering for PNG filter types 0/1/2
-    * (None/Sub/Up — the types a grayscale encoder emits; Paeth/Average
-    * rows return None rather than silently producing wrong pixels).
-    * Restrictions (checked, not assumed): 8-bit depth, colortype 0,
-    * no interlace. Chunk CRCs are not verified — the decode contract is
-    * about the pixels; [[synthesizePngPayload]] still writes correct CRCs
-    * via the codegen'd `crc32` builtin so payloads are genuine PNGs.
+  /** Parsed PNG pixel payload: dimensions plus the de-filtered sample
+    * bytes in scanline order (`bpp` samples per pixel). Shared by the
+    * grayscale and RGB decoders.
     */
-  def decodePngGray(mediaId: Long, p: Array[Byte]): Option[PngStats] = {
+  private final case class PngPixels(w: Int, h: Int, bpp: Int, px: Array[Int])
+
+  /** The PNG Paeth predictor (spec §9.4): picks left/up/upper-left by
+    * minimal |p − x| with p = left + up − ul; ties break left, up, ul.
+    */
+  private def paeth(left: Int, up: Int, ul: Int): Int = {
+    val p = left + up - ul
+    val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+    if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+  }
+
+  /** Shared PNG parse + inflate + de-filter for 8-bit non-interlaced
+    * images of the given color type: signature + IHDR checks, IDAT chunk
+    * concatenation, a real `java.util.zip.Inflater` zlib inflate (any
+    * deflate encoding — stored, fixed, or dynamic Huffman), and byte-wise
+    * scanline de-filtering of ALL FIVE spec filter types
+    * (None/Sub/Up/Average/Paeth). De-filtering operates on SAMPLE BYTES
+    * with the left neighbor `bpp` bytes back (bpp = 1 grayscale, 3 RGB),
+    * exactly the spec's "corresponding byte of the prior pixel". Chunk
+    * CRCs are not verified — the decode contract is about the pixels;
+    * [[synthesizePngPayload]] still writes correct CRC32s so payloads are
+    * genuine PNGs.
+    */
+  private def decodePngPixels(p: Array[Byte], wantColorType: Int,
+                              bpp: Int): Option[PngPixels] = {
     def beU(off: Int, len: Int): Long = {
       var v = 0L; var i = 0
       while (i < len) { v = (v << 8) | (p(off + i) & 0xffL); i += 1 }
@@ -325,8 +342,8 @@ object Multimodal {
     val bitDepth = p(24) & 0xff
     val colorType = p(25) & 0xff
     val interlace = p(28) & 0xff
-    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 0 || interlace != 0)
-      return None
+    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != wantColorType ||
+        interlace != 0) return None
     // walk chunks, concatenating every IDAT payload
     val idat = new java.io.ByteArrayOutputStream()
     var off = 33
@@ -341,7 +358,8 @@ object Multimodal {
     }
     val comp = idat.toByteArray
     if (comp.isEmpty) return None
-    val raw = new Array[Byte]((w + 1) * h)
+    val rowBytes = w * bpp
+    val raw = new Array[Byte]((rowBytes + 1) * h)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(comp)
@@ -355,32 +373,70 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // de-filter in place, row by row (bpp = 1 for 8-bit grayscale)
-    val px = new Array[Int](w * h)
+    // de-filter row by row over sample bytes (left neighbor = bpp back)
+    val px = new Array[Int](rowBytes * h)
     var r = 0
     while (r < h) {
-      val rowOff = r * (w + 1)
+      val rowOff = r * (rowBytes + 1)
       val ft = raw(rowOff) & 0xff
-      if (ft > 2) return None // Average/Paeth unsupported: refuse, not garble
+      if (ft > 4) return None // not a spec filter type: refuse, not garble
       var c = 0
-      while (c < w) {
+      while (c < rowBytes) {
         val cur = raw(rowOff + 1 + c) & 0xff
-        val left = if (c > 0) px(r * w + c - 1) else 0
-        val up = if (r > 0) px((r - 1) * w + c) else 0
-        px(r * w + c) = ft match {
+        val left = if (c >= bpp) px(r * rowBytes + c - bpp) else 0
+        val up = if (r > 0) px((r - 1) * rowBytes + c) else 0
+        val ul = if (r > 0 && c >= bpp) px((r - 1) * rowBytes + c - bpp) else 0
+        px(r * rowBytes + c) = ft match {
           case 0 => cur
           case 1 => (cur + left) & 0xff
           case 2 => (cur + up) & 0xff
+          case 3 => (cur + ((left + up) >> 1)) & 0xff
+          case 4 => (cur + paeth(left, up, ul)) & 0xff
         }
         c += 1
       }
       r += 1
     }
-    var mn = 255; var mx = 0; var sum = 0L
-    px.foreach { v => if (v < mn) mn = v; if (v > mx) mx = v; sum += v }
-    Some(PngStats(mediaId, w, h, px.length.toLong, mn, mx,
-      sum.toDouble / px.length))
+    Some(PngPixels(w, h, bpp, px))
   }
+
+  /** REAL PNG grayscale decode — full [[decodePngPixels]] pipeline
+    * restricted to colortype 0 (8-bit, no interlace), reduced to
+    * per-image pixel statistics.
+    */
+  def decodePngGray(mediaId: Long, p: Array[Byte]): Option[PngStats] =
+    decodePngPixels(p, wantColorType = 0, bpp = 1).map { d =>
+      var mn = 255; var mx = 0; var sum = 0L
+      d.px.foreach { v => if (v < mn) mn = v; if (v > mx) mx = v; sum += v }
+      PngStats(mediaId, d.w, d.h, d.px.length.toLong, mn, mx,
+        sum.toDouble / d.px.length)
+    }
+
+  final case class PngRgbStats(media_id: Long, width: Int, height: Int,
+                               n_pixels: Long, r_mean: Double, g_mean: Double,
+                               b_mean: Double, px_min: Int, px_max: Int)
+
+  /** REAL PNG truecolor decode: colortype 2 (24-bit RGB) through the same
+    * [[decodePngPixels]] inflate + 5-filter de-filter pipeline (bpp = 3:
+    * the byte-wise filters' left neighbor is the prior PIXEL's
+    * corresponding channel), reduced to per-channel means plus global
+    * extrema.
+    */
+  def decodePngRgb(mediaId: Long, p: Array[Byte]): Option[PngRgbStats] =
+    decodePngPixels(p, wantColorType = 2, bpp = 3).map { d =>
+      var mn = 255; var mx = 0
+      val sums = new Array[Long](3)
+      var i = 0
+      while (i < d.px.length) {
+        val v = d.px(i)
+        if (v < mn) mn = v; if (v > mx) mx = v
+        sums(i % 3) += v
+        i += 1
+      }
+      val n = (d.px.length / 3).toDouble
+      PngRgbStats(mediaId, d.w, d.h, d.px.length / 3L,
+        sums(0) / n, sums(1) / n, sums(2) / n, mn, mx)
+    }
 
   /** The partition-batched decode path for [[decodePngGray]] — same
     * mapPartitions batch shape as [[extractWavStats]]; undecodable
@@ -392,6 +448,17 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.flatMap { case (id, p) => decodePngGray(id, p) })
+  }
+
+  /** RGB sibling of [[extractPngStats]] — same partition-batched decode
+    * interface over [[decodePngRgb]].
+    */
+  def extractPngRgbStats(media: DataFrame): Dataset[PngRgbStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) => decodePngRgb(id, p) })
   }
 
   /** Synthesize a genuine 8-bit grayscale PNG (`width` columns,
@@ -408,6 +475,14 @@ object Multimodal {
     */
   def synthesizePngPayload(textCol: Column, width: Int): Column =
     PngGray.col(textCol, width)
+
+  /** Variant with per-row filter cycling (row r filtered with PNG filter
+    * r % 5 — every spec filter type in one corpus) and a channel count
+    * (1 = grayscale colortype 0, 3 = RGB colortype 2).
+    */
+  def synthesizePngPayload(textCol: Column, width: Int, filterCycle: Boolean,
+                           channels: Int): Column =
+    PngGray.col(textCol, width, filterCycle, channels)
 
   /** Resize/frame-sample stub: keeps every `stride`-th byte — stands in for
     * a real resize kernel while exercising the binary-transform plan shape.

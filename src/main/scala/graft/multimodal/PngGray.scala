@@ -6,21 +6,34 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native PNG builder: a genuine 8-bit grayscale PNG whose pixels are the
-  * input string's bytes (`width` columns, `len/width` full rows — texts
-  * shorter than one row yield NULL). One codegen'd static call per row —
-  * this replaced a declarative `transform`/`aggregate` formulation whose
-  * per-character interpreted lambdas cost O(n²) per document and put a
-  * 36s outlier in the bench (the SCALE.md interpreted-lambda trap, hit a
-  * third time).
+/** Native PNG builder: a genuine 8-bit PNG whose pixel samples are the
+  * input string's bytes (`width` columns, `len/(width·channels)` full rows
+  * — texts shorter than one row yield NULL). `channels` = 1 builds
+  * grayscale (colortype 0), 3 builds truecolor RGB (colortype 2).
+  * `filterCycle` = true filters row r with PNG filter type r % 5, so one
+  * corpus of payloads exercises every spec filter (None/Sub/Up/Average/
+  * Paeth) on the decode side; false emits all-None scanlines (the
+  * original builder behavior). Filtering is byte-exact per spec §9 with
+  * the left neighbor `channels` bytes back, so decoding always recovers
+  * the text bytes verbatim regardless of mode — which is what lets the
+  * q_m5/q_m6 oracles recompute pixel statistics from the TEXT.
+  *
+  * One codegen'd static call per row — this replaced a declarative
+  * `transform`/`aggregate` formulation whose per-character interpreted
+  * lambdas cost O(n²) per document and put a 36s outlier in the bench
+  * (the SCALE.md interpreted-lambda trap, hit a third time).
   *
   * The zlib stream is REAL `java.util.zip.Deflater` output (correct
   * adler32 comes with it), chunk CRC32s are `java.util.zip.CRC32` — the
   * payloads read back through `javax.imageio` (pinned in MultimodalSpec).
-  * Decoding path: [[Multimodal.decodePngGray]].
+  * Decoding path: [[Multimodal.decodePngGray]] / [[Multimodal.decodePngRgb]].
   */
-case class PngGray(child: Expression, width: Int) extends UnaryExpression {
+case class PngGray(child: Expression, width: Int,
+                   filterCycle: Boolean = false, channels: Int = 1)
+    extends UnaryExpression {
   require(width >= 1, s"width must be >= 1 (got $width)")
+  require(channels == 1 || channels == 3,
+    s"channels must be 1 (grayscale) or 3 (RGB), got $channels")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -31,13 +44,13 @@ case class PngGray(child: Expression, width: Int) extends UnaryExpression {
         s"png_gray requires a string argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    PngGray.build(input.asInstanceOf[UTF8String], width)
+    PngGray.build(input.asInstanceOf[UTF8String], width, filterCycle, channels)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       // build() may return null (text shorter than one row) — propagate
       s"""
-         |${ev.value} = graft.multimodal.PngGray.build($c, $width);
+         |${ev.value} = graft.multimodal.PngGray.build($c, $width, $filterCycle, $channels);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -48,18 +61,47 @@ case class PngGray(child: Expression, width: Int) extends UnaryExpression {
 }
 
 object PngGray {
+  /** Back-compat entry point (all-None scanlines, grayscale). */
+  def build(text: UTF8String, width: Int): Array[Byte] =
+    build(text, width, filterCycle = false, channels = 1)
+
   /** Shared by eval and generated code. Returns null when the text holds
-    * less than one full row of pixels.
+    * less than one full row of pixel samples (width · channels bytes).
     */
-  def build(text: UTF8String, width: Int): Array[Byte] = {
+  def build(text: UTF8String, width: Int, filterCycle: Boolean,
+            channels: Int): Array[Byte] = {
     val bytes = text.getBytes
-    val h = bytes.length / width
+    val rowBytes = width * channels
+    val h = bytes.length / rowBytes
     if (h == 0) return null
-    // filtered scanlines: 0x00 (None) + the row's pixel bytes
-    val raw = new Array[Byte](h * (width + 1))
+    // filtered scanlines: filter-type byte + the row's filtered samples.
+    // Filtering per spec §9 over UNFILTERED neighbor bytes; left neighbor
+    // is `channels` bytes back (the prior pixel's corresponding channel).
+    val raw = new Array[Byte](h * (rowBytes + 1))
     var r = 0
     while (r < h) {
-      System.arraycopy(bytes, r * width, raw, r * (width + 1) + 1, width)
+      val ft = if (filterCycle) r % 5 else 0
+      raw(r * (rowBytes + 1)) = ft.toByte
+      var c = 0
+      while (c < rowBytes) {
+        val cur = bytes(r * rowBytes + c) & 0xff
+        val left = if (c >= channels) bytes(r * rowBytes + c - channels) & 0xff else 0
+        val up = if (r > 0) bytes((r - 1) * rowBytes + c) & 0xff else 0
+        val ul = if (r > 0 && c >= channels) bytes((r - 1) * rowBytes + c - channels) & 0xff else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => (cur - left) & 0xff
+          case 2 => (cur - up) & 0xff
+          case 3 => (cur - ((left + up) >> 1)) & 0xff
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            (cur - pred) & 0xff
+        }
+        raw(r * (rowBytes + 1) + 1 + c) = enc.toByte
+        c += 1
+      }
       r += 1
     }
     val deflater = new java.util.zip.Deflater()
@@ -86,15 +128,18 @@ object PngGray {
     def ibe(v: Long, len: Int): Unit =
       (len - 1 to 0 by -1).foreach(i => ihdr.write(((v >> (8 * i)) & 0xff).toInt))
     ibe(width.toLong, 4); ibe(h.toLong, 4)
-    ihdr.write(Array[Byte](8, 0, 0, 0, 0), 0, 5) // depth 8, gray, deflate, adaptive, none
+    val colorType = if (channels == 3) 2 else 0
+    ihdr.write(Array[Byte](8, colorType.toByte, 0, 0, 0), 0, 5) // depth 8, deflate, adaptive, none
     chunk("IHDR", ihdr.toByteArray)
     chunk("IDAT", comp)
     chunk("IEND", Array.empty[Byte])
     out.toByteArray
   }
 
-  def col(c: Column, width: Int): Column = {
+  def col(c: Column, width: Int): Column = col(c, width, filterCycle = false, channels = 1)
+
+  def col(c: Column, width: Int, filterCycle: Boolean, channels: Int): Column = {
     import org.apache.spark.sql.GraftSqlBridge
-    GraftSqlBridge.column(PngGray(GraftSqlBridge.expression(c), width))
+    GraftSqlBridge.column(PngGray(GraftSqlBridge.expression(c), width, filterCycle, channels))
   }
 }

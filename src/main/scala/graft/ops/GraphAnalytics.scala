@@ -152,6 +152,10 @@ object GraphAnalytics {
                            iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val n = nodes.select(col("id")).distinct()
+    // a source absent from the node list would otherwise yield a silently
+    // all-zero rank vector (no teleport row ever materializes)
+    require(n.filter(col("id") === sourceId).limit(1).count() == 1,
+      s"personalizedPageRank source $sourceId is not in the node list")
     val e = edges.select(col("fromId"), col("toId")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("fromId")).agg(count(lit(1)).as("deg"))
@@ -209,6 +213,9 @@ object GraphAnalytics {
     var backing: DataFrame = dist
     var changed = 1L
     var it = 0
+    // reaching maxIters with changed > 0 means the result is TRUNCATED,
+    // not converged — with negative edges allowed, an accidental negative
+    // cycle relaxes forever and would otherwise exit silently here
     while (changed > 0 && it < maxIters) {
       it += 1
       val cand = e.join(dist.filter(col("dist").isNotNull)
@@ -226,6 +233,11 @@ object GraphAnalytics {
       backing = joined
       dist = joined.select(col("id"), col("nd").as("dist"))
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"sssp(source=$sourceId) hit maxIters=$maxIters with $changed " +
+          "distances still improving: not converged — likely a " +
+          "negative-cost cycle (or raise maxIters)")
     dist
   }
 

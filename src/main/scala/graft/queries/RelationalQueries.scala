@@ -22,6 +22,33 @@ import org.apache.spark.sql.expressions.Window
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-process scratch directory for the IO round-trip queries. The pid
+    * in the path keeps concurrent processes over the same dataset from
+    * sharing a dir (one's mode(overwrite) would delete part files the
+    * other is mid-read on); the shutdown hook — registered once per
+    * distinct path — deletes the tree when THIS process exits, so repeated
+    * benchmark runs don't accumulate per-pid copies in java.io.tmpdir.
+    * Deletion at exit (not after each query) on purpose: the gate and
+    * bench re-invoke the same query in one process, and the second
+    * invocation's mode(overwrite) reuses the layout.
+    */
+  private val scratchRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchDir(prefix: String, d: String): String = {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + "_" + Integer.toHexString(d.hashCode) +
+        "_p" + ProcessHandle.current().pid).toString
+    if (scratchRegistered.add(path)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }))
+    }
+    path
+  }
+
   /** Temp views for the SQL-front-door queries (q_sql1–q_sql3): the same
     * Tables.* readers every DataFrame query uses, exposed under the
     * standard names so ONE SQL string runs verbatim in Spark and DuckDB.
@@ -79,6 +106,43 @@ object RelationalQueries {
        WHERE c_acctbal > (SELECT max(c_acctbal) FROM customer) * 0.5
        GROUP BY c_nationkey
        ORDER BY c_nationkey"""
+
+  /** TPC-H Q1 shape (pricing summary): the canonical grouped aggregate
+    * with EXPRESSION arithmetic inside the aggregates — sum over
+    * price·(1−disc) and price·(1−disc)·(1+tax) — which exercises the SQL
+    * analyzer's aggregate expression binding (q_sql1–3 aggregate bare
+    * columns only). Derived averages come from exact parts: l_quantity is
+    * integral-valued so its sum is exact in doubles and avg = one
+    * division; money sums follow the q_sql1 round-2dp convention.
+    */
+  private val sqlQ1: String =
+    """SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(sum(l_quantity) / count(*), 6) AS avg_qty,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  /** SQL-front-door window function: per-customer top-3 orders by price
+    * via ROW_NUMBER() OVER a partitioned, ordered frame in a derived
+    * table — the analyzer's window resolution + subquery-alias binding
+    * path, untouched by q_sql1–3 and by the DSL window queries (q_w1–w4
+    * build frames through the DataFrame API). Deterministic: the window
+    * order tie-breaks on o_orderkey, and no aggregation touches doubles.
+    */
+  private val sqlWindow: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn
+       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders) ranked
+       WHERE rn <= 3
+       ORDER BY o_custkey, rn"""
 
   /** The one IVF model every q_v* query shares, via the train-once cache:
     * deterministic training (same corpus, k=8, iters=2) makes the cached
@@ -761,7 +825,7 @@ object RelationalQueries {
         .select(col("window.start").as("hour"), col("exact_users"),
           (abs(col("est") - col("exact_users")).cast("double") <=
             greatest(lit(5.0), col("exact_users") * lit(0.15)))
-            .as("within_3rsd"))
+            .as("within_band"))
         .orderBy(col("hour"))),
 
     "q_j10_nullsafe_join" -> ((s, d) => {
@@ -808,9 +872,10 @@ object RelationalQueries {
 
     "q_ev11_gap_fill" -> ((s, d) =>
       // hourly time-spine resample: every (type, hour) cell of the global
-      // range materialized, zero-filled counts, gap flags, and mean value
-      // carried forward from the last non-empty hour — the spine is
-      // time-range-sized, so the ffill window sorts it, never the log
+      // range materialized, zero-filled counts, gap flags, and the ROUNDED
+      // SUM carried forward from the last non-empty hour (gapFillHourly's
+      // contract — see its scaladoc for why it is not a mean) — the spine
+      // is time-range-sized, so the ffill window sorts it, never the log
       graft.operators.EventAnalytics.gapFillHourly(Tables.events(s, d))
         .orderBy(col("event_type"), col("hour"))),
 
@@ -853,12 +918,7 @@ object RelationalQueries {
       // format must have. Explicit read schema: no inference scan (the
       // 100 TB double-scan trap documented in sources.JsonlCorpus).
       val docs = Tables.documents(s, d)
-      // pid in the path (here and q_io2/q_io4): two concurrent processes
-      // over the same dataset would otherwise share the dir, one's
-      // mode(overwrite) deleting part files the other is mid-read on
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_jsonl_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid).toString
+      val tmp = scratchDir("graft_jsonl", d)
       graft.sources.JsonlCorpus.write(docs, tmp)
       graft.sources.JsonlCorpus.read(s, tmp, docs.schema)
         .orderBy(col("doc_id"))
@@ -870,9 +930,7 @@ object RelationalQueries {
       // round-trip. multiLine=true here: fidelity over splittability at
       // gate scale (the trade is documented in sources.CsvCorpus).
       val docs = Tables.documents(s, d)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_csv_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid).toString
+      val tmp = scratchDir("graft_csv", d)
       graft.sources.CsvCorpus.write(docs, tmp)
       graft.sources.CsvCorpus.read(s, tmp, docs.schema, multiLine = true)
         .orderBy(col("doc_id"))
@@ -886,9 +944,7 @@ object RelationalQueries {
       // changes layout, never rows (CompactionSpec pins the file-count
       // arithmetic and the balance=true variant)
       val docs = Tables.documents(s, d)
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_compact_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid).toString
+      val base = scratchDir("graft_compact", d)
       docs.repartition(64).write.mode("overwrite").parquet(s"$base/frag")
       val total = graft.sources.Compaction.dataBytes(s, s"$base/frag")
       graft.sources.Compaction.compactParquet(s, s"$base/frag",
@@ -904,9 +960,7 @@ object RelationalQueries {
       // transparency hash-checked against the plain table; the .zstd
       // part-file naming is pinned in CompactionSpec's sibling check.
       val docs = Tables.documents(s, d)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_zstd_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid).toString
+      val tmp = scratchDir("graft_zstd", d)
       docs.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
       s.read.parquet(tmp).orderBy(col("doc_id"))
     }),
@@ -916,9 +970,7 @@ object RelationalQueries {
       // schema, no declared schema) and keeps pushdown/pruning; oracle is
       // again the parquet table — hash match proves value fidelity
       val docs = Tables.documents(s, d)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_orc_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid).toString
+      val tmp = scratchDir("graft_orc", d)
       graft.sources.OrcCorpus.write(docs, tmp)
       graft.sources.OrcCorpus.read(s, tmp).orderBy(col("doc_id"))
     }),
@@ -935,9 +987,7 @@ object RelationalQueries {
       // original order; lang NULLs land in the default partition and are
       // excluded by the equality predicate in both engines.
       val docs = Tables.documents(s, d)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_partlang_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid).toString
+      val tmp = scratchDir("graft_partlang", d)
       docs.write.mode("overwrite").partitionBy("lang").parquet(tmp)
       s.read.parquet(tmp).filter(col("lang") === "en")
         .select(docs.columns.map(col).toIndexedSeq: _*)
@@ -953,9 +1003,7 @@ object RelationalQueries {
       // q_io5's directory pruning. Oracle = the same filter over the
       // plain table: the layout must change the scan, never the rows.
       val li = Tables.lineitem(s, d)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_sorted_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid).toString
+      val tmp = scratchDir("graft_sorted", d)
       graft.sources.SortedLayout.writeSorted(li, tmp, "l_orderkey", numFiles = 8)
       s.read.parquet(tmp)
         .filter(col("l_orderkey").between(500, 1500))
@@ -974,9 +1022,7 @@ object RelationalQueries {
       // Hash match vs the parquet oracle proves the codec layer is
       // value-transparent end to end.
       val docs = Tables.documents(s, d)
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_jsonlgz_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid).toString
+      val tmp = scratchDir("graft_jsonlgz", d)
       graft.sources.JsonlCorpus.write(docs, tmp, codec = Some("gzip"))
       graft.sources.JsonlCorpus.read(s, tmp, docs.schema)
         .orderBy(col("doc_id"))
@@ -1057,17 +1103,43 @@ object RelationalQueries {
       // interface (Multimodal.decodePngGray). The oracle recomputes the
       // pixel statistics from the TEXT characters, so a hash match proves
       // the decoder recovered the actual pixels from the compressed
-      // binary. Stored-block deflate in the SYNTHESIS keeps the oracle
-      // arithmetic; the DECODER handles any deflate encoding
-      // (MultimodalSpec pins Deflater-compressed + filtered payloads).
+      // binary. filterCycle = true: row r of every payload is filtered
+      // with PNG filter type r % 5, so this one corpus exercises ALL FIVE
+      // spec de-filter paths (None/Sub/Up/Average/Paeth) — filters are
+      // lossless, so the text-derived oracle is unchanged and the hash
+      // match now proves the full filter matrix, not just types 0-2.
       val docs = Tables.documents(s, d)
         .filter(col("text").isNotNull && length(col("text")) >= 16)
       val media = docs.select(col("doc_id").cast("long").as("media_id"),
-        graft.multimodal.Multimodal.synthesizePngPayload(col("text"), width = 16)
-          .as("payload"))
+        graft.multimodal.Multimodal.synthesizePngPayload(col("text"), width = 16,
+          filterCycle = true, channels = 1).as("payload"))
       graft.multimodal.Multimodal.extractPngStats(media).toDF()
         .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
           col("px_min"), col("px_max"), round(col("px_mean"), 6).as("px_mean"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_m6_png_rgb_stats" -> ((s, d) => {
+      // RGB content decode: genuine 24-bit truecolor PNGs (colortype 2,
+      // 8 px wide — 24 bytes per scanline, channel c of pixel k = text
+      // byte 24·row + 3·k + c), filter-cycled like q_m5, decoded through
+      // the same Inflater + 5-filter byte-wise de-filter pipeline with
+      // bpp = 3 (the left neighbor is the PRIOR PIXEL's corresponding
+      // channel — the part a bpp-naive de-filter gets wrong) and reduced
+      // to per-channel means. The oracle recomputes each channel's mean
+      // from the text by index arithmetic, so a hash match proves
+      // channel-exact pixel recovery.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 24)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.Multimodal.synthesizePngPayload(col("text"), width = 8,
+          filterCycle = true, channels = 3).as("payload"))
+      graft.multimodal.Multimodal.extractPngRgbStats(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("r_mean"), 6).as("r_mean"),
+          round(col("g_mean"), 6).as("g_mean"),
+          round(col("b_mean"), 6).as("b_mean"),
+          col("px_min"), col("px_max"))
         .orderBy(col("media_id"))
     }),
 
@@ -1666,6 +1738,8 @@ object RelationalQueries {
     "q_sql1_join_topk" -> ((s, d) => { sqlViews(s, d); s.sql(sqlQ3) }),
     "q_sql2_exists" -> ((s, d) => { sqlViews(s, d); s.sql(sqlExists) }),
     "q_sql3_scalar_subquery" -> ((s, d) => { sqlViews(s, d); s.sql(sqlScalar) }),
+    "q_sql4_q1_pricing" -> ((s, d) => { sqlViews(s, d); s.sql(sqlQ1) }),
+    "q_sql5_window_topk" -> ((s, d) => { sqlViews(s, d); s.sql(sqlWindow) }),
 
     "q_a16_zscore" -> ((s, d) => {
       // per-group z-score standardization (the feature-scaling step next
@@ -2122,6 +2196,8 @@ object RelationalQueries {
     "q_sql1_join_topk" -> sqlQ3,
     "q_sql2_exists" -> sqlExists,
     "q_sql3_scalar_subquery" -> sqlScalar,
+    "q_sql4_q1_pricing" -> sqlQ1,
+    "q_sql5_window_topk" -> sqlWindow,
 
     "q_a16_zscore" ->
       // stddev == stddev_samp (n−1 denominator) in both engines; the two
@@ -2931,7 +3007,7 @@ object RelationalQueries {
       // recomputed, boolean asserted TRUE
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
                 count(DISTINCT user_id) AS exact_users,
-                true AS within_3rsd
+                true AS within_band
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_j10_nullsafe_join" ->
@@ -3336,6 +3412,26 @@ object RelationalQueries {
                 count(*) AS n_pixels,
                 min(v)::INT AS px_min, max(v)::INT AS px_max,
                 round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+         FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_m6_png_rgb_stats" ->
+      // recompute per-channel statistics from the TEXT the RGB samples
+      // were built from: byte j (1-based) of the usable prefix is channel
+      // (j−1) % 3 of pixel (j−1) // 3 — 8-wide truecolor rows are 24
+      // bytes, partial row dropped. Integer channel sums are exact; the
+      // final divisions single-rounding doubles (q_m5 convention).
+      """WITH px AS (
+           SELECT doc_id, (length(text) // 24)::INT AS height,
+                  ascii(text[j]) AS v, (j - 1) % 3 AS ch
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, (length(text) // 24) * 24 + 1)) AS j) u
+           WHERE text IS NOT NULL AND length(text) >= 24)
+         SELECT doc_id AS media_id, 8 AS width, height,
+                (height * 8)::BIGINT AS n_pixels,
+                round(sum(CASE WHEN ch = 0 THEN v END)::DOUBLE / (height * 8), 6) AS r_mean,
+                round(sum(CASE WHEN ch = 1 THEN v END)::DOUBLE / (height * 8), 6) AS g_mean,
+                round(sum(CASE WHEN ch = 2 THEN v END)::DOUBLE / (height * 8), 6) AS b_mean,
+                min(v)::INT AS px_min, max(v)::INT AS px_max
          FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
 
     "q_m4_wav_pcm_stats" ->

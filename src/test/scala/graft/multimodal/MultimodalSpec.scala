@@ -224,7 +224,18 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
           case 0 => cur
           case 1 => (cur - left) & 0xff
           case 2 => (cur - up) & 0xff
-          case _ => cur // unsupported type, written verbatim: decoder must refuse
+          case 3 => (cur - ((left + up) / 2)) & 0xff
+          case 4 =>
+            // independent Paeth (spec §9.4); ul = upper-left neighbor
+            val ul = if (r > 0 && c > 0) pixels(r - 1)(c - 1) else 0
+            val p = left + up - ul
+            val pred =
+              if (math.abs(p - left) <= math.abs(p - up) &&
+                  math.abs(p - left) <= math.abs(p - ul)) left
+              else if (math.abs(p - up) <= math.abs(p - ul)) up
+              else ul
+            (cur - pred) & 0xff
+          case _ => cur // NOT a spec filter type, written verbatim: decoder must refuse
         }
         raw.write(enc)
       }
@@ -247,27 +258,34 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       chunk("IEND", Array.empty[Byte])
   }
 
-  test("decodePngGray inflates real Deflater streams and undoes Sub/Up filters") {
+  test("decodePngGray inflates real Deflater streams and undoes all five spec filters") {
     val pixels = Array(
       Array(10, 20, 30, 40),
       Array(15, 25, 35, 45),
-      Array(200, 100, 50, 0))
-    // one row of each supported filter type
-    val png = buildPng(pixels, Array(0, 1, 2))
+      Array(200, 100, 50, 0),
+      Array(3, 250, 7, 128),
+      Array(99, 98, 97, 96))
+    // one row of each spec filter type: None/Sub/Up/Average/Paeth
+    val png = buildPng(pixels, Array(0, 1, 2, 3, 4))
     val st = Multimodal.decodePngGray(7L, png).get
     st.width shouldBe 4
-    st.height shouldBe 3
-    st.n_pixels shouldBe 12
+    st.height shouldBe 5
+    st.n_pixels shouldBe 20
     st.px_min shouldBe 0
-    st.px_max shouldBe 200
-    st.px_mean shouldBe (pixels.flatten.sum.toDouble / 12) +- 1e-12
+    st.px_max shouldBe 250
+    st.px_mean shouldBe (pixels.flatten.sum.toDouble / 20) +- 1e-12
+    // permuting which row gets which filter must not change the pixels
+    val st2 = Multimodal.decodePngGray(7L, buildPng(pixels, Array(4, 3, 2, 1, 0))).get
+    st2.px_mean shouldBe st.px_mean
+    st2.px_min shouldBe st.px_min
+    st2.px_max shouldBe st.px_max
   }
 
   test("decodePngGray refuses what it cannot decode faithfully") {
     val pixels = Array(Array(1, 2), Array(3, 4))
     val ok = buildPng(pixels, Array(0, 0))
-    // Paeth-filtered row (type 4) → refuse rather than garble
-    Multimodal.decodePngGray(1L, buildPng(pixels, Array(0, 4))) shouldBe None
+    // filter byte 7 is not a spec filter type → refuse rather than garble
+    Multimodal.decodePngGray(1L, buildPng(pixels, Array(0, 7))) shouldBe None
     Multimodal.decodePngGray(1L, ok.take(40)) shouldBe None // truncated
     Multimodal.decodePngGray(1L, "notapng".getBytes) shouldBe None
     Multimodal.decodePngGray(1L, null) shouldBe None
@@ -298,5 +316,56 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     // and our own decoder agrees
     val st = Multimodal.decodePngGray(1L, payload).get
     st.px_mean shouldBe (text.map(_.toInt).sum.toDouble / 32) +- 1e-12
+  }
+
+  test("filter-cycled synthesis (Average/Paeth rows included) reads back via ImageIO") {
+    // 6 rows of 8 → rows 3 and 4 carry Average and Paeth filters; ImageIO
+    // is the independent spec implementation that must agree pixel-for-pixel
+    val text = "A1b2C3d4" * 6 // 48 chars → 8x6
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = df.select(
+      Multimodal.synthesizePngPayload(col("text"), width = 8,
+        filterCycle = true, channels = 1).as("p"))
+      .head().getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    img should not be null
+    img.getWidth shouldBe 8
+    img.getHeight shouldBe 6
+    for (r <- 0 until 6; c <- 0 until 8)
+      (img.getRaster.getSample(c, r, 0)) shouldBe text.charAt(r * 8 + c).toInt
+    // and our own decoder agrees
+    val st = Multimodal.decodePngGray(1L, payload).get
+    st.px_mean shouldBe (text.map(_.toInt).sum.toDouble / 48) +- 1e-12
+  }
+
+  test("RGB synthesis (colortype 2, filter-cycled) reads back via ImageIO and decodePngRgb") {
+    // 4 px wide → 12 bytes/row; 6 rows → 72 chars; channel c of pixel k in
+    // row r = text byte 12r + 3k + c
+    val text = "The quick brown fox jumps over the lazy dog & 0123456789 pads!!".take(60) + "ZZZZZZZZZZZZ"
+    text.length shouldBe 72
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = df.select(
+      Multimodal.synthesizePngPayload(col("text"), width = 4,
+        filterCycle = true, channels = 3).as("p"))
+      .head().getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    img should not be null
+    img.getWidth shouldBe 4
+    img.getHeight shouldBe 6
+    for (r <- 0 until 6; c <- 0 until 4; ch <- 0 until 3)
+      (img.getRaster.getSample(c, r, ch)) shouldBe text.charAt(r * 12 + c * 3 + ch).toInt
+    val st = Multimodal.decodePngRgb(1L, payload).get
+    st.width shouldBe 4
+    st.height shouldBe 6
+    st.n_pixels shouldBe 24
+    def chMean(ch: Int): Double =
+      (0 until 24).map(k => text.charAt(k * 3 + ch).toInt).sum.toDouble / 24
+    st.r_mean shouldBe chMean(0) +- 1e-12
+    st.g_mean shouldBe chMean(1) +- 1e-12
+    st.b_mean shouldBe chMean(2) +- 1e-12
+    st.px_min shouldBe text.map(_.toInt).min
+    st.px_max shouldBe text.map(_.toInt).max
+    // grayscale decoder refuses the color payload and vice versa
+    Multimodal.decodePngGray(1L, payload) shouldBe None
   }
 }
