@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Synthesis (pure column expressions, fully deterministic, no RNG):
   *  - documents: replica r (0 until factor) keeps replica 0 verbatim and
-  *    Caesar-shifts the alphabet by r for r > 0 (`translate`); byte length,
+  *    substitutes the alphabet by the r-th AFFINE map for r > 0
+  *    (`translate`; maps 1..25 are the original Caesar shifts); byte length,
   *    token structure and the INTRA-replica duplicate/near-dup structure
   *    are preserved exactly, while replicas are vocabulary-disjoint (shared
   *    digits/punctuation aside), so pair-producing families scale linearly
@@ -31,8 +32,11 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_PASSES      timed passes  (default 2; min is reported)
   *   SPARK_GRAFT_CPUS        local threads (default 32)
   *   SPARK_GRAFT_FAMILIES    "ann" = embeddings-only synthesis + ANN
-  *                           production queries only (factor may exceed 26
-  *                           up to dims−1 — the text Caesar cap is 26)
+  *                           production queries only (factor up to dims−1);
+  *                           "text" = documents-only synthesis + the heavy
+  *                           text/dedup families (factor up to 312 — the
+  *                           affine-map count — enabling the 100× point);
+  *                           "skew" = planted-boilerplate gram-key stress
   * Prints one JSON line (metric=scale_ratio) then a markdown ratio table.
   */
 object ScaleBench {
@@ -71,7 +75,7 @@ object ScaleBench {
     "q_io8_parquet_zstd",
     "q_x5_global_index", "q_v11_kmeans_step", "q_x8_observed_metrics")
 
-  // langid/quality gate vocabulary that must SURVIVE the Caesar shift: if
+  // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail
   // the English gate and the flagship pipelines (q_t5/q_t8) would process
   // only ~1/factor of the scaled corpus past their first stage — the scaled
@@ -83,48 +87,77 @@ object ScaleBench {
     (graft.functions.TextOps.stopwords ++
       graft.functions.TextOps.langMarkers.flatMap(_._2)).distinct
 
-  /** `annOnly` synthesizes ONLY the embeddings table: the Caesar-shift
-    * design caps the documents factor at 26 (shift 27 wraps to identity),
-    * but vector ROTATION stays distinct up to dims−1 replicas — an ANN-only
-    * scale point can therefore go to 40×+ while text families stop at 26×.
+  /** The replica alphabet substitutions, generalized past the round-6
+    * Caesar family to the full AFFINE cipher group so the text factor can
+    * reach 312 (the 100× point needs > 26 distinct replicas): replica r
+    * maps letter index x → a·x + b (mod 26) with a = units[r / 26]
+    * (the 12 units of Z₂₆) and b = r % 26. r < 26 gives a = 1 — exactly
+    * the original Caesar shifts, so every existing factor ≤ 26 corpus is
+    * bit-identical under this scheme. Each map is a bijection on letters
+    * (length-preserving; intra-replica dup/near-dup structure preserved
+    * exactly), and two DISTINCT replicas r ≠ s collide on a word only if
+    * every letter c of the word solves (a_r − a_s)·c ≡ b_s − b_r (mod 26):
+    * impossible when a_r = a_s (then b differs and no letter solves it),
+    * and otherwise the solutions form one residue class of ≤ gcd(a_r −
+    * a_s, 26) ≤ 13 specific letters — a real multi-letter word with its
+    * letters spread across classes cannot land in it, so cross-replica
+    * vocabulary stays disjoint in practice and ScaleBenchSpec re-pins the
+    * operative property (zero cross-replica minhash candidate pairs) at a
+    * factor beyond the Caesar cap.
+    */
+  private[graft] val affineUnits = Vector(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private[graft] val maxTextFactor: Int = affineUnits.length * 26 // 312
+  private[graft] def affineParams(r: Int): (Int, Int) = {
+    require(r >= 0 && r < maxTextFactor, s"replica $r out of [0, $maxTextFactor)")
+    (affineUnits(r / 26), r % 26)
+  }
+  private def affineLetter(c: org.apache.spark.sql.Column, r: Int) = {
+    val (a, b) = affineParams(r)
+    val lc = "abcdefghijklmnopqrstuvwxyz"
+    val mapped = lc.indices.map(i => lc((a * i + b) % 26)).mkString
+    translate(c, lc + lc.toUpperCase, mapped + mapped.toUpperCase)
+  }
+  private def affineText(c: org.apache.spark.sql.Column, r: Int) =
+    array_join(transform(split(c, " "),
+      t => when(array_contains(typedLit(protectedWords), lower(t)), t)
+        .otherwise(affineLetter(t, r))), " ")
+
+  /** `annOnly` synthesizes ONLY the embeddings table: vector ROTATION
+    * stays distinct up to dims−1 replicas, so an ANN-only scale point can
+    * exceed the text ceiling. `textOnly` synthesizes ONLY the documents
+    * table (the 100× text/dedup point has no embedding consumer, and
+    * rotation would wrap at factor ≥ dims).
     */
   def synthesize(spark: SparkSession, baseDir: String, outDir: String,
-                 factor: Int, annOnly: Boolean = false): Unit = {
-    // factor 27+ would wrap the Caesar shift back to identity (replica 26 ==
-    // replica 0), quietly re-creating the cross-replica duplicate quadratics
-    // the vocabulary-disjoint design exists to prevent
-    require(annOnly || (factor >= 2 && factor <= 26),
-      s"factor must be in [2, 26] (got $factor): replica shifts must stay distinct")
+                 factor: Int, annOnly: Boolean = false,
+                 textOnly: Boolean = false): Unit = {
+    require(!(annOnly && textOnly), "annOnly and textOnly are exclusive")
+    // factor 313+ would repeat an affine map (replica 312 == replica 0),
+    // quietly re-creating the cross-replica duplicate quadratics the
+    // vocabulary-disjoint design exists to prevent
+    require(annOnly || (factor >= 2 && factor <= maxTextFactor),
+      s"factor must be in [2, $maxTextFactor] (got $factor): replica substitutions must stay distinct")
     require(factor >= 2, s"factor must be >= 2 (got $factor)")
     // invalidate any previous completion marker FIRST: if this run dies
     // mid-write (or fails validation below), the directory must read as
     // partial, not as the previous complete synthesis
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$outDir/_SYNTH_COMPLETE"))
-    // validate the embeddings side BEFORE any table is overwritten, so a
-    // config error can't leave a half-replaced directory
-    val dims = Tables.embeddings(spark, baseDir)
-      .select(size(col("embedding"))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    require(factor < math.max(dims, 1),
-      s"factor $factor must be < embedding dims $dims: rotation by >= dims wraps")
-    val alphaLc = "abcdefghijklmnopqrstuvwxyz"
-    val alphaUc = alphaLc.toUpperCase
-    def caesar(c: org.apache.spark.sql.Column, r: Int) = {
-      val shl = alphaLc.drop(r % 26) + alphaLc.take(r % 26)
-      val shu = alphaUc.drop(r % 26) + alphaUc.take(r % 26)
-      translate(c, alphaLc + alphaUc, shl + shu)
+    if (!textOnly) {
+      // validate the embeddings side BEFORE any table is overwritten, so a
+      // config error can't leave a half-replaced directory
+      val dims = Tables.embeddings(spark, baseDir)
+        .select(size(col("embedding"))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      require(factor < math.max(dims, 1),
+        s"factor $factor must be < embedding dims $dims: rotation by >= dims wraps (text-only runs pass textOnly=true)")
     }
-    def caesarText(c: org.apache.spark.sql.Column, r: Int) =
-      array_join(transform(split(c, " "),
-        t => when(array_contains(typedLit(protectedWords), lower(t)), t)
-          .otherwise(caesar(t, r))), " ")
     if (!annOnly) {
       val docs = Tables.documents(spark, baseDir)
       val docReps = (0 until factor).map { r =>
-        val text = if (r == 0) col("text") else caesarText(col("text"), r)
+        val text = if (r == 0) col("text") else affineText(col("text"), r)
         // n_chars carried VERBATIM from the base fixture for every replica
-        // (Caesar + protected-word substitution are length-preserving, and
+        // (affine + protected-word substitution are length-preserving, and
         // split/join on single spaces round-trips): recomputing it as Spark
         // length() would silently re-define the column's semantics if the
         // fixture generator used byte/UTF-16 counts on non-ASCII text, making
@@ -138,24 +171,27 @@ object ScaleBench {
         .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
 
-    val embs = Tables.embeddings(spark, baseDir)
-    val embReps = (0 until factor).map { r =>
-      val emb =
-        if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
-          slice(col("embedding"), 1, r))
-      embs.select(
-        (col("vec_id") * factor + r).as("vec_id"),
-        emb.as("embedding"), col("label"))
+    if (!textOnly) {
+      val embs = Tables.embeddings(spark, baseDir)
+      val embReps = (0 until factor).map { r =>
+        val emb =
+          if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
+            slice(col("embedding"), 1, r))
+        embs.select(
+          (col("vec_id") * factor + r).as("vec_id"),
+          emb.as("embedding"), col("label"))
+      }
+      embReps.reduce(_.unionAll(_))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
-    embReps.reduce(_.unionAll(_))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     // sentinel LAST: reuse checks it, so a killed partial synthesis (one
     // table written, the other missing/stale) is re-synthesized, not reused
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/_SYNTH_COMPLETE"),
-      sentinelContent(baseDir, factor, if (annOnly) "ann" else "full"))
+      sentinelContent(baseDir, factor,
+        if (annOnly) "ann" else if (textOnly) "text" else "full"))
     ()
   }
 
@@ -174,7 +210,7 @@ object ScaleBench {
   private[graft] val plantedBoilerplate: String =
     "qqzv wwxk jjmb rrpv ttgn ccdy hhfs nnlw ppqa ssuz vvdm kkto"
 
-  /** Skewed-corpus synthesis (documents only): the standard Caesar-replica
+  /** Skewed-corpus synthesis (documents only): the standard affine-replica
     * expansion PLUS [[plantedBoilerplate]] appended to docs with even BASE
     * doc_id in every replica — unshifted, so the planted grams collide
     * corpus-wide at every factor. factor=1 yields the skewed BASE point
@@ -186,24 +222,13 @@ object ScaleBench {
     */
   def synthesizeSkewed(spark: SparkSession, baseDir: String, outDir: String,
                        factor: Int): Unit = {
-    require(factor >= 1 && factor <= 26,
-      s"factor must be in [1, 26] (got $factor)")
+    require(factor >= 1 && factor <= maxTextFactor,
+      s"factor must be in [1, $maxTextFactor] (got $factor)")
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$outDir/_SYNTH_COMPLETE"))
-    val alphaLc = "abcdefghijklmnopqrstuvwxyz"
-    val alphaUc = alphaLc.toUpperCase
-    def caesar(c: org.apache.spark.sql.Column, r: Int) = {
-      val shl = alphaLc.drop(r % 26) + alphaLc.take(r % 26)
-      val shu = alphaUc.drop(r % 26) + alphaUc.take(r % 26)
-      translate(c, alphaLc + alphaUc, shl + shu)
-    }
-    def caesarText(c: org.apache.spark.sql.Column, r: Int) =
-      array_join(transform(split(c, " "),
-        t => when(array_contains(typedLit(protectedWords), lower(t)), t)
-          .otherwise(caesar(t, r))), " ")
     val docs = Tables.documents(spark, baseDir)
     val reps = (0 until factor).map { r =>
-      val shifted = if (r == 0) col("text") else caesarText(col("text"), r)
+      val shifted = if (r == 0) col("text") else affineText(col("text"), r)
       val planted = when(col("text").isNotNull && col("doc_id") % 2 === 0,
         concat_ws(" ", shifted, lit(plantedBoilerplate))).otherwise(shifted)
       docs.select(
@@ -294,13 +319,15 @@ object ScaleBench {
     }
     try {
       val model = IvfIndex.autoModel(spark, embs, corpusKey = d)
-      val eighth = math.max(2, math.ceil(model.numCells / 8.0).toInt)
+      // the knnJoinAuto DEFAULT probe sizing (fraction API): recall-stable
+      // by construction, measured here to back the claim
+      val fracProbe = IvfIndex.nprobeForFraction(model.numCells, 0.125)
       System.err.println(s"[scale] recall($d): n=$n cells=${model.numCells} " +
-        s"eighth-probe=$eighth sample=${sampleIds.count()}")
+        s"frac-probe=$fracProbe sample=${sampleIds.count()}")
       Seq(
         "ivf_nprobe2" -> recallOf(IvfIndex.knnJoin(embs, model, k, nprobe = 2)),
-        "ivf_eighth" -> recallOf(IvfIndex.knnJoin(embs, model, k,
-          nprobe = eighth, queries = Some(sampleIds))),
+        "ivf_frac_default" -> recallOf(IvfIndex.knnJoin(embs, model, k,
+          nprobe = fracProbe, queries = Some(sampleIds))),
         "lsh_auto" -> recallOf(Similarity.lshTopKAuto(embs, k = k, reps = 4)))
     } finally { gt.unpersist(); () }
   }
@@ -312,8 +339,12 @@ object ScaleBench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // SPARK_GRAFT_FAMILIES=ann → embeddings-only synthesis + only the ANN
-    // production queries: text replicas cap at 26× (Caesar wrap) but vector
-    // rotation stays distinct to dims−1, so ANN exponents get a 40×+ point.
+    // production queries: vector rotation stays distinct to dims−1, so ANN
+    // exponents get a 40×+ point.
+    // SPARK_GRAFT_FAMILIES=text → documents-only synthesis + only the
+    // HEAVY text/dedup families: affine replicas stay distinct to 312×, so
+    // the 100× point (500,000 docs from sf0.1) is reachable without
+    // synthesizing the (factor-capped) embeddings side.
     // SPARK_GRAFT_FAMILIES=skew → skewed-corpus synthesis (planted
     // boilerplate in half of every replica's docs) at BOTH points and only
     // the gram-keyed families: the measured slope proves the skew-safety
@@ -322,7 +353,9 @@ object ScaleBench {
     val families = sys.env.get("SPARK_GRAFT_FAMILIES")
     val annOnly = families.contains("ann")
     val skewOnly = families.contains("skew")
-    val mode = if (annOnly) "ann" else if (skewOnly) "skew" else "full"
+    val textOnly = families.contains("text")
+    val mode = if (annOnly) "ann" else if (skewOnly) "skew"
+               else if (textOnly) "text" else "full"
     // the skew BASE point is itself synthesized (factor-1 planting), so the
     // ratio compares equally-skewed corpora and isolates the scaling slope
     val baseDir =
@@ -330,7 +363,8 @@ object ScaleBench {
       else new java.io.File(sys.props("java.io.tmpdir"), "graft-skew1x").toString
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-scale${factor}x" + (if (annOnly) "-ann" else if (skewOnly) "-skew" else "")).toString)
+        s"graft-scale${factor}x" + (if (annOnly) "-ann" else if (skewOnly) "-skew"
+          else if (textOnly) "-text" else "")).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-scalebench")
@@ -354,7 +388,7 @@ object ScaleBench {
         System.err.println(s"[scale] synthesizing ${f}x ($mode) into $dir")
         val t0 = System.nanoTime()
         if (skewOnly) synthesizeSkewed(spark, baseDirEnv, dir, f)
-        else synthesize(spark, baseDirEnv, dir, f, annOnly)
+        else synthesize(spark, baseDirEnv, dir, f, annOnly, textOnly)
         System.err.println(f"[scale] synthesis took ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } else System.err.println(s"[scale] reusing $dir")
     }
@@ -388,9 +422,29 @@ object ScaleBench {
           k = 3, minDocs = 3, hashGramKeys = true)),
       "q_d6_ngram_jaccard" -> gateQueries("q_d6_ngram_jaccard"),
       "q_t12_intra_doc_dedup" -> gateQueries("q_t12_intra_doc_dedup"))
+    // the 100×-point family (documents-only): the heaviest gram-keyed /
+    // corpus-reduction text+dedup operators, in gate form plus the
+    // hash-gram-key production forms — where partial-aggregate memory, AQE
+    // partition counts, and the q_d15 Bloom corpus-side asymmetry become
+    // visible (vs q_d13, whose md5-set join must re-shuffle the batch keys)
+    val textFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q_t19_suffix_run_dedup" -> gateQueries("q_t19_suffix_run_dedup"),
+      "q_t19_hashkeys" -> ((s: SparkSession, d: String) =>
+        graft.functions.Dedup.suffixRunDedup(Tables.documents(s, d),
+          minRun = 8, hashGramKeys = true)),
+      "q_t14_boilerplate_removal" -> gateQueries("q_t14_boilerplate_removal"),
+      "q_t14_hashkeys" -> ((s: SparkSession, d: String) =>
+        graft.functions.Dedup.boilerplateRemoval(Tables.documents(s, d),
+          k = 3, minDocs = 3, hashGramKeys = true)),
+      "q_d6_ngram_jaccard" -> gateQueries("q_d6_ngram_jaccard"),
+      "q_d7_dup_clusters" -> gateQueries("q_d7_dup_clusters"),
+      "q_d13_incremental_dedup" -> gateQueries("q_d13_incremental_dedup"),
+      "q_d15_bloom_incremental" -> gateQueries("q_d15_bloom_incremental"),
+      "q_t8_training_mix" -> gateQueries("q_t8_training_mix"))
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       (if (annOnly) annQueries
        else if (skewOnly) skewFamily
+       else if (textOnly) textFamily
        else scaleQueries.map(n => n -> gateQueries(n)) ++ annQueries ++ Seq(
          "q_d10_semantic_bucketed" ->
            ((s: SparkSession, d: String) => semanticDedupBucketed(s, d)),
@@ -449,9 +503,9 @@ object ScaleBench {
       dt
     }
     // pre-build per-dir one-time artifacts (the persisted IVF index) so
-    // q_v7 measures the pruned probe at both scales (skew dirs carry no
-    // embeddings table — nothing to warm)
-    if (!skewOnly) Seq(baseDir, scaleDir).foreach { d =>
+    // q_v7 measures the pruned probe at both scales (skew/text dirs carry
+    // no embeddings table — nothing to warm)
+    if (!skewOnly && !textOnly) Seq(baseDir, scaleDir).foreach { d =>
       try SparkEntry.benchWarmup(spark, d)
       catch { case e: Throwable => System.err.println(s"[scale] warmup($d): ${e.getMessage}") }
     }
@@ -476,7 +530,8 @@ object ScaleBench {
     // this measures it where the index is auto-sized for the scaled corpus.
     // SPARK_GRAFT_RECALL=0 skips (e.g. a pure-timing iteration).
     val recall: Option[(Seq[(String, Double)], Seq[(String, Double)])] =
-      if (skewOnly || sys.env.get("SPARK_GRAFT_RECALL").contains("0")) None
+      if (skewOnly || textOnly ||
+          sys.env.get("SPARK_GRAFT_RECALL").contains("0")) None
       else try Some((annRecall(spark, baseDir), annRecall(spark, scaleDir)))
       catch { case e: Throwable =>
         System.err.println(s"[scale] recall measurement failed: ${e.getMessage}")

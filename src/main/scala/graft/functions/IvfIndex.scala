@@ -249,6 +249,24 @@ object IvfIndex {
       .drop("rn")
   }
 
+  /** Probe count holding a fixed FRACTION of the cell count (floor 2,
+    * capped at every cell). SCALE.md's measured recall ladder shows why
+    * this is the recall-STABLE dial: with cells ∝ √n, a fixed `nprobe`
+    * probes a shrinking fraction of the corpus and recall decays in step
+    * (measured 0.22 → 0.12 across a 10× corpus at nprobe=2), while a
+    * fixed fraction holds recall flat across scale (0.46 → 0.49 at 1/8 on
+    * the unstructured fixture; ≥ 0.9 on clustered corpora, pinned in
+    * FunctionsSpec). Cost: probing O(f·n²/√n·…) grows faster than the
+    * fixed-nprobe O(n^1.5), which is the price of scale-stable recall —
+    * pay it on the bounded-query retrieval path ([[knnJoin]]'s `queries`),
+    * not on corpus-wide self-joins, unless recall is the requirement.
+    */
+  def nprobeForFraction(cells: Int, fraction: Double): Int = {
+    require(fraction > 0 && fraction <= 1,
+      s"nprobe fraction must be in (0, 1] (got $fraction)")
+    math.min(cells, math.max(2, math.ceil(cells * fraction).toInt))
+  }
+
   /** [[knnJoin]] with the production sizing rule as the default: cells =
     * [[autoNumCells]](corpus size) — the √n balance ScaleBench measures at
     * ~n^1.5 — trained on a bounded HASH sample and cached per
@@ -259,11 +277,23 @@ object IvfIndex {
     * (≥ ~20 rows per cell, floor 2000): a fixed sample would silently cap
     * the √n rule and train degenerate near-empty cells. Costs one count()
     * job; callers that know n can size and train explicitly.
+    *
+    * Probe sizing: `nprobe > 0` fixes the probe count (the n^1.5-cost,
+    * fraction-decaying configuration); the DEFAULT (`nprobe = 0`) sizes it
+    * as [[nprobeForFraction]](cells, `nprobeFraction`) — the recall-stable
+    * dial, so a caller who tunes nothing gets recall that HOLDS as the
+    * corpus grows instead of quietly decaying with √n cell growth.
     */
   def knnJoinAuto(spark: SparkSession, embs: DataFrame, corpusKey: String,
-                  k: Int, nprobe: Int = 2, iters: Int = 2,
-                  cellScale: Double = 1.0): DataFrame =
-    knnJoin(embs, autoModel(spark, embs, corpusKey, iters, cellScale), k, nprobe)
+                  k: Int, nprobe: Int = 0, iters: Int = 2,
+                  cellScale: Double = 1.0,
+                  nprobeFraction: Double = 0.125): DataFrame = {
+    require(nprobe >= 0, s"nprobe must be >= 0 (0 = size by fraction), got $nprobe")
+    val model = autoModel(spark, embs, corpusKey, iters, cellScale)
+    val np = if (nprobe > 0) nprobe
+             else nprobeForFraction(model.numCells, nprobeFraction)
+    knnJoin(embs, model, k, np)
+  }
 
   /** The production model path behind [[knnJoinAuto]] (also used by cell-
     * bucketed semantic dedup): autoNumCells(n) cells trained on a bounded

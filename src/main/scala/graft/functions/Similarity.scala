@@ -169,8 +169,28 @@ object Similarity {
     * `autoNumPlanes(n)` directly.
     */
   def lshTopKAuto(embs: DataFrame, k: Int, reps: Int = 4,
-                  targetPerBucket: Int = 32, dims: Option[Int] = None): DataFrame =
-    lshTopK(embs, autoNumPlanes(embs.count(), targetPerBucket), k, reps, dims)
+                  targetPerBucket: Int = 32, dims: Option[Int] = None,
+                  occupancyFraction: Double = 0.0): DataFrame = {
+    val planes =
+      if (occupancyFraction > 0) planesForFraction(occupancyFraction)
+      else autoNumPlanes(embs.count(), targetPerBucket)
+    lshTopK(embs, planes, k, reps, dims)
+  }
+
+  /** Plane count holding expected bucket occupancy at a fixed FRACTION of
+    * the corpus: occupancy/n ≈ 2^−planes, so planes = ceil(log2(1/f)) —
+    * corpus-size-INDEPENDENT. This is LSH's recall-stable dial, mirroring
+    * [[graft.functions.IvfIndex.nprobeForFraction]]: SCALE.md's measured
+    * ladder shows constant-occupancy sizing (the cost-stable default)
+    * pays recall decay ∝ 1/n on unstructured corpora, while a fixed
+    * fraction holds recall flat at per-vector candidate cost ∝ f·n.
+    * Clamped to [1, 62] like [[autoNumPlanes]].
+    */
+  def planesForFraction(fraction: Double): Int = {
+    require(fraction > 0 && fraction <= 1,
+      s"occupancy fraction must be in (0, 1] (got $fraction)")
+    math.min(62, math.max(1, math.ceil(math.log(1.0 / fraction) / math.log(2.0)).toInt))
+  }
 
   def lshTopK(embs: DataFrame, numPlanes: Int, k: Int, reps: Int = 4,
               dims: Option[Int] = None): DataFrame = {

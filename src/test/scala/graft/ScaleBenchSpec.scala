@@ -91,4 +91,57 @@ class ScaleBenchSpec extends AnyFunSuite with Matchers {
     val h2 = Tables.documents(spark, out).agg(contentHash).head().getLong(0)
     h2 shouldBe h1
   }
+
+  test("affine replicas hold the invariants PAST the Caesar cap (factor > 26)") {
+    // the 100× text point leans on the affine extension: replica 26+ uses
+    // a ≠ 1 maps, so re-pin the operative properties at a factor that
+    // actually exercises them (28 → replicas 26, 27 carry a = 3)
+    val factor = 28
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-scalespec-text-$factor").toString
+    ScaleBench.synthesize(spark, base, out, factor, textOnly = true)
+    val docs0 = Tables.documents(spark, base)
+    val docsN = Tables.documents(spark, out)
+
+    docsN.count() shouldBe docs0.count() * factor
+    // textOnly: no embeddings table synthesized
+    new java.io.File(s"$out/embeddings.parquet").exists() shouldBe false
+
+    // length-preserving at every replica (affine maps are bijections)
+    val charLen = org.apache.spark.sql.functions.length(col("text"))
+    val chars0 = docs0.agg(sum(charLen)).head().getLong(0)
+    docsN.agg(sum(charLen)).head().getLong(0) shouldBe chars0 * factor
+
+    // intra-replica dup structure preserved; cross-replica EXACT dups zero
+    val dups0 = graft.functions.Dedup.exactDuplicates(docs0).count()
+    graft.functions.Dedup.exactDuplicates(docsN).count() shouldBe dups0 * factor
+    docsN.groupBy(md5(col("text")))
+      .agg(countDistinct(pmod(col("doc_id"), lit(factor))).as("reps"))
+      .filter(col("reps") > 1).count() shouldBe 0
+
+    // the linear-growth reading of the 100× dedup rows: ZERO cross-replica
+    // minhash candidate pairs even with a ≠ 1 maps in play
+    val candidates = graft.functions.Dedup.minhashCandidates(
+      docsN, "text", k = 3, bands = 4, rowsPerBand = 2, graft.functions.Dedup.fnvHasher)
+    candidates
+      .filter(pmod(col("doc_a"), lit(factor)) =!= pmod(col("doc_b"), lit(factor)))
+      .count() shouldBe 0
+
+    // langid gate behavior scales exactly (protected words survive affine)
+    val langCounts0 = docs0.select(graft.functions.TextOps.langId(col("text")).as("l"))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langCountsN = docsN.select(graft.functions.TextOps.langId(col("text")).as("l"))
+      .groupBy("l").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langCountsN shouldBe langCounts0.view.mapValues(_ * factor).toMap
+
+    // the affine parameter enumeration itself: maps 0..25 are the Caesar
+    // family (a = 1), 26 starts a = 3; all 312 maps distinct
+    ScaleBench.affineParams(0) shouldBe ((1, 0))
+    ScaleBench.affineParams(25) shouldBe ((1, 25))
+    ScaleBench.affineParams(26) shouldBe ((3, 0))
+    ScaleBench.affineParams(99) shouldBe ((7, 21))
+    (0 until ScaleBench.maxTextFactor).map(ScaleBench.affineParams)
+      .distinct.size shouldBe ScaleBench.maxTextFactor
+    an[IllegalArgumentException] should be thrownBy ScaleBench.affineParams(312)
+  }
 }

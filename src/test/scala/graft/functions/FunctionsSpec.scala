@@ -871,6 +871,61 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     j2.map(_.toString).sorted shouldBe j1.map(_.toString).sorted
   }
 
+  test("knnJoinAuto default (nprobe fraction) holds recall >= 0.9 as the corpus grows") {
+    // the recall-STABLE probe sizing: nprobe = nprobeForFraction(cells,
+    // 0.125) is the knnJoinAuto default, and on a CLUSTERED corpus (the
+    // realistic shape for trained embeddings) recall must hold the same
+    // >= 0.9 pin at both sizes — the quality half of the fraction-API
+    // claim; SCALE.md measures the same configuration on the unstructured
+    // fixture where recall tracks the probed fraction instead
+    def recallAt(n: Int, seed: Int, key: String): Double = {
+      val rnd = new scala.util.Random(seed)
+      val dims = 16
+      val centers = Array.fill(8)(Array.fill(dims)(rnd.nextGaussian()))
+      val vecs = (0 until n).map { i =>
+        val c = centers(i % 8)
+        (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val k = 3
+      val got = IvfIndex.knnJoinAuto(spark, df, key, k = k) // DEFAULTS
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+          math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+      }
+      val hits = vecs.map { case (id, v) =>
+        val truth = vecs.filter(_._1 != id)
+          .map { case (j, u) => (j, cos(v, u)) }
+          .sortBy { case (j, c) => (-c, j) }.take(k).map(_._1).toSet
+        (truth & got.getOrElse(id, Set.empty)).size
+      }.sum
+      hits.toDouble / (vecs.size * k)
+    }
+    recallAt(320, seed = 13, "spec-frac-base") should be >= 0.9
+    recallAt(1280, seed = 13, "spec-frac-4x") should be >= 0.9
+  }
+
+  test("nprobeForFraction / planesForFraction arithmetic") {
+    IvfIndex.nprobeForFraction(45, 0.125) shouldBe 6  // ceil(5.625)
+    IvfIndex.nprobeForFraction(142, 0.125) shouldBe 18
+    IvfIndex.nprobeForFraction(4, 0.125) shouldBe 2   // floor of 2
+    IvfIndex.nprobeForFraction(4, 1.0) shouldBe 4     // capped at cells
+    an[IllegalArgumentException] should be thrownBy IvfIndex.nprobeForFraction(8, 0.0)
+    Similarity.planesForFraction(0.125) shouldBe 3    // occupancy n/8 → 3 planes
+    Similarity.planesForFraction(0.5) shouldBe 1
+    Similarity.planesForFraction(1.0) shouldBe 1      // clamp floor
+    an[IllegalArgumentException] should be thrownBy Similarity.planesForFraction(1.5)
+    // lshTopKAuto with the fraction dial ≡ lshTopK at that plane count
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val viaFrac = Similarity.lshTopKAuto(embs, k = 3, occupancyFraction = 0.125)
+      .collect().toSet
+    val explicit = Similarity.lshTopK(embs, numPlanes = 3, k = 3).collect().toSet
+    viaFrac shouldBe explicit
+  }
+
   test("boilerplateRemoval strips corpus-wide grams, keeps doc-local text, is total") {
     val docs = Seq(
       (1L, "nav home about x y z"),
