@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Measured streaming throughput/latency harness: replay the sf events
+  * (and documents) tables through a REAL file-source stream — the table
+  * split into time-ordered chunk files, one file per micro-batch via
+  * `maxFilesPerTrigger=1` — and drive the production streaming operators
+  * end to end, recording per-query rows/sec, batch count, max batch
+  * latency and max state-store rows from the engine's own
+  * StreamingQueryProgress. This is the evidence behind SCALE.md's
+  * streaming claims: every operator is parity-verified in the gate, and
+  * HERE its steady-state behavior (state bounded by the watermark, not by
+  * history) is a measured number instead of an assertion.
+  *
+  * Chunk files are written time-sorted and get strictly increasing
+  * modification times, so the file source (oldest-first) replays event
+  * time monotonically — watermarks advance every batch exactly as they
+  * would against a live ordered source.
+  *
+  * Usage (env, all optional):
+  *   SPARK_GRAFT_SF_DIR   base dir   (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_CHUNKS   micro-batches to replay (default 20)
+  *   SPARK_GRAFT_CPUS     local threads (default 32)
+  * Prints one JSON line (metric=stream_bench) then a markdown table.
+  */
+object StreamBench {
+  final case class StreamMetrics(name: String, batches: Int, rows: Long,
+                                 totalSec: Double, rowsPerSec: Double,
+                                 maxBatchSec: Double, stateRowsMax: Long)
+
+  /** Split `df` into `nChunks` time-ordered single-file parquet chunks
+    * under `dir` (wiped first), with strictly increasing mtimes so the
+    * file source replays them oldest-first in event-time order. The
+    * driver-side ordering window is a STAGING cost, not an operator under
+    * measurement — production streams arrive ordered from their transport.
+    */
+  def stageChunks(df: DataFrame, orderCol: String, dir: String,
+                  nChunks: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    require(nChunks >= 1, s"nChunks must be >= 1 (got $nChunks)")
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(root); root.mkdirs()
+    val total = df.count()
+    val chunkSize = math.max(1L, (total + nChunks - 1) / nChunks)
+    val tmp = new java.io.File(root, "_staging")
+    df.withColumn("__chunk",
+        ((row_number().over(Window.orderBy(col(orderCol))) - 1) / chunkSize)
+          .cast("int"))
+      .write.partitionBy("__chunk").mode("overwrite").parquet(tmp.toString)
+    val base = System.currentTimeMillis()
+    (0 until nChunks).foreach { i =>
+      val cdir = new java.io.File(tmp, s"__chunk=$i")
+      val parts = Option(cdir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      require(parts.length <= 1, s"chunk $i wrote ${parts.length} part files")
+      parts.foreach { p =>
+        val dst = new java.io.File(root, f"chunk_$i%04d.parquet")
+        java.nio.file.Files.move(p.toPath, dst.toPath)
+        dst.setLastModified(base + i * 2000L)
+        ()
+      }
+    }
+    rm(tmp)
+  }
+
+  /** Drain a started query and reduce its per-batch progress records to
+    * the reported metrics. Zero-input heartbeat batches are excluded from
+    * the batch count; their (trivial) trigger time still counts toward
+    * wall time. State rows are the engine's own numRowsTotal — the number
+    * SCALE.md's bounded-by-watermark claims are about.
+    */
+  def drainAndMeasure(name: String, q: StreamingQuery): StreamMetrics = {
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val progress = q.recentProgress.toSeq
+    val rows = progress.map(_.numInputRows).sum
+    val triggerMs = progress.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+    val nonEmpty = progress.count(_.numInputRows > 0)
+    val stateMax =
+      if (progress.isEmpty) 0L
+      else progress.map(p => p.stateOperators.map(_.numRowsTotal).sum).max
+    val totalSec = triggerMs.sum / 1000.0
+    StreamMetrics(name, nonEmpty, rows, totalSec,
+      if (totalSec > 0) rows / totalSec else -1.0,
+      if (triggerMs.isEmpty) -1.0 else triggerMs.max / 1000.0, stateMax)
+  }
+
+  /** The replayed events file-source: declared schema (no inference scan),
+    * one chunk file per micro-batch.
+    */
+  def chunkStream(spark: SparkSession, dir: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nChunks = sys.env.getOrElse("SPARK_GRAFT_CHUNKS", "20").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-streambench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+    import spark.implicits._
+
+    val work = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-streambench_p" + ProcessHandle.current().pid)
+    // replay staging is per-pid scratch; drop the whole tree at exit
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(work)
+    }))
+    val eventsDir = new java.io.File(work, "events").toString
+    val docsDir = new java.io.File(work, "docs").toString
+
+    System.err.println(s"[stream] staging $nChunks event chunks from $sfDir")
+    stageChunks(Tables.events(spark, sfDir), "ts", eventsDir, nChunks)
+    // documents replay: arrival time synthesized in doc_id order (one doc
+    // per second) — the incremental-dedup stream is STATELESS (stream-static
+    // joins), so the ts only sequences the replay
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        to_timestamp(from_unixtime(lit(1700000000L) + col("doc_id"))).as("ts"))
+    stageChunks(docs, "ts", docsDir, nChunks)
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+
+    // batch-built corpus artifacts for the stream-static incremental dedup
+    // (at scale: written by the batch pass, read back here)
+    val corpus = Tables.documents(spark, sfDir)
+    val corpusMd5 = corpus.select(md5(col("text")).as("text_md5")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = graft.streaming.IncrementalDedupStream.corpusBandIndex(corpus)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusMd5.count(); corpusBands.count()
+
+    def events(): DataFrame =
+      chunkStream(spark, eventsDir, graft.streaming.EventStreams.eventSchema)
+    def docStream(): DataFrame = chunkStream(spark, docsDir, docSchema)
+    def ckpt(name: String): String = new java.io.File(work, s"ckpt_$name").toString
+
+    def noopStart(name: String, out: DataFrame, mode: String): StreamingQuery =
+      out.writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt(name))
+        .format("noop").start()
+
+    val runs: Seq[(String, () => StreamingQuery)] = Seq(
+      // tumbling windowed counts: append emits windows finalized by the
+      // watermark; state = open windows × types
+      "tumbling_counts" -> (() => noopStart("tumbling_counts",
+        graft.streaming.EventStreams.windowedCounts(events()), "append")),
+      // flatMapGroupsWithState sessionizer: state = OPEN sessions (≈ active
+      // users), closed by gap or event-time timeout
+      "sessionize" -> (() => {
+        import graft.streaming.EventStreams
+        EventStreams.sessionizeStreaming(
+            events().withWatermark("ts", "1800 seconds").as[EventStreams.Event],
+            gapSecs = 1800)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt("sessionize"))
+          .format("noop").start()
+      }),
+      // dropDuplicatesWithinWatermark: state = ids younger than the delay
+      "dedup_stream" -> (() => noopStart("dedup_stream",
+        graft.streaming.EventStreams.dedupStream(events()), "append")),
+      // per-batch trending top-k via foreachBatch (rank is not incremental;
+      // this is the documented production shape for it)
+      "trending_foreachbatch" -> (() =>
+        events().writeStream
+          .option("checkpointLocation", ckpt("trending"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.operators.EventAnalytics.trendingTopK(batch, k = 3)
+              .write.format("noop").mode("overwrite").save()
+          }.start()),
+      // stream-static exact-dup flags: stateless md5 join per batch
+      "incremental_exact_dedup" -> (() => noopStart("inc_exact",
+        graft.streaming.IncrementalDedupStream.exactDupFlags(
+          docStream(), corpusMd5), "append")),
+      // stream-static near-dup exposure: stateless band-bucket join
+      "incremental_near_dedup" -> (() => noopStart("inc_near",
+        graft.streaming.IncrementalDedupStream.corpusBandHits(
+          docStream(), corpusBands), "append")))
+
+    val results = runs.map { case (name, start) =>
+      System.err.println(s"[stream] running $name")
+      val m = try drainAndMeasure(name, start())
+      catch { case e: Throwable =>
+        System.err.println(s"[stream] $name failed: ${e.getMessage}")
+        StreamMetrics(name, 0, 0L, -1.0, -1.0, -1.0, -1L)
+      }
+      System.err.println(f"[stream] $name: ${m.rows} rows / ${m.batches} batches, " +
+        f"${m.rowsPerSec}%.0f rows/s, maxBatch ${m.maxBatchSec}%.2fs, state<=${m.stateRowsMax}")
+      m
+    }
+
+    val qjson = results.map { m =>
+      f""""${m.name}":{"batches":${m.batches},"rows":${m.rows},"total_sec":${m.totalSec}%.2f,"rows_per_sec":${m.rowsPerSec}%.0f,"max_batch_sec":${m.maxBatchSec}%.3f,"state_rows_max":${m.stateRowsMax}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stream_bench","chunks":$nChunks,"sf":"$sfDir","queries":$qjson}""")
+    println(s"\n| stream | batches | rows | rows/sec | max batch s | max state rows |")
+    println("|---|---|---|---|---|---|")
+    results.foreach { m =>
+      println(f"| ${m.name} | ${m.batches} | ${m.rows} | ${m.rowsPerSec}%.0f | ${m.maxBatchSec}%.2f | ${m.stateRowsMax} |")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Regression pins on the streaming replay harness: the SCALE.md streaming
+  * table is only meaningful if (a) the chunked replay really delivers every
+  * row in event-time order across micro-batch boundaries, and (b) the
+  * MEASURED state stays bounded by the watermark instead of growing with
+  * stream history — the property that makes the operators runnable
+  * unbounded. These pins run the real harness (file source, one chunk per
+  * trigger, engine-reported progress) at sf0.001.
+  */
+class StreamBenchSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+
+  private val base = "/root/testdata/sf0.001"
+
+  private lazy val stagedEvents: String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-streamspec-events").toString
+    StreamBench.stageChunks(Tables.events(spark, base), "ts", dir, nChunks = 5)
+    dir
+  }
+
+  private def ckpt(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-streamspec-$name").toString
+
+  test("chunked replay delivers every event exactly once, in 5 file-batches") {
+    val total = Tables.events(spark, base).count()
+    val q = StreamBench.chunkStream(spark, stagedEvents,
+        graft.streaming.EventStreams.eventSchema)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt("passthrough"))
+      .format("noop").start()
+    val m = StreamBench.drainAndMeasure("passthrough", q)
+    m.rows shouldBe total
+    m.batches shouldBe 5
+  }
+
+  test("dedup_stream state is reaped by the watermark, not stream history") {
+    val events = StreamBench.chunkStream(spark, stagedEvents,
+      graft.streaming.EventStreams.eventSchema)
+    val q = graft.streaming.EventStreams.dedupStream(events)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt("dedup"))
+      .format("noop").start()
+    val m = StreamBench.drainAndMeasure("dedup", q)
+    val total = Tables.events(spark, base).count()
+    m.rows shouldBe total
+    // the sf0.001 log spans ~30 days; a 10-minute watermark window holds a
+    // small fraction of it. Unreaped state would sit at ~total rows — pin
+    // the MEASURED max well below half the stream.
+    m.stateRowsMax should be > 0L
+    m.stateRowsMax should be < total / 2
+  }
+
+  test("sessionize state is bounded by open sessions (users), not events") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val users = Tables.events(spark, base)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    val events = StreamBench.chunkStream(spark, stagedEvents,
+      EventStreams.eventSchema)
+    val q = EventStreams.sessionizeStreaming(
+        events.withWatermark("ts", "1800 seconds").as[EventStreams.Event],
+        gapSecs = 1800)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt("sessionize"))
+      .format("noop").start()
+    val m = StreamBench.drainAndMeasure("sessionize", q)
+    m.rows shouldBe Tables.events(spark, base).count()
+    // state = concurrently-open sessions: can never exceed the user count,
+    // and on this sparse log sits far below it (timeouts close sessions as
+    // the watermark advances)
+    m.stateRowsMax should be > 0L
+    m.stateRowsMax should be <= users
+  }
+}
