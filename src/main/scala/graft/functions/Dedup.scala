@@ -829,8 +829,7 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
 
-    def bloomOf(df: DataFrame, c: Column): Array[Byte] = {
-      val n = math.max(if (expectedItems > 0) expectedItems else df.count(), 1L)
+    def bloomOf(df: DataFrame, c: Column, n: Long): Array[Byte] = {
       val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
       df.select(GraftSqlBridge.column(new BloomFilterAggregate(
           GraftSqlBridge.expression(xxhash64(c)), CatLit(n), CatLit(bits))
@@ -841,8 +840,18 @@ object Dedup {
       GraftSqlBridge.column(BloomFilterMightContain(
         CatLit(bloom, BinaryType), GraftSqlBridge.expression(xxhash64(c))))
 
+    // batch-side intermediates persist: each feeds BOTH its sketch build
+    // and the join that consumes it, and re-deriving the batch minhash
+    // signatures for the second use measurably erased the Bloom win at the
+    // 100× point. ONE count sizes both sketches (buckets ≤ batch × bands —
+    // sizing needs an upper bound, not exactness). The persists follow the
+    // established shingle/candidate-cache convention (Bench clears cache
+    // between passes).
     val newMd5 = newDocs.select(col("doc_id"), md5(col(textCol)).as("text_md5"))
-    val md5Bloom = bloomOf(newMd5, col("text_md5"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBatch = math.max(
+      if (expectedItems > 0) expectedItems else newMd5.count(), 1L)
+    val md5Bloom = bloomOf(newMd5, col("text_md5"), nBatch)
     val corpusMd5 = corpus.select(md5(col(textCol)).as("text_md5"))
       .filter(mightContain(md5Bloom, col("text_md5")))
       .distinct().withColumn("is_exact_dup", lit(true))
@@ -851,8 +860,10 @@ object Dedup {
         coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"))
 
     val newBuckets = bandedBuckets(newDocs, textCol, k, bands, rowsPerBand,
-      hasher).withColumnRenamed("doc_id", "new_id")
-    val bucketBloom = bloomOf(newBuckets, struct(col("band"), col("bucket")))
+        hasher).withColumnRenamed("doc_id", "new_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketBloom = bloomOf(newBuckets, struct(col("band"), col("bucket")),
+      nBatch * bands)
     val corpusBuckets =
       bandedBuckets(corpus, textCol, k, bands, rowsPerBand, hasher)
         .filter(mightContain(bucketBloom, struct(col("band"), col("bucket"))))
