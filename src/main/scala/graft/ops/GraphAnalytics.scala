@@ -269,4 +269,71 @@ object GraphAnalytics {
       .join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** HITS hubs & authorities (Kleinberg): fixed-iteration power method —
+    * authority(v) ← Σ hub(u) over in-edges (u,v), hub(u) ← Σ authority(v)
+    * over out-edges, each vector L2-normalized per half-step. Same
+    * per-iteration plan shape and determinism contract as [[pageRank]]:
+    * one edge equi-join + one map-side-combinable sum per half-step, the
+    * norm a broadcast one-row aggregate, and EVERY sum/quotient rounded
+    * to 10 dp so summation order can never compound across iterations or
+    * engines (a 1e-15-relative reduction wobble cannot flip a 1e-10
+    * rounding step). Vectors persist one iteration deep. A zero norm
+    * (possible only on an edgeless graph) yields zero vectors instead of
+    * NaN. Initial hub = 1 at every node.
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val n = nodes.select(col("id")).distinct()
+    val e = edges.select(col("fromId"), col("toId")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // One half-step: propagate `score` across the edge key, zero-fill
+    // from the node list, L2-normalize. Two lineage decisions, both hit
+    // by measurement on the 51-node fixture, not hypothesized:
+    //  - the norm is collected as a DRIVER scalar (one-row aggregate
+    //    action, the pageRank count() pattern) and re-enters as a
+    //    literal — embedding it as a crossJoin subplan nests an
+    //    aggregate-of-the-whole-lineage into every iteration;
+    //  - the output is eagerly localCheckpoint'ed, not just persisted:
+    //    HITS stacks TWO cached frames per iteration (10 levels at 5
+    //    iters) and nested InMemoryRelations re-print their cached plan
+    //    inside every enclosing explain, so the event-log plan STRING
+    //    grows ~2^levels and OOMs the driver — checkpointing truncates
+    //    the plan to a leaf. (pageRank's 5 single-frame levels stay
+    //    under the cliff; 10 do not.) localCheckpoint is executor-local:
+    //    on a real cluster an executor loss forces recomputation of the
+    //    current iteration only, and the algorithm is deterministic, so
+    //    the trade is latency, never answers.
+    // sqrt runs AFTER the 10 dp sum round, matching the oracle; IEEE
+    // sqrt is correctly rounded in both engines.
+    def halfStep(vec: DataFrame, score: String, edgeKey: String,
+                 outKey: String, outName: String): DataFrame = {
+      val raw = e.join(vec.withColumnRenamed("id", edgeKey), edgeKey)
+        .groupBy(col(outKey).as("id"))
+        .agg(round(sum(col(score)), 10).as("s"))
+      val filled = n.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0d)).as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nrm = math.sqrt(
+        filled.agg(round(sum(col("v") * col("v")), 10)).head().getDouble(0))
+      val out = filled.select(col("id"),
+        (if (nrm > 0) round(col("v") / lit(nrm), 10) else lit(0.0d))
+          .as(outName))
+        .localCheckpoint(true)
+      filled.unpersist()
+      out
+    }
+    var hub = n.select(col("id"), lit(1.0d).as("hub"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auth: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val aN = halfStep(hub, "hub", "fromId", "toId", "authority")
+      val hN = halfStep(aN, "authority", "toId", "fromId", "hub")
+      hub.unpersist()
+      if (auth != null) auth.unpersist()
+      hub = hN; auth = aN
+    }
+    n.join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
+      .select(col("id"), col("hub"), col("authority"))
+  }
 }

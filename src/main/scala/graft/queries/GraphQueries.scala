@@ -248,6 +248,22 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga8_hits" -> ((s, _) => {
+      // HITS hubs & authorities: fixed-iteration power method with L2
+      // normalization per half-step — the link-analysis companion to
+      // PageRank that separates "points at good pages" from "is pointed
+      // at by good pages" (directed graphs make them genuinely different
+      // rankings). Same determinism shim as q_ga2: every sum/quotient
+      // rounded 10 dp per half-step; the oracle unrolls the identical
+      // arithmetic as chained CTEs.
+      val g = graph50(s)
+      GraphAnalytics.hits(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")), iters = 5)
+        .select(col("id"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy(col("id"))
+    }),
+
     "q_ga6_sssp" -> ((s, _) => {
       // weighted single-source shortest paths from the init node (id 0),
       // over the Action edges' cost field — distributed Bellman-Ford, one
@@ -354,6 +370,48 @@ object GraphQueries {
          SELECT id AS "id", round(rank, 6) AS "rank" FROM r$iters ORDER BY id"""
   }
 
+  /** Unrolled fixed-iteration HITS in ANSI SQL — the same power-method
+    * half-steps [[GraphAnalytics.hits]] computes (propagate, zero-fill,
+    * L2-normalize), with the identical round(_, 10) on every sum and
+    * quotient so summation-order noise can never compound across the
+    * chained CTEs.
+    */
+  private def hitsSql(iters: Int): String = {
+    val base =
+      s"""WITH n AS (SELECT id FROM $nodesTbl),
+         e AS MATERIALIZED (SELECT DISTINCT fromId, toId FROM $edgesTbl),
+         h0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) AS hub FROM n)"""
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         a${k}r AS MATERIALIZED (
+           SELECT n.id, coalesce(s.v, 0) AS a
+           FROM n LEFT JOIN (
+             SELECT e.toId AS id, round(sum(h.hub), 10) AS v
+             FROM e JOIN h${k - 1} h ON h.id = e.fromId
+             GROUP BY 1) s ON s.id = n.id),
+         a${k}n AS MATERIALIZED (SELECT sqrt(round(sum(a * a), 10)) AS nrm FROM a${k}r),
+         a$k AS MATERIALIZED (
+           SELECT id, CASE WHEN nrm > 0 THEN round(a / nrm, 10) ELSE 0 END AS authority
+           FROM a${k}r, a${k}n),
+         h${k}r AS MATERIALIZED (
+           SELECT n.id, coalesce(s.v, 0) AS h
+           FROM n LEFT JOIN (
+             SELECT e.fromId AS id, round(sum(a.authority), 10) AS v
+             FROM e JOIN a$k a ON a.id = e.toId
+             GROUP BY 1) s ON s.id = n.id),
+         h${k}n AS MATERIALIZED (SELECT sqrt(round(sum(h * h), 10)) AS nrm FROM h${k}r),
+         h$k AS MATERIALIZED (
+           SELECT id, CASE WHEN nrm > 0 THEN round(h / nrm, 10) ELSE 0 END AS hub
+           FROM h${k}r, h${k}n)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+         SELECT n.id AS "id", round(h.hub, 6) AS "hub",
+                round(a.authority, 6) AS "authority"
+         FROM n JOIN h$iters h ON h.id = n.id JOIN a$iters a ON a.id = n.id
+         ORDER BY n.id"""
+  }
+
   /** Unrolled Bellman-Ford: `iters` chained CTEs, each one relax round —
     * min(prev.d + cost) per target merged with the carried distance. 60
     * rounds > |V(Graph50)|−1, and extra rounds past the fixpoint are
@@ -421,6 +479,7 @@ object GraphQueries {
   val oracleSql: Map[String, String] = Map(
     "q_ga6_sssp" -> ssspSql(iters = 60, sourceId = 0L),
     "q_ga7_ppr" -> pprSql(iters = 5, d = 0.85, sourceId = 0L),
+    "q_ga8_hits" -> hitsSql(iters = 5),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -610,6 +610,42 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q_w5_frame_nav" -> ((s, d) => {
+      // frame-navigation window functions beyond q_w2's lag/lead:
+      // first_value / last_value / nth_value over an EXPLICIT full-frame
+      // (rows between unbounded preceding and unbounded following) —
+      // explicit because the default frame stops at CURRENT ROW, where
+      // last_value degenerates to the row itself; the classic silent-bug
+      // surface this query pins cross-engine. Per customer: first, last
+      // and second order in date order (deterministic key tie-break).
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q_a17_mode" -> ((s, d) => {
+      // per-group MODE (most frequent value): grouped counts + one
+      // argmax window with a deterministic tie-break (count DESC, value
+      // ASC). The window runs over the (status, priority)-bounded count
+      // table — group-cardinality-sized, never the fact stream — the same
+      // bounded-rank shape as trendingTopK.
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_modal"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(desc("n_modal"), col("o_orderpriority"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("modal_priority"), col("n_modal"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "q_x4_bucketed_join" -> ((s, d) => {
       // co-located join over bucketed tables: both sides laid out ONCE with
       // bucketBy(8, custkey) (ensureBucketed — write-once per context, the
@@ -1459,6 +1495,21 @@ object RelationalQueries {
       graft.functions.Sampling.temperatureMixture(
           Tables.documents(s, d), keyCol = "lang", idCol = "doc_id", alpha = 0.5)
         .select(col("doc_id"), col("lang"), col("rate"))
+        .orderBy(col("doc_id"))),
+
+    "q_sp8_topk_sample" -> ((s, d) =>
+      // deterministic uniform k-sample via hash RANK (vs q_sp1's hash
+      // GATE, which yields a rate, not an exact count): order by
+      // md5(seed || id), take exactly k. Plans as TakeOrderedAndProject —
+      // per-partition top-k then a k-row merge, no global sort
+      // materialization — so the exact-size sample costs one scan at any
+      // corpus size. Reproducible (seed in the hash), uniform (md5 rank
+      // is exchangeable over ids), and engine-portable (md5 hex in both).
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("seed42:"), col("doc_id").cast("string"))).as("rk"))
+        .orderBy(col("rk")).limit(100)
+        .select(col("doc_id"), col("rk"))
         .orderBy(col("doc_id"))),
 
     "q_d16_cross_source_overlap" -> ((s, d) => {
@@ -3642,6 +3693,37 @@ object RelationalQueries {
                 round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
                 round(regr_r2(ln(freq), ln(rnk)), 4) AS zipf_r2
          FROM r""",
+
+    "q_w5_frame_nav" ->
+      // the SAME explicit full frame: default-frame last_value would
+      // return the current row and hash-mismatch — that IS the pin
+      """SELECT o_custkey, o_orderkey,
+                first_value(o_orderkey) OVER w AS first_order,
+                last_value(o_orderkey) OVER w AS last_order,
+                nth_value(o_orderkey, 2) OVER w AS second_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q_a17_mode" ->
+      // grouped counts + QUALIFY argmax, identical tie-break
+      """WITH c AS (
+           SELECT o_orderstatus, o_orderpriority, count(*) AS n_modal
+           FROM orders GROUP BY 1, 2)
+         SELECT o_orderstatus, o_orderpriority AS modal_priority, n_modal
+         FROM c
+         QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY n_modal DESC, o_orderpriority) = 1
+         ORDER BY o_orderstatus""",
+
+    "q_sp8_topk_sample" ->
+      // same md5 rank, same k: the sampled SET must match id-for-id
+      """SELECT doc_id, rk FROM (
+           SELECT doc_id, md5('seed42:' || doc_id) AS rk
+           FROM documents ORDER BY rk LIMIT 100)
+         ORDER BY doc_id""",
 
     "q_sp7_temperature_mix" ->
       // rates re-derived (share^0.5 schedule, 6dp-rounded), same trunc'd

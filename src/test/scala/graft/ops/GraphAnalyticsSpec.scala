@@ -130,4 +130,44 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L)
   }
+
+  test("hits separates hubs from authorities and matches a local iteration") {
+    // bipartite-ish: 1 and 2 both point at 3 and 4; 5 isolated.
+    // 1,2 are pure hubs (no in-edges → authority 0); 3,4 pure authorities.
+    val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.hits(n, e, iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // by symmetry hubs 1,2 equal; authorities 3,4 equal; L2 norms are 1
+    out(1L) shouldBe out(2L)
+    out(3L) shouldBe out(4L)
+    out(5L) shouldBe ((0.0, 0.0))
+    out(1L)._1 shouldBe (1.0 / math.sqrt(2)) +- 1e-9 // hub
+    out(1L)._2 shouldBe 0.0                          // no in-edges
+    out(3L)._2 shouldBe (1.0 / math.sqrt(2)) +- 1e-9 // authority
+    out(3L)._1 shouldBe 0.0                          // no out-edges
+    // local reference iteration on the cycle graph (asymmetric case):
+    // replicate the rounded half-steps exactly
+    val cn = Seq(1L, 2L, 3L).toDF("id")
+    val ce = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("fromId", "toId")
+    val got = GraphAnalytics.hits(cn, ce, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def rnd(x: Double, dp: Int = 10): Double =
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val edges = Seq((1, 2), (2, 3), (3, 1), (1, 3))
+    var hub = Map(1 -> 1.0, 2 -> 1.0, 3 -> 1.0)
+    var auth = Map(1 -> 0.0, 2 -> 0.0, 3 -> 0.0)
+    (1 to 3).foreach { _ =>
+      val a0 = (1 to 3).map(v => v -> rnd(edges.filter(_._2 == v).map(ed => hub(ed._1)).sum)).toMap
+      val na = math.sqrt(rnd(a0.values.map(x => x * x).sum))
+      auth = a0.view.mapValues(x => rnd(x / na)).toMap
+      val h0 = (1 to 3).map(u => u -> rnd(edges.filter(_._1 == u).map(ed => auth(ed._2)).sum)).toMap
+      val nh = math.sqrt(rnd(h0.values.map(x => x * x).sum))
+      hub = h0.view.mapValues(x => rnd(x / nh)).toMap
+    }
+    (1 to 3).foreach { v =>
+      got(v.toLong)._1 shouldBe hub(v) +- 1e-12
+      got(v.toLong)._2 shouldBe auth(v) +- 1e-12
+    }
+  }
 }
