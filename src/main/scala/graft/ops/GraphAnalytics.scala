@@ -270,6 +270,47 @@ object GraphAnalytics {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** k-core membership: iterative peeling — repeatedly delete nodes whose
+    * UNDIRECTED degree within the surviving subgraph is below `k` until a
+    * fixpoint; the survivors form the (unique) maximal subgraph with
+    * minimum degree ≥ k, the standard dense-region / spam-farm filter.
+    * Per round: one symmetric-edge double semi-join + one map-side-
+    * combinable count — work proportional to the SURVIVING subgraph, so
+    * rounds get cheaper as peeling proceeds; the driver loop runs at most
+    * |V| rounds (each non-final round removes ≥ 1 node) and stops at the
+    * first round with no removals. The survivor set localCheckpoints per
+    * round (the [[hits]] lineage lesson — bounded plans at any round
+    * count). Self-loops are dropped (a self-loop must not let a node keep
+    * itself alive); returns every input node with an `in_kcore` flag.
+    */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var kept = nodes.select(col("id")).distinct().localCheckpoint(true)
+    var size = kept.count()
+    var changed = true
+    while (changed && size > 0) {
+      val deg = sym
+        .join(kept.withColumnRenamed("id", "a"), "a")
+        .join(kept.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      val next = kept.join(deg.filter(col("deg") >= k), Seq("id"), "left_semi")
+        .localCheckpoint(true)
+      val nextSize = next.count()
+      changed = nextSize != size
+      kept = next; size = nextSize
+    }
+    sym.unpersist()
+    nodes.select(col("id"))
+      .join(kept.withColumn("hit", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hit"), lit(false)).as("in_kcore"))
+  }
+
   /** HITS hubs & authorities (Kleinberg): fixed-iteration power method —
     * authority(v) ← Σ hub(u) over in-edges (u,v), hub(u) ← Σ authority(v)
     * over out-edges, each vector L2-normalized per half-step. Same

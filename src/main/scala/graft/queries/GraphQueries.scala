@@ -248,6 +248,19 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga9_kcore" -> ((s, _) => {
+      // 2-core membership by iterative peeling (dense-region filter):
+      // leaves and isolated nodes peel away round by round until every
+      // survivor keeps >= 2 undirected neighbors among survivors. The
+      // oracle unrolls the peeling as MATERIALIZED CTE rounds — extra
+      // rounds past the fixpoint are no-ops, so the engines agree
+      // regardless of the Spark side's early stop.
+      val g = graph50(s)
+      GraphAnalytics.kCore(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")), k = 2)
+        .orderBy(col("id"))
+    }),
+
     "q_ga8_hits" -> ((s, _) => {
       // HITS hubs & authorities: fixed-iteration power method with L2
       // normalization per half-step — the link-analysis companion to
@@ -370,6 +383,37 @@ object GraphQueries {
          SELECT id AS "id", round(rank, 6) AS "rank" FROM r$iters ORDER BY id"""
   }
 
+  /** Unrolled k-core peeling in SQL: `rounds` chained MATERIALIZED CTEs
+    * (DuckDB inlines single-reference CTEs — unmaterialized, the chain
+    * re-evaluates exponentially), each one peel round — survivors are the
+    * nodes with ≥ k undirected neighbors among the previous round's
+    * survivors. Rounds past the fixpoint are no-ops, so 60 > any Graph50
+    * peeling depth lands both engines on the same set.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val base =
+      s"""WITH n AS MATERIALIZED (SELECT id FROM $nodesTbl),
+         ud AS MATERIALIZED (
+           SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+           FROM $edgesTbl WHERE fromId <> toId),
+         e AS MATERIALIZED (
+           SELECT a, b FROM ud UNION ALL SELECT b, a FROM ud),
+         k0 AS MATERIALIZED (SELECT id FROM n)"""
+    val iterCtes = (1 to rounds).map { r =>
+      s""",
+         k$r AS MATERIALIZED (
+           SELECT e.a AS id
+           FROM e JOIN k${r - 1} ka ON ka.id = e.a
+                  JOIN k${r - 1} kb ON kb.id = e.b
+           GROUP BY 1 HAVING count(*) >= $k)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+         SELECT n.id AS "id", (kk.id IS NOT NULL) AS "in_kcore"
+         FROM n LEFT JOIN k$rounds kk ON kk.id = n.id
+         ORDER BY n.id"""
+  }
+
   /** Unrolled fixed-iteration HITS in ANSI SQL — the same power-method
     * half-steps [[GraphAnalytics.hits]] computes (propagate, zero-fill,
     * L2-normalize), with the identical round(_, 10) on every sum and
@@ -480,6 +524,7 @@ object GraphQueries {
     "q_ga6_sssp" -> ssspSql(iters = 60, sourceId = 0L),
     "q_ga7_ppr" -> pprSql(iters = 5, d = 0.85, sourceId = 0L),
     "q_ga8_hits" -> hitsSql(iters = 5),
+    "q_ga9_kcore" -> kCoreSql(k = 2, rounds = 60),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -131,6 +131,21 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L)
   }
 
+  test("kCore peels leaves transitively; self-loops don't keep nodes alive") {
+    // triangle 1-2-3 (the 2-core) + chain 3-4-5 that must peel in TWO
+    // rounds (5 first, then 4 — a one-round degree filter would wrongly
+    // keep 4), + self-loop 6-6 (degree from a self-loop must not count)
+    val n = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (6L, 6L))
+      .toDF("fromId", "toId")
+    val out = GraphAnalytics.kCore(n, e, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out shouldBe Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> false)
+    // k above the max degree peels everything
+    GraphAnalytics.kCore(n, e, k = 5).collect().foreach(_.getBoolean(1) shouldBe false)
+  }
+
   test("hits separates hubs from authorities and matches a local iteration") {
     // bipartite-ish: 1 and 2 both point at 3 and 4; 5 isolated.
     // 1,2 are pure hubs (no in-edges → authority 0); 3,4 pure authorities.
