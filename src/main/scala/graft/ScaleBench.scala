@@ -64,7 +64,7 @@ object ScaleBench {
     "q_v10_quantized_topk", "q_v13_hybrid_retrieval", "q_v14_pq_adc",
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",
     "q_sp4_mixture_weights", "q_sp5_grouped_split", "q_sp6_sequence_pack",
-    "q_sp7_temperature_mix",
+    "q_sp7_temperature_mix", "q_sp8_topk_sample",
     "q_m1_media_features", "q_m2_frame_sample", "q_m3_media_metadata",
     "q_m4_wav_pcm_stats", "q_m5_png_pixel_stats", "q_m6_png_rgb_stats",
     "q_io1_jsonl_roundtrip", "q_io2_csv_roundtrip", "q_io4_orc_roundtrip",
