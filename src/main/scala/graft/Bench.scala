@@ -197,8 +197,10 @@ object Bench {
     * is the host-independent comparison. Best-effort: a missing or
     * unparsable previous file yields an empty map, never a failed bench.
     */
-  private def prevMins(): Map[String, Double] = {
-    val path = sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "BENCH_FULL.json")
+  private def prevMins(): Map[String, Double] =
+    prevMins(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "BENCH_FULL.json"))
+
+  private[graft] def prevMins(path: String): Map[String, Double] = {
     if (path.isEmpty) return Map.empty
     try {
       val f = new java.io.File(path)
@@ -230,8 +232,8 @@ object Bench {
     * ratio, worst first, capped at 10 so the summary line stays inside
     * the driver's stdout-tail budget.
     */
-  private def regressionsVsPrev(entries: Seq[(String, Vector[Double])],
-                                prev: Map[String, Double]): Seq[(String, Double, Double)] =
+  private[graft] def regressionsVsPrev(entries: Seq[(String, Vector[Double])],
+                                       prev: Map[String, Double]): Seq[(String, Double, Double)] =
     entries.flatMap { case (name, ts) =>
       val ok = ts.filter(_ >= 0)
       (prev.get(name), if (ok.isEmpty) None else Some(ok.min)) match {

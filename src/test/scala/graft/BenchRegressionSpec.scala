@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the bench's round-over-round regression gate: the previous round's
+  * per-query best passes parse out of BENCH_FULL.json, and the >2×
+  * min-over-min flag fires exactly when it should — including the noise
+  * guards (sub-0.5s floor, failed passes, missing/new queries) that keep
+  * the field from crying wolf on 40-query throttle rounds.
+  */
+class BenchRegressionSpec extends AnyFunSuite with Matchers {
+
+  test("prevMins parses per-query best passes, skipping failed (-1) ones") {
+    val f = java.nio.file.Files.createTempFile("bench_full", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","value":9.0,"queries":{"q_a":1.0,"q_b":2.0},
+        |"passes":{"q_a":[2.000,1.200,0.900],"q_b":[-1.000,3.000],
+        |"q_dead":[-1.000,-1.000]}}""".stripMargin.replace("\n", ""))
+    val m = Bench.prevMins(f.toString)
+    m("q_a") shouldBe 0.9 +- 1e-9
+    m("q_b") shouldBe 3.0 +- 1e-9 // the -1 failed pass is excluded
+    m.contains("q_dead") shouldBe false // no clean pass at all
+    java.nio.file.Files.delete(f)
+  }
+
+  test("prevMins is empty (never throws) on missing or garbage files") {
+    Bench.prevMins("/nonexistent/nope.json") shouldBe Map.empty
+    Bench.prevMins("") shouldBe Map.empty
+    val f = java.nio.file.Files.createTempFile("bench_garbage", ".json")
+    java.nio.file.Files.writeString(f, "not json at all {{{")
+    Bench.prevMins(f.toString) shouldBe Map.empty
+    java.nio.file.Files.delete(f)
+  }
+
+  test("regressionsVsPrev flags >2x min-over-min, guards noise") {
+    val prev = Map("q_slow" -> 1.0, "q_ok" -> 1.0, "q_tiny" -> 0.1,
+      "q_edge" -> 1.0, "q_floor" -> 0.4)
+    val entries = Seq(
+      "q_slow" -> Vector(3.0, 2.5),        // min 2.5 > 2x 1.0 → flagged
+      "q_ok" -> Vector(1.9, 1.8),          // under 2x → not flagged
+      "q_tiny" -> Vector(0.5),             // prev min below 0.5s floor → not flagged
+      "q_floor" -> Vector(5.0),            // prev 0.4 < floor → not flagged
+      "q_edge" -> Vector(2.0),             // exactly 2x → not flagged (strict >)
+      "q_new" -> Vector(9.0),              // no prev → not flagged
+      "q_failedrun" -> Vector(-1.0))       // no clean current pass → skipped
+    val out = Bench.regressionsVsPrev(entries, prev)
+    out.map(_._1) shouldBe Seq("q_slow")
+    out.head._2 shouldBe 1.0
+    out.head._3 shouldBe 2.5
+  }
+
+  test("regressionsVsPrev sorts worst-first and caps at 10") {
+    val prev = (1 to 15).map(i => s"q_$i" -> 1.0).toMap
+    val entries = (1 to 15).map(i => s"q_$i" -> Vector(2.0 + i.toDouble))
+    val out = Bench.regressionsVsPrev(entries, prev)
+    out should have length 10
+    out.head._1 shouldBe "q_15" // worst ratio first
+    out.map(_._3) shouldBe out.map(_._3).sorted.reverse
+  }
+}
