@@ -311,6 +311,48 @@ object GraphAnalytics {
       .select(col("id"), coalesce(col("hit"), lit(false)).as("in_kcore"))
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round it adopts the most
+    * frequent label among its UNDIRECTED neighbors, ties to the SMALLEST
+    * label, isolated nodes keeping their current label — `iters` fixed
+    * rounds, fully deterministic (classic async LPA is run-order
+    * dependent; the synchronous + min-label variant is what makes a
+    * cross-engine oracle possible, at the known cost of possible 2-cycles
+    * on bipartite structures — a fixed round count lands both engines on
+    * the same snapshot either way). Per round: one neighbor-label
+    * equi-join + a count aggregate + an argmax window over the
+    * (node, label) count table — bounded by the edge list, never
+    * all-pairs; labels localCheckpoint per round (the [[hits]] lineage
+    * lesson).
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.select(col("id")).distinct()
+    var labels = n.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    val w = Window.partitionBy(col("id")).orderBy(desc("cnt"), col("label"))
+    (1 to iters).foreach { _ =>
+      val counts = sym
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .groupBy(col("a").as("id"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val winners = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("label").as("wl"))
+      labels = labels.join(winners, Seq("id"), "left")
+        .select(col("id"), coalesce(col("wl"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   /** HITS hubs & authorities (Kleinberg): fixed-iteration power method —
     * authority(v) ← Σ hub(u) over in-edges (u,v), hub(u) ← Σ authority(v)
     * over out-edges, each vector L2-normalized per half-step. Same

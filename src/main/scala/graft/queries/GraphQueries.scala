@@ -248,6 +248,16 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga10_label_prop" -> ((s, _) => {
+      // synchronous min-tie label propagation, 5 fixed rounds — community
+      // detection over the fixture graph; the oracle unrolls the same
+      // neighbor-majority/min-label rounds as MATERIALIZED CTEs
+      val g = graph50(s)
+      GraphAnalytics.labelPropagation(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")), iters = 5)
+        .orderBy(col("id"))
+    }),
+
     "q_ga9_kcore" -> ((s, _) => {
       // 2-core membership by iterative peeling (dense-region filter):
       // leaves and isolated nodes peel away round by round until every
@@ -414,6 +424,39 @@ object GraphQueries {
          ORDER BY n.id"""
   }
 
+  /** Unrolled synchronous label propagation: `rounds` chained MATERIALIZED
+    * CTE pairs — per round the (node, neighbor-label) count table and the
+    * argmax-with-min-tie adoption (QUALIFY row_number), isolated nodes
+    * carrying their previous label.
+    */
+  private def labelPropSql(rounds: Int): String = {
+    val base =
+      s"""WITH n AS MATERIALIZED (SELECT id FROM $nodesTbl),
+         ud AS MATERIALIZED (
+           SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+           FROM $edgesTbl WHERE fromId <> toId),
+         e AS MATERIALIZED (
+           SELECT a, b FROM ud UNION ALL SELECT b, a FROM ud),
+         l0 AS MATERIALIZED (SELECT id, id AS label FROM n)"""
+    val iterCtes = (1 to rounds).map { r =>
+      s""",
+         c$r AS MATERIALIZED (
+           SELECT e.a AS id, l.label AS label, count(*) AS cnt
+           FROM e JOIN l${r - 1} l ON l.id = e.b
+           GROUP BY 1, 2),
+         w$r AS MATERIALIZED (
+           SELECT id, label FROM c$r
+           QUALIFY row_number() OVER (PARTITION BY id
+                                      ORDER BY cnt DESC, label) = 1),
+         l$r AS MATERIALIZED (
+           SELECT p.id, coalesce(w.label, p.label) AS label
+           FROM l${r - 1} p LEFT JOIN w$r w ON w.id = p.id)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+         SELECT id AS "id", label AS "community" FROM l$rounds ORDER BY id"""
+  }
+
   /** Unrolled fixed-iteration HITS in ANSI SQL — the same power-method
     * half-steps [[GraphAnalytics.hits]] computes (propagate, zero-fill,
     * L2-normalize), with the identical round(_, 10) on every sum and
@@ -525,6 +568,7 @@ object GraphQueries {
     "q_ga7_ppr" -> pprSql(iters = 5, d = 0.85, sourceId = 0L),
     "q_ga8_hits" -> hitsSql(iters = 5),
     "q_ga9_kcore" -> kCoreSql(k = 2, rounds = 60),
+    "q_ga10_label_prop" -> labelPropSql(rounds = 5),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -146,6 +146,21 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     GraphAnalytics.kCore(n, e, k = 5).collect().foreach(_.getBoolean(1) shouldBe false)
   }
 
+  test("labelPropagation converges cliques to min labels, keeps isolated nodes") {
+    // two triangles {1,2,3} and {10,11,12} bridged by nothing; 20 isolated
+    val n = Seq(1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.labelPropagation(n, e, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-tie adoption collapses each triangle onto its smallest id
+    out(1L) shouldBe 1L
+    out(2L) shouldBe 1L
+    out(3L) shouldBe 1L
+    Set(out(10L), out(11L), out(12L)) shouldBe Set(10L)
+    out(20L) shouldBe 20L // isolated: keeps its own label
+  }
+
   test("hits separates hubs from authorities and matches a local iteration") {
     // bipartite-ish: 1 and 2 both point at 3 and 4; 5 isolated.
     // 1,2 are pure hubs (no in-edges → authority 0); 3,4 pure authorities.
