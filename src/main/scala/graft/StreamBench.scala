@@ -188,6 +188,14 @@ object StreamBench {
       // dropDuplicatesWithinWatermark: state = ids younger than the delay
       "dedup_stream" -> (() => noopStart("dedup_stream",
         graft.streaming.EventStreams.dedupStream(events()), "append")),
+      // stream-stream interval self-join — the heaviest state consumer in
+      // the surface: BOTH sides buffer rows until the watermark clears the
+      // interval, so the measured state-row peak is the real cost of the
+      // join's time bound (rate × (interval + delay) per side, never
+      // stream history)
+      "interval_join" -> (() => noopStart("interval_join",
+        graft.streaming.EventStreams.intervalSelfJoin(events(),
+          intervalSecs = 600), "append")),
       // per-batch trending top-k via foreachBatch (rank is not incremental;
       // this is the documented production shape for it)
       "trending_foreachbatch" -> (() =>
