@@ -1064,6 +1064,35 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_io10_merge_schema" -> ((s, d) => {
+      // schema evolution at the SCAN, not the union: two corpus
+      // generations appended as part files with DIFFERENT schemas into
+      // ONE directory (gen1 carries lang, gen2 retires it and adds
+      // source/n_chars), read back through mergeSchema=true — Spark
+      // merges the parquet FOOTERS into the union schema and NULL-fills
+      // per file, which is how a 100 TB corpus that evolved columns over
+      // years is actually read (q_io3 proves by-name union in the PLAN;
+      // this proves it in the SCAN). The dir is wiped first: append
+      // semantics would otherwise accumulate across invocations.
+      val docs = Tables.documents(s, d)
+      val tmp = scratchDir("graft_mergeschema", d)
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("append").parquet(tmp)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        .write.mode("append").parquet(tmp)
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_io3_schema_drift_union" -> ((s, d) => {
       // two corpus generations with drifted schemas (columns retired in
       // gen1, added in gen2) unioned BY NAME with NULL fill — the oracle
@@ -3413,6 +3442,17 @@ object RelationalQueries {
          SELECT cluster, u.pos, round(avg(u.v), 4) + 0 AS mean_val,
                 count(*) AS n_vecs
          FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_io10_merge_schema" ->
+      // the merged-footer scan re-derived: each generation's rows with
+      // NULLs in the columns its files never carried
+      """SELECT doc_id, text, lang,
+                NULL::VARCHAR AS source, NULL::BIGINT AS n_chars
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, text, NULL::VARCHAR, source, n_chars
+         FROM documents WHERE doc_id % 2 = 1
+         ORDER BY doc_id""",
 
     "q_io3_schema_drift_union" ->
       // the by-name union with explicit NULL columns per generation
