@@ -610,6 +610,23 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q_a18_corr_covar" -> ((s, d) =>
+      // bivariate aggregate surface: Pearson correlation + sample
+      // covariance + both stddevs per group — one map-side-combinable
+      // aggregation pass (Spark and DuckDB accumulate moments
+      // differently, but corr is normalized to [-1,1] and the raw moments
+      // carry ~1e-12 relative reduction noise at worst, so round(…, 6)
+      // — and 2 dp on the ~1e4-magnitude covariance — is decisive)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("qty_price_covar"),
+          round(stddev_samp(col("l_quantity")), 6).as("qty_sd"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("price_sd"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))),
+
     "q_w5_frame_nav" -> ((s, d) => {
       // frame-navigation window functions beyond q_w2's lag/lead:
       // first_value / last_value / nth_value over an EXPLICIT full-frame
@@ -3733,6 +3750,15 @@ object RelationalQueries {
                 round(regr_slope(ln(freq), ln(rnk)), 4) AS zipf_slope,
                 round(regr_r2(ln(freq), ln(rnk)), 4) AS zipf_r2
          FROM r""",
+
+    "q_a18_corr_covar" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+                round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+                round(stddev_samp(l_quantity), 6) AS qty_sd,
+                round(stddev_samp(l_extendedprice), 2) AS price_sd,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_w5_frame_nav" ->
       // the SAME explicit full frame: default-frame last_value would

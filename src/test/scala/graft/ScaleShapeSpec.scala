@@ -253,6 +253,24 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     topkPlan should include("TakeOrderedAndProject")
   }
 
+  test("hash-rank sample takes TakeOrdered; mergeSchema scan carries the union schema") {
+    // q_sp8's scale claim: ORDER BY md5 LIMIT k must plan as the k-row
+    // TakeOrderedAndProject, never a global sort of the ranked corpus
+    val plan = SparkEntry.queries("q_sp8_topk_sample")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    // q_io10's mechanism: the SCAN schema is the footer-merged union —
+    // gen1 rows surface gen2-only columns as NULLs and vice versa
+    val out = SparkEntry.queries("q_io10_merge_schema")(spark, sfDir)
+    out.columns.toSeq shouldBe Seq("doc_id", "text", "lang", "source", "n_chars")
+    val rows = out.limit(4).collect()
+    rows.foreach { r =>
+      val even = r.getLong(0) % 2 == 0
+      r.isNullAt(3) shouldBe even  // source only in gen2 (odd ids)
+      r.isNullAt(2) shouldBe !even // lang only in gen1 (even ids)
+    }
+  }
+
   test("redaction is shuffle-free; intra-doc dedup stays doc-keyed (no cross-doc pairs)") {
     import graft.functions.{Dedup, TextOps}
     val docs = Tables.documents(spark, sfDir)
