@@ -208,6 +208,10 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     // the top-k cut runs below the shuffle (partial) as well as above it —
     // per-key limits never materialize the full sorted partitions
     q.queryExecution.executedPlan.toString should include("WindowGroupLimit")
+    // the SQL front door's ROW_NUMBER top-k (q_sql5) earns the same cut —
+    // the analyzer's window path must not lose the rank-filter pushdown
+    SparkEntry.queries("q_sql5_window_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString should include("WindowGroupLimit")
     val t = TextOps.tfidfTopK(Tables.documents(spark, sfDir), k = 3)
     t.collect()
     // scope to the FINAL adaptive plan — toString also prints the pre-AQE
