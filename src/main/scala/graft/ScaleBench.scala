@@ -444,7 +444,18 @@ object ScaleBench {
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       (if (annOnly) annQueries
        else if (skewOnly) skewFamily
-       else if (textOnly) textFamily
+       // text mode defaults to the heavy families; SPARK_GRAFT_ONLY may
+       // select ANY documents-only gate queries instead (the caller owns
+       // the documents-only constraint — the text synthesis writes no
+       // other table)
+       else if (textOnly) only match {
+         case Some(names) =>
+           val unknown = names.diff(gateQueries.keySet)
+           require(unknown.isEmpty,
+             s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+           names.toSeq.sorted.map(n => n -> gateQueries(n))
+         case None => textFamily
+       }
        else scaleQueries.map(n => n -> gateQueries(n)) ++ annQueries ++ Seq(
          "q_d10_semantic_bucketed" ->
            ((s: SparkSession, d: String) => semanticDedupBucketed(s, d)),
