@@ -196,6 +196,23 @@ object StreamBench {
       "interval_join" -> (() => noopStart("interval_join",
         graft.streaming.EventStreams.intervalSelfJoin(events(),
           intervalSecs = 600), "append")),
+      // declarative sessionization: the built-in session_window aggregate
+      // (state = open sessions MERGED inside the state store — a different
+      // state machine from the fMGWS sessionizer above, measured side by
+      // side)
+      "session_window_agg" -> (() => noopStart("session_window_agg",
+        events().withWatermark("ts", "30 minutes")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events")), "append")),
+      // windowed distinct users via HLL sketch state (approx_count_distinct
+      // per hour — the q_ev14 shape live): state = one sketch per open
+      // window, bytes independent of user cardinality
+      "windowed_distinct_hll" -> (() => noopStart("windowed_distinct_hll",
+        events().withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(approx_count_distinct(col("user_id")).as("est_users")),
+        "append")),
       // per-batch trending top-k via foreachBatch (rank is not incremental;
       // this is the documented production shape for it)
       "trending_foreachbatch" -> (() =>

@@ -56,6 +56,23 @@ class StreamBenchSpec extends AnyFunSuite with Matchers {
     m.stateRowsMax should be < total / 2
   }
 
+  test("interval-join state is reaped by the watermark on both sides") {
+    val events = StreamBench.chunkStream(spark, stagedEvents,
+      graft.streaming.EventStreams.eventSchema)
+    val q = graft.streaming.EventStreams.intervalSelfJoin(events,
+        intervalSecs = 600)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt("ivjoin"))
+      .format("noop").start()
+    val m = StreamBench.drainAndMeasure("ivjoin", q)
+    val total = Tables.events(spark, base).count()
+    // both sides buffer, so the raw bound is 2x the stream; watermark
+    // reaping must keep the measured peak WELL below it (the 30-day log
+    // vs the 20-minute interval+delay window)
+    m.stateRowsMax should be > 0L
+    m.stateRowsMax should be < total
+  }
+
   test("sessionize state is bounded by open sessions (users), not events") {
     import spark.implicits._
     import graft.streaming.EventStreams
