@@ -199,7 +199,9 @@ object GraphAnalytics {
     * rounding shim. Parallel edges are pre-collapsed to `min(cost)`
     * (IEEE addition is monotone, so `d + min(cost) ≡ min(d + cost)`).
     * Assumes no negative-cost cycles (negative edges themselves are fine);
-    * `maxIters` bounds the loop regardless.
+    * `maxIters` bounds the loop regardless, and exiting AT the cap with
+    * distances still improving throws — a truncated vector must never be
+    * mistaken for a converged one (the likely cause is a negative cycle).
     */
   def sssp(nodes: DataFrame, edges: DataFrame, sourceId: Long,
            maxIters: Int = 1000): DataFrame = {
