@@ -52,7 +52,7 @@ object ScaleBench {
     "q_t9_length_profile", "q_t10_unigram_surprisal", "q_t11_chunking",
     "q_t12_intra_doc_dedup", "q_t13_redact_pii", "q_t14_boilerplate_removal",
     "q_t15_bm25", "q_t16_normalize", "q_t17_pmi_bigrams", "q_t18_entropy",
-    "q_t19_suffix_run_dedup", "q_t20_bigram_surprisal",
+    "q_t19_suffix_run_dedup", "q_t20_bigram_surprisal", "q_t24_word_dropout",
     "q_t21_gopher_quality", "q_t22_source_stats", "q_t23_zipf_profile",
     "q_a11_heavy_hitters", "q_a14_cms_heavy_hitters",
     "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",

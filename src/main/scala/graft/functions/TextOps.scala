@@ -550,4 +550,36 @@ object TextOps {
       rRep.as("r_rep"), rDis.as("r_distinct"),
       coalesce(rLen && rMean && rStop && rRep && rDis, lit(false)).as("pass"))
   }
+
+  /** Deterministic word dropout (training-data augmentation): each token
+    * survives iff its md5 hash gate — over (seed, doc_id, position, token)
+    * — clears `rate`·2^32, the [[Sampling.hashKey]] convention lifted from
+    * rows to TOKENS. Pure function of the inputs: the same (seed, corpus)
+    * always yields the same augmented text on any engine and any run, and
+    * two seeds give independent dropout masks — RNG-free augmentation that
+    * is reproducible AND oracle-able. One posexplode + one doc-keyed
+    * reassembly shuffle (the q_t12 reassembly shape); returns every
+    * non-null-text doc with its augmented text and surviving-token count
+    * (a doc whose every token drops keeps an empty string, not a lost row).
+    */
+  def wordDropout(docs: DataFrame, rate: Double, seed: String): DataFrame = {
+    require(rate >= 0.0 && rate < 1.0, s"rate out of [0,1): $rate")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val kept = toks.filter(
+      Dedup.md5Hash32(concat_ws(":", lit(seed), col("doc_id").cast("string"),
+          col("pos").cast("string"), col("tok")))
+        >= lit((rate * 4294967296.0).toLong))
+    val agg = kept.groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_aug"),
+        count(lit(1)).as("n_kept"))
+    docs.filter(col("text").isNotNull).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_aug"), lit("")).as("text_aug"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

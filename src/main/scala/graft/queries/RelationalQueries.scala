@@ -1543,6 +1543,14 @@ object RelationalQueries {
         .select(col("doc_id"), col("lang"), col("rate"))
         .orderBy(col("doc_id"))),
 
+    "q_t24_word_dropout" -> ((s, d) =>
+      // deterministic token-level dropout at 10% (seed "aug1"): the
+      // Sampling.hashKey gate lifted from rows to tokens — RNG-free
+      // augmentation whose oracle re-derives every surviving token
+      graft.functions.TextOps.wordDropout(Tables.documents(s, d),
+          rate = 0.1, seed = "aug1")
+        .orderBy(col("doc_id"))),
+
     "q_sp8_topk_sample" -> ((s, d) =>
       // deterministic uniform k-sample via hash RANK (vs q_sp1's hash
       // GATE, which yields a rate, not an exact count): order by
@@ -3783,6 +3791,27 @@ object RelationalQueries {
          QUALIFY row_number() OVER (PARTITION BY o_orderstatus
                                     ORDER BY n_modal DESC, o_orderpriority) = 1
          ORDER BY o_orderstatus""",
+
+    "q_t24_word_dropout" ->
+      // the identical per-token md5 gate re-derived: position-exploded
+      // tokens, the same (seed:doc:pos:tok) hash threshold, ordered
+      // reassembly; all-dropped docs keep an empty string
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         e AS (
+           SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+         k AS (
+           SELECT doc_id, pos, tok FROM e
+           WHERE ('0x' || substr(md5('aug1:' || doc_id || ':' || pos || ':' || tok), 1, 8))::BIGINT
+                 >= trunc(0.1 * 4294967296.0)::BIGINT)
+         SELECT d.doc_id,
+                coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text_aug,
+                count(k.tok) AS n_kept
+         FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         LEFT JOIN k ON k.doc_id = d.doc_id
+         GROUP BY 1 ORDER BY 1""",
 
     "q_sp8_topk_sample" ->
       // same md5 rank, same k: the sampled SET must match id-for-id

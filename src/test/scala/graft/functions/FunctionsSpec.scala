@@ -926,6 +926,34 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     viaFrac shouldBe explicit
   }
 
+  test("wordDropout: deterministic, seed-independent masks, rate on target, total") {
+    val docs = (0L until 200L).map(i => (i, ("tok" + i % 7 + " ") * 20 + "end"))
+      .toDF("doc_id", "text")
+    val a = TextOps.wordDropout(docs, rate = 0.2, seed = "s1")
+    val b = TextOps.wordDropout(docs, rate = 0.2, seed = "s1")
+    a.collect().map(_.toString).sorted shouldBe b.collect().map(_.toString).sorted
+    // empirical drop rate lands near 20% (21 tokens × 200 docs = 4200 draws)
+    val total = 21L * 200
+    val keptA = a.agg(sum(col("n_kept"))).head().getLong(0)
+    (total - keptA).toDouble / total shouldBe 0.2 +- 0.03
+    // a different seed gives an INDEPENDENT mask: overlap of dropped sets
+    // near rate² (here just: masks differ)
+    val keptB = TextOps.wordDropout(docs, rate = 0.2, seed = "s2")
+      .agg(sum(col("n_kept"))).head().getLong(0)
+    val textsA = a.select("text_aug").collect().map(_.getString(0)).toSet
+    val textsB = TextOps.wordDropout(docs, rate = 0.2, seed = "s2")
+      .select("text_aug").collect().map(_.getString(0)).toSet
+    (keptB.toDouble / total) shouldBe 0.8 +- 0.03
+    textsA should not be textsB
+    // rate 0 is the identity; every doc survives with its original text
+    val id = TextOps.wordDropout(docs, rate = 0.0, seed = "s1")
+    id.count() shouldBe 200
+    id.filter(col("n_kept") =!= 21).count() shouldBe 0
+    // null text is excluded (not crashed on); present docs stay total
+    val withNull = docs.unionByName(Seq((999L, null: String)).toDF("doc_id", "text"))
+    TextOps.wordDropout(withNull, 0.2, "s1").count() shouldBe 200
+  }
+
   test("boilerplateRemoval strips corpus-wide grams, keeps doc-local text, is total") {
     val docs = Seq(
       (1L, "nav home about x y z"),
