@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, Fnv1a64, IntDotProduct}
+import graft.functions.{DotProduct, Fnv1a64, IntDotProduct, Md5Prefix32}
 import graft.multimodal.{BinaryStride, JpegDims}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
     e.injectOptimizerRule(_ => graft.plans.TokenCountRule)
+    e.injectOptimizerRule(_ => graft.plans.Md5Prefix32Rule)
   }
 }
 
@@ -57,6 +58,17 @@ object GraftExtensions {
     IntDotProduct(args(0), args(1))
   }
 
+  private[graft] val md5Prefix32Builder: FunctionRegistry.FunctionBuilder = args => {
+    require(args.length == 1 || args.length == 2,
+      "md5_prefix32 takes 1 or 2 arguments")
+    if (args.length == 1) Md5Prefix32(args.head)
+    else args(1) match {
+      case Literal(v: Int, IntegerType) => Md5Prefix32(args.head, v)
+      case _ => throw new IllegalArgumentException(
+        "md5_prefix32: hexPos must be an integer literal")
+    }
+  }
+
   private[graft] val jpegDimsBuilder: FunctionRegistry.FunctionBuilder = args => {
     require(args.length == 1, "jpeg_dims takes exactly 1 argument")
     JpegDims(args.head)
@@ -78,7 +90,11 @@ object GraftExtensions {
         "NULL if not a JPEG or no frame header.", jpegDimsBuilder),
     ("binary_stride",
       "binary_stride(bin, n) - every n-th byte of a binary value (n an int literal).",
-      strideBuilder))
+      strideBuilder),
+    ("md5_prefix32",
+      "md5_prefix32(bin[, hexPos]) - digest-aligned 8-hex md5 slice as a long; " +
+        "equals conv(substring(md5(bin), hexPos, 8), 16, 10)::long for hexPos 1/9/17/25.",
+      md5Prefix32Builder))
 
   /** Register the same functions AND the optimizer rewrite on an
     * already-running session (the builder-time extension path requires a
@@ -90,8 +106,10 @@ object GraftExtensions {
     builders.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    val rules = Seq(graft.plans.TokenCountRule, graft.plans.Md5Prefix32Rule)
     val extra = spark.experimental.extraOptimizations
-    if (!extra.contains(graft.plans.TokenCountRule))
-      spark.experimental.extraOptimizations = extra :+ graft.plans.TokenCountRule
+    val missing = rules.filterNot(extra.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = extra ++ missing
   }
 }

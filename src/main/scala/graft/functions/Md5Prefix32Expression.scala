@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Native 32-bit md5 slice: bit-identical to
+  * `conv(substring(md5(b), hexPos, 8), 16, 10).cast("long")` at the four
+  * digest-aligned windows (hexPos 1/9/17/25) — the [[Dedup.md5Hash32]]
+  * idiom and all four [[Dedup.md5Hasher]] minhash-permutation slices —
+  * WITHOUT the intermediate strings. The idiom makes the digest, renders 32 hex chars,
+  * substrings 8, parses them base-16, renders the value base-10, and
+  * parses THAT to a long; the first 8 hex chars are just the digest's
+  * first 4 bytes big-endian, so this computes
+  * `(d0<<24 | d1<<16 | d2<<8 | d3) & 0xffffffff` straight off the digest
+  * (value in [0, 2^32) — exactly conv's output domain for 8 hex digits).
+  * NULL in → NULL out, matching the null propagation of every step of the
+  * original chain.
+  *
+  * Installed transparently by [[graft.plans.Md5Prefix32Rule]]: plans keep
+  * writing the portable `md5Hash32` formulation (which the DuckDB oracles
+  * replicate verbatim) and the optimizer swaps this in — the correctness
+  * gate's unchanged oracles then prove the rewrite exact on every query
+  * with a hash gate.
+  */
+case class Md5Prefix32(child: Expression, hexPos: Int = 1) extends UnaryExpression {
+  require(hexPos >= 1 && hexPos <= 25 && hexPos % 2 == 1 && (hexPos - 1) % 8 == 0,
+    s"hexPos must be 1, 9, 17 or 25 (a digest-aligned 8-hex window), got $hexPos")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix32 requires a binary argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Prefix32.eval(input.asInstanceOf[Array[Byte]], (hexPos - 1) / 2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // static-call body: constant generated-code size at every call site
+    // (the NearestCells 64KB lesson), one shared JIT-hot digest path
+    nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = graft.functions.Md5Prefix32.eval($c, ${(hexPos - 1) / 2});")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix32 =
+    copy(child = newChild)
+  override def prettyName: String = "md5_prefix32"
+}
+
+object Md5Prefix32 {
+  // MessageDigest is stateful and not thread-safe; one instance per task
+  // thread, reset by digest() itself
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared by eval and generated code: the 4 digest bytes starting at
+    * `byteOff` as an unsigned 32-bit value — hex window [2·byteOff+1,
+    * 2·byteOff+8] of the rendered digest.
+    */
+  def eval(bytes: Array[Byte], byteOff: Int): Long = {
+    val d = md.get().digest(bytes)
+    ((d(byteOff) & 0xffL) << 24) | ((d(byteOff + 1) & 0xffL) << 16) |
+      ((d(byteOff + 2) & 0xffL) << 8) | (d(byteOff + 3) & 0xffL)
+  }
+
+  def col(c: Column, hexPos: Int = 1): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(Md5Prefix32(GraftSqlBridge.expression(c), hexPos))
+  }
+}

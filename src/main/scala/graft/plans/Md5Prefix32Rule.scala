@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.functions.Md5Prefix32
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite
+  * `cast(conv(substring(md5(b), 1, 8), 16, 10) as bigint)` — the
+  * [[graft.functions.Dedup.md5Hash32]] idiom behind every hash
+  * gate/sampler/minhash permutation — into the native
+  * [[graft.functions.Md5Prefix32]], which reads the value straight off
+  * the digest's first 4 bytes instead of materializing and re-parsing two
+  * intermediate strings per row.
+  *
+  * Like [[TokenCountRule]], the rewrite is EXPRESSION-LOCAL and fires
+  * only on the precise shapes it can prove equivalent: a literal
+  * digest-aligned 8-hex substring window (pos 1, 9, 17 or 25 — md5Hash32
+  * plus all four md5Hasher minhash slices), literal (16, 10) bases, a
+  * final cast to LongType.
+  * Conv's ansi flag may be either value: ANSI conv differs only on
+  * MALFORMED digits (throw vs null), and md5's 32 lowercase hex chars
+  * make the 8-char window well-formed on every non-null input, so the
+  * two modes are indistinguishable here; each step propagates NULL, so
+  * the native expression's null contract matches the whole chain. Any
+  * other substring window, base pair, or target type is left untouched.
+  *
+  * Installed by [[graft.GraftExtensions]] alongside TokenCountRule; the
+  * correctness gate re-proves the rewrite on every hash-gated oracle each
+  * round (the oracles replicate the STRING formulation in DuckDB, so a
+  * semantic drift here fails hashes immediately).
+  */
+object Md5Prefix32Rule extends Rule[LogicalPlan] {
+  private def isIntLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                       v: Int): Boolean = e match {
+    case Literal(x: Int, IntegerType) => x == v
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Cast(Conv(Substring(Md5(b), Literal(pos: Int, IntegerType), len), fromB, toB, _),
+                LongType, _, _)
+          if Seq(1, 9, 17, 25).contains(pos) && isIntLit(len, 8) &&
+            isIntLit(fromB, 16) && isIntLit(toB, 10) =>
+        Md5Prefix32(b, pos)
+    }
+}

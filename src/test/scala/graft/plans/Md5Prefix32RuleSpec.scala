@@ -1,0 +1,103 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.{Dedup, Md5Prefix32}
+import org.apache.spark.sql.functions.{col, concat, lit, md5, substring, conv}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class Md5Prefix32RuleSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val hostile = Seq(
+    "plain",
+    "",                           // md5 of empty input is defined
+    "unicode é世界 😀",           // multi-byte UTF-8 bytes feed the digest
+    "a" * 1000,                   // multi-block digest
+    "0:with the minhash prefix",
+    null.asInstanceOf[String])
+
+  test("Md5Prefix32 is bit-identical to the md5Hash32 string chain on hostile inputs") {
+    val df = hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val both = df.select(col("id"),
+        Dedup.md5Hash32(col("text")).as("viaStrings"),
+        Md5Prefix32.col(col("text").cast("binary")).as("native"))
+      .collect()
+    both.foreach { r =>
+      val a = if (r.isNullAt(1)) null else r.getLong(1)
+      val b = if (r.isNullAt(2)) null else r.getLong(2)
+      withClue(s"id=${r.getLong(0)}: ") { b shouldBe a }
+    }
+  }
+
+  test("the optimizer rewrites the exact md5Hash32 shape and ONLY that shape") {
+    // range-backed, not Seq-backed: ConvertToLocalRelation eagerly folds
+    // projections over local data before user rules can be observed
+    val df = spark.range(3)
+      .select(concat(lit("doc"), col("id")).as("text"))
+    def optimized(c: org.apache.spark.sql.Column): String =
+      df.select(c).queryExecution.optimizedPlan.toString
+
+    // the md5Hash32 idiom rewrites (rule registered by SparkSpec via
+    // GraftExtensions.register → experimental.extraOptimizations)
+    optimized(Dedup.md5Hash32(col("text"))) should include("md5_prefix32")
+    // every digest-aligned minhash slice rewrites too
+    optimized(conv(substring(md5(col("text")), 9, 8), 16, 10).cast("long")) should
+      include("md5_prefix32")
+    optimized(conv(substring(md5(col("text")), 25, 8), 16, 10).cast("long")) should
+      include("md5_prefix32")
+    // a NON-aligned window is not a digest slice → untouched
+    optimized(conv(substring(md5(col("text")), 3, 8), 16, 10).cast("long")) should
+      not include "md5_prefix32"
+    // a different base pair → untouched
+    optimized(conv(substring(md5(col("text")), 1, 8), 16, 8).cast("long")) should
+      not include "md5_prefix32"
+    // no final long cast (conv's string output consumed directly) → untouched
+    optimized(conv(substring(md5(col("text")), 1, 8), 16, 10)) should
+      not include "md5_prefix32"
+    // conv over something that is not an md5 substring → untouched
+    optimized(conv(substring(col("text"), 1, 8), 16, 10).cast("long")) should
+      not include "md5_prefix32"
+  }
+
+  test("all four md5Hasher slices stay bit-identical under the rewrite") {
+    val df = hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    (0 until 8).foreach { i =>
+      val viaChain = df.select(Dedup.md5Hasher(col("text"), i)).collect()
+        .map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      val viaNative = df.select(Md5Prefix32.col(
+          concat(lit(s"${i / 4}:"), col("text")).cast("binary"), 1 + 8 * (i % 4)))
+        .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq
+      withClue(s"perm $i: ") { viaChain shouldBe viaNative }
+    }
+  }
+
+  test("the rewritten plan computes the same rows as the unrewritten expression") {
+    val df = hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    // evaluate the chain through the FULL optimized path (rule applied)
+    // and compare against direct native evaluation
+    val viaPlan = df.select(col("id"), Dedup.md5Hash32(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val viaNative = df.select(col("id"),
+        Md5Prefix32.col(col("text").cast("binary")).as("h"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    viaPlan shouldBe viaNative
+    // and the hash-gated sampler (the production consumer) stays identical
+    // whether or not the rule fired — compare against a literal re-derivation
+    val docs = spark.range(500).select(col("id").as("doc_id"))
+    val sampled = graft.functions.Sampling.hashSample(docs, "doc_id", 0.3)
+      .collect().map(_.getLong(0)).sorted
+    val expected = (0L until 500L).filter { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h < (0.3 * 4294967296.0).toLong
+    }
+    sampled.toSeq shouldBe expected
+  }
+}
