@@ -32,6 +32,9 @@ object Bench {
     // with comma-decimal locales the one JSON line the driver parses would
     // render {"value":12,345,...} — pin ROOT before any formatting
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // force the regression baseline read NOW — before any writeResultFiles
+    // overwrites the default BENCH_FULL.json it reads from
+    locally { val _ = prevBaseline }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = parsePositiveInt("SPARK_GRAFT_PASSES", default = 3)
@@ -198,7 +201,12 @@ object Bench {
     * unparsable previous file yields an empty map, never a failed bench.
     */
   private def prevMins(): Map[String, Double] =
-    prevMins(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", "BENCH_FULL.json"))
+    prevMins(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH",
+      // the previous artifact lives where THIS run will write its own —
+      // resolve the default against SPARK_GRAFT_BENCH_DIR, not cwd, or a
+      // redirected bench diffs against a stale/absent repo-root copy
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
+        .resolve("BENCH_FULL.json").toString))
 
   private[graft] def prevMins(path: String): Map[String, Double] = {
     if (path.isEmpty) return Map.empty
@@ -321,8 +329,11 @@ object Bench {
       if (ok.isEmpty) None else Some(ok.min)
     }.sum
 
-  // loaded once per JVM: the file is the PREVIOUS round's committed
-  // artifact and does not change under a running bench
+  // loaded once per JVM, FORCED at the top of main() before the first
+  // writeResultFiles: this run overwrites the very file the baseline is
+  // read from, so relying on evaluation order (a renderSummary happening
+  // to fire first) would be one reordering away from silently diffing the
+  // run against itself
   private lazy val prevBaseline: Map[String, Double] = prevMins()
 
   private def renderRegressions(entries: Seq[(String, Vector[Double])]): String =

@@ -114,6 +114,13 @@ object StreamBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // recentProgress is a ring buffer (default 100 entries);
+      // drainAndMeasure sums numInputRows over it, so with nChunks above
+      // ~100 the earliest batches would silently drop out and the
+      // reported throughput/state peaks undercount. Size it to the replay
+      // (+ slack for zero-input heartbeat batches).
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(100, nChunks * 2 + 20).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real byte-pair-encoding tokenization (the GPT-2 merge-walk family):
+  * a word starts as its character symbols, and the learned merge list is
+  * applied greedily — each step merges the adjacent pair with the LOWEST
+  * merge rank, ties to the leftmost occurrence, until no adjacent pair is
+  * in the merge table. Final symbols map to vocab ids.
+  *
+  * Two standard formulations exist: merge ALL occurrences of the best
+  * pair per step (GPT-2's `bpe()`), or ONE leftmost occurrence per step.
+  * They produce identical segmentations for any RANK-MONOTONE merge list
+  * (each merge's operands predate it — true by construction of learned
+  * BPE): a merge can only CREATE pairs of strictly higher rank than
+  * itself, so after merging one occurrence the same bigram is still the
+  * global minimum until exhausted, and occurrences merge left-to-right in
+  * both formulations. [[BpeModel]] validates monotonicity at construction
+  * so the equivalence is a checked invariant, not an assumption — it is
+  * what lets the DuckDB oracle re-derive the walk one merge per recursive
+  * step (q_t25).
+  *
+  * Scale shape: the model is a few-hundred-KB reference object riding the
+  * broadcast task binary (once per stage, not per task); the per-word
+  * results are memoized per executor JVM (natural-language corpora are
+  * Zipfian — the cache turns the merge loop into a hash lookup for the
+  * heavy head), and the expression itself is codegen'd via a constant-size
+  * static-shaped call (the NearestCells 64 KB lesson), so the encode sits
+  * inside whole-stage codegen with no UDF serialization boundary.
+  */
+final case class BpeModel(merges: Seq[(String, String)],
+                          baseSymbols: Seq[String],
+                          unkId: Int = -1) extends Serializable {
+  require(merges.nonEmpty, "merges must be non-empty")
+  require(baseSymbols.nonEmpty, "baseSymbols must be non-empty")
+  require(baseSymbols.distinct == baseSymbols, "baseSymbols must be distinct")
+
+  // rank-monotonicity check: every merge operand is a base symbol or the
+  // result of an EARLIER merge (see scaladoc — this is what makes
+  // one-at-a-time and all-at-once merging provably equivalent)
+  locally {
+    val known = scala.collection.mutable.HashSet[String](baseSymbols: _*)
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      require(known.contains(a) && known.contains(b),
+        s"merge #$r ($a, $b) references a symbol produced by no earlier merge")
+      known += (a + b)
+    }
+  }
+
+  /** vocab: base symbols get ids 0..n-1 in order; merge r's result gets
+    * n + r (the standard merges-define-the-vocab layout).
+    */
+  @transient lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    baseSymbols.zipWithIndex.foreach { case (s, i) => m.put(s, i) }
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      if (!m.containsKey(a + b)) m.put(a + b, baseSymbols.length + r)
+    }
+    m
+  }
+
+  // pair key joined on ' ' — unambiguous because words are the segments
+  // of a space split and so never contain one; avoids a tuple allocation
+  // per lookup in the merge loop
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    // first occurrence wins — a duplicate pair at a later rank is dead
+    merges.zipWithIndex.foreach { case ((a, b), r) => m.putIfAbsent(a + " " + b, r) }
+    m
+  }
+
+  // per-JVM memo of word -> token ids; bounded so an adversarial
+  // high-cardinality corpus cannot grow it without limit (eviction is
+  // whole-cache clear — crude, but on a Zipfian corpus refills instantly
+  // and keeps the structure contention-free)
+  @transient private lazy val wordCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  private val maxCacheEntries = 1 << 16
+
+  private[functions] def encodeWordUncached(w: String): Array[Int] = {
+    var syms = new java.util.ArrayList[String](w.length)
+    var i = 0
+    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    var done = syms.size() < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      val n = syms.size()
+      while (j < n - 1) {
+        val r = ranks.get(syms.get(j) + " " + syms.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        syms.set(bestIdx, syms.get(bestIdx) + syms.get(bestIdx + 1))
+        syms.remove(bestIdx + 1)
+      }
+    }
+    val out = new Array[Int](syms.size())
+    var k = 0
+    while (k < out.length) {
+      val id = ids.get(syms.get(k))
+      out(k) = if (id == null) unkId else id.intValue()
+      k += 1
+    }
+    out
+  }
+
+  def encodeWord(w: String): Array[Int] = {
+    val hit = wordCache.get(w)
+    if (hit != null) return hit
+    val enc = encodeWordUncached(w)
+    if (wordCache.size() >= maxCacheEntries) wordCache.clear()
+    wordCache.put(w, enc)
+    enc
+  }
+
+  /** Whole-text encode: single-space word split (the TokenCount/oracle
+    * convention), empty segments contribute nothing.
+    */
+  def encode(text: String): Array[Int] = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](text.length / 4 + 4)
+    var start = 0
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) buf ++= encodeWord(text.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    buf.toArray
+  }
+
+  /** Codegen/eval entry: UTF8String in, catalyst array out. */
+  def encodeArrayData(text: UTF8String): GenericArrayData =
+    new GenericArrayData(encode(text.toString))
+}
+
+/** Native Catalyst expression wrapping [[BpeModel.encode]]: string in,
+  * array<int> of token ids out, NULL in → NULL out. The model rides as a
+  * plan reference object (serialized once per stage into the broadcast
+  * task binary), so generated code is a constant-size call regardless of
+  * vocab size.
+  */
+case class BpeEncode(child: Expression, model: BpeModel) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.encodeArrayData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeArrayData($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_encode"
+}
+
+object Bpe {
+  def encode(c: Column, model: BpeModel): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(c), model))
+  }
+
+  /** BPE token count: size of the encode. */
+  def count(c: Column, model: BpeModel): Column =
+    org.apache.spark.sql.functions.size(encode(c, model))
+
+  /** The planted gate model: lowercase letters as base symbols plus a
+    * 22-merge rank-monotone list tuned to the synthetic documents corpus
+    * (builds `the`, `table`, `scan`, `row`, `fast`, `value`, `order`).
+    * Small enough that the DuckDB oracle re-derives the full merge walk
+    * per distinct word with a recursive CTE (q_t25), rich enough to
+    * exercise multi-step merges, rank priority, and leftmost tie-breaks.
+    */
+  val planted: BpeModel = BpeModel(
+    merges = Seq(
+      ("t", "h"), ("th", "e"), ("t", "a"), ("b", "l"), ("ta", "bl"),
+      ("tabl", "e"), ("s", "c"), ("a", "n"), ("sc", "an"), ("r", "o"),
+      ("ro", "w"), ("f", "a"), ("s", "t"), ("fa", "st"), ("v", "a"),
+      ("l", "u"), ("va", "lu"), ("valu", "e"), ("o", "r"), ("d", "e"),
+      ("or", "de"), ("orde", "r")),
+    baseSymbols = ('a' to 'z').map(String.valueOf))
+
+  /** The planted merge list rendered as DuckDB VALUES rows — single
+    * source of truth for the oracle SQL (a drifted copy would fail the
+    * gate, but better to make drift impossible).
+    */
+  def plantedMergesValues: String =
+    planted.merges.zipWithIndex
+      .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(", ")
+
+  /** The planted vocab (symbol → id) as DuckDB VALUES rows. */
+  def plantedVocabValues: String = {
+    val base = planted.baseSymbols.zipWithIndex
+      .map { case (s, i) => s"('$s',$i)" }
+    val merged = planted.merges.zipWithIndex
+      .map { case ((a, b), r) => s"('${a + b}',${planted.baseSymbols.length + r})" }
+    (base ++ merged).mkString(", ")
+  }
+}

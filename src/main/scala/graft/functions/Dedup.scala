@@ -90,6 +90,22 @@ object Dedup {
       if (!spark.sparkContext.isStopped) df.unpersist(blocking = true)
     }
 
+  // Same lifecycle convention for incrementalDedupBloom's persisted
+  // batch-side intermediates (newMd5 + newBuckets): at most one cached
+  // pair per context, each invocation evicting its predecessor's, so a
+  // library caller looping batches through one session holds a bounded
+  // cache instead of accumulating one pair per batch.
+  private val bloomBatchCaches =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, Seq[DataFrame]]()
+
+  /** Drop the cached batch intermediates left by the context's last
+    * [[incrementalDedupBloom]] invocation. Safe after stop.
+    */
+  def releaseBloomBatchCache(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(bloomBatchCaches.remove(spark.sparkContext)).foreach { dfs =>
+      if (!spark.sparkContext.isStopped) dfs.foreach(_.unpersist(blocking = true))
+    }
+
   /** Exact dedup: group identical texts by full md5, keep group size and the
     * minimal doc id (the canonical survivor). One shuffle on a 128-bit key —
     * at 100 TB this is the cheapest possible exact pass.
@@ -844,9 +860,15 @@ object Dedup {
     // and the join that consumes it, and re-deriving the batch minhash
     // signatures for the second use measurably erased the Bloom win at the
     // 100× point. ONE count sizes both sketches (buckets ≤ batch × bands —
-    // sizing needs an upper bound, not exactness). The persists follow the
-    // established shingle/candidate-cache convention (Bench clears cache
-    // between passes).
+    // sizing needs an upper bound, not exactness). Lifecycle: the pair is
+    // registered in bloomBatchCaches — the NEXT invocation on this context
+    // evicts it (a still-held earlier result transparently recomputes), and
+    // releaseBloomBatchCache drops it on demand — so repeated batch loops
+    // hold at most one cached pair instead of accumulating per call.
+    val sc = newDocs.sparkSession.sparkContext
+    Option(bloomBatchCaches.remove(sc)).foreach { dfs =>
+      if (!sc.isStopped) dfs.foreach(_.unpersist(blocking = false))
+    }
     val newMd5 = newDocs.select(col("doc_id"), md5(col(textCol)).as("text_md5"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBatch = math.max(
@@ -862,6 +884,7 @@ object Dedup {
     val newBuckets = bandedBuckets(newDocs, textCol, k, bands, rowsPerBand,
         hasher).withColumnRenamed("doc_id", "new_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bloomBatchCaches.put(sc, Seq(newMd5, newBuckets))
     val bucketBloom = bloomOf(newBuckets, struct(col("band"), col("bucket")),
       nBatch * bands)
     val corpusBuckets =

@@ -36,20 +36,33 @@ case class Md5Prefix32(child: Expression, hexPos: Int = 1) extends UnaryExpressi
         s"md5_prefix32 requires a binary argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    Md5Prefix32.eval(input.asInstanceOf[Array[Byte]], (hexPos - 1) / 2)
+    Md5Prefix32Ops.eval(input.asInstanceOf[Array[Byte]], (hexPos - 1) / 2)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     // static-call body: constant generated-code size at every call site
-    // (the NearestCells 64KB lesson), one shared JIT-hot digest path
+    // (the NearestCells 64KB lesson), one shared JIT-hot digest path.
+    // The helper lives in Md5Prefix32Ops — a standalone object, NOT this
+    // case class's companion — because the companion's static forwarder
+    // for eval(byte[], int) is suppressed by the inherited
+    // eval(InternalRow) overload, which made this exact call fail Janino
+    // compilation and drop every hash-gate plan to interpreted mode.
     nullSafeCodeGen(ctx, ev,
-      c => s"${ev.value} = graft.functions.Md5Prefix32.eval($c, ${(hexPos - 1) / 2});")
+      c => s"${ev.value} = graft.functions.Md5Prefix32Ops.eval($c, ${(hexPos - 1) / 2});")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Prefix32 =
     copy(child = newChild)
   override def prettyName: String = "md5_prefix32"
 }
 
-object Md5Prefix32 {
+/** Static helpers for [[Md5Prefix32]], deliberately NOT its companion:
+  * generated Java calls `graft.functions.Md5Prefix32Ops.eval(byte[], int)`
+  * as a static method, and a companion-object forwarder with that
+  * signature would be suppressed by the case class's inherited
+  * `eval(InternalRow)` (Scala emits no forwarder when the class already
+  * has a method of the same name) — the round-10 Janino-fallback bug.
+  * Same layout as [[TokenCount]] vs TokenCountExpression.
+  */
+object Md5Prefix32Ops {
   // MessageDigest is stateful and not thread-safe; one instance per task
   // thread, reset by digest() itself
   private val md = new ThreadLocal[java.security.MessageDigest] {
@@ -66,7 +79,9 @@ object Md5Prefix32 {
     ((d(byteOff) & 0xffL) << 24) | ((d(byteOff + 1) & 0xffL) << 16) |
       ((d(byteOff + 2) & 0xffL) << 8) | (d(byteOff + 3) & 0xffL)
   }
+}
 
+object Md5Prefix32 {
   def col(c: Column, hexPos: Int = 1): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(Md5Prefix32(GraftSqlBridge.expression(c), hexPos))

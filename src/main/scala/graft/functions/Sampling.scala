@@ -121,7 +121,17 @@ object Sampling {
     * Returns (idCol, bin, n_tokens, cum_tokens).
     */
   def tokenBudgetPack(docs: DataFrame, idCol: String, textCol: String,
-                      budgetPerBin: Long, bins: Int = 32): DataFrame = {
+                      budgetPerBin: Long, bins: Int = 32): DataFrame =
+    tokenBudgetPackBy(docs, idCol,
+      size(split(col(textCol), " ")).cast("long"), budgetPerBin, bins)
+
+  /** [[tokenBudgetPack]] with a caller-supplied token-count expression —
+    * the hook that swaps the whitespace proxy for a REAL tokenizer count
+    * (e.g. [[Bpe.count]]) without changing the packing plan: same hash
+    * bins, same per-bin window, same budget prefix.
+    */
+  def tokenBudgetPackBy(docs: DataFrame, idCol: String, nTokens: Column,
+                        budgetPerBin: Long, bins: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // collision-safe internal name (quotaPerKey convention): `bin`/`n_tokens`
     // /`cum_tokens` are the OUTPUT contract, but the hash key is internal and
@@ -130,8 +140,7 @@ object Sampling {
     val w = Window.partitionBy(col("bin")).orderBy(col(hk), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-        hashKey(col(idCol)).as(hk))
+      .select(col(idCol), nTokens.as("n_tokens"), hashKey(col(idCol)).as(hk))
       .withColumn("bin", (col(hk) % bins).cast("int"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetPerBin)

@@ -358,8 +358,20 @@ object Multimodal {
     }
     val comp = idat.toByteArray
     if (comp.isEmpty) return None
+    // Untrusted IHDR dims: (w*bpp + 1) * h in Int arithmetic can overflow
+    // negative (NegativeArraySizeException) or demand a multi-GB buffer —
+    // either crashes the task instead of honoring the quarantine contract.
+    // Validate in Long against a sane cap AND against what the IDAT bytes
+    // could possibly inflate to (zlib's theoretical max expansion is
+    // ~1032x; a corrupt header claiming more raw output than that is
+    // unsatisfiable and would only fail later, expensively).
+    val rawLen = (w.toLong * bpp + 1L) * h
+    // 64 MB decoded filter-stream cap per image (the de-filtered Int
+    // pixel buffer is 4x this, so the true per-task ceiling is ~320 MB)
+    val maxRaw = 1L << 26
+    if (rawLen > maxRaw || rawLen > comp.length.toLong * 1032L + 4096L) return None
     val rowBytes = w * bpp
-    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(comp)

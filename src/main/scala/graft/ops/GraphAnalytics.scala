@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -293,7 +293,14 @@ object GraphAnalytics {
       .filter(col("a") =!= col("b")).distinct()
     val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var kept = nodes.select(col("id")).distinct().localCheckpoint(true)
+    // checkpoints via the handle-returning bridge: each round's survivor
+    // set frees the PREVIOUS round's checkpoint blocks once it has
+    // materialized from them (plain .unpersist() on a localCheckpoint'd
+    // frame is a CacheManager no-op, so the old form accumulated one
+    // cached RDD per round in executor storage). Only the final round's
+    // blocks stay alive — the returned frame is computed from them.
+    var (kept, releaseKept) = GraftSqlBridge.localCheckpointWithHandle(
+      nodes.select(col("id")).distinct())
     var size = kept.count()
     var changed = true
     while (changed && size > 0) {
@@ -301,11 +308,12 @@ object GraphAnalytics {
         .join(kept.withColumnRenamed("id", "a"), "a")
         .join(kept.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
-      val next = kept.join(deg.filter(col("deg") >= k), Seq("id"), "left_semi")
-        .localCheckpoint(true)
+      val (next, releaseNext) = GraftSqlBridge.localCheckpointWithHandle(
+        kept.join(deg.filter(col("deg") >= k), Seq("id"), "left_semi"))
       val nextSize = next.count()
       changed = nextSize != size
-      kept = next; size = nextSize
+      releaseKept() // next is materialized; the previous round's blocks are dead
+      kept = next; releaseKept = releaseNext; size = nextSize
     }
     sym.unpersist()
     nodes.select(col("id"))
@@ -337,7 +345,10 @@ object GraphAnalytics {
     val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.select(col("id")).distinct()
-    var labels = n.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // handle-returning checkpoints: free round r-1's blocks as soon as
+    // round r materializes (see kCore for the CacheManager rationale)
+    var (labels, releaseLabels) = GraftSqlBridge.localCheckpointWithHandle(
+      n.select(col("id"), col("id").as("label")))
     val w = Window.partitionBy(col("id")).orderBy(desc("cnt"), col("label"))
     (1 to iters).foreach { _ =>
       val counts = sym
@@ -347,9 +358,11 @@ object GraphAnalytics {
       val winners = counts.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("id"), col("label").as("wl"))
-      labels = labels.join(winners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("wl"), col("label")).as("label"))
-        .localCheckpoint(true)
+      val (next, releaseNext) = GraftSqlBridge.localCheckpointWithHandle(
+        labels.join(winners, Seq("id"), "left")
+          .select(col("id"), coalesce(col("wl"), col("label")).as("label")))
+      releaseLabels()
+      labels = next; releaseLabels = releaseNext
     }
     sym.unpersist()
     labels.select(col("id"), col("label").as("community"))
@@ -391,8 +404,13 @@ object GraphAnalytics {
     //    the trade is latency, never answers.
     // sqrt runs AFTER the 10 dp sum round, matching the oracle; IEEE
     // sqrt is correctly rounded in both engines.
+    // each half-step checkpoints through the handle-returning bridge so
+    // its predecessor's blocks can actually be FREED (a released handle
+    // unpersists the checkpoint RDD itself; DataFrame.unpersist on a
+    // checkpointed frame is a CacheManager no-op — the old form kept one
+    // cached RDD per half-step alive for the whole run)
     def halfStep(vec: DataFrame, score: String, edgeKey: String,
-                 outKey: String, outName: String): DataFrame = {
+                 outKey: String, outName: String): (DataFrame, () => Unit) = {
       val raw = e.join(vec.withColumnRenamed("id", edgeKey), edgeKey)
         .groupBy(col(outKey).as("id"))
         .agg(round(sum(col(score)), 10).as("s"))
@@ -401,22 +419,25 @@ object GraphAnalytics {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val nrm = math.sqrt(
         filled.agg(round(sum(col("v") * col("v")), 10)).head().getDouble(0))
-      val out = filled.select(col("id"),
-        (if (nrm > 0) round(col("v") / lit(nrm), 10) else lit(0.0d))
-          .as(outName))
-        .localCheckpoint(true)
+      val out = GraftSqlBridge.localCheckpointWithHandle(
+        filled.select(col("id"),
+          (if (nrm > 0) round(col("v") / lit(nrm), 10) else lit(0.0d))
+            .as(outName)))
       filled.unpersist()
       out
     }
     var hub = n.select(col("id"), lit(1.0d).as("hub"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var releaseHub: () => Unit = () => { hub.unpersist(); () }
     var auth: DataFrame = null
+    var releaseAuth: () => Unit = () => ()
     (1 to iters).foreach { _ =>
-      val aN = halfStep(hub, "hub", "fromId", "toId", "authority")
-      val hN = halfStep(aN, "authority", "toId", "fromId", "hub")
-      hub.unpersist()
-      if (auth != null) auth.unpersist()
+      val (aN, relA) = halfStep(hub, "hub", "fromId", "toId", "authority")
+      val (hN, relH) = halfStep(aN, "authority", "toId", "fromId", "hub")
+      // hN is materialized, so the previous iteration's vectors are dead
+      releaseHub(); releaseAuth()
       hub = hN; auth = aN
+      releaseHub = relH; releaseAuth = relA
     }
     n.join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
       .select(col("id"), col("hub"), col("authority"))

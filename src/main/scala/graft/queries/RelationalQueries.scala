@@ -33,18 +33,28 @@ object RelationalQueries {
     * invocation's mode(overwrite) reuses the layout.
     */
   private val scratchRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+    f.delete(); ()
+  }
   private def scratchDir(prefix: String, d: String): String = {
+    val stem = prefix + "_" + Integer.toHexString(d.hashCode) + "_p"
     val path = new java.io.File(sys.props("java.io.tmpdir"),
-      prefix + "_" + Integer.toHexString(d.hashCode) +
-        "_p" + ProcessHandle.current().pid).toString
+      stem + ProcessHandle.current().pid).toString
     if (scratchRegistered.add(path)) {
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(path))
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(new java.io.File(path))))
+      // Bound accumulation across processes: a sibling dir whose embedded
+      // pid is no longer alive is an orphan from a process whose shutdown
+      // hook never ran (kill -9, OOM) — reap it now rather than letting a
+      // multi-process benchmark run collect one copy per crashed pid.
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      val sibs = tmp.listFiles((_, n) => n.startsWith(stem) && n != new java.io.File(path).getName)
+      if (sibs != null) sibs.foreach { f =>
+        val pid = f.getName.stripPrefix(stem)
+        val dead = pid.forall(_.isDigit) && pid.nonEmpty &&
+          ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) == false
+        if (dead) rmTree(f)
+      }
     }
     path
   }
@@ -1551,6 +1561,38 @@ object RelationalQueries {
           rate = 0.1, seed = "aug1")
         .orderBy(col("doc_id"))),
 
+    "q_t25_bpe_encode" -> ((s, d) =>
+      // REAL byte-pair encoding (the GPT-2 merge walk) over the planted
+      // rank-monotone vocab: per word, greedily merge the lowest-ranked
+      // adjacent pair (ties leftmost) until fixpoint, then map symbols to
+      // vocab ids. Runs as the codegen'd BpeEncode native expression with
+      // the model as a plan reference object + per-executor word memo —
+      // the DuckDB oracle re-derives the ENTIRE merge walk with a
+      // recursive CTE over the same planted merges, so every token id of
+      // every doc is hash-gated. Ids join to a '-' string (portable, no
+      // array-compare dependence).
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Bpe.encode(col("text"), graft.functions.Bpe.planted)
+            .as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_sp9_bpe_token_budget" -> ((s, d) =>
+      // q_sp3's budget packing with the REAL tokenizer count: same hash
+      // bins and per-bin prefix windows, but n_tokens is the BPE token
+      // count instead of the whitespace proxy — budgets now measure what
+      // the training run actually consumes. The oracle re-derives the
+      // merge walk AND the packing.
+      graft.functions.Sampling.tokenBudgetPackBy(Tables.documents(s, d),
+          "doc_id",
+          graft.functions.Bpe.count(col("text"), graft.functions.Bpe.planted)
+            .cast("long"),
+          budgetPerBin = 2000L, bins = 8)
+        .orderBy(col("doc_id"))),
+
     "q_sp8_topk_sample" -> ((s, d) =>
       // deterministic uniform k-sample via hash RANK (vs q_sp1's hash
       // GATE, which yields a rate, not an exact count): order by
@@ -1770,7 +1812,7 @@ object RelationalQueries {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
-            col("exact_parts") * lit(0.15)).as("approx_within_3rsd"))
+            col("exact_parts") * lit(0.15)).as("within_band"))
         .orderBy(col("l_returnflag"))),
 
     "q_a10_quantiles" -> ((s, d) =>
@@ -3354,7 +3396,7 @@ object RelationalQueries {
       // exact side recomputed; the accuracy-envelope boolean asserted TRUE
       // (the estimate itself is engine-specific — the CONTRACT is checked)
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
-                true AS approx_within_3rsd
+                true AS within_band
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_v14_pq_adc" ->
@@ -3812,6 +3854,102 @@ object RelationalQueries {
          FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
          LEFT JOIN k ON k.doc_id = d.doc_id
          GROUP BY 1 ORDER BY 1""",
+
+    "q_t25_bpe_encode" ->
+      // the FULL merge walk re-derived in SQL: per distinct word, a
+      // recursive CTE applies one merge per step — the lowest-ranked
+      // adjacent pair, ties leftmost (min_by over rank·100000 + position;
+      // ranks and positions are both far below 100000) — until no
+      // adjacent pair is in the planted merge table (ANTI JOIN against
+      // the still-mergeable states); final symbols map through the
+      // planted vocab and re-assemble in document order. One-merge-per-
+      // step equals GPT-2's all-occurrences-per-step for rank-monotone
+      // merges (see BpeModel scaladoc) — which BpeModel validates at
+      // construction.
+      s"""WITH RECURSIVE
+         merges(lhs, rhs, rank) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedMergesValues})),
+         vocab(symbol, id) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedVocabValues})),
+         words AS (
+           SELECT doc_id,
+                  unnest(generate_series(1, len(string_split(text, ' ')))) AS wpos,
+                  unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+         walk(word, syms) AS (
+           SELECT word, regexp_split_to_array(word, '') FROM dwords
+           UNION ALL
+           SELECT word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]
+           FROM (
+             SELECT w.word, any_value(w.syms) AS syms,
+                    min_by(u.i, m.rank * 100000 + u.i) AS bi
+             FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+             JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]
+             GROUP BY w.word)),
+         pairable AS (
+           SELECT DISTINCT w.word, w.syms
+           FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+           JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]),
+         final AS (SELECT word, syms FROM walk ANTI JOIN pairable USING (word, syms)),
+         sym_rows AS (
+           SELECT f.word,
+                  unnest(generate_series(1, len(f.syms))) AS spos,
+                  unnest(f.syms) AS sym
+           FROM final f),
+         word_tokens AS (
+           SELECT s.word, list(v.id ORDER BY s.spos) AS ids
+           FROM sym_rows s JOIN vocab v ON v.symbol = s.sym
+           GROUP BY s.word),
+         doc_tokens AS (
+           SELECT w.doc_id, flatten(list(t.ids ORDER BY w.wpos)) AS ids
+           FROM words w JOIN word_tokens t ON t.word = w.word
+           GROUP BY w.doc_id)
+         SELECT d.doc_id,
+                coalesce(array_to_string(t.ids, '-'), '') AS token_ids,
+                coalesce(len(t.ids), 0)::BIGINT AS n_tokens
+         FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+
+    "q_sp9_bpe_token_budget" ->
+      // the q_t25 merge walk reduced to per-doc counts, feeding the exact
+      // q_sp3 packing SQL (same hash key, bins, per-bin prefix window)
+      s"""WITH RECURSIVE
+         merges(lhs, rhs, rank) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedMergesValues})),
+         words AS (
+           SELECT doc_id,
+                  unnest(generate_series(1, len(string_split(text, ' ')))) AS wpos,
+                  unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+         walk(word, syms) AS (
+           SELECT word, regexp_split_to_array(word, '') FROM dwords
+           UNION ALL
+           SELECT word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]
+           FROM (
+             SELECT w.word, any_value(w.syms) AS syms,
+                    min_by(u.i, m.rank * 100000 + u.i) AS bi
+             FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+             JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]
+             GROUP BY w.word)),
+         pairable AS (
+           SELECT DISTINCT w.word, w.syms
+           FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+           JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]),
+         final AS (SELECT word, syms FROM walk ANTI JOIN pairable USING (word, syms)),
+         doc_counts AS (
+           SELECT w.doc_id, sum(len(f.syms))::BIGINT AS n_tokens
+           FROM words w JOIN final f ON f.word = w.word
+           GROUP BY w.doc_id),
+         t AS (
+           SELECT d.doc_id, coalesce(c.n_tokens, 0)::BIGINT AS n_tokens,
+                  ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT AS hk
+           FROM documents d LEFT JOIN doc_counts c ON c.doc_id = d.doc_id),
+         b AS (
+           SELECT doc_id, (hk % 8)::INT AS bin, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+           FROM t)
+         SELECT doc_id, bin, n_tokens, cum_tokens FROM b
+         WHERE cum_tokens <= 2000 ORDER BY doc_id""",
 
     "q_sp8_topk_sample" ->
       // same md5 rank, same k: the sampled SET must match id-for-id

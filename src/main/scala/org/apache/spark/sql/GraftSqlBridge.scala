@@ -13,4 +13,28 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eager local checkpoint that RETURNS the handle needed to free it.
+    *
+    * `df.localCheckpoint(true)` truncates lineage by caching an internal
+    * RDD — but `.unpersist()` on the RESULTING DataFrame goes through the
+    * CacheManager (which has no entry for it) and never releases that
+    * RDD's blocks, so iterative algorithms leak one cached RDD per round
+    * until the context cleaner happens to GC it. This helper performs the
+    * same construction through the `private[sql]` surface and hands back
+    * an `release()` that unpersists the ACTUAL checkpoint RDD. Only call
+    * release once every downstream consumer of the frame is materialized:
+    * a local checkpoint IS its cached blocks — dropping them un-computes
+    * the frame.
+    */
+  def localCheckpointWithHandle(df: DataFrame): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    // same shape as Dataset.checkpoint(local=true): copy rows out of the
+    // unsafe-row buffer reuse, localCheckpoint, materialize eagerly
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    rdd.count()
+    val out = spark.internalCreateDataFrame(rdd, df.schema)
+    (out, () => { rdd.unpersist(blocking = false); () })
+  }
 }

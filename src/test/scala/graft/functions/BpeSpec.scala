@@ -1,0 +1,107 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val m = Bpe.planted
+  private def idOf(sym: String): Int = m.ids.get(sym).intValue()
+
+  test("single chars map to base ids; unknown maps to unkId") {
+    assert(m.encodeWord("q").toSeq == Seq(idOf("q")))
+    val withUnk = BpeModel(Seq(("a", "b")), Seq("a", "b"))
+    assert(withUnk.encodeWord("az").toSeq == Seq(0, -1)) // z not in vocab
+  }
+
+  test("multi-step merge walk reaches the full word symbol") {
+    // t h e -> th e -> the ; t a b l e -> ta b l e -> ta bl e -> tabl e -> table
+    assert(m.encodeWord("the").toSeq == Seq(idOf("the")))
+    assert(m.encodeWord("table").toSeq == Seq(idOf("table")))
+    assert(m.encodeWord("scan").toSeq == Seq(idOf("scan")))
+    assert(m.encodeWord("order").toSeq == Seq(idOf("order")))
+  }
+
+  test("rank priority: lowest-ranked pair merges first") {
+    // "tha": pairs (t,h) rank 0 and nothing else rankable first; after
+    // th: (th,a) unranked -> [th, a]
+    assert(m.encodeWord("tha").toSeq == Seq(idOf("th"), idOf("a")))
+    // "sta": (s,t) rank 12 merges before (t,a) rank 2? No — (t,a) has the
+    // LOWER rank, so ta forms first: s ta, then (s,ta) unranked
+    assert(m.encodeWord("sta").toSeq == Seq(idOf("s"), idOf("ta")))
+  }
+
+  test("leftmost tie-break on repeated bigrams") {
+    val rep = BpeModel(Seq(("a", "a")), Seq("a"))
+    // a a a -> (aa) a   (leftmost occurrence merged; (aa,a) unranked)
+    assert(rep.encodeWord("aaa").toSeq == Seq(1, 0))
+    // a a a a -> aa a a -> aa aa
+    assert(rep.encodeWord("aaaa").toSeq == Seq(1, 1))
+  }
+
+  test("one-at-a-time equals the all-occurrences GPT-2 walk on planted corpus words") {
+    // independently-coded all-occurrences-per-step reference
+    def gpt2Encode(w: String): Seq[String] = {
+      val ranks = m.merges.zipWithIndex.toMap
+      var syms = w.map(String.valueOf(_)).toVector
+      var cont = true
+      while (cont && syms.length > 1) {
+        val pairs = syms.zip(syms.tail)
+        val ranked = pairs.flatMap(p => ranks.get(p).map(r => (r, p)))
+        if (ranked.isEmpty) cont = false
+        else {
+          val (_, (a, b)) = ranked.minBy(_._1)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    val words = Seq("the", "table", "scan", "row", "fast", "value", "order",
+      "stream", "sort", "data", "vector", "batch", "thethe", "tabletable",
+      "aa", "orderorder", "valuevalue", "fastfast", "x")
+    words.foreach { w =>
+      val ours = m.encodeWord(w).toSeq
+      val ref = gpt2Encode(w).map(idOf)
+      assert(ours == ref, s"word '$w': ours=$ours gpt2=$ref")
+    }
+  }
+
+  test("encode splits on single space, skipping empty segments") {
+    val the = idOf("the"); val a = idOf("a")
+    assert(m.encode("the a").toSeq == Seq(the, a))
+    assert(m.encode("the  a").toSeq == Seq(the, a)) // double space: empty segment
+    assert(m.encode(" the").toSeq == Seq(the))
+    assert(m.encode("").toSeq == Seq.empty)
+  }
+
+  test("rank monotonicity is validated at construction") {
+    intercept[IllegalArgumentException] {
+      BpeModel(Seq(("ab", "c")), Seq("a", "b", "c")) // 'ab' never produced
+    }
+  }
+
+  test("BpeEncode expression matches model.encode, null in -> null out") {
+    import spark.implicits._
+    val df = Seq(Some("the fast scan"), Some(""), None).toDF("text")
+    val rows = df.select(Bpe.encode(col("text"), m).as("ids")).collect()
+    assert(rows(0).getSeq[Int](0) == m.encode("the fast scan").toSeq)
+    assert(rows(1).getSeq[Int](0).isEmpty)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("Bpe.count equals encode length") {
+    import spark.implicits._
+    val df = Seq("the fast scan", "a").toDF("text")
+    val n = df.select(Bpe.count(col("text"), m).as("n")).collect().map(_.getInt(0))
+    assert(n.toSeq == Seq(m.encode("the fast scan").length, 1))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.{Fnv1a64, Md5Prefix32, TokenCount, VectorExprs}
+import graft.multimodal.PngGray
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bug-class gate the rounds kept re-shipping (JpegDims in r9,
+  * Md5Prefix32 in r10): a native expression whose `doGenCode` emits Java
+  * that Janino cannot compile is SILENT — Spark logs one line and runs the
+  * whole stage interpreted, so every correctness test stays green while
+  * the hot path quietly gets 6-10× slower.
+  *
+  * This spec makes that failure loud: one representative plan per native
+  * expression, executed in a session where
+  *   - `spark.sql.codegen.fallback=false` (whole-stage compile errors THROW
+  *     instead of degrading), and
+  *   - `spark.sql.codegen.factoryMode=CODEGEN_ONLY` (non-whole-stage
+  *     projections/predicates must also compile — no interpreted factory).
+  *
+  * A broken doGenCode now fails the build instead of shipping. Each plan
+  * also asserts a known output value, so the codegen path is not just
+  * compiled but proven semantically equal to the interpreted `eval` the
+  * other suites exercise.
+  *
+  * Uses `newSession()` — own SQLConf, shared SparkContext — so the strict
+  * codegen flags cannot leak into the other suites.
+  */
+class CodegenCleanlinessSpec extends AnyFunSuite {
+
+  private lazy val strict: SparkSession = {
+    val s = SparkSpec.spark.newSession()
+    s.conf.set("spark.sql.codegen.fallback", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    graft.GraftExtensions.register(s)
+    s
+  }
+
+  private def textDf: DataFrame = {
+    import strict.implicits._
+    Seq("hello world", "a b  c", "graft engine").toDF("s")
+  }
+
+  test("Fnv1a64 compiles and evaluates under CODEGEN_ONLY") {
+    val rows = textDf.select(Fnv1a64.col(col("s")).as("h")).collect()
+    assert(rows.length == 3)
+    // FNV-1a 64 of "hello world" (standard offset basis / prime)
+    assert(rows(0).getLong(0) == 0x779a65e7023cd2e7L)
+  }
+
+  test("TokenCount compiles and evaluates under CODEGEN_ONLY") {
+    val rows = textDf.select(TokenCount.col(col("s")).as("n")).collect()
+    // single-space split semantics: "a b  c" has 3 space bytes -> 4 segments
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4, 2))
+  }
+
+  test("Md5Prefix32 compiles at all four digest windows under CODEGEN_ONLY") {
+    // the r10 regression: companion static forwarder suppressed -> Janino
+    // "no applicable method" -> silent interpreted fallback on every
+    // hash-gate plan. This asserts against the portable string-chain
+    // formulation the optimizer rule replaces.
+    val df = textDf.select(col("s").cast("binary").as("b"), col("s"))
+    val slices = Seq(1, 9, 17, 25)
+    val native = df.select(
+      slices.map(p => Md5Prefix32.col(col("b"), p).as(s"n$p")): _*).collect()
+    val chain = df.select(
+      slices.map(p =>
+        expr(s"cast(conv(substring(md5(cast(s as binary)), $p, 8), 16, 10) as long)")
+          .as(s"c$p")): _*).collect()
+    native.zip(chain).foreach { case (n, c) =>
+      slices.indices.foreach(i => assert(n.getLong(i) == c.getLong(i)))
+    }
+  }
+
+  test("JpegDims compiles and evaluates under CODEGEN_ONLY") {
+    import strict.implicits._
+    // minimal SOI + SOF0 (height=7, width=5) + EOI
+    val jpeg: Array[Byte] = Array(
+      0xFF, 0xD8, // SOI
+      0xFF, 0xC0, 0x00, 0x0B, 0x08, 0x00, 0x07, 0x00, 0x05, 0x01, 0x11, 0x00, // SOF0
+      0xFF, 0xD9 // EOI
+    ).map(_.toByte)
+    val rows = Seq(jpeg).toDF("b")
+      .select(expr("jpeg_dims(b)").as("wh")).collect()
+    assert(rows(0).getLong(0) == ((5L << 32) | 7L))
+  }
+
+  test("PngGray compiles and round-trips through the decoder under CODEGEN_ONLY") {
+    import graft.multimodal.Multimodal
+    val rows = textDf
+      .select(PngGray.col(col("s"), 4).as("png"))
+      .collect()
+    assert(rows.forall(!_.isNullAt(0)))
+    assert(Multimodal.decodePngGray(0L, rows(0).getAs[Array[Byte]](0)).isDefined)
+  }
+
+  test("BinaryStride compiles and evaluates under CODEGEN_ONLY") {
+    val rows = textDf
+      .select(expr("binary_stride(cast(s as binary), 2)").as("b")).collect()
+    assert(new String(rows(0).getAs[Array[Byte]](0), "UTF-8") == "hlowrd")
+  }
+
+  test("DotProduct and IntDotProduct compile and evaluate under CODEGEN_ONLY") {
+    import strict.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f),
+      Array(1, 2, 3), Array(4, 5, 6))).toDF("a", "b", "ia", "ib")
+    val r = df.select(
+      VectorExprs.dot(col("a"), col("b")).as("d"),
+      VectorExprs.intDot(col("ia"), col("ib")).as("id")).collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getLong(1) == 32L)
+  }
+
+  test("NearestCells and HyperplaneBuckets compile and evaluate under CODEGEN_ONLY") {
+    import strict.implicits._
+    val df = Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f)).toDF("v")
+    // two centroids: (1,0) and (0,1)
+    val cells = df.select(
+      VectorExprs.nearestCells(col("v"), Seq(1.0, 0.0, 0.0, 1.0), 2, 1).as("c"))
+      .collect().map(_.getSeq[Int](0).head)
+    assert(cells.toSeq == Seq(0, 1))
+    val buckets = df.select(
+      VectorExprs.hyperplaneBuckets(col("v"), Seq(1.0, 0.0, 0.0, 1.0), 2, 2, 1).as("b"))
+      .collect().map(_.getSeq[Long](0).head)
+    // plane dots: v0 -> (1, 0) both >= 0 -> bits 0b11; v1 -> (0, 1) -> 0b11
+    assert(buckets.toSeq == Seq(3L, 3L))
+  }
+
+  test("BpeEncode compiles and evaluates under CODEGEN_ONLY") {
+    import graft.functions.Bpe
+    val rows = textDf.select(Bpe.encode(col("s"), Bpe.planted).as("ids")).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getSeq[Int](0) == Bpe.planted.encode("hello world").toSeq)
+  }
+
+  test("Md5Prefix32Rule's rewritten hash-gate plan executes under CODEGEN_ONLY") {
+    // the end-to-end idiom the rule targets: a sampling gate written as
+    // the portable md5 string chain, rewritten by the optimizer to the
+    // native slice — this whole plan must compile, not just the leaf expr.
+    // Built on range() (not a local Seq) so ConvertToLocalRelation cannot
+    // pre-evaluate the filter and erase the expression under test.
+    val df = strict.range(100)
+      .select(concat(lit("doc-"), col("id")).as("s"))
+      .filter(expr(
+        "cast(conv(substring(md5(cast(s as binary)), 1, 8), 16, 10) as long) % 100 < 50"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("md5_prefix32"),
+      s"optimizer rule did not rewrite the hash gate:\n$plan")
+    assert(df.count() > 0)
+  }
+}

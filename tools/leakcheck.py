@@ -79,7 +79,19 @@ try:
 except Exception:
     head = None
 
+def current_round():
+    """Best-effort round number: 1 + the highest round with a driver
+    correctness artifact (the sweep runs while building round N, after the
+    round-(N-1) artifacts landed). Env GRAFT_ROUND overrides."""
+    if os.environ.get("GRAFT_ROUND"):
+        return int(os.environ["GRAFT_ROUND"])
+    rounds = [int(m.group(1)) for f in os.listdir(root)
+              for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", f)] if m]
+    return max(rounds) + 1 if rounds else None
+
+
 report = {
+    "round": current_round(),
     "n_hits": sum(len(v) for v in hits.values()),
     "hits": hits,
     "files_scanned": len(files),
