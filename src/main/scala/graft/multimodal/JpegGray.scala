@@ -1,0 +1,590 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL baseline-sequential JPEG grayscale codec (ITU-T T.81): a full
+  * encoder (forward DCT → quantize → zigzag → DC-diff/AC-RLE Huffman,
+  * JFIF/DQT/SOF0/DHT/SOS framing, byte stuffing) and a full decoder
+  * (marker parse with DHT/DQT TABLE PARSING — nothing about the encoder's
+  * tables is assumed — Huffman entropy decode with restart-interval
+  * support, dequantize, de-zigzag, IDCT, level shift). Completes the
+  * image-format matrix next to [[PngGray]]/[[Multimodal.decodePngPixels]]:
+  * PNG decodes losslessly, JPEG is the dominant LOSSY web format — the
+  * gate plants constant-8×8-block images (DC-only spectra survive
+  * quantization exactly, see [[JpegGray.build]]) so the oracle can
+  * re-derive decoded pixels from text, while JpegGraySpec pins the general
+  * (AC-coefficient) path against the JDK's own `javax.imageio` decoder.
+  *
+  * Scope contract (all violations return None, never garbage): baseline
+  * DCT sequential (SOF0) and extended sequential (SOF1) Huffman only —
+  * progressive (SOF2+) and arithmetic coding are REFUSED; single
+  * component (grayscale), 8-bit precision, 1×1 sampling.
+  */
+object JpegCodec {
+  // natural-order index of zigzag position k (T.81 Figure A.6)
+  private[multimodal] val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val cosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (a, k) =>
+    math.cos((2 * a + 1) * k * math.Pi / 16.0)
+  }
+  private val c: Array[Double] =
+    Array.tabulate(8)(k => if (k == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** The emitted tables: every symbol at one code length (12 DC category
+    * symbols at 4 bits, 162 AC run/size symbols at 8 bits) — a valid
+    * canonical Huffman table (same-length codes are prefix-free by
+    * construction, and neither length's all-ones code is reached), chosen
+    * over Annex K's example tables so correctness never depends on
+    * transcribing a 162-entry constant: the decoder PARSES whatever DHT
+    * the stream carries either way.
+    */
+  private[multimodal] val dcBits: Array[Int] = {
+    val b = new Array[Int](17); b(4) = 12; b
+  }
+  private[multimodal] val dcVals: Array[Int] = (0 to 11).toArray
+  private[multimodal] val acBits: Array[Int] = {
+    val b = new Array[Int](17); b(8) = 162; b
+  }
+  private[multimodal] val acVals: Array[Int] = {
+    // all (run, size) symbols with size 1..10, run 0..15, plus EOB (0x00)
+    // and ZRL (0xF0): 160 + 2 = 162 — the complete baseline AC alphabet
+    val buf = scala.collection.mutable.ArrayBuffer[Int](0x00, 0xF0)
+    for (r <- 0 to 15; s <- 1 to 10) buf += ((r << 4) | s)
+    buf.toArray
+  }
+
+  /** Canonical code assignment (T.81 Annex C): symbol i of length l gets
+    * the next code value at that length. Returns (codeOf, lenOf) maps
+    * keyed by symbol.
+    */
+  private[multimodal] def canonicalCodes(bits: Array[Int], vals: Array[Int])
+      : (Array[Int], Array[Int]) = {
+    val codeOf = Array.fill(256)(-1)
+    val lenOf = Array.fill(256)(0)
+    var code = 0
+    var vi = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len)) {
+        codeOf(vals(vi)) = code
+        lenOf(vals(vi)) = len
+        code += 1; vi += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    (codeOf, lenOf)
+  }
+
+  // ---------------------------------------------------------------- encoder
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var nBits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nBits += 1
+        if (nBits == 8) {
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00) // byte stuffing
+          acc = 0; nBits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nBits > 0) { // pad with 1s (T.81 F.1.2.3)
+      acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1)
+      out.write(acc)
+      if (acc == 0xFF) out.write(0x00)
+      acc = 0; nBits = 0
+    }
+  }
+
+  private def csize(v: Int): Int = { // bit category of a coefficient
+    var a = math.abs(v); var n = 0
+    while (a != 0) { a >>= 1; n += 1 }
+    n
+  }
+
+  /** Encode an 8-bit grayscale image as a baseline-sequential JPEG.
+    * `qtable` is 64 natural-order entries in 1..255; partial edge blocks
+    * are padded by edge replication (the standard trick — keeps edge
+    * gradients flat so padding never rings back into visible pixels).
+    */
+  def encodeGray(px: Array[Int], w: Int, h: Int, qtable: Array[Int]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && px.length == w * h,
+      s"bad dims ${w}x$h for ${px.length} pixels")
+    require(qtable.length == 64 && qtable.forall(q => q >= 1 && q <= 255),
+      "qtable must be 64 entries in 1..255")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+
+    marker(0xD8) // SOI
+    marker(0xE0); u16(16) // APP0 JFIF
+    Seq('J', 'F', 'I', 'F', 0).foreach(ch => u8(ch.toInt))
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    marker(0xDB); u16(2 + 1 + 64); u8(0x00) // DQT: 8-bit, table 0
+    var zz = 0
+    while (zz < 64) { u8(qtable(zigzag(zz))); zz += 1 } // stored zigzag order
+    marker(0xC0); u16(8 + 3) // SOF0: 1 component
+    u8(8); u16(h); u16(w); u8(1); u8(1); u8(0x11); u8(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + vals.length); u8(cls << 4)
+      var l = 1
+      while (l <= 16) { u8(bits(l)); l += 1 }
+      vals.foreach(u8)
+    }
+    dht(0, dcBits, dcVals)
+    dht(1, acBits, acVals)
+    marker(0xDA); u16(6 + 2) // SOS
+    u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+
+    val (dcCode, dcLen) = canonicalCodes(dcBits, dcVals)
+    val (acCode, acLen) = canonicalCodes(acBits, acVals)
+    val bw = new BitWriter(out)
+    val bw8 = (w + 7) / 8
+    val bh8 = (h + 7) / 8
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var pred = 0
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        // load block with edge replication, level-shifted
+        var y = 0
+        while (y < 8) {
+          val sy = math.min(by * 8 + y, h - 1)
+          var x = 0
+          while (x < 8) {
+            val sx = math.min(bx * 8 + x, w - 1)
+            block(y * 8 + x) = px(sy * w + sx) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        // separable FDCT: rows (over y) then columns (over x)
+        var v = 0
+        while (v < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0; var y2 = 0
+            while (y2 < 8) { s += block(y2 * 8 + x) * cosTab(y2)(v); y2 += 1 }
+            tmp(v * 8 + x) = s
+            x += 1
+          }
+          v += 1
+        }
+        v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            var s = 0.0; var x2 = 0
+            while (x2 < 8) { s += tmp(v * 8 + x2) * cosTab(x2)(u); x2 += 1 }
+            val f = 0.25 * c(u) * c(v) * s
+            var cq = Math.round(f / qtable(v * 8 + u)).toInt
+            // baseline AC size caps at 10 bits: with an all-ones qtable a
+            // pathological block can push |AC| past 1023 — clamp (an
+            // encoder-side quality choice, ≤ 1 ulp of quantized loss)
+            // rather than emit an out-of-alphabet symbol. DC never needs
+            // it: |DC| ≤ 1024 under q=1, so |diff| ≤ 2040 < 2^11.
+            if ((v | u) != 0) { if (cq > 1023) cq = 1023 else if (cq < -1023) cq = -1023 }
+            coef(v * 8 + u) = cq
+            u += 1
+          }
+          v += 1
+        }
+        // DC diff
+        val dc = coef(0)
+        val diff = dc - pred
+        pred = dc
+        val t = csize(diff)
+        bw.put(dcCode(t), dcLen(t))
+        if (t > 0) {
+          val bitsVal = if (diff < 0) diff + (1 << t) - 1 else diff
+          bw.put(bitsVal, t)
+        }
+        // AC run-length
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          val ac = coef(zigzag(k))
+          if (ac == 0) run += 1
+          else {
+            while (run > 15) { bw.put(acCode(0xF0), acLen(0xF0)); run -= 16 }
+            val s = csize(ac)
+            val sym = (run << 4) | s
+            bw.put(acCode(sym), acLen(sym))
+            val bitsVal = if (ac < 0) ac + (1 << s) - 1 else ac
+            bw.put(bitsVal, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) bw.put(acCode(0x00), acLen(0x00)) // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- decoder
+
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var vi = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l) > 0) {
+          valPtr(l) = vi
+          minCode(l) = code
+          code += bits(l); vi += bits(l)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    var sawMarker: Int = -1 // marker byte hit inside entropy data (RST/EOI)
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= b.length) return -1
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xFF) {
+          if (pos >= b.length) return -1
+          val n = b(pos) & 0xff; pos += 1
+          if (n == 0x00) () // stuffed 0xFF data byte
+          else { sawMarker = n; return -1 }
+        }
+        acc = v; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val bt = bit(); if (bt < 0) return Int.MinValue
+        v = (v << 1) | bt; i += 1
+      }
+      v
+    }
+    def align(): Unit = { nBits = 0 }
+    def decode(t: HuffTable): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        val bt = bit(); if (bt < 0) return -1
+        code = (code << 1) | bt
+        l += 1
+        if (t.maxCode(l) >= code && t.minCode(l) <= code) return t.value(l, code)
+      }
+      -1
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Decoded image: dimensions + pixels row-major in 0..255. */
+  final case class Decoded(w: Int, h: Int, px: Array[Int])
+
+  def decodeGray(b: Array[Byte]): Option[Decoded] = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
+    val qtables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var w = 0; var h = 0; var qId = -1
+    var restartInterval = 0
+    var i = 2
+    var sosAt = -1
+    var dcSel = 0; var acSel = 0
+    while (sosAt < 0) {
+      if (i + 1 >= b.length) return None
+      if ((b(i) & 0xff) != 0xFF) return None
+      var m = b(i + 1) & 0xff
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+      if (m == 0xD9) return None // EOI before SOS
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 }
+      else {
+        if (i + 3 >= b.length) return None
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        m match {
+          case 0xDB => // DQT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (tq > 3) return None
+              val q = new Array[Int](64)
+              if (pq == 0) {
+                if (p + 65 > segEnd) return None
+                var k = 0
+                while (k < 64) { q(zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
+                p += 65
+              } else if (pq == 1) {
+                if (p + 129 > segEnd) return None
+                var k = 0
+                while (k < 64) {
+                  q(zigzag(k)) = ((b(p + 1 + 2 * k) & 0xff) << 8) |
+                    (b(p + 2 + 2 * k) & 0xff)
+                  k += 1
+                }
+                p += 129
+              } else return None
+              qtables(tq) = q
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              if (p + 17 > segEnd) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = b(p + l) & 0xff; total += bits(l); l += 1 }
+              if (p + 17 + total > segEnd) return None
+              val vals = new Array[Int](total)
+              var k = 0
+              while (k < total) { vals(k) = b(p + 17 + k) & 0xff; k += 1 }
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + total
+            }
+          case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+            if (len < 8) return None
+            val prec = b(seg) & 0xff
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val nComp = b(seg + 5) & 0xff
+            if (prec != 8 || nComp != 1 || w < 1 || h < 1) return None
+            if ((b(seg + 7) & 0xff) != 0x11) return None // 1x1 sampling only
+            qId = b(seg + 8) & 0x0f
+          case mm if mm >= 0xC2 && mm <= 0xCF && mm != 0xC4 && mm != 0xC8 && mm != 0xCC =>
+            return None // progressive / arithmetic / lossless: refused
+          case 0xDD => // DRI
+            if (len != 4) return None
+            restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xDA => // SOS
+            val ns = b(seg) & 0xff
+            if (ns != 1) return None
+            dcSel = (b(seg + 2) & 0xff) >> 4
+            acSel = b(seg + 2) & 0x0f
+            sosAt = segEnd
+          case _ => () // APPn/COM/etc: skip
+        }
+        i = segEnd
+      }
+    }
+    if (w == 0 || qId < 0 || qtables(qId) == null ||
+        dcTables(dcSel) == null || acTables(acSel) == null) return None
+    // sanity-cap the output like the PNG path: untrusted dims must not
+    // drive a multi-GB allocation before the entropy data proves itself
+    if (w.toLong * h > (1L << 26)) return None
+    val q = qtables(qId)
+    val dcT = dcTables(dcSel)
+    val acT = acTables(acSel)
+    val px = new Array[Int](w * h)
+    val br = new BitReader(b, sosAt)
+    val bw8 = (w + 7) / 8
+    val bh8 = (h + 7) / 8
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var pred = 0
+    var mcu = 0
+    var nextRst = 0xD0
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          // expect an RST marker: align, then consume it
+          br.align()
+          if (br.sawMarker < 0) {
+            // marker not yet hit while draining bits — read it directly
+            if (br.pos + 1 >= b.length || (b(br.pos) & 0xff) != 0xFF) return None
+            br.sawMarker = b(br.pos + 1) & 0xff
+            br.pos += 2
+          }
+          if (br.sawMarker != nextRst) return None
+          br.sawMarker = -1
+          nextRst = if (nextRst == 0xD7) 0xD0 else nextRst + 1
+          pred = 0
+        }
+        java.util.Arrays.fill(coef, 0)
+        val t = br.decode(dcT)
+        if (t < 0 || t > 11) return None
+        var diff = 0
+        if (t > 0) {
+          val r = br.receive(t); if (r == Int.MinValue) return None
+          diff = extend(r, t)
+        }
+        pred += diff
+        coef(0) = pred * q(0)
+        var k = 1
+        var bad = false
+        while (k < 64 && !bad) {
+          val rs = br.decode(acT)
+          if (rs < 0) bad = true
+          else {
+            val r = rs >> 4
+            val s = rs & 0x0f
+            if (s == 0) {
+              if (r == 15) k += 16 // ZRL
+              else k = 64 // EOB
+            } else {
+              k += r
+              if (k > 63) bad = true
+              else {
+                val rv = br.receive(s); if (rv == Int.MinValue) bad = true
+                else {
+                  coef(zigzag(k)) = extend(rv, s) * q(zigzag(k))
+                  k += 1
+                }
+              }
+            }
+          }
+        }
+        if (bad) return None
+        // separable IDCT: columns (over u) then rows (over v)
+        var v = 0
+        while (v < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0; var u = 0
+            while (u < 8) { s += c(u) * coef(v * 8 + u) * cosTab(x)(u); u += 1 }
+            tmp(v * 8 + x) = s
+            x += 1
+          }
+          v += 1
+        }
+        var y = 0
+        while (y < 8) {
+          val py = by * 8 + y
+          if (py < h) {
+            var x = 0
+            while (x < 8) {
+              val pxx = bx * 8 + x
+              if (pxx < w) {
+                var s = 0.0; var v2 = 0
+                while (v2 < 8) { s += c(v2) * tmp(v2 * 8 + x) * cosTab(y)(v2); v2 += 1 }
+                val sv = Math.round(0.25 * s + 128.0).toInt
+                px(py * w + pxx) = if (sv < 0) 0 else if (sv > 255) 255 else sv
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    Some(Decoded(w, h, px))
+  }
+}
+
+/** Codegen'd planted-payload builder (the [[PngGray]] pattern for JPEG):
+  * each character of the text becomes one CONSTANT 8×8 block (value =
+  * its byte), `blocksPerRow` blocks per image row, partial block-row
+  * dropped, quantization table all-ones. A constant block's spectrum is
+  * DC-only and the DC quotient is exact under q=1, so the planted image
+  * survives the lossy pipeline BIT-EXACTLY — which is what lets q_m7's
+  * DuckDB oracle recompute decoded pixel statistics from the text while
+  * the Spark side proves the full Huffman/DCT round trip. NULL (or a
+  * text shorter than one block row) → NULL.
+  */
+case class JpegGray(child: Expression, blocksPerRow: Int) extends UnaryExpression {
+  require(blocksPerRow >= 1 && blocksPerRow <= 64,
+    s"blocksPerRow must be in [1, 64], got $blocksPerRow")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jpeg_gray requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    JpegGray.build(input.asInstanceOf[UTF8String], blocksPerRow)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cIn => {
+      s"""
+         |${ev.value} = graft.multimodal.JpegGray.build($cIn, $blocksPerRow);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JpegGray =
+    copy(child = newChild)
+  override def prettyName: String = "jpeg_gray"
+}
+
+object JpegGray {
+  private val onesQ: Array[Int] = Array.fill(64)(1)
+
+  /** Static build shared by eval and generated code ([[PngGray.build]]
+    * convention — a standalone-object static call keeps the generated
+    * code constant-size).
+    */
+  def build(text: UTF8String, blocksPerRow: Int): Array[Byte] = {
+    val bytes = text.getBytes
+    val nBlocks = (bytes.length / blocksPerRow) * blocksPerRow
+    if (nBlocks == 0) return null
+    val w = blocksPerRow * 8
+    val h = (nBlocks / blocksPerRow) * 8
+    val px = new Array[Int](w * h)
+    var bi = 0
+    while (bi < nBlocks) {
+      val v = bytes(bi) & 0xff
+      val by = (bi / blocksPerRow) * 8
+      val bx = (bi % blocksPerRow) * 8
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { px((by + y) * w + bx + x) = v; x += 1 }
+        y += 1
+      }
+      bi += 1
+    }
+    JpegCodec.encodeGray(px, w, h, onesQ)
+  }
+
+  def col(c: Column, blocksPerRow: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(JpegGray(GraftSqlBridge.expression(c), blocksPerRow))
+  }
+}

@@ -485,6 +485,40 @@ object Multimodal {
     * interpreted-HOF trap (see SCALE.md), cured the same way as the
     * others: one native expression, constant-size generated code.
     */
+  final case class JpegStats(media_id: Long, width: Int, height: Int,
+                             n_pixels: Long, px_min: Int, px_max: Int,
+                             px_mean: Double)
+
+  /** REAL baseline JPEG grayscale decode — the full [[JpegCodec.decodeGray]]
+    * pipeline (marker/DHT/DQT parse, Huffman entropy decode, dequant,
+    * IDCT) reduced to per-image pixel statistics. Undecodable or
+    * out-of-scope payloads (progressive, color, arithmetic, truncated)
+    * quarantine to None like every decoder here.
+    */
+  def decodeJpegGray(mediaId: Long, p: Array[Byte]): Option[JpegStats] =
+    JpegCodec.decodeGray(p).map { d =>
+      var mn = 255; var mx = 0; var sum = 0L
+      d.px.foreach { v => if (v < mn) mn = v; if (v > mx) mx = v; sum += v }
+      JpegStats(mediaId, d.w, d.h, d.px.length.toLong, mn, mx,
+        sum.toDouble / d.px.length)
+    }
+
+  /** Partition-batched JPEG decode interface ([[extractPngStats]] twin). */
+  def extractJpegStats(media: DataFrame): Dataset[JpegStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) => decodeJpegGray(id, p) })
+  }
+
+  /** Planted baseline-JPEG payload: each text char one constant 8×8 block
+    * (see [[JpegGray]] for why constants survive the lossy pipeline
+    * bit-exactly).
+    */
+  def synthesizeJpegPayload(textCol: Column, blocksPerRow: Int): Column =
+    JpegGray.col(textCol, blocksPerRow)
+
   def synthesizePngPayload(textCol: Column, width: Int): Column =
     PngGray.col(textCol, width)
 

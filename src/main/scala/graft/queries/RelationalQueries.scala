@@ -1235,6 +1235,30 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_m7_jpeg_pixel_stats" -> ((s, d) => {
+      // REAL lossy-format decode: build genuine baseline-sequential JPEGs
+      // (JFIF/DQT/SOF0/DHT/SOS, canonical Huffman tables, byte-stuffed
+      // entropy stream) whose 8×8 blocks are CONSTANT at the documents'
+      // ASCII bytes, then decode them through the full marker-parse +
+      // Huffman + dequant + IDCT pipeline (Multimodal.extractJpegStats).
+      // Constant blocks have DC-only spectra that survive an all-ones
+      // quantization table exactly, so the planted pixels round-trip the
+      // LOSSY codec bit-for-bit — the oracle recomputes the statistics
+      // from the TEXT, and a hash match proves the decoder recovered the
+      // actual pixels from the compressed stream. (The general
+      // AC-coefficient path is pinned against javax.imageio in
+      // JpegGraySpec — two independent decoders within ±1.)
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 2)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.Multimodal.synthesizeJpegPayload(col("text"),
+          blocksPerRow = 2).as("payload"))
+      graft.multimodal.Multimodal.extractJpegStats(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("px_min"), col("px_max"), round(col("px_mean"), 6).as("px_mean"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_m4_wav_pcm_stats" -> ((s, d) => {
       // REAL content decode (not just headers): build genuine 8-bit mono
       // PCM WAV payloads whose samples are the documents' ASCII bytes
@@ -3590,6 +3614,25 @@ object RelationalQueries {
                 round(sum(CASE WHEN ch = 1 THEN v END)::DOUBLE / (height * 8), 6) AS g_mean,
                 round(sum(CASE WHEN ch = 2 THEN v END)::DOUBLE / (height * 8), 6) AS b_mean,
                 min(v)::INT AS px_min, max(v)::INT AS px_max
+         FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_m7_jpeg_pixel_stats" ->
+      // recompute decoded-pixel statistics from the TEXT the blocks were
+      // built from: char j (1-based, even prefix only — partial block row
+      // dropped) is the constant value of one 64-pixel block, so the
+      // pixel mean equals the prefix's character mean and min/max are the
+      // prefix's character min/max. A match proves the Huffman + IDCT
+      // decode recovered every block's value exactly.
+      """WITH px AS (
+           SELECT doc_id, (length(text) // 2)::INT AS brows,
+                  ascii(text[j]) AS v
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, (length(text) // 2) * 2 + 1)) AS j) u
+           WHERE text IS NOT NULL AND length(text) >= 2)
+         SELECT doc_id AS media_id, 16 AS width, (brows * 8)::INT AS height,
+                (count(*) * 64)::BIGINT AS n_pixels,
+                min(v)::INT AS px_min, max(v)::INT AS px_max,
+                round(sum(v)::DOUBLE / count(*), 6) AS px_mean
          FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
 
     "q_m4_wav_pcm_stats" ->

@@ -1,0 +1,148 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins the JPEG codec three ways:
+  *   1. planted constant-block payloads decode BIT-EXACTLY to the planted
+  *      values through OUR decoder (the q_m7 contract);
+  *   2. the SAME payloads read back through `javax.imageio` — the JDK's
+  *      independent JPEG implementation — pixel-identical (our encoder
+  *      emits spec-valid streams, not merely self-consistent ones);
+  *   3. general images (gradients, random blocks — real AC coefficients,
+  *      ZRL runs, multi-category DC diffs) decode through our decoder
+  *      within ±1 of ImageIO's result (T.81 does not mandate a bit-exact
+  *      IDCT; two conforming decoders may differ by one level).
+  * Plus the scope refusals: progressive and truncated payloads → None.
+  */
+class JpegGraySpec extends AnyFunSuite {
+
+  private def imageIoGray(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    assert(img != null, "ImageIO could not parse the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = img.getRaster.getSample(x, y, 0)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  test("planted constant blocks round-trip bit-exactly through our decoder") {
+    val text = "the quick brown fox jumps over lazy dogs"
+    val payload = JpegGray.build(UTF8String.fromString(text), 2)
+    val d = JpegCodec.decodeGray(payload).get
+    assert(d.w == 16)
+    assert(d.h == (text.length / 2) * 8)
+    val expected = text.take((text.length / 2) * 2).map(_.toInt)
+    var bi = 0
+    while (bi < expected.length) {
+      val by = (bi / 2) * 8
+      val bx = (bi % 2) * 8
+      for (y <- 0 until 8; x <- 0 until 8)
+        assert(d.px((by + y) * 16 + bx + x) == expected(bi),
+          s"block $bi pixel ($x,$y): got ${d.px((by + y) * 16 + bx + x)}, want ${expected(bi)}")
+      bi += 1
+    }
+  }
+
+  test("planted payloads read back identically through javax.imageio") {
+    val text = "abcdefgh ijklmnop"
+    val payload = JpegGray.build(UTF8String.fromString(text), 2)
+    val (w, h, ioPx) = imageIoGray(payload)
+    val d = JpegCodec.decodeGray(payload).get
+    assert((w, h) == (d.w, d.h))
+    assert(ioPx.sameElements(d.px),
+      "ImageIO and our decoder disagree on a constant-block payload")
+  }
+
+  test("general images (gradients + pseudo-random blocks) decode within ±1 of ImageIO") {
+    // deterministic non-trivial image: horizontal+vertical gradient with a
+    // hash-noise overlay — real AC energy, DC swings across blocks, edge
+    // clipping (25x19 is not block-aligned)
+    val w = 25; val h = 19
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val noise = (x * 31 + y * 17) % 23
+      math.min(255, math.max(0, x * 7 + y * 5 + noise))
+    }
+    // moderate qtable (not all ones): exercises non-trivial quantization
+    val q = Array.tabulate(64)(i => 1 + (i % 8) + (i / 8)) // 1..15
+    val payload = JpegCodec.encodeGray(px, w, h, q)
+    val d = JpegCodec.decodeGray(payload).get
+    assert(d.w == w && d.h == h)
+    val (iw, ih, ioPx) = imageIoGray(payload)
+    assert((iw, ih) == (w, h))
+    var worst = 0
+    var i = 0
+    while (i < ioPx.length) {
+      worst = math.max(worst, math.abs(ioPx(i) - d.px(i)))
+      i += 1
+    }
+    assert(worst <= 1,
+      s"our IDCT and ImageIO's diverge by $worst levels (allowed 1)")
+  }
+
+  test("decode refuses progressive, truncated, and non-JPEG payloads") {
+    val ok = JpegGray.build(UTF8String.fromString("abcd"), 2)
+    assert(JpegCodec.decodeGray(ok).isDefined)
+    // flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be refused
+    val prog = ok.clone()
+    var i = 0
+    var flipped = false
+    while (i + 1 < prog.length && !flipped) {
+      if ((prog(i) & 0xff) == 0xFF && (prog(i + 1) & 0xff) == 0xC0) {
+        prog(i + 1) = 0xC2.toByte; flipped = true
+      }
+      i += 1
+    }
+    assert(flipped)
+    assert(JpegCodec.decodeGray(prog).isEmpty)
+    assert(JpegCodec.decodeGray(ok.take(ok.length / 2)).isEmpty)
+    assert(JpegCodec.decodeGray("not a jpeg".getBytes).isEmpty)
+    assert(JpegCodec.decodeGray(Array[Byte]()).isEmpty)
+    assert(JpegCodec.decodeGray(null).isEmpty)
+  }
+
+  test("build: text shorter than one block row -> null; null propagates through expression") {
+    assert(JpegGray.build(UTF8String.fromString("a"), 2) == null)
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(Some("abcdef"), Some("x"), None).toDF("t")
+      .select(JpegGray.col(col("t"), 2).as("p")).collect()
+    assert(!rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("extractJpegStats matches text-derived statistics (the q_m7 oracle shape)") {
+    val spark = graft.SparkSpec.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq("hello world", "zz", "a b c d")
+    val media = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("media_id", "text")
+      .select(col("media_id"),
+        Multimodal.synthesizeJpegPayload(col("text"), 2).as("payload"))
+    val stats = Multimodal.extractJpegStats(media).collect()
+      .map(s => s.media_id -> s).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val prefix = t.take((t.length / 2) * 2).map(_.toInt)
+      val s = stats(i.toLong)
+      assert(s.width == 16)
+      assert(s.height == (t.length / 2) * 8)
+      assert(s.n_pixels == prefix.length * 64L)
+      assert(s.px_min == prefix.min)
+      assert(s.px_max == prefix.max)
+      assert(math.abs(s.px_mean - prefix.sum.toDouble / prefix.length) < 1e-9)
+    }
+  }
+}

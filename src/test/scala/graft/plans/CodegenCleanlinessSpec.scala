@@ -129,11 +129,34 @@ class CodegenCleanlinessSpec extends AnyFunSuite {
     assert(buckets.toSeq == Seq(3L, 3L))
   }
 
+  test("JpegGray compiles and round-trips through the decoder under CODEGEN_ONLY") {
+    import graft.multimodal.{JpegCodec, JpegGray => JG}
+    val rows = textDf.select(JG.col(col("s"), 2).as("jpg")).collect()
+    assert(rows.forall(!_.isNullAt(0)))
+    assert(JpegCodec.decodeGray(rows(0).getAs[Array[Byte]](0)).isDefined)
+  }
+
   test("BpeEncode compiles and evaluates under CODEGEN_ONLY") {
     import graft.functions.Bpe
     val rows = textDf.select(Bpe.encode(col("s"), Bpe.planted).as("ids")).collect()
     assert(rows.length == 3)
     assert(rows(0).getSeq[Int](0) == Bpe.planted.encode("hello world").toSeq)
+  }
+
+  test("q_d6's banded-candidates plan rewrites to native md5 slices and stays codegen-clean") {
+    // the round-10 regression pin: q_d6_ngram_jaccard is the heaviest
+    // consumer of the md5Hasher minhash slices the Md5Prefix32Rule
+    // rewrites — when the rewritten expression failed Janino, this exact
+    // query silently ran interpreted and benched 5x slower. Assert (a)
+    // the rule fires inside the real query's plan, and (b) the whole plan
+    // executes under CODEGEN_ONLY with fallback disabled.
+    val df = graft.SparkEntry.queries("q_d6_ngram_jaccard")(
+      strict, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("md5_prefix32"),
+      "Md5Prefix32Rule no longer fires in q_d6's plan")
+    assert(df.count() >= 0) // execution, not just planning, must survive
+    strict.catalog.clearCache()
   }
 
   test("Md5Prefix32Rule's rewritten hash-gate plan executes under CODEGEN_ONLY") {
