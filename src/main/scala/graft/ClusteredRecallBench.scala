@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured ANN recall on a CLUSTERED corpus at a deep scale point — the
+  * quality half of the fraction-API claim at sizes the FunctionsSpec pin
+  * (driver-side all-pairs ground truth, capped ~1,280 vectors) cannot
+  * reach. Synthesizes a deterministic clustered corpus (trig-based
+  * centroids + small trig perturbation — no RNG, reproducible to the
+  * bit) at a base size and `factor`× it, then runs the SAME distributed
+  * recall harness ScaleBench uses on the unstructured fixture
+  * ([[ScaleBench.annRecall]]: ~100-query hash sample, sample×corpus
+  * exact ground truth — bounded at any corpus size).
+  *
+  * The claim under test: `knnJoinAuto`'s default fraction-probe sizing
+  * (nprobe = ⌈0.125·cells⌉) holds recall as the corpus grows 100×,
+  * BECAUSE the probed fraction is scale-free — on clustered data (the
+  * realistic shape for trained embeddings) that means staying ≥ 0.9,
+  * not just decaying slower than fixed-nprobe.
+  *
+  * Env: SPARK_GRAFT_FACTOR (default 100), SPARK_GRAFT_BASE_N (default
+  * 2000), SPARK_GRAFT_CENTERS (default 50), SPARK_GRAFT_CPUS.
+  */
+object ClusteredRecallBench {
+
+  /** Deterministic clustered embeddings: vector i belongs to cluster
+    * c = i mod centers; coordinate j = sin(131·c + 17·j) + 0.05·sin(7919·i
+    * + 13·j). Column-expression math only — fully reproducible, and the
+    * cluster geometry (unit-scale separated centroids, 5% perturbation)
+    * gives every vector ≥ k true neighbors inside its own cluster.
+    */
+  def synthesizeClustered(spark: SparkSession, outDir: String, n: Long,
+                          dims: Int, centers: Int,
+                          noise: Double = 0.05): Unit = {
+    val df = spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), j =>
+        (sin((col("id") % centers) * 131 + j * 17) +
+          lit(noise) * sin(col("id") * 7919 + j * 13)).cast("float"))
+        .as("embedding"),
+      (col("id") % centers).cast("int").as("label"))
+    df.repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "100").toInt
+    val baseN = sys.env.getOrElse("SPARK_GRAFT_BASE_N", "2000").toLong
+    val centers = sys.env.getOrElse("SPARK_GRAFT_CENTERS", "50").toInt
+    val noise = sys.env.getOrElse("SPARK_GRAFT_NOISE", "0.05").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-clustered-recall")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+
+    val tmp = sys.props("java.io.tmpdir")
+    val baseDir = s"$tmp/graft-annc-base"
+    val scaledDir = s"$tmp/graft-annc-${factor}x"
+    System.err.println(s"[annc] synthesizing base n=$baseN, scaled n=${baseN * factor}")
+    synthesizeClustered(spark, baseDir, baseN, dims = 64, centers, noise)
+    synthesizeClustered(spark, scaledDir, baseN * factor, dims = 64, centers, noise)
+
+    // IVF rows only: clustered corpora collapse LSH buckets (a cluster
+    // shares hyperplane signs), making corpus-wide lshTopKAuto quadratic
+    // in the cluster size — the fraction-API claim under test here is
+    // IVF's, and lsh has its own measured curve on the unstructured ladder
+    val ivf = Set("ivf_nprobe2", "ivf_frac_default")
+    val base = ScaleBench.annRecall(spark, baseDir, measures = ivf)
+    spark.catalog.clearCache()
+    val scaled = ScaleBench.annRecall(spark, scaledDir, measures = ivf)
+    val entries = base.map { case (name, b) =>
+      val s = scaled.toMap.getOrElse(name, -1.0)
+      f""""$name":{"base":$b%.3f,"scaled":$s%.3f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"clustered_recall","factor":$factor,"base_n":$baseN,""" +
+      s""""centers":$centers,"noise":$noise,"k":10,"points":$entries}""")
+    println(s"\n| recall@10 (clustered, $centers clusters) | base ($baseN) | ${factor}x (${baseN * factor}) |")
+    println("|---|---|---|")
+    base.foreach { case (name, b) =>
+      val s = scaled.toMap.getOrElse(name, -1.0)
+      println(f"| $name | $b%.3f | $s%.3f |")
+    }
+    spark.stop()
+  }
+}

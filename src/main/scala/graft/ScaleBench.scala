@@ -54,6 +54,7 @@ object ScaleBench {
     "q_t15_bm25", "q_t16_normalize", "q_t17_pmi_bigrams", "q_t18_entropy",
     "q_t19_suffix_run_dedup", "q_t20_bigram_surprisal", "q_t24_word_dropout",
     "q_t21_gopher_quality", "q_t22_source_stats", "q_t23_zipf_profile",
+    "q_t25_bpe_encode", "q_sp9_bpe_token_budget", "q_m7_jpeg_pixel_stats",
     "q_a11_heavy_hitters", "q_a14_cms_heavy_hitters",
     "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",
@@ -149,8 +150,19 @@ object ScaleBench {
       val dims = Tables.embeddings(spark, baseDir)
         .select(size(col("embedding"))).head(1)
         .headOption.map(_.getInt(0)).getOrElse(0)
-      require(factor < math.max(dims, 1),
-        s"factor $factor must be < embedding dims $dims: rotation by >= dims wraps (text-only runs pass textOnly=true)")
+      // replica transform = signed permutation: rotation r % dims composed
+      // with sign-flip pattern s = r / dims (s = 0 → no flips, so every
+      // factor ≤ dims corpus is bit-identical to the old rotation-only
+      // scheme). Pattern s ≥ 1 negates coordinate j iff bit (s−1) of j is
+      // set — distinct patterns while 2^(s−1) < dims, giving the ladder
+      // headroom to dims·(log2(dims)+1) replicas (64-dim: 448). Signed
+      // permutations preserve norms and ALL intra-replica dot products
+      // exactly (the structure the ANN operators are measured on) while
+      // cross-replica cosines decorrelate through the mixed signs.
+      val maxAnnFactor = math.max(dims, 1) *
+        (1 + (31 - Integer.numberOfLeadingZeros(math.max(dims, 1))))
+      require(factor <= maxAnnFactor,
+        s"factor $factor exceeds $maxAnnFactor distinct signed-permutation replicas at dims $dims (text-only runs pass textOnly=true)")
     }
     if (!annOnly) {
       val docs = Tables.documents(spark, baseDir)
@@ -173,11 +185,21 @@ object ScaleBench {
 
     if (!textOnly) {
       val embs = Tables.embeddings(spark, baseDir)
+      val dims = embs.select(size(col("embedding"))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(1)
       val embReps = (0 until factor).map { r =>
+        val rot = r % dims
+        val sgn = r / dims
+        val rotated =
+          if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), lit(rot + 1), size(col("embedding")) - rot),
+            slice(col("embedding"), 1, rot))
+        // sign pattern s ≥ 1: negate coordinate j iff bit (s−1) of j set —
+        // a fixed signed permutation per replica (see the factor guard)
         val emb =
-          if (r == 0) col("embedding")
-          else concat(slice(col("embedding"), lit(r + 1), size(col("embedding")) - r),
-            slice(col("embedding"), 1, r))
+          if (sgn == 0) rotated
+          else transform(rotated, (x, j) =>
+            when(shiftright(j, sgn - 1).bitwiseAND(lit(1)) === 1, -x).otherwise(x))
         embs.select(
           (col("vec_id") * factor + r).as("vec_id"),
           emb.as("embedding"), col("label"))
@@ -291,7 +313,9 @@ object ScaleBench {
     * clustered corpora, where cells actually capture neighborhoods).
     */
   def annRecall(spark: SparkSession, d: String, k: Int = 10,
-                sampleTarget: Long = 100): Seq[(String, Double)] = {
+                sampleTarget: Long = 100,
+                measures: Set[String] = Set("ivf_nprobe2", "ivf_frac_default",
+                  "lsh_auto")): Seq[(String, Double)] = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.{IvfIndex, Similarity, VectorExprs}
     val embs = Tables.embeddings(spark, d)
@@ -324,11 +348,17 @@ object ScaleBench {
       val fracProbe = IvfIndex.nprobeForFraction(model.numCells, 0.125)
       System.err.println(s"[scale] recall($d): n=$n cells=${model.numCells} " +
         s"frac-probe=$fracProbe sample=${sampleIds.count()}")
+      // measures is the dial for corpora where one operator's cost shape
+      // is pathological (e.g. clustered data collapses LSH buckets — a
+      // whole cluster shares its hyperplane signs, so the in-bucket join
+      // goes quadratic in the cluster size; the clustered ladder measures
+      // the IVF rows only)
       Seq(
-        "ivf_nprobe2" -> recallOf(IvfIndex.knnJoin(embs, model, k, nprobe = 2)),
-        "ivf_frac_default" -> recallOf(IvfIndex.knnJoin(embs, model, k,
-          nprobe = fracProbe, queries = Some(sampleIds))),
-        "lsh_auto" -> recallOf(Similarity.lshTopKAuto(embs, k = k, reps = 4)))
+        "ivf_nprobe2" -> (() => recallOf(IvfIndex.knnJoin(embs, model, k, nprobe = 2))),
+        "ivf_frac_default" -> (() => recallOf(IvfIndex.knnJoin(embs, model, k,
+          nprobe = fracProbe, queries = Some(sampleIds)))),
+        "lsh_auto" -> (() => recallOf(Similarity.lshTopKAuto(embs, k = k, reps = 4))))
+        .collect { case (name, f) if measures.contains(name) => name -> f() }
     } finally { gt.unpersist(); () }
   }
 

@@ -174,6 +174,163 @@ case class BpeEncode(child: Expression, model: BpeModel) extends UnaryExpression
 }
 
 object Bpe {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, explode, split, desc}
+
+  /** BPE tokenizer TRAINING, structured the way corpus-scale trainers
+    * actually run: the only corpus-sized pass is ONE distributed word
+    * histogram (explode + groupBy — map-side combinable, any corpus
+    * size); the greedy merge loop then runs on the BOUNDED dictionary
+    * (`minCount` floor + `maxWords` top-by-frequency cap make the bound a
+    * contract, not a hope — the standard frequency-cutoff practice). Per
+    * merge step: weighted adjacent-pair counts over the dict, best pair
+    * by (count DESC, lhs ASC, rhs ASC) — the deterministic tie-break the
+    * q_t26 oracle replicates — then an all-occurrences left-to-right
+    * merge. Returns (lhs, rhs, pairCountAtSelection) in rank order;
+    * stops early when no adjacent pair remains.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            minCount: Long = 1L,
+            maxWords: Int = 1 << 20): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    val dict: Array[(String, Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(desc("cnt"), col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnDict(dict, numMerges)
+  }
+
+  /** The dictionary-side merge loop (driver-bounded by construction). */
+  private[functions] def trainOnDict(dict: Array[(String, Long)],
+                                     numMerges: Int): Seq[(String, String, Long)] = {
+    val segs = dict.map { case (w, _) => w.map(String.valueOf(_)).toArray }
+    val counts = dict.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val pairCounts = new java.util.HashMap[(String, String), java.lang.Long]()
+      var wi = 0
+      while (wi < segs.length) {
+        val s = segs(wi); val c = counts(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          val prev = pairCounts.get(k)
+          pairCounts.put(k, if (prev == null) c else prev + c)
+          i += 1
+        }
+        wi += 1
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        pairCounts.forEach { (k, v) =>
+          if (best == null || v > best._2 ||
+              (v == best._2 && (k._1 < best._1._1 ||
+                (k._1 == best._1._1 && k._2 < best._1._2)))) best = (k, v)
+        }
+        val ((a, b), cnt) = best
+        merges += ((a, b, cnt))
+        wi = 0
+        while (wi < segs.length) {
+          val s = segs(wi)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) { has = s(i) == a && s(i + 1) == b; i += 1 }
+          if (has) {
+            val out = scala.collection.mutable.ArrayBuffer[String]()
+            i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += s(i); i += 1 }
+            }
+            segs(wi) = out.toArray
+          }
+          wi += 1
+        }
+      }
+      step += 1
+    }
+    merges.toSeq
+  }
+
+  /** [[train]] packaged as a ready [[BpeModel]]: base symbols = the
+    * dictionary's distinct characters (sorted), merges as learned — rank
+    * monotone by construction (a merged symbol exists only after its
+    * producing step), which BpeModel re-validates.
+    */
+  def trainModel(docs: DataFrame, textCol: String, numMerges: Int,
+                 minCount: Long = 1L, maxWords: Int = 1 << 20): BpeModel = {
+    val merges = train(docs, textCol, numMerges, minCount, maxWords)
+    val baseChars = merges.flatMap(m => m._1 + m._2).distinct
+    // base symbols must cover every character the ENCODER may see, not
+    // just those in merges — derive from the corpus sample via merges plus
+    // ASCII letters as a floor
+    val base = (('a' to 'z').map(String.valueOf) ++
+      baseChars.map(String.valueOf).filter(_.length == 1)).distinct
+    BpeModel(merges.map(m => (m._1, m._2)), base)
+  }
+
+  /** The q_t26 oracle: the EXACT training loop unrolled as `numMerges`
+    * MATERIALIZED-CTE steps in DuckDB SQL — per step a weighted pair
+    * count, the (count DESC, lhs, rhs) argmax, and a recursive
+    * single-pair merge walk over only the affected words (leftmost-
+    * one-at-a-time, provably equal to the all-occurrences pass for a
+    * single fixed pair). Generated programmatically so the step count is
+    * the single source of truth shared with the Spark query.
+    */
+  def trainOracleSql(numMerges: Int): String = {
+    val head = """
+wc AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1),
+s0 AS MATERIALIZED (SELECT word, cnt, regexp_split_to_array(word, '') AS syms FROM wc)"""
+    val steps = (0 until numMerges).map { i =>
+      s"""
+p$i AS MATERIALIZED (
+  SELECT s.syms[u.i] AS lhs, s.syms[u.i+1] AS rhs, sum(s.cnt)::BIGINT AS pc
+  FROM s$i s, unnest(generate_series(1, len(s.syms)-1)) AS u(i)
+  GROUP BY 1, 2),
+b$i AS MATERIALIZED (SELECT lhs, rhs, pc FROM p$i ORDER BY pc DESC, lhs, rhs LIMIT 1),
+a$i AS MATERIALIZED (
+  SELECT DISTINCT s.word FROM s$i s,
+    unnest(generate_series(1, len(s.syms)-1)) AS u(i), b$i b
+  WHERE s.syms[u.i] = b.lhs AND s.syms[u.i+1] = b.rhs),
+w$i(word, cnt, syms) AS (
+  SELECT s.word, s.cnt, s.syms FROM s$i s SEMI JOIN a$i a USING (word)
+  UNION ALL
+  SELECT word, cnt,
+         syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]
+  FROM (
+    SELECT w.word, any_value(w.cnt) AS cnt, any_value(w.syms) AS syms,
+           min(u.i) AS bi
+    FROM w$i w, unnest(generate_series(1, len(w.syms)-1)) AS u(i), b$i b
+    WHERE w.syms[u.i] = b.lhs AND w.syms[u.i+1] = b.rhs
+    GROUP BY w.word)),
+x$i AS MATERIALIZED (
+  SELECT DISTINCT w.word, w.syms FROM w$i w,
+    unnest(generate_series(1, len(w.syms)-1)) AS u(i), b$i b
+  WHERE w.syms[u.i] = b.lhs AND w.syms[u.i+1] = b.rhs),
+s${i + 1} AS MATERIALIZED (
+  SELECT s.word, s.cnt, s.syms FROM s$i s ANTI JOIN a$i a USING (word)
+  UNION ALL
+  SELECT w.word, w.cnt, w.syms FROM w$i w ANTI JOIN x$i x USING (word, syms))"""
+    }
+    val sel = (0 until numMerges)
+      .map(i => s"SELECT $i AS rank, lhs, rhs, pc AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    "WITH RECURSIVE " + (head +: steps).mkString(",") + " " + sel + " ORDER BY rank"
+  }
+
   def encode(c: Column, model: BpeModel): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(c), model))

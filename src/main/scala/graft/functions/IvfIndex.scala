@@ -112,6 +112,20 @@ object IvfIndex {
     assignCells(embs, model)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Incremental index maintenance (the IVF upsert every serving stack
+    * runs): assign ONLY the arriving batch to the existing model's cells
+    * and APPEND into the cell-partitioned layout — cost ∝ batch, the
+    * standing corpus is never rewritten, and dynamic partition append
+    * only touches the cell directories the batch lands in. No retrain:
+    * centroids drift is an offline decision (rebuild via [[writeIndex]]);
+    * probes see old and new vectors identically because a probe is just
+    * the cell-pruned scan. q_v15 proves the two-installment index equals
+    * the built-at-once one against the brute-force oracle.
+    */
+  def appendToIndex(newEmbs: DataFrame, model: Model, path: String): Unit =
+    assignCells(newEmbs, model)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   // Train-once caches, split by what the caller needs: model-only users
   // (the q_v3..v9 query family) must not pay a full-corpus partitioned
   // index WRITE they never read, and index users (q_v7) reuse both. Keyed

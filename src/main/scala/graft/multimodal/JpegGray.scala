@@ -122,8 +122,13 @@ object JpegCodec {
     * `qtable` is 64 natural-order entries in 1..255; partial edge blocks
     * are padded by edge replication (the standard trick — keeps edge
     * gradients flat so padding never rings back into visible pixels).
+    * `restartInterval` > 0 emits a DRI segment and an RSTn marker (with
+    * DC-predictor reset and bit-alignment) every that-many MCUs — the
+    * error-resilience framing real encoders emit, here mostly so the
+    * decoder's restart path is pinned against genuine streams.
     */
-  def encodeGray(px: Array[Int], w: Int, h: Int, qtable: Array[Int]): Array[Byte] = {
+  def encodeGray(px: Array[Int], w: Int, h: Int, qtable: Array[Int],
+                 restartInterval: Int = 0): Array[Byte] = {
     require(w >= 1 && h >= 1 && px.length == w * h,
       s"bad dims ${w}x$h for ${px.length} pixels")
     require(qtable.length == 64 && qtable.forall(q => q >= 1 && q <= 255),
@@ -150,6 +155,7 @@ object JpegCodec {
     }
     dht(0, dcBits, dcVals)
     dht(1, acBits, acVals)
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) } // DRI
     marker(0xDA); u16(6 + 2) // SOS
     u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
 
@@ -162,10 +168,18 @@ object JpegCodec {
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
     var pred = 0
+    var mcu = 0
+    var rstN = 0xD0
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush() // byte-align before the marker (T.81 F.1.2.3)
+          out.write(0xFF); out.write(rstN)
+          rstN = if (rstN == 0xD7) 0xD0 else rstN + 1
+          pred = 0
+        }
         // load block with edge replication, level-shifted
         var y = 0
         while (y < 8) {
@@ -237,6 +251,7 @@ object JpegCodec {
           k += 1
         }
         if (run > 0) bw.put(acCode(0x00), acLen(0x00)) // EOB
+        mcu += 1
         bx += 1
       }
       by += 1

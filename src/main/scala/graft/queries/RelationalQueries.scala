@@ -1604,6 +1604,21 @@ object RelationalQueries {
           size(col("ids")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    "q_t26_bpe_train" -> ((s, d) => {
+      // BPE tokenizer TRAINING: one distributed word histogram (the only
+      // corpus-sized pass), then the greedy merge loop on the bounded
+      // dictionary — 6 learned merges with their selection-time weighted
+      // pair counts. The oracle replays the whole training loop in SQL
+      // (per step: weighted pair count, (count DESC, lhs, rhs) argmax,
+      // single-pair merge walk), so every learned rank is hash-gated.
+      import s.implicits._
+      graft.functions.Bpe.train(Tables.documents(s, d), "text", numMerges = 6)
+        .zipWithIndex
+        .map { case ((a, b, c), r) => (r, a, b, c) }
+        .toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
     "q_sp9_bpe_token_budget" -> ((s, d) =>
       // q_sp3's budget packing with the REAL tokenizer count: same hash
       // bins and per-bin prefix windows, but n_tokens is the BPE token
@@ -2168,6 +2183,27 @@ object RelationalQueries {
       val query = embs.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0)
       graft.functions.IvfIndex.topK(embs, model, query, k = 10,
+        nprobe = model.numCells, excludeSelf = Some(0L))
+    }),
+
+    "q_v15_ivf_upsert" -> ((s, d) => {
+      // incremental index maintenance: build the cell-partitioned index
+      // WITHOUT every 10th vector, then upsert those as an arriving batch
+      // (IvfIndex.appendToIndex — assign only the batch, dynamic-partition
+      // append, standing corpus untouched), then probe the updated index
+      // exhaustively. Result must equal brute force over the FULL corpus
+      // (q_v6/q_v7's oracle): the two-installment index is provably
+      // indistinguishable from the built-at-once one.
+      val embs = Tables.embeddings(s, d)
+      val model = ivfModel(s, embs, d)
+      val path = scratchDir("graft_ivfup", d)
+      graft.functions.IvfIndex.writeIndex(
+        embs.filter(col("vec_id") % 10 =!= 0), model, path)
+      graft.functions.IvfIndex.appendToIndex(
+        embs.filter(col("vec_id") % 10 === 0), model, path)
+      val query = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.functions.IvfIndex.topKIndexed(s, path, model, query, k = 10,
         nprobe = model.numCells, excludeSelf = Some(0L))
     }),
 
@@ -2988,6 +3024,17 @@ object RelationalQueries {
 
     "q_v6_knn_ivf_exact" ->
       // exhaustive-probe IVF == brute force: same oracle shape as q_v1
+      """WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
+         FROM embeddings WHERE vec_id <> 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "q_v15_ivf_upsert" ->
+      // the upserted index probed exhaustively must equal brute force over
+      // the FULL corpus — q_v6/q_v7's oracle verbatim: if the append path
+      // dropped, duplicated, or mis-assigned any batch vector, the top-10
+      // (or its cosine values) would differ and the hash would fail
       """WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0)
          SELECT vec_id,
                 round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
@@ -3951,6 +3998,12 @@ object RelationalQueries {
                 coalesce(len(t.ids), 0)::BIGINT AS n_tokens
          FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+
+    "q_t26_bpe_train" ->
+      // the full training loop re-derived (see Bpe.trainOracleSql):
+      // 6 unrolled MATERIALIZED-CTE steps, each = weighted pair count +
+      // deterministic argmax + recursive merge walk over affected words
+      graft.functions.Bpe.trainOracleSql(6),
 
     "q_sp9_bpe_token_budget" ->
       // the q_t25 merge walk reduced to per-doc counts, feeding the exact

@@ -98,6 +98,72 @@ class BpeSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(0))
   }
 
+  test("train: greedy merges match an independent reference on a planted dict") {
+    // independent re-implementation of the classic histogram-BPE trainer
+    def refTrain(dict: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+      var segs = dict.keys.map(w => w -> w.map(String.valueOf(_)).toVector).toMap
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+      var steps = 0
+      var done = false
+      while (steps < n && !done) {
+        val pc = scala.collection.mutable.Map[(String, String), Long]()
+        segs.foreach { case (w, s) =>
+          s.zip(s.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + dict(w))
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((a, b), c) = pc.toSeq.minBy { case ((x, y), v) => (-v, x, y) }
+          out += ((a, b, c))
+          segs = segs.map { case (w, s) =>
+            val r = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) { r += (a + b); i += 2 }
+              else { r += s(i); i += 1 }
+            }
+            w -> r.result()
+          }
+        }
+        steps += 1
+      }
+      out.toSeq
+    }
+    val dict = Map("the" -> 10L, "then" -> 4L, "table" -> 6L, "tab" -> 2L,
+      "able" -> 3L, "he" -> 5L, "hat" -> 1L)
+    val got = Bpe.trainOnDict(dict.toArray.sortBy(_._1), 5)
+    assert(got == refTrain(dict, 5), s"got $got vs ${refTrain(dict, 5)}")
+  }
+
+  test("train: tie-break is (count DESC, lhs ASC, rhs ASC); early stop when exhausted") {
+    // "ab" x2 and "cd" x2: both pairs count 2 -> (a,b) wins lexicographically
+    val t = Bpe.trainOnDict(Array("ab" -> 2L, "cd" -> 2L), 10)
+    assert(t.head == ("a", "b", 2L))
+    assert(t(1) == ("c", "d", 2L))
+    assert(t.length == 2) // nothing left to merge after both collapse
+  }
+
+  test("train on a DataFrame + trainModel round-trips into a valid encoder") {
+    import spark.implicits._
+    val docs = Seq.fill(8)("the table the").toDF("text")
+    val merges = Bpe.train(docs, "text", numMerges = 4)
+    assert(merges.nonEmpty)
+    val model = Bpe.trainModel(docs, "text", numMerges = 4)
+    // the learned model is rank-monotone (construction would throw) and
+    // encodes the training words into fewer symbols than characters
+    assert(model.encode("the table the").length < "the table the".count(_ != ' '))
+  }
+
+  test("train: minCount floors and maxWords caps the dictionary") {
+    import spark.implicits._
+    val docs = (Seq.fill(20)("aa bb") ++ Seq.fill(1)("zz")).toDF("text")
+    // minCount = 2 drops 'zz' -> (z,z) never learnable
+    val m = Bpe.train(docs, "text", numMerges = 3, minCount = 2)
+    assert(!m.exists(x => x._1 == "z"))
+    // maxWords = 1 keeps only the most frequent word
+    val m1 = Bpe.train(docs, "text", numMerges = 1, maxWords = 1)
+    assert(m1.head._1 == "a" || m1.head._1 == "b")
+  }
+
   test("Bpe.count equals encode length") {
     import spark.implicits._
     val df = Seq("the fast scan", "a").toDF("text")

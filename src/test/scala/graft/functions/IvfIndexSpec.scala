@@ -33,6 +33,35 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     ivf shouldBe brute
   }
 
+  test("appendToIndex: two-installment index is row-identical to built-at-once") {
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(spark, embs, k = 4, iters = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_upsert").toString
+    val oneShot = s"$tmp/oneshot"
+    val upserted = s"$tmp/upserted"
+    IvfIndex.writeIndex(embs, model, oneShot)
+    IvfIndex.writeIndex(embs.filter(col("vec_id") % 3 =!= 0), model, upserted)
+    IvfIndex.appendToIndex(embs.filter(col("vec_id") % 3 === 0), model, upserted)
+    def rows(p: String) = IvfIndex.readIndex(spark, p)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    rows(upserted) shouldBe rows(oneShot)
+    // append only touched the batch's cell directories: the probe result
+    // over the upserted index matches brute force like any full index
+    val query = embs.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probed = IvfIndex.topKIndexed(spark, upserted, model, query, k = 5,
+      nprobe = model.numCells, excludeSelf = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.bruteForceTopK(embs, query, k = 5, excludeSelf = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    probed shouldBe brute
+    def rm(f: java.io.File): Unit = {
+      val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(tmp))
+  }
+
   test("knnJoin with all cells probed equals per-vector brute force") {
     val embs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 30)
     val model = IvfIndex.train(spark, embs, k = 3, iters = 1)

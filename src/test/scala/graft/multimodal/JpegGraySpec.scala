@@ -90,6 +90,40 @@ class JpegGraySpec extends AnyFunSuite {
       s"our IDCT and ImageIO's diverge by $worst levels (allowed 1)")
   }
 
+  test("restart intervals (DRI + RSTn + DC reset) round-trip and match the plain stream") {
+    val w = 25; val h = 19 // 4x3 = 12 MCUs -> 3 restarts at interval 3
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      math.min(255, math.max(0, 40 + x * 6 + y * 4 + (x * 13 + y * 7) % 17))
+    }
+    val q = Array.tabulate(64)(i => 1 + (i % 5))
+    val plain = JpegCodec.encodeGray(px, w, h, q)
+    val rst = JpegCodec.encodeGray(px, w, h, q, restartInterval = 3)
+    assert(rst.length > plain.length, "restart stream should carry RST markers")
+    val dPlain = JpegCodec.decodeGray(plain).get
+    val dRst = JpegCodec.decodeGray(rst).get
+    assert(dPlain.px.sameElements(dRst.px),
+      "restart framing must not change decoded pixels")
+    val (iw, ih, ioPx) = imageIoGray(rst)
+    assert((iw, ih) == (w, h))
+    val worst = ioPx.indices.map(i => math.abs(ioPx(i) - dRst.px(i))).max
+    assert(worst <= 1, s"ImageIO disagrees by $worst on the restart stream")
+    // tamper: break the first RST marker's index -> decoder must refuse
+    var i = 0
+    var tampered: Array[Byte] = null
+    while (i + 1 < rst.length && tampered == null) {
+      val m = rst(i + 1) & 0xff
+      if ((rst(i) & 0xff) == 0xFF && m >= 0xD0 && m <= 0xD7) {
+        tampered = rst.clone()
+        tampered(i + 1) = (if (m == 0xD7) 0xD0 else m + 1).toByte
+      }
+      i += 1
+    }
+    assert(tampered != null)
+    assert(JpegCodec.decodeGray(tampered).isEmpty,
+      "out-of-sequence RST must be refused, not garbled")
+  }
+
   test("decode refuses progressive, truncated, and non-JPEG payloads") {
     val ok = JpegGray.build(UTF8String.fromString("abcd"), 2)
     assert(JpegCodec.decodeGray(ok).isDefined)
