@@ -102,6 +102,51 @@ object StreamBench {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
 
+  /** The built-in unbounded `rate` source shaped into the events schema —
+    * the no-broker stand-in for a Kafka feed: rows arrive at a requested
+    * rows/sec and a lagging pipeline sees GROWING micro-batches (the rate
+    * source delivers its backlog), so sustained processed-vs-input rate is
+    * a real keep-up measurement even without a transport to push back on.
+    */
+  def rateEvents(spark: SparkSession, rowsPerSec: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSec.toString).load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % 1000).as("user_id"),
+        element_at(typedLit(Seq("view", "click", "cart", "purchase")),
+          (col("value") % 4 + 1).cast("int")).as("event_type"),
+        round(pmod(col("value") * 7919, lit(10000)) / 100.0, 2).as("value"),
+        lit("{}").as("props"))
+
+  /** Run an unbounded query for a fixed wall duration, then reduce its
+    * progress to (rows, batches, input rows/sec, processed rows/sec,
+    * state rows). processAllAvailable never returns on a rate source —
+    * this is [[drainAndMeasure]]'s sibling for the keep-up mode.
+    */
+  def runForAndMeasure(name: String, q: StreamingQuery,
+                       seconds: Int): RateMetrics = {
+    try Thread.sleep(seconds * 1000L)
+    finally q.stop()
+    val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    val rows = progress.map(_.numInputRows).sum
+    val inRate = progress.map(_.inputRowsPerSecond).filterNot(_.isNaN)
+    val procRate = progress.map(_.processedRowsPerSecond).filterNot(_.isNaN)
+    val stateMax =
+      if (progress.isEmpty) 0L
+      else progress.map(p => p.stateOperators.map(_.numRowsTotal).sum).max
+    RateMetrics(name, progress.size, rows,
+      if (inRate.isEmpty) -1.0 else inRate.sum / inRate.size,
+      if (procRate.isEmpty) -1.0 else procRate.sum / procRate.size,
+      stateMax)
+  }
+
+  final case class RateMetrics(name: String, batches: Int, rows: Long,
+                               inputRowsPerSec: Double,
+                               processedRowsPerSec: Double,
+                               stateRowsMax: Long)
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -250,14 +295,64 @@ object StreamBench {
       m
     }
 
+    // keep-up mode: SPARK_GRAFT_STREAM_RATE=<rows/sec> drives the rate
+    // source (the no-broker Kafka stand-in) through the watermarked
+    // windowed aggregate and the fMGWS sessionizer for
+    // SPARK_GRAFT_RATE_SECS seconds each; processed-vs-input rate is the
+    // keep-up verdict (a lagging query shows processed < input as the
+    // backlog grows its batches)
+    val rateRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "0").toLong
+    val rateResults: Seq[RateMetrics] = if (rateRows <= 0) Seq.empty else {
+      val rateSecs = sys.env.getOrElse("SPARK_GRAFT_RATE_SECS", "20").toInt
+      val rateRuns: Seq[(String, () => StreamingQuery)] = Seq(
+        "rate_windowed_counts" -> (() => noopStart("rate_windowed",
+          graft.streaming.EventStreams.windowedCounts(
+            rateEvents(spark, rateRows)), "append")),
+        "rate_sessionize" -> (() => {
+          import graft.streaming.EventStreams
+          EventStreams.sessionizeStreaming(
+              rateEvents(spark, rateRows)
+                .withWatermark("ts", "30 seconds").as[EventStreams.Event],
+              gapSecs = 30)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt("rate_sessionize"))
+            .format("noop").start()
+        }))
+      rateRuns.map { case (name, start) =>
+        System.err.println(s"[stream] running $name at $rateRows rows/s for ${rateSecs}s")
+        val m = try runForAndMeasure(name, start(), rateSecs)
+        catch { case e: Throwable =>
+          System.err.println(s"[stream] $name failed: ${e.getMessage}")
+          RateMetrics(name, 0, 0L, -1.0, -1.0, -1L)
+        }
+        System.err.println(f"[stream] $name: ${m.rows} rows/${m.batches} batches, " +
+          f"in ${m.inputRowsPerSec}%.0f r/s vs processed ${m.processedRowsPerSec}%.0f r/s, " +
+          s"state<=${m.stateRowsMax}")
+        m
+      }
+    }
+
     val qjson = results.map { m =>
       f""""${m.name}":{"batches":${m.batches},"rows":${m.rows},"total_sec":${m.totalSec}%.2f,"rows_per_sec":${m.rowsPerSec}%.0f,"max_batch_sec":${m.maxBatchSec}%.3f,"state_rows_max":${m.stateRowsMax}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"stream_bench","chunks":$nChunks,"sf":"$sfDir","queries":$qjson}""")
+    val rjson = if (rateResults.isEmpty) "" else {
+      val entries = rateResults.map { m =>
+        f""""${m.name}":{"batches":${m.batches},"rows":${m.rows},"input_rps":${m.inputRowsPerSec}%.0f,"processed_rps":${m.processedRowsPerSec}%.0f,"state_rows_max":${m.stateRowsMax}}"""
+      }.mkString("{", ",", "}")
+      s""","rate_rows_per_sec":$rateRows,"rate_queries":$entries"""
+    }
+    println(s"""{"metric":"stream_bench","chunks":$nChunks,"sf":"$sfDir","queries":$qjson$rjson}""")
     println(s"\n| stream | batches | rows | rows/sec | max batch s | max state rows |")
     println("|---|---|---|---|---|---|")
     results.foreach { m =>
       println(f"| ${m.name} | ${m.batches} | ${m.rows} | ${m.rowsPerSec}%.0f | ${m.maxBatchSec}%.2f | ${m.stateRowsMax} |")
+    }
+    if (rateResults.nonEmpty) {
+      println(s"\n| rate stream ($rateRows req rows/s) | batches | rows | input r/s | processed r/s | max state rows |")
+      println("|---|---|---|---|---|---|")
+      rateResults.foreach { m =>
+        println(f"| ${m.name} | ${m.batches} | ${m.rows} | ${m.inputRowsPerSec}%.0f | ${m.processedRowsPerSec}%.0f | ${m.stateRowsMax} |")
+      }
     }
     spark.stop()
   }
