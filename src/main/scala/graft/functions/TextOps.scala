@@ -232,6 +232,52 @@ object TextOps {
           .as("bigram_surprisal"))
   }
 
+  /** CCNet-style perplexity quality filter: a bigram LM with add-one
+    * smoothing is TRAINED on one hash-deterministic half of the corpus
+    * (doc_id % trainModulus == 0) and SCORES the other half — the
+    * train/apply split real pipelines use so a document never
+    * contributes to the statistics that judge it (the self-trained
+    * sibling is [[bigramSurprisal]]). Unseen test bigrams/unigrams fall
+    * back to the smoothing mass via LEFT joins — that coverage gap is
+    * the point of the split, not an error path. Per scored doc:
+    * perplexity = exp(mean −ln P(w_i | w_{i−1})) over its bigrams, and a
+    * keep flag at `threshold` — the filter stage. Plan shape matches
+    * bigramSurprisal: vocabulary-bounded shuffle joins, only the scalar
+    * V broadcasts, one doc-keyed aggregate; docs with < 2 tokens have no
+    * bigrams and drop out (no perplexity is defined for them).
+    */
+  def perplexityFilter(df: DataFrame, threshold: Double,
+                       textCol: String = "text",
+                       trainModulus: Long = 2): DataFrame = {
+    require(trainModulus >= 2, s"trainModulus must be >= 2 (got $trainModulus)")
+    val base = Spread.forExplode(df, col("doc_id"))
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val train = base.filter(col("doc_id") % trainModulus === 0)
+    val uni = train.select(explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    def bigrams(b: DataFrame) = b.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS prev, toks[i + 1] AS cur))")).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .filter(col("prev") =!= "" && col("cur") =!= "")
+    val bfreq = bigrams(train).groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cb"))
+    bigrams(base.filter(col("doc_id") % trainModulus =!= 0))
+      .hint("shuffle_hash")
+      .join(bfreq.hint("shuffle_hash"), Seq("prev", "cur"), "left")
+      .join(uni.hint("shuffle_hash").withColumnRenamed("tok", "prev"),
+        Seq("prev"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(exp(avg(-log((coalesce(col("cb"), lit(0L)) + 1.0) /
+          (coalesce(col("cu"), lit(0L)) + col("v"))))), 4).as("perplexity"))
+      .withColumn("keep", col("perplexity") <= threshold)
+  }
+
   /** BM25 top-k document retrieval for a literal query — the
     * inverted-index-shaped search pass (Robertson/Okapi BM25 with the
     * Lucene-style smoothed idf = ln(1 + (N − df + 0.5)/(df + 0.5)), k1/b

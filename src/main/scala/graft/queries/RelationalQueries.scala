@@ -1248,8 +1248,17 @@ object RelationalQueries {
       // actual pixels from the compressed stream. (The general
       // AC-coefficient path is pinned against javax.imageio in
       // JpegGraySpec — two independent decoders within ±1.)
+      // repartition BEFORE the codec: the decode is CPU-bound and the sf
+      // fixture is one single-row-group parquet file (= one scan task);
+      // without this the whole encode+decode ran on one thread (measured
+      // 9 s at sf0.1 vs 3.5 s for 10x the data arriving in 32 files).
+      // The shuffle moves ~100 bytes/doc of (id, text) — noise next to
+      // the DCT work it parallelizes. At real corpus scale many input
+      // splits make this a no-op cost-wise, and the layout independence
+      // is exactly what an operator should guarantee.
       val docs = Tables.documents(s, d)
         .filter(col("text").isNotNull && length(col("text")) >= 2)
+        .repartition(s.sparkContext.defaultParallelism)
       val media = docs.select(col("doc_id").cast("long").as("media_id"),
         graft.multimodal.Multimodal.synthesizeJpegPayload(col("text"),
           blocksPerRow = 2).as("payload"))
@@ -1550,6 +1559,16 @@ object RelationalQueries {
       // order-sensitive sibling of q_t10 (vocabulary-bounded shuffle-joins,
       // only the scalar V broadcasts)
       graft.functions.TextOps.bigramSurprisal(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    "q_t27_perplexity_filter" -> ((s, d) =>
+      // CCNet-style quality filter: bigram LM trained on the doc_id%2==0
+      // half, perplexity + keep flag on the other half — a doc never
+      // feeds the statistics that judge it (vs q_t20's self-trained
+      // surprisal). Unseen-event fallback through the smoothing mass is
+      // exercised for real: the halves have disjoint doc sets
+      graft.functions.TextOps.perplexityFilter(Tables.documents(s, d),
+          threshold = 32.0)
         .orderBy(col("doc_id"))),
 
     "q_t21_gopher_quality" -> ((s, d) =>
@@ -2184,6 +2203,38 @@ object RelationalQueries {
         .select(col("embedding")).head().getSeq[Float](0)
       graft.functions.IvfIndex.topK(embs, model, query, k = 10,
         nprobe = model.numCells, excludeSelf = Some(0L))
+    }),
+
+    "q_io11_json_extract" -> ((s, d) => {
+      // schema-on-read over embedded JSON — the interchange shape of most
+      // crawled/event corpora (a string column holding a JSON object):
+      // orders rendered to genuine JSON text (to_json), then read back
+      // BOTH ways Spark offers — typed from_json against an explicit
+      // schema (the scan-time path: one parse, all fields, codegen'd
+      // JacksonParser) and path-based get_json_object (the ad-hoc
+      // path: per-call parse, fine for one-off fields). The oracle
+      // selects the source values directly, so a hash match proves the
+      // render→parse round trip value-transparent for ints, strings, and
+      // doubles (JSON shortest-repr doubles reparse to the same bits;
+      // rounded to 2dp anyway as the decisive cross-engine form).
+      val o = Tables.orders(s, d)
+      val js = o.select(col("o_orderkey"),
+        to_json(struct(col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))).as("payload"))
+      js.select(col("o_orderkey"),
+          from_json(col("payload"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("o_custkey",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("o_orderstatus",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("o_totalprice",
+                org.apache.spark.sql.types.DoubleType)))).as("j"),
+          get_json_object(col("payload"), "$.o_orderstatus").as("status_path"))
+        .filter(col("status_path") === "O")
+        .select(col("o_orderkey"), col("j.o_custkey").as("custkey"),
+          round(col("j.o_totalprice"), 2).as("totalprice"), col("status_path"))
+        .orderBy(col("o_orderkey"))
     }),
 
     "q_v15_ivf_upsert" -> ((s, d) => {
@@ -3029,6 +3080,14 @@ object RelationalQueries {
                 round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
          FROM embeddings WHERE vec_id <> 0
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "q_io11_json_extract" ->
+      // source values selected directly: the Spark side's JSON
+      // render→parse round trip must be value-transparent to match
+      """SELECT o_orderkey, o_custkey AS custkey,
+                round(o_totalprice, 2) AS totalprice,
+                o_orderstatus AS status_path
+         FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey""",
 
     "q_v15_ivf_upsert" ->
       // the upserted index probed exhaustively must equal brute force over
@@ -3944,6 +4003,37 @@ object RelationalQueries {
          FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
          LEFT JOIN k ON k.doc_id = d.doc_id
          GROUP BY 1 ORDER BY 1""",
+
+    "q_t27_perplexity_filter" ->
+      // the same split, smoothing, and perplexity re-derived: train
+      // tables from the even half only, LEFT joins for unseen events,
+      // exp of the mean negative log-likelihood, keep at the threshold
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         uni AS (
+           SELECT tok, count(*)::BIGINT AS cu FROM (
+             SELECT unnest(toks) AS tok FROM base WHERE doc_id % 2 = 0)
+           WHERE tok <> '' GROUP BY 1),
+         v AS (SELECT count(*)::BIGINT AS v FROM uni),
+         tbg AS (
+           SELECT toks[i] AS prev, toks[i + 1] AS cur, count(*)::BIGINT AS cb
+           FROM base, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+           WHERE doc_id % 2 = 0 AND toks[i] <> '' AND toks[i + 1] <> ''
+           GROUP BY 1, 2),
+         sbg AS (
+           SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+           FROM base, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+           WHERE doc_id % 2 <> 0 AND toks[i] <> '' AND toks[i + 1] <> ''),
+         scored AS (
+           SELECT s.doc_id, count(*)::BIGINT AS n_bigrams,
+                  round(exp(avg(-ln((coalesce(t.cb, 0) + 1.0) /
+                    (coalesce(u.cu, 0) + (SELECT v FROM v))))), 4) AS perplexity
+           FROM sbg s
+           LEFT JOIN tbg t ON t.prev = s.prev AND t.cur = s.cur
+           LEFT JOIN uni u ON u.tok = s.prev
+           GROUP BY 1)
+         SELECT doc_id, n_bigrams, perplexity, perplexity <= 32.0 AS keep
+         FROM scored ORDER BY doc_id""",
 
     "q_t25_bpe_encode" ->
       // the FULL merge walk re-derived in SQL: per distinct word, a
