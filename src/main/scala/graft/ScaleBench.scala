@@ -54,8 +54,8 @@ object ScaleBench {
     "q_t15_bm25", "q_t16_normalize", "q_t17_pmi_bigrams", "q_t18_entropy",
     "q_t19_suffix_run_dedup", "q_t20_bigram_surprisal", "q_t24_word_dropout",
     "q_t21_gopher_quality", "q_t22_source_stats", "q_t23_zipf_profile",
-    "q_t25_bpe_encode", "q_t26_bpe_train", "q_sp9_bpe_token_budget",
-    "q_m7_jpeg_pixel_stats",
+    "q_t25_bpe_encode", "q_t26_bpe_train", "q_t27_perplexity_filter",
+    "q_sp9_bpe_token_budget", "q_m7_jpeg_pixel_stats",
     "q_a11_heavy_hitters", "q_a14_cms_heavy_hitters",
     "q_d1_exact_dup", "q_d2_minhash", "q_d3_simhash", "q_d4_lsh_candidates",
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",

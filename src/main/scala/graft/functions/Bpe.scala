@@ -279,6 +279,42 @@ object Bpe {
     BpeModel(merges.map(m => (m._1, m._2)), base)
   }
 
+  /** Model persistence — the artifact boundary between the (offline)
+    * trainer and the (scan-time) encoder: merges as a rank-ordered
+    * parquet table, base symbols as an id-ordered one, unkId in a
+    * one-row meta table. Parquet rather than a bespoke format so the
+    * vocab is queryable by ANY engine (auditing a tokenizer's merge
+    * table is a real corpus-debugging task) and versioned/moved by the
+    * same tooling as the data.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: BpeModel,
+                path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "lhs", "rhs").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    model.baseSymbols.zipWithIndex.map { case (sym, i) => (i, sym) }
+      .toDF("id", "symbol").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/base")
+    Seq(model.unkId).toDF("unk_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Inverse of [[saveModel]]; BpeModel's constructor re-validates rank
+    * monotonicity, so a corrupted/reordered merges table fails loudly.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): BpeModel = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .orderBy(col("rank")).select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val base = spark.read.parquet(s"$path/base")
+      .orderBy(col("id")).select(col("symbol"))
+      .collect().map(_.getString(0)).toSeq
+    val unk = spark.read.parquet(s"$path/meta").head().getInt(0)
+    BpeModel(merges, base, unk)
+  }
+
   /** The q_t26 oracle: the EXACT training loop unrolled as `numMerges`
     * MATERIALIZED-CTE steps in DuckDB SQL — per step a weighted pair
     * count, the (count DESC, lhs, rhs) argmax, and a recursive

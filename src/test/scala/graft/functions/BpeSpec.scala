@@ -164,6 +164,31 @@ class BpeSpec extends AnyFunSuite {
     assert(m1.head._1 == "a" || m1.head._1 == "b")
   }
 
+  test("saveModel/loadModel round-trips; corrupted order fails validation") {
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    Bpe.saveModel(spark, m, tmp)
+    val back = Bpe.loadModel(spark, tmp)
+    assert(back.merges == m.merges)
+    assert(back.baseSymbols == m.baseSymbols)
+    assert(back.unkId == m.unkId)
+    Seq("the fast scan", "table order value", "zzz").foreach { t =>
+      assert(back.encode(t).toSeq == m.encode(t).toSeq)
+    }
+    // a reordered merges table breaks rank monotonicity -> load must throw
+    import spark.implicits._
+    spark.read.parquet(s"$tmp/merges")
+      .withColumn("rank", org.apache.spark.sql.functions.col("rank") * -1)
+      .write.mode("overwrite").parquet(s"$tmp/merges2")
+    val bad = new java.io.File(s"$tmp/merges")
+    def rm(f: java.io.File): Unit = {
+      val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+    }
+    rm(bad)
+    new java.io.File(s"$tmp/merges2").renameTo(bad)
+    intercept[IllegalArgumentException] { Bpe.loadModel(spark, tmp) }
+    rm(new java.io.File(tmp))
+  }
+
   test("Bpe.count equals encode length") {
     import spark.implicits._
     val df = Seq("the fast scan", "a").toDF("text")
