@@ -439,7 +439,10 @@ object JpegCodec {
         i = segEnd
       }
     }
-    if (w == 0 || qId < 0 || qtables(qId) == null ||
+    // selector ids parse from 4-bit fields that can reach 15 in a corrupt
+    // stream while the table slots are 0..3 — bound-check BEFORE indexing
+    if (w == 0 || qId < 0 || qId > 3 || dcSel > 3 || acSel > 3 ||
+        qtables(qId) == null ||
         dcTables(dcSel) == null || acTables(acSel) == null) return None
     // sanity-cap the output like the PNG path: untrusted dims must not
     // drive a multi-GB allocation before the entropy data proves itself
