@@ -355,4 +355,34 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     iplan should not include "CartesianProduct"
     iplan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("BPE encode is scan+project (one output-order exchange); q_m7 pins its codec repartition") {
+    // q_t25: the whole encode rides whole-stage codegen off the scan —
+    // the ONLY exchange is the gate's deterministic output orderBy
+    val t25 = SparkEntry.queries("q_t25_bpe_encode")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    t25.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")) should be <= 1
+    t25 should not include "CartesianProduct"
+    // q_m7: decode parallelism must not depend on the input file layout —
+    // the deliberate round-robin repartition sits between scan and codec
+    // (the sf fixture is one single-row-group file = one scan task; the
+    // 9s->0.55s fix this pins)
+    val m7 = SparkEntry.queries("q_m7_jpeg_pixel_stats")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    m7 should include("RoundRobinPartitioning")
+  }
+
+  test("perplexity filter: only the scalar V broadcasts; LM tables join equi-keyed") {
+    val plan = SparkEntry.queries("q_t27_perplexity_filter")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the one-row vocabulary-size aggregate is the single broadcast (its
+    // crossJoin plans as the intended one-row-build BNLJ scalar join);
+    // the unigram/bigram count tables (vocabulary-sized, unbounded in
+    // principle) must shuffle-join, never broadcast
+    plan.linesIterator.count(_.contains("BroadcastExchange")) should be <= 1
+    plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) should be <= 1
+    plan should not include "CartesianProduct"
+    plan should include("ShuffledHashJoin") // the LM tables' join strategy
+  }
 }
