@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Band join: inner join on optional equality keys PLUS a numeric proximity
+  * predicate |left.value − right.value| ≤ delta — the "find everything within
+  * a tolerance" shape (price bands, sensor-reading alignment, coordinate
+  * snapping) that a naive plan executes as a cross join with a post-filter.
+  *
+  * The scale form quantizes both sides into width-`delta` buckets
+  * (`floor(value / delta)`). A pair within `delta` of each other lands in
+  * the same or adjacent buckets, so the LEFT side replicates each row into
+  * its own bucket and both neighbors (`b−1, b, b+1`) while the RIGHT side
+  * keeps its exact bucket; an equi-join on (equality keys, bucket) then
+  * yields every candidate pair EXACTLY ONCE (the left replica in the right
+  * row's bucket is unique per pair — no dedup pass needed), and the exact
+  * `abs(l − r) ≤ delta` filter drops the bucket-adjacent false positives.
+  *
+  * Cost vs the cross join: shuffle keyed on (keys, bucket) — fine-grained,
+  * partition-count-scalable — and candidate volume bounded by 3× the bucket
+  * co-occupancy instead of |L|×|R| per key group. At 100 TB both sides
+  * stream through one hash-partitioned exchange; no broadcast, no windows,
+  * no per-key quadratic blowup unless the DATA is quadratic inside a single
+  * delta-width bucket (in which case the output itself is that large).
+  *
+  * The DuckDB oracle for the gate (q_j11) is the declarative inequality
+  * join itself, so the banded rewrite is proven equivalent on real data.
+  */
+object BandJoin {
+
+  /** Inner band join. `left`/`right` must share the `keys` columns; their
+    * value columns are given per side. Output: all columns of `left`, then
+    * all non-key columns of `right` (caller-renamed to avoid collisions).
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftVal: String, rightVal: String, delta: Double): DataFrame = {
+    require(delta > 0, s"delta must be > 0 (got $delta)")
+    val b = "__graft_band"
+    val lb = floor(col(leftVal) / delta).cast("long")
+    val l = left.withColumn(b, explode(array(lb - 1L, lb, lb + 1L)))
+    val r = right.withColumn(b, floor(col(rightVal) / delta).cast("long"))
+    l.join(r, keys :+ b)
+      .filter(abs(col(leftVal) - col(rightVal)) <= delta)
+      .drop(b)
+  }
+
+  /** Self band join producing unordered pairs once (idL < idR): the
+    * near-duplicate-by-numeric-attribute shape. `id` breaks ties and
+    * de-mirrors; value/extra columns come back suffixed `_a` / `_b`.
+    */
+  def bandSelfPairs(df: DataFrame, keys: Seq[String], id: String,
+                    value: String, delta: Double): DataFrame = {
+    val a = df.select((keys.map(col) :+ col(id).as(id + "_a") :+
+      col(value).as(value + "_a")): _*)
+    val bSide = df.select((keys.map(col) :+ col(id).as(id + "_b") :+
+      col(value).as(value + "_b")): _*)
+    bandJoin(a, bSide, keys, value + "_a", value + "_b", delta)
+      .filter(col(id + "_a") < col(id + "_b"))
+  }
+
+  /** Escape hatch for callers that already have a Column predicate shape:
+    * validates the band form and delegates. Kept minimal on purpose — the
+    * named-column API above is the planner-friendly surface.
+    */
+  def bandPredicate(l: Column, r: Column, delta: Double): Column =
+    abs(l - r) <= delta
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks over arbitrary frames — the
+  * "validate the batch before it enters the training mix" stage of a
+  * large-scale pipeline (the Deequ-style surface, re-expressed as plain
+  * Catalyst aggregates so the whole suite rides one scan).
+  *
+  * Design for 100 TB:
+  *  - Every per-table constraint (completeness, range, set membership,
+  *    uniqueness) folds into a SINGLE aggregation over one scan — adding a
+  *    constraint adds an aggregate expression, not a pass. The conditional
+  *    counts are map-side-combinable; only `uniqueness` adds a
+  *    count(distinct) Expand, which Spark plans inside the same job.
+  *  - Referential integrity is one left-anti join keyed on the FK — a
+  *    hash-partitioned exchange, broadcast when the PK side is small.
+  *  - The report itself is O(#constraints) rows: nothing wide ever reaches
+  *    the driver.
+  */
+object DataQuality {
+
+  /** One named constraint: an aggregate producing the metric in [0,1] or a
+    * raw statistic, plus the pass predicate applied to that metric.
+    */
+  final case class Constraint(name: String, metric: Column, pass: Column => Column)
+
+  /** Fraction of rows where `c` is non-null. */
+  def completeness(name: String, c: Column, atLeast: Double = 1.0): Constraint =
+    Constraint(name, count(c).cast("double") / count(lit(1)), _ >= atLeast)
+
+  /** Fraction of non-null rows satisfying `pred`. */
+  def compliance(name: String, pred: Column, atLeast: Double = 1.0): Constraint =
+    Constraint(name,
+      coalesce(sum(when(pred, 1L).otherwise(0L)).cast("double") / count(lit(1)), lit(0.0d)),
+      _ >= atLeast)
+
+  /** distinct/count ratio of `c` — 1.0 iff the column is a key. */
+  def uniqueness(name: String, c: Column): Constraint =
+    Constraint(name, countDistinct(c).cast("double") / count(c), _ >= 1.0)
+
+  /** Run a suite against one frame: one scan, one aggregation, a
+    * #constraints-row report (constraint, metric, passed).
+    */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "empty constraint suite")
+    // synthetic aliases: display names may contain dots, which col() would
+    // otherwise parse as struct-field access
+    val aggs = constraints.zipWithIndex.map { case (c, i) =>
+      round(c.metric, 6).as(s"__m$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val reports = constraints.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("constraint"), col(s"__m$i").as("metric"),
+        c.pass(col(s"__m$i")).as("passed"))
+    }
+    row.select(explode(array(reports: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Referential-integrity report row: fraction of child rows whose FK has
+    * no match in the parent's PK (0.0 = intact). One left-anti join; the
+    * parent side is distinct-projected to the key first so the join builds
+    * on keys, not rows.
+    */
+  def referentialIntegrity(name: String, child: DataFrame, fk: String,
+                           parent: DataFrame, pk: String): DataFrame = {
+    val total = child.count()
+    val orphans =
+      child.select(col(fk)).join(parent.select(col(pk).as(fk)).distinct(),
+        Seq(fk), "left_anti").count()
+    val metric = if (total == 0L) 0.0d else orphans.toDouble / total.toDouble
+    val spark = child.sparkSession
+    import spark.implicits._
+    Seq((name, BigDecimal(metric).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      orphans == 0L)).toDF("constraint", "metric", "passed")
+  }
+
+  /** k-anonymity audit: every quasi-identifier combination occurring fewer
+    * than `k` times is a re-identification risk. Returns the violating
+    * groups (QI values + group size) — one hash aggregation on the QI
+    * tuple, output bounded by the number of rare groups.
+    */
+  def kAnonymityViolations(df: DataFrame, qi: Seq[Column], k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
+  /** Scalar k-anonymity summary: (groups_total, groups_violating,
+    * rows_at_risk, k_effective = smallest group size).
+    */
+  def kAnonymitySummary(df: DataFrame, qi: Seq[Column], k: Int): DataFrame =
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("groups_total"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("groups_violating"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("n")).as("k_effective"))
+}

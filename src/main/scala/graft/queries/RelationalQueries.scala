@@ -2281,7 +2281,61 @@ object RelationalQueries {
         .select(col("embedding")).head().getSeq[Float](0)
       graft.functions.IvfIndex.topKIndexed(s, path, model, query, k = 10,
         nprobe = model.numCells, excludeSelf = Some(0L))
-    })
+    }),
+
+    // ---- DQ: data-quality / validation stage --------------------------------
+
+    "q_j11_band_join" -> ((s, d) =>
+      // numeric proximity self-join via width-δ bucket banding (explode to
+      // {b−1,b,b+1} one side, exact bucket the other, exact |Δ|≤δ verify) —
+      // the oracle is the declarative inequality join, proving the banded
+      // rewrite exact. Candidate volume is bucket-co-occupancy-bounded, not
+      // |L|×|R|; shuffle keys are (brand, bucket) — fine-grained at 100 TB.
+      graft.operators.BandJoin.bandSelfPairs(
+          Tables.part(s, d).select(col("p_brand"), col("p_partkey"),
+            col("p_retailprice")),
+          keys = Seq("p_brand"), id = "p_partkey", value = "p_retailprice",
+          delta = 0.5d)
+        .select(col("p_brand"), col("p_partkey_a").as("key_a"),
+          col("p_partkey_b").as("key_b"),
+          round(abs(col("p_retailprice_a") - col("p_retailprice_b")), 2)
+            .as("price_diff"))
+        .orderBy(col("key_a"), col("key_b"))),
+
+    "q_q1_constraint_report" -> ((s, d) => {
+      // Deequ-style validation suite: every per-table constraint folds into
+      // ONE aggregation over one orders scan (adding a constraint adds an
+      // aggregate expression, not a pass); referential integrity is one
+      // left-anti join on the FK. Report = O(#constraints) rows.
+      import graft.operators.DataQuality._
+      val orders = Tables.orders(s, d)
+      val suite = check(orders, Seq(
+        completeness("orders.custkey_complete", col("o_custkey")),
+        uniqueness("orders.orderkey_unique", col("o_orderkey")),
+        compliance("orders.totalprice_range",
+          col("o_totalprice") >= 0d && col("o_totalprice") <= 600000d),
+        compliance("orders.status_in_set",
+          col("o_orderstatus").isin("O", "F", "P")),
+        // deliberately strict bound — exercises the failing branch
+        compliance("orders.totalprice_le_100k", col("o_totalprice") <= 100000d)))
+      val ri = referentialIntegrity("lineitem.orderkey_in_orders",
+        Tables.lineitem(s, d), "l_orderkey", orders, "o_orderkey")
+      suite.select(col("constraint").as("check_name"), col("metric"), col("passed"))
+        .unionAll(ri.select(col("constraint").as("check_name"), col("metric"),
+          col("passed")))
+        .orderBy(col("check_name"))
+    }),
+
+    "q_q2_k_anonymity" -> ((s, d) =>
+      // privacy audit: quasi-identifier combinations occurring < k times
+      // are re-identification risks. One hash aggregation on the QI tuple;
+      // output bounded by the count of rare groups, never the table.
+      graft.operators.DataQuality.kAnonymityViolations(
+          Tables.customer(s, d),
+          qi = Seq(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000d).cast("long").as("bal_bucket")),
+          k = 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket")))
   )
 
   /** DuckDB-runnable oracle SQL, one per query where SQL-expressible.
@@ -4450,6 +4504,59 @@ object RelationalQueries {
              UNION
              SELECT e.b AS doc, r.root FROM r JOIN e ON e.a = r.doc)
          SELECT doc AS doc_id, min(root)::BIGINT AS cluster_id
-         FROM r GROUP BY 1 ORDER BY 1"""
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    // the oracle for the BANDED plan is the declarative inequality join
+    "q_j11_band_join" ->
+      """SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+                round(abs(a.p_retailprice - b.p_retailprice), 2) AS price_diff
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+          AND abs(a.p_retailprice - b.p_retailprice) <= 0.5
+         ORDER BY 2, 3""",
+
+    "q_q1_constraint_report" ->
+      """WITH o AS (
+           SELECT count(*) AS n, count(o_custkey) AS nc,
+                  count(DISTINCT o_orderkey) AS nd, count(o_orderkey) AS nk,
+                  sum(CASE WHEN o_totalprice BETWEEN 0 AND 600000 THEN 1 ELSE 0 END) AS pr,
+                  sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS st,
+                  sum(CASE WHEN o_totalprice <= 100000 THEN 1 ELSE 0 END) AS p1
+           FROM orders),
+         ri AS (
+           SELECT count(*) AS n,
+                  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orph
+           FROM lineitem l
+           LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey)
+         SELECT * FROM (
+           SELECT 'orders.custkey_complete' AS check_name,
+                  round(nc * 1.0 / n, 6) AS metric,
+                  round(nc * 1.0 / n, 6) >= 1.0 AS passed FROM o
+           UNION ALL
+           SELECT 'orders.orderkey_unique', round(nd * 1.0 / nk, 6),
+                  round(nd * 1.0 / nk, 6) >= 1.0 FROM o
+           UNION ALL
+           SELECT 'orders.totalprice_range', round(pr * 1.0 / n, 6),
+                  round(pr * 1.0 / n, 6) >= 1.0 FROM o
+           UNION ALL
+           SELECT 'orders.status_in_set', round(st * 1.0 / n, 6),
+                  round(st * 1.0 / n, 6) >= 1.0 FROM o
+           UNION ALL
+           SELECT 'orders.totalprice_le_100k', round(p1 * 1.0 / n, 6),
+                  round(p1 * 1.0 / n, 6) >= 1.0 FROM o
+           UNION ALL
+           SELECT 'lineitem.orderkey_in_orders', round(orph * 1.0 / n, 6),
+                  orph = 0 FROM ri)
+         ORDER BY check_name""",
+
+    "q_q2_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+                CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+                count(*) AS group_size
+         FROM customer
+         GROUP BY 1, 2, 3
+         HAVING count(*) < 5
+         ORDER BY 1, 2, 3"""
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class BandJoinSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("bandJoin equals the naive inequality join, each pair exactly once") {
+    val l = Seq(("a", 1L, 10.0), ("a", 2L, 10.4), ("a", 3L, 11.2),
+      ("b", 4L, 10.0), ("a", 5L, 9.4)).toDF("k", "lid", "lv")
+    val r = Seq(("a", 11L, 10.1), ("a", 12L, 11.0), ("b", 13L, 10.6),
+      ("b", 14L, 12.0)).toDF("k", "rid", "rv")
+
+    val banded = BandJoin.bandJoin(l, r, Seq("k"), "lv", "rv", delta = 0.5)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted
+
+    val naive = l.join(r, Seq("k"))
+      .filter(abs(col("lv") - col("rv")) <= 0.5)
+      .select("lid", "rid").as[(Long, Long)].collect().sorted
+
+    banded shouldBe naive
+    banded.distinct.length shouldBe banded.length // no duplicated pairs
+  }
+
+  test("delta boundary is inclusive and bucket-edge pairs are found") {
+    // 10.0 vs 10.5: |Δ| == δ exactly, and the rows sit in DIFFERENT buckets
+    // (floor(10.0/0.5)=20, floor(10.5/0.5)=21) — the neighbor replica must
+    // catch it
+    val l = Seq(("k", 1L, 10.0)).toDF("k", "lid", "lv")
+    val r = Seq(("k", 2L, 10.5)).toDF("k", "rid", "rv")
+    BandJoin.bandJoin(l, r, Seq("k"), "lv", "rv", 0.5).count() shouldBe 1L
+  }
+
+  test("negative values band correctly (floor, not truncate-toward-zero)") {
+    val l = Seq(("k", 1L, -0.3)).toDF("k", "lid", "lv")
+    val r = Seq(("k", 2L, 0.1), ("k", 3L, -0.9), ("k", 4L, 0.4))
+      .toDF("k", "rid", "rv")
+    val got = BandJoin.bandJoin(l, r, Seq("k"), "lv", "rv", 0.5)
+      .select("rid").as[Long].collect().sorted
+    got shouldBe Array(2L) // |−0.3−0.1|=0.4 ≤ 0.5; others exceed
+  }
+
+  test("bandSelfPairs emits unordered pairs once with id_a < id_b") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 5.2), ("g", 3L, 5.9))
+      .toDF("k", "id", "v")
+    val pairs = BandJoin.bandSelfPairs(df, Seq("k"), "id", "v", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted
+    pairs shouldBe Array((1L, 2L)) // 1-3 is 0.9 apart, 2-3 is 0.7 apart
+  }
+
+  test("plan is an equi-join on (keys, band) — no cartesian/BNLJ") {
+    val l = Seq(("a", 1L, 10.0)).toDF("k", "lid", "lv")
+    val r = Seq(("a", 11L, 10.1)).toDF("k", "rid", "rv")
+    val plan = BandJoin.bandJoin(l, r, Seq("k"), "lv", "rv", 0.5)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+}

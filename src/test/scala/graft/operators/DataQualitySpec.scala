@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class DataQualitySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Some("x"), 10.0),
+    (2L, Some("y"), 20.0),
+    (3L, None: Option[String], -5.0),
+    (3L, Some("z"), 30.0) // duplicate id
+  ).toDF("id", "name", "v")
+
+  test("check computes completeness / compliance / uniqueness in one report") {
+    import DataQuality._
+    val byName = check(df, Seq(
+      completeness("name_complete", col("name")),
+      compliance("v_nonneg", col("v") >= 0),
+      uniqueness("id_unique", col("id"))))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+
+    byName("name_complete") shouldBe ((0.75, false))
+    byName("v_nonneg") shouldBe ((0.75, false))
+    byName("id_unique") shouldBe ((0.75, false))
+    byName.size shouldBe 3
+  }
+
+  test("check passes when thresholds are met; plan is one aggregation") {
+    import DataQuality._
+    val rep = check(df, Seq(
+      completeness("name_75", col("name"), atLeast = 0.75),
+      compliance("v_above_min", col("v") >= -10)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    rep("name_75") shouldBe true
+    rep("v_above_min") shouldBe true
+  }
+
+  test("referentialIntegrity reports orphan fraction and pass/fail") {
+    val child = Seq((1L, "a"), (2L, "b"), (9L, "c"), (9L, "d"))
+      .toDF("fk", "payload")
+    val parent = Seq((1L, "p"), (2L, "q"), (3L, "r")).toDF("pk", "x")
+    val row = DataQuality.referentialIntegrity("ri", child, "fk", parent, "pk")
+      .head()
+    row.getString(0) shouldBe "ri"
+    row.getDouble(1) shouldBe 0.5 // 2 of 4 child rows orphaned
+    row.getBoolean(2) shouldBe false
+
+    val clean = DataQuality.referentialIntegrity("ri2",
+      child.filter(col("fk") =!= 9L), "fk", parent, "pk").head()
+    clean.getDouble(1) shouldBe 0.0
+    clean.getBoolean(2) shouldBe true
+  }
+
+  test("kAnonymityViolations returns only groups below k") {
+    val people = Seq(
+      (30, "F"), (30, "F"), (30, "F"),
+      (40, "M"), (40, "M"),
+      (50, "F")).toDF("age", "sex")
+    val v = DataQuality.kAnonymityViolations(people,
+        Seq(col("age"), col("sex")), k = 3)
+      .orderBy("age")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    v shouldBe Array((40, "M", 2L), (50, "F", 1L))
+  }
+
+  test("kAnonymitySummary aggregates the audit to one row") {
+    val people = Seq(
+      (30, "F"), (30, "F"), (30, "F"),
+      (40, "M"), (40, "M"),
+      (50, "F")).toDF("age", "sex")
+    val s = DataQuality.kAnonymitySummary(people,
+      Seq(col("age"), col("sex")), k = 3).head()
+    s.getLong(0) shouldBe 3L // groups_total
+    s.getLong(1) shouldBe 2L // groups_violating
+    s.getLong(2) shouldBe 3L // rows_at_risk (2 + 1)
+    s.getLong(3) shouldBe 1L // k_effective
+  }
+}
