@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus curation — the first stage of any
+  * crawl-derived training pipeline: the same page arrives under dozens of
+  * spellings (scheme/host case, default ports, `www.`, tracking params,
+  * fragments, trailing slashes), and URL-level dedup/domain statistics are
+  * meaningless until those collapse.
+  *
+  * Everything here is a pure Column expression built from native string/
+  * regex functions — codegen'd, pushdown-friendly, zero UDFs — so the
+  * normalizer runs inside the scan's projection at 100 TB: no shuffle, no
+  * per-row JVM boxing beyond Spark's own UTF8String handling.
+  *
+  * Canonicalization rules (the common subset of RFC 3986 §6 plus crawl
+  * practice; each is a separate Column so callers can compose their own
+  * policy):
+  *   1. scheme and host lowercased (RFC 3986: both case-insensitive)
+  *   2. leading `www.` stripped from the host
+  *   3. default port stripped (`:80` for http, `:443` for https)
+  *   4. fragment dropped (never sent to the server)
+  *   5. tracking parameters removed — `utm_*`, `fbclid`, `gclid` — with
+  *      the relative order of the surviving params preserved (no re-sort:
+  *      stable, and avoids a non-codegen higher-order lambda)
+  *   6. a single trailing slash on the path dropped
+  * Path case is preserved (paths are case-sensitive by spec).
+  */
+object UrlOps {
+
+  /** Lowercased scheme, "" when the value is not a scheme://... URL. */
+  def scheme(u: Column): Column =
+    lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  /** Lowercased host[:port] with `www.` and the scheme's default port
+    * stripped (non-default ports survive — `https://h:80` keeps `:80`).
+    */
+  def hostNorm(u: Column): Column = {
+    val auth = regexp_replace(
+      lower(regexp_extract(u, "^[^:/?#]+://([^/?#]*)", 1)), "^www\\.", "")
+    when(scheme(u) === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme(u) === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+  }
+
+  /** Last two dot-labels of a normalized host — the registrable-domain
+    * approximation (a full public-suffix list is a broadcast-table join;
+    * this is the deliberately dependency-free default).
+    */
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** Path+query with the fragment dropped, tracking params removed and a
+    * single trailing path slash stripped. Three regex passes cover the
+    * tracking param's positions (mid-list / leading with followers /
+    * lone); global replace handles consecutive params in one pass.
+    */
+  def pathQueryNorm(u: Column): Column = {
+    val trk = "(utm_[^=&]*|fbclid|gclid)"
+    val noFrag = regexp_extract(u, "^[^:/?#]+://[^/?#]*([^#]*)", 1)
+    val p1 = regexp_replace(noFrag, "&" + trk + "=[^&]*", "")
+    val p2 = regexp_replace(p1, "\\?" + trk + "=[^&]*&", "?")
+    val p3 = regexp_replace(p2, "\\?" + trk + "=[^&]*$", "")
+    regexp_replace(p3, "/(\\?|$)", "$1")
+  }
+
+  /** The full canonical form: scheme://host-normalized + cleaned
+    * path?query.
+    */
+  def normalizeUrl(u: Column): Column =
+    concat(scheme(u), lit("://"), hostNorm(u), pathQueryNorm(u))
+}

@@ -2335,8 +2335,68 @@ object RelationalQueries {
           qi = Seq(col("c_nationkey"), col("c_mktsegment"),
             floor(col("c_acctbal") / 1000d).cast("long").as("bal_bucket")),
           k = 5)
-        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket")))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))),
+
+    // ---- U: URL canonicalization (web-corpus curation) ----------------------
+
+    "q_u1_url_normalize" -> ((s, d) =>
+      // crawl-URL canonicalization: scheme/host case, www., default ports,
+      // fragments, tracking params, trailing slashes — all collapsed by a
+      // pure codegen'd Column expression (UrlOps) inside the scan's
+      // projection; no UDF, no shuffle. The messy URLs are PLANTED
+      // deterministically from (source, doc_id) — same recipe in the
+      // oracle — cycling through every normalization branch: lone/leading/
+      // trailing/consecutive tracking params, default vs non-default port
+      // on both schemes, fragment present/absent, trailing slash on/off.
+      Tables.documents(s, d).select(col("doc_id"),
+          plantedUrl.as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlOps.normalizeUrl(col("url")).as("url_norm"),
+          graft.functions.UrlOps.registrableDomain(
+            graft.functions.UrlOps.hostNorm(col("url"))).as("domain"))
+        .orderBy(col("doc_id"))),
+
+    "q_u2_domain_cap" -> ((s, d) => {
+      // per-domain document cap (crawl diversity control): normalize →
+      // registrable domain → keep the 30 hash-first docs per domain. The
+      // hash rank makes the kept subset a pure function of doc_id —
+      // engine-, run- and partitioning-independent.
+      val base = Tables.documents(s, d).select(col("doc_id"),
+          plantedUrl.as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlOps.registrableDomain(
+            graft.functions.UrlOps.hostNorm(col("url"))).as("domain"))
+        .withColumn("hkey",
+          md5(concat(lit("ucap:"), col("doc_id").cast("string"))))
+      graft.functions.Sampling.quotaPerKey(base, "domain", "hkey", quota = 30)
+        .select(col("doc_id"), col("domain"))
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** The deterministic messy-URL recipe shared by q_u1/q_u2 and their
+    * oracles: every normalization branch appears — HTTP/https case, `WWW.`
+    * prefix, mixed-case registrable domain, `:80` on both schemes (default
+    * for http → stripped; non-default for https → kept), trailing path
+    * slash, tracking params in lone / leading / mid / consecutive-trailing
+    * positions, fragments.
+    */
+  private def plantedUrl: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 2 === 0, "HTTP").otherwise("https"), lit("://WWW."),
+      col("source"), lit(".Example."),
+      when(id % 3 === 0, "com").when(id % 3 === 1, "org").otherwise("net"),
+      when(id % 3 === 0, ":80").otherwise(""),
+      lit("/A/"), (id % 10).cast("string"),
+      when(id % 2 === 1, "/").otherwise(""),
+      when(id % 5 === 0, "?utm_medium=email")
+        .when(id % 5 === 1, concat(lit("?utm_source=rss&id="), id.cast("string")))
+        .when(id % 5 === 2, concat(lit("?id="), id.cast("string"), lit("&utm_campaign=x&ref=home")))
+        .when(id % 5 === 3, concat(lit("?id="), id.cast("string"), lit("&utm_campaign=x&utm_term=y")))
+        .otherwise("?page=2"),
+      when(id % 3 === 1, "#sec2").otherwise(""))
+  }
 
   /** DuckDB-runnable oracle SQL, one per query where SQL-expressible.
     * Column names and ordering match the Spark side exactly.
@@ -4557,6 +4617,72 @@ object RelationalQueries {
          FROM customer
          GROUP BY 1, 2, 3
          HAVING count(*) < 5
-         ORDER BY 1, 2, 3"""
+         ORDER BY 1, 2, 3""",
+
+    "q_u1_url_normalize" ->
+      ("""WITH """ + plantedUrlSqlCte + """,
+         p AS (
+           SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+             regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)), '^www\.', '') AS auth,
+             regexp_extract(url, '^[^:/?#]+://[^/?#]*([^#]*)', 1) AS pq
+           FROM u),
+         h AS (
+           SELECT doc_id, sch,
+             CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$', '')
+                  WHEN sch = 'https' THEN regexp_replace(auth, ':443$', '')
+                  ELSE auth END AS host,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(pq, '&(utm_[^=&]*|fbclid|gclid)=[^&]*', '', 'g'),
+                   '\?(utm_[^=&]*|fbclid|gclid)=[^&]*&', '?'),
+                 '\?(utm_[^=&]*|fbclid|gclid)=[^&]*$', ''),
+               '/(\?|$)', '\1') AS pqn
+           FROM p)
+         SELECT doc_id, sch || '://' || host || pqn AS url_norm,
+                regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+         FROM h ORDER BY 1"""),
+
+    "q_u2_domain_cap" ->
+      ("""WITH """ + plantedUrlSqlCte + """,
+         h AS (
+           SELECT doc_id,
+             CASE WHEN lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+                  THEN regexp_replace(regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)), '^www\.', ''), ':80$', '')
+                  ELSE regexp_replace(regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)), '^www\.', ''), ':443$', '')
+                  END AS host
+           FROM u),
+         dd AS (
+           SELECT doc_id, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+                  md5('ucap:' || doc_id::VARCHAR) AS hkey
+           FROM h)
+         SELECT doc_id, domain FROM (
+           SELECT doc_id, domain,
+                  row_number() OVER (PARTITION BY domain ORDER BY hkey) AS rn
+           FROM dd)
+         WHERE rn <= 30
+         ORDER BY doc_id""")
   )
+
+  /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with
+    * the Column recipe above. (A def, not a val: the oracleSql val above
+    * evaluates at object construction, before later vals initialize.)
+    */
+  private def plantedUrlSqlCte: String =
+    """u AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://WWW.' ||
+             source || '.Example.' ||
+             (CASE WHEN doc_id % 3 = 0 THEN 'com' WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END) ||
+             (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END) ||
+             '/A/' || (doc_id % 10)::VARCHAR ||
+             (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN '?utm_medium=email'
+                   WHEN doc_id % 5 = 1 THEN '?utm_source=rss&id=' || doc_id::VARCHAR
+                   WHEN doc_id % 5 = 2 THEN '?id=' || doc_id::VARCHAR || '&utm_campaign=x&ref=home'
+                   WHEN doc_id % 5 = 3 THEN '?id=' || doc_id::VARCHAR || '&utm_campaign=x&utm_term=y'
+                   ELSE '?page=2' END) ||
+             (CASE WHEN doc_id % 3 = 1 THEN '#sec2' ELSE '' END) AS url
+           FROM documents)"""
 }

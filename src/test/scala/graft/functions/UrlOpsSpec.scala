@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class UrlOpsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlOps.normalizeUrl(col("u"))).as[String].collect().toSeq
+
+  test("scheme and host lowercase; www and default ports stripped per scheme") {
+    norm(
+      "HTTP://WWW.Example.COM:80/a",
+      "https://www.example.com:443/a",
+      "https://example.com:80/a",   // :80 NOT default for https → kept
+      "http://example.com:8080/a"   // non-default port → kept
+    ) shouldBe Seq(
+      "http://example.com/a",
+      "https://example.com/a",
+      "https://example.com:80/a",
+      "http://example.com:8080/a")
+  }
+
+  test("path case preserved; fragment dropped; trailing slash removed") {
+    norm(
+      "http://h.com/Path/To/X/",
+      "http://h.com/a#frag",
+      "http://h.com/a/?q=1#frag"
+    ) shouldBe Seq(
+      "http://h.com/Path/To/X",
+      "http://h.com/a",
+      "http://h.com/a?q=1")
+  }
+
+  test("tracking params removed in every position, others keep order") {
+    norm(
+      "http://h.com/a?utm_source=x",                    // lone → no query
+      "http://h.com/a?utm_source=x&b=2",                // leading
+      "http://h.com/a?b=2&utm_medium=y&c=3",            // mid
+      "http://h.com/a?b=2&utm_a=1&utm_b=2",             // consecutive trailing
+      "http://h.com/a?utm_a=1&utm_b=2",                 // all tracking
+      "http://h.com/a?fbclid=F&gclid=G&keep=1",         // fb/gclid
+      "http://h.com/a?c=3&b=2"                          // order preserved, no sort
+    ) shouldBe Seq(
+      "http://h.com/a",
+      "http://h.com/a?b=2",
+      "http://h.com/a?b=2&c=3",
+      "http://h.com/a?b=2",
+      "http://h.com/a",
+      "http://h.com/a?keep=1",
+      "http://h.com/a?c=3&b=2")
+  }
+
+  test("registrableDomain takes the last two labels") {
+    val got = Seq("a.b.example.co", "example.com", "localhost")
+      .toDF("h").select(UrlOps.registrableDomain(col("h")))
+      .as[String].collect().toSeq
+    got shouldBe Seq("example.co", "example.com", "") // single label → no match
+  }
+
+  test("non-URL input yields empty scheme and host, not an exception") {
+    val r = Seq("not a url", "").toDF("u")
+      .select(UrlOps.scheme(col("u")), UrlOps.hostNorm(col("u")))
+      .as[(String, String)].collect()
+    r.foreach { case (s, h) => s shouldBe ""; h shouldBe "" }
+  }
+}
