@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Compression-ratio quality signal — a standard cheap filter in web-corpus
+  * curation (CCNet/RefinedWeb lineage): deflate each document and use
+  * `compressed/raw` as a redundancy proxy. Near-zero ratios flag
+  * boilerplate/template spam (the same bytes over and over); ratios near 1
+  * flag high-entropy non-text (base64 blobs, minified js, binary paste).
+  * Both tails are poison for language-model training mixes.
+  *
+  * Execution shape: `mapPartitions` with ONE `java.util.zip.Deflater`
+  * reused (reset) across the partition's rows — no per-row native object
+  * churn, no UDF registry, deterministic output for a fixed level. The
+  * operator is a narrow map over the scan: no shuffle, scales with input
+  * bytes, executor-local memory bounded by the single largest document.
+  */
+object CompressionSignal {
+
+  /** Per-document deflate stats: (id, raw_len, comp_len, ratio).
+    * `ratio` = comp/raw in double, 1.0 for empty docs. Level 6 default —
+    * the zlib speed/density knee.
+    */
+  def deflateRatio(df: DataFrame, idCol: String, textCol: String,
+                   level: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = if (text == null) Array.emptyByteArray
+                    else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var comp = 0L
+          while (!deflater.finished()) comp += deflater.deflate(buf)
+          val ratio = if (raw.length == 0) 1.0 else comp.toDouble / raw.length
+          (id, raw.length.toLong, comp, ratio)
+        }
+      }
+      .toDF(idCol, "raw_len", "comp_len", "ratio")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance re-ranking — the diversification stage a
+  * retrieval pipeline runs AFTER candidate generation: from each query's
+  * top-N relevance candidates, greedily select k results maximizing
+  * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`, trading relevance
+  * against redundancy (Carbonell & Goldstein, SIGIR'98).
+  *
+  * Scale shape: candidate generation is the existing ANN surface (bounded
+  * N per query, bucketed/broadcast — never all-pairs on the corpus); the
+  * greedy selection is inherently sequential PER QUERY but O(k·N) tiny, so
+  * it runs inside `flatMapGroups` — queries distribute across the cluster,
+  * each group holds ≤ N candidate vectors. Nothing about the corpus size
+  * reaches this stage.
+  *
+  * Determinism across engines: relevance and pairwise similarities are
+  * rounded to 6 decimals BEFORE the MMR arithmetic (the same contract the
+  * ANN family uses — summation-order noise lives below 1e-6), so the
+  * greedy argmax compares identical doubles in Spark and the DuckDB
+  * oracle; ties break on vec_id.
+  */
+object MmrRerank {
+
+  /** Element-order Double accumulation — same bits as VectorExprs.dot. */
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // BigDecimal.valueOf (shortest-decimal repr), NOT BigDecimal(x) (full
+  // binary expansion): Spark's round() and DuckDB's round() both behave
+  // like the former at .5 boundaries (e.g. a double printing as 0.2030395
+  // must round to 0.20304, not 0.203039)
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Greedy MMR over per-query candidate lists.
+    *
+    * `candidates` columns: qid LONG, vec_id LONG, embedding ARRAY<FLOAT>,
+    * rel DOUBLE (already rounded to 6). Returns (qid, rank, vec_id, mmr):
+    * rank 1..k in selection order; mmr = rel for rank 1, else the
+    * marginal score at selection time, rounded to 6.
+    */
+  def mmrSelect(spark: SparkSession, candidates: DataFrame, k: Int,
+                lambda: Double, diversityWeight: Double): DataFrame = {
+    import spark.implicits._
+    val out = candidates
+      .select(col("qid"), col("vec_id"), col("embedding"), col("rel"))
+      .as[(Long, Long, Seq[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // deterministic working order: rel desc, vec_id asc
+        val cs = it.toArray.sortBy(c => (-c._4, c._2))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        // max-sim-to-selected per candidate, updated incrementally
+        val maxSim = Array.fill(cs.length)(Double.NegativeInfinity)
+        val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        var rank = 1
+        while (rank <= k && selected.length < cs.length) {
+          var best = -1; var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            if (!selected.contains(i)) {
+              val score =
+                if (selected.isEmpty) cs(i)._4
+                else lambda * cs(i)._4 - diversityWeight * maxSim(i)
+              // strict > keeps the earliest (rel desc, vec_id asc) on ties
+              if (score > bestScore) { best = i; bestScore = score }
+            }
+            i += 1
+          }
+          results += ((qid, rank, cs(best)._2, r6(bestScore)))
+          selected += best
+          var j = 0
+          while (j < cs.length) {
+            if (!selected.contains(j)) {
+              val s = r6(cos(cs(j)._3, cs(best)._3))
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        results
+      }
+      .toDF("qid", "rank", "vec_id", "mmr")
+    out
+  }
+
+  /** Full pipeline over an embeddings table: the first `numQueries`
+    * vec_ids act as queries (broadcast), top-`n` rounded-cosine candidates
+    * per query feed the greedy selection.
+    */
+  def rerankTopK(embs: DataFrame, numQueries: Int, n: Int, k: Int,
+                 lambda: Double, diversityWeight: Double): DataFrame = {
+    val spark = embs.sparkSession
+    val qs = embs.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val rel = embs.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("embedding"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("rel"))
+    val w = Window.partitionBy(col("qid")).orderBy(desc("rel"), asc("vec_id"))
+    val cand = rel.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+    mmrSelect(spark, cand, k, lambda, diversityWeight)
+  }
+}

@@ -2371,6 +2371,45 @@ object RelationalQueries {
       graft.functions.Sampling.quotaPerKey(base, "domain", "hkey", quota = 30)
         .select(col("doc_id"), col("domain"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q_v16_mmr_rerank" -> ((s, d) =>
+      // MMR diversified re-rank: 8 broadcast queries → top-20 rounded-
+      // cosine candidates each → greedy λ-tradeoff selection of 5 inside
+      // flatMapGroups (per-query O(k·N), queries distribute; corpus size
+      // never reaches the greedy). Oracle unrolls the same greedy as 5
+      // argmax CTE steps over identical rounded-6 scores.
+      // diversityWeight passed EXPLICITLY as the decimal literal 0.3 (not
+      // 1.0 − 0.7, which is 0.30000000000000004 in IEEE and diverges from
+      // the oracle's literal in the last bit)
+      graft.functions.MmrRerank.rerankTopK(Tables.embeddings(s, d),
+          numQueries = 8, n = 20, k = 5, lambda = 0.7, diversityWeight = 0.3)
+        .orderBy(col("qid"), col("rank"))),
+
+    "q_t28_compression_quality" -> ((s, d) => {
+      // deflate-ratio quality signal (CCNet/RefinedWeb-style redundancy
+      // proxy). zlib output is engine-specific, so — like the sketch
+      // queries — the oracle checks accuracy-ENVELOPE booleans the gate
+      // asserts TRUE: ratio in (0, 1.1), and each doc's 8×-repeated self
+      // must compress strictly better (deflate must exploit the planted
+      // redundancy). Exact byte counts are spec-pinned via an independent
+      // Inflater round-trip (CompressionSignalSpec).
+      val docs = Tables.documents(s, d)
+      val r1 = graft.functions.CompressionSignal.deflateRatio(
+        docs, "doc_id", "text")
+      val r8 = graft.functions.CompressionSignal.deflateRatio(
+          docs.select(col("doc_id"), repeat(col("text"), 8).as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"), col("ratio").as("ratio8"))
+      r1.join(r8, "doc_id")
+        .select(col("doc_id"),
+          (col("ratio") > 0d).as("ratio_pos"),
+          // zlib's fixed ~11-byte header/checksum dominates tiny docs (a
+          // 47-char unique-word doc measures 1.13), so the sanity bound is
+          // overhead-aware: raw + 16 bytes, not a flat 1.1 ratio
+          (col("comp_len") <= col("raw_len") + 16L).as("ratio_sane"),
+          (col("ratio8") < col("ratio")).as("rep8_better"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4662,7 +4701,68 @@ object RelationalQueries {
                   row_number() OVER (PARTITION BY domain ORDER BY hkey) AS rn
            FROM dd)
          WHERE rn <= 30
-         ORDER BY doc_id""")
+         ORDER BY doc_id"""),
+
+    // the greedy MMR loop unrolled: each sN CTE is one argmax step over
+    // rounded-6 scores (identical doubles both engines); mN carries the
+    // running max-sim-to-selected forward
+    "q_v16_mmr_rerank" ->
+      """WITH qs AS (
+           SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 8),
+         c0 AS (
+           SELECT qid, e.vec_id, e.embedding::DOUBLE[] AS emb,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[], qe), 6) AS rel
+           FROM qs, embeddings e WHERE e.vec_id <> qid),
+         cand AS (
+           SELECT * FROM c0
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) <= 20),
+         s1 AS (
+           SELECT qid, vec_id, emb, rel, rel AS score FROM cand
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) = 1),
+         m1 AS (
+           SELECT c.qid, c.vec_id, c.emb, c.rel,
+                  round(list_cosine_similarity(c.emb, s.emb), 6) AS ms
+           FROM cand c JOIN s1 s ON c.qid = s.qid AND c.vec_id <> s.vec_id),
+         s2 AS (
+           SELECT qid, vec_id, emb, rel, 0.7*rel - 0.3*ms AS score FROM m1
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY 0.7*rel - 0.3*ms DESC, vec_id) = 1),
+         m2 AS (
+           SELECT m.qid, m.vec_id, m.emb, m.rel,
+                  greatest(m.ms, round(list_cosine_similarity(m.emb, s.emb), 6)) AS ms
+           FROM m1 m JOIN s2 s ON m.qid = s.qid AND m.vec_id <> s.vec_id),
+         s3 AS (
+           SELECT qid, vec_id, emb, rel, 0.7*rel - 0.3*ms AS score FROM m2
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY 0.7*rel - 0.3*ms DESC, vec_id) = 1),
+         m3 AS (
+           SELECT m.qid, m.vec_id, m.emb, m.rel,
+                  greatest(m.ms, round(list_cosine_similarity(m.emb, s.emb), 6)) AS ms
+           FROM m2 m JOIN s3 s ON m.qid = s.qid AND m.vec_id <> s.vec_id),
+         s4 AS (
+           SELECT qid, vec_id, emb, rel, 0.7*rel - 0.3*ms AS score FROM m3
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY 0.7*rel - 0.3*ms DESC, vec_id) = 1),
+         m4 AS (
+           SELECT m.qid, m.vec_id, m.emb, m.rel,
+                  greatest(m.ms, round(list_cosine_similarity(m.emb, s.emb), 6)) AS ms
+           FROM m3 m JOIN s4 s ON m.qid = s.qid AND m.vec_id <> s.vec_id),
+         s5 AS (
+           SELECT qid, vec_id, emb, rel, 0.7*rel - 0.3*ms AS score FROM m4
+           QUALIFY row_number() OVER (PARTITION BY qid ORDER BY 0.7*rel - 0.3*ms DESC, vec_id) = 1)
+         SELECT qid, rank, vec_id, round(score, 6) AS mmr FROM (
+           SELECT qid, 1 AS rank, vec_id, score FROM s1
+           UNION ALL SELECT qid, 2, vec_id, score FROM s2
+           UNION ALL SELECT qid, 3, vec_id, score FROM s3
+           UNION ALL SELECT qid, 4, vec_id, score FROM s4
+           UNION ALL SELECT qid, 5, vec_id, score FROM s5)
+         ORDER BY qid, rank""",
+
+    // envelope oracle (the q_a9/q_a12 pattern): the gate's booleans must
+    // all be TRUE; exact deflate byte counts are engine-specific and are
+    // pinned by CompressionSignalSpec's independent Inflater round-trip
+    "q_t28_compression_quality" ->
+      """SELECT doc_id, TRUE AS ratio_pos, TRUE AS ratio_sane,
+                TRUE AS rep8_better
+         FROM documents ORDER BY doc_id"""
   )
 
   /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with

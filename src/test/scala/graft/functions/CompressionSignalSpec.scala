@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class CompressionSignalSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def inflate(comp: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(comp)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) sys.error("truncated deflate stream")
+      out.write(buf, 0, n)
+    }
+    out.toByteArray
+  }
+
+  test("comp_len equals an independent Deflater's output that round-trips") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog " * 5),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (3L, "Zq7#kP9@xW2$mN5&vB8*cD1!fG4%hJ6^lR3(tY0)uI"))
+      .toDF("doc_id", "text")
+    val got = CompressionSignal.deflateRatio(texts, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    for (((id, raw, comp, ratio), text) <- got.zip(
+        Seq("the quick brown fox jumps over the lazy dog " * 5,
+          "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+          "Zq7#kP9@xW2$mN5&vB8*cD1!fG4%hJ6^lR3(tY0)uI"))) {
+      val bytes = text.getBytes("UTF-8")
+      raw shouldBe bytes.length.toLong
+      // independent reference compression at the same level
+      val d = new java.util.zip.Deflater(6)
+      d.setInput(bytes); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+      comp shouldBe out.size().toLong
+      inflate(out.toByteArray) shouldBe bytes // and it round-trips
+      ratio shouldBe comp.toDouble / raw
+    }
+  }
+
+  test("repetitive text compresses far better than high-entropy text") {
+    val texts = Seq(
+      (1L, "spam spam spam spam " * 40),
+      (2L, scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .alphanumeric.take(800).mkString))
+      .toDF("doc_id", "text")
+    val r = CompressionSignal.deflateRatio(texts, "doc_id", "text")
+      .orderBy("doc_id").select("ratio").as[Double].collect()
+    r(0) should be < 0.1   // planted boilerplate
+    r(1) should be > 0.5   // random alphanumeric
+    r(1) should be < 1.05
+  }
+
+  test("empty and null texts yield ratio 1.0 without crashing") {
+    val texts = Seq((1L, ""), (2L, null: String)).toDF("doc_id", "text")
+    val r = CompressionSignal.deflateRatio(texts, "doc_id", "text")
+      .orderBy("doc_id").select("ratio").as[Double].collect()
+    r shouldBe Array(1.0, 1.0)
+  }
+
+  test("deterministic across repeated runs and partitionings") {
+    val texts = (1L to 50L).map(i => (i, s"document number $i " * (i % 7 + 1).toInt))
+      .toDF("doc_id", "text")
+    val a = CompressionSignal.deflateRatio(texts.repartition(1), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = CompressionSignal.deflateRatio(texts.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    a shouldBe b
+  }
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class MmrRerankSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // orthogonal-ish fixture: v1 ≈ v2 (near-duplicates, both highly relevant),
+  // v3 distinct and moderately relevant, v4 distinct and weakly relevant
+  private def candFixture = Seq(
+    (0L, 1L, Seq(1.0f, 0.0f, 0.0f), 0.95),
+    (0L, 2L, Seq(0.999f, 0.04f, 0.0f), 0.94),
+    (0L, 3L, Seq(0.0f, 1.0f, 0.0f), 0.5),
+    (0L, 4L, Seq(0.0f, 0.0f, 1.0f), 0.3)
+  ).toDF("qid", "vec_id", "embedding", "rel")
+
+  test("diversification demotes the near-duplicate of the first pick") {
+    val got = MmrRerank.mmrSelect(spark, candFixture, k = 3,
+        lambda = 0.5, diversityWeight = 0.5)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    // pure relevance would give 1,2,3; MMR at λ=0.5 must skip the
+    // near-duplicate v2 (sim≈1 to v1) in favor of orthogonal v3, v4
+    got shouldBe Array(1L, 3L, 4L)
+  }
+
+  test("lambda=1 reduces to pure relevance ranking") {
+    val got = MmrRerank.mmrSelect(spark, candFixture, k = 4,
+        lambda = 1.0, diversityWeight = 0.0)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    got shouldBe Array(1L, 2L, 3L, 4L)
+  }
+
+  test("k beyond the candidate count stops at the candidates") {
+    MmrRerank.mmrSelect(spark, candFixture, k = 10,
+      lambda = 0.7, diversityWeight = 0.3).count() shouldBe 4L
+  }
+
+  test("rank-1 score is the relevance itself; later ranks are marginal") {
+    val rows = MmrRerank.mmrSelect(spark, candFixture, k = 2,
+        lambda = 0.7, diversityWeight = 0.3)
+      .orderBy("rank").collect()
+    rows(0).getDouble(3) shouldBe 0.95
+    rows(1).getDouble(3) should be < 0.95 // λ·rel − w·maxSim < rel
+  }
+
+  test("queries are independent groups") {
+    val two = candFixture.unionAll(
+      Seq((1L, 7L, Seq(0.0f, 1.0f, 1.0f), 0.9)).toDF("qid", "vec_id", "embedding", "rel"))
+    val got = MmrRerank.mmrSelect(spark, two, k = 1,
+        lambda = 0.7, diversityWeight = 0.3)
+      .orderBy("qid").select("qid", "vec_id").as[(Long, Long)].collect()
+    got shouldBe Array((0L, 1L), (1L, 7L))
+  }
+}
