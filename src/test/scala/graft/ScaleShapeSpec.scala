@@ -373,6 +373,49 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     m7 should include("RoundRobinPartitioning")
   }
 
+  test("band join is an equi-join on (keys, band) — never a cross/BNL join") {
+    val q = SparkEntry.queries("q_j11_band_join")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // the |Δ|≤δ predicate must be a post-join filter on an equi-join, not
+    // a join condition that forces a nested loop
+    plan should include("Join")
+  }
+
+  test("URL normalization is a pure scan projection — zero joins, zero aggs") {
+    // everything rides the scan's whole-stage-codegen'd projection; the
+    // ONLY exchange is the gate's deterministic output orderBy
+    val plan = SparkEntry.queries("q_u1_url_normalize")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "HashAggregate"
+    plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")) should be <= 1
+  }
+
+  test("MMR candidates: queries broadcast, corpus never shuffles for the join") {
+    val q = SparkEntry.queries("q_v16_mmr_rerank")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the numQueries-row side is THE broadcast; its non-equi (vec_id ≠
+    // qid) join is the intended small-build BNLJ — the corpus side must
+    // not appear under any non-broadcast exchange before that join
+    plan.linesIterator.count(_.contains("BroadcastExchange")) shouldBe 1
+    plan should not include "CartesianProduct"
+    // greedy runs per query group after the bounded top-N cut
+    plan should include("MapGroups")
+  }
+
+  test("compression signal is a narrow map over the scan — no shuffle before the join on doc_id") {
+    val q = SparkEntry.queries("q_t28_compression_quality")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "CartesianProduct"
+    plan should not include "HashAggregate" // per-doc signal, no agg anywhere
+  }
+
   test("perplexity filter: only the scalar V broadcasts; LM tables join equi-keyed") {
     val plan = SparkEntry.queries("q_t27_perplexity_filter")(spark, sfDir)
       .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
