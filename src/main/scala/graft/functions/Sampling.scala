@@ -75,6 +75,39 @@ object Sampling {
       .filter(hashKey(col(idCol)) < (col("rate") * lit(4294967296.0)).cast("long"))
   }
 
+  /** Epoch-aware mixture with OVERSAMPLING — the multi-epoch data-mix
+    * builder (LLaMA-style "books ×2.5, web ×0.3" recipes): unlike
+    * [[weightedMixture]], weights may exceed 1. Each row replicates
+    * `floor(w)` times plus one more iff its md5 gate falls below
+    * `frac(w)·2^32`, so the expected copy count is exactly `w` and the
+    * realized set is a pure function of the row id — reproducible across
+    * engines, runs and partitionings, no RNG.
+    *
+    * Output rows carry an `epoch` index (1..copies): downstream global
+    * shuffles can salt on it so replicas of a hot document spread instead
+    * of colocating. Execution is one codegen'd projection + explode — no
+    * shuffle, no joins; cost ∝ output rows (which IS the requested
+    * expansion).
+    */
+  def epochMixture(df: DataFrame, keyCol: String, idCol: String,
+                   weights: Map[String, Double],
+                   defaultWeight: Double = 1.0): DataFrame = {
+    (defaultWeight +: weights.values.toSeq).foreach(w =>
+      require(w >= 0.0, s"negative weight: $w"))
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, wt)) =>
+      when(col(keyCol) === lit(k), lit(wt)).otherwise(acc)
+    }
+    val extra = when(
+      hashKey(col(idCol)) < ((w - floor(w)) * lit(4294967296.0)).cast("long"),
+      1L).otherwise(0L)
+    val copies = (floor(w).cast("long") + extra)
+    // sequence(1, 0) would yield [1, 0] (negative default step) — guard
+    // zero-copy rows into an empty array so explode drops them
+    df.withColumn("epoch",
+      explode(when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Keep at most `quota` rows per key, chosen in deterministic `orderCol`
     * order — the domain/label balancing pass (cap over-represented sources).
     * One shuffle on the key; the window's WindowGroupLimit pushes the cut

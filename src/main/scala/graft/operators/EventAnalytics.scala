@@ -128,4 +128,41 @@ object EventAnalytics {
       .reduce(_.union(_))
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
   }
+
+  /** Trailing-window anomaly detection: each (event_type, hour)'s count
+    * z-scored against its OWN trailing `trailing`-hour history (frame
+    * [-trailing, -1] — the current hour never contaminates its baseline).
+    * Flags |z| > `zThreshold`; hours with fewer than `minHistory` trailing
+    * points or zero variance report NULL z and never flag (cold start and
+    * constant baselines are "no evidence", not anomalies).
+    *
+    * Scale shape: the window runs over the (type, hour) COUNT table —
+    * bounded by type cardinality × time range, never the event stream —
+    * partitioned by type, so no global sort. z rounds to 4dp (the
+    * trailing mean/stddev are small-int aggregates; cross-engine noise
+    * lives far below that).
+    */
+  def anomalyZScore(events: DataFrame, trailing: Int = 6,
+                    zThreshold: Double = 2.0, minHistory: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trailing >= 1 && minHistory >= 2,
+      s"need trailing >= 1, minHistory >= 2 (got $trailing, $minHistory)")
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(-trailing, -1)
+    val withStats = hourly
+      .withColumn("__mu", avg(col("n_events")).over(w))
+      .withColumn("__sd", stddev_samp(col("n_events")).over(w))
+      .withColumn("__hist", count(col("n_events")).over(w))
+    withStats
+      .withColumn("z",
+        when(col("__hist") >= minHistory && col("__sd") > 0d,
+          round((col("n_events") - col("__mu")) / col("__sd"), 4)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select(col("event_type"), col("hour"), col("n_events"), col("z"),
+        col("is_anomaly"))
+  }
 }

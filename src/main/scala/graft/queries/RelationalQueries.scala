@@ -2410,7 +2410,29 @@ object RelationalQueries {
           (col("comp_len") <= col("raw_len") + 16L).as("ratio_sane"),
           (col("ratio8") < col("ratio")).as("rep8_better"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    "q_sp10_epoch_mix" -> ((s, d) =>
+      // multi-epoch oversampling mix ("books ×2.5, web ×0.3"): floor(w)
+      // copies per row + one more behind the md5 gate at frac(w) — expected
+      // copies exactly w, realized set a pure function of doc_id. One
+      // projection + explode; cost ∝ output rows.
+      graft.functions.Sampling.epochMixture(Tables.documents(s, d),
+          keyCol = "lang", idCol = "doc_id",
+          weights = Map("en" -> 0.3, "zh" -> 2.5, "fr" -> 2.0),
+          defaultWeight = 1.0)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
+    "q_ev15_anomaly" -> ((s, d) =>
+      // trailing-window anomaly detection: each (type, hour) z-scored
+      // against its own 6-hour trailing baseline (frame [-6, -1] — the
+      // current hour never contaminates it); cold-start/zero-variance
+      // hours report NULL z and never flag. Window over the (type, hour)
+      // count table, bounded by types × hours — never the event stream.
+      graft.operators.EventAnalytics.anomalyZScore(Tables.events(s, d),
+          trailing = 6, zThreshold = 2.0, minHistory = 3)
+        .orderBy(col("event_type"), col("hour")))
   )
 
   /** The deterministic messy-URL recipe shared by q_u1/q_u2 and their
@@ -4762,7 +4784,46 @@ object RelationalQueries {
     "q_t28_compression_quality" ->
       """SELECT doc_id, TRUE AS ratio_pos, TRUE AS ratio_sane,
                 TRUE AS rep8_better
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "q_sp10_epoch_mix" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+                  CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 2.5
+                            WHEN 'fr' THEN 2.0 ELSE 1.0 END AS wt
+           FROM documents),
+         n AS (
+           SELECT doc_id, lang,
+                  CAST(floor(wt) AS BIGINT) +
+                  (CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                             < trunc((wt - floor(wt)) * 4294967296.0)::BIGINT
+                        THEN 1 ELSE 0 END) AS nc
+           FROM w)
+         SELECT doc_id, lang,
+                unnest(generate_series(1, nc)) AS epoch
+         FROM n
+         ORDER BY doc_id, epoch""",
+
+    "q_ev15_anomaly" ->
+      """WITH c AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT event_type, hour, n_events,
+                  avg(n_events) OVER w AS mu,
+                  stddev_samp(n_events) OVER w AS sd,
+                  count(n_events) OVER w AS hist
+           FROM c
+           WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hour, n_events,
+                CASE WHEN hist >= 3 AND sd > 0
+                     THEN round((n_events - mu) / sd, 4) END AS z,
+                coalesce(abs(CASE WHEN hist >= 3 AND sd > 0
+                     THEN round((n_events - mu) / sd, 4) END) > 2.0, FALSE)
+                  AS is_anomaly
+         FROM s ORDER BY 1, 2"""
   )
 
   /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with

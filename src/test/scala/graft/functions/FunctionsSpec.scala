@@ -1148,6 +1148,48 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     r.getDouble(3) should be > 0.9 // near-perfect power law
   }
 
+  test("epochMixture: floor copies + gated extra, expected total ~ sum of weights") {
+    val df = (0L until 400L).map(i => (i, if (i % 2 == 0) "books" else "web"))
+      .toDF("doc_id", "src")
+    val out = Sampling.epochMixture(df, "src", "doc_id",
+      Map("books" -> 2.5, "web" -> 0.3))
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // books: 200 docs ×2.5 → every doc ≥2 copies, ~50% get a third
+    counts("books") should be >= 400L
+    counts("books") should be <= 600L
+    (counts("books") - 500L).abs.toDouble should be <= 60.0
+    // web: 200 docs ×0.3 → ~60 kept once
+    (counts("web") - 60L).abs.toDouble should be <= 30.0
+    // epoch indices are 1..copies per doc
+    val perDoc = out.filter(col("src") === "books").groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("epoch")).as("mx"),
+        min(col("epoch")).as("mn"))
+      .collect()
+    perDoc.foreach { r =>
+      r.getLong(2) shouldBe r.getLong(1) // max epoch == copy count
+      r.getLong(3) shouldBe 1L
+    }
+  }
+
+  test("epochMixture: zero weight drops the key entirely; integer weight is exact") {
+    val df = (0L until 50L).map(i => (i, if (i < 25) "keep" else "drop"))
+      .toDF("doc_id", "src")
+    val out = Sampling.epochMixture(df, "src", "doc_id",
+      Map("keep" -> 3.0, "drop" -> 0.0))
+    out.filter(col("src") === "drop").count() shouldBe 0L
+    out.filter(col("src") === "keep").count() shouldBe 75L // exactly 3 each
+  }
+
+  test("epochMixture is deterministic under repartitioning") {
+    val df = (0L until 100L).map(i => (i, "s")).toDF("doc_id", "src")
+    val a = Sampling.epochMixture(df.repartition(1), "src", "doc_id",
+      Map("s" -> 1.7)).orderBy("doc_id", "epoch").collect().toSeq
+    val b = Sampling.epochMixture(df.repartition(17), "src", "doc_id",
+      Map("s" -> 1.7)).orderBy("doc_id", "epoch").collect().toSeq
+    a shouldBe b
+  }
+
   test("temperatureMixture: alpha=1 keeps everything, alpha<1 downsamples the head") {
     val rows = (1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small"))
     val df = rows.toDF("doc_id", "src")

@@ -173,4 +173,47 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     out(("b", "12")) shouldBe ((1L, 5.0, false, Some(5.0), Some(1L)))
     out(("b", "13")) shouldBe ((0L, 0.0, true, Some(5.0), Some(1L)))
   }
+
+  test("anomalyZScore flags a planted spike, stays quiet on cold start and flat baselines") {
+    import java.sql.Timestamp
+    def h(i: Int) = Timestamp.valueOf(f"2024-01-01 $i%02d:00:00")
+    // type "a": 6 calm hours of 10 events, then a spike of 100 in hour 7
+    // type "b": constant 5 events every hour (zero variance -> never flags)
+    val rows = (0 to 6).flatMap(i =>
+        (1 to (if (i == 6) 100 else 10)).map(j => ("a", h(i), j))) ++
+      (0 to 6).flatMap(i => (1 to 5).map(j => ("b", h(i), j)))
+    val events = rows.toDF("event_type", "ts", "value")
+      .select(col("event_type"), col("ts"), col("value").cast("double"))
+
+    val out = EventAnalytics.anomalyZScore(events, trailing = 6,
+        zThreshold = 2.0, minHistory = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.substring(11, 13),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .toSeq
+
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    // hours 0..2: fewer than 3 trailing points -> NULL z, no flag
+    a.take(3).foreach { case (_, _, z, flag) => z shouldBe None; flag shouldBe false }
+    // hours 3..5: baseline is constant 10 -> sd = 0 -> NULL z, no flag
+    a.slice(3, 6).foreach { case (_, _, z, flag) => z shouldBe None; flag shouldBe false }
+    // hour 6: the spike against a flat baseline... sd of [10,10,10,10,10,10]
+    // is 0, so even the spike hour reports NULL (no variance evidence)
+    a(6)._3 shouldBe None
+
+    // re-plant with a jittered baseline so the spike IS detectable
+    val jitter = (0 to 6).flatMap(i =>
+      (1 to (if (i == 6) 100 else 9 + (i % 3))).map(j => ("c", h(i), j)))
+    val ev2 = jitter.toDF("event_type", "ts", "value")
+      .select(col("event_type"), col("ts"), col("value").cast("double"))
+    val c = EventAnalytics.anomalyZScore(ev2, trailing = 6,
+        zThreshold = 2.0, minHistory = 3)
+      .filter(col("hour") === h(6)).collect()
+    c.length shouldBe 1
+    c(0).getBoolean(4) shouldBe true        // spike flagged
+    c(0).getDouble(3) should be > 2.0       // strongly positive z
+
+    val b = out.filter(_._1 == "b")
+    b.foreach { case (_, _, _, flag) => flag shouldBe false }
+  }
 }
