@@ -2424,6 +2424,26 @@ object RelationalQueries {
         .select(col("doc_id"), col("lang"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
 
+    "q_io12_zorder_layout" -> ((s, d) => {
+      // Z-order (Morton) clustered rewrite on (l_orderkey, l_partkey):
+      // interleaved-bit sort localizes BOTH columns' footer bands, so the
+      // two-sided range predicate prunes row groups on each (q_io9 sorts
+      // one column perfectly and leaves the other corpus-wide — the
+      // single-vs-multi-column pruning trade, measured in ZOrderLayoutSpec).
+      // Oracle = the same filter over the plain table: the layout must
+      // change the scan, never the rows.
+      val li = Tables.lineitem(s, d)
+      val tmp = scratchDir("graft_zorder", d)
+      graft.sources.ZOrderLayout.writeZOrdered(li, tmp,
+        "l_orderkey", "l_partkey", numFiles = 8)
+      s.read.parquet(tmp)
+        .filter(col("l_orderkey").between(500, 1500) &&
+          col("l_partkey").between(100, 600))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     "q_ev15_anomaly" -> ((s, d) =>
       // trailing-window anomaly detection: each (type, hour) z-scored
       // against its own 6-hour trailing baseline (frame [-6, -1] — the
@@ -4785,6 +4805,15 @@ object RelationalQueries {
       """SELECT doc_id, TRUE AS ratio_pos, TRUE AS ratio_sane,
                 TRUE AS rep8_better
          FROM documents ORDER BY doc_id""",
+
+    // same two-sided filter over the plain table: z-ordering must change
+    // the scan (bounded footer bands on both columns), never the rows
+    "q_io12_zorder_layout" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 500 AND 1500
+           AND l_partkey BETWEEN 100 AND 600
+         ORDER BY 1, 3""",
 
     "q_sp10_epoch_mix" ->
       """WITH w AS (

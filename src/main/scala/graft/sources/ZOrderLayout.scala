@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustered parquet layout — multi-column zone-map
+  * pruning. [[SortedLayout]] clusters ONE column perfectly but leaves every
+  * other column's footer bands corpus-wide; sorting on the interleaved bits
+  * of TWO columns instead localizes BOTH, so a range predicate on either
+  * (or both) skips most row groups. This is the Delta/Iceberg `ZORDER BY`
+  * idea expressed with plain Spark primitives: one min/max aggregate, one
+  * codegen'd bit-interleave projection, one range exchange + local sort —
+  * no UDFs, no new writer.
+  *
+  * Mechanics: each column linearly bucketizes into 2^bits bins over its
+  * observed [min, max]; the z-value interleaves the bin bits (a in even
+  * positions, b in odd). Consecutive z-values trace the Morton curve, so a
+  * file holding a contiguous z-range covers a small RECTANGLE in (a, b)
+  * space — bounded footer bands on both columns. The trade: each single
+  * column's bands are ~√(files) wider than its dedicated sort would give —
+  * two-column pruning is bought by diluting one-column pruning (measured in
+  * ZOrderLayoutSpec, not asserted).
+  *
+  * At 100 TB the cost profile equals SortedLayout's: one extra stats pass
+  * (here a single min/max agg rather than range sampling) and one shuffle,
+  * paid once at write time.
+  */
+object ZOrderLayout {
+
+  /** Bit-interleave two bucket ids (each in [0, 2^bits)): a → even bits,
+    * b → odd bits. 2·bits codegen'd shift/or terms, no loops at runtime.
+    */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits out of [1,31]: $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Linear min-max bucketization into [0, 2^bits): deterministic, no
+    * sampling. (Quantile bucketization handles heavy skew better but costs
+    * a sketch pass; linear is the honest default for id-like columns.)
+    */
+  def bucketize(c: Column, min: Long, max: Long, bits: Int): Column = {
+    val bins = 1L << bits
+    val span = math.max(1L, max - min + 1L)
+    least(lit(bins - 1L),
+      greatest(lit(0L),
+        floor((c.cast("double") - min.toDouble) * bins.toDouble / span.toDouble)
+          .cast("long")))
+  }
+
+  /** Rewrite `df` z-ordered on two LONG columns. One min/max aggregate
+    * drives the bucketization; the z column is dropped before write (the
+    * CURVE persists as row order + footer bands, the value itself is
+    * derivable and dead weight).
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 8): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1 (got $numFiles)")
+    val r = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val (aMin, aMax, bMin, bMax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val z = zValue(bucketize(col(colA), aMin, aMax, bits),
+      bucketize(col(colB), bMin, bMax, bits), bits)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class ZOrderLayoutSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def tmpDir(name: String): String = {
+    val f = java.nio.file.Files.createTempDirectory(name).toFile
+    f.deleteOnExit()
+    f.toString
+  }
+
+  test("zValue interleaves bits: a in even positions, b in odd") {
+    val got = Seq((0x5L, 0x3L)).toDF("a", "b")
+      .select(ZOrderLayout.zValue(col("a"), col("b"), bits = 3))
+      .as[Long].head()
+    // a=101 → bits 0,4 ; b=011 → bits 1,3 ⇒ z = 1+2+8+16 = 27
+    got shouldBe 27L
+  }
+
+  test("bucketize clamps to [0, 2^bits) and maps min/max to the edges") {
+    val got = Seq(0L, 50L, 100L).toDF("v")
+      .select(ZOrderLayout.bucketize(col("v"), 0L, 100L, bits = 2))
+      .as[Long].collect()
+    got(0) shouldBe 0L
+    got(2) shouldBe 3L // max lands in the top bin via the clamp
+    all(got) should be < 4L
+  }
+
+  test("z-ordered rewrite is value-transparent") {
+    val li = Tables.lineitem(spark, sfDir)
+    val dir = tmpDir("graft-zorder-spec")
+    ZOrderLayout.writeZOrdered(li, dir, "l_orderkey", "l_partkey", numFiles = 4)
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe li.count()
+    back.select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .exceptAll(li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity")))
+      .count() shouldBe 0L
+  }
+
+  test("z-order bounds BOTH columns' footer bands; single-column sort leaves the other corpus-wide") {
+    val li = Tables.lineitem(spark, sfDir)
+    val Seq(okMin, okMax) = li.agg(min(col("l_orderkey")), max(col("l_orderkey")))
+      .as[(Long, Long)].collect().toSeq.flatMap(t => Seq(t._1, t._2))
+    val Seq(pkMin, pkMax) = li.agg(min(col("l_partkey")), max(col("l_partkey")))
+      .as[(Long, Long)].collect().toSeq.flatMap(t => Seq(t._1, t._2))
+    val okSpan = (okMax - okMin).toDouble
+    val pkSpan = (pkMax - pkMin).toDouble
+
+    val zDir = tmpDir("graft-zorder-z")
+    ZOrderLayout.writeZOrdered(li, zDir, "l_orderkey", "l_partkey", numFiles = 8)
+    val zOk = SortedLayout.footerRanges(spark, zDir, "l_orderkey")
+    val zPk = SortedLayout.footerRanges(spark, zDir, "l_partkey")
+    // z-ordered files cover RECTANGLES: both columns' bands bounded well
+    // inside the global span for nearly every file (8 files ⇒ each side
+    // halves at least once; range-sampled split points are not bit-aligned,
+    // so a boundary-straddling file may legitimately span a full side)
+    zOk.count { case (_, lo, hi) => (hi - lo).toDouble <= 0.7 * okSpan } should be >= 6
+    zPk.count { case (_, lo, hi) => (hi - lo).toDouble <= 0.7 * pkSpan } should be >= 6
+
+    // the dedicated single-column sort: orderkey bands razor-thin, partkey
+    // bands corpus-wide — the gap z-order closes
+    val sDir = tmpDir("graft-zorder-s")
+    SortedLayout.writeSorted(li, sDir, "l_orderkey", numFiles = 8)
+    val sOk = SortedLayout.footerRanges(spark, sDir, "l_orderkey")
+    val sPk = SortedLayout.footerRanges(spark, sDir, "l_partkey")
+    sOk.foreach { case (_, lo, hi) => (hi - lo).toDouble should be <= 0.2 * okSpan }
+    sPk.count { case (_, lo, hi) => (hi - lo).toDouble > 0.9 * pkSpan } should be >= 6
+    // ...and z-order's orderkey bands are WIDER than the dedicated sort's:
+    // the measured price of two-column pruning
+    val zOkMaxSpan = zOk.map { case (_, lo, hi) => hi - lo }.max
+    val sOkMaxSpan = sOk.map { case (_, lo, hi) => hi - lo }.max
+    zOkMaxSpan should be > sOkMaxSpan
+  }
+}
