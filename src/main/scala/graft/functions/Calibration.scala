@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide score calibration. Mapping a raw quality signal to its
+  * percentile turns "stopword_ratio 0.23" into "worse than 84% of the
+  * corpus" — the form thresholds are actually set in (keep the top 30%),
+  * robust to the signal's arbitrary scale.
+  *
+  * The textbook `percent_rank() OVER (ORDER BY score)` is a SINGLE-TASK
+  * global sort at 100 TB. This implementation reuses the distributed
+  * prefix-sum machinery instead:
+  *   1. one hash aggregation to per-DISTINCT-score counts (bounded by
+  *      score cardinality, not corpus size),
+  *   2. [[GlobalIndex.prefixSum]] over that table in score order — rows
+  *      strictly below each score; the only global window touches ≤
+  *      numShufflePartitions count rows,
+  *   3. an equi-join back on the score + the broadcast one-row total.
+  * Ties share a rank by construction (they share the score row), so the
+  * result equals SQL `percent_rank` exactly — (rank−1)/(n−1).
+  */
+object Calibration {
+
+  def percentRank(df: DataFrame, scoreCol: String,
+                  outCol: String = "pct_rank"): DataFrame = {
+    val counts = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+    val below = GlobalIndex.prefixSum(counts, col(scoreCol), col("__c"),
+        outCol = "__below")
+      .select(col(scoreCol), col("__below"))
+    val tot = df.agg(count(lit(1)).as("__n"))
+    df.join(below, scoreCol)
+      .crossJoin(broadcast(tot))
+      .withColumn(outCol,
+        when(col("__n") > 1L,
+          round(col("__below").cast("double") / (col("__n") - 1L).cast("double"), 6))
+          .otherwise(lit(0.0d)))
+      .drop("__below", "__n")
+  }
+}

@@ -28,12 +28,19 @@ object AsOfJoin {
     *                   right row precedes the left row)
     * @param rightTiebreak deterministic ordering among same-time right rows
     */
+  /** @param toleranceSec max allowed |left time − matched right time| in
+    *                     seconds (the pandas `merge_asof(tolerance=…)`
+    *                     contract): the NEAREST right row is still the one
+    *                     chosen, but a match farther than the tolerance is
+    *                     nulled — no fallback to older rows. None = unbounded.
+    */
   def leftAsOf(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                rightVals: Seq[String],
                rightTiebreak: Option[String] = None,
-               forward: Boolean = false): DataFrame = {
+               forward: Boolean = false,
+               toleranceSec: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
 
     val lSide = left.select(
@@ -75,9 +82,24 @@ object AsOfJoin {
         col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lSide.unionByName(rSide)
+    val matched = lSide.unionByName(rSide)
       .withColumn("__match", last(col("__val"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val gated = toleranceSec match {
+      case Some(tol) =>
+        require(tol >= 0L, s"negative tolerance: $tol")
+        // TIMESTAMP_NTZ has no direct long cast; route through timestamp —
+        // both sides shift by the same session offset, the gap is exact
+        def secs(c: org.apache.spark.sql.Column) =
+          c.cast("timestamp").cast("long")
+        val gap =
+          if (forward) secs(col("__match.__asof_time")) - secs(col("__t"))
+          else secs(col("__t")) - secs(col("__match.__asof_time"))
+        // when(null-gap) is null → match nulls out, same as no match
+        matched.withColumn("__match", when(gap <= tol, col("__match")))
+      case None => matched
+    }
+    gated
       .select((leftCols.map(col) :+
         col("__match.__asof_time").as("asof_time")) ++
         rightVals.map(c => col(s"__match.$c").as(s"asof_$c")): _*)

@@ -1303,6 +1303,20 @@ object RelationalQueries {
           rightVals = Seq.empty, rightTiebreak = Some("o_orderkey"))
         .orderBy(col("event_id"))),
 
+    "q_as3_asof_tolerance" -> ((s, d) =>
+      // as-of with a 30-day tolerance (the pandas merge_asof contract):
+      // the nearest preceding order still wins, but a match farther than
+      // the tolerance nulls out — no fallback to older rows. Same
+      // single-shuffle union+window plan; the gate is one projection.
+      graft.operators.AsOfJoin.leftAsOf(
+          Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts")),
+          Tables.orders(s, d),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightVals = Seq.empty, rightTiebreak = Some("o_orderkey"),
+          toleranceSec = Some(30L * 24 * 3600))
+        .orderBy(col("event_id"))),
+
     "q_as2_asof_forward" -> ((s, d) =>
       // the FORWARD as-of: earliest order at-or-after each event — same
       // single-shuffle union+window operator with the scan order reversed
@@ -2444,6 +2458,19 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q_t29_quality_calibration" -> ((s, d) =>
+      // corpus-percentile calibration of a quality signal WITHOUT the
+      // single-task percent_rank window: distinct-score counts →
+      // distributed prefix sum (rows strictly below) → equi-join back +
+      // broadcast scalar total. Ties share ranks by construction, so the
+      // oracle IS percent_rank().
+      graft.functions.Calibration.percentRank(
+          graft.functions.TextOps.qualityScore(Tables.documents(s, d))
+            .select(col("doc_id"), col("stopword_ratio")),
+          scoreCol = "stopword_ratio")
+        .select(col("doc_id"), col("stopword_ratio"), col("pct_rank"))
+        .orderBy(col("doc_id"))),
+
     "q_ev15_anomaly" -> ((s, d) =>
       // trailing-window anomaly detection: each (type, hour) z-scored
       // against its own 6-hour trailing baseline (frame [-6, -1] — the
@@ -3385,6 +3412,18 @@ object RelationalQueries {
          FROM events e ASOF LEFT JOIN orders o
            ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
          ORDER BY e.event_id""",
+
+    // nearest-match-then-gate, never fallback: the ASOF join picks the
+    // latest preceding order, the CASE nulls it past the tolerance
+    "q_as3_asof_tolerance" ->
+      """SELECT event_id, user_id, ts,
+                CASE WHEN ts - asof_raw <= INTERVAL 30 DAY
+                     THEN asof_raw END AS asof_time
+         FROM (
+           SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS asof_raw
+           FROM events e ASOF LEFT JOIN orders o
+             ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+         ORDER BY event_id""",
 
     "q_d3_simhash" ->
       """WITH hs AS (
@@ -4832,6 +4871,19 @@ object RelationalQueries {
                 unnest(generate_series(1, nc)) AS epoch
          FROM n
          ORDER BY doc_id, epoch""",
+
+    // oracle = the textbook global percent_rank window the distributed
+    // prefix-sum form replaces; stopword_ratio via the q_t2 expression
+    "q_t29_quality_calibration" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  round(len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','an','and','or','of','to','in','is','it'], w)))::DOUBLE
+                    / len(string_split(text, ' ')), 4) AS stopword_ratio
+           FROM documents)
+         SELECT doc_id, stopword_ratio,
+                round(percent_rank() OVER (ORDER BY stopword_ratio), 6) AS pct_rank
+         FROM q ORDER BY doc_id""",
 
     "q_ev15_anomaly" ->
       """WITH c AS (

@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class CalibrationSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("percentRank equals the textbook percent_rank window, ties share ranks") {
+    val df = Seq((1L, 0.5), (2L, 0.1), (3L, 0.5), (4L, 0.9), (5L, 0.1))
+      .toDF("id", "score")
+    val got = Calibration.percentRank(df, "score")
+      .orderBy("id").select("id", "pct_rank").as[(Long, Double)].collect()
+
+    import org.apache.spark.sql.expressions.Window
+    val want = df.withColumn("pr",
+        round(percent_rank().over(Window.orderBy(col("score"))), 6))
+      .orderBy("id").select("id", "pr").as[(Long, Double)].collect()
+    got shouldBe want
+    // ties: ids 2 and 5 (both 0.1) share 0.0; 1 and 3 share 0.5
+    got.toMap apply 2L shouldBe (got.toMap apply 5L)
+    got.toMap apply 1L shouldBe (got.toMap apply 3L)
+  }
+
+  test("single-row frame gets pct_rank 0 (n-1 = 0 guard)") {
+    val one = Seq((1L, 42.0)).toDF("id", "score")
+    Calibration.percentRank(one, "score")
+      .select("pct_rank").as[Double].head() shouldBe 0.0
+  }
+
+  test("no single-task corpus window: the only global window is partition-count-sized") {
+    val df = (1L to 1000L).map(i => (i, (i % 37).toDouble)).toDF("id", "score")
+    val plan = Calibration.percentRank(df, "score")
+      .queryExecution.optimizedPlan.toString
+    // the data-path never sees Window over the raw rows: every Window in
+    // the plan sits above the distinct-score count aggregate
+    val windowIdx = plan.indexOf("Window")
+    val aggIdx = plan.indexOf("Aggregate")
+    windowIdx should be >= 0
+    aggIdx should be >= 0
+    windowIdx should be < aggIdx // window sits ABOVE (earlier in the tree dump)
+  }
+}

@@ -84,4 +84,28 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     out(1) shouldBe ((2L, Some(200.0)))
     out(2) shouldBe ((3L, None))
   }
+
+  test("tolerance nulls matches farther than the bound, never falls back to older rows") {
+    val probes = Seq(
+      (1L, 10L, ts("2024-01-10 00:00:00")), // nearest is 01-08: 2 days, inside
+      (2L, 10L, ts("2024-01-20 00:00:00")), // nearest is 01-08: 12 days, outside
+      (3L, 10L, ts("2024-01-02 06:00:00"))  // nearest is 01-02: 6h, inside
+    ).toDF("event_id", "user_id", "ts")
+    val refs = Seq(
+      (10L, ts("2024-01-02 00:00:00"), 1.0),
+      (10L, ts("2024-01-08 00:00:00"), 2.0)
+    ).toDF("custkey", "otime", "price")
+
+    val out = AsOfJoin.leftAsOf(probes, refs,
+        "user_id", "custkey", "ts", "otime", Seq("price"),
+        toleranceSec = Some(3L * 24 * 3600))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(3))))
+
+    out(0) shouldBe ((1L, Some(ts("2024-01-08 00:00:00"))))
+    // 12 days out: even though 01-02 is ALSO outside, and no fallback
+    // exists — the match is null, not the older row
+    out(1) shouldBe ((2L, None))
+    out(2) shouldBe ((3L, Some(ts("2024-01-02 00:00:00"))))
+  }
 }
