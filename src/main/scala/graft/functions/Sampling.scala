@@ -145,6 +145,32 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Length-bucketed dynamic batching — the padding-waste control of a
+    * training data loader: grouping similar-length documents into each
+    * batch bounds the pad-to-longest overhead by the bucket width. Docs
+    * bucket by `floor(n_tokens / bucketWidth)`; within a bucket they order
+    * by the md5 hash of the id (a reproducible shuffle, so batches are not
+    * correlated with ingest order) and chop into `batchSize`-doc batches.
+    * Windows run PER BUCKET — fine-grained partitions, no global sort.
+    * Returns (idCol, n_tokens, len_bucket, batch_id).
+    */
+  def lengthBucketBatches(docs: DataFrame, idCol: String, textCol: String,
+                          bucketWidth: Int, batchSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"need bucketWidth >= 1, batchSize >= 1 (got $bucketWidth, $batchSize)")
+    val w = Window.partitionBy(col("len_bucket"))
+      .orderBy(col("__h"), col(idCol))
+    docs
+      .select(col(idCol), TextOps.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("len_bucket",
+        floor(col("n_tokens") / bucketWidth.toDouble).cast("long"))
+      .withColumn("__h", md5(concat(lit("batch:"), col(idCol).cast("string"))))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1).cast("double") / batchSize).cast("long"))
+      .drop("__h")
+  }
+
   /** Deterministic token-budget packing: hash docs into `bins` (the output
     * shards), order each bin by the id hash (a reproducible shuffle), and
     * keep each bin's prefix whose running token total stays within

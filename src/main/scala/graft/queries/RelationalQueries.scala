@@ -2458,6 +2458,34 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    "q_a19_median_mad" -> ((s, d) => {
+      // robust per-group location/scale: median + MAD (median absolute
+      // deviation) — the outlier-immune alternative to mean/stddev for
+      // quality-score thresholds. Two grouped percentile passes with the
+      // group-count-bounded broadcast back (the q_a15/q_a16 shape); the
+      // median rounds to 4dp BEFORE the deviations so cross-engine
+      // interpolation noise collapses at one number per group, not per row.
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          count(lit(1)).as("n"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("p50")).as("p50"),
+          round(expr("percentile(abs(l_extendedprice - p50), 0.5)"), 4).as("mad"),
+          first(col("n")).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_sp11_length_batches" -> ((s, d) =>
+      // length-bucketed dynamic batching: similar-length docs batch
+      // together so pad-to-longest waste is bounded by the bucket width;
+      // hash order decorrelates batches from ingest order. Windows per
+      // length bucket — no global sort.
+      graft.functions.Sampling.lengthBucketBatches(Tables.documents(s, d),
+          idCol = "doc_id", textCol = "text", bucketWidth = 16, batchSize = 8)
+        .orderBy(col("doc_id"))),
+
     "q_t29_quality_calibration" -> ((s, d) =>
       // corpus-percentile calibration of a quality signal WITHOUT the
       // single-task percent_rank window: distinct-score counts →
@@ -4871,6 +4899,30 @@ object RelationalQueries {
                 unnest(generate_series(1, nc)) AS epoch
          FROM n
          ORDER BY doc_id, epoch""",
+
+    "q_a19_median_mad" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+                  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                  count(*) AS n
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, m.p50,
+                round(quantile_cont(abs(l.l_extendedprice - m.p50), 0.5), 4) AS mad,
+                m.n
+         FROM lineitem l JOIN m USING (l_returnflag)
+         GROUP BY 1, 2, 4
+         ORDER BY 1""",
+
+    "q_sp11_length_batches" ->
+      """WITH t AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                  CAST(floor(len(string_split(text, ' ')) / 16.0) AS BIGINT) AS len_bucket,
+                  md5('batch:' || doc_id::VARCHAR) AS h
+           FROM documents)
+         SELECT doc_id, n_tokens, len_bucket,
+                CAST(floor((row_number() OVER (PARTITION BY len_bucket
+                  ORDER BY h, doc_id) - 1) / 8.0) AS BIGINT) AS batch_id
+         FROM t ORDER BY doc_id""",
 
     // oracle = the textbook global percent_rank window the distributed
     // prefix-sum form replaces; stopword_ratio via the q_t2 expression
