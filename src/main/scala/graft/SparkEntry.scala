@@ -24,7 +24,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ graft.queries.GraphQueries.queries ++
-      graft.queries.StreamParity.queries
+      graft.queries.StreamParity.queries ++ graft.queries.CurationQueries.queries
 
   /** Build the session-lifetime artifacts the operator contracts define as
     * built ONCE (the persisted IVF index behind q_v7's probe) so a timed
@@ -52,5 +52,5 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ graft.queries.GraphQueries.oracleSql ++
-      graft.queries.StreamParity.oracleSql
+      graft.queries.StreamParity.oracleSql ++ graft.queries.CurationQueries.oracleSql
 }

@@ -588,6 +588,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Directed n-gram CONTAINMENT pairs — the near-superset detector exact
+    * Jaccard misses by construction: a short document wholly embedded in a
+    * long one (boilerplate wrapping, quote-expansion, page-of-pages) has
+    * containment |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0, so
+    * neither minhash banding nor a PPJoin Jaccard prefix can find it.
+    * Returns directed (doc_a contained-in doc_b) pairs with
+    * containment ≥ threshold.
+    *
+    * Candidate generation is the set-containment-join prefix filter: rank
+    * each document's shingles by ASCENDING global frequency (rarest
+    * first), keep a prefix of ⌊|A|/prefixDenom⌋ + 1 shingles on the probe
+    * side, and join it against the full inverted index. Pigeonhole: a pair
+    * with containment ≥ 1 − 1/prefixDenom has < |A|/prefixDenom probe
+    * shingles outside B, so at least one prefix shingle lands in B and the
+    * pair survives — COMPLETE for threshold ≥ 1 − 1/prefixDenom. The
+    * prefix length is integer arithmetic on purpose (no ⌊(1−t)·n⌋ double
+    * product), so a SQL oracle reproduces the candidate set exactly.
+    *
+    * Scale shape: the probe side shrinks to ~n/prefixDenom of the shingle
+    * volume and is dominated by RARE shingles (frequency-ascending ranking
+    * — the classic prefix-filter selectivity lever), while the index side
+    * is the full per-doc-distinct shingle explode, hash-partitioned on the
+    * shingle — the inherent cost of containment joins. Hot (stop-)shingles
+    * only ever sit on the index side of the equi-join, where AQE's skew
+    * split applies; the verify step touches candidate pairs only.
+    */
+  def ngramContainmentPairs(docs: DataFrame, textCol: String, k: Int,
+                            threshold: Double, prefixDenom: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prefixDenom >= 2 && threshold >= 1.0 - 1.0 / prefixDenom,
+      s"prefix filter incomplete: need threshold >= 1 - 1/$prefixDenom (got $threshold)")
+    val docSh = Spread.forExplode(docs, col("doc_id"))
+      .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("n_shingles", size(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    reapOnStop(docs.sparkSession)
+    Option(shingleCaches.put(docs.sparkSession.sparkContext, docSh))
+      .foreach(_.unpersist(blocking = true))
+    val ex = docSh.select(col("doc_id"), col("n_shingles"),
+      explode(col("shingles")).as("shingle"))
+    val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = ex.join(freq, "shingle")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= expr(s"n_shingles div $prefixDenom") + 1)
+      .select(col("doc_id").as("doc_a"), col("shingle"))
+    val cand = prefix
+      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val a = docSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("n_shingles").as("size_a"))
+    val b = docSh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("containment",
+        round(col("n_common").cast("double") / col("size_a"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Benchmark decontamination — the eval-set overlap pass every training
     * corpus needs: count, per corpus document, how many of its k-gram
     * shingles appear anywhere in the (small) benchmark set. The benchmark

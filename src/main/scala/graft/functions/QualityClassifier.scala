@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed linear text-classifier inference — the fastText-shaped model-based
+  * quality gate every large training corpus runs (CCNet/LLaMA-style "does
+  * this look like reference text" filtering), reduced to its Spark-native
+  * essence: a per-term weight lookup, a per-document sum, a threshold.
+  *
+  * Design for 100 TB:
+  *  - Inference is MAP-ONLY. The whole score is one codegen'd projection
+  *    built from higher-order array functions (`transform` + `aggregate`)
+  *    over the token array — no explode, no groupBy, no shuffle, no UDF.
+  *    Classifier filtering therefore runs at parquet scan speed and
+  *    composes with pushdown (the `keep` predicate prunes before any
+  *    downstream exchange).
+  *  - Weights stay in integer micro-units and the per-document sum is a
+  *    BIGINT, so the score is EXACT and order-independent — the property
+  *    that keeps a 1000-executor run bit-identical to a single-node
+  *    oracle (a double sum would drift with partition order).
+  *  - The planted model derives each term's weight from the term's own
+  *    md5 (the engine's reproducible-hash idiom), standing in for trained
+  *    weights. A real model swaps [[termWeight]] for a broadcast
+  *    vocab→weight map lookup (or feature-hashed weight array literal) —
+  *    the plan shape (map-only projection) is unchanged, which is the
+  *    point of gating this shape now.
+  */
+object QualityClassifier {
+
+  /** Planted per-term weight in micro-units [-1000, 1000]: the md5-hash
+    * gate idiom ([[Dedup.md5Hash32]]) reused as a deterministic,
+    * cross-engine-reproducible stand-in for trained weights.
+    */
+  def termWeight(tok: Column): Column =
+    Dedup.md5Hash32(concat(lit("w:"), tok)) % 2001 - 1000
+
+  /** Per-document linear score + keep decision. Output columns:
+    * (idCol, n_tokens, w_sum, score, keep) where score = mean term weight
+    * rescaled to [-1, 1] and keep = (w_sum > 0).
+    */
+  def score(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, t => termWeight(t)),
+          lit(0L), (acc, w) => acc + w).as("w_sum"))
+      .withColumn("score",
+        round(col("w_sum") / (col("n_tokens") * lit(1000.0d)), 6))
+      .withColumn("keep", col("w_sum") > 0L)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Balanced output-shard assignment by cumulative token budget — the
+  * "write the corpus as N roughly-equal training shards" step that follows
+  * dedup/filter/mix in every large-scale data pipeline. Documents are
+  * placed in a deterministic pseudo-random order (a seeded hash of the id,
+  * so adjacent source documents scatter instead of clumping one domain
+  * into one shard), then cut into shards of ~`shardBudget` tokens by a
+  * running token offset.
+  *
+  * Design for 100 TB:
+  *  - The running offset uses [[GlobalIndex.prefixSum]]'s two-phase carry
+  *    (range-shuffle on the hash order, per-partition running sums, one
+  *    broadcast of the per-partition totals) — NO global single-task
+  *    window. The oracle for the gate query IS the naive global window,
+  *    so the hash match proves the distributed carry reproduces the
+  *    textbook stream layout bit-for-bit.
+  *  - Shard id is integer division of an exact BIGINT offset — no floats,
+  *    no RNG state; re-running the pipeline re-derives identical shards
+  *    (the reproducibility contract checkpoint-resume needs).
+  *  - Every shard's size lands in [shardBudget - maxDocTokens + 1,
+  *    shardBudget + maxDocTokens - 1]: balance degrades only with the
+  *    single largest document, not with corpus size or skew.
+  */
+object ShardAssign {
+
+  /** Assign each row a `shard_id` cutting the hash-ordered stream into
+    * ~`shardBudget`-token shards. Adds `skey` (the deterministic shuffle
+    * order key) and `shard_id`; keeps all input columns.
+    */
+  def assign(docs: DataFrame, idCol: Column, tokensCol: String,
+             shardBudget: Long, seed: String = "shard"): DataFrame = {
+    require(shardBudget > 0, s"shardBudget must be > 0 (got $shardBudget)")
+    val keyed = docs.withColumn("skey",
+      Dedup.md5Hash32(concat(lit(seed + ":"), idCol.cast("string"))))
+    GlobalIndex.prefixSum(keyed, struct(col("skey"), idCol),
+        col(tokensCol), outCol = "_sa_off")
+      .withColumn("shard_id", expr(s"_sa_off div ${shardBudget}L"))
+      .drop("_sa_off")
+  }
+}

@@ -98,4 +98,50 @@ object DataQuality {
         sum(when(col("n") < k, 1L).otherwise(0L)).as("groups_violating"),
         sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
         min(col("n")).as("k_effective"))
+
+  /** Population-stability-index drift report — the standard "has this
+    * source's distribution shifted vs the reference" check a training-data
+    * pipeline runs per ingest batch (PSI > 0.2 = retrain/investigate, by
+    * the usual credit-scoring rule of thumb). Bins `valueCol` into
+    * fixed-width buckets, compares every group's bin distribution against
+    * the `baseline` group: PSI = Σ_bins (p−q)·ln(p/q), with ε-floored
+    * probabilities so empty bins stay finite.
+    *
+    * Scale shape: ONE pass over the data (the groupBy(grp, bin) count) —
+    * everything after operates on the aggregated (groups × bins) grid,
+    * which is metadata-sized. The per-bin terms are integer-ized to
+    * nano-units before the final sum, so the group PSI is an exact BIGINT
+    * sum — order-independent across any cluster layout (the per-term
+    * doubles themselves are single IEEE expressions both engines compute
+    * identically; only their SUM would otherwise be order-sensitive).
+    */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               baseline: String, binWidth: Long, eps: Double = 1e-4): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0 (got $binWidth)")
+    val binned = df.select(col(groupCol).as("grp"),
+      expr(s"cast($valueCol as bigint) div ${binWidth}L").as("bin"))
+    val cnt = binned.groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("grp")).agg(sum(col("n")).as("tot"))
+    val dist = cnt.join(tot, "grp")
+      .select(col("grp"), col("bin"), (col("n") / col("tot")).as("p"))
+    val base = dist.filter(col("grp") === baseline)
+      .select(col("bin"), col("p").as("q"))
+    // groups × all-observed-bins grid, so bins missing on either side
+    // still contribute their ε term; both factors are post-aggregation
+    // (tiny), so the cross join is metadata-scale and broadcast
+    val grid = tot.select(col("grp"))
+      .crossJoin(broadcast(cnt.select(col("bin")).distinct()))
+    grid
+      .join(dist, Seq("grp", "bin"), "left")
+      .join(broadcast(base), Seq("bin"), "left")
+      .select(col("grp"),
+        greatest(coalesce(col("p"), lit(0.0d)), lit(eps)).as("pp"),
+        greatest(coalesce(col("q"), lit(0.0d)), lit(eps)).as("qq"))
+      .withColumn("term_nano",
+        expr("CAST(round((pp - qq) * ln(pp / qq) * 1e9) AS BIGINT)"))
+      .groupBy(col("grp"))
+      .agg(sum(col("term_nano")).as("psi_nano"))
+      .select(col("grp").as(groupCol),
+        round(col("psi_nano") / 1000000000.0d, 6).as("psi"))
+  }
 }

@@ -165,4 +165,39 @@ object EventAnalytics {
       .select(col("event_type"), col("hour"), col("n_events"), col("z"),
         col("is_anomaly"))
   }
+
+  /** Exponentially time-decayed engagement score per user — the recency
+    * weighting every ranking/recommendation feature store computes
+    * ("recent activity counts more, with a half-life"). Each event
+    * contributes value · 2^(-age/halfLife); here the decay is quantized
+    * to whole half-life steps so the arithmetic can be EXACT:
+    *
+    *  - each event's contribution is an integer micro-unit count divided
+    *    by a power of two via integer division (`micros div 2^k`) — both
+    *    fully deterministic and identical across engines;
+    *  - the per-user sum is a BIGINT: order-independent, so a
+    *    1000-executor aggregation is bit-identical to the single-node
+    *    oracle (a double `sum(value * pow(2, -age/h))` would drift with
+    *    partition order AND with libm's pow rounding).
+    *
+    * One map-side-combinable aggregation keyed on user_id — the same
+    * scale shape as any keyed count. `maxShift` caps the shift (events
+    * older than maxShift half-lives contribute their fully-shifted
+    * residue, sub-micro ≈ 0), keeping the shift within BIGINT range.
+    */
+  def decayScore(events: DataFrame, anchorDate: String,
+                 halfLifeDays: Int = 7, maxShift: Int = 40): DataFrame = {
+    require(halfLifeDays >= 1 && maxShift >= 0 && maxShift <= 62,
+      s"need halfLifeDays >= 1, 0 <= maxShift <= 62 (got $halfLifeDays, $maxShift)")
+    events
+      .withColumn("_days", datediff(to_date(lit(anchorDate)), to_date(col("ts"))))
+      .withColumn("_k",
+        least(greatest(expr(s"_days div $halfLifeDays"), lit(0)), lit(maxShift)))
+      .withColumn("_contrib", expr(
+        "CAST(round(value * 1000000.0) AS BIGINT) div " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(_k AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_contrib")).as("score_micro"))
+      .withColumn("decay_score", round(col("score_micro") / 1000000.0d, 6))
+  }
 }

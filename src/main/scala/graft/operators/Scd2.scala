@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type 2 snapshot — collapse a keyed change
+  * history into versioned validity intervals (valid_from, valid_to,
+  * is_current), the standard warehouse shape for "what was this entity's
+  * attribute at time t" joins (and, in a training-data pipeline, for
+  * point-in-time-correct feature/label joins that must not leak future
+  * attribute values — the batch complement of [[AsOfJoin]]).
+  *
+  * Design for 100 TB:
+  *  - Every window is PARTITIONED BY the entity key: one hash exchange on
+  *    the key, then per-key sorted runs — no global ordering anywhere, so
+  *    the plan scales with executors like any keyed aggregation. Skew maps
+  *    to the hottest single entity's history, not the table.
+  *  - Run detection is the classic gaps-and-islands form (lag ≠ current →
+  *    change marker → running count), which Spark executes in ONE window
+  *    stage over the same exchange; the collapse to intervals is one
+  *    map-side-combinable aggregation on (key, version), and the
+  *    valid_to back-fill is one more per-key window over the (tiny)
+  *    version-level frame.
+  *  - Deterministic: ordering includes a unique tiebreaker column, so run
+  *    boundaries (and therefore version numbers) are reproducible across
+  *    cluster layouts.
+  */
+object Scd2 {
+
+  /** Build the SCD-2 snapshot of `attrCol` per `keyCol`, ordered by
+    * (`tsCol`, `tieCol`). Output: (keyCol, version, attrCol, valid_from,
+    * valid_to, n_rows, is_current) — one row per consecutive run of equal
+    * attribute values; valid_to is the next run's valid_from (NULL for the
+    * open current version).
+    */
+  def snapshot(df: DataFrame, keyCol: String, attrCol: String,
+               tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val runs = df
+      .withColumn("_chg",
+        when(lag(col(attrCol), 1).over(w).isNull ||
+             lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("_chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val grouped = runs.groupBy(col(keyCol), col("version"))
+      .agg(
+        // the attribute is constant within a run; min() keeps the
+        // aggregate deterministic (first() is order-dependent)
+        min(col(attrCol)).as(attrCol),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_rows"))
+    val wv = Window.partitionBy(col(keyCol)).orderBy(col("version"))
+    grouped
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col("version"), col(attrCol), col("valid_from"),
+        col("valid_to"), col("n_rows"), col("is_current"))
+  }
+}

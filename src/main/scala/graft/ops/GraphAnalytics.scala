@@ -96,6 +96,78 @@ object GraphAnalytics {
       .join(nodes.select(col("id").cast("long")), Seq("id"), "left_semi")
   }
 
+  /** DataFrame-native weakly connected components via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the 100 TB-scale alternative to
+    * both the GraphX tier (which pins RDD caches and sidesteps
+    * Catalyst/AQE) and plain min-label propagation (whose round count is
+    * the graph DIAMETER — fatal on path-shaped web graphs):
+    *
+    *  - large-star hooks every node's larger neighbors directly to its
+    *    minimum neighbor; small-star compresses the resulting parent
+    *    pointers — together they converge in O(log n) rounds regardless
+    *    of diameter.
+    *  - Each round is two aggregate+join pairs KEYED ON THE NODE ID: plain
+    *    hash exchanges Catalyst plans like any relational query, with AQE
+    *    handling the (hub-node) skew the star operations are specifically
+    *    designed to flatten.
+    *  - Convergence is detected by exact edge-set fixpoint (count equality
+    *    + empty `except`) — edge frames at that point are star edges
+    *    (≤ one per non-root node), so the check is an edge-set-sized
+    *    shuffle, not a gamble on a checksum collision. Deterministic:
+    *    min-based, no floats, no RNG.
+    *  - Per-round frames localCheckpoint with release handles (the same
+    *    lineage/storage discipline as [[kCore]]/[[labelPropagation]]).
+    *
+    * Edge endpoints absent from the node list conduct connectivity and may
+    * win the min label (matching [[connectedComponents]]); the output is
+    * restricted back to the declared node list. Output: (id, component_id)
+    * where component_id = min node id reachable in the undirected graph.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIters: Int = 50): DataFrame = {
+    val init = edges
+      .select(col("fromId").cast("long").as("u"), col("toId").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    var (e, releaseE) = GraftSqlBridge.localCheckpointWithHandle(init.distinct())
+    var eCount = e.count()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
+      // large-star treats the edge set as UNDIRECTED: symmetrize, then per
+      // node u hook every larger neighbor v > u to m = min(N(u) ∪ {u})
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val mLarge = sym.groupBy(col("u")).agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mLarge, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star operates on the now parent-pointer-shaped (u > v) edges:
+      // per u, re-point u and all its parents at m = min(parents)
+      val mSmall = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next0 = large.join(mSmall, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mSmall.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val (next, releaseNext) = GraftSqlBridge.localCheckpointWithHandle(next0)
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
+      releaseE(); e = next; releaseE = releaseNext; eCount = nextCount
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    // fixpoint = forest of stars: every non-root points at its component
+    // min; roots/isolated nodes label themselves. The final round's
+    // checkpoint blocks stay alive — the returned frame computes from
+    // them (releasing here would truncate the lineage it needs).
+    val lbl = e.groupBy(col("u").as("id")).agg(min(col("v")).as("component_id"))
+    nodes.select(col("id").cast("long"))
+      .join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component_id"), col("id")).as("component_id"))
+  }
+
   /** Single-source BFS levels: minimum hop count from `sourceId` to every
     * node, NULL for unreachable nodes. Classic distributed frontier
     * expansion — each level is ONE equi-join of the (tiny) frontier with

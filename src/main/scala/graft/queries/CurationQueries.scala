@@ -1,0 +1,251 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Dedup, QualityClassifier, ShardAssign, TextOps}
+import graft.operators.{DataQuality, EventAnalytics, Scd2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-12 curation/warehouse extension surface: classifier-based quality
+  * filtering, balanced shard assignment, containment dedup, decayed
+  * engagement scoring, distribution-drift audit, SCD-2 history collapse,
+  * and rank-distribution windows. Same conventions as
+  * [[RelationalQueries]]: exact or explicitly-rounded arithmetic, ORDER BY
+  * everywhere, DuckDB oracle per query.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    "q_t30_quality_classifier" -> ((s, d) =>
+      // fastText-shaped model-based quality gate as a MAP-ONLY projection
+      // (higher-order array fns, integer micro-unit weights → exact BIGINT
+      // per-doc sums): classifier filtering at parquet scan speed, no
+      // shuffle anywhere in the plan. The oracle re-derives every term
+      // weight and the full sum.
+      QualityClassifier.score(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    "q_sp12_shard_assign" -> ((s, d) => {
+      // balanced training-shard assignment: deterministic hash order +
+      // distributed prefix-sum carry (GlobalIndex) + integer budget cut.
+      // The oracle is the NAIVE single-task global window on purpose —
+      // the hash match proves the two-phase carry reproduces it exactly.
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      ShardAssign.assign(docs, col("doc_id"), "n_tokens", shardBudget = 4096L)
+        .select(col("doc_id"), col("n_tokens"), col("skey"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_d17_containment" -> ((s, d) =>
+      // near-superset detection: directed n-gram containment ≥ 0.9 via the
+      // set-containment prefix filter (rarest-first prefix probe against
+      // the full inverted index) — the dup class Jaccard banding (q_d6)
+      // misses by construction. Integer prefix length so the oracle can
+      // replicate the candidate set exactly.
+      Dedup.ngramContainmentPairs(Tables.documents(s, d), "text", k = 3,
+          threshold = 0.9, prefixDenom = 10)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "q_ev16_decay_score" -> ((s, d) =>
+      // half-life-decayed per-user engagement: integer micro-unit
+      // contributions shifted by whole half-lives → exact BIGINT sums,
+      // bit-identical on any cluster layout. Anchor past the fixture's
+      // last event so every age is non-negative.
+      EventAnalytics.decayScore(Tables.events(s, d), anchorDate = "2024-03-01",
+          halfLifeDays = 7, maxShift = 40)
+        .select(col("user_id"), col("n_events"), col("score_micro"),
+          col("decay_score"))
+        .orderBy(col("user_id"))),
+
+    "q_q3_psi_drift" -> ((s, d) =>
+      // population-stability-index drift of every source's length
+      // distribution vs the 'src0' baseline: one corpus pass, then
+      // metadata-scale grid math with nano-unit-exact term sums
+      DataQuality.psiDrift(Tables.documents(s, d), groupCol = "source",
+          valueCol = "n_chars", baseline = "src0", binWidth = 64L)
+        .orderBy(col("source"))),
+
+    "q_x10_scd2" -> ((s, d) =>
+      // SCD type-2 collapse of each customer's order-priority history:
+      // gaps-and-islands run detection + interval back-fill, every window
+      // partitioned by the entity key (no global sort anywhere)
+      Scd2.snapshot(Tables.orders(s, d), keyCol = "o_custkey",
+          attrCol = "o_orderpriority", tsCol = "o_orderdate",
+          tieCol = "o_orderkey")
+        .withColumnRenamed("o_orderpriority", "priority")
+        .orderBy(col("o_custkey"), col("version"))),
+
+    "q_w6_ntile_cume" -> ((s, d) => {
+      // rank-distribution window family over per-source length order:
+      // ntile quartiles + cume_dist + percent_rank, unique ordering (tie
+      // broken by doc_id) so every engine agrees row for row
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .orderBy(col("doc_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q_t30_quality_classifier" ->
+      // every planted term weight re-derived from the md5 idiom; the
+      // BIGINT sum is order-independent, so list_sum must equal the
+      // distributed aggregate exactly
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         w AS (
+           SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                  list_sum([('0x' || substr(md5('w:' || tok), 1, 8))::BIGINT % 2001 - 1000
+                    FOR tok IN toks])::BIGINT AS w_sum
+           FROM t)
+         SELECT doc_id, n_tokens, w_sum,
+                round(w_sum / (n_tokens * 1000.0), 6) AS score,
+                w_sum > 0 AS keep
+         FROM w ORDER BY doc_id""",
+
+    "q_sp12_shard_assign" ->
+      // the naive single-task plan: one global running-sum window over the
+      // hash order — the distributed two-phase carry must reproduce it
+      """WITH t AS (
+           SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+                  ('0x' || substr(md5('shard:' || doc_id), 1, 8))::BIGINT AS skey
+           FROM documents WHERE text IS NOT NULL),
+         o AS (
+           SELECT doc_id, n_tokens, skey,
+                  coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    ::BIGINT AS off
+           FROM t)
+         SELECT doc_id, n_tokens, skey, (off // 4096)::BIGINT AS shard_id
+         FROM o ORDER BY doc_id""",
+
+    "q_d17_containment" ->
+      // the full containment pipeline re-derived: per-doc distinct 3-gram
+      // shingles, global shingle frequencies, rarest-first prefix of
+      // ⌊n/10⌋+1 (integer division — byte-identical to the Spark plan),
+      // prefix×index candidates, exact containment verify at 0.9
+      """WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         shn AS (
+           SELECT doc_id, shingles, len(shingles) AS nsh
+           FROM sh WHERE len(shingles) > 0),
+         ex AS (
+           SELECT doc_id, nsh, unnest(shingles) AS shingle FROM shn),
+         f AS (
+           SELECT shingle, count(*)::BIGINT AS df FROM ex GROUP BY 1),
+         rk AS (
+           SELECT ex.doc_id, ex.nsh, ex.shingle,
+                  row_number() OVER (PARTITION BY ex.doc_id
+                    ORDER BY f.df, ex.shingle) AS rk
+           FROM ex JOIN f USING (shingle)),
+         pre AS (
+           SELECT doc_id, shingle FROM rk WHERE rk <= nsh // 10 + 1),
+         cand AS (
+           SELECT DISTINCT pre.doc_id AS a, ex.doc_id AS b
+           FROM pre JOIN ex ON ex.shingle = pre.shingle
+                           AND ex.doc_id <> pre.doc_id)
+         SELECT cand.a AS doc_a, cand.b AS doc_b,
+                round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                      / sa.nsh, 4) AS containment
+         FROM cand
+         JOIN shn sa ON sa.doc_id = cand.a
+         JOIN shn sb ON sb.doc_id = cand.b
+         WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                     / sa.nsh, 4) >= 0.9
+         ORDER BY 1, 2""",
+
+    "q_ev16_decay_score" ->
+      // identical integer pipeline: micro-units, whole-half-life shift via
+      // integer division by a power of two, exact BIGINT sum
+      """WITH c AS (
+           SELECT user_id,
+                  round(value * 1000000.0)::BIGINT
+                    // (1::BIGINT << least(greatest(
+                         date_diff('day', ts::DATE, DATE '2024-03-01') // 7,
+                         0), 40)) AS contrib
+           FROM events)
+         SELECT user_id, count(*)::BIGINT AS n_events,
+                sum(contrib)::BIGINT AS score_micro,
+                round(sum(contrib) / 1000000.0, 6) AS decay_score
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    "q_q3_psi_drift" ->
+      // one-pass binned counts, per-source distributions, ε-floored PSI
+      // terms integer-ized to nano-units before the sum (identical IEEE
+      // per-term doubles, exact BIGINT total)
+      """WITH b AS (
+           SELECT source AS grp, n_chars // 64 AS bin FROM documents),
+         c AS (SELECT grp, bin, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+         t AS (SELECT grp, sum(n)::BIGINT AS tot FROM c GROUP BY 1),
+         dist AS (
+           SELECT c.grp, c.bin, c.n / t.tot::DOUBLE AS p
+           FROM c JOIN t USING (grp)),
+         base AS (SELECT bin, p AS q FROM dist WHERE grp = 'src0'),
+         grid AS (
+           SELECT t.grp, bb.bin
+           FROM t, (SELECT DISTINCT bin FROM c) bb),
+         j AS (
+           SELECT grid.grp,
+                  greatest(coalesce(dist.p, 0), 1e-4) AS pp,
+                  greatest(coalesce(base.q, 0), 1e-4) AS qq
+           FROM grid
+           LEFT JOIN dist ON dist.grp = grid.grp AND dist.bin = grid.bin
+           LEFT JOIN base ON base.bin = grid.bin),
+         s AS (
+           SELECT grp,
+                  sum(round((pp - qq) * ln(pp / qq) * 1e9)::BIGINT)::BIGINT
+                    AS psi_nano
+           FROM j GROUP BY 1)
+         SELECT grp AS source, round(psi_nano / 1000000000.0, 6) AS psi
+         FROM s ORDER BY 1""",
+
+    "q_x10_scd2" ->
+      // gaps-and-islands re-derived: change markers via lag, running run
+      // counter, per-run collapse, valid_to = next run's valid_from
+      """WITH o AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                  CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                         OR lag(o_orderpriority) OVER w <> o_orderpriority
+                       THEN 1 ELSE 0 END AS chg
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)),
+         r AS (
+           SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS version
+           FROM o),
+         g AS (
+           SELECT o_custkey, version,
+                  min(o_orderpriority) AS priority,
+                  min(o_orderdate) AS valid_from,
+                  count(*)::BIGINT AS n_rows
+           FROM r GROUP BY 1, 2)
+         SELECT o_custkey, version, priority, valid_from,
+                lead(valid_from) OVER w2 AS valid_to, n_rows,
+                (lead(valid_from) OVER w2 IS NULL) AS is_current
+         FROM g
+         WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
+         ORDER BY o_custkey, version""",
+
+    "q_w6_ntile_cume" ->
+      """SELECT doc_id, source, n_chars,
+                ntile(4) OVER w AS quartile,
+                round(cume_dist() OVER w, 6) AS cume,
+                round(percent_rank() OVER w, 6) AS pct_rank
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+         ORDER BY doc_id""")
+}

@@ -225,6 +225,18 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga11_cc_star" -> ((s, _) => {
+      // the same weak components as q_ga5 computed by the DataFrame-native
+      // large-star/small-star algorithm (O(log n) rounds, diameter-free —
+      // the 100 TB path that needs neither GraphX RDD caches nor
+      // diameter-many supersteps); hash-matching q_ga5's oracle pins the
+      // two tiers against each other AND against the recursive-CTE oracle
+      val g = graph50(s)
+      GraphAnalytics.connectedComponentsStar(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")))
+        .orderBy(col("id"))
+    }),
+
     "q_ga4_bfs_levels" -> ((s, _) => {
       // single-source reachability depth from the init node (id 0 — the
       // reference's walk start convention): frontier-expansion BFS, one
@@ -588,6 +600,19 @@ object GraphQueries {
       // symmetrized edge list, component id = min reached id (every node
       // reaches itself). Termination: the UNION dedups (node, reached)
       // pairs and the pair space is finite — no level column to diverge
+      s"""WITH RECURSIVE e AS (
+            SELECT fromId AS a, toId AS b FROM $edgesTbl
+            UNION SELECT toId, fromId FROM $edgesTbl),
+          r(node, reached) AS (
+            SELECT id, id FROM $nodesTbl
+            UNION
+            SELECT r.node, e.b FROM r JOIN e ON e.a = r.reached)
+          SELECT node AS "id", min(reached) AS component_id
+          FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q_ga11_cc_star" ->
+      // identical min-label-reachability oracle as q_ga5: the star
+      // algorithm must land on the same component minima
       s"""WITH RECURSIVE e AS (
             SELECT fromId AS a, toId AS b FROM $edgesTbl
             UNION SELECT toId, fromId FROM $edgesTbl),

@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class ContainmentSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def words(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(_ => s"w${rnd.nextInt(500)}")
+  }
+
+  test("finds a wholly-embedded document that Jaccard banding misses") {
+    val small = words(12, 1)
+    val big = words(200, 2) ++ small ++ words(200, 3) // small fully inside big
+    val docs = Seq(
+      (1L, small.mkString(" ")),
+      (2L, big.mkString(" ")),
+      (3L, words(50, 4).mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.ngramContainmentPairs(docs, "text", k = 3,
+        threshold = 0.9, prefixDenom = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // directed: doc 1 contained in doc 2, containment 1.0
+    pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 0.99) shouldBe true
+    // but their JACCARD is small/big ≈ 0.03 — the q_d6 pipeline at 0.8
+    // cannot emit this pair even with perfect candidates
+    val jac = Dedup.ngramJaccardPairs(docs, "text", k = 3, threshold = 0.8)
+      .collect()
+    jac.length shouldBe 0
+  }
+
+  test("prefix filter is COMPLETE: candidates never lose a qualifying pair") {
+    // brute-force verify on a random corpus with planted containments
+    val rnd = new scala.util.Random(99)
+    val base = (0 until 30).map(i =>
+      (0 until 20 + rnd.nextInt(60)).map(_ => s"t${rnd.nextInt(300)}"))
+    // plant: doc i+100 = a random slice of doc i with ≤ 5% novel suffix
+    val planted = base.take(8).zipWithIndex.map { case (toks, i) =>
+      (100L + i, (toks ++ toks.take(1)).mkString(" "))
+    }
+    val docs = (base.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      ++ planted).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, "text", k = 3,
+        threshold = 0.9, prefixDenom = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over ALL ordered pairs
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val all = docs.collect().map(r => r.getLong(0) -> sh(r.getString(1))).toMap
+    val brute = (for {
+      (a, sa) <- all; (b, sb) <- all
+      if a != b && sa.nonEmpty
+      c = BigDecimal(sa.intersect(sb).size.toDouble / sa.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if c >= 0.9
+    } yield (a, b)).toSet
+    got shouldBe brute
+    brute.nonEmpty shouldBe true // the plant actually exercised the check
+  }
+
+  test("threshold below the prefix guarantee is rejected") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.ngramContainmentPairs(docs, "text", k = 3, threshold = 0.5,
+        prefixDenom = 10)
+  }
+}

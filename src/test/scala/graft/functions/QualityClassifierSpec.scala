@@ -1,0 +1,52 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class QualityClassifierSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("score is the exact mean of per-term planted weights") {
+    val docs = Seq((1L, "alpha beta beta")).toDF("doc_id", "text")
+    val row = QualityClassifier.score(docs).collect().head
+    // re-derive the planted weights term by term through the same column
+    // expression evaluated standalone
+    val w = Seq("alpha", "beta").map { t =>
+      t -> Seq(t).toDF("tok")
+        .select(QualityClassifier.termWeight(col("tok")).cast("long"))
+        .collect().head.getLong(0)
+    }.toMap
+    val expectedSum = w("alpha") + 2 * w("beta")
+    row.getAs[Long]("n_tokens") shouldBe 3L
+    row.getAs[Long]("w_sum") shouldBe expectedSum
+    row.getAs[Double]("score") shouldBe
+      BigDecimal(expectedSum / 3000.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    row.getAs[Boolean]("keep") shouldBe (expectedSum > 0)
+  }
+
+  test("term weights stay within [-1000, 1000] micro-units") {
+    val toks = (0 until 500).map(i => s"tok$i").toDF("tok")
+    val mm = toks.select(QualityClassifier.termWeight(col("tok")).as("w"))
+      .agg(min("w"), max("w")).collect().head
+    mm.getLong(0) should be >= -1000L
+    mm.getLong(1) should be <= 1000L
+  }
+
+  test("inference is MAP-ONLY: no exchange anywhere in the plan") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = QualityClassifier.score(docs)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+    plan should not include "ShuffleQueryStage"
+  }
+
+  test("null text rows are dropped, not scored") {
+    val docs = Seq((1L, Option("a b")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    QualityClassifier.score(docs).select("doc_id").as[Long].collect() shouldBe
+      Array(1L)
+  }
+}

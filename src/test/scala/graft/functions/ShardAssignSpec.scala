@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class ShardAssignSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, 1 + (i * 37) % 200)).toDF("doc_id", "n_tokens")
+
+  test("distributed carry reproduces the naive global window exactly") {
+    val d = docs(500)
+    val got = ShardAssign.assign(d, col("doc_id"), "n_tokens", shardBudget = 1000L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    // naive single-task reference: global running sum over (skey, doc_id)
+    val naive = d.withColumn("skey",
+        Dedup.md5Hash32(concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("off",
+        coalesce(sum(col("n_tokens").cast("long")).over(
+          Window.orderBy(col("skey"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), expr("off div 1000L").as("shard_id"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe naive
+  }
+
+  test("every shard's token total is within one max-document of the budget") {
+    val budget = 1000L
+    val d = docs(500)
+    val maxDoc = d.agg(max(col("n_tokens"))).collect().head.getInt(0).toLong
+    val sizes = ShardAssign.assign(d, col("doc_id"), "n_tokens", budget)
+      .groupBy("shard_id").agg(sum(col("n_tokens").cast("long")).as("tok"))
+      .orderBy("shard_id").collect()
+    val last = sizes.last.getAs[Long]("shard_id")
+    sizes.foreach { r =>
+      r.getAs[Long]("tok") should be < (budget + maxDoc)
+      if (r.getAs[Long]("shard_id") != last) // final shard holds the remainder
+        r.getAs[Long]("tok") should be > (budget - maxDoc)
+    }
+  }
+
+  test("assignment is deterministic across runs and seed-sensitive") {
+    val d = docs(100)
+    val a = ShardAssign.assign(d, col("doc_id"), "n_tokens", 500L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    val b = ShardAssign.assign(d, col("doc_id"), "n_tokens", 500L)
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    a shouldBe b
+    val other = ShardAssign.assign(d, col("doc_id"), "n_tokens", 500L,
+        seed = "epoch2")
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    other should not be a // a different epoch seed reshuffles the order
+  }
+
+  test("rejects a non-positive budget") {
+    an[IllegalArgumentException] should be thrownBy
+      ShardAssign.assign(docs(5), col("doc_id"), "n_tokens", 0L)
+  }
+}

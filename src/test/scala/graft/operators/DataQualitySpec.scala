@@ -80,4 +80,30 @@ class DataQualitySpec extends AnyFunSuite with Matchers {
     s.getLong(2) shouldBe 3L // rows_at_risk (2 + 1)
     s.getLong(3) shouldBe 1L // k_effective
   }
+
+  test("psiDrift: baseline scores 0 against itself; a shifted group scores higher than a matching one") {
+    // baseline: values spread over bins 0..3; "same" mirrors it exactly;
+    // "shifted" concentrates in bin 9
+    val rows =
+      (0 until 40).map(i => ("base", (i % 4) * 10 + 3)) ++
+      (0 until 40).map(i => ("same", (i % 4) * 10 + 7)) ++ // same bins, offset values
+      (0 until 40).map(_ => ("shifted", 95))
+    val df = rows.toDF("src", "v")
+    val psi = DataQuality.psiDrift(df, "src", "v", baseline = "base",
+        binWidth = 10L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    psi("base") shouldBe 0.0
+    psi("same") shouldBe 0.0 // identical bin distribution
+    psi("shifted") should be > 0.2 // the classic "investigate" threshold
+  }
+
+  test("psiDrift is finite when a bin is empty on one side (epsilon floor)") {
+    val df = (Seq(("base", 5), ("base", 15)) ++ Seq(("other", 95)))
+      .toDF("src", "v")
+    val psi = DataQuality.psiDrift(df, "src", "v", "base", 10L)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    psi("other").isNaN shouldBe false
+    psi("other").isInfinite shouldBe false
+    psi("other") should be > 0.0
+  }
 }

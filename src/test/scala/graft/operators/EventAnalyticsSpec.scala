@@ -216,4 +216,35 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     val b = out.filter(_._1 == "b")
     b.foreach { case (_, _, _, flag) => flag shouldBe false }
   }
+
+  test("decayScore halves contributions per whole half-life, exactly") {
+    // anchor 2024-03-01; ages 0, 7, 14 days → shifts 0, 1, 2
+    val ev = Seq(
+      (1L, "2024-03-01 00:00:00", 10.0),
+      (1L, "2024-02-23 00:00:00", 10.0),
+      (1L, "2024-02-16 00:00:00", 10.0),
+      (2L, "2024-02-29 06:00:00", 3.5)) // age 0 (same-day partial)
+      .map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+      .toDF("user_id", "ts", "value")
+    val out = EventAnalytics.decayScore(ev, anchorDate = "2024-03-01",
+        halfLifeDays = 7, maxShift = 40)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("score_micro")))).toMap
+    // 10e6 + 10e6/2 + 10e6/4 = 17_500_000 micro-units, exactly
+    out(1L) shouldBe ((3L, 17500000L))
+    // age 1 day → 1 div 7 = 0 half-lives → no shift
+    out(2L) shouldBe ((1L, 3500000L))
+  }
+
+  test("decayScore clamps future events and deep history into range") {
+    val ev = Seq(
+      (1L, "2024-03-05 00:00:00", 8.0),   // after the anchor → shift 0
+      (1L, "2010-01-01 00:00:00", 8.0))   // ancient → maxShift cap
+      .map { case (u, t, v) => (u, Timestamp.valueOf(t), v) }
+      .toDF("user_id", "ts", "value")
+    val out = EventAnalytics.decayScore(ev, anchorDate = "2024-03-01",
+      halfLifeDays = 7, maxShift = 10).collect().head
+    // 8e6 >> 0 plus 8e6 >> 10 = 8_000_000 + 7_812
+    out.getAs[Long]("score_micro") shouldBe (8000000L + 8000000L / 1024L)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class Scd2Spec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  private def hist(rows: (Long, String, String, Long)*) =
+    rows.map { case (k, a, t, id) => (k, a, ts(t), id) }
+      .toDF("cust", "tier", "at", "rid")
+
+  test("consecutive equal values collapse into one versioned interval") {
+    val df = hist(
+      (1L, "gold", "2024-01-01", 1L),
+      (1L, "gold", "2024-01-05", 2L),
+      (1L, "silver", "2024-01-10", 3L),
+      (1L, "gold", "2024-01-20", 4L))
+    val out = Scd2.snapshot(df, "cust", "tier", "at", "rid")
+      .orderBy("cust", "version").collect()
+    out.map(_.getAs[Long]("version")) shouldBe Array(1L, 2L, 3L)
+    out.map(_.getAs[String]("tier")) shouldBe Array("gold", "silver", "gold")
+    out.map(_.getAs[Long]("n_rows")) shouldBe Array(2L, 1L, 1L)
+    // valid_to chains to the NEXT version's valid_from; only the last is open
+    out(0).getAs[Timestamp]("valid_to") shouldBe ts("2024-01-10")
+    out(1).getAs[Timestamp]("valid_to") shouldBe ts("2024-01-20")
+    out(2).getAs[Timestamp]("valid_to") shouldBe null
+    out.map(_.getAs[Boolean]("is_current")) shouldBe Array(false, false, true)
+  }
+
+  test("keys are independent: one key's changes never split another's runs") {
+    val df = hist(
+      (1L, "gold", "2024-01-01", 1L),
+      (2L, "silver", "2024-01-02", 2L),
+      (1L, "gold", "2024-01-03", 3L),
+      (2L, "gold", "2024-01-04", 4L))
+    val out = Scd2.snapshot(df, "cust", "tier", "at", "rid")
+      .orderBy("cust", "version").collect()
+    out.count(_.getAs[Long]("cust") == 1L) shouldBe 1 // single gold run
+    out.count(_.getAs[Long]("cust") == 2L) shouldBe 2 // silver → gold
+  }
+
+  test("same-timestamp rows order by the tiebreaker, so versions are stable") {
+    val df = hist(
+      (1L, "a", "2024-01-01", 2L),
+      (1L, "b", "2024-01-01", 1L)) // rid 1 first → b then a
+    val out = Scd2.snapshot(df, "cust", "tier", "at", "rid")
+      .orderBy("version").collect()
+    out.map(_.getAs[String]("tier")) shouldBe Array("b", "a")
+  }
+}

@@ -200,4 +200,38 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       got(v.toLong)._2 shouldBe auth(v) +- 1e-12
     }
   }
+
+  test("connectedComponentsStar matches the GraphX tier on a basic graph") {
+    val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq((1L, 2L), (3L, 2L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.connectedComponentsStar(n, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L)
+  }
+
+  test("connectedComponentsStar matches GraphX on a random graph (incl. a long path)") {
+    // a deterministic pseudo-random edge soup PLUS a 40-node path — the
+    // diameter-heavy case large/small-star exists for (min-label
+    // propagation would need 40 rounds; the star loop stays O(log n))
+    val rnd = new scala.util.Random(12021)
+    val soup = (0 until 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val path = (100L until 139L).map(i => (i, i + 1))
+    val nodesDf = (0L until 140L).toDF("id")
+    val edgesDf = (soup ++ path).toDF("fromId", "toId")
+    val star = GraphAnalytics.connectedComponentsStar(nodesDf, edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val graphx = GraphAnalytics.connectedComponents(nodesDf, edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    star shouldBe graphx
+  }
+
+  test("connectedComponentsStar: self-loops ignored, iteration cap throws") {
+    val n = Seq(1L, 2L).toDF("id")
+    val e = Seq((1L, 1L), (1L, 2L)).toDF("fromId", "toId")
+    GraphAnalytics.connectedComponentsStar(n, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L)
+    an[IllegalStateException] should be thrownBy
+      GraphAnalytics.connectedComponentsStar(n, e, maxIters = 0)
+  }
 }
