@@ -120,7 +120,14 @@ object DataQuality {
     require(binWidth > 0, s"binWidth must be > 0 (got $binWidth)")
     val binned = df.select(col(groupCol).as("grp"),
       expr(s"cast($valueCol as bigint) div ${binWidth}L").as("bin"))
-    val cnt = binned.groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("n"))
+    // the (groups × bins) count grid is consumed FOUR ways downstream
+    // (totals, distributions, the baseline slice, the bin universe);
+    // without a cut Catalyst re-plans the corpus scan+aggregate under each
+    // — 4 full passes at 100 TB. localCheckpoint the KB-sized aggregate so
+    // ONE pass feeds everything (blocks are metadata-scale and die with
+    // the executors; same discipline as GraphAnalytics.hits)
+    val (cnt, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      binned.groupBy(col("grp"), col("bin")).agg(count(lit(1)).as("n")))
     val tot = cnt.groupBy(col("grp")).agg(sum(col("n")).as("tot"))
     val dist = cnt.join(tot, "grp")
       .select(col("grp"), col("bin"), (col("n") / col("tot")).as("p"))

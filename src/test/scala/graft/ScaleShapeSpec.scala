@@ -428,4 +428,39 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "CartesianProduct"
     plan should include("ShuffledHashJoin") // the LM tables' join strategy
   }
+
+  test("containment join stays equi-keyed on the shingle/pair keys — no cross product") {
+    val plan = SparkEntry.queries("q_d17_containment")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("psiDrift consumes the corpus exactly once (checkpointed count grid)") {
+    // the returned plan must read only the KB-sized checkpointed
+    // (group × bin) aggregate — every downstream consumer (totals,
+    // distributions, baseline, bin universe) reuses that one pass; a
+    // parquet scan here would mean the corpus is re-read per consumer
+    val q = SparkEntry.queries("q_q3_psi_drift")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Scan parquet"
+    q.collect().length should be > 0
+  }
+
+  test("decay score is one keyed aggregation: no window, no extra exchanges") {
+    val q = SparkEntry.queries("q_ev16_decay_score")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Window"
+    // one hash exchange for the user_id agg + the output-order range sort
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
+  test("SCD2 never funnels through a single partition: windows stay entity-keyed") {
+    val q = SparkEntry.queries("q_x10_scd2")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Exchange SinglePartition"
+    plan should not include "CartesianProduct"
+  }
 }
