@@ -376,6 +376,30 @@ s${i + 1} AS MATERIALIZED (
   def count(c: Column, model: BpeModel): Column =
     org.apache.spark.sql.functions.size(encode(c, model))
 
+  /** DETOKENIZE: token-id array → the concatenated symbol string (the
+    * character stream; single-space word boundaries are not encoded, so
+    * decode ∘ encode == text with spaces removed — exactly what the
+    * q_t31 round-trip gate pins). The id→symbol table is a plan-literal
+    * array indexed by id (vocab ids are contiguous by construction:
+    * base symbols 0..n-1, merge r → n+r), so decode is one codegen'd
+    * `transform` + concat projection — map-only, no shuffle, no UDF.
+    * Unknown ids (unkId or out of range) render as empty string.
+    */
+  def decode(ids: Column, model: BpeModel): Column = {
+    import org.apache.spark.sql.functions._
+    val n = model.baseSymbols.length
+    val vocab: Seq[String] = model.baseSymbols ++
+      model.merges.map { case (a, b) => a + b }
+    // duplicate merge RESULTS keep the first id (putIfAbsent in
+    // BpeModel.ids); later duplicates still decode to the same string,
+    // so the positional array stays correct even then
+    val arr = array(vocab.map(lit): _*)
+    concat_ws("",
+      transform(ids, i =>
+        when(i >= 0 && i < n + model.merges.length,
+          element_at(arr, i + 1)).otherwise(lit(""))))
+  }
+
   /** The planted gate model: lowercase letters as base symbols plus a
     * 22-merge rank-monotone list tuned to the synthetic documents corpus
     * (builds `the`, `table`, `scan`, `row`, `fast`, `value`, `order`).

@@ -200,4 +200,31 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"), sum(col("_contrib")).as("score_micro"))
       .withColumn("decay_score", round(col("score_micro") / 1000000.0d, 6))
   }
+
+  /** Autoregressive training-example construction — the "predict the next
+    * event from the last N" dataset every sequence/recommendation model
+    * trains on, built as pure window algebra: per user, context = the
+    * previous `contextLen` event types (oldest first, '-'-joined — the
+    * portable rendering), label = the current type. Rows without a full
+    * context are dropped (lag(contextLen) NULL ⇒ the shorter lags are
+    * NULL too, so one predicate suffices).
+    *
+    * Scale shape: ONE window partitioned by user_id — a keyed hash
+    * exchange plus per-user sorted runs; no self-joins, no explode, and
+    * the context string is assembled from `contextLen` lag columns in the
+    * same window stage. Skew is the hottest single user's history.
+    */
+  def nextEventExamples(events: DataFrame, contextLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(contextLen >= 1, s"contextLen must be >= 1 (got $contextLen)")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lags = (contextLen to 1 by -1).map(i => lag(col("event_type"), i).over(w))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("_full", lags.head.isNotNull)
+      .withColumn("context", concat_ws("-", lags: _*))
+      .filter(col("_full"))
+      .select(col("user_id"), col("event_id"), col("context"),
+        col("event_type").as("label"))
+  }
 }

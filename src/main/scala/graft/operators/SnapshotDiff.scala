@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed snapshot diff — classify every row of two table versions as
+  * added / removed / changed, the CDC-audit primitive behind "what did
+  * this pipeline run change" regression reports and incremental-publish
+  * manifests (the read-side complement of [[MergeInto]]'s write-side
+  * upsert).
+  *
+  * Design for 100 TB:
+  *  - ONE full-outer hash join on the key — the minimum possible work for
+  *    a diff (both versions must be read once); no sorts, no windows.
+  *    Non-key columns collapse into a struct per side BEFORE the join, so
+  *    the change test is one null-safe struct comparison, not a per-column
+  *    predicate tree re-evaluated row by row.
+  *  - Unchanged rows (the overwhelming majority between adjacent
+  *    snapshots) are dropped INSIDE the join's projection — the output is
+  *    delta-sized, so nothing downstream pays for table size.
+  *  - Deterministic: pure structural comparison, no floats introduced.
+  */
+object SnapshotDiff {
+
+  /** Diff `newDf` against `oldDf` on `keys`. Both frames must share the
+    * same schema. Returns (keys..., change_type) with change_type ∈
+    * {added, removed, changed}; unchanged rows are omitted.
+    */
+  def diff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(oldDf.columns.sameElements(newDf.columns),
+      s"schema mismatch: ${oldDf.columns.mkString(",")} vs ${newDf.columns.mkString(",")}")
+    val nonKey = oldDf.columns.filterNot(keys.contains).toSeq
+    require(nonKey.nonEmpty, "diff needs at least one non-key column")
+    val o = oldDf.select(keys.map(col) :+ struct(nonKey.map(col): _*).as("_old"): _*)
+    val n = newDf.select(keys.map(col) :+ struct(nonKey.map(col): _*).as("_new"): _*)
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_old").isNull, "added")
+          .when(col("_new").isNull, "removed")
+          .when(!(col("_old") <=> col("_new")), "changed")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+}

@@ -168,6 +168,143 @@ object GraphAnalytics {
       .select(col("id"), coalesce(col("component_id"), col("id")).as("component_id"))
   }
 
+  /** STRONGLY connected components via FW-BW-Trim coloring (the
+    * Fleischer/Hendrickson/Pinar divide-and-conquer lineage in its
+    * label-propagation form, cf. Orzan's coloring and the Slota et al.
+    * Trim variants) — directed mutual reachability, where the weak-CC
+    * tiers ([[connectedComponents]]/[[connectedComponentsStar]]) are
+    * direction-blind. A DataFrame-only formulation:
+    *
+    *  1. TRIM: iteratively peel active nodes with no in-edge or no
+    *     out-edge inside the active subgraph — they are singleton SCCs
+    *     (a nontrivial cycle needs both). This strips the DAG skeleton in
+    *     peel-depth rounds and leaves only nodes on directed cycles, the
+    *     part real (web-crawl-shaped) graphs make tiny.
+    *  2. COLOR: forward min-label propagation to fixpoint — color(v) =
+    *     min id that reaches v within the active set.
+    *  3. HARVEST: the SCC of each color root r is the BACKWARD closure of
+    *     r inside color class r (same-color predecessors, to fixpoint).
+    *     Non-harvested nodes of the class stay active for the next outer
+    *     round. (The tempting (fwdMin, bwdMin) pair-label shortcut is
+    *     WRONG — two parallel branches a→u→b, a→v→b share both labels
+    *     without mutual reachability — hence the per-root closure.)
+    *
+    * Every step is a node-keyed equi-join or aggregate (Catalyst/AQE plan
+    * them like any relational query); per-round frames localCheckpoint
+    * with release handles (the [[kCore]] discipline). Deterministic
+    * throughout: min-based, no floats. Edge endpoints absent from the
+    * node list conduct and may win labels internally; output is
+    * restricted to the declared node list. Self-loops are dropped (a
+    * 1-cycle doesn't change any SCC). Output: (id, scc_id) with scc_id =
+    * min node id in the component.
+    */
+  def stronglyConnectedComponents(nodes: DataFrame, edges: DataFrame,
+                                  maxIters: Int = 200): DataFrame = {
+    val spark = nodes.sparkSession
+    var budget = maxIters
+    def spend(): Unit = {
+      budget -= 1
+      if (budget < 0) throw new IllegalStateException(
+        s"stronglyConnectedComponents exceeded $maxIters total rounds")
+    }
+    val e0 = edges
+      .select(col("fromId").cast("long").as("src"), col("toId").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val universe = nodes.select(col("id").cast("long"))
+      .union(e0.select(col("src").as("id")))
+      .union(e0.select(col("dst").as("id"))).distinct()
+    var (active, releaseActive) = GraftSqlBridge.localCheckpointWithHandle(universe)
+    var activeCount = active.count()
+    // accumulated (id, scc_id) labels; checkpointed on every growth so the
+    // plan never deepens with the round count
+    var (labels, releaseLabels) = GraftSqlBridge.localCheckpointWithHandle(
+      spark.range(0).select(col("id"), col("id").as("scc_id")))
+    def addLabels(add: DataFrame): Unit = {
+      val (next, releaseNext) =
+        GraftSqlBridge.localCheckpointWithHandle(labels.unionByName(add))
+      releaseLabels(); labels = next; releaseLabels = releaseNext
+    }
+    while (activeCount > 0) {
+      spend()
+      // edges of the ACTIVE subgraph, reused by every inner loop this round
+      val (ea, releaseEa) = GraftSqlBridge.localCheckpointWithHandle(
+        e0.join(active.withColumnRenamed("id", "src"), "src")
+          .join(active.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src"), col("dst")))
+      // ---- TRIM: no in-edge or no out-edge in the active subgraph ⇒
+      // singleton SCC (one peel layer per outer round; the next round's
+      // recomputed degrees peel the newly exposed layer)
+      val both = ea.select(col("dst").as("id")).distinct()
+        .join(ea.select(col("src").as("id")).distinct(), "id")
+      val trivial = active.join(both, Seq("id"), "left_anti")
+      val nTrivial = trivial.count()
+      if (nTrivial > 0) {
+        addLabels(trivial.select(col("id"), col("id").as("scc_id")))
+        val (next, releaseNext) = GraftSqlBridge.localCheckpointWithHandle(
+          active.join(trivial, Seq("id"), "left_anti"))
+        activeCount = next.count()
+        releaseActive(); active = next; releaseActive = releaseNext
+        releaseEa()
+      } else {
+        // ---- COLOR: forward min propagation to fixpoint
+        var (color, releaseColor) = GraftSqlBridge.localCheckpointWithHandle(
+          active.select(col("id"), col("id").as("color")))
+        var colorChanged = true
+        while (colorChanged) {
+          spend()
+          val incoming = ea
+            .join(color.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id")).agg(min(col("color")).as("inc"))
+          val nextColor0 = color.join(incoming, Seq("id"), "left")
+            .select(col("id"),
+              least(col("color"), coalesce(col("inc"), col("color"))).as("color"))
+          val (nextColor, releaseNext) =
+            GraftSqlBridge.localCheckpointWithHandle(nextColor0)
+          // colors only decrease: fixpoint ⇔ no row differs
+          colorChanged = nextColor.alias("n")
+            .join(color.alias("c"), col("n.id") === col("c.id"))
+            .filter(col("n.color") =!= col("c.color")).limit(1).count() > 0
+          releaseColor(); color = nextColor; releaseColor = releaseNext
+        }
+        // ---- HARVEST: backward closure of each root within its color
+        var (marked, releaseMarked) = GraftSqlBridge.localCheckpointWithHandle(
+          color.filter(col("color") === col("id")))
+        var markedCount = marked.count()
+        var growing = true
+        while (growing) {
+          spend()
+          val preds = ea
+            .join(marked.withColumnRenamed("id", "dst"), "dst")
+            .select(col("src").as("id"), col("color").as("mcolor"))
+          val sameColor = preds.join(color, "id")
+            .filter(col("color") === col("mcolor"))
+            .select(col("id"), col("color"))
+          val (next, releaseNext) = GraftSqlBridge.localCheckpointWithHandle(
+            marked.unionByName(sameColor).distinct())
+          val nextCount = next.count()
+          growing = nextCount != markedCount
+          releaseMarked(); marked = next; releaseMarked = releaseNext
+          markedCount = nextCount
+        }
+        addLabels(marked.select(col("id"), col("color").as("scc_id")))
+        val (next, releaseNext) = GraftSqlBridge.localCheckpointWithHandle(
+          active.join(marked.select(col("id")), Seq("id"), "left_anti"))
+        activeCount = next.count()
+        releaseActive(); active = next; releaseActive = releaseNext
+        releaseMarked(); releaseColor(); releaseEa()
+      }
+    }
+    releaseActive()
+    e0.unpersist()
+    // the labels checkpoint stays alive — the returned frame reads it.
+    // Every universe node is labeled by termination, and declared nodes
+    // are a subset of the universe, so the restriction is an inner join.
+    nodes.select(col("id").cast("long"))
+      .join(labels, Seq("id"))
+      .select(col("id"), col("scc_id"))
+  }
+
   /** Single-source BFS levels: minimum hop count from `sourceId` to every
     * node, NULL for unreachable nodes. Classic distributed frontier
     * expansion — each level is ONE equi-join of the (tiny) frontier with

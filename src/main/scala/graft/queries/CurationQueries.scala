@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.{Dedup, QualityClassifier, ShardAssign, TextOps}
-import graft.operators.{DataQuality, EventAnalytics, Scd2}
+import graft.functions.{Bpe, Dedup, QualityClassifier, ShardAssign, TextOps}
+import graft.operators.{DataQuality, EventAnalytics, Scd2, SnapshotDiff}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -78,6 +78,42 @@ object CurationQueries {
           tieCol = "o_orderkey")
         .withColumnRenamed("o_orderpriority", "priority")
         .orderBy(col("o_custkey"), col("version"))),
+
+    "q_t31_bpe_roundtrip" -> ((s, d) =>
+      // detokenizer gate: decode(encode(text)) must reproduce the exact
+      // character stream (single-space boundaries are not encoded, so the
+      // oracle is simply the space-stripped source text — a FULLY
+      // independent check that the encode merge walk is lossless and the
+      // id→symbol table is the true inverse). Both directions are
+      // map-only codegen'd projections.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Bpe.decode(Bpe.encode(col("text"), Bpe.planted), Bpe.planted)
+            .as("decoded"))
+        .orderBy(col("doc_id"))),
+
+    "q_ev17_next_event" -> ((s, d) =>
+      // next-event-prediction training examples: one user-keyed window,
+      // context from 3 lag columns, label = current type
+      EventAnalytics.nextEventExamples(Tables.events(s, d), contextLen = 3)
+        .orderBy(col("event_id"))),
+
+    "q_x11_snapshot_diff" -> ((s, d) => {
+      // CDC audit between two table versions: v2 is derived
+      // deterministically from orders in-plan (drop %97 keys, bump price
+      // on %13 keys, re-key %101 rows as inserts), then ONE full-outer
+      // join classifies added/removed/changed and drops the unchanged
+      // majority inside the join projection — delta-sized output
+      val orders = Tables.orders(s, d)
+      val v2base = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 10.0d)
+            .otherwise(col("o_totalprice")))
+      val v2adds = orders.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      SnapshotDiff.diff(orders, v2base.unionByName(v2adds), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     "q_w6_ntile_cume" -> ((s, d) => {
       // rank-distribution window family over per-source length order:
@@ -239,6 +275,53 @@ object CurationQueries {
          FROM g
          WINDOW w2 AS (PARTITION BY o_custkey ORDER BY version)
          ORDER BY o_custkey, version""",
+
+    "q_t31_bpe_roundtrip" ->
+      // the oracle never runs the tokenizer at all: if decode is the true
+      // inverse of the merge walk, the round trip IS the source character
+      // stream
+      """SELECT doc_id, replace(text, ' ', '') AS decoded
+         FROM documents ORDER BY doc_id""",
+
+    "q_ev17_next_event" ->
+      """WITH o AS (
+           SELECT user_id, event_id, event_type,
+                  lag(event_type, 3) OVER w AS l3,
+                  lag(event_type, 2) OVER w AS l2,
+                  lag(event_type, 1) OVER w AS l1
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, event_id,
+                l3 || '-' || l2 || '-' || l1 AS context,
+                event_type AS label
+         FROM o WHERE l3 IS NOT NULL ORDER BY event_id""",
+
+    "q_x11_snapshot_diff" ->
+      // the same derived v2 + full-outer classification re-derived
+      """WITH v2 AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  CASE WHEN o_orderkey % 13 = 0
+                       THEN o_totalprice + 10.0 ELSE o_totalprice END
+                    AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 101 = 0),
+         j AS (
+           SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                         OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                       THEN 'changed' ELSE 'unchanged' END AS change_type
+           FROM orders o FULL JOIN v2 n ON o.o_orderkey = n.o_orderkey)
+         SELECT o_orderkey, change_type FROM j
+         WHERE change_type <> 'unchanged' ORDER BY o_orderkey""",
 
     "q_w6_ntile_cume" ->
       """SELECT doc_id, source, n_chars,

@@ -237,6 +237,17 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga12_scc" -> ((s, _) => {
+      // STRONGLY connected components (directed mutual reachability —
+      // q_ga5/q_ga11 are direction-blind) via FW-BW-Trim coloring; the
+      // oracle re-derives every label from the transitive closure:
+      // scc_id(v) = min{u : v→*u AND u→*v}
+      val g = graph50(s)
+      GraphAnalytics.stronglyConnectedComponents(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")))
+        .orderBy(col("id"))
+    }),
+
     "q_ga4_bfs_levels" -> ((s, _) => {
       // single-source reachability depth from the init node (id 0 — the
       // reference's walk start convention): frontier-expansion BFS, one
@@ -622,6 +633,28 @@ object GraphQueries {
             SELECT r.node, e.b FROM r JOIN e ON e.a = r.reached)
           SELECT node AS "id", min(reached) AS component_id
           FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q_ga12_scc" ->
+      // full transitive closure (51-node fixture: bounded pair space, the
+      // UNION dedups), then mutual-reachability min per node. Universe
+      // includes phantom edge endpoints (they conduct and can anchor an
+      // SCC), output restricted to declared nodes — the Spark contract.
+      s"""WITH RECURSIVE e AS (
+            SELECT DISTINCT fromId AS a, toId AS b FROM $edgesTbl
+            WHERE fromId <> toId),
+          u AS (SELECT id FROM $nodesTbl
+                UNION SELECT a FROM e UNION SELECT b FROM e),
+          r(src, dst) AS (
+            SELECT id, id FROM u
+            UNION
+            SELECT r.src, e.b FROM r JOIN e ON e.a = r.dst),
+          scc AS (
+            SELECT r1.src AS id, min(r1.dst) AS scc_id
+            FROM r r1 JOIN r r2 ON r2.src = r1.dst AND r2.dst = r1.src
+            GROUP BY 1)
+          SELECT n.id AS "id", scc.scc_id
+          FROM $nodesTbl n JOIN scc ON scc.id = n.id
+          ORDER BY n.id""",
 
     "q_ga4_bfs_levels" ->
       // bounded recursive enumeration + min per node: UNION dedups exact

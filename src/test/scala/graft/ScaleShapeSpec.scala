@@ -463,4 +463,29 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "Exchange SinglePartition"
     plan should not include "CartesianProduct"
   }
+
+  test("BPE round-trip is scan + project: both codec directions in one map stage") {
+    val plan = SparkEntry.queries("q_t31_bpe_roundtrip")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Exchange hashpartitioning" // only the output-order range sort
+    plan should not include "HashAggregate"
+  }
+
+  test("next-event examples: one user-keyed window, no self-join, no explode") {
+    val q = SparkEntry.queries("q_ev17_next_event")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    plan should not include "Generate" // no explode
+    "Window".r.findAllIn(plan).length shouldBe 1
+  }
+
+  test("snapshot diff is ONE full-outer equi-join; unchanged rows die in its projection") {
+    val q = SparkEntry.queries("q_x11_snapshot_diff")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should include("FullOuter")
+    plan should not include "CartesianProduct"
+    ("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length) shouldBe 1
+  }
 }

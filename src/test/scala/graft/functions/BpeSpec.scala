@@ -195,4 +195,21 @@ class BpeSpec extends AnyFunSuite {
     val n = df.select(Bpe.count(col("text"), m).as("n")).collect().map(_.getInt(0))
     assert(n.toSeq == Seq(m.encode("the fast scan").length, 1))
   }
+
+  test("decode is the exact inverse of encode on the character stream") {
+    import spark.implicits._
+    val texts = Seq("the fast scan of the order table", "a", "zz qq the")
+    val out = texts.toDF("text")
+      .select(Bpe.decode(Bpe.encode(col("text"), Bpe.planted), Bpe.planted))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == texts.map(_.replace(" ", "")))
+  }
+
+  test("decode renders unknown / out-of-range ids as empty, not a crash") {
+    import spark.implicits._
+    val vocabSize = Bpe.planted.baseSymbols.length + Bpe.planted.merges.length
+    val ids = Seq(Seq(0, -1, 1, vocabSize, 25)).toDF("ids")
+    val out = ids.select(Bpe.decode(col("ids"), Bpe.planted)).head().getString(0)
+    assert(out == "abz") // ids 0, 1, 25; -1 (unk) and vocabSize dropped
+  }
 }

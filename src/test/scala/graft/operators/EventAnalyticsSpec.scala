@@ -247,4 +247,22 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     // 8e6 >> 0 plus 8e6 >> 10 = 8_000_000 + 7_812
     out.getAs[Long]("score_micro") shouldBe (8000000L + 8000000L / 1024L)
   }
+
+  test("nextEventExamples: context is the previous N types oldest-first; short prefixes drop") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "a", 10L),
+      (1L, "2024-01-01 11:00:00", "b", 11L),
+      (1L, "2024-01-01 12:00:00", "c", 12L),
+      (1L, "2024-01-01 13:00:00", "d", 13L),
+      (1L, "2024-01-01 14:00:00", "e", 14L),
+      (2L, "2024-01-01 10:00:00", "x", 20L), // user 2: too short for any example
+      (2L, "2024-01-01 11:00:00", "y", 21L))
+      .map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.nextEventExamples(rows, contextLen = 3)
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("context"),
+        r.getAs[String]("label")))
+    out shouldBe Array((13L, "a-b-c", "d"), (14L, "b-c-d", "e"))
+  }
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SnapshotDiffSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def t(rows: (Long, String, Option[Int])*) =
+    rows.toDF("id", "name", "score")
+
+  test("classifies added / removed / changed and drops the unchanged majority") {
+    val old = t((1L, "a", Some(1)), (2L, "b", Some(2)), (3L, "c", Some(3)))
+    val neu = t((2L, "b", Some(2)),          // unchanged → omitted
+      (3L, "c", Some(30)),                   // changed
+      (4L, "d", Some(4)))                    // added; 1 removed
+    val out = SnapshotDiff.diff(old, neu, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "removed", 3L -> "changed", 4L -> "added")
+  }
+
+  test("null handling is null-safe: null→value and value→null are changes, null→null is not") {
+    val old = t((1L, "a", None), (2L, "b", Some(2)), (3L, "c", None))
+    val neu = t((1L, "a", Some(9)), (2L, "b", None), (3L, "c", None))
+    val out = SnapshotDiff.diff(old, neu, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "changed", 2L -> "changed")
+  }
+
+  test("schema mismatch and key-only schemas are rejected") {
+    val old = t((1L, "a", Some(1)))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotDiff.diff(old, old.withColumnRenamed("score", "points"), Seq("id"))
+    an[IllegalArgumentException] should be thrownBy
+      SnapshotDiff.diff(old, old, Seq("id", "name", "score"))
+  }
+}

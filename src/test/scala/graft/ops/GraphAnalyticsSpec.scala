@@ -225,6 +225,55 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     star shouldBe graphx
   }
 
+  test("SCC: cycles collapse, DAG nodes stay singletons, direction matters") {
+    // 1⇄2 cycle, 3→2 (one-way: 3 is NOT in the cycle's SCC), 4 isolated
+    val n = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 2L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.stronglyConnectedComponents(n, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L)
+  }
+
+  test("SCC: the parallel-branch case that breaks (fwdMin, bwdMin) pair labels") {
+    // 0→5, 0→6, 5→1, 6→1: nodes 5 and 6 share fwd-min 0 AND bwd-min 1,
+    // but are NOT mutually reachable — each must be its own SCC
+    val n = Seq(0L, 1L, 5L, 6L).toDF("id")
+    val e = Seq((0L, 5L), (0L, 6L), (5L, 1L), (6L, 1L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.stronglyConnectedComponents(n, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(0L -> 0L, 1L -> 1L, 5L -> 5L, 6L -> 6L)
+  }
+
+  test("SCC matches GraphX's own SCC on a random directed graph") {
+    import org.apache.spark.graphx.{Edge, Graph}
+    import org.apache.spark.graphx.lib.{StronglyConnectedComponents => GxScc}
+    val rnd = new scala.util.Random(4242)
+    // dense-ish soup on 40 nodes (cycles form) + a 15-node directed chain
+    val soup = (0 until 90).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val chain = (50L until 64L).map(i => (i, i + 1))
+    val nodesDf = ((0L until 40L) ++ (50L until 65L)).toDF("id")
+    val edgesDf = (soup ++ chain).toDF("fromId", "toId")
+    val got = GraphAnalytics.stronglyConnectedComponents(nodesDf, edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vs = spark.sparkContext.parallelize(
+      ((0L until 40L) ++ (50L until 65L)).map(i => (i, ())))
+    val es = spark.sparkContext.parallelize(
+      (soup ++ chain).filter(p => p._1 != p._2).map(p => Edge(p._1, p._2, ())))
+    val gx = GxScc.run(Graph(vs, es), numIter = 100)
+      .vertices.collect().toMap
+    // GraphX labels by LOWEST vertex id in the SCC as well
+    got.keySet shouldBe gx.keySet
+    got.keys.foreach { k => got(k) shouldBe gx(k) }
+  }
+
+  test("SCC: empty edges label every node as its own singleton") {
+    val n = Seq(7L, 9L).toDF("id")
+    val e = Seq.empty[(Long, Long)].toDF("fromId", "toId")
+    GraphAnalytics.stronglyConnectedComponents(n, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(7L -> 7L, 9L -> 9L)
+  }
+
   test("connectedComponentsStar: self-loops ignored, iteration cap throws") {
     val n = Seq(1L, 2L).toDF("id")
     val e = Seq((1L, 1L), (1L, 2L)).toDF("fromId", "toId")
