@@ -31,6 +31,7 @@ object Verify {
     // query loop deletes failed results for).
     Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
         "fx_stream_pairs.parquet", "fx_incdedup_stream.parquet",
+        "fx_decay_stream.parquet",
         "fx_ivf_probes.parquet", "fx_ivf_centroids.parquet",
         "fx_pq_codebooks.parquet",
         "fx_mitm_matches.parquet", "fx_mitm_walks.parquet",
@@ -100,6 +101,14 @@ object Verify {
       try graft.queries.StreamParity.exportStreamPairs(spark, sfDir, outDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] stream-parity export failed: ${e.getMessage}")
+      }
+    }
+    // q_ev18's oracle: the event table replayed through a multi-batch
+    // STREAMING stateful aggregation (scalar contribution mirror)
+    if (selected("q_ev18")) {
+      try graft.queries.StreamParity.exportDecayStream(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] decay-stream export failed: ${e.getMessage}")
       }
     }
     // q_v3/q_v4's oracle input: the trained IVF model's full cell ranking

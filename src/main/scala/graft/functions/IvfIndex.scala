@@ -126,6 +126,53 @@ object IvfIndex {
     assignCells(newEmbs, model)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** Index DELETION — the third index-lifecycle op (build / upsert /
+    * delete): remove `deleteIds` rows, rewriting ONLY the cell partitions
+    * that contain them (dynamic partition overwrite — cost ∝ affected
+    * cells, never the corpus). Probes need no tombstone logic afterwards:
+    * the scan simply no longer returns the rows.
+    *
+    * Subtlety a naive dynamic-overwrite delete gets wrong: a cell whose
+    * EVERY row is deleted produces no output rows, so dynamic overwrite
+    * never touches its directory and the dead rows would survive. Fully
+    * emptied cells are therefore removed explicitly through the
+    * filesystem after the rewrite.
+    */
+  def deleteFromIndex(spark: SparkSession, path: String,
+                      deleteIds: DataFrame): Unit = {
+    val idx = spark.read.parquet(path)
+    val del = deleteIds.select(col("vec_id").cast("long").as("vec_id")).distinct()
+    val affected = idx.join(broadcast(del), "vec_id")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    if (affected.isEmpty) return
+    // localCheckpoint BEFORE the overwrite: the surviving rows must stop
+    // referencing the files the write replaces (Spark refuses — rightly —
+    // to overwrite a path its own plan is still reading)
+    val (survivors, releaseSurvivors) =
+      org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+        idx.filter(col("cell").isin(affected.map(Integer.valueOf).toSeq: _*))
+          .join(broadcast(del), Seq("vec_id"), "left_anti"))
+    try {
+      val emptied = affected.toSet --
+        survivors.select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").partitionBy("cell").parquet(path)
+      finally prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      if (emptied.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, s"cell=$c"), true); ()
+        }
+      }
+    } finally releaseSurvivors()
+  }
+
   // Train-once caches, split by what the caller needs: model-only users
   // (the q_v3..v9 query family) must not pay a full-corpus partitioned
   // index WRITE they never read, and index users (q_v7) reuse both. Keyed

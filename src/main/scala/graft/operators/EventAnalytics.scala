@@ -201,6 +201,24 @@ object EventAnalytics {
       .withColumn("decay_score", round(col("score_micro") / 1000000.0d, 6))
   }
 
+  /** SCALAR mirror of [[decayScore]]'s per-event contribution — used by the
+    * q_ev18 streaming-parity replay so the streamed path shares NO
+    * evaluation code with the Catalyst column pipeline (java.time date
+    * math + JVM integer ops vs datediff/div/shiftleft expressions): any
+    * drift in the day count, clamping, micro-unit rounding, or shift
+    * surfaces as a per-round gate hash mismatch. Both truncate the
+    * (clamped-non-negative) divisions identically.
+    */
+  def contribMicrosScalar(value: Double, ts: java.sql.Timestamp,
+                          anchorDate: String, halfLifeDays: Int,
+                          maxShift: Int): Long = {
+    val anchor = java.time.LocalDate.parse(anchorDate)
+    val eventDay = ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val days = java.time.temporal.ChronoUnit.DAYS.between(eventDay, anchor).toInt
+    val k = math.min(math.max(days / halfLifeDays, 0), maxShift)
+    Math.round(value * 1000000.0) / (1L << k)
+  }
+
   /** Autoregressive training-example construction — the "predict the next
     * event from the last N" dataset every sequence/recommendation model
     * trains on, built as pure window algebra: per user, context = the

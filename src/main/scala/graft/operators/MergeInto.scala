@@ -64,4 +64,29 @@ object MergeInto {
       .select(payload.map(col): _*)
     untouched.select(payload.map(col): _*).unionByName(upserts)
   }
+
+  /** POINT-IN-TIME reconstruction (time travel) from a full change log —
+    * "what did this table look like as of version t": restrict the log to
+    * seq ≤ asOfSeq, reduce to the latest change per key (the same
+    * max-struct aggregate [[merge]] uses — one map-side-combinable pass,
+    * no per-key window over the log), keep rows whose latest op is an
+    * upsert. The log IS the table history, so any past version is one
+    * aggregation away — no stored snapshots, no ordering assumptions
+    * beyond the seq column, work ∝ log size up to t.
+    */
+  def snapshotAt(changes: DataFrame, keys: Seq[String], asOfSeq: Long,
+                 opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "snapshotAt needs at least one key column")
+    val payload = changes.columns.toSeq.filterNot(c => c == opCol || c == seqCol)
+    val bounded = changes.filter(col(seqCol) <= asOfSeq)
+    val latest = bounded
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(
+        col(seqCol) +: col(opCol) +: payload.filterNot(keys.contains).map(col): _*))
+        .as("__latest"))
+    latest
+      .filter(col(s"__latest.$opCol") === "U")
+      .select(keys.map(col) ++
+        payload.filterNot(keys.contains).map(c => col(s"__latest.$c").as(c)): _*)
+  }
 }

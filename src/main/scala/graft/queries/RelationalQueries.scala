@@ -2272,6 +2272,53 @@ object RelationalQueries {
         nprobe = model.numCells, excludeSelf = Some(0L))
     }),
 
+    "q_v17_ivf_delete" -> ((s, d) => {
+      // index DELETION (the third lifecycle op after q_v7's build and
+      // q_v15's upsert): full index, delete every (vec_id % 7 == 3)
+      // vector — IvfIndex.deleteFromIndex rewrites ONLY the affected cell
+      // partitions (dynamic partition overwrite; fully-emptied cells
+      // removed explicitly) — then probe exhaustively. Result must equal
+      // brute force over the SURVIVING corpus: a leftover tombstone, a
+      // dropped survivor, or an untouched emptied cell all fail the hash.
+      val embs = Tables.embeddings(s, d)
+      val model = ivfModel(s, embs, d)
+      val path = scratchDir("graft_ivfdel", d)
+      graft.functions.IvfIndex.writeIndex(embs, model, path)
+      graft.functions.IvfIndex.deleteFromIndex(s, path,
+        embs.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      val query = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      graft.functions.IvfIndex.topKIndexed(s, path, model, query, k = 10,
+        nprobe = model.numCells, excludeSelf = Some(0L))
+    }),
+
+    "q_x12_time_travel" -> ((s, d) => {
+      // point-in-time reconstruction from a full change log (the q_x6
+      // change batch plus the base table as seq-0 inserts), as of seq 2:
+      // the seq-3 deletes must NOT apply, the seq-2 priority rewrite must
+      // win over the seq-1 price upsert on its keys, and the seq-1
+      // inserts must exist. One bounded-log aggregate — no stored
+      // snapshot, no log-wide window.
+      val o = Tables.orders(s, d)
+      val base = o.withColumn("op", lit("U")).withColumn("seq", lit(0))
+      val u1 = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0d)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1))
+      val u2 = o.filter(col("o_orderkey") % 194 === 0)
+        .withColumn("o_orderpriority", lit("0-MERGED"))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2))
+      val del = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3))
+      val ins = o.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1))
+      val log = base.unionByName(u1).unionByName(u2)
+        .unionByName(del).unionByName(ins)
+      graft.operators.MergeInto.snapshotAt(log, Seq("o_orderkey"), asOfSeq = 2L)
+        .select(o.columns.map(col).toSeq: _*)
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_v7_ivf_indexed" -> ((s, d) => {
       // the train-once / write-partitioned / probe-many flow a 100 TB user
       // actually runs: the index is persisted partitionBy(cell), so a probe's
@@ -3358,6 +3405,49 @@ object RelationalQueries {
                 round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
          FROM embeddings WHERE vec_id <> 0
          ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "q_v17_ivf_delete" ->
+      // the deleted index probed exhaustively must equal brute force over
+      // the SURVIVORS only — the q_v6 oracle restricted by the same
+      // deletion predicate
+      """WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
+         FROM embeddings WHERE vec_id <> 0 AND vec_id % 7 <> 3
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
+
+    "q_x12_time_travel" ->
+      // the same log rebuilt in SQL; as-of = latest change per key with
+      // seq <= 2, kept if an upsert (seq is unique per key by
+      // construction, so ORDER BY seq DESC is deterministic)
+      """WITH log AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'U' AS op, 0 AS seq
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0,
+                  o_orderdate, o_orderpriority, 'U', 1
+           FROM orders WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, '0-MERGED', 'U', 2
+           FROM orders WHERE o_orderkey % 194 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority, 'D', 3
+           FROM orders WHERE o_orderkey % 101 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority, 'U', 1
+           FROM orders WHERE o_orderkey % 103 = 0),
+         latest AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                       ORDER BY seq DESC) AS rn
+           FROM log WHERE seq <= 2)
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM latest WHERE rn = 1 AND op = 'U'
+         ORDER BY o_orderkey""",
 
     "q_v5_knn_join_exact" ->
       // knnJoin at nprobe = numCells is exhaustive, so the oracle is plain

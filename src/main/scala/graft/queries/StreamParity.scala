@@ -139,9 +139,68 @@ object StreamParity {
     }
   }
 
+  /** Event payload for the q_ev18 replay. */
+  final case class ValEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** q_ev18's oracle: replay the event table through a STREAMING stateful
+    * aggregation in several micro-batches — per-event contributions via
+    * [[graft.operators.EventAnalytics.contribMicrosScalar]] (java.time +
+    * JVM integer math inside a typed `map`, NOT the Catalyst column
+    * pipeline the batch query runs), complete-mode streaming groupBy —
+    * and export the final state as `fx_decay_stream.parquet`. Proves the
+    * decay score is maintainable as streaming state (it is algebraic:
+    * each event's contribution is context-free) AND that the two
+    * evaluation paths agree bit for bit.
+    */
+  def exportDecayStream(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("ts"), col("value"))
+      .collect()
+      .map(r => ValEvent(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val src = MemoryStream[ValEvent]
+    val qname = s"graft_decay_parity_${ProcessHandle.current.pid}"
+    val agg = src.toDS()
+      .map(e => (e.user_id,
+        graft.operators.EventAnalytics.contribMicrosScalar(
+          e.value, e.ts, "2024-03-01", 7, 40)))
+      .toDF("user_id", "contrib")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("contrib")).as("score_micro"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(qname).start()
+    try {
+      // several micro-batches so the state genuinely accumulates across
+      // triggers instead of collapsing into one batch
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val out = spark.table(qname)
+        .withColumn("decay_score", round(col("score_micro") / 1000000.0d, 6))
+        .select(col("user_id"), col("n_events"), col("score_micro"),
+          col("decay_score"))
+        .orderBy(col("user_id"))
+      GraphQueries.writeSingleFile(out, s"$outDir/fx_decay_stream.parquet")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qname)
+      ()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_d9_stream_parity" -> ((s, d) => batchPairs(s, d)),
-    "q_d14_incremental_parity" -> ((s, d) => batchIncremental(s, d)))
+    "q_d14_incremental_parity" -> ((s, d) => batchIncremental(s, d)),
+    "q_ev18_decay_stream_parity" -> ((s, d) =>
+      // the gated batch side: the exact q_ev16 column pipeline
+      graft.operators.EventAnalytics.decayScore(Tables.events(s, d),
+          anchorDate = "2024-03-01", halfLifeDays = 7, maxShift = 40)
+        .select(col("user_id"), col("n_events"), col("score_micro"),
+          col("decay_score"))
+        .orderBy(col("user_id"))))
 
   val oracleSql: Map[String, String] = Map(
     "q_d9_stream_parity" ->
@@ -152,5 +211,11 @@ object StreamParity {
       // the streamed replay exported by exportIncrementalDedup — per-row HOF
       // evaluation against the static corpus index, not a round-trip
       """SELECT doc_id, is_exact_dup, n_near_corpus_docs
-         FROM '{{OUTDIR}}/fx_incdedup_stream.parquet' ORDER BY doc_id""")
+         FROM '{{OUTDIR}}/fx_incdedup_stream.parquet' ORDER BY doc_id""",
+    "q_ev18_decay_stream_parity" ->
+      // the multi-micro-batch streamed replay exported by exportDecayStream
+      // — scalar java.time/JVM-integer evaluation, not a round-trip of the
+      // batch column pipeline
+      """SELECT user_id, n_events, score_micro, decay_score
+         FROM '{{OUTDIR}}/fx_decay_stream.parquet' ORDER BY user_id""")
 }

@@ -176,4 +176,32 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
         dupModel.centroids.flatten, 2, 2).as("cells"))
       .collect().foreach(_.isNullAt(0) shouldBe true)
   }
+
+  test("deleteFromIndex removes rows, rewrites only affected cells, clears emptied cells") {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = IvfIndex.train(spark, embs, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfdel-spec").toString
+    IvfIndex.writeIndex(embs, model, dir)
+    val before = IvfIndex.readIndex(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    // delete a scattered subset
+    IvfIndex.deleteFromIndex(spark, dir,
+      embs.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+    val after = IvfIndex.readIndex(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    after shouldBe before.filterNot(_ % 5 == 0)
+    // delete EVERYTHING in one cell: the partition directory must vanish
+    // (dynamic overwrite alone would silently leave it — the documented trap)
+    val idx = IvfIndex.readIndex(spark, dir)
+    val someCell = idx.select("cell").head().getInt(0)
+    val cellIds = idx.filter(col("cell") === someCell).select(col("vec_id"))
+    IvfIndex.deleteFromIndex(spark, dir, cellIds)
+    new java.io.File(dir, s"cell=$someCell").exists() shouldBe false
+    IvfIndex.readIndex(spark, dir).filter(col("cell") === someCell).count() shouldBe 0L
+    // deleting ids not present is a no-op
+    val cnt = IvfIndex.readIndex(spark, dir).count()
+    IvfIndex.deleteFromIndex(spark, dir, Seq(999999L).toDF("vec_id"))
+    IvfIndex.readIndex(spark, dir).count() shouldBe cnt
+  }
 }

@@ -59,4 +59,19 @@ class MergeIntoSpec extends AnyFunSuite with Matchers {
     }
     ex.getMessage should include("missing columns")
   }
+
+  test("snapshotAt reconstructs any version from the log: deletes apply only at their seq") {
+    val log = Seq(
+      (1L, "v1", "U", 0L),
+      (2L, "w1", "U", 0L),
+      (1L, "v2", "U", 1L),   // rewrite key 1
+      (2L, "w1", "D", 2L),   // delete key 2
+      (3L, "x1", "U", 2L))   // late insert
+      .toDF("id", "payload", "op", "seq")
+    def at(t: Long) = MergeInto.snapshotAt(log, Seq("id"), t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    at(0L) shouldBe Map(1L -> "v1", 2L -> "w1")
+    at(1L) shouldBe Map(1L -> "v2", 2L -> "w1")
+    at(2L) shouldBe Map(1L -> "v2", 3L -> "x1") // key 2 deleted, 3 born
+  }
 }
