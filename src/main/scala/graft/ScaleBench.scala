@@ -79,7 +79,7 @@ object ScaleBench {
     "q_u1_url_normalize", "q_u2_domain_cap", "q_t28_compression_quality",
     "q_v16_mmr_rerank", "q_sp10_epoch_mix", "q_t29_quality_calibration",
     "q_t30_quality_classifier", "q_sp12_shard_assign", "q_d17_containment",
-    "q_q3_psi_drift", "q_w6_ntile_cume")
+    "q_q3_psi_drift", "q_w6_ntile_cume", "q_t31_bpe_roundtrip")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail
@@ -456,7 +456,11 @@ object ScaleBench {
         graft.functions.Dedup.boilerplateRemoval(Tables.documents(s, d),
           k = 3, minDocs = 3, hashGramKeys = true)),
       "q_d6_ngram_jaccard" -> gateQueries("q_d6_ngram_jaccard"),
-      "q_t12_intra_doc_dedup" -> gateQueries("q_t12_intra_doc_dedup"))
+      "q_t12_intra_doc_dedup" -> gateQueries("q_t12_intra_doc_dedup"),
+      // the containment join's inverted-index side is the most
+      // stop-shingle-exposed plan in the engine — the boilerplate plant
+      // stresses exactly its hot join key
+      "q_d17_containment" -> gateQueries("q_d17_containment"))
     // the 100×-point family (documents-only): the heaviest gram-keyed /
     // corpus-reduction text+dedup operators, in gate form plus the
     // hash-gram-key production forms — where partial-aggregate memory, AQE

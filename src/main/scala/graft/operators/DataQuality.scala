@@ -99,6 +99,28 @@ object DataQuality {
         sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
         min(col("n")).as("k_effective"))
 
+  /** Per-column dataset profile — the "what is actually in this table"
+    * report (pandas-profiling/Deequ-profile shape): null count and exact
+    * distinct count per column, long-form one row per column. ONE
+    * aggregation over one scan — per-column aggregates ride the same
+    * pass (each countDistinct adds an Expand branch Spark plans inside
+    * the job, the documented cost of exactness; approx_count_distinct is
+    * the one-word swap-in for unbounded-cardinality columns at 100 TB).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq((count(lit(1)) - count(col(c))).as(s"__n$i"),
+        countDistinct(col(c)).as(s"__d$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val reports = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col(s"__n$i").as("n_nulls"),
+        col(s"__d$i").as("n_distinct"))
+    }
+    row.select(explode(array(reports: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Population-stability-index drift report — the standard "has this
     * source's distribution shifted vs the reference" check a training-data
     * pipeline runs per ingest batch (PSI > 0.2 = retrain/investigate, by

@@ -115,6 +115,60 @@ object CurationQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q_a20_sketch_union" -> ((s, d) => {
+      // MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+      // Spark's hll_sketch_agg/hll_union) — the scale property q_a9's
+      // opaque approx_count_distinct can't demonstrate: two half-corpus
+      // sketches UNIONED must land inside the sketch error band of the
+      // monolithic single-pass sketch — what lets 1000 executors sketch
+      // independently and merge. (Not bit-identical by design: DataSketches
+      // promotes sparse-mode coupons differently under union — measured
+      // 499 vs 502 on the 500-distinct fixture — so the gate pins a
+      // 2%+8 band, the honest mergeability contract.) Envelope oracle
+      // (the q_a9 pattern): exact distinct + booleans asserted TRUE.
+      val docs = Tables.documents(s, d)
+      val h1 = docs.filter(col("doc_id") % 2 === 0)
+        .agg(hll_sketch_agg(col("text")).as("sk1"))
+      val h2 = docs.filter(col("doc_id") % 2 === 1)
+        .agg(hll_sketch_agg(col("text")).as("sk2"))
+      docs.agg(hll_sketch_agg(col("text")).as("skw"),
+          countDistinct(col("text")).as("n_exact"))
+        .crossJoin(broadcast(h1)).crossJoin(broadcast(h2))
+        .select(col("n_exact"),
+          (abs(hll_sketch_estimate(hll_union(col("sk1"), col("sk2"))) -
+            hll_sketch_estimate(col("skw"))) <=
+            col("n_exact") * 0.02 + lit(8L)).as("merge_within_band"),
+          (abs(hll_sketch_estimate(col("skw")) - col("n_exact")) <=
+            col("n_exact") * 0.05 + lit(16L)).as("within_envelope"))
+    }),
+
+    "q_sp13_stratified_sample" -> ((s, d) => {
+      // proportional stratified sampling: EXACT ceil(20%) of every
+      // stratum by the deterministic md5 rank — the per-source twin of
+      // q_sp8's global exact-size sample (q_sp2's quota is a fixed cap,
+      // not proportional). Integer ceil — (n+4) div 5 — so no float
+      // boundary ambiguity; windows partition by stratum, never global.
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("strat:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_s",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rk") <= expr("(n_s + 4) div 5"))
+        .select(col("doc_id"), col("source"), col("rk").cast("long").as("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_q4_column_profile" -> ((s, d) =>
+      // dataset profiling: per-column null + exact distinct counts in ONE
+      // aggregation pass over one scan, long-form report
+      DataQuality.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy(col("column"))),
+
     "q_w6_ntile_cume" -> ((s, d) => {
       // rank-distribution window family over per-source length order:
       // ntile quartiles + cume_dist + percent_rank, unique ordering (tie
@@ -322,6 +376,44 @@ object CurationQueries {
            FROM orders o FULL JOIN v2 n ON o.o_orderkey = n.o_orderkey)
          SELECT o_orderkey, change_type FROM j
          WHERE change_type <> 'unchanged' ORDER BY o_orderkey""",
+
+    "q_a20_sketch_union" ->
+      // envelope oracle: exact distinct; the merge band and the accuracy
+      // band must BOTH hold (a broken merge or a mis-estimating sketch
+      // fails the hash)
+      """SELECT count(DISTINCT text)::BIGINT AS n_exact,
+                TRUE AS merge_within_band, TRUE AS within_envelope
+         FROM documents""",
+
+    "q_sp13_stratified_sample" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('strat:' || doc_id), doc_id) AS rk,
+                  count(*) OVER (PARTITION BY source) AS n_s
+           FROM documents)
+         SELECT doc_id, source, rk::BIGINT AS rk
+         FROM r WHERE rk <= (n_s + 4) // 5 ORDER BY doc_id""",
+
+    "q_q4_column_profile" ->
+      """SELECT * FROM (
+           SELECT 'o_orderkey' AS "column",
+                  (count(*) - count(o_orderkey))::BIGINT AS n_nulls,
+                  count(DISTINCT o_orderkey)::BIGINT AS n_distinct
+           FROM orders
+           UNION ALL
+           SELECT 'o_custkey', (count(*) - count(o_custkey))::BIGINT,
+                  count(DISTINCT o_custkey)::BIGINT FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', (count(*) - count(o_orderstatus))::BIGINT,
+                  count(DISTINCT o_orderstatus)::BIGINT FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', (count(*) - count(o_totalprice))::BIGINT,
+                  count(DISTINCT o_totalprice)::BIGINT FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', (count(*) - count(o_orderpriority))::BIGINT,
+                  count(DISTINCT o_orderpriority)::BIGINT FROM orders)
+         ORDER BY "column"""",
 
     "q_w6_ntile_cume" ->
       """SELECT doc_id, source, n_chars,

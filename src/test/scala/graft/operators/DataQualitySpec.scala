@@ -97,6 +97,17 @@ class DataQualitySpec extends AnyFunSuite with Matchers {
     psi("shifted") should be > 0.2 // the classic "investigate" threshold
   }
 
+  test("profile counts nulls and exact distincts per column in one report") {
+    val df = Seq(
+      (Option(1), Option("a")), (Option(1), Option.empty[String]),
+      (Option.empty[Int], Option("b")), (Option(3), Option("a")))
+      .toDF("x", "y")
+    val out = DataQuality.profile(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out("x") shouldBe ((1L, 2L)) // one null; distinct {1, 3}
+    out("y") shouldBe ((1L, 2L)) // one null; distinct {a, b}
+  }
+
   test("psiDrift is finite when a bin is empty on one side (epsilon floor)") {
     val df = (Seq(("base", 5), ("base", 15)) ++ Seq(("other", 95)))
       .toDF("src", "v")
