@@ -294,6 +294,116 @@ object Multimodal {
       data)
   }
 
+  /** Synthesize a genuine 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) whose pixels
+    * are the text's ASCII bytes replicated to gray BGR triples — the
+    * q_m5/q_m4 pattern: a real file a real decoder must parse, while the
+    * oracle recomputes the expected statistics from the TEXT. Width is
+    * chosen by callers so rowBytes = 3·width is NOT a multiple of 4
+    * (e.g. 10 → 30 → 2 pad bytes), so the padding path is actually
+    * exercised. Declarative build: one regexp triple-replication + a
+    * bottom-up `transform(sequence(...))` row assembly + the same
+    * hex/unhex little-endian header pieces as WAV — zero UDFs.
+    */
+  def synthesizeBmpPayload(textCol: Column, width: Int): Column = {
+    val rowBytes = width * 3
+    val padBytes = (4 - rowBytes % 4) % 4
+    val padStr = " " * padBytes
+    val paddedRow = rowBytes + padBytes
+    val height = floor(length(textCol) / width).cast("int")
+    // rows BOTTOM-UP: image row r (0 = top) comes from text chars
+    // [r·width, (r+1)·width); the file stores r = height−1 first
+    val rows = array_join(
+      transform(sequence(height - 1, lit(0), lit(-1)),
+        r => concat(
+          regexp_replace(textCol.substr(r * width + 1, lit(width)),
+            "(.)", "$1$1$1"),
+          lit(padStr))),
+      "")
+    val imageSize = (height * paddedRow).cast("long")
+    concat(
+      lit("BM".getBytes("US-ASCII")),
+      leBytes(imageSize + 54L, 4), // file size
+      leBytes(lit(0), 4),          // reserved
+      leBytes(lit(54), 4),         // pixel data offset
+      leBytes(lit(40), 4),         // BITMAPINFOHEADER size
+      leBytes(lit(width), 4),
+      leBytes(height, 4),          // positive = bottom-up
+      leBytes(lit(1), 2),          // planes
+      leBytes(lit(24), 2),         // bits per pixel
+      leBytes(lit(0), 4),          // BI_RGB (uncompressed)
+      leBytes(imageSize, 4),
+      leBytes(lit(0), 4), leBytes(lit(0), 4), // ppm x/y
+      leBytes(lit(0), 4), leBytes(lit(0), 4), // colors used/important
+      encode(rows, "UTF-8"))
+  }
+
+  final case class BmpStats(media_id: Long, width: Int, height: Int,
+                            n_pixels: Long, b_mean: Double, g_mean: Double,
+                            r_mean: Double, px_min: Int, px_max: Int)
+
+  /** REAL BMP decode: 24-bit BI_RGB only (compressed/paletted/other depths
+    * refused to None — quarantine, not garble); bottom-up or top-down
+    * (negative height) row order honored; per-row 4-byte padding skipped;
+    * per-channel means + global extrema. Runs behind the same
+    * partition-batched mapPartitions interface as the PNG/WAV/JPEG
+    * decoders.
+    */
+  def decodeBmpPixels(mediaId: Long, p: Array[Byte]): Option[BmpStats] = {
+    def leU(off: Int, len: Int): Long = {
+      var v = 0L; var i = len - 1
+      while (i >= 0) { v = (v << 8) | (p(off + i) & 0xffL); i -= 1 }
+      v
+    }
+    if (p == null || p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dataOff = leU(10, 4).toInt
+    val hdrSize = leU(14, 4).toInt
+    if (hdrSize < 40) return None
+    val w = leU(18, 4).toInt
+    val hRaw = leU(22, 4).toInt // signed: negative = top-down
+    val bpp = leU(28, 2).toInt
+    val compression = leU(30, 4).toInt
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val rowBytes = w * 3
+    val paddedRow = (rowBytes + 3) / 4 * 4
+    // untrusted dims: validate the full pixel region fits the payload
+    if (w.toLong * 3 * h > (1L << 26)) return None
+    if (dataOff < 54 || dataOff.toLong + paddedRow.toLong * h > p.length) return None
+    var bSum = 0L; var gSum = 0L; var rSum = 0L
+    var mn = 255; var mx = 0
+    var row = 0
+    while (row < h) {
+      // file row 0 is the BOTTOM image row when height > 0
+      val fileRow = if (hRaw > 0) h - 1 - row else row
+      var cx = 0
+      val base = dataOff + fileRow * paddedRow
+      while (cx < w) {
+        val b = p(base + cx * 3) & 0xff
+        val g = p(base + cx * 3 + 1) & 0xff
+        val r = p(base + cx * 3 + 2) & 0xff
+        bSum += b; gSum += g; rSum += r
+        val lo = math.min(b, math.min(g, r)); val hi = math.max(b, math.max(g, r))
+        if (lo < mn) mn = lo
+        if (hi > mx) mx = hi
+        cx += 1
+      }
+      row += 1
+    }
+    val n = w.toLong * h
+    Some(BmpStats(mediaId, w, h, n, bSum.toDouble / n, gSum.toDouble / n,
+      rSum.toDouble / n, mn, mx))
+  }
+
+  /** Partition-batched BMP decode over (media_id, payload). */
+  def extractBmpStats(media: DataFrame): Dataset[BmpStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) => decodeBmpPixels(id, p) })
+  }
+
   final case class PngStats(media_id: Long, width: Int, height: Int,
                             n_pixels: Long, px_min: Int, px_max: Int,
                             px_mean: Double)

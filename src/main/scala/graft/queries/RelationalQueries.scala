@@ -1211,6 +1211,57 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_m8_bmp_pixel_stats" -> ((s, d) => {
+      // REAL BMP decode: genuine 24-bit bottom-up BMPs (width 10 → 30-byte
+      // rows → 2 PAD bytes per row, so the padding path is exercised)
+      // whose gray BGR pixels are the documents' ASCII bytes; decoded by
+      // the partition-batched Multimodal.extractBmpStats. The oracle
+      // recomputes every statistic from the TEXT — a hash match proves
+      // header parse, bottom-up row order, padding skip, and per-channel
+      // recovery byte for byte.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 10)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.Multimodal.synthesizeBmpPayload(col("text"), width = 10)
+          .as("payload"))
+      graft.multimodal.Multimodal.extractBmpStats(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("b_mean"), 6).as("b_mean"),
+          round(col("g_mean"), 6).as("g_mean"),
+          round(col("r_mean"), 6).as("r_mean"),
+          col("px_min"), col("px_max"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_io13_binary_files" -> ((s, d) => {
+      // file-per-record ingestion via Spark's binaryFile source — the read
+      // path an image/audio corpus actually arrives through (one opaque
+      // blob per file + path metadata). Files are written DISTRIBUTED
+      // (foreachPartition, one .txt per doc), read back as (path, length,
+      // content), the id parsed from the filename, the blob decoded; the
+      // oracle is simply the documents table — value transparency of the
+      // whole file round trip.
+      val dir = scratchDir("graft_binfiles", d)
+      new java.io.File(dir).mkdirs()
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      docs.select(col("doc_id").cast("long"), col("text"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, s"doc_${r.getLong(0)}.txt"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ()
+          }
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          col("content").cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_m6_png_rgb_stats" -> ((s, d) => {
       // RGB content decode: genuine 24-bit truecolor PNGs (colortype 2,
       // 8 px wide — 24 bytes per scanline, channel c of pixel k = text
@@ -4053,6 +4104,31 @@ object RelationalQueries {
                 min(v)::INT AS px_min, max(v)::INT AS px_max,
                 round(sum(v)::DOUBLE / count(*), 6) AS px_mean
          FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_m8_bmp_pixel_stats" ->
+      // recompute from the TEXT: pixel j = ascii(char j) over the first
+      // (length//10)*10 chars; gray triples ⇒ all three channel means
+      // equal the text mean and the extrema are the text extrema
+      """WITH px AS (
+           SELECT doc_id, (length(text) // 10)::INT AS height,
+                  ascii(text[j]) AS v
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, (length(text) // 10) * 10 + 1)) AS j) u
+           WHERE text IS NOT NULL AND length(text) >= 10)
+         SELECT doc_id AS media_id, 10 AS width, height,
+                count(*) AS n_pixels,
+                round(sum(v)::DOUBLE / count(*), 6) AS b_mean,
+                round(sum(v)::DOUBLE / count(*), 6) AS g_mean,
+                round(sum(v)::DOUBLE / count(*), 6) AS r_mean,
+                min(v)::INT AS px_min, max(v)::INT AS px_max
+         FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_io13_binary_files" ->
+      // the documents table itself: the file-per-record write → binaryFile
+      // read → decode round trip must be value-transparent (byte length =
+      // char length on the ASCII corpus)
+      """SELECT doc_id, length(text)::BIGINT AS n_bytes, text
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
 
     "q_m6_png_rgb_stats" ->
       // recompute per-channel statistics from the TEXT the RGB samples

@@ -368,4 +368,66 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     // grayscale decoder refuses the color payload and vice versa
     Multimodal.decodePngGray(1L, payload) shouldBe None
   }
+
+  test("synthesizeBmpPayload reads back via an INDEPENDENT ImageIO reader and decodeBmpPixels") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over it" // 33 chars, width 10 → 3 rows
+    val payload = Seq(text).toDF("text")
+      .select(Multimodal.synthesizeBmpPayload(col("text"), width = 10))
+      .head().getAs[Array[Byte]](0)
+    // independent reference decoder
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    img should not be null
+    img.getWidth shouldBe 10
+    img.getHeight shouldBe 3
+    // pixel (x, y) must be the gray triple of text char y*10 + x —
+    // TOP-down in image space even though the file stores rows bottom-up
+    for (y <- 0 until 3; x <- 0 until 10) {
+      val c = text.charAt(y * 10 + x).toInt
+      val rgb = img.getRGB(x, y)
+      (rgb & 0xff) shouldBe c
+      ((rgb >> 8) & 0xff) shouldBe c
+      ((rgb >> 16) & 0xff) shouldBe c
+    }
+    // our decoder agrees with the text-derived stats
+    val st = Multimodal.decodeBmpPixels(1L, payload).get
+    st.width shouldBe 10
+    st.height shouldBe 3
+    st.n_pixels shouldBe 30L
+    val vs = text.take(30).map(_.toInt)
+    st.b_mean shouldBe (vs.sum.toDouble / 30) +- 1e-12
+    st.px_min shouldBe vs.min
+    st.px_max shouldBe vs.max
+  }
+
+  test("decodeBmpPixels honors top-down (negative height) and refuses non-24bpp/compressed") {
+    import spark.implicits._
+    val text = "abcdefghijklmnopqrst" // 2 rows of 10
+    val payload = Seq(text).toDF("text")
+      .select(Multimodal.synthesizeBmpPayload(col("text"), width = 10))
+      .head().getAs[Array[Byte]](0)
+    // flip to top-down: height = -2 (two's complement LE at offset 22) and
+    // swap the stored row order so the image is unchanged
+    val topDown = payload.clone()
+    val h = -2
+    topDown(22) = (h & 0xff).toByte; topDown(23) = ((h >> 8) & 0xff).toByte
+    topDown(24) = ((h >> 16) & 0xff).toByte; topDown(25) = ((h >> 24) & 0xff).toByte
+    val paddedRow = 32
+    for (i <- 0 until paddedRow) {
+      topDown(54 + i) = payload(54 + paddedRow + i)
+      topDown(54 + paddedRow + i) = payload(54 + i)
+    }
+    val a = Multimodal.decodeBmpPixels(1L, payload).get
+    val b = Multimodal.decodeBmpPixels(1L, topDown).get
+    b.b_mean shouldBe a.b_mean
+    b.px_min shouldBe a.px_min
+    b.height shouldBe 2
+    // refusals: wrong depth, compressed, truncated, not a BMP
+    val bad16 = payload.clone(); bad16(28) = 16
+    Multimodal.decodeBmpPixels(1L, bad16) shouldBe None
+    val rle = payload.clone(); rle(30) = 1 // BI_RLE8
+    Multimodal.decodeBmpPixels(1L, rle) shouldBe None
+    Multimodal.decodeBmpPixels(1L, payload.take(60)) shouldBe None
+    Multimodal.decodeBmpPixels(1L, "nope".getBytes) shouldBe None
+  }
 }
