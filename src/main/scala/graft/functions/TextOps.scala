@@ -155,6 +155,58 @@ object TextOps {
     * corpus-size scalar is broadcast. Shuffles carry (doc, term, count)
     * rows only, never text.
     */
+  /** Greedy bigram-LM text generation — the sanity-check decode every LM
+    * data pipeline runs on its n-gram statistics ("what does the corpus
+    * model actually continue with"): seed with the `seeds` most frequent
+    * tokens, then `steps` rounds of next = argmax P(w₂|w₁) with fully
+    * deterministic tie-breaks (count DESC, token ASC) at every choice.
+    * A dead end (token never seen as w₁) freezes the string.
+    *
+    * Scale shape: the transition table reduces to ONE argmax row per
+    * distinct token (window over the vocabulary-bounded bigram counts —
+    * never the corpus) and is localCheckpointed, so the `steps` frontier
+    * joins (each 3 rows vs the next-table) don't re-run the corpus
+    * aggregation per step. Generation cost is steps × a broadcast-sized
+    * join, independent of corpus size.
+    */
+  def greedyGenerate(df: DataFrame, seeds: Int = 3, steps: Int = 6,
+                     textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seeds >= 1 && steps >= 1, s"need seeds, steps >= 1 (got $seeds, $steps)")
+    val toks = Spread.forExplode(df.filter(col(textCol).isNotNull), col("doc_id"))
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val seedRows = uni.orderBy(desc("c"), col("tok")).limit(seeds)
+      .select(col("tok").as("seed"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> named_struct('w1', toks[i], 'w2', toks[i + 1]))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val wNext = Window.partitionBy(col("w1")).orderBy(desc("c"), col("w2"))
+    val (nxt, releaseNxt) = org.apache.spark.sql.GraftSqlBridge
+      .localCheckpointWithHandle(
+        big.withColumn("rn", row_number().over(wNext))
+          .filter(col("rn") === 1).select(col("w1"), col("w2")))
+    var cur = seedRows.select(col("seed"), col("seed").as("cur"),
+      col("seed").as("generated"))
+    (1 to steps).foreach { _ =>
+      cur = cur.join(nxt, cur("cur") === nxt("w1"), "left")
+        .select(col("seed"),
+          col("w2").as("cur"),
+          when(col("w2").isNull, col("generated"))
+            .otherwise(concat_ws(" ", col("generated"), col("w2")))
+            .as("generated"))
+    }
+    val out = cur.select(col("seed"), col("generated"))
+    // the checkpoint blocks back the returned plan; they die with the
+    // executors (same convention as connectedComponentsStar's final round)
+    locally { val _ = releaseNxt }
+    out
+  }
+
   def tfidfTopK(df: DataFrame, textCol: String = "text", k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Spread.forExplode(df, col("doc_id"))

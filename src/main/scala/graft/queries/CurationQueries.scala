@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Bpe, Dedup, QualityClassifier, ShardAssign, TextOps}
-import graft.operators.{DataQuality, EventAnalytics, Scd2, SnapshotDiff}
+import graft.operators.{AsOfJoin, DataQuality, EventAnalytics, Scd2, SnapshotDiff}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -168,6 +168,38 @@ object CurationQueries {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"))
         .orderBy(col("column"))),
+
+    "q_as4_scd2_lookup" -> ((s, d) => {
+      // point-in-time-CORRECT dimension lookup — the join that motivates
+      // SCD2: every order matched to the priority version ACTIVE at its
+      // date (latest valid_from ≤ order date, ties to the highest
+      // version — exactly interval semantics when a zero-length run
+      // shares its valid_from). Composes q_x10's snapshot with the
+      // q_as1 as-of machinery: one union+window shuffle, no interval
+      // explosion, no inequality join.
+      val o = Tables.orders(s, d)
+      val scd = Scd2.snapshot(o, keyCol = "o_custkey",
+          attrCol = "o_orderpriority", tsCol = "o_orderdate",
+          tieCol = "o_orderkey")
+        .select(col("o_custkey"), col("version"),
+          col("o_orderpriority").as("active_priority"), col("valid_from"))
+      AsOfJoin.leftAsOf(
+          o.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          scd,
+          leftKey = "o_custkey", rightKey = "o_custkey",
+          leftTime = "o_orderdate", rightTime = "valid_from",
+          rightVals = Seq("version", "active_priority"),
+          rightTiebreak = Some("version"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_t32_lm_generation" -> ((s, d) =>
+      // greedy bigram-LM generation from the corpus statistics: 3 most
+      // frequent seeds, 6 argmax continuation steps, deterministic
+      // tie-breaks throughout; the transition table is one argmax row per
+      // token, checkpointed so the steps don't re-aggregate the corpus
+      TextOps.greedyGenerate(Tables.documents(s, d), seeds = 3, steps = 6)
+        .orderBy(col("seed"))),
 
     "q_w6_ntile_cume" -> ((s, d) => {
       // rank-distribution window family over per-source length order:
@@ -414,6 +446,84 @@ object CurationQueries {
            SELECT 'o_orderpriority', (count(*) - count(o_orderpriority))::BIGINT,
                   count(DISTINCT o_orderpriority)::BIGINT FROM orders)
          ORDER BY "column"""",
+
+    "q_as4_scd2_lookup" ->
+      // q_x10's SCD2 derivation + the active-version lookup as an
+      // inequality join + per-order argmax (the naive formulation the
+      // as-of machinery replaces)
+      """WITH o AS (
+           SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+                  CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                         OR lag(o_orderpriority) OVER w <> o_orderpriority
+                       THEN 1 ELSE 0 END AS chg
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey)),
+         r AS (
+           SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::BIGINT AS version
+           FROM o),
+         scd AS (
+           SELECT o_custkey, version,
+                  min(o_orderpriority) AS active_priority,
+                  min(o_orderdate) AS valid_from
+           FROM r GROUP BY 1, 2),
+         j AS (
+           SELECT ord.o_orderkey, ord.o_custkey, ord.o_orderdate,
+                  s.valid_from AS asof_time, s.version AS asof_version,
+                  s.active_priority AS asof_active_priority,
+                  row_number() OVER (PARTITION BY ord.o_orderkey
+                    ORDER BY s.valid_from DESC, s.version DESC) AS rn
+           FROM orders ord
+           JOIN scd s ON s.o_custkey = ord.o_custkey
+                     AND s.valid_from <= ord.o_orderdate)
+         SELECT o_orderkey, o_custkey, o_orderdate, asof_time, asof_version,
+                asof_active_priority
+         FROM j WHERE rn = 1 ORDER BY o_orderkey""",
+
+    "q_t32_lm_generation" ->
+      // the full pipeline re-derived: unigram seeds, positional bigram
+      // counts, per-token argmax transition, SIX unrolled greedy steps
+      // with dead-end freezing
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         uc AS (
+           SELECT tok, count(*) AS c
+           FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+         seeds AS (SELECT tok AS seed FROM uc ORDER BY c DESC, tok LIMIT 3),
+         pairs AS (
+           SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+           WHERE len(toks) >= 2),
+         big AS (SELECT w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2),
+         nxt AS (
+           SELECT w1, w2 FROM (
+             SELECT w1, w2, row_number() OVER (PARTITION BY w1
+               ORDER BY c DESC, w2) AS rn FROM big)
+           WHERE rn = 1),
+         g0 AS (SELECT seed, seed AS cur, seed AS generated FROM seeds),
+         g1 AS (SELECT seed, n.w2 AS cur, CASE WHEN n.w2 IS NULL THEN generated
+                  ELSE generated || ' ' || n.w2 END AS generated
+                FROM g0 LEFT JOIN nxt n ON n.w1 = g0.cur),
+         g2 AS (SELECT seed, n.w2 AS cur, CASE WHEN n.w2 IS NULL THEN generated
+                  ELSE generated || ' ' || n.w2 END AS generated
+                FROM g1 LEFT JOIN nxt n ON n.w1 = g1.cur),
+         g3 AS (SELECT seed, n.w2 AS cur, CASE WHEN n.w2 IS NULL THEN generated
+                  ELSE generated || ' ' || n.w2 END AS generated
+                FROM g2 LEFT JOIN nxt n ON n.w1 = g2.cur),
+         g4 AS (SELECT seed, n.w2 AS cur, CASE WHEN n.w2 IS NULL THEN generated
+                  ELSE generated || ' ' || n.w2 END AS generated
+                FROM g3 LEFT JOIN nxt n ON n.w1 = g3.cur),
+         g5 AS (SELECT seed, n.w2 AS cur, CASE WHEN n.w2 IS NULL THEN generated
+                  ELSE generated || ' ' || n.w2 END AS generated
+                FROM g4 LEFT JOIN nxt n ON n.w1 = g4.cur),
+         g6 AS (SELECT seed, n.w2 AS cur, CASE WHEN n.w2 IS NULL THEN generated
+                  ELSE generated || ' ' || n.w2 END AS generated
+                FROM g5 LEFT JOIN nxt n ON n.w1 = g5.cur)
+         SELECT seed, generated FROM g6 ORDER BY seed""",
 
     "q_w6_ntile_cume" ->
       """SELECT doc_id, source, n_chars,
