@@ -480,6 +480,15 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     "Window".r.findAllIn(plan).length shouldBe 1
   }
 
+  test("LM generation scans the corpus once: transition steps read the checkpoint") {
+    val q = SparkEntry.queries("q_t32_lm_generation")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the seed subtree is the single corpus scan; all six greedy joins
+    // read the checkpointed per-token argmax table (Scan ExistingRDD)
+    plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+  }
+
   test("snapshot diff is ONE full-outer equi-join; unchanged rows die in its projection") {
     val q = SparkEntry.queries("q_x11_snapshot_diff")(spark, sfDir)
     q.collect()
