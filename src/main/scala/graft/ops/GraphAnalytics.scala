@@ -481,6 +481,65 @@ object GraphAnalytics {
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Per-node local clustering coefficient — cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)) over the distinct undirected edge set, 0 for
+    * degree < 2: the standard "how clique-like is this neighborhood"
+    * signal (spam-farm and community detection feature). Composes
+    * [[triangleCounts]] with one symmetric-degree aggregate — both keyed
+    * on the node id; the only super-degree work is the triangle
+    * enumeration itself, whose compact-forward join is already
+    * wedge-bounded.
+    */
+  def clusteringCoefficient(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    triangleCounts(nodes, edges)
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), col("n_triangles"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        when(coalesce(col("degree"), lit(0L)) >= 2,
+          round(lit(2.0d) * col("n_triangles") /
+            (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(lit(0.0d)).as("clustering_coeff"))
+  }
+
+  /** One-row whole-graph summary — the health block a graph pipeline logs
+    * per ingest: node/edge counts, self-loops, density, RECIPROCITY (the
+    * directed-graph signal: fraction of distinct non-loop edges whose
+    * reverse also exists — 1.0 on symmetric graphs). All exact counts or
+    * explicitly rounded ratios from THREE map-side-combinable aggregates
+    * and one self-equi-join on the reversed key — no windows, nothing
+    * wider than the edge list.
+    */
+  def graphSummary(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val n = nodes.select(col("id")).distinct().count()
+    val e = edges.select(col("fromId").as("a"), col("toId").as("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val loops = e.filter(col("a") === col("b")).count()
+    val dir = e.filter(col("a") =!= col("b"))
+    val m = dir.count()
+    val recip = dir.join(dir.select(col("b").as("a"), col("a").as("b")),
+      Seq("a", "b"), "left_semi").count()
+    e.unpersist()
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val density = if (n > 1) m.toDouble / (n.toDouble * (n - 1)) else 0.0
+    Seq((n, m, loops,
+      BigDecimal(density).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      if (m > 0)
+        BigDecimal(recip.toDouble / m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0,
+      if (n > 0)
+        BigDecimal(m.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0))
+      .toDF("n_nodes", "n_edges", "n_self_loops", "density", "reciprocity",
+        "avg_out_degree")
+  }
+
   /** k-core membership: iterative peeling — repeatedly delete nodes whose
     * UNDIRECTED degree within the surviving subgraph is below `k` until a
     * fixpoint; the survivors form the (unique) maximal subgraph with

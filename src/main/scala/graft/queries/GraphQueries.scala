@@ -215,6 +215,24 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga13_clustering_coeff" -> ((s, _) => {
+      // per-node local clustering coefficient: triangles over wedges on
+      // the distinct undirected edge set, 0 for degree < 2
+      val g = graph50(s)
+      GraphAnalytics.clusteringCoefficient(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")))
+        .orderBy(col("id"))
+    }),
+
+    "q_ga14_graph_summary" -> ((s, _) => {
+      // one-row graph health block: counts, self-loops, density,
+      // reciprocity, average out-degree — every number re-derivable by
+      // plain SQL aggregates over the fixture edge list
+      val g = graph50(s)
+      GraphAnalytics.graphSummary(g.nodes.toDF(),
+        g.edges.toDF().select(col("fromId"), col("toId")))
+    }),
+
     "q_ga5_components" -> ((s, _) => {
       // weak connected components via the GraphX Pregel tier, min-id
       // labels; the oracle re-derives them with recursive min-label
@@ -672,6 +690,54 @@ object GraphQueries {
           SELECT n.id AS "id", lv.level AS "level"
           FROM $nodesTbl n LEFT JOIN lv ON lv.id = n.id
           ORDER BY n.id""",
+
+    "q_ga13_clustering_coeff" ->
+      // q_ga3's compact-forward triangles + symmetric degrees; the
+      // coefficient formula re-derived with identical rounding
+      s"""WITH und AS (
+            SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+            FROM $edgesTbl WHERE fromId <> toId),
+          tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+          pn AS (
+            SELECT id, count(*) AS c FROM (
+              SELECT x AS id FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri) GROUP BY 1),
+          sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+          dg AS (SELECT a AS id, count(*) AS degree FROM sym GROUP BY 1)
+          SELECT n.id AS "id",
+                 coalesce(pn.c, 0)::BIGINT AS n_triangles,
+                 coalesce(dg.degree, 0)::BIGINT AS degree,
+                 CASE WHEN coalesce(dg.degree, 0) >= 2
+                      THEN round(2.0 * coalesce(pn.c, 0)
+                             / (dg.degree * (dg.degree - 1)), 6)
+                      ELSE 0.0 END AS clustering_coeff
+          FROM $nodesTbl n
+          LEFT JOIN pn ON pn.id = n.id
+          LEFT JOIN dg ON dg.id = n.id
+          ORDER BY n.id""",
+
+    "q_ga14_graph_summary" ->
+      // every scalar re-derived from the fixture tables
+      s"""WITH e AS (SELECT DISTINCT fromId AS a, toId AS b FROM $edgesTbl),
+          dir AS (SELECT a, b FROM e WHERE a <> b),
+          s AS (
+            SELECT (SELECT count(DISTINCT id) FROM $nodesTbl) AS n,
+                   (SELECT count(*) FROM dir) AS m,
+                   (SELECT count(*) FROM e WHERE a = b) AS loops,
+                   (SELECT count(*) FROM dir d
+                    WHERE EXISTS (SELECT 1 FROM dir r
+                                  WHERE r.a = d.b AND r.b = d.a)) AS recip)
+          SELECT n::BIGINT AS n_nodes, m::BIGINT AS n_edges,
+                 loops::BIGINT AS n_self_loops,
+                 round(m::DOUBLE / (n::DOUBLE * (n - 1)), 6) AS density,
+                 round(recip::DOUBLE / m, 6) AS reciprocity,
+                 round(m::DOUBLE / n, 6) AS avg_out_degree
+          FROM s""",
 
     "q_ga3_triangles" ->
       // compact-forward enumeration, same canonicalized (a < b) edge set

@@ -225,6 +225,36 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     star shouldBe graphx
   }
 
+  test("clusteringCoefficient: closed triangle = 1, open wedge center = 0, leaves = 0") {
+    // triangle 1-2-3 plus pendant 4 on node 1; node 5 isolated
+    val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.clusteringCoefficient(n, e)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out(2L) shouldBe ((1L, 2L, 1.0)) // in the triangle, degree 2 → cc 1
+    out(3L) shouldBe ((1L, 2L, 1.0))
+    // node 1: degree 3, one triangle among its 3 wedges → 2·1/(3·2) = 1/3
+    out(1L)._3 shouldBe (1.0 / 3 +- 1e-6)
+    out(4L) shouldBe ((0L, 1L, 0.0)) // degree 1 → defined as 0
+    out(5L) shouldBe ((0L, 0L, 0.0))
+  }
+
+  test("graphSummary: counts, density, reciprocity on a hand graph") {
+    val n = Seq(1L, 2L, 3L).toDF("id")
+    // 1→2 and 2→1 (reciprocal pair), 1→3 (one-way), 3→3 (self-loop), dup 1→2
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 3L), (1L, 2L))
+      .toDF("fromId", "toId")
+    val r = GraphAnalytics.graphSummary(n, e).collect().head
+    r.getAs[Long]("n_nodes") shouldBe 3L
+    r.getAs[Long]("n_edges") shouldBe 3L        // distinct, loops excluded
+    r.getAs[Long]("n_self_loops") shouldBe 1L
+    r.getAs[Double]("density") shouldBe 0.5     // 3 / (3·2)
+    r.getAs[Double]("reciprocity") shouldBe
+      BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r.getAs[Double]("avg_out_degree") shouldBe 1.0
+  }
+
   test("SCC: cycles collapse, DAG nodes stay singletons, direction matters") {
     // 1⇄2 cycle, 3→2 (one-way: 3 is NOT in the cycle's SCC), 4 isolated
     val n = Seq(1L, 2L, 3L, 4L).toDF("id")
