@@ -117,7 +117,7 @@ object Verify {
     // approximate-ANN gates from rows-only to hash-checked GIVEN the model;
     // the model/training itself is verified by the exhaustive-probe
     // equivalences (q_v5/q_v6 brute-force oracles).
-    if (selected("q_v3", "q_v4")) {
+    if (selected("q_v3", "q_v4", "q_v18")) {
       try {
         import spark.implicits._
         val embs = Tables.embeddings(spark, sfDir)
@@ -140,7 +140,7 @@ object Verify {
     // re-derives codeword assignment (the NearestCells rounded ranking),
     // the ADC lookup table, and the top-k from these (training itself
     // reuses the IVF Lloyd trainer verified by q_v11/q_v5)
-    if (selected("q_v14")) {
+    if (selected("q_v14", "q_v18")) {
       try {
         import spark.implicits._
         val embs = Tables.embeddings(spark, sfDir)

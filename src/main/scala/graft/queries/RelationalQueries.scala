@@ -2233,6 +2233,29 @@ object RelationalQueries {
         excludeSelf = Some(0L))
     }),
 
+    "q_v18_ivfpq" -> ((s, d) => {
+      // the FAISS-canonical IVF-PQ composition: coarse quantizer prunes to
+      // the 3 probed cells' members (the q_v3 candidate machinery), then
+      // ADC scores ONLY those candidates against the 32×-compressed PQ
+      // codes (the q_v14 machinery) — at 100 TB the scan reads nprobe/k of
+      // the corpus and the scoring touches m-byte codes, never floats.
+      // Oracle re-derives BOTH stages from the exported model fixtures.
+      val embs = Tables.embeddings(s, d)
+      val ivf = ivfModel(s, embs, d)
+      val pq = graft.functions.PqIndex.ensureModel(s, embs, d, m = 8, k = 16)
+      val query = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val qd = query.map(_.toDouble)
+      val probed = ivf.centroids.zipWithIndex.map { case (c, i) =>
+        (c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sorted.take(3).map(_._2)
+      val cand = graft.functions.IvfIndex.assignCells(embs, ivf)
+        .filter(col("cell").isin(probed: _*)).select(col("vec_id"))
+      graft.functions.PqIndex.adcTopK(
+        graft.functions.PqIndex.encode(embs.join(cand, "vec_id"), pq),
+        pq, query, k = 10, excludeSelf = Some(0L))
+    }),
+
     "q_v4_knn_join" -> ((s, d) => {
       // corpus-wide ANN k-NN join at the production nprobe=2 — hash-checked
       // against a DuckDB oracle that rebuilds the identical candidate set
@@ -3954,6 +3977,44 @@ object RelationalQueries {
          lut AS (
            SELECT cb.sub, cb.code,
                   list_dot_product(q.e[cb.sub*8 + 1 : cb.sub*8 + 8], cb.vec) AS v
+           FROM cb, q),
+         sc AS (
+           SELECT c.vec_id, round(sum(l.v), 6) AS adc_score
+           FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+           GROUP BY 1)
+         SELECT vec_id, adc_score FROM sc WHERE vec_id <> 0
+         ORDER BY adc_score DESC, vec_id LIMIT 10""",
+
+    "q_v18_ivfpq" ->
+      // both stages re-derived from the fixtures: q_v3's probed-cells +
+      // assignment CTEs restrict the candidates, q_v14's PQ
+      // assignment/LUT/ADC CTEs score exactly those
+      """WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0),
+         probed AS (
+           SELECT cell FROM read_parquet('{{OUTDIR}}/fx_ivf_centroids.parquet')
+           ORDER BY round(-2 * list_dot_product(centroid, (SELECT qe FROM q))
+                          + list_dot_product(centroid, centroid), 9), cell
+           LIMIT 3),
+         assigned AS (
+           SELECT vec_id, ranked_cells[1] AS cell
+           FROM read_parquet('{{OUTDIR}}/fx_ivf_probes.parquet')),
+         cand AS (
+           SELECT a.vec_id FROM assigned a JOIN probed p USING (cell)),
+         cb AS (
+           SELECT sub, code, vec
+           FROM read_parquet('{{OUTDIR}}/fx_pq_codebooks.parquet')),
+         dist AS (
+           SELECT v.vec_id, cb.sub, cb.code,
+                  round(-2 * list_dot_product(
+                          v.embedding[cb.sub*8 + 1 : cb.sub*8 + 8]::DOUBLE[], cb.vec)
+                        + list_dot_product(cb.vec, cb.vec), 9) AS dist
+           FROM embeddings v JOIN cand USING (vec_id), cb),
+         codes AS (
+           SELECT vec_id, sub, code FROM dist
+           QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) = 1),
+         lut AS (
+           SELECT cb.sub, cb.code,
+                  list_dot_product(q.qe[cb.sub*8 + 1 : cb.sub*8 + 8], cb.vec) AS v
            FROM cb, q),
          sc AS (
            SELECT c.vec_id, round(sum(l.v), 6) AS adc_score
