@@ -80,7 +80,8 @@ object ScaleBench {
     "q_v16_mmr_rerank", "q_sp10_epoch_mix", "q_t29_quality_calibration",
     "q_t30_quality_classifier", "q_sp12_shard_assign", "q_d17_containment",
     "q_q3_psi_drift", "q_w6_ntile_cume", "q_t31_bpe_roundtrip",
-    "q_m8_bmp_pixel_stats", "q_t32_lm_generation", "q_sp13_stratified_sample")
+    "q_m8_bmp_pixel_stats", "q_t32_lm_generation", "q_sp13_stratified_sample",
+    "q_sp14_curation_pipeline")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

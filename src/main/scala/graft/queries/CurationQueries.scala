@@ -169,6 +169,29 @@ object CurationQueries {
             "o_orderpriority"))
         .orderBy(col("column"))),
 
+    "q_sp14_curation_pipeline" -> ((s, d) => {
+      // END-TO-END curation capstone in ONE declarative plan — the
+      // composition a real corpus build runs: classifier quality gate
+      // (q_t30) ∧ not-contained-in-another-doc (q_d17 survivors) →
+      // balanced token-budget shard assignment (q_sp12). Catalyst fuses
+      // the gates into the scan side; the only corpus-wide shuffles are
+      // the containment join's and the shard carry's — nothing is
+      // materialized between stages.
+      val docs = Tables.documents(s, d)
+      val kept = QualityClassifier.score(docs)
+        .filter(col("keep")).select(col("doc_id"))
+      val contained = Dedup.ngramContainmentPairs(docs, "text", k = 3,
+          threshold = 0.9, prefixDenom = 10)
+        .select(col("doc_a").as("doc_id")).distinct()
+      val survivors = docs.join(kept, "doc_id")
+        .join(contained, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      ShardAssign.assign(survivors, col("doc_id"), "n_tokens",
+          shardBudget = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_as4_scd2_lookup" -> ((s, d) => {
       // point-in-time-CORRECT dimension lookup — the join that motivates
       // SCD2: every order matched to the priority version ACTIVE at its
@@ -446,6 +469,64 @@ object CurationQueries {
            SELECT 'o_orderpriority', (count(*) - count(o_orderpriority))::BIGINT,
                   count(DISTINCT o_orderpriority)::BIGINT FROM orders)
          ORDER BY "column"""",
+
+    "q_sp14_curation_pipeline" ->
+      // the whole pipeline re-derived: classifier sums (q_t30), the full
+      // containment candidate+verify chain (q_d17), survivor
+      // restriction, and the naive global shard window (q_sp12)
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         w AS (
+           SELECT doc_id,
+                  list_sum([('0x' || substr(md5('w:' || tok), 1, 8))::BIGINT % 2001 - 1000
+                    FOR tok IN toks])::BIGINT AS w_sum
+           FROM t),
+         keep AS (SELECT doc_id FROM w WHERE w_sum > 0),
+         sh AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         shn AS (
+           SELECT doc_id, shingles, len(shingles) AS nsh
+           FROM sh WHERE len(shingles) > 0),
+         ex AS (
+           SELECT doc_id, nsh, unnest(shingles) AS shingle FROM shn),
+         f AS (
+           SELECT shingle, count(*)::BIGINT AS df FROM ex GROUP BY 1),
+         rk AS (
+           SELECT ex.doc_id, ex.nsh, ex.shingle,
+                  row_number() OVER (PARTITION BY ex.doc_id
+                    ORDER BY f.df, ex.shingle) AS rk
+           FROM ex JOIN f USING (shingle)),
+         pre AS (
+           SELECT doc_id, shingle FROM rk WHERE rk <= nsh // 10 + 1),
+         cand AS (
+           SELECT DISTINCT pre.doc_id AS a, ex.doc_id AS b
+           FROM pre JOIN ex ON ex.shingle = pre.shingle
+                           AND ex.doc_id <> pre.doc_id),
+         contained AS (
+           SELECT DISTINCT cand.a AS doc_id
+           FROM cand
+           JOIN shn sa ON sa.doc_id = cand.a
+           JOIN shn sb ON sb.doc_id = cand.b
+           WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                       / sa.nsh, 4) >= 0.9),
+         surv AS (
+           SELECT d.doc_id,
+                  len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+                  ('0x' || substr(md5('shard:' || d.doc_id), 1, 8))::BIGINT AS skey
+           FROM documents d
+           JOIN keep USING (doc_id)
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM contained)),
+         o AS (
+           SELECT doc_id, n_tokens,
+                  coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    ::BIGINT AS off
+           FROM surv)
+         SELECT doc_id, n_tokens, (off // 2048)::BIGINT AS shard_id
+         FROM o ORDER BY doc_id""",
 
     "q_as4_scd2_lookup" ->
       // q_x10's SCD2 derivation + the active-version lookup as an
