@@ -297,6 +297,31 @@ object Dedup {
     spark.createDataFrame(labeled).toDF("doc_id", "cluster_id")
   }
 
+  /** Quality-aware canonical selection per duplicate cluster: instead of
+    * [[duplicateClusters]]' min-id survivor convention, keep each cluster's
+    * HIGHEST-quality member (lexical diversity = distinct token count;
+    * ties → min doc id) — the "keep the best copy" policy curation
+    * pipelines want when near-dups differ by truncation or boilerplate.
+    * Representative selection is the skew-safe min(struct(−quality, id))
+    * aggregate — map-side combinable, no per-cluster window, so a
+    * boilerplate mega-cluster partial-aggregates across partitions instead
+    * of sorting inside one. Returns every doc with its cluster, quality,
+    * the cluster's representative id, and a keep flag.
+    */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(docs.select(col("doc_id")), pairs)
+    val quality = docs.select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).as("quality"))
+    val labeled = clusters.join(quality, Seq("doc_id"))
+    val reps = labeled.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id").as("id")))
+        .as("best"))
+      .select(col("cluster_id"), col("best.id").as("rep_id"))
+    labeled.join(reps, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("rep_id"), (col("doc_id") === col("rep_id")).as("is_rep"))
+  }
+
   /** Within-document repeated n-gram removal — the INTRA-doc half of corpus
     * dedup (the cross-doc half is q_d1..q_d9): strip every token covered by a
     * k-gram whose exact token sequence already occurred earlier in the same

@@ -276,4 +276,26 @@ object Similarity {
       .orderBy(desc("cosine"), col("doc_id"))
       .limit(k)
   }
+
+  /** Per-dimension distribution moments of an embedding column — the
+    * whitening / normalization statistics (mean, population std, min,
+    * max, count) every dense-retrieval pipeline computes before
+    * quantizing or standardizing vectors. One posexplode + one
+    * dim-keyed aggregate: the shuffle carries (dim, value) pairs and the
+    * output is `dims` rows regardless of corpus size, so at 100 TB this
+    * is a single map-side-combinable pass whose reduce state is O(dims).
+    * Float elements widen to double exactly; mean/std round to 6 (the
+    * sums are shuffle-order-dependent double reductions ~9 orders above
+    * the rounding grain), min/max are exact.
+    */
+  def dimensionMoments(embs: DataFrame, vecCol: String = "embedding"): DataFrame =
+    embs.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        (round(avg(col("v")), 6) + lit(0.0)).as("mean"),
+        (round(stddev_pop(col("v")), 6) + lit(0.0)).as("std"),
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"))
 }

@@ -680,4 +680,35 @@ object TextOps {
         coalesce(col("text_aug"), lit("")).as("text_aug"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** Fill-in-the-middle training transform (Bavarian et al. 2022): cut
+    * each document at two md5-derived character offsets and emit the PSM
+    * reordering `<PRE>prefix<SUF>suffix<MID>middle` — the code-model
+    * augmentation that teaches infilling. RNG-free: both cut points are
+    * pure functions of (seed, doc_id) through the same md5 gate as every
+    * sampler ([[Dedup.md5Hash32]]), so the same corpus always yields the
+    * same examples across runs/partitionings and an oracle can re-derive
+    * every cut. Pure narrow projection — no shuffle, no explode; at 100 TB
+    * this is a map-only pass whose cost is the substring copies.
+    */
+  def fimSplit(docs: DataFrame, seed: String = "fim"): DataFrame = {
+    def cut(tag: String): Column =
+      Dedup.md5Hash32(concat_ws(":", lit(seed), lit(tag),
+        col("doc_id").cast("string"))) % length(col("text")).cast("long")
+    val base = docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"),
+        cut("a").as("c1"), cut("b").as("c2"))
+      .select(col("doc_id"), col("text"), col("n"),
+        least(col("c1"), col("c2")).cast("int").as("lo"),
+        greatest(col("c1"), col("c2")).cast("int").as("hi"))
+    base.select(col("doc_id"),
+      col("lo").cast("long").as("prefix_len"),
+      (col("hi") - col("lo")).cast("long").as("middle_len"),
+      (col("n") - col("hi")).cast("long").as("suffix_len"),
+      concat(lit("<PRE>"), col("text").substr(lit(1), col("lo")),
+        lit("<SUF>"), col("text").substr(col("hi") + 1, col("n") - col("hi")),
+        lit("<MID>"), col("text").substr(col("lo") + 1, col("hi") - col("lo")))
+        .as("fim_text"))
+  }
 }

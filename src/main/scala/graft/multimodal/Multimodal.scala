@@ -209,7 +209,17 @@ object Multimodal {
     * exact-long-to-double, so RMS/mean are single-rounding doubles any
     * engine reproduces bit-for-bit from the same samples.
     */
-  def decodeWavPcm(mediaId: Long, p: Array[Byte]): Option[WavStats] = {
+  /** Shared PCM access for the WAV decoders: validates the canonical
+    * RIFF/fmt/data layout and returns (rate, channels, bits, n, amp(i)) —
+    * the sample-count and an exact Long amplitude accessor (8-bit unsigned
+    * → value − 128; 16-bit signed LE). None for null / non-canonical /
+    * non-PCM payloads. Truncated payloads expose only the samples that
+    * exist.
+    */
+  private final case class PcmAccess(rate: Long, channels: Long, bits: Long,
+                                     dataLen: Int, n: Int, amp: Int => Long)
+
+  private def pcmAccess(p: Array[Byte]): Option[PcmAccess] = {
     def leU(off: Int, len: Int): Long = {
       var v = 0L; var i = len - 1
       while (i >= 0) { v = (v << 8) | (p(off + i) & 0xffL); i -= 1 }
@@ -228,22 +238,29 @@ object Multimodal {
     val avail = ((p.length - 44) / bytesPerSample) * bytesPerSample
     val dataLen = math.min(declared, avail.toLong).toInt // truncated payloads: use what exists
     val n = dataLen / bytesPerSample
-    var i = 0
-    var sumSq = 0L; var sumAmp = 0L; var peak = 0L
-    while (i < n) {
-      val amp: Long =
-        if (bits == 8) (p(44 + i) & 0xff) - 128L
-        else (((p(44 + i * 2 + 1) << 8) | (p(44 + i * 2) & 0xff)).toShort).toLong
-      sumSq += amp * amp; sumAmp += amp
-      val a = math.abs(amp); if (a > peak) peak = a
-      i += 1
-    }
-    val byteRate = rate * bytesPerSample * leU(22, 2) // × channels
-    val durMs = if (byteRate > 0) dataLen.toLong * 1000L / byteRate else 0L
-    val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
-    val mean = if (n > 0) sumAmp.toDouble / n else 0.0
-    Some(WavStats(mediaId, n, rate, durMs, rms, peak, mean))
+    val amp: Int => Long =
+      if (bits == 8) i => (p(44 + i) & 0xff) - 128L
+      else i => (((p(44 + i * 2 + 1) << 8) | (p(44 + i * 2) & 0xff)).toShort).toLong
+    Some(PcmAccess(rate, leU(22, 2), bits, dataLen, n, amp))
   }
+
+  def decodeWavPcm(mediaId: Long, p: Array[Byte]): Option[WavStats] =
+    pcmAccess(p).map { pcm =>
+      val n = pcm.n
+      var i = 0
+      var sumSq = 0L; var sumAmp = 0L; var peak = 0L
+      while (i < n) {
+        val a = pcm.amp(i)
+        sumSq += a * a; sumAmp += a
+        val ab = math.abs(a); if (ab > peak) peak = ab
+        i += 1
+      }
+      val byteRate = pcm.rate * (pcm.bits / 8) * pcm.channels
+      val durMs = if (byteRate > 0) pcm.dataLen.toLong * 1000L / byteRate else 0L
+      val rms = if (n > 0) math.sqrt(sumSq.toDouble / n) else 0.0
+      val mean = if (n > 0) sumAmp.toDouble / n else 0.0
+      WavStats(mediaId, n, pcm.rate, durMs, rms, peak, mean)
+    }
 
   /** The partition-batched content-feature path with a REAL decoder in the
     * stub's slot: same mapPartitions batch shape as [[extractFeatures]]
@@ -260,6 +277,62 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition decoder init goes here in production
         rows.flatMap { case (id, p) => decodeWavPcm(id, p) }
+      }
+  }
+
+  final case class WavWindow(media_id: Long, win: Long, n_samples: Long,
+                             rms: Double, peak: Long, zero_crossings: Long)
+
+  /** Windowed audio features over the decoded PCM stream — per
+    * non-overlapping `window`-sample frame: RMS energy, peak |amplitude|,
+    * and the zero-crossing count (sign flips between CONSECUTIVE samples
+    * inside the frame; the first sample of a frame has no predecessor, so
+    * frames are independent — exactly re-derivable by grouping sample
+    * index i on (i−1)/window and lag-comparing within the group). These
+    * are the classic cheap speech/music/noise discriminators a corpus
+    * pipeline computes before any model touches the audio. Same exact-Long
+    * accumulation contract as [[decodeWavPcm]].
+    */
+  def decodeWavWindows(mediaId: Long, p: Array[Byte], window: Int): Seq[WavWindow] =
+    pcmAccess(p) match {
+      case None => Nil
+      case Some(pcm) =>
+        val out = Seq.newBuilder[WavWindow]
+        var start = 0
+        var w = 0L
+        while (start < pcm.n) {
+          val end = math.min(start + window, pcm.n)
+          var i = start
+          var sumSq = 0L; var peak = 0L; var zc = 0L
+          var prev = 0L; var first = true
+          while (i < end) {
+            val a = pcm.amp(i)
+            sumSq += a * a
+            val ab = math.abs(a); if (ab > peak) peak = ab
+            if (!first && ((prev < 0L) != (a < 0L))) zc += 1
+            prev = a; first = false
+            i += 1
+          }
+          val cnt = end - start
+          out += WavWindow(mediaId, w, cnt.toLong,
+            math.sqrt(sumSq.toDouble / cnt), peak, zc)
+          start = end; w += 1
+        }
+        out.result()
+    }
+
+  /** [[decodeWavWindows]] behind the partition-batched decode interface
+    * (the [[extractWavStats]] shape): per-partition decoder init slot,
+    * streaming flatMap — undecodable payloads quarantine, each payload
+    * fans out to its frame rows.
+    */
+  def extractWavWindows(media: DataFrame, window: Int): Dataset[WavWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, p) => decodeWavWindows(id, p, window) }
       }
   }
 

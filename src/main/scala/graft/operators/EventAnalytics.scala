@@ -245,4 +245,32 @@ object EventAnalytics {
       .select(col("user_id"), col("event_id"), col("context"),
         col("event_type").as("label"))
   }
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral model summary (and sequence-sanity check) a
+    * clickstream pipeline logs per ingest: for every observed
+    * (from_type → to_type) adjacent pair, its count and the row-normalized
+    * probability P(to | from). Transitions never cross users.
+    *
+    * Scale shape: ONE window partitioned by user_id to form adjacent
+    * pairs (the [[nextEventExamples]] exchange), then a
+    * map-side-combinable count into an O(|types|²) table; the final
+    * normalization window runs on that tiny aggregate, not the event
+    * stream. Probability rounds to 6 (exact-long count ratio, single
+    * division).
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("from_type"))
+    counts.select(col("from_type"), col("to_type"), col("n"),
+      round(col("n").cast("double") / sum(col("n")).over(rowTotal), 6).as("p"))
+  }
 }

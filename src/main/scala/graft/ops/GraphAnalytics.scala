@@ -507,6 +507,48 @@ object GraphAnalytics {
           .otherwise(lit(0.0d)).as("clustering_coeff"))
   }
 
+  /** Link-prediction scores (Liben-Nowell & Kleinberg 2003) for every
+    * NON-adjacent node pair sharing at least one common neighbor on the
+    * distinct undirected simple graph: common-neighbor count,
+    * Jaccard(Γa, Γb) = cn / (deg a + deg b − cn), and Adamic–Adar
+    * Σ_z 1/ln(deg z) over the shared neighbors z. Shape: candidate pairs
+    * come from the wedge enumeration keyed by the SHARED neighbor
+    * (sym(z,·) self-equi-joined on z with n_l < n_r) — never all-pairs,
+    * the same Σ deg(z)² bound as the triangle join and equally
+    * AQE-skew-splittable on hub keys; existing edges drop via one
+    * anti-join on the canonical pair, and degrees join back by node id.
+    * Every common neighbor has degree ≥ 2 (it touches both endpoints),
+    * so ln(deg z) is never zero. Scores round to 6 — the Adamic–Adar sum
+    * is a shuffle-order-dependent double reduction, and 6 digits sits
+    * ~9 orders above its accumulation noise.
+    */
+  def linkPrediction(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    val nbr = sym.select(col("a").as("z"), col("b").as("n"))
+    val pairs = nbr.as("l")
+      .join(nbr.as("r"), col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .select(col("l.n").as("a"), col("r.n").as("b"), col("l.z").as("z"))
+    val scored = pairs
+      .join(deg.select(col("id").as("z"), col("degree").as("deg_z")), Seq("z"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0d) / log(col("deg_z").cast("double"))).as("aa_raw"))
+    scored.join(und, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("id").as("a"), col("degree").as("deg_a")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("common_neighbors"),
+        round(col("common_neighbors") /
+          (col("deg_a") + col("deg_b") - col("common_neighbors")).cast("double"),
+          6).as("jaccard"),
+        round(col("aa_raw"), 6).as("adamic_adar"))
+  }
+
   /** One-row whole-graph summary — the health block a graph pipeline logs
     * per ingest: node/edge counts, self-loops, density, RECIPROCITY (the
     * directed-graph signal: fraction of distinct non-loop edges whose

@@ -98,6 +98,13 @@ object CurationQueries {
       EventAnalytics.nextEventExamples(Tables.events(s, d), contextLen = 3)
         .orderBy(col("event_id"))),
 
+    "q_ev19_markov_transition" -> ((s, d) =>
+      // first-order Markov transition matrix over per-user sequences: one
+      // user-keyed window for adjacent pairs, then an O(|types|²)
+      // aggregate; normalization windows the tiny matrix, not the stream
+      EventAnalytics.transitionMatrix(Tables.events(s, d))
+        .orderBy(col("from_type"), col("to_type"))),
+
     "q_x11_snapshot_diff" -> ((s, d) => {
       // CDC audit between two table versions: v2 is derived
       // deterministically from orders in-plan (drop %97 keys, bump price
@@ -404,6 +411,19 @@ object CurationQueries {
                 l3 || '-' || l2 || '-' || l1 AS context,
                 event_type AS label
          FROM o WHERE l3 IS NOT NULL ORDER BY event_id""",
+
+    "q_ev19_markov_transition" ->
+      """WITH p AS (
+           SELECT event_type AS from_type,
+                  lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, count(*) AS n
+           FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n::BIGINT AS n,
+                round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6) AS p
+         FROM c ORDER BY 1, 2""",
 
     "q_x11_snapshot_diff" ->
       // the same derived v2 + full-outer classification re-derived

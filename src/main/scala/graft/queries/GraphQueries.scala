@@ -224,6 +224,16 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga15_link_prediction" -> ((s, _) => {
+      // missing-edge candidates scored by common-neighbors / Jaccard /
+      // Adamic-Adar — the classic link-prediction triple; wedge-keyed,
+      // never all-pairs (see GraphAnalytics.linkPrediction)
+      val g = graph50(s)
+      GraphAnalytics.linkPrediction(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q_ga14_graph_summary" -> ((s, _) => {
       // one-row graph health block: counts, self-loops, density,
       // reciprocity, average out-degree — every number re-derivable by
@@ -738,6 +748,35 @@ object GraphQueries {
                  round(recip::DOUBLE / m, 6) AS reciprocity,
                  round(m::DOUBLE / n, 6) AS avg_out_degree
           FROM s""",
+
+    "q_ga15_link_prediction" ->
+      // the wedge enumeration re-derived declaratively: shared-neighbor
+      // pairs, anti-joined against existing edges, identical rounding
+      s"""WITH und AS (
+            SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+            FROM $edgesTbl WHERE fromId <> toId),
+          sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+          dg AS (SELECT a AS id, count(*) AS degree FROM sym GROUP BY 1),
+          pairs AS (
+            SELECT l.b AS a, r.b AS b, l.a AS z
+            FROM sym l JOIN sym r ON l.a = r.a AND l.b < r.b),
+          sc AS (
+            SELECT p.a, p.b, count(*) AS cn,
+                   sum(1.0::DOUBLE / ln(dz.degree::DOUBLE)) AS aa_raw
+            FROM pairs p JOIN dg dz ON dz.id = p.z
+            GROUP BY 1, 2),
+          ne AS (
+            SELECT sc.* FROM sc
+            WHERE NOT EXISTS (SELECT 1 FROM und
+                              WHERE und.a = sc.a AND und.b = sc.b))
+          SELECT ne.a AS "a", ne.b AS "b",
+                 ne.cn::BIGINT AS common_neighbors,
+                 round(ne.cn::DOUBLE / (da.degree + db.degree - ne.cn), 6)
+                   AS jaccard,
+                 round(ne.aa_raw, 6) AS adamic_adar
+          FROM ne JOIN dg da ON da.id = ne.a
+                  JOIN dg db ON db.id = ne.b
+          ORDER BY 1, 2""",
 
     "q_ga3_triangles" ->
       // compact-forward enumeration, same canonicalized (a < b) edge set

@@ -1343,6 +1343,22 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_m9_wav_windows" -> ((s, d) => {
+      // windowed audio features over the SAME synthesized PCM payloads as
+      // q_m4: per 64-sample frame RMS / peak / zero-crossing count from
+      // the partition-batched decoder — the cheap speech/noise
+      // discriminators; the oracle re-derives every frame from the text
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.Multimodal.synthesizeWavPayload(col("text"), 8000)
+          .as("payload"))
+      graft.multimodal.Multimodal.extractWavWindows(media, window = 64).toDF()
+        .select(col("media_id"), col("win"), col("n_samples"),
+          round(col("rms"), 6).as("rms"), col("peak"), col("zero_crossings"))
+        .orderBy(col("media_id"), col("win"))
+    }),
+
     "q_as1_asof_join" -> ((s, d) =>
       // as-of join: latest order at-or-before each event for the same
       // customer — composed union+window operator (graft.operators.AsOfJoin)
@@ -1600,6 +1616,19 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_d18_cluster_rep" -> ((s, d) => {
+      // quality-aware survivor per near-dup cluster: q_d7's minhash pair
+      // pipeline + GraphX components, then the skew-safe min(struct)
+      // argmax on distinct-token quality (ties → min id) — "keep the
+      // best copy", not "keep the first copy"
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashCandidates(docs, "text",
+          k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.clusterRepresentatives(docs, pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_d10_semantic_dedup" -> ((s, d) =>
       // SemDeDup composition in EXACT mode (all-pairs candidates — the
       // oracle-checkable form; production passes IVF cells or LSH buckets
@@ -1667,6 +1696,14 @@ object RelationalQueries {
       // augmentation whose oracle re-derives every surviving token
       graft.functions.TextOps.wordDropout(Tables.documents(s, d),
           rate = 0.1, seed = "aug1")
+        .orderBy(col("doc_id"))),
+
+    "q_t33_fim_split" -> ((s, d) =>
+      // fill-in-the-middle PSM examples (Bavarian et al. 2022): two
+      // md5-derived character cuts per doc, reordered to
+      // <PRE>prefix<SUF>suffix<MID>middle — RNG-free, map-only, no shuffle;
+      // the oracle re-derives both cuts and every substring
+      graft.functions.TextOps.fimSplit(Tables.documents(s, d), seed = "fim")
         .orderBy(col("doc_id"))),
 
     "q_t25_bpe_encode" -> ((s, d) =>
@@ -2220,6 +2257,13 @@ object RelationalQueries {
       // cluster-summarization shape that never shuffles whole vectors
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .orderBy(col("label"), col("pos"))),
+
+    "q_v19_embedding_moments" -> ((s, d) =>
+      // per-dimension whitening statistics (mean/std/min/max/count): one
+      // posexplode + one dim-keyed map-side-combinable aggregate; output
+      // is O(dims) rows regardless of corpus size
+      Similarity.dimensionMoments(Tables.embeddings(s, d))
+        .orderBy(col("dim"))),
 
     "q_v3_knn_ivf" -> ((s, d) => {
       // approximate nprobe=3 IVF probe — hash-checked against a DuckDB
@@ -3332,6 +3376,20 @@ object RelationalQueries {
                FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "q_v19_embedding_moments" ->
+      // float elements widen to double exactly in both engines; + 0
+      // normalizes IEEE negative zero like q_v8's oracle
+      """WITH e AS (
+           SELECT i - 1 AS dim, embedding[i]::DOUBLE AS v
+           FROM embeddings,
+                LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+           WHERE embedding IS NOT NULL)
+         SELECT dim::INT AS dim, count(*)::BIGINT AS n,
+                round(avg(v), 6) + 0 AS mean,
+                round(stddev_pop(v), 6) + 0 AS std,
+                min(v) AS vmin, max(v) AS vmax
+         FROM e GROUP BY 1 ORDER BY 1""",
+
     "q_v10_quantized_topk" ->
       // the whole int8 pipeline recomputed from the float embeddings: the
       // SAME double formula order as VectorQuant (scale = maxabs/127 FIRST,
@@ -4251,6 +4309,27 @@ object RelationalQueries {
                 round(sum(amp)::DOUBLE / count(*), 6) AS mean_amp
          FROM chars GROUP BY doc_id ORDER BY media_id""",
 
+    "q_m9_wav_windows" ->
+      // per-frame re-derivation from the text: window = (i-1)//64, sign
+      // flips via lag WITHIN the (doc, window) partition — frame
+      // independence matches the decoder's per-frame predecessor reset
+      """WITH chars AS (
+           SELECT doc_id, i, ascii(text[i]) - 128 AS amp, (i - 1) // 64 AS win
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) u
+           WHERE text IS NOT NULL AND length(text) > 0),
+         l AS (
+           SELECT doc_id, win, amp,
+                  lag(amp) OVER (PARTITION BY doc_id, win ORDER BY i) AS prev
+           FROM chars)
+         SELECT doc_id AS media_id, win::BIGINT AS win,
+                count(*) AS n_samples,
+                round(sqrt(sum(amp * amp)::DOUBLE / count(*)), 6) AS rms,
+                max(abs(amp))::BIGINT AS peak,
+                sum(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (amp < 0))
+                    THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+         FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_sp5_grouped_split" ->
       // the q_d7 cluster CTE + the md5 hash gate on the CLUSTER id; the
       // 3435973836/3865470566 bounds are the exact IEEE longs the Spark
@@ -4492,6 +4571,29 @@ object RelationalQueries {
          FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
          LEFT JOIN k ON k.doc_id = d.doc_id
          GROUP BY 1 ORDER BY 1""",
+
+    "q_t33_fim_split" ->
+      // both md5 cut points and all three substrings re-derived; integer
+      // mod over the same 32-bit md5 prefix as every hash gate
+      """WITH c AS (
+           SELECT doc_id, text, length(text) AS n,
+                  ('0x' || substr(md5('fim:a:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    % length(text) AS c1,
+                  ('0x' || substr(md5('fim:b:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    % length(text) AS c2
+           FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         d AS (
+           SELECT doc_id, text, n,
+                  least(c1, c2) AS lo, greatest(c1, c2) AS hi
+           FROM c)
+         SELECT doc_id,
+                lo::BIGINT AS prefix_len,
+                (hi - lo)::BIGINT AS middle_len,
+                (n - hi)::BIGINT AS suffix_len,
+                '<PRE>' || substr(text, 1, lo) ||
+                '<SUF>' || substr(text, hi + 1, n - hi) ||
+                '<MID>' || substr(text, lo + 1, hi - lo) AS fim_text
+         FROM d ORDER BY doc_id""",
 
     "q_t27_perplexity_filter" ->
       // the same split, smoothing, and perplexity re-derived: train
@@ -4940,6 +5042,50 @@ object RelationalQueries {
              SELECT e.b AS doc, r.root FROM r JOIN e ON e.a = r.doc)
          SELECT doc AS doc_id, min(root)::BIGINT AS cluster_id
          FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q_d18_cluster_rep" ->
+      // q_d7's cluster CTE + distinct-token quality + the argmax window
+      // (quality DESC, id ASC) re-deriving the representative per cluster
+      """WITH RECURSIVE
+           sh AS (
+             SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+           sig AS (
+             SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
+               FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
+             FROM sh WHERE len(shingles) > 0),
+           banded AS (
+             SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
+             FROM sig, generate_series(0, 3) t(b)),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           e AS (SELECT a, b FROM cand UNION SELECT b, a FROM cand),
+           r AS (
+             SELECT doc_id AS doc, doc_id AS root FROM documents
+             UNION
+             SELECT e.b AS doc, r.root FROM r JOIN e ON e.a = r.doc),
+           c AS (
+             SELECT doc AS doc_id, min(root)::BIGINT AS cluster_id
+             FROM r GROUP BY 1),
+           q AS (
+             SELECT doc_id, len(list_distinct(string_split(text, ' '))) AS quality
+             FROM documents),
+           l AS (
+             SELECT c.doc_id, c.cluster_id, q.quality FROM c JOIN q USING (doc_id)),
+           rep AS (
+             SELECT cluster_id, doc_id AS rep_id
+             FROM (SELECT cluster_id, doc_id,
+                          row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rn
+                   FROM l)
+             WHERE rn = 1)
+         SELECT l.doc_id, l.cluster_id, l.quality, rep.rep_id,
+                (l.doc_id = rep.rep_id) AS is_rep
+         FROM l JOIN rep USING (cluster_id)
+         ORDER BY l.doc_id""",
 
     // the oracle for the BANDED plan is the declarative inequality join
     "q_j11_band_join" ->

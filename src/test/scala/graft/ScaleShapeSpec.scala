@@ -489,6 +489,40 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
   }
 
+  test("link prediction is wedge-keyed: equi-joins only, no all-pairs anywhere") {
+    val q = SparkEntry.queries("q_ga15_link_prediction")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // candidate pairs must come from the shared-neighbor self-equi-join
+    // (the Σ deg(z)² wedge bound) — a cartesian or nested-loop candidate
+    // generator would be node-count-quadratic at corpus scale
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("cluster representatives: skew-safe min(struct) argmax, no per-cluster window") {
+    val q = SparkEntry.queries("q_d18_cluster_rep")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // a boilerplate mega-cluster must partial-aggregate map-side, never
+    // sort inside one window partition
+    plan should not include "Window"
+    plan should include("partial_min")
+    plan should not include "CartesianProduct"
+  }
+
+  test("Markov transition matrix: the stream sees one user-keyed window; normalization windows only the matrix") {
+    val q = SparkEntry.queries("q_ev19_markov_transition")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "CartesianProduct"
+    // two Window ops total: the per-user lead and the O(|types|²)
+    // row-normalization — and the normalization's input is the aggregate,
+    // so only ONE window is partitioned by user_id
+    "Window".r.findAllIn(plan).length shouldBe 2
+    plan.linesIterator.count(_.contains("hashpartitioning(user_id")) should be >= 1
+  }
+
   test("snapshot diff is ONE full-outer equi-join; unchanged rows die in its projection") {
     val q = SparkEntry.queries("q_x11_snapshot_diff")(spark, sfDir)
     q.collect()

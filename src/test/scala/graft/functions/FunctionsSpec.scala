@@ -18,6 +18,64 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     r.getInt(1) shouldBe 3
   }
 
+  test("fimSplit: PSM reassembles to the original text; cuts are deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val out = TextOps.fimSplit(docs).collect()
+    val texts = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out should not be empty
+    out.foreach { r =>
+      val (id, pl, ml, sl, fim) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))
+      val text = texts(id)
+      (pl + ml + sl) shouldBe text.length.toLong
+      // parse <PRE>p<SUF>s<MID>m back out by the known lengths
+      fim should startWith("<PRE>")
+      val p = fim.substring(5, 5 + pl.toInt)
+      fim.substring(5 + pl.toInt, 10 + pl.toInt) shouldBe "<SUF>"
+      val sfx = fim.substring(10 + pl.toInt, 10 + pl.toInt + sl.toInt)
+      fim.substring(10 + pl.toInt + sl.toInt, 15 + pl.toInt + sl.toInt) shouldBe "<MID>"
+      val m = fim.substring(15 + pl.toInt + sl.toInt)
+      (p + m + sfx) shouldBe text // lossless: PSM is a permutation
+    }
+    // deterministic across invocations; a different seed moves cuts
+    TextOps.fimSplit(docs).collect() shouldBe out
+    val other = TextOps.fimSplit(docs, seed = "fim2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.count(r => other(r.getLong(0)) != r.getLong(1)) should be > 0
+  }
+
+  test("clusterRepresentatives keeps the highest-quality member, min id on ties") {
+    val docs = Seq(
+      (1L, "a b c"), // cluster {1,2,3}: doc 2 has 4 distinct tokens — best
+      (2L, "a b c d"),
+      (3L, "a a a"),
+      (4L, "x y"), // cluster {4,5}: tie on 2 distinct → min id 4 wins
+      (5L, "x z"),
+      (6L, "solo doc")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterRepresentatives(docs, pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    Seq(1L, 2L, 3L).map(out(_)._1).distinct shouldBe Seq(2L)
+    out(2L)._2 shouldBe true
+    out(1L)._2 shouldBe false
+    Seq(4L, 5L).map(out(_)._1).distinct shouldBe Seq(4L)
+    out(6L) shouldBe ((6L, true)) // singleton is its own representative
+  }
+
+  test("dimensionMoments: hand-checked per-dimension stats") {
+    val embs = Seq(
+      (1L, Array(1.0f, -2.0f)),
+      (2L, Array(3.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimensionMoments(embs)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))).toMap
+    out(0) shouldBe ((2L, 2.0, 1.0, 1.0, 3.0)) // mean 2, pop-std 1
+    out(1) shouldBe ((2L, 0.0, 2.0, -2.0, 2.0))
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),

@@ -117,6 +117,35 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     Multimodal.decodeWavPcm(6L, nonPcm) shouldBe None
   }
 
+  test("decodeWavWindows: per-frame features, frame-independent ZCR, 16-bit and truncated payloads") {
+    def hx(s: String): Array[Byte] =
+      s.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // same 16-bit fixture as the PCM test: samples 1000, -1000, 32767, -32768
+    val wav16 = hx("52494646 2C000000 57415645 666D7420 10000000 0100 0100" +
+      "401F0000 803E0000 0200 1000 64617461 08000000" +
+      "E803 18FC FF7F 0080")
+    val w2 = Multimodal.decodeWavWindows(1L, wav16, window = 2)
+    w2.map(_.win) shouldBe Seq(0L, 1L)
+    w2.head.n_samples shouldBe 2L
+    w2.head.rms shouldBe 1000.0
+    w2.head.peak shouldBe 1000L
+    // the -1000 → 32767 flip crosses the frame boundary and must NOT
+    // count: 1 flip inside each frame, not the stream's 3
+    w2.map(_.zero_crossings) shouldBe Seq(1L, 1L)
+    w2(1).rms shouldBe math.sqrt((32767L * 32767 + 32768L * 32768).toDouble / 2)
+    // ragged tail frame: window=3 leaves a 1-sample frame with zero ZCR
+    val w3 = Multimodal.decodeWavWindows(2L, wav16, window = 3)
+    w3.map(_.n_samples) shouldBe Seq(3L, 1L)
+    w3.map(_.zero_crossings) shouldBe Seq(2L, 0L)
+    w3(1).peak shouldBe 32768L
+    // truncated payload: frames over the samples that exist
+    Multimodal.decodeWavWindows(3L, wav16.take(44 + 4), window = 2)
+      .map(_.n_samples) shouldBe Seq(2L)
+    // rejects mirror decodeWavPcm
+    Multimodal.decodeWavWindows(4L, null, 2) shouldBe Nil
+    Multimodal.decodeWavWindows(5L, "junk".getBytes, 2) shouldBe Nil
+  }
+
   test("JpegDims interpreted eval and codegen agree on adversarial streams") {
     // property-style cross-check of nullSafeEval (scan) vs the generated
     // Java over structured-random marker streams, incl. truncations

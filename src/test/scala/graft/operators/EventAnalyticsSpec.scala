@@ -265,4 +265,28 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
         r.getAs[String]("label")))
     out shouldBe Array((13L, "a-b-c", "d"), (14L, "b-c-d", "e"))
   }
+
+  test("transitionMatrix: per-user adjacency only; probabilities row-normalize to 1") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "a", 10L),
+      (1L, "2024-01-01 11:00:00", "b", 11L),
+      (1L, "2024-01-01 12:00:00", "a", 12L),
+      (1L, "2024-01-01 13:00:00", "c", 13L),
+      (2L, "2024-01-01 10:00:00", "a", 20L),
+      (2L, "2024-01-01 11:00:00", "b", 21L),
+      (3L, "2024-01-01 09:00:00", "z", 30L)) // singleton: no transitions
+      .map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.transitionMatrix(rows)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // user1: a→b, b→a, a→c; user2: a→b; user3 contributes nothing,
+    // and the c→a "transition" across users must not exist
+    out.keySet shouldBe Set(("a", "b"), ("b", "a"), ("a", "c"))
+    out(("a", "b")) shouldBe ((2L, BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    out(("a", "c"))._2 shouldBe BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(("b", "a")) shouldBe ((1L, 1.0))
+  }
 }

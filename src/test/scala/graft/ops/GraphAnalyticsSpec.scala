@@ -304,6 +304,22 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       Map(7L -> 7L, 9L -> 9L)
   }
 
+  test("linkPrediction: hand-checked path graph, adjacent pairs excluded") {
+    // path 1—2—3: the only scored pair is (1,3) through shared neighbor 2
+    val n = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("fromId", "toId")
+    val rows = GraphAnalytics.linkPrediction(n, e).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    (r.getLong(0), r.getLong(1), r.getLong(2)) shouldBe ((1L, 3L, 1L))
+    r.getDouble(3) shouldBe 1.0 // jaccard: 1 / (1 + 1 − 1)
+    r.getDouble(4) shouldBe BigDecimal(1.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a triangle has no non-adjacent pairs → empty output
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("fromId", "toId")
+    GraphAnalytics.linkPrediction(n, tri).count() shouldBe 0L
+  }
+
   test("connectedComponentsStar: self-loops ignored, iteration cap throws") {
     val n = Seq(1L, 2L).toDF("id")
     val e = Seq((1L, 1L), (1L, 2L)).toDF("fromId", "toId")
