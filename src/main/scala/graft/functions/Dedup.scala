@@ -188,6 +188,43 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATES over the banded candidate pairs: for each
+    * candidate, est = (# agreeing signature slots) / numHashes — the
+    * O(numHashes) per-pair estimator (error O(1/√numHashes)) that stands
+    * in for the exact shingle-set intersection at verify time when
+    * shingle sets are huge. One signature computation feeds BOTH
+    * candidate generation and the estimate: signatures persist, bands
+    * derive from the persisted arrays, and the pair join pulls the two
+    * signatures by doc id — shingles are never touched after the
+    * signature pass (the q_d7 persist convention: callers/harness
+    * clearCache between queries).
+    */
+  def minhashJaccardEstimates(docs: DataFrame, textCol: String, k: Int,
+                              bands: Int, rowsPerBand: Int,
+                              hasher: Hasher = xxHasher): DataFrame = {
+    val nh = bands * rowsPerBand
+    val sigs = minhashSignatures(docs, "doc_id", textCol, k, nh, hasher)
+      .filter(col("sig")(0).isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = banded.alias("a").hint("shuffle_hash")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    def matches: Column =
+      size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), b => b))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), matches.as("n_match"),
+        round(matches.cast("double") / nh, 6).as("est_jaccard"))
+  }
+
   /** SimHash signatures for every doc: `bits`-wide value from per-bit
     * majority vote over distinct-token hashes. Explode + one aggregation
     * with `bits` conditional counters — single shuffle, all codegen'd.

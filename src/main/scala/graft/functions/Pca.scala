@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed power iteration for the TOP principal direction of an
+  * embedding corpus — the first step of PCA whitening / spectral sanity
+  * checks ("is one direction eating the variance?") on dense-retrieval
+  * vectors.
+  *
+  * Numeric contract (what makes q_v20 hash-checkable cross-engine): the
+  * iteration is a DETERMINISTIC QUANTIZED power method — each
+  * back-projection term round(quant · y_i · x_id) is integerized to the
+  * quant grain BEFORE the corpus-wide sum, so the only shuffle-order-
+  * dependent float reductions are the per-vector dots y_i (64-term sums,
+  * noise ~1e-15 against a 1e-4 rounding grain) and the 64-term norm; the
+  * big Σ_i runs in exact BIGINT. Each iterate re-normalizes and rounds to
+  * 6 decimals (HALF_UP — DuckDB's round-half-away matches) so both
+  * engines enter every iteration with bit-identical v. The quantization
+  * IS the algorithm spec, not an approximation of some other spec.
+  *
+  * Scale shape: the long-form (vec_id, dim, x) table is persisted and
+  * reused across iterations; per iteration ONE vec_id-keyed aggregate
+  * (the dots, v riding along as a broadcast literal) and ONE dim-keyed
+  * aggregate (the back-projection) — both map-side combinable; driver
+  * state is the `dims`-length vector (X6-small). At 100 TB this is
+  * 2·iters corpus passes over a cached columnar intermediate with O(dims)
+  * reduce state.
+  */
+object Pca {
+
+  final case class TopComponent(loadings: Array[Double], gramNorm: Double)
+
+  /** Run `iters` quantized power-method steps; returns the unit loading
+    * vector (rounded 6) and the Gram-operator norm estimate
+    * ‖Xᵀ(X v)‖ / quant of the LAST step (grows toward the top eigenvalue
+    * of XᵀX as v converges).
+    */
+  def topComponent(embs: DataFrame, dims: Int, iters: Int = 3,
+                   quant: Double = 1e4, vecCol: String = "embedding",
+                   idCol: String = "vec_id"): TopComponent = {
+    require(dims >= 1 && iters >= 1, s"dims/iters must be >= 1 ($dims/$iters)")
+    val e = embs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var v: Array[Double] = Array.fill(dims)(round6(1.0 / math.sqrt(dims.toDouble)))
+    var gramNorm = 0.0
+    try {
+      for (_ <- 1 to iters) {
+        val vLit: Column = typedLit(v.toSeq)
+        val y = e.groupBy(col("vec_id"))
+          .agg(sum(col("x") * element_at(vLit, col("dim") + 1)).as("y"))
+        val u = e.join(y, Seq("vec_id"))
+          .groupBy(col("dim"))
+          .agg(sum(round(lit(quant) * col("y") * col("x"), 0).cast("long")).as("u"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val uArr = (0 until dims).map(d => u.getOrElse(d, 0L)).toArray
+        val nrm = math.sqrt(uArr.map(x => x.toDouble * x.toDouble).sum)
+        require(nrm > 0.0, "power iteration collapsed to the zero vector")
+        v = uArr.map(x => round6(x.toDouble / nrm))
+        gramNorm = nrm / quant
+      }
+    } finally e.unpersist()
+    TopComponent(v, gramNorm)
+  }
+
+  /** [[topComponent]] as a per-dimension DataFrame:
+    * (dim, loading, gram_norm) — `gram_norm` rounded 2 and repeated per
+    * row so the result is one flat oracle-able table.
+    */
+  def topComponentDF(embs: DataFrame, dims: Int, iters: Int = 3,
+                     quant: Double = 1e4): DataFrame = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val tc = topComponent(embs, dims, iters, quant)
+    val g = BigDecimal(tc.gramNorm).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    tc.loadings.zipWithIndex
+      .map { case (l, d) => (d, l, g) }.toSeq
+      .toDF("dim", "loading", "gram_norm")
+  }
+}

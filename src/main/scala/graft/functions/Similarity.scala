@@ -277,6 +277,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka / dimension-truncation retrieval check (the MRL question
+    * "how much ranking do the first d dims carry?"): the same query's
+    * brute-force top-k at FULL dimensionality and truncated to the first
+    * `truncDims`, long-form (method, vec_id, cosine) — overlap@k is one
+    * aggregation away, and a pipeline uses the answer to decide whether
+    * truncated (cheaper) vectors suffice. Exact brute force is the
+    * gate-scale oracle-able form; at corpus scale the identical
+    * comparison runs over ANN candidate sets. Deterministic ordering as
+    * [[bruteForceTopK]]: round-6 cosine desc, vec_id asc.
+    */
+  def truncationEval(embs: DataFrame, queryId: Long, truncDims: Int,
+                     k: Int): DataFrame = {
+    val full = embs.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head().getSeq[Float](0)
+    def ranked(df: DataFrame, q: Seq[Float], method: String): DataFrame =
+      df.filter(col("vec_id") =!= queryId)
+        .select(lit(method).as("method"), col("vec_id"),
+          round(cosine(col("embedding"), typedLit(q)), 6).as("cosine"))
+        .orderBy(desc("cosine"), asc("vec_id"))
+        .limit(k)
+    val trunc = embs.select(col("vec_id"),
+      slice(col("embedding"), 1, truncDims).as("embedding"))
+    ranked(embs, full, "full")
+      .unionByName(ranked(trunc, full.take(truncDims), s"trunc$truncDims"))
+  }
+
   /** Per-dimension distribution moments of an embedding column — the
     * whitening / normalization statistics (mean, population std, min,
     * max, count) every dense-retrieval pipeline computes before

@@ -164,6 +164,42 @@ object RelationalQueries {
     * q_v4_knn_join_autocells, which deliberately trains per call at both
     * scale points.
     */
+  /** Unrolled quantized power iteration in SQL — the exact mirror of
+    * [[graft.functions.Pca.topComponent]]: per step the per-vector dots,
+    * the quant-grain-integerized back-projection (exact BIGINT sums), the
+    * 64-term norm, and the round-6 renormalization (+ 0 normalizing IEEE
+    * negative zero like the q_v8 oracle — a −1-micro u slot would
+    * otherwise round to −0.0).
+    */
+  private def powerIterSql(dims: Int, iters: Int, quant: String): String = {
+    val base =
+      s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+           FROM embeddings,
+                LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) ix
+           WHERE embedding IS NOT NULL),
+         v0 AS (SELECT unnest(range(0, $dims)) AS dim,
+                       round(1.0 / sqrt($dims::DOUBLE), 6) AS vv)"""
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         y$k AS MATERIALIZED (
+           SELECT e.vec_id, sum(e.x * v.vv) AS y
+           FROM e JOIN v${k - 1} v USING (dim) GROUP BY 1),
+         u$k AS MATERIALIZED (
+           SELECT e.dim, sum(round($quant * y$k.y * e.x)::BIGINT) AS u
+           FROM e JOIN y$k USING (vec_id) GROUP BY 1),
+         n$k AS MATERIALIZED (
+           SELECT sqrt(sum(u::DOUBLE * u::DOUBLE)) AS nrm FROM u$k),
+         v$k AS (
+           SELECT dim, round(u::DOUBLE / nrm, 6) + 0 AS vv FROM u$k, n$k)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+         SELECT dim::INT AS dim, vv AS loading,
+                (SELECT round(nrm / $quant, 2) FROM n$iters) AS gram_norm
+         FROM v$iters ORDER BY dim"""
+  }
+
   private def ivfModel(s: SparkSession, embs: DataFrame, d: String) =
     graft.functions.IvfIndex.ensureModel(s, embs, d, k = 8)
 
@@ -1616,6 +1652,15 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_d19_minhash_estimate" -> ((s, d) =>
+      // per-candidate Jaccard ESTIMATE from signature-slot agreement
+      // (8 slots, md5 family — same banding as q_d2/q_d7): the O(sig)
+      // verify that replaces exact intersection on huge shingle sets;
+      // one signature pass feeds both candidates and estimates
+      Dedup.minhashJaccardEstimates(Tables.documents(s, d), "text",
+          k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "q_d18_cluster_rep" -> ((s, d) => {
       // quality-aware survivor per near-dup cluster: q_d7's minhash pair
       // pipeline + GraphX components, then the skew-safe min(struct)
@@ -2257,6 +2302,23 @@ object RelationalQueries {
       // cluster-summarization shape that never shuffles whole vectors
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .orderBy(col("label"), col("pos"))),
+
+    "q_v21_matryoshka" -> ((s, d) =>
+      // dimension-truncation retrieval check: the same query's top-10 at
+      // 64 dims vs the first 16 — both exact, long-form; tells a pipeline
+      // whether 4×-cheaper truncated vectors preserve the ranking
+      Similarity.truncationEval(Tables.embeddings(s, d), queryId = 0L,
+          truncDims = 16, k = 10)
+        .orderBy(col("method"), desc("cosine"), col("vec_id"))),
+
+    "q_v20_pca_power" -> ((s, d) =>
+      // top principal direction by DETERMINISTIC QUANTIZED power
+      // iteration (3 steps, 1e-4 grain): per step one vec-keyed dot
+      // aggregate + one dim-keyed exact-BIGINT back-projection; driver
+      // state is the 64-length vector. The oracle unrolls all 3 steps.
+      graft.functions.Pca.topComponentDF(Tables.embeddings(s, d),
+          dims = 64, iters = 3)
+        .orderBy(col("dim"))),
 
     "q_v19_embedding_moments" -> ((s, d) =>
       // per-dimension whitening statistics (mean/std/min/max/count): one
@@ -3375,6 +3437,27 @@ object RelationalQueries {
                    FOR i IN generate_series(1, len(embedding))]) AS u
                FROM embeddings)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_v20_pca_power" -> powerIterSql(dims = 64, iters = 3, quant = "10000.0"),
+
+    "q_v21_matryoshka" ->
+      // both ranked lists re-derived; DuckDB list slice [1:16] ==
+      // Spark slice(_,1,16) (inclusive, 16 elements)
+      """WITH q AS (SELECT embedding::DOUBLE[] e FROM embeddings WHERE vec_id = 0),
+         f AS (
+           SELECT 'full' AS method, vec_id,
+                  round(list_cosine_similarity(embedding::DOUBLE[],
+                    (SELECT e FROM q)), 6) AS cosine
+           FROM embeddings WHERE vec_id <> 0
+           ORDER BY cosine DESC, vec_id LIMIT 10),
+         t AS (
+           SELECT 'trunc16' AS method, vec_id,
+                  round(list_cosine_similarity(embedding[1:16]::DOUBLE[],
+                    (SELECT e[1:16] FROM q)), 6) AS cosine
+           FROM embeddings WHERE vec_id <> 0
+           ORDER BY cosine DESC, vec_id LIMIT 10)
+         SELECT * FROM (SELECT * FROM f UNION ALL SELECT * FROM t)
+         ORDER BY method, cosine DESC, vec_id""",
 
     "q_v19_embedding_moments" ->
       // float elements widen to double exactly in both engines; + 0
@@ -5042,6 +5125,33 @@ object RelationalQueries {
              SELECT e.b AS doc, r.root FROM r JOIN e ON e.a = r.doc)
          SELECT doc AS doc_id, min(root)::BIGINT AS cluster_id
          FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q_d19_minhash_estimate" ->
+      // q_d7's signature/banding CTEs + per-pair slot agreement; est is
+      // an exact multiple of 1/8 so round-6 is tie-free
+      """WITH sh AS (
+             SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+               FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+             FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+           sig AS (
+             SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
+               FOR sh2 IN shingles]) FOR s IN generate_series(0, 7)] AS sig
+             FROM sh WHERE len(shingles) > 0),
+           banded AS (
+             SELECT doc_id, b AS band, [sig[2*b + 1], sig[2*b + 2]] AS bucket
+             FROM sig, generate_series(0, 3) t(b)),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM banded x JOIN banded y
+               ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         SELECT c.a AS doc_a, c.b AS doc_b,
+                len(list_filter(range(1, 9), i -> sx.sig[i] = sy.sig[i]))
+                  AS n_match,
+                round(len(list_filter(range(1, 9), i -> sx.sig[i] = sy.sig[i]))::DOUBLE
+                  / 8, 6) AS est_jaccard
+         FROM cand c JOIN sig sx ON sx.doc_id = c.a
+                     JOIN sig sy ON sy.doc_id = c.b
+         ORDER BY 1, 2""",
 
     "q_d18_cluster_rep" ->
       // q_d7's cluster CTE + distinct-token quality + the argmax window

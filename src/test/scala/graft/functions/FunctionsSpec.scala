@@ -76,6 +76,55 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(1) shouldBe ((2L, 0.0, 2.0, -2.0, 2.0))
   }
 
+  test("Pca.topComponent finds a planted dominant direction; unit loadings") {
+    // corpus overwhelmingly stretched along dim 1: the top component must
+    // land on (~0, ~±1, ~0, ~0) after 3 quantized steps
+    val embs = Seq(
+      (1L, Array(0.1f, 5.0f, 0.0f, 0.1f)),
+      (2L, Array(-0.1f, -4.0f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 6.0f, -0.1f, 0.1f)),
+      (4L, Array(0.1f, -5.0f, 0.0f, -0.1f))).toDF("vec_id", "embedding")
+    val tc = Pca.topComponent(embs, dims = 4, iters = 3)
+    math.abs(tc.loadings(1)) should be > 0.99
+    math.sqrt(tc.loadings.map(x => x * x).sum) shouldBe 1.0 +- 1e-4
+    tc.gramNorm should be > 0.0
+    // deterministic: same input, same result
+    Pca.topComponent(embs, dims = 4, iters = 3).loadings shouldBe tc.loadings
+  }
+
+  test("minhashJaccardEstimates: identical docs estimate 1.0; candidates match the banding") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"), // identical: every slot agrees
+      (3L, "z y x w v u t s")).toDF("doc_id", "text")
+    val est = Dedup.minhashJaccardEstimates(docs, "text",
+      k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+    val rows = est.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getInt(2), r.getDouble(3))).toMap
+    rows((1L, 2L)) shouldBe ((8, 1.0))
+    // the candidate set is exactly the banded one
+    val cand = Dedup.minhashCandidates(docs, "text",
+        k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.keySet shouldBe cand
+    spark.catalog.clearCache()
+  }
+
+  test("truncationEval: the full-dim list equals bruteForceTopK") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.truncationEval(embs, queryId = 0L, truncDims = 16, k = 5)
+    val full = out.filter($"method" === "full")
+      .select($"vec_id", $"cosine").collect().toSeq
+    val q = embs.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(embs, q, k = 5, excludeSelf = Some(0L))
+      .collect().toSeq
+    full.map(r => (r.getLong(0), r.getDouble(1))) shouldBe
+      brute.map(r => (r.getLong(0), r.getDouble(1)))
+    // truncated list really uses 16 dims: it differs from the full list
+    val tr = out.filter($"method" === "trunc16").select($"cosine").collect().map(_.getDouble(0))
+    tr should not equal full.map(_.getDouble(1))
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
