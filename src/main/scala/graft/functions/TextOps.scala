@@ -104,6 +104,34 @@ object TextOps {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  /** [[langId]] with a CONFIDENCE signal — what a curation pipeline
+    * actually gates on (ambiguous-language docs are their own quality
+    * problem): per doc the winning language, its marker-hit score, the
+    * margin over the runner-up, and a confident flag (top ≥ 2 hits AND
+    * margin ≥ 1 — zero-marker word soup and one-hit ties both fail).
+    * Same per-row struct argmax as [[langId]] (array_sort by (score,
+    * lang) — the deterministic tie order both engines share), still a
+    * pure map-only projection.
+    */
+  def langIdMargin(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = langMarkers.map { case (lang, markers) =>
+      struct(
+        size(filter(toks, w => array_contains(typedLit(markers), w))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val arr = array_sort(array(scored: _*))
+    val n = langMarkers.size
+    val top = element_at(arr, n)
+    val second = element_at(arr, n - 1)
+    df.select(col("doc_id"),
+      top.getField("lang").as("lang_pred"),
+      top.getField("score").as("top_score"),
+      (top.getField("score") - second.getField("score")).as("margin"),
+      (top.getField("score") >= 2 &&
+        top.getField("score") - second.getField("score") >= 1).as("confident"))
+  }
+
   /** [[langId]] in the scale shape: explode tokens once, broadcast-join the
     * (lang, marker-word) table, count hits per (doc, lang), arg-max with the
     * same (score, lang) tuple ordering as the column form. No interpreted

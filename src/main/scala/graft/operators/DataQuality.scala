@@ -121,6 +121,26 @@ object DataQuality {
     row.select(explode(array(reports: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Column-profile drift between two versions of a table — the cheap
+    * per-ingest regression check (a parser change shows up as a null
+    * spike, an id-space collapse as a distinct-count drop) run BEFORE any
+    * distribution-level test like [[psiDrift]]. Composes two [[profile]]
+    * single-pass aggregations (one scan each) with one join on the
+    * column-count-sized reports; output is one row per profiled column
+    * with both versions' null/distinct counts and their deltas.
+    */
+  def profileDrift(v1: DataFrame, v2: DataFrame, cols: Seq[String]): DataFrame =
+    profile(v1, cols)
+      .select(col("column"), col("n_nulls").as("nulls_v1"),
+        col("n_distinct").as("distinct_v1"))
+      .join(profile(v2, cols)
+        .select(col("column"), col("n_nulls").as("nulls_v2"),
+          col("n_distinct").as("distinct_v2")), Seq("column"))
+      .select(col("column"), col("nulls_v1"), col("nulls_v2"),
+        (col("nulls_v2") - col("nulls_v1")).as("null_delta"),
+        col("distinct_v1"), col("distinct_v2"),
+        (col("distinct_v2") - col("distinct_v1")).as("distinct_delta"))
+
   /** Population-stability-index drift report — the standard "has this
     * source's distribution shifted vs the reference" check a training-data
     * pipeline runs per ingest batch (PSI > 0.2 = retrain/investigate, by

@@ -582,6 +582,39 @@ object GraphAnalytics {
         "avg_out_degree")
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the both-orientations expansion of the
+    * distinct undirected edge set — positive = hubs link hubs (social
+    * shape), negative = hubs link leaves (web/biology shape); THE
+    * one-number structure signal after [[graphSummary]]'s counts. With
+    * both orientations Σx = Σy and Σx² = Σy², so
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²) over exact integer sums — one
+    * edge-keyed degree join + one global map-side-combinable aggregate,
+    * single rounded division at the end (round 6); NULL when the degree
+    * variance is zero (regular graphs have undefined r). Long sums bound
+    * the scale envelope: Σxy ≤ M·deg²_max — swap in DECIMAL(38) past
+    * ~10^18, noted here rather than silently approximated.
+    */
+  def degreeAssortativity(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    val pairs = sym
+      .join(deg.select(col("id").as("a"), col("degree").as("x")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("y")), Seq("b"))
+    pairs.agg(count(lit(1)).as("m"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .select((col("m") / 2).cast("long").as("n_edges"),
+        when(col("m") * col("sxx") - col("sx") * col("sx") =!= 0,
+          round((col("m") * col("sxy") - col("sx") * col("sx")).cast("double") /
+            (col("m") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("assortativity"))
+  }
+
   /** k-core membership: iterative peeling — repeatedly delete nodes whose
     * UNDIRECTED degree within the surviving subgraph is below `k` until a
     * fixpoint; the survivors form the (unique) maximal subgraph with

@@ -176,6 +176,24 @@ object CurationQueries {
             "o_orderpriority"))
         .orderBy(col("column"))),
 
+    "q_q5_profile_drift" -> ((s, d) => {
+      // ingest regression check: v2 derived in-plan (null custkey on %19
+      // keys, collapse status on %7, drop %97 rows), then two single-pass
+      // profiles joined on the column-count-sized reports — a parser
+      // regression shows as a null spike, an id collapse as distinct drop
+      val orders = Tables.orders(s, d)
+      val v2 = orders.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_custkey",
+          when(col("o_orderkey") % 19 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("O"))
+            .otherwise(col("o_orderstatus")))
+      DataQuality.profileDrift(orders, v2,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("column"))
+    }),
+
     "q_sp14_curation_pipeline" -> ((s, d) => {
       // END-TO-END curation capstone in ONE declarative plan — the
       // composition a real corpus build runs: classifier quality gate
@@ -489,6 +507,44 @@ object CurationQueries {
            SELECT 'o_orderpriority', (count(*) - count(o_orderpriority))::BIGINT,
                   count(DISTINCT o_orderpriority)::BIGINT FROM orders)
          ORDER BY "column"""",
+
+    "q_q5_profile_drift" ->
+      // v2 re-derived + per-column profile deltas, column-generic via a
+      // UNION like the q_q4 oracle
+      """WITH v2 AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 19 = 0 THEN NULL
+                       ELSE o_custkey END AS o_custkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN 'O'
+                       ELSE o_orderstatus END AS o_orderstatus,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey % 97 <> 0),
+         p1 AS (
+           SELECT 'o_orderkey' AS "column",
+                  (count(*) - count(o_orderkey))::BIGINT AS n1,
+                  count(DISTINCT o_orderkey)::BIGINT AS d1 FROM orders
+           UNION ALL SELECT 'o_custkey', (count(*) - count(o_custkey))::BIGINT,
+                  count(DISTINCT o_custkey)::BIGINT FROM orders
+           UNION ALL SELECT 'o_orderstatus', (count(*) - count(o_orderstatus))::BIGINT,
+                  count(DISTINCT o_orderstatus)::BIGINT FROM orders
+           UNION ALL SELECT 'o_orderpriority', (count(*) - count(o_orderpriority))::BIGINT,
+                  count(DISTINCT o_orderpriority)::BIGINT FROM orders),
+         p2 AS (
+           SELECT 'o_orderkey' AS "column",
+                  (count(*) - count(o_orderkey))::BIGINT AS n2,
+                  count(DISTINCT o_orderkey)::BIGINT AS d2 FROM v2
+           UNION ALL SELECT 'o_custkey', (count(*) - count(o_custkey))::BIGINT,
+                  count(DISTINCT o_custkey)::BIGINT FROM v2
+           UNION ALL SELECT 'o_orderstatus', (count(*) - count(o_orderstatus))::BIGINT,
+                  count(DISTINCT o_orderstatus)::BIGINT FROM v2
+           UNION ALL SELECT 'o_orderpriority', (count(*) - count(o_orderpriority))::BIGINT,
+                  count(DISTINCT o_orderpriority)::BIGINT FROM v2)
+         SELECT p1."column", n1 AS nulls_v1, n2 AS nulls_v2,
+                (n2 - n1)::BIGINT AS null_delta,
+                d1 AS distinct_v1, d2 AS distinct_v2,
+                (d2 - d1)::BIGINT AS distinct_delta
+         FROM p1 JOIN p2 USING ("column")
+         ORDER BY p1."column"""",
 
     "q_sp14_curation_pipeline" ->
       // the whole pipeline re-derived: classifier sums (q_t30), the full

@@ -234,6 +234,14 @@ object GraphQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "q_ga16_assortativity" -> ((s, _) => {
+      // degree-assortativity scalar: hubs-link-hubs vs hubs-link-leaves —
+      // exact integer sums, one degree join + one global aggregate
+      val g = graph50(s)
+      GraphAnalytics.degreeAssortativity(g.nodes.toDF(),
+        g.edges.toDF().select(col("fromId"), col("toId")))
+    }),
+
     "q_ga14_graph_summary" -> ((s, _) => {
       // one-row graph health block: counts, self-loops, density,
       // reciprocity, average out-degree — every number re-derivable by
@@ -777,6 +785,28 @@ object GraphQueries {
           FROM ne JOIN dg da ON da.id = ne.a
                   JOIN dg db ON db.id = ne.b
           ORDER BY 1, 2""",
+
+    "q_ga16_assortativity" ->
+      // identical integer sums over the both-orientations expansion
+      s"""WITH und AS (
+            SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+            FROM $edgesTbl WHERE fromId <> toId),
+          sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+          dg AS (SELECT a AS id, count(*) AS degree FROM sym GROUP BY 1),
+          p AS (
+            SELECT dx.degree AS x, dy.degree AS y
+            FROM sym JOIN dg dx ON dx.id = sym.a
+                     JOIN dg dy ON dy.id = sym.b),
+          s AS (
+            SELECT count(*)::BIGINT AS m, sum(x * y)::BIGINT AS sxy,
+                   sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx
+            FROM p)
+          SELECT (m // 2)::BIGINT AS n_edges,
+                 CASE WHEN m * sxx - sx * sx <> 0
+                      THEN round((m * sxy - sx * sx)::DOUBLE
+                             / (m * sxx - sx * sx), 6)
+                      ELSE NULL END AS assortativity
+          FROM s""",
 
     "q_ga3_triangles" ->
       // compact-forward enumeration, same canonicalized (a < b) edge set

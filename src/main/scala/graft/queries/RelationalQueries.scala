@@ -1743,6 +1743,12 @@ object RelationalQueries {
           rate = 0.1, seed = "aug1")
         .orderBy(col("doc_id"))),
 
+    "q_t34_langid_margin" -> ((s, d) =>
+      // language-ID with the confidence signal curation gates on: winner,
+      // score, margin over the runner-up, confident flag — map-only
+      graft.functions.TextOps.langIdMargin(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
     "q_t33_fim_split" -> ((s, d) =>
       // fill-in-the-middle PSM examples (Bavarian et al. 2022): two
       // md5-derived character cuts per doc, reordered to
@@ -4654,6 +4660,24 @@ object RelationalQueries {
          FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
          LEFT JOIN k ON k.doc_id = d.doc_id
          GROUP BY 1 ORDER BY 1""",
+
+    "q_t34_langid_margin" ->
+      // q_t3's marker structs, sorted: top = [-1], runner-up = [-2] —
+      // DuckDB list_sort orders structs by (score, lang) like Spark's
+      // array_sort, so ties resolve identically
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents),
+         sc AS (SELECT doc_id, list_sort([
+           {'score': len(list_filter(t, w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], w))), 'lang': 'en'},
+           {'score': len(list_filter(t, w -> list_contains(['der','die','und','das','ist','ein','nicht','mit','zu','den'], w))), 'lang': 'de'},
+           {'score': len(list_filter(t, w -> list_contains(['le','la','et','les','des','un','une','est','que','pour'], w))), 'lang': 'fr'},
+           {'score': len(list_filter(t, w -> list_contains(['el','la','de','que','y','los','un','una','es','por'], w))), 'lang': 'es'}]) l
+          FROM toks)
+         SELECT doc_id, l[-1]['lang'] AS lang_pred,
+                l[-1]['score'] AS top_score,
+                l[-1]['score'] - l[-2]['score'] AS margin,
+                (l[-1]['score'] >= 2 AND l[-1]['score'] - l[-2]['score'] >= 1)
+                  AS confident
+         FROM sc ORDER BY 1""",
 
     "q_t33_fim_split" ->
       // both md5 cut points and all three substrings re-derived; integer

@@ -125,6 +125,26 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     tr should not equal full.map(_.getDouble(1))
   }
 
+  test("langIdMargin: margin and confidence; zero-marker soup is unconfident") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"), // en strong
+      (2L, "la de"), // es/fr tie territory: la+de hit es twice, fr once (la)
+      (3L, "xyzzy qwerty blargh")).toDF("doc_id", "text")
+    val out = TextOps.langIdMargin(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4))).toMap
+    out(1L)._1 shouldBe "en"
+    out(1L)._4 shouldBe true
+    // doc 3: all scores 0 → margin 0, never confident; winner is the
+    // deterministic (score, lang) tie order (lexicographically greatest)
+    out(3L) shouldBe (("fr", 0, 0, false))
+    out(2L)._4 shouldBe ((out(2L)._2 >= 2) && (out(2L)._3 >= 1))
+    // agrees with langId on the winner
+    val preds = df.select($"doc_id", TextOps.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, (lang, _, _, _)) => lang shouldBe preds(id) }
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),

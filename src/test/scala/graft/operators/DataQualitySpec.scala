@@ -117,4 +117,17 @@ class DataQualitySpec extends AnyFunSuite with Matchers {
     psi("other").isInfinite shouldBe false
     psi("other") should be > 0.0
   }
+
+  test("profileDrift: planted null spike and distinct collapse surface as deltas") {
+    val v1 = Seq((1L, Option("a"), "x"), (2L, Option("b"), "y"),
+      (3L, Option("c"), "z")).toDF("k", "s", "t")
+    val v2 = Seq((1L, Option("a"), "x"), (2L, Option.empty[String], "x"),
+      (3L, Option.empty[String], "x")).toDF("k", "s", "t")
+    val out = DataQuality.profileDrift(v1, v2, Seq("k", "s", "t"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    out("s")._1 shouldBe 2L // null spike: 0 → 2
+    out("t") shouldBe ((0L, 3L, 1L, -2L)) // distinct collapse: 3 → 1
+    out("k") shouldBe ((0L, 3L, 3L, 0L)) // stable column: all-zero deltas
+  }
 }

@@ -304,6 +304,18 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       Map(7L -> 7L, 9L -> 9L)
   }
 
+  test("degreeAssortativity: star is maximally disassortative; regular graph is NULL") {
+    // star 1—{2,3,4}: every edge joins deg-3 to deg-1 → r = −1
+    val n = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("fromId", "toId")
+    val r = GraphAnalytics.degreeAssortativity(n, star).head()
+    r.getLong(0) shouldBe 3L
+    r.getDouble(1) shouldBe -1.0
+    // 4-cycle: all degrees equal → zero variance → NULL, not a crash
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("fromId", "toId")
+    GraphAnalytics.degreeAssortativity(n, cyc).head().isNullAt(1) shouldBe true
+  }
+
   test("linkPrediction: hand-checked path graph, adjacent pairs excluded") {
     // path 1—2—3: the only scored pair is (1,3) through shared neighbor 2
     val n = Seq(1L, 2L, 3L).toDF("id")
