@@ -633,6 +633,83 @@ object Multimodal {
         sums(0) / n, sums(1) / n, sums(2) / n, mn, mx)
     }
 
+  /** REAL indexed-color (palette, colortype 3) PNG decode — the GIF-era
+    * web-image shape: extracts the PLTE chunk (3..768 bytes, multiple of
+    * 3, must precede IDAT per spec), runs the same
+    * [[decodePngPixels]] inflate + 5-filter de-filter pipeline at bpp = 1
+    * (filters operate on INDEX bytes), then maps every index through the
+    * palette to RGB and reduces to the [[PngRgbStats]] shape. An index
+    * beyond the palette is a spec violation — refused (None), not
+    * clamped.
+    */
+  def decodePngPalette(mediaId: Long, p: Array[Byte]): Option[PngRgbStats] = {
+    def beU(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (p(off + i) & 0xffL); i += 1 }
+      v
+    }
+    // locate PLTE before any IDAT (walk is cheap; pixel decode re-walks
+    // for IDAT inside decodePngPixels)
+    var plte: Array[Byte] = null
+    if (p != null && p.length >= 45) {
+      var off = 33
+      var stop = false
+      while (!stop && off + 8 <= p.length) {
+        val len = beU(off, 4).toInt
+        val typ = beU(off + 4, 4)
+        if (len < 0 || off + 8 + len + 4 > p.length) stop = true
+        else {
+          if (typ == 0x504c5445L && plte == null) { // PLTE
+            if (len >= 3 && len <= 768 && len % 3 == 0)
+              plte = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + len)
+            else stop = true // malformed palette: refuse
+          }
+          if (typ == 0x49444154L || typ == 0x49454e44L) stop = true // IDAT/IEND
+          off += 8 + len + 4
+        }
+      }
+    }
+    if (plte == null) return None
+    val entries = plte.length / 3
+    decodePngPixels(p, wantColorType = 3, bpp = 1).flatMap { d =>
+      var mn = 255; var mx = 0
+      val sums = new Array[Long](3)
+      var i = 0
+      var ok = true
+      while (ok && i < d.px.length) {
+        val idx = d.px(i)
+        if (idx >= entries) ok = false // out-of-palette index: refuse
+        else {
+          var c = 0
+          while (c < 3) {
+            val v = plte(3 * idx + c) & 0xff
+            if (v < mn) mn = v; if (v > mx) mx = v
+            sums(c) += v
+            c += 1
+          }
+          i += 1
+        }
+      }
+      if (!ok) None
+      else {
+        val n = d.px.length.toDouble
+        Some(PngRgbStats(mediaId, d.w, d.h, d.px.length.toLong,
+          sums(0) / n, sums(1) / n, sums(2) / n, mn, mx))
+      }
+    }
+  }
+
+  /** Partition-batched decode path over [[decodePngPalette]] — the
+    * [[extractPngRgbStats]] shape for indexed-color payloads.
+    */
+  def extractPngPaletteStats(media: DataFrame): Dataset[PngRgbStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) => decodePngPalette(id, p) })
+  }
+
   /** The partition-batched decode path for [[decodePngGray]] — same
     * mapPartitions batch shape as [[extractWavStats]]; undecodable
     * payloads are quarantined by the flatMap.
@@ -712,6 +789,14 @@ object Multimodal {
   def synthesizePngPayload(textCol: Column, width: Int, filterCycle: Boolean,
                            channels: Int): Column =
     PngGray.col(textCol, width, filterCycle, channels)
+
+  /** Indexed-color variant: the text bytes become PALETTE INDICES in a
+    * genuine colortype-3 PNG carrying the fixed [[PngGray.palettePlte]]
+    * PLTE chunk. Decode path: [[decodePngPalette]].
+    */
+  def synthesizePngPalettePayload(textCol: Column, width: Int,
+                                  filterCycle: Boolean = false): Column =
+    PngGray.col(textCol, width, filterCycle, channels = 1, palette = true)
 
   /** Resize/frame-sample stub: keeps every `stride`-th byte — stands in for
     * a real resize kernel while exercising the binary-transform plan shape.

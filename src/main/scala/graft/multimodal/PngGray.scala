@@ -29,11 +29,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Decoding path: [[Multimodal.decodePngGray]] / [[Multimodal.decodePngRgb]].
   */
 case class PngGray(child: Expression, width: Int,
-                   filterCycle: Boolean = false, channels: Int = 1)
+                   filterCycle: Boolean = false, channels: Int = 1,
+                   palette: Boolean = false)
     extends UnaryExpression {
   require(width >= 1, s"width must be >= 1 (got $width)")
   require(channels == 1 || channels == 3,
     s"channels must be 1 (grayscale) or 3 (RGB), got $channels")
+  require(!palette || channels == 1,
+    "palette mode stores 1-byte indices (channels must be 1)")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -44,13 +47,14 @@ case class PngGray(child: Expression, width: Int,
         s"png_gray requires a string argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    PngGray.build(input.asInstanceOf[UTF8String], width, filterCycle, channels)
+    PngGray.build(input.asInstanceOf[UTF8String], width, filterCycle, channels,
+      palette)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       // build() may return null (text shorter than one row) — propagate
       s"""
-         |${ev.value} = graft.multimodal.PngGray.build($c, $width, $filterCycle, $channels);
+         |${ev.value} = graft.multimodal.PngGray.build($c, $width, $filterCycle, $channels, $palette);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -65,11 +69,35 @@ object PngGray {
   def build(text: UTF8String, width: Int): Array[Byte] =
     build(text, width, filterCycle = false, channels = 1)
 
+  def build(text: UTF8String, width: Int, filterCycle: Boolean,
+            channels: Int): Array[Byte] =
+    build(text, width, filterCycle, channels, palette = false)
+
+  /** The fixed 256-entry palette PLTE payload for palette mode: entry i =
+    * (i, 255−i, i XOR 0x55) — bijective per channel, so a decoded channel
+    * value uniquely identifies its index and the oracle can re-derive all
+    * three channels from the text byte alone.
+    */
+  def palettePlte: Array[Byte] = {
+    val b = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      b(3 * i) = i.toByte
+      b(3 * i + 1) = (255 - i).toByte
+      b(3 * i + 2) = (i ^ 0x55).toByte
+      i += 1
+    }
+    b
+  }
+
   /** Shared by eval and generated code. Returns null when the text holds
     * less than one full row of pixel samples (width · channels bytes).
+    * `palette` = true writes an indexed-color PNG (colortype 3): the text
+    * bytes are PALETTE INDICES and a PLTE chunk ([[palettePlte]]) maps
+    * them to RGB — the GIF-era web-image shape a real corpus contains.
     */
   def build(text: UTF8String, width: Int, filterCycle: Boolean,
-            channels: Int): Array[Byte] = {
+            channels: Int, palette: Boolean): Array[Byte] = {
     val bytes = text.getBytes
     val rowBytes = width * channels
     val h = bytes.length / rowBytes
@@ -128,9 +156,10 @@ object PngGray {
     def ibe(v: Long, len: Int): Unit =
       (len - 1 to 0 by -1).foreach(i => ihdr.write(((v >> (8 * i)) & 0xff).toInt))
     ibe(width.toLong, 4); ibe(h.toLong, 4)
-    val colorType = if (channels == 3) 2 else 0
+    val colorType = if (palette) 3 else if (channels == 3) 2 else 0
     ihdr.write(Array[Byte](8, colorType.toByte, 0, 0, 0), 0, 5) // depth 8, deflate, adaptive, none
     chunk("IHDR", ihdr.toByteArray)
+    if (palette) chunk("PLTE", palettePlte)
     chunk("IDAT", comp)
     chunk("IEND", Array.empty[Byte])
     out.toByteArray
@@ -138,8 +167,13 @@ object PngGray {
 
   def col(c: Column, width: Int): Column = col(c, width, filterCycle = false, channels = 1)
 
-  def col(c: Column, width: Int, filterCycle: Boolean, channels: Int): Column = {
+  def col(c: Column, width: Int, filterCycle: Boolean, channels: Int): Column =
+    col(c, width, filterCycle, channels, palette = false)
+
+  def col(c: Column, width: Int, filterCycle: Boolean, channels: Int,
+          palette: Boolean): Column = {
     import org.apache.spark.sql.GraftSqlBridge
-    GraftSqlBridge.column(PngGray(GraftSqlBridge.expression(c), width, filterCycle, channels))
+    GraftSqlBridge.column(PngGray(GraftSqlBridge.expression(c), width,
+      filterCycle, channels, palette))
   }
 }

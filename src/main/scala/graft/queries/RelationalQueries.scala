@@ -1379,6 +1379,26 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_m10_png_palette_stats" -> ((s, d) => {
+      // REAL indexed-color (colortype 3) PNG decode — the GIF-era web
+      // shape q_m5/q_m6 don't cover: text bytes are PALETTE INDICES,
+      // filters cycle over index bytes, the decoder extracts PLTE and
+      // maps every index to RGB; the oracle re-derives all three
+      // channels from the bijective palette formula (v, 255−v, v⊕0x55)
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 16)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.Multimodal.synthesizePngPalettePayload(col("text"),
+          width = 16, filterCycle = true).as("payload"))
+      graft.multimodal.Multimodal.extractPngPaletteStats(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("r_mean"), 6).as("r_mean"),
+          round(col("g_mean"), 6).as("g_mean"),
+          round(col("b_mean"), 6).as("b_mean"),
+          col("px_min"), col("px_max"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_m9_wav_windows" -> ((s, d) => {
       // windowed audio features over the SAME synthesized PCM payloads as
       // q_m4: per 64-sample frame RMS / peak / zero-crossing count from
@@ -4397,6 +4417,28 @@ object RelationalQueries {
                 max(abs(amp))::BIGINT AS peak,
                 round(sum(amp)::DOUBLE / count(*), 6) AS mean_amp
          FROM chars GROUP BY doc_id ORDER BY media_id""",
+
+    "q_m10_png_palette_stats" ->
+      // recompute from the TEXT through the bijective palette: index
+      // v = ascii(char) → (v, 255−v, v XOR 85); 16-wide rows, partial
+      // row dropped — checks PLTE extraction + indexed de-filter + map
+      """WITH px AS (
+           SELECT doc_id, (length(text) // 16)::INT AS height,
+                  ascii(text[j]) AS v
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, (length(text) // 16) * 16 + 1)) AS j) u
+           WHERE text IS NOT NULL AND length(text) >= 16),
+         ch AS (
+           SELECT doc_id, height, v AS r, 255 - v AS g, xor(v, 85) AS b
+           FROM px)
+         SELECT doc_id AS media_id, 16 AS width, height,
+                count(*) AS n_pixels,
+                round(sum(r)::DOUBLE / count(*), 6) AS r_mean,
+                round(sum(g)::DOUBLE / count(*), 6) AS g_mean,
+                round(sum(b)::DOUBLE / count(*), 6) AS b_mean,
+                least(min(r), min(g), min(b))::INT AS px_min,
+                greatest(max(r), max(g), max(b))::INT AS px_max
+         FROM ch GROUP BY 1, 2, 3 ORDER BY 1""",
 
     "q_m9_wav_windows" ->
       // per-frame re-derivation from the text: window = (i-1)//64, sign

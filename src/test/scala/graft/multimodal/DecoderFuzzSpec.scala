@@ -99,6 +99,12 @@ class DecoderFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("palette PNG decoder never throws on 3000 mutants (PLTE walk + index mapping)") {
+    val png = PngGray.build(UTF8String.fromString("palette fuzz payload"), 4,
+      true, 1, palette = true)
+    fuzz("png-palette", png, 3000, b => Multimodal.decodePngPalette(0L, b))
+  }
+
   test("WAV decoder never throws on 3000 mutants") {
     // a genuine payload via the synthesis column would need a session;
     // build the canonical header by hand instead (44-byte PCM header)

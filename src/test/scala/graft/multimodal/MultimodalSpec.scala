@@ -367,6 +367,43 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     st.px_mean shouldBe (text.map(_.toInt).sum.toDouble / 48) +- 1e-12
   }
 
+  test("palette synthesis (colortype 3, filter-cycled) reads back via ImageIO and decodePngPalette") {
+    // indices are the text bytes; palette entry i = (i, 255−i, i^0x55)
+    val text = "A1b2C3d4" * 6 // 48 chars → 8x6 indices
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = df.select(
+      Multimodal.synthesizePngPalettePayload(col("text"), width = 8,
+        filterCycle = true).as("p"))
+      .head().getAs[Array[Byte]](0)
+    // independent spec implementation: ImageIO resolves the palette itself
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    img should not be null
+    img.getWidth shouldBe 8
+    img.getHeight shouldBe 6
+    for (r <- 0 until 6; c <- 0 until 8) {
+      val v = text.charAt(r * 8 + c).toInt
+      val rgb = img.getRGB(c, r)
+      ((rgb >> 16) & 0xff) shouldBe v
+      ((rgb >> 8) & 0xff) shouldBe (255 - v)
+      (rgb & 0xff) shouldBe (v ^ 0x55)
+    }
+    // our decoder agrees channel-for-channel
+    val st = Multimodal.decodePngPalette(1L, payload).get
+    val vs = text.map(_.toInt)
+    st.n_pixels shouldBe 48L
+    st.r_mean shouldBe vs.sum.toDouble / 48 +- 1e-12
+    st.g_mean shouldBe vs.map(255 - _).sum.toDouble / 48 +- 1e-12
+    st.b_mean shouldBe vs.map(_ ^ 0x55).sum.toDouble / 48 +- 1e-12
+    // refusals: gray payload (no PLTE) and RGB payload (wrong colortype)
+    val gray = df.select(Multimodal.synthesizePngPayload(col("text"), 8).as("p"))
+      .head().getAs[Array[Byte]](0)
+    Multimodal.decodePngPalette(2L, gray) shouldBe None
+    val rgbPayload = df.select(Multimodal.synthesizePngPayload(col("text"),
+      width = 4, filterCycle = false, channels = 3).as("p"))
+      .head().getAs[Array[Byte]](0)
+    Multimodal.decodePngPalette(3L, rgbPayload) shouldBe None
+  }
+
   test("RGB synthesis (colortype 2, filter-cycled) reads back via ImageIO and decodePngRgb") {
     // 4 px wide → 12 bytes/row; 6 rows → 72 chars; channel c of pixel k in
     // row r = text byte 12r + 3k + c

@@ -95,6 +95,13 @@ class CodegenCleanlinessSpec extends AnyFunSuite {
       .collect()
     assert(rows.forall(!_.isNullAt(0)))
     assert(Multimodal.decodePngGray(0L, rows(0).getAs[Array[Byte]](0)).isDefined)
+    // palette mode takes the same generated-code path with palette=true
+    val prows = textDf
+      .select(PngGray.col(col("s"), 4, filterCycle = true, channels = 1,
+        palette = true).as("png"))
+      .collect()
+    assert(prows.forall(!_.isNullAt(0)))
+    assert(Multimodal.decodePngPalette(0L, prows(0).getAs[Array[Byte]](0)).isDefined)
   }
 
   test("BinaryStride compiles and evaluates under CODEGEN_ONLY") {
