@@ -113,14 +113,21 @@ object TextOps {
     * lang) — the deterministic tie order both engines share), still a
     * pure map-only projection.
     */
-  def langIdMargin(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
-    val scored = langMarkers.map { case (lang, markers) =>
+  /** The sorted (score, lang) marker-struct array behind [[langIdMargin]]
+    * and [[datasetCard]]'s confidence expressions — last element is the
+    * winner, second-to-last the runner-up.
+    */
+  private def langScoreArray(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    array_sort(array(langMarkers.map { case (lang, markers) =>
       struct(
         size(filter(toks, w => array_contains(typedLit(markers), w))).as("score"),
         lit(lang).as("lang"))
-    }
-    val arr = array_sort(array(scored: _*))
+    }: _*))
+  }
+
+  def langIdMargin(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val arr = langScoreArray(col(textCol))
     val n = langMarkers.size
     val top = element_at(arr, n)
     val second = element_at(arr, n - 1)
@@ -130,6 +137,42 @@ object TextOps {
       (top.getField("score") - second.getField("score")).as("margin"),
       (top.getField("score") >= 2 &&
         top.getField("score") - second.getField("score") >= 1).as("confident"))
+  }
+
+  /** One-row DATASET CARD — the corpus summary a data release ships
+    * (sizes, composition, dup rate, language confidence): doc/char/token
+    * counts, distinct langs and sources, exact-duplicate rate via
+    * countDistinct of the text md5, confident-language rate
+    * ([[langIdMargin]]'s gate folded into the same pass), mean tokens per
+    * doc. ONE aggregation over ONE corpus scan — the countDistincts add
+    * Expand branches inside the same job (the q_q4 exactness trade); the
+    * 0/1 confidence sum is integer-exact, every ratio a single rounded
+    * division.
+    */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val arr = langScoreArray(t)
+    val n = langMarkers.size
+    val top = element_at(arr, n)
+    val second = element_at(arr, n - 1)
+    val confident = top.getField("score") >= 2 &&
+      top.getField("score") - second.getField("score") >= 1
+    docs.filter(t.isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(t)).as("total_chars"),
+        sum(size(tokens(t))).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(md5(t)).as("n_distinct_texts"),
+        sum(when(confident, 1L).otherwise(0L)).as("__conf"))
+      .select(col("n_docs"), col("total_chars"), col("total_tokens"),
+        col("n_langs"), col("n_sources"), col("n_distinct_texts"),
+        round(lit(1.0d) - col("n_distinct_texts").cast("double") / col("n_docs"),
+          6).as("dup_rate"),
+        round(col("__conf").cast("double") / col("n_docs"), 6)
+          .as("confident_lang_rate"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6)
+          .as("mean_doc_tokens"))
   }
 
   /** [[langId]] in the scale shape: explode tokens once, broadcast-join the

@@ -141,6 +141,30 @@ object DataQuality {
         col("distinct_v1"), col("distinct_v2"),
         (col("distinct_v2") - col("distinct_v1")).as("distinct_delta"))
 
+  /** Order-independent table content checksum — the replication /
+    * migration audit primitive at 100 TB: every row hashes to a 48-bit
+    * md5 slice and the checksum is the EXACT DECIMAL(38) sum, so the
+    * result is independent of row order and partitioning, map-side
+    * combinable, and MERGEABLE (shard checksums add; compare source and
+    * destination without colocating a single row). Columns render
+    * through an explicit portable projection: callers pass already-
+    * stringified columns (ints/strings/dates cast verbatim; floats must
+    * be integerized first — cross-engine float-to-string formatting is
+    * not portable, so this function refuses nothing but the CONVENTION
+    * is the caller's contract). columns join on the 0x01
+    * separator and NULLs render as the 0x02 sentinel, so ("ab","c")
+    * differs from ("a","bc") and NULL from "".
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    val rendered = cols.map(c => coalesce(col(c).cast("string"), lit("\u0002")))
+    val h = conv(substring(md5(concat_ws("\u0001", rendered: _*)), 1, 12), 16, 10)
+      .cast("decimal(38,0)")
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h")).cast("decimal(38,0)").as("checksum"))
+  }
+
   /** Population-stability-index drift report — the standard "has this
     * source's distribution shifted vs the reference" check a training-data
     * pipeline runs per ingest batch (PSI > 0.2 = retrain/investigate, by

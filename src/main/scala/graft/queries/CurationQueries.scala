@@ -176,6 +176,19 @@ object CurationQueries {
             "o_orderpriority"))
         .orderBy(col("column"))),
 
+    "q_x13_table_checksum" -> ((s, d) => {
+      // order/partitioning-independent content checksum (replication
+      // audit): 48-bit md5 row slices summed EXACTLY in DECIMAL(38) —
+      // mergeable across shards; floats integerized to cents first (the
+      // portable-rendering contract)
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        col("o_orderdate").cast("string").as("od"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      DataQuality.tableChecksum(o, Seq("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_orderpriority", "od", "cents"))
+    }),
+
     "q_q5_profile_drift" -> ((s, d) => {
       // ingest regression check: v2 derived in-plan (null custkey on %19
       // keys, collapse status on %7, drop %97 rows), then two single-pass
@@ -507,6 +520,18 @@ object CurationQueries {
            SELECT 'o_orderpriority', (count(*) - count(o_orderpriority))::BIGINT,
                   count(DISTINCT o_orderpriority)::BIGINT FROM orders)
          ORDER BY "column"""",
+
+    "q_x13_table_checksum" ->
+      // the identical rendering + 48-bit slice + exact sum; chr(1) is
+      // the 0x01 column separator Spark's concat_ws uses
+      """WITH r AS (
+           SELECT ('0x' || substr(md5(
+               o_orderkey::VARCHAR || chr(1) || o_custkey::VARCHAR || chr(1) ||
+               o_orderstatus || chr(1) || o_orderpriority || chr(1) ||
+               o_orderdate::VARCHAR || chr(1) ||
+               round(o_totalprice * 100)::BIGINT::VARCHAR), 1, 12))::BIGINT AS h
+           FROM orders)
+         SELECT count(*) AS n_rows, sum(h)::DECIMAL(38,0) AS checksum FROM r""",
 
     "q_q5_profile_drift" ->
       // v2 re-derived + per-column profile deltas, column-generic via a

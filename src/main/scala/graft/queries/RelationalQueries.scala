@@ -1763,6 +1763,11 @@ object RelationalQueries {
           rate = 0.1, seed = "aug1")
         .orderBy(col("doc_id"))),
 
+    "q_t35_dataset_card" -> ((s, d) =>
+      // one-row dataset card: sizes, composition, exact-dup rate,
+      // confident-language rate — ONE aggregation over one scan
+      graft.functions.TextOps.datasetCard(Tables.documents(s, d))),
+
     "q_t34_langid_margin" -> ((s, d) =>
       // language-ID with the confidence signal curation gates on: winner,
       // score, margin over the runner-up, confident flag — map-only
@@ -4702,6 +4707,36 @@ object RelationalQueries {
          FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
          LEFT JOIN k ON k.doc_id = d.doc_id
          GROUP BY 1 ORDER BY 1""",
+
+    "q_t35_dataset_card" ->
+      // every scalar re-derived: q_t34's confidence gate + corpus
+      // aggregates in one query
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') t FROM documents WHERE text IS NOT NULL),
+         sc AS (SELECT doc_id, list_sort([
+           {'score': len(list_filter(t, w -> list_contains(['the','and','of','to','a','in','is','that','it','for'], w))), 'lang': 'en'},
+           {'score': len(list_filter(t, w -> list_contains(['der','die','und','das','ist','ein','nicht','mit','zu','den'], w))), 'lang': 'de'},
+           {'score': len(list_filter(t, w -> list_contains(['le','la','et','les','des','un','une','est','que','pour'], w))), 'lang': 'fr'},
+           {'score': len(list_filter(t, w -> list_contains(['el','la','de','que','y','los','un','una','es','por'], w))), 'lang': 'es'}]) l
+          FROM toks),
+         conf AS (
+           SELECT doc_id,
+                  (l[-1]['score'] >= 2 AND l[-1]['score'] - l[-2]['score'] >= 1)
+                    AS confident
+           FROM sc)
+         SELECT count(*) AS n_docs,
+                sum(length(d.text))::BIGINT AS total_chars,
+                sum(len(string_split(d.text, ' ')))::BIGINT AS total_tokens,
+                count(DISTINCT d.lang) AS n_langs,
+                count(DISTINCT d.source) AS n_sources,
+                count(DISTINCT md5(d.text)) AS n_distinct_texts,
+                round(1.0 - count(DISTINCT md5(d.text))::DOUBLE / count(*), 6)
+                  AS dup_rate,
+                round(sum(CASE WHEN c.confident THEN 1 ELSE 0 END)::DOUBLE
+                  / count(*), 6) AS confident_lang_rate,
+                round(sum(len(string_split(d.text, ' ')))::DOUBLE / count(*), 6)
+                  AS mean_doc_tokens
+         FROM documents d JOIN conf c USING (doc_id)
+         WHERE d.text IS NOT NULL""",
 
     "q_t34_langid_margin" ->
       // q_t3's marker structs, sorted: top = [-1], runner-up = [-2] —

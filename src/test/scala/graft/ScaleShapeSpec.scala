@@ -523,6 +523,23 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan.linesIterator.count(_.contains("hashpartitioning(user_id")) should be >= 1
   }
 
+  test("dataset card is ONE aggregation over ONE corpus scan") {
+    val q = SparkEntry.queries("q_t35_dataset_card")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
+  test("table checksum partial-aggregates map-side (mergeable shard sums)") {
+    val q = SparkEntry.queries("q_x13_table_checksum")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    plan should include("partial_sum")
+  }
+
   test("snapshot diff is ONE full-outer equi-join; unchanged rows die in its projection") {
     val q = SparkEntry.queries("q_x11_snapshot_diff")(spark, sfDir)
     q.collect()

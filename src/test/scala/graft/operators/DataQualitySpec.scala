@@ -118,6 +118,29 @@ class DataQualitySpec extends AnyFunSuite with Matchers {
     psi("other") should be > 0.0
   }
 
+  test("tableChecksum: order/partition independent, mergeable, null-vs-empty distinct") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val base = DataQuality.tableChecksum(df, Seq("k", "v")).head()
+    base.getLong(0) shouldBe 4L
+    // row order and partitioning must not matter
+    val shuffled = DataQuality.tableChecksum(
+      df.orderBy(desc("k")).repartition(7), Seq("k", "v")).head()
+    shuffled.getDecimal(1) shouldBe base.getDecimal(1)
+    // mergeable: shard checksums ADD
+    val h1 = DataQuality.tableChecksum(df.filter($"k" <= 2), Seq("k", "v")).head()
+    val h2 = DataQuality.tableChecksum(df.filter($"k" > 2), Seq("k", "v")).head()
+    (h1.getDecimal(1).add(h2.getDecimal(1))) shouldBe base.getDecimal(1)
+    // NULL and "" render differently (the 0x02 sentinel)
+    val withNull = Seq((1L, Option.empty[String])).toDF("k", "v")
+    val withEmpty = Seq((1L, Option(""))).toDF("k", "v")
+    DataQuality.tableChecksum(withNull, Seq("k", "v")).head().getDecimal(1) should not be
+      DataQuality.tableChecksum(withEmpty, Seq("k", "v")).head().getDecimal(1)
+    // a one-row content change changes the checksum
+    val changed = Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    DataQuality.tableChecksum(changed, Seq("k", "v")).head().getDecimal(1) should not be
+      base.getDecimal(1)
+  }
+
   test("profileDrift: planted null spike and distinct collapse surface as deltas") {
     val v1 = Seq((1L, Option("a"), "x"), (2L, Option("b"), "y"),
       (3L, Option("c"), "z")).toDF("k", "s", "t")
