@@ -277,6 +277,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label embedding centroid DRIFT between two corpus halves (the
+    * "has the embedding distribution moved" check run when re-embedding
+    * with a new model or ingesting a new batch): split by vec_id parity,
+    * per (label, dim) the two half-means — rounded 6 FIRST so every
+    * downstream combination starts from deterministic values (the q_v8
+    * negative-zero + rounding discipline) — then per label the L2 shift
+    * and cosine between the two centroids. One explode + one (label,
+    * dim)-keyed aggregate + one label-keyed reduce over the O(labels ×
+    * dims) grid; labels present in only one half emit NULL metrics
+    * rather than disappearing.
+    */
+  def centroidDrift(embs: DataFrame, labelCol: String = "label"): DataFrame = {
+    val e = Spread.forExplode(embs, col("vec_id"))
+      .select(col(labelCol), (col("vec_id") % 2 === 0).as("even"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+    val grid = e.groupBy(col(labelCol), col("pos"))
+      .agg((round(avg(when(col("even"), col("v"))), 6) + lit(0.0)).as("m1"),
+        (round(avg(when(!col("even"), col("v"))), 6) + lit(0.0)).as("m2"))
+    grid.groupBy(col(labelCol))
+      .agg(sum(col("m1") * col("m2")).as("dot"),
+        sum(col("m1") * col("m1")).as("n1"),
+        sum(col("m2") * col("m2")).as("n2"),
+        sum((col("m1") - col("m2")) * (col("m1") - col("m2"))).as("l2sq"))
+      .select(col(labelCol),
+        round(sqrt(col("l2sq")), 6).as("l2_shift"),
+        round(col("dot") / (sqrt(col("n1")) * sqrt(col("n2"))), 6).as("cosine"))
+  }
+
   /** Matryoshka / dimension-truncation retrieval check (the MRL question
     * "how much ranking do the first d dims carry?"): the same query's
     * brute-force top-k at FULL dimensionality and truncated to the first

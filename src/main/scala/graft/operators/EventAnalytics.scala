@@ -108,11 +108,13 @@ object EventAnalytics {
     * (earliest qualifying event). Output: one row per stage,
     * (stage = "<i>_<type>" for stable lexicographic stage order, n_users).
     */
-  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
-    require(stages.nonEmpty, "funnel needs at least one stage")
-    // frontiers(i): user_id, t — earliest completion time of stage i
-    val frontiers = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (stageType, _)) =>
+  /** frontiers(i): (user_id, t) — each user's earliest completion time of
+    * stage i given stages 0..i−1 completed in order before it. Shared by
+    * [[funnel]] and [[funnelLatency]].
+    */
+  private def stageFrontiers(events: DataFrame, stages: Seq[String]): Seq[DataFrame] =
+    stages.scanLeft(Option.empty[DataFrame]) {
+      case (prev, stageType) =>
         val typed = events.filter(col("event_type") === stageType)
         val qualified = prev match {
           case None => typed
@@ -122,11 +124,43 @@ object EventAnalytics {
         }
         Some(qualified.groupBy(col("user_id")).agg(min(col("ts")).as("t")))
     }.flatten
-    frontiers.zip(stages).zipWithIndex.map { case ((df, stageType), i) =>
+
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    stageFrontiers(events, stages).zip(stages).zipWithIndex
+      .map { case ((df, stageType), i) =>
         df.select(lit(s"${i + 1}_$stageType").as("stage"), col("user_id"))
       }
       .reduce(_.union(_))
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Funnel STEP LATENCY — the "where do users stall" half of funnel
+    * analysis [[funnel]]'s counts don't answer: per adjacent stage pair,
+    * over the users who complete the later stage, the floor-second delta
+    * between the two frontier times — count, exact median, exact p90
+    * (type-7 interpolation, the percentile/quantile_cont both engines
+    * share; deltas are exact integer seconds so interpolation inputs are
+    * identical). Per-pair work is one user-keyed equi-join of two
+    * frontier tables + one aggregate whose state is the per-step delta
+    * list — bounded by converting users, not events; swap
+    * approx_percentile in past ~10^8 conversions per step.
+    */
+  def funnelLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnelLatency needs at least two stages")
+    val frontiers = stageFrontiers(events, stages)
+    frontiers.zip(frontiers.tail).zip(stages.zip(stages.tail)).zipWithIndex
+      .map { case (((fa, fb), (sa, sb)), i) =>
+        fa.select(col("user_id"), col("t").as("t_a"))
+          .join(fb.select(col("user_id"), col("t").as("t_b")), "user_id")
+          .select(lit(s"${i + 1}_${sa}_to_${i + 2}_$sb").as("step"),
+            (col("t_b").cast("long") - col("t_a").cast("long")).as("delta"))
+      }
+      .reduce(_.union(_))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("n_users"),
+        round(percentile(col("delta"), lit(0.5)), 6).as("median_sec"),
+        round(percentile(col("delta"), lit(0.9)), 6).as("p90_sec"))
   }
 
   /** Trailing-window anomaly detection: each (event_type, hour)'s count
@@ -244,6 +278,33 @@ object EventAnalytics {
       .filter(col("_full"))
       .select(col("user_id"), col("event_id"), col("context"),
         col("event_type").as("label"))
+  }
+
+  /** Item co-occurrence from the (user, event_type) bipartite graph — the
+    * association / recommender primitive ("users who did A also did B"):
+    * for every unordered type pair, the distinct-user co-count and the
+    * Jaccard over the two user sets. Wedge shape keyed by the shared
+    * USER (the distinct incidence list self-equi-joined on user_id with
+    * type_a < type_b — work bounded by Σ_u deg(u)², never
+    * |types|²·|users|; a hyperactive user is an AQE-splittable hot key);
+    * per-type totals are a map-side-combinable count joined back on the
+    * O(|types|²) pair table.
+    */
+  def typeCooccurrence(events: DataFrame): DataFrame = {
+    val inc = events.select(col("user_id"), col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = inc.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n"))
+    val pairs = inc.as("l").join(inc.as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("l.event_type") < col("r.event_type"))
+      .groupBy(col("l.event_type").as("type_a"), col("r.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(tot.select(col("t").as("type_a"), col("n").as("na")), "type_a")
+      .join(tot.select(col("t").as("type_b"), col("n").as("nb")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_users"),
+        round(col("n_users").cast("double") /
+          (col("na") + col("nb") - col("n_users")), 6).as("jaccard"))
   }
 
   /** First-order Markov transition matrix over per-user event sequences —

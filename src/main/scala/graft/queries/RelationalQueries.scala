@@ -2334,6 +2334,26 @@ object RelationalQueries {
       Similarity.labelCentroids(Tables.embeddings(s, d))
         .orderBy(col("label"), col("pos"))),
 
+    "q_v22_centroid_drift" -> ((s, d) =>
+      // per-label centroid shift between the two vec_id-parity halves:
+      // L2 + cosine between half-centroids; means round-6 FIRST so the
+      // grid is deterministic, then O(labels×dims) reduces
+      Similarity.centroidDrift(Tables.embeddings(s, d))
+        .orderBy(col("label"))),
+
+    "q_ev20_funnel_latency" -> ((s, d) =>
+      // where users stall: per adjacent funnel step the floor-second
+      // frontier delta — count, exact median, exact p90 (type-7)
+      graft.operators.EventAnalytics.funnelLatency(Tables.events(s, d),
+          Seq("signup", "click", "purchase"))
+        .orderBy(col("step"))),
+
+    "q_ev21_cooccurrence" -> ((s, d) =>
+      // "did A also did B": distinct-user co-counts + Jaccard from the
+      // user-keyed bipartite wedge join — never |types|²·|users|
+      graft.operators.EventAnalytics.typeCooccurrence(Tables.events(s, d))
+        .orderBy(col("type_a"), col("type_b"))),
+
     "q_v21_matryoshka" -> ((s, d) =>
       // dimension-truncation retrieval check: the same query's top-10 at
       // 64 dims vs the first 16 — both exact, long-form; tells a pipeline
@@ -3876,6 +3896,68 @@ object RelationalQueries {
            UNION ALL SELECT '2_click', user_id FROM s2
            UNION ALL SELECT '3_purchase', user_id FROM s3)
          GROUP BY 1 ORDER BY 1""",
+
+    "q_v22_centroid_drift" ->
+      // the same parity split, round-6-first grid, and per-label reduce
+      """WITH e AS (
+           SELECT label, vec_id % 2 = 0 AS even, i - 1 AS pos,
+                  embedding[i]::DOUBLE AS v
+           FROM embeddings,
+                LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) ix),
+         g AS (
+           SELECT label, pos,
+                  round(avg(CASE WHEN even THEN v END), 6) + 0 AS m1,
+                  round(avg(CASE WHEN NOT even THEN v END), 6) + 0 AS m2
+           FROM e GROUP BY 1, 2),
+         s AS (
+           SELECT label, sum(m1 * m2) AS dot, sum(m1 * m1) AS n1,
+                  sum(m2 * m2) AS n2, sum((m1 - m2) * (m1 - m2)) AS l2sq
+           FROM g GROUP BY 1)
+         SELECT label, round(sqrt(l2sq), 6) AS l2_shift,
+                round(dot / (sqrt(n1) * sqrt(n2)), 6) AS cosine
+         FROM s ORDER BY label""",
+
+    "q_ev20_funnel_latency" ->
+      // q_ev9's frontier CTEs + floor-second deltas + quantile_cont (the
+      // same type-7 interpolation as Spark's percentile over identical
+      // integer inputs)
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+         d AS (
+           SELECT '1_signup_to_2_click' AS step,
+                  epoch_us(s2.t) // 1000000 - epoch_us(s1.t) // 1000000 AS delta
+           FROM s1 JOIN s2 USING (user_id)
+           UNION ALL
+           SELECT '2_click_to_3_purchase',
+                  epoch_us(s3.t) // 1000000 - epoch_us(s2.t) // 1000000
+           FROM s2 JOIN s3 USING (user_id))
+         SELECT step, count(*) AS n_users,
+                round(quantile_cont(delta, 0.5), 6) AS median_sec,
+                round(quantile_cont(delta, 0.9), 6) AS p90_sec
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q_ev21_cooccurrence" ->
+      """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+         tot AS (SELECT event_type AS t, count(*) AS n FROM inc GROUP BY 1),
+         p AS (
+           SELECT l.event_type AS type_a, r.event_type AS type_b,
+                  count(*) AS n_users
+           FROM inc l JOIN inc r
+             ON l.user_id = r.user_id AND l.event_type < r.event_type
+           GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, p.n_users::BIGINT AS n_users,
+                round(p.n_users::DOUBLE / (ta.n + tb.n - p.n_users), 6)
+                  AS jaccard
+         FROM p JOIN tot ta ON ta.t = p.type_a
+                JOIN tot tb ON tb.t = p.type_b
+         ORDER BY 1, 2""",
 
     "q_ev14_windowed_distinct" ->
       // envelope oracle per window row (q_a9 pattern): exact distinct

@@ -110,6 +110,20 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     spark.catalog.clearCache()
   }
 
+  test("centroidDrift: identical halves drift 0 / cosine 1; planted shift surfaces") {
+    // label 0: even and odd halves identical → l2 0, cosine 1
+    // label 1: odd half shifted along dim 0 → l2 = shift, cosine < 1
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(2.0f, 1.0f), 1), (3L, Array(4.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDrift(embs)
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    out(0) shouldBe ((0.0, 1.0))
+    out(1)._1 shouldBe 2.0 // centroid (2,1) vs (4,1)
+    out(1)._2 should be < 1.0
+  }
+
   test("truncationEval: the full-dim list equals bruteForceTopK") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.truncationEval(embs, queryId = 0L, truncDims = 16, k = 5)

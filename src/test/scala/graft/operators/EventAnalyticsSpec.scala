@@ -266,6 +266,45 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     out shouldBe Array((13L, "a-b-c", "d"), (14L, "b-c-d", "e"))
   }
 
+  test("funnelLatency: frontier deltas, ordered-stage gating, exact percentiles") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "signup", 1L),
+      (1L, "2024-01-01 10:00:10", "click", 2L), // delta 10
+      (1L, "2024-01-01 10:01:10", "purchase", 3L), // delta 60
+      (2L, "2024-01-01 10:00:00", "signup", 4L),
+      (2L, "2024-01-01 10:00:30", "click", 5L), // delta 30
+      (3L, "2024-01-01 10:00:00", "click", 6L), // click BEFORE signup: no step 1
+      (3L, "2024-01-01 10:01:00", "signup", 7L))
+      .map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.funnelLatency(rows, Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // step 1: deltas {10, 30} → median 20 (type-7 midpoint), p90 = 28.0
+    out("1_signup_to_2_click") shouldBe ((2L, 20.0, 28.0))
+    // step 2: single delta 60
+    out("2_click_to_3_purchase") shouldBe ((1L, 60.0, 60.0))
+  }
+
+  test("typeCooccurrence: distinct-user co-counts and Jaccard; repeats don't double-count") {
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", "a", 1L),
+      (1L, "2024-01-01 10:00:01", "a", 2L), // repeat: still one user
+      (1L, "2024-01-01 10:00:02", "b", 3L),
+      (2L, "2024-01-01 10:00:00", "a", 4L),
+      (2L, "2024-01-01 10:00:01", "b", 5L),
+      (3L, "2024-01-01 10:00:00", "a", 6L))
+      .map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.typeCooccurrence(rows).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getString(0), r.getString(1), r.getLong(2)) shouldBe (("a", "b", 2L))
+    r.getDouble(3) shouldBe BigDecimal(2.0 / 3) // |a∩b|=2, |a∪b|=3
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spark.catalog.clearCache()
+  }
+
   test("transitionMatrix: per-user adjacency only; probabilities row-normalize to 1") {
     val rows = Seq(
       (1L, "2024-01-01 10:00:00", "a", 10L),
