@@ -523,6 +523,31 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan.linesIterator.count(_.contains("hashpartitioning(user_id")) should be >= 1
   }
 
+  test("power iteration reads the corpus once: every pass hits the cached long-form table") {
+    // Pca.topComponent persists the (vec_id, dim, x) explode; all 2·iters
+    // per-iteration aggregates must read that InMemoryRelation, not
+    // re-scan parquet per iteration
+    val embs = Tables.embeddings(spark, sfDir)
+    val e = embs.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .persist()
+    e.count() // materialize
+    val y = e.groupBy(col("vec_id")).agg(sum(col("v")).as("y"))
+    val u = e.join(y, Seq("vec_id")).groupBy(col("dim"))
+      .agg(sum(col("y") * col("v")).as("u"))
+    // Leaves of the executed plan must all be cache scans; the parquet scan
+    // only appears INSIDE the InMemoryRelation's stored child plan, which is
+    // fine (it ran once at materialization). Unwrap AQE to see real leaves.
+    val inner = u.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val leaves = inner.collectLeaves().map(_.nodeName)
+    leaves should not be empty
+    all(leaves) should include("InMemoryTableScan")
+    e.unpersist()
+  }
+
   test("dataset card is ONE aggregation over ONE corpus scan") {
     val q = SparkEntry.queries("q_t35_dataset_card")(spark, sfDir)
     q.collect()
