@@ -762,6 +762,105 @@ object TextOps {
     * every cut. Pure narrow projection — no shuffle, no explode; at 100 TB
     * this is a map-only pass whose cost is the substring copies.
     */
+  /** Flesch-style readability scoring, the classic surface-level
+    * text-difficulty signal curation stacks keep next to the quality
+    * classifier (cf. reference's per-record scoring pass shape,
+    * Main.scala stats block). Real text has sentence punctuation; the
+    * fixture corpus is bare words, so the sentence unit is a fixed
+    * 16-word pseudo-sentence (`ceil(words/16)`, integer arithmetic) —
+    * on punctuated corpora callers pass a real sentence count instead.
+    * Syllables are approximated by vowel-group runs (`[aeiouy]+`), the
+    * standard cheap estimator. Every count is an exact integer off one
+    * map-only projection (no shuffle, no explode — the regex count and
+    * the split run inside whole-stage codegen), and the final score is
+    * a single IEEE double expression an oracle reproduces bit-for-bit:
+    * `206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)`.
+    * At 100 TB this is parquet-scan-bound, embarrassingly parallel.
+    */
+  def readability(docs: DataFrame, textCol: String = "text",
+                  wordsPerSentence: Int = 16): DataFrame = {
+    val w  = size(tokens(col(textCol))).cast("long")
+    val sy = size(regexp_extract_all(col(textCol), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), w.as("n_words"), sy.as("n_syllables"))
+      .withColumn("n_sentences",
+        expr(s"(n_words + ${wordsPerSentence - 1}) div $wordsPerSentence"))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          6))
+  }
+
+  /** Pairwise Jensen-Shannon divergence (bits) between the unigram token
+    * distributions of every pair of corpus groups (sources) — the
+    * domain-similarity matrix a mixture designer reads before setting
+    * sampling weights (complements q_q3's PSI on a metadata column and
+    * q_t23's rank profile: this one compares CONTENT distributions).
+    *
+    * Scale shape: ONE corpus pass builds the (group, token, count)
+    * table; per-group totals are a G-row broadcast; the full-outer pair
+    * semantics come from replicating each (group, token, p) row to its
+    * G-1 pairs via a broadcast of the group list and summing per
+    * (pair, token) — a token in both groups folds to (pa, pb), a token
+    * in one contributes (pa, 0) — so no per-pair outer joins and no
+    * |V|·G² blowup: the expanded table is |distinct(group,token)|·(G-1)
+    * rows, shuffled once on the pair-token key. JS terms use the
+    * standard `p·ln(2p/(p+q))` form; each per-token term is a single
+    * IEEE double expression both engines compute identically, and is
+    * integer-ized to nano-units before the per-pair sum so the total is
+    * an exact BIGINT — order-independent across any cluster layout
+    * (same discipline as [[graft.operators.DataQuality.psiDrift]]).
+    */
+  def jsDivergence(docs: DataFrame, groupCol: String = "source",
+                   textCol: String = "text"): DataFrame = {
+    val toks = Spread.forExplode(
+        docs.filter(col(textCol).isNotNull && col(groupCol).isNotNull),
+        col("doc_id"))
+      .select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("tok"))
+    // the (group, token) count table feeds both the per-group totals and
+    // the probability join; cut it so the corpus scan+explode+aggregate
+    // runs ONCE (vocab·G-sized blocks, metadata-scale next to the corpus)
+    val (cnt, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      toks.groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c")))
+    // G rows, consumed twice (probability join + group list) — cut too
+    val (tot, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      cnt.groupBy(col("grp")).agg(sum(col("c")).as("n")))
+    val p = cnt.join(broadcast(tot), "grp")
+      .select(col("grp"), col("tok"),
+        (col("c").cast("double") / col("n")).as("p"))
+    val others = tot.select(col("grp").as("other"))
+    val pairTok = p
+      .join(broadcast(others), col("grp") =!= col("other"))
+      .select(
+        least(col("grp"), col("other")).as("grp_a"),
+        greatest(col("grp"), col("other")).as("grp_b"),
+        col("tok"),
+        when(col("grp") < col("other"), col("p")).otherwise(lit(0.0d)).as("pa"),
+        when(col("grp") > col("other"), col("p")).otherwise(lit(0.0d)).as("pb"))
+      .groupBy(col("grp_a"), col("grp_b"), col("tok"))
+      .agg(sum(col("pa")).as("pa"), sum(col("pb")).as("pb"))
+    val term =
+      when(col("pa") > 0,
+        col("pa") * log(lit(2.0d) * col("pa") / (col("pa") + col("pb"))))
+        .otherwise(lit(0.0d)) +
+      when(col("pb") > 0,
+        col("pb") * log(lit(2.0d) * col("pb") / (col("pa") + col("pb"))))
+        .otherwise(lit(0.0d))
+    pairTok
+      .withColumn("term_nano",
+        round(term * lit(1e9d)).cast("long"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(
+        sum(when(col("pa") > 0 && col("pb") > 0, 1L).otherwise(0L))
+          .as("n_shared"),
+        sum(col("term_nano")).as("js_nano"))
+      .select(col("grp_a"), col("grp_b"), col("n_shared"),
+        round(col("js_nano") / (lit(2.0d) * log(lit(2.0d)) * lit(1e9d)), 6)
+          .as("js_bits"))
+  }
+
   def fimSplit(docs: DataFrame, seed: String = "fim"): DataFrame = {
     def cut(tag: String): Column =
       Dedup.md5Hash32(concat_ws(":", lit(seed), lit(tag),

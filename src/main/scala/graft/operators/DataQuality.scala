@@ -217,4 +217,53 @@ object DataQuality {
       .select(col("grp").as(groupCol),
         round(col("psi_nano") / 1000000000.0d, 6).as("psi"))
   }
+
+  /** Welch's unequal-variance t-test of every group's mean on an integer
+    * metric column against a named baseline group — the significance test
+    * behind "did this source's length distribution actually shift?"
+    * that PSI (above) flags but doesn't quantify. One map-side-combinable
+    * pass collects exact BIGINT (n, Σx, Σx²) per group; means, sample
+    * variances, the t statistic and Welch–Satterthwaite degrees of
+    * freedom are then single IEEE double expressions over those six
+    * integers — bit-reproducible on any partitioning, and the per-group
+    * result table is G rows joined against one broadcast baseline row.
+    * At 100 TB the cost is the one scan; everything after is metadata.
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+                 baseline: String): DataFrame = {
+    // the G-row moment table is consumed twice (baseline slice + the
+    // per-group side); cut it so the corpus scan+aggregate runs ONCE
+    val (stats, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+        .groupBy(col(groupCol).as("grp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col(valueCol).cast("long")).as("sx"),
+          sum(col(valueCol).cast("long") * col(valueCol).cast("long"))
+            .as("sxx")))
+    val base = stats.filter(col("grp") === baseline)
+      .select(col("n").as("n0"), col("sx").as("sx0"), col("sxx").as("sxx0"))
+    def mean(n: Column, sx: Column): Column = sx.cast("double") / n
+    def variance(n: Column, sx: Column, sxx: Column): Column =
+      (sxx.cast("double") - sx.cast("double") * sx / n) / (n - 1)
+    stats.filter(col("grp") =!= baseline && col("n") > 1)
+      .crossJoin(broadcast(base))
+      .select(col("grp"), col("n"),
+        round(mean(col("n"), col("sx")), 6).as("mean"),
+        round(mean(col("n0"), col("sx0")), 6).as("mean_base"),
+        col("n0").as("n_base"),
+        variance(col("n"), col("sx"), col("sxx")).as("v1"),
+        variance(col("n0"), col("sx0"), col("sxx0")).as("v0"),
+        (mean(col("n"), col("sx")) - mean(col("n0"), col("sx0"))).as("md"))
+      .withColumn("se1", col("v1") / col("n"))
+      .withColumn("se0", col("v0") / col("n_base"))
+      .select(col("grp").as(groupCol), col("n"), col("mean"),
+        col("n_base"), col("mean_base"),
+        round(col("md") / sqrt(col("se1") + col("se0")), 6).as("t_stat"),
+        // explicit x*x, not pow(x, 2): IEEE multiply is identical in both
+        // engines; java.lang.Math.pow vs libm pow is not guaranteed to be
+        round(((col("se1") + col("se0")) * (col("se1") + col("se0"))) /
+          (col("se1") * col("se1") / (col("n") - 1)
+            + col("se0") * col("se0") / (col("n_base") - 1)), 6)
+          .as("welch_df"))
+  }
 }

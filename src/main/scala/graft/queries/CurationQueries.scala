@@ -274,7 +274,31 @@ object CurationQueries {
         .withColumn("cume", round(cume_dist().over(w), 6))
         .withColumn("pct_rank", round(percent_rank().over(w), 6))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    "q_t36_readability" -> ((s, d) =>
+      // Flesch-style surface readability: exact integer word / syllable /
+      // pseudo-sentence counts off one map-only projection, score a single
+      // IEEE double expression — parquet-scan-bound at any size
+      TextOps.readability(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    "q_t37_js_divergence" -> ((s, d) =>
+      // pairwise Jensen-Shannon domain-similarity matrix over the source
+      // groups' unigram distributions: ONE corpus pass, checkpointed
+      // (grp, token) counts, pair semantics via G-1 replication (never a
+      // per-pair outer join), nano-unit-exact term sums
+      TextOps.jsDivergence(Tables.documents(s, d))
+        .orderBy(col("grp_a"), col("grp_b"))),
+
+    "q_q6_welch_ttest" -> ((s, d) =>
+      // Welch's t-test of every source's mean length vs the src0
+      // baseline: one map-side-combinable (n, Σx, Σx²) pass, then
+      // metadata-scale scalar math — the significance quantifier behind
+      // q_q3's PSI flag
+      DataQuality.welchTTest(Tables.documents(s, d), groupCol = "source",
+          valueCol = "n_chars", baseline = "src0")
+        .orderBy(col("source"))))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -714,5 +738,90 @@ object CurationQueries {
                 round(percent_rank() OVER w, 6) AS pct_rank
          FROM documents
          WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+    "q_t36_readability" ->
+      // identical integer counts (whitespace words, [aeiouy]+ vowel-group
+      // syllables, ceil-div pseudo-sentences) and the same single-IEEE
+      // Flesch expression
+      """WITH c AS (
+           SELECT doc_id,
+                  len(string_split(text, ' '))::BIGINT AS n_words,
+                  len(regexp_extract_all(text, '[aeiouy]+'))::BIGINT
+                    AS n_syllables
+           FROM documents WHERE text IS NOT NULL),
+         s AS (
+           SELECT doc_id, n_words, n_syllables,
+                  ((n_words + 15) // 16)::BIGINT AS n_sentences
+           FROM c)
+         SELECT doc_id, n_words, n_syllables, n_sentences,
+                round(206.835
+                      - 1.015 * (n_words::DOUBLE / n_sentences)
+                      - 84.6 * (n_syllables::DOUBLE / n_words), 6) AS flesch
+         FROM s ORDER BY doc_id""",
+
+    "q_t37_js_divergence" ->
+      // full pairwise JS re-derived: per-group unigram distributions, the
+      // same pair replication (pa, 0)/(0, pb) fold, per-token nano-unit
+      // terms, exact BIGINT sum, identical final division
+      """WITH toks AS (
+           SELECT source AS grp, unnest(string_split(text, ' ')) AS tok
+           FROM documents
+           WHERE text IS NOT NULL AND source IS NOT NULL),
+         cnt AS (SELECT grp, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+         tot AS (SELECT grp, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+         p AS (
+           SELECT cnt.grp, cnt.tok, cnt.c / tot.n::DOUBLE AS p
+           FROM cnt JOIN tot USING (grp)),
+         rep AS (
+           SELECT least(p.grp, o.grp) AS grp_a,
+                  greatest(p.grp, o.grp) AS grp_b, p.tok,
+                  CASE WHEN p.grp < o.grp THEN p.p ELSE 0 END AS pa,
+                  CASE WHEN p.grp > o.grp THEN p.p ELSE 0 END AS pb
+           FROM p, (SELECT grp FROM tot) o WHERE p.grp <> o.grp),
+         pt AS (
+           SELECT grp_a, grp_b, tok, sum(pa) AS pa, sum(pb) AS pb
+           FROM rep GROUP BY 1, 2, 3),
+         t AS (
+           SELECT grp_a, grp_b,
+                  CASE WHEN pa > 0 AND pb > 0 THEN 1 ELSE 0 END AS shared,
+                  round((CASE WHEN pa > 0
+                           THEN pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+                       + CASE WHEN pb > 0
+                           THEN pb * ln(2 * pb / (pa + pb)) ELSE 0 END)
+                        * 1e9)::BIGINT AS term_nano
+           FROM pt)
+         SELECT grp_a, grp_b, sum(shared)::BIGINT AS n_shared,
+                round(sum(term_nano)::BIGINT / (2 * ln(2) * 1e9), 6) AS js_bits
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_q6_welch_ttest" ->
+      // the six exact integers re-collected, then the identical IEEE
+      // expression chain (explicit x*x squares, no pow)
+      """WITH s AS (
+           SELECT source AS grp, count(*)::BIGINT AS n,
+                  sum(n_chars::BIGINT)::BIGINT AS sx,
+                  sum(n_chars::BIGINT * n_chars::BIGINT)::BIGINT AS sxx
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL GROUP BY 1),
+         b AS (SELECT n AS n0, sx AS sx0, sxx AS sxx0 FROM s WHERE grp = 'src0'),
+         j AS (
+           SELECT grp, n, sx, sxx, n0, sx0, sxx0,
+                  (sxx::DOUBLE - sx::DOUBLE * sx / n) / (n - 1) AS v1,
+                  (sxx0::DOUBLE - sx0::DOUBLE * sx0 / n0) / (n0 - 1) AS v0,
+                  (sx::DOUBLE / n - sx0::DOUBLE / n0) AS md
+           FROM s, b WHERE grp <> 'src0' AND n > 1),
+         k AS (
+           SELECT grp, n, sx, n0, sx0, md,
+                  v1 / n AS se1, v0 / n0 AS se0
+           FROM j)
+         SELECT grp AS source, n,
+                round(sx::DOUBLE / n, 6) AS mean,
+                n0 AS n_base,
+                round(sx0::DOUBLE / n0, 6) AS mean_base,
+                round(md / sqrt(se1 + se0), 6) AS t_stat,
+                round(((se1 + se0) * (se1 + se0))
+                      / (se1 * se1 / (n - 1) + se0 * se0 / (n0 - 1)), 6)
+                  AS welch_df
+         FROM k ORDER BY source""")
 }

@@ -573,4 +573,33 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "CartesianProduct"
     ("SortMergeJoin|ShuffledHashJoin".r.findAllIn(plan).length) shouldBe 1
   }
+
+  test("readability is map-only: one corpus scan, no shuffle besides output order") {
+    val q = SparkEntry.queries("q_t36_readability")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    plan should not include "Window"
+    plan should not include "Exchange hashpartitioning"
+  }
+
+  test("JS divergence consumes the corpus exactly once (checkpointed token counts)") {
+    // the returned plan must read only the checkpointed vocab·G count
+    // table — the pair replication, totals, and term sums all reuse that
+    // one explode+aggregate pass; the G-row group list is the broadcast
+    // side of the (intentional, metadata-scale) non-equi replication join
+    val q = SparkEntry.queries("q_t37_js_divergence")(spark, sfDir)
+    q.collect().length should be > 0
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Scan parquet"
+    plan should not include "CartesianProduct"
+  }
+
+  test("Welch t-test reads only the checkpointed G-row moment table") {
+    val q = SparkEntry.queries("q_q6_welch_ttest")(spark, sfDir)
+    q.collect().length should be > 0
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Scan parquet"
+    plan should not include "Window"
+  }
 }
