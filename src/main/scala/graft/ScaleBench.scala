@@ -85,7 +85,9 @@ object ScaleBench {
     "q_d18_cluster_rep", "q_m9_wav_windows", "q_d19_minhash_estimate",
     "q_v20_pca_power", "q_v21_matryoshka", "q_t34_langid_margin",
     "q_m10_png_palette_stats", "q_t35_dataset_card", "q_v22_centroid_drift",
-    "q_t36_readability", "q_t37_js_divergence", "q_q6_welch_ttest")
+    "q_t36_readability", "q_t37_js_divergence", "q_q6_welch_ttest",
+    "q_t38_phrase_search", "q_v23_standardize", "q_v24_random_projection",
+    "q_io15_csv_quarantine")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

@@ -352,4 +352,74 @@ object Similarity {
         (round(stddev_pop(col("v")), 6) + lit(0.0)).as("std"),
         min(col("v")).as("vmin"),
         max(col("v")).as("vmax"))
+
+  /** Per-dimension whitening transform — the APPLY step [[dimensionMoments]]
+    * is the fit for: z = (x − mean)/std per (vector, dim), long-form. The
+    * moments come back ROUNDED to the 6-decimal grid (the fit's published
+    * contract), so both the engine and an oracle standardize from the
+    * identical constants and each z is one IEEE subtract/divide/round —
+    * bit-reproducible on any partitioning. Zero-variance dimensions yield
+    * NULL (they carry no information to scale, and silently emitting 0
+    * would hide a dead dimension from the caller).
+    *
+    * Scale shape: the fit aggregates once (localCheckpointed, O(dims)
+    * rows) and broadcasts into the transform join — the corpus is read
+    * exactly once, map-side, no corpus shuffle.
+    */
+  def standardize(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val (m, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      dimensionMoments(embs, vecCol).select(col("dim"), col("mean"), col("std")))
+    embs.filter(col(vecCol).isNotNull)
+      .select(col("vec_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .join(broadcast(m), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("std") > 0,
+          round((col("v").cast("double") - col("mean")) / col("std"), 6)
+            + lit(0.0))
+          .as("z"))
+  }
+
+  /** Deterministic sparse-free random projection (Johnson–Lindenstrauss
+    * sign matrix): y_j = (Σ_i x_i · s(i,j)) / √dOut with s(i,j) ∈ {−1, +1}
+    * derived from md5 — the 4×-cheaper dimensionality reduction a pipeline
+    * applies before clustering/ANN when even PQ is too slow to train.
+    * RNG-free like every gate operator: the sign grid is a pure function
+    * of (seed, i, j), so 1000 executors and an oracle materialize the
+    * same matrix without coordination.
+    *
+    * Determinism of the reduction (the [[Pca]] discipline): sign flips are
+    * IEEE-exact, but a 64-term float SUM is order-sensitive — so each
+    * input integerizes to the 1e-6 grain first and the per-output-dim sum
+    * is an exact BIGINT on any cluster layout; the only float ops are the
+    * final division and round. The round is to 8 decimals, NOT 6: y is an
+    * exact multiple of 2.5e-7 (integer / 4e6), so every value lies ON the
+    * 1e-8 grid and a quarter of them would be exact TIES on the 1e-6 grid
+    * — tie direction under HALF_UP depends on the binary representation
+    * and diverges across engines. Scale shape: the dIn×dOut sign grid is
+    * KB-sized and broadcast; one posexplode + one (vec, out-dim)-keyed
+    * map-side-combinable aggregate — corpus read once, output dOut/dIn
+    * the input size.
+    */
+  def randomProjection(embs: DataFrame, dOut: Int, seed: String = "rp",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dOut > 0, s"dOut must be > 0 (got $dOut)")
+    val spark = embs.sparkSession
+    val grid = spark.range(0, dOut).select(col("id").cast("int").as("j"))
+      .crossJoin(
+        embs.filter(col(vecCol).isNotNull).limit(1)
+          .select(explode(sequence(lit(0), size(col(vecCol)) - 1)).as("i")))
+      .select(col("i"), col("j"),
+        (lit(1L) - lit(2L) *
+          (Dedup.md5Hash32(concat_ws(":", lit(seed), col("i"), col("j"))) % 2))
+          .as("sign"))
+    embs.filter(col(vecCol).isNotNull)
+      .select(col("vec_id"), posexplode(col(vecCol)).as(Seq("i", "v")))
+      .withColumn("v_micro", round(col("v").cast("double") * 1e6d).cast("long"))
+      .join(broadcast(grid), "i")
+      .groupBy(col("vec_id"), col("j").as("out_dim"))
+      .agg(sum(col("v_micro") * col("sign")).as("y_micro"))
+      .select(col("vec_id"), col("out_dim"),
+        (round(col("y_micro") / (lit(1e6d) * sqrt(lit(dOut.toDouble))), 8)
+          + lit(0.0)).as("y"))
+  }
 }

@@ -861,6 +861,50 @@ object TextOps {
           .as("js_bits"))
   }
 
+  /** Positional phrase search: which documents contain the corpus's most
+    * frequent bigram as an ADJACENT phrase, and how often. The shape is a
+    * positional inverted index probe — the operator BM25/TF-IDF ranking
+    * (q_t15/q_t7) cannot express, because bag-of-words scoring has no
+    * adjacency: postings are (doc, pos, token) and a phrase hit is an
+    * equi-join of the two tokens' postings on (doc, pos+1).
+    *
+    * Scale shape: pass 1 aggregates bigram counts (map-side combinable)
+    * and the argmax phrase comes back as a DRIVER scalar (one-row action,
+    * the hits-norm pattern) so it re-enters as a LITERAL — which is what
+    * lets pass 2 push `token = w` INTO the postings scan instead of
+    * probing with a join key. Pass 2 builds postings restricted to the
+    * two phrase tokens (filter under the explode, so only matching
+    * occurrences survive the projection) and is localCheckpointed —
+    * occurrence-of-two-tokens-sized — so the self-join for adjacency
+    * reads the corpus zero times. On a real deployment the postings
+    * table IS the persisted index (the IvfIndex pattern) and pass 2
+    * reads only two token slices of it.
+    */
+  def phraseSearch(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toksArr = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+    val spread = Spread.forExplode(toksArr, col("doc_id"))
+    val top = spread.filter(size(col("toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(element_at(col("toks"), i + 1).as("w1"),
+            element_at(col("toks"), i + 2).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("w1"), col("w2")).limit(1).head()
+    val (w1, w2) = (top.getString(0), top.getString(1))
+    val (post, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      spread.select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+        .filter(col("tok") === w1 || col("tok") === w2))
+    post.filter(col("tok") === w1).select(col("doc_id"), col("pos"))
+      .join(post.filter(col("tok") === w2)
+        .select(col("doc_id"), (col("pos") - 1).as("pos")),
+        Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("doc_id"), lit(w1).as("w1"), lit(w2).as("w2"), col("n_occ"))
+  }
+
   def fimSplit(docs: DataFrame, seed: String = "fim"): DataFrame = {
     def cut(tag: String): Column =
       Dedup.md5Hash32(concat_ws(":", lit(seed), lit(tag),

@@ -334,4 +334,35 @@ object EventAnalytics {
     counts.select(col("from_type"), col("to_type"), col("n"),
       round(col("n").cast("double") / sum(col("n")).over(rowTotal), 6).as("p"))
   }
+
+  /** Top-k user journeys: each user's first `maxLen` event types in time
+    * order collapse to one path string, the most common paths win. The
+    * product-analytics "what do users actually do" report — and the
+    * path-frequency table is also what seeds sequence-model training
+    * mixtures over behavioral logs.
+    *
+    * Determinism: collect_list order is a partition artifact, so the path
+    * assembles via sort_array over (rn, type) structs — the rn prefix
+    * makes the array order the WINDOW order regardless of arrival; ties at
+    * the k boundary break (n DESC, path). Scale shape: one user-keyed
+    * window (rank truncation keeps ≤ maxLen rows per user past it), one
+    * user-keyed aggregate, then counts on the path-cardinality table —
+    * the final top-k sort ranks paths, never users or events.
+    */
+  def topPaths(events: DataFrame, k: Int = 20, maxLen: Int = 8): DataFrame = {
+    require(k > 0 && maxLen > 0, s"k and maxLen must be > 0 (got $k, $maxLen)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val paths = events
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= maxLen)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          s => s.getField("event_type")), "-").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(desc("n_users"), col("path"))
+      .limit(k)
+  }
 }

@@ -2785,7 +2785,68 @@ object RelationalQueries {
       // count table, bounded by types × hours — never the event stream.
       graft.operators.EventAnalytics.anomalyZScore(Tables.events(s, d),
           trailing = 6, zThreshold = 2.0, minHistory = 3)
-        .orderBy(col("event_type"), col("hour")))
+        .orderBy(col("event_type"), col("hour"))),
+
+    "q_t38_phrase_search" -> ((s, d) =>
+      // positional inverted-index phrase probe: the corpus's most frequent
+      // bigram as an ADJACENT phrase per doc — postings (doc, pos, token)
+      // equi-joined on (doc, pos+1); the argmax phrase is a driver scalar
+      // so `token = w` pushes into the postings scan
+      graft.functions.TextOps.phraseSearch(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
+
+    "q_v23_standardize" -> ((s, d) =>
+      // whitening apply step: z = (x − mean)/std from the ROUNDED q_v19
+      // moments (fit checkpointed + broadcast; corpus read once, map-side);
+      // zero-variance dims yield NULL, never a silent 0
+      graft.functions.Similarity.standardize(Tables.embeddings(s, d))
+        .orderBy(col("vec_id"), col("dim"))),
+
+    "q_v24_random_projection" -> ((s, d) =>
+      // deterministic JL sign projection 64→16: md5-derived ±1 grid
+      // (broadcast, KB-sized), inputs integerized to the 1e-6 grain so the
+      // per-output-dim reduction is an exact BIGINT sum on any layout
+      graft.functions.Similarity.randomProjection(Tables.embeddings(s, d),
+          dOut = 16)
+        .orderBy(col("vec_id"), col("out_dim"))),
+
+    "q_ev22_top_paths" -> ((s, d) =>
+      // top-20 user journeys (first 8 event types per user): user-keyed
+      // window + aggregate, top-k ranks the path-cardinality table only;
+      // path assembly sorts (rn, type) structs so arrival order is
+      // irrelevant
+      graft.operators.EventAnalytics.topPaths(Tables.events(s, d),
+          k = 20, maxLen = 8)),
+
+    "q_io15_csv_quarantine" -> ((s, d) => {
+      // ingestion-robustness round trip: documents rendered to CSV with a
+      // deterministic subset (doc_id % 37 == 0) corrupted (unparseable id
+      // token), read back PERMISSIVE with a corrupt-record column — bad
+      // rows are QUARANTINED with their payload preserved, good rows parse
+      // untouched, and nothing is silently dropped (the id is recovered
+      // from the corrupt payload for the audit join). At 100 TB this is
+      // the standard "never lose a record to a parser" ingest contract.
+      val dir = scratchDir("graft_csvq", d)
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      docs.select(concat_ws(",",
+          when(col("doc_id") % 37 === 0, concat(lit("x"), col("doc_id")))
+            .otherwise(col("doc_id").cast("string")),
+          col("n_chars").cast("string"),
+          col("text")).as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read
+        .schema("doc_id LONG, n_chars LONG, text STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+        .select(
+          coalesce(col("doc_id"),
+            regexp_extract(col("_corrupt_record"), "^x(\\d+),", 1)
+              .cast("long")).as("doc_id"),
+          col("_corrupt_record").isNotNull.as("is_corrupt"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** The deterministic messy-URL recipe shared by q_u1/q_u2 and their
@@ -5622,7 +5683,89 @@ object RelationalQueries {
                 coalesce(abs(CASE WHEN hist >= 3 AND sd > 0
                      THEN round((n_events - mu) / sd, 4) END) > 2.0, FALSE)
                   AS is_anomaly
-         FROM s ORDER BY 1, 2"""
+         FROM s ORDER BY 1, 2""",
+
+    "q_t38_phrase_search" ->
+      // argmax bigram (count DESC, w1, w2) + per-doc adjacent-occurrence
+      // count re-derived straight from the token arrays
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         bi AS (
+           SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+           WHERE len(toks) >= 2),
+         c AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+         top AS (SELECT w1, w2 FROM c ORDER BY c DESC, w1, w2 LIMIT 1),
+         occ AS (
+           SELECT t.doc_id, top.w1, top.w2,
+                  len([i FOR i IN generate_series(1, len(t.toks) - 1)
+                       IF t.toks[i] = top.w1 AND t.toks[i + 1] = top.w2])
+                    ::BIGINT AS n_occ
+           FROM t, top)
+         SELECT doc_id, w1, w2, n_occ FROM occ
+         WHERE n_occ > 0 ORDER BY doc_id""",
+
+    "q_v23_standardize" ->
+      // the q_v19 rounded moments re-fit, then the identical single IEEE
+      // subtract/divide/round per element; + 0 normalizes negative zero
+      """WITH e AS (
+           SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+           FROM embeddings,
+                LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+           WHERE embedding IS NOT NULL),
+         m AS (
+           SELECT dim, round(avg(v), 6) + 0 AS mean,
+                  round(stddev_pop(v), 6) + 0 AS std
+           FROM e GROUP BY 1)
+         SELECT e.vec_id, e.dim::INT AS dim,
+                CASE WHEN m.std > 0
+                     THEN round((e.v - m.mean) / m.std, 6) + 0 END AS z
+         FROM e JOIN m USING (dim) ORDER BY vec_id, dim""",
+
+    "q_v24_random_projection" ->
+      // the md5 sign grid, the 1e-6 integerization, the exact BIGINT
+      // reduction and the final division all re-derived
+      """WITH e AS (
+           SELECT vec_id, i - 1 AS i,
+                  round(embedding[i]::DOUBLE * 1e6)::BIGINT AS v_micro
+           FROM embeddings,
+                LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+           WHERE embedding IS NOT NULL),
+         g AS (
+           SELECT d.i, j.range::INT AS j,
+                  1 - 2 * (('0x' || substr(md5('rp:' || d.i || ':' || j.range),
+                    1, 8))::BIGINT % 2) AS sign
+           FROM (SELECT DISTINCT i FROM e) d, range(0, 16) j),
+         s AS (
+           SELECT e.vec_id, g.j AS out_dim,
+                  sum(e.v_micro * g.sign)::BIGINT AS y_micro
+           FROM e JOIN g USING (i) GROUP BY 1, 2)
+         SELECT vec_id, out_dim,
+                round(y_micro / (1e6 * sqrt(16.0)), 8) + 0 AS y
+         FROM s ORDER BY vec_id, out_dim""",
+
+    "q_ev22_top_paths" ->
+      // window rank, per-user ordered path assembly, count, deterministic
+      // top-k cut — re-derived with string_agg ORDER BY the same rank
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, string_agg(event_type, '-' ORDER BY rn) AS path
+           FROM r WHERE rn <= 8 GROUP BY 1),
+         c AS (SELECT path, count(*)::BIGINT AS n_users FROM p GROUP BY 1)
+         SELECT path, n_users FROM c
+         ORDER BY n_users DESC, path LIMIT 20""",
+
+    "q_io15_csv_quarantine" ->
+      // value transparency of the quarantine round trip: corruption is a
+      // pure function of doc_id, nothing is dropped, n_chars survives the
+      // parse on good AND quarantined rows
+      """SELECT doc_id, (doc_id % 37 = 0) AS is_corrupt, n_chars
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""
   )
 
   /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with

@@ -602,4 +602,49 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "Scan parquet"
     plan should not include "Window"
   }
+
+  test("phrase search adjacency join reads only the checkpointed postings slices") {
+    // the argmax phrase is a driver literal, so the returned plan is the
+    // two token slices of the checkpointed postings table equi-joined on
+    // (doc, pos+1) — zero corpus scans, no cross product
+    val q = SparkEntry.queries("q_t38_phrase_search")(spark, sfDir)
+    q.collect().length should be > 0
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Scan parquet"
+    plan should not include "CartesianProduct"
+  }
+
+  test("standardize is one corpus scan + a broadcast of the checkpointed fit") {
+    val q = SparkEntry.queries("q_v23_standardize")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    plan should include("BroadcastHashJoin")
+    plan should not include "Window"
+  }
+
+  test("random projection partial-aggregates map-side against a broadcast sign grid") {
+    val q = SparkEntry.queries("q_v24_random_projection")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should include("partial_sum")
+    plan should include("BroadcastHashJoin")
+    plan should not include "Window"
+  }
+
+  test("top paths never funnel events through one partition; top-k is TakeOrdered") {
+    val q = SparkEntry.queries("q_ev22_top_paths")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Exchange SinglePartition"
+    plan should include("TakeOrderedAndProject")
+  }
+
+  test("csv quarantine read is map-only: no shuffle besides the output sort") {
+    val q = SparkEntry.queries("q_io15_csv_quarantine")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Exchange hashpartitioning"
+    plan should not include "Window"
+  }
 }

@@ -76,6 +76,53 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(1) shouldBe ((2L, 0.0, 2.0, -2.0, 2.0))
   }
 
+  test("standardize: z from the rounded moments; zero-variance dim is NULL") {
+    val embs = Seq(
+      (1L, Array(1.0f, 7.0f)),
+      (2L, Array(3.0f, 7.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.standardize(embs)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    out((1L, 0)) shouldBe Some(-1.0) // (1-2)/1
+    out((2L, 0)) shouldBe Some(1.0)
+    out((1L, 1)) shouldBe None // std 0: dead dimension, not silent 0
+    out((2L, 1)) shouldBe None
+  }
+
+  test("phraseSearch: argmax bigram, adjacency only, overlapping occurrences count") {
+    val docs = Seq(
+      (1L, "p q p q z"),   // "p q" twice (positions 0 and 2)
+      (2L, "p z q p q"),   // "p q" once — the p..q at distance 2 must NOT count
+      (3L, "q p z z z"),   // reversed order: no hit
+      (4L, "p q x y")      // once
+    ).toDF("doc_id", "text")
+    val out = TextOps.phraseSearch(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    out.keySet shouldBe Set(1L, 2L, 4L)
+    out(1L) shouldBe (("p", "q", 2L))
+    out(2L) shouldBe (("p", "q", 1L))
+    out(4L) shouldBe (("p", "q", 1L))
+  }
+
+  test("randomProjection: deterministic, dOut rows per vector, exact sign linearity") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f)), // 2× the first vector
+      (3L, Array(0.5f, -1.5f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(embs, dOut = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    out.size shouldBe 12
+    // e1 projects to ±1/√4 = ±0.5 per output dim (sign grid is ±1)
+    (0 until 4).foreach { j => math.abs(out((1L, j))) shouldBe 0.5 }
+    // integer-grain pipeline is exactly linear: P(2x) = 2·P(x)
+    (0 until 4).foreach { j => out((2L, j)) shouldBe 2.0 * out((1L, j)) }
+    // deterministic across invocations
+    Similarity.randomProjection(embs, dOut = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap shouldBe out
+  }
+
   test("Pca.topComponent finds a planted dominant direction; unit loadings") {
     // corpus overwhelmingly stretched along dim 1: the top component must
     // land on (~0, ~±1, ~0, ~0) after 3 quantized steps

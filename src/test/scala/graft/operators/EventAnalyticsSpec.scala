@@ -328,4 +328,30 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     out(("b", "a")) shouldBe ((1L, 1.0))
   }
+
+  test("topPaths: window order not arrival order, maxLen truncation, tie-break") {
+    val rows = Seq(
+      // user 1 arrives OUT of time order — the path must still be a-b-c
+      (1L, "2024-01-01 12:00:00", "c", 13L),
+      (1L, "2024-01-01 10:00:00", "a", 11L),
+      (1L, "2024-01-01 11:00:00", "b", 12L),
+      (2L, "2024-01-01 10:00:00", "a", 21L),
+      (2L, "2024-01-01 11:00:00", "b", 22L),
+      (2L, "2024-01-01 12:00:00", "c", 23L),
+      // user 3: 4 events, maxLen=3 must truncate the 'd'
+      (3L, "2024-01-01 10:00:00", "a", 31L),
+      (3L, "2024-01-01 11:00:00", "b", 32L),
+      (3L, "2024-01-01 12:00:00", "c", 33L),
+      (3L, "2024-01-01 13:00:00", "d", 34L),
+      // user 4: same-ts pair ordered by event_id
+      (4L, "2024-01-01 10:00:00", "y", 42L),
+      (4L, "2024-01-01 10:00:00", "x", 41L))
+      .map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.topPaths(rows, k = 2, maxLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // a-b-c has 3 users (truncation folds user 3 into it); x-y has 1 but
+    // k=2 keeps it; paths rank (n DESC, path)
+    out shouldBe Array(("a-b-c", 3L), ("x-y", 1L))
+  }
 }
