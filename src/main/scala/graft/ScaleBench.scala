@@ -87,7 +87,7 @@ object ScaleBench {
     "q_m10_png_palette_stats", "q_t35_dataset_card", "q_v22_centroid_drift",
     "q_t36_readability", "q_t37_js_divergence", "q_q6_welch_ttest",
     "q_t38_phrase_search", "q_v23_standardize", "q_v24_random_projection",
-    "q_io15_csv_quarantine")
+    "q_io15_csv_quarantine", "q_t39_ngram_novelty")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail
@@ -468,7 +468,10 @@ object ScaleBench {
       // the containment join's inverted-index side is the most
       // stop-shingle-exposed plan in the engine — the boilerplate plant
       // stresses exactly its hot join key
-      "q_d17_containment" -> gateQueries("q_d17_containment"))
+      "q_d17_containment" -> gateQueries("q_d17_containment"),
+      // novelty joins the df table back on the gram key: the plant makes
+      // one gram corpus-hot, exactly the row the join must AQE-split
+      "q_t39_ngram_novelty" -> gateQueries("q_t39_ngram_novelty"))
     // the 100×-point family (documents-only): the heaviest gram-keyed /
     // corpus-reduction text+dedup operators, in gate form plus the
     // hash-gram-key production forms — where partial-aggregate memory, AQE

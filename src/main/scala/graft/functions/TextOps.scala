@@ -861,6 +861,37 @@ object TextOps {
           .as("js_bits"))
   }
 
+  /** Per-document n-gram novelty vs the rest of the corpus: the fraction
+    * of a doc's DISTINCT k-grams that occur in no other document — high
+    * novelty flags genuinely fresh content, low novelty flags template/
+    * boilerplate-derived docs that the pairwise dup families (q_d6/q_d17)
+    * only catch when a single partner crosses their threshold. Returns
+    * (doc_id, n_grams, n_novel, novelty); docs shorter than k tokens drop
+    * (they have no k-grams to judge).
+    *
+    * Scale shape: the [[tfidfTopK]] convention — the exploded distinct
+    * (doc, gram) table is exchanged on the gram key ONCE (the df
+    * aggregate and the join-back share the identical exchange subtree, so
+    * ReuseExchange computes it one time), then one doc-keyed map-side-
+    * combinable aggregate. Gram-keyed and shuffle-hash-hinted like every
+    * dedup family: boilerplate mega-grams AQE-skew-split instead of
+    * sorting in one partition.
+    */
+  def ngramNovelty(docs: DataFrame, k: Int = 3,
+                   textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val ex = Spread.forExplode(docs.filter(col(textCol).isNotNull),
+        col("doc_id"))
+      .select(col("doc_id"), explode(Dedup.shingles(col(textCol), k)).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    ex.hint("shuffle_hash").join(dfreq.hint("shuffle_hash"), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
   /** Positional phrase search: which documents contain the corpus's most
     * frequent bigram as an ADJACENT phrase, and how often. The shape is a
     * positional inverted index probe — the operator BM25/TF-IDF ranking

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-log analytics over (user_id, ts, event_type) tables: cohort
@@ -333,6 +333,65 @@ object EventAnalytics {
     val rowTotal = Window.partitionBy(col("from_type"))
     counts.select(col("from_type"), col("to_type"), col("n"),
       round(col("n").cast("double") / sum(col("n")).over(rowTotal), 6).as("p"))
+  }
+
+  /** Exact ntile bucket from a 0-based global rank and the row count —
+    * standard SQL ntile semantics (first n mod k buckets take the extra
+    * row), pure integer arithmetic. Shared by [[rfm]]; public so specs
+    * can pin it against the window function directly.
+    */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val base = (n / k).cast("long") // exact for n < 2^52
+    val rem = n - base * k
+    val cutoff = (base + 1) * rem
+    when(rank < cutoff, (rank / (base + 1)).cast("long") + 1)
+      .otherwise(rem + ((rank - cutoff) / greatest(base, lit(1L))).cast("long")
+        + 1)
+      .cast("int")
+  }
+
+  /** RFM segmentation — recency / frequency / monetary quartiles per user,
+    * the classic engagement-tier table (quartile 1 = most recent / most
+    * frequent / highest spend; segment = "r-f-m"). The SEMANTICS are three
+    * global ntile(4) windows over the per-user aggregate — but a global
+    * window funnels every user through ONE partition, so each quartile is
+    * instead computed from a [[graft.functions.GlobalIndex]] distributed
+    * two-phase rank carry + [[ntileFromRank]]'s integer arithmetic, and
+    * the gate hash-matches it against the NAIVE window oracle (the
+    * q_sp12 pattern: the distributed form must reproduce the naive form
+    * exactly, tie-broken by user_id). Monetary sums integerize to
+    * micro-units (exact BIGINT on any layout, the q_ev16 convention).
+    *
+    * Scale shape: one event pass (map-side-combinable aggregate), then
+    * three range-exchange rank passes over the USER-count-sized table and
+    * node-keyed joins — nothing event-sized past the first aggregate, no
+    * single-partition anything.
+    */
+  def rfm(events: DataFrame, anchorDate: String): DataFrame = {
+    val (per, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      events.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          datediff(lit(anchorDate).cast("date"), max(to_date(col("ts"))))
+            .cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("value") * 1e6d).cast("long")).as("monetary_micro")))
+    val nRow = per.agg(count(lit(1)).as("n_users"))
+    def quartile(orderKey: Column, outCol: String): DataFrame =
+      graft.functions.GlobalIndex.assign(
+          per.select(col("user_id"), orderKey.as("_k")), col("_k"), "_rank")
+        .crossJoin(broadcast(nRow))
+        .select(col("user_id"),
+          ntileFromRank(col("_rank"), col("n_users"), 4).as(outCol))
+    val r = quartile(struct(col("recency_days"), col("user_id")), "r_q")
+    val f = quartile(struct((-col("frequency")).as("nf"), col("user_id")), "f_q")
+    val m = quartile(struct((-col("monetary_micro")).as("nm"), col("user_id")),
+      "m_q")
+    per.join(r, "user_id").join(f, "user_id").join(m, "user_id")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        round(col("monetary_micro") / 1e6d, 6).as("monetary"),
+        col("r_q"), col("f_q"), col("m_q"),
+        concat_ws("-", col("r_q"), col("f_q"), col("m_q")).as("segment"))
   }
 
   /** Top-k user journeys: each user's first `maxLen` event types in time

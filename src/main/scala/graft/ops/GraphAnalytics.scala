@@ -785,4 +785,56 @@ object GraphAnalytics {
     n.join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
       .select(col("id"), col("hub"), col("authority"))
   }
+
+  /** GraphSAGE-style neighborhood feature aggregation: h⁰(v) = degree,
+    * hⁱ⁺¹(v) = mean of hⁱ over v's undirected neighbors — the relational
+    * form of the message-passing step a GNN training pipeline runs to
+    * precompute structural features (Hamilton et al., NeurIPS'17). Returns
+    * (id, degree, h1 … h`hops`); isolated nodes report NULL per hop (no
+    * messages is not a zero message).
+    *
+    * Determinism (the [[graft.functions.Pca]] discipline): features live
+    * on a 1e-6 integer grid — each hop's mean is an exact BIGINT sum of
+    * neighbor micro-features over an exact count, re-quantized to the
+    * grid — so 1000 executors, any partitioning, and a SQL oracle agree
+    * bit-for-bit; no float accumulates across rows anywhere. Scale shape:
+    * per hop ONE node-keyed equi-join of the checkpointed symmetric edge
+    * list against the (nodes)-sized feature vector plus one
+    * map-side-combinable sum/count — the relational Pregel superstep,
+    * AQE-splittable on hub nodes, no windows.
+    */
+  def neighborhoodAggregate(nodes: DataFrame, edges: DataFrame,
+                            hops: Int = 2): DataFrame = {
+    require(hops >= 1 && hops <= 8, s"hops must be in [1, 8] (got $hops)")
+    val und = edges.select(col("fromId"), col("toId"))
+      .filter(col("fromId") =!= col("toId"))
+      .select(least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .distinct()
+    val (sym, _) = GraftSqlBridge.localCheckpointWithHandle(
+      und.unionByName(und.select(col("b").as("a"), col("a").as("b"))))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    val (base, _) = GraftSqlBridge.localCheckpointWithHandle(
+      nodes.select(col("id")).distinct()
+        .join(deg, Seq("id"), "left")
+        .select(col("id"), coalesce(col("degree"), lit(0L)).as("degree")))
+    var feat = base.select(col("id"),
+      (col("degree") * lit(1000000L)).as("f_micro"))
+    var out = base
+    (1 to hops).foreach { h =>
+      // neighbor mean on the micro grid: exact BIGINT sum / exact count,
+      // HALF_UP back to the grid (exact .5 quotients are binary-exact
+      // doubles, so both engines tie-break identically)
+      val (next, _) = GraftSqlBridge.localCheckpointWithHandle(
+        sym.join(feat.withColumnRenamed("id", "b"), "b")
+          .groupBy(col("a").as("id"))
+          .agg(round(sum(col("f_micro")) / count(lit(1))).cast("long")
+            .as("f_micro")))
+      out = out.join(
+        next.select(col("id"), round(col("f_micro") / 1e6d, 6).as(s"h$h")),
+        Seq("id"), "left")
+      feat = next
+    }
+    out
+  }
 }

@@ -242,6 +242,16 @@ object GraphQueries {
         g.edges.toDF().select(col("fromId"), col("toId")))
     }),
 
+    "q_ga17_neighbor_agg" -> ((s, _) => {
+      // GraphSAGE-style 2-hop neighborhood mean aggregation on the 1e-6
+      // integer grid (exact BIGINT per-hop reductions — the relational
+      // message-passing step, bit-reproducible on any layout)
+      val g = graph50(s)
+      GraphAnalytics.neighborhoodAggregate(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")), hops = 2)
+        .orderBy(col("id"))
+    }),
+
     "q_ga14_graph_summary" -> ((s, _) => {
       // one-row graph health block: counts, self-loops, density,
       // reciprocity, average out-degree — every number re-derivable by
@@ -807,6 +817,31 @@ object GraphQueries {
                              / (m * sxx - sx * sx), 6)
                       ELSE NULL END AS assortativity
           FROM s""",
+
+    "q_ga17_neighbor_agg" ->
+      // both hops re-derived on the same micro grid: degree seed, exact
+      // BIGINT neighbor sums, HALF_UP re-quantization per hop
+      s"""WITH und AS (
+            SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+            FROM $edgesTbl WHERE fromId <> toId),
+          sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+          dg AS (SELECT a AS id, count(*)::BIGINT AS degree FROM sym GROUP BY 1),
+          base AS (
+            SELECT n.id, coalesce(dg.degree, 0)::BIGINT AS degree
+            FROM $nodesTbl n LEFT JOIN dg ON dg.id = n.id),
+          f0 AS (SELECT id, degree * 1000000 AS fm FROM base),
+          h1 AS (
+            SELECT sym.a AS id, round(sum(f0.fm) / count(*))::BIGINT AS fm
+            FROM sym JOIN f0 ON f0.id = sym.b GROUP BY 1),
+          h2 AS (
+            SELECT sym.a AS id, round(sum(h1.fm) / count(*))::BIGINT AS fm
+            FROM sym JOIN h1 ON h1.id = sym.b GROUP BY 1)
+          SELECT base.id AS "id", base.degree,
+                 round(h1.fm / 1000000.0, 6) AS h1,
+                 round(h2.fm / 1000000.0, 6) AS h2
+          FROM base LEFT JOIN h1 ON h1.id = base.id
+                    LEFT JOIN h2 ON h2.id = base.id
+          ORDER BY base.id""",
 
     "q_ga3_triangles" ->
       // compact-forward enumeration, same canonicalized (a < b) edge set

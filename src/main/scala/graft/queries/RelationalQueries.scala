@@ -2846,7 +2846,23 @@ object RelationalQueries {
           col("_corrupt_record").isNotNull.as("is_corrupt"),
           col("n_chars"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    "q_t39_ngram_novelty" -> ((s, d) =>
+      // per-doc fraction of distinct 3-grams unique to the doc corpus-wide
+      // — the freshness/template signal pairwise dedup can't express; one
+      // gram-keyed exchange (df aggregate + join-back share it via
+      // ReuseExchange), one doc-keyed aggregate
+      graft.functions.TextOps.ngramNovelty(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"))),
+
+    "q_ev23_rfm" -> ((s, d) =>
+      // RFM quartile segmentation: distributed GlobalIndex rank carry +
+      // integer ntile arithmetic, hash-matched against the NAIVE global
+      // ntile window oracle (the q_sp12 equivalence pattern)
+      graft.operators.EventAnalytics.rfm(Tables.events(s, d),
+          anchorDate = "2024-03-01")
+        .orderBy(col("user_id")))
   )
 
   /** The deterministic messy-URL recipe shared by q_u1/q_u2 and their
@@ -5765,7 +5781,48 @@ object RelationalQueries {
       // pure function of doc_id, nothing is dropped, n_chars survives the
       // parse on good AND quarantined rows
       """SELECT doc_id, (doc_id % 37 = 0) AS is_corrupt, n_chars
-         FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""
+         FROM documents WHERE text IS NOT NULL ORDER BY doc_id""",
+
+    "q_t39_ngram_novelty" ->
+      // distinct 3-grams, corpus df, per-doc hapax fraction re-derived
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM t WHERE len(toks) >= 3),
+         ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+         f AS (SELECT g, count(*)::BIGINT AS df FROM ex GROUP BY 1)
+         SELECT ex.doc_id, count(*)::BIGINT AS n_grams,
+                sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+                round(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+                      / count(*), 6) AS novelty
+         FROM ex JOIN f USING (g) GROUP BY 1 ORDER BY 1""",
+
+    "q_ev23_rfm" ->
+      // the NAIVE form the distributed carry must reproduce: three global
+      // ntile(4) windows with user_id tie-breaks over the per-user
+      // micro-unit-exact aggregate
+      """WITH per AS (
+           SELECT user_id,
+                  date_diff('day', max(ts::DATE), DATE '2024-03-01')::BIGINT
+                    AS recency_days,
+                  count(*)::BIGINT AS frequency,
+                  sum(round(value * 1000000.0)::BIGINT)::BIGINT
+                    AS monetary_micro
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         q AS (
+           SELECT user_id, recency_days, frequency, monetary_micro,
+                  ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+                  ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+                  ntile(4) OVER (ORDER BY monetary_micro DESC, user_id) AS m_q
+           FROM per)
+         SELECT user_id, recency_days, frequency,
+                round(monetary_micro / 1000000.0, 6) AS monetary,
+                r_q::INT AS r_q, f_q::INT AS f_q, m_q::INT AS m_q,
+                r_q || '-' || f_q || '-' || m_q AS segment
+         FROM q ORDER BY user_id"""
   )
 
   /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with

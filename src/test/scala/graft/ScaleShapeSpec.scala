@@ -640,6 +640,33 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should include("TakeOrderedAndProject")
   }
 
+  test("ngram novelty exchanges the gram table ONCE (ReuseExchange) and never windows") {
+    val q = SparkEntry.queries("q_t39_ngram_novelty")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should include("ReusedExchange")
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
+  test("RFM has no global ntile window; ranks come from the distributed carry") {
+    val q = SparkEntry.queries("q_ev23_rfm")(spark, sfDir)
+    q.collect().length should be > 0
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "ntile"
+    // the per-user aggregate is checkpointed: the event table is read once
+    // at materialization, never by the three rank passes
+    plan should not include "Scan parquet"
+  }
+
+  test("neighborhood aggregation is join+aggregate per hop: no windows, no cross") {
+    val q = SparkEntry.queries("q_ga17_neighbor_agg")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
   test("csv quarantine read is map-only: no shuffle besides the output sort") {
     val q = SparkEntry.queries("q_io15_csv_quarantine")(spark, sfDir)
     q.collect()

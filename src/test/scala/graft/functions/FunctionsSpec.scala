@@ -123,6 +123,20 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
       .toMap shouldBe out
   }
 
+  test("ngramNovelty: hapax fraction over distinct grams; short docs drop") {
+    val docs = Seq(
+      (1L, "a b c d"),  // grams {a b c, b c d}
+      (2L, "a b c x"),  // grams {a b c, b c x} — shares "a b c" with doc 1
+      (3L, "z z"))      // < 3 tokens: no grams, dropped
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L) shouldBe ((2L, 1L, 0.5)) // "b c d" unique, "a b c" shared
+    out(2L) shouldBe ((2L, 1L, 0.5))
+  }
+
   test("Pca.topComponent finds a planted dominant direction; unit loadings") {
     // corpus overwhelmingly stretched along dim 1: the top component must
     // land on (~0, ~±1, ~0, ~0) after 3 quantized steps

@@ -354,4 +354,44 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     // k=2 keeps it; paths rank (n DESC, path)
     out shouldBe Array(("a-b-c", 3L), ("x-y", 1L))
   }
+
+  test("ntileFromRank reproduces the ntile window for every n and remainder") {
+    import org.apache.spark.sql.expressions.Window
+    (1 to 13).foreach { n =>
+      val df = (0L until n.toLong).toDF("rank")
+        .withColumn("n", lit(n.toLong))
+      val got = df.select($"rank",
+          EventAnalytics.ntileFromRank($"rank", $"n", 4).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val want = df.select($"rank",
+          ntile(4).over(Window.orderBy($"rank")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      withClue(s"n=$n: ") { got shouldBe want }
+    }
+  }
+
+  test("rfm: quartile direction (1 = best) and micro-exact monetary") {
+    val rows = Seq(
+      // 4 users, cleanly separable on all three axes
+      (1L, "2024-02-28 10:00:00", "purchase", 1L, 100.0),
+      (2L, "2024-02-20 10:00:00", "purchase", 2L, 50.0),
+      (2L, "2024-02-20 11:00:00", "view", 3L, 0.0),
+      (3L, "2024-02-10 10:00:00", "view", 4L, 10.0),
+      (3L, "2024-02-10 11:00:00", "view", 5L, 10.0),
+      (3L, "2024-02-10 12:00:00", "view", 6L, 10.0),
+      (4L, "2024-01-01 10:00:00", "view", 7L, 0.125))
+      .map { case (u, t, ty, id, v) => (u, ts(t), ty, id, v) }
+      .toDF("user_id", "ts", "event_type", "event_id", "value")
+    val out = EventAnalytics.rfm(rows, anchorDate = "2024-03-01")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(7)))).toMap
+    // user 1: most recent (r=1), 1 event (ties with u4, id-break → f=3),
+    // $100 (m=1)
+    out(1L) shouldBe ((2L, 1L, 100.0, "1-3-1"))
+    // user 3: 3 events (f=1); user 4: oldest (r=4), loses every tie,
+    // fractional value exact through the micro grid
+    out(3L)._2 shouldBe 3L
+    out(3L)._4 shouldBe "3-1-3"
+    out(4L) shouldBe ((60L, 1L, 0.125, "4-4-4"))
+  }
 }

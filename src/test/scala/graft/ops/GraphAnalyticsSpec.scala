@@ -341,4 +341,20 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     an[IllegalStateException] should be thrownBy
       GraphAnalytics.connectedComponentsStar(n, e, maxIters = 0)
   }
+
+  test("neighborhoodAggregate: hand-checked 2-hop means; isolated node is NULL") {
+    // path 1—2—3 plus isolated 4: degrees (1, 2, 1, 0)
+    val n = nodes
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.neighborhoodAggregate(n, e, hops = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // h1: mean of neighbor degrees; h2: mean of neighbor h1
+    out(1L) shouldBe ((1L, Some(2.0), Some(1.0)))
+    out(2L) shouldBe ((2L, Some(1.0), Some(2.0)))
+    out(3L) shouldBe ((1L, Some(2.0), Some(1.0)))
+    out(4L) shouldBe ((0L, None, None)) // no messages ≠ a zero message
+  }
 }
