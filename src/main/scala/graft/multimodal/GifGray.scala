@@ -1,0 +1,301 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native GIF builder + full LZW codec: a genuine GIF89a whose color
+  * indices are the input string's bytes (`width` columns, `len/width`
+  * full rows — texts shorter than one row yield NULL), against a 256-entry
+  * grayscale global color table (entry i = (i, i, i)), so decoded pixel
+  * luminance IS the text byte and the q_m11 oracle recomputes every
+  * statistic from the TEXT (the q_m5/q_m8 pattern).
+  *
+  * The image data is REAL GIF-variant LZW — dictionary growth from 258,
+  * LSB-first variable code widths 9→12, dictionary-full CLEAR + reset,
+  * 255-byte sub-block framing — NOT the clear-code-spam degenerate
+  * encoding a lazy builder could emit: synthesized payloads exercise the
+  * decoder's growth/width/reset paths for real, and MultimodalSpec reads
+  * them back pixel-for-pixel through the independent `javax.imageio` GIF
+  * reader. One codegen'd static call per row (the PngGray discipline —
+  * declarative per-character HOFs are the measured O(n²) trap), with the
+  * helper living on the companion under a name the case class does NOT
+  * inherit, so the static forwarder survives (the Md5Prefix32 lesson).
+  *
+  * Decode path: [[GifGray.decode]] — a GENERAL decoder (any code stream,
+  * KwKwK case, deferred/explicit clears, both GIF87a/89a, extension-block
+  * skipping), with documented scope refusals to None: interlaced images,
+  * local color tables, missing global table, non-grayscale tables (this
+  * decoder reports LUMINANCE statistics; a color table where r≠g≠b has no
+  * single gray truth), truncated or over-long index streams.
+  */
+case class GifGray(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1 && width <= 0xffff, s"width must be in [1, 65535] (got $width)")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gif_gray requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    GifGray.build(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.multimodal.GifGray.build($c, $width);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GifGray =
+    copy(child = newChild)
+  override def prettyName: String = "gif_gray"
+}
+
+object GifGray {
+  private val MinCodeSize = 8 // 256-color table → literal codes 0..255
+
+  def build(text: UTF8String, width: Int): Array[Byte] = {
+    val bytes = text.getBytes
+    val h = bytes.length / width
+    if (h < 1 || h > 0xffff) return null
+    val px = java.util.Arrays.copyOf(bytes, width * h)
+    val out = new java.io.ByteArrayOutputStream(px.length / 2 + 800)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    // logical screen descriptor: dims, GCT present / 8-bit color res /
+    // unsorted / 256-entry table
+    writeU16(out, width); writeU16(out, h)
+    out.write(0xF7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    // image descriptor at (0,0), no local table, not interlaced
+    out.write(0x2C)
+    writeU16(out, 0); writeU16(out, 0); writeU16(out, width); writeU16(out, h)
+    out.write(0)
+    out.write(MinCodeSize)
+    val lzw = lzwEncode(px)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  private def writeU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+
+  /** GIF-variant LZW encode: clear = 256, EOI = 257, first dict code 258,
+    * LSB-first bit packing, code width 9→12 (bumped exactly when the
+    * decoder bumps — after the entry count reaches the width's capacity),
+    * explicit CLEAR + reset when the 4096-entry dictionary fills.
+    */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val clear = 1 << MinCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = MinCodeSize + 1
+    def put(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    // dict key = (prefix code << 8) | next byte — unique because prefix
+    // codes are < 4096 and the byte is 8 bits
+    val dict = new java.util.HashMap[Integer, Integer](4096)
+    var nextCode = eoi + 1
+    put(clear)
+    var cur = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      val key = Integer.valueOf((cur << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        put(cur)
+        dict.put(key, Integer.valueOf(nextCode))
+        nextCode += 1
+        if (nextCode == 4096) {
+          // table full: hand the decoder a CLEAR (emitted at width 12 —
+          // the decoder is still at 12 until it processes the clear)
+          put(clear)
+          dict.clear()
+          nextCode = eoi + 1
+          codeSize = MinCodeSize + 1
+        } else if (nextCode == (1 << codeSize) + 1) {
+          // the decoder's entry count lags the encoder's by one (it adds
+          // entry n only after reading the NEXT code), so the width bump
+          // fires one entry later than the naive rule
+          codeSize += 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    put(cur)
+    put(eoi)
+    if (bitCnt > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** General GIF-variant LZW decode to exactly `nPixels` indices; None on
+    * any malformation (bad code, early exhaustion, overflow past nPixels).
+    * Handles the KwKwK (code == next unassigned entry) case and clears.
+    */
+  def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                nPixels: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var i = 0
+    while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+    var nextCode = eoi + 1
+    var codeSize = minCodeSize + 1
+    val out = new Array[Byte](nPixels)
+    var outPos = 0
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev = -1
+    val stack = new Array[Byte](4097)
+    while (true) {
+      while (bitCnt < codeSize) {
+        if (pos >= data.length) return None // truncated stream
+        bitBuf |= (data(pos) & 0xffL) << bitCnt
+        bitCnt += 8; pos += 1
+      }
+      val code = (bitBuf & ((1L << codeSize) - 1)).toInt
+      bitBuf >>>= codeSize; bitCnt -= codeSize
+      if (code == clear) {
+        nextCode = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outPos == nPixels) Some(out) else None
+      } else {
+        var emit = code
+        var sp = 0
+        if (code >= nextCode) {
+          // only the KwKwK case (code == nextCode with a live prefix) is
+          // legal above the assigned range; stale pre-clear codes land
+          // here too (after a clear, nextCode is back at eoi + 1)
+          if (code != nextCode || prev < 0) return None
+          stack(sp) = firstByte(prefix, suffix, prev); sp += 1
+          emit = prev
+        }
+        var c = emit
+        while (c >= 0) {
+          if (sp > 4096) return None
+          stack(sp) = suffix(c); sp += 1
+          c = prefix(c)
+        }
+        if (outPos + sp > nPixels) return None // over-long stream
+        while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+        if (prev >= 0 && nextCode < 4096) {
+          prefix(nextCode) = prev
+          suffix(nextCode) = firstByte(prefix, suffix, emit)
+          nextCode += 1
+          if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    None // unreachable
+  }
+
+  private def firstByte(prefix: Array[Int], suffix: Array[Byte],
+                        code: Int): Byte = {
+    var c = code
+    while (prefix(c) >= 0) c = prefix(c)
+    suffix(c)
+  }
+
+  final case class GifImage(w: Int, h: Int, px: Array[Byte])
+
+  /** Parse + decode a grayscale GIF to pixels (luminance = table red ==
+    * green == blue, validated). Scope refusals → None: interlace, local
+    * color tables, absent/non-gray global table, truncated structure,
+    * index past the table, malformed LZW.
+    */
+  def decode(p: Array[Byte]): Option[GifImage] = {
+    if (p.length < 14) return None
+    val sig = new String(p, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val w = u16(p, 6); val h = u16(p, 8)
+    val packed = p(10) & 0xff
+    if ((packed & 0x80) == 0) return None // no global color table
+    val gctSize = 2 << (packed & 0x07)
+    var pos = 13
+    if (pos + gctSize * 3 > p.length) return None
+    val gray = new Array[Byte](gctSize)
+    var i = 0
+    while (i < gctSize) {
+      val r = p(pos) & 0xff; val g = p(pos + 1) & 0xff; val b = p(pos + 2) & 0xff
+      if (r != g || g != b) return None // not a grayscale table
+      gray(i) = r.toByte; pos += 3; i += 1
+    }
+    // walk blocks to the first image descriptor, skipping extensions
+    while (true) {
+      if (pos >= p.length) return None
+      val b = p(pos) & 0xff; pos += 1
+      if (b == 0x21) { // extension: label + sub-blocks
+        pos += 1
+        var n = if (pos < p.length) p(pos) & 0xff else return None
+        while (n != 0) {
+          pos += 1 + n
+          if (pos >= p.length) return None
+          n = p(pos) & 0xff
+        }
+        pos += 1
+      } else if (b == 0x2C) {
+        if (pos + 9 > p.length) return None
+        val iw = u16(p, pos + 4); val ih = u16(p, pos + 6)
+        val ipacked = p(pos + 8) & 0xff
+        pos += 9
+        if ((ipacked & 0x80) != 0) return None // local color table
+        if ((ipacked & 0x40) != 0) return None // interlaced
+        if (iw != w || ih != h || iw == 0 || ih == 0) return None
+        val nPx = iw.toLong * ih
+        if (nPx > (1L << 26)) return None // cap like the PNG/BMP decoders
+        if (pos >= p.length) return None
+        val minCode = p(pos) & 0xff; pos += 1
+        if (minCode < 2 || minCode > 8) return None
+        val lzw = new java.io.ByteArrayOutputStream()
+        var n = if (pos < p.length) p(pos) & 0xff else return None
+        while (n != 0) {
+          if (pos + 1 + n > p.length) return None
+          lzw.write(p, pos + 1, n)
+          pos += 1 + n
+          n = if (pos < p.length) p(pos) & 0xff else return None
+        }
+        return lzwDecode(lzw.toByteArray, minCode, nPx.toInt).flatMap { idx =>
+          val out = new Array[Byte](idx.length)
+          var j = 0
+          var ok = true
+          while (j < idx.length && ok) {
+            val ix = idx(j) & 0xff
+            if (ix >= gctSize) ok = false // index past the table
+            else { out(j) = gray(ix); j += 1 }
+          }
+          if (ok) Some(GifImage(iw, ih, out)) else None
+        }
+      } else return None // trailer before any image, or junk
+    }
+    None // unreachable
+  }
+
+  private def u16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+}

@@ -779,6 +779,43 @@ object Multimodal {
   def synthesizeJpegPayload(textCol: Column, blocksPerRow: Int): Column =
     JpegGray.col(textCol, blocksPerRow)
 
+  final case class GifStats(media_id: Long, width: Int, height: Int,
+                            n_pixels: Long, px_min: Int, px_max: Int,
+                            px_mean: Double)
+
+  /** REAL GIF decode — the full [[GifGray.decode]] pipeline (header/LSD/
+    * GCT parse, extension skip, sub-block reassembly, general GIF-LZW
+    * with dictionary growth, variable widths, KwKwK and clears) reduced
+    * to per-image luminance statistics. Out-of-scope payloads (interlace,
+    * local/non-gray color tables, malformed LZW) quarantine to None like
+    * every decoder here.
+    */
+  def decodeGifGray(mediaId: Long, p: Array[Byte]): Option[GifStats] =
+    GifGray.decode(p).map { d =>
+      var mn = 255; var mx = 0; var sum = 0L
+      d.px.foreach { b => val v = b & 0xff
+        if (v < mn) mn = v; if (v > mx) mx = v; sum += v }
+      GifStats(mediaId, d.w, d.h, d.px.length.toLong, mn, mx,
+        sum.toDouble / d.px.length)
+    }
+
+  /** Partition-batched GIF decode interface ([[extractPngStats]] twin). */
+  def extractGifStats(media: DataFrame): Dataset[GifStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) => decodeGifGray(id, p) })
+  }
+
+  /** Genuine GIF89a whose indices are the text bytes against a grayscale
+    * 256-entry table — REAL growing-dictionary LZW, not clear-code spam
+    * (see [[GifGray]]). One codegen'd static call per row.
+    */
+  def synthesizeGifPayload(textCol: Column, width: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      GifGray(org.apache.spark.sql.GraftSqlBridge.expression(textCol), width))
+
   def synthesizePngPayload(textCol: Column, width: Int): Column =
     PngGray.col(textCol, width)
 

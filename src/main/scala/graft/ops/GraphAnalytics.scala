@@ -70,6 +70,49 @@ object GraphAnalytics {
     ranks
   }
 
+  /** Weight-proportional PageRank over the `cost` edge attribute (the
+    * reference's Action edges carry it, NetGraphComponent.scala:9-10):
+    * each node splits its rank over out-edges proportionally to edge
+    * weight instead of uniformly — the citation/traffic-volume variant.
+    * Same shape and conventions as [[pageRank]] (one equi-join + one
+    * map-side-combinable aggregate per iteration, vectors persisted one
+    * round deep, round-10 per iteration); weights integerize to
+    * nano-units so every per-node out-weight total is an EXACT BIGINT on
+    * any partitioning, and parallel edges collapse by SUMMING weight
+    * (multigraph semantics). Zero-total-weight nodes dangle (contribute
+    * nothing) exactly like zero-out-degree nodes in [[pageRank]].
+    */
+  def weightedPageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
+                       d: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val n = nodes.select(col("id")).distinct()
+    val e = edges.select(col("fromId"), col("toId"),
+        expr("cast(round(cost * 1e9) as bigint)").as("w_nano"))
+      .groupBy(col("fromId"), col("toId")).agg(sum(col("w_nano")).as("w_nano"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outW = e.groupBy(col("fromId")).agg(sum(col("w_nano")).as("tw"))
+    val withW = e.join(outW, "fromId").filter(col("tw") > 0)
+    val nCount = n.count().toDouble
+    var ranks = n.select(col("id"), lit(1.0d / nCount).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (1 to iters).foreach { _ =>
+      val contribs = withW
+        .join(ranks.withColumnRenamed("id", "fromId"), "fromId")
+        .groupBy(col("toId").as("id"))
+        .agg(sum(col("rank") * col("w_nano") / col("tw")).as("s"))
+      val next = n.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          round(lit((1.0d - d) / nCount) + lit(d) * coalesce(col("s"), lit(0.0d)), 10)
+            .as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    e.unpersist()
+    ranks
+  }
+
   /** Weakly-connected components over the flat edge list (direction
     * ignored, the standard weak-CC semantics): each node labeled with the
     * MINIMUM node id of its component. Delegates to GraphX's Pregel-based

@@ -252,6 +252,18 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga18_weighted_pagerank" -> ((s, _) => {
+      // weight-proportional PageRank over the fixture's REAL cost
+      // attribute (the column q_ga2 ignores): rank splits by nano-unit
+      // integer weight shares, 5 rounds, q_ga2's rounding conventions
+      val g = graph50(s)
+      GraphAnalytics.weightedPageRank(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId"), col("cost")),
+          iters = 5)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    }),
+
     "q_ga14_graph_summary" -> ((s, _) => {
       // one-row graph health block: counts, self-loops, density,
       // reciprocity, average out-degree — every number re-derivable by
@@ -462,6 +474,37 @@ object GraphQueries {
          SELECT id AS "id", round(rank, 6) AS "rank" FROM r$iters ORDER BY id"""
   }
 
+  /** [[pageRankSql]]'s weighted sibling: parallel edges collapse by
+    * SUMMING nano-unit integer weights, contribution share = w/tw with the
+    * identical expression order the Spark plan evaluates.
+    */
+  private def weightedPageRankSql(iters: Int, d: Double): String = {
+    val base =
+      s"""WITH n AS (SELECT id FROM $nodesTbl),
+         e AS (
+           SELECT fromId, toId, sum(round(cost * 1e9)::BIGINT)::BIGINT AS w
+           FROM $edgesTbl GROUP BY 1, 2),
+         ow AS (SELECT fromId, sum(w)::BIGINT AS tw FROM e GROUP BY 1),
+         nn AS (SELECT count(*)::DOUBLE AS cnt FROM n),
+         r0 AS (SELECT id, 1.0 / nn.cnt AS rank FROM n, nn)"""
+    val iterCtes = (1 to iters).map { k =>
+      s""",
+         r$k AS (
+           SELECT n.id,
+                  round((1.0 - $d) / nn.cnt + $d * coalesce(c.s, 0), 10) AS rank
+           FROM n CROSS JOIN nn
+           LEFT JOIN (
+             SELECT e.toId AS id, sum(r.rank * e.w / ow.tw) AS s
+             FROM e JOIN r${k - 1} r ON r.id = e.fromId
+                    JOIN ow ON ow.fromId = e.fromId
+             WHERE ow.tw > 0
+             GROUP BY 1) c ON c.id = n.id)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+         SELECT id AS "id", round(rank, 6) AS "rank" FROM r$iters ORDER BY id"""
+  }
+
   /** Unrolled k-core peeling in SQL: `rounds` chained MATERIALIZED CTEs
     * (DuckDB inlines single-reference CTEs — unmaterialized, the chain
     * re-evaluates exponentially), each one peel round — survivors are the
@@ -651,6 +694,8 @@ object GraphQueries {
           ORDER BY n.id""",
 
     "q_ga2_pagerank" -> pageRankSql(iters = 5, d = 0.85),
+
+    "q_ga18_weighted_pagerank" -> weightedPageRankSql(iters = 5, d = 0.85),
 
     "q_ga5_components" ->
       // undirected min-label propagation: reach set per node via the

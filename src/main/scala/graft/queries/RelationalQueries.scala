@@ -2862,7 +2862,48 @@ object RelationalQueries {
       // ntile window oracle (the q_sp12 equivalence pattern)
       graft.operators.EventAnalytics.rfm(Tables.events(s, d),
           anchorDate = "2024-03-01")
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    "q_m11_gif_pixel_stats" -> ((s, d) => {
+      // REAL GIF content decode: genuine GIF89a payloads (grayscale global
+      // color table, REAL growing-dictionary GIF-LZW with variable code
+      // widths — not clear-code spam) whose indices are the documents'
+      // ASCII bytes, decoded by the full general LZW pipeline behind the
+      // partition-batched interface. The oracle recomputes the statistics
+      // from the TEXT — a hash match proves dictionary growth, width
+      // bumps, sub-block reassembly and palette mapping byte for byte.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 16)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.Multimodal.synthesizeGifPayload(col("text"),
+          width = 16).as("payload"))
+      graft.multimodal.Multimodal.extractGifStats(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          col("px_min"), col("px_max"), round(col("px_mean"), 6).as("px_mean"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_io16_dynamic_overwrite" -> ((s, d) => {
+      // the warehouse partition-patch contract: overwrite mode=dynamic
+      // rewrites ONLY the partitions the patch contains — a static
+      // overwrite would wipe every other priority's data, a non-overwrite
+      // append would duplicate the patched one. Base layout partitioned by
+      // priority; the 1-URGENT slice re-written with bumped prices; read
+      // back must show bumped URGENT rows AND untouched everything else
+      // (missing rows = dynamic semantics broken; duplicate rows = append
+      // leak; both fail the hash).
+      val dir = scratchDir("graft_dynpart", d)
+      val orders = Tables.orders(s, d)
+      orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+      orders.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0d))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderpriority").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    })
   )
 
   /** The deterministic messy-URL recipe shared by q_u1/q_u2 and their
@@ -5822,7 +5863,32 @@ object RelationalQueries {
                 round(monetary_micro / 1000000.0, 6) AS monetary,
                 r_q::INT AS r_q, f_q::INT AS f_q, m_q::INT AS m_q,
                 r_q || '-' || f_q || '-' || m_q AS segment
-         FROM q ORDER BY user_id"""
+         FROM q ORDER BY user_id""",
+
+    "q_m11_gif_pixel_stats" ->
+      // the q_m5 oracle shape: pixel j = ascii(char j) over the first
+      // (length//16)*16 chars — a hash match proves the whole LZW decode
+      // recovered the text bytes from the compressed binary
+      """WITH px AS (
+           SELECT doc_id, (length(text) // 16)::INT AS height,
+                  ascii(text[j]) AS v
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, (length(text) // 16) * 16 + 1)) AS j) u
+           WHERE text IS NOT NULL AND length(text) >= 16)
+         SELECT doc_id AS media_id, 16 AS width, height,
+                count(*) AS n_pixels,
+                min(v)::INT AS px_min, max(v)::INT AS px_max,
+                round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+         FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_io16_dynamic_overwrite" ->
+      // every order exactly once, URGENT prices bumped by the same IEEE
+      // add, everything else bit-identical to the source table
+      """SELECT o_orderkey, o_orderpriority,
+                CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN o_totalprice + 100.0 ELSE o_totalprice END
+                  AS o_totalprice
+         FROM orders ORDER BY o_orderkey"""
   )
 
   /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with

@@ -121,6 +121,13 @@ class DecoderFuzzSpec extends AnyFunSuite {
     fuzz("wav", wav, 3000, b => Multimodal.decodeWavPcm(0L, b))
   }
 
+  test("GIF decoder never throws on 4000 mutants (LZW + block-walk paths)") {
+    val gif = GifGray.build(
+      UTF8String.fromString("fuzz the lzw dictionary growth paths please ok"), 8)
+    assert(GifGray.decode(gif).isDefined, "fixture must be decodable")
+    fuzz("gif", gif, 4000, b => GifGray.decode(b))
+  }
+
   // NOTE deliberately absent: graft.io.GraphText's parsers THROW on
   // malformed lines by contract — graph files are produced by the
   // engine's own writer (trusted provenance, mirroring the reference's

@@ -496,4 +496,72 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     Multimodal.decodeBmpPixels(1L, payload.take(60)) shouldBe None
     Multimodal.decodeBmpPixels(1L, "nope".getBytes) shouldBe None
   }
+
+  test("synthesizeGifPayload reads back via the INDEPENDENT ImageIO GIF reader") {
+    // the JDK GIF plugin shares nothing with our LZW: if it reads the
+    // same indices back, the payload is a genuine GIF (structure, table,
+    // sub-blocks, and the variable-width code stream all correct)
+    val text = "the quick brown fox jumps over it" * 2 // 66 chars → 16x4
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = df.select(
+      Multimodal.synthesizeGifPayload(col("text"), width = 16).as("p"))
+      .head().getAs[Array[Byte]](0)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    img should not be null
+    img.getWidth shouldBe 16
+    img.getHeight shouldBe 4
+    // indexed GIF: the raster sample IS the palette index = the text byte
+    for (r <- 0 until 4; c <- 0 until 16)
+      (img.getRaster.getSample(c, r, 0)) shouldBe text.charAt(r * 16 + c).toInt
+    // and our own decoder agrees (partial row dropped: 66 → 64 px)
+    val st = Multimodal.decodeGifGray(1L, payload).get
+    st.n_pixels shouldBe 64L
+    st.px_mean shouldBe (text.take(64).map(_.toInt).sum.toDouble / 64) +- 1e-12
+  }
+
+  test("GIF LZW survives dictionary-full CLEAR/reset; ImageIO still agrees") {
+    // ~30k diverse chars force >4096 dictionary entries → the encoder's
+    // explicit clear + width reset and the decoder's post-clear resync
+    // both execute for real
+    val rnd = new scala.util.Random(42)
+    val text = Array.fill(30000)((32 + rnd.nextInt(95)).toChar).mkString
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = df.select(
+      Multimodal.synthesizeGifPayload(col("text"), width = 100).as("p"))
+      .head().getAs[Array[Byte]](0)
+    val st = Multimodal.decodeGifGray(1L, payload).get
+    st.n_pixels shouldBe 30000L
+    st.px_mean shouldBe (text.map(_.toInt).sum.toDouble / 30000) +- 1e-9
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    img.getHeight shouldBe 300
+    var mismatch = 0
+    for (r <- 0 until 300; c <- 0 until 100)
+      if (img.getRaster.getSample(c, r, 0) != text.charAt(r * 100 + c).toInt)
+        mismatch += 1
+    mismatch shouldBe 0
+  }
+
+  test("GIF refusal matrix: interlace, local table, non-gray table, truncation") {
+    val text = "abcdefghijklmnop" * 4
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = df.select(
+      Multimodal.synthesizeGifPayload(col("text"), width = 16).as("p"))
+      .head().getAs[Array[Byte]](0)
+    Multimodal.decodeGifGray(1L, payload) should not be None
+    // image descriptor packed byte: 6 (header) + 7 (LSD) + 768 (GCT) + 9
+    val ipacked = 6 + 7 + 768 + 9
+    val inter = payload.clone(); inter(ipacked) = 0x40.toByte
+    Multimodal.decodeGifGray(1L, inter) shouldBe None
+    val lct = payload.clone(); lct(ipacked) = 0x80.toByte
+    Multimodal.decodeGifGray(1L, lct) shouldBe None
+    // de-gray one table entry (green of entry 65)
+    val color = payload.clone(); color(13 + 65 * 3 + 1) = 7
+    Multimodal.decodeGifGray(1L, color) shouldBe None
+    Multimodal.decodeGifGray(1L, payload.dropRight(10)) shouldBe None
+    Multimodal.decodeGifGray(1L, "GIF89a but no".getBytes) shouldBe None
+    // shorter than one row → null payload, not a broken GIF
+    Seq((1L, "tiny")).toDF("doc_id", "text")
+      .select(Multimodal.synthesizeGifPayload(col("text"), width = 16).as("p"))
+      .head().isNullAt(0) shouldBe true
+  }
 }

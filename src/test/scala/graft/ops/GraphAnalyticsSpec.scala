@@ -342,6 +342,32 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       GraphAnalytics.connectedComponentsStar(n, e, maxIters = 0)
   }
 
+  test("weightedPageRank: rank splits by weight share, not uniformly") {
+    // node 1 points at 2 (cost 3.0) and 3 (cost 1.0): after one round,
+    // node 2 must receive 3× node 3's contribution from node 1
+    val n = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L, 3.0), (1L, 3L, 1.0))
+      .toDF("fromId", "toId", "cost")
+    val out = GraphAnalytics.weightedPageRank(n, e, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = 0.15 / 3
+    out(2L) shouldBe BigDecimal(base + 0.85 * ((1.0 / 3) * 0.75))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(3L) shouldBe BigDecimal(base + 0.85 * ((1.0 / 3) * 0.25))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(1L) shouldBe BigDecimal(base)
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // parallel edges collapse by SUMMING weight: 1→2 twice at 1.0 each
+    // equals 1→2 once at 2.0
+    val dup = Seq((1L, 2L, 1.0), (1L, 2L, 1.0), (1L, 3L, 2.0))
+      .toDF("fromId", "toId", "cost")
+    val single = Seq((1L, 2L, 2.0), (1L, 3L, 2.0))
+      .toDF("fromId", "toId", "cost")
+    GraphAnalytics.weightedPageRank(n, dup, iters = 2).collect().toSeq should
+      contain theSameElementsAs
+      GraphAnalytics.weightedPageRank(n, single, iters = 2).collect().toSeq
+  }
+
   test("neighborhoodAggregate: hand-checked 2-hop means; isolated node is NULL") {
     // path 1—2—3 plus isolated 4: degrees (1, 2, 1, 0)
     val n = nodes

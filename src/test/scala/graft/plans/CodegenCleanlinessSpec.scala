@@ -104,6 +104,16 @@ class CodegenCleanlinessSpec extends AnyFunSuite {
     assert(Multimodal.decodePngPalette(0L, prows(0).getAs[Array[Byte]](0)).isDefined)
   }
 
+  test("GifGray compiles and round-trips through the decoder under CODEGEN_ONLY") {
+    import graft.multimodal.Multimodal
+    val rows = textDf
+      .select(Multimodal.synthesizeGifPayload(col("s"), 4).as("gif"))
+      .collect()
+    assert(rows.forall(!_.isNullAt(0)))
+    val st = Multimodal.decodeGifGray(0L, rows(0).getAs[Array[Byte]](0))
+    assert(st.exists(_.n_pixels == 8L)) // "hello world": 11 chars → 4x2
+  }
+
   test("BinaryStride compiles and evaluates under CODEGEN_ONLY") {
     val rows = textDf
       .select(expr("binary_stride(cast(s as binary), 2)").as("b")).collect()
