@@ -30,8 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * decoder reports LUMINANCE statistics; a color table where r≠g≠b has no
   * single gray truth), truncated or over-long index streams.
   */
-case class GifGray(child: Expression, width: Int) extends UnaryExpression {
+case class GifGray(child: Expression, width: Int, animRows: Int = 0)
+    extends UnaryExpression {
   require(width >= 1 && width <= 0xffff, s"width must be in [1, 65535] (got $width)")
+  require(animRows >= 0, s"animRows must be >= 0 (got $animRows)")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -42,12 +44,18 @@ case class GifGray(child: Expression, width: Int) extends UnaryExpression {
         s"gif_gray requires a string argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    GifGray.build(input.asInstanceOf[UTF8String], width)
+    if (animRows > 0)
+      GifGray.buildAnimated(input.asInstanceOf[UTF8String], width, animRows)
+    else GifGray.build(input.asInstanceOf[UTF8String], width)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      val call =
+        if (animRows > 0)
+          s"graft.multimodal.GifGray.buildAnimated($c, $width, $animRows)"
+        else s"graft.multimodal.GifGray.build($c, $width)"
       s"""
-         |${ev.value} = graft.multimodal.GifGray.build($c, $width);
+         |${ev.value} = $call;
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -224,12 +232,20 @@ object GifGray {
 
   final case class GifImage(w: Int, h: Int, px: Array[Byte])
 
-  /** Parse + decode a grayscale GIF to pixels (luminance = table red ==
-    * green == blue, validated). Scope refusals → None: interlace, local
-    * color tables, absent/non-gray global table, truncated structure,
-    * index past the table, malformed LZW.
+  /** Single-image decode: exactly [[decodeFrames]] with the first frame. */
+  def decode(p: Array[Byte]): Option[GifImage] =
+    decodeFrames(p).flatMap(_.headOption)
+
+  /** Parse + decode a grayscale GIF's frames (luminance = table red ==
+    * green == blue, validated) — one entry per image block, in stream
+    * order, so an animation decodes to its frame sequence. Scope refusals
+    * → None: interlace, local color tables, absent/non-gray global table,
+    * partial-canvas frame placement (left/top ≠ 0 or frame dims ≠ canvas
+    * dims — frames must be full repaints for a frame sample to be
+    * meaningful without disposal compositing), truncated structure, index
+    * past the table, malformed LZW, junk before the trailer.
     */
-  def decode(p: Array[Byte]): Option[GifImage] = {
+  def decodeFrames(p: Array[Byte], maxFrames: Int = 4096): Option[Seq[GifImage]] = {
     if (p.length < 14) return None
     val sig = new String(p, 0, 6, "US-ASCII")
     if (sig != "GIF87a" && sig != "GIF89a") return None
@@ -246,11 +262,14 @@ object GifGray {
       if (r != g || g != b) return None // not a grayscale table
       gray(i) = r.toByte; pos += 3; i += 1
     }
-    // walk blocks to the first image descriptor, skipping extensions
+    val frames = scala.collection.mutable.ArrayBuffer.empty[GifImage]
+    // walk blocks: extensions skip, images decode, trailer ends
     while (true) {
       if (pos >= p.length) return None
       val b = p(pos) & 0xff; pos += 1
-      if (b == 0x21) { // extension: label + sub-blocks
+      if (b == 0x3B) { // trailer
+        return if (frames.nonEmpty) Some(frames.toSeq) else None
+      } else if (b == 0x21) { // extension: label + sub-blocks
         pos += 1
         var n = if (pos < p.length) p(pos) & 0xff else return None
         while (n != 0) {
@@ -260,12 +279,15 @@ object GifGray {
         }
         pos += 1
       } else if (b == 0x2C) {
+        if (frames.length >= maxFrames) return None
         if (pos + 9 > p.length) return None
+        val left = u16(p, pos); val top = u16(p, pos + 2)
         val iw = u16(p, pos + 4); val ih = u16(p, pos + 6)
         val ipacked = p(pos + 8) & 0xff
         pos += 9
         if ((ipacked & 0x80) != 0) return None // local color table
         if ((ipacked & 0x40) != 0) return None // interlaced
+        if (left != 0 || top != 0) return None // partial-canvas placement
         if (iw != w || ih != h || iw == 0 || ih == 0) return None
         val nPx = iw.toLong * ih
         if (nPx > (1L << 26)) return None // cap like the PNG/BMP decoders
@@ -280,20 +302,64 @@ object GifGray {
           pos += 1 + n
           n = if (pos < p.length) p(pos) & 0xff else return None
         }
-        return lzwDecode(lzw.toByteArray, minCode, nPx.toInt).flatMap { idx =>
-          val out = new Array[Byte](idx.length)
-          var j = 0
-          var ok = true
-          while (j < idx.length && ok) {
-            val ix = idx(j) & 0xff
-            if (ix >= gctSize) ok = false // index past the table
-            else { out(j) = gray(ix); j += 1 }
-          }
-          if (ok) Some(GifImage(iw, ih, out)) else None
+        pos += 1 // step past the 0x00 sub-block terminator
+        lzwDecode(lzw.toByteArray, minCode, nPx.toInt) match {
+          case None => return None
+          case Some(idx) =>
+            val out = new Array[Byte](idx.length)
+            var j = 0
+            while (j < idx.length) {
+              val ix = idx(j) & 0xff
+              if (ix >= gctSize) return None // index past the table
+              out(j) = gray(ix); j += 1
+            }
+            frames += GifImage(iw, ih, out)
         }
-      } else return None // trailer before any image, or junk
+      } else return None // junk block
     }
     None // unreachable
+  }
+
+  /** Animated sibling of [[build]]: the text bytes split into
+    * `len/(width·frameRows)` full frames (NULL below one frame), each a
+    * full-canvas image block preceded by a real Graphic Control Extension
+    * (10 cs delay, no transparency) — the poor man's video container, so
+    * the frame-sampling surface gets a REAL multi-frame format to decode
+    * instead of synthetic frame arrays.
+    */
+  def buildAnimated(text: UTF8String, width: Int, frameRows: Int): Array[Byte] = {
+    require(frameRows >= 1, s"frameRows must be >= 1 (got $frameRows)")
+    val bytes = text.getBytes
+    val perFrame = width * frameRows
+    val nFrames = bytes.length / perFrame
+    if (nFrames < 1 || frameRows > 0xffff || width > 0xffff) return null
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 800)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    writeU16(out, width); writeU16(out, frameRows)
+    out.write(0xF7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    var f = 0
+    while (f < nFrames) {
+      // graphic control extension: disposal=none, 10cs delay, no transparency
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); writeU16(out, 10); out.write(0); out.write(0)
+      out.write(0x2C)
+      writeU16(out, 0); writeU16(out, 0); writeU16(out, width); writeU16(out, frameRows)
+      out.write(0)
+      out.write(MinCodeSize)
+      val px = java.util.Arrays.copyOfRange(bytes, f * perFrame, (f + 1) * perFrame)
+      val lzw = lzwEncode(px)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n); off += n
+      }
+      out.write(0)
+      f += 1
+    }
+    out.write(0x3B)
+    out.toByteArray
   }
 
   private def u16(p: Array[Byte], off: Int): Int =

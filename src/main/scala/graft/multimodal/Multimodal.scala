@@ -816,6 +816,45 @@ object Multimodal {
     org.apache.spark.sql.GraftSqlBridge.column(
       GifGray(org.apache.spark.sql.GraftSqlBridge.expression(textCol), width))
 
+  /** Animated GIF89a: `len/(width·frameRows)` full-canvas frames, each
+    * with a real Graphic Control Extension ([[GifGray.buildAnimated]]).
+    */
+  def synthesizeGifAnimation(textCol: Column, width: Int,
+                             frameRows: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      GifGray(org.apache.spark.sql.GraftSqlBridge.expression(textCol), width,
+        frameRows))
+
+  final case class GifFrameStats(media_id: Long, frame_idx: Int,
+                                 n_pixels: Long, px_min: Int, px_max: Int,
+                                 px_mean: Double)
+
+  /** Frame sampling over REAL animated GIFs: decode the frame sequence
+    * ([[GifGray.decodeFrames]] — every frame pays the full LZW pipeline),
+    * keep every `stride`-th frame, reduce each to luminance statistics.
+    * This is q_m2's frame-sample shape against a genuine multi-frame
+    * container instead of a synthetic frame array. Undecodable payloads
+    * quarantine to None (zero rows) like every decoder here.
+    */
+  def extractGifFrameStats(media: DataFrame, stride: Int): Dataset[GifFrameStats] = {
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) =>
+        GifGray.decodeFrames(p).toSeq.flatMap { frames =>
+          frames.zipWithIndex.collect { case (fr, i) if i % stride == 0 =>
+            var mn = 255; var mx = 0; var sum = 0L
+            fr.px.foreach { b => val v = b & 0xff
+              if (v < mn) mn = v; if (v > mx) mx = v; sum += v }
+            GifFrameStats(id, i, fr.px.length.toLong, mn, mx,
+              sum.toDouble / fr.px.length)
+          }
+        }
+      })
+  }
+
   def synthesizePngPayload(textCol: Column, width: Int): Column =
     PngGray.col(textCol, width)
 

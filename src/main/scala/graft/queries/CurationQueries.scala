@@ -298,7 +298,30 @@ object CurationQueries {
       // q_q3's PSI flag
       DataQuality.welchTTest(Tables.documents(s, d), groupCol = "source",
           valueCol = "n_chars", baseline = "src0")
-        .orderBy(col("source"))))
+        .orderBy(col("source"))),
+
+    "q_as5_feature_panel" -> ((s, d) => {
+      // point-in-time feature PANEL — the feature-store build: every
+      // (customer, month-end) cell carries the customer's latest order
+      // state AS OF that date (leakage-safe by construction: nothing after
+      // the cell's date can contribute). Spine = observed month-ends
+      // (metadata-sized, broadcast into the panel expansion); the as-of
+      // itself is q_as1's ONE union+window shuffle — no inequality join,
+      // no interval explosion. Output is panel-sized by definition
+      // (entities × months), which is the product being built.
+      val o = Tables.orders(s, d)
+      val spine = o.select(last_day(col("o_orderdate")).as("as_of")).distinct()
+      val panel = o.select(col("o_custkey")).distinct()
+        .crossJoin(broadcast(spine))
+      AsOfJoin.leftAsOf(panel,
+          o.select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority"), col("o_totalprice")),
+          leftKey = "o_custkey", rightKey = "o_custkey",
+          leftTime = "as_of", rightTime = "o_orderdate",
+          rightVals = Seq("o_orderkey", "o_orderpriority", "o_totalprice"),
+          rightTiebreak = Some("o_orderkey"))
+        .orderBy(col("o_custkey"), col("as_of"))
+    }))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -823,5 +846,28 @@ object CurationQueries {
                 round(((se1 + se0) * (se1 + se0))
                       / (se1 * se1 / (n - 1) + se0 * se0 / (n0 - 1)), 6)
                   AS welch_df
-         FROM k ORDER BY source""")
+         FROM k ORDER BY source""",
+
+    "q_as5_feature_panel" ->
+      // the NAIVE panel the as-of plan replaces: inequality left join +
+      // per-cell argmax (latest date, highest key)
+      """WITH spine AS (
+           SELECT DISTINCT last_day(o_orderdate) AS as_of FROM orders),
+         ent AS (SELECT DISTINCT o_custkey FROM orders),
+         panel AS (SELECT o_custkey, as_of FROM ent, spine),
+         j AS (
+           SELECT p.o_custkey, p.as_of,
+                  o.o_orderdate, o.o_orderkey, o.o_orderpriority,
+                  o.o_totalprice,
+                  row_number() OVER (PARTITION BY p.o_custkey, p.as_of
+                    ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM panel p
+           LEFT JOIN orders o ON o.o_custkey = p.o_custkey
+                             AND o.o_orderdate <= p.as_of)
+         SELECT o_custkey, as_of,
+                o_orderdate AS asof_time,
+                o_orderkey AS asof_o_orderkey,
+                o_orderpriority AS asof_o_orderpriority,
+                o_totalprice AS asof_o_totalprice
+         FROM j WHERE rn = 1 ORDER BY o_custkey, as_of""")
 }

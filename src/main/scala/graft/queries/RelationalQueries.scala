@@ -2903,6 +2903,25 @@ object RelationalQueries {
       s.read.parquet(dir)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "q_m12_gif_frames" -> ((s, d) => {
+      // frame sampling over REAL animated GIFs (the poor man's video):
+      // each doc becomes a genuine multi-frame GIF89a (8×4 frames = 32
+      // chars each, real GCE blocks, every frame its own LZW stream);
+      // every 2nd frame decodes to luminance stats. The oracle recomputes
+      // per-frame statistics from the text slices — a hash match proves
+      // frame boundaries, stride selection, and each frame's full LZW
+      // decode.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 32)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.Multimodal.synthesizeGifAnimation(col("text"),
+          width = 8, frameRows = 4).as("payload"))
+      graft.multimodal.Multimodal.extractGifFrameStats(media, stride = 2).toDF()
+        .select(col("media_id"), col("frame_idx"), col("n_pixels"),
+          col("px_min"), col("px_max"), round(col("px_mean"), 6).as("px_mean"))
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -5888,7 +5907,25 @@ object RelationalQueries {
                 CASE WHEN o_orderpriority = '1-URGENT'
                      THEN o_totalprice + 100.0 ELSE o_totalprice END
                   AS o_totalprice
-         FROM orders ORDER BY o_orderkey"""
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_m12_gif_frames" ->
+      // frame f (even only) covers chars [f·32+1, f·32+32]; stats
+      // re-derived per frame straight from the text
+      """WITH d AS (
+           SELECT doc_id, text, (length(text) // 32) AS nf
+           FROM documents WHERE text IS NOT NULL AND length(text) >= 32),
+         px AS (
+           SELECT doc_id, f, ascii(text[f * 32 + j]) AS v
+           FROM d,
+                LATERAL (SELECT unnest(range(0, nf)) AS f) u,
+                LATERAL (SELECT unnest(range(1, 33)) AS j) w
+           WHERE f % 2 = 0)
+         SELECT doc_id AS media_id, f::INT AS frame_idx,
+                count(*) AS n_pixels,
+                min(v)::INT AS px_min, max(v)::INT AS px_max,
+                round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+         FROM px GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with

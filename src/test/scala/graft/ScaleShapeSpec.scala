@@ -667,6 +667,18 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("feature panel: ONE key-partitioned window, no inequality join") {
+    // the as-of machinery must not degrade to a cartesian/range join: the
+    // panel expansion is the single broadcast cross (months are metadata),
+    // and the as-of itself is one union + one window partitioned by the key
+    val q = SparkEntry.queries("q_as5_feature_panel")(spark, sfDir)
+    q.collect().length should be > 0
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "CartesianProduct"
+    plan should not include "Exchange SinglePartition"
+    plan.linesIterator.count(_.contains("+- Window ")) shouldBe 1
+  }
+
   test("csv quarantine read is map-only: no shuffle besides the output sort") {
     val q = SparkEntry.queries("q_io15_csv_quarantine")(spark, sfDir)
     q.collect()

@@ -564,4 +564,39 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       .select(Multimodal.synthesizeGifPayload(col("text"), width = 16).as("p"))
       .head().isNullAt(0) shouldBe true
   }
+
+  test("animated GIF frames read back via ImageIO's multi-image GIF reader") {
+    val text = "abcdefgh" * 10 // 80 chars → 4×2 frames of 8 → 10 frames
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val payload = df.select(
+      Multimodal.synthesizeGifAnimation(col("text"), width = 4,
+        frameRows = 2).as("p"))
+      .head().getAs[Array[Byte]](0)
+    val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    rdr.getNumImages(true) shouldBe 10
+    for (f <- 0 until 10) {
+      val img = rdr.read(f)
+      img.getWidth shouldBe 4
+      img.getHeight shouldBe 2
+      for (r <- 0 until 2; c <- 0 until 4)
+        (img.getRaster.getSample(c, r, 0)) shouldBe
+          text.charAt(f * 8 + r * 4 + c).toInt
+    }
+    // our own frame decoder agrees, and stride keeps frames 0,2,4,...
+    val frames = GifGray.decodeFrames(payload).get
+    frames.length shouldBe 10
+    val media = df.select(col("doc_id").as("media_id"),
+      Multimodal.synthesizeGifAnimation(col("text"), width = 4,
+        frameRows = 2).as("payload"))
+    val sampled = Multimodal.extractGifFrameStats(media, stride = 3)
+      .collect().map(_.frame_idx).sorted
+    sampled shouldBe Array(0, 3, 6, 9)
+    // partial trailing frame dropped: 79 chars → 9 full frames
+    val p2 = Seq((1L, text.dropRight(1))).toDF("doc_id", "text")
+      .select(Multimodal.synthesizeGifAnimation(col("text"), width = 4,
+        frameRows = 2).as("p")).head().getAs[Array[Byte]](0)
+    GifGray.decodeFrames(p2).get.length shouldBe 9
+  }
 }
