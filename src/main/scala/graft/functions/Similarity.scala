@@ -379,6 +379,31 @@ object Similarity {
           .as("z"))
   }
 
+  /** Retrieval-quality evaluation — recall@k and MRR of a predicted
+    * ranked list against an exact truth list, per query: the eval a
+    * pipeline runs before swapping in a cheaper retrieval tier (int8,
+    * PQ, ANN). Inputs are any two (vec_id, vid_b, rank) tables; output is
+    * (vec_id, n_hits, recall, rr) where rr = 1/rank_pred(true nearest
+    * neighbor), 0 when the top-1 truth item is absent from the
+    * predictions. One equi-join on (query, candidate) + one query-keyed
+    * map-side-combinable aggregate — eval cost is the k·queries table,
+    * never the corpus.
+    */
+  def retrievalEval(truth: DataFrame, pred: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val t = truth.select(col("vec_id"), col("vid_b"), col("rank").as("t_rank"))
+    val p = pred.select(col("vec_id"), col("vid_b"), col("rank").as("p_rank"))
+    t.join(p, Seq("vec_id", "vid_b"), "left")
+      .groupBy(col("vec_id"))
+      .agg(
+        count(col("p_rank")).as("n_hits"),
+        round(count(col("p_rank")).cast("double") / k, 6).as("recall"),
+        round(coalesce(
+          max(when(col("t_rank") === 1 && col("p_rank").isNotNull,
+            lit(1.0d) / col("p_rank"))),
+          lit(0.0d)), 6).as("rr"))
+  }
+
   /** Deterministic sparse-free random projection (Johnson–Lindenstrauss
     * sign matrix): y_j = (Σ_i x_i · s(i,j)) / √dOut with s(i,j) ∈ {−1, +1}
     * derived from md5 — the 4×-cheaper dimensionality reduction a pipeline

@@ -335,6 +335,34 @@ object EventAnalytics {
       round(col("n").cast("double") / sum(col("n")).over(rowTotal), 6).as("p"))
   }
 
+  /** Active sessions per hour — the concurrency gauge dashboards plot:
+    * sessionize (the q_ev3 gaps-and-islands semantics, same gap contract
+    * as [[graft.streaming.EventStreams.sessionize]]), then count per hour
+    * the sessions whose [first, last] event span covers it. One user-keyed
+    * window pass derives the intervals, the hour coverage explodes to
+    * session-span-bounded rows, and the count is hour-keyed and
+    * map-side-combinable — no global sweep-line sort anywhere.
+    */
+  def activeSessionsPerHour(events: DataFrame, gapSecs: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val e = events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("t", col("ts").cast("long"))
+      .withColumn("brk",
+        when(lag(col("t"), 1).over(w).isNull
+          || col("t") - lag(col("t"), 1).over(w) > gapSecs, 1).otherwise(0))
+      .withColumn("sid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    e.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+      .select(explode(sequence(expr("t0 div 3600"), expr("t1 div 3600")))
+        .as("hour_idx"))
+      .groupBy(col("hour_idx"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(timestamp_seconds(col("hour_idx") * 3600L).as("hour"),
+        col("n_active"))
+  }
+
   /** Exact ntile bucket from a 0-based global rank and the row count —
     * standard SQL ntile semantics (first n mod k buckets take the extra
     * row), pure integer arithmetic. Shared by [[rfm]]; public so specs

@@ -2922,7 +2922,62 @@ object RelationalQueries {
         .select(col("media_id"), col("frame_idx"), col("n_pixels"),
           col("px_min"), col("px_max"), round(col("px_mean"), 6).as("px_mean"))
         .orderBy(col("media_id"), col("frame_idx"))
-    })
+    }),
+
+    "q_v25_retrieval_eval" -> ((s, d) => {
+      // retrieval-quality eval as an OPERATOR: recall@5 + MRR of the int8
+      // tier (q_v10's 4× cheaper quantized cosine) against exact float
+      // truth, over a deterministic ~5% hash sample of query vectors —
+      // the measurement a pipeline runs before swapping retrieval tiers.
+      // Both ranked lists are SQL-re-derivable, so the eval arithmetic
+      // itself is hash-gated (not just rows-counted). Brute scoring is
+      // sample-bounded: queries broadcast, corpus scanned once per tier.
+      import org.apache.spark.sql.expressions.Window
+      val embs = Tables.embeddings(s, d)
+      val isQuery = graft.functions.Dedup.md5Hash32(
+        concat_ws(":", lit("anneval"), col("vec_id"))) % 20 === 0
+      val sampled = embs.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("cos"), col("vid_b"))
+      val truth = embs.crossJoin(broadcast(sampled))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid_b"),
+          round(graft.functions.Similarity.cosine(col("embedding"), col("qe")), 6)
+            .as("cos"))
+        .withColumnRenamed("qid", "vec_id")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val qt = graft.functions.VectorQuant.quantize(embs)
+      val qs = qt.filter(isQuery)
+        .select(col("vec_id").as("qid"), col("qemb").as("qq"))
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("cos"), col("vid_b"))
+      val pred = qt.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid_b"),
+          graft.functions.VectorExprs.intDot(col("qemb"), col("qq"))
+            .cast("double").as("idot"),
+          sqrt(graft.functions.VectorExprs.intDot(col("qemb"), col("qemb"))
+            .cast("double")).as("nrm"),
+          sqrt(graft.functions.VectorExprs.intDot(col("qq"), col("qq"))
+            .cast("double")).as("qnrm"))
+        .filter(col("nrm") > 0.0d && col("qnrm") > 0.0d)
+        .select(col("qid").as("vec_id"), col("vid_b"),
+          round(col("idot") / (col("nrm") * col("qnrm")), 4).as("cos"))
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 5)
+      graft.functions.Similarity.retrievalEval(truth, pred, k = 5)
+        .orderBy(col("vec_id"))
+    }),
+
+    "q_ev24_active_sessions" -> ((s, d) =>
+      // hourly session-concurrency gauge: q_ev3's gaps-and-islands
+      // intervals, hour-coverage explode (bounded by session span), one
+      // hour-keyed map-side-combinable count — no global sweep-line sort
+      graft.operators.EventAnalytics.activeSessionsPerHour(
+          Tables.events(s, d), gapSecs = 1800)
+        .orderBy(col("hour")))
   )
 
   /** The deterministic messy-URL recipe shared by q_u1/q_u2 and their
@@ -5925,7 +5980,82 @@ object RelationalQueries {
                 count(*) AS n_pixels,
                 min(v)::INT AS px_min, max(v)::INT AS px_max,
                 round(sum(v)::DOUBLE / count(*), 6) AS px_mean
-         FROM px GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM px GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_v25_retrieval_eval" ->
+      // BOTH tiers re-derived (exact float cosine truth, the full q_v10
+      // int8 pipeline) plus the eval arithmetic itself — recall fractions
+      // and reciprocal ranks are k-grid-exact
+      """WITH s AS (
+           SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE ('0x' || substr(md5('anneval:' || vec_id), 1, 8))::BIGINT
+                   % 20 = 0),
+         tsc AS (
+           SELECT s.qid, e.vec_id AS vid_b,
+                  round(list_cosine_similarity(e.embedding::DOUBLE[],
+                    s.qe::DOUBLE[]), 6) AS cos
+           FROM embeddings e, s WHERE e.vec_id <> s.qid),
+         tt AS (
+           SELECT qid, vid_b,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY cos DESC, vid_b) AS t_rank
+           FROM tsc QUALIFY t_rank <= 5),
+         q AS (
+           SELECT vec_id, [round(x::DOUBLE / scale)::INT FOR x IN embedding]
+                    AS qemb
+           FROM (SELECT vec_id, embedding,
+                   list_max([abs(x::DOUBLE) FOR x IN embedding]) / 127.0
+                     AS scale
+                 FROM embeddings)
+           WHERE scale > 0),
+         qs AS (SELECT q.vec_id AS qid, q.qemb AS qq
+                FROM q JOIN s ON s.qid = q.vec_id),
+         psc AS (
+           SELECT qs.qid, q.vec_id AS vid_b,
+                  list_dot_product(q.qemb, qs.qq) AS idot,
+                  sqrt(list_dot_product(q.qemb, q.qemb)) AS nrm,
+                  sqrt(list_dot_product(qs.qq, qs.qq)) AS qnrm
+           FROM q, qs WHERE q.vec_id <> qs.qid),
+         pp AS (
+           SELECT qid, vid_b,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY round(idot / (nrm * qnrm), 4) DESC, vid_b)
+                    AS p_rank
+           FROM psc WHERE nrm > 0 AND qnrm > 0
+           QUALIFY p_rank <= 5),
+         j AS (
+           SELECT tt.qid, tt.t_rank, pp.p_rank
+           FROM tt LEFT JOIN pp ON pp.qid = tt.qid AND pp.vid_b = tt.vid_b)
+         SELECT qid AS vec_id, count(p_rank)::BIGINT AS n_hits,
+                round(count(p_rank)::DOUBLE / 5, 6) AS recall,
+                round(coalesce(max(CASE WHEN t_rank = 1 AND p_rank IS NOT NULL
+                                        THEN 1.0 / p_rank END), 0), 6) AS rr
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q_ev24_active_sessions" ->
+      // q_ev3's session CTEs + hour-range coverage re-derived
+      """WITH e AS (
+           SELECT user_id, ts, event_id, floor(epoch(ts))::BIGINT AS t,
+                  CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+                         OR floor(epoch(ts))::BIGINT
+                            - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         si AS (
+           SELECT user_id, t,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e),
+         sess AS (
+           SELECT user_id, sid, min(t) AS t0, max(t) AS t1
+           FROM si GROUP BY 1, 2),
+         h AS (
+           SELECT unnest(range(t0 // 3600, t1 // 3600 + 1)) AS hour_idx
+           FROM sess)
+         SELECT make_timestamp(hour_idx * 3600 * 1000000) AS hour,
+                count(*)::BIGINT AS n_active
+         FROM h GROUP BY 1 ORDER BY 1"""
   )
 
   /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with

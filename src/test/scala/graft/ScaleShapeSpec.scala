@@ -679,6 +679,24 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan.linesIterator.count(_.contains("+- Window ")) shouldBe 1
   }
 
+  test("retrieval eval: sample-bounded brute tiers, everything query-keyed") {
+    val q = SparkEntry.queries("q_v25_retrieval_eval")(spark, sfDir)
+    q.collect().length should be > 0
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only cross is the intentional broadcast of the ~5% query sample;
+    // ranks/joins/aggregates all partition by the query key
+    plan should not include "CartesianProduct"
+    plan should not include "Exchange SinglePartition"
+  }
+
+  test("active sessions: user-keyed windows + hour-keyed count, no global sort") {
+    val q = SparkEntry.queries("q_ev24_active_sessions")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Exchange SinglePartition"
+    plan should not include "CartesianProduct"
+  }
+
   test("csv quarantine read is map-only: no shuffle besides the output sort") {
     val q = SparkEntry.queries("q_io15_csv_quarantine")(spark, sfDir)
     q.collect()

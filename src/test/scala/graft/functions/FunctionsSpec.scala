@@ -137,6 +137,22 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe ((2L, 1L, 0.5))
   }
 
+  test("retrievalEval: hand-checked recall@k and MRR incl. missing top-1") {
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // query 1
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)) // query 2
+      .toDF("vec_id", "vid_b", "rank")
+    val pred = Seq(
+      (1L, 11L, 1), (1L, 10L, 2), (1L, 99L, 3), // 2/3 hits, true NN at rank 2
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 22L, 3)) // 1/3 hits, true NN absent
+      .toDF("vec_id", "vid_b", "rank")
+    val out = Similarity.retrievalEval(truth, pred, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    out(1L) shouldBe ((2L, 0.666667, 0.5))
+    out(2L) shouldBe ((1L, 0.333333, 0.0)) // rr = 0 when truth #1 missing
+  }
+
   test("Pca.topComponent finds a planted dominant direction; unit loadings") {
     // corpus overwhelmingly stretched along dim 1: the top component must
     // land on (~0, ~±1, ~0, ~0) after 3 quantized steps

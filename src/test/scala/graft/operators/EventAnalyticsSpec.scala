@@ -355,6 +355,24 @@ class EventAnalyticsSpec extends AnyFunSuite with Matchers {
     out shouldBe Array(("a-b-c", 3L), ("x-y", 1L))
   }
 
+  test("activeSessionsPerHour: span coverage, gap split, concurrency adds up") {
+    val rows = Seq(
+      // user 1: one session spanning 10:50→11:10 — counts in BOTH hours
+      (1L, "2024-01-01 10:50:00", "a", 1L),
+      (1L, "2024-01-01 11:10:00", "a", 2L),
+      // user 2: two sessions (gap > 30 min splits), both inside hour 10
+      (2L, "2024-01-01 10:00:00", "a", 3L),
+      (2L, "2024-01-01 10:05:00", "a", 4L),
+      (2L, "2024-01-01 10:50:00", "a", 5L))
+      .map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = EventAnalytics.activeSessionsPerHour(rows, gapSecs = 1800)
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    out shouldBe Map(
+      "2024-01-01 10:00:00.0" -> 3L, // user1's session + user2's two
+      "2024-01-01 11:00:00.0" -> 1L) // user1's session tail
+  }
+
   test("ntileFromRank reproduces the ntile window for every n and remainder") {
     import org.apache.spark.sql.expressions.Window
     (1 to 13).foreach { n =>
