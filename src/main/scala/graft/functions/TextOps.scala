@@ -861,6 +861,48 @@ object TextOps {
           .as("js_bits"))
   }
 
+  /** T5-style span-corruption examples (Raffel et al. 2020): mask ~15% of
+    * tokens as contiguous spans replaced by `<extra_id_b>` sentinels,
+    * emitting (corrupted input, sentinel-delimited targets). RNG-free
+    * like every gate operator: tokens partition into fixed `blockLen`
+    * blocks and block b masks one hash-derived span (length 2 + h₁%3,
+    * start h₂ % (blockLen − len + 1)) — non-overlapping by construction,
+    * so there is NO sequential sampling state and the transform stays a
+    * pure map-only projection (block-level lambdas over slices — linear,
+    * not the per-character O(n²) HOF trap). The trailing partial block
+    * passes through unmasked. Docs shorter than one block drop.
+    */
+  def spanCorruption(docs: DataFrame, blockLen: Int = 20,
+                     seed: String = "t5", textCol: String = "text"): DataFrame = {
+    require(blockLen >= 8, s"blockLen must be >= 8 (got $blockLen)")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= blockLen)
+      .withColumn("nb", expr(s"size(toks) div $blockLen"))
+    val pieces = base.withColumn("blocks",
+      transform(sequence(lit(0), col("nb") - 1), b => {
+        val h1 = Dedup.md5Hash32(
+          concat_ws(":", lit(seed), col("doc_id"), b))
+        val h2 = Dedup.md5Hash32(
+          concat_ws(":", lit(seed + "s"), col("doc_id"), b))
+        val len = (lit(2L) + h1 % 3).cast("int")
+        val s = (h2 % (lit(blockLen.toLong) - len + 1)).cast("int")
+        val block = slice(col("toks"), b * blockLen + 1, lit(blockLen))
+        val sentinel = concat(lit("<extra_id_"), b.cast("string"), lit(">"))
+        struct(
+          concat(slice(block, lit(1), s), array(sentinel),
+            slice(block, s + len + 1, lit(blockLen) - s - len)).as("inp"),
+          concat(array(sentinel), slice(block, s + 1, len)).as("tgt"))
+      }))
+    pieces.select(col("doc_id"),
+      array_join(concat(
+        flatten(transform(col("blocks"), _.getField("inp"))),
+        slice(col("toks"), col("nb") * blockLen + 1,
+          size(col("toks")) - col("nb") * blockLen)), " ").as("corrupted"),
+      array_join(flatten(transform(col("blocks"), _.getField("tgt"))), " ")
+        .as("targets"))
+  }
+
   /** Per-document n-gram novelty vs the rest of the corpus: the fraction
     * of a doc's DISTINCT k-grams that occur in no other document — high
     * novelty flags genuinely fresh content, low novelty flags template/

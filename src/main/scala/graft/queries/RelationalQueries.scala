@@ -2977,7 +2977,34 @@ object RelationalQueries {
       // hour-keyed map-side-combinable count — no global sweep-line sort
       graft.operators.EventAnalytics.activeSessionsPerHour(
           Tables.events(s, d), gapSecs = 1800)
-        .orderBy(col("hour")))
+        .orderBy(col("hour"))),
+
+    "q_t40_span_corruption" -> ((s, d) =>
+      // T5 denoising objective construction: ~15% of tokens masked as
+      // hash-derived non-overlapping spans with <extra_id_b> sentinels,
+      // (corrupted, targets) pairs — map-only, RNG-free, the oracle
+      // re-derives every span boundary and both output strings
+      graft.functions.TextOps.spanCorruption(Tables.documents(s, d),
+          blockLen = 20)
+        .orderBy(col("doc_id"))),
+
+    "q_x14_forget_users" -> ((s, d) => {
+      // right-to-be-forgotten propagation with a verifiable audit: one
+      // deterministic user set anti-joined out of the event log in ONE
+      // pass, reported as rows before/removed/after plus the q_x13
+      // mergeable survivor checksum — the proof the delete removed
+      // exactly the targeted rows and nothing else (a lost survivor or a
+      // lingering targeted row both break the checksum)
+      val ev = Tables.events(s, d)
+      val survivors = ev.filter(col("user_id") % 13 =!= 0)
+      val before = ev.agg(count(lit(1)).as("n_before"))
+      val chk = graft.operators.DataQuality.tableChecksum(
+          survivors, Seq("event_id", "user_id"))
+        .select(col("n_rows").as("n_after"), col("checksum"))
+      chk.crossJoin(broadcast(before))
+        .select(col("n_before"), (col("n_before") - col("n_after")).as("n_removed"),
+          col("n_after"), col("checksum"))
+    })
   )
 
   /** The deterministic messy-URL recipe shared by q_u1/q_u2 and their
@@ -6055,7 +6082,65 @@ object RelationalQueries {
            FROM sess)
          SELECT make_timestamp(hour_idx * 3600 * 1000000) AS hour,
                 count(*)::BIGINT AS n_active
-         FROM h GROUP BY 1 ORDER BY 1"""
+         FROM h GROUP BY 1 ORDER BY 1""",
+
+    "q_t40_span_corruption" ->
+      // every span boundary re-derived from the two md5 hashes, both
+      // output strings reassembled block for block
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         d AS (
+           SELECT doc_id, toks, len(toks) // 20 AS nb
+           FROM t WHERE len(toks) >= 20),
+         bl AS (
+           SELECT doc_id, toks, nb, unnest(range(0, nb)) AS b FROM d),
+         hp AS (
+           SELECT doc_id, toks, b,
+                  2 + ('0x' || substr(md5('t5:' || doc_id || ':' || b), 1, 8))
+                        ::BIGINT % 3 AS len
+           FROM bl),
+         sp AS (
+           SELECT doc_id, toks, b, len,
+                  ('0x' || substr(md5('t5s:' || doc_id || ':' || b), 1, 8))
+                    ::BIGINT % (20 - len + 1) AS s
+           FROM hp),
+         pieces AS (
+           SELECT doc_id, b,
+                  list_concat(list_concat(
+                    toks[b*20+1 : b*20+s],
+                    ['<extra_id_' || b || '>']),
+                    toks[b*20+s+len+1 : b*20+20]) AS inp,
+                  list_concat(['<extra_id_' || b || '>'],
+                    toks[b*20+s+1 : b*20+s+len]) AS tgt
+           FROM sp),
+         agg AS (
+           SELECT doc_id,
+                  flatten(list(inp ORDER BY b)) AS inps,
+                  flatten(list(tgt ORDER BY b)) AS tgts
+           FROM pieces GROUP BY 1)
+         SELECT d.doc_id,
+                array_to_string(list_concat(agg.inps, d.toks[d.nb*20+1 :]), ' ')
+                  AS corrupted,
+                array_to_string(agg.tgts, ' ') AS targets
+         FROM agg JOIN d USING (doc_id) ORDER BY doc_id""",
+
+    "q_x14_forget_users" ->
+      // the survivor set, counts, and the identical checksum rendering
+      // re-derived (the q_x13 idiom: 0x01 separator, 48-bit md5 slice,
+      // exact DECIMAL sum)
+      """WITH ev AS (SELECT event_id, user_id FROM events),
+         sv AS (SELECT * FROM ev WHERE user_id % 13 <> 0),
+         r AS (
+           SELECT ('0x' || substr(md5(
+               event_id::VARCHAR || chr(1) || user_id::VARCHAR), 1, 12))
+               ::BIGINT AS h
+           FROM sv)
+         SELECT (SELECT count(*) FROM ev)::BIGINT AS n_before,
+                ((SELECT count(*) FROM ev) - count(*))::BIGINT AS n_removed,
+                count(*)::BIGINT AS n_after,
+                sum(h)::DECIMAL(38,0) AS checksum
+         FROM r"""
   )
 
   /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with

@@ -697,6 +697,24 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("span corruption is map-only: one corpus scan, no shuffle besides output order") {
+    val q = SparkEntry.queries("q_t40_span_corruption")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+    plan should not include "Exchange hashpartitioning"
+    plan should not include "Window"
+  }
+
+  test("forget-audit checksum partial-aggregates map-side over the survivor scan") {
+    val q = SparkEntry.queries("q_x14_forget_users")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should include("partial_sum")
+    plan should not include "Window"
+    plan should not include "CartesianProduct"
+  }
+
   test("csv quarantine read is map-only: no shuffle besides the output sort") {
     val q = SparkEntry.queries("q_io15_csv_quarantine")(spark, sfDir)
     q.collect()

@@ -137,6 +137,32 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe ((2L, 1L, 0.5))
   }
 
+  test("spanCorruption: lossless sentinel permutation, ~15% density, tail unmasked") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ") + " tail1 tail2"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r = TextOps.spanCorruption(docs, blockLen = 20).head()
+    val (corrupted, targets) = (r.getString(1), r.getString(2))
+    // reassembly: substituting each <extra_id_b> in the corrupted stream
+    // with its target span must recover the original token stream exactly
+    val tgtMap = targets.split(" ").foldLeft(
+      (Map.empty[String, Vector[String]], "")) { case ((m, cur), tok) =>
+      if (tok.startsWith("<extra_id_")) (m + (tok -> Vector.empty), tok)
+      else (m + (cur -> (m(cur) :+ tok)), cur)
+    }._1
+    val rebuilt = corrupted.split(" ").flatMap { tok =>
+      if (tok.startsWith("<extra_id_")) tgtMap(tok) else Vector(tok)
+    }.mkString(" ")
+    rebuilt shouldBe text
+    // five blocks → five sentinels, each span 2-4 tokens (10-20% density)
+    val masked = targets.split(" ").count(!_.startsWith("<extra_id_"))
+    targets.split(" ").count(_.startsWith("<extra_id_")) shouldBe 5
+    masked should (be >= 10 and be <= 20)
+    // the 2-token tail survives unmasked at the end of the corrupted stream
+    corrupted should endWith("tail1 tail2")
+    // deterministic
+    TextOps.spanCorruption(docs, blockLen = 20).head().getString(1) shouldBe corrupted
+  }
+
   test("retrievalEval: hand-checked recall@k and MRR incl. missing top-1") {
     val truth = Seq(
       (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), // query 1
