@@ -861,6 +861,60 @@ object TextOps {
           .as("js_bits"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010, the classic unsupervised
+    * keyphrase baseline): candidate phrases are maximal stopword-free
+    * token runs; word score = degree/frequency over the doc's candidates
+    * (degree = Σ length of phrases containing the word); phrase score =
+    * Σ word scores; top-k phrases per doc. Word scores integerize to
+    * micro-units after the single degree/frequency division, so phrase
+    * scores are exact BIGINT sums on any partitioning.
+    *
+    * Scale shape: phrase segmentation is ONE doc-keyed window (running
+    * stopword count = phrase id — gaps-and-islands, no sequential state),
+    * then doc-keyed aggregates and one (doc, word) join; the final top-k
+    * windows the per-doc PHRASE table, never the token stream.
+    */
+  def rakeKeywords(docs: DataFrame, k: Int = 3,
+                   textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val stopLit = typedLit(stopwords)
+    val toks = Spread.forExplode(docs.filter(col(textCol).isNotNull),
+        col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .withColumn("is_stop", array_contains(stopLit, col("w")))
+    val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val seg = toks
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L))
+          .over(wSeg.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(!col("is_stop"))
+    val phraseLen = seg.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("plen"))
+    val tokens2 = seg.join(phraseLen, Seq("doc_id", "phrase_id"))
+    val wordScore = tokens2.groupBy(col("doc_id"), col("w"))
+      .agg(round(sum(col("plen")).cast("double") / count(lit(1)) * 1e6d)
+        .cast("long").as("ws_micro"))
+    val phraseScore = tokens2
+      .join(wordScore, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w")), " ").as("phrase"),
+        sum(col("ws_micro")).as("score_micro"))
+    // phrase_id in the tie chain: a doc can contain the SAME phrase string
+    // twice, and (score, phrase) alone would leave those rows unordered
+    val wTop = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score_micro"), col("phrase"), col("phrase_id"))
+    phraseScore
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("phrase"),
+        round(col("score_micro") / 1e6d, 6).as("score"))
+  }
+
   /** T5-style span-corruption examples (Raffel et al. 2020): mask ~15% of
     * tokens as contiguous spans replaced by `<extra_id_b>` sentinels,
     * emitting (corrupted input, sentinel-delimited targets). RNG-free

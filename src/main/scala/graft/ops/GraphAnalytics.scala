@@ -829,6 +829,34 @@ object GraphAnalytics {
       .select(col("id"), col("hub"), col("authority"))
   }
 
+  /** Friends-of-friends: per node the number of DISTINCT nodes exactly two
+    * undirected hops away (reachable through a shared neighbor, not a
+    * direct neighbor, not self) — the "people you may know" candidate-pool
+    * size, and the cheap expansion estimate a sampler reads before
+    * materializing 2-hop neighborhoods. Wedge enumeration keyed by the
+    * MIDDLE node (Σ deg(z)² bound, AQE-splittable), one distinct, one
+    * anti-join against the direct edge set, one node-keyed count.
+    */
+  def friendsOfFriends(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = edges.select(col("fromId"), col("toId"))
+      .filter(col("fromId") =!= col("toId"))
+      .select(least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .distinct()
+    val (sym, _) = GraftSqlBridge.localCheckpointWithHandle(
+      und.unionByName(und.select(col("b").as("a"), col("a").as("b"))))
+    val two = sym.select(col("a").as("z"), col("b").as("x"))
+      .join(sym.select(col("a").as("z"), col("b").as("y")), "z")
+      .filter(col("x") =!= col("y"))
+      .select(col("x"), col("y")).distinct()
+      .join(sym.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"),
+        "left_anti")
+    nodes.select(col("id")).distinct()
+      .join(two.groupBy(col("x").as("id")).agg(count(lit(1)).as("n_fof")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_fof"), lit(0L)).as("n_fof"))
+  }
+
   /** GraphSAGE-style neighborhood feature aggregation: h⁰(v) = degree,
     * hⁱ⁺¹(v) = mean of hⁱ over v's undirected neighbors — the relational
     * form of the message-passing step a GNN training pipeline runs to

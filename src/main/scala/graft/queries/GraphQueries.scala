@@ -252,6 +252,15 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga19_friends_of_friends" -> ((s, _) => {
+      // distinct exactly-2-hop neighborhood size per node: middle-keyed
+      // wedges, one distinct, one anti-join vs direct edges
+      val g = graph50(s)
+      GraphAnalytics.friendsOfFriends(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")))
+        .orderBy(col("id"))
+    }),
+
     "q_ga18_weighted_pagerank" -> ((s, _) => {
       // weight-proportional PageRank over the fixture's REAL cost
       // attribute (the column q_ga2 ignores): rank splits by nano-unit
@@ -696,6 +705,25 @@ object GraphQueries {
     "q_ga2_pagerank" -> pageRankSql(iters = 5, d = 0.85),
 
     "q_ga18_weighted_pagerank" -> weightedPageRankSql(iters = 5, d = 0.85),
+
+    "q_ga19_friends_of_friends" ->
+      // wedges through the shared middle, distinct, minus direct pairs
+      s"""WITH und AS (
+            SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+            FROM $edgesTbl WHERE fromId <> toId),
+          sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+          two AS (
+            SELECT DISTINCT l.b AS x, r.b AS y
+            FROM sym l JOIN sym r ON l.a = r.a
+            WHERE l.b <> r.b),
+          fof AS (
+            SELECT two.x, two.y FROM two
+            WHERE NOT EXISTS (SELECT 1 FROM sym
+                              WHERE sym.a = two.x AND sym.b = two.y)),
+          c AS (SELECT x AS id, count(*)::BIGINT AS n FROM fof GROUP BY 1)
+          SELECT n.id AS "id", coalesce(c.n, 0)::BIGINT AS n_fof
+          FROM $nodesTbl n LEFT JOIN c ON c.id = n.id
+          ORDER BY n.id""",
 
     "q_ga5_components" ->
       // undirected min-label propagation: reach set per node via the

@@ -3004,6 +3004,39 @@ object RelationalQueries {
       chk.crossJoin(broadcast(before))
         .select(col("n_before"), (col("n_before") - col("n_after")).as("n_removed"),
           col("n_after"), col("checksum"))
+    }),
+
+    "q_t41_rake_keywords" -> ((s, d) =>
+      // RAKE keyphrase extraction: stopword-delimited candidate runs via
+      // one doc-keyed gaps-and-islands window, degree/frequency word
+      // scores integerized to micro-units → exact BIGINT phrase sums,
+      // top-3 per doc with a fully deterministic tie chain
+      graft.functions.TextOps.rakeKeywords(Tables.documents(s, d), k = 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
+    "q_io17_manifest" -> ((s, d) => {
+      // output-manifest contract: write the corpus partitioned by source,
+      // re-read THROUGH the files and derive the manifest (per-source rows
+      // + mergeable content checksum) from what actually landed on disk —
+      // validated against the source table, so a lost/duplicated/corrupted
+      // shard fails the hash. Exercises the _metadata hidden column (the
+      // file provenance a real manifest records).
+      val dir = scratchDir("graft_manifest", d)
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      docs.select(col("doc_id"), col("source"), col("text"))
+        .write.mode("overwrite").partitionBy("source").parquet(dir)
+      val back = s.read.parquet(dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          col("_metadata.file_path").as("fp"))
+      back
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(org.apache.spark.sql.functions.conv(
+            substring(md5(concat_ws("\u0001",
+              col("doc_id").cast("string"), col("text"))), 1, 12), 16, 10)
+            .cast("decimal(38,0)")).cast("decimal(38,0)").as("checksum"),
+          (countDistinct(col("fp")) >= 1).as("has_files"))
+        .orderBy(col("source"))
     })
   )
 
@@ -6140,7 +6173,61 @@ object RelationalQueries {
                 ((SELECT count(*) FROM ev) - count(*))::BIGINT AS n_removed,
                 count(*)::BIGINT AS n_after,
                 sum(h)::DECIMAL(38,0) AS checksum
-         FROM r"""
+         FROM r""",
+
+    "q_t41_rake_keywords" ->
+      // the whole RAKE chain re-derived: islands, plen, degree/frequency
+      // micro scores, ordered phrase assembly, deterministic top-3
+      """WITH toks AS (
+           SELECT doc_id, i - 1 AS pos, toks[i] AS w
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents WHERE text IS NOT NULL),
+                LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+         m AS (
+           SELECT doc_id, pos, w,
+                  w IN ('the','a','an','and','or','of','to','in','is','it')
+                    AS is_stop
+           FROM toks),
+         seg AS (
+           SELECT doc_id, pos, w, is_stop,
+                  sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS phrase_id
+           FROM m),
+         cand AS (SELECT doc_id, phrase_id, pos, w FROM seg WHERE NOT is_stop),
+         pl AS (SELECT doc_id, phrase_id, count(*) AS plen
+                FROM cand GROUP BY 1, 2),
+         t2 AS (SELECT cand.*, pl.plen
+                FROM cand JOIN pl USING (doc_id, phrase_id)),
+         ws AS (SELECT doc_id, w,
+                  round(sum(plen)::DOUBLE / count(*) * 1e6)::BIGINT AS ws_micro
+                FROM t2 GROUP BY 1, 2),
+         ps AS (SELECT t2.doc_id, t2.phrase_id,
+                  string_agg(t2.w, ' ' ORDER BY t2.pos) AS phrase,
+                  sum(ws.ws_micro)::BIGINT AS score_micro
+                FROM t2 JOIN ws ON ws.doc_id = t2.doc_id AND ws.w = t2.w
+                GROUP BY 1, 2),
+         rk AS (SELECT doc_id, phrase, score_micro,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_micro DESC, phrase, phrase_id) AS rk
+                FROM ps)
+         SELECT doc_id, rk::INT AS rk, phrase,
+                round(score_micro / 1e6, 6) AS score
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q_io17_manifest" ->
+      // the manifest every shard must reproduce: per-source rows + the
+      // same 48-bit md5 content slices summed exactly
+      """WITH r AS (
+           SELECT source,
+                  ('0x' || substr(md5(doc_id::VARCHAR || chr(1) || text), 1, 12))
+                    ::BIGINT AS h
+           FROM documents WHERE text IS NOT NULL)
+         SELECT source, count(*)::BIGINT AS n_rows,
+                sum(h)::DECIMAL(38,0) AS checksum,
+                TRUE AS has_files
+         FROM r GROUP BY 1 ORDER BY 1"""
   )
 
   /** DuckDB side of [[plantedUrl]] — MUST stay textually in lockstep with

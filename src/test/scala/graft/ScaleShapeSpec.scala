@@ -715,6 +715,22 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("RAKE windows stay doc-keyed; top-k ranks phrases, never tokens") {
+    val q = SparkEntry.queries("q_t41_rake_keywords")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Exchange SinglePartition"
+    plan should not include "CartesianProduct"
+  }
+
+  test("manifest derives from the re-read files; no single-partition funnel") {
+    val q = SparkEntry.queries("q_io17_manifest")(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should include("file_path") // provenance really comes from _metadata
+    plan should not include "Exchange SinglePartition"
+  }
+
   test("csv quarantine read is map-only: no shuffle besides the output sort") {
     val q = SparkEntry.queries("q_io15_csv_quarantine")(spark, sfDir)
     q.collect()

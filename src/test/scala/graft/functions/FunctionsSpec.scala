@@ -137,6 +137,20 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe ((2L, 1L, 0.5))
   }
 
+  test("rakeKeywords: stopword islands, degree/frequency scores, deterministic top-k") {
+    // "deep learning" and "deep nets" share the word deep (freq 2);
+    // deg(deep) = 2 + 2 = 4 → ws(deep) = 2; ws(learning) = ws(nets) = 2/1·...
+    // deg(learning) = 2, freq 1 → 2; phrase scores: both 4.0
+    val docs = Seq((1L, "deep learning of deep nets is it")).toDF("doc_id", "text")
+    val out = TextOps.rakeKeywords(docs, k = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3)))
+    // ties at 4.0 break by phrase string: "deep learning" < "deep nets"
+    out shouldBe Array((1, "deep learning", 4.0), (2, "deep nets", 4.0))
+    // stopword-only doc yields no phrases
+    TextOps.rakeKeywords(Seq((2L, "the of and")).toDF("doc_id", "text"), k = 3)
+      .count() shouldBe 0L
+  }
+
   test("spanCorruption: lossless sentinel permutation, ~15% density, tail unmasked") {
     val text = (1 to 100).map(i => s"w$i").mkString(" ") + " tail1 tail2"
     val docs = Seq((1L, text)).toDF("doc_id", "text")

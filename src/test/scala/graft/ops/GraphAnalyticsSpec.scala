@@ -342,6 +342,19 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       GraphAnalytics.connectedComponentsStar(n, e, maxIters = 0)
   }
 
+  test("friendsOfFriends: exactly-2-hop distinct count; direct neighbors excluded") {
+    // path 1—2—3—4: fof(1) = {3}, fof(2) = {4}, fof(3) = {1}, fof(4) = {2}
+    val n = nodes
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.friendsOfFriends(n, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L)
+    // triangle: everyone 2-hop-reaches only DIRECT neighbors → all zero
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("fromId", "toId")
+    GraphAnalytics.friendsOfFriends(Seq(1L, 2L, 3L).toDF("id"), tri)
+      .collect().map(_.getLong(1)).toSet shouldBe Set(0L)
+  }
+
   test("weightedPageRank: rank splits by weight share, not uniformly") {
     // node 1 points at 2 (cost 3.0) and 3 (cost 1.0): after one round,
     // node 2 must receive 3× node 3's contribution from node 1
