@@ -111,6 +111,14 @@ object Verify {
         System.err.println(s"[verify] decay-stream export failed: ${e.getMessage}")
       }
     }
+    // q_ev25's oracle: the event table replayed through the built-in
+    // session_window streaming aggregate (watermark-closed sessions)
+    if (selected("q_ev25")) {
+      try graft.queries.StreamParity.exportActiveSessionsStream(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] sessions-stream export failed: ${e.getMessage}")
+      }
+    }
     // q_v3/q_v4's oracle input: the trained IVF model's full cell ranking
     // per vector (same ensureModel(k=8) the queries use). With it, DuckDB
     // reproduces the nprobe candidate join + top-k exactly, upgrading both

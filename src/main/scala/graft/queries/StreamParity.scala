@@ -191,9 +191,85 @@ object StreamParity {
     }
   }
 
+  /** Event payload for the q_ev25 replay. */
+  final case class TsEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** q_ev25's oracle: the event table replayed through the BUILT-IN
+    * `session_window` streaming aggregate (append mode, watermark-closed
+    * sessions) and reduced to the hourly active-session gauge — a
+    * genuinely different state machine from the batch gaps-and-islands
+    * windows (merge-on-insert session store vs lag/running-sum), so a
+    * hash match proves the two sessionization semantics agree
+    * interval-for-interval. Two alignment choices, both deliberate:
+    * event times floor to WHOLE SECONDS before the window (the fixture
+    * carries sub-second parts, and the batch gap test is floor-based —
+    * a raw-time gap of 1800.2s can floor to 1801 and split only in
+    * batch), and the gap is exactly 1800s because session_window's merge
+    * test is BOUNDARY-INCLUSIVE (an event landing precisely on the
+    * session end merges — measured on the fixture's exact-1801s gap pair,
+    * which a 1801s setting wrongly merged), so `gap = 1800` reproduces
+    * the batch "keep ≤ 1800, split > 1800" rule exactly. A far-future
+    * sentinel event advances the watermark so append mode emits every
+    * real session.
+    */
+  def exportActiveSessionsStream(spark: SparkSession, sfDir: String,
+                                 outDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("ts"))
+      .orderBy(col("ts"))
+      .collect()
+      .map(r => TsEvent(r.getLong(0), r.getTimestamp(1)))
+    val flush = TsEvent(-1L,
+      new java.sql.Timestamp(rows.last.ts.getTime + 100L * 86400000L))
+    val src = MemoryStream[TsEvent]
+    val qname = s"graft_sess_parity_${ProcessHandle.current.pid}"
+    val agg = src.toDF()
+      .withColumn("tsec", timestamp_seconds(col("ts").cast("long")))
+      .withWatermark("tsec", "1 second")
+      .groupBy(col("user_id"), session_window(col("tsec"), "1800 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    try {
+      // ordered multi-batch replay: the watermark advances per trigger and
+      // can never drop a row (input is event-time sorted)
+      rows.grouped(math.max(1, rows.length / 4 + 1)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      src.addData(flush)
+      q.processAllAvailable()
+      val out = spark.table(qname)
+        .filter(col("user_id") =!= -1L)
+        .select(col("session_window.start").cast("long").as("t0"),
+          (col("session_window.end").cast("long") - 1800L).as("t1"))
+        .select(explode(sequence(expr("t0 div 3600"), expr("t1 div 3600")))
+          .as("hour_idx"))
+        .groupBy(col("hour_idx"))
+        .agg(count(lit(1)).as("n_active"))
+        .select(timestamp_seconds(col("hour_idx") * 3600L).as("hour"),
+          col("n_active"))
+        .orderBy(col("hour"))
+      GraphQueries.writeSingleFile(out, s"$outDir/fx_sessions_stream.parquet")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qname)
+      ()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_d9_stream_parity" -> ((s, d) => batchPairs(s, d)),
     "q_d14_incremental_parity" -> ((s, d) => batchIncremental(s, d)),
+    "q_ev25_sessions_stream_parity" -> ((s, d) =>
+      // the gated batch side: the exact q_ev24 gaps-and-islands pipeline
+      graft.operators.EventAnalytics.activeSessionsPerHour(
+          Tables.events(s, d), gapSecs = 1800)
+        .orderBy(col("hour"))),
+
     "q_ev18_decay_stream_parity" -> ((s, d) =>
       // the gated batch side: the exact q_ev16 column pipeline
       graft.operators.EventAnalytics.decayScore(Tables.events(s, d),
@@ -217,5 +293,12 @@ object StreamParity {
       // — scalar java.time/JVM-integer evaluation, not a round-trip of the
       // batch column pipeline
       """SELECT user_id, n_events, score_micro, decay_score
-         FROM '{{OUTDIR}}/fx_decay_stream.parquet' ORDER BY user_id""")
+         FROM '{{OUTDIR}}/fx_decay_stream.parquet' ORDER BY user_id""",
+
+    "q_ev25_sessions_stream_parity" ->
+      // the session_window streamed replay exported by
+      // exportActiveSessionsStream — a different sessionization state
+      // machine (merge-on-insert store) than the batch windows
+      """SELECT hour, n_active
+         FROM '{{OUTDIR}}/fx_sessions_stream.parquet' ORDER BY hour""")
 }
