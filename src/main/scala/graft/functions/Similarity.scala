@@ -425,11 +425,12 @@ object Similarity {
     * map-side-combinable aggregate — corpus read once, output dOut/dIn
     * the input size.
     */
-  def randomProjection(embs: DataFrame, dOut: Int, seed: String = "rp",
-                       vecCol: String = "embedding"): DataFrame = {
-    require(dOut > 0, s"dOut must be > 0 (got $dOut)")
-    val spark = embs.sparkSession
-    val grid = spark.range(0, dOut).select(col("id").cast("int").as("j"))
+  /** The deterministic dIn×dOut ±1 grid shared by [[randomProjection]] and
+    * [[standardizedProjectionTopK]]: sign(i, j) from md5(seed:i:j).
+    */
+  private def signGrid(embs: DataFrame, dOut: Int, seed: String,
+                       vecCol: String): DataFrame =
+    embs.sparkSession.range(0, dOut).select(col("id").cast("int").as("j"))
       .crossJoin(
         embs.filter(col(vecCol).isNotNull).limit(1)
           .select(explode(sequence(lit(0), size(col(vecCol)) - 1)).as("i")))
@@ -437,6 +438,11 @@ object Similarity {
         (lit(1L) - lit(2L) *
           (Dedup.md5Hash32(concat_ws(":", lit(seed), col("i"), col("j"))) % 2))
           .as("sign"))
+
+  def randomProjection(embs: DataFrame, dOut: Int, seed: String = "rp",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dOut > 0, s"dOut must be > 0 (got $dOut)")
+    val grid = signGrid(embs, dOut, seed, vecCol)
     embs.filter(col(vecCol).isNotNull)
       .select(col("vec_id"), posexplode(col(vecCol)).as(Seq("i", "v")))
       .withColumn("v_micro", round(col("v").cast("double") * 1e6d).cast("long"))
@@ -446,5 +452,51 @@ object Similarity {
       .select(col("vec_id"), col("out_dim"),
         (round(col("y_micro") / (lit(1e6d) * sqrt(lit(dOut.toDouble))), 8)
           + lit(0.0)).as("y"))
+  }
+
+  /** Embedding-preprocessing CAPSTONE in one declarative plan — the
+    * composition a vector pipeline actually runs before indexing:
+    * [[standardize]] (whitening from the rounded per-dim moments) →
+    * [[randomProjection]]'s sign reduction to `dOut` dims → cosine top-k
+    * of a query in the projected space. The whole chain is EXACT INTEGER
+    * arithmetic end to end: z lives on the 1e-6 grid, projected
+    * components are exact BIGINT sums of micro-z sign flips, and the
+    * final dots/norms are exact BIGINT sums of micro products (cosine is
+    * scale-invariant, so the 1/√dOut and 1e-6 factors cancel and are
+    * never applied) — the only floats anywhere are the two final sqrt/
+    * divide ops. Bound: |z_micro| ≲ 1e7 (10σ) ⇒ |y_micro| ≲ 6.4e8 ⇒
+    * Σ₁₆ y² ≲ 6.6e18 < 2⁶³ — inside BIGINT with a margin the oracle
+    * shares. One corpus pass feeds the checkpointed projected table; the
+    * query slice broadcasts.
+    */
+  def standardizedProjectionTopK(embs: DataFrame, dOut: Int, queryId: Long,
+                                 k: Int, seed: String = "rp",
+                                 vecCol: String = "embedding"): DataFrame = {
+    require(dOut > 0 && k > 0, s"dOut and k must be > 0 (got $dOut, $k)")
+    val z = standardize(embs, vecCol)
+      .filter(col("z").isNotNull)
+      .select(col("vec_id"), col("dim").as("i"),
+        round(col("z") * 1e6d).cast("long").as("z_micro"))
+    val grid = signGrid(embs, dOut, seed, vecCol)
+    val (y, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      z.join(broadcast(grid), "i")
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("z_micro") * col("sign")).as("y_micro")))
+    val q = y.filter(col("vec_id") === queryId)
+      .select(col("j"), col("y_micro").as("q_micro"))
+    val qn = q.agg(sum(col("q_micro") * col("q_micro")).as("nq2"))
+    y.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), "j")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("y_micro") * col("q_micro")).as("dot2"),
+        sum(col("y_micro") * col("y_micro")).as("na2"))
+      .crossJoin(broadcast(qn))
+      .filter(col("na2") > 0 && col("nq2") > 0)
+      .select(col("vec_id"),
+        round(col("dot2").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nq2").cast("double"))), 6)
+          .as("cosine"))
+      .orderBy(desc("cosine"), col("vec_id"))
+      .limit(k)
   }
 }

@@ -3014,6 +3014,15 @@ object RelationalQueries {
       graft.functions.TextOps.rakeKeywords(Tables.documents(s, d), k = 3)
         .orderBy(col("doc_id"), col("rk"))),
 
+    "q_v26_embed_pipeline" -> ((s, d) =>
+      // embedding-preprocessing capstone: standardize → JL sign projection
+      // → projected-space cosine top-10, one declarative plan, exact
+      // integer arithmetic end to end (the only floats are the final two
+      // sqrt/divide ops); ONE corpus pass feeds the checkpointed projected
+      // table
+      graft.functions.Similarity.standardizedProjectionTopK(
+          Tables.embeddings(s, d), dOut = 16, queryId = 0L, k = 10)),
+
     "q_io17_manifest" -> ((s, d) => {
       // output-manifest contract: write the corpus partitioned by source,
       // re-read THROUGH the files and derive the manifest (per-source rows
@@ -6215,6 +6224,46 @@ object RelationalQueries {
          SELECT doc_id, rk::INT AS rk, phrase,
                 round(score_micro / 1e6, 6) AS score
          FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q_v26_embed_pipeline" ->
+      // the WHOLE capstone re-derived: rounded moments, micro-z, sign
+      // grid, exact projected components, exact integer dots/norms,
+      // identical final divide
+      """WITH e AS (
+           SELECT vec_id, i - 1 AS i, embedding[i]::DOUBLE AS v
+           FROM embeddings,
+                LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u
+           WHERE embedding IS NOT NULL),
+         m AS (
+           SELECT i, round(avg(v), 6) + 0 AS mean,
+                  round(stddev_pop(v), 6) + 0 AS std
+           FROM e GROUP BY 1),
+         z AS (
+           SELECT e.vec_id, e.i,
+                  round((round((e.v - m.mean) / m.std, 6) + 0) * 1e6)::BIGINT
+                    AS z_micro
+           FROM e JOIN m USING (i) WHERE m.std > 0),
+         g AS (
+           SELECT d.i, j.range::INT AS j,
+                  1 - 2 * (('0x' || substr(md5('rp:' || d.i || ':' || j.range),
+                    1, 8))::BIGINT % 2) AS sign
+           FROM (SELECT DISTINCT i FROM z) d, range(0, 16) j),
+         y AS (
+           SELECT z.vec_id, g.j,
+                  sum(z.z_micro * g.sign)::BIGINT AS y_micro
+           FROM z JOIN g USING (i) GROUP BY 1, 2),
+         q AS (SELECT j, y_micro AS q_micro FROM y WHERE vec_id = 0),
+         qn AS (SELECT sum(q_micro * q_micro)::BIGINT AS nq2 FROM q),
+         dt AS (
+           SELECT y.vec_id,
+                  sum(y.y_micro * q.q_micro)::BIGINT AS dot2,
+                  sum(y.y_micro * y.y_micro)::BIGINT AS na2
+           FROM y JOIN q USING (j) WHERE y.vec_id <> 0 GROUP BY 1)
+         SELECT vec_id,
+                round(dot2 / (sqrt(na2::DOUBLE) * sqrt(nq2::DOUBLE)), 6)
+                  AS cosine
+         FROM dt, qn WHERE na2 > 0 AND nq2 > 0
+         ORDER BY cosine DESC, vec_id LIMIT 10""",
 
     "q_io17_manifest" ->
       // the manifest every shard must reproduce: per-source rows + the

@@ -731,6 +731,15 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "Exchange SinglePartition"
   }
 
+  test("embed capstone reads only the checkpointed projected table; top-k is TakeOrdered") {
+    val q = SparkEntry.queries("q_v26_embed_pipeline")(spark, sfDir)
+    q.collect().length should be > 0
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Scan parquet"
+    plan should not include "Window"
+    plan should include("TakeOrderedAndProject")
+  }
+
   test("csv quarantine read is map-only: no shuffle besides the output sort") {
     val q = SparkEntry.queries("q_io15_csv_quarantine")(spark, sfDir)
     q.collect()
