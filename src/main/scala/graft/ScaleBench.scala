@@ -89,7 +89,8 @@ object ScaleBench {
     "q_t38_phrase_search", "q_v23_standardize", "q_v24_random_projection",
     "q_io15_csv_quarantine", "q_t39_ngram_novelty", "q_m11_gif_pixel_stats",
     "q_m12_gif_frames", "q_v25_retrieval_eval", "q_t40_span_corruption",
-    "q_t41_rake_keywords", "q_io17_manifest", "q_v26_embed_pipeline")
+    "q_t41_rake_keywords", "q_io17_manifest", "q_v26_embed_pipeline",
+    "q_m13_media_dispatch")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

@@ -808,6 +808,41 @@ object Multimodal {
       .mapPartitions(rows => rows.flatMap { case (id, p) => decodeGifGray(id, p) })
   }
 
+  final case class MediaDispatchStats(media_id: Long, format: String,
+                                      n_units: Long, u_mean: Double)
+
+  /** Magic-byte media dispatch — the ingest reality a single-format decoder
+    * never sees: ONE binary column carrying MIXED formats, sniffed by
+    * signature (PNG \\x89PNG, GIF8, BM, RIFF) and routed to the matching
+    * real decoder, reduced to a UNIFIED (format, unit count, unit mean)
+    * row — pixels for images, amplitude for audio. Unknown signatures and
+    * per-format refusals both quarantine to zero rows (the flatMap
+    * contract every decoder here shares). Partition-batched; adding a
+    * format is one more arm, not a new pipeline.
+    */
+  def dispatchMediaStats(media: DataFrame): Dataset[MediaDispatchStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) =>
+        if (p == null || p.length < 4) None
+        else if (p(0) == 0x89.toByte && p(1) == 'P'.toByte)
+          decodePngGray(id, p).map(s =>
+            MediaDispatchStats(id, "png", s.n_pixels, s.px_mean))
+        else if (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte)
+          decodeGifGray(id, p).map(s =>
+            MediaDispatchStats(id, "gif", s.n_pixels, s.px_mean))
+        else if (p(0) == 'B'.toByte && p(1) == 'M'.toByte)
+          decodeBmpPixels(id, p).map(s =>
+            MediaDispatchStats(id, "bmp", s.n_pixels, s.b_mean))
+        else if (p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte)
+          decodeWavPcm(id, p).map(s =>
+            MediaDispatchStats(id, "wav", s.n_samples, s.mean_amp))
+        else None
+      })
+  }
+
   /** Genuine GIF89a whose indices are the text bytes against a grayscale
     * 256-entry table — REAL growing-dictionary LZW, not clear-code spam
     * (see [[GifGray]]). One codegen'd static call per row.

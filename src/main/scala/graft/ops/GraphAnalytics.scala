@@ -829,6 +829,40 @@ object GraphAnalytics {
       .select(col("id"), col("hub"), col("authority"))
   }
 
+  /** Directed triangle census — cyclic (i→j→k→i) vs transitive
+    * (i→j, j→k, i→k) triangle counts over the distinct directed edge set:
+    * the feed-forward-loop vs cycle motif split network analysis reads as
+    * a DAG-ness signal. Counting convention: every 2-path i→j→k joins its
+    * closing edge — a transitive triangle closes exactly once (via its
+    * shortcut edge), a cyclic one once per rotation (÷3, exact). Mutual
+    * edge pairs participate in both patterns under these definitions —
+    * the standard simple-digraph census. Shape: one edge self-equi-join
+    * on the middle node (wedge-bounded) + one closing-edge semi-join per
+    * pattern; two global map-side-combinable counts.
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("fromId"), col("toId"))
+      .filter(col("fromId") =!= col("toId")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val paths = e.select(col("fromId").as("i"), col("toId").as("j"))
+      .join(e.select(col("fromId").as("j"), col("toId").as("k")), "j")
+      .filter(col("i") =!= col("k"))
+    val cyc = paths.join(e.select(col("fromId").as("k"), col("toId").as("i")),
+        Seq("i", "k"), "left_semi")
+      .agg(count(lit(1)).as("c")).head().getLong(0)
+    val trans = paths.join(e.select(col("fromId").as("i"), col("toId").as("k")),
+        Seq("i", "k"), "left_semi")
+      .agg(count(lit(1)).as("c")).head().getLong(0)
+    e.unpersist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((cyc / 3, trans)).toDF("n_cyclic", "n_transitive")
+      .select(col("n_cyclic"), col("n_transitive"),
+        when(col("n_cyclic") + col("n_transitive") > 0,
+          round(col("n_cyclic").cast("double")
+            / (col("n_cyclic") + col("n_transitive")), 6)).as("cyclic_ratio"))
+  }
+
   /** Friends-of-friends: per node the number of DISTINCT nodes exactly two
     * undirected hops away (reachable through a shared neighbor, not a
     * direct neighbor, not self) — the "people you may know" candidate-pool

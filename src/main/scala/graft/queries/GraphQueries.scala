@@ -252,6 +252,15 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga20_triangle_census" -> ((s, _) => {
+      // directed motif split: cyclic vs transitive (feed-forward) triangle
+      // counts — the DAG-ness signal; wedge-bounded middle join + one
+      // closing-edge semi-join per pattern
+      val g = graph50(s)
+      GraphAnalytics.triangleCensus(
+        g.edges.toDF().select(col("fromId"), col("toId")))
+    }),
+
     "q_ga19_friends_of_friends" -> ((s, _) => {
       // distinct exactly-2-hop neighborhood size per node: middle-keyed
       // wedges, one distinct, one anti-join vs direct edges
@@ -705,6 +714,29 @@ object GraphQueries {
     "q_ga2_pagerank" -> pageRankSql(iters = 5, d = 0.85),
 
     "q_ga18_weighted_pagerank" -> weightedPageRankSql(iters = 5, d = 0.85),
+
+    "q_ga20_triangle_census" ->
+      // 2-paths + closing-edge EXISTS per pattern; cyclic ÷3 (one count
+      // per rotation), transitive counted once via its shortcut edge
+      s"""WITH e AS (
+            SELECT DISTINCT fromId AS a, toId AS b FROM $edgesTbl
+            WHERE fromId <> toId),
+          p AS (
+            SELECT e1.a AS i, e1.b AS j, e2.b AS k
+            FROM e e1 JOIN e e2 ON e2.a = e1.b
+            WHERE e1.a <> e2.b),
+          cyc AS (
+            SELECT count(*) AS c FROM p
+            WHERE EXISTS (SELECT 1 FROM e WHERE e.a = p.k AND e.b = p.i)),
+          tr AS (
+            SELECT count(*) AS c FROM p
+            WHERE EXISTS (SELECT 1 FROM e WHERE e.a = p.i AND e.b = p.k))
+          SELECT (cyc.c // 3)::BIGINT AS n_cyclic,
+                 tr.c::BIGINT AS n_transitive,
+                 CASE WHEN cyc.c // 3 + tr.c > 0
+                      THEN round((cyc.c // 3)::DOUBLE / (cyc.c // 3 + tr.c), 6)
+                      END AS cyclic_ratio
+          FROM cyc, tr""",
 
     "q_ga19_friends_of_friends" ->
       // wedges through the shared middle, distinct, minus direct pairs

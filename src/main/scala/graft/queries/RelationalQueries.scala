@@ -3014,6 +3014,31 @@ object RelationalQueries {
       graft.functions.TextOps.rakeKeywords(Tables.documents(s, d), k = 3)
         .orderBy(col("doc_id"), col("rk"))),
 
+    "q_m13_media_dispatch" -> ((s, d) => {
+      // ingest-reality decode: ONE binary column carrying FOUR real
+      // formats (PNG/GIF/BMP/WAV chosen by doc_id%4), sniffed by magic
+      // bytes and routed to the matching decoder, reduced to a unified
+      // (format, units, mean). The oracle recomputes every branch from
+      // the TEXT — a hash match proves the sniffing routed correctly AND
+      // all four decodes recovered their content.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 32)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        when(col("doc_id") % 4 === 0,
+          graft.multimodal.Multimodal.synthesizePngPayload(col("text"), 16))
+        .when(col("doc_id") % 4 === 1,
+          graft.multimodal.Multimodal.synthesizeGifPayload(col("text"), 16))
+        .when(col("doc_id") % 4 === 2,
+          graft.multimodal.Multimodal.synthesizeBmpPayload(col("text"), 10))
+        .otherwise(
+          graft.multimodal.Multimodal.synthesizeWavPayload(col("text"), 8000))
+        .as("payload"))
+      graft.multimodal.Multimodal.dispatchMediaStats(media).toDF()
+        .select(col("media_id"), col("format"), col("n_units"),
+          round(col("u_mean"), 6).as("u_mean"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_v26_embed_pipeline" -> ((s, d) =>
       // embedding-preprocessing capstone: standardize → JL sign projection
       // → projected-space cosine top-10, one declarative plan, exact
@@ -6224,6 +6249,33 @@ object RelationalQueries {
          SELECT doc_id, rk::INT AS rk, phrase,
                 round(score_micro / 1e6, 6) AS score
          FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q_m13_media_dispatch" ->
+      // every branch re-derived from the text: png/gif full 16-wide rows,
+      // bmp full 10-wide rows, wav all samples at amplitude ascii−128
+      """WITH d AS (
+           SELECT doc_id, text, length(text) AS n, doc_id % 4 AS fmt
+           FROM documents WHERE text IS NOT NULL AND length(text) >= 32),
+         px AS (
+           SELECT doc_id,
+                  CASE fmt WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                           WHEN 2 THEN 'bmp' ELSE 'wav' END AS format,
+                  CASE fmt WHEN 0 THEN (n // 16) * 16
+                           WHEN 1 THEN (n // 16) * 16
+                           WHEN 2 THEN (n // 10) * 10
+                           ELSE n END AS n_units,
+                  CASE WHEN fmt = 3 THEN -128.0 ELSE 0.0 END AS shift,
+                  text, fmt, n
+           FROM d),
+         v AS (
+           SELECT doc_id, format, n_units,
+                  sum(ascii(text[j]) + shift) AS s
+           FROM px,
+                LATERAL (SELECT unnest(range(1, n_units + 1)) AS j) u
+           GROUP BY 1, 2, 3)
+         SELECT doc_id AS media_id, format, n_units::BIGINT AS n_units,
+                round(s / n_units, 6) AS u_mean
+         FROM v ORDER BY doc_id""",
 
     "q_v26_embed_pipeline" ->
       // the WHOLE capstone re-derived: rounded moments, micro-z, sign

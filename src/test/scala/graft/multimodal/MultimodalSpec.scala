@@ -565,6 +565,28 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       .head().isNullAt(0) shouldBe true
   }
 
+  test("dispatchMediaStats routes by magic bytes; unknown signatures quarantine") {
+    import spark.implicits._
+    val text = "abcdefghijklmnopqrst" * 3 // 60 chars, covers every format's minimum
+    val base = Seq((0L, text), (1L, text), (2L, text), (3L, text))
+      .toDF("doc_id", "text")
+    val media = base.select(col("doc_id").as("media_id"),
+      when(col("doc_id") === 0, Multimodal.synthesizePngPayload(col("text"), 16))
+        .when(col("doc_id") === 1, Multimodal.synthesizeGifPayload(col("text"), 16))
+        .when(col("doc_id") === 2, Multimodal.synthesizeBmpPayload(col("text"), 10))
+        .otherwise(Multimodal.synthesizeWavPayload(col("text"), 8000)).as("payload"))
+    val out = Multimodal.dispatchMediaStats(media)
+      .collect().map(s => s.media_id -> ((s.format, s.n_units))).toMap
+    out(0L) shouldBe (("png", 48L)) // 3 full 16-wide rows
+    out(1L) shouldBe (("gif", 48L))
+    out(2L) shouldBe (("bmp", 60L)) // 6 full 10-wide rows
+    out(3L) shouldBe (("wav", 60L)) // every sample
+    // junk and truncated payloads vanish instead of crashing the batch
+    val junk = Seq((9L, "ZZZZ not a media file".getBytes))
+      .toDF("media_id", "payload")
+    Multimodal.dispatchMediaStats(junk).count() shouldBe 0L
+  }
+
   test("animated GIF frames read back via ImageIO's multi-image GIF reader") {
     val text = "abcdefgh" * 10 // 80 chars → 4×2 frames of 8 → 10 frames
     val df = Seq((1L, text)).toDF("doc_id", "text")

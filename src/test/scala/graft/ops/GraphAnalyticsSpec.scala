@@ -342,6 +342,21 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       GraphAnalytics.connectedComponentsStar(n, e, maxIters = 0)
   }
 
+  test("triangleCensus: cycle vs feed-forward, rotation-dedup, duplicates collapse") {
+    // pure 3-cycle
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 2L)).toDF("fromId", "toId")
+    val r1 = GraphAnalytics.triangleCensus(cyc).head()
+    (r1.getLong(0), r1.getLong(1), r1.getDouble(2)) shouldBe ((1L, 0L, 1.0))
+    // pure feed-forward loop
+    val ffl = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("fromId", "toId")
+    val r2 = GraphAnalytics.triangleCensus(ffl).head()
+    (r2.getLong(0), r2.getLong(1), r2.getDouble(2)) shouldBe ((0L, 1L, 0.0))
+    // no triangles at all → NULL ratio, zero counts
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("fromId", "toId")
+    val r3 = GraphAnalytics.triangleCensus(path).head()
+    (r3.getLong(0), r3.getLong(1), r3.isNullAt(2)) shouldBe ((0L, 0L, true))
+  }
+
   test("friendsOfFriends: exactly-2-hop distinct count; direct neighbors excluded") {
     // path 1—2—3—4: fof(1) = {3}, fof(2) = {4}, fof(3) = {1}, fof(4) = {2}
     val n = nodes
