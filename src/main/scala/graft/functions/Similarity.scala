@@ -454,6 +454,51 @@ object Similarity {
           + lit(0.0)).as("y"))
   }
 
+  /** Deterministic farthest-first traversal (Gonzalez 1985) — the RNG-free
+    * k-means++-style seeding an index build runs before Lloyd iterations
+    * ([[IvfIndex.train]]'s init concern as a standalone, gate-able
+    * operator): c₀ = the min-id vector, cᵢ₊₁ = the corpus vector
+    * maximizing its distance to the chosen set (ties → min id). Returns
+    * (step, center_id) — integer-only output, so cross-engine parity
+    * rides on the argmax ORDERING, where both engines evaluate the
+    * identical d² = x·x − 2·x·c + c·c element-order dot expressions.
+    *
+    * Scale shape: k passes, each one corpus scan against ≤ k BROADCAST
+    * literal centers + a TakeOrdered(1) — the standard driver-scalar
+    * iteration (the hits-norm pattern); nothing corpus-sized ever
+    * collects.
+    */
+  def farthestFirstInit(embs: DataFrame, k: Int,
+                        vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val base = embs.filter(col(vecCol).isNotNull)
+      .select(col("vec_id"), col(vecCol).as("e"))
+    val first = base.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("e")).head()
+    var chosen = Vector((first.getLong(0), first.getSeq[Float](1)))
+    while (chosen.length < k) {
+      val dists = chosen.map { case (_, c) =>
+        val cl = typedLit(c)
+        val cc = c.map(x => x.toDouble * x).sum
+        dot(col("e"), col("e")) - lit(2.0d) * dot(col("e"), cl) + lit(cc)
+      }
+      // least() rejects a single argument — a 1-element chosen set IS its
+      // own minimum
+      val minDist = if (dists.length == 1) dists.head else least(dists: _*)
+      val next = base
+        .filter(!col("vec_id").isInCollection(chosen.map(_._1)))
+        .select(col("vec_id"), col("e"), minDist.as("d"))
+        .orderBy(desc("d"), col("vec_id")).limit(1)
+        .head()
+      chosen = chosen :+ ((next.getLong(0), next.getSeq[Float](1)))
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _), i) => (i, id) }
+      .toDF("step", "center_id")
+  }
+
   /** Embedding-preprocessing CAPSTONE in one declarative plan — the
     * composition a vector pipeline actually runs before indexing:
     * [[standardize]] (whitening from the rounded per-dim moments) →

@@ -3014,6 +3014,14 @@ object RelationalQueries {
       graft.functions.TextOps.rakeKeywords(Tables.documents(s, d), k = 3)
         .orderBy(col("doc_id"), col("rk"))),
 
+    "q_v27_farthest_init" -> ((s, d) =>
+      // deterministic Gonzalez farthest-first k-means seeding (the RNG-free
+      // kmeans++ sibling): 4 centers, each one corpus pass against the
+      // broadcast chosen set; integer-only output, parity rides on the
+      // identical element-order d² dot expressions
+      graft.functions.Similarity.farthestFirstInit(Tables.embeddings(s, d),
+        k = 4)),
+
     "q_m13_media_dispatch" -> ((s, d) => {
       // ingest-reality decode: ONE binary column carrying FOUR real
       // formats (PNG/GIF/BMP/WAV chosen by doc_id%4), sniffed by magic
@@ -6249,6 +6257,50 @@ object RelationalQueries {
          SELECT doc_id, rk::INT AS rk, phrase,
                 round(score_micro / 1e6, 6) AS score
          FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q_v27_farthest_init" ->
+      // all three argmax steps unrolled with the identical element-order
+      // d² = x·x − 2·x·c + c·c expression; ties break by vec_id
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+           WHERE embedding IS NOT NULL),
+         c0 AS (SELECT min(vec_id) AS id FROM e),
+         v0 AS (SELECT x FROM e WHERE vec_id = (SELECT id FROM c0)),
+         d1 AS (
+           SELECT vec_id,
+                  list_dot_product(x, x)
+                    - 2 * list_dot_product(x, (SELECT x FROM v0))
+                    + list_dot_product((SELECT x FROM v0), (SELECT x FROM v0))
+                    AS d
+           FROM e WHERE vec_id <> (SELECT id FROM c0)),
+         c1 AS (SELECT vec_id AS id FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+         v1 AS (SELECT x FROM e WHERE vec_id = (SELECT id FROM c1)),
+         d2 AS (
+           SELECT e.vec_id,
+                  least(d1.d,
+                    list_dot_product(e.x, e.x)
+                      - 2 * list_dot_product(e.x, (SELECT x FROM v1))
+                      + list_dot_product((SELECT x FROM v1), (SELECT x FROM v1)))
+                    AS d
+           FROM e JOIN d1 ON d1.vec_id = e.vec_id
+           WHERE e.vec_id <> (SELECT id FROM c1)),
+         c2 AS (SELECT vec_id AS id FROM d2 ORDER BY d DESC, vec_id LIMIT 1),
+         v2 AS (SELECT x FROM e WHERE vec_id = (SELECT id FROM c2)),
+         d3 AS (
+           SELECT e.vec_id,
+                  least(d2.d,
+                    list_dot_product(e.x, e.x)
+                      - 2 * list_dot_product(e.x, (SELECT x FROM v2))
+                      + list_dot_product((SELECT x FROM v2), (SELECT x FROM v2)))
+                    AS d
+           FROM e JOIN d2 ON d2.vec_id = e.vec_id
+           WHERE e.vec_id <> (SELECT id FROM c2)),
+         c3 AS (SELECT vec_id AS id FROM d3 ORDER BY d DESC, vec_id LIMIT 1)
+         SELECT 0 AS step, (SELECT id FROM c0) AS center_id
+         UNION ALL SELECT 1, (SELECT id FROM c1)
+         UNION ALL SELECT 2, (SELECT id FROM c2)
+         UNION ALL SELECT 3, (SELECT id FROM c3)
+         ORDER BY step""",
 
     "q_m13_media_dispatch" ->
       // every branch re-derived from the text: png/gif full 16-wide rows,

@@ -137,6 +137,20 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     out(2L) shouldBe ((2L, 1L, 0.5))
   }
 
+  test("farthestFirstInit: greedy max-min order, equidistant tie by id") {
+    val embs = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(10.0f, 0.0f)), // ties with 3 for farthest-from-1 → id wins
+      (3L, Array(0.0f, 10.0f)),
+      (4L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.farthestFirstInit(embs, k = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out shouldBe Map(0 -> 1L, 1 -> 2L, 2 -> 3L, 3 -> 4L)
+    // k=1 is just the min-id seed
+    Similarity.farthestFirstInit(embs, k = 1)
+      .collect().map(_.getLong(1)).toSeq shouldBe Seq(1L)
+  }
+
   test("rakeKeywords: stopword islands, degree/frequency scores, deterministic top-k") {
     // "deep learning" and "deep nets" share the word deep (freq 2);
     // deg(deep) = 2 + 2 = 4 → ws(deep) = 2; ws(learning) = ws(nets) = 2/1·...
