@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Schema portability lint for gate outputs.
+  *
+  * The driver's correctness gate hashes the Spark parquet result against a
+  * DuckDB oracle through pandas-side readers that narrow `decimal128` to
+  * `float64`. Any checksum-sized decimal (above 2^53) or non-grid fraction
+  * then renders differently on the exact side vs the float side, failing the
+  * hash even when the values are identical — the round-12 q_x13/q_x14/q_io17
+  * failure class. Gate outputs must therefore stick to harness-portable
+  * renderings: integral types, strings, booleans, dates/timestamps, or
+  * doubles that land exactly on their rounding grid.
+  *
+  * [[decimalColumns]] walks the full schema (structs, arrays, maps) and
+  * returns the dotted paths of every DecimalType occurrence so Verify can
+  * fail the query loudly at build time instead of shipping a silent
+  * hash-mismatch to the driver.
+  */
+object GateLint {
+
+  /** Dotted paths of all DecimalType fields anywhere in `schema`. */
+  def decimalColumns(schema: StructType): Seq[String] = {
+    def walk(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType     => Seq(path)
+      case s: StructType      => s.fields.toSeq.flatMap(f => walk(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType       => walk(a.elementType, s"$path[]")
+      case m: MapType         => walk(m.keyType, s"$path.key") ++ walk(m.valueType, s"$path.value")
+      case _                  => Nil
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.dataType, f.name))
+  }
+}

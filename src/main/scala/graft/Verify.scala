@@ -204,7 +204,20 @@ object Verify {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        // portability lint: a DecimalType gate column is harness-fragile —
+        // decimal128 parquet narrows to float64 in pandas-side readers, so
+        // any value above 2^53 (or any non-grid fraction) cannot round-trip
+        // the compare even when the math is exact (the r12 q_x13/q_x14/
+        // q_io17 incident). Gate outputs must render as BIGINT, string, or
+        // grid-exact doubles; failing HERE turns the silent hash-mismatch
+        // class into a loud per-query error at build time.
+        val decimalCols = GateLint.decimalColumns(df.schema)
+        if (decimalCols.nonEmpty)
+          throw new IllegalStateException(
+            s"gate output schema contains DecimalType at ${decimalCols.mkString(", ")} — " +
+              "not harness-portable; cast to string or BIGINT before returning")
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         // clear any previous run's failure marker for this query
         new java.io.File(s"$outDir/$name._error").delete()

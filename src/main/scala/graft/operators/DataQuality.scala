@@ -162,7 +162,11 @@ object DataQuality {
       .cast("decimal(38,0)")
     df.select(h.as("h"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("h")).cast("decimal(38,0)").as("checksum"))
+        // the exact DECIMAL(38,0) sum rendered as its digit string: values
+        // exceed 2^53, so any consumer that narrows decimals to float64
+        // would corrupt them — the string is the harness-portable rendering
+        // (shard merging still happens on the decimal BEFORE this cast)
+        sum(col("h")).cast("decimal(38,0)").cast("string").as("checksum"))
   }
 
   /** Population-stability-index drift report — the standard "has this

@@ -578,7 +578,8 @@ object CurationQueries {
                o_orderdate::VARCHAR || chr(1) ||
                round(o_totalprice * 100)::BIGINT::VARCHAR), 1, 12))::BIGINT AS h
            FROM orders)
-         SELECT count(*) AS n_rows, sum(h)::DECIMAL(38,0) AS checksum FROM r""",
+         SELECT count(*) AS n_rows,
+                sum(h)::DECIMAL(38,0)::VARCHAR AS checksum FROM r""",
 
     "q_q5_profile_drift" ->
       // v2 re-derived + per-column profile deltas, column-generic via a

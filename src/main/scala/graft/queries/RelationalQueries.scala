@@ -3076,7 +3076,8 @@ object RelationalQueries {
           sum(org.apache.spark.sql.functions.conv(
             substring(md5(concat_ws("\u0001",
               col("doc_id").cast("string"), col("text"))), 1, 12), 16, 10)
-            .cast("decimal(38,0)")).cast("decimal(38,0)").as("checksum"),
+            .cast("decimal(38,0)")).cast("decimal(38,0)")
+            .cast("string").as("checksum"),
           (countDistinct(col("fp")) >= 1).as("has_files"))
         .orderBy(col("source"))
     })
@@ -6214,7 +6215,7 @@ object RelationalQueries {
          SELECT (SELECT count(*) FROM ev)::BIGINT AS n_before,
                 ((SELECT count(*) FROM ev) - count(*))::BIGINT AS n_removed,
                 count(*)::BIGINT AS n_after,
-                sum(h)::DECIMAL(38,0) AS checksum
+                sum(h)::DECIMAL(38,0)::VARCHAR AS checksum
          FROM r""",
 
     "q_t41_rake_keywords" ->
@@ -6378,7 +6379,7 @@ object RelationalQueries {
                     ::BIGINT AS h
            FROM documents WHERE text IS NOT NULL)
          SELECT source, count(*)::BIGINT AS n_rows,
-                sum(h)::DECIMAL(38,0) AS checksum,
+                sum(h)::DECIMAL(38,0)::VARCHAR AS checksum,
                 TRUE AS has_files
          FROM r GROUP BY 1 ORDER BY 1"""
   )

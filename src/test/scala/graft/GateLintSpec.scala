@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Gate-output portability lint: DecimalType must never reach a gate
+  * result schema (decimal128 narrows to float64 in pandas-side harness
+  * readers, so checksum-sized values above 2^53 cannot round-trip the
+  * compare — the round-12 q_x13/q_x14/q_io17 incident). The lint in
+  * Verify's query loop fails such queries loudly; this spec pins the lint
+  * itself and the three repaired checksum queries' schemas.
+  */
+class GateLintSpec extends AnyFunSuite with Matchers {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("decimalColumns finds top-level, nested, array and map decimals") {
+    val schema = StructType(Seq(
+      StructField("ok_long", LongType),
+      StructField("bad_top", DecimalType(38, 0)),
+      StructField("nested", StructType(Seq(
+        StructField("bad_inner", DecimalType(10, 2)),
+        StructField("ok_str", StringType)))),
+      StructField("arr", ArrayType(DecimalType(20, 0))),
+      StructField("m", MapType(StringType, DecimalType(12, 4)))))
+    GateLint.decimalColumns(schema) should contain theSameElementsAs Seq(
+      "bad_top", "nested.bad_inner", "arr[]", "m.value")
+  }
+
+  test("decimalColumns is empty on a portable schema") {
+    val schema = StructType(Seq(
+      StructField("n", LongType),
+      StructField("s", StringType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType),
+      StructField("arr", ArrayType(StringType))))
+    GateLint.decimalColumns(schema) shouldBe empty
+  }
+
+  test("the lint would have caught the r12 decimal checksum shape") {
+    val spark = SparkSpec.spark
+    val df = spark.range(3)
+      .agg(sum(col("id")).cast("decimal(38,0)").as("checksum"))
+    GateLint.decimalColumns(df.schema) shouldBe Seq("checksum")
+  }
+
+  test("repaired checksum queries render checksum as string (x13/x14)") {
+    val spark = SparkSpec.spark
+    for (name <- Seq("q_x13_table_checksum", "q_x14_forget_users")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      GateLint.decimalColumns(df.schema) shouldBe empty
+      df.schema("checksum").dataType shouldBe StringType
+      // the values are pure digit strings (exact decimal rendering, no
+      // exponent / trailing fraction), so both engines print identically
+      val vals = df.select(col("checksum")).collect().map(_.getString(0))
+      vals should not be empty
+      all(vals) should fullyMatch regex "-?[0-9]+"
+    }
+  }
+
+  test("tableChecksum stays shard-mergeable under the string rendering") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val whole = graft.operators.DataQuality.tableChecksum(df, Seq("id", "v"))
+      .collect().head
+    // shard checksums (re-parsed to exact decimals) must add up to the
+    // whole-table checksum: the merge happens on the decimal, the string
+    // is only the final rendering
+    val parts = Seq(df.filter($"id" <= 50), df.filter($"id" > 50))
+      .map(p => graft.operators.DataQuality.tableChecksum(p, Seq("id", "v"))
+        .collect().head)
+    parts.map(_.getLong(0)).sum shouldBe whole.getLong(0)
+    parts.map(r => BigInt(r.getString(1))).sum shouldBe BigInt(whole.getString(1))
+  }
+}
