@@ -90,7 +90,7 @@ object ScaleBench {
     "q_io15_csv_quarantine", "q_t39_ngram_novelty", "q_m11_gif_pixel_stats",
     "q_m12_gif_frames", "q_v25_retrieval_eval", "q_t40_span_corruption",
     "q_t41_rake_keywords", "q_io17_manifest", "q_v26_embed_pipeline",
-    "q_m13_media_dispatch")
+    "q_m13_media_dispatch", "q_m14_jpeg_color_stats")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail
@@ -291,6 +291,42 @@ object ScaleBench {
   private def lshAutoSized(s: SparkSession, d: String): DataFrame =
     graft.functions.Similarity.lshTopKAuto(Tables.embeddings(s, d), k = 5, reps = 4)
 
+  /** The PRODUCTION form of q_v25's retrieval eval: a FIXED absolute query
+    * set (64 vectors by vec_id hash rank — count independent of corpus
+    * size) scored two ways. Truth = exact cosine top-5 from ONE broadcast-
+    * queries corpus pass (linear in n). Pred = the IVF index's asymmetric
+    * query path (cost ∝ the 64 queries' probed cells, sub-corpus). The
+    * GATE form q_v25 samples a FRACTION of vectors as queries — 0.05·n²
+    * brute pairs, quadratic by construction for its oracle (SCALE.md's
+    * honesty note); this is the measured linear form that note promises.
+    */
+  private def retrievalEvalProduction(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{IvfIndex, Similarity, VectorExprs}
+    val embs = Tables.embeddings(s, d)
+    val qset = embs.filter(col("embedding").isNotNull)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(64)
+      .select(col("vec_id"), col("embedding"))
+    val q = qset.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      VectorExprs.norm(col("embedding")).as("qn"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cos"), asc("vid_b"))
+    val truth = embs.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("vid_b"),
+        round(VectorExprs.dot(col("embedding"), col("qe")) /
+          (VectorExprs.norm(col("embedding")) * col("qn")), 6).as("cos"))
+      .withColumnRenamed("qid", "vec_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+    val model = IvfIndex.autoModel(s, embs, corpusKey = d)
+    val np = IvfIndex.nprobeForFraction(model.numCells, 0.125)
+    val wp = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
+    val pred = IvfIndex.knnJoin(embs, model, k = 5, nprobe = np,
+        queries = Some(qset))
+      .withColumn("rank", row_number().over(wp))
+    Similarity.retrievalEval(truth, pred, k = 5)
+  }
+
   /** Corpus-wide ANN join with the production cell-sizing rule
     * ([[graft.functions.IvfIndex.autoNumCells]]) and a bounded training
     * sample (Lloyd's step cost is cells × training rows; training on an
@@ -454,7 +490,8 @@ object ScaleBench {
       s"ScaleBench.scaleQueries references unknown gate queries: ${stale.mkString(", ")}")
     val annQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_v2_knn_lsh_autoplanes" -> ((s: SparkSession, d: String) => lshAutoSized(s, d)),
-      "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d)))
+      "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d)),
+      "q_v25_production" -> ((s: SparkSession, d: String) => retrievalEvalProduction(s, d)))
     // the gram-keyed operators the planted-boilerplate point stress-tests,
     // each in gate form AND (where it exists) the hash-key production form
     val skewFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -472,6 +509,14 @@ object ScaleBench {
       // stop-shingle-exposed plan in the engine — the boilerplate plant
       // stresses exactly its hot join key
       "q_d17_containment" -> gateQueries("q_d17_containment"),
+      // A/B: the gate form now defaults to the PPJoin+ positional prune
+      // (measured winner); this twin keeps the prefix-only arm measurable
+      // — output pinned identical either way
+      "q_d17_prefix_only" -> ((s: SparkSession, d: String) =>
+        graft.functions.Dedup.ngramContainmentPairs(Tables.documents(s, d),
+          "text", k = 3, threshold = 0.9, prefixDenom = 10,
+          positionalFilter = false)
+          .orderBy(col("doc_a"), col("doc_b"))),
       // novelty joins the df table back on the gram key: the plant makes
       // one gram corpus-hot, exactly the row the join must AQE-split
       "q_t39_ngram_novelty" -> gateQueries("q_t39_ngram_novelty"))
@@ -491,6 +536,13 @@ object ScaleBench {
           k = 3, minDocs = 3, hashGramKeys = true)),
       "q_d6_ngram_jaccard" -> gateQueries("q_d6_ngram_jaccard"),
       "q_d7_dup_clusters" -> gateQueries("q_d7_dup_clusters"),
+      "q_d17_containment" -> gateQueries("q_d17_containment"),
+      // A/B twin of q_d17 (prefix-only arm; see skew family)
+      "q_d17_prefix_only" -> ((s: SparkSession, d: String) =>
+        graft.functions.Dedup.ngramContainmentPairs(Tables.documents(s, d),
+          "text", k = 3, threshold = 0.9, prefixDenom = 10,
+          positionalFilter = false)
+          .orderBy(col("doc_a"), col("doc_b"))),
       "q_d13_incremental_dedup" -> gateQueries("q_d13_incremental_dedup"),
       "q_d15_bloom_incremental" -> gateQueries("q_d15_bloom_incremental"),
       "q_t8_training_mix" -> gateQueries("q_t8_training_mix"))
@@ -503,10 +555,13 @@ object ScaleBench {
        // other table)
        else if (textOnly) only match {
          case Some(names) =>
-           val unknown = names.diff(gateQueries.keySet)
+           // family-local production twins (q_d17_positional, *_hashkeys)
+           // are selectable alongside gate queries
+           val fam = textFamily.toMap
+           val unknown = names.diff(gateQueries.keySet ++ fam.keySet)
            require(unknown.isEmpty,
              s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
-           names.toSeq.sorted.map(n => n -> gateQueries(n))
+           names.toSeq.sorted.map(n => n -> fam.getOrElse(n, gateQueries(n)))
          case None => textFamily
        }
        else scaleQueries.map(n => n -> gateQueries(n)) ++ annQueries ++ Seq(

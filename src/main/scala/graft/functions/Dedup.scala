@@ -675,9 +675,30 @@ object Dedup {
     * shingle — the inherent cost of containment joins. Hot (stop-)shingles
     * only ever sit on the index side of the equi-join, where AQE's skew
     * split applies; the verify step touches candidate pairs only.
+    *
+    * `positionalFilter` adds the PPJoin+-style POSITIONAL prune on top of
+    * the prefix filter: both sides of the candidate join carry each
+    * shingle's rank in the GLOBAL (df asc, shingle asc) order restricted
+    * to its document. For the first matched intersection element w — which
+    * the global order makes the same element on both sides — every other
+    * intersection element ranks after it in BOTH documents, so
+    * |A∩B| ≤ min(n_a − rk_a, n_b − rk_b) + 1; pairs whose every matched
+    * prefix row bounds below the requirement are pruned BEFORE the
+    * verify join. The bound compares against the pigeonhole requirement
+    * n_a − ⌊n_a/prefixDenom⌋ in PURE INTEGER arithmetic (never ⌈t·n⌉
+    * doubles — candidate cutoffs must be engine-portable), so the filter
+    * stays COMPLETE for every threshold ≥ 1 − 1/prefixDenom and the
+    * verified output is bit-identical with the filter on or off
+    * (ContainmentSpec pins it). The positional prune is the DEFAULT: the
+    * measured A/B (SCALE.md round 13) has it 2.5× faster at the 100× text
+    * point (75 s vs 187 s; ratio 13.7× → 8.3×) and ~35% faster at 10× —
+    * the verify fan-in it kills (late-position matches in boilerplate
+    * heads) outweighs the per-doc rank window the index side must now pay
+    * (which the prefix side pays either way).
     */
   def ngramContainmentPairs(docs: DataFrame, textCol: String, k: Int,
-                            threshold: Double, prefixDenom: Int = 10): DataFrame = {
+                            threshold: Double, prefixDenom: Int = 10,
+                            positionalFilter: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(prefixDenom >= 2 && threshold >= 1.0 - 1.0 / prefixDenom,
       s"prefix filter incomplete: need threshold >= 1 - 1/$prefixDenom (got $threshold)")
@@ -693,14 +714,30 @@ object Dedup {
       explode(col("shingles")).as("shingle"))
     val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val prefix = ex.join(freq, "shingle")
+    val ranked = ex.join(freq, "shingle")
       .withColumn("rk", row_number().over(w))
+    val prefix = ranked
       .filter(col("rk") <= expr(s"n_shingles div $prefixDenom") + 1)
-      .select(col("doc_id").as("doc_a"), col("shingle"))
-    val cand = prefix
-      .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_id").as("doc_a"), col("shingle"),
+        col("rk").as("rk_a"), col("n_shingles").as("n_a"))
+    val cand =
+      if (!positionalFilter)
+        prefix.select(col("doc_a"), col("shingle"))
+          .join(ex.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+      else
+        // overlap upper bound from the matched row's positions vs the
+        // integer pigeonhole requirement n_a − (n_a div prefixDenom): a
+        // pair survives iff SOME matched prefix row's bound reaches it
+        // (the first-intersection-element row always does for true pairs)
+        prefix
+          .join(ranked.select(col("doc_id").as("doc_b"), col("shingle"),
+            col("rk").as("rk_b"), col("n_shingles").as("n_b")), "shingle")
+          .filter(col("doc_a") =!= col("doc_b"))
+          .filter(least(col("n_a") - col("rk_a"), col("n_b") - col("rk_b")) + 1 >=
+            col("n_a") - expr(s"n_a div $prefixDenom"))
+          .select(col("doc_a"), col("doc_b")).distinct()
     val a = docSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
       col("n_shingles").as("size_a"))
     val b = docSh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))

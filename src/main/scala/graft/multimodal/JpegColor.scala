@@ -1,0 +1,688 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL baseline-sequential COLOR JPEG codec (ITU-T T.81 + T.871 YCbCr):
+  * the dominant real-web image payload is chroma-subsampled color, not the
+  * grayscale [[JpegCodec]] covers — this extends the same machinery
+  * (canonical Huffman tables, byte-stuffed entropy stream, FDCT/IDCT,
+  * restart markers) to three interleaved components with per-component
+  * sampling factors, quantization tables, and DC predictors.
+  *
+  * Encoder: RGB → T.871 YCbCr → optional 4:2:0 chroma downsample (2×2
+  * mean) → per-MCU interleaved blocks (Y blocks row-major inside the MCU,
+  * then Cb, then Cr — T.81 A.2.3 ordering) with the luma table in DQT slot
+  * 0 and the chroma table in slot 1.
+  *
+  * Decoder scope contract (violations return None, never garbage):
+  * baseline/extended sequential Huffman (SOF0/SOF1), 8-bit, EXACTLY three
+  * components, sampling factors 1 or 2 per axis (covers 4:4:4, 4:2:2,
+  * 4:4:0 and 4:2:0), restart intervals supported; progressive, arithmetic,
+  * lossless and 12-bit refused. Chroma upsampling is nearest-neighbor
+  * index replication; YCbCr→RGB is the T.871 full-range transform with
+  * each channel ONE IEEE double expression —
+  *   R = round(Y + 1.402·(Cr−128))
+  *   G = round(Y − 0.344136·(Cb−128) − 0.714136·(Cr−128))
+  *   B = round(Y + 1.772·(Cb−128))
+  * — evaluated in that literal operator order so an independent engine
+  * recomputes decoded channels bit-for-bit from known YCbCr (the q_m14
+  * oracle contract; JpegColorSpec pins that no planted input lands on a
+  * rounding tie).
+  *
+  * Reference behavior (graph engine repo carries no image ops): scope and
+  * conventions follow the public JFIF/T.871 specification and mirror
+  * [[JpegCodec]]'s gate patterns.
+  */
+object JpegColorCodec {
+  import JpegCodec.{BitReader, BitWriter, HuffTable, acBits, acVals,
+    c, canonicalCodes, cosTab, csize, dcBits, dcVals, extend, zigzag}
+
+  /** Decoded color image: dimensions + per-channel row-major 0..255. */
+  final case class DecodedColor(w: Int, h: Int, r: Array[Int],
+                                g: Array[Int], b: Array[Int])
+
+  // ------------------------------------------------------------- encoder
+
+  /** One 8×8 block from `plane` at (px0, py0) (edge-replicated), FDCT'd,
+    * quantized and Huffman-coded against the shared tables; returns the
+    * new DC predictor. The constant-block fast path mirrors
+    * [[JpegCodec.encodeGray]]: a flat block's spectrum is DC-only with
+    * DC = 8·(v−128) exactly, which survives q=1 quantization bit-for-bit
+    * — the planted-payload hot path.
+    */
+  private def encodeBlock(bw: BitWriter, plane: Array[Int], pw: Int, ph: Int,
+                          px0: Int, py0: Int, qtable: Array[Int], pred: Int,
+                          dcCode: Array[Int], dcLen: Array[Int],
+                          acCode: Array[Int], acLen: Array[Int]): Int = {
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var constVal = plane(math.min(py0, ph - 1) * pw + math.min(px0, pw - 1))
+    var isConst = true
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(py0 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(px0 + x, pw - 1)
+        val pv = plane(sy * pw + sx)
+        if (pv != constVal) isConst = false
+        block(y * 8 + x) = pv - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    if (isConst) {
+      java.util.Arrays.fill(coef, 0)
+      coef(0) = Math.round(8.0 * (constVal - 128) / qtable(0)).toInt
+    } else {
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0; var y2 = 0
+          while (y2 < 8) { s += block(y2 * 8 + x) * cosTab(y2)(v); y2 += 1 }
+          tmp(v * 8 + x) = s
+          x += 1
+        }
+        v += 1
+      }
+      v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0; var x2 = 0
+          while (x2 < 8) { s += tmp(v * 8 + x2) * cosTab(x2)(u); x2 += 1 }
+          val f = 0.25 * c(u) * c(v) * s
+          var cq = Math.round(f / qtable(v * 8 + u)).toInt
+          if ((v | u) != 0) { if (cq > 1023) cq = 1023 else if (cq < -1023) cq = -1023 }
+          coef(v * 8 + u) = cq
+          u += 1
+        }
+        v += 1
+      }
+    }
+    val dc = coef(0)
+    val diff = dc - pred
+    val t = csize(diff)
+    bw.put(dcCode(t), dcLen(t))
+    if (t > 0) {
+      val bitsVal = if (diff < 0) diff + (1 << t) - 1 else diff
+      bw.put(bitsVal, t)
+    }
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val ac = coef(zigzag(k))
+      if (ac == 0) run += 1
+      else {
+        while (run > 15) { bw.put(acCode(0xF0), acLen(0xF0)); run -= 16 }
+        val s = csize(ac)
+        val sym = (run << 4) | s
+        bw.put(acCode(sym), acLen(sym))
+        val bitsVal = if (ac < 0) ac + (1 << s) - 1 else ac
+        bw.put(bitsVal, s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(acCode(0x00), acLen(0x00)) // EOB
+    dc
+  }
+
+  /** Encode pre-built YCbCr planes (chroma ALREADY at its stored
+    * resolution: (cw, ch) = ((w+1)/2, (h+1)/2) when `subsample`, else
+    * (w, h)). This is the planted-payload entry — the builder constructs
+    * exact integer YCbCr so the DC-only round trip is bit-exact;
+    * [[encodeColor]] is the RGB front door.
+    */
+  def encodeYcbcr(yP: Array[Int], cbP: Array[Int], crP: Array[Int],
+                  w: Int, h: Int, qLuma: Array[Int], qChroma: Array[Int],
+                  subsample: Boolean): Array[Byte] = {
+    require(w >= 1 && h >= 1 && yP.length == w * h,
+      s"bad dims ${w}x$h for ${yP.length} luma pixels")
+    val cw = if (subsample) (w + 1) / 2 else w
+    val ch = if (subsample) (h + 1) / 2 else h
+    require(cbP.length == cw * ch && crP.length == cw * ch,
+      s"chroma planes must be ${cw}x$ch")
+    require(qLuma.length == 64 && qLuma.forall(q => q >= 1 && q <= 255) &&
+      qChroma.length == 64 && qChroma.forall(q => q >= 1 && q <= 255),
+      "qtables must be 64 entries in 1..255")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8) // SOI
+    marker(0xE0); u16(16) // APP0 JFIF
+    Seq('J', 'F', 'I', 'F', 0).foreach(chr => u8(chr.toInt))
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      marker(0xDB); u16(2 + 1 + 64); u8(id)
+      var zz = 0
+      while (zz < 64) { u8(q(zigzag(zz))); zz += 1 }
+    }
+    dqt(0, qLuma); dqt(1, qChroma)
+    val sampY = if (subsample) 0x22 else 0x11
+    marker(0xC0); u16(8 + 3 * 3) // SOF0: 3 components
+    u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8(sampY); u8(0) // Y: qtable 0
+    u8(2); u8(0x11); u8(1)  // Cb: qtable 1
+    u8(3); u8(0x11); u8(1)  // Cr: qtable 1
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + vals.length); u8(cls << 4)
+      var l = 1
+      while (l <= 16) { u8(bits(l)); l += 1 }
+      vals.foreach(u8)
+    }
+    dht(0, dcBits, dcVals)
+    dht(1, acBits, acVals)
+    marker(0xDA); u16(6 + 2 * 3) // SOS
+    u8(3)
+    u8(1); u8(0x00); u8(2); u8(0x00); u8(3); u8(0x00)
+    u8(0); u8(63); u8(0)
+    val (dcCode, dcLen) = canonicalCodes(dcBits, dcVals)
+    val (acCode, acLen) = canonicalCodes(acBits, acVals)
+    val bw = new BitWriter(out)
+    val mcuW = if (subsample) 16 else 8
+    val mcuH = if (subsample) 16 else 8
+    val mcuCols = (w + mcuW - 1) / mcuW
+    val mcuRows = (h + mcuH - 1) / mcuH
+    var predY = 0; var predCb = 0; var predCr = 0
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        if (subsample) {
+          // T.81 A.2.3: the 2x2 luma blocks row-major, then Cb, then Cr
+          var vy = 0
+          while (vy < 2) {
+            var hx = 0
+            while (hx < 2) {
+              predY = encodeBlock(bw, yP, w, h,
+                mx * 16 + hx * 8, my * 16 + vy * 8, qLuma, predY,
+                dcCode, dcLen, acCode, acLen)
+              hx += 1
+            }
+            vy += 1
+          }
+        } else {
+          predY = encodeBlock(bw, yP, w, h, mx * 8, my * 8, qLuma, predY,
+            dcCode, dcLen, acCode, acLen)
+        }
+        predCb = encodeBlock(bw, cbP, cw, ch, mx * 8, my * 8, qChroma, predCb,
+          dcCode, dcLen, acCode, acLen)
+        predCr = encodeBlock(bw, crP, cw, ch, mx * 8, my * 8, qChroma, predCr,
+          dcCode, dcLen, acCode, acLen)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode 8-bit RGB (row-major channel arrays) as a baseline YCbCr JPEG
+    * — T.871 forward transform, then 2×2-mean chroma downsample when
+    * `subsample` (4:2:0, the dominant web configuration), then
+    * [[encodeYcbcr]].
+    */
+  def encodeColor(r: Array[Int], g: Array[Int], b: Array[Int], w: Int, h: Int,
+                  qLuma: Array[Int], qChroma: Array[Int],
+                  subsample: Boolean): Array[Byte] = {
+    require(w >= 1 && h >= 1 && r.length == w * h && g.length == w * h &&
+      b.length == w * h, s"bad dims ${w}x$h")
+    def clamp(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    val yP = new Array[Int](w * h)
+    val cbF = new Array[Int](w * h)
+    val crF = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val rv = r(i); val gv = g(i); val bv = b(i)
+      yP(i) = clamp(Math.round(0.299 * rv + 0.587 * gv + 0.114 * bv))
+      cbF(i) = clamp(Math.round(128.0 - 0.168736 * rv - 0.331264 * gv + 0.5 * bv))
+      crF(i) = clamp(Math.round(128.0 + 0.5 * rv - 0.418688 * gv - 0.081312 * bv))
+      i += 1
+    }
+    if (!subsample) return encodeYcbcr(yP, cbF, crF, w, h, qLuma, qChroma,
+      subsample = false)
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    val cbP = new Array[Int](cw * ch)
+    val crP = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        var sCb = 0; var sCr = 0; var n = 0
+        var dy = 0
+        while (dy < 2) {
+          val sy = cy * 2 + dy
+          if (sy < h) {
+            var dx = 0
+            while (dx < 2) {
+              val sx = cx * 2 + dx
+              if (sx < w) { sCb += cbF(sy * w + sx); sCr += crF(sy * w + sx); n += 1 }
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        cbP(cy * cw + cx) = Math.round(sCb.toDouble / n).toInt
+        crP(cy * cw + cx) = Math.round(sCr.toDouble / n).toInt
+        cx += 1
+      }
+      cy += 1
+    }
+    encodeYcbcr(yP, cbP, crP, w, h, qLuma, qChroma, subsample = true)
+  }
+
+  // ------------------------------------------------------------- decoder
+
+  private final case class Comp(id: Int, hs: Int, vs: Int, tq: Int)
+
+  def decodeColor(b: Array[Byte]): Option[DecodedColor] = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
+    val qtables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var w = 0; var h = 0
+    var comps: Array[Comp] = null
+    var restartInterval = 0
+    var i = 2
+    var sosAt = -1
+    // per-component entropy selectors, SOS order = comps order
+    val dcSel = new Array[Int](3)
+    val acSel = new Array[Int](3)
+    while (sosAt < 0) {
+      if (i + 1 >= b.length) return None
+      if ((b(i) & 0xff) != 0xFF) return None
+      var m = b(i + 1) & 0xff
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+      if (m == 0xD9) return None // EOI before SOS
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 }
+      else {
+        if (i + 3 >= b.length) return None
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        m match {
+          case 0xDB =>
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (tq > 3) return None
+              val q = new Array[Int](64)
+              if (pq == 0) {
+                if (p + 65 > segEnd) return None
+                var k = 0
+                while (k < 64) { q(zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
+                p += 65
+              } else if (pq == 1) {
+                if (p + 129 > segEnd) return None
+                var k = 0
+                while (k < 64) {
+                  q(zigzag(k)) = ((b(p + 1 + 2 * k) & 0xff) << 8) |
+                    (b(p + 2 + 2 * k) & 0xff)
+                  k += 1
+                }
+                p += 129
+              } else return None
+              qtables(tq) = q
+            }
+          case 0xC4 =>
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              if (p + 17 > segEnd) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = b(p + l) & 0xff; total += bits(l); l += 1 }
+              if (p + 17 + total > segEnd) return None
+              val vals = new Array[Int](total)
+              var k = 0
+              while (k < total) { vals(k) = b(p + 17 + k) & 0xff; k += 1 }
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + total
+            }
+          case 0xC0 | 0xC1 => // baseline / extended sequential Huffman
+            if (len < 8 + 3 * 3) return None
+            val prec = b(seg) & 0xff
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val nComp = b(seg + 5) & 0xff
+            if (prec != 8 || nComp != 3 || w < 1 || h < 1) return None
+            comps = Array.tabulate(3) { ci =>
+              val o = seg + 6 + ci * 3
+              Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
+                b(o + 2) & 0x0f)
+            }
+            // sampling factors 1 or 2 per axis only (4:4:4 / 4:2:2 /
+            // 4:4:0 / 4:2:0); anything else is out of scope → refuse
+            if (comps.exists(cp => cp.hs < 1 || cp.hs > 2 || cp.vs < 1 ||
+                cp.vs > 2 || cp.tq > 3)) return None
+          case mm if mm >= 0xC2 && mm <= 0xCF && mm != 0xC4 && mm != 0xC8 && mm != 0xCC =>
+            return None // progressive / arithmetic / lossless: refused
+          case 0xDD =>
+            if (len != 4) return None
+            restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xDA =>
+            if (comps == null) return None
+            val ns = b(seg) & 0xff
+            if (ns != 3) return None
+            var ci = 0
+            while (ci < 3) {
+              val cid = b(seg + 1 + ci * 2) & 0xff
+              // scan order must match SOF order (interleaved baseline)
+              if (cid != comps(ci).id) return None
+              dcSel(ci) = (b(seg + 2 + ci * 2) & 0xff) >> 4
+              acSel(ci) = b(seg + 2 + ci * 2) & 0x0f
+              if (dcSel(ci) > 3 || acSel(ci) > 3) return None
+              ci += 1
+            }
+            sosAt = segEnd
+          case _ => () // APPn/COM/etc: skip
+        }
+        i = segEnd
+      }
+    }
+    if (w == 0 || comps == null) return None
+    if (comps.exists(cp => qtables(cp.tq) == null)) return None
+    var ci = 0
+    while (ci < 3) {
+      if (dcTables(dcSel(ci)) == null || acTables(acSel(ci)) == null) return None
+      ci += 1
+    }
+    // untrusted dims drive THREE channel allocations — cap like the PNG
+    // path before the entropy data proves itself
+    if (w.toLong * h > (1L << 24)) return None
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcuCols = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcuRows = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component block-padded planes
+    val planeW = comps.map(cp => mcuCols * cp.hs * 8)
+    val planeH = comps.map(cp => mcuRows * cp.vs * 8)
+    val planes = Array.tabulate(3)(ci2 => new Array[Int](planeW(ci2) * planeH(ci2)))
+    val br = new BitReader(b, sosAt)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val pred = new Array[Int](3)
+    var mcu = 0
+    var nextRst = 0xD0
+
+    // decode ONE block of component ci into its plane at block (bx, by);
+    // false = corrupt stream
+    def block(ci2: Int, bx: Int, by: Int): Boolean = {
+      val q = qtables(comps(ci2).tq)
+      val dcT = dcTables(dcSel(ci2))
+      val acT = acTables(acSel(ci2))
+      java.util.Arrays.fill(coef, 0)
+      val t = br.decode(dcT)
+      if (t < 0 || t > 11) return false
+      var diff = 0
+      if (t > 0) {
+        val rcv = br.receive(t); if (rcv == Int.MinValue) return false
+        diff = extend(rcv, t)
+      }
+      pred(ci2) += diff
+      coef(0) = pred(ci2) * q(0)
+      var acSeen = false
+      var k = 1
+      while (k < 64) {
+        val rs = br.decode(acT)
+        if (rs < 0) return false
+        val rr = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (rr == 15) k += 16 // ZRL
+          else k = 64 // EOB
+        } else {
+          k += rr
+          if (k > 63) return false
+          val rv = br.receive(s); if (rv == Int.MinValue) return false
+          coef(zigzag(k)) = extend(rv, s) * q(zigzag(k))
+          acSeen = true
+          k += 1
+        }
+      }
+      val pw = planeW(ci2)
+      val plane = planes(ci2)
+      val px0 = bx * 8
+      val py0 = by * 8
+      if (!acSeen) {
+        // DC-only fast path — bit-identical to the full IDCT (see
+        // JpegCodec.decodeGray for the float-op-order argument)
+        val t0 = c(0) * coef(0).toDouble * 1.0
+        val s0 = c(0) * t0 * 1.0
+        val sv = Math.round(0.25 * s0 + 128.0).toInt
+        val flat = if (sv < 0) 0 else if (sv > 255) 255 else sv
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { plane((py0 + y) * pw + px0 + x) = flat; x += 1 }
+          y += 1
+        }
+      } else {
+        var v = 0
+        while (v < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0; var u = 0
+            while (u < 8) { s += c(u) * coef(v * 8 + u) * cosTab(x)(u); u += 1 }
+            tmp(v * 8 + x) = s
+            x += 1
+          }
+          v += 1
+        }
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var s = 0.0; var v2 = 0
+            while (v2 < 8) { s += c(v2) * tmp(v2 * 8 + x) * cosTab(y)(v2); v2 += 1 }
+            val sv = Math.round(0.25 * s + 128.0).toInt
+            plane((py0 + y) * pw + px0 + x) =
+              if (sv < 0) 0 else if (sv > 255) 255 else sv
+            x += 1
+          }
+          y += 1
+        }
+      }
+      true
+    }
+
+    var my = 0
+    while (my < mcuRows) {
+      var mx = 0
+      while (mx < mcuCols) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.align()
+          if (br.sawMarker < 0) {
+            if (br.pos + 1 >= b.length || (b(br.pos) & 0xff) != 0xFF) return None
+            br.sawMarker = b(br.pos + 1) & 0xff
+            br.pos += 2
+          }
+          if (br.sawMarker != nextRst) return None
+          br.sawMarker = -1
+          nextRst = if (nextRst == 0xD7) 0xD0 else nextRst + 1
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        var ci2 = 0
+        while (ci2 < 3) {
+          val cp = comps(ci2)
+          var vy = 0
+          while (vy < cp.vs) {
+            var hx = 0
+            while (hx < cp.hs) {
+              if (!block(ci2, mx * cp.hs + hx, my * cp.vs + vy)) return None
+              hx += 1
+            }
+            vy += 1
+          }
+          ci2 += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    // upsample (nearest-neighbor index replication) + T.871 → RGB, each
+    // channel ONE IEEE expression in literal order (the oracle contract)
+    val rOut = new Array[Int](w * h)
+    val gOut = new Array[Int](w * h)
+    val bOut = new Array[Int](w * h)
+    def clamp255(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val yv = planes(0)((y * comps(0).vs / vmax) * planeW(0) +
+          (x * comps(0).hs / hmax))
+        val cbv = planes(1)((y * comps(1).vs / vmax) * planeW(1) +
+          (x * comps(1).hs / hmax))
+        val crv = planes(2)((y * comps(2).vs / vmax) * planeW(2) +
+          (x * comps(2).hs / hmax))
+        rOut(y * w + x) = clamp255(Math.round(yv + 1.402 * (crv - 128)))
+        gOut(y * w + x) = clamp255(Math.round(
+          yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)))
+        bOut(y * w + x) = clamp255(Math.round(yv + 1.772 * (cbv - 128)))
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedColor(w, h, rOut, gOut, bOut))
+  }
+}
+
+/** Codegen'd planted COLOR payload builder (the [[JpegGray]] pattern in
+  * YCbCr): each text char becomes one CONSTANT 16×16 4:2:0 MCU with
+  *   Y  = byte, Cb = 112 + byte % 32, Cr = 112 + (byte·7) % 32
+  * (distinct chroma per char, all three pre-clamp RGB expressions strictly
+  * positive for printable ASCII — see JpegColorSpec's tie sweep),
+  * `mcusPerRow` MCUs per image row, partial MCU row dropped, all-ones
+  * quantization tables. Constant MCUs are DC-only in all three components
+  * and survive the lossy pipeline bit-exactly, so q_m14's oracle can
+  * recompute the decoded RGB statistics from the text. NULL (or a text
+  * shorter than one MCU row) → NULL.
+  */
+case class JpegColor(child: Expression, mcusPerRow: Int) extends UnaryExpression {
+  require(mcusPerRow >= 1 && mcusPerRow <= 32,
+    s"mcusPerRow must be in [1, 32], got $mcusPerRow")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jpeg_color requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    JpegColor.build(input.asInstanceOf[UTF8String], mcusPerRow)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cIn => {
+      s"""
+         |${ev.value} = graft.multimodal.JpegColor.build($cIn, $mcusPerRow);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JpegColor =
+    copy(child = newChild)
+  override def prettyName: String = "jpeg_color"
+}
+
+object JpegColor {
+  private val onesQ: Array[Int] = Array.fill(64)(1)
+
+  /** Static build shared by eval and generated code ([[JpegGray.build]]
+    * convention).
+    */
+  def build(text: UTF8String, mcusPerRow: Int): Array[Byte] = {
+    val bytes = text.getBytes
+    val nMcus = (bytes.length / mcusPerRow) * mcusPerRow
+    if (nMcus == 0) return null
+    val w = mcusPerRow * 16
+    val h = (nMcus / mcusPerRow) * 16
+    val cw = w / 2
+    val ch = h / 2
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](cw * ch)
+    val crP = new Array[Int](cw * ch)
+    var mi = 0
+    while (mi < nMcus) {
+      val v = bytes(mi) & 0xff
+      val cb = 112 + v % 32
+      val cr = 112 + (v * 7) % 32
+      val my = (mi / mcusPerRow) * 16
+      val mx = (mi % mcusPerRow) * 16
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) { yP((my + y) * w + mx + x) = v; x += 1 }
+        y += 1
+      }
+      val cy0 = my / 2
+      val cx0 = mx / 2
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          cbP((cy0 + y) * cw + cx0 + x) = cb
+          crP((cy0 + y) * cw + cx0 + x) = cr
+          x += 1
+        }
+        y += 1
+      }
+      mi += 1
+    }
+    JpegColorCodec.encodeYcbcr(yP, cbP, crP, w, h, onesQ, onesQ,
+      subsample = true)
+  }
+
+  def col(c: Column, mcusPerRow: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(JpegColor(GraftSqlBridge.expression(c), mcusPerRow))
+  }
+
+  final case class JpegColorStats(media_id: Long, width: Int, height: Int,
+                                  n_pixels: Long, r_mean: Double,
+                                  g_mean: Double, b_mean: Double)
+
+  /** Full color decode reduced to per-image channel means — the
+    * partition-batched decode interface ([[Multimodal.extractJpegStats]]
+    * twin): per-partition streaming flatMap, undecodable payloads
+    * quarantine to None.
+    */
+  def extractJpegColorStats(media: DataFrame): Dataset[JpegColorStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) =>
+        JpegColorCodec.decodeColor(p).map { d =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < d.r.length) { sr += d.r(i); sg += d.g(i); sb += d.b(i); i += 1 }
+          val n = d.r.length.toLong
+          JpegColorStats(id, d.w, d.h, n, sr.toDouble / n, sg.toDouble / n,
+            sb.toDouble / n)
+        }
+      })
+  }
+}

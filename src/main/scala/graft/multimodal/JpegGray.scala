@@ -33,10 +33,10 @@ object JpegCodec {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
-  private val cosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (a, k) =>
+  private[multimodal] val cosTab: Array[Array[Double]] = Array.tabulate(8, 8) { (a, k) =>
     math.cos((2 * a + 1) * k * math.Pi / 16.0)
   }
-  private val c: Array[Double] =
+  private[multimodal] val c: Array[Double] =
     Array.tabulate(8)(k => if (k == 0) 1.0 / math.sqrt(2.0) else 1.0)
 
   /** The emitted tables: every symbol at one code length (12 DC category
@@ -88,7 +88,7 @@ object JpegCodec {
 
   // ---------------------------------------------------------------- encoder
 
-  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+  private[multimodal] final class BitWriter(out: java.io.ByteArrayOutputStream) {
     private var acc = 0
     private var nBits = 0
     def put(code: Int, len: Int): Unit = {
@@ -112,7 +112,7 @@ object JpegCodec {
     }
   }
 
-  private def csize(v: Int): Int = { // bit category of a coefficient
+  private[multimodal] def csize(v: Int): Int = { // bit category of a coefficient
     var a = math.abs(v); var n = 0
     while (a != 0) { a >>= 1; n += 1 }
     n
@@ -280,7 +280,7 @@ object JpegCodec {
 
   // ---------------------------------------------------------------- decoder
 
-  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+  private[multimodal] final class HuffTable(bits: Array[Int], vals: Array[Int]) {
     val minCode = new Array[Int](17)
     val maxCode = Array.fill(17)(-1)
     val valPtr = new Array[Int](17)
@@ -300,7 +300,7 @@ object JpegCodec {
     def value(len: Int, code: Int): Int = vals(valPtr(len) + code - minCode(len))
   }
 
-  private final class BitReader(b: Array[Byte], var pos: Int) {
+  private[multimodal] final class BitReader(b: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nBits = 0
     var sawMarker: Int = -1 // marker byte hit inside entropy data (RST/EOI)
@@ -340,7 +340,7 @@ object JpegCodec {
     }
   }
 
-  private def extend(v: Int, t: Int): Int =
+  private[multimodal] def extend(v: Int, t: Int): Int =
     if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
 
   /** Decoded image: dimensions + pixels row-major in 0..255. */

@@ -3047,6 +3047,34 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_m14_jpeg_color_stats" -> ((s, d) => {
+      // REAL color JPEG decode (the dominant web payload shape): genuine
+      // baseline 4:2:0 YCbCr streams whose 16×16 MCUs are CONSTANT planted
+      // YCbCr per text char (Y = byte, Cb = 112 + byte%32, Cr = 112 +
+      // (byte*7)%32 — all-ones qtables, DC-only spectra in all THREE
+      // interleaved components survive the lossy pipeline bit-exactly),
+      // decoded through the full 3-component marker parse + Huffman +
+      // IDCT + chroma upsample + T.871 RGB conversion
+      // (JpegColorCodec.decodeColor). The oracle recomputes every decoded
+      // RGB channel from the TEXT through the identical one-expression
+      // conversion, so a hash match proves the color pipeline recovered
+      // the actual chroma content — not just luma. Repartition before the
+      // codec for the same single-file-fixture reason as q_m7; general
+      // (AC, subsampled-gradient) payloads are pinned against
+      // javax.imageio in JpegColorSpec.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 2)
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.JpegColor.col(col("text"), 2).as("payload"))
+      graft.multimodal.JpegColor.extractJpegColorStats(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("r_mean"), 6).as("r_mean"),
+          round(col("g_mean"), 6).as("g_mean"),
+          round(col("b_mean"), 6).as("b_mean"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_v26_embed_pipeline" -> ((s, d) =>
       // embedding-preprocessing capstone: standardize → JL sign projection
       // → projected-space cosine top-10, one declarative plan, exact
@@ -4778,6 +4806,33 @@ object RelationalQueries {
                 min(v)::INT AS px_min, max(v)::INT AS px_max,
                 round(sum(v)::DOUBLE / count(*), 6) AS px_mean
          FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_m14_jpeg_color_stats" ->
+      // recompute the decoded RGB channels from the TEXT: char j (even
+      // prefix, partial MCU row dropped) is one constant 256-pixel MCU
+      // with planted YCbCr (Y=v, Cb=112+v%32, Cr=112+(v*7)%32); each
+      // channel is the SAME one-IEEE-expression T.871 conversion the
+      // decoder applies (literal operator order), clamped then averaged.
+      // A match proves the 3-component Huffman + IDCT + upsample +
+      // conversion recovered every MCU's color exactly.
+      """WITH px AS (
+           SELECT doc_id, (length(text) // 2)::INT AS mrows,
+                  ascii(text[j]) AS v
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, (length(text) // 2) * 2 + 1)) AS j) u
+           WHERE text IS NOT NULL AND length(text) >= 2),
+         ch AS (
+           SELECT doc_id, mrows,
+                  least(greatest(round(v + 1.402 * ((112 + (v * 7) % 32) - 128)), 0), 255) AS er,
+                  least(greatest(round(v - 0.344136 * ((112 + v % 32) - 128) - 0.714136 * ((112 + (v * 7) % 32) - 128)), 0), 255) AS eg,
+                  least(greatest(round(v + 1.772 * ((112 + v % 32) - 128)), 0), 255) AS eb
+           FROM px)
+         SELECT doc_id AS media_id, 32 AS width, (mrows * 16)::INT AS height,
+                (count(*) * 256)::BIGINT AS n_pixels,
+                round(sum(er)::DOUBLE / count(*), 6) AS r_mean,
+                round(sum(eg)::DOUBLE / count(*), 6) AS g_mean,
+                round(sum(eb)::DOUBLE / count(*), 6) AS b_mean
+         FROM ch GROUP BY 1, 2, 3 ORDER BY 1""",
 
     "q_m4_wav_pcm_stats" ->
       // recompute the PCM statistics from the TEXT the samples were built

@@ -371,6 +371,10 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     val m7 = SparkEntry.queries("q_m7_jpeg_pixel_stats")(spark, sfDir)
       .queryExecution.executedPlan.toString
     m7 should include("RoundRobinPartitioning")
+    // q_m14 (color): same layout-independence contract as q_m7
+    val m14 = SparkEntry.queries("q_m14_jpeg_color_stats")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    m14 should include("RoundRobinPartitioning")
   }
 
   test("band join is an equi-join on (keys, band) — never a cross/BNL join") {

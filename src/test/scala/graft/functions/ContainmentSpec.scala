@@ -60,6 +60,28 @@ class ContainmentSpec extends AnyFunSuite with Matchers {
     brute.nonEmpty shouldBe true // the plant actually exercised the check
   }
 
+  test("positional filter (PPJoin+) output is identical to prefix-only") {
+    // the positional prune must be COMPLETE: it only drops candidate pairs
+    // whose every matched prefix row bounds the overlap below the integer
+    // pigeonhole requirement — verified pairs are bit-identical either way
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (0 until 15 + rnd.nextInt(80)).map(_ => s"p${rnd.nextInt(250)}"))
+    val planted = base.take(10).zipWithIndex.map { case (toks, i) =>
+      (200L + i, (toks ++ toks.take(1)).mkString(" "))
+    }
+    val docs = (base.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      ++ planted).toDF("doc_id", "text")
+    def run(pos: Boolean) =
+      Dedup.ngramContainmentPairs(docs, "text", k = 3, threshold = 0.9,
+          prefixDenom = 10, positionalFilter = pos)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val without = run(pos = false)
+    val withPos = run(pos = true)
+    withPos shouldBe without
+    without.nonEmpty shouldBe true
+  }
+
   test("threshold below the prefix guarantee is rejected") {
     val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
     an[IllegalArgumentException] should be thrownBy

@@ -76,6 +76,32 @@ class DecoderFuzzSpec extends AnyFunSuite {
     fuzz("jpeg-rst", rst, 2000, b => JpegCodec.decodeGray(b))
   }
 
+  test("color JPEG decoder never throws on 4000 mutants (3-component + SOF dims guard)") {
+    val jpeg = JpegColor.build(UTF8String.fromString("color fuzz payload!!"), 2)
+    assert(JpegColorCodec.decodeColor(jpeg).isDefined, "fixture must be decodable")
+    fuzz("jpeg-color", jpeg, 4000, b => JpegColorCodec.decodeColor(b))
+    // direct SOF height/width corruption: the w*h alloc cap must refuse,
+    // never allocate three multi-GB channel planes
+    val rng = new Rng(0xFACADE)
+    var sof = -1
+    var j = 0
+    while (sof < 0 && j + 1 < jpeg.length) {
+      if ((jpeg(j) & 0xff) == 0xFF && (jpeg(j + 1) & 0xff) == 0xC0) sof = j
+      j += 1
+    }
+    assert(sof > 0)
+    var i = 0
+    while (i < 500) {
+      val b = jpeg.clone()
+      // SOF0 h/w fields sit at sof+5..sof+8
+      val off = sof + 5 + rng.nextInt(4)
+      b(off) = rng.nextLong().toByte
+      try JpegColorCodec.decodeColor(b)
+      catch { case e: Throwable => fail(s"color SOF mutant #$i threw: $e") }
+      i += 1
+    }
+  }
+
   test("JpegDims header scanner never throws on 4000 mutants") {
     val jpeg = JpegGray.build(UTF8String.fromString("dims fuzz payload"), 2)
     val dims = JpegDims(org.apache.spark.sql.catalyst.expressions.Literal(1))

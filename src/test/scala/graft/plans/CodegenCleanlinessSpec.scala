@@ -153,6 +153,13 @@ class CodegenCleanlinessSpec extends AnyFunSuite {
     assert(JpegCodec.decodeGray(rows(0).getAs[Array[Byte]](0)).isDefined)
   }
 
+  test("JpegColor compiles and round-trips through the decoder under CODEGEN_ONLY") {
+    import graft.multimodal.{JpegColor => JC, JpegColorCodec}
+    val rows = textDf.select(JC.col(col("s"), 2).as("jpg")).collect()
+    assert(rows.forall(!_.isNullAt(0)))
+    assert(JpegColorCodec.decodeColor(rows(0).getAs[Array[Byte]](0)).isDefined)
+  }
+
   test("BpeEncode compiles and evaluates under CODEGEN_ONLY") {
     import graft.functions.Bpe
     val rows = textDf.select(Bpe.encode(col("s"), Bpe.planted).as("ids")).collect()
