@@ -90,7 +90,7 @@ object ScaleBench {
     "q_io15_csv_quarantine", "q_t39_ngram_novelty", "q_m11_gif_pixel_stats",
     "q_m12_gif_frames", "q_v25_retrieval_eval", "q_t40_span_corruption",
     "q_t41_rake_keywords", "q_io17_manifest", "q_v26_embed_pipeline",
-    "q_m13_media_dispatch", "q_m14_jpeg_color_stats")
+    "q_m13_media_dispatch", "q_m14_jpeg_color_stats", "q_sp15_rendezvous")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail
@@ -327,6 +327,34 @@ object ScaleBench {
     Similarity.retrievalEval(truth, pred, k = 5)
   }
 
+  /** The PRODUCTION tier of q_v28's bitext mining: marginAlignment fed by
+    * TWO IVF asymmetric k-NN joins (source queries probe the target index
+    * and vice versa — the CCMatrix configuration) instead of the gate's
+    * brute all-pairs scoring. Margin arithmetic downstream is identical;
+    * candidate volume is bounded by probed cell populations.
+    */
+  private def marginAlignmentAnn(s: SparkSession, d: String,
+                                 fixedNprobe: Int = 0): DataFrame = {
+    import graft.functions.{IvfIndex, Similarity}
+    val embs = Tables.embeddings(s, d)
+    val src = embs.filter(col("label") < 5)
+    val tgt = embs.filter(col("label") >= 5)
+    val mT = IvfIndex.autoModel(s, tgt, corpusKey = d + ":tgt")
+    val mS = IvfIndex.autoModel(s, src, corpusKey = d + ":src")
+    def np(cells: Int) = if (fixedNprobe > 0) math.min(fixedNprobe, cells)
+                         else IvfIndex.nprobeForFraction(cells, 0.125)
+    val fwd = IvfIndex.knnJoin(tgt, mT, k = 4, nprobe = np(mT.numCells),
+        queries = Some(src))
+      .select(col("vec_id").as("src_id"), col("vid_b").as("tgt_id"),
+        col("cosine").as("cos"))
+    val bwd = IvfIndex.knnJoin(src, mS, k = 4, nprobe = np(mS.numCells),
+        queries = Some(tgt))
+      .select(col("vid_b").as("src_id"), col("vec_id").as("tgt_id"),
+        col("cosine").as("cos"))
+    Similarity.marginAlignment(
+      fwd.unionByName(bwd).dropDuplicates("src_id", "tgt_id"), k = 4)
+  }
+
   /** Corpus-wide ANN join with the production cell-sizing rule
     * ([[graft.functions.IvfIndex.autoNumCells]]) and a bounded training
     * sample (Lloyd's step cost is cells × training rows; training on an
@@ -491,7 +519,12 @@ object ScaleBench {
     val annQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q_v2_knn_lsh_autoplanes" -> ((s: SparkSession, d: String) => lshAutoSized(s, d)),
       "q_v4_knn_join_autocells" -> ((s: SparkSession, d: String) => knnJoinAutoCells(s, d)),
-      "q_v25_production" -> ((s: SparkSession, d: String) => retrievalEvalProduction(s, d)))
+      "q_v25_production" -> ((s: SparkSession, d: String) => retrievalEvalProduction(s, d)),
+      "q_v28_production" -> ((s: SparkSession, d: String) => marginAlignmentAnn(s, d)),
+      // the speed dial: fixed nprobe=2 (recall decays with cell growth —
+      // the documented trade; measured next to the fraction form)
+      "q_v28_production_np2" -> ((s: SparkSession, d: String) =>
+        marginAlignmentAnn(s, d, fixedNprobe = 2)))
     // the gram-keyed operators the planted-boilerplate point stress-tests,
     // each in gate form AND (where it exists) the hash-key production form
     val skewFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -41,4 +41,34 @@ object ShardAssign {
       .withColumn("shard_id", expr(s"_sa_off div ${shardBudget}L"))
       .drop("_sa_off")
   }
+
+  /** Highest-random-weight (rendezvous) shard assignment — the CONSISTENT
+    * placement primitive (Thaler & Ravishankar 1998; what Ceph/Riak-style
+    * systems use): shard(key) = argmax over s ∈ [0, numShards) of
+    * h(key, s). Unlike `hash(key) % n`, growing the shard count moves ONLY
+    * the keys whose new shard's weight wins — an expected 1/(n+1) of the
+    * corpus instead of (n−1)/n — and every moved key lands EXACTLY on the
+    * new shard (it could only have started winning where a new contestant
+    * appeared). That is the property that makes incremental re-sharding of
+    * a 100 TB corpus an append-plus-small-move instead of a full rewrite.
+    *
+    * Scale shape: MAP-ONLY — the per-key argmax is an in-row
+    * `sort_array` over numShards (hash, shard) structs built from a
+    * `sequence` literal; no explode, no window, no shuffle. Hashes are the
+    * engine-portable md5 32-bit slice, so an oracle re-derives the full
+    * assignment. Ties (2⁻³² per pair) break to the LARGER shard id
+    * (descending struct sort), documented so both engines agree.
+    */
+  def rendezvousShard(df: DataFrame, keyCol: Column, numShards: Int,
+                      out: String = "shard", seed: String = "hrw"): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1 (got $numShards)")
+    val entries = transform(
+      sequence(lit(0), lit(numShards - 1)),
+      s => struct(
+        Dedup.md5Hash32(concat_ws(":", lit(seed), keyCol.cast("string"),
+          s.cast("string"))).as("h"),
+        s.as("s")))
+    df.withColumn(out,
+      sort_array(entries, asc = false).getItem(0).getField("s"))
+  }
 }

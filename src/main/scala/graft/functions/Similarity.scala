@@ -404,6 +404,87 @@ object Similarity {
           lit(0.0d)), 6).as("rr"))
   }
 
+  /** Brute-force scored pair table for [[marginAlignment]]: every
+    * (src, tgt) cosine, rounded to 6 — the oracle-exact gate tier. The
+    * production tier at corpus scale feeds marginAlignment from TWO IVF
+    * asymmetric k-NN joins instead (cost: queries × probed cells — the
+    * CCMatrix configuration); the margin arithmetic downstream is
+    * identical, which is why scoring is split out.
+    */
+  def bruteAlignScores(src: DataFrame, tgt: DataFrame): DataFrame =
+    src.select(col("vec_id").as("src_id"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        tgt.select(col("vec_id").as("tgt_id"), col("embedding").as("eb"))))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos"))
+
+  /** Margin-based alignment (bitext) mining — the ratio-margin criterion
+    * of Artetxe & Schwenk (ACL 2019), the method behind the public
+    * CCMatrix/WikiMatrix parallel-corpus builds: raw cosine over-selects
+    * hub vectors, so each candidate pair is scored by its cosine RELATIVE
+    * to both endpoints' neighborhoods,
+    *   margin(x, y) = cos(x, y) / ((avgₖNN(x) + avgₖNN(y)) / 2),
+    * and each source keeps its best-margin target (margin ≥ `minMargin`),
+    * flagged `mutual` when the pair is ALSO the target's best source —
+    * the intersection criterion the papers report highest precision for.
+    *
+    * `scored` is any (src_id, tgt_id, cos) table: [[bruteAlignScores]] at
+    * gate scale (oracle-exact), ANN k-NN unions in production. All margin
+    * arithmetic is EXACT-integer until one final division: cosines
+    * integerize to micro-units, neighborhood sums are BIGINT, and
+    *   margin = (2·cm·cntₓ·cntᵧ) / (sumₓ·cntᵧ + sumᵧ·cntₓ)
+    * (counts, not k, so truncated neighborhoods stay well-defined) is a
+    * single IEEE divide rounded to 6 — bit-reproducible on any
+    * partitioning and in any SQL engine.
+    *
+    * Scale shape: two top-k windows keyed by src/tgt ids, two
+    * group-sums on the k·|side| candidate tables, broadcast-sized
+    * neighborhood-sum joins — after scoring, nothing touches the corpus.
+    */
+  def marginAlignment(scored: DataFrame, k: Int,
+                      minMargin: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    // one scoring pass feeds four consumers (two rankings, two sums):
+    // checkpoint it or Catalyst re-plans the scoring per consumer (the
+    // q_q3 convention); the returned plan reads it, so the handle stays
+    val (sc, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      scored.select(col("src_id"), col("tgt_id"), col("cos"),
+        round(col("cos") * 1e6d).cast("long").as("cm")))
+    val wF = Window.partitionBy(col("src_id")).orderBy(desc("cm"), col("tgt_id"))
+    val wB = Window.partitionBy(col("tgt_id")).orderBy(desc("cm"), col("src_id"))
+    val fwd = sc.withColumn("rn", row_number().over(wF)).filter(col("rn") <= k)
+    val bwd = sc.withColumn("rn", row_number().over(wB)).filter(col("rn") <= k)
+    val sumSrc = fwd.groupBy(col("src_id"))
+      .agg(sum(col("cm")).as("sum_src"), count(lit(1)).as("cnt_src"))
+    val sumTgt = bwd.groupBy(col("tgt_id"))
+      .agg(sum(col("cm")).as("sum_tgt"), count(lit(1)).as("cnt_tgt"))
+    def withMargin(cand: DataFrame): DataFrame = cand
+      .join(broadcast(sumSrc), "src_id")
+      .join(broadcast(sumTgt), "tgt_id")
+      .withColumn("den",
+        col("sum_src") * col("cnt_tgt") + col("sum_tgt") * col("cnt_src"))
+      .filter(col("den") > 0) // degenerate all-negative neighborhoods
+      .withColumn("margin", round(
+        (col("cm") * 2L * col("cnt_src") * col("cnt_tgt")).cast("double") /
+          col("den").cast("double"), 6))
+    val wBestF = Window.partitionBy(col("src_id"))
+      .orderBy(desc("margin"), col("tgt_id"))
+    val bestF = withMargin(fwd)
+      .withColumn("bn", row_number().over(wBestF)).filter(col("bn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"))
+    val wBestB = Window.partitionBy(col("tgt_id"))
+      .orderBy(desc("margin"), col("src_id"))
+    val bestB = withMargin(bwd)
+      .withColumn("bn", row_number().over(wBestB)).filter(col("bn") === 1)
+      .select(col("src_id"), col("tgt_id"))
+    bestF.filter(col("margin") >= minMargin)
+      .join(bestB.withColumn("mutual", lit(true)),
+        Seq("src_id", "tgt_id"), "left")
+      .select(col("src_id"), col("tgt_id"), col("cos"), col("margin"),
+        coalesce(col("mutual"), lit(false)).as("mutual"))
+  }
+
   /** Deterministic sparse-free random projection (Johnson–Lindenstrauss
     * sign matrix): y_j = (Σ_i x_i · s(i,j)) / √dOut with s(i,j) ∈ {−1, +1}
     * derived from md5 — the 4×-cheaper dimensionality reduction a pipeline

@@ -3075,6 +3075,44 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_sp15_rendezvous" -> ((s, d) => {
+      // consistent (rendezvous/HRW) shard placement + the minimal-movement
+      // audit: assign every doc under 8 shards and under 9, report per-
+      // old-shard counts and how many docs MOVE. The rendezvous property
+      // (moved docs land only on the new shard, expected movement 1/9 vs
+      // 8/9 for mod-hashing) is what makes growing a 100 TB corpus's
+      // shard count an append-plus-small-move instead of a full rewrite;
+      // RendezvousSpec pins the property itself, this gate hashes the
+      // full assignment arithmetic. Map-only until the audit aggregate.
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val a8 = graft.functions.ShardAssign.rendezvousShard(docs,
+        col("doc_id"), 8, out = "shard8")
+      val both = graft.functions.ShardAssign.rendezvousShard(a8,
+        col("doc_id"), 9, out = "shard9")
+      both.groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .orderBy(col("shard8"))
+    }),
+
+    "q_v28_bitext_margin" -> ((s, d) => {
+      // margin-based alignment mining (the CCMatrix/WikiMatrix criterion):
+      // labels < 5 as the "source language", >= 5 as the "target"; each
+      // source keeps its best ratio-margin target over k=4 neighborhoods,
+      // flagged mutual when it is also the target's best source. Scoring
+      // here is the brute tier ON PURPOSE (the oracle needs exact k-NN
+      // lists — the q_v5 convention); production feeds marginAlignment
+      // from two IVF asymmetric k-NN joins (ScaleBench q_v28_production).
+      // All margin arithmetic is exact-integer until ONE final divide.
+      val embs = Tables.embeddings(s, d)
+      graft.functions.Similarity.marginAlignment(
+          graft.functions.Similarity.bruteAlignScores(
+            embs.filter(col("label") < 5), embs.filter(col("label") >= 5)),
+          k = 4, minMargin = 1.0)
+        .orderBy(col("src_id"))
+    }),
+
     "q_v26_embed_pipeline" -> ((s, d) =>
       // embedding-preprocessing capstone: standardize → JL sign projection
       // → projected-space cosine top-10, one declarative plan, exact
@@ -4806,6 +4844,79 @@ object RelationalQueries {
                 min(v)::INT AS px_min, max(v)::INT AS px_max,
                 round(sum(v)::DOUBLE / count(*), 6) AS px_mean
          FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_sp15_rendezvous" ->
+      // the full HRW argmax re-derived: per (doc, shard) md5 32-bit
+      // weights, argmax with the documented (hash DESC, shard DESC) tie
+      // order, movement audit between the 8- and 9-shard assignments
+      """WITH h AS (
+           SELECT doc_id, s,
+                  ('0x' || substr(md5('hrw:' || doc_id::VARCHAR || ':' || s::VARCHAR), 1, 8))::BIGINT AS hv
+           FROM documents, LATERAL (SELECT unnest(range(0, 9)) AS s) u),
+         a8 AS (SELECT doc_id, s AS shard8 FROM (
+                  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY hv DESC, s DESC) AS rn
+                  FROM h WHERE s < 8) WHERE rn = 1),
+         a9 AS (SELECT doc_id, s AS shard9 FROM (
+                  SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY hv DESC, s DESC) AS rn
+                  FROM h) WHERE rn = 1)
+         SELECT shard8::INT AS shard8, count(*)::BIGINT AS n_docs,
+                sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END)::BIGINT AS n_moved
+         FROM a8 JOIN a9 USING (doc_id)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_v28_bitext_margin" ->
+      // the whole margin chain re-derived: brute cosines, micro-unit
+      // integerization, per-side top-4 neighborhoods, exact-integer
+      // margin numerator/denominator with ONE final divide, best-per-src
+      // ∧ best-per-tgt mutual intersection
+      """WITH x AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS e
+                    FROM embeddings WHERE label < 5),
+         y AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE label >= 5),
+         sc AS (
+           SELECT src_id, tgt_id,
+                  round(list_cosine_similarity(x.e, y.e), 6) AS cos
+           FROM x CROSS JOIN y),
+         scm AS (SELECT src_id, tgt_id, cos,
+                        round(cos * 1e6)::BIGINT AS cm FROM sc),
+         fwd AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY src_id
+                     ORDER BY cm DESC, tgt_id) AS rn FROM scm) WHERE rn <= 4),
+         bwd AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY tgt_id
+                     ORDER BY cm DESC, src_id) AS rn FROM scm) WHERE rn <= 4),
+         ss AS (SELECT src_id, sum(cm) AS sum_src, count(*) AS cnt_src
+                FROM fwd GROUP BY 1),
+         st AS (SELECT tgt_id, sum(cm) AS sum_tgt, count(*) AS cnt_tgt
+                FROM bwd GROUP BY 1),
+         mf AS (
+           SELECT f.src_id, f.tgt_id, f.cos,
+                  round((f.cm * 2 * ss.cnt_src * st.cnt_tgt)::DOUBLE /
+                        (ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src)::DOUBLE,
+                        6) AS margin
+           FROM fwd f JOIN ss USING (src_id) JOIN st USING (tgt_id)
+           WHERE ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src > 0),
+         bf AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id) AS bn FROM mf) WHERE bn = 1),
+         mb AS (
+           SELECT b.src_id, b.tgt_id,
+                  round((b.cm * 2 * ss.cnt_src * st.cnt_tgt)::DOUBLE /
+                        (ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src)::DOUBLE,
+                        6) AS margin
+           FROM bwd b JOIN ss USING (src_id) JOIN st USING (tgt_id)
+           WHERE ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src > 0),
+         bb AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY tgt_id
+                    ORDER BY margin DESC, src_id) AS bn FROM mb) WHERE bn = 1)
+         SELECT bf.src_id, bf.tgt_id, bf.cos, bf.margin,
+                (bb.src_id IS NOT NULL) AS mutual
+         FROM bf LEFT JOIN bb
+           ON bf.src_id = bb.src_id AND bf.tgt_id = bb.tgt_id
+         WHERE bf.margin >= 1.0
+         ORDER BY bf.src_id""",
 
     "q_m14_jpeg_color_stats" ->
       // recompute the decoded RGB channels from the TEXT: char j (even

@@ -377,6 +377,17 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     m14 should include("RoundRobinPartitioning")
   }
 
+  test("bitext margin's post-scoring plan reads only the checkpointed score table") {
+    // the one corpus pass (brute at gate scale, ANN in production) is cut
+    // with a checkpoint feeding four consumers (two rankings, two sums);
+    // the returned plan must never re-reach parquet or a cross product
+    val q = SparkEntry.queries("q_v28_bitext_margin")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan should not include "Scan parquet"
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("band join is an equi-join on (keys, band) — never a cross/BNL join") {
     val q = SparkEntry.queries("q_j11_band_join")(spark, sfDir)
     q.collect()

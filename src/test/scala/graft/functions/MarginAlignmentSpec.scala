@@ -1,0 +1,81 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the margin-based alignment miner on a planted hub scenario — the
+  * exact failure mode the ratio margin exists to fix: a "hub" target
+  * vector sits moderately close to EVERY source (raw cosine picks it for
+  * all of them), while each source's true counterpart is slightly farther
+  * in raw cosine but reciprocal. The margin normalizes by both endpoints'
+  * neighborhood averages, so the hub's uniformly-high neighborhood kills
+  * its margin and every source recovers its true mutual pair.
+  */
+class MarginAlignmentSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // sources: the three axes. targets: per-source counterparts with
+  // cos(s_i, t_i) = 0.56 (bulk of their norm on the orthogonal 4th dim,
+  // so they are close to NOTHING else), plus the hub at cos = 0.577 to
+  // every source.
+  private val w = 0.8255f
+  private def srcDf = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0f, 1f, 0f, 0f)),
+    (2L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+  private def tgtDf = Seq(
+    (10L, Array(0.56f, 0.05f, 0.05f, w)),
+    (11L, Array(0.05f, 0.56f, 0.05f, w)),
+    (12L, Array(0.05f, 0.05f, 0.56f, w)),
+    (13L, Array(0.5774f, 0.5774f, 0.5774f, 0f))) // the hub
+    .toDF("vec_id", "embedding")
+
+  test("raw cosine picks the hub for every source (the failure the margin fixes)") {
+    import org.apache.spark.sql.expressions.Window
+    val sc = Similarity.bruteAlignScores(srcDf, tgtDf)
+    val best = sc.withColumn("rn", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(desc("cos"), col("tgt_id"))))
+      .filter(col("rn") === 1)
+      .select(col("src_id"), col("tgt_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    best shouldBe Map(0L -> 13L, 1L -> 13L, 2L -> 13L)
+  }
+
+  test("margin recovers the true mutual pairs and demotes the hub") {
+    val out = Similarity.marginAlignment(
+        Similarity.bruteAlignScores(srcDf, tgtDf), k = 2, minMargin = 1.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    out.map(t => t._1 -> t._2) shouldBe Seq(0L -> 10L, 1L -> 11L, 2L -> 12L)
+    all(out.map(_._3)) should be > 1.0
+    all(out.map(_._4)) shouldBe true
+  }
+
+  test("margin output is deterministic across partitionings") {
+    val a = Similarity.marginAlignment(
+      Similarity.bruteAlignScores(srcDf.repartition(7), tgtDf), k = 2)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.marginAlignment(
+      Similarity.bruteAlignScores(srcDf.coalesce(1), tgtDf), k = 2)
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+
+  test("truncated neighborhoods (|side| < k) stay well-defined via counts") {
+    // one target only: k = 4 neighborhoods hold 1 element each; margin is
+    // cos/((cos + cos)/2 averaged by counts) = 1.0 exactly for the pair
+    val oneTgt = tgtDf.filter(col("vec_id") === 10L)
+    val out = Similarity.marginAlignment(
+        Similarity.bruteAlignScores(srcDf, oneTgt), k = 4, minMargin = 0.0)
+      .collect()
+    out.length shouldBe 3 // every src pairs with the only target
+    // the target's OWN best src has margin exactly 1 against itself-only
+    // neighborhoods when cos_src_best == cos_tgt_best
+    val m0 = out.find(_.getLong(0) == 0L).get.getDouble(3)
+    m0 should be > 0.9 // structural sanity: single-element neighborhoods
+  }
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins rendezvous (HRW) sharding's load-bearing properties — the reasons
+  * it replaces `hash % n` for 100 TB corpus placement:
+  *   1. growing n → n+1 moves ONLY keys that land on the new shard
+  *      (structural: a key's old winner keeps its weight, so the argmax
+  *      can only change where the new contestant wins);
+  *   2. movement volume ≈ 1/(n+1), not (n−1)/n;
+  *   3. the assignment is balanced and deterministic on any partitioning;
+  *   4. the plan is map-only (no shuffle until a caller aggregates).
+  */
+class RendezvousSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def keys(n: Int) = (0L until n.toLong).toDF("doc_id")
+
+  test("moved keys land EXACTLY on the new shard") {
+    val a = ShardAssign.rendezvousShard(keys(500), col("doc_id"), 8, out = "s8")
+    val b = ShardAssign.rendezvousShard(a, col("doc_id"), 9, out = "s9")
+    val movedTo = b.filter(col("s9") =!= col("s8"))
+      .select(col("s9")).distinct().collect().map(_.getInt(0)).toSeq
+    movedTo shouldBe Seq(8)
+  }
+
+  test("movement volume is ~1/(n+1), far below mod-hash's (n-1)/n") {
+    val a = ShardAssign.rendezvousShard(keys(1000), col("doc_id"), 8, out = "s8")
+    val b = ShardAssign.rendezvousShard(a, col("doc_id"), 9, out = "s9")
+    val moved = b.filter(col("s9") =!= col("s8")).count().toDouble / 1000
+    moved should be > 0.05 // it DOES move some keys (not a no-op)
+    moved should be < 0.20 // ~0.111 expected; 8/9 would be 0.889
+    // mod-hash comparison on the same keys: nearly everything moves
+    val modMoved = keys(1000)
+      .select((pmod(Dedup.md5Hash32(col("doc_id").cast("string")), lit(8))
+          =!= pmod(Dedup.md5Hash32(col("doc_id").cast("string")), lit(9)))
+        .as("m"))
+      .filter(col("m")).count().toDouble / 1000
+    modMoved should be > 0.7
+  }
+
+  test("assignment is balanced and covers every shard") {
+    val counts = ShardAssign.rendezvousShard(keys(800), col("doc_id"), 8)
+      .groupBy(col("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    counts.keySet shouldBe (0 until 8).toSet
+    // 100 expected per shard; 3-sigma binomial band is ~±29
+    all(counts.values) should be >= 55L
+    all(counts.values) should be <= 145L
+  }
+
+  test("deterministic across partitionings; map-only plan") {
+    val df1 = ShardAssign.rendezvousShard(keys(200).repartition(7),
+      col("doc_id"), 5)
+    val df2 = ShardAssign.rendezvousShard(keys(200).coalesce(1),
+      col("doc_id"), 5)
+    df1.collect().map(r => (r.getLong(0), r.getInt(1))).sorted shouldBe
+      df2.collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    // no shuffle introduced by the assignment itself
+    val plan = ShardAssign.rendezvousShard(
+        graft.Tables.documents(spark, "/root/testdata/sf0.001")
+          .select(col("doc_id")), col("doc_id"), 8)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange"
+  }
+}
