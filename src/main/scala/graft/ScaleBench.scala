@@ -90,7 +90,8 @@ object ScaleBench {
     "q_io15_csv_quarantine", "q_t39_ngram_novelty", "q_m11_gif_pixel_stats",
     "q_m12_gif_frames", "q_v25_retrieval_eval", "q_t40_span_corruption",
     "q_t41_rake_keywords", "q_io17_manifest", "q_v26_embed_pipeline",
-    "q_m13_media_dispatch", "q_m14_jpeg_color_stats", "q_sp15_rendezvous")
+    "q_m13_media_dispatch", "q_m14_jpeg_color_stats", "q_sp15_rendezvous",
+    "q_v29_hamming_neardup")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail
@@ -524,7 +525,11 @@ object ScaleBench {
       // the speed dial: fixed nprobe=2 (recall decays with cell growth —
       // the documented trade; measured next to the fraction form)
       "q_v28_production_np2" -> ((s: SparkSession, d: String) =>
-        marginAlignmentAnn(s, d, fixedNprobe = 2)))
+        marginAlignmentAnn(s, d, fixedNprobe = 2)),
+      // the MIH gate form IS production-shaped (chunk equi-joins, never
+      // all-pairs) — measured on the ANN ladder directly
+      "q_v29_hamming_neardup" -> ((s: SparkSession, d: String) =>
+        SparkEntry.queries("q_v29_hamming_neardup")(s, d)))
     // the gram-keyed operators the planted-boilerplate point stress-tests,
     // each in gate form AND (where it exists) the hash-key production form
     val skewFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -79,4 +79,75 @@ object VectorQuant {
         .limit(k)
     }
   }
+
+  /** 1-BIT (sign) embedding codes — the extreme quantization tier below
+    * int8: dims/8 BYTES per vector (64× smaller than float32), similarity
+    * by Hamming distance over XOR+popcount. Binarization IS axis-aligned
+    * LSH, so the codes come from the existing codegen'd
+    * [[HyperplaneBuckets]] kernel with the IDENTITY plane grid: word r's
+    * bit p = 1 iff embedding[r·wordBits + p] ≥ 0 (the kernel's dot ≥ 0
+    * rule against basis vector r·wordBits+p). Output: (idCol,
+    * code: array<long> of dims/wordBits words). Pure sign reads — any
+    * engine re-derives the exact codes.
+    */
+  def binarize(embs: DataFrame, dims: Int, wordBits: Int = 32,
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    require(wordBits >= 1 && wordBits <= 62, s"wordBits in [1,62] (got $wordBits)")
+    require(dims % wordBits == 0, s"dims $dims must be a multiple of wordBits $wordBits")
+    val reps = dims / wordBits
+    val planes: Seq[Double] =
+      for (r <- 0 until reps; p <- 0 until wordBits; j <- 0 until dims)
+        yield if (j == r * wordBits + p) 1.0 else 0.0
+    embs.select(col(idCol),
+      VectorExprs.hyperplaneBuckets(col(embCol), planes, dims, wordBits, reps)
+        .as("code"))
+  }
+
+  /** Hamming distance between two [[binarize]]d codes of `reps` words —
+    * statically unrolled XOR+popcount per word (stays in whole-stage
+    * codegen; no interpreted lambda on the pair stream).
+    */
+  def hamming(a: Column, b: Column, reps: Int): Column =
+    (0 until reps)
+      .map(i => bit_count(a.getItem(i).bitwiseXOR(b.getItem(i))))
+      .reduce(_ + _).cast("long")
+
+  /** All cross pairs (a, b) within Hamming distance `maxDist` via the
+    * MULTI-INDEX pigeonhole join (Norouzi et al.'s MIH shape): the
+    * dims-bit code splits into `nChunks` equal chunks; two codes within
+    * distance d < nChunks must agree EXACTLY on at least one chunk, so
+    * candidates are nChunks equi-joins on (chunk index, chunk value) —
+    * never all-pairs — followed by the exact unrolled Hamming verify.
+    * COMPLETE for maxDist < nChunks (enforced). The standard use: near-dup
+    * detection over binary-coded embeddings, where a small perturbation
+    * flips a handful of sign bits.
+    *
+    * Scale shape: one chunk-keyed shuffle each side; hot chunks (common
+    * sign prefixes) are AQE skew-split; verify touches candidates only.
+    */
+  def hammingNeighbors(a: DataFrame, b: DataFrame, reps: Int, wordBits: Int,
+                       chunkBits: Int, maxDist: Int,
+                       idCol: String = "vec_id"): DataFrame = {
+    require(wordBits % chunkBits == 0,
+      s"wordBits $wordBits must be a multiple of chunkBits $chunkBits")
+    val chunksPerWord = wordBits / chunkBits
+    val nChunks = reps * chunksPerWord
+    require(maxDist >= 0 && maxDist < nChunks,
+      s"pigeonhole completeness needs maxDist < $nChunks chunks (got $maxDist)")
+    val mask = (1L << chunkBits) - 1L
+    def chunked(df: DataFrame, id: String, code: String) = df.select(
+      col(idCol).as(id), col("code").as(code),
+      posexplode(array((0 until nChunks).map { c =>
+        shiftright(col("code").getItem(c / chunksPerWord),
+          (c % chunksPerWord) * chunkBits).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("chunk", "cv")))
+    chunked(a, "id_a", "code_a")
+      .join(chunked(b, "id_b", "code_b"), Seq("chunk", "cv"))
+      .select(col("id_a"), col("id_b"), col("code_a"), col("code_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("code_a"), col("code_b"), reps))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -3075,6 +3075,27 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_v29_hamming_neardup" -> ((s, d) => {
+      // 1-bit embedding near-dup: sign-binarized codes (64× smaller than
+      // float32 — the extreme storage tier under int8/PQ) joined by the
+      // MULTI-INDEX pigeonhole (two codes within Hamming 3 of 64 bits
+      // must agree exactly on one of the four 16-bit chunks → four
+      // equi-joins, never all-pairs). Planted perturbation: the b side is
+      // the same corpus with dims 0 and 37 sign-flipped, so every vector
+      // finds its perturbed self at distance ≤ 2 while random cross
+      // pairs sit ~32 bits apart. The oracle brute-forces all pairs ≤ 3
+      // — completeness makes the candidate join's output EQUAL to brute.
+      val embs = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      val pert = embs.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0 || i === 37, -x).otherwise(x)).as("embedding"))
+      val ca = graft.functions.VectorQuant.binarize(embs, dims = 64)
+      val cb = graft.functions.VectorQuant.binarize(pert, dims = 64)
+      graft.functions.VectorQuant.hammingNeighbors(ca, cb, reps = 2,
+          wordBits = 32, chunkBits = 16, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_sp15_rendezvous" -> ((s, d) => {
       // consistent (rendezvous/HRW) shard placement + the minimal-movement
       // audit: assign every doc under 8 shards and under 9, report per-
@@ -4844,6 +4865,31 @@ object RelationalQueries {
                 min(v)::INT AS px_min, max(v)::INT AS px_max,
                 round(sum(v)::DOUBLE / count(*), 6) AS px_mean
          FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_v29_hamming_neardup" ->
+      // both code sets re-derived bit-for-bit (word r bit p = sign of
+      // dim r*32+p; the b side sign-flips dims 0 and 37), then BRUTE
+      // all-pairs Hamming ≤ 3 — the pigeonhole candidate join is
+      // complete, so equality IS the check
+      """WITH e AS (
+           SELECT vec_id, j - 1 AS j, embedding[j] AS v
+           FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS j) u
+           WHERE embedding IS NOT NULL),
+         a AS (SELECT vec_id,
+                 sum(CASE WHEN v >= 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS w0,
+                 sum(CASE WHEN v >= 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS w1
+               FROM e GROUP BY 1),
+         b AS (SELECT vec_id,
+                 sum(CASE WHEN (CASE WHEN j IN (0, 37) THEN -v ELSE v END) >= 0
+                          AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS w0,
+                 sum(CASE WHEN (CASE WHEN j IN (0, 37) THEN -v ELSE v END) >= 0
+                          AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS w1
+               FROM e GROUP BY 1)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))::BIGINT AS hamming
+         FROM a, b
+         WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+         ORDER BY 1, 2""",
 
     "q_sp15_rendezvous" ->
       // the full HRW argmax re-derived: per (doc, shard) md5 32-bit

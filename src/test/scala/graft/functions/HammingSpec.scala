@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the 1-bit embedding tier: sign binarization bit layout, the
+  * unrolled XOR+popcount distance, and the multi-index pigeonhole join's
+  * COMPLETENESS (its output equals brute force for maxDist < nChunks —
+  * the property that lets the gate oracle be plain brute force).
+  */
+class HammingSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("binarize packs word r bit p = sign of dim r*wordBits+p") {
+    // dims 8, wordBits 4 → 2 words; vector signs chosen per-bit
+    val v = Array(1f, -2f, 0f, -0.5f, 3f, -1f, -1f, 4f)
+    // word0 bits (dims 0..3): +,-,0(≥0),- → 1,0,1,0 → 0b0101 = 5
+    // word1 bits (dims 4..7): +,-,-,+    → 1,0,0,1 → 0b1001 = 9
+    val code = VectorQuant.binarize(Seq((1L, v)).toDF("vec_id", "embedding"),
+        dims = 8, wordBits = 4)
+      .collect().head.getSeq[Long](1)
+    code shouldBe Seq(5L, 9L)
+  }
+
+  test("hamming is the exact bit-difference count across words") {
+    val df = Seq((Seq(0b1010L, 0b1111L), Seq(0b0010L, 0b0000L)))
+      .toDF("a", "b")
+    val d = df.select(VectorQuant.hamming(col("a"), col("b"), reps = 2))
+      .collect().head.getLong(0)
+    d shouldBe 1L + 4L
+  }
+
+  test("multi-index join equals brute force for maxDist < nChunks") {
+    // deterministic pseudo-random 64-dim vectors + planted near-dups
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => ((seed * 31 + j * 17) % 19 - 9).toFloat + 0.5f)
+    val base = (0 until 40).map(i => (i.toLong, vec(i)))
+    // perturb: flip up to 3 sign bits of selected vectors
+    val pert = base.map { case (id, v) =>
+      val w = v.clone()
+      if (id % 3 == 0) { w(id.toInt % 64) = -w(id.toInt % 64) }
+      if (id % 5 == 0) { w((id.toInt * 7) % 64) = -w((id.toInt * 7) % 64) }
+      (id, w)
+    }
+    val a = VectorQuant.binarize(base.toDF("vec_id", "embedding"), dims = 64)
+    val b = VectorQuant.binarize(pert.toDF("vec_id", "embedding"), dims = 64)
+    val got = VectorQuant.hammingNeighbors(a, b, reps = 2, wordBits = 32,
+        chunkBits = 16, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force in Scala
+    def code(v: Array[Float]): (Long, Long) = {
+      var w0 = 0L; var w1 = 0L
+      for (j <- 0 until 32) if (v(j) >= 0) w0 |= 1L << j
+      for (j <- 32 until 64) if (v(j) >= 0) w1 |= 1L << (j - 32)
+      (w0, w1)
+    }
+    val brute = (for {
+      (ia, va) <- base; (ib, vb) <- pert
+      ca = code(va); cb = code(vb)
+      d = java.lang.Long.bitCount(ca._1 ^ cb._1) +
+        java.lang.Long.bitCount(ca._2 ^ cb._2)
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    got shouldBe brute
+    brute.nonEmpty shouldBe true
+  }
+
+  test("pigeonhole guard rejects maxDist >= nChunks; plan has no cross product") {
+    val df = VectorQuant.binarize(
+      Seq((1L, Array.fill(64)(1f))).toDF("vec_id", "embedding"), dims = 64)
+    an[IllegalArgumentException] should be thrownBy
+      VectorQuant.hammingNeighbors(df, df, 2, 32, 16, maxDist = 4)
+    val plan = VectorQuant.hammingNeighbors(df, df, 2, 32, 16, maxDist = 3)
+      .queryExecution.optimizedPlan.toString
+    plan should not include "Cartesian"
+  }
+}
