@@ -205,4 +205,51 @@ object Sampling {
       .filter(col("cum_tokens") <= budgetPerBin)
       .select(col(idCol), col("bin"), col("n_tokens"), col("cum_tokens"))
   }
+
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007) — weighted
+    * sampling WITHOUT replacement with an UNBIASED subset-sum estimator,
+    * RNG-free like every sampler here: priority qᵢ = wᵢ/uᵢ with
+    * uᵢ = (md5₃₂(seed:id)+1)/2³² a pure hash uniform; the sample is the
+    * top-k priorities, τ = the (k+1)-th, and each sampled item carries
+    * the estimate ŵᵢ = max(wᵢ, τ) — E[Σ_{i∈S} ŵᵢ] = Σ wᵢ exactly (the
+    * DLT theorem), so a k-document sample yields unbiased token/byte
+    * totals for the whole corpus. With n ≤ k the whole input is the
+    * sample and τ = 0 → estimates are the exact weights.
+    *
+    * Engine-portable arithmetic: qᵢ = (wᵢ·2³²)/(hᵢ+1) — the numerator is
+    * an EXACT double while w < 2²¹ (ranking is a monotone transform of
+    * w/u, so the 2³² factor is cosmetic), the division is one IEEE op,
+    * and τ/ŵ flow through without re-rounding until the final 6-dp
+    * render — an oracle replaying the same literal expressions gets
+    * identical bits.
+    *
+    * Scale shape: ONE corpus pass — the top-(k+1) is TakeOrdered
+    * (per-partition heaps, no global sort), checkpointed so the τ branch
+    * and the sample branch read k+1 rows, not the corpus twice; the τ
+    * join is a 1-row broadcast.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String = "psample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val h = Dedup.md5Hash32(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val scored = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_ps_q",
+        (col(weightCol).cast("double") * lit(4294967296.0d)) /
+          (h + lit(1L)).cast("double"))
+    val (top, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      scored.orderBy(desc("_ps_q"), col(idCol)).limit(k + 1)
+        .withColumn("_ps_rn", row_number().over(
+          // global window over ≤ k+1 checkpointed rows — sample-sized by
+          // construction, the GlobalIndex offsets-window convention
+          Window.orderBy(desc("_ps_q"), col(idCol)))))
+    val tau = top.filter(col("_ps_rn") === k + 1)
+      .agg(coalesce(max(col("_ps_q")), lit(0.0d)).as("_ps_tau"))
+    top.filter(col("_ps_rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col(idCol), col(weightCol).cast("long").as("weight"),
+        round(greatest(col(weightCol).cast("double"), col("_ps_tau")), 6)
+          .as("est"))
+  }
 }

@@ -575,6 +575,38 @@ object TextOps {
       length(t).as("n_chars"), length(norm).as("n_norm_chars"))
   }
 
+  /** NFKC-lite Unicode compatibility fold — the char-level normalization
+    * a crawl pipeline runs before tokenization/dedup (the CCNet/C4 step),
+    * WITHOUT an ICU dependency: a curated mapping of the compatibility
+    * classes that actually dominate web text. Folds the full-width ASCII
+    * block U+FF01–U+FF5E to ASCII (ＡＢＣ→ABC — CJK-page Latin),
+    * typographic spaces (ideographic/NBSP/thin/narrow) to ' ', curly/low
+    * quotes and primes to '/" , the dash family to '-', deletes
+    * zero-widths (ZWSP/ZWNJ/ZWJ/BOM) and soft hyphens, and expands
+    * ellipsis to "...". Pure per-char projection (one regexp_replace for
+    * the 1→3 ellipsis + one translate — both codegen'd); case and
+    * whitespace are deliberately untouched so it composes with
+    * [[normalizeText]] (which lowercases/collapses downstream of this
+    * fold's char repertoire). Unmapped characters pass through verbatim —
+    * folding is lossy-by-allowlist, never garbling.
+    */
+  def unicodeFold(c: Column): Column = {
+    // full-width block: U+FF01..U+FF5E maps to ASCII by subtracting 0xFEE0;
+    // every non-ASCII char below is a \u escape ON PURPOSE -- zero-widths
+    // are invisible in source and a silent literal control byte once cost
+    // a debugging session (the q_io17 0x01 incident)
+    val fwFrom = (0xFF01 to 0xFF5E).map(_.toChar).mkString
+    val fwTo = (0x21 to 0x7E).map(_.toChar).mkString
+    val from = fwFrom +
+      "\u3000\u00a0\u2009\u202f" + // ideographic / NBSP / thin / narrow space
+      "\u2018\u2019\u201a\u2032" + // single quotes / low-9 / prime
+      "\u201c\u201d\u201e\u2033" + // double quotes / low-9 / double prime
+      "\u2012\u2013\u2014\u2015\u2212" + // figure/en/em/horizontal dash, minus
+      "\u200b\u200c\u200d\ufeff\u00ad" // ZWSP/ZWNJ/ZWJ/BOM/soft hyphen: DELETED
+    val to = fwTo + "    " + "''''" + "\"\"\"\"" + "-----"
+    translate(regexp_replace(c, "\u2026", "..."), from, to)
+  }
+
   /** PMI collocations — top-k adjacent word pairs by pointwise mutual
     * information under the corpus's own unigram/bigram counts (phrase
     * mining / tokenizer-merge candidates): pmi = ln((c_ab/B) / ((c_a/N)·

@@ -3075,6 +3075,36 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_t42_unicode_fold" -> ((s, d) => {
+      // NFKC-lite compatibility folding on PLANTED mess: full-width
+      // substitutions of the clean text plus a tail exercising every
+      // mapping class (NBSP, curly quotes, em dash, ellipsis 1->3,
+      // zero-width DELETE, full-width letter). The oracle states the
+      // expected output directly from the clean text \u2014 it never
+      // replicates the fold \u2014 so a wrong mapping in ANY class breaks the
+      // hash. Map-only projection (two codegen'd char ops, no shuffle
+      // but the gate orderBy).
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val messy = concat(
+        translate(col("text"), "aeio05",
+          "\uff41\uff45\uff49\uff4f\uff10\uff15"),
+        lit("\u00a0\u201cq\u2019s\u201d\u2014x\u2026\u200bz\uff21"))
+      docs.select(col("doc_id"),
+          graft.functions.TextOps.unicodeFold(messy).as("folded"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_sp16_priority_sample" -> ((s, d) =>
+      // Duffield–Lund–Thorup priority sampling: top-20 by w/u priority
+      // (w = n_chars, u = md5 hash uniform), τ = the 21st priority,
+      // unbiased estimate max(w, τ) per sampled doc — the weighted
+      // corpus subsample that still answers "how many total chars/tokens
+      // does the full corpus have" without a second pass. RNG-free, one
+      // TakeOrdered corpus pass (plan-pinned).
+      graft.functions.Sampling.prioritySample(Tables.documents(s, d),
+          "doc_id", "n_chars", k = 20)
+        .orderBy(col("doc_id"))),
+
     "q_v29_hamming_neardup" -> ((s, d) => {
       // 1-bit embedding near-dup: sign-binarized codes (64× smaller than
       // float32 — the extreme storage tier under int8/PQ) joined by the
@@ -4865,6 +4895,30 @@ object RelationalQueries {
                 min(v)::INT AS px_min, max(v)::INT AS px_max,
                 round(sum(v)::DOUBLE / count(*), 6) AS px_mean
          FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_t42_unicode_fold" ->
+      // the fold is a bijection back onto the clean text for the planted
+      // substitutions, and the tail folds to a FIXED ascii string — the
+      // expected output is constructed, not re-derived
+      """SELECT doc_id, text || ' "q''s"-x...zA' AS folded
+         FROM documents WHERE text IS NOT NULL ORDER BY 1""",
+
+    "q_sp16_priority_sample" ->
+      // the DLT chain re-derived: the identical (w·2³²)/(h+1) priority
+      // expression, top-20 with the (priority DESC, id) tie order, the
+      // 21st priority as τ, max(w, τ) estimates
+      """WITH s AS (
+           SELECT doc_id, n_chars::BIGINT AS w,
+                  (n_chars::BIGINT * 4294967296.0) /
+                    ((('0x' || substr(md5('psample:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)) AS q
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rn
+               FROM s),
+         tau AS (SELECT coalesce(max(CASE WHEN rn = 21 THEN q END), 0.0) AS t
+                 FROM r WHERE rn <= 21)
+         SELECT doc_id, w AS weight,
+                round(greatest(w::DOUBLE, (SELECT t FROM tau)), 6) AS est
+         FROM r WHERE rn <= 20 ORDER BY doc_id""",
 
     "q_v29_hamming_neardup" ->
       // both code sets re-derived bit-for-bit (word r bit p = sign of

@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins Duffield–Lund–Thorup priority sampling: the top-k-by-priority
+  * selection against a Scala brute force, the n ≤ k exact degenerate
+  * case, and the THEOREM the operator exists for — E[Σ estimates] = Σ
+  * weights — demonstrated empirically across many hash seeds (each seed
+  * is an independent draw of the u's, so the seed-mean of the estimator
+  * must converge on the true total).
+  */
+class PrioritySampleSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def corpus(n: Int) =
+    (1 to n).map(i => (i.toLong, ((i * 37) % 100 + 1).toLong))
+      .toDF("doc_id", "w")
+
+  test("selects exactly the top-k by w/u priority (brute-force parity)") {
+    val df = corpus(200)
+    val got = Sampling.prioritySample(df, "doc_id", "w", k = 15)
+      .collect().map(_.getLong(0)).toSet
+    // brute force: recompute the identical priorities in Scala via the
+    // same md5 slice
+    val rows = df.withColumn("h",
+        Dedup.md5Hash32(concat_ws(":", lit("psample"), col("doc_id").cast("string"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pri = rows.map { case (id, w, h) =>
+      (id, (w.toDouble * 4294967296.0) / (h + 1).toDouble)
+    }
+    val expect = pri.sortBy { case (id, q) => (-q, id) }.take(15).map(_._1).toSet
+    got shouldBe expect
+  }
+
+  test("n <= k samples everything with exact-weight estimates (tau = 0)") {
+    val df = corpus(5)
+    val out = Sampling.prioritySample(df, "doc_id", "w", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.length shouldBe 5
+    out.foreach { case (_, w, est) => est shouldBe w.toDouble }
+  }
+
+  test("estimator is unbiased: seed-mean of the sample total tracks the true total") {
+    val df = corpus(120).persist()
+    val trueTotal = df.agg(sum(col("w"))).head().getLong(0).toDouble
+    val means = (0 until 40).map { s =>
+      Sampling.prioritySample(df, "doc_id", "w", k = 12, seed = s"ps$s")
+        .agg(sum(col("est"))).head().getDouble(0)
+    }
+    df.unpersist()
+    val mean = means.sum / means.length
+    // 40 independent draws of a low-variance estimator: ±15% band
+    math.abs(mean - trueTotal) / trueTotal should be < 0.15
+  }
+
+  test("one corpus pass: the returned plan reads the checkpointed top-(k+1)") {
+    val q = Sampling.prioritySample(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "n_chars", k = 20)
+    val plan = q.queryExecution.executedPlan.toString
+    plan should not include "Scan parquet"
+  }
+}

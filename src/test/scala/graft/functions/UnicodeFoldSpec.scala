@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins every mapping class of the NFKC-lite fold (full-width block,
+  * typographic spaces, quote/dash families, zero-width deletion, ellipsis
+  * expansion) and the pass-through + composition contracts.
+  */
+class UnicodeFoldSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def fold(s: String): String =
+    Seq(s).toDF("t").select(TextOps.unicodeFold(col("t"))).head().getString(0)
+
+  test("full-width ASCII block folds to ASCII") {
+    fold("Ｈｅｌｌｏ！") shouldBe "Hello!"
+    fold("０１２～") shouldBe "012~"
+  }
+
+  test("typographic spaces fold to plain space") {
+    fold("a　b c d e") shouldBe "a b c d e"
+  }
+
+  test("quote and dash families fold; ellipsis expands 1->3") {
+    fold("‘q’ “w” – — − …") shouldBe
+      "'q' \"w\" - - - ..."
+  }
+
+  test("zero-widths and soft hyphens are deleted") {
+    fold("a​b‌c‍d﻿e­f") shouldBe "abcdef"
+  }
+
+  test("ASCII and unmapped characters pass through verbatim") {
+    val ascii = "The quick brown fox 123 ~!@#"
+    fold(ascii) shouldBe ascii
+    fold("café 中文") shouldBe "café 中文" // é and CJK untouched
+  }
+
+  test("composes with normalizeText (fold first widens its repertoire)") {
+    val messy = Seq((1L, "ＴＥＸＴ …here"))
+      .toDF("doc_id", "text")
+    val folded = messy.select(col("doc_id"),
+      TextOps.unicodeFold(col("text")).as("text"))
+    val norm = TextOps.normalizeText(folded).head().getString(1)
+    norm shouldBe "text ...here"
+  }
+}
