@@ -125,10 +125,17 @@ object VectorQuant {
     *
     * Scale shape: one chunk-keyed shuffle each side; hot chunks (common
     * sign prefixes) are AQE skew-split; verify touches candidates only.
+    * Identical-code mass is the one inherent quadratic: m vectors sharing
+    * a code legitimately produce m² qualifying pairs — OUTPUT-bound, not
+    * plan waste. A dedup consumer should collapse exact code duplicates
+    * first ([[graft.functions.Dedup.exactDuplicates]] keyed on the code's
+    * string form) and join representatives here, exactly like the
+    * text-side convention (exact dedup before near-dup banding).
     */
   def hammingNeighbors(a: DataFrame, b: DataFrame, reps: Int, wordBits: Int,
                        chunkBits: Int, maxDist: Int,
-                       idCol: String = "vec_id"): DataFrame = {
+                       idCol: String = "vec_id",
+                       ordered: Boolean = false): DataFrame = {
     require(wordBits % chunkBits == 0,
       s"wordBits $wordBits must be a multiple of chunkBits $chunkBits")
     val chunksPerWord = wordBits / chunkBits
@@ -142,8 +149,12 @@ object VectorQuant {
         shiftright(col("code").getItem(c / chunksPerWord),
           (c % chunksPerWord) * chunkBits).bitwiseAND(lit(mask))
       }: _*)).as(Seq("chunk", "cv")))
+    // `ordered` is the SELF-join form (a near-dup pass over one corpus:
+    // pass the same frame twice): emit each unordered pair once as
+    // id_a < id_b and drop self-pairs
     chunked(a, "id_a", "code_a")
       .join(chunked(b, "id_b", "code_b"), Seq("chunk", "cv"))
+      .filter(if (ordered) col("id_a") < col("id_b") else lit(true))
       .select(col("id_a"), col("id_b"), col("code_a"), col("code_b"))
       .distinct()
       .withColumn("hamming", hamming(col("code_a"), col("code_b"), reps))

@@ -68,6 +68,19 @@ class HammingSpec extends AnyFunSuite with Matchers {
     brute.nonEmpty shouldBe true
   }
 
+  test("ordered self-join emits each unordered pair once, no self-pairs") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => ((seed * 13 + j * 29) % 17 - 8).toFloat + 0.5f)
+    val base = (0 until 20).map(i => (i.toLong, vec(i))) ++
+      Seq((100L, vec(3))) // exact code twin of id 3 → distance 0 pair
+    val codes = VectorQuant.binarize(base.toDF("vec_id", "embedding"), dims = 64)
+    val pairs = VectorQuant.hammingNeighbors(codes, codes, 2, 32, 16,
+        maxDist = 3, ordered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) => a should be < b }
+    pairs should contain((3L, 100L))
+  }
+
   test("pigeonhole guard rejects maxDist >= nChunks; plan has no cross product") {
     val df = VectorQuant.binarize(
       Seq((1L, Array.fill(64)(1f))).toDF("vec_id", "embedding"), dims = 64)
