@@ -31,7 +31,7 @@ object Verify {
     // query loop deletes failed results for).
     Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
         "fx_stream_pairs.parquet", "fx_incdedup_stream.parquet",
-        "fx_decay_stream.parquet",
+        "fx_decay_stream.parquet", "fx_hamming_stream.parquet",
         "fx_ivf_probes.parquet", "fx_ivf_centroids.parquet",
         "fx_pq_codebooks.parquet",
         "fx_mitm_matches.parquet", "fx_mitm_walks.parquet",
@@ -101,6 +101,14 @@ object Verify {
       try graft.queries.StreamParity.exportStreamPairs(spark, sfDir, outDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] stream-parity export failed: ${e.getMessage}")
+      }
+    }
+    // q_v30's oracle: the union corpus replayed through the STREAMING
+    // chunk-state Hamming operator (scalar binarize + in-state verify)
+    if (selected("q_v30")) {
+      try graft.queries.StreamParity.exportHammingStream(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] hamming-stream export failed: ${e.getMessage}")
       }
     }
     // q_ev18's oracle: the event table replayed through a multi-batch

@@ -261,7 +261,71 @@ object StreamParity {
     }
   }
 
+  /** The q_v30 corpus: embeddings UNION a perturbed copy (dims 0 and 37
+    * sign-flipped, ids offset by 1e6) — every vector has a planted
+    * neighbor within Hamming 2, random cross pairs sit ~32 bits away.
+    */
+  def hammingUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val pert = embs.select((col("vec_id") + 1000000L).as("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"), (x, i) =>
+        org.apache.spark.sql.functions.when(i === 0 || i === 37, -x)
+          .otherwise(x)).as("embedding"))
+    embs.unionByName(pert)
+  }
+
+  /** The gated batch side of q_v30: the multi-index Hamming self-join over
+    * the union corpus (codes from the codegen'd kernel).
+    */
+  def batchHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = graft.functions.VectorQuant.binarize(
+      hammingUnion(spark, sfDir), dims = 64)
+    graft.functions.VectorQuant.hammingNeighbors(codes, codes, reps = 2,
+        wordBits = 32, chunkBits = 16, maxDist = 3, ordered = true)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q_v30's oracle: the SAME union corpus replayed through the STREAMING
+    * chunk-state operator ([[graft.streaming.HammingStream]] — scalar
+    * binarization + in-state verify, a genuinely different evaluation path
+    * from the batch kernel + equi-join), pairs ordered/deduped to the
+    * batch output shape, exported as `fx_hamming_stream.parquet`.
+    */
+  def exportHammingStream(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.HammingStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val vecs = hammingUnion(spark, sfDir)
+      .collect()
+      .map(r => HammingStream.VecEvent(r.getLong(0),
+        new java.sql.Timestamp(t0 + (r.getLong(0) % 1000000L) * 1000L),
+        r.getSeq[Float](1).toArray))
+    val src = MemoryStream[HammingStream.VecEvent]
+    val qname = s"graft_hamming_parity_${ProcessHandle.current.pid}"
+    val q = HammingStream.hammingPairs(
+        src.toDF().as[HammingStream.VecEvent], wordBits = 32, chunkBits = 16,
+        maxDist = 3, maxPerChunk = Int.MaxValue)
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      src.addData(vecs.toIndexedSeq)
+      q.processAllAvailable()
+      val pairs = spark.table(qname)
+        .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+        .orderBy(col("id_a"), col("id_b"))
+      GraphQueries.writeSingleFile(pairs, s"$outDir/fx_hamming_stream.parquet")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qname)
+      ()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_v30_hamming_stream_parity" -> ((s, d) => batchHamming(s, d)),
     "q_d9_stream_parity" -> ((s, d) => batchPairs(s, d)),
     "q_d14_incremental_parity" -> ((s, d) => batchIncremental(s, d)),
     "q_ev25_sessions_stream_parity" -> ((s, d) =>
@@ -279,6 +343,12 @@ object StreamParity {
         .orderBy(col("user_id"))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_v30_hamming_stream_parity" ->
+      // the chunk-state streamed replay exported by exportHammingStream —
+      // scalar binarization + in-state scalar verify, not a round-trip of
+      // the batch kernel + equi-join
+      """SELECT id_a, id_b, hamming
+         FROM '{{OUTDIR}}/fx_hamming_stream.parquet' ORDER BY 1, 2""",
     "q_d9_stream_parity" ->
       // the replayed-stream pair set exported by exportStreamPairs — an
       // independent implementation, not a round-trip of the query result

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming binary-code near-dup — the unbounded-stream analog of the
+  * batch multi-index Hamming join
+  * ([[graft.functions.VectorQuant.hammingNeighbors]]): each arriving
+  * embedding is sign-binarized by a SCALAR mirror of the codegen'd
+  * HyperplaneBuckets identity-grid kernel (same float→double widening,
+  * same ≥ 0 rule — parity pinned in HammingStreamSpec), split into the
+  * same 16-bit chunks, and probed against per-(chunk, value) state; a new
+  * arrival emits every stored member within `maxDist` (the verify runs
+  * INSIDE the state update — scalar XOR+popcount), then joins the bucket.
+  *
+  * Scale/state design mirrors [[NearDupStream]]: state keyed by chunk
+  * value (one fetch per chunk per arrival, no stream-stream join),
+  * FIFO-capped members per chunk bucket, event-time-timeout reaping, and
+  * pairs emitted once per agreeing chunk — consumers dedup downstream
+  * within their own watermark. Pigeonhole completeness carries over:
+  * within the retained window, any pair ≤ maxDist shares ≥ 1 chunk.
+  */
+object HammingStream {
+
+  final case class VecEvent(vec_id: Long, ts: java.sql.Timestamp,
+                            embedding: Array[Float])
+  final case class ChunkedCode(chunk_key: String, vec_id: Long,
+                               code: Array[Long], ts: java.sql.Timestamp)
+  final case class ChunkState(ids: List[Long], codes: List[Array[Long]],
+                              lastTs: Long)
+  final case class HammingPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Scalar mirror of [[graft.functions.VectorQuant.binarize]]: word r's
+    * bit p = 1 iff embedding[r·wordBits + p] ≥ 0, evaluated through the
+    * identical float→double widening the kernel's identity-plane dot uses.
+    */
+  def binarizeScalar(emb: Array[Float], wordBits: Int): Array[Long] = {
+    require(emb.length % wordBits == 0,
+      s"dims ${emb.length} must be a multiple of wordBits $wordBits")
+    val reps = emb.length / wordBits
+    val out = new Array[Long](reps)
+    var r = 0
+    while (r < reps) {
+      var w = 0L
+      var p = 0
+      while (p < wordBits) {
+        if (emb(r * wordBits + p).toDouble >= 0) w |= 1L << p
+        p += 1
+      }
+      out(r) = w
+      r += 1
+    }
+    out
+  }
+
+  /** Scalar XOR+popcount across words. */
+  def hammingScalar(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var d = 0
+    while (i < a.length) { d += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    d
+  }
+
+  /** The same chunk keys the batch join shuffles on: chunk c's value is
+    * bits [c·chunkBits, (c+1)·chunkBits) of the concatenated words.
+    */
+  def chunkKeys(code: Array[Long], wordBits: Int, chunkBits: Int): Seq[String] = {
+    val cpw = wordBits / chunkBits
+    val mask = (1L << chunkBits) - 1L
+    (0 until code.length * cpw).map { c =>
+      val v = (code(c / cpw) >>> ((c % cpw) * chunkBits)) & mask
+      s"$c:$v"
+    }
+  }
+
+  /** Wire an embedding stream into per-chunk verified pair emission. */
+  def hammingPairs(vecs: Dataset[VecEvent], wordBits: Int, chunkBits: Int,
+                   maxDist: Int, maxPerChunk: Int = 256,
+                   chunkIdleMs: Long = 3600 * 1000L,
+                   watermarkDelay: String = "1 hour"): Dataset[HammingPair] = {
+    require(wordBits % chunkBits == 0,
+      s"wordBits $wordBits must be a multiple of chunkBits $chunkBits")
+    import vecs.sparkSession.implicits._
+    vecs
+      .flatMap { v =>
+        if (v.embedding == null) Seq.empty[ChunkedCode]
+        else {
+          val code = binarizeScalar(v.embedding, wordBits)
+          chunkKeys(code, wordBits, chunkBits)
+            .map(k => ChunkedCode(k, v.vec_id, code, v.ts))
+        }
+      }
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.chunk_key)
+      .flatMapGroupsWithState[ChunkState, HammingPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[ChunkedCode], state: GroupState[ChunkState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(ChunkState(Nil, Nil, Long.MinValue))
+            val out = scala.collection.mutable.ListBuffer.empty[HammingPair]
+            // deterministic emission: arrivals in (ts, vec_id) order
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.vec_id)).foreach { r =>
+              if (!st.ids.contains(r.vec_id)) {
+                st.ids.zip(st.codes).foreach { case (pid, pcode) =>
+                  val d = hammingScalar(pcode, r.code)
+                  if (d <= maxDist)
+                    out += HammingPair(math.min(pid, r.vec_id),
+                      math.max(pid, r.vec_id), d)
+                }
+                st = ChunkState((st.ids :+ r.vec_id).takeRight(maxPerChunk),
+                  (st.codes :+ r.code).takeRight(maxPerChunk),
+                  math.max(st.lastTs, r.ts.getTime))
+              } else st = st.copy(lastTs = math.max(st.lastTs, r.ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(st.lastTs + chunkIdleMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+}

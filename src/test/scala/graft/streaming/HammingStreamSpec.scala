@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.VectorQuant
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the streaming Hamming twin: the scalar binarizer mirrors the
+  * codegen'd kernel bit-for-bit, chunk keys match the batch join's, and a
+  * streamed replay reproduces the batch multi-index join's pair set (the
+  * q_v30 parity contract) including across micro-batches.
+  */
+class HammingStreamSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(64)(j => ((seed * 23 + j * 11) % 21 - 10).toFloat + 0.5f)
+
+  test("scalar binarizer mirrors the HyperplaneBuckets kernel bit-for-bit") {
+    val vs = (0 until 30).map(i => (i.toLong, vec(i))) :+
+      ((30L, Array.tabulate(64)(j => if (j % 7 == 0) 0f else -1f)))
+    val kernel = VectorQuant.binarize(vs.toDF("vec_id", "embedding"), dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    vs.foreach { case (id, v) =>
+      HammingStream.binarizeScalar(v, 32).toSeq shouldBe kernel(id)
+    }
+  }
+
+  test("streamed replay reproduces the batch pair set across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (0 until 25).map(i => (i.toLong, vec(i)))
+    val pert = base.take(8).map { case (id, v) =>
+      val w = v.clone(); w(3) = -w(3); w(40) = -w(40)
+      (id + 100L, w)
+    }
+    val all = base ++ pert
+    // batch side: kernel codes + multi-index join
+    val codes = VectorQuant.binarize(all.toDF("vec_id", "embedding"), dims = 64)
+    val batch = VectorQuant.hammingNeighbors(codes, codes, 2, 32, 16,
+        maxDist = 3, ordered = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // stream side: two micro-batches
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val events = all.map { case (id, v) =>
+      HammingStream.VecEvent(id, new java.sql.Timestamp(t0 + id * 1000L), v)
+    }
+    val src = MemoryStream[HammingStream.VecEvent]
+    val q = HammingStream.hammingPairs(src.toDF().as[HammingStream.VecEvent],
+        wordBits = 32, chunkBits = 16, maxDist = 3,
+        maxPerChunk = Int.MaxValue)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hamming_stream_spec").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      src.addData(first); q.processAllAvailable()
+      src.addData(second); q.processAllAvailable()
+      val streamed = spark.table("hamming_stream_spec")
+        .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      streamed shouldBe batch
+      batch.nonEmpty shouldBe true
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("hamming_stream_spec")
+      ()
+    }
+  }
+}
