@@ -356,6 +356,40 @@ object ScaleBench {
       fwd.unionByName(bwd).dropDuplicates("src_id", "tgt_id"), k = 4)
   }
 
+  /** The Hamming tier's adversarial-skew production form, measured: plant
+    * n/10 EXACT duplicates of one vector (identical codes — the worst case
+    * the hammingNeighbors scaladoc documents as inherent quadratic OUTPUT),
+    * then run the documented composition: collapse identical codes to
+    * (representative, multiplicity) FIRST, multi-index join the
+    * representatives, and carry pair counts as arithmetic
+    * (m_a·m_b cross-group, m·(m−1)/2 within-group) instead of
+    * materializing the quadratic pair set. Cost stays linear in the data;
+    * the quadratic lives only in a summed BIGINT.
+    */
+  private def hammingSkewCollapsed(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorQuant
+    val embs = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val nDup = math.max(1L, embs.count() / 10L)
+    val v0 = embs.orderBy(col("vec_id")).limit(1).select(col("embedding"))
+    val plant = s.range(0, nDup)
+      .select((col("id") + 2000000L).as("vec_id"))
+      .crossJoin(broadcast(v0))
+    val codes = VectorQuant.binarize(embs.unionByName(plant), dims = 64)
+    val groups = codes
+      .groupBy(col("code"))
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("m"))
+    val reps = groups.select(col("vec_id"), col("code"))
+    val cross = VectorQuant.hammingNeighbors(reps, reps, reps = 2,
+        wordBits = 32, chunkBits = 16, maxDist = 3, ordered = true)
+      .join(groups.select(col("vec_id").as("id_a"), col("m").as("m_a")), "id_a")
+      .join(groups.select(col("vec_id").as("id_b"), col("m").as("m_b")), "id_b")
+      .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as("n_cross_pairs"))
+    val within = groups
+      .agg(sum(col("m") * (col("m") - 1) / 2).as("n_within_pairs"))
+    cross.crossJoin(within)
+  }
+
   /** Corpus-wide ANN join with the production cell-sizing rule
     * ([[graft.functions.IvfIndex.autoNumCells]]) and a bounded training
     * sample (Lloyd's step cost is cells × training rows; training on an
@@ -529,7 +563,10 @@ object ScaleBench {
       // the MIH gate form IS production-shaped (chunk equi-joins, never
       // all-pairs) — measured on the ANN ladder directly
       "q_v29_hamming_neardup" -> ((s: SparkSession, d: String) =>
-        SparkEntry.queries("q_v29_hamming_neardup")(s, d)))
+        SparkEntry.queries("q_v29_hamming_neardup")(s, d)),
+      // adversarial identical-code plant, collapsed production form
+      "q_v29_skew_collapsed" -> ((s: SparkSession, d: String) =>
+        hammingSkewCollapsed(s, d)))
     // the gram-keyed operators the planted-boilerplate point stress-tests,
     // each in gate form AND (where it exists) the hash-key production form
     val skewFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
