@@ -825,6 +825,11 @@ object GraphAnalytics {
       hub = hN; auth = aN
       releaseHub = relH; releaseAuth = relA
     }
+    // the loop materialized every consumer of the cached edge set (each
+    // half-step's norm is an eager head()), and the returned plan reads
+    // only the two checkpoint leaves + the node list — release e NOW or
+    // every hits() call leaks one edge-sized cache for the session
+    e.unpersist()
     n.join(hub, Seq("id"), "left").join(auth, Seq("id"), "left")
       .select(col("id"), col("hub"), col("authority"))
   }

@@ -8,8 +8,32 @@ import org.scalatest.matchers.should.Matchers
   * reference implementation of the same fixed-iteration PageRank.
   */
 class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
+
+
   private lazy val spark = SparkSpec.spark
   import spark.implicits._
+
+  test("iterative ops hold BOUNDED storage across 10 iterations and release on return") {
+    // the checkpoint-handle discipline: each iteration releases its
+    // predecessor's blocks once the next frame materializes, so cached
+    // RDD count is a small constant, never proportional to iters — and
+    // the scratch caches (edge sets) are gone when the call returns.
+    val sc = spark.sparkContext
+    val n = (1L to 12L).toSeq.toDF("id")
+    val e = (1L to 11L).map(i => (i, i + 1)).toSeq.toDF("fromId", "toId")
+    def ours(pre: Set[Int]): Set[Int] =
+      sc.getPersistentRDDs.keySet.diff(pre).toSet
+    val pre1 = sc.getPersistentRDDs.keySet.toSet
+    GraphAnalytics.hits(n, e, iters = 10).count()
+    // alive after the action: the two returned checkpoint leaves only
+    ours(pre1).size should be <= 4
+    val pre2 = sc.getPersistentRDDs.keySet.toSet
+    GraphAnalytics.kCore(n, e, k = 1).count()
+    ours(pre2).size should be <= 4
+    val pre3 = sc.getPersistentRDDs.keySet.toSet
+    GraphAnalytics.labelPropagation(n, e, iters = 10).count()
+    ours(pre3).size should be <= 4
+  }
 
   // 1→2, 2→3, 3→1 cycle; 4 isolated; duplicate + self-loop noise
   private def nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
