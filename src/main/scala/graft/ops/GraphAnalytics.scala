@@ -51,22 +51,32 @@ object GraphAnalytics {
     val outDeg = e.groupBy(col("fromId")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(outDeg, "fromId")
     val nCount = n.count().toDouble
+    // per-iteration CHECKPOINT, not persist: a persisted-only vector keeps
+    // the full cross-iteration logical plan alive, and nested
+    // InMemoryRelations re-print their cached plan inside every enclosing
+    // explain — the plan STRING grows superlinearly and OOMs the driver
+    // near 10 iterations (the hits() cliff, reproduced by the bounded-
+    // storage spec). The handle releases the previous round's blocks.
     var ranks = n.select(col("id"), lit(1.0d / nCount).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var releaseRanks: () => Unit = () => ()
     (1 to iters).foreach { _ =>
       val contribs = withDeg
         .join(ranks.withColumnRenamed("id", "fromId"), "fromId")
         .groupBy(col("toId").as("id"))
         .agg(sum(col("rank") / col("deg")).as("s"))
-      val next = n.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          round(lit((1.0d - d) / nCount) + lit(d) * coalesce(col("s"), lit(0.0d)), 10)
-            .as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the previous vector
-      ranks.unpersist()
+      val (next, relNext) = GraftSqlBridge.localCheckpointWithHandle(
+        n.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            round(lit((1.0d - d) / nCount) + lit(d) * coalesce(col("s"), lit(0.0d)), 10)
+              .as("rank")))
+      releaseRanks()
       ranks = next
+      releaseRanks = relNext
     }
+    // every consumer of the cached edge set ran eagerly above; the
+    // returned vector is checkpointed — release e or each call leaks an
+    // edge-sized cache (the hits() lesson)
+    e.unpersist()
     ranks
   }
 
@@ -93,21 +103,22 @@ object GraphAnalytics {
     val outW = e.groupBy(col("fromId")).agg(sum(col("w_nano")).as("tw"))
     val withW = e.join(outW, "fromId").filter(col("tw") > 0)
     val nCount = n.count().toDouble
+    // checkpoint-per-iteration like [[pageRank]] (the plan-string cliff)
     var ranks = n.select(col("id"), lit(1.0d / nCount).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var releaseRanks: () => Unit = () => ()
     (1 to iters).foreach { _ =>
       val contribs = withW
         .join(ranks.withColumnRenamed("id", "fromId"), "fromId")
         .groupBy(col("toId").as("id"))
         .agg(sum(col("rank") * col("w_nano") / col("tw")).as("s"))
-      val next = n.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          round(lit((1.0d - d) / nCount) + lit(d) * coalesce(col("s"), lit(0.0d)), 10)
-            .as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist()
+      val (next, relNext) = GraftSqlBridge.localCheckpointWithHandle(
+        n.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            round(lit((1.0d - d) / nCount) + lit(d) * coalesce(col("s"), lit(0.0d)), 10)
+              .as("rank")))
+      releaseRanks()
       ranks = next
+      releaseRanks = relNext
     }
     e.unpersist()
     ranks
@@ -362,28 +373,35 @@ object GraphAnalytics {
                 maxLevels: Int = 1000): DataFrame = {
     val e = edges.select(col("fromId"), col("toId")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // checkpoint-per-level like [[pageRank]]: the visited set is a
+    // unionByName CHAIN — persisted-only, its logical plan (and every
+    // explain) grows with the graph DIAMETER, the exact plan-string cliff
     var visited = nodes.sparkSession.range(1)
       .select(lit(sourceId).as("id"), lit(0).as("level"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var releaseVisited: () => Unit = () => ()
     var frontier = visited
+    var releaseFrontier: () => Unit = () => ()
     var level = 0
     var frontierSize = 1L
     while (frontierSize > 0 && level < maxLevels) {
       level += 1
-      val next = e.join(frontier.select(col("id").as("fromId")), "fromId")
-        .select(col("toId").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .select(col("id"), lit(level).as("level"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (next, relNext) = GraftSqlBridge.localCheckpointWithHandle(
+        e.join(frontier.select(col("id").as("fromId")), "fromId")
+          .select(col("toId").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .select(col("id"), lit(level).as("level")))
       frontierSize = next.count()
-      val newVisited = visited.unionByName(next)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      newVisited.count()
-      visited.unpersist()
-      if (frontier ne visited) frontier.unpersist()
+      val (newVisited, relVisited) = GraftSqlBridge.localCheckpointWithHandle(
+        visited.unionByName(next))
+      releaseVisited()
+      if (!(releaseFrontier eq releaseVisited)) releaseFrontier()
       visited = newVisited
+      releaseVisited = relVisited
       frontier = next
+      releaseFrontier = relNext
     }
+    releaseFrontier() // the final frontier folded into visited already
+    e.unpersist() // visited is checkpointed; the edge cache is dead
     nodes.select(col("id")).join(visited, Seq("id"), "left")
       .select(col("id"), col("level"))
   }
@@ -412,23 +430,25 @@ object GraphAnalytics {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy(col("fromId")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(outDeg, "fromId")
+    // checkpoint-per-iteration like [[pageRank]] (the plan-string cliff)
     var ranks = n.select(col("id"),
         when(col("id") === sourceId, lit(1.0d)).otherwise(lit(0.0d)).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var releaseRanks: () => Unit = () => ()
     (1 to iters).foreach { _ =>
       val contribs = withDeg
         .join(ranks.withColumnRenamed("id", "fromId"), "fromId")
         .groupBy(col("toId").as("id"))
         .agg(sum(col("rank") / col("deg")).as("s"))
-      val next = n.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          round(when(col("id") === sourceId, lit(1.0d - d)).otherwise(lit(0.0d)) +
-            lit(d) * coalesce(col("s"), lit(0.0d)), 10).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      ranks.unpersist()
+      val (next, relNext) = GraftSqlBridge.localCheckpointWithHandle(
+        n.join(contribs, Seq("id"), "left")
+          .select(col("id"),
+            round(when(col("id") === sourceId, lit(1.0d - d)).otherwise(lit(0.0d)) +
+              lit(d) * coalesce(col("s"), lit(0.0d)), 10).as("rank")))
+      releaseRanks()
       ranks = next
+      releaseRanks = relNext
     }
+    e.unpersist() // same release contract as pageRank
     ranks
   }
 
@@ -460,11 +480,12 @@ object GraphAnalytics {
     val e = edges.select(col("fromId"), col("toId"), col("cost"))
       .groupBy(col("fromId"), col("toId")).agg(min(col("cost")).as("cost"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // checkpoint-per-round like [[pageRank]] (the plan-string cliff —
+    // Bellman-Ford can legitimately run |V|−1 rounds)
     var dist = nodes.select(col("id")).distinct()
       .select(col("id"),
         when(col("id") === sourceId, lit(0.0d)).as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var backing: DataFrame = dist
+    var releaseDist: () => Unit = () => ()
     var changed = 1L
     var it = 0
     // reaching maxIters with changed > 0 means the result is TRUNCATED,
@@ -478,13 +499,13 @@ object GraphAnalytics {
         .agg(min(col("du") + col("cost")).as("cand"))
       // least() skips NULLs: an unreached node adopts its first candidate,
       // a candidate-less node keeps its current distance
-      val joined = dist.join(cand, Seq("id"), "left")
-        .select(col("id"), col("dist"),
-          least(col("dist"), col("cand")).as("nd"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (joined, relJoined) = GraftSqlBridge.localCheckpointWithHandle(
+        dist.join(cand, Seq("id"), "left")
+          .select(col("id"), col("dist"),
+            least(col("dist"), col("cand")).as("nd")))
       changed = joined.filter(!(col("dist") <=> col("nd"))).count()
-      backing.unpersist()
-      backing = joined
+      releaseDist()
+      releaseDist = relJoined
       dist = joined.select(col("id"), col("nd").as("dist"))
     }
     if (changed > 0)
@@ -492,6 +513,7 @@ object GraphAnalytics {
         s"sssp(source=$sourceId) hit maxIters=$maxIters with $changed " +
           "distances still improving: not converged — likely a " +
           "negative-cost cycle (or raise maxIters)")
+    e.unpersist() // dist's backing frame is materialized; edge cache dead
     dist
   }
 

@@ -33,6 +33,15 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     val pre3 = sc.getPersistentRDDs.keySet.toSet
     GraphAnalytics.labelPropagation(n, e, iters = 10).count()
     ours(pre3).size should be <= 4
+    val pre4 = sc.getPersistentRDDs.keySet.toSet
+    GraphAnalytics.pageRank(n, e, iters = 10).count()
+    ours(pre4).size should be <= 4
+    val pre5 = sc.getPersistentRDDs.keySet.toSet
+    GraphAnalytics.bfsLevels(n, e, sourceId = 1L).count()
+    ours(pre5).size should be <= 4
+    val pre6 = sc.getPersistentRDDs.keySet.toSet
+    GraphAnalytics.personalizedPageRank(n, e, sourceId = 1L, iters = 10).count()
+    ours(pre6).size should be <= 4
   }
 
   // 1→2, 2→3, 3→1 cycle; 4 isolated; duplicate + self-loop noise
