@@ -477,6 +477,45 @@ object ScaleBench {
     } finally { gt.unpersist(); () }
   }
 
+  /** Measured RECALL of the production minhash-banding candidate pass —
+    * the dedup analogue of [[annRecall]] (speed ratios alone can hide a
+    * candidate generator that quietly stops finding pairs as the corpus
+    * grows). Ground truth must cover the FULL corpus (duplicate pairs are
+    * too sparse for an independent doc sample to retain both members), so
+    * it comes from a deliberately over-recalled 16-band × 1-row pass with
+    * EXACT verification: a qualifying pair at Jaccard j escapes the truth
+    * generator with probability (1−j)^16 — ≤ 1.5e-5 at the j = 0.5
+    * threshold, quantifiably negligible and stated here rather than
+    * pretending the truth is brute force. The measured form is the
+    * production 4-band × 2-row family over the same corpus, verified the
+    * same way. Returns (recall, n_truth_pairs).
+    */
+  def dedupRecall(spark: SparkSession, d: String, k: Int = 3,
+                  threshold: Double = 0.5, bands: Int = 4,
+                  rowsPerBand: Int = 2): (Double, Long) = {
+    import graft.functions.Dedup
+    val docs = Tables.documents(spark, d).filter(col("text").isNotNull)
+    val truth = Dedup.ngramJaccardPairs(docs, "text", k, threshold,
+        candidates = Some(Dedup.minhashCandidates(docs, "text", k = k,
+          bands = 16, rowsPerBand = 1, hasher = Dedup.fnvHasher)
+          .select(col("doc_a"), col("doc_b")).distinct()))
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nTruth = truth.count()
+      if (nTruth == 0) (-1.0, 0L)
+      else {
+        val got = Dedup.ngramJaccardPairs(docs, "text", k, threshold,
+          candidates = Some(Dedup.minhashCandidates(docs, "text", k = k,
+            bands = bands, rowsPerBand = rowsPerBand, hasher = Dedup.fnvHasher)
+            .select(col("doc_a"), col("doc_b")).distinct()))
+        val hits = truth.join(got.select(col("doc_a"), col("doc_b")),
+          Seq("doc_a", "doc_b"), "left_semi").count()
+        (hits.toDouble / nTruth, nTruth)
+      }
+    } finally { truth.unpersist(); () }
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val baseDirEnv = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -726,8 +765,15 @@ object ScaleBench {
     val recall: Option[(Seq[(String, Double)], Seq[(String, Double)])] =
       if (skewOnly || textOnly ||
           sys.env.get("SPARK_GRAFT_RECALL").contains("0")) None
-      else try Some((annRecall(spark, baseDir), annRecall(spark, scaleDir)))
-      catch { case e: Throwable =>
+      else try {
+        // the dedup-recall point needs the documents table, which the
+        // ann-only synthesis does not write
+        def points(dir: String): Seq[(String, Double)] =
+          annRecall(spark, dir) ++
+            (if (annOnly) Nil
+             else Seq("dedup_minhash@j0.5" -> dedupRecall(spark, dir)._1))
+        Some((points(baseDir), points(scaleDir)))
+      } catch { case e: Throwable =>
         System.err.println(s"[scale] recall measurement failed: ${e.getMessage}")
         None
       }
