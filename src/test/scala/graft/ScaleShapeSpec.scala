@@ -377,6 +377,32 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     m14 should include("RoundRobinPartitioning")
   }
 
+  test("unicode fold is a pure scan projection; rendezvous audit is one agg exchange") {
+    // q_t42: two codegen'd char ops riding the scan — the only exchange is
+    // the gate's deterministic output orderBy
+    val t42 = SparkEntry.queries("q_t42_unicode_fold")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    t42.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")) should be <= 1
+    t42 should not include "CartesianProduct"
+    // q_sp15: the HRW argmax itself is map-only (RendezvousSpec pins zero
+    // Exchange pre-aggregate); the gate adds one groupBy + the orderBy
+    val sp15 = SparkEntry.queries("q_sp15_rendezvous")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    sp15.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")) should be <= 2
+    sp15 should not include "CartesianProduct"
+  }
+
+  test("Hamming near-dup joins stay chunk-equi-keyed — no cross product") {
+    for (name <- Seq("q_v29_hamming_neardup", "q_v30_hamming_stream_parity")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
   test("bitext margin's post-scoring plan reads only the checkpointed score table") {
     // the one corpus pass (brute at gate scale, ANN in production) is cut
     // with a checkpoint feeding four consumers (two rankings, two sums);
