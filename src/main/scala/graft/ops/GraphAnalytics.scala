@@ -406,6 +406,71 @@ object GraphAnalytics {
       .select(col("id"), col("level"))
   }
 
+  /** Sampled INBOUND harmonic-closeness centrality (the Eppstein–Wang
+    * estimator shape): one multi-source BFS from a fixed `sources` set,
+    * then per TARGET node v over sources s ≠ v with finite d(s, v):
+    * n_sources_reaching, sum_dist, and harmonic_micro = Σ ⌊10⁶ / d⌋ —
+    * harmonic centrality in integer micro-units via integer DIVISION, so
+    * the aggregate is an exact BIGINT on any partitioning/engine (the
+    * float 1/d sum it replaces is summation-order-dependent). Harmonic
+    * (not classic closeness) because it is well-defined under
+    * unreachability — the normal case on directed web/citation graphs.
+    *
+    * Scale shape: the frontier carries (source, node) PAIRS, so per-level
+    * cost is |sources| × frontier out-edges — the sources set is the
+    * sampling dial (|sources| ≈ 16–64 estimates rank order on power-law
+    * graphs); per-level checkpoint-handle discipline as [[bfsLevels]]
+    * (diameter-long unionByName chains OOM the driver otherwise).
+    */
+  def closenessCentrality(nodes: DataFrame, edges: DataFrame,
+                          sources: Seq[Long],
+                          maxLevels: Int = 1000): DataFrame = {
+    require(sources.nonEmpty, "closenessCentrality needs at least one source")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // normalize id types up front: fixture graphs carry INT ids and the
+    // (src, id, level) union frame is built from Long sources
+    val e = edges.select(col("fromId").cast("long").as("fromId"),
+        col("toId").cast("long").as("toId")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = sources.distinct.map(s => (s, s, 0))
+      .toDF("src", "id", "level")
+    var releaseVisited: () => Unit = () => ()
+    var frontier = visited
+    var releaseFrontier: () => Unit = () => ()
+    var level = 0
+    var frontierSize = sources.distinct.size.toLong
+    while (frontierSize > 0 && level < maxLevels) {
+      level += 1
+      val (next, relNext) = GraftSqlBridge.localCheckpointWithHandle(
+        e.join(frontier.select(col("src"), col("id").as("fromId")), "fromId")
+          .select(col("src"), col("toId").as("id")).distinct()
+          .join(visited, Seq("src", "id"), "left_anti")
+          .select(col("src"), col("id"), lit(level).as("level")))
+      frontierSize = next.count()
+      val (newVisited, relVisited) = GraftSqlBridge.localCheckpointWithHandle(
+        visited.unionByName(next))
+      releaseVisited()
+      if (!(releaseFrontier eq releaseVisited)) releaseFrontier()
+      visited = newVisited
+      releaseVisited = relVisited
+      frontier = next
+      releaseFrontier = relNext
+    }
+    releaseFrontier()
+    e.unpersist()
+    val agg = visited.filter(col("level") > 0)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_sources_reaching"),
+        sum(col("level").cast("long")).as("sum_dist"),
+        sum(expr("1000000 div level")).as("harmonic_micro"))
+    nodes.select(col("id").cast("long").as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_sources_reaching"), lit(0L)).as("n_sources_reaching"),
+        col("sum_dist"),
+        coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
+  }
+
   /** Personalized PageRank (random-walk-with-restart): like [[pageRank]]
     * but ALL teleport mass returns to `sourceId` — the stationary
     * distribution of a walker who restarts at the source with probability

@@ -334,6 +334,20 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga21_closeness" -> ((s, _) => {
+      // sampled inbound harmonic closeness: multi-source BFS from the 4
+      // smallest node ids (the deterministic sample both engines derive),
+      // harmonic sums in integer micro-units (⌊1e6/d⌋ — exact BIGINT, no
+      // order-dependent float 1/d accumulation)
+      val g = graph50(s)
+      val nodesDf = g.nodes.toDF()
+      val srcs = nodesDf.select(col("id").cast("long")).orderBy(col("id"))
+        .limit(4).collect().map(_.getLong(0)).toSeq
+      GraphAnalytics.closenessCentrality(nodesDf,
+          g.edges.toDF().select(col("fromId"), col("toId")), srcs)
+        .orderBy(col("id"))
+    }),
+
     "q_ga7_ppr" -> ((s, _) => {
       // personalized PageRank from the init node (random-walk-with-restart
       // proximity): all teleport mass returns to id 0, initial mass at the
@@ -805,6 +819,31 @@ object GraphQueries {
             GROUP BY 1)
           SELECT n.id AS "id", scc.scc_id
           FROM $nodesTbl n JOIN scc ON scc.id = n.id
+          ORDER BY n.id""",
+
+    "q_ga21_closeness" ->
+      // the multi-source BFS re-derived: recursive enumeration from the
+      // same 4 smallest ids (q_ga4's depth-bound convention), min level
+      // per (src, id), self pairs (d = 0) excluded, integer-division
+      // micro harmonic sums
+      s"""WITH RECURSIVE e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),
+          srcs AS (SELECT id AS src FROM $nodesTbl ORDER BY id LIMIT 4),
+          bfs(src, id, lvl) AS (
+            SELECT src, src, 0 FROM srcs
+            UNION
+            SELECT bfs.src, e.toId, bfs.lvl + 1
+            FROM bfs JOIN e ON e.fromId = bfs.id
+            WHERE bfs.lvl < 60),
+          mind AS (SELECT src, id, min(lvl) AS d FROM bfs GROUP BY 1, 2),
+          agg AS (SELECT id, count(*)::BIGINT AS n_sources_reaching,
+                         sum(d)::BIGINT AS sum_dist,
+                         sum(1000000 // d)::BIGINT AS harmonic_micro
+                  FROM mind WHERE d > 0 GROUP BY 1)
+          SELECT n.id AS "id",
+                 coalesce(a.n_sources_reaching, 0)::BIGINT AS n_sources_reaching,
+                 a.sum_dist,
+                 coalesce(a.harmonic_micro, 0)::BIGINT AS harmonic_micro
+          FROM $nodesTbl n LEFT JOIN agg a ON a.id = n.id
           ORDER BY n.id""",
 
     "q_ga4_bfs_levels" ->

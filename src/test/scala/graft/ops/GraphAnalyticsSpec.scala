@@ -44,6 +44,26 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     ours(pre6).size should be <= 4
   }
 
+  test("closenessCentrality: hand-computed path-graph harmonics; cycles exclude self") {
+    val n = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.closenessCentrality(n, path, Seq(1L, 2L))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))).toMap
+    out(1L) shouldBe ((0L, -1L, 0L)) // no inbound path from any source
+    out(2L) shouldBe ((1L, 1L, 1000000L)) // d(1,2)=1
+    out(3L) shouldBe ((2L, 3L, 1500000L)) // d=2 and d=1
+    out(4L) shouldBe ((2L, 5L, 833333L)) // ⌊1e6/3⌋ + ⌊1e6/2⌋
+    // a cycle back to the source must NOT count as self-closeness
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("fromId", "toId")
+    val c = GraphAnalytics.closenessCentrality(
+        Seq(1L, 2L).toDF("id"), cyc, Seq(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    c(1L) shouldBe 0L
+    c(2L) shouldBe 1000000L
+  }
+
   // 1→2, 2→3, 3→1 cycle; 4 isolated; duplicate + self-loop noise
   private def nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
   private def cycleEdges = Seq(
