@@ -252,4 +252,40 @@ object Sampling {
         round(greatest(col(weightCol).cast("double"), col("_ps_tau")), 6)
           .as("est"))
   }
+
+  /** [[prioritySample]] PER GROUP — the per-language/per-source weighted
+    * subsample with per-group unbiased totals (mixture building's
+    * "k docs per language, still able to estimate each language's token
+    * mass"). Same DLT arithmetic with a per-group τ: one group-keyed
+    * window ranks priorities (groups parallelize — no TakeOrdered
+    * bottleneck), the top-(k+1) slice is checkpointed (groups × (k+1)
+    * rows) so the τ branch and the sample branch never re-rank the
+    * corpus, and τ_g joins back group-keyed (broadcast-sized). Groups
+    * with ≤ k rows sample whole with exact-weight estimates (τ_g = 0).
+    */
+  def prioritySamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             weightCol: String, k: Int,
+                             seed: String = "psample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val h = Dedup.md5Hash32(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val wnd = Window.partitionBy(col(groupCol))
+      .orderBy(desc("_ps_q"), col(idCol))
+    val (top, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+        .withColumn("_ps_q",
+          (col(weightCol).cast("double") * lit(4294967296.0d)) /
+            (h + lit(1L)).cast("double"))
+        .withColumn("_ps_rn", row_number().over(wnd))
+        .filter(col("_ps_rn") <= k + 1))
+    val taus = top.groupBy(col(groupCol))
+      .agg(coalesce(max(when(col("_ps_rn") === k + 1, col("_ps_q"))),
+        lit(0.0d)).as("_ps_tau"))
+    top.filter(col("_ps_rn") <= k)
+      .join(broadcast(taus), Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        col(weightCol).cast("long").as("weight"),
+        round(greatest(col(weightCol).cast("double"), col("_ps_tau")), 6)
+          .as("est"))
+  }
 }

@@ -3075,6 +3075,16 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_sp17_group_priority" -> ((s, d) =>
+      // per-SOURCE DLT priority sample: top-5 per source by w/u priority,
+      // per-group τ = the 6th priority, per-group unbiased max(w, τ_g)
+      // estimates — "k docs per source, each source's total char mass
+      // still estimable". One group-keyed window pass, checkpointed
+      // top-(k+1) slice, broadcast τ join.
+      graft.functions.Sampling.prioritySamplePerGroup(Tables.documents(s, d),
+          "source", "doc_id", "n_chars", k = 5)
+        .orderBy(col("source"), col("doc_id"))),
+
     "q_t42_unicode_fold" -> ((s, d) => {
       // NFKC-lite compatibility folding on PLANTED mess: full-width
       // substitutions of the clean text plus a tail exercising every
@@ -4895,6 +4905,25 @@ object RelationalQueries {
                 min(v)::INT AS px_min, max(v)::INT AS px_max,
                 round(sum(v)::DOUBLE / count(*), 6) AS px_mean
          FROM px GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_sp17_group_priority" ->
+      // the per-group DLT chain re-derived: identical priority expression,
+      // per-source rank with the (priority DESC, id) tie order, per-group
+      // 6th-priority τ (0 for small groups), max(w, τ_g) estimates
+      """WITH s AS (
+           SELECT source, doc_id, n_chars::BIGINT AS w,
+                  (n_chars::BIGINT * 4294967296.0) /
+                    ((('0x' || substr(md5('psample:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1)) AS q
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+                 ORDER BY q DESC, doc_id) AS rn FROM s),
+         t AS (SELECT source,
+                      coalesce(max(CASE WHEN rn = 6 THEN q END), 0.0) AS tau
+               FROM r WHERE rn <= 6 GROUP BY 1)
+         SELECT r.source, r.doc_id, r.w AS weight,
+                round(greatest(r.w::DOUBLE, t.tau), 6) AS est
+         FROM r JOIN t USING (source) WHERE rn <= 5
+         ORDER BY r.source, r.doc_id""",
 
     "q_t42_unicode_fold" ->
       // the fold is a bijection back onto the clean text for the planted

@@ -57,6 +57,30 @@ class PrioritySampleSpec extends AnyFunSuite with Matchers {
     math.abs(mean - trueTotal) / trueTotal should be < 0.15
   }
 
+  test("per-group variant: top-k within each group, per-group tau, small groups exact") {
+    val df = (1 to 60).map(i => (s"g${i % 3}", i.toLong, ((i * 13) % 40 + 1).toLong))
+      .toDF("grp", "doc_id", "w")
+      // plus one tiny group (2 rows < k)
+      .unionByName(Seq(("tiny", 100L, 7L), ("tiny", 101L, 9L))
+        .toDF("grp", "doc_id", "w"))
+    val out = Sampling.prioritySamplePerGroup(df, "grp", "doc_id", "w", k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.groupBy(_._1).foreach { case (_, rows) => rows.length should be <= 4 }
+    // tiny group: sampled whole, exact-weight estimates
+    val tiny = out.filter(_._1 == "tiny")
+    tiny.map(_._2).sorted shouldBe Seq(100L, 101L)
+    tiny.foreach { case (_, _, w, est) => est shouldBe w.toDouble }
+    // per-group brute parity on one group
+    val g0 = df.filter(col("grp") === "g0")
+      .withColumn("h", Dedup.md5Hash32(
+        concat_ws(":", lit("psample"), col("doc_id").cast("string"))))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = g0.map { case (id, w, h) =>
+      (id, (w.toDouble * 4294967296.0) / (h + 1).toDouble)
+    }.sortBy { case (id, q) => (-q, id) }.take(4).map(_._1).toSet
+    out.filter(_._1 == "g0").map(_._2).toSet shouldBe expect
+  }
+
   test("one corpus pass: the returned plan reads the checkpointed top-(k+1)") {
     val q = Sampling.prioritySample(
       graft.Tables.documents(spark, "/root/testdata/sf0.001"),
