@@ -606,7 +606,16 @@ object ScaleBench {
         SparkEntry.queries("q_v29_hamming_neardup")(s, d)),
       // adversarial identical-code plant, collapsed production form
       "q_v29_skew_collapsed" -> ((s: SparkSession, d: String) =>
-        hammingSkewCollapsed(s, d)))
+        hammingSkewCollapsed(s, d)),
+      // contrastive triplets at the production probe setting (the gate
+      // form probes exhaustively for its brute oracle)
+      "q_v31_production" -> ((s: SparkSession, d: String) => {
+        import graft.functions.{IvfIndex, Similarity}
+        val embs = Tables.embeddings(s, d)
+        Similarity.contrastiveTriplets(
+          IvfIndex.knnJoinAuto(s, embs, corpusKey = d, k = 5, nprobe = 2),
+          embs.select(col("vec_id"), col("label")))
+      }))
     // the gram-keyed operators the planted-boilerplate point stress-tests,
     // each in gate form AND (where it exists) the hash-key production form
     val skewFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(

@@ -404,6 +404,42 @@ object Similarity {
           lit(0.0d)), 6).as("rr"))
   }
 
+  /** Contrastive TRIPLETS from one k-NN candidate table — the training
+    * example shape of embedding-model fine-tuning (triplet/InfoNCE loss):
+    * per anchor, the hardest POSITIVE (nearest same-label neighbor) and
+    * the hardest NEGATIVE (nearest different-label neighbor —
+    * [[hardNegatives]]), with the triplet margin pos_cos − neg_cos (a
+    * negative margin is exactly the violated-triplet case the loss
+    * trains on). Anchors missing either side drop (inner join) — a
+    * one-example class can't form a positive.
+    *
+    * Scale shape: ONE candidate table feeds both sides (exhaustive-probe
+    * knnJoin at gate scale for oracle completeness — the q_v12 trick;
+    * production passes the identical plan at nprobe << numCells), two
+    * label broadcasts, two anchor-keyed min_by aggregates, one
+    * anchor-keyed join of two anchor-sized tables.
+    */
+  def contrastiveTriplets(neighbors: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("vec_id"), col("label"))
+    val pos = neighbors
+      .join(lab.select(col("vec_id"), col("label").as("anchor_label")), "vec_id")
+      .join(lab.select(col("vec_id").as("vid_b"), col("label").as("b_label")),
+        "vid_b")
+      .filter(col("anchor_label") === col("b_label"))
+      .groupBy(col("vec_id"), col("anchor_label"))
+      .agg(min_by(
+        struct(col("vid_b").as("pos_id"), col("cosine").as("pos_cos")),
+        struct((-col("cosine")).as("nc"), col("vid_b").as("vb"))).as("p"))
+      .select(col("vec_id"), col("anchor_label"),
+        col("p.pos_id"), col("p.pos_cos"))
+    val neg = hardNegatives(neighbors, labels)
+      .select(col("vec_id"), col("neg_id"), col("cosine").as("neg_cos"))
+    pos.join(neg, "vec_id")
+      .select(col("vec_id"), col("anchor_label"), col("pos_id"),
+        col("pos_cos"), col("neg_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+  }
+
   /** Brute-force scored pair table for [[marginAlignment]]: every
     * (src, tgt) cosine, rounded to 6 — the oracle-exact gate tier. The
     * production tier at corpus scale feeds marginAlignment from TWO IVF

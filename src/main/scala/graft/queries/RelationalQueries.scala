@@ -2287,6 +2287,21 @@ object RelationalQueries {
           candidates = 50, k = 10)
         .orderBy(desc("cosine"), col("doc_id"))),
 
+    "q_v31_contrastive_triplets" -> ((s, d) => {
+      // the embedding-training data capstone: per anchor, hardest
+      // same-label positive + hardest cross-label negative + triplet
+      // margin, from ONE exhaustive-probe k-NN table (provably complete
+      // candidates → brute-force oracle; production runs the identical
+      // plan at nprobe << numCells — the q_v12 convention)
+      val embs = Tables.embeddings(s, d)
+      val model = ivfModel(s, embs, d)
+      val neighbors = graft.functions.IvfIndex.knnJoin(embs, model, k = 5,
+        nprobe = model.numCells)
+      graft.functions.Similarity.contrastiveTriplets(neighbors,
+          embs.select(col("vec_id"), col("label")))
+        .orderBy(col("vec_id"))
+    }),
+
     "q_v12_hard_negatives" -> ((s, d) => {
       // contrastive hard-negative mining over the exhaustive-probe k-NN
       // join (the q_v5 trick: nprobe = numCells makes the ANN candidates
@@ -4723,6 +4738,45 @@ object RelationalQueries {
                 round(list_cosine_similarity(embedding::DOUBLE[], (SELECT e FROM q)), 6) AS cosine
          FROM cand JOIN embeddings ON embeddings.vec_id = cand.doc_id
          ORDER BY cosine DESC, cand.doc_id LIMIT 10""",
+
+    "q_v31_contrastive_triplets" ->
+      // the q_v12 brute chain extended: same top-5 candidates, argmax by
+      // (cosine DESC, id) WITHIN each label side, inner-joined per anchor
+      // with the single-IEEE-subtract margin
+      """WITH sc AS (
+           SELECT a.vec_id, b.vec_id AS vid_b,
+                  round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6)
+                    AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT vec_id, vid_b, cosine,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, vid_b) AS rn
+           FROM sc),
+         cand AS (
+           SELECT r.vec_id, la.label AS anchor_label, r.vid_b,
+                  lb.label AS b_label, r.cosine
+           FROM ranked r
+           JOIN embeddings la ON la.vec_id = r.vec_id
+           JOIN embeddings lb ON lb.vec_id = r.vid_b
+           WHERE r.rn <= 5),
+         pos AS (
+           SELECT vec_id, anchor_label, vid_b AS pos_id, cosine AS pos_cos,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, vid_b) AS prn
+           FROM cand WHERE anchor_label = b_label),
+         neg AS (
+           SELECT vec_id, vid_b AS neg_id, cosine AS neg_cos,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, vid_b) AS nrn
+           FROM cand WHERE anchor_label <> b_label)
+         SELECT p.vec_id, p.anchor_label, p.pos_id, p.pos_cos,
+                n.neg_id, n.neg_cos,
+                round(p.pos_cos - n.neg_cos, 6) AS margin
+         FROM pos p JOIN neg n ON p.vec_id = n.vec_id
+         WHERE p.prn = 1 AND n.nrn = 1
+         ORDER BY p.vec_id""",
 
     "q_v12_hard_negatives" ->
       // brute-force top-5 per anchor (== the exhaustive-probe knnJoin),

@@ -55,6 +55,33 @@ class MarginAlignmentSpec extends AnyFunSuite with Matchers {
     all(out.map(_._4)) shouldBe true
   }
 
+  test("contrastiveTriplets: hardest positive + hardest negative per anchor, violated margins negative") {
+    // label 0: x0 on axis 1, x1 nearby; label 1: y0 on axis 2, y1 planted
+    // CLOSER to x0 than its own positive — x0's triplet must come out
+    // violated (negative margin)
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.8f, 0.6f, 0f, 0f), 0),
+      (2L, Array(0f, 0f, 1f, 0f), 1),
+      (3L, Array(0.99f, 0f, 0.141f, 0f), 1)) // hard negative for x0
+      .toDF("vec_id", "embedding", "label")
+    val neighbors = Similarity.bruteAlignScores(
+        embs.select(col("vec_id"), col("embedding")),
+        embs.select(col("vec_id"), col("embedding")))
+      .filter(col("src_id") =!= col("tgt_id"))
+      .select(col("src_id").as("vec_id"), col("tgt_id").as("vid_b"),
+        col("cos").as("cosine"))
+    val out = Similarity.contrastiveTriplets(neighbors,
+        embs.select(col("vec_id"), col("label")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(4), r.getDouble(6)))).toMap
+    out(0L)._1 shouldBe 1L // positive: the only same-label vector
+    out(0L)._2 shouldBe 3L // hardest negative: the planted near-copy
+    out(0L)._3 should be < 0.0 // violated triplet
+    out(2L)._1 shouldBe 3L
+    out.keySet shouldBe Set(0L, 1L, 2L, 3L) // every anchor has both sides
+  }
+
   test("margin output is deterministic across partitionings") {
     val a = Similarity.marginAlignment(
       Similarity.bruteAlignScores(srcDf.repartition(7), tgtDf), k = 2)
