@@ -15,6 +15,36 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphAnalytics {
 
+  // At most one persisted canonical-edge table per SparkContext — the
+  // Dedup.shingleCaches convention: the three lazy self-join analytics
+  // below (triangles, link prediction, assortativity) persist a subtree
+  // their RETURNED plan reads, so in-function unpersist is impossible;
+  // registering here makes the next invocation from any session of the
+  // context evict the predecessor (a still-held earlier plan recomputes
+  // transparently — persist is a cache, never lineage truncation), so a
+  // library caller looping graphs holds bounded storage instead of one
+  // edge cache per call. Gate/bench callers still clearCache per query.
+  private val edgeCaches =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, DataFrame]()
+
+  private def registerEdgeCache(spark: org.apache.spark.sql.SparkSession,
+                                df: DataFrame): DataFrame = {
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    Option(edgeCaches.put(spark.sparkContext, cached))
+      .filter(_ ne cached)
+      .foreach(prev => if (!spark.sparkContext.isStopped) prev.unpersist())
+    cached
+  }
+
+  /** Drop the cached canonical-edge table left by the context's last
+    * lazy self-join analytic. Safe after stop.
+    */
+  def releaseEdgeCache(spark: org.apache.spark.sql.SparkSession): Unit =
+    Option(edgeCaches.remove(spark.sparkContext)).foreach { df =>
+      if (!spark.sparkContext.isStopped) df.unpersist(blocking = true)
+    }
+
+
   /** Per-node out/in degree over the DISTINCT edge set, zero-filled from
     * the node list. Two map-side-combinable aggregates + two left joins —
     * each keyed on the node id, no shuffle wider than the edge list.
@@ -593,12 +623,12 @@ object GraphAnalytics {
     * skew-split a hub key; nothing is all-pairs.
     */
   def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val und = edges.select(
-        least(col("fromId"), col("toId")).as("a"),
-        greatest(col("fromId"), col("toId")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = registerEdgeCache(nodes.sparkSession,
+      edges.select(
+          least(col("fromId"), col("toId")).as("a"),
+          greatest(col("fromId"), col("toId")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
     val tri = und.as("e1")
       .join(und.as("e2"), col("e1.b") === col("e2.a"))
       .join(und.as("e3"),
@@ -653,11 +683,11 @@ object GraphAnalytics {
     * ~9 orders above its accumulation noise.
     */
   def linkPrediction(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val und = edges.select(
-        least(col("fromId"), col("toId")).as("a"),
-        greatest(col("fromId"), col("toId")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = registerEdgeCache(nodes.sparkSession,
+      edges.select(
+          least(col("fromId"), col("toId")).as("a"),
+          greatest(col("fromId"), col("toId")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
     val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
     val nbr = sym.select(col("a").as("z"), col("b").as("n"))
@@ -726,11 +756,11 @@ object GraphAnalytics {
     * ~10^18, noted here rather than silently approximated.
     */
   def degreeAssortativity(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val und = edges.select(
-        least(col("fromId"), col("toId")).as("a"),
-        greatest(col("fromId"), col("toId")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val und = registerEdgeCache(nodes.sparkSession,
+      edges.select(
+          least(col("fromId"), col("toId")).as("a"),
+          greatest(col("fromId"), col("toId")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
     val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
     val pairs = sym

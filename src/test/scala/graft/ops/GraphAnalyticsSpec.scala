@@ -42,6 +42,16 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     val pre6 = sc.getPersistentRDDs.keySet.toSet
     GraphAnalytics.personalizedPageRank(n, e, sourceId = 1L, iters = 10).count()
     ours(pre6).size should be <= 4
+    // the LAZY self-join analytics hold at most ONE cached edge table per
+    // context across repeated calls (the shingleCaches convention)
+    GraphAnalytics.releaseEdgeCache(spark)
+    val pre7 = sc.getPersistentRDDs.keySet.toSet
+    GraphAnalytics.triangleCounts(n, e).count()
+    GraphAnalytics.linkPrediction(n, e).count()
+    GraphAnalytics.degreeAssortativity(n, e).count()
+    ours(pre7).size should be <= 1
+    GraphAnalytics.releaseEdgeCache(spark)
+    ours(pre7) shouldBe empty
   }
 
   test("closenessCentrality: hand-computed path-graph harmonics; cycles exclude self") {
