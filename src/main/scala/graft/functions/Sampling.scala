@@ -253,6 +253,35 @@ object Sampling {
           .as("est"))
   }
 
+  /** MIXTURE PLANNING — the arithmetic step UPSTREAM of
+    * [[weightedMixture]]: given per-key available mass (Σ weight), a
+    * per-key target share (micro-units, ppm) and a total budget, derive
+    * the per-key keep RATE, the expected kept mass, and the DEFICIT
+    * (targets an under-resourced key cannot meet even at rate 1.0 — the
+    * "not enough low-resource data" signal every mixture build logs).
+    * ALL integer arithmetic (ppm shares, integer division), so the plan
+    * is exact on any partitioning and in any engine:
+    *   desired  = budget·ppm div 10⁶
+    *   rate_ppm = min(10⁶, desired·10⁶ div avail)
+    *   expected = avail·rate_ppm div 10⁶ ; deficit = max(0, desired−expected)
+    * The emitted rate_ppm feeds [[weightedMixture]] as rate = ppm/10⁶.
+    * One key-keyed aggregate over one scan; output is key-cardinality.
+    */
+  def mixturePlan(df: DataFrame, keyCol: String, weightCol: String,
+                  targetPpm: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0 (got $budget)")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(keyCol))
+      .agg(sum(col(weightCol).cast("long")).as("avail"))
+      .withColumn("target_ppm", targetPpm)
+      .withColumn("desired", expr(s"(${budget}L * target_ppm) div 1000000"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(desired * 1000000) div avail")))
+      .withColumn("expected_kept", expr("(avail * rate_ppm) div 1000000"))
+      .withColumn("deficit",
+        greatest(lit(0L), col("desired") - col("expected_kept")))
+  }
+
   /** [[prioritySample]] PER GROUP — the per-language/per-source weighted
     * subsample with per-group unbiased totals (mixture building's
     * "k docs per language, still able to estimate each language's token

@@ -3119,6 +3119,18 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sp18_mixture_plan" -> ((s, d) =>
+      // mixture planning: per-source char mass vs hash-derived target
+      // shares under a 100k-char budget — keep rates, expected kept mass,
+      // and the deficit of under-resourced sources, all exact integer
+      // ppm arithmetic (the step upstream of the q_sp4 rate gate)
+      graft.functions.Sampling.mixturePlan(Tables.documents(s, d),
+          "source", "n_chars",
+          targetPpm = lit(20000L) +
+            graft.functions.Dedup.md5Hash32(col("source")) % 80000L,
+          budget = 100000L)
+        .orderBy(col("source"))),
+
     "q_sp16_priority_sample" -> ((s, d) =>
       // Duffield–Lund–Thorup priority sampling: top-20 by w/u priority
       // (w = n_chars, u = md5 hash uniform), τ = the 21st priority,
@@ -4985,6 +4997,29 @@ object RelationalQueries {
       // expected output is constructed, not re-derived
       """SELECT doc_id, text || ' "q''s"-x...zA' AS folded
          FROM documents WHERE text IS NOT NULL ORDER BY 1""",
+
+    "q_sp18_mixture_plan" ->
+      // the same integer ppm chain: avail per source, hash targets,
+      // budget·ppm//1e6 desired, min-capped rates, expected mass, deficit
+      """WITH a AS (
+           SELECT source, sum(n_chars::BIGINT)::BIGINT AS avail
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+           GROUP BY 1),
+         p AS (
+           SELECT source, avail,
+                  (20000 + ('0x' || substr(md5(source), 1, 8))::BIGINT % 80000)::BIGINT
+                    AS target_ppm
+           FROM a),
+         r AS (
+           SELECT source, avail, target_ppm,
+                  ((100000 * target_ppm) // 1000000)::BIGINT AS desired,
+                  least(1000000, (((100000 * target_ppm) // 1000000) * 1000000) // avail)::BIGINT
+                    AS rate_ppm
+           FROM p)
+         SELECT source, avail, target_ppm, desired, rate_ppm,
+                ((avail * rate_ppm) // 1000000)::BIGINT AS expected_kept,
+                greatest(0, desired - (avail * rate_ppm) // 1000000)::BIGINT AS deficit
+         FROM r ORDER BY source""",
 
     "q_sp16_priority_sample" ->
       // the DLT chain re-derived: the identical (w·2³²)/(h+1) priority
