@@ -394,6 +394,26 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     sp15 should not include "CartesianProduct"
   }
 
+  test("samplers and the mixture plan stay exchange-light; triplets equi-join") {
+    // q_sp17: the group window ran inside the checkpointed top-(k+1)
+    // slice — the returned plan reads no parquet and re-sorts nothing
+    // corpus-sized
+    val sp17 = SparkEntry.queries("q_sp17_group_priority")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    sp17 should not include "Scan parquet"
+    // q_sp18: one key-keyed aggregate + the gate orderBy
+    val sp18 = SparkEntry.queries("q_sp18_mixture_plan")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    sp18.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")) should be <= 2
+    sp18 should not include "CartesianProduct"
+    // q_v31: the candidate table is the cell equi-join — never a cross
+    val v31 = SparkEntry.queries("q_v31_contrastive_triplets")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    v31 should not include "CartesianProduct"
+    v31 should not include "BroadcastNestedLoopJoin"
+  }
+
   test("Hamming near-dup joins stay chunk-equi-keyed — no cross product") {
     for (name <- Seq("q_v29_hamming_neardup", "q_v30_hamming_stream_parity")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
