@@ -388,7 +388,7 @@ object ScaleBench {
       .join(groups.select(col("vec_id").as("id_b"), col("m").as("m_b")), "id_b")
       .agg(coalesce(sum(col("m_a") * col("m_b")), lit(0L)).as("n_cross_pairs"))
     val within = groups
-      .agg(sum(col("m") * (col("m") - 1) / 2).as("n_within_pairs"))
+      .agg(sum(expr("m * (m - 1) div 2")).as("n_within_pairs"))
     cross.crossJoin(within)
   }
 

@@ -263,7 +263,11 @@ object Sampling {
     * is exact on any partitioning and in any engine:
     *   desired  = budget·ppm div 10⁶
     *   rate_ppm = min(10⁶, desired·10⁶ div avail)
-    *   expected = avail·rate_ppm div 10⁶ ; deficit = max(0, desired−expected)
+    *   expected = avail·rate_ppm div 10⁶
+    *   deficit  = max(0, desired − min(avail, desired))
+    * deficit is the TRUE resource shortfall (zero whenever avail ≥
+    * desired) — expected_kept may still sit up to 1 unit below desired
+    * from ppm flooring, which is quantization, not shortage.
     * The emitted rate_ppm feeds [[weightedMixture]] as rate = ppm/10⁶.
     * One key-keyed aggregate over one scan; output is key-cardinality.
     */
@@ -279,7 +283,8 @@ object Sampling {
         least(lit(1000000L), expr("(desired * 1000000) div avail")))
       .withColumn("expected_kept", expr("(avail * rate_ppm) div 1000000"))
       .withColumn("deficit",
-        greatest(lit(0L), col("desired") - col("expected_kept")))
+        greatest(lit(0L),
+          col("desired") - least(col("avail"), col("desired"))))
   }
 
   /** [[prioritySample]] PER GROUP — the per-language/per-source weighted

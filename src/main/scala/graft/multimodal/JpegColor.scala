@@ -379,6 +379,10 @@ object JpegColorCodec {
             if (len != 4) return None
             restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
           case 0xDA =>
+            // minimum SOS length for ns=3: 2 len + 1 ns + 6 selector +
+            // 3 Ss/Se/Ah — a shrunken len field at exact EOF must not
+            // drive reads past the buffer (quarantine contract: None)
+            if (len < 12) return None
             if (comps == null) return None
             val ns = b(seg) & 0xff
             if (ns != 3) return None

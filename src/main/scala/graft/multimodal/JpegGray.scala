@@ -429,6 +429,10 @@ object JpegCodec {
             if (len != 4) return None
             restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
           case 0xDA => // SOS
+            // minimum SOS length for ns=1: 2 len + 1 ns + 2 selector +
+            // 3 Ss/Se/Ah — guard before reading fields (same shrunken-len
+            // EOF pattern as the color decoder)
+            if (len < 8) return None
             val ns = b(seg) & 0xff
             if (ns != 1) return None
             dcSel = (b(seg + 2) & 0xff) >> 4

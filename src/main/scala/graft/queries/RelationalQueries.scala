@@ -5018,7 +5018,7 @@ object RelationalQueries {
            FROM p)
          SELECT source, avail, target_ppm, desired, rate_ppm,
                 ((avail * rate_ppm) // 1000000)::BIGINT AS expected_kept,
-                greatest(0, desired - (avail * rate_ppm) // 1000000)::BIGINT AS deficit
+                greatest(0, desired - least(avail, desired))::BIGINT AS deficit
          FROM r ORDER BY source""",
 
     "q_sp16_priority_sample" ->
