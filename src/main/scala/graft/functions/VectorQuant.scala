@@ -124,7 +124,9 @@ object VectorQuant {
     * flips a handful of sign bits.
     *
     * Scale shape: one chunk-keyed shuffle each side; hot chunks (common
-    * sign prefixes) are AQE skew-split; verify touches candidates only.
+    * sign prefixes) are AQE skew-split; the exact verify runs map-side on
+    * the join output, so the only post-join exchange (candidate dedup)
+    * carries three longs per QUALIFYING pair — codes never ride a shuffle.
     * Identical-code mass is the one inherent quadratic: m vectors sharing
     * a code legitimately produce m² qualifying pairs — OUTPUT-bound, not
     * plan waste. A dedup consumer should collapse exact code duplicates
@@ -151,14 +153,22 @@ object VectorQuant {
       }: _*)).as(Seq("chunk", "cv")))
     // `ordered` is the SELF-join form (a near-dup pass over one corpus:
     // pass the same frame twice): emit each unordered pair once as
-    // id_a < id_b and drop self-pairs
+    // id_a < id_b and drop self-pairs.
+    // The exact Hamming verify runs MAP-SIDE on the raw join output —
+    // codes are in hand there for free — and the candidate dedup then
+    // shuffles only (id_a, id_b, hamming): three longs instead of two
+    // ids + two reps-long codes, and only PAIRS THAT PASS the distance
+    // filter (a pair agreeing on j chunks is verified j times, but the
+    // unrolled XOR+popcount is codegen'd scan work — strictly cheaper at
+    // scale than carrying both codes through the exchange). `hamming` is
+    // a pure function of the pair, so deduping on the triple equals
+    // deduping on the pair.
     chunked(a, "id_a", "code_a")
       .join(chunked(b, "id_b", "code_b"), Seq("chunk", "cv"))
       .filter(if (ordered) col("id_a") < col("id_b") else lit(true))
-      .select(col("id_a"), col("id_b"), col("code_a"), col("code_b"))
-      .distinct()
       .withColumn("hamming", hamming(col("code_a"), col("code_b"), reps))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 }
