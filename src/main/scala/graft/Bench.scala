@@ -23,8 +23,13 @@ import org.apache.spark.sql.SparkSession
   *     deadline checked between queries: when exceeded the run stops cleanly
   *     and emits the final JSON from whatever passes completed;
   *   - the output carries per-pass arrays ("passes") next to the medians and
-  *     an "unstable" list of queries whose pass spread exceeds 5x, so a
-  *     throttle spike is visible instead of silently folded into a median.
+  *     an "unstable" list of queries whose fastest three passes still spread
+  *     more than 5x, so a throttle spike is visible instead of silently
+  *     folded into a median;
+  *   - queries still flagged unstable after the main passes get extra
+  *     stabilization passes (SPARK_GRAFT_STABILIZE_PASSES, default 2) so a
+  *     stall that hit every main pass cannot plant a phantom slowdown in
+  *     the round artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -160,6 +165,41 @@ object Bench {
         }
       }
       p += 1
+    }
+
+    // STABILIZATION: a host-throttle stall during one pass leaves a query
+    // with a >5x pass spread (the "unstable" flag) — and when the stall hit
+    // EVERY pass of a query, its min is a phantom slowdown that lands in
+    // the round artifact (r13: two untouched dedup queries appeared 5x
+    // slower purely from host noise). Queries still flagged unstable after
+    // the main passes get up to SPARK_GRAFT_STABILIZE_PASSES (default 2)
+    // extra passes each, so min-of-passes converges to the real cost; the
+    // loop exits early once nothing is flagged, and respects the deadline.
+    val stabilizeMax = parsePositiveInt("SPARK_GRAFT_STABILIZE_PASSES", default = 2)
+    var sp = 1
+    var stillUnstable = unstableList(obs.toSeq).toSet
+    while (sp <= stabilizeMax && stillUnstable.nonEmpty && !deadlineHit) {
+      val it = ordered.iterator.filter { case (n, _) => stillUnstable.contains(n) }
+      while (it.hasNext && !deadlineHit) {
+        val (name, fn) = it.next()
+        if (pastDeadline) {
+          deadlineHit = true
+          System.err.println(
+            f"[bench] soft deadline ${deadlineSec}s hit at ${elapsedSec}%.0fs (stabilize pass $sp, before $name); stopping cleanly")
+        } else {
+          val dt = run1(name, passes + sp, fn)
+          if (spark.sparkContext.isStopped) {
+            deadlineHit = true
+            System.err.println(s"[bench] SparkContext stopped externally during stabilize pass$sp $name; aborting")
+          } else {
+            obs(name) = obs(name) :+ dt
+            snapshot = render(obs.toSeq, sfDir, partial = true)
+            summarySnapshot = renderSummary(obs.toSeq, sfDir, partial = true)
+          }
+        }
+      }
+      stillUnstable = unstableList(obs.toSeq).toSet
+      sp += 1
     }
 
     emit(render(obs.toSeq, sfDir, partial = deadlineHit),
@@ -346,11 +386,18 @@ object Bench {
       name -> (if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else median(ts))
     }
 
+  /** Queries whose pass times haven't CONVERGED: the fastest three valid
+    * observations still spread >5x (the pair, when only two exist). A
+    * single host-throttle stall among >= 3 clean passes does not flag —
+    * the stabilization loop adds passes for flagged queries until the
+    * fast cluster agrees or the budget runs out, so this list names only
+    * genuinely bimodal queries whose min is not yet trustworthy.
+    */
   private def unstableList(entries: Seq[(String, Vector[Double])]): Seq[String] =
     entries.collect {
-      case (name, ts) if ts.count(_ >= 0) >= 2 && {
-        val ok = ts.filter(_ >= 0)
-        ok.min > 0 && ok.max / ok.min > 5.0
+      case (name, ts) if {
+        val ok = ts.filter(_ >= 0).sorted.take(3)
+        ok.size >= 2 && ok.head > 0 && ok.last / ok.head > 5.0
       } => name
     }
 
