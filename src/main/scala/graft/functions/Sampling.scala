@@ -287,6 +287,34 @@ object Sampling {
           col("desired") - least(col("avail"), col("desired"))))
   }
 
+  /** EXECUTE a [[mixturePlan]]: the planned per-key `rate_ppm` applied to
+    * every row through the same md5 hash gate as [[weightedMixture]], in
+    * exact integer ppm (threshold = rate_ppm·2³² div 10⁶ — no float
+    * rounding between plan and gate, so any engine reproduces the kept
+    * set bit-for-bit). This is the sample stage of the full mixture build
+    * (plan → sample → pack); [[graft.functions.SequencePacking.pack]] is
+    * the pack stage downstream.
+    *
+    * Scale shape: the plan is key-cardinality rows, BROADCAST back (the
+    * corpus is never shuffled for the join), and the corpus feeds two
+    * scans with disjoint width — the planning aggregate reads ONLY
+    * (key, weight) (column-pruned, map-side partial), while the wide
+    * payload columns are read once, downstream of the gate. The
+    * alternative single-scan form (a `sum over (partition by key)` window)
+    * would shuffle every payload byte by key — a skew cliff when one
+    * source dominates a 100 TB corpus — so two narrow-pruned scans is the
+    * shape that survives; MixtureExecSpec pins both properties.
+    */
+  def mixtureExec(df: DataFrame, keyCol: String, idCol: String,
+                  weightCol: String, targetPpm: Column,
+                  budget: Long): DataFrame = {
+    val rates = mixturePlan(df, keyCol, weightCol, targetPpm, budget)
+      .select(col(keyCol), col("rate_ppm"))
+    df.join(broadcast(rates), Seq(keyCol))
+      .filter(hashKey(col(idCol)) <
+        expr("(rate_ppm * 4294967296) div 1000000"))
+  }
+
   /** [[prioritySample]] PER GROUP — the per-language/per-source weighted
     * subsample with per-group unbiased totals (mixture building's
     * "k docs per language, still able to estimate each language's token

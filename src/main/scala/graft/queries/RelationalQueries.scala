@@ -3131,6 +3131,28 @@ object RelationalQueries {
           budget = 100000L)
         .orderBy(col("source"))),
 
+    "q_sp19_mixture_exec" -> ((s, d) => {
+      // the FULL mixture build as one declarative plan — plan → sample →
+      // pack: mixturePlan's exact-ppm rates (q_sp18's recipe under a
+      // 50k-char budget) broadcast back onto the corpus, the md5 hash
+      // gate applied in integer ppm (threshold = rate_ppm·2³² div 10⁶ —
+      // no float between plan and gate), survivors token-counted and
+      // packed into 512-token contexts through the distributed prefix-sum
+      // carry. Corpus never shuffles for the rates join; the planning
+      // scan is pruned to (source, n_chars) — MixtureExecSpec pins both.
+      val docs = Tables.documents(s, d)
+      val kept = graft.functions.Sampling.mixtureExec(docs,
+          "source", "doc_id", "n_chars",
+          targetPpm = lit(20000L) +
+            graft.functions.Dedup.md5Hash32(col("source")) % 80000L,
+          budget = 50000L)
+        .select(col("doc_id"), col("source"), col("rate_ppm"),
+          graft.functions.TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.functions.SequencePacking.pack(kept, col("doc_id"), "n_tokens",
+          contextLen = 512L)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sp16_priority_sample" -> ((s, d) =>
       // Duffield–Lund–Thorup priority sampling: top-20 by w/u priority
       // (w = n_chars, u = md5 hash uniform), τ = the 21st priority,
@@ -5020,6 +5042,40 @@ object RelationalQueries {
                 ((avail * rate_ppm) // 1000000)::BIGINT AS expected_kept,
                 greatest(0, desired - least(avail, desired))::BIGINT AS deficit
          FROM r ORDER BY source""",
+
+    "q_sp19_mixture_exec" ->
+      // the whole build re-derived: q_sp18's ppm plan, the integer-ppm
+      // md5 gate, q_sp6's naive global running-sum pack over survivors
+      """WITH a AS (
+           SELECT source, sum(n_chars::BIGINT)::BIGINT AS avail
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+           GROUP BY 1),
+         r AS (
+           SELECT source,
+                  least(1000000,
+                    (((50000 * (20000 + ('0x' || substr(md5(source), 1, 8))::BIGINT % 80000))
+                      // 1000000) * 1000000) // avail)::BIGINT AS rate_ppm
+           FROM a),
+         kept AS (
+           SELECT d.doc_id, d.source, r.rate_ppm,
+                  len(string_split(d.text, ' ')) AS n_tokens
+           FROM documents d JOIN r USING (source)
+           WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                 < (r.rate_ppm * 4294967296) // 1000000),
+         o AS (
+           SELECT doc_id, source, rate_ppm, n_tokens,
+                  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    ::BIGINT AS tok_offset
+           FROM kept)
+         SELECT doc_id, source, rate_ppm, n_tokens, tok_offset,
+                (tok_offset // 512)::BIGINT AS bin_first,
+                ((tok_offset + greatest(n_tokens, 1) - 1) // 512)::BIGINT
+                  AS bin_last,
+                tok_offset // 512 <
+                  (tok_offset + greatest(n_tokens, 1) - 1) // 512
+                  AS crosses_boundary
+         FROM o ORDER BY doc_id""",
 
     "q_sp16_priority_sample" ->
       // the DLT chain re-derived: the identical (w·2³²)/(h+1) priority

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the mixture-execution composition (plan → sample → pack,
+  * q_sp19) to the shape that survives 100 TB:
+  *   1. the planned rates come back to the corpus via a BROADCAST join —
+  *      the corpus is never shuffled to meet its own key-cardinality plan;
+  *   2. the planning aggregate's scan is column-pruned to (key, weight) —
+  *      the wide payload column (`text`) is read by exactly ONE scan,
+  *      downstream of the gate (the single-scan window alternative would
+  *      shuffle every payload byte by key — a skew cliff when one source
+  *      dominates);
+  *   3. gate semantics: rate_ppm = 10⁶ keeps everything, a zero budget is
+  *      rejected, and kept sets nest monotonically as the budget grows
+  *      (the hash gate is a fixed per-row draw against a rising threshold).
+  */
+class MixtureExecSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.documents(spark, sfDir)
+
+  private def exec(budget: Long) =
+    Sampling.mixtureExec(docs, "source", "doc_id", "n_chars",
+      targetPpm = lit(20000L) + Dedup.md5Hash32(col("source")) % 80000L,
+      budget = budget)
+
+  test("rates join is broadcast and text is scanned exactly once") {
+    val plan = exec(50000L)
+      .select(col("doc_id"), col("text")) // force the payload column
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    // the planning aggregate's scan reads only (source, n_chars)
+    plan should include("ReadSchema: struct<source:string,n_chars:bigint>")
+    // the wide column rides exactly one scan
+    "text:string".r.findAllIn(plan).size shouldBe 1
+    // no corpus-side shuffle before the gate: the only Exchanges are the
+    // planning aggregate's (narrow) and the broadcast
+    plan should not include "SortMergeJoin"
+  }
+
+  test("saturated budget keeps every positive-weight row") {
+    val total = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+    // every source's target share is >= 2% of a budget 50x the corpus, so
+    // desired >= avail everywhere and every rate saturates at 1.0
+    val kept = exec(total * 50).count()
+    kept shouldBe docs.count()
+  }
+
+  test("kept sets nest monotonically in the budget") {
+    val small = exec(20000L).select(col("doc_id"))
+    val big = exec(80000L).select(col("doc_id"))
+    small.count() should be < big.count()
+    small.exceptAll(big).count() shouldBe 0L // gate is a fixed per-row draw
+  }
+
+  test("zero budget is rejected") {
+    an[IllegalArgumentException] should be thrownBy exec(0L).collect()
+  }
+}
