@@ -93,7 +93,7 @@ object ScaleBench {
     "q_m13_media_dispatch", "q_m14_jpeg_color_stats", "q_sp15_rendezvous",
     "q_v29_hamming_neardup", "q_t42_unicode_fold", "q_sp16_priority_sample",
     "q_v30_hamming_stream_parity", "q_sp17_group_priority",
-    "q_sp18_mixture_plan", "q_sp19_mixture_exec")
+    "q_sp18_mixture_plan", "q_sp19_mixture_exec", "q_m15_image_neardup")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

@@ -699,6 +699,74 @@ object Multimodal {
     }
   }
 
+  final case class DHashCode(media_id: Long, code: Array[Long])
+
+  /** Perceptual dHash of a decoded grayscale PNG: box-average the pixel
+    * grid down to 9×8 (the canonical dHash raster), then bit (i,j) of the
+    * 64-bit code = 1 iff cell (i, j+1) > cell (i, j) — the horizontal
+    * brightness gradient. Gradients are invariant to global brightness
+    * shifts and to any monotone per-pixel transform, which is exactly why
+    * dHash is the standard image near-dup fingerprint: re-encoded /
+    * re-leveled copies keep their code while unrelated images sit ~32
+    * bits apart. Pooling is exact integer arithmetic (sum div boxArea),
+    * so any engine re-derives the code bit-for-bit from the source
+    * pixels. The code is emitted as two 32-bit words (array<long>) — the
+    * exact layout [[graft.functions.VectorQuant.hammingNeighbors]]
+    * consumes, so near-dup pairs come from the multi-index pigeonhole
+    * join, never all-pairs.
+    *
+    * Returns None (quarantine, never throw) unless the image is a
+    * decodable colortype-0 PNG with dimensions divisible into the 9×8
+    * grid.
+    */
+  def dhashGray(mediaId: Long, p: Array[Byte]): Option[DHashCode] =
+    decodePngPixels(p, wantColorType = 0, bpp = 1).flatMap { d =>
+      val gridW = 9; val gridH = 8
+      if (d.w <= 0 || d.h <= 0 || d.w % gridW != 0 || d.h % gridH != 0) None
+      else {
+        val bw = d.w / gridW; val bh = d.h / gridH
+        val area = bw * bh
+        val g = new Array[Int](gridW * gridH)
+        var i = 0
+        while (i < gridH) {
+          var j = 0
+          while (j < gridW) {
+            var s = 0L
+            var r = i * bh
+            while (r < (i + 1) * bh) {
+              var c = j * bw
+              while (c < (j + 1) * bw) { s += d.px(r * d.w + c); c += 1 }
+              r += 1
+            }
+            g(i * gridW + j) = (s / area).toInt
+            j += 1
+          }
+          i += 1
+        }
+        val words = new Array[Long](2)
+        var k = 0
+        while (k < 64) {
+          val i2 = k / 8; val j2 = k % 8
+          if (g(i2 * gridW + j2 + 1) > g(i2 * gridW + j2))
+            words(k / 32) |= 1L << (k % 32)
+          k += 1
+        }
+        Some(DHashCode(mediaId, words))
+      }
+    }
+
+  /** Partition-batched [[dhashGray]] over a (media_id, payload) frame —
+    * the decode stage of the image near-dup pipeline (q_m15); undecodable
+    * payloads are quarantined by the flatMap.
+    */
+  def extractDHash(media: DataFrame): Dataset[DHashCode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) => dhashGray(id, p) })
+  }
+
   /** Partition-batched decode path over [[decodePngPalette]] — the
     * [[extractPngRgbStats]] shape for indexed-color payloads.
     */
@@ -900,6 +968,19 @@ object Multimodal {
   def synthesizePngPayload(textCol: Column, width: Int, filterCycle: Boolean,
                            channels: Int): Column =
     PngGray.col(textCol, width, filterCycle, channels)
+
+  /** Perturbed grayscale variant for the image near-dup fixtures (q_m15):
+    * every pixel shifted by `brightness` (clamped), optionally a burned
+    * 2×2 top-left `spot` — pixel-domain edits applied before filtering/
+    * compression (see [[PngGray.build]]), so the perturbed payload is a
+    * genuinely different compressed stream whose dHash stays within 1 bit
+    * of the original's.
+    */
+  def synthesizePngPerturbedPayload(textCol: Column, width: Int,
+                                    filterCycle: Boolean, brightness: Int,
+                                    spot: Boolean): Column =
+    PngGray.col(textCol, width, filterCycle, channels = 1, palette = false,
+      brightness = brightness, spot = spot)
 
   /** Indexed-color variant: the text bytes become PALETTE INDICES in a
     * genuine colortype-3 PNG carrying the fixed [[PngGray.palettePlte]]

@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class PngGray(child: Expression, width: Int,
                    filterCycle: Boolean = false, channels: Int = 1,
-                   palette: Boolean = false)
+                   palette: Boolean = false, brightness: Int = 0,
+                   spot: Boolean = false)
     extends UnaryExpression {
   require(width >= 1, s"width must be >= 1 (got $width)")
   require(channels == 1 || channels == 3,
@@ -48,13 +49,13 @@ case class PngGray(child: Expression, width: Int,
 
   override def nullSafeEval(input: Any): Any =
     PngGray.build(input.asInstanceOf[UTF8String], width, filterCycle, channels,
-      palette)
+      palette, brightness, spot)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       // build() may return null (text shorter than one row) — propagate
       s"""
-         |${ev.value} = graft.multimodal.PngGray.build($c, $width, $filterCycle, $channels, $palette);
+         |${ev.value} = graft.multimodal.PngGray.build($c, $width, $filterCycle, $channels, $palette, $brightness, $spot);
          |if (${ev.value} == null) { ${ev.isNull} = true; }
        """.stripMargin
     })
@@ -97,11 +98,39 @@ object PngGray {
     * them to RGB — the GIF-era web-image shape a real corpus contains.
     */
   def build(text: UTF8String, width: Int, filterCycle: Boolean,
-            channels: Int, palette: Boolean): Array[Byte] = {
-    val bytes = text.getBytes
+            channels: Int, palette: Boolean): Array[Byte] =
+    build(text, width, filterCycle, channels, palette, brightness = 0,
+      spot = false)
+
+  /** Perturbed-payload variant for the image NEAR-DUP fixtures (q_m15):
+    * `brightness` shifts every pixel sample (clamped to [0,255]; dHash is
+    * gradient-based, so a pure shift leaves the perceptual code
+    * bit-identical — the planted invariance), and `spot` = true burns the
+    * top-left 2×2 pixel block to 255 AFTER the shift (a localized edit
+    * that can move at most ONE dHash bit, keeping planted pairs inside
+    * any radius ≥ 1). Both are pixel-domain edits applied BEFORE
+    * filtering/compression, so the decoder under test sees a genuinely
+    * different compressed stream.
+    */
+  def build(text: UTF8String, width: Int, filterCycle: Boolean,
+            channels: Int, palette: Boolean, brightness: Int,
+            spot: Boolean): Array[Byte] = {
+    var bytes = text.getBytes
     val rowBytes = width * channels
     val h = bytes.length / rowBytes
     if (h == 0) return null
+    if (brightness != 0 || spot) {
+      val t = new Array[Byte](bytes.length)
+      var i = 0
+      while (i < t.length) {
+        val v0 = (bytes(i) & 0xff) + brightness
+        val v1 = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+        t(i) = (if (spot && i / rowBytes < 2 && i % rowBytes < 2) 255
+                else v1).toByte
+        i += 1
+      }
+      bytes = t
+    }
     // filtered scanlines: filter-type byte + the row's filtered samples.
     // Filtering per spec §9 over UNFILTERED neighbor bytes; left neighbor
     // is `channels` bytes back (the prior pixel's corresponding channel).
@@ -171,9 +200,14 @@ object PngGray {
     col(c, width, filterCycle, channels, palette = false)
 
   def col(c: Column, width: Int, filterCycle: Boolean, channels: Int,
-          palette: Boolean): Column = {
+          palette: Boolean): Column =
+    col(c, width, filterCycle, channels, palette, brightness = 0,
+      spot = false)
+
+  def col(c: Column, width: Int, filterCycle: Boolean, channels: Int,
+          palette: Boolean, brightness: Int, spot: Boolean): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(PngGray(GraftSqlBridge.expression(c), width,
-      filterCycle, channels, palette))
+      filterCycle, channels, palette, brightness, spot))
   }
 }

@@ -3090,6 +3090,44 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_m15_image_neardup" -> ((s, d) => {
+      // IMAGE near-dup dedup, end to end: genuine 18×16 grayscale PNGs
+      // (pixels = the first 288 text bytes, filter-cycled) on side a;
+      // side b re-encodes the SAME pixels brightness-shifted +64 — plus,
+      // for every third doc, a burned 2×2 corner spot (≤ 1 dHash bit).
+      // Both sides decode through the real Inflater + 5-filter pipeline,
+      // box-average to the canonical 9×8 dHash raster, and take the
+      // 64-bit horizontal-gradient code; dHash is brightness-invariant,
+      // so every planted pair sits at Hamming ≤ 1 while unrelated images
+      // sit ~32 bits apart — pairs come from the multi-index pigeonhole
+      // join (never all-pairs). The oracle recomputes BOTH codes from the
+      // TEXT and brute-forces Hamming ≤ 3: a hash match proves decode,
+      // pooling, gradient bits, and candidate completeness at once.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 288)
+        .repartition(s.sparkContext.defaultParallelism)
+      val txt = substring(col("text"), 1, 288)
+      val mm = graft.multimodal.Multimodal
+      val mediaA = docs.select(col("doc_id").cast("long").as("media_id"),
+        mm.synthesizePngPayload(txt, width = 18, filterCycle = true,
+          channels = 1).as("payload"))
+      val mediaB = docs.select(
+        (col("doc_id").cast("long") + 10000000L).as("media_id"),
+        when(col("doc_id") % 3 === 0,
+          mm.synthesizePngPerturbedPayload(txt, width = 18,
+            filterCycle = true, brightness = 64, spot = true))
+          .otherwise(mm.synthesizePngPerturbedPayload(txt, width = 18,
+            filterCycle = true, brightness = 64, spot = false))
+          .as("payload"))
+      def codes(m: org.apache.spark.sql.DataFrame) =
+        mm.extractDHash(m).toDF()
+          .select(col("media_id").as("vec_id"), col("code"))
+      graft.functions.VectorQuant.hammingNeighbors(
+          codes(mediaA), codes(mediaB), reps = 2, wordBits = 32,
+          chunkBits = 16, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_sp17_group_priority" -> ((s, d) =>
       // per-SOURCE DLT priority sample: top-5 per source by w/u priority,
       // per-group τ = the 6th priority, per-group unbiased max(w, τ_g)
@@ -5076,6 +5114,52 @@ object RelationalQueries {
                   (tok_offset + greatest(n_tokens, 1) - 1) // 512
                   AS crosses_boundary
          FROM o ORDER BY doc_id""",
+
+    "q_m15_image_neardup" ->
+      // both dHash code sets re-derived from the TEXT: 18×16 pixel grid
+      // (byte idx → row idx//18, col idx%18), 2×2 box means (integer
+      // div), side b = +64 brightness with the doc_id%3 burned corner,
+      // bit i·8+j = cell (i,j+1) > cell (i,j), then BRUTE all-pairs
+      // Hamming ≤ 3 — pigeonhole completeness makes equality the check
+      """WITH px AS (
+           SELECT doc_id, k - 1 AS idx, ascii(substr(text, k, 1)) AS v
+           FROM documents, LATERAL (SELECT unnest(range(1, 289)) AS k) u
+           WHERE text IS NOT NULL AND len(text) >= 288),
+         cell AS (
+           SELECT doc_id, (idx // 18) AS r, (idx % 18) AS c, v FROM px),
+         ga AS (
+           SELECT doc_id, (r // 2) AS i, (c // 2) AS j, (sum(v) // 4) AS g
+           FROM cell GROUP BY 1, 2, 3),
+         gb AS (
+           SELECT doc_id, (r // 2) AS i, (c // 2) AS j,
+                  (sum(CASE WHEN doc_id % 3 = 0 AND r < 2 AND c < 2
+                            THEN 255 ELSE v + 64 END) // 4) AS g
+           FROM cell GROUP BY 1, 2, 3),
+         ca AS (
+           SELECT l.doc_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM ga l JOIN ga rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1),
+         cb AS (
+           SELECT l.doc_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM gb l JOIN gb rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1)
+         SELECT ca.doc_id AS id_a, (cb.doc_id + 10000000)::BIGINT AS id_b,
+                (bit_count(xor(ca.w0, cb.w0)) +
+                 bit_count(xor(ca.w1, cb.w1)))::BIGINT AS hamming
+         FROM ca, cb
+         WHERE bit_count(xor(ca.w0, cb.w0)) +
+               bit_count(xor(ca.w1, cb.w1)) <= 3
+         ORDER BY 1, 2""",
 
     "q_sp16_priority_sample" ->
       // the DLT chain re-derived: the identical (w·2³²)/(h+1) priority

@@ -47,6 +47,17 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should include("partial_min")
   }
 
+  test("image near-dup (q_m15) pairs come from the pigeonhole equi-join, never all-pairs") {
+    val plan = graft.SparkEntry.queries("q_m15_image_neardup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+    // candidate dedup shuffles only (id_a, id_b, hamming) — multi-word
+    // codes stay off the exchange (the r13 Hamming-narrowing invariant
+    // holds through the image composition too)
+    plan should include regex """HashAggregate\(keys=\[id_a[^\]]*id_b[^\]]*hamming"""
+  }
+
   test("ORC scans get predicate pushdown and column pruning like parquet") {
     val docs = Tables.documents(spark, sfDir)
     val tmp = java.nio.file.Files.createTempDirectory("orc_shape").toString + "/docs"

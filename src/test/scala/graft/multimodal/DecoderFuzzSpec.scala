@@ -125,6 +125,15 @@ class DecoderFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash path never throws on 3000 mutants (decode + pool + gradient)") {
+    // an 18x16 grayscale payload — the q_m15 fixture shape — through the
+    // full dhashGray path: any mutant must quarantine to None, never throw
+    // (a throw would kill the near-dup task)
+    val text = ("abcdefghijklmnopqr" * 16).take(288)
+    val png = PngGray.build(UTF8String.fromString(text), 18, true, 1)
+    fuzz("png-dhash", png, 3000, b => Multimodal.dhashGray(0L, b))
+  }
+
   test("palette PNG decoder never throws on 3000 mutants (PLTE walk + index mapping)") {
     val png = PngGray.build(UTF8String.fromString("palette fuzz payload"), 4,
       true, 1, palette = true)

@@ -621,4 +621,39 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
         frameRows = 2).as("p")).head().getAs[Array[Byte]](0)
     GifGray.decodeFrames(p2).get.length shouldBe 9
   }
+
+  test("dHash: brightness-invariant, spot flips at most one bit, ImageIO agrees") {
+    val text = (0 until 288).map(i => (32 + (i * 7 + i * i % 13) % 90).toChar).mkString
+    import org.apache.spark.unsafe.types.UTF8String
+    def code(brightness: Int, spot: Boolean): Array[Long] =
+      Multimodal.dhashGray(0L, PngGray.build(UTF8String.fromString(text), 18,
+        filterCycle = true, channels = 1, palette = false,
+        brightness = brightness, spot = spot)).get.code
+    val base = code(0, spot = false)
+    // global brightness shift: dHash code EXACTLY unchanged (gradients)
+    code(64, spot = false) shouldBe base
+    code(33, spot = false) shouldBe base
+    // burned 2x2 corner covers exactly pooled cell (0,0) → ≤ 1 bit moves
+    val spotted = code(64, spot = true)
+    val dist = (0 until 2).map(w =>
+      java.lang.Long.bitCount(base(w) ^ spotted(w))).sum
+    dist should be <= 1
+    // independent reader cross-check: recompute the code from ImageIO's
+    // raster of the PERTURBED payload — decode + pool + gradient agree
+    val payload = PngGray.build(UTF8String.fromString(text), 18,
+      filterCycle = true, channels = 1, palette = false,
+      brightness = 64, spot = true)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val g = Array.tabulate(8, 9) { (i, j) =>
+      (0 until 2).flatMap(dr => (0 until 2).map(dc =>
+        img.getRaster.getSample(2 * j + dc, 2 * i + dr, 0))).sum / 4
+    }
+    val words = new Array[Long](2)
+    for (k <- 0 until 64; if g(k / 8)(k % 8 + 1) > g(k / 8)(k % 8))
+      words(k / 32) |= 1L << (k % 32)
+    words shouldBe spotted
+    // non-9x8-divisible dims quarantine to None, never throw
+    Multimodal.dhashGray(0L, PngGray.build(UTF8String.fromString(text), 16,
+      filterCycle = false, channels = 1, palette = false, 0, false)) shouldBe None
+  }
 }
