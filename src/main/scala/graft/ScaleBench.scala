@@ -93,7 +93,8 @@ object ScaleBench {
     "q_m13_media_dispatch", "q_m14_jpeg_color_stats", "q_sp15_rendezvous",
     "q_v29_hamming_neardup", "q_t42_unicode_fold", "q_sp16_priority_sample",
     "q_v30_hamming_stream_parity", "q_sp17_group_priority",
-    "q_sp18_mixture_plan", "q_sp19_mixture_exec", "q_m15_image_neardup")
+    "q_sp18_mixture_plan", "q_sp19_mixture_exec", "q_m15_image_neardup",
+    "q_m16_jpeg_progressive")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail
@@ -358,6 +359,92 @@ object ScaleBench {
       fwd.unionByName(bwd).dropDuplicates("src_id", "tgt_id"), k = 4)
   }
 
+  /** The TWO-STAGE tier of the same mining job: 1-bit Hamming prefilter →
+    * exact cosine re-rank → identical margin arithmetic
+    * ([[graft.functions.Similarity.marginAlignmentTwoStage]]). The radius
+    * is the recall/cost dial — measured at 23 (~2% of pairs re-ranked)
+    * and 27 (~13%) against the IVF fraction/fixed-probe forms above;
+    * recall of the MINED OUTPUT vs the exact brute form is measured in
+    * [[twoStageMinedRecall]] on a sampled source set.
+    */
+  private def marginAlignmentTwoStage(s: SparkSession, d: String,
+                                      maxDist: Int): DataFrame = {
+    import graft.functions.Similarity
+    val embs = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+    Similarity.marginAlignmentTwoStage(
+      embs.filter(col("label") < 5), embs.filter(col("label") >= 5),
+      dims = 64, k = 4, maxDist = maxDist)
+  }
+
+  /** Mined-output recall of the two-stage margin form vs the EXACT brute
+    * tier, sample-bounded at any corpus size: a ~`sampleTarget` hash
+    * sample of sources runs through BOTH arms against the full target
+    * side (brute arm cost = sample × corpus), and recall is the fraction
+    * of exact-mined (src, tgt) pairs the two-stage form reproduces. Both
+    * arms see the same sampled sub-problem, so the comparison isolates
+    * the prefilter's effect on the final mining output — not just on
+    * intermediate k-NN lists.
+    */
+  def twoStageMinedRecall(spark: SparkSession, d: String, maxDist: Int,
+                          k: Int = 4, sampleTarget: Long = 200): Double = {
+    import graft.functions.Similarity
+    val embs = Tables.embeddings(spark, d).filter(col("embedding").isNotNull)
+    val src0 = embs.filter(col("label") < 5)
+    val tgt = embs.filter(col("label") >= 5)
+    val n = src0.count()
+    val mod = math.max(1L, n / math.max(sampleTarget, 1L))
+    val src = src0.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+    val exact = Similarity.marginAlignment(
+        Similarity.bruteAlignScores(src, tgt), k)
+      .select(col("src_id"), col("tgt_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEx = exact.count().toDouble
+      if (nEx == 0) -1.0
+      else {
+        val mined = Similarity.marginAlignmentTwoStage(src, tgt, dims = 64,
+          k = k, maxDist = maxDist)
+        exact.join(mined.select(col("src_id"), col("tgt_id")),
+          Seq("src_id", "tgt_id"), "left_semi").count() / nEx
+      }
+    } finally { exact.unpersist(); () }
+  }
+
+  /** Triplet-output recall of the two-stage form vs exact: for a sampled
+    * anchor set, the exact arm mines hardest positive/negative over ALL
+    * pairs (sample × corpus — the true triplet), the two-stage arm over
+    * the Hamming ball; recall = fraction of anchors whose (pos, neg)
+    * pair the two-stage form reproduces exactly.
+    */
+  def tripletTwoStageRecall(spark: SparkSession, d: String, maxDist: Int,
+                            sampleTarget: Long = 200): Double = {
+    import graft.functions.Similarity
+    val embs = Tables.embeddings(spark, d).filter(col("embedding").isNotNull)
+    val n = embs.count()
+    val mod = math.max(1L, n / math.max(sampleTarget, 1L))
+    val anchors = embs.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+    val labels = embs.select(col("vec_id"), col("label"))
+    def nb(scored: DataFrame) = scored
+      .filter(col("src_id") =!= col("tgt_id"))
+      .select(col("src_id").as("vec_id"), col("tgt_id").as("vid_b"),
+        col("cos").as("cosine"))
+    val exact = Similarity.contrastiveTriplets(
+        nb(Similarity.bruteAlignScores(anchors, embs)), labels)
+      .select(col("vec_id"), col("pos_id"), col("neg_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEx = exact.count().toDouble
+      if (nEx == 0) -1.0
+      else {
+        val mined = Similarity.contrastiveTriplets(
+          nb(Similarity.hammingCandidateScores(anchors, embs, dims = 64,
+            maxDist = maxDist)), labels)
+        exact.join(mined.select(col("vec_id"), col("pos_id"), col("neg_id")),
+          Seq("vec_id", "pos_id", "neg_id"), "left_semi").count() / nEx
+      }
+    } finally { exact.unpersist(); () }
+  }
+
   /** The Hamming tier's adversarial-skew production form, measured: plant
     * n/10 EXACT duplicates of one vector (identical codes — the worst case
     * the hammingNeighbors scaladoc documents as inherent quadratic OUTPUT),
@@ -518,6 +605,45 @@ object ScaleBench {
     } finally { truth.unpersist(); () }
   }
 
+  /** Sampled-closeness cost envelope: the Eppstein–Wang estimator's cost
+    * is |sources| × (per-level frontier out-edges), and the estimator's
+    * accuracy discipline scales the SAMPLE with the graph — sources ∝
+    * log₂ n. This ladder measures exactly that configuration on two
+    * deterministic synthetic graphs (n and factor·n nodes, fixed out-
+    * degree 8, md5-derived endpoints — RNG-free, any engine re-derives
+    * the same graph): expected slope ≈ factor × log(factor·n)/log(n),
+    * i.e. just above the data ratio — the cost of holding estimator
+    * accuracy while the graph grows, measured rather than asserted.
+    */
+  def closenessLadder(spark: SparkSession, nBase: Long = 20000L,
+                      factor: Int = 10, degree: Int = 8,
+                      passes: Int = 2): Seq[(String, Double)] = {
+    import graft.ops.GraphAnalytics
+    def point(n: Long): Double = {
+      val nodes = spark.range(n).select(col("id"))
+      val edges = spark.range(n * degree).select(
+        expr(s"id div $degree").as("fromId"),
+        pmod(graft.functions.Dedup.md5Hash32(
+          concat_ws(":", lit("cl"), col("id"))), lit(n)).as("toId"))
+        .filter(col("fromId") =!= col("toId"))
+      val k = math.max(1, 63 - java.lang.Long.numberOfLeadingZeros(n)) // log2 n
+      val srcs = (0L until k.toLong).toSeq
+      (0 until passes).map { _ =>
+        val t0 = System.nanoTime()
+        GraphAnalytics.closenessCentrality(nodes, edges, srcs)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val b = point(nBase)
+    val s = point(nBase * factor)
+    Seq(
+      f"n=$nBase sources=${63 - java.lang.Long.numberOfLeadingZeros(nBase)}" -> b,
+      f"n=${nBase * factor} sources=${63 - java.lang.Long.numberOfLeadingZeros(nBase * factor)}" -> s,
+      "ratio" -> (if (b > 0) s / b else -1.0))
+  }
+
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val baseDirEnv = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -561,6 +687,22 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.register(spark) // native SQL fns + TokenCount rewrite
+
+    // SPARK_GRAFT_FAMILIES=graph → the sampled-closeness cost envelope on
+    // self-synthesized graphs (no doc/emb tables involved): sources scale
+    // ∝ log₂ n with the graph, the Eppstein–Wang sampling discipline
+    if (families.contains("graph")) {
+      val rows = closenessLadder(spark, factor = factor, passes = passes)
+      def esc0(s: String) = s.replace("\"", "\\\"")
+      val qj = rows.map { case (n, t) => f""""${esc0(n)}":$t%.3f""" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"closeness_ladder","factor":$factor,"points":$qj}""")
+      println(s"\n| closeness point | seconds |")
+      println("|---|---|")
+      rows.foreach { case (n, t) => println(f"| $n | $t%.2f |") }
+      spark.stop()
+      return
+    }
 
     // reuse only a COMPLETE synthesis of the same (base, factor, mode): the
     // sentinel is written after all tables and records the config, so a
@@ -608,6 +750,18 @@ object ScaleBench {
       // adversarial identical-code plant, collapsed production form
       "q_v29_skew_collapsed" -> ((s: SparkSession, d: String) =>
         hammingSkewCollapsed(s, d)),
+      // the TWO-STAGE tiers: Hamming prefilter → exact re-rank, at the
+      // measured radius dial (23 ≈ 2% of pairs re-ranked, 27 ≈ 13%);
+      // mined-output recall vs exact is measured alongside (the recall
+      // table rows margin_2stage_rNN)
+      "q_v28_2stage_r23" -> ((s: SparkSession, d: String) =>
+        marginAlignmentTwoStage(s, d, maxDist = 23)),
+      "q_v28_2stage_r27" -> ((s: SparkSession, d: String) =>
+        marginAlignmentTwoStage(s, d, maxDist = 27)),
+      "q_v31_2stage_r23" -> ((s: SparkSession, d: String) =>
+        graft.functions.Similarity.contrastiveTripletsTwoStage(
+          Tables.embeddings(s, d).filter(col("embedding").isNotNull),
+          dims = 64, maxDist = 23)),
       // contrastive triplets at the production probe setting (the gate
       // form probes exhaustively for its brute oracle)
       "q_v31_production" -> ((s: SparkSession, d: String) => {
@@ -781,6 +935,10 @@ object ScaleBench {
         // ann-only synthesis does not write
         def points(dir: String): Seq[(String, Double)] =
           annRecall(spark, dir) ++
+            Seq(
+              "margin_2stage_r23@mined" -> twoStageMinedRecall(spark, dir, 23),
+              "margin_2stage_r27@mined" -> twoStageMinedRecall(spark, dir, 27),
+              "triplet_2stage_r23" -> tripletTwoStageRecall(spark, dir, 23)) ++
             (if (annOnly) Nil
              else Seq("dedup_minhash@j0.5" -> dedupRecall(spark, dir)._1))
         Some((points(baseDir), points(scaleDir)))

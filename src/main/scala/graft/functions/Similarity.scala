@@ -521,6 +521,77 @@ object Similarity {
         coalesce(col("mutual"), lit(false)).as("mutual"))
   }
 
+  /** TWO-STAGE ANN candidate scoring: 1-bit Hamming prefilter → exact
+    * cosine re-rank. Stage 1 binarizes both sides ([[VectorQuant
+    * .binarize]] — sign codes, 64× under float32) and takes the Hamming
+    * ball of radius `maxDist`: via the subquadratic multi-index pigeonhole
+    * join when completeness allows (maxDist < nChunks — the near-dup /
+    * clustered-corpus regime), via the brute XOR+popcount gate
+    * ([[VectorQuant.hammingGate]]) at larger radii — EITHER WAY the
+    * candidate set is exactly the ball, so downstream semantics and
+    * oracles are regime-independent. Stage 2 joins the survivors back to
+    * the float embeddings and scores exact cosine (rounded 6, the
+    * [[bruteAlignScores]] convention) — the expensive arithmetic runs
+    * only on the radius-selected fraction.
+    *
+    * The radius is the recall/cost dial, and sign-bit Hamming is a direct
+    * cosine estimator (E[H] = dims·θ/π), so recall at a radius is
+    * governed by the corpus's neighbor geometry: measured on the
+    * unstructured fixture, true top-4 neighbors sit at H≈24.6 of 64 vs
+    * random 32.1 — radius 23 re-ranks ~2% of pairs for ~0.4 recall,
+    * radius 27 ~13% for ~0.8 (SCALE.md ladder); on clustered corpora
+    * (trained embeddings) neighbors fall inside pigeonhole radii and
+    * recall pins ≥ 0.9 (TwoStageAnnSpec).
+    */
+  def hammingCandidateScores(src: DataFrame, tgt: DataFrame, dims: Int,
+                             maxDist: Int, wordBits: Int = 32,
+                             chunkBits: Int = 16,
+                             ordered: Boolean = false): DataFrame = {
+    import graft.functions.VectorQuant
+    val reps = dims / wordBits
+    val nChunks = reps * (wordBits / chunkBits)
+    val ca = VectorQuant.binarize(src, dims, wordBits)
+    val cb = VectorQuant.binarize(tgt, dims, wordBits)
+    val cand =
+      if (maxDist < nChunks)
+        VectorQuant.hammingNeighbors(ca, cb, reps, wordBits, chunkBits,
+          maxDist, ordered = ordered)
+      else VectorQuant.hammingGate(ca, cb, reps, maxDist, ordered = ordered)
+    cand
+      .join(src.select(col("vec_id").as("id_a"), col("embedding").as("__ea")),
+        "id_a")
+      .join(tgt.select(col("vec_id").as("id_b"), col("embedding").as("__eb")),
+        "id_b")
+      .select(col("id_a").as("src_id"), col("id_b").as("tgt_id"),
+        round(cosine(col("__ea"), col("__eb")), 6).as("cos"))
+  }
+
+  /** [[marginAlignment]] fed by the two-stage Hamming prefilter instead of
+    * brute all-pairs scoring (gate tier) or IVF candidate joins
+    * (q_v28_production) — the margin arithmetic downstream is identical.
+    */
+  def marginAlignmentTwoStage(src: DataFrame, tgt: DataFrame, dims: Int,
+                              k: Int, maxDist: Int, chunkBits: Int = 16,
+                              minMargin: Double = 1.0): DataFrame =
+    marginAlignment(
+      hammingCandidateScores(src, tgt, dims, maxDist, chunkBits = chunkBits),
+      k, minMargin)
+
+  /** [[contrastiveTriplets]] fed by the two-stage Hamming prefilter: the
+    * corpus self-ball (minus self-pairs) as the candidate table, exact
+    * cosine re-ranked — hardest positive/negative come from within the
+    * radius.
+    */
+  def contrastiveTripletsTwoStage(embs: DataFrame, dims: Int, maxDist: Int,
+                                  chunkBits: Int = 16): DataFrame = {
+    val neighbors =
+      hammingCandidateScores(embs, embs, dims, maxDist, chunkBits = chunkBits)
+        .filter(col("src_id") =!= col("tgt_id"))
+        .select(col("src_id").as("vec_id"), col("tgt_id").as("vid_b"),
+          col("cos").as("cosine"))
+    contrastiveTriplets(neighbors, embs.select(col("vec_id"), col("label")))
+  }
+
   /** Deterministic sparse-free random projection (Johnson–Lindenstrauss
     * sign matrix): y_j = (Σ_i x_i · s(i,j)) / √dOut with s(i,j) ∈ {−1, +1}
     * derived from md5 — the 4×-cheaper dimensionality reduction a pipeline

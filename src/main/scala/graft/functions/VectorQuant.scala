@@ -171,4 +171,37 @@ object VectorQuant {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
   }
+
+  /** All cross pairs within Hamming `maxDist` by BRUTE threshold scan —
+    * the stage-1 gate of two-stage ANN re-ranking at radii the pigeonhole
+    * join cannot reach (multi-index completeness needs maxDist < nChunks;
+    * useful ANN radii on unstructured corpora sit near the distance
+    * mean). Same output contract as [[hammingNeighbors]] — exactly the
+    * Hamming ball, complete at ANY radius — so consumers and oracles are
+    * regime-agnostic.
+    *
+    * Scale shape: the pair stream stays quadratic, but each pair costs an
+    * unrolled XOR+popcount over dims/8 BYTES (codegen'd, no shuffle — the
+    * coded side broadcasts at dims/8 bytes/row, 64× under the float
+    * corpus) instead of a dims-float dot over shuffled embeddings: the
+    * constant drops ~an order of magnitude and survivors (the only rows
+    * that reach the exact re-rank) are the radius-selected fraction.
+    * Broadcast bound: 10⁸ codes × 16 B ≈ 1.6 GB — beyond that, block the
+    * broadcast side into id-range slices and union the gates (each slice
+    * is this same plan), or move to the pigeonhole join if the radius
+    * allows. Use [[hammingNeighbors]] whenever maxDist < nChunks — it
+    * prunes the pair stream itself.
+    */
+  def hammingGate(a: DataFrame, b: DataFrame, reps: Int, maxDist: Int,
+                  idCol: String = "vec_id",
+                  ordered: Boolean = false): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    a.select(col(idCol).as("id_a"), col("code").as("code_a"))
+      .crossJoin(broadcast(
+        b.select(col(idCol).as("id_b"), col("code").as("code_b"))))
+      .filter(if (ordered) col("id_a") < col("id_b") else lit(true))
+      .withColumn("hamming", hamming(col("code_a"), col("code_b"), reps))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

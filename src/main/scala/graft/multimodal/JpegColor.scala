@@ -373,8 +373,13 @@ object JpegColorCodec {
             // 4:4:0 / 4:2:0); anything else is out of scope → refuse
             if (comps.exists(cp => cp.hs < 1 || cp.hs > 2 || cp.vs < 1 ||
                 cp.vs > 2 || cp.tq > 3)) return None
-          case mm if mm >= 0xC2 && mm <= 0xCF && mm != 0xC4 && mm != 0xC8 && mm != 0xCC =>
-            return None // progressive / arithmetic / lossless: refused
+          case 0xC2 =>
+            // progressive: whole-stream delegate — multi-scan decode
+            // accumulates coefficients across scans, so it re-parses from
+            // the SOI with its own state ([[JpegProgressiveCodec]])
+            return JpegProgressiveCodec.decodeColorProgressive(b)
+          case mm if mm >= 0xC3 && mm <= 0xCF && mm != 0xC4 && mm != 0xC8 && mm != 0xCC =>
+            return None // arithmetic / lossless / hierarchical: refused
           case 0xDD =>
             if (len != 4) return None
             restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)

@@ -1,0 +1,898 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PROGRESSIVE JPEG (SOF2) — the second-most-common web JPEG shape after
+  * baseline: coefficients arrive over MULTIPLE scans, by SPECTRAL
+  * SELECTION (each AC scan carries one zigzag band of one component) and
+  * SUCCESSIVE APPROXIMATION (each coefficient's bits arrive
+  * high-to-low: a first scan at point transform Al, then refinement
+  * scans contributing one bit each). T.81 Annex G semantics:
+  *   - DC scans are interleaved (MCU order) like baseline; the DC point
+  *     transform is an ARITHMETIC right shift, refinement ORs bit Al in;
+  *   - AC scans are single-component, raster order over the component's
+  *     non-interleaved block grid (ceil(compW/8) × ceil(compH/8) — NOT
+  *     the MCU-padded grid, which only DC scans cover);
+  *   - AC first scans (Ah=0) run-length code sign·(|v| >> Al) with
+  *     END-OF-BAND RUNS (EOBRUN = (1 << r) − 1 + next r bits covering
+  *     whole blocks with no new coefficients in the band);
+  *   - AC refinement scans (Ah>0) emit newly-significant coefficients as
+  *     (zero-history run, ±1·2^Al) symbols and interleave one CORRECTION
+  *     BIT per already-nonzero coefficient crossed — including inside
+  *     EOB runs.
+  * Coefficients accumulate across scans in per-component buffers;
+  * dequantization + IDCT + chroma upsample + T.871 RGB run ONCE at EOI
+  * through the same float-op-order contract as the baseline decoder
+  * ([[JpegColorCodec.decodeColor]]), so a stream whose data is DC-only
+  * (the planted constant-MCU payloads) reconstructs bit-identically to
+  * its baseline encoding and q_m16 shares q_m14's text-derived oracle.
+  *
+  * The encoder half exists for planted fixtures and ImageIO-agreement
+  * tests: a fixed 14-scan script (interleaved DC at Al=1 + DC refine,
+  * then per component AC bands 1-5 / 6-63 at Al=1 + their refinements).
+  * It never emits EOBRUN > 1 so the standard Annex K Huffman tables
+  * suffice; the decoder accepts full EOBRUN from foreign encoders.
+  *
+  * Quarantine contract (like every decoder here): corrupt input returns
+  * None, never throws — all reads bounds-checked, dims capped before
+  * allocation, block counts derived from validated headers.
+  */
+object JpegProgressiveCodec {
+  import JpegCodec.{BitReader, BitWriter, HuffTable, acBits, acVals,
+    c, canonicalCodes, cosTab, csize, dcBits, dcVals, extend, zigzag}
+  import JpegColorCodec.DecodedColor
+
+  // ------------------------------------------------------------- encoder
+
+  /** FDCT + quantize one 8×8 block (edge-replicated) to NATURAL-order
+    * coefficients — the [[JpegColorCodec.encodeBlock]] arithmetic with the
+    * emission split off, because progressive scans revisit blocks.
+    */
+  private def quantizeBlock(plane: Array[Int], pw: Int, ph: Int,
+                            px0: Int, py0: Int,
+                            qtable: Array[Int]): Array[Int] = {
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val constVal = plane(math.min(py0, ph - 1) * pw + math.min(px0, pw - 1))
+    var isConst = true
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(py0 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(px0 + x, pw - 1)
+        val pv = plane(sy * pw + sx)
+        if (pv != constVal) isConst = false
+        block(y * 8 + x) = pv - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    if (isConst) {
+      coef(0) = Math.round(8.0 * (constVal - 128) / qtable(0)).toInt
+      return coef
+    }
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var y2 = 0
+        while (y2 < 8) { s += block(y2 * 8 + x) * cosTab(y2)(v); y2 += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x2 = 0
+        while (x2 < 8) { s += tmp(v * 8 + x2) * cosTab(x2)(u); x2 += 1 }
+        val f = 0.25 * c(u) * c(v) * s
+        var cq = Math.round(f / qtable(v * 8 + u)).toInt
+        if ((v | u) != 0) { if (cq > 1023) cq = 1023 else if (cq < -1023) cq = -1023 }
+        coef(v * 8 + u) = cq
+        u += 1
+      }
+      v += 1
+    }
+    coef
+  }
+
+  /** Progressive encode of pre-built YCbCr planes — same plane contract
+    * as [[JpegColorCodec.encodeYcbcr]], SOF2 + the fixed 14-scan script.
+    */
+  def encodeYcbcrProgressive(yP: Array[Int], cbP: Array[Int], crP: Array[Int],
+                             w: Int, h: Int, qLuma: Array[Int],
+                             qChroma: Array[Int],
+                             subsample: Boolean): Array[Byte] = {
+    require(w >= 1 && h >= 1 && yP.length == w * h,
+      s"bad dims ${w}x$h for ${yP.length} luma pixels")
+    val cw = if (subsample) (w + 1) / 2 else w
+    val ch = if (subsample) (h + 1) / 2 else h
+    require(cbP.length == cw * ch && crP.length == cw * ch,
+      s"chroma planes must be ${cw}x$ch")
+    require(qLuma.length == 64 && qLuma.forall(q => q >= 1 && q <= 255) &&
+      qChroma.length == 64 && qChroma.forall(q => q >= 1 && q <= 255),
+      "qtables must be 64 entries in 1..255")
+    val hsArr = Array(if (subsample) 2 else 1, 1, 1)
+    val vsArr = hsArr.clone()
+    val hmax = hsArr.max; val vmax = vsArr.max
+    val mcuCols = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcuRows = (h + 8 * vmax - 1) / (8 * vmax)
+    val planes = Array(yP, cbP, crP)
+    val planeWs = Array(w, cw, cw)
+    val planeHs = Array(h, ch, ch)
+    val qts = Array(qLuma, qChroma, qChroma)
+    // quantize EVERYTHING up front (progressive scans revisit blocks):
+    // padded grid per component, indexed (by·bwPad + bx)·64, natural order
+    val bwPad = Array.tabulate(3)(ci => mcuCols * hsArr(ci))
+    val bhPad = Array.tabulate(3)(ci => mcuRows * vsArr(ci))
+    val coefs = Array.tabulate(3) { ci =>
+      val arr = new Array[Int](bwPad(ci) * bhPad(ci) * 64)
+      var by = 0
+      while (by < bhPad(ci)) {
+        var bx = 0
+        while (bx < bwPad(ci)) {
+          val blk = quantizeBlock(planes(ci), planeWs(ci), planeHs(ci),
+            bx * 8, by * 8, qts(ci))
+          System.arraycopy(blk, 0, arr, (by * bwPad(ci) + bx) * 64, 64)
+          bx += 1
+        }
+        by += 1
+      }
+      arr
+    }
+    // non-interleaved grids (AC scans)
+    val bwNi = Array.tabulate(3)(ci => ((w * hsArr(ci) + hmax - 1) / hmax + 7) / 8)
+    val bhNi = Array.tabulate(3)(ci => ((h * vsArr(ci) + vmax - 1) / vmax + 7) / 8)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xFF); u8(m) }
+    marker(0xD8)
+    marker(0xE0); u16(16)
+    Seq('J', 'F', 'I', 'F', 0).foreach(chr => u8(chr.toInt))
+    u8(1); u8(1); u8(0); u16(1); u16(1); u8(0); u8(0)
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      marker(0xDB); u16(2 + 1 + 64); u8(id)
+      var zz = 0
+      while (zz < 64) { u8(q(zigzag(zz))); zz += 1 }
+    }
+    dqt(0, qLuma); dqt(1, qChroma)
+    marker(0xC2); u16(8 + 3 * 3) // SOF2: progressive, 3 components
+    u8(8); u16(h); u16(w); u8(3)
+    u8(1); u8((hsArr(0) << 4) | vsArr(0)); u8(0)
+    u8(2); u8(0x11); u8(1)
+    u8(3); u8(0x11); u8(1)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xC4); u16(2 + 1 + 16 + vals.length); u8(cls << 4)
+      var l = 1
+      while (l <= 16) { u8(bits(l)); l += 1 }
+      vals.foreach(u8)
+    }
+    dht(0, dcBits, dcVals)
+    dht(1, acBits, acVals)
+    val (dcCode, dcLen) = canonicalCodes(dcBits, dcVals)
+    val (acCode, acLen) = canonicalCodes(acBits, acVals)
+
+    def sosHeader(compIds: Seq[Int], dcSel: Int, acSel: Int,
+                  ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xDA); u16(6 + 2 * compIds.length)
+      u8(compIds.length)
+      compIds.foreach { id => u8(id); u8((dcSel << 4) | acSel) }
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+
+    def coefAt(ci: Int, bx: Int, by: Int, k: Int): Int =
+      coefs(ci)((by * bwPad(ci) + bx) * 64 + zigzag(k))
+
+    // ---- scan 1: DC first, interleaved, Al = 1 (arithmetic shift)
+    sosHeader(Seq(1, 2, 3), 0, 0, ss = 0, se = 0, ah = 0, al = 1)
+    locally {
+      val bw2 = new BitWriter(out)
+      val pred = new Array[Int](3)
+      var my = 0
+      while (my < mcuRows) {
+        var mx = 0
+        while (mx < mcuCols) {
+          var ci = 0
+          while (ci < 3) {
+            var vy = 0
+            while (vy < vsArr(ci)) {
+              var hx = 0
+              while (hx < hsArr(ci)) {
+                val dc = coefAt(ci, mx * hsArr(ci) + hx, my * vsArr(ci) + vy, 0) >> 1
+                val diff = dc - pred(ci)
+                pred(ci) = dc
+                val t = csize(diff)
+                bw2.put(dcCode(t), dcLen(t))
+                if (t > 0)
+                  bw2.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+                hx += 1
+              }
+              vy += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw2.flush()
+    }
+    // ---- scan 2: DC refinement (Ah = 1, Al = 0): one raw bit per block
+    sosHeader(Seq(1, 2, 3), 0, 0, ss = 0, se = 0, ah = 1, al = 0)
+    locally {
+      val bw2 = new BitWriter(out)
+      var my = 0
+      while (my < mcuRows) {
+        var mx = 0
+        while (mx < mcuCols) {
+          var ci = 0
+          while (ci < 3) {
+            var vy = 0
+            while (vy < vsArr(ci)) {
+              var hx = 0
+              while (hx < hsArr(ci)) {
+                bw2.put(coefAt(ci, mx * hsArr(ci) + hx, my * vsArr(ci) + vy, 0) & 1, 1)
+                hx += 1
+              }
+              vy += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw2.flush()
+    }
+
+    // ---- per-component AC band scans: first pass at Al = 1, then refine
+    def acFirstScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(Seq(ci + 1), 0, 0, ss, se, ah = 0, al = al)
+      val bw2 = new BitWriter(out)
+      var by = 0
+      while (by < bhNi(ci)) {
+        var bx = 0
+        while (bx < bwNi(ci)) {
+          var run = 0
+          var k = ss
+          while (k <= se) {
+            val full = coefAt(ci, bx, by, k)
+            val v = if (full < 0) -((-full) >> al) else full >> al
+            if (v == 0) run += 1
+            else {
+              while (run > 15) { bw2.put(acCode(0xF0), acLen(0xF0)); run -= 16 }
+              val s = csize(v)
+              bw2.put(acCode((run << 4) | s), acLen((run << 4) | s))
+              bw2.put(if (v < 0) v + (1 << s) - 1 else v, s)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) bw2.put(acCode(0x00), acLen(0x00)) // EOB (run of 1)
+          bx += 1
+        }
+        by += 1
+      }
+      bw2.flush()
+    }
+    def acRefineScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(Seq(ci + 1), 0, 0, ss, se, ah = al + 1, al = al)
+      val bw2 = new BitWriter(out)
+      var by = 0
+      while (by < bhNi(ci)) {
+        var bx = 0
+        while (bx < bwNi(ci)) {
+          // libjpeg encode_mcu_AC_refine shape with EOBRUN fixed at 1:
+          // zero-history run length + newly-significant (±1·2^Al) symbols,
+          // correction bits buffered and flushed after each symbol
+          var run = 0
+          val br = new scala.collection.mutable.ArrayBuffer[Int]()
+          var k = ss
+          while (k <= se) {
+            val full = coefAt(ci, bx, by, k)
+            val mag = math.abs(full) >> al
+            // any nonzero coefficient reached with run > 15 drains pending
+            // ZRLs FIRST (the libjpeg interleave contract: a correction
+            // bit's owner must lie within the 16-zero-history span of the
+            // ZRL its bits are flushed behind — otherwise the decoder's
+            // ZRL walk crosses no owner and desyncs)
+            if (mag != 0) {
+              while (run > 15) {
+                bw2.put(acCode(0xF0), acLen(0xF0))
+                br.foreach(bit => bw2.put(bit, 1)); br.clear()
+                run -= 16
+              }
+            }
+            if (mag == 0) run += 1
+            else if (mag > 1) br += (mag & 1) // already significant
+            else {
+              bw2.put(acCode((run << 4) | 1), acLen((run << 4) | 1))
+              bw2.put(if (full < 0) 0 else 1, 1)
+              br.foreach(bit => bw2.put(bit, 1)); br.clear()
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0 || br.nonEmpty) {
+            bw2.put(acCode(0x00), acLen(0x00)) // EOB
+            br.foreach(bit => bw2.put(bit, 1)); br.clear()
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      bw2.flush()
+    }
+    var ci = 0
+    while (ci < 3) {
+      acFirstScan(ci, 1, 5, al = 1)
+      acFirstScan(ci, 6, 63, al = 1)
+      acRefineScan(ci, 1, 5, al = 0)
+      acRefineScan(ci, 6, 63, al = 0)
+      ci += 1
+    }
+    marker(0xD9)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------- decoder
+
+  private final case class Comp(id: Int, hs: Int, vs: Int, tq: Int)
+
+  def decodeColorProgressive(b: Array[Byte]): Option[DecodedColor] = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
+    val qtables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var w = 0; var h = 0
+    var comps: Array[Comp] = null
+    var restartInterval = 0
+    var hmax = 0; var vmax = 0
+    var mcuCols = 0; var mcuRows = 0
+    var bwPad: Array[Int] = null
+    var bhPad: Array[Int] = null
+    var bwNi: Array[Int] = null
+    var bhNi: Array[Int] = null
+    var coefs: Array[Array[Int]] = null
+    var sawEoi = false
+
+    // decode one scan's entropy data; returns the byte offset just past it
+    // (at the next marker's 0xFF), or -1 on corruption
+    def decodeScan(scanComps: Array[Int], dcSel: Array[Int], acSel: Array[Int],
+                   ss: Int, se: Int, ah: Int, al: Int, from: Int): Int = {
+      val br = new BitReader(b, from)
+      var eobrun = 0
+      val pred = new Array[Int](3)
+      var nextRst = 0xD0
+      def coefBase(ci: Int, bx: Int, by: Int): Int = (by * bwPad(ci) + bx) * 64
+
+      def restart(): Boolean = {
+        br.align()
+        if (br.sawMarker < 0) {
+          if (br.pos + 1 >= b.length || (b(br.pos) & 0xff) != 0xFF) return false
+          br.sawMarker = b(br.pos + 1) & 0xff
+          br.pos += 2
+        }
+        if (br.sawMarker != nextRst) return false
+        br.sawMarker = -1
+        nextRst = if (nextRst == 0xD7) 0xD0 else nextRst + 1
+        pred(0) = 0; pred(1) = 0; pred(2) = 0
+        eobrun = 0
+        true
+      }
+
+      def dcFirst(ci: Int, bx: Int, by: Int): Boolean = {
+        val base = coefBase(ci, bx, by)
+        val t = br.decode(dcTables(dcSel(ci)))
+        if (t < 0 || t > 11) return false
+        var diff = 0
+        if (t > 0) {
+          val rcv = br.receive(t); if (rcv == Int.MinValue) return false
+          diff = extend(rcv, t)
+        }
+        pred(ci) += diff
+        coefs(ci)(base) = pred(ci) << al
+        true
+      }
+      def dcRefine(ci: Int, bx: Int, by: Int): Boolean = {
+        val bit = br.bit(); if (bit < 0) return false
+        if (bit == 1) coefs(ci)(coefBase(ci, bx, by)) |= (1 << al)
+        true
+      }
+      def acFirst(ci: Int, bx: Int, by: Int): Boolean = {
+        val base = coefBase(ci, bx, by)
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        while (k <= se) {
+          val rs = br.decode(acTables(acSel(ci)))
+          if (rs < 0) return false
+          val r = rs >> 4
+          val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) { k += 16 }
+            else {
+              eobrun = (1 << r) - 1
+              if (r > 0) {
+                val ext = br.receive(r); if (ext == Int.MinValue) return false
+                eobrun += ext
+              }
+              return true
+            }
+          } else {
+            k += r
+            if (k > se || s > 11) return false
+            val rv = br.receive(s); if (rv == Int.MinValue) return false
+            coefs(ci)(base + zigzag(k)) = extend(rv, s) << al
+            k += 1
+          }
+        }
+        true
+      }
+      def acRefine(ci: Int, bx: Int, by: Int): Boolean = {
+        val base = coefBase(ci, bx, by)
+        val arr = coefs(ci)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var broke = false
+          while (k <= se && !broke) {
+            val rs = br.decode(acTables(acSel(ci)))
+            if (rs < 0) return false
+            var r = rs >> 4
+            val s = rs & 0x0f
+            var newVal = 0
+            if (s != 0) {
+              if (s != 1) return false // refine scans carry only ±1 bits
+              val bit = br.bit(); if (bit < 0) return false
+              newVal = if (bit == 1) p1 else m1
+            } else if (r != 15) {
+              eobrun = (1 << r)
+              if (r > 0) {
+                val ext = br.receive(r); if (ext == Int.MinValue) return false
+                eobrun += ext
+              }
+              broke = true // remaining positions handled by the EOB walk
+            }
+            if (!broke) {
+              // advance over r ZERO-HISTORY positions, emitting correction
+              // bits for every nonzero coefficient crossed
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = base + zigzag(k)
+                if (arr(idx) != 0) {
+                  val bit = br.bit(); if (bit < 0) return false
+                  if (bit == 1 && (arr(idx) & p1) == 0)
+                    arr(idx) += (if (arr(idx) >= 0) p1 else m1)
+                } else {
+                  if (r == 0) {
+                    if (newVal != 0) arr(idx) = newVal
+                    placed = true
+                  }
+                  r -= 1
+                }
+                k += 1
+              }
+              if (!placed && newVal != 0) return false // ran off the band
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // inside an EOB run: correction bits for remaining nonzero coefs
+          while (k <= se) {
+            val idx = base + zigzag(k)
+            if (arr(idx) != 0) {
+              val bit = br.bit(); if (bit < 0) return false
+              if (bit == 1 && (arr(idx) & p1) == 0)
+                arr(idx) += (if (arr(idx) >= 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+
+      def oneBlock(ci: Int, bx: Int, by: Int): Boolean =
+        if (ss == 0) { if (ah == 0) dcFirst(ci, bx, by) else dcRefine(ci, bx, by) }
+        else { if (ah == 0) acFirst(ci, bx, by) else acRefine(ci, bx, by) }
+
+      if (ss == 0 && scanComps.length > 1) {
+        // interleaved DC scan: MCU order
+        var mcu = 0
+        var my = 0
+        while (my < mcuRows) {
+          var mx = 0
+          while (mx < mcuCols) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+              if (!restart()) return -1
+            }
+            var si = 0
+            while (si < scanComps.length) {
+              val ci = scanComps(si)
+              val cp = comps(ci)
+              var vy = 0
+              while (vy < cp.vs) {
+                var hx = 0
+                while (hx < cp.hs) {
+                  if (!oneBlock(ci, mx * cp.hs + hx, my * cp.vs + vy)) return -1
+                  hx += 1
+                }
+                vy += 1
+              }
+              si += 1
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // non-interleaved: raster over the single component's own grid
+        if (scanComps.length != 1) return -1
+        val ci = scanComps(0)
+        var blk = 0
+        var by = 0
+        while (by < bhNi(ci)) {
+          var bx = 0
+          while (bx < bwNi(ci)) {
+            if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+              if (!restart()) return -1
+            }
+            if (!oneBlock(ci, bx, by)) return -1
+            blk += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      br.align()
+      // the next marker follows (possibly after 0xFF fill bytes); a marker
+      // already consumed by the bit reader (premature) is corruption
+      // unless it is exactly the one we now look for
+      var p = br.pos
+      if (br.sawMarker >= 0) return p - 2
+      while (p + 1 < b.length &&
+             !((b(p) & 0xff) == 0xFF && (b(p + 1) & 0xff) != 0x00 &&
+               (b(p + 1) & 0xff) != 0xFF)) p += 1
+      if (p + 1 >= b.length) return -1
+      p
+    }
+
+    var i = 2
+    while (!sawEoi) {
+      if (i + 1 >= b.length) return None
+      if ((b(i) & 0xff) != 0xFF) return None
+      var m = b(i + 1) & 0xff
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+      if (m == 0xD9) { sawEoi = true }
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) { i += 2 }
+      else {
+        if (i + 3 >= b.length) return None
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val seg = i + 4
+        val segEnd = i + 2 + len
+        m match {
+          case 0xDB =>
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (tq > 3) return None
+              val q = new Array[Int](64)
+              if (pq == 0) {
+                if (p + 65 > segEnd) return None
+                var k = 0
+                while (k < 64) { q(zigzag(k)) = b(p + 1 + k) & 0xff; k += 1 }
+                p += 65
+              } else if (pq == 1) {
+                if (p + 129 > segEnd) return None
+                var k = 0
+                while (k < 64) {
+                  q(zigzag(k)) = ((b(p + 1 + 2 * k) & 0xff) << 8) |
+                    (b(p + 2 + 2 * k) & 0xff)
+                  k += 1
+                }
+                p += 129
+              } else return None
+              qtables(tq) = q
+            }
+          case 0xC4 =>
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) return None
+              if (p + 17 > segEnd) return None
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = b(p + l) & 0xff; total += bits(l); l += 1 }
+              if (p + 17 + total > segEnd) return None
+              val vals = new Array[Int](total)
+              var k = 0
+              while (k < total) { vals(k) = b(p + 17 + k) & 0xff; k += 1 }
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + total
+            }
+          case 0xC2 =>
+            if (len < 8 + 3 * 3) return None
+            if (comps != null) return None // second SOF
+            val prec = b(seg) & 0xff
+            h = ((b(seg + 1) & 0xff) << 8) | (b(seg + 2) & 0xff)
+            w = ((b(seg + 3) & 0xff) << 8) | (b(seg + 4) & 0xff)
+            val nComp = b(seg + 5) & 0xff
+            if (prec != 8 || nComp != 3 || w < 1 || h < 1) return None
+            comps = Array.tabulate(3) { ci =>
+              val o = seg + 6 + ci * 3
+              Comp(b(o) & 0xff, (b(o + 1) & 0xff) >> 4, b(o + 1) & 0x0f,
+                b(o + 2) & 0x0f)
+            }
+            if (comps.exists(cp => cp.hs < 1 || cp.hs > 2 || cp.vs < 1 ||
+                cp.vs > 2 || cp.tq > 3)) return None
+            // untrusted dims cap BEFORE the coefficient allocation (64
+            // ints per block — cap the PIXEL count like the baseline path)
+            if (w.toLong * h > (1L << 24)) return None
+            hmax = comps.map(_.hs).max
+            vmax = comps.map(_.vs).max
+            mcuCols = (w + 8 * hmax - 1) / (8 * hmax)
+            mcuRows = (h + 8 * vmax - 1) / (8 * vmax)
+            bwPad = comps.map(cp => mcuCols * cp.hs)
+            bhPad = comps.map(cp => mcuRows * cp.vs)
+            bwNi = comps.map(cp => ((w * cp.hs + hmax - 1) / hmax + 7) / 8)
+            bhNi = comps.map(cp => ((h * cp.vs + vmax - 1) / vmax + 7) / 8)
+            coefs = Array.tabulate(3)(ci => new Array[Int](bwPad(ci) * bhPad(ci) * 64))
+          case mm if (mm >= 0xC0 && mm <= 0xCF) && mm != 0xC4 && mm != 0xC8 &&
+              mm != 0xCC =>
+            return None // a non-SOF2 frame inside this path: corrupt
+          case 0xDD =>
+            if (len != 4) return None
+            restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case 0xDA =>
+            // SOS: 2 len + 1 ns + 2·ns selectors + 3 Ss/Se/Ah
+            if (comps == null) return None
+            if (len < 6) return None
+            val ns = b(seg) & 0xff
+            if (ns < 1 || ns > 3 || len < 6 + 2 * ns) return None
+            val scanComps = new Array[Int](ns)
+            val dcSel = new Array[Int](3)
+            val acSel = new Array[Int](3)
+            var si = 0
+            while (si < ns) {
+              val cid = b(seg + 1 + si * 2) & 0xff
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return None
+              scanComps(si) = ci
+              dcSel(ci) = (b(seg + 2 + si * 2) & 0xff) >> 4
+              acSel(ci) = b(seg + 2 + si * 2) & 0x0f
+              if (dcSel(ci) > 3 || acSel(ci) > 3) return None
+              si += 1
+            }
+            val ss = b(seg + 1 + 2 * ns) & 0xff
+            val se = b(seg + 2 + 2 * ns) & 0xff
+            val ah = (b(seg + 3 + 2 * ns) & 0xff) >> 4
+            val al = b(seg + 3 + 2 * ns) & 0x0f
+            // progression bounds: DC scans have Ss=Se=0; AC scans are
+            // single-component with 1 <= Ss <= Se <= 63; Al < 14 keeps
+            // every shifted coefficient in Int range
+            if (ss > 63 || se > 63 || ss > se || al > 13 || ah > 13) return None
+            if (ss == 0 && se != 0) return None
+            if (ss > 0 && ns != 1) return None
+            // required tables present for this scan
+            si = 0
+            while (si < ns) {
+              val ci = scanComps(si)
+              if (ss == 0 && ah == 0 && dcTables(dcSel(ci)) == null) return None
+              if (ss > 0 && acTables(acSel(ci)) == null) return None
+              si += 1
+            }
+            val after = decodeScan(scanComps, dcSel, acSel, ss, se, ah, al,
+              segEnd)
+            if (after < 0) return None
+            i = after
+            // loop continues at the marker decodeScan found
+          case _ => () // APPn / COM: skip
+        }
+        if (m != 0xDA) i = segEnd
+      }
+    }
+    if (comps == null || w == 0) return None
+    if (comps.exists(cp => qtables(cp.tq) == null)) return None
+
+    // ---- reconstruction: dequantize + IDCT every padded block, then the
+    // baseline upsample + T.871 RGB (identical float op order)
+    val planeW = Array.tabulate(3)(ci => bwPad(ci) * 8)
+    val planeH = Array.tabulate(3)(ci => bhPad(ci) * 8)
+    val planes = Array.tabulate(3)(ci => new Array[Int](planeW(ci) * planeH(ci)))
+    val tmp = new Array[Double](64)
+    var ci = 0
+    while (ci < 3) {
+      val q = qtables(comps(ci).tq)
+      val arr = coefs(ci)
+      val pw = planeW(ci)
+      val plane = planes(ci)
+      var by = 0
+      while (by < bhPad(ci)) {
+        var bx = 0
+        while (bx < bwPad(ci)) {
+          val base = (by * bwPad(ci) + bx) * 64
+          var acSeen = false
+          var k = 1
+          while (k < 64 && !acSeen) { if (arr(base + k) != 0) acSeen = true; k += 1 }
+          val px0 = bx * 8
+          val py0 = by * 8
+          if (!acSeen) {
+            val dcv = arr(base) * q(0)
+            val t0 = c(0) * dcv.toDouble * 1.0
+            val s0 = c(0) * t0 * 1.0
+            val sv = Math.round(0.25 * s0 + 128.0).toInt
+            val flat = if (sv < 0) 0 else if (sv > 255) 255 else sv
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { plane((py0 + y) * pw + px0 + x) = flat; x += 1 }
+              y += 1
+            }
+          } else {
+            var v = 0
+            while (v < 8) {
+              var x = 0
+              while (x < 8) {
+                var s = 0.0; var u = 0
+                while (u < 8) {
+                  s += c(u) * (arr(base + v * 8 + u) * q(v * 8 + u)) * cosTab(x)(u)
+                  u += 1
+                }
+                tmp(v * 8 + x) = s
+                x += 1
+              }
+              v += 1
+            }
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var s = 0.0; var v2 = 0
+                while (v2 < 8) { s += c(v2) * tmp(v2 * 8 + x) * cosTab(y)(v2); v2 += 1 }
+                val sv = Math.round(0.25 * s + 128.0).toInt
+                plane((py0 + y) * pw + px0 + x) =
+                  if (sv < 0) 0 else if (sv > 255) 255 else sv
+                x += 1
+              }
+              y += 1
+            }
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    val rOut = new Array[Int](w * h)
+    val gOut = new Array[Int](w * h)
+    val bOut = new Array[Int](w * h)
+    def clamp255(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val yv = planes(0)((y * comps(0).vs / vmax) * planeW(0) +
+          (x * comps(0).hs / hmax))
+        val cbv = planes(1)((y * comps(1).vs / vmax) * planeW(1) +
+          (x * comps(1).hs / hmax))
+        val crv = planes(2)((y * comps(2).vs / vmax) * planeW(2) +
+          (x * comps(2).hs / hmax))
+        rOut(y * w + x) = clamp255(Math.round(yv + 1.402 * (crv - 128)))
+        gOut(y * w + x) = clamp255(Math.round(
+          yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)))
+        bOut(y * w + x) = clamp255(Math.round(yv + 1.772 * (cbv - 128)))
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedColor(w, h, rOut, gOut, bOut))
+  }
+}
+
+/** Codegen'd planted PROGRESSIVE payload builder — the [[JpegColor]]
+  * constant-MCU recipe (Y = byte, Cb = 112 + byte%32, Cr = 112 +
+  * (byte·7)%32, all-ones qtables) written as an SOF2 stream through the
+  * full 14-scan spectral-selection + successive-approximation script.
+  * Constant MCUs are DC-only, and the DC path round-trips bit-exactly
+  * through arithmetic-shift + refinement, so q_m16 shares q_m14's
+  * text-derived oracle.
+  */
+case class JpegProgressive(child: Expression, mcusPerRow: Int)
+    extends UnaryExpression {
+  require(mcusPerRow >= 1 && mcusPerRow <= 32,
+    s"mcusPerRow must be in [1, 32], got $mcusPerRow")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jpeg_progressive requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    JpegProgressive.build(input.asInstanceOf[UTF8String], mcusPerRow)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, cIn => {
+      s"""
+         |${ev.value} = graft.multimodal.JpegProgressive.build($cIn, $mcusPerRow);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JpegProgressive =
+    copy(child = newChild)
+  override def prettyName: String = "jpeg_progressive"
+}
+
+object JpegProgressive {
+  private val onesQ: Array[Int] = Array.fill(64)(1)
+
+  def build(text: UTF8String, mcusPerRow: Int): Array[Byte] = {
+    val bytes = text.getBytes
+    val nMcus = (bytes.length / mcusPerRow) * mcusPerRow
+    if (nMcus == 0) return null
+    val w = mcusPerRow * 16
+    val h = (nMcus / mcusPerRow) * 16
+    val cw = w / 2
+    val ch = h / 2
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](cw * ch)
+    val crP = new Array[Int](cw * ch)
+    var mi = 0
+    while (mi < nMcus) {
+      val v = bytes(mi) & 0xff
+      val cb = 112 + v % 32
+      val cr = 112 + (v * 7) % 32
+      val my = (mi / mcusPerRow) * 16
+      val mx = (mi % mcusPerRow) * 16
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) { yP((my + y) * w + mx + x) = v; x += 1 }
+        y += 1
+      }
+      val cy0 = my / 2
+      val cx0 = mx / 2
+      y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          cbP((cy0 + y) * cw + cx0 + x) = cb
+          crP((cy0 + y) * cw + cx0 + x) = cr
+          x += 1
+        }
+        y += 1
+      }
+      mi += 1
+    }
+    JpegProgressiveCodec.encodeYcbcrProgressive(yP, cbP, crP, w, h,
+      onesQ, onesQ, subsample = true)
+  }
+
+  def col(c: Column, mcusPerRow: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(JpegProgressive(GraftSqlBridge.expression(c),
+      mcusPerRow))
+  }
+}

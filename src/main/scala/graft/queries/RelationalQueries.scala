@@ -3128,6 +3128,30 @@ object RelationalQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_m16_jpeg_progressive" -> ((s, d) => {
+      // PROGRESSIVE JPEG decode (SOF2 — the second-most-common web JPEG
+      // shape): the q_m14 constant-MCU planting written through the full
+      // 14-scan spectral-selection + successive-approximation script
+      // (interleaved DC at Al=1 + refinement, per-component AC bands 1-5
+      // and 6-63 at Al=1 + their refinements), decoded by accumulating
+      // coefficients across scans and running the SAME IDCT/upsample/
+      // T.871 pipeline once at EOI. DC-only data round-trips the
+      // arithmetic-shift + refine chain bit-exactly, so the oracle is
+      // q_m14's text recompute verbatim; general AC payloads and foreign
+      // (ImageIO-written) scan scripts are pinned in JpegProgressiveSpec.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 2)
+        .repartition(s.sparkContext.defaultParallelism)
+      val media = docs.select(col("doc_id").cast("long").as("media_id"),
+        graft.multimodal.JpegProgressive.col(col("text"), 2).as("payload"))
+      graft.multimodal.JpegColor.extractJpegColorStats(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+          round(col("r_mean"), 6).as("r_mean"),
+          round(col("g_mean"), 6).as("g_mean"),
+          round(col("b_mean"), 6).as("b_mean"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_sp17_group_priority" -> ((s, d) =>
       // per-SOURCE DLT priority sample: top-5 per source by w/u priority,
       // per-group τ = the 6th priority, per-group unbiased max(w, τ_g)
@@ -3259,6 +3283,32 @@ object RelationalQueries {
             embs.filter(col("label") < 5), embs.filter(col("label") >= 5)),
           k = 4, minMargin = 1.0)
         .orderBy(col("src_id"))
+    }),
+
+    "q_v32_two_stage_ann" -> ((s, d) => {
+      // TWO-STAGE ANN, oracle-exact: 1-bit Hamming prefilter (the q_v29
+      // pigeonhole machinery — complete for radius 3 < 4 chunks) feeding
+      // the exact-cosine re-rank and the full q_v28 margin reduction.
+      // Planted neighborhood: three sign-flip variants of every vector
+      // (dims {12}, {0,37}, {5,42,50} → Hamming 1/2/3, distinct cosines),
+      // so each source ranks a REAL 3-candidate neighborhood while random
+      // cross pairs sit ~32 bits out. The oracle re-derives codes, ball,
+      // re-rank and margins from scratch — completeness of the candidate
+      // join makes equality the check (the q_v29 convention). Production
+      // twins at recall-bearing radii (brute-gate regime) are measured on
+      // the ScaleBench ANN ladder (q_v28_2stage / q_v31_2stage).
+      val embs = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      def variant(vi: Int, flips: Seq[Int]) =
+        embs.select((col("vec_id") + lit(vi * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(flips.map(j => i === j).reduce(_ || _), -x).otherwise(x))
+            .as("embedding"))
+      val tgt = variant(1, Seq(12))
+        .unionByName(variant(2, Seq(0, 37)))
+        .unionByName(variant(3, Seq(5, 42, 50)))
+      graft.functions.Similarity.marginAlignmentTwoStage(embs, tgt,
+          dims = 64, k = 4, maxDist = 3, minMargin = 0.0)
+        .orderBy(col("src_id"), col("tgt_id"))
     }),
 
     "q_v26_embed_pipeline" -> ((s, d) =>
@@ -5276,6 +5326,85 @@ object RelationalQueries {
          WHERE bf.margin >= 1.0
          ORDER BY bf.src_id""",
 
+    "q_v32_two_stage_ann" ->
+      // the whole two-stage chain re-derived: sign codes for the corpus
+      // and its three flip variants, BRUTE Hamming <= 3 ball (the
+      // pigeonhole join is complete, so equality is the check), exact
+      // cosine re-rank on the ball, then the q_v28 margin chain over the
+      // candidate set
+      """WITH e AS (
+           SELECT vec_id, j - 1 AS j, embedding[j]::DOUBLE AS v
+           FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS j) u
+           WHERE embedding IS NOT NULL),
+         fv AS (
+           SELECT vec_id, var, j,
+                  CASE WHEN (var = 1 AND j = 12)
+                         OR (var = 2 AND j IN (0, 37))
+                         OR (var = 3 AND j IN (5, 42, 50))
+                       THEN -v ELSE v END AS v
+           FROM e, LATERAL (SELECT unnest([1, 2, 3]) AS var) vv),
+         a AS (
+           SELECT vec_id,
+                  sum(CASE WHEN v >= 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS w0,
+                  sum(CASE WHEN v >= 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS w1
+           FROM e GROUP BY 1),
+         b AS (
+           SELECT vec_id + 1000000 * var AS tgt_id,
+                  sum(CASE WHEN v >= 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS w0,
+                  sum(CASE WHEN v >= 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS w1
+           FROM fv GROUP BY 1),
+         av AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS emb
+                FROM embeddings WHERE embedding IS NOT NULL),
+         bv AS (SELECT vec_id + 1000000 * var AS tgt_id,
+                       list(v ORDER BY j) AS emb
+                FROM fv GROUP BY 1),
+         cand AS (
+           SELECT a.vec_id AS src_id, b.tgt_id
+           FROM a, b
+           WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3),
+         sc AS (
+           SELECT c.src_id, c.tgt_id,
+                  round(list_cosine_similarity(av.emb, bv.emb), 6) AS cos
+           FROM cand c JOIN av USING (src_id) JOIN bv USING (tgt_id)),
+         scm AS (SELECT src_id, tgt_id, cos,
+                        round(cos * 1e6)::BIGINT AS cm FROM sc),
+         fwd AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY src_id
+                     ORDER BY cm DESC, tgt_id) AS rn FROM scm) WHERE rn <= 4),
+         bwd AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY tgt_id
+                     ORDER BY cm DESC, src_id) AS rn FROM scm) WHERE rn <= 4),
+         ss AS (SELECT src_id, sum(cm) AS sum_src, count(*) AS cnt_src
+                FROM fwd GROUP BY 1),
+         st AS (SELECT tgt_id, sum(cm) AS sum_tgt, count(*) AS cnt_tgt
+                FROM bwd GROUP BY 1),
+         mf AS (
+           SELECT f.src_id, f.tgt_id, f.cos,
+                  round((f.cm * 2 * ss.cnt_src * st.cnt_tgt)::DOUBLE /
+                        (ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src)::DOUBLE,
+                        6) AS margin
+           FROM fwd f JOIN ss USING (src_id) JOIN st USING (tgt_id)
+           WHERE ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src > 0),
+         bf AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id) AS bn FROM mf) WHERE bn = 1),
+         mb AS (
+           SELECT b2.src_id, b2.tgt_id,
+                  round((b2.cm * 2 * ss.cnt_src * st.cnt_tgt)::DOUBLE /
+                        (ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src)::DOUBLE,
+                        6) AS margin
+           FROM bwd b2 JOIN ss USING (src_id) JOIN st USING (tgt_id)
+           WHERE ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src > 0),
+         bb AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY tgt_id
+                    ORDER BY margin DESC, src_id) AS bn FROM mb) WHERE bn = 1)
+         SELECT bf.src_id, bf.tgt_id, bf.cos, bf.margin,
+                (bb.src_id IS NOT NULL) AS mutual
+         FROM bf LEFT JOIN bb
+           ON bf.src_id = bb.src_id AND bf.tgt_id = bb.tgt_id
+         WHERE bf.margin >= 0.0
+         ORDER BY bf.src_id, bf.tgt_id""",
+
     "q_m14_jpeg_color_stats" ->
       // recompute the decoded RGB channels from the TEXT: char j (even
       // prefix, partial MCU row dropped) is one constant 256-pixel MCU
@@ -5284,6 +5413,29 @@ object RelationalQueries {
       // decoder applies (literal operator order), clamped then averaged.
       // A match proves the 3-component Huffman + IDCT + upsample +
       // conversion recovered every MCU's color exactly.
+      """WITH px AS (
+           SELECT doc_id, (length(text) // 2)::INT AS mrows,
+                  ascii(text[j]) AS v
+           FROM documents,
+                LATERAL (SELECT unnest(range(1, (length(text) // 2) * 2 + 1)) AS j) u
+           WHERE text IS NOT NULL AND length(text) >= 2),
+         ch AS (
+           SELECT doc_id, mrows,
+                  least(greatest(round(v + 1.402 * ((112 + (v * 7) % 32) - 128)), 0), 255) AS er,
+                  least(greatest(round(v - 0.344136 * ((112 + v % 32) - 128) - 0.714136 * ((112 + (v * 7) % 32) - 128)), 0), 255) AS eg,
+                  least(greatest(round(v + 1.772 * ((112 + v % 32) - 128)), 0), 255) AS eb
+           FROM px)
+         SELECT doc_id AS media_id, 32 AS width, (mrows * 16)::INT AS height,
+                (count(*) * 256)::BIGINT AS n_pixels,
+                round(sum(er)::DOUBLE / count(*), 6) AS r_mean,
+                round(sum(eg)::DOUBLE / count(*), 6) AS g_mean,
+                round(sum(eb)::DOUBLE / count(*), 6) AS b_mean
+         FROM ch GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q_m16_jpeg_progressive" ->
+      // q_m14's text recompute verbatim: the progressive pipeline must
+      // reconstruct the identical RGB (DC-only data survives spectral
+      // selection + successive approximation bit-exactly)
       """WITH px AS (
            SELECT doc_id, (length(text) // 2)::INT AS mrows,
                   ascii(text[j]) AS v

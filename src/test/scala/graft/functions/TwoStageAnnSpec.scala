@@ -1,0 +1,125 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the two-stage ANN composition (1-bit Hamming prefilter → exact
+  * cosine re-rank → margin/triplet reduction):
+  *   1. the two stage-1 regimes agree exactly — the brute XOR+popcount
+  *      gate and the pigeonhole multi-index join emit the SAME Hamming
+  *      ball wherever both are valid (so consumers are regime-agnostic);
+  *   2. the composition degrades to the brute tier exactly: at a radius
+  *      covering the whole code space the two-stage margin output IS the
+  *      brute marginAlignment output, row for row — the prefilter only
+  *      ever REMOVES candidates, never perturbs arithmetic;
+  *   3. on a CLUSTERED corpus (the trained-embedding shape: parallel
+  *      pairs a few sign flips apart), the pigeonhole-regime radius
+  *      captures the true mined output with recall ≥ 0.9 — the regime
+  *      where the subquadratic stage-1 also has high recall;
+  *   4. the brute gate's plan shape: codes broadcast (no shuffle of
+  *      either side for the gate), candidates leave as 3-long triples.
+  */
+class TwoStageAnnSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def embs = graft.Tables.embeddings(spark, sfDir)
+    .filter(col("embedding").isNotNull)
+
+  test("brute gate and pigeonhole join emit the identical Hamming ball") {
+    val codes = VectorQuant.binarize(embs, dims = 64)
+    // b side: q_v29's planted perturbation so the ball is non-trivial
+    val pert = VectorQuant.binarize(
+      embs.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0 || i === 37, -x).otherwise(x)).as("embedding")),
+      dims = 64)
+    val mih = VectorQuant.hammingNeighbors(codes, pert, reps = 2,
+        wordBits = 32, chunkBits = 16, maxDist = 3)
+      .orderBy("id_a", "id_b").collect()
+    val brute = VectorQuant.hammingGate(codes, pert, reps = 2, maxDist = 3)
+      .orderBy("id_a", "id_b").collect()
+    mih should not be empty
+    brute shouldBe mih
+  }
+
+  test("radius covering the code space reproduces brute marginAlignment exactly") {
+    val src = embs.filter(col("label") < 5).limit(40)
+    val tgt = embs.filter(col("label") >= 5).limit(40)
+    val brute = Similarity.marginAlignment(
+        Similarity.bruteAlignScores(src, tgt), k = 4, minMargin = 0.0)
+      .orderBy("src_id", "tgt_id").collect()
+    val twoStage = Similarity.marginAlignmentTwoStage(src, tgt, dims = 64,
+        k = 4, maxDist = 64, minMargin = 0.0)
+      .orderBy("src_id", "tgt_id").collect()
+    brute should not be empty
+    twoStage shouldBe brute
+  }
+
+  test("clustered corpus: pigeonhole-regime radius mines with recall >= 0.9") {
+    // parallel-corpus shape: tgt i = src i with 2 sign flips and a mild
+    // rescale (same gradient structure a translated/re-encoded pair has).
+    // chunkBits=8 → 8 chunks → maxDist 7 stays pigeonhole-complete while
+    // planted pairs sit at Hamming 2.
+    val src = embs.select(col("vec_id"), col("embedding"))
+    val tgt = embs.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 3 || i === 40, -x * 0.9f).otherwise(x * 0.9f))
+        .as("embedding"))
+    val exact = Similarity.marginAlignment(
+        Similarity.bruteAlignScores(src, tgt), k = 4)
+      .select(col("src_id"), col("tgt_id"))
+    val mined = Similarity.marginAlignmentTwoStage(src, tgt, dims = 64,
+      k = 4, maxDist = 7, chunkBits = 8)
+    val nEx = exact.count().toDouble
+    nEx should be > 0.0
+    val hits = exact.join(mined.select(col("src_id"), col("tgt_id")),
+      Seq("src_id", "tgt_id"), "left_semi").count()
+    (hits / nEx) should be >= 0.9
+    // and the stage-1 plan in this regime is the chunk equi-join
+    mined.queryExecution.executedPlan.toString should not include
+      "BroadcastNestedLoopJoin"
+  }
+
+  test("brute gate plan: broadcast codes, no shuffle, narrow candidate output") {
+    val codes = VectorQuant.binarize(embs, dims = 64)
+    val plan = VectorQuant.hammingGate(codes, codes, reps = 2, maxDist = 23,
+      ordered = true).queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+    plan should not include "SortMergeJoin"
+    plan should not include "ShuffleExchange"
+  }
+
+  test("two-stage triplets stay inside the ball: pos AND neg are in-cluster") {
+    // 10 geometric clusters of near-identical vectors (1 flip per
+    // member), labels ALTERNATING within each cluster — so the hardest
+    // positive and the hardest negative are both in-cluster neighbors,
+    // i.e. inside the radius-7 ball (triplets from a ball require the
+    // negative to be geometrically near — which is what makes it hard)
+    val rnd = new scala.util.Random(42)
+    val cents = Array.fill(10)(Array.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f))
+    val rows = for (c <- 0 until 10; m <- 0 until 8) yield {
+      val v = cents(c).clone()
+      v((c * 8 + m * 3) % 64) = -v((c * 8 + m * 3) % 64)
+      ((c * 8 + m).toLong, m % 2, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val trip = Similarity.contrastiveTripletsTwoStage(df, dims = 64,
+      maxDist = 7, chunkBits = 8).persist()
+    trip.count() should be > 0L
+    // every mined pos/neg comes from the anchor's own geometric cluster
+    trip.filter(expr("pos_id div 8") =!= expr("vec_id div 8") ||
+        expr("neg_id div 8") =!= expr("vec_id div 8")).count() shouldBe 0L
+    // label contract: positive shares the anchor label, negative does not
+    val lab = df.select(col("vec_id"), col("label"))
+    trip.join(lab.select(col("vec_id").as("pos_id"), col("label").as("pl")), "pos_id")
+      .join(lab.select(col("vec_id").as("neg_id"), col("label").as("nl")), "neg_id")
+      .filter(col("anchor_label") =!= col("pl") ||
+        col("anchor_label") === col("nl")).count() shouldBe 0L
+    trip.unpersist()
+    ()
+  }
+}

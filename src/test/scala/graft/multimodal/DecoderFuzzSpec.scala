@@ -125,6 +125,16 @@ class DecoderFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("progressive JPEG decoder never throws on 4000 mutants (multi-scan walk)") {
+    val base = JpegProgressive.build(
+      UTF8String.fromString("progressive fuzz payload 0123"), 2)
+    fuzz("jpeg-progressive", base, 4000,
+      b => JpegProgressiveCodec.decodeColorProgressive(b))
+    // and through the dispatching front door (baseline parse → delegate)
+    fuzz("jpeg-progressive-dispatch", base, 2000,
+      b => JpegColorCodec.decodeColor(b))
+  }
+
   test("dHash path never throws on 3000 mutants (decode + pool + gradient)") {
     // an 18x16 grayscale payload — the q_m15 fixture shape — through the
     // full dhashGray path: any mutant must quarantine to None, never throw

@@ -1,0 +1,178 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins the progressive (SOF2) JPEG codec:
+  *   1. coefficient reassembly is EXACT: a progressive encode of the same
+  *      planes decodes bit-identically to the baseline encode's decode —
+  *      spectral selection + successive approximation must lose nothing;
+  *   2. planted constant-MCU progressive payloads decode bit-exactly to
+  *      the T.871 conversion (the q_m16 contract — same oracle as q_m14);
+  *   3. our progressive streams parse through `javax.imageio` (scan
+  *      script legality proven by an independent decoder);
+  *   4. FOREIGN progressive streams decode: ImageIO's own progressive
+  *      writer (its own scan script, EOBRUN > 1) round-trips through our
+  *      decoder within conversion tolerance;
+  *   5. refusals unchanged for arithmetic/lossless/12-bit.
+  */
+class JpegProgressiveSpec extends AnyFunSuite {
+
+  private def imageIoRgb(b: Array[Byte]): (Int, Int, Array[Int], Array[Int], Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    assert(img != null, "ImageIO could not parse the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    val r = new Array[Int](w * h)
+    val g = new Array[Int](w * h)
+    val bb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        r(y * w + x) = (rgb >> 16) & 0xff
+        g(y * w + x) = (rgb >> 8) & 0xff
+        bb(y * w + x) = rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, r, g, bb)
+  }
+
+  // gradient YCbCr planes — AC-rich blocks at several magnitudes, so the
+  // band scans and both refinement paths carry real data
+  private def gradientPlanes(w: Int, h: Int, subsample: Boolean)
+      : (Array[Int], Array[Int], Array[Int]) = {
+    val cw = if (subsample) (w + 1) / 2 else w
+    val ch = if (subsample) (h + 1) / 2 else h
+    val yP = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (16 + (x * 5 + y * 3 + (x * y) % 31) % 224)
+    }
+    val cbP = Array.tabulate(cw * ch) { i => (64 + (i * 7) % 128) }
+    val crP = Array.tabulate(cw * ch) { i => (200 - (i * 11) % 144) }
+    (yP, cbP, crP)
+  }
+
+  private val q2: Array[Int] = Array.tabulate(64)(k => 1 + (k % 3)) // 1..3
+
+  test("progressive reassembles coefficients EXACTLY: decode == baseline decode") {
+    for (subsample <- Seq(false, true); (w, h) <- Seq((32, 32), (24, 16), (19, 13))) {
+      val (yP, cbP, crP) = gradientPlanes(w, h, subsample)
+      val base = JpegColorCodec.encodeYcbcr(yP, cbP, crP, w, h, q2, q2, subsample)
+      val prog = JpegProgressiveCodec.encodeYcbcrProgressive(yP, cbP, crP,
+        w, h, q2, q2, subsample)
+      val db = JpegColorCodec.decodeColor(base).get
+      val dp = JpegColorCodec.decodeColor(prog).get // dispatches to SOF2 path
+      assert((dp.w, dp.h) == (db.w, db.h), s"dims at ${w}x$h subsample=$subsample")
+      assert(dp.r.sameElements(db.r) && dp.g.sameElements(db.g) &&
+        dp.b.sameElements(db.b),
+        s"progressive decode diverged from baseline at ${w}x$h subsample=$subsample")
+    }
+  }
+
+  test("planted constant MCUs decode bit-exactly (the q_m16 contract)") {
+    val text = "the quick brown Fox! 42"
+    val payload = JpegProgressive.build(UTF8String.fromString(text), 2)
+    val d = JpegColorCodec.decodeColor(payload).get
+    def cl(x: Long) = if (x < 0) 0 else if (x > 255) 255 else x.toInt
+    val nMcus = (text.length / 2) * 2
+    assert(d.w == 32 && d.h == (nMcus / 2) * 16)
+    var mi = 0
+    while (mi < nMcus) {
+      val v = text(mi).toInt
+      val cb = 112 + v % 32
+      val cr = 112 + (v * 7) % 32
+      val er = cl(Math.round(v + 1.402 * (cr - 128)))
+      val eg = cl(Math.round(v - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))
+      val eb = cl(Math.round(v + 1.772 * (cb - 128)))
+      val my = (mi / 2) * 16
+      val mx = (mi % 2) * 16
+      for (y <- my until my + 16; x <- mx until mx + 16) {
+        assert(d.r(y * d.w + x) == er && d.g(y * d.w + x) == eg &&
+          d.b(y * d.w + x) == eb, s"mcu $mi at ($x,$y)")
+      }
+      mi += 1
+    }
+    // and the progressive payload is byte-level DIFFERENT from baseline
+    // (otherwise this spec pins nothing new)
+    val basePayload = JpegColor.build(UTF8String.fromString(text), 2)
+    assert(!payload.sameElements(basePayload))
+  }
+
+  test("our progressive stream parses through javax.imageio (MCU interiors ±2)") {
+    val text = "abcdWXYZ 09"
+    val payload = JpegProgressive.build(UTF8String.fromString(text), 2)
+    val (w, h, ir, ig, ib) = imageIoRgb(payload)
+    val d = JpegColorCodec.decodeColor(payload).get
+    assert((w, h) == (d.w, d.h))
+    val nMcus = (text.length / 2) * 2
+    var mi = 0
+    while (mi < nMcus) {
+      val my = (mi / 2) * 16
+      val mx = (mi % 2) * 16
+      for (y <- my + 4 until my + 12; x <- mx + 4 until mx + 12) {
+        val i = y * w + x
+        assert(math.abs(ir(i) - d.r(i)) <= 2 && math.abs(ig(i) - d.g(i)) <= 2 &&
+          math.abs(ib(i) - d.b(i)) <= 2, s"mcu $mi at ($x,$y)")
+      }
+      mi += 1
+    }
+  }
+
+  test("FOREIGN progressive stream (ImageIO writer, its own scan script) decodes") {
+    // write a gradient RGB through ImageIO's JPEG encoder in progressive
+    // mode — different scan script, EOBRUN > 1 — then decode with ours
+    // and with ImageIO, comparing the two decoders on the same stream
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 5) % 256; val g = (y * 7) % 256; val b = (x * 3 + y * 2) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    val payload = bos.toByteArray
+    // confirm it is actually SOF2
+    assert((0 until payload.length - 1).exists(i =>
+      (payload(i) & 0xff) == 0xFF && (payload(i + 1) & 0xff) == 0xC2),
+      "ImageIO did not write a progressive stream")
+    val d = JpegColorCodec.decodeColor(payload)
+    assert(d.nonEmpty, "our decoder refused ImageIO's progressive stream")
+    val (iw, ih, ir, ig2, ib2) = imageIoRgb(payload)
+    assert((iw, ih) == (d.get.w, d.get.h))
+    // both decoders read the same coefficients; differences are IDCT
+    // integer-approximation + chroma upsampler choice (ImageIO smooths
+    // across 4:2:0 boundaries) — compare loosely but meaningfully
+    var maxDiff = 0
+    for (i <- 0 until iw * ih) {
+      maxDiff = math.max(maxDiff, math.abs(ir(i) - d.get.r(i)))
+      maxDiff = math.max(maxDiff, math.abs(ig2(i) - d.get.g(i)))
+      maxDiff = math.max(maxDiff, math.abs(ib2(i) - d.get.b(i)))
+    }
+    assert(maxDiff <= 24, s"decoders diverge by $maxDiff on a shared stream")
+  }
+
+  test("refusals: lossless/arithmetic SOFs still refuse; truncation quarantines") {
+    val text = "abcdWXYZ 09"
+    val payload = JpegProgressive.build(UTF8String.fromString(text), 2)
+    // flip the SOF2 marker to lossless (SOF3) — must refuse, not decode
+    val sofAt = (0 until payload.length - 1).find(i =>
+      (payload(i) & 0xff) == 0xFF && (payload(i + 1) & 0xff) == 0xC2).get
+    val loss = payload.clone(); loss(sofAt + 1) = 0xC3.toByte
+    assert(JpegColorCodec.decodeColor(loss).isEmpty)
+    // truncations anywhere quarantine to None
+    for (cut <- Seq(10, payload.length / 3, payload.length / 2, payload.length - 3))
+      assert(JpegColorCodec.decodeColor(payload.take(cut)).isEmpty,
+        s"truncation at $cut")
+  }
+}
