@@ -584,11 +584,19 @@ object Similarity {
     */
   def contrastiveTripletsTwoStage(embs: DataFrame, dims: Int, maxDist: Int,
                                   chunkBits: Int = 16): DataFrame = {
-    val neighbors =
-      hammingCandidateScores(embs, embs, dims, maxDist, chunkBits = chunkBits)
-        .filter(col("src_id") =!= col("tgt_id"))
-        .select(col("src_id").as("vec_id"), col("tgt_id").as("vid_b"),
-          col("cos").as("cosine"))
+    // ordered=true computes each unordered pair ONCE (and drops
+    // self-pairs in the gate, before the exact re-rank ever sees them);
+    // the ball is checkpointed because it feeds two mirror branches and
+    // contrastiveTriplets' pos/neg consumers — four reads of the
+    // expensive stage otherwise re-run it
+    val (ball, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      hammingCandidateScores(embs, embs, dims, maxDist,
+        chunkBits = chunkBits, ordered = true))
+    val neighbors = ball
+      .select(col("src_id").as("vec_id"), col("tgt_id").as("vid_b"),
+        col("cos").as("cosine"))
+      .unionByName(ball.select(col("tgt_id").as("vec_id"),
+        col("src_id").as("vid_b"), col("cos").as("cosine")))
     contrastiveTriplets(neighbors, embs.select(col("vec_id"), col("label")))
   }
 

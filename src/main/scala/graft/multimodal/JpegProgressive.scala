@@ -368,6 +368,7 @@ object JpegProgressiveCodec {
     var bhNi: Array[Int] = null
     var coefs: Array[Array[Int]] = null
     var sawEoi = false
+    var scansDecoded = 0
 
     // decode one scan's entropy data; returns the byte offset just past it
     // (at the next marker's 0xFF), or -1 on corruption
@@ -704,6 +705,7 @@ object JpegProgressiveCodec {
             val after = decodeScan(scanComps, dcSel, acSel, ss, se, ah, al,
               segEnd)
             if (after < 0) return None
+            scansDecoded += 1
             i = after
             // loop continues at the marker decodeScan found
           case _ => () // APPn / COM: skip
@@ -712,6 +714,9 @@ object JpegProgressiveCodec {
       }
     }
     if (comps == null || w == 0) return None
+    // a frame with NO entropy data (SOI+SOF2+EOI) must quarantine, not
+    // fabricate a flat-gray image from the all-zero coefficient buffers
+    if (scansDecoded == 0) return None
     if (comps.exists(cp => qtables(cp.tq) == null)) return None
 
     // ---- reconstruction: dequantize + IDCT every padded block, then the

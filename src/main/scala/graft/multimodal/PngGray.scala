@@ -125,7 +125,10 @@ object PngGray {
       while (i < t.length) {
         val v0 = (bytes(i) & 0xff) + brightness
         val v1 = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
-        t(i) = (if (spot && i / rowBytes < 2 && i % rowBytes < 2) 255
+        // spot indexes PIXELS (all channels of the 2×2 top-left block),
+        // not raw bytes — the scaladoc's contract for channels > 1 too
+        t(i) = (if (spot && i / rowBytes < 2 && (i % rowBytes) / channels < 2)
+                  255
                 else v1).toByte
         i += 1
       }

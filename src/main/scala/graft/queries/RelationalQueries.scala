@@ -5183,7 +5183,7 @@ object RelationalQueries {
          gb AS (
            SELECT doc_id, (r // 2) AS i, (c // 2) AS j,
                   (sum(CASE WHEN doc_id % 3 = 0 AND r < 2 AND c < 2
-                            THEN 255 ELSE v + 64 END) // 4) AS g
+                            THEN 255 ELSE least(v + 64, 255) END) // 4) AS g
            FROM cell GROUP BY 1, 2, 3),
          ca AS (
            SELECT l.doc_id,
