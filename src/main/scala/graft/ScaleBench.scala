@@ -94,7 +94,7 @@ object ScaleBench {
     "q_v29_hamming_neardup", "q_t42_unicode_fold", "q_sp16_priority_sample",
     "q_v30_hamming_stream_parity", "q_sp17_group_priority",
     "q_sp18_mixture_plan", "q_sp19_mixture_exec", "q_m15_image_neardup",
-    "q_m16_jpeg_progressive")
+    "q_m16_jpeg_progressive", "q_sp20_dsir", "q_sp21_pack_manifest")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

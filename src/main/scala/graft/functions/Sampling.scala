@@ -315,6 +315,67 @@ object Sampling {
         expr("(rate_ppm * 4294967296) div 1000000"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023, arXiv:2302.03169): score every raw document by how much more
+    * likely its hashed-unigram features are under a TARGET corpus's
+    * bucket distribution than under the raw corpus's own, and keep the
+    * top-k — the standard "select web data that looks like the
+    * high-quality target" pass of a pre-training pipeline.
+    *
+    *   weight(doc) = Σ_tok ln p̂_tgt(b(tok)) − ln p̂_raw(b(tok)),
+    *   b(tok) = md5(tok) mod `buckets`, p̂ add-one smoothed.
+    *
+    * Determinism across engines (the repo's exact-arithmetic discipline):
+    * each ln is rounded to integer MICRO-UNITS at the bucket table — a
+    * `buckets`-sized grid — and everything downstream (per-token sums,
+    * the normalizer term n_tokens·(lnZ_raw − lnZ_tgt), the top-k
+    * comparison) is exact BIGINT, so selection can never flip on a
+    * float's last bit. Scale shape: one pass over each corpus for the
+    * bucket counts (map-side combinable, `buckets` rows out), the
+    * micro-log grid broadcasts, the raw corpus re-scans once for
+    * per-doc sums, and the top-k is TakeOrdered — no global sort, no
+    * vocabulary shuffle (buckets, not words, are the key space).
+    */
+  def dsirSelect(df: DataFrame, target: DataFrame, k: Int,
+                 buckets: Int = 64, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(buckets >= 2, s"buckets must be >= 2 (got $buckets)")
+    val spark = df.sparkSession
+    def bucketed(frame: DataFrame) = Spread.forExplode(
+        frame.filter(col(textCol).isNotNull), col(idCol))
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("_tok"))
+      .select(col(idCol),
+        pmod(Dedup.md5Hash32(col("_tok")), lit(buckets.toLong)).as("b"))
+    def lmicro(c: Column) = round(log(c + lit(1.0d)) * 1e6d).cast("long")
+    val rawToks = bucketed(df)
+    val rawB = rawToks.groupBy(col("b")).agg(count(lit(1)).as("raw_cnt"))
+    val tgtB = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("tgt_cnt"))
+    val grid = spark.range(buckets).select(col("id").as("b"))
+      .join(rawB, Seq("b"), "left").join(tgtB, Seq("b"), "left")
+      .select(col("b"),
+        lmicro(coalesce(col("raw_cnt"), lit(0L))).as("l_raw"),
+        lmicro(coalesce(col("tgt_cnt"), lit(0L))).as("l_tgt"))
+    // smoothed normalizers ln(T + buckets) in micro-units, from the exact
+    // token totals (Σ_b (cnt_b + 1) = T + buckets)
+    def zmicro(c: Column) = round(log(c.cast("double")) * 1e6d).cast("long")
+    val zs = rawB.agg(zmicro(coalesce(sum(col("raw_cnt")), lit(0L)) +
+        lit(buckets.toLong)).as("z_raw"))
+      .crossJoin(tgtB.agg(zmicro(coalesce(sum(col("tgt_cnt")), lit(0L)) +
+        lit(buckets.toLong)).as("z_tgt")))
+    rawToks
+      .join(broadcast(grid), "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("l_tgt") - col("l_raw")).as("_dsir_num"))
+      .crossJoin(broadcast(zs))
+      .select(col(idCol), col("n_tokens"),
+        (col("_dsir_num") + col("n_tokens") * (col("z_raw") - col("z_tgt")))
+          .as("weight_micro"))
+      .orderBy(desc("weight_micro"), col(idCol))
+      .limit(k)
+  }
+
   /** [[prioritySample]] PER GROUP — the per-language/per-source weighted
     * subsample with per-group unbiased totals (mixture building's
     * "k docs per language, still able to estimate each language's token

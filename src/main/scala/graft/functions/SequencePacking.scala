@@ -43,4 +43,40 @@ object SequencePacking {
       .withColumn("crosses_boundary", col("bin_first") < col("bin_last"))
       .drop("_sp_end")
   }
+
+  /** The PER-BIN MANIFEST of a [[pack]] — the artifact a dataloader
+    * actually consumes: for every `contextLen`-token bin, the ordered
+    * `doc_id:start_tok_in_doc:len` segments that fill it (documents
+    * straddling a cut contribute a slice to each bin they cross). All
+    * slice arithmetic is exact BIGINT off the pack offsets, and segment
+    * order inside a bin is pinned by the offset (strictly increasing per
+    * doc), so the manifest string is deterministic on any partitioning.
+    *
+    * Scale shape: pack's range shuffle + one explode (a doc fans out to
+    * its covered bins — ≤ 2 rows for any doc shorter than a context) +
+    * one bin-keyed aggregate; no windows beyond pack's carry, no sort
+    * wider than each bin's handful of segments (in-row array_sort).
+    */
+  def binManifest(docs: DataFrame, key: Column, tokensCol: String,
+                  contextLen: Long): DataFrame = {
+    val packed = pack(docs, key, tokensCol, contextLen)
+      .withColumn("_eff", greatest(col(tokensCol).cast("long"), lit(1L)))
+    packed
+      .withColumn("bin_id", explode(sequence(col("bin_first"), col("bin_last"))))
+      .withColumn("seg_start",
+        greatest(lit(0L), col("bin_id") * contextLen - col("tok_offset")))
+      .withColumn("seg_len",
+        least(col("tok_offset") + col("_eff"),
+          (col("bin_id") + lit(1L)) * contextLen) -
+          greatest(col("tok_offset"), col("bin_id") * contextLen))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("seg_len")).as("n_tokens_filled"),
+        concat_ws("|", transform(
+          array_sort(collect_list(struct(col("tok_offset"), key.as("k"),
+            col("seg_start"), col("seg_len")))),
+          s => concat_ws(":", s.getField("k").cast("string"),
+            s.getField("seg_start").cast("string"),
+            s.getField("seg_len").cast("string")))).as("segments"))
+  }
 }

@@ -3215,6 +3215,30 @@ object RelationalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_sp20_dsir" -> ((s, d) =>
+      // DSIR data selection (Xie et al. 2023): keep the 200 raw docs whose
+      // hashed-unigram features look most like the English target slice —
+      // importance weights in exact micro-unit-log BIGINTs (each ln
+      // rounded once at the 64-row bucket grid), so the top-k can never
+      // flip on a float. One pass per corpus for bucket counts, broadcast
+      // grid, TakeOrdered selection.
+      graft.functions.Sampling.dsirSelect(Tables.documents(s, d),
+          target = Tables.documents(s, d).filter(col("lang") === "en"),
+          k = 200)
+        .orderBy(desc("weight_micro"), col("doc_id"))),
+
+    "q_sp21_pack_manifest" -> ((s, d) => {
+      // the dataloader's bin manifest: for each 512-token context of the
+      // q_sp6 packing, the ordered doc_id:start:len segments that fill it
+      // (straddling docs contribute a slice per crossed bin); exact
+      // BIGINT slice arithmetic off the distributed prefix-sum offsets
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.functions.SequencePacking.binManifest(docs, col("doc_id"),
+          "n_tokens", contextLen = 512L)
+        .orderBy(col("bin_id"))
+    }),
+
     "q_sp16_priority_sample" -> ((s, d) =>
       // Duffield–Lund–Thorup priority sampling: top-20 by w/u priority
       // (w = n_chars, u = md5 hash uniform), τ = the 21st priority,
@@ -5210,6 +5234,66 @@ object RelationalQueries {
          WHERE bit_count(xor(ca.w0, cb.w0)) +
                bit_count(xor(ca.w1, cb.w1)) <= 3
          ORDER BY 1, 2""",
+
+    "q_sp20_dsir" ->
+      // the whole selection re-derived: md5 token buckets, add-one
+      // micro-unit logs on the 64-bucket grid, exact-integer weights,
+      // the same (weight DESC, doc_id) top-200
+      """WITH toks AS (
+           SELECT doc_id,
+                  ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 8))::BIGINT % 64 AS b
+           FROM documents WHERE text IS NOT NULL),
+         rb AS (SELECT b, count(*) AS raw_cnt FROM toks GROUP BY 1),
+         tb AS (SELECT t.b, count(*) AS tgt_cnt
+                FROM toks t JOIN documents d USING (doc_id)
+                WHERE d.lang = 'en' GROUP BY 1),
+         grid AS (
+           SELECT g.b,
+                  round(ln(coalesce(raw_cnt, 0) + 1.0) * 1e6)::BIGINT AS l_raw,
+                  round(ln(coalesce(tgt_cnt, 0) + 1.0) * 1e6)::BIGINT AS l_tgt
+           FROM (SELECT unnest(range(0, 64)) AS b) g
+             LEFT JOIN rb USING (b) LEFT JOIN tb USING (b)),
+         zz AS (
+           SELECT round(ln((SELECT coalesce(sum(raw_cnt), 0) FROM rb) + 64.0) * 1e6)::BIGINT AS z_raw,
+                  round(ln((SELECT coalesce(sum(tgt_cnt), 0) FROM tb) + 64.0) * 1e6)::BIGINT AS z_tgt),
+         w AS (
+           SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                  (sum(l_tgt - l_raw) + count(*) * (z_raw - z_tgt))::BIGINT AS weight_micro
+           FROM toks JOIN grid USING (b), zz
+           GROUP BY doc_id, z_raw, z_tgt)
+         SELECT doc_id, n_tokens, weight_micro
+         FROM w ORDER BY weight_micro DESC, doc_id LIMIT 200""",
+
+    "q_sp21_pack_manifest" ->
+      // pack offsets via the naive global running sum (the q_sp6 oracle),
+      // then each doc exploded into its covered bins with exact slice
+      // arithmetic and the offset-ordered segment string
+      """WITH t AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+           FROM documents),
+         o AS (
+           SELECT doc_id, greatest(n_tokens, 1)::BIGINT AS eff,
+                  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    ::BIGINT AS tok_offset
+           FROM t),
+         e AS (
+           SELECT doc_id, eff, tok_offset,
+                  unnest(range(tok_offset // 512,
+                               (tok_offset + eff - 1) // 512 + 1)) AS bin_id
+           FROM o),
+         s AS (
+           SELECT bin_id, doc_id, tok_offset,
+                  greatest(0, bin_id * 512 - tok_offset) AS seg_start,
+                  least(tok_offset + eff, (bin_id + 1) * 512)
+                    - greatest(tok_offset, bin_id * 512) AS seg_len
+           FROM e)
+         SELECT bin_id, count(*)::BIGINT AS n_segments,
+                sum(seg_len)::BIGINT AS n_tokens_filled,
+                string_agg(doc_id::VARCHAR || ':' || seg_start::VARCHAR
+                             || ':' || seg_len::VARCHAR,
+                           '|' ORDER BY tok_offset) AS segments
+         FROM s GROUP BY 1 ORDER BY 1""",
 
     "q_sp16_priority_sample" ->
       // the DLT chain re-derived: the identical (w·2³²)/(h+1) priority

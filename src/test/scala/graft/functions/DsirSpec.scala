@@ -1,0 +1,78 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins DSIR importance resampling (q_sp20):
+  *   1. semantics — documents drawn from the target's token distribution
+  *     outrank documents that are not (the selection actually selects);
+  *   2. the fixture selection is ENRICHED in the target slice relative to
+  *      the corpus base rate;
+  *   3. exact micro-unit weights: the engine's weight for a hand-sized doc
+  *      equals the formula computed independently in Scala;
+  *   4. plan — the bucket grid broadcasts and the top-k is TakeOrdered
+  *      (no global sort, no vocabulary-keyed shuffle).
+  */
+class DsirSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("target-like documents outrank off-target documents") {
+    // raw corpus: 20 docs of token 'alpha', 20 of 'omega'; target: 'alpha'
+    val raw = ((0L until 20L).map(i => (i, "alpha alpha alpha")) ++
+      (20L until 40L).map(i => (i, "omega omega omega"))).toDF("doc_id", "text")
+    val target = (0L until 10L).map(i => (100L + i, "alpha alpha")).toDF("doc_id", "text")
+    val top = Sampling.dsirSelect(raw, target, k = 20)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    top shouldBe (0L until 20L).toSet // exactly the alpha docs
+  }
+
+  test("fixture selection enriches the target slice above base rate") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val en = docs.filter(col("lang") === "en")
+    val sel = Sampling.dsirSelect(docs, en, k = 100)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val enSel = sel.filter(col("lang") === "en").count().toDouble / 100.0
+    val enBase = en.count().toDouble / docs.count().toDouble
+    enSel should be > enBase
+  }
+
+  test("weights match the micro-unit formula computed independently") {
+    val raw = Seq((1L, "x y"), (2L, "x x")).toDF("doc_id", "text")
+    val target = Seq((9L, "x")).toDF("doc_id", "text")
+    val got = Sampling.dsirSelect(raw, target, k = 2, buckets = 64)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("weight_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent re-derivation (same md5 bucket + ln micro recipe)
+    def bucket(tok: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4)
+        .foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      md5 % 64
+    }
+    def lmic(c: Long): Long = Math.round(math.log(c + 1.0) * 1e6)
+    val rawCnt = Seq("x", "y", "x", "x").groupBy(bucket).map { case (b, t) => b -> t.size.toLong }
+    val tgtCnt = Seq("x").groupBy(bucket).map { case (b, t) => b -> t.size.toLong }
+    val zRaw = Math.round(math.log(4.0 + 64.0) * 1e6)
+    val zTgt = Math.round(math.log(1.0 + 64.0) * 1e6)
+    def w(toks: Seq[String]): Long =
+      toks.map(t => lmic(tgtCnt.getOrElse(bucket(t), 0L)) -
+        lmic(rawCnt.getOrElse(bucket(t), 0L))).sum + toks.size * (zRaw - zTgt)
+    got.toSeq shouldBe Seq((1L, 2L, w(Seq("x", "y"))), (2L, 2L, w(Seq("x", "x"))))
+  }
+
+  test("plan: broadcast grid, TakeOrdered selection, no vocabulary shuffle") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val plan = Sampling.dsirSelect(docs,
+        docs.filter(col("lang") === "en"), k = 50)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("TakeOrderedAndProject")
+    plan should not include "SortMergeJoin"
+  }
+}

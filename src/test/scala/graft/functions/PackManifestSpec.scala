@@ -1,0 +1,69 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the pack manifest (q_sp21) — the dataloader's view of a packed
+  * corpus:
+  *   1. stream conservation: every bin except the last is filled to
+  *      exactly contextLen and the filled total equals the token stream;
+  *   2. straddle correctness: a document's slices across bins start at 0,
+  *      are contiguous, and sum to its token count;
+  *   3. per-bin segment order follows the stream layout.
+  */
+class PackManifestSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def manifest(ctx: Long) = {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+    (docs, SequencePacking.binManifest(docs, col("doc_id"), "n_tokens", ctx))
+  }
+
+  test("bins fill to contextLen exactly; totals conserve the stream") {
+    val (docs, m) = manifest(512L)
+    val rows = m.orderBy(col("bin_id")).collect()
+    val lastBin = rows.last.getLong(0)
+    rows.dropRight(1).foreach { r =>
+      withClue(s"bin ${r.getLong(0)}: ") { r.getLong(2) shouldBe 512L }
+    }
+    rows.map(_.getLong(2)).sum shouldBe
+      docs.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    rows.map(_.getLong(0)).toSeq shouldBe (0L to lastBin) // no gaps
+  }
+
+  test("straddling docs slice contiguously from 0 and conserve their tokens") {
+    val (docs, m) = manifest(512L)
+    val segs = m.select(explode(split(col("segments"), "\\|")).as("seg"))
+      .select(split(col("seg"), ":").as("p"))
+      .select(col("p")(0).cast("long").as("doc_id"),
+        col("p")(1).cast("long").as("seg_start"),
+        col("p")(2).cast("long").as("seg_len"))
+    val perDoc = segs.groupBy(col("doc_id"))
+      .agg(min(col("seg_start")).as("first_start"),
+        sum(col("seg_len")).as("total_len"),
+        count(lit(1)).as("n_slices"),
+        // contiguity: max(start+len) - min(start) == sum(len)
+        (max(col("seg_start") + col("seg_len")) - min(col("seg_start")))
+          .as("span"))
+    perDoc.filter(col("first_start") =!= 0L).count() shouldBe 0L
+    perDoc.filter(col("span") =!= col("total_len")).count() shouldBe 0L
+    val bad = perDoc.join(docs, "doc_id")
+      .filter(col("total_len") =!= greatest(col("n_tokens"), lit(1)))
+    bad.count() shouldBe 0L
+  }
+
+  test("short context: a long doc fans out over many bins, order preserved") {
+    val docs = Seq((1L, 5L), (2L, 70L), (3L, 3L)).toDF("doc_id", "n_tokens")
+    val m = SequencePacking.binManifest(docs, col("doc_id"), "n_tokens", 16L)
+      .orderBy(col("bin_id")).collect()
+    // stream: doc1 [0,5), doc2 [5,75), doc3 [75,78) → bins 0..4
+    m.map(_.getLong(0)).toSeq shouldBe Seq(0L, 1L, 2L, 3L, 4L)
+    m(0).getString(3) shouldBe "1:0:5|2:0:11"
+    m(1).getString(3) shouldBe "2:11:16"
+    m(4).getString(3) shouldBe "2:59:11|3:0:3"
+  }
+}
