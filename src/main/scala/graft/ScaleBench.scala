@@ -94,7 +94,8 @@ object ScaleBench {
     "q_v29_hamming_neardup", "q_t42_unicode_fold", "q_sp16_priority_sample",
     "q_v30_hamming_stream_parity", "q_sp17_group_priority",
     "q_sp18_mixture_plan", "q_sp19_mixture_exec", "q_m15_image_neardup",
-    "q_m16_jpeg_progressive", "q_sp20_dsir", "q_sp21_pack_manifest")
+    "q_m16_jpeg_progressive", "q_sp20_dsir", "q_sp21_pack_manifest",
+    "q_v33_two_stage_retrieval")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail
@@ -758,6 +759,17 @@ object ScaleBench {
         marginAlignmentTwoStage(s, d, maxDist = 23)),
       "q_v28_2stage_r27" -> ((s: SparkSession, d: String) =>
         marginAlignmentTwoStage(s, d, maxDist = 27)),
+      // the LINEAR asymmetric retrieval shape: a FIXED ~100-query sample
+      // (the production batch, not the gate's corpus-proportional set)
+      // against the whole corpus — cost must track the corpus linearly
+      "q_v33_fixed_queries" -> ((s: SparkSession, d: String) => {
+        import graft.functions.Similarity
+        val embs = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        val mod = math.max(1L, embs.count() / 100L)
+        Similarity.hammingRetrieveTopK(
+          embs.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0),
+          embs, dims = 64, maxDist = 27, k = 5)
+      }),
       "q_v31_2stage_r23" -> ((s: SparkSession, d: String) =>
         graft.functions.Similarity.contrastiveTripletsTwoStage(
           Tables.embeddings(s, d).filter(col("embedding").isNotNull),

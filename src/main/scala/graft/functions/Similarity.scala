@@ -577,6 +577,47 @@ object Similarity {
       hammingCandidateScores(src, tgt, dims, maxDist, chunkBits = chunkBits),
       k, minMargin)
 
+  /** ASYMMETRIC two-stage retrieval — the LINEAR-in-the-corpus production
+    * shape of the Hamming prefilter (a bounded query set against the
+    * corpus, vs [[marginAlignmentTwoStage]]'s corpus×corpus mining): the
+    * corpus codes STREAM while the query codes broadcast (queries ×
+    * dims/8 bytes — KB-sized for any real query batch), the XOR+popcount
+    * ball gate runs as one codegen'd scan of the corpus, survivors
+    * re-rank by exact cosine, and top-k per query is a query-keyed
+    * window. Cost: one corpus scan + |ball| re-ranks — no index build,
+    * no corpus shuffle. The ball is exact at any radius, so the gate
+    * oracle is brute re-derivation (the q_v29 convention); ranking uses
+    * micro-unit integer cosines with id tie-break (the marginAlignment
+    * discipline), so top-k membership is engine-exact.
+    */
+  def hammingRetrieveTopK(queries: DataFrame, corpus: DataFrame, dims: Int,
+                          maxDist: Int, k: Int,
+                          wordBits: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorQuant
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val reps = dims / wordBits
+    val cq = VectorQuant.binarize(queries, dims, wordBits)
+    val cc = VectorQuant.binarize(corpus, dims, wordBits)
+    // corpus on the STREAM side of the gate, queries broadcast
+    val ball = VectorQuant.hammingGate(cc, cq, reps, maxDist)
+      .select(col("id_b").as("query_id"), col("id_a").as("tgt_id"))
+      .filter(col("query_id") =!= col("tgt_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cm"), col("tgt_id"))
+    ball
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("__eq")), "query_id")
+      .join(corpus.select(col("vec_id").as("tgt_id"),
+        col("embedding").as("__ec")), "tgt_id")
+      .select(col("query_id"), col("tgt_id"),
+        round(cosine(col("__eq"), col("__ec")), 6).as("cos"))
+      .withColumn("cm", round(col("cos") * 1e6d).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("tgt_id"), col("cos"), col("rank"))
+  }
+
   /** [[contrastiveTriplets]] fed by the two-stage Hamming prefilter: the
     * corpus self-ball (minus self-pairs) as the candidate table, exact
     * cosine re-ranked — hardest positive/negative come from within the

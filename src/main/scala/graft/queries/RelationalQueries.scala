@@ -3335,6 +3335,21 @@ object RelationalQueries {
         .orderBy(col("src_id"), col("tgt_id"))
     }),
 
+    "q_v33_two_stage_retrieval" -> ((s, d) => {
+      // the LINEAR production shape of the two-stage prefilter: a bounded
+      // query set (every 25th vector) against the corpus — corpus codes
+      // stream, query codes broadcast, ball gate as one codegen'd scan,
+      // exact-cosine re-rank, micro-unit-integer top-5 per query. Radius
+      // 27 keeps ~13% of the corpus per query (measured recall tier);
+      // the ball is exact at any radius, so the oracle re-derives it
+      // brute-force and equality is the check.
+      val embs = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      graft.functions.Similarity.hammingRetrieveTopK(
+          queries = embs.filter(col("vec_id") % 25 === 0),
+          corpus = embs, dims = 64, maxDist = 27, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q_v26_embed_pipeline" -> ((s, d) =>
       // embedding-preprocessing capstone: standardize → JL sign projection
       // → projected-space cosine top-10, one declarative plan, exact
@@ -5409,6 +5424,38 @@ object RelationalQueries {
            ON bf.src_id = bb.src_id AND bf.tgt_id = bb.tgt_id
          WHERE bf.margin >= 1.0
          ORDER BY bf.src_id""",
+
+    "q_v33_two_stage_retrieval" ->
+      // codes re-derived bit-for-bit, BRUTE Hamming <= 27 ball per query,
+      // exact cosine on the ball, micro-unit-integer (cm DESC, id) top-5
+      """WITH e AS (
+           SELECT vec_id, j - 1 AS j, embedding[j]::DOUBLE AS v
+           FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS j) u
+           WHERE embedding IS NOT NULL),
+         codes AS (
+           SELECT vec_id,
+                  sum(CASE WHEN v >= 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS w0,
+                  sum(CASE WHEN v >= 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS w1
+           FROM e GROUP BY 1),
+         av AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                FROM embeddings WHERE embedding IS NOT NULL),
+         cand AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS tgt_id
+           FROM codes q, codes c
+           WHERE q.vec_id % 25 = 0 AND q.vec_id <> c.vec_id
+             AND bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) <= 27),
+         sc AS (
+           SELECT query_id, tgt_id,
+                  round(list_cosine_similarity(qa.emb, ta.emb), 6) AS cos
+           FROM cand
+             JOIN av qa ON qa.vec_id = query_id
+             JOIN av ta ON ta.vec_id = tgt_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY round(cos * 1e6)::BIGINT DESC, tgt_id) AS rn
+           FROM sc)
+         SELECT query_id, tgt_id, cos, rn::INT AS rank
+         FROM r WHERE rn <= 5 ORDER BY 1, 4""",
 
     "q_v32_two_stage_ann" ->
       // the whole two-stage chain re-derived: sign codes for the corpus

@@ -95,6 +95,29 @@ class TwoStageAnnSpec extends AnyFunSuite with Matchers {
     plan should not include "Exchange hashpartitioning"
   }
 
+  test("asymmetric retrieval: ball-exact top-k, corpus streams, queries broadcast") {
+    val queries = embs.filter(col("vec_id") % 25 === 0)
+    val got = Similarity.hammingRetrieveTopK(queries, embs, dims = 64,
+      maxDist = 64, k = 3) // radius covers the space → equals brute top-k
+    // brute reference: exact cosine top-3 per query (same cm/id ranking)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(desc("cm"), col("tgt_id"))
+    val brute = Similarity.bruteAlignScores(queries, embs)
+      .filter(col("src_id") =!= col("tgt_id"))
+      .withColumn("cm", round(col("cos") * 1e6d).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("src_id").as("query_id"), col("tgt_id"), col("cos"),
+        col("rank"))
+    got.orderBy("query_id", "rank").collect() shouldBe
+      brute.orderBy("query_id", "rank").collect()
+    // plan: the gate broadcasts the QUERY side; the corpus never shuffles
+    // before the ball filter
+    val plan = got.queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+  }
+
   test("two-stage triplets stay inside the ball: pos AND neg are in-cluster") {
     // 10 geometric clusters of near-identical vectors (1 flip per
     // member), labels ALTERNATING within each cluster — so the hardest
