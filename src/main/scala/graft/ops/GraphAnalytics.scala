@@ -308,12 +308,17 @@ object GraphAnalytics {
     val init = edges
       .select(col("fromId").cast("long").as("u"), col("toId").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    // every-3rd-round lineage cut ([[EveryK]]). ORDER MATTERS here: the
+    // PER-ROUND lineage cut ([[EveryK]] with k = 1). This loop runs two
+    // ACTIONS every round (the convergence count + except), so the
+    // every-K lazy amortization that pays in action-free loops (pageRank,
+    // PPR) buys nothing here — each round's plan executes regardless —
+    // while the deeper between-cut plans cost real optimizer/exchange
+    // work (measured ~2.3× on q_ga11 at k = 3). ORDER MATTERS: the
     // fixpoint check reads the PREVIOUS round's frame, so each round
     // persists its edge set first (the count fills the cache), runs the
     // check against the still-alive predecessor, and only THEN advances
     // the cutter — a cut releases the predecessor's blocks.
-    val cutter = new EveryK(3)
+    val cutter = new EveryK(1)
     var e = cutter.persistInterim(init.distinct())
     var eCount = e.count()
     e = cutter.step(e) // cut cadence starts at the initial frame
@@ -943,8 +948,13 @@ object GraphAnalytics {
     val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.select(col("id")).distinct()
-    // every-3rd-round lineage cut like [[pageRank]]: intermediate label
-    // vectors have one consumer (the next round) — lazy between cuts
+    // every-3rd-round lineage cut like [[pageRank]]: the two per-round
+    // consumers of `labels` (neighbor-count join + carry-forward
+    // coalesce) duplicate the lazy subplan SYNTACTICALLY, but both sides
+    // produce identical exchanges and ReuseExchange dedupes them at
+    // execution — a persisted-interim variant (cachedStep) was measured
+    // SLOWER (per-round cache write/read of the full label vector buys
+    // back nothing the reuse didn't already provide)
     val cutter = new EveryK(3)
     var labels = n.select(col("id"), col("id").as("label"))
     val w = Window.partitionBy(col("id")).orderBy(desc("cnt"), col("label"))
