@@ -172,6 +172,35 @@ object VectorQuant {
       .distinct()
   }
 
+  /** The radius-sizing dial of the two-stage family — the analog of
+    * [[IvfIndex.nprobeForFraction]] / [[Similarity.planesForFraction]]:
+    * the smallest radius whose Hamming ball captures at least `fraction`
+    * of RANDOM code pairs (bit agreement is Bernoulli(1/2) on
+    * sign-binarized unstructured vectors, so the pair distance is
+    * Binomial(dims, 1/2); on clustered corpora the same radius captures
+    * strictly more). Exact integer binomial CDF — no float tail
+    * arithmetic, every engine and every call agrees. Holding the
+    * fraction fixed holds RE-RANK COST per pair-universe fixed (and
+    * measured recall tracks the fraction — SCALE.md's two-stage ladder);
+    * shrinking the fraction with n is the linear-cost/decaying-recall
+    * trade, exactly the LSH occupancy dial's economics.
+    */
+  def radiusForFraction(dims: Int, fraction: Double): Int = {
+    require(dims >= 1 && dims <= 1024, s"dims in [1,1024] (got $dims)")
+    require(fraction > 0.0 && fraction <= 1.0, s"fraction in (0,1] (got $fraction)")
+    val tot = BigDecimal(BigInt(1) << dims)
+    var acc = BigInt(0)
+    var c = BigInt(1) // C(dims, r) at r = 0
+    var r = 0
+    while (r <= dims) {
+      acc += c
+      if (BigDecimal(acc) / tot >= fraction) return r
+      c = c * (dims - r) / (r + 1)
+      r += 1
+    }
+    dims
+  }
+
   /** All cross pairs within Hamming `maxDist` by BRUTE threshold scan —
     * the stage-1 gate of two-stage ANN re-ranking at radii the pigeonhole
     * join cannot reach (multi-index completeness needs maxDist < nChunks;

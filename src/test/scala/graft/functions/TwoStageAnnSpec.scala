@@ -118,6 +118,35 @@ class TwoStageAnnSpec extends AnyFunSuite with Matchers {
     plan should include("BroadcastNestedLoopJoin")
   }
 
+  test("radiusForFraction: exact binomial quantile, measured fraction tracks it") {
+    // symmetric midpoint and the extremes
+    VectorQuant.radiusForFraction(64, 1.0) shouldBe 64
+    VectorQuant.radiusForFraction(64, 0.5) shouldBe 32
+    VectorQuant.radiusForFraction(64, 4e-20) shouldBe 0 // P(0) = 2^-64 ≈ 5.4e-20
+    VectorQuant.radiusForFraction(64, 1e-19) shouldBe 1 // just above P(0)
+    // agreement with an independent double-precision CDF at several points
+    def cdf(dims: Int, r: Int): Double = {
+      var c = 1.0; var acc = 0.0
+      for (i <- 0 to r) { acc += c; c = c * (dims - i) / (i + 1.0) }
+      acc / math.pow(2.0, dims)
+    }
+    for (f <- Seq(0.001, 0.02, 0.13, 0.3, 0.9)) {
+      val r = VectorQuant.radiusForFraction(64, f)
+      cdf(64, r) should be >= f * 0.999999 // captures at least the fraction
+      if (r > 0) cdf(64, r - 1) should be < f // and is the smallest such
+    }
+    // the measured candidate fraction on real (near-random) codes tracks
+    // the predicted fraction within a small constant
+    val codes = VectorQuant.binarize(embs, dims = 64)
+    val n = codes.count()
+    val r = VectorQuant.radiusForFraction(64, 0.02)
+    val pairs = VectorQuant.hammingGate(codes, codes, reps = 2, maxDist = r,
+      ordered = true).count().toDouble
+    val frac = pairs / (n.toDouble * (n - 1) / 2.0)
+    frac should be > 0.02 / 3
+    frac should be < 0.02 * 3
+  }
+
   test("two-stage triplets stay inside the ball: pos AND neg are in-cluster") {
     // 10 geometric clusters of near-identical vectors (1 flip per
     // member), labels ALTERNATING within each cluster — so the hardest
