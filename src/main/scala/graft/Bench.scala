@@ -48,6 +48,10 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-buffer aggregates (TopKPairs) must stay in ObjectHashAggregate:
+      // the default 128-key sort fallback would re-sort the quadratic streams
+      // they exist to fold (results identical either way — plan shape only)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
@@ -330,7 +334,7 @@ object Bench {
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val totalMin = minTotal(entries)
     val regs = renderRegressions(entries)
-    f"""{"metric":"total","value":$total%.3f,"total_min":$totalMin%.3f,"unit":"sec","queries":$qs,"passes":$ps,"unstable":$us,"regressions":$regs,"partial":$partial,"sf":"${esc(sfDir)}"}"""
+    f"""{"metric":"total","value":$total%.3f,"total_min":$totalMin%.3f,"unit":"sec","queries":$qs,"passes":$ps,"unstable":$us,"regressions":$regs,"control_drift":${renderDrift(entries)},"partial":$partial,"sf":"${esc(sfDir)}"}"""
   }
 
   /** The LAST stdout line: a complete JSON object sized for the driver's
@@ -357,7 +361,7 @@ object Bench {
     // hardware; graders should read total_min when "unstable" is non-empty
     val totalMin = minTotal(entries)
     val regs = renderRegressions(entries)
-    f"""{"metric":"total","value":$total%.3f,"total_min":$totalMin%.3f,"unit":"sec","n_queries":${measured.length},"n_failed":${failed.length},"failed":$fs,"slowest":$top,"unstable":$us,"regressions":$regs,"partial":$partial,"sf":"${esc(sfDir)}"}"""
+    f"""{"metric":"total","value":$total%.3f,"total_min":$totalMin%.3f,"unit":"sec","n_queries":${measured.length},"n_failed":${failed.length},"failed":$fs,"slowest":$top,"unstable":$us,"regressions":$regs,"control_drift":${renderDrift(entries)},"partial":$partial,"sf":"${esc(sfDir)}"}"""
   }
 
   /** Sum of per-query minimum passes (failed/unobserved queries excluded —
@@ -376,10 +380,39 @@ object Bench {
   // run against itself
   private lazy val prevBaseline: Map[String, Double] = prevMins()
 
-  private def renderRegressions(entries: Seq[(String, Vector[Double])]): String =
+  /** Host-drift factor vs the previous round's artifact: the MEDIAN of
+    * per-query min-over-min ratios across every query with a trustworthy
+    * previous min (>= 0.5s, the regression floor) and a valid current min.
+    * The median is robust to the handful of genuinely changed queries, so
+    * it estimates what the HOST did between the two runs (page cache, CPU
+    * throttle, co-tenant load) rather than what the code did — r13/r14 both
+    * needed this number reconstructed forensically from control queries to
+    * adjudicate ~2x flags on degrading evenings; now the artifact carries
+    * it ("control_drift") and each regression entry carries its
+    * drift-normalized ratio ("norm" = curr/(prev*drift)). -1 = no baseline.
+    */
+  private[graft] def controlDrift(entries: Seq[(String, Vector[Double])],
+                                  prev: Map[String, Double]): Double = {
+    val ratios = entries.flatMap { case (name, ts) =>
+      val ok = ts.filter(_ >= 0)
+      prev.get(name) match {
+        case Some(p) if p >= 0.5 && ok.nonEmpty => Some(ok.min / p)
+        case _ => None
+      }
+    }
+    if (ratios.size < 5) -1.0 else median(ratios)
+  }
+
+  private def renderRegressions(entries: Seq[(String, Vector[Double])]): String = {
+    val drift = controlDrift(entries, prevBaseline)
     regressionsVsPrev(entries, prevBaseline).map { case (n, p, c) =>
-      "\"" + esc(n) + f"""\":{"prev_min":$p%.2f,"min":$c%.2f}"""
+      val norm = if (drift > 0) c / (p * drift) else c / p
+      "\"" + esc(n) + f"""\":{"prev_min":$p%.2f,"min":$c%.2f,"norm":$norm%.2f}"""
     }.mkString("{", ",", "}")
+  }
+
+  private def renderDrift(entries: Seq[(String, Vector[Double])]): String =
+    f"${controlDrift(entries, prevBaseline)}%.3f"
 
   private def medianPerQuery(entries: Seq[(String, Vector[Double])]): Seq[(String, Double)] =
     entries.map { case (name, ts) =>

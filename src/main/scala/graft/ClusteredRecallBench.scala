@@ -55,6 +55,10 @@ object ClusteredRecallBench {
       .master(s"local[$cpus]")
       .appName("graft-clustered-recall")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-buffer aggregates (TopKPairs) must stay in ObjectHashAggregate:
+      // the default 128-key sort fallback would re-sort the quadratic streams
+      // they exist to fold (results identical either way — plan shape only)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

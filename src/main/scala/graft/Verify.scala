@@ -11,6 +11,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bounded-buffer aggregates (TopKPairs) must stay in ObjectHashAggregate:
+      // the default 128-key sort fallback would re-sort the quadratic streams
+      // they exist to fold (results identical either way — plan shape only)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")

@@ -491,6 +491,19 @@ object Similarity {
     val wB = Window.partitionBy(col("tgt_id")).orderBy(desc("cm"), col("src_id"))
     val fwd = sc.withColumn("rn", row_number().over(wF)).filter(col("rn") <= k)
     val bwd = sc.withColumn("rn", row_number().over(wB)).filter(col("rn") <= k)
+    marginFromNeighborhoods(fwd, bwd, minMargin)
+  }
+
+  /** The margin arithmetic downstream of the neighborhood selection —
+    * shared VERBATIM by [[marginAlignment]] (window-selected top-k) and
+    * [[marginAlignmentTwoStageStreamed]] (aggregator-selected top-k), so
+    * the two forms can only differ if their neighborhoods differ. `fwd` =
+    * each src's top-k targets, `bwd` = each tgt's top-k sources, both as
+    * (src_id, tgt_id, cos, cm) with cm the micro-unit integer cosine.
+    */
+  private def marginFromNeighborhoods(fwd: DataFrame, bwd: DataFrame,
+                                      minMargin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sumSrc = fwd.groupBy(col("src_id"))
       .agg(sum(col("cm")).as("sum_src"), count(lit(1)).as("cnt_src"))
     val sumTgt = bwd.groupBy(col("tgt_id"))
@@ -552,10 +565,23 @@ object Similarity {
     val nChunks = reps * (wordBits / chunkBits)
     val ca = VectorQuant.binarize(src, dims, wordBits)
     val cb = VectorQuant.binarize(tgt, dims, wordBits)
+    // regime selection, cheapest complete plan first: exact-chunk-match
+    // pigeonhole (subquadratic, needs maxDist < nChunks), generalized
+    // multi-probe MIH (subquadratic while the expected candidate fraction
+    // stays well under brute — see mihCandidateFraction's scaladoc for the
+    // honest boundary), brute broadcast gate (complete at any radius; at
+    // mining radii like 27/64 the ball ITSELF is ~13% of all pairs, so no
+    // candidate generator can beat a codegen'd scan — feed the stream to
+    // marginAlignmentTwoStageStreamed there, never to a window)
     val cand =
       if (maxDist < nChunks)
         VectorQuant.hammingNeighbors(ca, cb, reps, wordBits, chunkBits,
           maxDist, ordered = ordered)
+      else if (VectorQuant.mihCandidateFraction(chunkBits, nChunks, maxDist)
+                 <= MihFractionCutoff &&
+               VectorQuant.mihBallSize(chunkBits, maxDist / nChunks) <= 1024)
+        VectorQuant.hammingNeighborsMultiProbe(ca, cb, reps, wordBits,
+          chunkBits, maxDist, ordered = ordered)
       else VectorQuant.hammingGate(ca, cb, reps, maxDist, ordered = ordered)
     cand
       .join(src.select(col("vec_id").as("id_a"), col("embedding").as("__ea")),
@@ -565,6 +591,14 @@ object Similarity {
       .select(col("id_a").as("src_id"), col("id_b").as("tgt_id"),
         round(cosine(col("__ea"), col("__eb")), 6).as("cos"))
   }
+
+  /** MIH-vs-brute selection cutoff for [[hammingCandidateScores]]: the
+    * multi-probe join's per-candidate verify matches the brute gate's
+    * per-pair cost, so MIH must cut the pair universe by well over its
+    * own join/shuffle overhead to win — 1/8 gives it margin (the A/B on
+    * the ScaleBench ANN ladder validates the cutoff empirically).
+    */
+  private[functions] val MihFractionCutoff = 0.125
 
   /** [[marginAlignment]] fed by the two-stage Hamming prefilter instead of
     * brute all-pairs scoring (gate tier) or IVF candidate joins
@@ -576,6 +610,93 @@ object Similarity {
     marginAlignment(
       hammingCandidateScores(src, tgt, dims, maxDist, chunkBits = chunkBits),
       k, minMargin)
+
+  /** The STREAMED two-stage margin mining form — the shape that completes
+    * the 100× R=27 point the window form cannot (BENCH r14: its 1.3B-pair
+    * checkpoint + two window sorts exceeded the box's spill envelope).
+    * Output is IDENTICAL to [[marginAlignmentTwoStage]] at brute-gate
+    * radii (pinned by TwoStageAnnSpec and q_v35's shared oracle); only
+    * the plan changes:
+    *
+    *  - ONE fused scan: src rows carry (id, embedding, sign code)
+    *    ([[VectorQuant.binarizeWith]]), the whole tgt side BROADCASTS the
+    *    same triple (≈ 280 B/row — 28 MB per 100k vectors; block into
+    *    id-range slices beyond ~10⁷ rows, the hammingGate bound), the
+    *    XOR+popcount radius gate and the exact cosine both evaluate
+    *    map-side — a qualifying pair NEVER exists as a shuffle or sort
+    *    row;
+    *  - each pair folds into BOTH endpoints' neighborhoods in the same
+    *    stage: explode to (key, side, other, cm) and feed the bounded
+    *    [[TopKPairs]] aggregate — partial aggregation reduces the
+    *    quadratic stream to ≤ 2·|keys|·k rows before the only exchange;
+    *  - the 2n-row top-k table checkpoints once (it feeds fwd and bwd,
+    *    which feed four margin consumers), then the shared
+    *    marginFromNeighborhoods arithmetic runs as usual. `cos` is
+    *    reconstructed as cm/10⁶ — IEEE division of exact integers is
+    *    correctly rounded, so it is bit-identical to the round(·, 6) the
+    *    window form carries.
+    *
+    * Wall-clock stays quadratic in CPU (the gate scans |src|·|tgt| code
+    * pairs — inherent to exact-ball semantics at radii where the ball is
+    * a double-digit fraction of all pairs) but memory/disk is now LINEAR:
+    * the measured 100× point runs inside the envelope (SCALE.md r15).
+    */
+  def marginAlignmentTwoStageStreamed(src: DataFrame, tgt: DataFrame,
+                                      dims: Int, k: Int, maxDist: Int,
+                                      minMargin: Double = 1.0,
+                                      wordBits: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val (top, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
+      streamedTopK(src, tgt, dims, k, maxDist, wordBits))
+    val ex = top.select(col("key"), col("side"), explode(col("tk")).as("p"))
+      .select(col("key"), col("side"), col("p.rank").as("cm"),
+        col("p.id").as("other"),
+        (col("p.rank").cast("double") / 1e6d).as("cos"))
+    val fwd = ex.filter(col("side") === 0)
+      .select(col("key").as("src_id"), col("other").as("tgt_id"),
+        col("cos"), col("cm"))
+    val bwd = ex.filter(col("side") === 1)
+      .select(col("other").as("src_id"), col("key").as("tgt_id"),
+        col("cos"), col("cm"))
+    marginFromNeighborhoods(fwd, bwd, minMargin)
+  }
+
+  /** The streamed form's pre-checkpoint stage — ONE plan from the fused
+    * gate scan to the bounded per-key top-k, split out so its shape is
+    * directly pinnable (TwoStageAnnSpec asserts: no Window, no sort-merge,
+    * exactly one exchange — the aggregate's — downstream of the
+    * quadratic pair stream).
+    */
+  private[functions] def streamedTopK(src: DataFrame, tgt: DataFrame,
+                                      dims: Int, k: Int, maxDist: Int,
+                                      wordBits: Int = 32): DataFrame = {
+    import graft.functions.VectorQuant
+    val reps = dims / wordBits
+    val a = VectorQuant.binarizeWith(src, dims, wordBits)
+      .select(col("vec_id").as("src_id"), col("embedding").as("__ea"),
+        col("code").as("code_a"))
+    val b = VectorQuant.binarizeWith(tgt, dims, wordBits)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("__eb"),
+        col("code").as("code_b"))
+    val pairs = a.crossJoin(broadcast(b))
+      .filter(VectorQuant.hamming(col("code_a"), col("code_b"), reps)
+        <= maxDist)
+      .select(col("src_id"), col("tgt_id"),
+        round(round(cosine(col("__ea"), col("__eb")), 6) * 1e6d)
+          .cast("long").as("cm"))
+    // each qualifying pair contributes to its src's forward neighborhood
+    // AND its tgt's backward neighborhood — one exploded stream, one
+    // bounded aggregate, both selections in a single pass over the gate
+    val keyed = pairs.select(explode(array(
+        struct(col("src_id").as("key"), lit(0).as("side"),
+          col("tgt_id").as("other"), col("cm")),
+        struct(col("tgt_id").as("key"), lit(1).as("side"),
+          col("src_id").as("other"), col("cm")))).as("e"))
+      .select(col("e.key").as("key"), col("e.side").as("side"),
+        col("e.other").as("other"), col("e.cm").as("cm"))
+    keyed.groupBy(col("key"), col("side"))
+      .agg(TopKPairs.topK(col("cm"), col("other"), k).as("tk"))
+  }
 
   /** ASYMMETRIC two-stage retrieval — the LINEAR-in-the-corpus production
     * shape of the Hamming prefilter (a bounded query set against the
@@ -589,10 +710,18 @@ object Similarity {
     * oracle is brute re-derivation (the q_v29 convention); ranking uses
     * micro-unit integer cosines with id tie-break (the marginAlignment
     * discipline), so top-k membership is engine-exact.
+    *
+    * `excludeSelf` (default true) drops candidates whose corpus id equals
+    * the query id — correct when the queries ARE corpus members (the eval
+    * shape every call site and oracle here uses: a vector must not
+    * retrieve itself). For a DISJOINT query table whose ids can collide
+    * with corpus ids, pass excludeSelf = false, or an id collision would
+    * silently exclude a legitimate neighbor.
     */
   def hammingRetrieveTopK(queries: DataFrame, corpus: DataFrame, dims: Int,
                           maxDist: Int, k: Int,
-                          wordBits: Int = 32): DataFrame = {
+                          wordBits: Int = 32,
+                          excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorQuant
     require(k >= 1, s"k must be >= 1 (got $k)")
@@ -602,7 +731,7 @@ object Similarity {
     // corpus on the STREAM side of the gate, queries broadcast
     val ball = VectorQuant.hammingGate(cc, cq, reps, maxDist)
       .select(col("id_b").as("query_id"), col("id_a").as("tgt_id"))
-      .filter(col("query_id") =!= col("tgt_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("tgt_id") else lit(true))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cm"), col("tgt_id"))
     ball

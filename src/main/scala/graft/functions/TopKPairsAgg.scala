@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded per-key TOP-K as a native aggregate — the map-side-combinable
+  * replacement for the `row_number().over(Window.partitionBy(key))` top-k
+  * idiom on UNBOUNDED candidate streams. A window must SHUFFLE AND SORT
+  * every candidate row (at the 100× two-stage mining point that is a
+  * ~1.3B-row sort — the measured spill-envelope breach of BENCH r14's
+  * R=27 arm); this aggregate folds the stream into ≤ k (rank, id) pairs
+  * per key INSIDE the scan stage (partial aggregation under
+  * ObjectHashAggregateExec), so the only exchange carries |keys|·k rows no
+  * matter how many candidates the generator emits. Order: (rank DESC,
+  * id ASC) — exactly the window ordering every margin/top-k consumer here
+  * uses, so results are bit-identical to the window form (pinned in
+  * TopKPairsAggSpec and by q_v35's shared oracle).
+  *
+  * Buffer: two k-length long arrays kept sorted, insertion-sort updates
+  * (k ≤ 256; the hot path is one compare against the current k-th).
+  * Deterministic: longs only, total order, no floats.
+  *
+  * NOTE ObjectHashAggregateExec's sort-based fallback
+  * (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`, default
+  * 128 in-memory keys) would reintroduce the very sort this aggregate
+  * exists to avoid — every session builder in this repo raises it to 2²⁰
+  * (bounded buffers make a million in-flight keys ≈ 200 MB/task, far
+  * cheaper than sorting a quadratic stream). Results are identical either
+  * way; only the plan shape is at stake.
+  */
+case class TopKPairs(rankExpr: Expression, idExpr: Expression, k: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKPairs.Buf] {
+  require(k >= 1 && k <= 256, s"k in [1,256] (got $k)")
+
+  override def children: Seq[Expression] = Seq(rankExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    new StructType().add("rank", LongType, nullable = false)
+      .add("id", LongType, nullable = false),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKPairs.Buf = new TopKPairs.Buf(k)
+
+  override def update(buf: TopKPairs.Buf, input: InternalRow): TopKPairs.Buf = {
+    val r = rankExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (r != null && i != null)
+      buf.insert(r.asInstanceOf[Long], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKPairs.Buf, other: TopKPairs.Buf): TopKPairs.Buf = {
+    var j = 0
+    while (j < other.size) { buf.insert(other.ranks(j), other.ids(j)); j += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKPairs.Buf): Any = {
+    val out = new Array[Any](buf.size)
+    var j = 0
+    while (j < buf.size) {
+      out(j) = new GenericInternalRow(Array[Any](buf.ranks(j), buf.ids(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKPairs.Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    var j = 0
+    while (j < buf.size) { bb.putLong(buf.ranks(j)); bb.putLong(buf.ids(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPairs.Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopKPairs.Buf(k)
+    var j = 0
+    // entries arrive already sorted; insert preserves order in O(1) compares
+    while (j < n) { buf.insert(bb.getLong(), bb.getLong()); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPairs =
+    copy(rankExpr = newChildren(0), idExpr = newChildren(1))
+  override def prettyName: String = "topk_pairs"
+}
+
+object TopKPairs {
+  /** Sorted bounded buffer: parallel (rank, id) arrays in (rank desc,
+    * id asc) order, size ≤ k. Insertion keeps order; a full buffer
+    * rejects anything not beating its k-th entry with ONE compare.
+    */
+  final class Buf(k: Int) {
+    val ranks = new Array[Long](k)
+    val ids = new Array[Long](k)
+    var size = 0
+
+    @inline private def beats(r1: Long, i1: Long, r2: Long, i2: Long): Boolean =
+      r1 > r2 || (r1 == r2 && i1 < i2)
+
+    def insert(r: Long, id: Long): Unit = {
+      if (size == k) {
+        if (!beats(r, id, ranks(size - 1), ids(size - 1))) return
+      } else size += 1
+      var j = size - 1
+      while (j > 0 && beats(r, id, ranks(j - 1), ids(j - 1))) {
+        ranks(j) = ranks(j - 1); ids(j) = ids(j - 1); j -= 1
+      }
+      ranks(j) = r; ids(j) = id
+    }
+  }
+
+  /** groupBy-able Column: top-`k` (rank, id) pairs per group by
+    * (rank desc, id asc), returned as a SORTED array<struct<rank,id>>
+    * (posexplode yields the window's row_number − 1).
+    */
+  def topK(rank: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(TopKPairs(GraftSqlBridge.expression(rank),
+      GraftSqlBridge.expression(id), k).toAggregateExpression())
+}

@@ -90,19 +90,32 @@ object VectorQuant {
     * code: array<long> of dims/wordBits words). Pure sign reads — any
     * engine re-derives the exact codes.
     */
-  def binarize(embs: DataFrame, dims: Int, wordBits: Int = 32,
-               idCol: String = "vec_id",
-               embCol: String = "embedding"): DataFrame = {
+  private def signCode(dims: Int, wordBits: Int, embCol: String): Column = {
     require(wordBits >= 1 && wordBits <= 62, s"wordBits in [1,62] (got $wordBits)")
     require(dims % wordBits == 0, s"dims $dims must be a multiple of wordBits $wordBits")
     val reps = dims / wordBits
     val planes: Seq[Double] =
       for (r <- 0 until reps; p <- 0 until wordBits; j <- 0 until dims)
         yield if (j == r * wordBits + p) 1.0 else 0.0
-    embs.select(col(idCol),
-      VectorExprs.hyperplaneBuckets(col(embCol), planes, dims, wordBits, reps)
-        .as("code"))
+    VectorExprs.hyperplaneBuckets(col(embCol), planes, dims, wordBits, reps)
   }
+
+  def binarize(embs: DataFrame, dims: Int, wordBits: Int = 32,
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol), signCode(dims, wordBits, embCol).as("code"))
+
+  /** [[binarize]] keeping the float embedding alongside the code — the
+    * fused-scan input of the streamed two-stage forms: ONE scan computes
+    * the sign code and carries the embedding straight into the map-side
+    * exact re-rank, so the candidate stream never joins back to the
+    * corpus.
+    */
+  def binarizeWith(embs: DataFrame, dims: Int, wordBits: Int = 32,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame =
+    embs.select(col(idCol), col(embCol),
+      signCode(dims, wordBits, embCol).as("code"))
 
   /** Hamming distance between two [[binarize]]d codes of `reps` words —
     * statically unrolled XOR+popcount per word (stays in whole-stage
@@ -165,6 +178,109 @@ object VectorQuant {
     // deduping on the pair.
     chunked(a, "id_a", "code_a")
       .join(chunked(b, "id_b", "code_b"), Seq("chunk", "cv"))
+      .filter(if (ordered) col("id_a") < col("id_b") else lit(true))
+      .withColumn("hamming", hamming(col("code_a"), col("code_b"), reps))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** Hamming-ball size over a `chunkBits`-bit space at `radius`:
+    * Σ_{i ≤ radius} C(chunkBits, i) — the per-chunk probe count of the
+    * generalized multi-index join ([[hammingNeighborsMultiProbe]]) and the
+    * numerator of [[mihCandidateFraction]]. Exact integer binomials.
+    */
+  def mihBallSize(chunkBits: Int, radius: Int): Long = {
+    require(chunkBits >= 1 && chunkBits <= 62, s"chunkBits in [1,62] (got $chunkBits)")
+    val r = math.min(math.max(radius, 0), chunkBits)
+    var acc = BigInt(0)
+    var c = BigInt(1)
+    var i = 0
+    while (i <= r) { acc += c; c = c * (chunkBits - i) / (i + 1); i += 1 }
+    acc.toLong
+  }
+
+  /** Expected fraction of RANDOM code pairs the generalized multi-index
+    * join emits as candidates: chunks of independent Bernoulli(1/2) bits
+    * match within the substring radius sr = maxDist div nChunks with
+    * probability ballSize(chunkBits, sr)/2^chunkBits, independently per
+    * chunk, so the candidate fraction is 1 − (1 − ballFrac)^nChunks.
+    *
+    * This number is the HONEST boundary of the MIH family: it only prunes
+    * when the radius is a small fraction of the code width. At the mining
+    * radius R=27 of 64 bits (8-bit chunks, sr=3) it is ~0.97 — the probe
+    * join would emit nearly every pair through a SHUFFLE join, strictly
+    * worse than the broadcast brute gate, which is why
+    * [[graft.functions.Similarity.hammingCandidateScores]] selects MIH
+    * only below [[Similarity.MihFractionCutoff]]. At moderate radii the
+    * win is real: R=5 of 64 (16-bit chunks, sr=1) gives 0.001 — a 1000×
+    * prune the exact-chunk-match join (complete only for R < 4) cannot
+    * reach.
+    */
+  def mihCandidateFraction(chunkBits: Int, nChunks: Int, maxDist: Int): Double = {
+    require(nChunks >= 1, s"nChunks must be >= 1 (got $nChunks)")
+    val sr = maxDist / nChunks
+    if (sr >= chunkBits) return 1.0
+    val ballFrac = mihBallSize(chunkBits, sr).toDouble / math.pow(2.0, chunkBits)
+    1.0 - math.pow(1.0 - ballFrac, nChunks)
+  }
+
+  /** All `chunkBits`-wide masks with popcount ≤ radius, ascending — the
+    * XOR probe deltas of one chunk's Hamming ball. Driver-side enumeration,
+    * shipped as one array literal (ball sizes are capped well under 2^16).
+    */
+  private[functions] def probeMasks(chunkBits: Int, radius: Int): Seq[Long] =
+    (0L until (1L << chunkBits))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
+
+  /** All cross pairs within Hamming `maxDist` via the GENERALIZED
+    * multi-index join — the full Norouzi/Punjani/Fleet MIH, not just the
+    * exact-chunk-match special case: with nChunks substrings, two codes
+    * within distance r must have SOME chunk pair within sr = ⌊r/nChunks⌋
+    * (if every chunk disagreed by ≥ sr+1 the total would be
+    * ≥ nChunks·(sr+1) > r), so side b's chunks each expand to their
+    * radius-sr ball (XOR against the [[probeMasks]] literal) and
+    * candidates come from the same (chunk, value) equi-join as
+    * [[hammingNeighbors]], followed by the exact unrolled verify.
+    * COMPLETE at ANY radius; degenerates to [[hammingNeighbors]] exactly
+    * when maxDist < nChunks (sr = 0, one zero mask).
+    *
+    * Scale shape: the exchange is LINEAR — nChunks rows per vector on
+    * side a, nChunks·ballSize on side b (capped at 1024 probes/chunk),
+    * codes never ride the post-join shuffle (same narrowed
+    * (id_a, id_b, hamming) dedup as hammingNeighbors). Compute is
+    * candidateFraction × |a|·|b| verifies — use [[mihCandidateFraction]]
+    * to decide against the brute gate (see its scaladoc for the honest
+    * regime boundary; [[Similarity.hammingCandidateScores]] automates the
+    * choice).
+    */
+  def hammingNeighborsMultiProbe(a: DataFrame, b: DataFrame, reps: Int,
+                                 wordBits: Int, chunkBits: Int, maxDist: Int,
+                                 idCol: String = "vec_id",
+                                 ordered: Boolean = false): DataFrame = {
+    require(wordBits % chunkBits == 0,
+      s"wordBits $wordBits must be a multiple of chunkBits $chunkBits")
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    val chunksPerWord = wordBits / chunkBits
+    val nChunks = reps * chunksPerWord
+    val sr = maxDist / nChunks
+    val ball = mihBallSize(chunkBits, sr)
+    require(ball <= 1024,
+      s"per-chunk probe ball $ball exceeds 1024 (chunkBits=$chunkBits, substring radius $sr) — " +
+        "at this radius the probe join stops pruning; use hammingGate (see mihCandidateFraction)")
+    val mask = (1L << chunkBits) - 1L
+    def chunkVals(code: Column): Seq[Column] = (0 until nChunks).map { c =>
+      shiftright(code.getItem(c / chunksPerWord),
+        (c % chunksPerWord) * chunkBits).bitwiseAND(lit(mask))
+    }
+    val aChunks = a.select(col(idCol).as("id_a"), col("code").as("code_a"),
+      posexplode(array(chunkVals(col("code")): _*)).as(Seq("chunk", "cv")))
+    val probes = typedLit(probeMasks(chunkBits, sr))
+    val bProbes = b.select(col(idCol).as("id_b"), col("code").as("code_b"),
+        posexplode(array(chunkVals(col("code")): _*)).as(Seq("chunk", "cv0")))
+      .select(col("id_b"), col("code_b"), col("chunk"),
+        explode(transform(probes, m => col("cv0").bitwiseXOR(m))).as("cv"))
+    aChunks.join(bProbes, Seq("chunk", "cv"))
       .filter(if (ordered) col("id_a") < col("id_b") else lit(true))
       .withColumn("hamming", hamming(col("code_a"), col("code_b"), reps))
       .filter(col("hamming") <= maxDist)

@@ -369,6 +369,14 @@ object JpegProgressiveCodec {
     var coefs: Array[Array[Int]] = null
     var sawEoi = false
     var scansDecoded = 0
+    // T.81 G.1.1.1.2 successive-approximation progression state: the last
+    // Al seen per (component, zigzag coefficient), -1 = not yet coded. A
+    // structurally invalid progression (refinement before its first scan,
+    // duplicate first scan, Ah != previous Al, AC before the component's
+    // DC first scan) must quarantine to None — decoding it anyway would
+    // return deterministic garbage as Some(...), breaking the documented
+    // corrupt-input contract even though every read stays bounds-checked.
+    val coefBits = Array.fill(3, 64)(-1)
 
     // decode one scan's entropy data; returns the byte offset just past it
     // (at the next marker's 0xFF), or -1 on corruption
@@ -700,6 +708,26 @@ object JpegProgressiveCodec {
               val ci = scanComps(si)
               if (ss == 0 && ah == 0 && dcTables(dcSel(ci)) == null) return None
               if (ss > 0 && acTables(acSel(ci)) == null) return None
+              si += 1
+            }
+            // progression-rule validation against the per-coefficient Al
+            // history: a first scan (Ah=0) may not re-code a coefficient;
+            // a refinement must chain Ah = previous Al and Al = Ah - 1;
+            // an AC scan requires the component's DC first scan already
+            // decoded (T.81: the DC scan precedes all AC scans)
+            if (ah != 0 && al != ah - 1) return None
+            si = 0
+            while (si < ns) {
+              val ci = scanComps(si)
+              if (ss > 0 && coefBits(ci)(0) < 0) return None
+              var kk = ss
+              val kEnd = if (ss == 0) 0 else se
+              while (kk <= kEnd) {
+                if (ah == 0) { if (coefBits(ci)(kk) >= 0) return None }
+                else if (coefBits(ci)(kk) != ah) return None
+                coefBits(ci)(kk) = al
+                kk += 1
+              }
               si += 1
             }
             val after = decodeScan(scanComps, dcSel, acSel, ss, se, ah, al,

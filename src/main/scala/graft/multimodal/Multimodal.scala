@@ -767,6 +767,243 @@ object Multimodal {
       .mapPartitions(rows => rows.flatMap { case (id, p) => dhashGray(id, p) })
   }
 
+  /** Decode ANY supported image payload to one row-major LUMINANCE grid —
+    * the unified front end of the format-agnostic dHash ([[dhashAny]]):
+    * magic-byte dispatch (the [[dispatchMediaStats]] sniffing) routes to
+    * the matching REAL decoder, and every color source reduces through
+    * the same integer Rec.601 luma, l = (77·R + 150·G + 29·B) div 256 —
+    * exact identity on gray pixels (77+150+29 = 256), integer-only so any
+    * engine re-derives it bit-for-bit.
+    *
+    *  - PNG: IHDR colortype routes gray (0), RGB (2), or palette (3 —
+    *    PLTE-mapped then luma) through the shared inflate + 5-filter
+    *    pipeline;
+    *  - BMP: 24-bit BI_RGB ([[decodeBmpPixels]]' scope), BGR → luma;
+    *  - GIF: first frame, grayscale-table indices ([[GifGray.decode]]'s
+    *    validated gray-palette scope) — index IS the luma;
+    *  - JPEG: baseline color, then progressive (SOF2), then baseline
+    *    grayscale — first decoder that accepts wins.
+    *
+    * Out-of-scope/corrupt payloads quarantine to None (every branch's
+    * existing contract). Returns (width, height, luma row-major).
+    */
+  def decodeLumaAny(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    @inline def luma(r: Int, g: Int, b: Int): Int = (77 * r + 150 * g + 29 * b) >> 8
+    if (p == null || p.length < 4) None
+    else if (p(0) == 0x89.toByte && p(1) == 'P'.toByte) {
+      // colortype from IHDR byte 25 (decodePngPixels re-validates it)
+      if (p.length < 26) None
+      else (p(25) & 0xff) match {
+        case 0 => decodePngPixels(p, wantColorType = 0, bpp = 1)
+          .map(d => (d.w, d.h, d.px))
+        case 2 => decodePngPixels(p, wantColorType = 2, bpp = 3).map { d =>
+          val out = new Array[Int](d.w * d.h)
+          var i = 0
+          while (i < out.length) {
+            out(i) = luma(d.px(3 * i), d.px(3 * i + 1), d.px(3 * i + 2)); i += 1
+          }
+          (d.w, d.h, out)
+        }
+        case 3 => decodePngPaletteLuma(p)
+        case _ => None
+      }
+    } else if (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte)
+      GifGray.decode(p).map { im =>
+        val out = new Array[Int](im.px.length)
+        var i = 0
+        while (i < out.length) { out(i) = im.px(i) & 0xff; i += 1 }
+        (im.w, im.h, out)
+      }
+    else if (p(0) == 'B'.toByte && p(1) == 'M'.toByte) decodeBmpLuma(p)
+    else if ((p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8) {
+      val color = JpegColorCodec.decodeColor(p)
+        .orElse(JpegProgressiveCodec.decodeColorProgressive(p))
+      color match {
+        case Some(d) =>
+          val out = new Array[Int](d.w * d.h)
+          var i = 0
+          while (i < out.length) { out(i) = luma(d.r(i), d.g(i), d.b(i)); i += 1 }
+          Some((d.w, d.h, out))
+        case None =>
+          JpegCodec.decodeGray(p).map(d => (d.w, d.h, d.px))
+      }
+    } else None
+  }
+
+  /** Palette-PNG luma: indices through the PLTE to RGB, then the shared
+    * integer luma (the [[decodePngPalette]] walk, luminance-reduced).
+    */
+  private def decodePngPaletteLuma(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def beU(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (p(off + i) & 0xffL); i += 1 }
+      v
+    }
+    var plte: Array[Byte] = null
+    if (p != null && p.length >= 45) {
+      var off = 33
+      var stop = false
+      while (!stop && off + 8 <= p.length) {
+        val len = beU(off, 4).toInt
+        val typ = beU(off + 4, 4)
+        if (len < 0 || off + 8 + len + 4 > p.length) stop = true
+        else {
+          if (typ == 0x504c5445L && plte == null) {
+            if (len >= 3 && len <= 768 && len % 3 == 0)
+              plte = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + len)
+            else stop = true
+          }
+          if (typ == 0x49444154L || typ == 0x49454e44L) stop = true
+          off += 8 + len + 4
+        }
+      }
+    }
+    if (plte == null) return None
+    val entries = plte.length / 3
+    decodePngPixels(p, wantColorType = 3, bpp = 1).flatMap { d =>
+      val out = new Array[Int](d.px.length)
+      var i = 0
+      while (i < out.length) {
+        val idx = d.px(i)
+        if (idx >= entries) return None // out-of-palette index: refuse
+        out(i) = (77 * (plte(3 * idx) & 0xff) + 150 * (plte(3 * idx + 1) & 0xff)
+          + 29 * (plte(3 * idx + 2) & 0xff)) >> 8
+        i += 1
+      }
+      Some((d.w, d.h, out))
+    }
+  }
+
+  /** 24-bit BMP luma grid — [[decodeBmpPixels]]' parse/validation with the
+    * pixels kept (BGR byte order, bottom-up/top-down row order honored).
+    */
+  private def decodeBmpLuma(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def leU(off: Int, len: Int): Long = {
+      var v = 0L; var i = len - 1
+      while (i >= 0) { v = (v << 8) | (p(off + i) & 0xffL); i -= 1 }
+      v
+    }
+    if (p == null || p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val dataOff = leU(10, 4).toInt
+    val hdrSize = leU(14, 4).toInt
+    if (hdrSize < 40) return None
+    val w = leU(18, 4).toInt
+    val hRaw = leU(22, 4).toInt
+    val bpp = leU(28, 2).toInt
+    val compression = leU(30, 4).toInt
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val paddedRow = (w * 3 + 3) / 4 * 4
+    if (w.toLong * 3 * h > (1L << 26)) return None
+    if (dataOff < 54 || dataOff.toLong + paddedRow.toLong * h > p.length) return None
+    val out = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val fileRow = if (hRaw > 0) h - 1 - row else row
+      val base = dataOff + fileRow * paddedRow
+      var cx = 0
+      while (cx < w) {
+        val b = p(base + cx * 3) & 0xff
+        val g = p(base + cx * 3 + 1) & 0xff
+        val r = p(base + cx * 3 + 2) & 0xff
+        out(row * w + cx) = (77 * r + 150 * g + 29 * b) >> 8
+        cx += 1
+      }
+      row += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** dHash of a luminance grid of ARBITRARY dimensions: AREA-WEIGHTED box
+    * averaging onto the canonical 9×8 raster — pixel j's scaled x-extent
+    * [9j, 9j+9) distributes into cells [cx·w, (cx+1)·w) by exact integer
+    * overlap (same for y with 8·h), so every cell's pool is a BIGINT sum
+    * over the same total weight w·h and the gradient comparison runs on
+    * the sums directly (no division, no truncation — any engine
+    * re-derives the bits exactly). When 9 | w and 8 | h this reduces to
+    * [[dhashGray]]'s plain box average with the truncating division
+    * REMOVED (sums over equal weights are the untruncated means), so the
+    * two agree except where dhashGray's integer-div means tie; defined at
+    * ANY w×h, including images narrower than the raster. Bit layout
+    * identical to dhashGray:
+    * bit (i·8+j) = 1 iff cell (i, j+1) > cell (i, j), two 32-bit words.
+    */
+  private[multimodal] def dhashFromLuma(w: Int, h: Int,
+                                        px: Array[Int]): Array[Long] = {
+    val gridW = 9; val gridH = 8
+    // per-axis overlap weights: axisWeights(n, cells)(pixel) = the (cell,
+    // weight) pairs of one pixel's scaled extent
+    def axisWeights(n: Int, cells: Int): Array[Array[(Int, Long)]] =
+      Array.tabulate(n) { j =>
+        val lo = j.toLong * cells        // scaled pixel extent [lo, hi)
+        val hi = lo + cells
+        val c0 = (lo / n).toInt
+        val c1 = ((hi - 1) / n).toInt
+        (c0 to c1).flatMap { c =>
+          val ov = math.min(hi, (c + 1).toLong * n) - math.max(lo, c.toLong * n)
+          if (ov > 0) Some((c, ov)) else None
+        }.toArray
+      }
+    val xw = axisWeights(w, gridW)
+    val yw = axisWeights(h, gridH)
+    val sums = new Array[Long](gridW * gridH)
+    var y = 0
+    while (y < h) {
+      val yws = yw(y)
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x).toLong
+        val xws = xw(x)
+        var a = 0
+        while (a < yws.length) {
+          val (cy, wy) = yws(a)
+          var b = 0
+          while (b < xws.length) {
+            val (cx, wx) = xws(b)
+            sums(cy * gridW + cx) += v * wx * wy
+            b += 1
+          }
+          a += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val words = new Array[Long](2)
+    var k = 0
+    while (k < 64) {
+      val i2 = k / 8; val j2 = k % 8
+      if (sums(i2 * gridW + j2 + 1) > sums(i2 * gridW + j2))
+        words(k / 32) |= 1L << (k % 32)
+      k += 1
+    }
+    words
+  }
+
+  /** Format-agnostic perceptual dHash: [[decodeLumaAny]] (PNG gray/RGB/
+    * palette, BMP, GIF, JPEG baseline/progressive/gray — one luminance
+    * grid) → [[dhashFromLuma]] (area-weighted 9×8 pooling, ANY w×h) →
+    * the same 64-bit horizontal-gradient code [[dhashGray]] emits. This
+    * is the fingerprint a 100 TB image pipeline's FIRST dedup pass needs:
+    * every decodable image gets a code, whatever its container or
+    * dimensions. Returns None only when no decoder accepts the payload.
+    */
+  def dhashAny(mediaId: Long, p: Array[Byte]): Option[DHashCode] =
+    decodeLumaAny(p).map { case (w, h, px) =>
+      DHashCode(mediaId, dhashFromLuma(w, h, px))
+    }
+
+  /** Partition-batched [[dhashAny]] — the [[extractDHash]] interface over
+    * the format-agnostic path (q_m17).
+    */
+  def extractDHashAny(media: DataFrame): Dataset[DHashCode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) => dhashAny(id, p) })
+  }
+
   /** Partition-batched decode path over [[decodePngPalette]] — the
     * [[extractPngRgbStats]] shape for indexed-color payloads.
     */

@@ -3335,6 +3335,94 @@ object RelationalQueries {
         .orderBy(col("src_id"), col("tgt_id"))
     }),
 
+    "q_v34_mih_candidates" -> ((s, d) => {
+      // the GENERALIZED multi-index regime (full MIH): radius 5 over four
+      // 16-bit chunks — the exact-chunk pigeonhole is incomplete there
+      // (needs maxDist < 4), and the plant PROVES the generalization: one
+      // variant with sign flips spread 1/1/1/2 across the chunks, so NO
+      // chunk matches exactly and every planted pair is reachable only
+      // through the substring-radius-1 probe expansion (17 XOR probes per
+      // chunk, candidate fraction ~0.001 of brute).
+      // hammingCandidateScores auto-selects the multi-probe join here;
+      // the candidate set is exactly the Hamming-5 ball either way, so
+      // the oracle brute-forces the ball and equality is the check.
+      val embs = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      val tgt = embs.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 3 || i === 17 || i === 33 || i === 48 || i === 60, -x)
+            .otherwise(x)).as("embedding"))
+      graft.functions.Similarity.hammingCandidateScores(embs, tgt,
+          dims = 64, maxDist = 5)
+        .orderBy(col("src_id"), col("tgt_id"))
+    }),
+
+    "q_v35_margin_streamed" -> ((s, d) => {
+      // the STREAMED two-stage margin form on q_v32's exact fixture: the
+      // fused gate+re-rank scan and the bounded TopKPairs aggregates must
+      // reproduce the window form's output BIT-FOR-BIT — the oracle is
+      // q_v32's full re-derivation verbatim, so a single flipped
+      // neighborhood row, margin micro-unit, or reconstructed cosine
+      // breaks the hash. This is the shape that completes the 100× R=27
+      // mining point inside the spill envelope (SCALE.md r15).
+      val embs = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      def variant(vi: Int, flips: Seq[Int]) =
+        embs.select((col("vec_id") + lit(vi * 1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(flips.map(j => i === j).reduce(_ || _), -x).otherwise(x))
+            .as("embedding"))
+      val tgt = variant(1, Seq(12))
+        .unionByName(variant(2, Seq(0, 37)))
+        .unionByName(variant(3, Seq(5, 42, 50)))
+      graft.functions.Similarity.marginAlignmentTwoStageStreamed(embs, tgt,
+          dims = 64, k = 4, maxDist = 3, minMargin = 0.0)
+        .orderBy(col("src_id"), col("tgt_id"))
+    }),
+
+    "q_m17_image_neardup_any" -> ((s, d) => {
+      // format-AGNOSTIC image near-dup at ARBITRARY dimensions: side a
+      // carries the SAME 19×13 luminance grid (first 247 text bytes) in
+      // three real containers — PNG grayscale, 24-bit BMP, GIF — chosen by
+      // doc_id%3; 19 and 13 divide neither 9 nor 8, so every code comes
+      // from the AREA-WEIGHTED 9×8 pooling (exact integer overlaps, sums
+      // compared directly), never the divisible-dims shortcut. Side b
+      // re-encodes the grid as PNG shifted +64 (plus a burned 2×2 corner
+      // for every third doc): dHash is gradient-based, so planted pairs
+      // sit within a few bits while unrelated images sit ~32 apart, and
+      // the three containers of one grid produce IDENTICAL codes. Pairs
+      // from the multi-index pigeonhole join (codes, never pixels, on the
+      // exchange). The oracle recomputes BOTH code sets from the TEXT
+      // through the same overlap arithmetic and brute-forces Hamming ≤ 3
+      // — decode, dispatch, pooling, gradient bits, and candidate
+      // completeness all hash-checked at once.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 247)
+        .repartition(s.sparkContext.defaultParallelism)
+      val txt = substring(col("text"), 1, 247)
+      val mm = graft.multimodal.Multimodal
+      val mediaA = docs.select(col("doc_id").cast("long").as("media_id"),
+        when(col("doc_id") % 3 === 0,
+          mm.synthesizePngPayload(txt, width = 19, filterCycle = true,
+            channels = 1))
+        .when(col("doc_id") % 3 === 1, mm.synthesizeBmpPayload(txt, 19))
+        .otherwise(mm.synthesizeGifPayload(txt, 19))
+        .as("payload"))
+      val mediaB = docs.select(
+        (col("doc_id").cast("long") + 10000000L).as("media_id"),
+        when(col("doc_id") % 3 === 0,
+          mm.synthesizePngPerturbedPayload(txt, width = 19,
+            filterCycle = true, brightness = 64, spot = true))
+          .otherwise(mm.synthesizePngPerturbedPayload(txt, width = 19,
+            filterCycle = true, brightness = 64, spot = false))
+          .as("payload"))
+      def codes(m: org.apache.spark.sql.DataFrame) =
+        mm.extractDHashAny(m).toDF()
+          .select(col("media_id").as("vec_id"), col("code"))
+      graft.functions.VectorQuant.hammingNeighbors(
+          codes(mediaA), codes(mediaB), reps = 2, wordBits = 32,
+          chunkBits = 16, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_v33_two_stage_retrieval" -> ((s, d) => {
       // the LINEAR production shape of the two-stage prefilter: a bounded
       // query set (every 25th vector) against the corpus — corpus codes
@@ -3442,6 +3530,84 @@ object RelationalQueries {
               coalesce(h.n_near, 0) AS n_near_corpus_docs
        FROM exact e LEFT JOIN hits h USING (doc_id)
        ORDER BY 1"""
+
+  /** q_v32's full two-stage re-derivation, shared VERBATIM with
+    * q_v35_margin_streamed: the streamed plan must reproduce the window
+    * form's output exactly, so both gates hash against ONE oracle.
+    */
+  private val twoStageAnnOracle: String =
+    """WITH e AS (
+           SELECT vec_id, j - 1 AS j, embedding[j]::DOUBLE AS v
+           FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS j) u
+           WHERE embedding IS NOT NULL),
+         fv AS (
+           SELECT vec_id, var, j,
+                  CASE WHEN (var = 1 AND j = 12)
+                         OR (var = 2 AND j IN (0, 37))
+                         OR (var = 3 AND j IN (5, 42, 50))
+                       THEN -v ELSE v END AS v
+           FROM e, LATERAL (SELECT unnest([1, 2, 3]) AS var) vv),
+         a AS (
+           SELECT vec_id,
+                  sum(CASE WHEN v >= 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS w0,
+                  sum(CASE WHEN v >= 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS w1
+           FROM e GROUP BY 1),
+         b AS (
+           SELECT vec_id + 1000000 * var AS tgt_id,
+                  sum(CASE WHEN v >= 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS w0,
+                  sum(CASE WHEN v >= 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS w1
+           FROM fv GROUP BY 1),
+         av AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS emb
+                FROM embeddings WHERE embedding IS NOT NULL),
+         bv AS (SELECT vec_id + 1000000 * var AS tgt_id,
+                       list(v ORDER BY j) AS emb
+                FROM fv GROUP BY 1),
+         cand AS (
+           SELECT a.vec_id AS src_id, b.tgt_id
+           FROM a, b
+           WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3),
+         sc AS (
+           SELECT c.src_id, c.tgt_id,
+                  round(list_cosine_similarity(av.emb, bv.emb), 6) AS cos
+           FROM cand c JOIN av USING (src_id) JOIN bv USING (tgt_id)),
+         scm AS (SELECT src_id, tgt_id, cos,
+                        round(cos * 1e6)::BIGINT AS cm FROM sc),
+         fwd AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY src_id
+                     ORDER BY cm DESC, tgt_id) AS rn FROM scm) WHERE rn <= 4),
+         bwd AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY tgt_id
+                     ORDER BY cm DESC, src_id) AS rn FROM scm) WHERE rn <= 4),
+         ss AS (SELECT src_id, sum(cm) AS sum_src, count(*) AS cnt_src
+                FROM fwd GROUP BY 1),
+         st AS (SELECT tgt_id, sum(cm) AS sum_tgt, count(*) AS cnt_tgt
+                FROM bwd GROUP BY 1),
+         mf AS (
+           SELECT f.src_id, f.tgt_id, f.cos,
+                  round((f.cm * 2 * ss.cnt_src * st.cnt_tgt)::DOUBLE /
+                        (ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src)::DOUBLE,
+                        6) AS margin
+           FROM fwd f JOIN ss USING (src_id) JOIN st USING (tgt_id)
+           WHERE ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src > 0),
+         bf AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id) AS bn FROM mf) WHERE bn = 1),
+         mb AS (
+           SELECT b2.src_id, b2.tgt_id,
+                  round((b2.cm * 2 * ss.cnt_src * st.cnt_tgt)::DOUBLE /
+                        (ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src)::DOUBLE,
+                        6) AS margin
+           FROM bwd b2 JOIN ss USING (src_id) JOIN st USING (tgt_id)
+           WHERE ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src > 0),
+         bb AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY tgt_id
+                    ORDER BY margin DESC, src_id) AS bn FROM mb) WHERE bn = 1)
+         SELECT bf.src_id, bf.tgt_id, bf.cos, bf.margin,
+                (bb.src_id IS NOT NULL) AS mutual
+         FROM bf LEFT JOIN bb
+           ON bf.src_id = bb.src_id AND bf.tgt_id = bb.tgt_id
+         WHERE bf.margin >= 0.0
+         ORDER BY bf.src_id, bf.tgt_id"""
 
   val oracleSql: Map[String, String] = Map(
     "q_s5_init_lookup" ->
@@ -5457,84 +5623,115 @@ object RelationalQueries {
          SELECT query_id, tgt_id, cos, rn::INT AS rank
          FROM r WHERE rn <= 5 ORDER BY 1, 4""",
 
-    "q_v32_two_stage_ann" ->
-      // the whole two-stage chain re-derived: sign codes for the corpus
-      // and its three flip variants, BRUTE Hamming <= 3 ball (the
-      // pigeonhole join is complete, so equality is the check), exact
-      // cosine re-rank on the ball, then the q_v28 margin chain over the
-      // candidate set
+    "q_v34_mih_candidates" ->
+      // the radius-5 ball re-derived BRUTE-FORCE: sign codes for corpus
+      // and the 5-flip variant, all pairs within Hamming 5, exact cosine
+      // — the multi-probe join is complete at this radius, so equality is
+      // the check (the q_v29 convention; the exact-chunk join would MISS
+      // every planted pair here, which is what this gate pins)
       """WITH e AS (
            SELECT vec_id, j - 1 AS j, embedding[j]::DOUBLE AS v
            FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS j) u
            WHERE embedding IS NOT NULL),
          fv AS (
-           SELECT vec_id, var, j,
-                  CASE WHEN (var = 1 AND j = 12)
-                         OR (var = 2 AND j IN (0, 37))
-                         OR (var = 3 AND j IN (5, 42, 50))
-                       THEN -v ELSE v END AS v
-           FROM e, LATERAL (SELECT unnest([1, 2, 3]) AS var) vv),
+           SELECT vec_id, j,
+                  CASE WHEN j IN (3, 17, 33, 48, 60) THEN -v ELSE v END AS v
+           FROM e),
          a AS (
            SELECT vec_id,
                   sum(CASE WHEN v >= 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS w0,
                   sum(CASE WHEN v >= 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS w1
            FROM e GROUP BY 1),
          b AS (
-           SELECT vec_id + 1000000 * var AS tgt_id,
+           SELECT vec_id + 1000000 AS tgt_id,
                   sum(CASE WHEN v >= 0 AND j < 32 THEN (1::BIGINT << j) ELSE 0 END) AS w0,
                   sum(CASE WHEN v >= 0 AND j >= 32 THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS w1
            FROM fv GROUP BY 1),
          av AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS emb
                 FROM embeddings WHERE embedding IS NOT NULL),
-         bv AS (SELECT vec_id + 1000000 * var AS tgt_id,
-                       list(v ORDER BY j) AS emb
+         bv AS (SELECT vec_id + 1000000 AS tgt_id, list(v ORDER BY j) AS emb
                 FROM fv GROUP BY 1),
          cand AS (
            SELECT a.vec_id AS src_id, b.tgt_id
            FROM a, b
-           WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3),
-         sc AS (
-           SELECT c.src_id, c.tgt_id,
-                  round(list_cosine_similarity(av.emb, bv.emb), 6) AS cos
-           FROM cand c JOIN av USING (src_id) JOIN bv USING (tgt_id)),
-         scm AS (SELECT src_id, tgt_id, cos,
-                        round(cos * 1e6)::BIGINT AS cm FROM sc),
-         fwd AS (SELECT * FROM (
-                   SELECT *, row_number() OVER (PARTITION BY src_id
-                     ORDER BY cm DESC, tgt_id) AS rn FROM scm) WHERE rn <= 4),
-         bwd AS (SELECT * FROM (
-                   SELECT *, row_number() OVER (PARTITION BY tgt_id
-                     ORDER BY cm DESC, src_id) AS rn FROM scm) WHERE rn <= 4),
-         ss AS (SELECT src_id, sum(cm) AS sum_src, count(*) AS cnt_src
-                FROM fwd GROUP BY 1),
-         st AS (SELECT tgt_id, sum(cm) AS sum_tgt, count(*) AS cnt_tgt
-                FROM bwd GROUP BY 1),
-         mf AS (
-           SELECT f.src_id, f.tgt_id, f.cos,
-                  round((f.cm * 2 * ss.cnt_src * st.cnt_tgt)::DOUBLE /
-                        (ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src)::DOUBLE,
-                        6) AS margin
-           FROM fwd f JOIN ss USING (src_id) JOIN st USING (tgt_id)
-           WHERE ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src > 0),
-         bf AS (SELECT * FROM (
-                  SELECT *, row_number() OVER (PARTITION BY src_id
-                    ORDER BY margin DESC, tgt_id) AS bn FROM mf) WHERE bn = 1),
-         mb AS (
-           SELECT b2.src_id, b2.tgt_id,
-                  round((b2.cm * 2 * ss.cnt_src * st.cnt_tgt)::DOUBLE /
-                        (ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src)::DOUBLE,
-                        6) AS margin
-           FROM bwd b2 JOIN ss USING (src_id) JOIN st USING (tgt_id)
-           WHERE ss.sum_src * st.cnt_tgt + st.sum_tgt * ss.cnt_src > 0),
-         bb AS (SELECT * FROM (
-                  SELECT *, row_number() OVER (PARTITION BY tgt_id
-                    ORDER BY margin DESC, src_id) AS bn FROM mb) WHERE bn = 1)
-         SELECT bf.src_id, bf.tgt_id, bf.cos, bf.margin,
-                (bb.src_id IS NOT NULL) AS mutual
-         FROM bf LEFT JOIN bb
-           ON bf.src_id = bb.src_id AND bf.tgt_id = bb.tgt_id
-         WHERE bf.margin >= 0.0
-         ORDER BY bf.src_id, bf.tgt_id""",
+           WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 5)
+         SELECT c.src_id, c.tgt_id,
+                round(list_cosine_similarity(av.emb, bv.emb), 6) AS cos
+         FROM cand c JOIN av USING (src_id) JOIN bv USING (tgt_id)
+         ORDER BY 1, 2""",
+
+    "q_m17_image_neardup_any" ->
+      // both code sets re-derived from the TEXT through the EXACT
+      // area-weighted pooling: 19×13 pixel grid, scaled-integer overlaps
+      // of pixel extents with the 9×8 raster (x: [9x, 9x+9) vs cells
+      // [cx·19, (cx+1)·19); y: [8y, 8y+8) vs [cy·13, (cy+1)·13)), cell
+      // sums compared directly (equal total weight per cell), side b =
+      // +64 with the doc_id%3 burned 2×2 corner, then BRUTE all-pairs
+      // Hamming ≤ 3 — pigeonhole completeness makes equality the check
+      """WITH px AS (
+           SELECT doc_id, (k - 1) % 19 AS x, (k - 1) // 19 AS y,
+                  ascii(substr(text, k, 1)) AS v
+           FROM documents, LATERAL (SELECT unnest(range(1, 248)) AS k) u
+           WHERE text IS NOT NULL AND len(text) >= 247),
+         cw AS (
+           SELECT x, cx,
+                  least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) AS wx
+           FROM (SELECT unnest(range(0, 19)) AS x),
+                (SELECT unnest(range(0, 9)) AS cx)
+           WHERE least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) > 0),
+         ch AS (
+           SELECT y, cy,
+                  least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) AS wy
+           FROM (SELECT unnest(range(0, 13)) AS y),
+                (SELECT unnest(range(0, 8)) AS cy)
+           WHERE least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) > 0),
+         ga AS (
+           SELECT doc_id, cy AS i, cx AS j, sum(v * wx * wy) AS g
+           FROM px JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3),
+         gb AS (
+           SELECT doc_id, cy AS i, cx AS j,
+                  sum((CASE WHEN doc_id % 3 = 0 AND x < 2 AND y < 2
+                            THEN 255 ELSE v + 64 END) * wx * wy) AS g
+           FROM px JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3),
+         ca AS (
+           SELECT l.doc_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM ga l JOIN ga rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1),
+         cb AS (
+           SELECT l.doc_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM gb l JOIN gb rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1)
+         SELECT ca.doc_id AS id_a, (cb.doc_id + 10000000)::BIGINT AS id_b,
+                (bit_count(xor(ca.w0, cb.w0)) +
+                 bit_count(xor(ca.w1, cb.w1)))::BIGINT AS hamming
+         FROM ca, cb
+         WHERE bit_count(xor(ca.w0, cb.w0)) +
+               bit_count(xor(ca.w1, cb.w1)) <= 3
+         ORDER BY 1, 2""",
+
+    "q_v32_two_stage_ann" ->
+      // the whole two-stage chain re-derived: sign codes for the corpus
+      // and its three flip variants, BRUTE Hamming <= 3 ball (the
+      // pigeonhole join is complete, so equality is the check), exact
+      // cosine re-rank on the ball, then the q_v28 margin chain over the
+      // candidate set
+      twoStageAnnOracle,
+
+    "q_v35_margin_streamed" ->
+      // the streamed form (fused gate scan + bounded TopKPairs
+      // aggregates) shares q_v32's oracle VERBATIM - same fixture, same
+      // radius, same margin chain: equality of the two plans IS the gate
+      twoStageAnnOracle,
 
     "q_m14_jpeg_color_stats" ->
       // recompute the decoded RGB channels from the TEXT: char j (even

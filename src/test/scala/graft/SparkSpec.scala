@@ -11,6 +11,10 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // bounded-buffer aggregates (TopKPairs) must stay in ObjectHashAggregate:
+      // the default 128-key sort fallback would re-sort the quadratic streams
+      // they exist to fold (results identical either way — plan shape only)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the bounded top-k aggregate to the window idiom it replaces:
+  *   1. groupBy + TopKPairs ≡ row_number().over(partitionBy(key)
+  *      .orderBy(rank desc, id asc)) ≤ k — including TIES in rank (the id
+  *      tie-break) and groups smaller than k;
+  *   2. the buffer survives partial aggregation and serialization: a
+  *      many-partition input (forcing map-side partials + merge +
+  *      ser/de across the exchange) gives the same answer as one
+  *      partition;
+  *   3. the plan runs in ObjectHashAggregate (the whole point — a
+  *      SortAggregate would re-sort the unbounded stream).
+  */
+class TopKPairsAggSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // deterministic synthetic stream with deliberate rank ties: key k gets
+  // 40 candidates, ranks cycle mod 7 so each group has ~6-way ties
+  private def stream = spark.range(0, 4000).select(
+    (col("id") % 100).as("key"),
+    (col("id") * 2654435761L % 7).as("rank"),
+    col("id").as("other"))
+
+  private def viaWindow(k: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("key"))
+      .orderBy(desc("rank"), col("other"))
+    stream.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("key"), col("rank"), col("other"))
+  }
+
+  private def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy(col("key"))
+      .agg(TopKPairs.topK(col("rank"), col("other"), k).as("tk"))
+      .select(col("key"), explode(col("tk")).as("p"))
+      .select(col("key"), col("p.rank").as("rank"), col("p.id").as("other"))
+
+  test("aggregate equals the row_number window, ties and short groups included") {
+    for (k <- Seq(1, 4, 64)) { // 64 > group size: whole group survives
+      viaAgg(stream, k).orderBy("key", "rank", "other").collect() shouldBe
+        viaWindow(k).orderBy("key", "rank", "other").collect()
+    }
+  }
+
+  test("partial aggregation + serialization round-trip: many partitions = one") {
+    val many = viaAgg(stream.repartition(37), 4)
+      .orderBy("key", "rank", "other").collect()
+    val one = viaAgg(stream.coalesce(1), 4)
+      .orderBy("key", "rank", "other").collect()
+    many shouldBe one
+    // direct ser/de pin (the exchange path): entries survive in order
+    val agg = TopKPairs(
+      org.apache.spark.sql.GraftSqlBridge.expression(lit(0L)),
+      org.apache.spark.sql.GraftSqlBridge.expression(lit(0L)), 3)
+    val buf = agg.createAggregationBuffer()
+    Seq((5L, 9L), (7L, 1L), (5L, 2L), (9L, 9L), (7L, 0L)).foreach {
+      case (r, i) => buf.insert(r, i)
+    }
+    val back = agg.deserialize(agg.serialize(buf))
+    (0 until back.size).map(j => (back.ranks(j), back.ids(j))) shouldBe
+      Seq((9L, 9L), (7L, 0L), (7L, 1L))
+  }
+
+  test("plan: ObjectHashAggregate carries the aggregate, no sort of the stream") {
+    val plan = viaAgg(stream, 4).queryExecution.executedPlan.toString
+    plan should include("ObjectHashAggregate")
+    plan should include("topk_pairs")
+  }
+}

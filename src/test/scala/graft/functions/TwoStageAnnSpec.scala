@@ -147,6 +147,113 @@ class TwoStageAnnSpec extends AnyFunSuite with Matchers {
     frac should be < 0.02 * 3
   }
 
+  test("multi-probe MIH equals brute beyond the exact-chunk regime") {
+    val codes = VectorQuant.binarize(embs, dims = 64)
+    // 5 flips spread 1/1/1/2 across the four 16-bit chunks: NO chunk
+    // matches exactly, so completeness at radius 5 genuinely requires
+    // the substring-radius-1 probe expansion
+    val pert = VectorQuant.binarize(
+      embs.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 3 || i === 17 || i === 33 || i === 48 || i === 60, -x)
+            .otherwise(x)).as("embedding")),
+      dims = 64)
+    val mih = VectorQuant.hammingNeighborsMultiProbe(codes, pert, reps = 2,
+        wordBits = 32, chunkBits = 16, maxDist = 5)
+      .orderBy("id_a", "id_b").collect()
+    val brute = VectorQuant.hammingGate(codes, pert, reps = 2, maxDist = 5)
+      .orderBy("id_a", "id_b").collect()
+    mih should not be empty
+    mih shouldBe brute
+    // degenerate case: below nChunks the probe set is the zero mask and
+    // the join IS the exact-chunk pigeonhole
+    val mp3 = VectorQuant.hammingNeighborsMultiProbe(codes, pert, reps = 2,
+        wordBits = 32, chunkBits = 16, maxDist = 3)
+      .orderBy("id_a", "id_b").collect()
+    val ph3 = VectorQuant.hammingNeighbors(codes, pert, reps = 2,
+        wordBits = 32, chunkBits = 16, maxDist = 3)
+      .orderBy("id_a", "id_b").collect()
+    mp3 shouldBe ph3
+  }
+
+  test("mihCandidateFraction: exact math and the honest regime boundary") {
+    VectorQuant.mihBallSize(16, 0) shouldBe 1L
+    VectorQuant.mihBallSize(16, 1) shouldBe 17L
+    VectorQuant.mihBallSize(8, 3) shouldBe 93L // 1+8+28+56
+    VectorQuant.mihBallSize(16, 3) shouldBe 697L
+    // the q_v34 regime: radius 5, four 16-bit chunks → ~0.1% of brute
+    val f5 = VectorQuant.mihCandidateFraction(16, 4, 5)
+    f5 should be > 0.0009
+    f5 should be < 0.0012
+    f5 should be < Similarity.MihFractionCutoff
+    // the honest boundary: at the R=27 mining radius MIH stops pruning
+    // (8-bit chunks, sr=3 → ~97% of all pairs are candidates) — the
+    // strategy must keep the brute gate there
+    VectorQuant.mihCandidateFraction(8, 8, 27) should be > 0.9
+    // the 16-bit-chunk alternative at R=27 (sr=6): fraction ~0.64 AND its
+    // 14893-probe ball blows the 1024 cap — brute either way
+    VectorQuant.mihCandidateFraction(16, 4, 27) should be > 0.6
+    VectorQuant.mihBallSize(16, 6) should be > 1024L
+  }
+
+  test("hammingCandidateScores auto-selects the multi-probe regime") {
+    val tgt = embs.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 3 || i === 17 || i === 33 || i === 48 || i === 60, -x)
+          .otherwise(x)).as("embedding"))
+    val scored = Similarity.hammingCandidateScores(embs, tgt, dims = 64,
+      maxDist = 5)
+    // MIH is a chunk equi-join, never the gate's nested-loop broadcast
+    scored.queryExecution.executedPlan.toString should not include
+      "BroadcastNestedLoopJoin"
+    // and it matches the brute-gated scoring exactly (candidate set = ball)
+    val codes = VectorQuant.binarize(embs, dims = 64)
+    val cb = VectorQuant.binarize(tgt, dims = 64)
+    val viaBrute = VectorQuant.hammingGate(codes, cb, reps = 2, maxDist = 5)
+      .join(embs.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(tgt.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .select(col("id_a").as("src_id"), col("id_b").as("tgt_id"),
+        round(Similarity.cosine(col("ea"), col("eb")), 6).as("cos"))
+    scored.orderBy("src_id", "tgt_id").collect() shouldBe
+      viaBrute.orderBy("src_id", "tgt_id").collect()
+  }
+
+  test("streamed margin form equals the window form bit-for-bit") {
+    val src = embs.filter(col("label") < 5)
+    val tgt = embs.filter(col("label") >= 5)
+    for (radius <- Seq(27, 64)) {
+      val window = Similarity.marginAlignmentTwoStage(src, tgt, dims = 64,
+          k = 4, maxDist = radius, minMargin = 0.0)
+        .orderBy("src_id", "tgt_id").collect()
+      val streamed = Similarity.marginAlignmentTwoStageStreamed(src, tgt,
+          dims = 64, k = 4, maxDist = radius, minMargin = 0.0)
+        .orderBy("src_id", "tgt_id").collect()
+      window should not be empty
+      streamed shouldBe window
+    }
+  }
+
+  test("streamed margin plan: no shuffle or sort touches the pair stream") {
+    val src = embs.filter(col("label") < 5)
+    val tgt = embs.filter(col("label") >= 5)
+    // the pre-checkpoint stage carries the quadratic stream (the
+    // post-checkpoint margin windows run over the tiny 2n·k top table —
+    // those are fine and not under test here)
+    val plan = Similarity.streamedTopK(src, tgt, dims = 64, k = 4,
+      maxDist = 27).queryExecution.executedPlan.toString
+    // the gate is the broadcast nested-loop scan…
+    plan should include("BroadcastNestedLoopJoin")
+    // …feeding the bounded aggregate (partial aggregation, object hash —
+    // the 128-key sort fallback is raised in every session builder)
+    plan should include("ObjectHashAggregate")
+    plan should include("topk_pairs")
+    // nothing sorts or windows the candidate stream, and the ONLY
+    // exchange is the aggregate's (which moves ≤ 2·keys·k folded rows)
+    plan should not include "Window"
+    plan should not include "SortMergeJoin"
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+  }
+
   test("two-stage triplets stay inside the ball: pos AND neg are in-cluster") {
     // 10 geometric clusters of near-identical vectors (1 flip per
     // member), labels ALTERNATING within each cluster — so the hardest

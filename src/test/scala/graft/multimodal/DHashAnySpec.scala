@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the format-agnostic dHash (q_m17's operator):
+  *   1. container-independence — the SAME luminance grid fingerprints to
+  *      the SAME code whether it arrives as PNG, BMP, or GIF, at
+  *      dimensions the 9×8 raster does NOT divide;
+  *   2. the dHash invariances hold at arbitrary dims: a +64 brightness
+  *      shift is code-identical, the burned 2×2 corner moves ≤ 3 bits;
+  *   3. the JPEG arms route through the real decoders: baseline color and
+  *      progressive encodings of one text produce the identical code, and
+  *      it equals [[Multimodal.dhashFromLuma]] of the decoded RGB's luma;
+  *   4. PNG RGB and palette colortypes route (non-gray containers get
+  *      codes too); unknown/truncated payloads quarantine to None;
+  *   5. all-formats fingerprinting: every payload the q_m13 dispatch
+  *      accepts as an image gets a code.
+  */
+class DHashAnySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val mm = Multimodal
+  // 247 printable ASCII chars → a 19×13 grid (neither 9 | 19 nor 8 | 13)
+  private val text: String =
+    (0 until 247).map(i => (32 + (i * 37 + i * i * 5) % 95).toChar).mkString
+
+  private def payload(c: org.apache.spark.sql.Column): Array[Byte] =
+    Seq(text).toDF("t").select(c.as("p")).head().getAs[Array[Byte]]("p")
+
+  private def code(p: Array[Byte]): Array[Long] =
+    mm.dhashAny(1L, p).map(_.code).orNull
+
+  test("one grid, three containers, one code — at 19×13") {
+    val png = code(payload(mm.synthesizePngPayload(col("t"), 19,
+      filterCycle = true, channels = 1)))
+    val bmp = code(payload(mm.synthesizeBmpPayload(col("t"), 19)))
+    val gif = code(payload(mm.synthesizeGifPayload(col("t"), 19)))
+    png should not be null
+    bmp shouldBe png
+    gif shouldBe png
+  }
+
+  test("brightness shift is code-identical; corner spot moves <= 3 bits") {
+    val base = code(payload(mm.synthesizePngPayload(col("t"), 19,
+      filterCycle = true, channels = 1)))
+    val bright = code(payload(mm.synthesizePngPerturbedPayload(col("t"), 19,
+      filterCycle = true, brightness = 64, spot = false)))
+    bright shouldBe base
+    val spotted = code(payload(mm.synthesizePngPerturbedPayload(col("t"), 19,
+      filterCycle = true, brightness = 64, spot = true)))
+    val dist = (0 until 2).map(i =>
+      java.lang.Long.bitCount(base(i) ^ spotted(i))).sum
+    dist should be <= 3
+  }
+
+  test("JPEG baseline color and progressive route to the identical code") {
+    val jc = payload(graft.multimodal.JpegColor.col(col("t"), 2))
+    val jp = payload(graft.multimodal.JpegProgressive.col(col("t"), 2))
+    val c1 = code(jc)
+    val c2 = code(jp)
+    c1 should not be null
+    c2 shouldBe c1
+    // and the dispatch agrees with pooling the decoder's RGB directly
+    val d = JpegColorCodec.decodeColor(jc).get
+    val luma = Array.tabulate(d.w * d.h)(i =>
+      (77 * d.r(i) + 150 * d.g(i) + 29 * d.b(i)) >> 8)
+    c1 shouldBe mm.dhashFromLuma(d.w, d.h, luma)
+  }
+
+  test("PNG RGB and palette colortypes fingerprint too") {
+    // 19×13 needs 3·247 bytes of RGB samples — reuse the text thrice
+    val rgbText = text + text + text
+    val rgb = mm.dhashAny(1L, Seq(rgbText).toDF("t")
+      .select(mm.synthesizePngPayload(col("t"), 19, filterCycle = true,
+        channels = 3).as("p")).head().getAs[Array[Byte]]("p"))
+    rgb should not be None
+    val pal = mm.dhashAny(1L,
+      payload(mm.synthesizePngPalettePayload(col("t"), 19)))
+    pal should not be None
+    // gray JPEG routes through the grayscale decoder arm
+    val jg = mm.dhashAny(1L, payload(mm.synthesizeJpegPayload(col("t"), 4)))
+    jg should not be None
+  }
+
+  test("divisible dims agree with dhashGray (sums = untruncated means)") {
+    // 18×16 (the q_m15 raster): dhashFromLuma's sum comparison is the
+    // untruncated form of dhashGray's integer-div means — equal except on
+    // div-ties; this text produces no tie, pinned exactly
+    val t288 = (0 until 288).map(i => (32 + (i * 53 + 11) % 95).toChar).mkString
+    val p = Seq(t288).toDF("t").select(mm.synthesizePngPayload(col("t"), 18,
+      filterCycle = true, channels = 1).as("p")).head().getAs[Array[Byte]]("p")
+    val any = mm.dhashAny(2L, p).get.code
+    val gray = mm.dhashGray(2L, p).get.code
+    any shouldBe gray
+  }
+
+  test("unknown and truncated payloads quarantine to None") {
+    mm.dhashAny(1L, null) shouldBe None
+    mm.dhashAny(1L, Array[Byte](1, 2, 3)) shouldBe None
+    mm.dhashAny(1L, "RIFFxxxxWAVE".getBytes("US-ASCII")) shouldBe None // audio, not image
+    val png = payload(mm.synthesizePngPayload(col("t"), 19,
+      filterCycle = true, channels = 1))
+    for (cut <- Seq(1, 8, 20, png.length / 2))
+      mm.dhashAny(1L, java.util.Arrays.copyOf(png, cut)) shouldBe None
+  }
+}

@@ -175,4 +175,36 @@ class JpegProgressiveSpec extends AnyFunSuite {
       assert(JpegColorCodec.decodeColor(payload.take(cut)).isEmpty,
         s"truncation at $cut")
   }
+
+  test("structurally invalid progressions quarantine (T.81 G.1.1.1.2)") {
+    val payload = JpegProgressive.build(UTF8String.fromString("abcdWXYZ 09"), 2)
+    assert(JpegColorCodec.decodeColor(payload).nonEmpty) // sanity: valid as written
+    // FF DA cannot occur inside entropy data (FF is always stuffed or a
+    // marker), so a raw byte scan finds exactly the SOS headers; the
+    // Ah/Al byte sits at sos + 7 + 2·ns (2 marker + 2 len + 1 ns + 2·ns
+    // selectors + Ss + Se)
+    val sosAt = (0 until payload.length - 1).filter(i =>
+      (payload(i) & 0xff) == 0xFF && (payload(i + 1) & 0xff) == 0xDA)
+    assert(sosAt.length >= 3, s"expected a multi-scan script, got ${sosAt.length}")
+    def patchedAhAl(scan: Int, ahal: Int): Array[Byte] = {
+      val b = payload.clone()
+      val ns = b(sosAt(scan) + 4) & 0xff
+      b(sosAt(scan) + 7 + 2 * ns) = ahal.toByte
+      b
+    }
+    // the scan script opens with interleaved DC first (Ah=0, Al=1) then
+    // its refinement (Ah=1, Al=0) — three violations, each previously a
+    // deterministic-garbage Some(...):
+    // 1. refinement BEFORE its first scan (scan 0 claims Ah=2, Al=1 —
+    //    internally consistent, but nothing was coded at Al=2)
+    assert(JpegColorCodec.decodeColor(patchedAhAl(0, 0x21)).isEmpty,
+      "refinement before first scan must quarantine")
+    // 2. duplicate FIRST scan (the DC refinement re-declares Ah=0)
+    assert(JpegColorCodec.decodeColor(patchedAhAl(1, 0x00)).isEmpty,
+      "duplicate first scan must quarantine")
+    // 3. broken successive-approximation chain (Ah=3 after Al=1 — also
+    //    exercises the Ah = prev-Al check rather than the Al = Ah-1 one)
+    assert(JpegColorCodec.decodeColor(patchedAhAl(1, 0x32)).isEmpty,
+      "Ah != previous Al must quarantine")
+  }
 }
