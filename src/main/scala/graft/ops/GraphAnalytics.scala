@@ -571,7 +571,14 @@ object GraphAnalytics {
     val e = edges.select(col("fromId").cast("long").as("fromId"),
         col("toId").cast("long").as("toId")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // every-3rd-level cut + frontier rebase, exactly [[bfsLevels]]' shape
+    // every-3rd-level cut + frontier rebase, exactly [[bfsLevels]]' shape.
+    // Cadence A/B (r15, quiet host, 3 passes, pagerank control): k=3
+    // 2.05 s / k=1 2.41 s / k=2 2.53 s on q_ga21 with the control drifting
+    // 1.56→1.80→1.90 s across the same runs — control-normalized the three
+    // arms are FLAT (1.31×/1.34×/1.33× control), because every level's
+    // `next` is persistInterim-cached and counted regardless of cadence;
+    // the r14 regression flag was host noise, and k=3 (fewest checkpoint
+    // writes) stays.
     val cutter = new EveryK(3)
     var visited = sources.distinct.map(s => (s, s, 0))
       .toDF("src", "id", "level")
@@ -948,14 +955,15 @@ object GraphAnalytics {
     val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.select(col("id")).distinct()
-    // every-3rd-round lineage cut like [[pageRank]]: the two per-round
-    // consumers of `labels` (neighbor-count join + carry-forward
-    // coalesce) duplicate the lazy subplan SYNTACTICALLY, but both sides
-    // produce identical exchanges and ReuseExchange dedupes them at
-    // execution — a persisted-interim variant (cachedStep) was measured
-    // SLOWER (per-round cache write/read of the full label vector buys
-    // back nothing the reuse didn't already provide)
-    val cutter = new EveryK(3)
+    // PER-ROUND lineage cut ([[EveryK]] k = 1) — the cc_star criterion
+    // confirmed by measurement, not the pageRank default: the two
+    // per-round consumers of `labels` (neighbor-count join +
+    // carry-forward coalesce) mean each uncut round DOUBLES the lazy
+    // subplan that the next cut must execute, and the r15 quiet-host A/B
+    // (3 passes, pagerank control) measured k=3 at 1.99 s vs k=1 at
+    // 1.31 s — the r14 k=3 rewrite was a real ~1.5× regression here,
+    // exactly the shape that made k>1 a loss for cc_star (:321).
+    val cutter = new EveryK(1)
     var labels = n.select(col("id"), col("id").as("label"))
     val w = Window.partitionBy(col("id")).orderBy(desc("cnt"), col("label"))
     (1 to iters).foreach { it =>
