@@ -704,12 +704,19 @@ object Similarity {
     * corpus codes STREAM while the query codes broadcast (queries ×
     * dims/8 bytes — KB-sized for any real query batch), the XOR+popcount
     * ball gate runs as one codegen'd scan of the corpus, survivors
-    * re-rank by exact cosine, and top-k per query is a query-keyed
-    * window. Cost: one corpus scan + |ball| re-ranks — no index build,
-    * no corpus shuffle. The ball is exact at any radius, so the gate
-    * oracle is brute re-derivation (the q_v29 convention); ranking uses
-    * micro-unit integer cosines with id tie-break (the marginAlignment
-    * discipline), so top-k membership is engine-exact.
+    * re-rank by exact cosine, and top-k per query is the bounded
+    * [[TopKPairs]] aggregate — NOT a row_number window (r15): the ball
+    * is a radius-selected fraction of queries × corpus (at mining radii
+    * ~13% of it), a window must shuffle AND sort that whole stream,
+    * while the aggregate folds it map-side to ≤ |queries|·k rows before
+    * the only exchange (rank = explode position + 1; cos = cm/10⁶,
+    * IEEE-exact — output identical, pinned by q_v33's unchanged brute
+    * oracle and TwoStageAnnSpec). Cost: one corpus scan + |ball|
+    * re-ranks — no index build, no corpus shuffle. The ball is exact at
+    * any radius, so the gate oracle is brute re-derivation (the q_v29
+    * convention); ranking uses micro-unit integer cosines with id
+    * tie-break (the marginAlignment discipline), so top-k membership is
+    * engine-exact.
     *
     * `excludeSelf` (default true) drops candidates whose corpus id equals
     * the query id — correct when the queries ARE corpus members (the eval
@@ -722,29 +729,31 @@ object Similarity {
                           maxDist: Int, k: Int,
                           wordBits: Int = 32,
                           excludeSelf: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorQuant
     require(k >= 1, s"k must be >= 1 (got $k)")
     val reps = dims / wordBits
-    val cq = VectorQuant.binarize(queries, dims, wordBits)
-    val cc = VectorQuant.binarize(corpus, dims, wordBits)
-    // corpus on the STREAM side of the gate, queries broadcast
-    val ball = VectorQuant.hammingGate(cc, cq, reps, maxDist)
-      .select(col("id_b").as("query_id"), col("id_a").as("tgt_id"))
+    // fused scan on both sides (the marginAlignmentTwoStageStreamed
+    // shape): corpus rows stream with (id, embedding, code), the query
+    // triple broadcasts, gate and exact cosine evaluate map-side
+    val cc = VectorQuant.binarizeWith(corpus, dims, wordBits)
+      .select(col("vec_id").as("tgt_id"), col("embedding").as("__ec"),
+        col("code").as("code_c"))
+    val cq = VectorQuant.binarizeWith(queries, dims, wordBits)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__eq"),
+        col("code").as("code_q"))
+    val scored = cc.crossJoin(broadcast(cq))
+      .filter(VectorQuant.hamming(col("code_c"), col("code_q"), reps)
+        <= maxDist)
       .filter(if (excludeSelf) col("query_id") =!= col("tgt_id") else lit(true))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cm"), col("tgt_id"))
-    ball
-      .join(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("__eq")), "query_id")
-      .join(corpus.select(col("vec_id").as("tgt_id"),
-        col("embedding").as("__ec")), "tgt_id")
       .select(col("query_id"), col("tgt_id"),
-        round(cosine(col("__eq"), col("__ec")), 6).as("cos"))
-      .withColumn("cm", round(col("cos") * 1e6d).cast("long"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("tgt_id"), col("cos"), col("rank"))
+        round(round(cosine(col("__eq"), col("__ec")), 6) * 1e6d)
+          .cast("long").as("cm"))
+    scored.groupBy(col("query_id"))
+      .agg(TopKPairs.topK(col("cm"), col("tgt_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("tgt_id"),
+        (col("p.rank").cast("double") / 1e6d).as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** [[contrastiveTriplets]] fed by the two-stage Hamming prefilter: the

@@ -1004,6 +1004,88 @@ object Multimodal {
       .mapPartitions(rows => rows.flatMap { case (id, p) => dhashAny(id, p) })
   }
 
+  /** Perceptual AUDIO fingerprint — dHash's 1-D temporal sibling over the
+    * decoded PCM stream (q_m18): the sample sequence pools into 65 equal
+    * AREA-WEIGHTED windows (the [[dhashFromLuma]] exact-integer overlap
+    * arithmetic in one dimension, so ANY clip length fingerprints), each
+    * window's ENERGY is an exact BIGINT Σ weight·a², and bit k of the
+    * 64-bit code = energy(k+1) > energy(k) — the energy-envelope gradient.
+    * Gradients make the code robust to uniform gain and small per-sample
+    * edits (they move adjacent energies together), while a localized
+    * corruption moves only the 1-2 bits whose windows it touches — the
+    * same economics that make dHash the image near-dup standard. Output
+    * is the [[DHashCode]] two-word layout, so audio near-dup pairs ride
+    * the SAME multi-index Hamming join as images. Integer-exact end to
+    * end: any engine re-derives the code from the samples bit-for-bit.
+    */
+  def audioFingerprint(mediaId: Long, p: Array[Byte]): Option[DHashCode] =
+    pcmAccess(p) match {
+      case Some(pcm) if pcm.n > 0 =>
+        val nWin = 65
+        val n = pcm.n
+        val sums = new Array[Long](nWin)
+        var i = 0
+        while (i < n) {
+          // scaled sample extent [65i, 65i+65) vs window [w·n, (w+1)·n)
+          val lo = i.toLong * nWin
+          val hi = lo + nWin
+          val a = pcm.amp(i)
+          val e = a * a
+          var w = (lo / n).toInt
+          val wEnd = ((hi - 1) / n).toInt
+          while (w <= wEnd) {
+            val ov = math.min(hi, (w + 1).toLong * n) - math.max(lo, w.toLong * n)
+            if (ov > 0) sums(w) += e * ov
+            w += 1
+          }
+          i += 1
+        }
+        val words = new Array[Long](2)
+        var k = 0
+        while (k < 64) {
+          if (sums(k + 1) > sums(k)) words(k / 32) |= 1L << (k % 32)
+          k += 1
+        }
+        Some(DHashCode(mediaId, words))
+      case _ => None
+    }
+
+  /** Partition-batched [[audioFingerprint]] over (media_id, payload). */
+  def extractAudioFingerprint(media: DataFrame): Dataset[DHashCode] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) => audioFingerprint(id, p) })
+  }
+
+  final case class FrameDHash(media_id: Long, frame_idx: Int, code: Array[Long])
+
+  /** Per-FRAME perceptual codes over a REAL animated container — the
+    * video near-dup front end (q_m19): every frame of an animated GIF
+    * decodes through the full LZW pipeline ([[GifGray.decodeFrames]]) and
+    * fingerprints via the area-weighted [[dhashFromLuma]] raster (any
+    * frame dimensions). Near-dup videos are then a FRAME-level multi-index
+    * Hamming join rolled up to the clip pair — the standard
+    * shot/keyframe-matching shape, with codes (never pixels) on every
+    * exchange. Undecodable payloads quarantine to zero rows.
+    */
+  def extractFrameDHash(media: DataFrame): Dataset[FrameDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, p) =>
+        GifGray.decodeFrames(p).toSeq.flatMap(_.zipWithIndex.map {
+          case (fr, idx) =>
+            val luma = new Array[Int](fr.px.length)
+            var i = 0
+            while (i < luma.length) { luma(i) = fr.px(i) & 0xff; i += 1 }
+            FrameDHash(id, idx, dhashFromLuma(fr.w, fr.h, luma))
+        })
+      })
+  }
+
   /** Partition-batched decode path over [[decodePngPalette]] — the
     * [[extractPngRgbStats]] shape for indexed-color payloads.
     */

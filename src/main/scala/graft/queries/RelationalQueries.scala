@@ -3423,6 +3423,80 @@ object RelationalQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_m18_audio_fingerprint" -> ((s, d) => {
+      // AUDIO near-dup via the 1-D perceptual fingerprint: genuine 8-bit
+      // PCM WAVs (samples = the first 263 text bytes — 263 is prime, so
+      // the 65-window pooling is the AREA-WEIGHTED path, never the
+      // divisible shortcut), energy-envelope gradient codes, multi-index
+      // Hamming join. Side b replays the same audio with an 8-sample
+      // quiet burst spliced in for every third doc (a localized edit —
+      // moves only the bits whose windows it touches) and verbatim
+      // otherwise. The oracle recomputes BOTH code sets from the TEXT
+      // through the same exact-integer energy pooling and brute-forces
+      // Hamming ≤ 3 — decode, windowing, energies, gradient bits, and
+      // candidate completeness in one hash.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 263)
+        .repartition(s.sparkContext.defaultParallelism)
+      val txt = substring(col("text"), 1, 263)
+      val txtB = when(col("doc_id") % 3 === 0,
+        overlay(txt, lit("        "), lit(101))).otherwise(txt)
+      val mm = graft.multimodal.Multimodal
+      val mediaA = docs.select(col("doc_id").cast("long").as("media_id"),
+        mm.synthesizeWavPayload(txt, 8000).as("payload"))
+      val mediaB = docs.select(
+        (col("doc_id").cast("long") + 10000000L).as("media_id"),
+        mm.synthesizeWavPayload(txtB, 8000).as("payload"))
+      def codes(m: org.apache.spark.sql.DataFrame) =
+        mm.extractAudioFingerprint(m).toDF()
+          .select(col("media_id").as("vec_id"), col("code"))
+      graft.functions.VectorQuant.hammingNeighbors(
+          codes(mediaA), codes(mediaB), reps = 2, wordBits = 32,
+          chunkBits = 16, maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_m19_video_neardup" -> ((s, d) => {
+      // VIDEO near-dup as frame-level perceptual matching over REAL
+      // animated containers: 2-frame 19×13 GIF89a animations (every frame
+      // its own LZW stream), per-frame dHash through the area-weighted
+      // raster, frame-level multi-index Hamming join rolled up to clip
+      // pairs with the matching-frame count — the re-edited-clip case:
+      // side b is the SAME clip RE-CUT (frame order swapped), plus a
+      // burned 4-pixel splice for every third doc, so every side-b frame
+      // still matches a side-a frame while unrelated clips share nothing.
+      // Composite join ids = media_id·16 + frame_idx (codes, never
+      // pixels, on the exchange). Oracle: both frame-code sets recomputed
+      // from TEXT, brute frame-pair Hamming ≤ 3, same clip rollup.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 494)
+        .repartition(s.sparkContext.defaultParallelism)
+      val txt = substring(col("text"), 1, 494)
+      val recut = concat(substring(col("text"), 248, 247),
+        substring(col("text"), 1, 247))
+      val txtB = when(col("doc_id") % 3 === 0,
+        overlay(recut, lit("    "), lit(10))).otherwise(recut)
+      val mm = graft.multimodal.Multimodal
+      val mediaA = docs.select(col("doc_id").cast("long").as("media_id"),
+        mm.synthesizeGifAnimation(txt, width = 19, frameRows = 13)
+          .as("payload"))
+      val mediaB = docs.select(
+        (col("doc_id").cast("long") + 10000000L).as("media_id"),
+        mm.synthesizeGifAnimation(txtB, width = 19, frameRows = 13)
+          .as("payload"))
+      def codes(m: org.apache.spark.sql.DataFrame) =
+        mm.extractFrameDHash(m).toDF()
+          .select((col("media_id") * 16L + col("frame_idx")).as("vec_id"),
+            col("code"))
+      graft.functions.VectorQuant.hammingNeighbors(
+          codes(mediaA), codes(mediaB), reps = 2, wordBits = 32,
+          chunkBits = 16, maxDist = 3)
+        .select(expr("id_a div 16").as("id_a"), expr("id_b div 16").as("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_frame_matches"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_v33_two_stage_retrieval" -> ((s, d) => {
       // the LINEAR production shape of the two-stage prefilter: a bounded
       // query set (every 25th vector) against the corpus — corpus codes
@@ -5718,6 +5792,127 @@ object RelationalQueries {
          WHERE bit_count(xor(ca.w0, cb.w0)) +
                bit_count(xor(ca.w1, cb.w1)) <= 3
          ORDER BY 1, 2""",
+
+    "q_m18_audio_fingerprint" ->
+      // both energy-gradient codes re-derived from the TEXT: amplitude of
+      // sample i = ascii(char i+1) − 128 (the WAV synth contract), 65
+      // area-weighted windows over the prime-length 263-sample stream
+      // (scaled overlaps: sample [65i, 65i+65) vs window [w·263,
+      // (w+1)·263)), exact BIGINT Σ weight·a² energies, bit k =
+      // energy(k+1) > energy(k), side b with the doc%3 8-sample splice
+      // (chars 101-108 → amp −96), then BRUTE all-pairs Hamming ≤ 3
+      """WITH px AS (
+           SELECT doc_id, k - 1 AS i, ascii(substr(text, k, 1)) - 128 AS a
+           FROM documents, LATERAL (SELECT unnest(range(1, 264)) AS k) u
+           WHERE text IS NOT NULL AND len(text) >= 263),
+         pb AS (
+           SELECT doc_id, i,
+                  CASE WHEN doc_id % 3 = 0 AND i BETWEEN 100 AND 107
+                       THEN -96 ELSE a END AS a
+           FROM px),
+         ow AS (
+           SELECT i, w,
+                  least((i + 1) * 65, (w + 1) * 263) - greatest(i * 65, w * 263) AS ov
+           FROM (SELECT unnest(range(0, 263)) AS i),
+                (SELECT unnest(range(0, 65)) AS w)
+           WHERE least((i + 1) * 65, (w + 1) * 263) - greatest(i * 65, w * 263) > 0),
+         ea AS (
+           SELECT doc_id, w, sum(a * a * ov) AS e
+           FROM px JOIN ow USING (i) GROUP BY 1, 2),
+         eb AS (
+           SELECT doc_id, w, sum(a * a * ov) AS e
+           FROM pb JOIN ow USING (i) GROUP BY 1, 2),
+         ca AS (
+           SELECT l.doc_id,
+                  sum(CASE WHEN r.e > l.e AND l.w < 32
+                           THEN (1::BIGINT << l.w) ELSE 0 END) AS w0,
+                  sum(CASE WHEN r.e > l.e AND l.w >= 32
+                           THEN (1::BIGINT << (l.w - 32)) ELSE 0 END) AS w1
+           FROM ea l JOIN ea r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+           WHERE l.w < 64 GROUP BY 1),
+         cb AS (
+           SELECT l.doc_id,
+                  sum(CASE WHEN r.e > l.e AND l.w < 32
+                           THEN (1::BIGINT << l.w) ELSE 0 END) AS w0,
+                  sum(CASE WHEN r.e > l.e AND l.w >= 32
+                           THEN (1::BIGINT << (l.w - 32)) ELSE 0 END) AS w1
+           FROM eb l JOIN eb r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+           WHERE l.w < 64 GROUP BY 1)
+         SELECT ca.doc_id AS id_a, (cb.doc_id + 10000000)::BIGINT AS id_b,
+                (bit_count(xor(ca.w0, cb.w0)) +
+                 bit_count(xor(ca.w1, cb.w1)))::BIGINT AS hamming
+         FROM ca, cb
+         WHERE bit_count(xor(ca.w0, cb.w0)) +
+               bit_count(xor(ca.w1, cb.w1)) <= 3
+         ORDER BY 1, 2""",
+
+    "q_m19_video_neardup" ->
+      // both frame-code sets re-derived from the TEXT: side a frame f =
+      // chars [f·247+1, (f+1)·247] as a 19×13 grid, side b is the RE-CUT
+      // (positions 248-494 then 1-247) with the doc%3 4-char splice at
+      // its positions 10-13; q_m17's exact area-weighted pooling and
+      // gradient bits per (doc, frame); BRUTE frame-pair Hamming ≤ 3
+      // rolled up to clip pairs with the matching-frame count
+      """WITH d0 AS (
+           SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND len(text) >= 494),
+         pxa AS (
+           SELECT doc_id, (k - 1) // 247 AS f,
+                  ((k - 1) % 247) % 19 AS x, ((k - 1) % 247) // 19 AS y,
+                  ascii(substr(text, k, 1)) AS v
+           FROM d0, LATERAL (SELECT unnest(range(1, 495)) AS k) u),
+         pxb AS (
+           SELECT doc_id, (k - 1) // 247 AS f,
+                  ((k - 1) % 247) % 19 AS x, ((k - 1) % 247) // 19 AS y,
+                  CASE WHEN doc_id % 3 = 0 AND k BETWEEN 10 AND 13 THEN 32
+                       ELSE ascii(substr(text,
+                         CASE WHEN k <= 247 THEN k + 247 ELSE k - 247 END, 1))
+                  END AS v
+           FROM d0, LATERAL (SELECT unnest(range(1, 495)) AS k) u),
+         cw AS (
+           SELECT x, cx,
+                  least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) AS wx
+           FROM (SELECT unnest(range(0, 19)) AS x),
+                (SELECT unnest(range(0, 9)) AS cx)
+           WHERE least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) > 0),
+         ch AS (
+           SELECT y, cy,
+                  least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) AS wy
+           FROM (SELECT unnest(range(0, 13)) AS y),
+                (SELECT unnest(range(0, 8)) AS cy)
+           WHERE least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) > 0),
+         ga AS (
+           SELECT doc_id, f, cy AS i, cx AS j, sum(v * wx * wy) AS g
+           FROM pxa JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3, 4),
+         gb AS (
+           SELECT doc_id, f, cy AS i, cx AS j, sum(v * wx * wy) AS g
+           FROM pxb JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3, 4),
+         ca AS (
+           SELECT l.doc_id, l.f,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM ga l JOIN ga rgt
+             ON l.doc_id = rgt.doc_id AND l.f = rgt.f AND l.i = rgt.i
+            AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1, 2),
+         cb AS (
+           SELECT l.doc_id, l.f,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM gb l JOIN gb rgt
+             ON l.doc_id = rgt.doc_id AND l.f = rgt.f AND l.i = rgt.i
+            AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1, 2)
+         SELECT ca.doc_id AS id_a, (cb.doc_id + 10000000)::BIGINT AS id_b,
+                count(*)::BIGINT AS n_frame_matches
+         FROM ca, cb
+         WHERE bit_count(xor(ca.w0, cb.w0)) +
+               bit_count(xor(ca.w1, cb.w1)) <= 3
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_v32_two_stage_ann" ->
       // the whole two-stage chain re-derived: sign codes for the corpus

@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Pins the audio (q_m18) and video (q_m19) perceptual fingerprints:
+  *   1. the audio code is GAIN-invariant — doubling every amplitude
+  *     scales every window energy by exactly 4, so the gradient bits
+  *     cannot move (the property that makes an energy-envelope code a
+  *     near-dup fingerprint rather than a checksum);
+  *   2. a localized burst moves only the bits whose windows it touches;
+  *   3. non-divisible clip lengths pool through the exact area-weighted
+  *     windows (prime-length stream fingerprints);
+  *   4. per-frame video codes: an animated GIF decodes to one code per
+  *     frame through the real LZW pipeline; re-cutting the clip permutes
+  *     the code SET without changing it; a brightness-shifted re-encode
+  *     keeps every frame code (dHash invariance riding through the GIF
+  *     encoder);
+  *   5. quarantine: non-audio payloads and truncations yield None/empty.
+  */
+class AudioVideoFingerprintSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val mm = Multimodal
+
+  /** Minimal genuine 8-bit mono PCM WAV around raw amplitude values. */
+  private def wav(amps: Seq[Int], rate: Int = 8000): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Long, len: Int): Unit =
+      (0 until len).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    out.write("RIFF".getBytes("US-ASCII")); le(amps.length + 36L, 4)
+    out.write("WAVEfmt ".getBytes("US-ASCII")); le(16, 4)
+    le(1, 2); le(1, 2); le(rate, 4); le(rate, 4); le(1, 2); le(8, 2)
+    out.write("data".getBytes("US-ASCII")); le(amps.length.toLong, 4)
+    amps.foreach(a => out.write(a + 128))
+    out.toByteArray
+  }
+
+  // deterministic prime-length amplitude stream, |a| <= 63 so gain 2 fits
+  private val amps: Seq[Int] = (0 until 263).map(i => ((i * 37 + 11) % 127) - 63)
+
+  test("audio fingerprint is gain-invariant (2x amplitude, identical code)") {
+    val base = mm.audioFingerprint(1L, wav(amps)).get.code
+    val loud = mm.audioFingerprint(1L, wav(amps.map(_ * 2))).get.code
+    loud shouldBe base
+  }
+
+  test("a localized burst moves only its windows' bits") {
+    val base = mm.audioFingerprint(1L, wav(amps)).get.code
+    // silence samples 100-107: scaled extents land in windows ~24-26 →
+    // at most 3 adjacent-comparison bits can flip
+    val burst = amps.zipWithIndex.map { case (a, i) =>
+      if (i >= 100 && i <= 107) 0 else a
+    }
+    val b = mm.audioFingerprint(1L, wav(burst)).get.code
+    // samples 100-107 land in windows 24-26 → adjacent comparisons 23-26
+    val dist = (0 until 2).map(i => java.lang.Long.bitCount(base(i) ^ b(i))).sum
+    dist should be <= 4
+    // the rest of the envelope is intact: flips confined to bits 23..26
+    val mask0 = ~(0xfL << 23)
+    (base(0) & mask0) shouldBe (b(0) & mask0)
+    base(1) shouldBe b(1)
+  }
+
+  test("quarantine: non-audio and truncated payloads") {
+    mm.audioFingerprint(1L, null) shouldBe None
+    mm.audioFingerprint(1L, "not a wav at all".getBytes("US-ASCII")) shouldBe None
+    val w = wav(amps)
+    for (cut <- Seq(4, 20, 43)) // inside the header
+      mm.audioFingerprint(1L, java.util.Arrays.copyOf(w, cut)) shouldBe None
+  }
+
+  // chars in 32..94 so the +32 brightness shift below stays ASCII (a
+  // non-ASCII char would re-encode multi-byte and misalign the pixel grid)
+  private val frameText: String =
+    (0 until 494).map(i => (32 + (i * 41 + 7) % 63).toChar).mkString
+
+  private def gifAnim(t: String): Array[Byte] =
+    Seq(t).toDF("t").select(mm.synthesizeGifAnimation(col("t"), 19, 13)
+      .as("p")).head().getAs[Array[Byte]]("p")
+
+  test("per-frame video codes: real 2-frame decode, re-cut permutes the set") {
+    val codes = Seq((1L, gifAnim(frameText))).toDF("media_id", "payload")
+    val got = mm.extractFrameDHash(codes).collect().sortBy(_.frame_idx)
+    got.length shouldBe 2
+    val recut = frameText.substring(247) + frameText.substring(0, 247)
+    val swapped = mm.extractFrameDHash(
+      Seq((2L, gifAnim(recut))).toDF("media_id", "payload"))
+      .collect().sortBy(_.frame_idx)
+    swapped.length shouldBe 2
+    swapped(0).code shouldBe got(1).code
+    swapped(1).code shouldBe got(0).code
+  }
+
+  test("brightness-shifted re-encode keeps every frame code") {
+    // +32 on every char rides through the GIF encoder as a pixel-domain
+    // brightness shift (gray table is the identity ramp); dHash gradients
+    // are shift-invariant, so the frame codes must be identical
+    val bright = frameText.map(c => (c + 32).toChar)
+    val a = mm.extractFrameDHash(
+      Seq((1L, gifAnim(frameText))).toDF("media_id", "payload"))
+      .collect().sortBy(_.frame_idx)
+    val b = mm.extractFrameDHash(
+      Seq((2L, gifAnim(bright))).toDF("media_id", "payload"))
+      .collect().sortBy(_.frame_idx)
+    b.length shouldBe a.length
+    a.zip(b).foreach { case (x, y) => y.code shouldBe x.code }
+  }
+}
