@@ -264,10 +264,19 @@ object IvfIndex {
   /** ANN k-NN JOIN: top-k neighbors for EVERY vector at once. Each vector
     * ranks all centroids in-plan (k codegen'd dot products), probes its
     * `nprobe` nearest cells, and joins the cell-assigned corpus on `cell` —
-    * the one shuffle. Per-vector top-k via window row_number. This is the
-    * scale shape for corpus-wide embedding near-dup: the cross product never
-    * materializes, candidate volume is bounded by cell populations (skewed
-    * cells are AQE's skew-join case).
+    * the one shuffle. This is the scale shape for corpus-wide embedding
+    * near-dup: the cross product never materializes, candidate volume is
+    * bounded by cell populations (skewed cells are AQE's skew-join case).
+    *
+    * Per-vector top-k is the bounded [[TopKPairs]] aggregate, NOT a
+    * row_number window (r15): the window form shuffled AND sorted the
+    * ENTIRE candidate pair stream (probed-fraction × corpus² rows — the
+    * heaviest exchange in the ANN family), while the aggregate folds it
+    * map-side to ≤ |queries|·k rows before the only post-join exchange.
+    * Ranking is order-ISOMORPHIC to the window's (cosine desc, vid_b):
+    * 6-decimal rounded cosines map bijectively to micro-unit longs, and
+    * cm/10⁶ reconstructs the identical double (IEEE-exact) — every
+    * downstream oracle and spec pins the outputs unchanged.
     *
     * `queries` makes the join ASYMMETRIC: that set probes the `embs`-built
     * index instead of a self-join — the retrieval shape (bounded query
@@ -276,7 +285,6 @@ object IvfIndex {
     */
   def knnJoin(embs: DataFrame, model: Model, k: Int, nprobe: Int,
               queries: Option[DataFrame] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // the query side fans out ×nprobe and then carries every pair's dot
     // product: a one-file local fixture would serialize that whole phase
     // into a single scan task (measured 5s of the gate's 9s at sf0.1) —
@@ -294,20 +302,22 @@ object IvfIndex {
       .select(col("cell"),
         col("vec_id").as("vid_b"), col("embedding").as("emb_b"),
         VectorExprs.norm(col("embedding")).as("nrm_b"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
     probes.join(index, Seq("cell"))
       .filter(col("vec_id") =!= col("vid_b"))
       .select(col("vec_id"), col("vid_b"),
-        round(VectorExprs.dot(col("embedding"), col("emb_b")) /
-          (col("nrm") * col("nrm_b")), 6).as("cosine"))
+        round(round(VectorExprs.dot(col("embedding"), col("emb_b")) /
+          (col("nrm") * col("nrm_b")), 6) * 1e6d).cast("long").as("cm"))
       // no pair-dedup needed BY CONSTRUCTION: the index side assigns each
       // vector to exactly ONE cell, so (query, candidate) joins at most once
       // — via the candidate's single cell, if probed. (IvfIndexSpec pins
       // pair uniqueness.) Skipping dropDuplicates saves a full shuffle of
-      // the candidate pair stream.
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+      // the candidate pair stream — and the bounded aggregate below never
+      // shuffles the stream at all.
+      .groupBy(col("vec_id"))
+      .agg(TopKPairs.topK(col("cm"), col("vid_b"), k).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("p"))
+      .select(col("vec_id"), col("p.id").as("vid_b"),
+        (col("p.rank").cast("double") / 1e6d).as("cosine"))
   }
 
   /** Probe count holding a fixed FRACTION of the cell count (floor 2,

@@ -212,7 +212,6 @@ object Similarity {
 
   private def lshTopKKnownDims(embs: DataFrame, numPlanes: Int, k: Int,
                                reps: Int, d: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // ONE native expression computes all reps×numPlanes projections
     // (HyperplaneBuckets): the per-plane when(dot≥0,…) tree generated code
     // linear in the plane count, and at auto-sized plane counts the method
@@ -226,7 +225,6 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         posexplode(VectorExprs.hyperplaneBuckets(col("embedding"), flatPlanes, d,
           numPlanes, reps)).as(Seq("rep", "bucket")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), asc("vid_b"))
     // shuffle-hash SELF-join via plan aliases (not rename projections — a
     // rename side canonicalizes differently and defeats exchange reuse):
     // both sides shuffle the canonically-identical bk subtree on the bucket
@@ -238,14 +236,18 @@ object Similarity {
         col("a.rep") === col("b.rep") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("vid_b"),
-        round(dot(col("a.embedding"), col("b.embedding")) /
-          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
-      // a pair sharing buckets in several repetitions appears once per rep —
-      // dedup on the pair key alone (not the float) before ranking
-      .dropDuplicates("vec_id", "vid_b")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .drop("rn")
+        round(round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6) * 1e6d).cast("long").as("cm"))
+      // a pair sharing buckets in several repetitions appears once per rep
+      // with IDENTICAL cm (same floats) — topKDistinct's idempotent
+      // inserts give distinct-then-top-k semantics with ZERO pair-stream
+      // exchanges, replacing the r14 dropDuplicates shuffle + row_number
+      // sort (order-isomorphic micro-unit ranking, the knnJoin rewrite)
+      .groupBy(col("vec_id"))
+      .agg(TopKPairs.topKDistinct(col("cm"), col("vid_b"), k).as("tk"))
+      .select(col("vec_id"), explode(col("tk")).as("p"))
+      .select(col("vec_id"), col("p.id").as("vid_b"),
+        (col("p.rank").cast("double") / 1e6d).as("cosine"))
   }
 
   /** Hybrid two-stage retrieval — the RAG-shaped search pass: a cheap

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   * TopKPairsAggSpec and by q_v35's shared oracle).
   *
   * Buffer: two k-length long arrays kept sorted, insertion-sort updates
-  * (k ≤ 256; the hot path is one compare against the current k-th).
+  * (the hot path is one compare against the current k-th).
   * Deterministic: longs only, total order, no floats.
   *
   * NOTE ObjectHashAggregateExec's sort-based fallback
@@ -35,10 +35,15 @@ import org.apache.spark.sql.types._
   * way; only the plan shape is at stake.
   */
 case class TopKPairs(rankExpr: Expression, idExpr: Expression, k: Int,
+                     dedup: Boolean = false,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKPairs.Buf] {
-  require(k >= 1 && k <= 256, s"k in [1,256] (got $k)")
+  // cap well above any ranking use (k is typically 3-10; the uniqueness
+  // specs probe with k=1000). Updates stay O(1) when the buffer is full
+  // and the row doesn't beat the k-th entry — the overwhelmingly common
+  // case — so a large cap costs only during warm-up inserts.
+  require(k >= 1 && k <= 4096, s"k in [1,4096] (got $k)")
 
   override def children: Seq[Expression] = Seq(rankExpr, idExpr)
   override def nullable: Boolean = false
@@ -47,7 +52,8 @@ case class TopKPairs(rankExpr: Expression, idExpr: Expression, k: Int,
       .add("id", LongType, nullable = false),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKPairs.Buf = new TopKPairs.Buf(k)
+  override def createAggregationBuffer(): TopKPairs.Buf =
+    new TopKPairs.Buf(k, dedup)
 
   override def update(buf: TopKPairs.Buf, input: InternalRow): TopKPairs.Buf = {
     val r = rankExpr.eval(input)
@@ -84,7 +90,7 @@ case class TopKPairs(rankExpr: Expression, idExpr: Expression, k: Int,
   override def deserialize(bytes: Array[Byte]): TopKPairs.Buf = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
-    val buf = new TopKPairs.Buf(k)
+    val buf = new TopKPairs.Buf(k, dedup)
     var j = 0
     // entries arrive already sorted; insert preserves order in O(1) compares
     while (j < n) { buf.insert(bb.getLong(), bb.getLong()); j += 1 }
@@ -105,8 +111,15 @@ object TopKPairs {
   /** Sorted bounded buffer: parallel (rank, id) arrays in (rank desc,
     * id asc) order, size ≤ k. Insertion keeps order; a full buffer
     * rejects anything not beating its k-th entry with ONE compare.
+    *
+    * `dedup = true` makes insertion idempotent on exact (rank, id)
+    * duplicates — equivalent to distinct-then-top-k, because a duplicate
+    * already in the buffer is skipped and a duplicate below the k-th
+    * entry is rejected anyway. This replaces a
+    * dropDuplicates-shuffle-then-window chain with ZERO pair-stream
+    * exchanges (the LSH candidate stream's once-per-repetition dups).
     */
-  final class Buf(k: Int) {
+  final class Buf(k: Int, dedup: Boolean = false) {
     val ranks = new Array[Long](k)
     val ids = new Array[Long](k)
     var size = 0
@@ -116,8 +129,16 @@ object TopKPairs {
 
     def insert(r: Long, id: Long): Unit = {
       if (size == k) {
+        // an exact duplicate of the k-th entry fails beats() too — the
+        // full-buffer fast path is dedup-correct for free
         if (!beats(r, id, ranks(size - 1), ids(size - 1))) return
-      } else size += 1
+      }
+      if (dedup) {
+        var j = 0
+        while (j < size && beats(ranks(j), ids(j), r, id)) j += 1
+        if (j < size && ranks(j) == r && ids(j) == id) return
+      }
+      if (size < k) size += 1
       var j = size - 1
       while (j > 0 && beats(r, id, ranks(j - 1), ids(j - 1))) {
         ranks(j) = ranks(j - 1); ids(j) = ids(j - 1); j -= 1
@@ -133,4 +154,12 @@ object TopKPairs {
   def topK(rank: Column, id: Column, k: Int): Column =
     GraftSqlBridge.column(TopKPairs(GraftSqlBridge.expression(rank),
       GraftSqlBridge.expression(id), k).toAggregateExpression())
+
+  /** [[topK]] with idempotent inserts — distinct-then-top-k semantics for
+    * candidate streams that repeat exact (rank, id) pairs (one hit per
+    * LSH repetition), without the dedup shuffle.
+    */
+  def topKDistinct(rank: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(TopKPairs(GraftSqlBridge.expression(rank),
+      GraftSqlBridge.expression(id), k, dedup = true).toAggregateExpression())
 }

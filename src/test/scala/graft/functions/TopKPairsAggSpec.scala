@@ -67,6 +67,31 @@ class TopKPairsAggSpec extends AnyFunSuite with Matchers {
       Seq((9L, 9L), (7L, 0L), (7L, 1L))
   }
 
+  test("topKDistinct equals dropDuplicates-then-window (idempotent inserts)") {
+    import org.apache.spark.sql.expressions.Window
+    // triple every row so exact (rank, id) duplicates flood the stream
+    val dups = stream.union(stream).union(stream).repartition(23)
+    val viaDistinctAgg = dups.groupBy(col("key"))
+      .agg(TopKPairs.topKDistinct(col("rank"), col("other"), 4).as("tk"))
+      .select(col("key"), explode(col("tk")).as("p"))
+      .select(col("key"), col("p.rank").as("rank"), col("p.id").as("other"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(desc("rank"), col("other"))
+    val viaDedupWindow = dups.dropDuplicates("key", "rank", "other")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("key"), col("rank"), col("other"))
+    viaDistinctAgg.orderBy("key", "rank", "other").collect() shouldBe
+      viaDedupWindow.orderBy("key", "rank", "other").collect()
+    // direct buffer pin: duplicate of an in-buffer entry is skipped,
+    // duplicate below the k-th is rejected by the fast path
+    val buf = new TopKPairs.Buf(2, dedup = true)
+    Seq((5L, 1L), (5L, 1L), (9L, 2L), (9L, 2L), (1L, 3L), (5L, 1L)).foreach {
+      case (r, i) => buf.insert(r, i)
+    }
+    (0 until buf.size).map(j => (buf.ranks(j), buf.ids(j))) shouldBe
+      Seq((9L, 2L), (5L, 1L))
+  }
+
   test("plan: ObjectHashAggregate carries the aggregate, no sort of the stream") {
     val plan = viaAgg(stream, 4).queryExecution.executedPlan.toString
     plan should include("ObjectHashAggregate")
