@@ -475,24 +475,41 @@ object Similarity {
     * single IEEE divide rounded to 6 — bit-reproducible on any
     * partitioning and in any SQL engine.
     *
-    * Scale shape: two top-k windows keyed by src/tgt ids, two
-    * group-sums on the k·|side| candidate tables, broadcast-sized
-    * neighborhood-sum joins — after scoring, nothing touches the corpus.
+    * Scale shape: two bounded [[TopKPairs]] aggregates keyed by src/tgt
+    * ids (map-side folds — the scored pair stream is never window-sorted;
+    * r15), two group-sums on the k·|side| candidate tables,
+    * broadcast-sized neighborhood-sum joins — after scoring, nothing
+    * touches the corpus. `cos` in the output is cm/10⁶, so callers must
+    * pass 6-decimal-rounded cosines (every scoring tier in this repo
+    * does — the round-6 convention the micro-unit arithmetic assumes).
     */
   def marginAlignment(scored: DataFrame, k: Int,
                       minMargin: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1 (got $k)")
     // one scoring pass feeds four consumers (two rankings, two sums):
     // checkpoint it or Catalyst re-plans the scoring per consumer (the
     // q_q3 convention); the returned plan reads it, so the handle stays
     val (sc, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
-      scored.select(col("src_id"), col("tgt_id"), col("cos"),
+      scored.select(col("src_id"), col("tgt_id"),
         round(col("cos") * 1e6d).cast("long").as("cm")))
-    val wF = Window.partitionBy(col("src_id")).orderBy(desc("cm"), col("tgt_id"))
-    val wB = Window.partitionBy(col("tgt_id")).orderBy(desc("cm"), col("src_id"))
-    val fwd = sc.withColumn("rn", row_number().over(wF)).filter(col("rn") <= k)
-    val bwd = sc.withColumn("rn", row_number().over(wB)).filter(col("rn") <= k)
+    // per-side top-k via the bounded [[TopKPairs]] aggregate (r15): the
+    // row_number windows sorted the whole checkpointed pair stream TWICE;
+    // the aggregates fold it map-side to ≤ |keys|·k rows each. `cos` is
+    // reconstructed as cm/10⁶ (IEEE-exact for the 6-decimal cosines every
+    // caller passes — the repo-wide round-6 convention this function's
+    // micro-unit arithmetic already assumes).
+    def side(key: String, other: String, flipBack: Boolean): DataFrame = {
+      val top = sc.groupBy(col(key))
+        .agg(TopKPairs.topK(col("cm"), col(other), k).as("tk"))
+        .select(col(key), explode(col("tk")).as("p"))
+        .select(col(key), col("p.id").as(other),
+          (col("p.rank").cast("double") / 1e6d).as("cos"),
+          col("p.rank").as("cm"))
+      if (flipBack) top.select(col(other), col(key), col("cos"), col("cm"))
+      else top
+    }
+    val fwd = side("src_id", "tgt_id", flipBack = false)
+    val bwd = side("tgt_id", "src_id", flipBack = true)
     marginFromNeighborhoods(fwd, bwd, minMargin)
   }
 
