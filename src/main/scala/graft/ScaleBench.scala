@@ -97,7 +97,8 @@ object ScaleBench {
     "q_m16_jpeg_progressive", "q_sp20_dsir", "q_sp21_pack_manifest",
     "q_v33_two_stage_retrieval", "q_v34_mih_candidates",
     "q_v35_margin_streamed", "q_m17_image_neardup_any",
-    "q_m18_audio_fingerprint", "q_m19_video_neardup")
+    "q_m18_audio_fingerprint", "q_m19_video_neardup",
+    "q_m20_audio_stream_parity")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

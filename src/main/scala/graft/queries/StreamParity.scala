@@ -324,8 +324,77 @@ object StreamParity {
     }
   }
 
+  /** The q_m20 corpus: the q_m18 audio fingerprints of BOTH replay sides
+    * (original + burst-spliced, ids offset by 1e7) as ONE code table —
+    * every side-b clip has its side-a twin within a few bits.
+    */
+  def audioCodesUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{length, lit, overlay, substring, when}
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && length(col("text")) >= 263)
+    val txt = substring(col("text"), 1, 263)
+    val txtB = when(col("doc_id") % 3 === 0,
+      overlay(txt, lit("        "), lit(101))).otherwise(txt)
+    val mm = graft.multimodal.Multimodal
+    val mediaA = docs.select(col("doc_id").cast("long").as("media_id"),
+      mm.synthesizeWavPayload(txt, 8000).as("payload"))
+    val mediaB = docs.select(
+      (col("doc_id").cast("long") + 10000000L).as("media_id"),
+      mm.synthesizeWavPayload(txtB, 8000).as("payload"))
+    mm.extractAudioFingerprint(mediaA.unionByName(mediaB)).toDF()
+      .select(col("media_id").as("vec_id"), col("code"))
+  }
+
+  /** The gated batch side of q_m20: the multi-index Hamming self-join over
+    * the audio-code union (the q_v30 shape on NON-sign codes).
+    */
+  def batchAudioHamming(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.VectorQuant.hammingNeighbors(
+        audioCodesUnion(spark, sfDir), audioCodesUnion(spark, sfDir),
+        reps = 2, wordBits = 32, chunkBits = 16, maxDist = 3, ordered = true)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q_m20's oracle: the SAME audio codes replayed through the STREAMING
+    * chunk-state operator's code-level entry
+    * ([[graft.streaming.HammingStream.hammingPairsFromCodes]] — scalar
+    * in-state verify, a genuinely different join path from the batch
+    * chunk equi-join), pairs deduped/ordered to the batch output shape.
+    */
+  def exportAudioHammingStream(spark: SparkSession, sfDir: String,
+                               outDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.HammingStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val codes = audioCodesUnion(spark, sfDir)
+      .collect()
+      .map(r => HammingStream.CodeEvent(r.getLong(0),
+        new java.sql.Timestamp(t0 + (r.getLong(0) % 10000000L) * 1000L),
+        r.getSeq[Long](1).toArray))
+    val src = MemoryStream[HammingStream.CodeEvent]
+    val qname = s"graft_audio_parity_${ProcessHandle.current.pid}"
+    val q = HammingStream.hammingPairsFromCodes(
+        src.toDF().as[HammingStream.CodeEvent], wordBits = 32, chunkBits = 16,
+        maxDist = 3, maxPerChunk = Int.MaxValue)
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    try {
+      src.addData(codes.toIndexedSeq)
+      q.processAllAvailable()
+      val pairs = spark.table(qname)
+        .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+        .orderBy(col("id_a"), col("id_b"))
+      GraphQueries.writeSingleFile(pairs, s"$outDir/fx_audio_stream.parquet")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(qname)
+      ()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_v30_hamming_stream_parity" -> ((s, d) => batchHamming(s, d)),
+    "q_m20_audio_stream_parity" -> ((s, d) => batchAudioHamming(s, d)),
     "q_d9_stream_parity" -> ((s, d) => batchPairs(s, d)),
     "q_d14_incremental_parity" -> ((s, d) => batchIncremental(s, d)),
     "q_ev25_sessions_stream_parity" -> ((s, d) =>
@@ -349,6 +418,13 @@ object StreamParity {
       // the batch kernel + equi-join
       """SELECT id_a, id_b, hamming
          FROM '{{OUTDIR}}/fx_hamming_stream.parquet' ORDER BY 1, 2""",
+    "q_m20_audio_stream_parity" ->
+      // the chunk-state streamed replay of the AUDIO fingerprints exported
+      // by exportAudioHammingStream — the code-level streaming entry with
+      // its scalar in-state verify, not a round-trip of the batch
+      // kernel + equi-join
+      """SELECT id_a, id_b, hamming
+         FROM '{{OUTDIR}}/fx_audio_stream.parquet' ORDER BY 1, 2""",
     "q_d9_stream_parity" ->
       // the replayed-stream pair set exported by exportStreamPairs — an
       // independent implementation, not a round-trip of the query result

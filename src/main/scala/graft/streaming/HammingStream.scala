@@ -72,22 +72,44 @@ object HammingStream {
     }
   }
 
-  /** Wire an embedding stream into per-chunk verified pair emission. */
+  final case class CodeEvent(vec_id: Long, ts: java.sql.Timestamp,
+                             code: Array[Long])
+
+  /** Wire an embedding stream into per-chunk verified pair emission:
+    * scalar-binarize each arrival, then the code-level core
+    * ([[hammingPairsFromCodes]]).
+    */
   def hammingPairs(vecs: Dataset[VecEvent], wordBits: Int, chunkBits: Int,
                    maxDist: Int, maxPerChunk: Int = 256,
                    chunkIdleMs: Long = 3600 * 1000L,
                    watermarkDelay: String = "1 hour"): Dataset[HammingPair] = {
+    import vecs.sparkSession.implicits._
+    hammingPairsFromCodes(
+      vecs.flatMap { v =>
+        if (v.embedding == null) Seq.empty[CodeEvent]
+        else Seq(CodeEvent(v.vec_id, v.ts, binarizeScalar(v.embedding, wordBits)))
+      }, wordBits, chunkBits, maxDist, maxPerChunk, chunkIdleMs, watermarkDelay)
+  }
+
+  /** The CODE-level streaming near-dup core — the entry point for streams
+    * that already carry binary codes rather than embeddings (r15: audio
+    * energy-envelope fingerprints, frame dHashes — any [[graft.multimodal
+    * .Multimodal.DHashCode]]-shaped producer rides the same chunk-state
+    * operator the sign-code path uses; q_m20 parity-gates it).
+    */
+  def hammingPairsFromCodes(codes: Dataset[CodeEvent], wordBits: Int,
+                            chunkBits: Int, maxDist: Int,
+                            maxPerChunk: Int = 256,
+                            chunkIdleMs: Long = 3600 * 1000L,
+                            watermarkDelay: String = "1 hour"): Dataset[HammingPair] = {
     require(wordBits % chunkBits == 0,
       s"wordBits $wordBits must be a multiple of chunkBits $chunkBits")
-    import vecs.sparkSession.implicits._
-    vecs
+    import codes.sparkSession.implicits._
+    codes
       .flatMap { v =>
-        if (v.embedding == null) Seq.empty[ChunkedCode]
-        else {
-          val code = binarizeScalar(v.embedding, wordBits)
-          chunkKeys(code, wordBits, chunkBits)
-            .map(k => ChunkedCode(k, v.vec_id, code, v.ts))
-        }
+        if (v.code == null) Seq.empty[ChunkedCode]
+        else chunkKeys(v.code, wordBits, chunkBits)
+          .map(k => ChunkedCode(k, v.vec_id, v.code, v.ts))
       }
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.chunk_key)
