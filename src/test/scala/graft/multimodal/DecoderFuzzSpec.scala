@@ -173,6 +173,44 @@ class DecoderFuzzSpec extends AnyFunSuite {
     fuzz("gif", gif, 4000, b => GifGray.decode(b))
   }
 
+  test("format-agnostic dHash never throws across all dispatch arms (r15)") {
+    // one fuzz per container the dispatcher routes — every arm must
+    // quarantine, including the dims-agnostic area-weighted pooling
+    val t247 = ("fuzzing any format dHash!! " * 10).take(247)
+    fuzz("dhash-any-png",
+      PngGray.build(UTF8String.fromString(t247), 19, true, 1), 2000,
+      b => Multimodal.dhashAny(0L, b))
+    fuzz("dhash-any-gif", GifGray.build(UTF8String.fromString(t247), 19), 2000,
+      b => Multimodal.dhashAny(0L, b))
+    fuzz("dhash-any-jpeg",
+      JpegColor.build(UTF8String.fromString("dhash jpeg fuzz!"), 2), 2000,
+      b => Multimodal.dhashAny(0L, b))
+  }
+
+  test("audio fingerprint and frame dHash never throw on mutants (r15)") {
+    val samples = Array.tabulate(263)(i => (i * 5) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    def le(v: Int, n: Int): Unit = (0 until n).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    out.write("RIFF".getBytes); le(36 + samples.length, 4); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le(16, 4); le(1, 2); le(1, 2); le(8000, 4)
+    le(8000, 4); le(1, 2); le(8, 2)
+    out.write("data".getBytes); le(samples.length, 4)
+    samples.foreach(out.write)
+    val wav = out.toByteArray
+    assert(Multimodal.audioFingerprint(0L, wav).isDefined)
+    fuzz("audio-fp", wav, 3000, b => Multimodal.audioFingerprint(0L, b))
+    // frame dHash over an animated container: decodeFrames + per-frame
+    // pooling both quarantine (scalar path — no session needed)
+    val anim = GifGray.buildAnimated(
+      UTF8String.fromString(("frame fuzz payload ok! " * 23).take(494)), 19, 13)
+    assert(GifGray.decodeFrames(anim).exists(_.length == 2))
+    fuzz("frame-dhash", anim, 3000, b =>
+      GifGray.decodeFrames(b).toSeq.flatMap(_.map(fr => {
+        val luma = Array.tabulate(fr.px.length)(i => fr.px(i) & 0xff)
+        Multimodal.dhashFromLuma(fr.w, fr.h, luma)
+      })))
+  }
+
   // NOTE deliberately absent: graft.io.GraphText's parsers THROW on
   // malformed lines by contract — graph files are produced by the
   // engine's own writer (trusted provenance, mirroring the reference's
