@@ -349,4 +349,25 @@ object VectorQuant {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** [[hammingGate]] past the broadcast envelope: the coded side splits
+    * into `nBlocks` hash slices (pmod over the id — each slice ≈ |b|/n
+    * rows, each broadcastable on its own), one gate per slice, results
+    * unioned. Same output as the unblocked gate for ANY nBlocks
+    * (spec-pinned) — the mechanical form of the scaladoc prescription
+    * "block the broadcast side into id-range slices and union the
+    * gates". Use when |b| × dims/8 bytes approaches the ~1.6 GB
+    * broadcast bound (10⁸ 16-byte codes); cost is nBlocks scans of side
+    * a — still strictly cheaper than shuffling the pair stream.
+    */
+  def hammingGateBlocked(a: DataFrame, b: DataFrame, reps: Int, maxDist: Int,
+                         nBlocks: Int, idCol: String = "vec_id",
+                         ordered: Boolean = false): DataFrame = {
+    require(nBlocks >= 1, s"nBlocks must be >= 1 (got $nBlocks)")
+    (0 until nBlocks)
+      .map(i => hammingGate(a,
+        b.filter(pmod(col(idCol), lit(nBlocks)) === i), reps, maxDist,
+        idCol, ordered))
+      .reduce(_.unionByName(_))
+  }
 }

@@ -176,6 +176,18 @@ class TwoStageAnnSpec extends AnyFunSuite with Matchers {
     mp3 shouldBe ph3
   }
 
+  test("blocked gate equals the unblocked gate at any block count") {
+    val codes = VectorQuant.binarize(embs, dims = 64)
+    val whole = VectorQuant.hammingGate(codes, codes, reps = 2, maxDist = 25,
+      ordered = true).orderBy("id_a", "id_b").collect()
+    whole should not be empty
+    for (n <- Seq(1, 3, 7)) {
+      VectorQuant.hammingGateBlocked(codes, codes, reps = 2, maxDist = 25,
+          nBlocks = n, ordered = true)
+        .orderBy("id_a", "id_b").collect() shouldBe whole
+    }
+  }
+
   test("mihCandidateFraction: exact math and the honest regime boundary") {
     VectorQuant.mihBallSize(16, 0) shouldBe 1L
     VectorQuant.mihBallSize(16, 1) shouldBe 17L
