@@ -98,7 +98,7 @@ object ScaleBench {
     "q_v33_two_stage_retrieval", "q_v34_mih_candidates",
     "q_v35_margin_streamed", "q_m17_image_neardup_any",
     "q_m18_audio_fingerprint", "q_m19_video_neardup",
-    "q_m20_audio_stream_parity")
+    "q_m20_audio_stream_parity", "q_m21_media_dedup")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

@@ -3497,6 +3497,49 @@ object RelationalQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q_m21_media_dedup" -> ((s, d) => {
+      // the MULTIMODAL dedup capstone in one declarative plan — the first
+      // pass a mixed-format image corpus actually runs: ONE media table
+      // carrying q_m17's three containers (PNG/BMP/GIF by doc_id%3) PLUS
+      // their perturbed re-encodes (ids +1e7), every payload fingerprinted
+      // through the format-agnostic dHash, then FIRST-OCCURRENCE-WINS
+      // near-dup dedup: a media survives unless some LOWER id sits within
+      // Hamming 3 (the dominated-by-earlier rule — one pigeonhole join +
+      // one anti-join, codes never pixels on any exchange). Output =
+      // survivors with their code words, so the hash pins decode,
+      // dispatch, pooling, candidate completeness AND the dedup rule.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 247)
+        .repartition(s.sparkContext.defaultParallelism)
+      val txt = substring(col("text"), 1, 247)
+      val mm = graft.multimodal.Multimodal
+      val mediaA = docs.select(col("doc_id").cast("long").as("media_id"),
+        when(col("doc_id") % 3 === 0,
+          mm.synthesizePngPayload(txt, width = 19, filterCycle = true,
+            channels = 1))
+        .when(col("doc_id") % 3 === 1, mm.synthesizeBmpPayload(txt, 19))
+        .otherwise(mm.synthesizeGifPayload(txt, 19))
+        .as("payload"))
+      val mediaB = docs.select(
+        (col("doc_id").cast("long") + 10000000L).as("media_id"),
+        when(col("doc_id") % 3 === 0,
+          mm.synthesizePngPerturbedPayload(txt, width = 19,
+            filterCycle = true, brightness = 64, spot = true))
+          .otherwise(mm.synthesizePngPerturbedPayload(txt, width = 19,
+            filterCycle = true, brightness = 64, spot = false))
+          .as("payload"))
+      val codes = mm.extractDHashAny(mediaA.unionByName(mediaB)).toDF()
+        .select(col("media_id").as("vec_id"), col("code"))
+      val dominated = graft.functions.VectorQuant.hammingNeighbors(
+          codes, codes, reps = 2, wordBits = 32, chunkBits = 16,
+          maxDist = 3, ordered = true)
+        .select(col("id_b").as("vec_id")).distinct()
+      codes.join(dominated, Seq("vec_id"), "left_anti")
+        .select(col("vec_id").as("media_id"),
+          col("code").getItem(0).as("w0"), col("code").getItem(1).as("w1"))
+        .orderBy(col("media_id"))
+    }),
+
     "q_v33_two_stage_retrieval" -> ((s, d) => {
       // the LINEAR production shape of the two-stage prefilter: a bounded
       // query set (every 25th vector) against the corpus — corpus codes
@@ -5913,6 +5956,66 @@ object RelationalQueries {
          WHERE bit_count(xor(ca.w0, cb.w0)) +
                bit_count(xor(ca.w1, cb.w1)) <= 3
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_m21_media_dedup" ->
+      // the whole capstone re-derived from TEXT: q_m17's exact-overlap
+      // pooling for BOTH code sets (side a = the byte grid, side b = +64
+      // with the doc%3 burned corner), codes unioned under the id scheme,
+      // brute all-pairs Hamming ≤ 3 with id_a < id_b, survivors = codes
+      // minus the dominated set — the dedup rule replayed verbatim
+      """WITH px AS (
+           SELECT doc_id, (k - 1) % 19 AS x, (k - 1) // 19 AS y,
+                  ascii(substr(text, k, 1)) AS v
+           FROM documents, LATERAL (SELECT unnest(range(1, 248)) AS k) u
+           WHERE text IS NOT NULL AND len(text) >= 247),
+         cw AS (
+           SELECT x, cx,
+                  least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) AS wx
+           FROM (SELECT unnest(range(0, 19)) AS x),
+                (SELECT unnest(range(0, 9)) AS cx)
+           WHERE least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) > 0),
+         ch AS (
+           SELECT y, cy,
+                  least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) AS wy
+           FROM (SELECT unnest(range(0, 13)) AS y),
+                (SELECT unnest(range(0, 8)) AS cy)
+           WHERE least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) > 0),
+         ga AS (
+           SELECT doc_id, cy AS i, cx AS j, sum(v * wx * wy) AS g
+           FROM px JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3),
+         gb AS (
+           SELECT doc_id, cy AS i, cx AS j,
+                  sum((CASE WHEN doc_id % 3 = 0 AND x < 2 AND y < 2
+                            THEN 255 ELSE v + 64 END) * wx * wy) AS g
+           FROM px JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3),
+         ca AS (
+           SELECT l.doc_id::BIGINT AS media_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM ga l JOIN ga rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1),
+         cb AS (
+           SELECT (l.doc_id + 10000000)::BIGINT AS media_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM gb l JOIN gb rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1),
+         allc AS (SELECT * FROM ca UNION ALL SELECT * FROM cb),
+         dominated AS (
+           SELECT DISTINCT b.media_id
+           FROM allc a, allc b
+           WHERE a.media_id < b.media_id
+             AND bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3)
+         SELECT media_id, w0::BIGINT AS w0, w1::BIGINT AS w1
+         FROM allc
+         WHERE media_id NOT IN (SELECT media_id FROM dominated)
+         ORDER BY media_id""",
 
     "q_v32_two_stage_ann" ->
       // the whole two-stage chain re-derived: sign codes for the corpus
