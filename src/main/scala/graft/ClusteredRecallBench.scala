@@ -76,7 +76,7 @@ object ClusteredRecallBench {
     // shares hyperplane signs), making corpus-wide lshTopKAuto quadratic
     // in the cluster size — the fraction-API claim under test here is
     // IVF's, and lsh has its own measured curve on the unstructured ladder
-    val ivf = Set("ivf_nprobe2", "ivf_frac_default")
+    val ivf = Set("ivf_nprobe2", "ivf_frac_default", "two_stage_r6")
     val base = ScaleBench.annRecall(spark, baseDir, measures = ivf)
     spark.catalog.clearCache()
     val scaled = ScaleBench.annRecall(spark, scaledDir, measures = ivf)

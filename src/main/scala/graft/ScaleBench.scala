@@ -603,7 +603,15 @@ object ScaleBench {
         "ivf_nprobe2" -> (() => recallOf(IvfIndex.knnJoin(embs, model, k, nprobe = 2))),
         "ivf_frac_default" -> (() => recallOf(IvfIndex.knnJoin(embs, model, k,
           nprobe = fracProbe, queries = Some(sampleIds)))),
-        "lsh_auto" -> (() => recallOf(Similarity.lshTopKAuto(embs, k = k, reps = 4))))
+        "lsh_auto" -> (() => recallOf(Similarity.lshTopKAuto(embs, k = k, reps = 4))),
+        // the two-stage PIGEONHOLE-regime radius (6 of 64 — subquadratic
+        // via 8-bit chunks, ball-exact at any plan): on clustered corpora
+        // true neighbors sit within a few sign flips, so this measures
+        // the TwoStageAnnSpec ≥ 0.9 claim at corpus scale
+        "two_stage_r6" -> (() => recallOf(
+          Similarity.hammingRetrieveTopK(sampleIds, embs, dims = 64,
+              maxDist = 6, k = k)
+            .select(col("query_id").as("vec_id"), col("tgt_id").as("vid_b")))))
         .collect { case (name, f) if measures.contains(name) => name -> f() }
     } finally { gt.unpersist(); () }
   }
