@@ -489,9 +489,13 @@ object Similarity {
     // one scoring pass feeds four consumers (two rankings, two sums):
     // checkpoint it or Catalyst re-plans the scoring per consumer (the
     // q_q3 convention); the returned plan reads it, so the handle stays
+    // round(·, 6) BEFORE micro-unit conversion makes the documented
+    // 6-decimal contract self-enforcing: a caller feeding raw cosines gets
+    // the same cm (and the same reconstructed cos) as one that pre-rounds,
+    // instead of a silently shifted output (r15 advisory)
     val (sc, _) = org.apache.spark.sql.GraftSqlBridge.localCheckpointWithHandle(
       scored.select(col("src_id"), col("tgt_id"),
-        round(col("cos") * 1e6d).cast("long").as("cm")))
+        round(round(col("cos"), 6) * 1e6d).cast("long").as("cm")))
     // per-side top-k via the bounded [[TopKPairs]] aggregate (r15): the
     // row_number windows sorted the whole checkpointed pair stream TWICE;
     // the aggregates fold it map-side to ≤ |keys|·k rows each. `cos` is

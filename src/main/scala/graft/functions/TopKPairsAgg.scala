@@ -120,12 +120,23 @@ object TopKPairs {
     * exchanges (the LSH candidate stream's once-per-repetition dups).
     */
   final class Buf(k: Int, dedup: Boolean = false) {
-    val ranks = new Array[Long](k)
-    val ids = new Array[Long](k)
+    // arrays grow geometrically up to k (r15 advisory: eager k-length
+    // allocation made a million in-flight keys cost k-proportional memory
+    // — ~64 GB at the k=4096 cap — regardless of actual group sizes; with
+    // lazy growth a sparse group costs only what it holds, and the "~200 MB
+    // per million keys" sizing note holds at ANY k for groups of ≤ 16 rows)
+    var ranks = new Array[Long](math.min(k, 16))
+    var ids = new Array[Long](math.min(k, 16))
     var size = 0
 
     @inline private def beats(r1: Long, i1: Long, r2: Long, i2: Long): Boolean =
       r1 > r2 || (r1 == r2 && i1 < i2)
+
+    private def grow(): Unit = {
+      val cap = math.min(k, math.max(ranks.length * 2, 16))
+      ranks = java.util.Arrays.copyOf(ranks, cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
+    }
 
     def insert(r: Long, id: Long): Unit = {
       if (size == k) {
@@ -138,7 +149,10 @@ object TopKPairs {
         while (j < size && beats(ranks(j), ids(j), r, id)) j += 1
         if (j < size && ranks(j) == r && ids(j) == id) return
       }
-      if (size < k) size += 1
+      if (size < k) {
+        if (size == ranks.length) grow()
+        size += 1
+      }
       var j = size - 1
       while (j > 0 && beats(r, id, ranks(j - 1), ids(j - 1))) {
         ranks(j) = ranks(j - 1); ids(j) = ids(j - 1); j -= 1

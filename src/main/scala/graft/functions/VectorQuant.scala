@@ -226,12 +226,33 @@ object VectorQuant {
   }
 
   /** All `chunkBits`-wide masks with popcount ≤ radius, ascending — the
-    * XOR probe deltas of one chunk's Hamming ball. Driver-side enumeration,
-    * shipped as one array literal (ball sizes are capped well under 2^16).
+    * XOR probe deltas of one chunk's Hamming ball. Driver-side COMBINATORIAL
+    * enumeration (choose ≤ radius bit positions, never a 2^chunkBits scan),
+    * shipped as one array literal — cost is the ball size itself, so a wide
+    * chunk with a tiny ball (chunkBits=31, sr=1) enumerates 32 masks, not
+    * 2^31 candidates (r15 advisory: the filter form hung the driver there
+    * before the ball-size cap could fire).
     */
-  private[functions] def probeMasks(chunkBits: Int, radius: Int): Seq[Long] =
-    (0L until (1L << chunkBits))
-      .filter(m => java.lang.Long.bitCount(m) <= radius)
+  private[functions] def probeMasks(chunkBits: Int, radius: Int): Seq[Long] = {
+    require(chunkBits >= 1 && chunkBits <= 62,
+      s"chunkBits in [1,62] (got $chunkBits)")
+    val out = scala.collection.mutable.ArrayBuffer[Long](0L)
+    var r = 1
+    while (r <= math.min(radius, chunkBits)) {
+      // all masks with popcount exactly r via Gosper's hack: next integer
+      // with the same popcount, starting from the lowest (2^r - 1)
+      var m = (1L << r) - 1L
+      val limit = 1L << chunkBits
+      while (m < limit) {
+        out += m
+        val c = m & -m
+        val rr = m + c
+        m = (((rr ^ m) >> 2) / c) | rr
+      }
+      r += 1
+    }
+    out.sorted.toSeq
+  }
 
   /** All cross pairs within Hamming `maxDist` via the GENERALIZED
     * multi-index join — the full Norouzi/Punjani/Fleet MIH, not just the

@@ -348,11 +348,15 @@ object StreamParity {
   /** The gated batch side of q_m20: the multi-index Hamming self-join over
     * the audio-code union (the q_v30 shape on NON-sign codes).
     */
-  def batchAudioHamming(spark: SparkSession, sfDir: String): DataFrame =
-    graft.functions.VectorQuant.hammingNeighbors(
-        audioCodesUnion(spark, sfDir), audioCodesUnion(spark, sfDir),
+  def batchAudioHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    // one codes DataFrame as BOTH join sides — the WAV synthesis +
+    // fingerprint extraction runs once per execution, not once per side
+    // (r15 advisory)
+    val codes = audioCodesUnion(spark, sfDir)
+    graft.functions.VectorQuant.hammingNeighbors(codes, codes,
         reps = 2, wordBits = 32, chunkBits = 16, maxDist = 3, ordered = true)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** q_m20's oracle: the SAME audio codes replayed through the STREAMING
     * chunk-state operator's code-level entry
