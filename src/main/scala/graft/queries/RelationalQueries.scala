@@ -154,6 +154,57 @@ object RelationalQueries {
        WHERE rn <= 3
        ORDER BY o_custkey, rn"""
 
+  /** Correlated NOT EXISTS — the analyzer's null-aware ANTI-join rewrite
+    * (RewritePredicateSubquery plans it as a left anti join with BOTH the
+    * key correlation and the outer-independent predicates pushed into the
+    * join side), a path q_sql2's EXISTS (semi join) never takes. The
+    * threshold keeps the anti set non-trivial at every SF (~5% of
+    * customers at sf0.001). No doubles aggregated — count only.
+    */
+  private val sqlNotExists: String =
+    """SELECT c_nationkey, count(*) AS n_inactive
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000
+                           AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+       GROUP BY c_nationkey
+       ORDER BY c_nationkey"""
+
+  /** EXCEPT ALL + INTERSECT ALL through the SQL parser — bag semantics
+    * (multiplicity-aware, Spark plans them as the replicate-rows
+    * generate + anti/semi rewrites) in ONE tagged union; the DSL gates
+    * q_e5/q_e6 exercise the same logical operators but never the parser/
+    * analyzer set-op precedence path. Deterministic: full-row ORDER BY,
+    * integer columns only.
+    */
+  private val sqlSetOpsAll: String =
+    """SELECT 'ex' AS op, l_orderkey, l_partkey FROM
+         (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_discount > 0.05
+          EXCEPT ALL
+          SELECT l_orderkey, l_partkey FROM lineitem WHERE l_tax > 0.04) a
+       UNION ALL
+       SELECT 'in' AS op, l_orderkey, l_partkey FROM
+         (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_discount > 0.05
+          INTERSECT ALL
+          SELECT l_orderkey, l_partkey FROM lineitem WHERE l_tax > 0.04) b
+       ORDER BY op, l_orderkey, l_partkey"""
+
+  /** GROUP BY ROLLUP through the SQL parser — the analyzer's grouping-set
+    * expansion (q_a13 builds grouping sets via the DSL, never this parse
+    * path). Subtotal rows carry NULL group keys, so the ORDER BY pins
+    * NULLS FIRST explicitly: Spark's ASC default is NULLS FIRST but
+    * DuckDB's is NULLS LAST — the one cross-engine divergence this
+    * query would otherwise silently hit. sum(l_quantity) is exact
+    * (integral-valued doubles), count is exact.
+    */
+  private val sqlRollup: String =
+    """SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty, count(*) AS count_order
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
   /** The one IVF model every q_v* query shares, via the train-once cache:
     * deterministic training (same corpus, k=8, iters=2) makes the cached
     * model identical to a per-query retrain, so reuse changes no result —
@@ -2123,6 +2174,9 @@ object RelationalQueries {
     "q_sql3_scalar_subquery" -> ((s, d) => { sqlViews(s, d); s.sql(sqlScalar) }),
     "q_sql4_q1_pricing" -> ((s, d) => { sqlViews(s, d); s.sql(sqlQ1) }),
     "q_sql5_window_topk" -> ((s, d) => { sqlViews(s, d); s.sql(sqlWindow) }),
+    "q_sql6_not_exists" -> ((s, d) => { sqlViews(s, d); s.sql(sqlNotExists) }),
+    "q_sql7_setops_all" -> ((s, d) => { sqlViews(s, d); s.sql(sqlSetOpsAll) }),
+    "q_sql8_rollup" -> ((s, d) => { sqlViews(s, d); s.sql(sqlRollup) }),
 
     "q_a16_zscore" -> ((s, d) => {
       // per-group z-score standardization (the feature-scaling step next
@@ -3865,6 +3919,9 @@ object RelationalQueries {
     "q_sql3_scalar_subquery" -> sqlScalar,
     "q_sql4_q1_pricing" -> sqlQ1,
     "q_sql5_window_topk" -> sqlWindow,
+    "q_sql6_not_exists" -> sqlNotExists,
+    "q_sql7_setops_all" -> sqlSetOpsAll,
+    "q_sql8_rollup" -> sqlRollup,
 
     "q_a16_zscore" ->
       // stddev == stddev_samp (n−1 denominator) in both engines; the two
