@@ -1,0 +1,504 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram language-model (SentencePiece-style) tokenization — the
+  * tokenizer family modern LLMs actually ship (Llama/T5/Gemma), next to
+  * [[Bpe]]'s merge-walk family. A word is segmented into the piece
+  * sequence MINIMIZING the summed piece costs (Viterbi over the
+  * segmentation lattice); costs are -log p(piece) under the unigram LM.
+  *
+  * Everything here is EXACT INTEGER arithmetic so the DuckDB oracle can
+  * replay training and encoding bit-for-bit:
+  *
+  *  - costs live on a fixed-point grid: [[Unigram.ilog2Frac16]] computes
+  *    ⌊2¹⁶·log2(total/count)⌋-style values by the classical shift-and-
+  *    square integer algorithm (normalize to [1,2) as a Q30 fixed-point
+  *    value, square 16 times, emit one fraction bit per square) — no
+  *    float log anywhere, so both engines derive the SAME cost from the
+  *    same (total, count) pair, with no ulp/rounding knife-edges;
+  *  - Viterbi ties are broken by a TOTAL order replicable in SQL:
+  *    (total cost ASC, piece count ASC, '-'-joined piece string ASC) —
+  *    binary string compare, identical in Java and DuckDB for the ASCII
+  *    vocabularies this corpus carries;
+  *  - training is hard-EM (Viterbi-EM): the E-step re-segments the
+  *    bounded dictionary under current costs and counts pieces weighted
+  *    by word frequency; the M-step re-derives costs from the counts.
+  *    Hard EM rather than forward-backward soft EM is a deliberate
+  *    exactness trade: posterior expectations are irrational, so a soft
+  *    E-step cannot be hash-gated cross-engine; the hard variant is a
+  *    documented SentencePiece option and keeps every intermediate an
+  *    integer.
+  *
+  * Scale shape mirrors [[Bpe.train]]: the ONLY corpus-sized pass is the
+  * distributed word histogram (explode + map-side-combinable groupBy);
+  * candidate extraction, EM, and pruning run on the bounded dictionary
+  * (`minCount` floor + `maxWords` cap make the bound a contract). Encode
+  * is a codegen'd scan-stage expression with the model riding as a plan
+  * reference object and a per-executor word memo (Zipfian corpora turn
+  * the lattice DP into a hash lookup for the heavy head).
+  */
+final case class UnigramModel(pieces: Seq[(String, Long)],
+                              unkId: Int = -1) extends Serializable {
+  require(pieces.nonEmpty, "pieces must be non-empty")
+  require(pieces.map(_._1).distinct.lengthCompare(pieces.length) == 0,
+    "pieces must be distinct")
+  require(pieces.forall(_._2 >= 0L), "costs must be >= 0")
+  require(pieces.forall(p => p._1.nonEmpty && !p._1.contains("-") &&
+    !p._1.contains(" ")),
+    "pieces must be non-empty and free of '-'/' ' (the tie-break join and " +
+      "word-split separators)")
+
+  /** piece id = position in the construction order (the planted/trained
+    * table order) — contiguous, so decode is a positional array lookup.
+    */
+  @transient lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    pieces.zipWithIndex.foreach { case ((p, _), i) => m.put(p, i) }
+    m
+  }
+
+  @transient private lazy val costArr: Array[Long] = pieces.map(_._2).toArray
+  @transient private lazy val maxPieceLen: Int = pieces.map(_._1.length).max
+
+  /** Best segmentation of one word under (cost ASC, n ASC, '-'-joined
+    * pieces ASC) — right-to-left DP. Optimal substructure holds for this
+    * composite order: for a fixed first piece the combined key is
+    * monotone in the suffix key (cost and n are additive; the joined
+    * string shares the fixed prefix), so the best suffix always yields
+    * the best completion. Returns null when some character has no
+    * covering piece (the caller emits unkId for the whole word — the
+    * SentencePiece unknown-handling convention).
+    */
+  private[functions] def viterbi(word: String): Array[Int] = {
+    val L = word.length
+    // per-position best suffix segmentation: cost, n, tie key, ids
+    val bCost = new Array[Long](L + 1)
+    val bN = new Array[Int](L + 1)
+    val bKey = new Array[String](L + 1)
+    val bIds = new Array[List[Int]](L + 1)
+    bKey(L) = ""; bIds(L) = Nil
+    var i = L - 1
+    while (i >= 0) {
+      var found = false
+      var len = 1
+      val maxLen = math.min(maxPieceLen, L - i)
+      while (len <= maxLen) {
+        val piece = word.substring(i, i + len)
+        val pid = ids.get(piece)
+        if (pid != null && bIds(i + len) != null) {
+          val j = i + len
+          val cCost = costArr(pid) + bCost(j)
+          val cN = 1 + bN(j)
+          lazy val cKey = if (bKey(j).isEmpty) piece else piece + "-" + bKey(j)
+          val better = !found || cCost < bCost(i) ||
+            (cCost == bCost(i) && (cN < bN(i) ||
+              (cN == bN(i) && cKey.compareTo(bKey(i)) < 0)))
+          if (better) {
+            bCost(i) = cCost; bN(i) = cN; bKey(i) = cKey
+            bIds(i) = pid.intValue() :: bIds(j)
+            found = true
+          }
+        }
+        len += 1
+      }
+      if (!found) bIds(i) = null
+      i -= 1
+    }
+    if (bIds(0) == null) null else bIds(0).toArray
+  }
+
+  // per-JVM bounded memo of word -> token ids (the Bpe.encode convention:
+  // whole-cache clear on overflow — crude, but a Zipfian corpus refills
+  // the heavy head instantly)
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+
+  private[functions] def encodeWord(word: String): Array[Int] = {
+    var r = memo.get(word)
+    if (r == null) {
+      val v = viterbi(word)
+      r = if (v == null) Array(unkId) else v
+      if (memo.size() > (1 << 20)) memo.clear()
+      memo.put(word, r)
+    }
+    r
+  }
+
+  /** Called from generated code: whole-string encode (space-split words,
+    * empty segments skipped — the [[Bpe]] convention).
+    */
+  def encodeArrayData(text: UTF8String): GenericArrayData = {
+    val words = text.toString.split(' ')
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) { encodeWord(w).foreach(id => out += id) }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** string → array<int> unigram-LM encode; NULL in → NULL out. Codegen'd
+  * as a constant-size call with the model as a plan reference object
+  * (the [[BpeEncode]] shape — no UDF serialization boundary, stays
+  * inside whole-stage codegen).
+  */
+case class UnigramEncode(child: Expression, model: UnigramModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.encodeArrayData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramModel", model,
+      classOf[UnigramModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeArrayData($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
+    copy(child = newChild)
+  override def prettyName: String = "unigram_encode"
+}
+
+object Unigram {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{col, desc, explode, split}
+
+  /** ⌊2¹⁶ · log2(total/cnt)⌋ on the DEFINED fixed-point grid — the
+    * shift-and-square integer log: with q = total div cnt, the exponent
+    * e = bitLength(q) − 1 satisfies cnt·2^e ≤ total < cnt·2^(e+1); the
+    * mantissa y₀ = ⌊total·2³⁰ / (cnt·2^e)⌋ ∈ [2³⁰, 2³¹) is a Q30 value in
+    * [1,2); each of 16 rounds squares it (Q30·Q30 ≫ 30 stays < 2⁶², BIGINT-
+    * safe) and emits one fraction bit (≥ 2 after squaring ⇒ bit 1, halve).
+    * Every operation is integer multiply/shift/compare, so DuckDB's replay
+    * (HUGEINT for the one 70-bit numerator) is bit-identical — "truncation
+    * defined identically in both engines" rather than "float log rounded
+    * and hoped". Monotone non-increasing in cnt; 0 when cnt == total.
+    */
+  def ilog2Frac16(total: Long, cnt: Long): Long = {
+    require(cnt >= 1L, s"cnt must be >= 1 (got $cnt)")
+    require(total >= cnt, s"total $total must be >= cnt $cnt")
+    val q = total / cnt
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    var y = ((BigInt(total) << 30) / (BigInt(cnt) << e)).toLong
+    var frac = 0L
+    var i = 0
+    while (i < 16) {
+      y = (y * y) >> 30
+      frac <<= 1
+      if (y >= (1L << 31)) { frac |= 1L; y >>= 1 }
+      i += 1
+    }
+    (e.toLong << 16) | frac
+  }
+
+  /** Unigram-LM training (hard EM over a bounded dictionary):
+    *
+    *  1. ONE distributed word histogram — the only corpus-sized pass
+    *     (`minCount`-floored, `maxWords`-capped: the bound is a contract);
+    *  2. candidate pieces = every substring of dictionary words with
+    *     length ≤ `maxPieceLen`, weighted by word frequency (overlapping
+    *     occurrences each count); multi-char candidates below
+    *     `pieceMinCount` are dropped, single chars always kept (coverage);
+    *  3. `emIters` rounds of Viterbi-EM on the dictionary: segment each
+    *     word under current costs ([[UnigramModel.viterbi]]'s total
+    *     order), re-count pieces weighted by word frequency, drop
+    *     multi-char pieces that received no mass, floor singles at
+    *     count 1 (coverage survives pruning), re-derive costs with
+    *     [[ilog2Frac16]] against the new total.
+    *
+    * Returns the final (piece, count, cost) table sorted by piece — counts
+    * are the last E-step's exact BIGINT masses, costs the fixed-point
+    * integers the next encode would use. The q_t43 oracle replays ALL of
+    * it in SQL: same histogram, same substring extraction, same integer
+    * log (unrolled shift-and-square), same lattice tie-breaks (full
+    * segmentation enumeration + (cost, n, path) argmin per word).
+    */
+  def train(docs: DataFrame, textCol: String,
+            maxPieceLen: Int = 4, pieceMinCount: Long = 500L,
+            emIters: Int = 2, wordMinCount: Long = 1L,
+            maxWords: Int = 1 << 20): Seq[(String, Long, Long)] = {
+    require(emIters >= 1, s"emIters must be >= 1 (got $emIters)")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1 (got $maxPieceLen)")
+    val dict: Array[(String, Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .filter(col("cnt") >= wordMinCount)
+      .orderBy(desc("cnt"), col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnDict(dict, maxPieceLen, pieceMinCount, emIters)
+  }
+
+  /** The dictionary-side EM loop (driver-bounded by construction). */
+  private[functions] def trainOnDict(dict: Array[(String, Long)],
+                                     maxPieceLen: Int, pieceMinCount: Long,
+                                     emIters: Int): Seq[(String, Long, Long)] = {
+    // weighted substring candidates (overlapping occurrences each count)
+    val freq = new java.util.HashMap[String, java.lang.Long]()
+    dict.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, w.length - i)) {
+          val p = w.substring(i, i + l)
+          val prev = freq.get(p)
+          freq.put(p, if (prev == null) c else prev + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles: Set[String] = {
+      val b = Set.newBuilder[String]
+      freq.forEach((p, _) => if (p.length == 1) b += p)
+      b.result()
+    }
+    var counts: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      freq.forEach((p, c) =>
+        if (p.length == 1 || c >= pieceMinCount) b += (p -> c.longValue()))
+      b.result()
+    }
+    var costs: Map[String, Long] = null
+    def recost(): Unit = {
+      val total = counts.valuesIterator.sum
+      costs = counts.map { case (p, c) => p -> ilog2Frac16(total, c) }
+    }
+    recost()
+    var t = 0
+    while (t < emIters) {
+      val model = UnigramModel(
+        costs.toSeq.sortBy(_._1).map { case (p, c) => (p, c) })
+      val next = scala.collection.mutable.HashMap[String, Long]()
+      dict.foreach { case (w, c) =>
+        val seg = model.viterbi(w)
+        // coverage is guaranteed (singles never leave the vocab), so a
+        // null segmentation indicates a char outside the training corpus
+        // — impossible here by construction
+        seg.foreach { id =>
+          val p = model.pieces(id)._1
+          next.update(p, next.getOrElse(p, 0L) + c)
+        }
+      }
+      counts = (next.toMap.filter(_._2 >= 1L)) ++
+        singles.filterNot(next.contains).map(_ -> 1L).toMap
+      recost()
+      t += 1
+    }
+    counts.keys.toSeq.sorted.map(p => (p, counts(p), costs(p)))
+  }
+
+  def encode(c: Column, model: UnigramModel): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(UnigramEncode(GraftSqlBridge.expression(c), model))
+  }
+
+  /** Unigram token count: size of the encode. */
+  def count(c: Column, model: UnigramModel): Column =
+    org.apache.spark.sql.functions.size(encode(c, model))
+
+  /** DETOKENIZE — positional id → piece lookup (ids are contiguous by
+    * construction), concatenated; decode ∘ encode == text with spaces
+    * removed, the [[Bpe.decode]] round-trip contract. Unknown ids render
+    * as empty string.
+    */
+  def decode(ids: Column, model: UnigramModel): Column = {
+    import org.apache.spark.sql.functions._
+    val arr = array(model.pieces.map(p => lit(p._1)): _*)
+    concat_ws("",
+      transform(ids, i =>
+        when(i >= 0 && i < model.pieces.length,
+          element_at(arr, i + 1)).otherwise(lit(""))))
+  }
+
+  /** The planted gate model for q_t44 (the [[Bpe.planted]] analogue):
+    * a-z singles at a high uniform cost plus multi-char pieces tuned to
+    * the synthetic documents corpus, with DELIBERATE ties pinning the
+    * tie-break ladder —
+    *  - "join" vs "jo"+"in": equal cost (6 = 3+3 in 2¹⁶ units) ⇒ the
+    *    piece-count rule keeps the single piece;
+    *  - "da"+"ta" vs "dat"+"a": equal cost (5+5 = 6+4, the single "a" is
+    *    deliberately cheap) and equal count ⇒ the joined string rule
+    *    picks "da-ta" ('-' sorts before 't').
+    * Costs are plan literals in fixed-point 2¹⁶ units (no training link —
+    * the encode gate must not depend on the train gate's output).
+    */
+  val planted: UnigramModel = UnigramModel(
+    ('a' to 'z').map(ch =>
+      (String.valueOf(ch), (if (ch == 'a') 4L else 10L) * 65536L)) ++
+      Seq(
+        ("the", 3L * 65536L), ("table", 4L * 65536L), ("scan", 4L * 65536L),
+        ("row", 3L * 65536L), ("fast", 4L * 65536L), ("value", 4L * 65536L),
+        ("order", 4L * 65536L), ("join", 6L * 65536L), ("jo", 3L * 65536L),
+        ("in", 3L * 65536L), ("da", 5L * 65536L), ("ta", 5L * 65536L),
+        ("dat", 6L * 65536L), ("qu", 4L * 65536L), ("ery", 5L * 65536L),
+        ("st", 4L * 65536L), ("re", 4L * 65536L), ("am", 4L * 65536L),
+        ("wind", 5L * 65536L), ("ow", 4L * 65536L), ("col", 5L * 65536L),
+        ("umn", 5L * 65536L), ("er", 4L * 65536L), ("sm", 5L * 65536L),
+        ("all", 4L * 65536L), ("gg", 6L * 65536L), ("ha", 5L * 65536L),
+        ("sh", 5L * 65536L), ("ba", 5L * 65536L), ("tch", 6L * 65536L)))
+
+  /** The planted (piece, id, cost) table as DuckDB VALUES rows — single
+    * source of truth for the q_t44 oracle.
+    */
+  def plantedPiecesValues: String =
+    planted.pieces.zipWithIndex
+      .map { case ((p, c), i) => s"('$p',$i,${c}::BIGINT)" }.mkString(", ")
+
+  /** The q_t44 oracle: the full lattice replayed in SQL — per distinct
+    * word, a recursive CTE enumerates EVERY vocab-covered segmentation
+    * (prefix extension against the planted piece table; the planted
+    * vocab's piece lengths bound the fan-out), then the (cost, n,
+    * '-'-joined path) argmin picks the winner — the same total order
+    * [[UnigramModel.viterbi]]'s DP realizes — and ids re-assemble in
+    * document order (the q_t25 machinery).
+    */
+  def encodeOracleSql: String =
+    s"""WITH RECURSIVE
+       vocab(piece, id, cost) AS (SELECT * FROM (VALUES $plantedPiecesValues)),
+       words AS (
+         SELECT doc_id,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS wpos,
+                unnest(string_split(text, ' ')) AS word
+         FROM documents),
+       dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+       seg(word, pos, cost, n, path, idpath) AS (
+         SELECT word, 1, 0::BIGINT, 0, '', '' FROM dwords
+         UNION ALL
+         SELECT s.word, s.pos + length(v.piece), s.cost + v.cost, s.n + 1,
+                CASE WHEN s.path = '' THEN v.piece
+                     ELSE s.path || '-' || v.piece END,
+                CASE WHEN s.idpath = '' THEN v.id::VARCHAR
+                     ELSE s.idpath || '-' || v.id::VARCHAR END
+         FROM seg s JOIN vocab v
+           ON substr(s.word, s.pos, length(v.piece)) = v.piece
+         WHERE s.pos <= length(s.word)),
+       best AS (
+         SELECT word, idpath, n FROM (
+           SELECT word, idpath, n,
+                  row_number() OVER (PARTITION BY word
+                                     ORDER BY cost, n, path) AS rn
+           FROM seg WHERE pos = length(word) + 1) WHERE rn = 1),
+       doc_tokens AS (
+         SELECT w.doc_id,
+                string_agg(b.idpath, '-' ORDER BY w.wpos) AS token_ids,
+                sum(b.n)::BIGINT AS n_tokens
+         FROM words w JOIN best b ON b.word = w.word
+         GROUP BY w.doc_id)
+       SELECT d.doc_id,
+              coalesce(t.token_ids, '') AS token_ids,
+              coalesce(t.n_tokens, 0)::BIGINT AS n_tokens
+       FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+
+  /** One [[ilog2Frac16]] replay as SQL CTEs over a `(piece, cnt)` table
+    * named `pc$t` with total `tot$t`: exponent from bin(), Q30 mantissa
+    * via one HUGEINT division, 16 unrolled-by-recursion square-and-shift
+    * rounds — pure integer ops, bit-identical to the Scala loop.
+    */
+  private def ilogSql(t: Int): String =
+    s"""ce$t AS (
+       SELECT piece, cnt,
+              (length(bin((SELECT tot FROM tot$t) // cnt)) - 1)::BIGINT AS e
+       FROM pc$t),
+       cy$t AS (
+         SELECT piece, cnt, e,
+                (((SELECT tot FROM tot$t)::HUGEINT * 1073741824) //
+                 (cnt::HUGEINT * ((1::BIGINT << e)::HUGEINT)))::BIGINT AS y
+         FROM ce$t),
+       ci$t(piece, e, i, y, frac) AS (
+         SELECT piece, e, 0, y, 0::BIGINT FROM cy$t
+         UNION ALL
+         SELECT piece, e, i + 1,
+                CASE WHEN ((y * y) >> 30) >= 2147483648
+                     THEN ((y * y) >> 30) >> 1 ELSE (y * y) >> 30 END,
+                CASE WHEN ((y * y) >> 30) >= 2147483648
+                     THEN frac * 2 + 1 ELSE frac * 2 END
+         FROM ci$t WHERE i < 16),
+       cost$t AS (SELECT piece, e * 65536 + frac AS cost FROM ci$t WHERE i = 16)"""
+
+  /** The q_t43 oracle: the ENTIRE hard-EM training loop unrolled in SQL —
+    * word histogram, weighted substring candidates, integer log costs
+    * (16 square-and-shift rounds per piece, recursive CTE), then per EM
+    * iteration a full segmentation-lattice enumeration with the (cost, n,
+    * path) argmin, weighted re-count, zero-mass pruning with the singles
+    * floor, and a re-cost. Generated programmatically so maxPieceLen /
+    * minCount / iteration count share one source of truth with the Spark
+    * query.
+    */
+  def trainOracleSql(maxPieceLen: Int, pieceMinCount: Long,
+                     emIters: Int): String = {
+    val head = s"""
+wc AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1),
+subs AS MATERIALIZED (
+  SELECT substr(w.word, st.i, ln.l) AS piece, sum(w.cnt)::BIGINT AS freq
+  FROM wc w,
+       unnest(generate_series(1, length(w.word))) AS st(i),
+       unnest(generate_series(1, $maxPieceLen)) AS ln(l)
+  WHERE st.i + ln.l - 1 <= length(w.word)
+  GROUP BY 1),
+singles AS MATERIALIZED (SELECT piece FROM subs WHERE length(piece) = 1),
+pc0 AS MATERIALIZED (
+  SELECT piece, freq AS cnt FROM subs
+  WHERE freq >= $pieceMinCount OR length(piece) = 1),
+tot0 AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS tot FROM pc0),
+${ilogSql(0)}"""
+    val steps = (1 to emIters).map { t =>
+      val prev = t - 1
+      s"""
+v$t AS MATERIALIZED (
+  SELECT p.piece, c.cost FROM pc$prev p JOIN cost$prev c USING (piece)),
+seg$t(word, pos, cost, n, path) AS (
+  SELECT word, 1, 0::BIGINT, 0, '' FROM wc
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.cost + v.cost, s.n + 1,
+         CASE WHEN s.path = '' THEN v.piece ELSE s.path || '-' || v.piece END
+  FROM seg$t s JOIN v$t v ON substr(s.word, s.pos, length(v.piece)) = v.piece
+  WHERE s.pos <= length(s.word)),
+best$t AS MATERIALIZED (
+  SELECT word, path FROM (
+    SELECT word, path,
+           row_number() OVER (PARTITION BY word ORDER BY cost, n, path) AS rn
+    FROM seg$t WHERE pos = length(word) + 1) WHERE rn = 1),
+pcr$t AS MATERIALIZED (
+  SELECT o.piece, sum(w.cnt)::BIGINT AS cnt
+  FROM (SELECT b.word, unnest(string_split(b.path, '-')) AS piece
+        FROM best$t b) o
+  JOIN wc w ON w.word = o.word
+  GROUP BY 1),
+pc$t AS MATERIALIZED (
+  SELECT piece, cnt FROM pcr$t
+  UNION ALL
+  SELECT s.piece, 1::BIGINT AS cnt FROM singles s
+  ANTI JOIN pcr$t p USING (piece)),
+tot$t AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS tot FROM pc$t),
+${ilogSql(t)}"""
+    }
+    "WITH RECURSIVE " + (head +: steps).mkString(",") +
+      s""" SELECT p.piece, p.cnt, c.cost
+         FROM pc$emIters p JOIN cost$emIters c USING (piece)
+         ORDER BY p.piece"""
+  }
+}

@@ -1867,6 +1867,43 @@ object RelationalQueries {
         .orderBy(col("rank"))
     }),
 
+    "q_t43_unigram_train" -> ((s, d) => {
+      // Unigram-LM (SentencePiece-style) tokenizer TRAINING — hard EM
+      // over the bounded dictionary: one distributed word histogram (the
+      // only corpus-sized pass), weighted substring candidates, then two
+      // Viterbi-EM rounds (segment under current costs, re-count, prune
+      // zero-mass pieces with the singles coverage floor, re-cost). Costs
+      // are EXACT fixed-point integers (Unigram.ilog2Frac16's shift-and-
+      // square integer log — no float log anywhere), so the DuckDB
+      // oracle replays the entire loop bit-for-bit: histogram, candidate
+      // extraction, 16 square-and-shift rounds per cost, full lattice
+      // enumeration with the (cost, n, path) argmin, and both EM rounds.
+      import s.implicits._
+      graft.functions.Unigram.train(Tables.documents(s, d), "text",
+          maxPieceLen = 4, pieceMinCount = 500L, emIters = 2)
+        .toDF("piece", "cnt", "cost")
+        .orderBy(col("piece"))
+    }),
+
+    "q_t44_unigram_encode" -> ((s, d) =>
+      // Unigram-LM Viterbi ENCODE over the planted piece table: per word,
+      // the min-cost segmentation under (cost, n_pieces, '-'-joined
+      // pieces) — integer costs, total order, zero float ops — run as the
+      // codegen'd UnigramEncode native expression with a per-executor
+      // word memo (the q_t25 BPE shape). The planted model carries
+      // deliberate ties pinning both tie-break rungs (see
+      // Unigram.planted). The oracle enumerates EVERY vocab-covered
+      // segmentation per distinct word and picks the same argmin, so
+      // every token id of every doc is hash-gated.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Unigram.encode(col("text"),
+            graft.functions.Unigram.planted).as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
     "q_sp9_bpe_token_budget" -> ((s, d) =>
       // q_sp3's budget packing with the REAL tokenizer count: same hash
       // bins and per-bin prefix windows, but n_tokens is the BPE token
@@ -1877,6 +1914,19 @@ object RelationalQueries {
           "doc_id",
           graft.functions.Bpe.count(col("text"), graft.functions.Bpe.planted)
             .cast("long"),
+          budgetPerBin = 2000L, bins = 8)
+        .orderBy(col("doc_id"))),
+
+    "q_sp22_unigram_token_budget" -> ((s, d) =>
+      // q_sp9's budget packing under the UNIGRAM-LM tokenizer — the
+      // reason the family exists: shard budgets sized by the tokenizer
+      // the training run actually uses (Llama/T5-style), not BPE or
+      // whitespace proxies. Same hash bins and per-bin prefix windows;
+      // n_tokens is the Viterbi token count.
+      graft.functions.Sampling.tokenBudgetPackBy(Tables.documents(s, d),
+          "doc_id",
+          graft.functions.Unigram.count(col("text"),
+            graft.functions.Unigram.planted).cast("long"),
           budgetPerBin = 2000L, bins = 8)
         .orderBy(col("doc_id"))),
 
@@ -3584,13 +3634,78 @@ object RelationalQueries {
           .as("payload"))
       val codes = mm.extractDHashAny(mediaA.unionByName(mediaB)).toDF()
         .select(col("media_id").as("vec_id"), col("code"))
-      val dominated = graft.functions.VectorQuant.hammingNeighbors(
+      // survivor rule: earliest-dominator BY CHOICE (not cluster-min) —
+      // see Dedup.survivorsByEarliestDominator's semantics note: image
+      // re-encode drift chains must not collapse transitively
+      val pairs = graft.functions.VectorQuant.hammingNeighbors(
           codes, codes, reps = 2, wordBits = 32, chunkBits = 16,
           maxDist = 3, ordered = true)
-        .select(col("id_b").as("vec_id")).distinct()
-      codes.join(dominated, Seq("vec_id"), "left_anti")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.functions.Dedup.survivorsByEarliestDominator(codes, pairs, "vec_id")
         .select(col("vec_id").as("media_id"),
           col("code").getItem(0).as("w0"), col("code").getItem(1).as("w1"))
+        .orderBy(col("media_id"))
+    }),
+
+    "q_m22_crossmodal_dedup" -> ((s, d) => {
+      // CROSS-MODAL dedup — the interleaved-corpus pass q_m21 (image
+      // only) and q_d11 (text only) each leave open: every row carries
+      // text AND an image payload, and a row is dropped when EITHER
+      // modality is dominated by an earlier id. The B side (+1e7) is
+      // constructed so each modality's gate is individually load-bearing:
+      // even doc_ids are image near-dups with REVERSED text (only the
+      // dHash family can drop them), odd doc_ids carry identical text
+      // under an image synthesized from the reversed string (only the
+      // simhash family can). Candidates come from the two linear
+      // families — pigeonhole Hamming join on dHash codes, banded
+      // simhash join on text — unioned into ONE dominated set before a
+      // single anti-join; codes and signatures ride every exchange,
+      // never pixels or raw text. Output = survivors with both
+      // fingerprints, so the hash pins decode, pooling, both candidate
+      // families, AND the either-modality rule.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 247)
+        .repartition(s.sparkContext.defaultParallelism)
+      val txt = substring(col("text"), 1, 247)
+      val mm = graft.multimodal.Multimodal
+      val mediaA = docs.select(col("doc_id").cast("long").as("media_id"),
+        mm.synthesizePngPayload(txt, width = 19, filterCycle = true,
+          channels = 1).as("payload"))
+      val mediaB = docs.select(
+        (col("doc_id").cast("long") + 10000000L).as("media_id"),
+        when(col("doc_id") % 2 === 0,
+          mm.synthesizePngPerturbedPayload(txt, width = 19,
+            filterCycle = true, brightness = 64, spot = false))
+        .otherwise(mm.synthesizePngPayload(reverse(txt), width = 19,
+          filterCycle = true, channels = 1))
+        .as("payload"))
+      val codes = mm.extractDHashAny(mediaA.unionByName(mediaB)).toDF()
+        .select(col("media_id").as("vec_id"), col("code"))
+      val texts = docs.select(col("doc_id").cast("long"), txt.as("text"))
+        .select(col("doc_id"), col("text"))
+        .unionByName(docs.select(
+          (col("doc_id").cast("long") + 10000000L).as("doc_id"),
+          when(col("doc_id") % 2 === 0, reverse(txt)).otherwise(txt)
+            .as("text")))
+      val imgPairs = graft.functions.VectorQuant.hammingNeighbors(
+          codes, codes, reps = 2, wordBits = 32, chunkBits = 16,
+          maxDist = 3, ordered = true)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
+          maxDist = 3, tokenHash = graft.functions.Dedup.md5Hash32,
+          bits = 32)
+        .select(col("doc_a"), col("doc_b"))
+      val sigs = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
+          graft.functions.Dedup.md5Hash32, 32)
+        .select(col("doc_id").as("media_id"), col("simhash"))
+      // survivor rule: earliest-dominator over the UNION of both
+      // modalities' pair graphs (the q_m21 choice — see
+      // Dedup.survivorsByEarliestDominator's semantics note)
+      graft.functions.Dedup.survivorsByEarliestDominator(
+          codes.select(col("vec_id").as("media_id"),
+            col("code").getItem(0).as("w0"), col("code").getItem(1).as("w1"))
+            .join(sigs, Seq("media_id")),
+          imgPairs.unionByName(txtPairs), "media_id")
         .orderBy(col("media_id"))
     }),
 
@@ -6074,6 +6189,99 @@ object RelationalQueries {
          WHERE media_id NOT IN (SELECT media_id FROM dominated)
          ORDER BY media_id""",
 
+    "q_m22_crossmodal_dedup" ->
+      // the whole cross-modal pass re-derived from TEXT: q_m21's
+      // exact-overlap pooling for both image-code sets (side b's even
+      // rows brighten by 64 — gradient-preserving; odd rows re-index the
+      // char grid REVERSED, v(k) → v(248−k), no string ops needed), the
+      // q_d11 simhash over the text union, brute all-pairs Hamming ≤ 3
+      // per modality, dominated = the UNION, survivors = the anti-join —
+      // the either-modality rule replayed verbatim
+      """WITH px AS (
+           SELECT doc_id, k, ascii(substr(text, k, 1)) AS v
+           FROM documents, LATERAL (SELECT unnest(range(1, 248)) AS k) u
+           WHERE text IS NOT NULL AND len(text) >= 247),
+         pa AS (
+           SELECT doc_id, (k - 1) % 19 AS x, (k - 1) // 19 AS y, v FROM px),
+         pb AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN (k - 1) % 19
+                       ELSE (247 - k) % 19 END AS x,
+                  CASE WHEN doc_id % 2 = 0 THEN (k - 1) // 19
+                       ELSE (247 - k) // 19 END AS y,
+                  CASE WHEN doc_id % 2 = 0 THEN v + 64 ELSE v END AS v
+           FROM px),
+         cw AS (
+           SELECT x, cx,
+                  least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) AS wx
+           FROM (SELECT unnest(range(0, 19)) AS x),
+                (SELECT unnest(range(0, 9)) AS cx)
+           WHERE least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) > 0),
+         ch AS (
+           SELECT y, cy,
+                  least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) AS wy
+           FROM (SELECT unnest(range(0, 13)) AS y),
+                (SELECT unnest(range(0, 8)) AS cy)
+           WHERE least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) > 0),
+         ga AS (
+           SELECT doc_id, cy AS i, cx AS j, sum(v * wx * wy) AS g
+           FROM pa JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3),
+         gb AS (
+           SELECT doc_id, cy AS i, cx AS j, sum(v * wx * wy) AS g
+           FROM pb JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3),
+         ca AS (
+           SELECT l.doc_id::BIGINT AS media_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM ga l JOIN ga rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1),
+         cb AS (
+           SELECT (l.doc_id + 10000000)::BIGINT AS media_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS w0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS w1
+           FROM gb l JOIN gb rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1),
+         allc AS (SELECT * FROM ca UNION ALL SELECT * FROM cb),
+         txts AS (
+           SELECT doc_id::BIGINT AS media_id, substr(text, 1, 247) AS t
+           FROM documents WHERE text IS NOT NULL AND len(text) >= 247
+           UNION ALL
+           SELECT (doc_id + 10000000)::BIGINT,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN reverse(substr(text, 1, 247))
+                       ELSE substr(text, 1, 247) END
+           FROM documents WHERE text IS NOT NULL AND len(text) >= 247),
+         hs AS (
+           SELECT media_id, [('0x'||substr(md5(tk),1,8))::BIGINT
+             FOR tk IN list_distinct(string_split(t, ' '))] AS h
+           FROM txts),
+         sg AS (
+           SELECT media_id,
+                  list_sum([CASE WHEN len(list_filter(h, x -> (x >> b) & 1 = 1)) * 2 >= len(h)
+                                 THEN 1::BIGINT << b ELSE 0::BIGINT END
+                            FOR b IN generate_series(0, 31)])::BIGINT AS simhash
+           FROM hs),
+         imgdom AS (
+           SELECT DISTINCT b.media_id FROM allc a, allc b
+           WHERE a.media_id < b.media_id
+             AND bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3),
+         txtdom AS (
+           SELECT DISTINCT y.media_id FROM sg x, sg y
+           WHERE x.media_id < y.media_id
+             AND bit_count(xor(x.simhash, y.simhash)) <= 3),
+         dom AS (SELECT media_id FROM imgdom
+                 UNION SELECT media_id FROM txtdom)
+         SELECT c.media_id, c.w0::BIGINT AS w0, c.w1::BIGINT AS w1, s.simhash
+         FROM allc c JOIN sg s USING (media_id)
+         WHERE c.media_id NOT IN (SELECT media_id FROM dom)
+         ORDER BY c.media_id""",
+
     "q_v32_two_stage_ann" ->
       // the whole two-stage chain re-derived: sign codes for the corpus
       // and its three flip variants, BRUTE Hamming <= 3 ball (the
@@ -6605,6 +6813,63 @@ object RelationalQueries {
       // 6 unrolled MATERIALIZED-CTE steps, each = weighted pair count +
       // deterministic argmax + recursive merge walk over affected words
       graft.functions.Bpe.trainOracleSql(6),
+
+    "q_t43_unigram_train" ->
+      // the full hard-EM loop re-derived (see Unigram.trainOracleSql):
+      // integer shift-and-square log costs + per-round full lattice
+      // enumeration with the (cost, n, path) argmin — same params as the
+      // Spark query (single source of truth: the generator)
+      graft.functions.Unigram.trainOracleSql(4, 500L, 2),
+
+    "q_t44_unigram_encode" ->
+      // every vocab-covered segmentation enumerated per distinct word,
+      // the (cost, n, path) argmin picked, ids reassembled in doc order
+      graft.functions.Unigram.encodeOracleSql,
+
+    "q_sp22_unigram_token_budget" ->
+      // the q_t44 lattice argmin reduced to per-doc token counts, feeding
+      // the exact q_sp3/q_sp9 packing SQL (same hash key, bins, per-bin
+      // prefix window)
+      s"""WITH RECURSIVE
+         vocab(piece, id, cost) AS
+           (SELECT * FROM (VALUES ${graft.functions.Unigram.plantedPiecesValues})),
+         words AS (
+           SELECT doc_id,
+                  unnest(generate_series(1, len(string_split(text, ' ')))) AS wpos,
+                  unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+         seg(word, pos, cost, n, path) AS (
+           SELECT word, 1, 0::BIGINT, 0, '' FROM dwords
+           UNION ALL
+           SELECT s.word, s.pos + length(v.piece), s.cost + v.cost, s.n + 1,
+                  CASE WHEN s.path = '' THEN v.piece
+                       ELSE s.path || '-' || v.piece END
+           FROM seg s JOIN vocab v
+             ON substr(s.word, s.pos, length(v.piece)) = v.piece
+           WHERE s.pos <= length(s.word)),
+         best AS (
+           SELECT word, n FROM (
+             SELECT word, n,
+                    row_number() OVER (PARTITION BY word
+                                       ORDER BY cost, n, path) AS rn
+             FROM seg WHERE pos = length(word) + 1) WHERE rn = 1),
+         doc_counts AS (
+           SELECT w.doc_id, sum(b.n)::BIGINT AS n_tokens
+           FROM words w JOIN best b ON b.word = w.word
+           GROUP BY w.doc_id),
+         t AS (
+           SELECT d.doc_id, coalesce(c.n_tokens, 0)::BIGINT AS n_tokens,
+                  ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT AS hk
+           FROM documents d LEFT JOIN doc_counts c ON c.doc_id = d.doc_id),
+         b AS (
+           SELECT doc_id, (hk % 8)::INT AS bin, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                    AS cum_tokens
+           FROM t)
+         SELECT doc_id, bin, n_tokens, cum_tokens FROM b
+         WHERE cum_tokens <= 2000 ORDER BY doc_id""",
 
     "q_sp9_bpe_token_budget" ->
       // the q_t25 merge walk reduced to per-doc counts, feeding the exact
