@@ -660,6 +660,41 @@ object ScaleBench {
     } finally { truth.unpersist(); () }
   }
 
+  /** Sampled-betweenness cost envelope — [[closenessLadder]]'s discipline
+    * applied to the Brandes estimator: same deterministic md5 graphs,
+    * pivots ∝ log₂ n. Cost = forward BFS (the closeness envelope) PLUS
+    * one backward per-level join pass, so the expected slope is the same
+    * sources-grow-with-the-graph shape at roughly twice the constant.
+    */
+  def betweennessLadder(spark: SparkSession, nBase: Long = 20000L,
+                        factor: Int = 10, degree: Int = 8,
+                        passes: Int = 2): Seq[(String, Double)] = {
+    import graft.ops.GraphAnalytics
+    def point(n: Long): Double = {
+      val nodes = spark.range(n).select(col("id"))
+      val edges = spark.range(n * degree).select(
+        expr(s"id div $degree").as("fromId"),
+        pmod(graft.functions.Dedup.md5Hash32(
+          concat_ws(":", lit("cl"), col("id"))), lit(n)).as("toId"))
+        .filter(col("fromId") =!= col("toId"))
+      val k = math.max(1, 63 - java.lang.Long.numberOfLeadingZeros(n))
+      val srcs = (0L until k.toLong).toSeq
+      (0 until passes).map { _ =>
+        val t0 = System.nanoTime()
+        GraphAnalytics.betweennessCentrality(nodes, edges, srcs)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val b = point(nBase)
+    val s = point(nBase * factor)
+    Seq(
+      f"betweenness n=$nBase sources=${63 - java.lang.Long.numberOfLeadingZeros(nBase)}" -> b,
+      f"betweenness n=${nBase * factor} sources=${63 - java.lang.Long.numberOfLeadingZeros(nBase * factor)}" -> s,
+      "betweenness ratio" -> (if (b > 0) s / b else -1.0))
+  }
+
   /** The survivor-rule A/B behind [[graft.functions.Dedup
     * .survivorsByEarliestDominator]]'s decision scaladoc: build the q_m21
     * media pair graph (format-dispatched dHash codes, pigeonhole Hamming ≤ 3
@@ -829,7 +864,8 @@ object ScaleBench {
     // self-synthesized graphs (no doc/emb tables involved): sources scale
     // ∝ log₂ n with the graph, the Eppstein–Wang sampling discipline
     if (families.contains("graph")) {
-      val rows = closenessLadder(spark, factor = factor, passes = passes)
+      val rows = closenessLadder(spark, factor = factor, passes = passes) ++
+        betweennessLadder(spark, factor = factor, passes = passes)
       def esc0(s: String) = s.replace("\"", "\\\"")
       val qj = rows.map { case (n, t) => f""""${esc0(n)}":$t%.3f""" }
         .mkString("{", ",", "}")

@@ -36,7 +36,7 @@ object Verify {
     Seq("fx_graph50_nodes.parquet", "fx_graph50_edges.parquet",
         "fx_stream_pairs.parquet", "fx_incdedup_stream.parquet",
         "fx_decay_stream.parquet", "fx_hamming_stream.parquet",
-        "fx_audio_stream.parquet",
+        "fx_audio_stream.parquet", "fx_ivf_stream.parquet",
         "fx_ivf_probes.parquet", "fx_ivf_centroids.parquet",
         "fx_pq_codebooks.parquet",
         "fx_mitm_matches.parquet", "fx_mitm_walks.parquet",
@@ -122,6 +122,14 @@ object Verify {
       try graft.queries.StreamParity.exportAudioHammingStream(spark, sfDir, outDir)
       catch { case e: Throwable =>
         System.err.println(s"[verify] audio-stream export failed: ${e.getMessage}")
+      }
+    }
+    // q_v36's oracle: the query set replayed as a three-micro-batch stream
+    // against the static IVF index (stateless stream-static cell join)
+    if (selected("q_v36")) {
+      try graft.queries.StreamParity.exportIvfStream(spark, sfDir, outDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] ivf-stream export failed: ${e.getMessage}")
       }
     }
     // q_ev18's oracle: the event table replayed through a multi-batch

@@ -611,6 +611,109 @@ object GraphAnalytics {
         coalesce(col("harmonic_micro"), lit(0L)).as("harmonic_micro"))
   }
 
+  /** Sampled BETWEENNESS centrality — Brandes (2001) from a fixed pivot
+    * set, the standard sampling discipline (pivots ∝ log n estimates rank
+    * order; exact betweenness needs all n sources and is quadratic).
+    * Directed, unweighted. Two phases, both level-synchronous joins:
+    *
+    *  1. FORWARD: the [[closenessCentrality]] multi-source BFS carrying
+    *     one extra column — σ(s,v), the shortest-path COUNT, accumulated
+    *     as the grouped sum of predecessor σ at discovery level (exact
+    *     BIGINT; only level-L frontier rows feed level L+1, so non-DAG
+    *     edges never contribute).
+    *  2. BACKWARD: per level L (deepest first), the dependency
+    *     accumulation δ(v) = Σ_{v→w on the DAG} σ_v·(1+δ(w))/σ_w — made
+    *     engine-exact by QUANTIZING to integer micro-units with the floor
+    *     applied PER DAG EDGE TERM:
+    *       δ_micro(v) = Σ_w ⌊σ_v · (10⁶ + δ_micro(w)) / σ_w⌋
+    *     Each term is an exact BIGINT, the sum is order-independent, so
+    *     any partitioning/engine derives identical values (the float δ it
+    *     replaces is summation-order-dependent). bc_micro(v) = Σ over
+    *     sources s ≠ v of δ_micro(v) — betweenness in micro-units.
+    *
+    * Scale shape: forward is |sources| × frontier-out-edges per level
+    * (the q_ga21 envelope — SCALE.md's closeness ladder measures exactly
+    * this cost shape, sources ∝ log₂ n); backward re-joins each level's
+    * node set against the edge table once (level-count joins total, each
+    * equi-keyed on fromId — no all-pairs, no windows). All interim frames
+    * ride the [[EveryK]] checkpoint cadence.
+    */
+  def betweennessCentrality(nodes: DataFrame, edges: DataFrame,
+                            sources: Seq[Long],
+                            maxLevels: Int = 1000): DataFrame = {
+    require(sources.nonEmpty, "betweennessCentrality needs at least one source")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("fromId").cast("long").as("fromId"),
+        col("toId").cast("long").as("toId")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cutter = new EveryK(3)
+    var visited = sources.distinct.map(s => (s, s, 0, 1L))
+      .toDF("src", "id", "level", "sigma")
+    var frontier = visited
+    var level = 0
+    var frontierSize = sources.distinct.size.toLong
+    while (frontierSize > 0 && level < maxLevels) {
+      level += 1
+      val next = cutter.persistInterim(
+        e.join(frontier.select(col("src"), col("id").as("fromId"),
+            col("sigma")), "fromId")
+          .select(col("src"), col("toId").as("id"), col("sigma"))
+          .join(visited.select(col("src"), col("id")),
+            Seq("src", "id"), "left_anti")
+          .groupBy(col("src"), col("id"))
+          .agg(sum(col("sigma")).as("sigma"))
+          .select(col("src"), col("id"), lit(level).as("level"),
+            col("sigma")))
+      frontierSize = next.count()
+      visited = cutter.step(visited.unionByName(next))
+      frontier = if (cutter.justCut) visited.filter(col("level") === level)
+                 else next
+    }
+    visited = cutter.seal(visited)
+    val maxLevel = level - 1 // the last expanded level was empty
+    // backward dependency accumulation, deepest level first; nodes at the
+    // deepest level have no DAG successors, so their δ is 0 and the loop
+    // starts one level up. Each dL frame holds only nodes WITH successors
+    // (absent ⇒ δ = 0, handled by the left join's coalesce).
+    val back = new EveryK(3)
+    var deltaNext = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("src", "id", "delta")
+    var deltas = deltaNext
+    var l = maxLevel - 1
+    while (l >= 0) {
+      val uAtL = visited.filter(col("level") === l)
+        .select(col("src"), col("id").as("fromId"), col("sigma"))
+      val wAtL1 = visited.filter(col("level") === l + 1)
+        .select(col("src").as("wsrc"), col("id").as("wid"),
+          col("sigma").as("wsigma"))
+        .join(deltaNext.select(col("src").as("wsrc"), col("id").as("wid"),
+          col("delta").as("wdelta")), Seq("wsrc", "wid"), "left")
+      val dL = back.persistInterim(
+        e.join(uAtL, "fromId")
+          .join(wAtL1, col("toId") === col("wid") &&
+            col("src") === col("wsrc"))
+          .select(col("src"), col("fromId").as("id"),
+            expr("sigma * (1000000 + coalesce(wdelta, 0L)) div wsigma")
+              .as("term"))
+          .groupBy(col("src"), col("id"))
+          .agg(sum(col("term")).as("delta")))
+      dL.count() // fill the cache before the next level consumes it
+      deltas = back.step(deltas.unionByName(dL))
+      deltaNext = dL
+      l -= 1
+    }
+    deltas = back.seal(deltas)
+    val bc = deltas.filter(col("id") =!= col("src"))
+      .groupBy(col("id"))
+      .agg(sum(col("delta")).as("bc_micro"))
+    val out = nodes.select(col("id").cast("long").as("id"))
+      .join(bc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("bc_micro"), lit(0L)).as("bc_micro"))
+    e.unpersist()
+    out
+  }
+
   /** Personalized PageRank (random-walk-with-restart): like [[pageRank]]
     * but ALL teleport mass returns to `sourceId` — the stationary
     * distribution of a walker who restarts at the source with probability

@@ -34,6 +34,9 @@ object GraphQueries {
   private def graph50(spark: SparkSession): NetGraphDS =
     GraphText.load(spark, graph50Path).toDS(spark)
 
+  private def graph200(spark: SparkSession): NetGraphDS =
+    GraphText.load(spark, graph200Path).toDS(spark)
+
   // ---- seeded pipeline runs, memoized per SparkContext --------------------
   // Verify's fixture export AND the q_gg7/q_gg8 gate queries consume the same
   // seeded Result; the cache makes them share ONE pipeline run instead of
@@ -146,9 +149,16 @@ object GraphQueries {
     // Graph200 nodes for the q_gs4 oracle: even this fallback stays a real
     // CROSS-FORMAT check there (GraphText.parse vs NgsReader share no
     // decoding code), unlike q_gs1 where it degrades to a round-trip
+    val g200 = GraphText.load(spark, graph200Path).toDS(spark)
+    writeSingleFile(g200.nodes.toDF(), s"$outDir/fx_graph200_nodes.parquet")
+    // Graph200 edges for the q_ga22 oracle (same flat layout as graph50)
     writeSingleFile(
-      GraphText.load(spark, graph200Path).toDS(spark).nodes.toDF(),
-      s"$outDir/fx_graph200_nodes.parquet")
+      g200.edges.toDF().select(
+        Seq(col("actionType"), col("fromId"), col("toId"),
+          col("resultingValue"), col("cost")) ++
+          nodeCols.map(c => col(s"fromNode.$c").as(s"from_$c")) ++
+          nodeCols.map(c => col(s"toNode.$c").as(s"to_$c")): _*),
+      s"$outDir/fx_graph200_edges.parquet")
   }
 
   private[graft] def writeSingleFile(df: DataFrame, dest: String): Unit = {
@@ -348,6 +358,24 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga22_betweenness" -> ((s, _) => {
+      // sampled Brandes betweenness from the 8 smallest node ids, on the
+      // GRAPH200 fixture — graph50's shortest-path DAG has σ ≡ 1 (path
+      // counts never split), while graph200 carries 92 (src, node) pairs
+      // with σ > 1, so the quantized dependency SPLIT (the part of
+      // Brandes beyond plain BFS) is actually observable. Integer
+      // micro-unit accumulation with the floor applied per DAG edge term
+      // — exact BIGINT on any engine/partitioning (see
+      // GraphAnalytics.betweennessCentrality).
+      val g = graph200(s)
+      val nodesDf = g.nodes.toDF()
+      val srcs = nodesDf.select(col("id").cast("long")).orderBy(col("id"))
+        .limit(8).collect().map(_.getLong(0)).toSeq
+      GraphAnalytics.betweennessCentrality(nodesDf,
+          g.edges.toDF().select(col("fromId"), col("toId")), srcs)
+        .orderBy(col("id"))
+    }),
+
     "q_ga7_ppr" -> ((s, _) => {
       // personalized PageRank from the init node (random-walk-with-restart
       // proximity): all teleport mass returns to id 0, initial mass at the
@@ -473,6 +501,67 @@ object GraphQueries {
   // SQL compares every node field, not just ids.
   private val nodesTbl = "'{{OUTDIR}}/fx_graph50_nodes.parquet'"
   private val edgesTbl = "'{{OUTDIR}}/fx_graph50_edges.parquet'"
+  private val nodes200Tbl = "'{{OUTDIR}}/fx_graph200_nodes.parquet'"
+  private val edges200Tbl = "'{{OUTDIR}}/fx_graph200_edges.parquet'"
+
+  /** The q_ga22 oracle, generated: recursive BFS min levels from the same
+    * 8 smallest ids, the shortest-path DAG, σ via shortest-path
+    * ENUMERATION (UNION ALL over DAG walks — each row one path instance;
+    * lvl strictly increases so the recursion is finite; counts grouped at
+    * arrival), then the backward dependency accumulation UNROLLED one CTE
+    * per level (deepest first; there is no fixpoint form for the nested
+    * per-edge floor), each term ⌊σ_u·(10⁶+δ_w)/σ_w⌋ in pure BIGINT
+    * arithmetic. `maxLevels` bounds both the BFS depth and the unroll —
+    * if a regenerated fixture ever exceeded it, the gate would fail
+    * LOUDLY with a depth mismatch, never silently truncate (the Spark
+    * side iterates to the true frontier fixpoint).
+    */
+  private def betweennessOracleSql(maxLevels: Int): String = {
+    val head = s"""WITH RECURSIVE
+e AS MATERIALIZED (SELECT DISTINCT fromId, toId FROM $edges200Tbl),
+n AS MATERIALIZED (SELECT id FROM $nodes200Tbl),
+srcs AS (SELECT id AS src FROM n ORDER BY id LIMIT 8),
+bfs(src, id, lvl) AS (
+  SELECT src, src, 0 FROM srcs
+  UNION
+  SELECT bfs.src, e.toId, bfs.lvl + 1
+  FROM bfs JOIN e ON e.fromId = bfs.id WHERE bfs.lvl < $maxLevels),
+mind AS MATERIALIZED (SELECT src, id, min(lvl) AS d FROM bfs GROUP BY 1, 2),
+dag AS MATERIALIZED (
+  SELECT m1.src, e.fromId AS u, e.toId AS v
+  FROM e JOIN mind m1 ON m1.id = e.fromId
+  JOIN mind m2 ON m2.src = m1.src AND m2.id = e.toId AND m2.d = m1.d + 1),
+paths(src, id, lvl) AS (
+  SELECT src, src, 0 FROM srcs
+  UNION ALL
+  SELECT p.src, g.v, p.lvl + 1 FROM paths p
+  JOIN dag g ON g.src = p.src AND g.u = p.id),
+sigma AS MATERIALIZED (
+  SELECT src, id, count(*)::BIGINT AS sigma FROM paths GROUP BY 1, 2),
+d$maxLevels AS (SELECT src, id, 0::BIGINT AS delta FROM mind WHERE FALSE)"""
+    val steps = (maxLevels - 1 to 0 by -1).map { l =>
+      s"""
+d$l AS MATERIALIZED (
+  SELECT g.src, g.u AS id,
+         sum((s1.sigma * (1000000 + coalesce(dw.delta, 0))) // s2.sigma)::BIGINT
+           AS delta
+  FROM dag g
+  JOIN mind m1 ON m1.src = g.src AND m1.id = g.u AND m1.d = $l
+  JOIN sigma s1 ON s1.src = g.src AND s1.id = g.u
+  JOIN sigma s2 ON s2.src = g.src AND s2.id = g.v
+  LEFT JOIN d${l + 1} dw ON dw.src = g.src AND dw.id = g.v
+  GROUP BY 1, 2)"""
+    }
+    val union = (0 until maxLevels)
+      .map(l => s"SELECT * FROM d$l").mkString(" UNION ALL ")
+    head + "," + steps.mkString(",") + s""",
+deltas AS ($union),
+bc AS (SELECT d.id, sum(d.delta)::BIGINT AS bc_micro
+       FROM deltas d WHERE d.id <> d.src GROUP BY 1)
+SELECT n.id AS "id", coalesce(bc.bc_micro, 0)::BIGINT AS bc_micro
+FROM n LEFT JOIN bc ON bc.id = n.id
+ORDER BY n.id"""
+  }
   private val nodeFields = GraphSchemas.nodeSchema.fieldNames.toSeq
   private def structEq(edgeSide: String, nodeAlias: String): String =
     nodeFields.map(f => s"e.${edgeSide}_$f = $nodeAlias.$f").mkString(" AND ")
@@ -820,6 +909,12 @@ object GraphQueries {
           SELECT n.id AS "id", scc.scc_id
           FROM $nodesTbl n JOIN scc ON scc.id = n.id
           ORDER BY n.id""",
+
+    "q_ga22_betweenness" ->
+      // quantized Brandes replayed end-to-end: BFS min levels, DAG,
+      // σ by path enumeration, per-level unrolled dependency
+      // back-propagation with the identical per-edge integer floor
+      betweennessOracleSql(10),
 
     "q_ga21_closeness" ->
       // the multi-source BFS re-derived: recursive enumeration from the

@@ -396,7 +396,77 @@ object StreamParity {
     }
   }
 
+  /** The q_v36 query set: every 25th vector — bounded, deterministic,
+    * the q_v33 retrieval-query convention.
+    */
+  private def ivfStreamQueries(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull && col("vec_id") % 25 === 0)
+      .select(col("vec_id"), col("embedding"))
+
+  /** The gated batch side of q_v36: the production IVF retrieval
+    * ([[graft.functions.IvfIndex.knnJoin]], nprobe=2, the shared k=8
+    * model) for the bounded query set.
+    */
+  def batchIvfRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = graft.functions.IvfIndex.ensureModel(spark, embs, sfDir, k = 8)
+    graft.functions.IvfIndex.knnJoin(embs, model, k = 5, nprobe = 2,
+        queries = Some(ivfStreamQueries(spark, sfDir)))
+      .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))
+  }
+
+  /** Query payload for the q_v36 replay. */
+  final case class QueryVec(vec_id: Long, embedding: Array[Float])
+
+  /** q_v36's oracle: the SAME query set replayed as an ARRIVING STREAM in
+    * three micro-batches against the static index
+    * ([[graft.streaming.IvfStream.candidateScores]] — the stateless
+    * stream-static cell join, evaluated through the streaming engine's
+    * incremental plans), then the same bounded top-k fold the batch plan
+    * runs, exported as `fx_ivf_stream.parquet`. Parity pins that
+    * stream-static SERVING returns exactly what batch retrieval returns —
+    * per micro-batch, with the index reused across batches.
+    */
+  def exportIvfStream(spark: SparkSession, sfDir: String,
+                      outDir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val embs = Tables.embeddings(spark, sfDir)
+    val model = graft.functions.IvfIndex.ensureModel(spark, embs, sfDir, k = 8)
+    val qs = ivfStreamQueries(spark, sfDir).collect()
+      .map(r => QueryVec(r.getLong(0), r.getSeq[Float](1).toArray))
+    val src = MemoryStream[QueryVec]
+    val pid = ProcessHandle.current.pid
+    val q = graft.streaming.IvfStream.candidateScores(src.toDF(), embs,
+        model, nprobe = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"graft_ivf_stream_$pid").start()
+    try {
+      // three micro-batches: per-batch processing proves the static side
+      // is reusable serving state, not a one-shot join
+      qs.grouped(math.max(1, qs.length / 3 + 1)).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val folded = spark.table(s"graft_ivf_stream_$pid")
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.TopKPairs.topK(col("cm"), col("vid_b"), 5).as("tk"))
+        .select(col("vec_id"), explode(col("tk")).as("p"))
+        .select(col("vec_id"), col("p.id").as("vid_b"),
+          (col("p.rank").cast("double") / 1e6d).as("cosine"))
+        .orderBy(col("vec_id"), desc("cosine"), col("vid_b"))
+      GraphQueries.writeSingleFile(folded, s"$outDir/fx_ivf_stream.parquet")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(s"graft_ivf_stream_$pid")
+      ()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_v36_ivf_stream_parity" -> ((s, d) => batchIvfRetrieval(s, d)),
     "q_v30_hamming_stream_parity" -> ((s, d) => batchHamming(s, d)),
     "q_m20_audio_stream_parity" -> ((s, d) => batchAudioHamming(s, d)),
     "q_d9_stream_parity" -> ((s, d) => batchPairs(s, d)),
@@ -416,6 +486,13 @@ object StreamParity {
         .orderBy(col("user_id"))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_v36_ivf_stream_parity" ->
+      // the three-micro-batch stream-static replay exported by
+      // exportIvfStream — the streaming engine's incremental evaluation of
+      // the cell join + scoring, not a round-trip of the batch plan
+      """SELECT vec_id, vid_b, cosine
+         FROM '{{OUTDIR}}/fx_ivf_stream.parquet'
+         ORDER BY vec_id, cosine DESC, vid_b""",
     "q_v30_hamming_stream_parity" ->
       // the chunk-state streamed replay exported by exportHammingStream —
       // scalar binarization + in-state scalar verify, not a round-trip of

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.functions.{IvfIndex, VectorExprs}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** STREAMING vector retrieval against a static IVF index — the
+  * index-serving story the batch-only IVF family leaves open: queries
+  * arrive as a stream; the index (the same assigned-cells table
+  * [[IvfIndex.knnJoin]] builds) is a STATIC frame reused across
+  * micro-batches; candidates come from the identical cell equi-join and
+  * are scored with the identical micro-unit cosine arithmetic
+  * (round-6 × 10⁶ → BIGINT), evaluated through the streaming engine's
+  * incremental plan instead of the batch one.
+  *
+  * Deliberately NO in-stream aggregation: per-candidate scores APPEND
+  * downstream and the top-k selection is the consumer's fold (the q_v36
+  * parity export folds with the same bounded TopKPairs aggregate the
+  * batch plan uses). That keeps the stream stateless — zero state-store
+  * rows, no watermark bookkeeping — so serving cost scales with ARRIVAL
+  * RATE × nprobe-selectivity, never with corpus size or stream lifetime;
+  * at 100 TB the static side is the partitioned on-disk index
+  * ([[IvfIndex.writeIndex]]'s cell-partitioned layout) and each
+  * micro-batch's join prunes to the probed cells.
+  */
+object IvfStream {
+
+  /** Per-candidate scores for a query STREAM: (vec_id, vid_b, cm) in
+    * append mode. `index` must be the static corpus frame with
+    * (vec_id, embedding); the cell assignment and the probe ranking use
+    * the same native [[VectorExprs.nearestCells]] expression as every
+    * batch tier, so candidate sets can only differ if the streaming
+    * engine evaluates the plan differently — which is exactly what the
+    * q_v36 parity gate checks.
+    */
+  def candidateScores(queryStream: DataFrame, index: DataFrame,
+                      model: IvfIndex.Model, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1 (got $nprobe)")
+    val dims = model.centroids.head.length
+    def probeCol(n: Int) =
+      VectorExprs.nearestCells(col("embedding"), model.centroids.flatten,
+        dims, n)
+    val probes = queryStream.select(col("vec_id"), col("embedding"),
+      VectorExprs.norm(col("embedding")).as("nrm"),
+      explode(probeCol(nprobe)).as("cell"))
+    val cells = IvfIndex.assignCells(index, model)
+      .select(col("cell"), col("vec_id").as("vid_b"),
+        col("embedding").as("emb_b"),
+        VectorExprs.norm(col("embedding")).as("nrm_b"))
+    probes.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("vid_b"))
+      .select(col("vec_id"), col("vid_b"),
+        round(round(VectorExprs.dot(col("embedding"), col("emb_b")) /
+          (col("nrm") * col("nrm_b")), 6) * 1e6d).cast("long").as("cm"))
+  }
+}

@@ -474,4 +474,61 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out(3L) shouldBe ((1L, Some(2.0), Some(1.0)))
     out(4L) shouldBe ((0L, None, None)) // no messages ≠ a zero message
   }
+
+  test("betweenness: hand-checked path graph (interior nodes carry the mass)") {
+    // 1 → 2 → 3 → 4, source 1 only: δ(3)=⌊1·(1e6+0)/1⌋=1e6,
+    // δ(2)=⌊1·(1e6+1e6)/1⌋=2e6, δ(1) exists but is excluded (v = s)
+    val n = (1L to 4L).toSeq.toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.betweennessCentrality(n, e, Seq(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(1L) shouldBe 0L
+    out(2L) shouldBe 2000000L
+    out(3L) shouldBe 1000000L
+    out(4L) shouldBe 0L
+  }
+
+  test("betweenness: diamond splits dependency by sigma with the per-edge floor") {
+    // 1 → {2,3} → 4 → 5: σ(4)=2, so δ(2)=δ(3)=⌊1·(1e6+1e6)/2⌋=1e6;
+    // δ(4)=⌊2·(1e6+0)/... wait: δ(4)=⌊σ4·(1e6+δ5)/σ5⌋=⌊2·1e6/2⌋=1e6
+    val n = (1L to 5L).toSeq.toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("fromId", "toId")
+    val out = GraphAnalytics.betweennessCentrality(n, e, Seq(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(2L) shouldBe 1000000L
+    out(3L) shouldBe 1000000L
+    out(4L) shouldBe 1000000L
+    out(5L) shouldBe 0L
+  }
+
+  test("betweenness: odd sigma split floors per edge term (quantization pinned)") {
+    // 1 → {2,3,4} → 5 (σ(5)=3), 5 → 6: δ(5)=⌊3·1e6/3⌋=1e6;
+    // δ(2)=δ(3)=δ(4)=⌊1·(1e6+1e6)/3⌋=666666 — the exact floor value, not
+    // a rounded float
+    val n = (1L to 6L).toSeq.toDF("id")
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 5L), (3L, 5L), (4L, 5L), (5L, 6L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.betweennessCentrality(n, e, Seq(1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(2L) shouldBe 666666L
+    out(5L) shouldBe 1000000L
+    out(6L) shouldBe 0L
+  }
+
+  test("betweenness: multi-source sums per-source dependencies; unreachable contribute 0") {
+    // sources {1, 4} on 1 → 2 → 3, 4 → 2 (node 2 bridges for source 1
+    // toward 3, and is a leaf for source 4):
+    //  s=1: δ(2)=1e6 (one successor 3), δ(3)=0
+    //  s=4: δ(2)=0 (2's only out-edge goes to 3 at level 2: δ(3)=0 ⇒
+    //       δ(2)=⌊1·1e6/1⌋=1e6) — careful: 3 IS reachable from 4 via 2
+    val n = (1L to 4L).toSeq.toDF("id")
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 2L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.betweennessCentrality(n, e, Seq(1L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(2L) shouldBe 2000000L // 1e6 from each source
+    out(3L) shouldBe 0L
+    out(1L) shouldBe 0L
+    out(4L) shouldBe 0L
+  }
 }

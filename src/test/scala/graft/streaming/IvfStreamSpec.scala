@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.IvfIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IvfStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def fixture() = {
+    import spark.implicits._
+    // two well-separated cells: vectors near (1,0,0,0) and near (0,1,0,0)
+    val rows = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      val jit = 0.01f * (i % 5)
+      (i, Array(base(0) + jit, base(1) - jit, 0.02f * (i % 3), 0.01f))
+    }
+    val embs = rows.toDF("vec_id", "embedding")
+    val model = IvfIndex.Model(Vector(
+      Vector(1.0, 0.0, 0.0, 0.0), Vector(0.0, 1.0, 0.0, 0.0)))
+    (embs, model)
+  }
+
+  test("stream-static candidate scores equal the batch join, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (embs, model) = fixture()
+    // batch reference: the same cell equi-join + micro-unit scoring built
+    // with plain batch frames (knnJoin's candidate phase without the fold)
+    val batch = IvfStream.candidateScores(
+      embs.filter(col("vec_id") < 6).select(col("vec_id"), col("embedding")),
+      embs, model, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val src = MemoryStream[graft.queries.StreamParity.QueryVec]
+    val q = IvfStream.candidateScores(src.toDF(), embs, model, nprobe = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ivf_stream_spec").start()
+    try {
+      // three separate micro-batches — the static side must serve each
+      val queries = embs.filter(col("vec_id") < 6)
+        .collect().map(r => graft.queries.StreamParity.QueryVec(
+          r.getLong(0), r.getSeq[Float](1).toArray))
+      queries.grouped(2).foreach { chunk =>
+        src.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ivf_stream_spec")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+      // the stream is STATELESS (pure stream-static join): no state store
+      // rows, so serving cost never grows with stream lifetime
+      val prog = q.lastProgress
+      assert(prog == null || prog.stateOperators.isEmpty ||
+        prog.stateOperators.forall(_.numRowsTotal == 0))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("ivf_stream_spec")
+      ()
+    }
+  }
+
+  test("self-pairs are excluded and nprobe widens the candidate set monotonically") {
+    import spark.implicits._
+    val (embs, model) = fixture()
+    val one = IvfStream.candidateScores(
+      embs.limit(4).select(col("vec_id"), col("embedding")),
+      embs, model, nprobe = 1).collect()
+    assert(one.forall(r => r.getLong(0) != r.getLong(1)))
+    val two = IvfStream.candidateScores(
+      embs.limit(4).select(col("vec_id"), col("embedding")),
+      embs, model, nprobe = 2).count()
+    assert(two >= one.length)
+  }
+}
