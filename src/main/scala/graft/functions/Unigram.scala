@@ -307,6 +307,34 @@ object Unigram {
     counts.keys.toSeq.sorted.map(p => (p, counts(p), costs(p)))
   }
 
+  /** Model persistence — the [[Bpe.saveModel]] artifact boundary: the
+    * piece table as id-ordered parquet (id, piece, cost) plus a one-row
+    * meta table, queryable by any engine and versioned by data tooling.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: UnigramModel,
+                path: String): Unit = {
+    import spark.implicits._
+    model.pieces.zipWithIndex.map { case ((p, c), i) => (i, p, c) }
+      .toDF("id", "piece", "cost").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pieces")
+    Seq(model.unkId).toDF("unk_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Inverse of [[saveModel]]; the UnigramModel constructor re-validates
+    * distinctness/cost bounds, so a corrupted table fails loudly. Piece
+    * order (and therefore every id) is the saved id order.
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): UnigramModel = {
+    import org.apache.spark.sql.functions.col
+    val pieces = spark.read.parquet(s"$path/pieces")
+      .orderBy(col("id")).select(col("piece"), col("cost"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val unk = spark.read.parquet(s"$path/meta").head().getInt(0)
+    UnigramModel(pieces, unk)
+  }
+
   def encode(c: Column, model: UnigramModel): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(UnigramEncode(GraftSqlBridge.expression(c), model))

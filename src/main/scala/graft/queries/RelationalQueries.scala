@@ -1917,6 +1917,21 @@ object RelationalQueries {
           budgetPerBin = 2000L, bins = 8)
         .orderBy(col("doc_id"))),
 
+    "q_t45_unigram_roundtrip" -> ((s, d) =>
+      // unigram detokenizer gate (the q_t31 BPE shape): decode(encode(x))
+      // must reproduce the exact character stream — the oracle never runs
+      // the tokenizer, it is simply the space-stripped source text, a
+      // fully independent losslessness check of the Viterbi walk and the
+      // positional id→piece table. Coverage is total (all a-z singles in
+      // the planted vocab), so no unk ever breaks the round trip.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Unigram.decode(
+            graft.functions.Unigram.encode(col("text"),
+              graft.functions.Unigram.planted),
+            graft.functions.Unigram.planted).as("decoded"))
+        .orderBy(col("doc_id"))),
+
     "q_sp22_unigram_token_budget" -> ((s, d) =>
       // q_sp9's budget packing under the UNIGRAM-LM tokenizer — the
       // reason the family exists: shard budgets sized by the tokenizer
@@ -6825,6 +6840,12 @@ object RelationalQueries {
       // every vocab-covered segmentation enumerated per distinct word,
       // the (cost, n, path) argmin picked, ids reassembled in doc order
       graft.functions.Unigram.encodeOracleSql,
+
+    "q_t45_unigram_roundtrip" ->
+      // if decode is the true inverse of the lattice walk, the round trip
+      // IS the source character stream — tokenizer never runs here
+      """SELECT doc_id, replace(text, ' ', '') AS decoded
+         FROM documents ORDER BY doc_id""",
 
     "q_sp22_unigram_token_budget" ->
       // the q_t44 lattice argmin reduced to per-doc token counts, feeding

@@ -196,6 +196,17 @@ class UnigramSpec extends AnyFunSuite {
     assert(n == 3)
   }
 
+  test("saveModel/loadModel round-trips pieces, ids, and costs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-unigram-model")
+      .toString
+    Unigram.saveModel(spark, m, dir)
+    val back = Unigram.loadModel(spark, dir)
+    assert(back.pieces == m.pieces)
+    assert(back.unkId == m.unkId)
+    // ids are positional: a reloaded model must encode identically
+    assert(back.encodeWord("data").toSeq == m.encodeWord("data").toSeq)
+  }
+
   test("model persistence is not needed for the planted gate but ids are stable") {
     // ids are positional — pin the first single and first multi so a
     // reordering of the planted table (which would silently re-key every

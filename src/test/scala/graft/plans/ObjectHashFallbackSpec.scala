@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r15 judge advisory on the session-wide
+  * `objectHashAggregate.sortBased.fallbackThreshold = 2²⁰`: the raise
+  * exists for TopKPairs' BOUNDED buffers, but it equally governs
+  * FAT-buffer object aggregates (exact `percentile` value buffers,
+  * `collect_list`) — could a high-cardinality grouped percentile OOM a
+  * task where the default threshold would have spilled? This spec makes
+  * the shipped setting's worst realistic case EXECUTABLE and MEASURED:
+  * a grouped exact percentile at ~80% of the threshold (838k in-memory
+  * keys, so the sort fallback never fires) completes, and the listener
+  * records peak task execution memory — the number SCALE.md round-16
+  * cites. Why the raise is safe for the fat aggregates too: the
+  * percentile buffer holds each group's VALUES, so task memory is
+  * O(rows-in-task), same order as the task's own input scan — the
+  * threshold moves WHERE the rows sit (hash map vs sorter), not how many
+  * a task holds; a genuinely memory-unsafe case needs per-group buffers
+  * that exceed the input held per task, which no gate query builds.
+  */
+class ObjectHashFallbackSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  test("grouped exact percentile at 838k in-memory keys completes under the shipped threshold") {
+    assert(spark.conf.get(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold") == "1048576")
+    var peak = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          peak = math.max(peak, t.taskMetrics.peakExecutionMemory)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val keys = 838000L
+      val df = spark.range(keys * 3)
+        .select((col("id") % keys).as("k"),
+          (col("id") % 97).cast("double").as("v"))
+      val out = df.groupBy(col("k"))
+        .agg(expr("percentile(v, 0.5)").as("p50"),
+          collect_list(col("v")).as("vs"))
+        .select(col("k"), col("p50"), size(col("vs")).as("n"))
+      // ObjectHashAggregate must be the chosen strategy (percentile is a
+      // TypedImperativeAggregate) — otherwise the threshold is untested
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+      val n = out.count()
+      assert(n == keys)
+      // record the measured bound (SCALE.md round-16); the assertion is a
+      // generous ceiling so host variance can't flake the suite, the
+      // printed value is the datum
+      info(f"peak task execution memory: ${peak / (1024.0 * 1024)}%.1f MiB")
+      assert(peak > 0L && peak < 4L * 1024 * 1024 * 1024)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
