@@ -307,6 +307,17 @@ object Unigram {
     counts.keys.toSeq.sorted.map(p => (p, counts(p), costs(p)))
   }
 
+  /** [[train]] packaged as a ready [[UnigramModel]]: pieces in the
+    * piece-sorted final-table order (so ids are positions in that order —
+    * the convention [[trainEncodeOracleSql]]'s row_number reproduces),
+    * costs as learned.
+    */
+  def trainModel(docs: DataFrame, textCol: String,
+                 maxPieceLen: Int = 4, pieceMinCount: Long = 500L,
+                 emIters: Int = 2): UnigramModel =
+    UnigramModel(train(docs, textCol, maxPieceLen, pieceMinCount, emIters)
+      .map(t => (t._1, t._3)))
+
   /** Model persistence — the [[Bpe.saveModel]] artifact boundary: the
     * piece table as id-ordered parquet (id, piece, cost) plus a one-row
     * meta table, queryable by any engine and versioned by data tooling.
@@ -474,7 +485,62 @@ object Unigram {
     * query.
     */
   def trainOracleSql(maxPieceLen: Int, pieceMinCount: Long,
-                     emIters: Int): String = {
+                     emIters: Int): String =
+    "WITH RECURSIVE " + trainCtes(maxPieceLen, pieceMinCount, emIters) +
+      s""" SELECT p.piece, p.cnt, c.cost
+         FROM pc$emIters p JOIN cost$emIters c USING (piece)
+         ORDER BY p.piece"""
+
+  /** The q_t46 oracle: [[trainOracleSql]]'s full EM replay COMPOSED with
+    * the q_t44 lattice encode, under the TRAINED vocabulary — piece ids
+    * are positions in the piece-sorted final table (exactly how
+    * [[trainModel]] constructs the model), the segmentation argmin is the
+    * same (cost, n, path) total order, ids reassemble in document order.
+    * One generated SQL string gates that the two halves COMPOSE: a drift
+    * in either the learned costs or the walk breaks the hash.
+    */
+  def trainEncodeOracleSql(maxPieceLen: Int, pieceMinCount: Long,
+                           emIters: Int): String =
+    "WITH RECURSIVE " + trainCtes(maxPieceLen, pieceMinCount, emIters) + s""",
+vf AS MATERIALIZED (
+  SELECT p.piece, c.cost,
+         row_number() OVER (ORDER BY p.piece) - 1 AS id
+  FROM pc$emIters p JOIN cost$emIters c USING (piece)),
+words AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS wpos,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents),
+dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+eseg(word, pos, cost, n, path, idpath) AS (
+  SELECT word, 1, 0::BIGINT, 0, '', '' FROM dwords
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.cost + v.cost, s.n + 1,
+         CASE WHEN s.path = '' THEN v.piece
+              ELSE s.path || '-' || v.piece END,
+         CASE WHEN s.idpath = '' THEN v.id::VARCHAR
+              ELSE s.idpath || '-' || v.id::VARCHAR END
+  FROM eseg s JOIN vf v ON substr(s.word, s.pos, length(v.piece)) = v.piece
+  WHERE s.pos <= length(s.word)),
+ebest AS (
+  SELECT word, idpath, n FROM (
+    SELECT word, idpath, n,
+           row_number() OVER (PARTITION BY word ORDER BY cost, n, path) AS rn
+    FROM eseg WHERE pos = length(word) + 1) WHERE rn = 1),
+doc_tokens AS (
+  SELECT w.doc_id,
+         string_agg(b.idpath, '-' ORDER BY w.wpos) AS token_ids,
+         sum(b.n)::BIGINT AS n_tokens
+  FROM words w JOIN ebest b ON b.word = w.word
+  GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(t.token_ids, '') AS token_ids,
+       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+  private def trainCtes(maxPieceLen: Int, pieceMinCount: Long,
+                        emIters: Int): String = {
     val head = s"""
 wc AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS cnt FROM (
@@ -524,9 +590,6 @@ pc$t AS MATERIALIZED (
 tot$t AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS tot FROM pc$t),
 ${ilogSql(t)}"""
     }
-    "WITH RECURSIVE " + (head +: steps).mkString(",") +
-      s""" SELECT p.piece, p.cnt, c.cost
-         FROM pc$emIters p JOIN cost$emIters c USING (piece)
-         ORDER BY p.piece"""
+    (head +: steps).mkString(",")
   }
 }

@@ -1917,6 +1917,24 @@ object RelationalQueries {
           budgetPerBin = 2000L, bins = 8)
         .orderBy(col("doc_id"))),
 
+    "q_t46_unigram_train_encode" -> ((s, d) =>
+      // the tokenizer LIFECYCLE composed in one gate: train on the corpus
+      // (q_t43's exact hard-EM), then encode the corpus with the TRAINED
+      // model — the oracle replays training AND the lattice walk under
+      // the learned vocabulary, so a drift in either half (or in the
+      // piece-id convention between them) breaks the hash. This is the
+      // gate q_t44's planted model deliberately does not cover.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Unigram.encode(col("text"),
+            graft.functions.Unigram.trainModel(Tables.documents(s, d),
+              "text", maxPieceLen = 4, pieceMinCount = 500L, emIters = 2))
+            .as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
     "q_t45_unigram_roundtrip" -> ((s, d) =>
       // unigram detokenizer gate (the q_t31 BPE shape): decode(encode(x))
       // must reproduce the exact character stream — the oracle never runs
@@ -6846,6 +6864,12 @@ object RelationalQueries {
       // IS the source character stream — tokenizer never runs here
       """SELECT doc_id, replace(text, ' ', '') AS decoded
          FROM documents ORDER BY doc_id""",
+
+    "q_t46_unigram_train_encode" ->
+      // the full EM replay composed with the lattice encode under the
+      // trained vocabulary — same params as the Spark query (single
+      // source of truth: the generator)
+      graft.functions.Unigram.trainEncodeOracleSql(4, 500L, 2),
 
     "q_sp22_unigram_token_budget" ->
       // the q_t44 lattice argmin reduced to per-doc token counts, feeding

@@ -196,6 +196,22 @@ class UnigramSpec extends AnyFunSuite {
     assert(n == 3)
   }
 
+  test("trainModel ids follow the piece-sorted final-table order") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab abc"), (2L, "bc ab")).toDF("doc_id", "text")
+    val trained = Unigram.train(docs, "text", maxPieceLen = 2,
+      pieceMinCount = 2L, emIters = 1)
+    val model = Unigram.trainModel(docs, "text", maxPieceLen = 2,
+      pieceMinCount = 2L, emIters = 1)
+    // pieces sorted ascending; model id = position in that order — the
+    // convention trainEncodeOracleSql's row_number reproduces
+    assert(trained.map(_._1) == trained.map(_._1).sorted)
+    trained.zipWithIndex.foreach { case ((p, _, c), i) =>
+      assert(model.ids.get(p).intValue() == i)
+      assert(model.pieces(i)._2 == c)
+    }
+  }
+
   test("saveModel/loadModel round-trips pieces, ids, and costs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-unigram-model")
       .toString
