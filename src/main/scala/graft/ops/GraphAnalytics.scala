@@ -698,7 +698,11 @@ object GraphAnalytics {
               .as("term"))
           .groupBy(col("src"), col("id"))
           .agg(sum(col("term")).as("delta")))
-      dL.count() // fill the cache before the next level consumes it
+      // no per-level count: the backward loop's trip count is FIXED
+      // (maxLevel), so unlike the forward frontier loop nothing needs a
+      // per-level materialization job — the cutter's every-3rd checkpoint
+      // fills the persisted dL chain transitively, and levels between
+      // cuts evaluate once into their persist on first use
       deltas = back.step(deltas.unionByName(dL))
       deltaNext = dL
       l -= 1
