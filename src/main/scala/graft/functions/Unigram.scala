@@ -412,8 +412,19 @@ object Unigram {
     * document order (the q_t25 machinery).
     */
   def encodeOracleSql: String =
-    s"""WITH RECURSIVE
-       vocab(piece, id, cost) AS (SELECT * FROM (VALUES $plantedPiecesValues)),
+    "WITH RECURSIVE " + encodeCtes + s"""
+       SELECT d.doc_id,
+              coalesce(t.token_ids, '') AS token_ids,
+              coalesce(t.n_tokens, 0)::BIGINT AS n_tokens
+       FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
+
+  /** The planted-model lattice-encode CTE chain (through `doc_tokens`:
+    * per-doc '-'-joined ids + count) — shared by the q_t44 encode oracle
+    * and the q_sp23 context-packing oracle.
+    */
+  private def encodeCtes: String =
+    s"""vocab(piece, id, cost) AS (SELECT * FROM (VALUES $plantedPiecesValues)),
        words AS (
          SELECT doc_id,
                 unnest(generate_series(1, len(string_split(text, ' ')))) AS wpos,
@@ -442,12 +453,57 @@ object Unigram {
                 string_agg(b.idpath, '-' ORDER BY w.wpos) AS token_ids,
                 sum(b.n)::BIGINT AS n_tokens
          FROM words w JOIN best b ON b.word = w.word
-         GROUP BY w.doc_id)
-       SELECT d.doc_id,
-              coalesce(t.token_ids, '') AS token_ids,
-              coalesce(t.n_tokens, 0)::BIGINT AS n_tokens
-       FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
-       ORDER BY d.doc_id"""
+         GROUP BY w.doc_id)"""
+
+  /** The q_sp23 oracle: the q_t44 lattice composed with EOS-terminated
+    * concat-and-chop context packing — per-doc id lists get the EOS id
+    * appended (EOS = the planted vocab size, the id after the last
+    * piece), a doc-ordered exclusive prefix sum lays the corpus token
+    * stream head-to-tail, every document slice lands in its covering
+    * 64-token bins (inclusive 1-based list slicing), and bins re-assemble
+    * ordered by stream offset. Only FULL bins survive (the standard
+    * drop-the-tail-context rule). DuckDB affords the global window at
+    * gate scale; the Spark side runs the same offsets through
+    * [[graft.functions.GlobalIndex.prefixSum]]'s range-shuffle carry —
+    * the form that holds at 100 TB.
+    */
+  def contextPackOracleSql(contextLen: Int): String = {
+    val eos = planted.pieces.length
+    "WITH RECURSIVE " + encodeCtes + s""",
+pk AS (
+  SELECT d.doc_id,
+         CASE WHEN coalesce(t.token_ids, '') = '' THEN ['$eos']
+              ELSE list_append(string_split(t.token_ids, '-'), '$eos') END
+           AS ids
+  FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL),
+withn AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM pk),
+off AS (
+  SELECT doc_id, ids, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS o
+  FROM withn),
+segs AS (
+  SELECT b.bin_id, f.o,
+         array_to_string(
+           f.ids[(greatest(0, b.bin_id * $contextLen - f.o) + 1)
+                 : (least(f.o + f.n, (b.bin_id + 1) * $contextLen) - f.o)],
+           '-') AS seg,
+         least(f.o + f.n, (b.bin_id + 1) * $contextLen) -
+           greatest(f.o, b.bin_id * $contextLen) AS seg_len
+  FROM off f,
+       LATERAL unnest(generate_series(f.o // $contextLen,
+         (f.o + f.n - 1) // $contextLen)) AS b(bin_id)),
+bins AS (
+  SELECT bin_id,
+         string_agg(seg, '-' ORDER BY o) AS token_ids,
+         count(*)::BIGINT AS n_segments,
+         sum(seg_len)::BIGINT AS n_filled
+  FROM segs GROUP BY 1)
+SELECT bin_id, token_ids, n_segments
+FROM bins WHERE n_filled = $contextLen
+ORDER BY bin_id"""
+  }
 
   /** One [[ilog2Frac16]] replay as SQL CTEs over a `(piece, cnt)` table
     * named `pc$t` with total `tot$t`: exponent from bin(), Q30 mantissa

@@ -1950,6 +1950,49 @@ object RelationalQueries {
             graft.functions.Unigram.planted).as("decoded"))
         .orderBy(col("doc_id"))),
 
+    "q_sp23_context_pack" -> ((s, d) => {
+      // the ACTUAL pretraining data product, end to end in one plan:
+      // tokenize (unigram lattice, codegen'd) → append the EOS id →
+      // corpus-wide concat-and-chop into fixed 64-token contexts.
+      // Offsets come from GlobalIndex.prefixSum (range shuffle +
+      // partition-count carry — never a single-task global window), a
+      // doc fans out only to the bins it covers (≤ 2 for any doc shorter
+      // than a context), bins re-assemble by stream offset with exact
+      // BIGINT slice arithmetic, and only FULL contexts survive (the
+      // standard drop-the-tail rule). The oracle replays the lattice,
+      // the prefix sum, and every slice.
+      val eos = graft.functions.Unigram.planted.pieces.length
+      val ctx = 64L
+      val enc = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(graft.functions.Unigram.encode(col("text"),
+            graft.functions.Unigram.planted), array(lit(eos))).as("ids"))
+        .withColumn("n", size(col("ids")).cast("long"))
+      graft.functions.GlobalIndex.prefixSum(enc, col("doc_id"), col("n"),
+          outCol = "tok_offset")
+        .withColumn("bin_id", explode(sequence(
+          expr(s"tok_offset div ${ctx}L"),
+          expr(s"(tok_offset + n - 1) div ${ctx}L"))))
+        .withColumn("seg_start",
+          greatest(lit(0L), col("bin_id") * ctx - col("tok_offset")))
+        .withColumn("seg_len",
+          least(col("tok_offset") + col("n"), (col("bin_id") + 1) * ctx) -
+            greatest(col("tok_offset"), col("bin_id") * ctx))
+        .withColumn("seg", slice(col("ids"),
+          (col("seg_start") + 1).cast("int"), col("seg_len").cast("int")))
+        .groupBy(col("bin_id"))
+        .agg(
+          concat_ws("-", flatten(transform(
+            array_sort(collect_list(struct(col("tok_offset"), col("seg")))),
+            r => transform(r.getField("seg"), _.cast("string")))))
+            .as("token_ids"),
+          count(lit(1)).as("n_segments"),
+          sum(col("seg_len")).as("n_filled"))
+        .filter(col("n_filled") === ctx)
+        .select(col("bin_id"), col("token_ids"), col("n_segments"))
+        .orderBy(col("bin_id"))
+    }),
+
     "q_sp22_unigram_token_budget" -> ((s, d) =>
       // q_sp9's budget packing under the UNIGRAM-LM tokenizer — the
       // reason the family exists: shard budgets sized by the tokenizer
@@ -6870,6 +6913,12 @@ object RelationalQueries {
       // trained vocabulary — same params as the Spark query (single
       // source of truth: the generator)
       graft.functions.Unigram.trainEncodeOracleSql(4, 500L, 2),
+
+    "q_sp23_context_pack" ->
+      // the q_t44 lattice composed with EOS-terminated concat-and-chop
+      // packing — prefix sum, per-bin slices, full-bins-only, all exact
+      // BIGINT (see Unigram.contextPackOracleSql)
+      graft.functions.Unigram.contextPackOracleSql(64),
 
     "q_sp22_unigram_token_budget" ->
       // the q_t44 lattice argmin reduced to per-doc token counts, feeding
