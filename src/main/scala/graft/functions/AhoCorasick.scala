@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern matching — the blocklist scan every
+  * curation pipeline runs (bad-phrase lists, benchmark-contamination
+  * probes, licensing markers): ONE pass over each document finds EVERY
+  * occurrence of EVERY pattern, including overlapping ones ("an" inside
+  * "can" inside "scan" all report), in O(text + matches) regardless of
+  * pattern count — where the naive per-pattern `contains` loop is
+  * O(text × patterns) and a regex alternation backtracks.
+  *
+  * The automaton (goto trie + BFS failure links + output lists) is built
+  * once on the driver and rides the plan as a reference object, exactly
+  * the [[BpeModel]]/[[UnigramModel]] convention — generated code is a
+  * constant-size call, the scan stays inside whole-stage codegen, and at
+  * 100 TB the cost is the document scan itself (map-only, no shuffle).
+  * Matches report as (start, pattern id) sorted by (start, id) — a total
+  * order any engine reproduces, which is what lets the q_t47 oracle
+  * enumerate positions with substr() and hash-match every occurrence.
+  */
+final case class AcModel(patterns: Seq[String]) extends Serializable {
+  require(patterns.nonEmpty, "patterns must be non-empty")
+  require(patterns.forall(_.nonEmpty), "patterns must be non-empty strings")
+  require(patterns.distinct.lengthCompare(patterns.length) == 0,
+    "patterns must be distinct")
+
+  // trie over chars: goto map per node, failure link, output pattern ids
+  @transient private lazy val automaton: (Array[java.util.HashMap[Character, Integer]],
+                                          Array[Int], Array[Array[Int]]) = {
+    val goto = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val out = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer[Int]())
+    patterns.zipWithIndex.foreach { case (p, pid) =>
+      var s = 0
+      p.foreach { ch =>
+        val nxt = goto(s).get(ch)
+        s = if (nxt != null) nxt.intValue()
+            else {
+              goto += new java.util.HashMap[Character, Integer]()
+              out += scala.collection.mutable.ArrayBuffer[Int]()
+              goto(s).put(ch, goto.length - 1)
+              goto.length - 1
+            }
+      }
+      out(s) += pid
+    }
+    val fail = new Array[Int](goto.length)
+    val q = scala.collection.mutable.Queue[Int]()
+    goto(0).forEach { (_, v) => fail(v) = 0; q.enqueue(v.intValue()) }
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      goto(u).forEach { (ch, v) =>
+        q.enqueue(v.intValue())
+        var f = fail(u)
+        while (f != 0 && goto(f).get(ch) == null) f = fail(f)
+        val t = goto(f).get(ch)
+        fail(v) = if (t != null && t.intValue() != v.intValue()) t.intValue() else 0
+        out(v) ++= out(fail(v)) // merged output lists: O(1) reporting per state
+      }
+    }
+    (goto.toArray, fail, out.map(_.toArray).toArray)
+  }
+
+  @transient private lazy val patLen: Array[Int] = patterns.map(_.length).toArray
+
+  /** All matches of all patterns in `text` as (start, pid) sorted by
+    * (start ASC, pid ASC); start is 0-based. Called from generated code.
+    */
+  def matchesArrayData(text: UTF8String): GenericArrayData = {
+    val (goto, fail, out) = automaton
+    val s = text.toString
+    val hits = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var state = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      var nxt = goto(state).get(ch)
+      while (nxt == null && state != 0) {
+        state = fail(state); nxt = goto(state).get(ch)
+      }
+      state = if (nxt != null) nxt.intValue() else 0
+      val o = out(state)
+      var j = 0
+      while (j < o.length) {
+        val pid = o(j)
+        hits += ((i - patLen(pid) + 1, pid))
+        j += 1
+      }
+      i += 1
+    }
+    val sorted = hits.sortBy(h => (h._1, h._2))
+    new GenericArrayData(sorted.map { case (pos, pid) =>
+      new GenericInternalRow(Array[Any](pos, pid))
+    }.toArray[Any])
+  }
+}
+
+/** string → array<struct<pos:int, pid:int>> of every pattern occurrence;
+  * NULL in → NULL out. Codegen'd with the automaton as a plan reference
+  * object (the [[BpeEncode]] shape).
+  */
+case class AcMatches(child: Expression, model: AcModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    new StructType().add("pos", IntegerType, nullable = false)
+      .add("pid", IntegerType, nullable = false),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ac_matches requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    model.matchesArrayData(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acModel", model, classOf[AcModel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.matchesArrayData($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AcMatches =
+    copy(child = newChild)
+  override def prettyName: String = "ac_matches"
+}
+
+object AhoCorasick {
+  def matches(c: Column, model: AcModel): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(AcMatches(GraftSqlBridge.expression(c), model))
+  }
+
+  /** The planted q_t47 blocklist — deliberately nested/overlapping
+    * ("an" ⊂ "can" ⊂ "scan"; "val" ⊂ "value"; "tab" ⊂ "table") so the
+    * failure-link outputs (the part a naive trie scan misses) are
+    * load-bearing in the gate, not just the trie walk.
+    */
+  val planted: AcModel = AcModel(Seq(
+    "scan", "can", "an", "table", "tab", "value", "val",
+    "row", "order", "de", "dup", "merge", "stream"))
+
+  /** The planted (pattern, id) table as DuckDB VALUES rows. */
+  def plantedPatternsValues: String =
+    planted.patterns.zipWithIndex
+      .map { case (p, i) => s"('$p',$i)" }.mkString(", ")
+}

@@ -1935,6 +1935,26 @@ object RelationalQueries {
           size(col("ids")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    "q_t47_blocklist_scan" -> ((s, d) =>
+      // Aho–Corasick blocklist scan: ONE pass per document reports EVERY
+      // occurrence of EVERY planted pattern — including the overlapping
+      // family ("an" ⊂ "can" ⊂ "scan") that exercises the failure-link
+      // outputs, the part a naive trie walk misses. Runs as the codegen'd
+      // AcMatches native expression (automaton = plan reference object,
+      // map-only, no shuffle); the oracle enumerates every (position,
+      // pattern) pair with substr() — O(text × patterns) brute force vs
+      // the O(text + matches) automaton — so every hit is hash-gated.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.AhoCorasick.matches(col("text"),
+            graft.functions.AhoCorasick.planted).as("m"))
+        .select(col("doc_id"),
+          size(col("m")).cast("long").as("n_matches"),
+          concat_ws("-", transform(col("m"), h =>
+            concat_ws(":", h.getField("pos").cast("string"),
+              h.getField("pid").cast("string")))).as("hits"))
+        .orderBy(col("doc_id"))),
+
     "q_t45_unigram_roundtrip" -> ((s, d) =>
       // unigram detokenizer gate (the q_t31 BPE shape): decode(encode(x))
       // must reproduce the exact character stream — the oracle never runs
@@ -6901,6 +6921,28 @@ object RelationalQueries {
       // every vocab-covered segmentation enumerated per distinct word,
       // the (cost, n, path) argmin picked, ids reassembled in doc order
       graft.functions.Unigram.encodeOracleSql,
+
+    "q_t47_blocklist_scan" ->
+      // every (position, pattern) occurrence enumerated brute-force with
+      // substr() over the planted pattern table — overlapping semantics
+      // by construction, the exact set Aho–Corasick must report
+      s"""WITH pats(pat, pid) AS
+           (SELECT * FROM (VALUES ${graft.functions.AhoCorasick.plantedPatternsValues})),
+         m AS (
+           SELECT d.doc_id, u.i - 1 AS pos, p.pid
+           FROM documents d
+           JOIN pats p ON d.text IS NOT NULL AND len(d.text) >= len(p.pat),
+           LATERAL unnest(generate_series(1, len(d.text) - len(p.pat) + 1)) AS u(i)
+           WHERE substr(d.text, u.i, len(p.pat)) = p.pat),
+         agg AS (
+           SELECT doc_id, count(*)::BIGINT AS n_matches,
+                  string_agg(pos::VARCHAR || ':' || pid::VARCHAR, '-'
+                    ORDER BY pos, pid) AS hits
+           FROM m GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_matches, 0)::BIGINT AS n_matches,
+                coalesce(a.hits, '') AS hits
+         FROM documents d LEFT JOIN agg a USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "q_t45_unigram_roundtrip" ->
       // if decode is the true inverse of the lattice walk, the round trip

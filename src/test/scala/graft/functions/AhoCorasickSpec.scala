@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+class AhoCorasickSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  /** Independent reference: brute-force position scan per pattern —
+    * overlapping semantics by construction, no automaton machinery.
+    */
+  private def brute(patterns: Seq[String], text: String): Seq[(Int, Int)] =
+    (for {
+      (p, pid) <- patterns.zipWithIndex
+      i <- 0 to text.length - p.length
+      if text.startsWith(p, i)
+    } yield (i, pid)).sortBy(identity)
+
+  private def ac(model: AcModel, text: String): Seq[(Int, Int)] = {
+    val arr = model.matchesArrayData(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      (r.getInt(0), r.getInt(1))
+    }
+  }
+
+  test("overlapping family reports ALL nested matches (failure-link outputs)") {
+    val m = AcModel(Seq("scan", "can", "an"))
+    // "scan" contains can at 1 and an at 2 — one text position must emit
+    // multiple patterns via the merged output lists
+    assert(ac(m, "scan") == Seq((0, 0), (1, 1), (2, 2)))
+    // overlapping repeats: "anan" has an at 0 and 2
+    assert(ac(m, "anan") == Seq((0, 2), (2, 2)))
+  }
+
+  test("matches equal brute force on random texts and pattern sets (property)") {
+    val rnd = new Random(13)
+    (1 to 40).foreach { trial =>
+      val alpha = "abc"
+      val pats = (1 to 6).map(_ =>
+        Seq.fill(1 + rnd.nextInt(4))(alpha(rnd.nextInt(alpha.length))).mkString)
+        .distinct
+      val m = AcModel(pats)
+      (1 to 10).foreach { _ =>
+        val t = Seq.fill(rnd.nextInt(30))(alpha(rnd.nextInt(alpha.length))).mkString
+        assert(ac(m, t) == brute(pats, t), s"trial $trial text '$t' pats $pats")
+      }
+    }
+  }
+
+  test("empty text yields no matches; pattern equal to whole text matches once") {
+    val m = AcModel(Seq("abc"))
+    assert(ac(m, "") == Seq())
+    assert(ac(m, "abc") == Seq((0, 0)))
+  }
+
+  test("expression runs codegen'd over a DataFrame; NULL in -> NULL out") {
+    import spark.implicits._
+    val df = Seq((1L, "the scan ran"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        AhoCorasick.matches(col("text"), AhoCorasick.planted).as("m"))
+      .orderBy(col("id")).collect()
+    // "the scan ran": scan@4(pid0), can@5(pid1), an@6(pid2), an@10(pid2)
+    val hits = out(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(hits.contains((4, 0)) && hits.contains((5, 1)) &&
+      hits.contains((6, 2)) && hits.contains((10, 2)))
+    assert(out(1).isNullAt(1))
+  }
+}
