@@ -232,9 +232,12 @@ object Unigram {
   def train(docs: DataFrame, textCol: String,
             maxPieceLen: Int = 4, pieceMinCount: Long = 500L,
             emIters: Int = 2, wordMinCount: Long = 1L,
-            maxWords: Int = 1 << 20): Seq[(String, Long, Long)] = {
+            maxWords: Int = 1 << 20,
+            maxMultiPieces: Option[Int] = None): Seq[(String, Long, Long)] = {
     require(emIters >= 1, s"emIters must be >= 1 (got $emIters)")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1 (got $maxPieceLen)")
+    require(maxMultiPieces.forall(_ >= 1),
+      s"maxMultiPieces must be >= 1 (got $maxMultiPieces)")
     val dict: Array[(String, Long)] = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -245,13 +248,23 @@ object Unigram {
       .orderBy(desc("cnt"), col("word"))
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    trainOnDict(dict, maxPieceLen, pieceMinCount, emIters)
+    trainOnDict(dict, maxPieceLen, pieceMinCount, emIters, maxMultiPieces)
   }
 
-  /** The dictionary-side EM loop (driver-bounded by construction). */
+  /** The dictionary-side EM loop (driver-bounded by construction).
+    * `maxMultiPieces` is the SentencePiece-style vocabulary PRUNE dial:
+    * when set, every count table (the initial candidates and each
+    * E-step's output) keeps all singles (coverage) plus only the top-K
+    * multi-char pieces by (count DESC, piece ASC) BEFORE re-costing —
+    * prune-then-renormalize, the real trainer's discipline for hitting a
+    * target vocab size. Deterministic and integer-only, so the q_t48
+    * oracle replays the prune with one row_number window per round.
+    */
   private[functions] def trainOnDict(dict: Array[(String, Long)],
                                      maxPieceLen: Int, pieceMinCount: Long,
-                                     emIters: Int): Seq[(String, Long, Long)] = {
+                                     emIters: Int,
+                                     maxMultiPieces: Option[Int] = None)
+      : Seq[(String, Long, Long)] = {
     // weighted substring candidates (overlapping occurrences each count)
     val freq = new java.util.HashMap[String, java.lang.Long]()
     dict.foreach { case (w, c) =>
@@ -272,7 +285,14 @@ object Unigram {
       freq.forEach((p, _) => if (p.length == 1) b += p)
       b.result()
     }
-    var counts: Map[String, Long] = {
+    def prune(m: Map[String, Long]): Map[String, Long] = maxMultiPieces match {
+      case None => m
+      case Some(k) =>
+        val multis = m.filter(_._1.length > 1).toSeq
+          .sortBy { case (p, c) => (-c, p) }.take(k)
+        m.filter(_._1.length == 1) ++ multis
+    }
+    var counts: Map[String, Long] = prune {
       val b = Map.newBuilder[String, Long]
       freq.forEach((p, c) =>
         if (p.length == 1 || c >= pieceMinCount) b += (p -> c.longValue()))
@@ -299,8 +319,8 @@ object Unigram {
           next.update(p, next.getOrElse(p, 0L) + c)
         }
       }
-      counts = (next.toMap.filter(_._2 >= 1L)) ++
-        singles.filterNot(next.contains).map(_ -> 1L).toMap
+      counts = prune((next.toMap.filter(_._2 >= 1L)) ++
+        singles.filterNot(next.contains).map(_ -> 1L).toMap)
       recost()
       t += 1
     }
@@ -541,8 +561,10 @@ ORDER BY bin_id"""
     * query.
     */
   def trainOracleSql(maxPieceLen: Int, pieceMinCount: Long,
-                     emIters: Int): String =
-    "WITH RECURSIVE " + trainCtes(maxPieceLen, pieceMinCount, emIters) +
+                     emIters: Int,
+                     maxMultiPieces: Option[Int] = None): String =
+    "WITH RECURSIVE " +
+      trainCtes(maxPieceLen, pieceMinCount, emIters, maxMultiPieces) +
       s""" SELECT p.piece, p.cnt, c.cost
          FROM pc$emIters p JOIN cost$emIters c USING (piece)
          ORDER BY p.piece"""
@@ -596,7 +618,21 @@ FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
   private def trainCtes(maxPieceLen: Int, pieceMinCount: Long,
-                        emIters: Int): String = {
+                        emIters: Int,
+                        maxMultiPieces: Option[Int] = None): String = {
+    // SentencePiece-style prune wrapper: when a multi-char budget is set,
+    // pc$t = all singles ∪ top-K multis by (cnt DESC, piece) from the raw
+    // table; when unset, pc$t IS the raw table (the q_t43 text unchanged)
+    def pruned(raw: String, t: Int): String = maxMultiPieces match {
+      case None => s"pc$t AS MATERIALIZED ($raw)"
+      case Some(k) => s"""pcu$t AS MATERIALIZED ($raw),
+pc$t AS MATERIALIZED (
+  SELECT piece, cnt FROM pcu$t WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM pcu$t WHERE length(piece) > 1) WHERE rn <= $k)"""
+    }
     val head = s"""
 wc AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS cnt FROM (
@@ -610,9 +646,9 @@ subs AS MATERIALIZED (
   WHERE st.i + ln.l - 1 <= length(w.word)
   GROUP BY 1),
 singles AS MATERIALIZED (SELECT piece FROM subs WHERE length(piece) = 1),
-pc0 AS MATERIALIZED (
+${pruned(s"""
   SELECT piece, freq AS cnt FROM subs
-  WHERE freq >= $pieceMinCount OR length(piece) = 1),
+  WHERE freq >= $pieceMinCount OR length(piece) = 1""", 0)},
 tot0 AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS tot FROM pc0),
 ${ilogSql(0)}"""
     val steps = (1 to emIters).map { t =>
@@ -638,11 +674,11 @@ pcr$t AS MATERIALIZED (
         FROM best$t b) o
   JOIN wc w ON w.word = o.word
   GROUP BY 1),
-pc$t AS MATERIALIZED (
+${pruned(s"""
   SELECT piece, cnt FROM pcr$t
   UNION ALL
   SELECT s.piece, 1::BIGINT AS cnt FROM singles s
-  ANTI JOIN pcr$t p USING (piece)),
+  ANTI JOIN pcr$t p USING (piece)""", t)},
 tot$t AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS tot FROM pc$t),
 ${ilogSql(t)}"""
     }

