@@ -169,6 +169,33 @@ object Dedup {
     * (band, bucket-hash) — shuffle-partitionable, no cross join anywhere.
     * Emits (doc_a, doc_b) with doc_a < doc_b, deduplicated across bands.
     */
+  /** The MMDS S-curve band tuner: given a signature length and a target
+    * Jaccard threshold, pick (bands, rowsPerBand) with bands·rows ≤
+    * `sigLen` whose S-curve threshold (1/b)^(1/r) — the similarity where
+    * candidate probability 1−(1−s^r)^b crosses ~50% — sits closest to
+    * the target. This replaces the hand-picked (bands, rows) pairs the
+    * q_d2/q_d4 gates plant with a principled dial: LOWER thresholds need
+    * more bands of fewer rows (catch-more), HIGHER thresholds fewer
+    * bands of more rows (precision). Ties prefer MORE total hashes
+    * (tighter S-curve), then more rows (fewer false positives) — a
+    * deterministic total order, so any driver derives the same plan.
+    * Driver-side arithmetic only; the result feeds [[minhashCandidates]]
+    * unchanged.
+    */
+  def bandsForThreshold(sigLen: Int, threshold: Double): (Int, Int) = {
+    require(sigLen >= 1, s"sigLen must be >= 1 (got $sigLen)")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold in (0,1) (got $threshold)")
+    val cands = for {
+      r <- 1 to sigLen
+      b <- 1 to sigLen / r
+    } yield {
+      val t = math.pow(1.0 / b, 1.0 / r)
+      ((b, r), math.abs(t - threshold), b * r)
+    }
+    cands.minBy { case ((b, r), d, hashes) => (d, -hashes, -r, b) }._1
+  }
+
   def minhashCandidates(docs: DataFrame, textCol: String, k: Int,
                         bands: Int, rowsPerBand: Int,
                         hasher: Hasher = xxHasher): DataFrame = {

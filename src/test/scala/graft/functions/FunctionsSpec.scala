@@ -1522,4 +1522,27 @@ class FunctionsSpec extends AnyFunSuite with Matchers {
     // mean token length is exact-int division rounded to 4dp
     out(3L).getAs[Double]("mean_tok_len") shouldBe 4.0 // "too short" = 8 chars / 2 toks
   }
+
+  test("bandsForThreshold: S-curve threshold lands near the target and moves the right way") {
+    def sThreshold(b: Int, r: Int): Double = math.pow(1.0 / b, 1.0 / r)
+    // every chosen plan fits the budget and is within the discrete grid's
+    // reach of the target (checked against exhaustive search)
+    Seq(16, 64, 128).foreach { n =>
+      Seq(0.2, 0.5, 0.8).foreach { t =>
+        val (b, r) = Dedup.bandsForThreshold(n, t)
+        assert(b >= 1 && r >= 1 && b * r <= n)
+        val best = (for { rr <- 1 to n; bb <- 1 to n / rr }
+          yield math.abs(sThreshold(bb, rr) - t)).min
+        assert(math.abs(sThreshold(b, r) - t) == best)
+      }
+    }
+    // direction: a lower threshold needs MORE bands of FEWER rows
+    val (bLow, rLow) = Dedup.bandsForThreshold(128, 0.2)
+    val (bHigh, rHigh) = Dedup.bandsForThreshold(128, 0.9)
+    assert(bLow > bHigh && rLow < rHigh)
+    // the q_d2 gate's planted plan (4 bands x 2 rows over 8 hashes) is
+    // what the tuner picks for its own S-curve threshold
+    val planted = sThreshold(4, 2)
+    assert(Dedup.bandsForThreshold(8, planted) == ((4, 2)))
+  }
 }
