@@ -1117,7 +1117,13 @@ object ScaleBench {
           .orderBy(col("doc_a"), col("doc_b"))),
       "q_d13_incremental_dedup" -> gateQueries("q_d13_incremental_dedup"),
       "q_d15_bloom_incremental" -> gateQueries("q_d15_bloom_incremental"),
-      "q_t8_training_mix" -> gateQueries("q_t8_training_mix"))
+      "q_t8_training_mix" -> gateQueries("q_t8_training_mix"),
+      // the cross-modal capstone's PRODUCTION twin: 64-bit xxhash simhash
+      // (16-bit bands, occupancy 2^8 lower than the gate's oracle-parity
+      // 32-bit family — the q_d11 scale note) under the identical plan
+      "q_m22_production" -> ((s: SparkSession, d: String) =>
+        graft.queries.RelationalQueries.crossModalDedup(s, d,
+          productionSimhash = true)))
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       (if (annOnly) annQueries
        else if (skewOnly) skewFamily

@@ -63,6 +63,64 @@ object RelationalQueries {
     * Tables.* readers every DataFrame query uses, exposed under the
     * standard names so ONE SQL string runs verbatim in Spark and DuckDB.
     */
+  /** The q_m22 cross-modal dedup construction, shared by the gate (32-bit
+    * md5 simhash — oracle parity) and ScaleBench's q_m22_production arm
+    * (64-bit xxhash simhash — the occupancy-stable scale form). See the
+    * gate registration's scaladoc for the semantics.
+    */
+  private[graft] def crossModalDedup(s: SparkSession, d: String,
+                                     productionSimhash: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) >= 247)
+      .repartition(s.sparkContext.defaultParallelism)
+    val txt = substring(col("text"), 1, 247)
+    val mm = graft.multimodal.Multimodal
+    val mediaA = docs.select(col("doc_id").cast("long").as("media_id"),
+      mm.synthesizePngPayload(txt, width = 19, filterCycle = true,
+        channels = 1).as("payload"))
+    val mediaB = docs.select(
+      (col("doc_id").cast("long") + 10000000L).as("media_id"),
+      when(col("doc_id") % 2 === 0,
+        mm.synthesizePngPerturbedPayload(txt, width = 19,
+          filterCycle = true, brightness = 64, spot = false))
+      .otherwise(mm.synthesizePngPayload(reverse(txt), width = 19,
+        filterCycle = true, channels = 1))
+      .as("payload"))
+    val codes = mm.extractDHashAny(mediaA.unionByName(mediaB)).toDF()
+      .select(col("media_id").as("vec_id"), col("code"))
+    val texts = docs.select(col("doc_id").cast("long"), txt.as("text"))
+      .select(col("doc_id"), col("text"))
+      .unionByName(docs.select(
+        (col("doc_id").cast("long") + 10000000L).as("doc_id"),
+        when(col("doc_id") % 2 === 0, reverse(txt)).otherwise(txt)
+          .as("text")))
+    val (tokenHash, bits): (org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column, Int) =
+      if (productionSimhash)
+        ((c: org.apache.spark.sql.Column) => xxhash64(c), 64)
+      else (graft.functions.Dedup.md5Hash32 _, 32)
+    val imgPairs = graft.functions.VectorQuant.hammingNeighbors(
+        codes, codes, reps = 2, wordBits = 32, chunkBits = 16,
+        maxDist = 3, ordered = true)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
+        maxDist = 3, tokenHash = tokenHash, bits = bits)
+      .select(col("doc_a"), col("doc_b"))
+    val sigs = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
+        tokenHash, bits)
+      .select(col("doc_id").as("media_id"), col("simhash"))
+    // survivor rule: earliest-dominator over the UNION of both
+    // modalities' pair graphs (the q_m21 choice — see
+    // Dedup.survivorsByEarliestDominator's semantics note)
+    graft.functions.Dedup.survivorsByEarliestDominator(
+        codes.select(col("vec_id").as("media_id"),
+          col("code").getItem(0).as("w0"), col("code").getItem(1).as("w1"))
+          .join(sigs, Seq("media_id")),
+        imgPairs.unionByName(txtPairs), "media_id")
+      .orderBy(col("media_id"))
+  }
+
   private def sqlViews(s: SparkSession, d: String): Unit = {
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.orders(s, d).createOrReplaceTempView("orders")
@@ -3758,7 +3816,7 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
-    "q_m22_crossmodal_dedup" -> ((s, d) => {
+    "q_m22_crossmodal_dedup" -> ((s, d) =>
       // CROSS-MODAL dedup — the interleaved-corpus pass q_m21 (image
       // only) and q_d11 (text only) each leave open: every row carries
       // text AND an image payload, and a row is dropped when EITHER
@@ -3773,52 +3831,11 @@ object RelationalQueries {
       // single anti-join; codes and signatures ride every exchange,
       // never pixels or raw text. Output = survivors with both
       // fingerprints, so the hash pins decode, pooling, both candidate
-      // families, AND the either-modality rule.
-      val docs = Tables.documents(s, d)
-        .filter(col("text").isNotNull && length(col("text")) >= 247)
-        .repartition(s.sparkContext.defaultParallelism)
-      val txt = substring(col("text"), 1, 247)
-      val mm = graft.multimodal.Multimodal
-      val mediaA = docs.select(col("doc_id").cast("long").as("media_id"),
-        mm.synthesizePngPayload(txt, width = 19, filterCycle = true,
-          channels = 1).as("payload"))
-      val mediaB = docs.select(
-        (col("doc_id").cast("long") + 10000000L).as("media_id"),
-        when(col("doc_id") % 2 === 0,
-          mm.synthesizePngPerturbedPayload(txt, width = 19,
-            filterCycle = true, brightness = 64, spot = false))
-        .otherwise(mm.synthesizePngPayload(reverse(txt), width = 19,
-          filterCycle = true, channels = 1))
-        .as("payload"))
-      val codes = mm.extractDHashAny(mediaA.unionByName(mediaB)).toDF()
-        .select(col("media_id").as("vec_id"), col("code"))
-      val texts = docs.select(col("doc_id").cast("long"), txt.as("text"))
-        .select(col("doc_id"), col("text"))
-        .unionByName(docs.select(
-          (col("doc_id").cast("long") + 10000000L).as("doc_id"),
-          when(col("doc_id") % 2 === 0, reverse(txt)).otherwise(txt)
-            .as("text")))
-      val imgPairs = graft.functions.VectorQuant.hammingNeighbors(
-          codes, codes, reps = 2, wordBits = 32, chunkBits = 16,
-          maxDist = 3, ordered = true)
-        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
-          maxDist = 3, tokenHash = graft.functions.Dedup.md5Hash32,
-          bits = 32)
-        .select(col("doc_a"), col("doc_b"))
-      val sigs = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
-          graft.functions.Dedup.md5Hash32, 32)
-        .select(col("doc_id").as("media_id"), col("simhash"))
-      // survivor rule: earliest-dominator over the UNION of both
-      // modalities' pair graphs (the q_m21 choice — see
-      // Dedup.survivorsByEarliestDominator's semantics note)
-      graft.functions.Dedup.survivorsByEarliestDominator(
-          codes.select(col("vec_id").as("media_id"),
-            col("code").getItem(0).as("w0"), col("code").getItem(1).as("w1"))
-            .join(sigs, Seq("media_id")),
-          imgPairs.unionByName(txtPairs), "media_id")
-        .orderBy(col("media_id"))
-    }),
+      // families, AND the either-modality rule. 32-bit md5 simhash here
+      // for ORACLE PARITY; the production 64-bit twin is ScaleBench's
+      // q_m22_production arm (identical plan, xxhash64 signatures whose
+      // 16-bit bands hold occupancy 2^8 lower — the q_d11 scale note).
+      crossModalDedup(s, d, productionSimhash = false)),
 
     "q_v33_two_stage_retrieval" -> ((s, d) => {
       // the LINEAR production shape of the two-stage prefilter: a bounded
