@@ -516,6 +516,61 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out(6L) shouldBe 0L
   }
 
+  test("betweenness: micro-quantized values rank like an independent float Brandes") {
+    // the quantization must not distort the ORDER the estimator exists to
+    // produce: compare against a plain float Brandes coded from the paper
+    // (BFS + sigma + float dependency accumulation), no shared machinery
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    val edges = (1 to 120).map { _ =>
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+    }.filter(e => e._1 != e._2).distinct
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val sources = (0L until 8L).toSeq
+    val ref = scala.collection.mutable.Map[Long, Double]()
+    sources.foreach { s =>
+      val d = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1.0)
+      val order = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        val u = q.dequeue(); order += u
+        adj.getOrElse(u, Nil).foreach { v =>
+          if (!d.contains(v)) { d(v) = d(u) + 1; q.enqueue(v) }
+          if (d(v) == d(u) + 1)
+            sigma(v) = sigma.getOrElse(v, 0.0) + sigma(u)
+        }
+      }
+      val delta = scala.collection.mutable.Map[Long, Double]()
+      order.reverseIterator.foreach { u =>
+        adj.getOrElse(u, Nil).foreach { v =>
+          if (d.contains(v) && d(v) == d(u) + 1)
+            delta(u) = delta.getOrElse(u, 0.0) +
+              sigma(u) / sigma(v) * (1.0 + delta.getOrElse(v, 0.0))
+        }
+        if (u != s) ref(u) = ref.getOrElse(u, 0.0) + delta.getOrElse(u, 0.0)
+      }
+    }
+    val nodesDf = (0L until n.toLong).toSeq.toDF("id")
+    val edgesDf = edges.toDF("fromId", "toId")
+    val got = GraphAnalytics.betweennessCentrality(nodesDf, edgesDf, sources)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-node: micro value within 0.1% + 2 micro-units of 1e6 × float
+    // (each per-edge floor loses < 1 micro-unit; errors compound down the
+    // DAG but stay far below the value scale)
+    (0L until n.toLong).foreach { v =>
+      val f = ref.getOrElse(v, 0.0) * 1e6
+      val tol = math.max(2.0, f * 0.001)
+      assert(math.abs(got(v) - f) <= tol + n * 8, // depth*levels floor slack
+        s"node $v: micro ${got(v)} vs float $f")
+    }
+    // and the rank order of the top nodes agrees exactly
+    val topRef = ref.toSeq.sortBy(p => (-p._2, p._1)).take(5).map(_._1)
+    val topGot = got.toSeq.filter(_._2 > 0).sortBy(p => (-p._2, p._1))
+      .take(5).map(_._1)
+    assert(topRef == topGot)
+  }
+
   test("betweenness: multi-source sums per-source dependencies; unreachable contribute 0") {
     // sources {1, 4} on 1 → 2 → 3, 4 → 2 (node 2 bridges for source 1
     // toward 3, and is a leaf for source 4):
