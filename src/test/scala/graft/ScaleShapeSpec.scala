@@ -819,4 +819,30 @@ class ScaleShapeSpec extends AnyFunSuite with Matchers {
     plan should not include "Exchange hashpartitioning"
     plan should not include "Window"
   }
+
+  test("context packing (q_sp23): no unpartitioned window ever sees DATA rows") {
+    // the 100 TB claim in GlobalIndex.prefixSum's scaladoc: the data rows
+    // running-sum inside their RANGE PARTITION (a _gi_pid-partitioned
+    // window — parallel), and the only global ORDER BY window is the
+    // cross-partition CARRY over ≤ numShufflePartitions total rows. A
+    // naive sum() OVER (ORDER BY key) would show here as an unpartitioned
+    // window over the corpus scan.
+    val q = SparkEntry.queries("q_sp23_context_pack")(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    // exactly one partitioned per-row window + one tiny carry window
+    windows.count(_.contains("_gi_pid")) shouldBe >=(1)
+    windows.count(w => !w.contains("_gi_pid")) should be <= 1
+    plan should include("rangepartitioning") // the prefix-sum range shuffle
+    plan should not include "CartesianProduct"
+  }
+
+  test("blocklist scan (q_t47) is scan+project: one output-order exchange, no joins") {
+    val plan = SparkEntry.queries("q_t47_blocklist_scan")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")) should be <= 1
+    plan should not include "Join"
+    plan should not include "Window"
+  }
 }
