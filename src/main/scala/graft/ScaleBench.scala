@@ -102,7 +102,8 @@ object ScaleBench {
     "q_t43_unigram_train", "q_t44_unigram_encode",
     "q_sp22_unigram_token_budget", "q_t45_unigram_roundtrip",
     "q_t46_unigram_train_encode", "q_sp23_context_pack", "q_t47_blocklist_scan", "q_t48_unigram_prune",
-    "q_m22_crossmodal_dedup", "q_v36_ivf_stream_parity")
+    "q_m22_crossmodal_dedup", "q_m23_trimodal_dedup",
+    "q_v36_ivf_stream_parity")
 
   // langid/quality gate vocabulary that must SURVIVE the affine shift: if
   // marker/stopword tokens were shifted too, every replica r > 0 would fail

@@ -3816,6 +3816,75 @@ object RelationalQueries {
         .orderBy(col("media_id"))
     }),
 
+    "q_m23_trimodal_dedup" -> ((s, d) => {
+      // TRI-MODAL dedup — q_m22 extended to the full interleaved-corpus
+      // row: text AND an image AND an audio payload, dropped when ANY of
+      // the three fingerprint families finds an earlier dominator. The B
+      // side (+1e7) rotates which modality is the near-dup by doc_id % 3
+      // (0 → audio splice only, 1 → image brighten only, 2 → identical
+      // text only; the other two modalities derive from the REVERSED
+      // string), so each family is individually load-bearing. Three
+      // linear candidate families — pigeonhole dHash join, pigeonhole
+      // audio-energy join, banded simhash — union into ONE dominated set
+      // before a single anti-join; codes/signatures on every exchange,
+      // never pixels, samples, or raw text. Output = survivors with all
+      // three fingerprints: the hash pins two decoders, three pooling
+      // paths, three candidate families, AND the any-modality rule.
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 263)
+        .repartition(s.sparkContext.defaultParallelism)
+      val t247 = substring(col("text"), 1, 247)
+      val t263 = substring(col("text"), 1, 263)
+      val t263b = overlay(t263, lit("        "), lit(101)) // q_m18's splice
+      val mm = graft.multimodal.Multimodal
+      val bid = col("doc_id").cast("long") + 10000000L
+      val imgA = docs.select(col("doc_id").cast("long").as("media_id"),
+        mm.synthesizePngPayload(t247, width = 19, filterCycle = true,
+          channels = 1).as("payload"))
+      val imgB = docs.select(bid.as("media_id"),
+        when(col("doc_id") % 3 === 1,
+          mm.synthesizePngPerturbedPayload(t247, width = 19,
+            filterCycle = true, brightness = 64, spot = false))
+        .otherwise(mm.synthesizePngPayload(reverse(t247), width = 19,
+          filterCycle = true, channels = 1)).as("payload"))
+      val audA = docs.select(col("doc_id").cast("long").as("media_id"),
+        mm.synthesizeWavPayload(t263, 8000).as("payload"))
+      val audB = docs.select(bid.as("media_id"),
+        when(col("doc_id") % 3 === 0, mm.synthesizeWavPayload(t263b, 8000))
+        .otherwise(mm.synthesizeWavPayload(reverse(t263), 8000))
+        .as("payload"))
+      val texts = docs.select(col("doc_id").cast("long").as("doc_id"),
+          t247.as("text"))
+        .unionByName(docs.select(bid.as("doc_id"),
+          when(col("doc_id") % 3 === 2, t247).otherwise(reverse(t247))
+            .as("text")))
+      val imgCodes = mm.extractDHashAny(imgA.unionByName(imgB)).toDF()
+        .select(col("media_id").as("vec_id"), col("code"))
+      val audCodes = mm.extractAudioFingerprint(audA.unionByName(audB)).toDF()
+        .select(col("media_id").as("vec_id"), col("code"))
+      def pairsOf(codes: org.apache.spark.sql.DataFrame) =
+        graft.functions.VectorQuant.hammingNeighbors(codes, codes, reps = 2,
+            wordBits = 32, chunkBits = 16, maxDist = 3, ordered = true)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
+          maxDist = 3, tokenHash = graft.functions.Dedup.md5Hash32,
+          bits = 32)
+        .select(col("doc_a"), col("doc_b"))
+      val sigs = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
+          graft.functions.Dedup.md5Hash32, 32)
+        .select(col("doc_id").as("media_id"), col("simhash"))
+      val items = imgCodes.select(col("vec_id").as("media_id"),
+          col("code").getItem(0).as("iw0"), col("code").getItem(1).as("iw1"))
+        .join(audCodes.select(col("vec_id").as("media_id"),
+          col("code").getItem(0).as("aw0"), col("code").getItem(1).as("aw1")),
+          Seq("media_id"))
+        .join(sigs, Seq("media_id"))
+      graft.functions.Dedup.survivorsByEarliestDominator(items,
+          pairsOf(imgCodes).unionByName(pairsOf(audCodes))
+            .unionByName(txtPairs), "media_id")
+        .orderBy(col("media_id"))
+    }),
+
     "q_m22_crossmodal_dedup" -> ((s, d) =>
       // CROSS-MODAL dedup — the interleaved-corpus pass q_m21 (image
       // only) and q_d11 (text only) each leave open: every row carries
@@ -6316,6 +6385,145 @@ object RelationalQueries {
          FROM allc
          WHERE media_id NOT IN (SELECT media_id FROM dominated)
          ORDER BY media_id""",
+
+    "q_m23_trimodal_dedup" ->
+      // all three fingerprint families re-derived from TEXT: q_m22's
+      // exact-overlap image pooling (B rows re-index the char grid
+      // REVERSED except doc%3==1, which brightens by 64), q_m18's
+      // exact-integer audio energy pooling (B rows splice at doc%3==0,
+      // reverse the sample stream otherwise), the q_d11 simhash over the
+      // text union (B identical at doc%3==2, reversed otherwise), brute
+      // all-pairs Hamming ≤ 3 per modality, dominated = the three-way
+      // UNION, survivors = one anti-join — the any-modality rule verbatim
+      """WITH d263 AS (
+           SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND len(text) >= 263),
+         ipx AS (
+           SELECT doc_id, k, ascii(substr(text, k, 1)) AS v
+           FROM d263, LATERAL (SELECT unnest(range(1, 248)) AS k) u),
+         ia AS (
+           SELECT doc_id, (k - 1) % 19 AS x, (k - 1) // 19 AS y, v FROM ipx),
+         ib AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 1 THEN (k - 1) % 19
+                       ELSE (247 - k) % 19 END AS x,
+                  CASE WHEN doc_id % 3 = 1 THEN (k - 1) // 19
+                       ELSE (247 - k) // 19 END AS y,
+                  CASE WHEN doc_id % 3 = 1 THEN v + 64 ELSE v END AS v
+           FROM ipx),
+         cw AS (
+           SELECT x, cx,
+                  least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) AS wx
+           FROM (SELECT unnest(range(0, 19)) AS x),
+                (SELECT unnest(range(0, 9)) AS cx)
+           WHERE least((x + 1) * 9, (cx + 1) * 19) - greatest(x * 9, cx * 19) > 0),
+         ch AS (
+           SELECT y, cy,
+                  least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) AS wy
+           FROM (SELECT unnest(range(0, 13)) AS y),
+                (SELECT unnest(range(0, 8)) AS cy)
+           WHERE least((y + 1) * 8, (cy + 1) * 13) - greatest(y * 8, cy * 13) > 0),
+         iga AS (
+           SELECT doc_id, cy AS i, cx AS j, sum(v * wx * wy) AS g
+           FROM ia JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3),
+         igb AS (
+           SELECT doc_id, cy AS i, cx AS j, sum(v * wx * wy) AS g
+           FROM ib JOIN cw USING (x) JOIN ch USING (y) GROUP BY 1, 2, 3),
+         ica AS (
+           SELECT l.doc_id::BIGINT AS media_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS iw0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS iw1
+           FROM iga l JOIN iga rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1),
+         icb AS (
+           SELECT (l.doc_id + 10000000)::BIGINT AS media_id,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) < 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j)) ELSE 0 END) AS iw0,
+                  sum(CASE WHEN rgt.g > l.g AND (l.i * 8 + l.j) >= 32
+                           THEN (1::BIGINT << (l.i * 8 + l.j - 32)) ELSE 0 END) AS iw1
+           FROM igb l JOIN igb rgt
+             ON l.doc_id = rgt.doc_id AND l.i = rgt.i AND rgt.j = l.j + 1
+           WHERE l.j < 8 GROUP BY 1),
+         icodes AS (SELECT * FROM ica UNION ALL SELECT * FROM icb),
+         apx AS (
+           SELECT doc_id, k - 1 AS i, ascii(substr(text, k, 1)) - 128 AS a
+           FROM d263, LATERAL (SELECT unnest(range(1, 264)) AS k) u),
+         ab AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN i ELSE 262 - i END AS i,
+                  CASE WHEN doc_id % 3 = 0 AND i BETWEEN 100 AND 107
+                       THEN -96 ELSE a END AS a
+           FROM apx),
+         ow AS (
+           SELECT i, w,
+                  least((i + 1) * 65, (w + 1) * 263) - greatest(i * 65, w * 263) AS ov
+           FROM (SELECT unnest(range(0, 263)) AS i),
+                (SELECT unnest(range(0, 65)) AS w)
+           WHERE least((i + 1) * 65, (w + 1) * 263) - greatest(i * 65, w * 263) > 0),
+         aea AS (
+           SELECT doc_id, w, sum(a * a * ov) AS e
+           FROM apx JOIN ow USING (i) GROUP BY 1, 2),
+         aeb AS (
+           SELECT doc_id, w, sum(a * a * ov) AS e
+           FROM ab JOIN ow USING (i) GROUP BY 1, 2),
+         aca AS (
+           SELECT l.doc_id::BIGINT AS media_id,
+                  sum(CASE WHEN r.e > l.e AND l.w < 32
+                           THEN (1::BIGINT << l.w) ELSE 0 END) AS aw0,
+                  sum(CASE WHEN r.e > l.e AND l.w >= 32
+                           THEN (1::BIGINT << (l.w - 32)) ELSE 0 END) AS aw1
+           FROM aea l JOIN aea r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+           WHERE l.w < 64 GROUP BY 1),
+         acb AS (
+           SELECT (l.doc_id + 10000000)::BIGINT AS media_id,
+                  sum(CASE WHEN r.e > l.e AND l.w < 32
+                           THEN (1::BIGINT << l.w) ELSE 0 END) AS aw0,
+                  sum(CASE WHEN r.e > l.e AND l.w >= 32
+                           THEN (1::BIGINT << (l.w - 32)) ELSE 0 END) AS aw1
+           FROM aeb l JOIN aeb r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+           WHERE l.w < 64 GROUP BY 1),
+         acodes AS (SELECT * FROM aca UNION ALL SELECT * FROM acb),
+         txts AS (
+           SELECT doc_id::BIGINT AS media_id, substr(text, 1, 247) AS t
+           FROM d263
+           UNION ALL
+           SELECT (doc_id + 10000000)::BIGINT,
+                  CASE WHEN doc_id % 3 = 2 THEN substr(text, 1, 247)
+                       ELSE reverse(substr(text, 1, 247)) END
+           FROM d263),
+         hs AS (
+           SELECT media_id, [('0x'||substr(md5(tk),1,8))::BIGINT
+             FOR tk IN list_distinct(string_split(t, ' '))] AS h
+           FROM txts),
+         sg AS (
+           SELECT media_id,
+                  list_sum([CASE WHEN len(list_filter(h, x -> (x >> b) & 1 = 1)) * 2 >= len(h)
+                                 THEN 1::BIGINT << b ELSE 0::BIGINT END
+                            FOR b IN generate_series(0, 31)])::BIGINT AS simhash
+           FROM hs),
+         imgdom AS (
+           SELECT DISTINCT b.media_id FROM icodes a, icodes b
+           WHERE a.media_id < b.media_id
+             AND bit_count(xor(a.iw0, b.iw0)) + bit_count(xor(a.iw1, b.iw1)) <= 3),
+         auddom AS (
+           SELECT DISTINCT b.media_id FROM acodes a, acodes b
+           WHERE a.media_id < b.media_id
+             AND bit_count(xor(a.aw0, b.aw0)) + bit_count(xor(a.aw1, b.aw1)) <= 3),
+         txtdom AS (
+           SELECT DISTINCT y.media_id FROM sg x, sg y
+           WHERE x.media_id < y.media_id
+             AND bit_count(xor(x.simhash, y.simhash)) <= 3),
+         dom AS (SELECT media_id FROM imgdom
+                 UNION SELECT media_id FROM auddom
+                 UNION SELECT media_id FROM txtdom)
+         SELECT i.media_id, i.iw0::BIGINT AS iw0, i.iw1::BIGINT AS iw1,
+                a.aw0::BIGINT AS aw0, a.aw1::BIGINT AS aw1, s.simhash
+         FROM icodes i JOIN acodes a USING (media_id) JOIN sg s USING (media_id)
+         WHERE i.media_id NOT IN (SELECT media_id FROM dom)
+         ORDER BY i.media_id""",
 
     "q_m22_crossmodal_dedup" ->
       // the whole cross-modal pass re-derived from TEXT: q_m21's
