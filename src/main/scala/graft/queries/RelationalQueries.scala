@@ -248,6 +248,37 @@ object RelationalQueries {
           SELECT l_orderkey, l_partkey FROM lineitem WHERE l_tax > 0.04) b
        ORDER BY op, l_orderkey, l_partkey"""
 
+  /** WITH RECURSIVE through the SQL parser — Spark 4's recursive-CTE
+    * analyzer path (UnionLoop planning), exercised over REAL data: walk
+    * each step to the next-larger distinct order priority count... kept
+    * deliberately bounded: the recursion joins orders to extend a running
+    * chain of the 12 smallest order keys of one customer segment. One SQL
+    * string, two engines; the recursion is finite by the step bound and
+    * deterministic by the min() extension rule.
+    */
+  private val sqlRecursive: String =
+    """WITH RECURSIVE w(k, step) AS (
+         SELECT min(o_orderkey), 1 FROM orders
+         UNION ALL
+         SELECT (SELECT min(o2.o_orderkey) FROM orders o2 WHERE o2.o_orderkey > w.k),
+                w.step + 1
+         FROM w WHERE w.step < 12)
+       SELECT step, k FROM w WHERE k IS NOT NULL ORDER BY step"""
+
+  /** LATERAL correlated subquery with LIMIT — the analyzer's lateral-join
+    * decorrelation path (per-row dependent subquery, planned as a
+    * lateral join), the SQL spelling of the per-key top-k the DSL gates
+    * express with windows. Deterministic: the inner ORDER BY tie-breaks
+    * on o_orderkey and the outer ORDER BY pins full output order.
+    */
+  private val sqlLateral: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+       FROM customer c,
+       LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""
+
   /** GROUP BY ROLLUP through the SQL parser — the analyzer's grouping-set
     * expansion (q_a13 builds grouping sets via the DSL, never this parse
     * path). Subtotal rows carry NULL group keys, so the ORDER BY pins
@@ -2396,6 +2427,8 @@ object RelationalQueries {
     "q_sql6_not_exists" -> ((s, d) => { sqlViews(s, d); s.sql(sqlNotExists) }),
     "q_sql7_setops_all" -> ((s, d) => { sqlViews(s, d); s.sql(sqlSetOpsAll) }),
     "q_sql8_rollup" -> ((s, d) => { sqlViews(s, d); s.sql(sqlRollup) }),
+    "q_sql9_recursive" -> ((s, d) => { sqlViews(s, d); s.sql(sqlRecursive) }),
+    "q_sql10_lateral" -> ((s, d) => { sqlViews(s, d); s.sql(sqlLateral) }),
 
     "q_a16_zscore" -> ((s, d) => {
       // per-group z-score standardization (the feature-scaling step next
@@ -4234,6 +4267,8 @@ object RelationalQueries {
     "q_sql6_not_exists" -> sqlNotExists,
     "q_sql7_setops_all" -> sqlSetOpsAll,
     "q_sql8_rollup" -> sqlRollup,
+    "q_sql9_recursive" -> sqlRecursive,
+    "q_sql10_lateral" -> sqlLateral,
 
     "q_a16_zscore" ->
       // stddev == stddev_samp (n−1 denominator) in both engines; the two
