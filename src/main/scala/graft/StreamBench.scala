@@ -202,6 +202,24 @@ object StreamBench {
       org.apache.spark.sql.types.StructField("ts",
         org.apache.spark.sql.types.TimestampType)))
 
+    // query-vector replay for the stream-static ANN serving row (the
+    // q_v36 shape live): every embedding arrives as a query, sequenced
+    // by vec_id
+    val embsDir = new java.io.File(work, "embs").toString
+    val embsStatic = Tables.embeddings(spark, sfDir)
+      .filter(col("embedding").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stageChunks(embsStatic.select(col("vec_id"), col("embedding")),
+      "vec_id", embsDir, nChunks)
+    val embSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val ivfModel = graft.functions.IvfIndex.ensureModel(
+      spark, embsStatic, sfDir, k = 8)
+
     // batch-built corpus artifacts for the stream-static incremental dedup
     // (at scale: written by the batch pass, read back here)
     val corpus = Tables.documents(spark, sfDir)
@@ -281,7 +299,16 @@ object StreamBench {
       // stream-static near-dup exposure: stateless band-bucket join
       "incremental_near_dedup" -> (() => noopStart("inc_near",
         graft.streaming.IncrementalDedupStream.corpusBandHits(
-          docStream(), corpusBands), "append")))
+          docStream(), corpusBands), "append")),
+      // stream-static ANN SERVING (the q_v36 shape live): per arriving
+      // query, nprobe cells rank in-scan and candidates score through the
+      // cell equi-join against the static index — stateless, so the
+      // measured state-row peak must be 0 and throughput is the serving
+      // rate the parity gate certifies
+      "ivf_serving" -> (() => noopStart("ivf_serving",
+        graft.streaming.IvfStream.candidateScores(
+          chunkStream(spark, embsDir, embSchema), embsStatic, ivfModel,
+          nprobe = 2), "append")))
 
     val results = runs.map { case (name, start) =>
       System.err.println(s"[stream] running $name")
