@@ -279,6 +279,20 @@ object RelationalQueries {
                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""
 
+  /** PIVOT through the SQL parser — the relational-pivot analyzer path
+    * (implicit group-by on the remaining columns, one output column per
+    * IN value). The SINGLE-aggregate unaliased spelling is the one both
+    * engines name identically (bare 'F'/'O'; with an alias Spark keeps
+    * just the alias semantics for multi-agg pivots while DuckDB always
+    * appends it — a real cross-engine naming divergence this gate
+    * deliberately sidesteps and documents). Sums are exact.
+    */
+  private val sqlPivot: String =
+    """SELECT * FROM (SELECT l_returnflag, l_linestatus, l_quantity
+                      FROM lineitem)
+       PIVOT (sum(l_quantity) FOR l_linestatus IN ('F', 'O'))
+       ORDER BY l_returnflag"""
+
   /** GROUP BY ROLLUP through the SQL parser — the analyzer's grouping-set
     * expansion (q_a13 builds grouping sets via the DSL, never this parse
     * path). Subtotal rows carry NULL group keys, so the ORDER BY pins
@@ -2429,6 +2443,7 @@ object RelationalQueries {
     "q_sql8_rollup" -> ((s, d) => { sqlViews(s, d); s.sql(sqlRollup) }),
     "q_sql9_recursive" -> ((s, d) => { sqlViews(s, d); s.sql(sqlRecursive) }),
     "q_sql10_lateral" -> ((s, d) => { sqlViews(s, d); s.sql(sqlLateral) }),
+    "q_sql11_pivot" -> ((s, d) => { sqlViews(s, d); s.sql(sqlPivot) }),
 
     "q_a16_zscore" -> ((s, d) => {
       // per-group z-score standardization (the feature-scaling step next
@@ -4269,6 +4284,7 @@ object RelationalQueries {
     "q_sql8_rollup" -> sqlRollup,
     "q_sql9_recursive" -> sqlRecursive,
     "q_sql10_lateral" -> sqlLateral,
+    "q_sql11_pivot" -> sqlPivot,
 
     "q_a16_zscore" ->
       // stddev == stddev_samp (n−1 denominator) in both engines; the two
