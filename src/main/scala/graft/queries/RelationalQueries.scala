@@ -293,6 +293,19 @@ object RelationalQueries {
        PIVOT (sum(l_quantity) FOR l_linestatus IN ('F', 'O'))
        ORDER BY l_returnflag"""
 
+  /** UNPIVOT through the SQL parser — the inverse relational transform
+    * (columns → (name, value) rows; the q_x9 DSL gate uses the melt API,
+    * never this parse path). Both engines require a uniform value type:
+    * the CAST(… AS DOUBLE) is ANSI and verbatim-portable.
+    */
+  private val sqlUnpivot: String =
+    """SELECT c_custkey, metric, val FROM (
+         SELECT c_custkey, c_acctbal AS bal,
+                CAST(c_nationkey AS DOUBLE) AS nation
+         FROM customer)
+       UNPIVOT (val FOR metric IN (bal, nation))
+       ORDER BY c_custkey, metric"""
+
   /** GROUP BY ROLLUP through the SQL parser — the analyzer's grouping-set
     * expansion (q_a13 builds grouping sets via the DSL, never this parse
     * path). Subtotal rows carry NULL group keys, so the ORDER BY pins
@@ -2444,6 +2457,7 @@ object RelationalQueries {
     "q_sql9_recursive" -> ((s, d) => { sqlViews(s, d); s.sql(sqlRecursive) }),
     "q_sql10_lateral" -> ((s, d) => { sqlViews(s, d); s.sql(sqlLateral) }),
     "q_sql11_pivot" -> ((s, d) => { sqlViews(s, d); s.sql(sqlPivot) }),
+    "q_sql12_unpivot" -> ((s, d) => { sqlViews(s, d); s.sql(sqlUnpivot) }),
 
     "q_a16_zscore" -> ((s, d) => {
       // per-group z-score standardization (the feature-scaling step next
@@ -4285,6 +4299,7 @@ object RelationalQueries {
     "q_sql9_recursive" -> sqlRecursive,
     "q_sql10_lateral" -> sqlLateral,
     "q_sql11_pivot" -> sqlPivot,
+    "q_sql12_unpivot" -> sqlUnpivot,
 
     "q_a16_zscore" ->
       // stddev == stddev_samp (n−1 denominator) in both engines; the two
