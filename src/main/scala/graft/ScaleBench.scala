@@ -61,7 +61,7 @@ object ScaleBench {
     "q_d6_ngram_jaccard", "q_d7_dup_clusters", "q_d8_decontaminate",
     "q_d9_stream_parity", "q_d11_simhash_neardup", "q_d12_editdist_verify",
     "q_d13_incremental_dedup", "q_d14_incremental_parity",
-    "q_d15_bloom_incremental", "q_d16_cross_source_overlap",
+    "q_d15_bloom_incremental", "q_d16_cross_source_overlap", "q_d20_lsh_tuned",
     "q_v4_knn_join", "q_v7_ivf_indexed", "q_v8_label_centroids",
     "q_v10_quantized_topk", "q_v13_hybrid_retrieval", "q_v14_pq_adc",
     "q_sp1_hash_sample", "q_sp2_quota_per_key", "q_sp3_token_budget",

@@ -1786,6 +1786,21 @@ object RelationalQueries {
         k = 3, bands = 4, rowsPerBand = 2, hasher = Dedup.md5Hasher)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "q_d20_lsh_tuned" -> ((s, d) => {
+      // minhash-LSH banding chosen by the MMDS S-curve TUNER instead of a
+      // hand-planted plan: bandsForThreshold(12, 0.7) picks the
+      // (bands, rows) whose candidate-probability crossover sits closest
+      // to Jaccard 0.7 — the dial a real dedup pipeline sets. The oracle
+      // is generated from the SAME tuner call (single source of truth),
+      // so a tuner drift re-plans the oracle identically and only a
+      // banding/hashing bug can break the hash.
+      val (b, r) = graft.functions.Dedup.bandsForThreshold(12, 0.7)
+      graft.functions.Dedup.minhashCandidates(Tables.documents(s, d),
+          "text", k = 3, bands = b, rowsPerBand = r,
+          hasher = graft.functions.Dedup.md5Hasher)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "q_d11_simhash_neardup" -> ((s, d) =>
       // SimHash near-dup pairs via pigeonhole banding (hamming <= 3 →
       // 4 bands, one must match exactly): bucketed equi-join candidates +
@@ -5175,6 +5190,30 @@ object RelationalQueries {
          FROM banded x JOIN banded y
            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
          ORDER BY 1, 2""",
+
+    "q_d20_lsh_tuned" -> {
+      // the q_d4 oracle shape generalized to the tuner's (bands, rows):
+      // same md5 hash family (hash s = slice s%4 of md5((s div 4):shingle)),
+      // buckets = r-wide signature slices — (b, r) from the SAME
+      // bandsForThreshold call the query makes
+      val (b, r) = graft.functions.Dedup.bandsForThreshold(12, 0.7)
+      val n = b * r
+      s"""WITH sh AS (
+           SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+             FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         sig AS (
+           SELECT doc_id, [list_min([('0x' || substr(md5((s // 4)::VARCHAR || ':' || sh2), 1 + 8 * (s % 4), 8))::BIGINT
+             FOR sh2 IN shingles]) FOR s IN generate_series(0, ${n - 1})] AS sig
+           FROM sh WHERE len(shingles) > 0),
+         banded AS (
+           SELECT doc_id, band, sig[($r * band + 1):($r * band + $r)] AS bucket
+           FROM sig, generate_series(0, ${b - 1}) t(band))
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+         ORDER BY 1, 2"""
+    },
 
     "q_ev6_enrich_dim" ->
       """SELECT event_id, user_id, c_name, c_nationkey
