@@ -235,22 +235,35 @@ object Bench {
     write("BENCH_FULL.json", full)
   }
 
-  /** Per-query best-pass times from the PREVIOUS round's committed
-    * BENCH_FULL.json (path overridable via SPARK_GRAFT_PREV_BENCH; empty
-    * string disables). The current run diffs its own per-query mins
-    * against these and reports >2x min-over-min slowdowns under
-    * "regressions" — with 40+ queries throttle-flagged unstable each
-    * round, eyeballing round-over-round medians is guesswork; min-vs-min
-    * is the host-independent comparison. Best-effort: a missing or
-    * unparsable previous file yields an empty map, never a failed bench.
+  /** Per-query best-pass times from the last COMMITTED round's artifact
+    * (path overridable via SPARK_GRAFT_PREV_BENCH; empty string
+    * disables). The current run diffs its own per-query mins against
+    * these and reports >2x min-over-min slowdowns under "regressions" —
+    * with 40+ queries throttle-flagged unstable each round, eyeballing
+    * round-over-round medians is guesswork; min-vs-min is the
+    * host-independent comparison.
+    *
+    * The default baseline is BENCH_BASELINE.json — a snapshot of the
+    * previous round's COMMITTED BENCH_FULL.json, refreshed only at round
+    * commit — falling back to BENCH_FULL.json when no snapshot exists.
+    * Diffing against BENCH_FULL.json directly meant every in-round
+    * refresh re-anchored the chain to whatever host state the LAST
+    * refresh ran under (and one contaminated refresh poisons every later
+    * diff, as the r16 drift cluster showed); the committed snapshot makes
+    * "regressions"/"control_drift" always read round-over-round.
+    * Best-effort: a missing or unparsable file yields an empty map,
+    * never a failed bench.
     */
   private def prevMins(): Map[String, Double] =
-    prevMins(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH",
-      // the previous artifact lives where THIS run will write its own —
-      // resolve the default against SPARK_GRAFT_BENCH_DIR, not cwd, or a
-      // redirected bench diffs against a stale/absent repo-root copy
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
-        .resolve("BENCH_FULL.json").toString))
+    prevMins(sys.env.getOrElse("SPARK_GRAFT_PREV_BENCH", {
+      // resolve against SPARK_GRAFT_BENCH_DIR, not cwd, or a redirected
+      // bench diffs against a stale/absent repo-root copy
+      val dir = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "."))
+      val anchored = dir.resolve("BENCH_BASELINE.json")
+      if (java.nio.file.Files.isRegularFile(anchored)) anchored.toString
+      else dir.resolve("BENCH_FULL.json").toString
+    }))
 
   private[graft] def prevMins(path: String): Map[String, Double] = {
     if (path.isEmpty) return Map.empty
