@@ -31,6 +31,18 @@ final case class AcModel(patterns: Seq[String]) extends Serializable {
   require(patterns.forall(_.nonEmpty), "patterns must be non-empty strings")
   require(patterns.distinct.lengthCompare(patterns.length) == 0,
     "patterns must be distinct")
+  // OFFSET-SEMANTICS contract (r16 advisory, asserted like UnigramModel's
+  // piece alphabet): the scanner walks UTF-16 chars and reports UTF-16
+  // char offsets, while the q_t47 oracle enumerates positions with
+  // DuckDB substr()/len() — CODEPOINT semantics. The two agree exactly
+  // iff every pattern (and, for gate parity, the scanned corpus) stays
+  // in the BMP; non-BMP PATTERNS are rejected here so the divergence
+  // cannot arise silently from the model side. (Non-BMP TEXT scanned by
+  // a non-gated caller still matches correctly — only the reported
+  // offsets are UTF-16-based, as documented.)
+  require(patterns.forall(p => !p.exists(Character.isSurrogate)),
+    "patterns must be BMP-only: match offsets are UTF-16 char positions " +
+      "and diverge from codepoint semantics beyond the BMP")
 
   // trie over chars: goto map per node, failure link, output pattern ids
   @transient private lazy val automaton: (Array[java.util.HashMap[Character, Integer]],

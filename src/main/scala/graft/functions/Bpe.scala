@@ -144,6 +144,19 @@ final case class BpeModel(merges: Seq[(String, String)],
   /** Codegen/eval entry: UTF8String in, catalyst array out. */
   def encodeArrayData(text: UTF8String): GenericArrayData =
     new GenericArrayData(encode(text.toString))
+
+  /** Codegen/eval entry for the PRETOKENIZED encode: the merge walk runs
+    * per [[Pretokenize.split]] pretoken (contractions, letter runs,
+    * digit runs, punctuation runs) instead of per space-split word —
+    * same per-JVM word memo, same map-only shape.
+    */
+  def encodePreArrayData(text: UTF8String): GenericArrayData = {
+    val words = Pretokenize.split(text.toString)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](words.length * 2 + 4)
+    var wi = 0
+    while (wi < words.length) { buf ++= encodeWord(words(wi)); wi += 1 }
+    new GenericArrayData(buf.toArray)
+  }
 }
 
 /** Native Catalyst expression wrapping [[BpeModel.encode]]: string in,
@@ -152,7 +165,8 @@ final case class BpeModel(merges: Seq[(String, String)],
   * task binary), so generated code is a constant-size call regardless of
   * vocab size.
   */
-case class BpeEncode(child: Expression, model: BpeModel) extends UnaryExpression {
+case class BpeEncode(child: Expression, model: BpeModel,
+                     pretokenized: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -161,11 +175,13 @@ case class BpeEncode(child: Expression, model: BpeModel) extends UnaryExpression
       s"bpe_encode requires a string argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    model.encodeArrayData(input.asInstanceOf[UTF8String])
+    if (pretokenized) model.encodePreArrayData(input.asInstanceOf[UTF8String])
+    else model.encodeArrayData(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeArrayData($c);")
+    val m = if (pretokenized) "encodePreArrayData" else "encodeArrayData"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$m($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
@@ -372,6 +388,15 @@ s${i + 1} AS MATERIALIZED (
     GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(c), model))
   }
 
+  /** [[encode]] over [[Pretokenize.split]]'s GPT-2-style pretokens
+    * instead of the bare space split — the q_t50 surface.
+    */
+  def encodePre(c: Column, model: BpeModel): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      BpeEncode(GraftSqlBridge.expression(c), model, pretokenized = true))
+  }
+
   /** BPE token count: size of the encode. */
   def count(c: Column, model: BpeModel): Column =
     org.apache.spark.sql.functions.size(encode(c, model))
@@ -430,6 +455,40 @@ s${i + 1} AS MATERIALIZED (
       .map { case (s, i) => s"('$s',$i)" }
     val merged = planted.merges.zipWithIndex
       .map { case ((a, b), r) => s"('${a + b}',${planted.baseSymbols.length + r})" }
+    (base ++ merged).mkString(", ")
+  }
+
+  /** [[planted]] extended for the PRETOKENIZED q_t50 gate: base symbols
+    * grow by the decorated corpus's digit/punctuation alphabet, and the
+    * appended merges (rank-monotone over the extended base) build the
+    * contraction pieces ("'s"/"'t"/"'ll" — the last via the chained
+    * ("l","l") → ("'","ll") pair), a punctuation run ("!!"), and a
+    * digit pair ("1","2") so every pretoken class exercises a real merge
+    * rather than falling through to base symbols.
+    */
+  val plantedPre: BpeModel = BpeModel(
+    merges = planted.merges ++ Seq(
+      ("'", "s"), ("'", "t"), ("l", "l"), ("'", "ll"),
+      ("!", "!"), ("1", "2")),
+    baseSymbols = ('a' to 'z').map(String.valueOf) ++
+      ('0' to '9').map(String.valueOf) ++ Seq("'", "!", ",", "."))
+
+  /** The [[plantedPre]] merge list as DuckDB VALUES rows (apostrophes
+    * SQL-escaped) — single source of truth for the q_t50 oracle.
+    */
+  def plantedPreMergesValues: String =
+    plantedPre.merges.zipWithIndex
+      .map { case ((a, b), r) =>
+        s"('${Pretokenize.sqlLit(a)}','${Pretokenize.sqlLit(b)}',$r)" }
+      .mkString(", ")
+
+  /** The [[plantedPre]] vocab (symbol → id) as DuckDB VALUES rows. */
+  def plantedPreVocabValues: String = {
+    val base = plantedPre.baseSymbols.zipWithIndex
+      .map { case (s, i) => s"('${Pretokenize.sqlLit(s)}',$i)" }
+    val merged = plantedPre.merges.zipWithIndex
+      .map { case ((a, b), r) =>
+        s"('${Pretokenize.sqlLit(a + b)}',${plantedPre.baseSymbols.length + r})" }
     (base ++ merged).mkString(", ")
   }
 }

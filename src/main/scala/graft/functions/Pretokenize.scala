@@ -1,0 +1,148 @@
+package graft.functions
+
+/** GPT-2-style regex PRE-tokenization — the split applied before a
+  * tokenizer's merge/lattice walk. Real corpora glue punctuation,
+  * contractions, and digits to words; a bare space split (the q_t25/q_t44
+  * convention) inflates the effective vocabulary and biases every token
+  * count that sizes budgets (q_sp22) and contexts (q_sp23). The standard
+  * fix (GPT-2's `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|...` pattern)
+  * splits text into contraction suffixes, letter runs, digit runs and
+  * punctuation runs BEFORE the tokenizer sees a "word".
+  *
+  * This is the DOCUMENTED SIMPLIFICATION of that pattern that is exactly
+  * replayable cross-engine (DuckDB's RE2 has no lookahead, so GPT-2's
+  * `\s+(?!\S)` space-affinity branch cannot be expressed there):
+  *
+  *   {{{'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]+}}}
+  *
+  *  - contraction suffixes ('s 't 're 've 'm 'll 'd), then ASCII letter
+  *    runs, digit runs, and non-space/non-alphanumeric runs;
+  *  - spaces are pure separators (never emitted) — the space-affinity
+  *    branch is the dropped part, named here so the divergence from
+  *    GPT-2 is explicit;
+  *  - alternation is leftmost-FIRST (Perl semantics) in both engines
+  *    (java.util.regex and RE2 default), pinned by PretokenizeSpec's
+  *    planted cases and its scanner-vs-java.util.regex property test:
+  *    "'station" → ["'s","tation"], "!!'s" → ["!!'","s"] (the punct run
+  *    greedily consumes the apostrophe — no backtracking to free it).
+  *
+  * [[split]] implements the same semantics as a single-pass character
+  * scanner (no regex engine in the encode hot path): the codegen'd
+  * UnigramEncode/BpeEncode expressions call it per row, so the pretokens
+  * feed the existing per-word memo caches unchanged. Map-only — the scan
+  * shape, partitioning, and shuffle story of every tokenizer consumer is
+  * identical to the space-split form.
+  *
+  * ASCII contract (the [[UnigramModel]] piece-alphabet convention): the
+  * scanner walks UTF-16 chars and classes only ASCII letters/digits, so
+  * any non-ASCII character lands in a punctuation run. That matches the
+  * regex byte-for-byte on ASCII corpora (the fixture contract); on
+  * non-BMP text both sides still agree on the TOKENS (surrogate pairs
+  * stay glued inside a punct run) though offsets would be UTF-16-based.
+  */
+object Pretokenize {
+
+  /** The pattern, verbatim for `regexp_extract_all` in DuckDB (RE2) —
+    * identical semantics to [[split]] (leftmost-first alternation, no
+    * lookahead, greedy runs).
+    */
+  val pattern: String = "'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]+"
+
+  /** `pattern` with apostrophes doubled for embedding in a SQL string
+    * literal.
+    */
+  def patternSqlLit: String = sqlLit(pattern)
+
+  /** Escape a string for a single-quoted SQL literal. */
+  def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** The deterministic corpus DECORATION the q_t49/q_t50 gates append to
+    * `documents.text` (which is pure a-z + space, so a pretokenizer on
+    * the raw corpus would be a no-op): contractions, a letter–digit–
+    * letter boundary seeded by doc_id, punctuation runs, and a lone
+    * apostrophe — one branch of the pattern each. Spark builds
+    * `text || decorA || doc_id || decorB`; the oracle builds the same
+    * string in SQL from these constants (single source of truth).
+    */
+  val decorA: String = " it's we'll don't x"
+  val decorB: String = "y!! foo,bar... qu'z"
+
+  private def isLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** Length of the contraction suffix starting at the apostrophe at
+    * `i` (1 for 's/'t/'m/'d, 2 for 're/'ve/'ll), or 0 when the
+    * apostrophe starts no contraction. Mirrors the pattern's alternation:
+    * no alternative is a prefix of another, so first-match == the set
+    * lookup.
+    */
+  private def contractionLen(s: String, i: Int): Int = {
+    if (i + 1 >= s.length) return 0
+    s.charAt(i + 1) match {
+      case 's' | 't' | 'm' | 'd' => 1
+      case 'r' | 'v' => if (i + 2 < s.length && s.charAt(i + 2) == 'e') 2 else 0
+      case 'l' => if (i + 2 < s.length && s.charAt(i + 2) == 'l') 2 else 0
+      case _ => 0
+    }
+  }
+
+  /** The scanner: one left-to-right pass emitting exactly the matches
+    * `pattern` yields under leftmost-first scanning (property-tested
+    * against java.util.regex in PretokenizeSpec).
+    */
+  def split(text: String): Array[String] = {
+    val n = text.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](n / 4 + 4)
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == ' ') i += 1
+      else if (c == '\'' && contractionLen(text, i) > 0) {
+        val l = contractionLen(text, i)
+        out += text.substring(i, i + 1 + l)
+        i += 1 + l
+      } else if (isLetter(c)) {
+        var j = i + 1
+        while (j < n && isLetter(text.charAt(j))) j += 1
+        out += text.substring(i, j)
+        i = j
+      } else if (isDigit(c)) {
+        var j = i + 1
+        while (j < n && isDigit(text.charAt(j))) j += 1
+        out += text.substring(i, j)
+        i = j
+      } else {
+        // punctuation run: greedy over every non-space non-alphanumeric
+        // char INCLUDING apostrophes ("!!'s" → "!!'" + "s" — the regex
+        // never backtracks to free an apostrophe for a contraction)
+        var j = i + 1
+        while (j < n && { val d = text.charAt(j)
+          d != ' ' && !isLetter(d) && !isDigit(d) }) j += 1
+        out += text.substring(i, j)
+        i = j
+      }
+    }
+    out.toArray
+  }
+
+  /** The decorated-corpus CTE for the q_t49/q_t50 oracles: `pdocs`
+    * carries `ptext = text || decorA || doc_id || decorB`, and `words`
+    * re-derives the SAME pretoken stream with `regexp_extract_all` —
+    * DuckDB's RE2 replaying [[split]]'s scanner. Shared by both gates so
+    * the split has exactly two implementations total (scanner + RE2),
+    * each gate hashing one against the other.
+    */
+  def wordsCteSql: String =
+    s"""pdocs AS (
+  SELECT doc_id,
+         text || '${sqlLit(decorA)}' || CAST(doc_id AS VARCHAR) ||
+           '${sqlLit(decorB)}' AS ptext
+  FROM documents),
+words AS (
+  SELECT doc_id,
+         unnest(generate_series(1,
+           len(regexp_extract_all(ptext, '$patternSqlLit')))) AS wpos,
+         unnest(regexp_extract_all(ptext, '$patternSqlLit')) AS word
+  FROM pdocs WHERE ptext IS NOT NULL)"""
+}

@@ -145,6 +145,25 @@ final case class UnigramModel(pieces: Seq[(String, Long)],
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Called from generated code: whole-string encode over
+    * [[Pretokenize.split]]'s GPT-2-style pretokens instead of the bare
+    * space split — contractions, letter runs, digit runs and punctuation
+    * runs each hit the lattice as their own word (and their own memo
+    * entry), so realistic glued text stops inflating the effective
+    * vocabulary. Same map-only shape and per-executor memo as
+    * [[encodeArrayData]].
+    */
+  def encodePreArrayData(text: UTF8String): GenericArrayData = {
+    val words = Pretokenize.split(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < words.length) {
+      encodeWord(words(wi)).foreach(id => out += id)
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** string → array<int> unigram-LM encode; NULL in → NULL out. Codegen'd
@@ -152,7 +171,8 @@ final case class UnigramModel(pieces: Seq[(String, Long)],
   * (the [[BpeEncode]] shape — no UDF serialization boundary, stays
   * inside whole-stage codegen).
   */
-case class UnigramEncode(child: Expression, model: UnigramModel)
+case class UnigramEncode(child: Expression, model: UnigramModel,
+                         pretokenized: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -162,12 +182,14 @@ case class UnigramEncode(child: Expression, model: UnigramModel)
       s"unigram_encode requires a string argument, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    model.encodeArrayData(input.asInstanceOf[UTF8String])
+    if (pretokenized) model.encodePreArrayData(input.asInstanceOf[UTF8String])
+    else model.encodeArrayData(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("unigramModel", model,
       classOf[UnigramModel].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeArrayData($c);")
+    val m = if (pretokenized) "encodePreArrayData" else "encodeArrayData"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$m($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
@@ -240,7 +262,14 @@ object Unigram {
       s"maxMultiPieces must be >= 1 (got $maxMultiPieces)")
     val dict: Array[(String, Long)] = docs
       .select(explode(split(col(textCol), " ")).as("word"))
-      .filter(col("word") =!= "")
+      // '-' is the Viterbi tie-break join character: a word containing it
+      // would mint pieces UnigramModel rejects (and make the oracle's
+      // '-'-joined path tie-break ambiguous), so such words are excluded
+      // from the dictionary — loudly documented here, replayed by the
+      // NOT LIKE '%-%' clause trainCtes generates. No-op on the a-z
+      // fixture corpus; the honest contract on corpora with hyphens.
+      .filter(col("word") =!= "" &&
+        !col("word").contains("-"))
       .groupBy(col("word"))
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("cnt"))
@@ -371,6 +400,15 @@ object Unigram {
     GraftSqlBridge.column(UnigramEncode(GraftSqlBridge.expression(c), model))
   }
 
+  /** [[encode]] over [[Pretokenize.split]]'s GPT-2-style pretokens
+    * instead of the bare space split — the q_t49 surface.
+    */
+  def encodePre(c: Column, model: UnigramModel): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      UnigramEncode(GraftSqlBridge.expression(c), model, pretokenized = true))
+  }
+
   /** Unigram token count: size of the encode. */
   def count(c: Column, model: UnigramModel): Column =
     org.apache.spark.sql.functions.size(encode(c, model))
@@ -422,6 +460,73 @@ object Unigram {
   def plantedPiecesValues: String =
     planted.pieces.zipWithIndex
       .map { case ((p, c), i) => s"('$p',$i,${c}::BIGINT)" }.mkString(", ")
+
+  /** [[planted]] extended for the PRETOKENIZED q_t49 gate: the decorated
+    * corpus ([[Pretokenize.decorA]]/[[Pretokenize.decorB]]) emits digit,
+    * punctuation and contraction pretokens, so the vocab adds digit
+    * singles, punctuation singles, and multi-char pieces with DELIBERATE
+    * economics — "'s"/"'ll"/"'t" (cost 5) beat their single-char
+    * decompositions (8+10 = 18), "!!" (6) beats "!"+"!" (16), "..." (6)
+    * beats three "."s (24) — so the lattice genuinely segments inside
+    * non-letter pretokens instead of falling through to singles.
+    */
+  val plantedPre: UnigramModel = UnigramModel(
+    planted.pieces ++
+      ('0' to '9').map(ch => (String.valueOf(ch), 10L * 65536L)) ++
+      Seq(("'", 8L * 65536L), ("!", 8L * 65536L), (",", 8L * 65536L),
+        (".", 8L * 65536L),
+        ("'s", 5L * 65536L), ("'ll", 5L * 65536L), ("'t", 5L * 65536L),
+        ("!!", 6L * 65536L), ("...", 6L * 65536L)))
+
+  /** The [[plantedPre]] (piece, id, cost) table as DuckDB VALUES rows
+    * (apostrophes SQL-escaped) — single source of truth for the q_t49
+    * oracle.
+    */
+  def plantedPrePiecesValues: String =
+    plantedPre.pieces.zipWithIndex
+      .map { case ((p, c), i) =>
+        s"('${Pretokenize.sqlLit(p)}',$i,${c}::BIGINT)" }.mkString(", ")
+
+  /** The q_t49 oracle: the q_t44 lattice replayed over the PRETOKENIZED
+    * decorated corpus — `regexp_extract_all` (DuckDB's RE2) re-derives
+    * [[Pretokenize.split]]'s scanner stream, and the recursive-CTE
+    * segmentation enumeration + (cost, n, '-'-joined path) argmin runs
+    * per distinct PRETOKEN under [[plantedPre]]. Two independent split
+    * implementations (scanner vs RE2), one hash.
+    */
+  def encodePreOracleSql: String =
+    s"""WITH RECURSIVE
+vocab(piece, id, cost) AS (SELECT * FROM (VALUES $plantedPrePiecesValues)),
+${Pretokenize.wordsCteSql},
+dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+seg(word, pos, cost, n, path, idpath) AS (
+  SELECT word, 1, 0::BIGINT, 0, '', '' FROM dwords
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.cost + v.cost, s.n + 1,
+         CASE WHEN s.path = '' THEN v.piece
+              ELSE s.path || '-' || v.piece END,
+         CASE WHEN s.idpath = '' THEN v.id::VARCHAR
+              ELSE s.idpath || '-' || v.id::VARCHAR END
+  FROM seg s JOIN vocab v
+    ON substr(s.word, s.pos, length(v.piece)) = v.piece
+  WHERE s.pos <= length(s.word)),
+best AS (
+  SELECT word, idpath, n FROM (
+    SELECT word, idpath, n,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY cost, n, path) AS rn
+    FROM seg WHERE pos = length(word) + 1) WHERE rn = 1),
+doc_tokens AS (
+  SELECT w.doc_id,
+         string_agg(b.idpath, '-' ORDER BY w.wpos) AS token_ids,
+         sum(b.n)::BIGINT AS n_tokens
+  FROM words w JOIN best b ON b.word = w.word
+  GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(t.token_ids, '') AS token_ids,
+       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id"""
 
   /** The q_t44 oracle: the full lattice replayed in SQL — per distinct
     * word, a recursive CTE enumerates EVERY vocab-covered segmentation
@@ -562,9 +667,12 @@ ORDER BY bin_id"""
     */
   def trainOracleSql(maxPieceLen: Int, pieceMinCount: Long,
                      emIters: Int,
-                     maxMultiPieces: Option[Int] = None): String =
+                     maxMultiPieces: Option[Int] = None,
+                     wordMinCount: Long = 1L,
+                     maxWords: Int = 1 << 20): String =
     "WITH RECURSIVE " +
-      trainCtes(maxPieceLen, pieceMinCount, emIters, maxMultiPieces) +
+      trainCtes(maxPieceLen, pieceMinCount, emIters, maxMultiPieces,
+        wordMinCount, maxWords) +
       s""" SELECT p.piece, p.cnt, c.cost
          FROM pc$emIters p JOIN cost$emIters c USING (piece)
          ORDER BY p.piece"""
@@ -578,8 +686,11 @@ ORDER BY bin_id"""
     * in either the learned costs or the walk breaks the hash.
     */
   def trainEncodeOracleSql(maxPieceLen: Int, pieceMinCount: Long,
-                           emIters: Int): String =
-    "WITH RECURSIVE " + trainCtes(maxPieceLen, pieceMinCount, emIters) + s""",
+                           emIters: Int,
+                           wordMinCount: Long = 1L,
+                           maxWords: Int = 1 << 20): String =
+    "WITH RECURSIVE " + trainCtes(maxPieceLen, pieceMinCount, emIters,
+      wordMinCount = wordMinCount, maxWords = maxWords) + s""",
 vf AS MATERIALIZED (
   SELECT p.piece, c.cost,
          row_number() OVER (ORDER BY p.piece) - 1 AS id
@@ -619,7 +730,9 @@ ORDER BY d.doc_id"""
 
   private def trainCtes(maxPieceLen: Int, pieceMinCount: Long,
                         emIters: Int,
-                        maxMultiPieces: Option[Int] = None): String = {
+                        maxMultiPieces: Option[Int] = None,
+                        wordMinCount: Long = 1L,
+                        maxWords: Int = 1 << 20): String = {
     // SentencePiece-style prune wrapper: when a multi-char budget is set,
     // pc$t = all singles ∪ top-K multis by (cnt DESC, piece) from the raw
     // table; when unset, pc$t IS the raw table (the q_t43 text unchanged)
@@ -633,11 +746,19 @@ pc$t AS MATERIALIZED (
     SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
     FROM pcu$t WHERE length(piece) > 1) WHERE rn <= $k)"""
     }
+    // the dictionary bound is replayed, not assumed: the same hyphen
+    // exclusion, minCount floor (HAVING) and (cnt DESC, word) top-K cap
+    // (QUALIFY row_number) train()'s Spark histogram applies — a caller
+    // passing non-default wordMinCount/maxWords gets a matching oracle
+    // instead of a silently desynced pair (r16 advisory)
     val head = s"""
 wc AS MATERIALIZED (
-  SELECT word, count(*)::BIGINT AS cnt FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-  WHERE word <> '' GROUP BY 1),
+  SELECT word, cnt FROM (
+    SELECT word, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' AND word NOT LIKE '%-%'
+    GROUP BY 1 HAVING count(*) >= $wordMinCount)
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $maxWords),
 subs AS MATERIALIZED (
   SELECT substr(w.word, st.i, ln.l) AS piece, sum(w.cnt)::BIGINT AS freq
   FROM wc w,

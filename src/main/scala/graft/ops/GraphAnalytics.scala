@@ -670,6 +670,15 @@ object GraphAnalytics {
       frontier = if (cutter.justCut) visited.filter(col("level") === level)
                  else next
     }
+    // truncation must fail LOUDLY: exiting on the maxLevels bound with a
+    // live frontier would hand the backward pass an incomplete DAG and
+    // silently under-accumulate dependencies (the oracle unrolls to the
+    // true fixpoint and would hash-mismatch — but a non-gated caller
+    // would get wrong centralities with no signal; r16 advisory)
+    require(frontierSize == 0,
+      s"betweennessCentrality: maxLevels=$maxLevels reached with a " +
+        s"non-empty frontier ($frontierSize rows) — raise maxLevels; a " +
+        "truncated BFS would silently corrupt the dependency accumulation")
     visited = cutter.seal(visited)
     val maxLevel = level - 1 // the last expanded level was empty
     // backward dependency accumulation, deepest level first; nodes at the

@@ -249,12 +249,13 @@ object RelationalQueries {
        ORDER BY op, l_orderkey, l_partkey"""
 
   /** WITH RECURSIVE through the SQL parser — Spark 4's recursive-CTE
-    * analyzer path (UnionLoop planning), exercised over REAL data: walk
-    * each step to the next-larger distinct order priority count... kept
-    * deliberately bounded: the recursion joins orders to extend a running
-    * chain of the 12 smallest order keys of one customer segment. One SQL
-    * string, two engines; the recursion is finite by the step bound and
-    * deterministic by the min() extension rule.
+    * analyzer path (UnionLoop planning), exercised over REAL data: each
+    * step extends the chain with the globally next-larger o_orderkey via
+    * a correlated min (SELECT min(o_orderkey) WHERE o_orderkey > w.k),
+    * so the result is the 12 smallest distinct order keys in the table,
+    * one per recursion step. One SQL string, two engines; the recursion
+    * is finite by the step bound and deterministic by the min()
+    * extension rule.
     */
   private val sqlRecursive: String =
     """WITH RECURSIVE w(k, step) AS (
@@ -2045,6 +2046,49 @@ object RelationalQueries {
         .select(col("doc_id"),
           graft.functions.Unigram.encode(col("text"),
             graft.functions.Unigram.planted).as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_t49_pretok_unigram_encode" -> ((s, d) =>
+      // the q_t44 lattice encode behind a GPT-2-style regex PRETOKENIZER
+      // (Pretokenize.split — contractions, letter runs, digit runs,
+      // punctuation runs) instead of the bare space split. The corpus is
+      // pure a-z+space, so the gate DECORATES it deterministically
+      // (text || decorA || doc_id || decorB — built identically in both
+      // engines from one constant) to emit every pretoken class; the
+      // oracle re-derives the split with regexp_extract_all (RE2
+      // replaying the scanner, leftmost-first alternation pinned by
+      // PretokenizeSpec) and replays the lattice under the extended
+      // plantedPre vocab. Two split implementations, one hash.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Unigram.encodePre(
+            concat(col("text"), lit(graft.functions.Pretokenize.decorA),
+              col("doc_id").cast("string"),
+              lit(graft.functions.Pretokenize.decorB)),
+            graft.functions.Unigram.plantedPre).as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_t50_pretok_bpe_encode" -> ((s, d) =>
+      // the q_t25 merge walk behind the SAME pretokenizer and decoration
+      // as q_t49 — BPE's pretokenized form (GPT-2's actual shape: regex
+      // split, then byte-pair merges per pretoken). plantedPre extends
+      // the base alphabet with digits/punctuation and appends
+      // rank-monotone merges that only fire inside non-letter pretokens
+      // ("'s", "'t", "'ll", "!!", "12"), so the gate hashes both the
+      // split boundaries and the new merge economics.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Bpe.encodePre(
+            concat(col("text"), lit(graft.functions.Pretokenize.decorA),
+              col("doc_id").cast("string"),
+              lit(graft.functions.Pretokenize.decorB)),
+            graft.functions.Bpe.plantedPre).as("ids"))
         .select(col("doc_id"),
           concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
           size(col("ids")).cast("long").as("n_tokens"))
@@ -7266,6 +7310,57 @@ object RelationalQueries {
       // every vocab-covered segmentation enumerated per distinct word,
       // the (cost, n, path) argmin picked, ids reassembled in doc order
       graft.functions.Unigram.encodeOracleSql,
+
+    "q_t49_pretok_unigram_encode" ->
+      // the decorated corpus split by regexp_extract_all (RE2 replaying
+      // Pretokenize.split's scanner), then the q_t44 lattice per distinct
+      // PRETOKEN under the extended plantedPre vocab
+      graft.functions.Unigram.encodePreOracleSql,
+
+    "q_t50_pretok_bpe_encode" ->
+      // the q_t25 merge walk re-derived per distinct PRETOKEN of the
+      // decorated corpus: same recursive one-merge-per-step CTE (lowest
+      // rank, ties leftmost), vocab/merges from plantedPre, the split
+      // from regexp_extract_all — so both the pretoken boundaries and
+      // the appended punctuation/contraction/digit merges are hash-gated
+      s"""WITH RECURSIVE
+         merges(lhs, rhs, rank) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedPreMergesValues})),
+         vocab(symbol, id) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedPreVocabValues})),
+         ${graft.functions.Pretokenize.wordsCteSql},
+         dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+         walk(word, syms) AS (
+           SELECT word, regexp_split_to_array(word, '') FROM dwords
+           UNION ALL
+           SELECT word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]
+           FROM (
+             SELECT w.word, any_value(w.syms) AS syms,
+                    min_by(u.i, m.rank * 100000 + u.i) AS bi
+             FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+             JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]
+             GROUP BY w.word)),
+         pairable AS (
+           SELECT DISTINCT w.word, w.syms
+           FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+           JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]),
+         final AS (SELECT word, syms FROM walk ANTI JOIN pairable USING (word, syms)),
+         sym_rows AS (
+           SELECT f.word,
+                  unnest(generate_series(1, len(f.syms))) AS spos,
+                  unnest(f.syms) AS sym
+           FROM final f),
+         word_tokens AS (
+           SELECT s.word, list(v.id ORDER BY s.spos) AS ids
+           FROM sym_rows s JOIN vocab v ON v.symbol = s.sym
+           GROUP BY s.word),
+         doc_tokens AS (
+           SELECT w.doc_id, flatten(list(t.ids ORDER BY w.wpos)) AS ids
+           FROM words w JOIN word_tokens t ON t.word = w.word
+           GROUP BY w.doc_id)
+         SELECT d.doc_id,
+                coalesce(array_to_string(t.ids, '-'), '') AS token_ids,
+                coalesce(len(t.ids), 0)::BIGINT AS n_tokens
+         FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     "q_t48_unigram_prune" ->
       // the full EM replay with the per-round singles ∪ top-K-multis
