@@ -756,6 +756,41 @@ object ScaleBench {
       "betweenness ratio" -> (if (b > 0) s / b else -1.0))
   }
 
+  /** Modularity-sweep cost envelope — the q_ga23 operator on the same
+    * deterministic md5 graphs as [[closenessLadder]]: 5 parity-alternating
+    * local-move rounds, each one edge equi-join + count + argmax window.
+    * Unlike the centrality ladders the round count is FIXED (independent
+    * of n), so the expected slope is the per-round join cost — roughly
+    * linear in the edge list, the label-propagation shape with one extra
+    * community-degree aggregate per round.
+    */
+  def louvainLadder(spark: SparkSession, nBase: Long = 20000L,
+                    factor: Int = 10, degree: Int = 8,
+                    passes: Int = 2): Seq[(String, Double)] = {
+    import graft.ops.GraphAnalytics
+    def point(n: Long): Double = {
+      val nodes = spark.range(n).select(col("id"))
+      val edges = spark.range(n * degree).select(
+        expr(s"id div $degree").as("fromId"),
+        pmod(graft.functions.Dedup.md5Hash32(
+          concat_ws(":", lit("cl"), col("id"))), lit(n)).as("toId"))
+        .filter(col("fromId") =!= col("toId"))
+      (0 until passes).map { _ =>
+        val t0 = System.nanoTime()
+        GraphAnalytics.louvainSweeps(nodes, edges, iters = 5)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val b = point(nBase)
+    val s = point(nBase * factor)
+    Seq(
+      f"louvain n=$nBase iters=5" -> b,
+      f"louvain n=${nBase * factor} iters=5" -> s,
+      "louvain ratio" -> (if (b > 0) s / b else -1.0))
+  }
+
   /** The survivor-rule A/B behind [[graft.functions.Dedup
     * .survivorsByEarliestDominator]]'s decision scaladoc: build the q_m21
     * media pair graph (format-dispatched dHash codes, pigeonhole Hamming ≤ 3
@@ -942,7 +977,8 @@ object ScaleBench {
     // ∝ log₂ n with the graph, the Eppstein–Wang sampling discipline
     if (families.contains("graph")) {
       val rows = closenessLadder(spark, factor = factor, passes = passes) ++
-        betweennessLadder(spark, factor = factor, passes = passes)
+        betweennessLadder(spark, factor = factor, passes = passes) ++
+        louvainLadder(spark, factor = factor, passes = passes)
       def esc0(s: String) = s.replace("\"", "\\\"")
       val qj = rows.map { case (n, t) => f""""${esc0(n)}":$t%.3f""" }
         .mkString("{", ",", "}")
@@ -1124,6 +1160,11 @@ object ScaleBench {
       // 32-bit family — the q_d11 scale note) under the identical plan
       "q_m22_production" -> ((s: SparkSession, d: String) =>
         graft.queries.RelationalQueries.crossModalDedup(s, d,
+          productionSimhash = true)),
+      // the tri-modal capstone's production twin (r16 judge ask #5):
+      // same three linear families, 64-bit xxhash simhash on the text arm
+      "q_m23_production" -> ((s: SparkSession, d: String) =>
+        graft.queries.RelationalQueries.triModalDedup(s, d,
           productionSimhash = true)))
     val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
       (if (annOnly) annQueries

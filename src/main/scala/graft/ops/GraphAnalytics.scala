@@ -1099,6 +1099,101 @@ object GraphAnalytics {
     labels.select(col("id"), col("label").as("community"))
   }
 
+  /** Louvain-style MODULARITY community detection — synchronous
+    * local-move sweeps with the gain computed in EXACT INTEGER units
+    * (the q_ga22 quantization discipline), so a cross-engine oracle can
+    * replay every round bit-for-bit. [[labelPropagation]] optimizes no
+    * objective; this is the standard graph-curation operator (domain
+    * clustering for mixture weights) with the real objective.
+    *
+    * Undirected, unweighted (parallel edges collapse, self-loops drop).
+    * With m undirected edges, k_i the node degree, Σ_tot(c) the degree
+    * sum of community c, and k_{i,c} the edge count from i into c,
+    * Louvain's ΔQ comparison across candidate communities of i reduces
+    * (dropping i-independent terms, clearing the 1/2m² denominator) to
+    * the integer score
+    *
+    *   score(i, c) = 2·m·k_{i,c} − k_i·(Σ_tot(c) − [c = cur(i)]·k_i)
+    *
+    * maximized over the neighbor communities ∪ {cur(i)} with the
+    * deterministic tie-break (score DESC, community id ASC) — all BIGINT
+    * (overflow needs 2·m·k_{i,c} ≥ 2⁶³: m·k beyond ~4.6e18, far past any
+    * practical edge list).
+    *
+    * Synchronous simultaneous moves OSCILLATE on symmetric structures
+    * (two mirror nodes can swap communities forever — the bipartite
+    * 2-cycle labelPropagation's scaladoc names). The standard
+    * deterministic fix, used here: a PARITY-ALTERNATING move schedule —
+    * round r lets only nodes with id % 2 == r % 2 re-evaluate, the rest
+    * carry their community. Mirror neighbors then move on different
+    * rounds, each seeing the other's settled choice; the two-triangle
+    * hand graph in GraphAnalyticsSpec converges to its known partition
+    * in 3 rounds and sits at a fixpoint after.
+    *
+    * Scale shape per round (the [[labelPropagation]] envelope): one
+    * neighbor-community equi-join + count aggregate (bounded by the edge
+    * list), one community-degree sum (community-count rows), one argmax
+    * window over the (node, candidate) table, one carry-forward left
+    * join. No all-pairs anywhere; communities cut lineage every round
+    * (the measured k=1 cadence).
+    */
+  def louvainSweeps(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = und.count() // one scalar job; the edge COUNT, not the edges
+    val n = nodes.select(col("id").cast("long").as("id")).distinct()
+    val deg = n.join(
+        sym.groupBy(col("a").cast("long").as("id"))
+          .agg(count(lit(1)).as("deg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    locally { val _ = deg.count() } // materialize before the loop reuses it
+    val cutter = new EveryK(1)
+    var comm = n.select(col("id"), col("id").as("comm"))
+    val w = Window.partitionBy(col("id")).orderBy(desc("score"), col("cand"))
+    (1 to iters).foreach { it =>
+      val movers = comm.filter(pmod(col("id"), lit(2)) === lit(it % 2))
+        .join(deg, "id") // (id, comm, deg)
+      val sig = comm.join(deg, "id")
+        .groupBy(col("comm").as("cand")).agg(sum(col("deg")).as("sigtot"))
+      val kic = sym
+        .join(comm.select(col("id").as("b"), col("comm").as("cand")), "b")
+        .select(col("a").cast("long").as("id"), col("cand"))
+        .join(movers.select(col("id")), Seq("id"), "left_semi")
+        .groupBy(col("id"), col("cand"))
+        .agg(count(lit(1)).as("kic"))
+      // the CURRENT community is always a candidate, kic = 0 when no
+      // neighbor shares it (isolated movers stay put with score 0)
+      val curCand = movers.select(col("id"), col("comm").as("cand"),
+          lit(0L).as("kic"))
+        .join(kic.select(col("id"), col("cand")), Seq("id", "cand"),
+          "left_anti")
+      val winners = kic.unionByName(curCand)
+        .join(movers.select(col("id"), col("comm").as("cur"),
+          col("deg").as("ki")), "id")
+        .join(sig, Seq("cand"))
+        .withColumn("score",
+          lit(2L * m) * col("kic") - col("ki") *
+            (col("sigtot") - when(col("cand") === col("cur"), col("ki"))
+              .otherwise(lit(0L))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("cand").as("wc"))
+      comm = cutter.step(
+        comm.join(winners, Seq("id"), "left")
+          .select(col("id"), coalesce(col("wc"), col("comm")).as("comm")),
+        force = it == iters)
+    }
+    sym.unpersist(); und.unpersist(); deg.unpersist()
+    comm.select(col("id"), col("comm").as("community"))
+  }
+
   /** HITS hubs & authorities (Kleinberg): fixed-iteration power method —
     * authority(v) ← Σ hub(u) over in-edges (u,v), hub(u) ← Σ authority(v)
     * over out-edges, each vector L2-normalized per half-step. Same

@@ -389,6 +389,22 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga23_louvain" -> ((s, _) => {
+      // Louvain-style modularity communities on graph200: synchronous
+      // local-move sweeps under the exact-integer gain
+      // 2·m·k_ic − k_i·(Σtot − [c=cur]·k_i), tie-break (score DESC,
+      // community ASC), parity-alternating move schedule (the
+      // deterministic anti-oscillation fix — see louvainSweeps scaladoc).
+      // The oracle unrolls all 5 sweeps as MATERIALIZED CTEs in pure
+      // BIGINT arithmetic, so every community of every round is
+      // hash-gated. graph200 over graph50: richer degree structure makes
+      // the Σtot penalty term actually discriminate between candidates.
+      val g = graph200(s)
+      GraphAnalytics.louvainSweeps(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")), iters = 5)
+        .orderBy(col("id"))
+    }),
+
     "q_ga10_label_prop" -> ((s, _) => {
       // synchronous min-tie label propagation, 5 fixed rounds — community
       // detection over the fixture graph; the oracle unrolls the same
@@ -690,6 +706,66 @@ ORDER BY n.id"""
          SELECT id AS "id", label AS "community" FROM l$rounds ORDER BY id"""
   }
 
+  /** Unrolled Louvain-style modularity sweeps in SQL — `rounds` chained
+    * MATERIALIZED CTE groups, each one synchronous local-move round of
+    * [[GraphAnalytics.louvainSweeps]]: the community degree sums, the
+    * mover-restricted neighbor-community edge counts (parity schedule:
+    * round r moves ids with id % 2 = r % 2), the stay-put candidate
+    * union, the exact-BIGINT gain argmax (QUALIFY row_number over
+    * (score DESC, cand)), and the carry-forward join. Pure integer
+    * arithmetic end to end — no float modularity anywhere.
+    */
+  private def louvainSql(rounds: Int): String = {
+    val base =
+      s"""WITH n AS MATERIALIZED (SELECT id FROM $nodes200Tbl),
+         ud AS MATERIALIZED (
+           SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+           FROM $edges200Tbl WHERE fromId <> toId),
+         e AS MATERIALIZED (SELECT a, b FROM ud UNION ALL SELECT b, a FROM ud),
+         mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM ud),
+         deg AS MATERIALIZED (
+           SELECT n.id, coalesce(d.deg, 0)::BIGINT AS deg
+           FROM n LEFT JOIN (SELECT a AS id, count(*)::BIGINT AS deg
+                             FROM e GROUP BY 1) d ON d.id = n.id),
+         c0 AS MATERIALIZED (SELECT id, id AS comm FROM n)"""
+    val iterCtes = (1 to rounds).map { r =>
+      val p = r % 2
+      s""",
+         sig$r AS MATERIALIZED (
+           SELECT c.comm AS cand, sum(d.deg)::BIGINT AS sigtot
+           FROM c${r - 1} c JOIN deg d ON d.id = c.id GROUP BY 1),
+         kic$r AS MATERIALIZED (
+           SELECT e.a AS id, c.comm AS cand, count(*)::BIGINT AS kic
+           FROM e JOIN c${r - 1} c ON c.id = e.b
+           WHERE e.a % 2 = $p
+           GROUP BY 1, 2),
+         cand$r AS MATERIALIZED (
+           SELECT id, cand, kic FROM kic$r
+           UNION ALL
+           SELECT c.id, c.comm, 0::BIGINT FROM c${r - 1} c
+           ANTI JOIN kic$r k ON k.id = c.id AND k.cand = c.comm
+           WHERE c.id % 2 = $p),
+         w$r AS MATERIALIZED (
+           SELECT id, cand FROM (
+             SELECT x.id, x.cand,
+                    2 * (SELECT m FROM mm) * x.kic -
+                      d.deg * (s.sigtot - CASE WHEN x.cand = c.comm
+                                               THEN d.deg ELSE 0 END) AS score
+             FROM cand$r x
+             JOIN c${r - 1} c ON c.id = x.id
+             JOIN deg d ON d.id = x.id
+             JOIN sig$r s ON s.cand = x.cand)
+           QUALIFY row_number() OVER (PARTITION BY id
+                                      ORDER BY score DESC, cand) = 1),
+         c$r AS MATERIALIZED (
+           SELECT p.id, coalesce(w.cand, p.comm) AS comm
+           FROM c${r - 1} p LEFT JOIN w$r w ON w.id = p.id)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+         SELECT id AS "id", comm AS "community" FROM c$rounds ORDER BY id"""
+  }
+
   /** Unrolled fixed-iteration HITS in ANSI SQL — the same power-method
     * half-steps [[GraphAnalytics.hits]] computes (propagate, zero-fill,
     * L2-normalize), with the identical round(_, 10) on every sum and
@@ -802,6 +878,7 @@ ORDER BY n.id"""
     "q_ga8_hits" -> hitsSql(iters = 5),
     "q_ga9_kcore" -> kCoreSql(k = 2, rounds = 60),
     "q_ga10_label_prop" -> labelPropSql(rounds = 5),
+    "q_ga23_louvain" -> louvainSql(rounds = 5),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -121,6 +121,73 @@ object RelationalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** The q_m23 TRI-MODAL dedup construction, shared by the gate (32-bit
+    * md5 simhash — oracle parity) and ScaleBench's q_m23_production arm
+    * (64-bit xxhash simhash, the [[crossModalDedup]] twin convention).
+    * See the gate registration's scaladoc for the semantics.
+    */
+  private[graft] def triModalDedup(s: SparkSession, d: String,
+                                   productionSimhash: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) >= 263)
+      .repartition(s.sparkContext.defaultParallelism)
+    val t247 = substring(col("text"), 1, 247)
+    val t263 = substring(col("text"), 1, 263)
+    val t263b = overlay(t263, lit("        "), lit(101)) // q_m18's splice
+    val mm = graft.multimodal.Multimodal
+    val bid = col("doc_id").cast("long") + 10000000L
+    val imgA = docs.select(col("doc_id").cast("long").as("media_id"),
+      mm.synthesizePngPayload(t247, width = 19, filterCycle = true,
+        channels = 1).as("payload"))
+    val imgB = docs.select(bid.as("media_id"),
+      when(col("doc_id") % 3 === 1,
+        mm.synthesizePngPerturbedPayload(t247, width = 19,
+          filterCycle = true, brightness = 64, spot = false))
+      .otherwise(mm.synthesizePngPayload(reverse(t247), width = 19,
+        filterCycle = true, channels = 1)).as("payload"))
+    val audA = docs.select(col("doc_id").cast("long").as("media_id"),
+      mm.synthesizeWavPayload(t263, 8000).as("payload"))
+    val audB = docs.select(bid.as("media_id"),
+      when(col("doc_id") % 3 === 0, mm.synthesizeWavPayload(t263b, 8000))
+      .otherwise(mm.synthesizeWavPayload(reverse(t263), 8000))
+      .as("payload"))
+    val texts = docs.select(col("doc_id").cast("long").as("doc_id"),
+        t247.as("text"))
+      .unionByName(docs.select(bid.as("doc_id"),
+        when(col("doc_id") % 3 === 2, t247).otherwise(reverse(t247))
+          .as("text")))
+    val (tokenHash, bits): (org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column, Int) =
+      if (productionSimhash)
+        ((c: org.apache.spark.sql.Column) => xxhash64(c), 64)
+      else (graft.functions.Dedup.md5Hash32 _, 32)
+    val imgCodes = mm.extractDHashAny(imgA.unionByName(imgB)).toDF()
+      .select(col("media_id").as("vec_id"), col("code"))
+    val audCodes = mm.extractAudioFingerprint(audA.unionByName(audB)).toDF()
+      .select(col("media_id").as("vec_id"), col("code"))
+    def pairsOf(codes: org.apache.spark.sql.DataFrame) =
+      graft.functions.VectorQuant.hammingNeighbors(codes, codes, reps = 2,
+          wordBits = 32, chunkBits = 16, maxDist = 3, ordered = true)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
+        maxDist = 3, tokenHash = tokenHash, bits = bits)
+      .select(col("doc_a"), col("doc_b"))
+    val sigs = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
+        tokenHash, bits)
+      .select(col("doc_id").as("media_id"), col("simhash"))
+    val items = imgCodes.select(col("vec_id").as("media_id"),
+        col("code").getItem(0).as("iw0"), col("code").getItem(1).as("iw1"))
+      .join(audCodes.select(col("vec_id").as("media_id"),
+        col("code").getItem(0).as("aw0"), col("code").getItem(1).as("aw1")),
+        Seq("media_id"))
+      .join(sigs, Seq("media_id"))
+    graft.functions.Dedup.survivorsByEarliestDominator(items,
+        pairsOf(imgCodes).unionByName(pairsOf(audCodes))
+          .unionByName(txtPairs), "media_id")
+      .orderBy(col("media_id"))
+  }
+
   private def sqlViews(s: SparkSession, d: String): Unit = {
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.orders(s, d).createOrReplaceTempView("orders")
@@ -321,6 +388,45 @@ object RelationalQueries {
        FROM lineitem
        GROUP BY ROLLUP (l_returnflag, l_linestatus)
        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  /** RANGE-framed window through the SQL parser — value-offset frames
+    * (`RANGE BETWEEN 100 PRECEDING AND 20 FOLLOWING` over an integer
+    * order key) plus the named-WINDOW clause, two analyzer paths the DSL
+    * window gates (q_w1–w6 build ROWS/unbounded frames through the API)
+    * and q_sql5 (row_number) never touch. RANGE frames include ORDER-key
+    * peers by VALUE, so the aggregate is well-defined under any tie
+    * order; c_custkey is unique anyway and everything aggregated is
+    * integral (the CAST pins DuckDB's HUGEINT sum back to BIGINT —
+    * ANSI, verbatim-portable).
+    */
+  private val sqlRangeFrame: String =
+    """SELECT c_nationkey, c_custkey,
+              count(*) OVER w AS n_win,
+              CAST(sum(c_custkey) OVER w AS BIGINT) AS sum_win
+       FROM customer
+       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+                    RANGE BETWEEN 100 PRECEDING AND 20 FOLLOWING)
+       ORDER BY c_nationkey, c_custkey"""
+
+  /** Explicit GROUPING SETS spelling through the SQL parser — the
+    * analyzer's grouping-set expansion with a MIXED set list (the pair,
+    * each single, and the grand total) plus grouping() markers, which
+    * q_sql8's ROLLUP shorthand and q_a13's DSL grouping sets never parse.
+    * grouping() returns TINYINT in Spark and BIGINT in DuckDB — the
+    * CAST(... AS INT) pins one type; NULL subtotal keys order NULLS
+    * FIRST explicitly (the q_sql8 divergence, same fix).
+    */
+  private val sqlGroupingSets: String =
+    """SELECT c_nationkey, c_mktsegment,
+              count(*) AS n_cust,
+              CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+              CAST(grouping(c_nationkey) AS INT) AS g_nat,
+              CAST(grouping(c_mktsegment) AS INT) AS g_seg
+       FROM customer
+       GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment), (c_nationkey),
+                               (c_mktsegment), ())
+       ORDER BY g_nat, g_seg, c_nationkey NULLS FIRST,
+                c_mktsegment NULLS FIRST"""
 
   /** The one IVF model every q_v* query shares, via the train-once cache:
     * deterministic training (same corpus, k=8, iters=2) makes the cached
@@ -2517,6 +2623,8 @@ object RelationalQueries {
     "q_sql10_lateral" -> ((s, d) => { sqlViews(s, d); s.sql(sqlLateral) }),
     "q_sql11_pivot" -> ((s, d) => { sqlViews(s, d); s.sql(sqlPivot) }),
     "q_sql12_unpivot" -> ((s, d) => { sqlViews(s, d); s.sql(sqlUnpivot) }),
+    "q_sql13_range_frame" -> ((s, d) => { sqlViews(s, d); s.sql(sqlRangeFrame) }),
+    "q_sql14_grouping_sets" -> ((s, d) => { sqlViews(s, d); s.sql(sqlGroupingSets) }),
 
     "q_a16_zscore" -> ((s, d) => {
       // per-group z-score standardization (the feature-scaling step next
@@ -3950,60 +4058,10 @@ object RelationalQueries {
       // before a single anti-join; codes/signatures on every exchange,
       // never pixels, samples, or raw text. Output = survivors with all
       // three fingerprints: the hash pins two decoders, three pooling
-      // paths, three candidate families, AND the any-modality rule.
-      val docs = Tables.documents(s, d)
-        .filter(col("text").isNotNull && length(col("text")) >= 263)
-        .repartition(s.sparkContext.defaultParallelism)
-      val t247 = substring(col("text"), 1, 247)
-      val t263 = substring(col("text"), 1, 263)
-      val t263b = overlay(t263, lit("        "), lit(101)) // q_m18's splice
-      val mm = graft.multimodal.Multimodal
-      val bid = col("doc_id").cast("long") + 10000000L
-      val imgA = docs.select(col("doc_id").cast("long").as("media_id"),
-        mm.synthesizePngPayload(t247, width = 19, filterCycle = true,
-          channels = 1).as("payload"))
-      val imgB = docs.select(bid.as("media_id"),
-        when(col("doc_id") % 3 === 1,
-          mm.synthesizePngPerturbedPayload(t247, width = 19,
-            filterCycle = true, brightness = 64, spot = false))
-        .otherwise(mm.synthesizePngPayload(reverse(t247), width = 19,
-          filterCycle = true, channels = 1)).as("payload"))
-      val audA = docs.select(col("doc_id").cast("long").as("media_id"),
-        mm.synthesizeWavPayload(t263, 8000).as("payload"))
-      val audB = docs.select(bid.as("media_id"),
-        when(col("doc_id") % 3 === 0, mm.synthesizeWavPayload(t263b, 8000))
-        .otherwise(mm.synthesizeWavPayload(reverse(t263), 8000))
-        .as("payload"))
-      val texts = docs.select(col("doc_id").cast("long").as("doc_id"),
-          t247.as("text"))
-        .unionByName(docs.select(bid.as("doc_id"),
-          when(col("doc_id") % 3 === 2, t247).otherwise(reverse(t247))
-            .as("text")))
-      val imgCodes = mm.extractDHashAny(imgA.unionByName(imgB)).toDF()
-        .select(col("media_id").as("vec_id"), col("code"))
-      val audCodes = mm.extractAudioFingerprint(audA.unionByName(audB)).toDF()
-        .select(col("media_id").as("vec_id"), col("code"))
-      def pairsOf(codes: org.apache.spark.sql.DataFrame) =
-        graft.functions.VectorQuant.hammingNeighbors(codes, codes, reps = 2,
-            wordBits = 32, chunkBits = 16, maxDist = 3, ordered = true)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
-          maxDist = 3, tokenHash = graft.functions.Dedup.md5Hash32,
-          bits = 32)
-        .select(col("doc_a"), col("doc_b"))
-      val sigs = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
-          graft.functions.Dedup.md5Hash32, 32)
-        .select(col("doc_id").as("media_id"), col("simhash"))
-      val items = imgCodes.select(col("vec_id").as("media_id"),
-          col("code").getItem(0).as("iw0"), col("code").getItem(1).as("iw1"))
-        .join(audCodes.select(col("vec_id").as("media_id"),
-          col("code").getItem(0).as("aw0"), col("code").getItem(1).as("aw1")),
-          Seq("media_id"))
-        .join(sigs, Seq("media_id"))
-      graft.functions.Dedup.survivorsByEarliestDominator(items,
-          pairsOf(imgCodes).unionByName(pairsOf(audCodes))
-            .unionByName(txtPairs), "media_id")
-        .orderBy(col("media_id"))
+      // paths, three candidate families, AND the any-modality rule. 32-bit md5
+      // simhash here for ORACLE PARITY; the production 64-bit twin is
+      // ScaleBench's q_m23_production arm (the q_m22 convention).
+      triModalDedup(s, d, productionSimhash = false)
     }),
 
     "q_m22_crossmodal_dedup" -> ((s, d) =>
@@ -4359,6 +4417,8 @@ object RelationalQueries {
     "q_sql10_lateral" -> sqlLateral,
     "q_sql11_pivot" -> sqlPivot,
     "q_sql12_unpivot" -> sqlUnpivot,
+    "q_sql13_range_frame" -> sqlRangeFrame,
+    "q_sql14_grouping_sets" -> sqlGroupingSets,
 
     "q_a16_zscore" ->
       // stddev == stddev_samp (n−1 denominator) in both engines; the two

@@ -586,4 +586,32 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out(1L) shouldBe 0L
     out(4L) shouldBe 0L
   }
+
+  test("louvainSweeps: two bridged triangles converge to the known partition") {
+    // {0,1,2} and {3,4,5} each a triangle, one bridge 2–3. Hand-run of
+    // the parity schedule (m=7, degrees 2,2,3,3,2,2):
+    //  r1 (odd ids move): 1→{0} (score 10 beats 8/0), 3→{4} (tie 4/5 →
+    //     min), 5→{4}                       → [0,0,2,4,4,4]
+    //  r2 (even ids move): 0 stays (10 vs 8), 2→{0} (16 beats −7/0),
+    //     4 stays                           → [0,0,0,4,4,4]
+    //  r3+: fixpoint (every stay-score dominates)
+    val n = (0L to 5L).toDF("id")
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L),
+      (2L, 3L)).toDF("fromId", "toId")
+    val out = GraphAnalytics.louvainSweeps(n, e, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 4L, 4L -> 4L,
+      5L -> 4L)
+  }
+
+  test("louvainSweeps: isolated nodes keep their own community; dup edges collapse") {
+    val n = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
+      .toDF("fromId", "toId")
+    val out = GraphAnalytics.louvainSweeps(n, e, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(9L) shouldBe 9L // no edges: every sweep keeps it put
+    // the path 1–2–3 merges into one community
+    Set(out(1L), out(2L), out(3L)).size shouldBe 1
+  }
 }
