@@ -1194,6 +1194,115 @@ object GraphAnalytics {
     comm.select(col("id"), col("comm").as("community"))
   }
 
+  /** [[louvainSweeps]] generalized to a WEIGHTED undirected graph — the
+    * form the contraction phase of real Louvain needs. `edges` carries
+    * canonical undirected rows (a ≤ b, one row per pair, self-loops
+    * allowed) with BIGINT weight w. Definitions (standard):
+    * W = Σ w over rows; k_i = Σ_{j≠i} w(i,j) + 2·w(i,i) (a self-loop
+    * contributes twice, so Σ k_i = 2W); k_{i,c} = Σ_{j∈c, j≠i} w(i,j)
+    * (self-loops move WITH the node and drop out of the argmax). Gain
+    * score, tie-break, and the parity-alternating schedule are exactly
+    * [[louvainSweeps]]'s with counts replaced by weight sums — still
+    * all-BIGINT, still oracle-replayable.
+    */
+  def louvainSweepsWeighted(nodes: DataFrame, edges: DataFrame,
+                            iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nonLoop = und.filter(col("a") =!= col("b"))
+    val sym = nonLoop.unionByName(
+        nonLoop.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bigW = und.agg(sum(col("w"))).head().getLong(0)
+    val n = nodes.select(col("id").cast("long").as("id")).distinct()
+    val deg = n
+      .join(sym.groupBy(col("a").as("id")).agg(sum(col("w")).as("d")),
+        Seq("id"), "left")
+      .join(und.filter(col("a") === col("b"))
+        .select(col("a").as("id"), col("w").as("lw")), Seq("id"), "left")
+      .select(col("id"), (coalesce(col("d"), lit(0L)) +
+        lit(2L) * coalesce(col("lw"), lit(0L))).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    locally { val _ = deg.count() }
+    val cutter = new EveryK(1)
+    var comm = n.select(col("id"), col("id").as("comm"))
+    val w = Window.partitionBy(col("id")).orderBy(desc("score"), col("cand"))
+    (1 to iters).foreach { it =>
+      val movers = comm.filter(pmod(col("id"), lit(2)) === lit(it % 2))
+        .join(deg, "id")
+      val sig = comm.join(deg, "id")
+        .groupBy(col("comm").as("cand")).agg(sum(col("deg")).as("sigtot"))
+      val kic = sym
+        .join(comm.select(col("id").as("b"), col("comm").as("cand")), "b")
+        .select(col("a").as("id"), col("cand"), col("w"))
+        .join(movers.select(col("id")), Seq("id"), "left_semi")
+        .groupBy(col("id"), col("cand"))
+        .agg(sum(col("w")).as("kic"))
+      val curCand = movers.select(col("id"), col("comm").as("cand"),
+          lit(0L).as("kic"))
+        .join(kic.select(col("id"), col("cand")), Seq("id", "cand"),
+          "left_anti")
+      val winners = kic.unionByName(curCand)
+        .join(movers.select(col("id"), col("comm").as("cur"),
+          col("deg").as("ki")), "id")
+        .join(sig, Seq("cand"))
+        .withColumn("score",
+          lit(2L * bigW) * col("kic") - col("ki") *
+            (col("sigtot") - when(col("cand") === col("cur"), col("ki"))
+              .otherwise(lit(0L))))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("cand").as("wc"))
+      comm = cutter.step(
+        comm.join(winners, Seq("id"), "left")
+          .select(col("id"), coalesce(col("wc"), col("comm")).as("comm")),
+        force = it == iters)
+    }
+    sym.unpersist(); und.unpersist(); deg.unpersist()
+    comm.select(col("id"), col("comm").as("community"))
+  }
+
+  /** TWO-LEVEL Louvain — the full algorithm's shape, not just its local
+    * moves: phase 1 = [[louvainSweeps]] on the input graph; CONTRACTION =
+    * communities become supernodes, parallel edges sum into BIGINT
+    * weights, intra-community edges become self-loops (their weight rides
+    * the supernode degree — the part a naive contraction drops and the
+    * modularity objective requires); phase 2 = [[louvainSweepsWeighted]]
+    * on the supergraph; every node inherits its supernode's final
+    * community. Deterministic end to end, so the q_ga24 oracle unrolls
+    * BOTH phases plus the contraction in pure integer SQL.
+    *
+    * Scale shape: the contraction is one groupBy over the edge list; the
+    * phase-2 graph is community-count-sized (orders of magnitude smaller
+    * — the whole point of Louvain's hierarchy), so phase-2 rounds cost a
+    * vanishing fraction of phase 1.
+    */
+  def louvainTwoLevel(nodes: DataFrame, edges: DataFrame,
+                      sweeps1: Int, sweeps2: Int): DataFrame = {
+    // phase1 is already a sealed checkpoint frame (louvainSweeps' final
+    // cutter.step(force = true)), so the three consumers below (contract
+    // join ×2, final join) re-read its materialized blocks, not lineage
+    val phase1 = louvainSweeps(nodes, edges, sweeps1)
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("ua"),
+        greatest(col("fromId"), col("toId")).as("ub"))
+      .filter(col("ua") =!= col("ub")).distinct()
+    val contracted = und
+      .join(phase1.select(col("id").as("ua"), col("community").as("ca")), "ua")
+      .join(phase1.select(col("id").as("ub"), col("community").as("cb")), "ub")
+      .select(least(col("ca"), col("cb")).as("a"),
+        greatest(col("ca"), col("cb")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("long").as("w"))
+    val supernodes = phase1.select(col("community").as("id")).distinct()
+    val phase2 = louvainSweepsWeighted(supernodes, contracted, sweeps2)
+    phase1.select(col("id"), col("community").as("c1"))
+      .join(phase2.select(col("id").as("c1"), col("community")), "c1")
+      .select(col("id"), col("community"))
+  }
+
   /** HITS hubs & authorities (Kleinberg): fixed-iteration power method —
     * authority(v) ← Σ hub(u) over in-edges (u,v), hub(u) ← Σ authority(v)
     * over out-edges, each vector L2-normalized per half-step. Same

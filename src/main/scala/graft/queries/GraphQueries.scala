@@ -405,6 +405,21 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga24_louvain_two_level" -> ((s, _) => {
+      // TWO-LEVEL Louvain — the full algorithm's hierarchy, not just its
+      // local moves: q_ga23's 5 sweeps, then CONTRACTION (communities →
+      // supernodes, parallel edges sum to weights, intra-community edges
+      // become degree-carrying self-loops), then 3 WEIGHTED sweeps on
+      // the supergraph; nodes inherit their supernode's community. The
+      // oracle unrolls both phases AND the contraction in pure BIGINT
+      // SQL, so the weighted gain arithmetic is hash-gated too.
+      val g = graph200(s)
+      GraphAnalytics.louvainTwoLevel(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")),
+          sweeps1 = 5, sweeps2 = 3)
+        .orderBy(col("id"))
+    }),
+
     "q_ga10_label_prop" -> ((s, _) => {
       // synchronous min-tie label propagation, 5 fixed rounds — community
       // detection over the fixture graph; the oracle unrolls the same
@@ -715,55 +730,130 @@ ORDER BY n.id"""
     * (score DESC, cand)), and the carry-forward join. Pure integer
     * arithmetic end to end — no float modularity anywhere.
     */
-  private def louvainSql(rounds: Int): String = {
-    val base =
-      s"""WITH n AS MATERIALIZED (SELECT id FROM $nodes200Tbl),
-         ud AS MATERIALIZED (
-           SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
-           FROM $edges200Tbl WHERE fromId <> toId),
-         e AS MATERIALIZED (SELECT a, b FROM ud UNION ALL SELECT b, a FROM ud),
-         mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM ud),
-         deg AS MATERIALIZED (
-           SELECT n.id, coalesce(d.deg, 0)::BIGINT AS deg
-           FROM n LEFT JOIN (SELECT a AS id, count(*)::BIGINT AS deg
-                             FROM e GROUP BY 1) d ON d.id = n.id),
-         c0 AS MATERIALIZED (SELECT id, id AS comm FROM n)"""
-    val iterCtes = (1 to rounds).map { r =>
-      val p = r % 2
-      s""",
-         sig$r AS MATERIALIZED (
-           SELECT c.comm AS cand, sum(d.deg)::BIGINT AS sigtot
-           FROM c${r - 1} c JOIN deg d ON d.id = c.id GROUP BY 1),
-         kic$r AS MATERIALIZED (
-           SELECT e.a AS id, c.comm AS cand, count(*)::BIGINT AS kic
-           FROM e JOIN c${r - 1} c ON c.id = e.b
-           WHERE e.a % 2 = $p
-           GROUP BY 1, 2),
-         cand$r AS MATERIALIZED (
-           SELECT id, cand, kic FROM kic$r
-           UNION ALL
-           SELECT c.id, c.comm, 0::BIGINT FROM c${r - 1} c
-           ANTI JOIN kic$r k ON k.id = c.id AND k.cand = c.comm
-           WHERE c.id % 2 = $p),
-         w$r AS MATERIALIZED (
-           SELECT id, cand FROM (
-             SELECT x.id, x.cand,
-                    2 * (SELECT m FROM mm) * x.kic -
-                      d.deg * (s.sigtot - CASE WHEN x.cand = c.comm
-                                               THEN d.deg ELSE 0 END) AS score
-             FROM cand$r x
-             JOIN c${r - 1} c ON c.id = x.id
-             JOIN deg d ON d.id = x.id
-             JOIN sig$r s ON s.cand = x.cand)
-           QUALIFY row_number() OVER (PARTITION BY id
-                                      ORDER BY score DESC, cand) = 1),
-         c$r AS MATERIALIZED (
-           SELECT p.id, coalesce(w.cand, p.comm) AS comm
-           FROM c${r - 1} p LEFT JOIN w$r w ON w.id = p.id)"""
-    }.mkString
-    base + iterCtes +
+  private val louvainBaseCtes: String =
+    s"""WITH n AS MATERIALIZED (SELECT id FROM $nodes200Tbl),
+       ud AS MATERIALIZED (
+         SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+         FROM $edges200Tbl WHERE fromId <> toId),
+       e AS MATERIALIZED (SELECT a, b FROM ud UNION ALL SELECT b, a FROM ud),
+       mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM ud),
+       deg AS MATERIALIZED (
+         SELECT n.id, coalesce(d.deg, 0)::BIGINT AS deg
+         FROM n LEFT JOIN (SELECT a AS id, count(*)::BIGINT AS deg
+                           FROM e GROUP BY 1) d ON d.id = n.id),
+       c0 AS MATERIALIZED (SELECT id, id AS comm FROM n)"""
+
+  /** One phase-1 sweep round as CTEs — shared by [[louvainSql]] and
+    * [[louvainTwoLevelSql]].
+    */
+  private def louvainRoundCte(r: Int): String = {
+    val p = r % 2
+    s""",
+       sig$r AS MATERIALIZED (
+         SELECT c.comm AS cand, sum(d.deg)::BIGINT AS sigtot
+         FROM c${r - 1} c JOIN deg d ON d.id = c.id GROUP BY 1),
+       kic$r AS MATERIALIZED (
+         SELECT e.a AS id, c.comm AS cand, count(*)::BIGINT AS kic
+         FROM e JOIN c${r - 1} c ON c.id = e.b
+         WHERE e.a % 2 = $p
+         GROUP BY 1, 2),
+       cand$r AS MATERIALIZED (
+         SELECT id, cand, kic FROM kic$r
+         UNION ALL
+         SELECT c.id, c.comm, 0::BIGINT FROM c${r - 1} c
+         ANTI JOIN kic$r k ON k.id = c.id AND k.cand = c.comm
+         WHERE c.id % 2 = $p),
+       w$r AS MATERIALIZED (
+         SELECT id, cand FROM (
+           SELECT x.id, x.cand,
+                  2 * (SELECT m FROM mm) * x.kic -
+                    d.deg * (s.sigtot - CASE WHEN x.cand = c.comm
+                                             THEN d.deg ELSE 0 END) AS score
+           FROM cand$r x
+           JOIN c${r - 1} c ON c.id = x.id
+           JOIN deg d ON d.id = x.id
+           JOIN sig$r s ON s.cand = x.cand)
+         QUALIFY row_number() OVER (PARTITION BY id
+                                    ORDER BY score DESC, cand) = 1),
+       c$r AS MATERIALIZED (
+         SELECT p.id, coalesce(w.cand, p.comm) AS comm
+         FROM c${r - 1} p LEFT JOIN w$r w ON w.id = p.id)"""
+  }
+
+  private def louvainSql(rounds: Int): String =
+    louvainBaseCtes + (1 to rounds).map(louvainRoundCte).mkString +
       s"""
          SELECT id AS "id", comm AS "community" FROM c$rounds ORDER BY id"""
+
+  /** The q_ga24 oracle: phase 1 = [[louvainSql]]'s sweep CTEs verbatim,
+    * then the CONTRACTION (communities → supernodes, parallel edges sum
+    * to BIGINT weights, intra-community edges become self-loops whose
+    * weight rides the supernode degree ×2), then `r2` WEIGHTED sweep
+    * rounds (counts → weight sums, the same score/tie-break/parity
+    * schedule), and every node inherits its supernode's final community.
+    * Pure integer arithmetic across both phases.
+    */
+  private def louvainTwoLevelSql(r1: Int, r2: Int): String = {
+    val contraction = s""",
+       sn AS MATERIALIZED (SELECT DISTINCT comm AS id FROM c$r1),
+       sedges AS MATERIALIZED (
+         SELECT least(x.ca, x.cb) AS a, greatest(x.ca, x.cb) AS b,
+                count(*)::BIGINT AS w
+         FROM (SELECT c1.comm AS ca, c2.comm AS cb
+               FROM ud u JOIN c$r1 c1 ON c1.id = u.a
+                         JOIN c$r1 c2 ON c2.id = u.b) x
+         GROUP BY 1, 2),
+       ssym AS MATERIALIZED (
+         SELECT a, b, w FROM sedges WHERE a <> b
+         UNION ALL SELECT b, a, w FROM sedges WHERE a <> b),
+       sW AS MATERIALIZED (SELECT sum(w)::BIGINT AS m FROM sedges),
+       sdeg AS MATERIALIZED (
+         SELECT n.id, (coalesce(s.d, 0) + 2 * coalesce(l.w, 0))::BIGINT AS deg
+         FROM sn n
+         LEFT JOIN (SELECT a AS id, sum(w)::BIGINT AS d FROM ssym
+                    GROUP BY 1) s ON s.id = n.id
+         LEFT JOIN (SELECT a AS id, w FROM sedges WHERE a = b) l
+           ON l.id = n.id),
+       t0 AS MATERIALIZED (SELECT id, id AS comm FROM sn)"""
+    val phase2 = (1 to r2).map { r =>
+      val p = r % 2
+      s""",
+       tsig$r AS MATERIALIZED (
+         SELECT c.comm AS cand, sum(d.deg)::BIGINT AS sigtot
+         FROM t${r - 1} c JOIN sdeg d ON d.id = c.id GROUP BY 1),
+       tkic$r AS MATERIALIZED (
+         SELECT e.a AS id, c.comm AS cand, sum(e.w)::BIGINT AS kic
+         FROM ssym e JOIN t${r - 1} c ON c.id = e.b
+         WHERE e.a % 2 = $p
+         GROUP BY 1, 2),
+       tcand$r AS MATERIALIZED (
+         SELECT id, cand, kic FROM tkic$r
+         UNION ALL
+         SELECT c.id, c.comm, 0::BIGINT FROM t${r - 1} c
+         ANTI JOIN tkic$r k ON k.id = c.id AND k.cand = c.comm
+         WHERE c.id % 2 = $p),
+       tw$r AS MATERIALIZED (
+         SELECT id, cand FROM (
+           SELECT x.id, x.cand,
+                  2 * (SELECT m FROM sW) * x.kic -
+                    d.deg * (s.sigtot - CASE WHEN x.cand = c.comm
+                                             THEN d.deg ELSE 0 END) AS score
+           FROM tcand$r x
+           JOIN t${r - 1} c ON c.id = x.id
+           JOIN sdeg d ON d.id = x.id
+           JOIN tsig$r s ON s.cand = x.cand)
+         QUALIFY row_number() OVER (PARTITION BY id
+                                    ORDER BY score DESC, cand) = 1),
+       t$r AS MATERIALIZED (
+         SELECT p.id, coalesce(w.cand, p.comm) AS comm
+         FROM t${r - 1} p LEFT JOIN tw$r w ON w.id = p.id)"""
+    }.mkString
+    louvainBaseCtes + (1 to r1).map(louvainRoundCte).mkString +
+      contraction + phase2 +
+      s"""
+         SELECT c.id AS "id", t.comm AS "community"
+         FROM c$r1 c JOIN t$r2 t ON t.id = c.comm
+         ORDER BY c.id"""
   }
 
   /** Unrolled fixed-iteration HITS in ANSI SQL — the same power-method
@@ -879,6 +969,7 @@ ORDER BY n.id"""
     "q_ga9_kcore" -> kCoreSql(k = 2, rounds = 60),
     "q_ga10_label_prop" -> labelPropSql(rounds = 5),
     "q_ga23_louvain" -> louvainSql(rounds = 5),
+    "q_ga24_louvain_two_level" -> louvainTwoLevelSql(r1 = 5, r2 = 3),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -604,6 +604,39 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       5L -> 4L)
   }
 
+  test("louvainTwoLevel: ring of 16 cliques — phase 1 finds cliques, only phase 2 merges them") {
+    // the textbook resolution-limit construction: K4 cliques ring-linked
+    // by single edges. Individual nodes never move across a ring edge
+    // (2W·1 < k_i·k_target), so single-level sweeps stop at one
+    // community per clique; merging WHOLE cliques becomes favorable once
+    // 2W·w_AB > k_A·k_B — for K4 rings that needs > 14 cliques, so at 16
+    // the contraction phase merges neighbors and the hierarchy is doing
+    // real work the local moves cannot.
+    val cliques = 16
+    val n = (0L until 4L * cliques).toDF("id")
+    val intra = for {
+      c <- 0 until cliques; i <- 0 until 4; j <- i + 1 until 4
+    } yield (4L * c + i, 4L * c + j)
+    val ring = (0 until cliques).map(c =>
+      (4L * c + 3, 4L * ((c + 1) % cliques)))
+    val e = (intra ++ ring).toDF("fromId", "toId")
+    val one = GraphAnalytics.louvainSweeps(n, e, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // phase 1 alone: exactly one community per clique, none merged
+    one.values.toSet.size shouldBe cliques
+    (0 until cliques).foreach { c =>
+      (0 until 4).map(i => one(4L * c + i)).toSet.size shouldBe 1
+    }
+    val two = GraphAnalytics.louvainTwoLevel(n, e, sweeps1 = 5, sweeps2 = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // phase 2: cliques stay intact AND neighbors merged — strictly fewer
+    // communities than cliques, every community a union of whole cliques
+    (0 until cliques).foreach { c =>
+      (0 until 4).map(i => two(4L * c + i)).toSet.size shouldBe 1
+    }
+    two.values.toSet.size should be < cliques
+  }
+
   test("louvainSweeps: isolated nodes keep their own community; dup edges collapse") {
     val n = Seq(1L, 2L, 3L, 9L).toDF("id")
     val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
