@@ -487,16 +487,14 @@ object Unigram {
       .map { case ((p, c), i) =>
         s"('${Pretokenize.sqlLit(p)}',$i,${c}::BIGINT)" }.mkString(", ")
 
-  /** The q_t49 oracle: the q_t44 lattice replayed over the PRETOKENIZED
-    * decorated corpus — `regexp_extract_all` (DuckDB's RE2) re-derives
-    * [[Pretokenize.split]]'s scanner stream, and the recursive-CTE
-    * segmentation enumeration + (cost, n, '-'-joined path) argmin runs
-    * per distinct PRETOKEN under [[plantedPre]]. Two independent split
-    * implementations (scanner vs RE2), one hash.
+  /** The pretokenized lattice-encode CTE chain (through `doc_tokens`) —
+    * [[plantedPre]] vocab over [[Pretokenize.wordsCteSql]]'s
+    * regexp-derived pretokens; shared by the q_t49 encode oracle and the
+    * q_sp25 pretokenized context-packing oracle (the encodeCtes/q_sp23
+    * relationship, one level up the realism ladder).
     */
-  def encodePreOracleSql: String =
-    s"""WITH RECURSIVE
-vocab(piece, id, cost) AS (SELECT * FROM (VALUES $plantedPrePiecesValues)),
+  private def encodePreCtes: String =
+    s"""vocab(piece, id, cost) AS (SELECT * FROM (VALUES $plantedPrePiecesValues)),
 ${Pretokenize.wordsCteSql},
 dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
 seg(word, pos, cost, n, path, idpath) AS (
@@ -521,12 +519,67 @@ doc_tokens AS (
          string_agg(b.idpath, '-' ORDER BY w.wpos) AS token_ids,
          sum(b.n)::BIGINT AS n_tokens
   FROM words w JOIN best b ON b.word = w.word
-  GROUP BY w.doc_id)
+  GROUP BY w.doc_id)"""
+
+  /** The q_t49 oracle: the q_t44 lattice replayed over the PRETOKENIZED
+    * decorated corpus — `regexp_extract_all` (DuckDB's RE2) re-derives
+    * [[Pretokenize.split]]'s scanner stream, and the recursive-CTE
+    * segmentation enumeration + (cost, n, '-'-joined path) argmin runs
+    * per distinct PRETOKEN under [[plantedPre]]. Two independent split
+    * implementations (scanner vs RE2), one hash.
+    */
+  def encodePreOracleSql: String =
+    "WITH RECURSIVE " + encodePreCtes + s"""
 SELECT d.doc_id,
        coalesce(t.token_ids, '') AS token_ids,
        coalesce(t.n_tokens, 0)::BIGINT AS n_tokens
 FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+  /** The q_sp25 oracle: [[contextPackOracleSql]]'s concat-and-chop
+    * COMPOSED with the pretokenized lattice — EOS id = the plantedPre
+    * vocab size, offsets over ptext-bearing docs in doc_id order, same
+    * 64-token full-bins-only rule. The realistic-text form of the
+    * pretraining data product: pretokens, not space splits, size every
+    * context.
+    */
+  def contextPackPreOracleSql(contextLen: Int): String = {
+    val eos = plantedPre.pieces.length
+    "WITH RECURSIVE " + encodePreCtes + s""",
+pk AS (
+  SELECT p.doc_id,
+         CASE WHEN coalesce(t.token_ids, '') = '' THEN ['$eos']
+              ELSE list_append(string_split(t.token_ids, '-'), '$eos') END
+           AS ids
+  FROM pdocs p LEFT JOIN doc_tokens t ON t.doc_id = p.doc_id
+  WHERE p.ptext IS NOT NULL),
+withn AS (SELECT doc_id, ids, len(ids)::BIGINT AS n FROM pk),
+off AS (
+  SELECT doc_id, ids, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS o
+  FROM withn),
+segs AS (
+  SELECT b.bin_id, f.o,
+         array_to_string(
+           f.ids[(greatest(0, b.bin_id * $contextLen - f.o) + 1)
+                 : (least(f.o + f.n, (b.bin_id + 1) * $contextLen) - f.o)],
+           '-') AS seg,
+         least(f.o + f.n, (b.bin_id + 1) * $contextLen) -
+           greatest(f.o, b.bin_id * $contextLen) AS seg_len
+  FROM off f,
+       LATERAL unnest(generate_series(f.o // $contextLen,
+         (f.o + f.n - 1) // $contextLen)) AS b(bin_id)),
+bins AS (
+  SELECT bin_id,
+         string_agg(seg, '-' ORDER BY o) AS token_ids,
+         count(*)::BIGINT AS n_segments,
+         sum(seg_len)::BIGINT AS n_filled
+  FROM segs GROUP BY 1)
+SELECT bin_id, token_ids, n_segments
+FROM bins WHERE n_filled = $contextLen
+ORDER BY bin_id"""
+  }
 
   /** The q_t44 oracle: the full lattice replayed in SQL — per distinct
     * word, a recursive CTE enumerates EVERY vocab-covered segmentation

@@ -2309,6 +2309,50 @@ object RelationalQueries {
         .orderBy(col("bin_id"))
     }),
 
+    "q_sp25_pretok_context_pack" -> ((s, d) => {
+      // the pretraining data product UNDER THE PRETOKENIZER — q_sp23's
+      // tokenize → EOS → range-shuffle prefix-sum concat-and-chop, with
+      // every context sized by the pretokenized lattice on the decorated
+      // corpus (q_t49's count is what actually fills the 64-token bins).
+      // Same GlobalIndex.prefixSum carry — no global window anywhere;
+      // the oracle replays regexp split, lattice, prefix sum, and every
+      // slice.
+      val eos = graft.functions.Unigram.plantedPre.pieces.length
+      val ctx = 64L
+      val ptext = concat(col("text"),
+        lit(graft.functions.Pretokenize.decorA),
+        col("doc_id").cast("string"),
+        lit(graft.functions.Pretokenize.decorB))
+      val enc = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(graft.functions.Unigram.encodePre(ptext,
+            graft.functions.Unigram.plantedPre), array(lit(eos))).as("ids"))
+        .withColumn("n", size(col("ids")).cast("long"))
+      graft.functions.GlobalIndex.prefixSum(enc, col("doc_id"), col("n"),
+          outCol = "tok_offset")
+        .withColumn("bin_id", explode(sequence(
+          expr(s"tok_offset div ${ctx}L"),
+          expr(s"(tok_offset + n - 1) div ${ctx}L"))))
+        .withColumn("seg_start",
+          greatest(lit(0L), col("bin_id") * ctx - col("tok_offset")))
+        .withColumn("seg_len",
+          least(col("tok_offset") + col("n"), (col("bin_id") + 1) * ctx) -
+            greatest(col("tok_offset"), col("bin_id") * ctx))
+        .withColumn("seg", slice(col("ids"),
+          (col("seg_start") + 1).cast("int"), col("seg_len").cast("int")))
+        .groupBy(col("bin_id"))
+        .agg(
+          concat_ws("-", flatten(transform(
+            array_sort(collect_list(struct(col("tok_offset"), col("seg")))),
+            r => transform(r.getField("seg"), _.cast("string")))))
+            .as("token_ids"),
+          count(lit(1)).as("n_segments"),
+          sum(col("seg_len")).as("n_filled"))
+        .filter(col("n_filled") === ctx)
+        .select(col("bin_id"), col("token_ids"), col("n_segments"))
+        .orderBy(col("bin_id"))
+    }),
+
     "q_sp22_unigram_token_budget" -> ((s, d) =>
       // q_sp9's budget packing under the UNIGRAM-LM tokenizer — the
       // reason the family exists: shard budgets sized by the tokenizer
@@ -7529,6 +7573,12 @@ object RelationalQueries {
            FROM t)
          SELECT doc_id, bin, n_tokens, cum_tokens FROM b
          WHERE cum_tokens <= 2000 ORDER BY doc_id""",
+
+    "q_sp25_pretok_context_pack" ->
+      // the q_t49 pretokenized lattice composed with the q_sp23
+      // concat-and-chop (EOS = plantedPre vocab size, same 64-token
+      // full-bins-only rule)
+      graft.functions.Unigram.contextPackPreOracleSql(64),
 
     "q_sp24_pretok_token_budget" ->
       // the q_t49 pretokenized lattice reduced to per-doc counts, feeding
