@@ -1265,6 +1265,60 @@ object GraphAnalytics {
     comm.select(col("id"), col("comm").as("community"))
   }
 
+  /** EXACT-INTEGER modularity of a partition, per community — the
+    * diagnostic that makes community partitions COMPARABLE (which mixture
+    * weighting / domain clustering needs before trusting a partition).
+    * With W undirected edges, m_c the internal edge count and Σtot_c the
+    * degree sum of community c, Newman's Q = Σ_c [m_c/W − (Σtot_c/2W)²];
+    * scaled by 4W² every term is integer:
+    *
+    *   contrib(c) = 4·W·m_c − Σtot_c²       (Q = Σ contrib / 4W²)
+    *
+    * so partitions compare exactly on Σ contrib with no float anywhere.
+    * (Σtot_c² needs Σtot_c < 3·10⁹ to stay in BIGINT — beyond ~1.5e9
+    * edges in ONE community the scaled form would need DECIMAL; at that
+    * point the partition is degenerate anyway.) `assign` is (id,
+    * community); nodes absent from it are ignored, communities report
+    * node count, internal edges, degree sum, and contribution.
+    */
+  def modularityByCommunity(nodes: DataFrame, edges: DataFrame,
+                            assign: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bigW = und.count()
+    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    val n = nodes.select(col("id").cast("long").as("id")).distinct()
+    val deg = n.join(
+        sym.groupBy(col("a").cast("long").as("id"))
+          .agg(count(lit(1)).as("deg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"))
+    val asg = assign.select(col("id").cast("long").as("id"),
+      col("community").cast("long").as("community"))
+    val mIn = und
+      .join(asg.select(col("id").as("a"), col("community").as("ca")), "a")
+      .join(asg.select(col("id").as("b"), col("community").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("m_internal"))
+    val out = asg.join(deg, "id")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sigtot"))
+      .join(mIn, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("m_internal"), lit(0L)).as("m_internal"),
+        col("sigtot"),
+        (lit(4L * bigW) * coalesce(col("m_internal"), lit(0L)) -
+          col("sigtot") * col("sigtot")).as("contrib"))
+    // und stays persisted: the returned frame reads it through THREE
+    // consumers (deg, m_internal, and the count already taken) — the
+    // cutter.seal convention of leaving the last depended-on frame
+    // materialized rather than forcing two recomputes of the distinct
+    out
+  }
+
   /** TWO-LEVEL Louvain — the full algorithm's shape, not just its local
     * moves: phase 1 = [[louvainSweeps]] on the input graph; CONTRACTION =
     * communities become supernodes, parallel edges sum into BIGINT
@@ -1282,25 +1336,46 @@ object GraphAnalytics {
     */
   def louvainTwoLevel(nodes: DataFrame, edges: DataFrame,
                       sweeps1: Int, sweeps2: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // phase1 is already a sealed checkpoint frame (louvainSweeps' final
     // cutter.step(force = true)), so the three consumers below (contract
     // join ×2, final join) re-read its materialized blocks, not lineage
     val phase1 = louvainSweeps(nodes, edges, sweeps1)
+    // DENSE-RANK the supernode ids before phase 2: phase-1 community ids
+    // are community MINIMA, whose parities can be systematically skewed
+    // (a ring of K4 cliques yields ids ≡ 0 mod 4 — ALL even), and a
+    // skewed parity degenerates the alternating schedule into "everyone
+    // moves at once", reviving exactly the chain mis-merges it exists to
+    // prevent (caught by the ring-of-cliques spec: modularity DROPPED).
+    // row_number over the community list restores alternating parities;
+    // the window is community-count-sized — supergraph staging, not a
+    // node-scale operation.
+    val ranked = phase1.select(col("community")).distinct()
+      .select(col("community"),
+        (row_number().over(Window.orderBy(col("community"))) - 1)
+          .cast("long").as("rid"))
+    val withRid = phase1.join(ranked, "community")
+      .select(col("id"), col("rid"))
     val und = edges.select(
         least(col("fromId"), col("toId")).as("ua"),
         greatest(col("fromId"), col("toId")).as("ub"))
       .filter(col("ua") =!= col("ub")).distinct()
     val contracted = und
-      .join(phase1.select(col("id").as("ua"), col("community").as("ca")), "ua")
-      .join(phase1.select(col("id").as("ub"), col("community").as("cb")), "ub")
+      .join(withRid.select(col("id").as("ua"), col("rid").as("ca")), "ua")
+      .join(withRid.select(col("id").as("ub"), col("rid").as("cb")), "ub")
       .select(least(col("ca"), col("cb")).as("a"),
         greatest(col("ca"), col("cb")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).cast("long").as("w"))
-    val supernodes = phase1.select(col("community").as("id")).distinct()
+    val supernodes = ranked.select(col("rid").as("id"))
     val phase2 = louvainSweepsWeighted(supernodes, contracted, sweeps2)
-    phase1.select(col("id"), col("community").as("c1"))
-      .join(phase2.select(col("id").as("c1"), col("community")), "c1")
-      .select(col("id"), col("community"))
+    // final community reported as the PHASE-1 community id of the
+    // winning rank (stable, data-derived labels rather than rank
+    // numbers): rid -> phase-2 rank community -> its phase-1 id
+    val ridToComm = ranked.select(col("rid"), col("community").as("c1label"))
+    withRid
+      .join(phase2.select(col("id").as("rid"), col("community").as("w2")), "rid")
+      .join(ridToComm.select(col("rid").as("w2"), col("c1label")), "w2")
+      .select(col("id"), col("c1label").as("community"))
   }
 
   /** HITS hubs & authorities (Kleinberg): fixed-iteration power method —

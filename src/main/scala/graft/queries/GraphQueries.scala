@@ -420,6 +420,28 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga25_modularity_score" -> ((s, _) => {
+      // EXACT-INTEGER modularity diagnostic over BOTH Louvain levels:
+      // per community, contrib = 4·W·m_in − Σtot² (Q = Σ contrib / 4W²)
+      // — partitions compare exactly, no float anywhere, and the gate
+      // data itself shows the hierarchy improving the objective
+      // (Σ contrib at level 2 ≥ level 1; pinned as an assertion in
+      // GraphAnalyticsSpec's ring-of-cliques test).
+      val g = graph200(s)
+      val nodesDf = g.nodes.toDF()
+      val edgesDf = g.edges.toDF().select(col("fromId"), col("toId"))
+      val l1 = GraphAnalytics.louvainSweeps(nodesDf, edgesDf, iters = 5)
+      val l2 = GraphAnalytics.louvainTwoLevel(nodesDf, edgesDf,
+        sweeps1 = 5, sweeps2 = 3)
+      GraphAnalytics.modularityByCommunity(nodesDf, edgesDf, l1)
+        .withColumn("level", lit(1))
+        .unionByName(GraphAnalytics.modularityByCommunity(nodesDf, edgesDf, l2)
+          .withColumn("level", lit(2)))
+        .select(col("level"), col("community"), col("n_nodes"),
+          col("m_internal"), col("sigtot"), col("contrib"))
+        .orderBy(col("level"), col("community"))
+    }),
+
     "q_ga10_label_prop" -> ((s, _) => {
       // synchronous min-tie label propagation, 5 fixed rounds — community
       // detection over the fixture graph; the oracle unrolls the same
@@ -791,17 +813,25 @@ ORDER BY n.id"""
     * weight rides the supernode degree ×2), then `r2` WEIGHTED sweep
     * rounds (counts → weight sums, the same score/tie-break/parity
     * schedule), and every node inherits its supernode's final community.
-    * Pure integer arithmetic across both phases.
+    * Pure integer arithmetic across both phases. This emits the CTE
+    * chain only (base + phase-1 rounds + contraction + phase-2 rounds);
+    * [[louvainTwoLevelSql]] and [[louvainModularitySql]] append their
+    * final SELECTs.
     */
-  private def louvainTwoLevelSql(r1: Int, r2: Int): String = {
+  private def louvainTwoLevelCtes(r1: Int, r2: Int): String = {
     val contraction = s""",
-       sn AS MATERIALIZED (SELECT DISTINCT comm AS id FROM c$r1),
+       srank AS MATERIALIZED (
+         SELECT comm, (row_number() OVER (ORDER BY comm) - 1)::BIGINT AS rid
+         FROM (SELECT DISTINCT comm FROM c$r1)),
+       nr AS MATERIALIZED (
+         SELECT c.id, r.rid FROM c$r1 c JOIN srank r ON r.comm = c.comm),
+       sn AS MATERIALIZED (SELECT rid AS id FROM srank),
        sedges AS MATERIALIZED (
          SELECT least(x.ca, x.cb) AS a, greatest(x.ca, x.cb) AS b,
                 count(*)::BIGINT AS w
-         FROM (SELECT c1.comm AS ca, c2.comm AS cb
-               FROM ud u JOIN c$r1 c1 ON c1.id = u.a
-                         JOIN c$r1 c2 ON c2.id = u.b) x
+         FROM (SELECT n1.rid AS ca, n2.rid AS cb
+               FROM ud u JOIN nr n1 ON n1.id = u.a
+                         JOIN nr n2 ON n2.id = u.b) x
          GROUP BY 1, 2),
        ssym AS MATERIALIZED (
          SELECT a, b, w FROM sedges WHERE a <> b
@@ -849,11 +879,49 @@ ORDER BY n.id"""
          FROM t${r - 1} p LEFT JOIN tw$r w ON w.id = p.id)"""
     }.mkString
     louvainBaseCtes + (1 to r1).map(louvainRoundCte).mkString +
-      contraction + phase2 +
+      contraction + phase2
+  }
+
+  private def louvainTwoLevelSql(r1: Int, r2: Int): String =
+    louvainTwoLevelCtes(r1, r2) +
       s"""
-         SELECT c.id AS "id", t.comm AS "community"
-         FROM c$r1 c JOIN t$r2 t ON t.id = c.comm
-         ORDER BY c.id"""
+         SELECT n.id AS "id", sr.comm AS "community"
+         FROM nr n JOIN t$r2 t ON t.id = n.rid
+                   JOIN srank sr ON sr.rid = t.comm
+         ORDER BY n.id"""
+
+  /** The q_ga25 oracle: both Louvain levels' partitions (phase-1 c$r1,
+    * two-level mapping through t$r2) scored with the exact-integer
+    * modularity — per community n_nodes, internal undirected edge count,
+    * degree sum, and contrib = 4·W·m_in − Σtot², all BIGINT.
+    */
+  private def louvainModularitySql(r1: Int, r2: Int): String = {
+    def level(tag: Int, asgn: String) = s""",
+       mq$tag AS MATERIALIZED (
+         SELECT l.comm AS community, count(*)::BIGINT AS n_nodes,
+                sum(d.deg)::BIGINT AS sigtot
+         FROM $asgn l JOIN deg d ON d.id = l.id GROUP BY 1),
+       mi$tag AS MATERIALIZED (
+         SELECT la.comm AS community, count(*)::BIGINT AS m_internal
+         FROM ud u JOIN $asgn la ON la.id = u.a
+                   JOIN $asgn lb ON lb.id = u.b
+         WHERE la.comm = lb.comm GROUP BY 1),
+       out$tag AS (
+         SELECT $tag AS level, q.community, q.n_nodes,
+                coalesce(m.m_internal, 0)::BIGINT AS m_internal, q.sigtot,
+                (4 * (SELECT m FROM mm) * coalesce(m.m_internal, 0) -
+                 q.sigtot * q.sigtot)::BIGINT AS contrib
+         FROM mq$tag q LEFT JOIN mi$tag m USING (community))"""
+    louvainTwoLevelCtes(r1, r2) + s""",
+       f2 AS MATERIALIZED (
+         SELECT n.id, sr.comm FROM nr n JOIN t$r2 t ON t.id = n.rid
+                                        JOIN srank sr ON sr.rid = t.comm),
+       l1 AS (SELECT id, comm FROM c$r1)""" +
+      level(1, "l1") + level(2, "f2") +
+      """
+         SELECT level, community, n_nodes, m_internal, sigtot, contrib
+         FROM (SELECT * FROM out1 UNION ALL SELECT * FROM out2)
+         ORDER BY level, community"""
   }
 
   /** Unrolled fixed-iteration HITS in ANSI SQL — the same power-method
@@ -970,6 +1038,7 @@ ORDER BY n.id"""
     "q_ga10_label_prop" -> labelPropSql(rounds = 5),
     "q_ga23_louvain" -> louvainSql(rounds = 5),
     "q_ga24_louvain_two_level" -> louvainTwoLevelSql(r1 = 5, r2 = 3),
+    "q_ga25_modularity_score" -> louvainModularitySql(r1 = 5, r2 = 3),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -635,6 +635,16 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
       (0 until 4).map(i => two(4L * c + i)).toSet.size shouldBe 1
     }
     two.values.toSet.size should be < cliques
+    // and the OBJECTIVE says the hierarchy won: exact-integer modularity
+    // (contrib = 4·W·m_in − Σtot², Q = Σ contrib / 4W²) strictly higher
+    // for the two-level partition — merging adjacent cliques is what the
+    // resolution limit makes favorable at 16 cliques
+    import spark.implicits._
+    def q(assign: Map[Long, Long]): Long =
+      GraphAnalytics.modularityByCommunity(n, e,
+          assign.toSeq.toDF("id", "community"))
+        .agg(org.apache.spark.sql.functions.sum("contrib")).head().getLong(0)
+    q(two) should be > q(one)
   }
 
   test("louvainSweeps: isolated nodes keep their own community; dup edges collapse") {
