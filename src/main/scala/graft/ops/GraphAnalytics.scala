@@ -1335,12 +1335,19 @@ object GraphAnalytics {
     * vanishing fraction of phase 1.
     */
   def louvainTwoLevel(nodes: DataFrame, edges: DataFrame,
-                      sweeps1: Int, sweeps2: Int): DataFrame = {
+                      sweeps1: Int, sweeps2: Int): DataFrame =
+    louvainTwoLevelFrom(louvainSweeps(nodes, edges, sweeps1), edges, sweeps2)
+
+  /** [[louvainTwoLevel]]'s contraction + phase 2, taking a PRECOMPUTED
+    * phase-1 assignment — callers that already hold the sweep result
+    * (q_ga25 scores both levels) skip re-running phase 1.
+    */
+  def louvainTwoLevelFrom(phase1: DataFrame, edges: DataFrame,
+                          sweeps2: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // phase1 is already a sealed checkpoint frame (louvainSweeps' final
+    // phase1 is a sealed checkpoint frame (louvainSweeps' final
     // cutter.step(force = true)), so the three consumers below (contract
     // join ×2, final join) re-read its materialized blocks, not lineage
-    val phase1 = louvainSweeps(nodes, edges, sweeps1)
     // DENSE-RANK the supernode ids before phase 2: phase-1 community ids
     // are community MINIMA, whose parities can be systematically skewed
     // (a ring of K4 cliques yields ids ≡ 0 mod 4 — ALL even), and a

@@ -431,8 +431,7 @@ object GraphQueries {
       val nodesDf = g.nodes.toDF()
       val edgesDf = g.edges.toDF().select(col("fromId"), col("toId"))
       val l1 = GraphAnalytics.louvainSweeps(nodesDf, edgesDf, iters = 5)
-      val l2 = GraphAnalytics.louvainTwoLevel(nodesDf, edgesDf,
-        sweeps1 = 5, sweeps2 = 3)
+      val l2 = GraphAnalytics.louvainTwoLevelFrom(l1, edgesDf, sweeps2 = 3)
       GraphAnalytics.modularityByCommunity(nodesDf, edgesDf, l1)
         .withColumn("level", lit(1))
         .unionByName(GraphAnalytics.modularityByCommunity(nodesDf, edgesDf, l2)
@@ -440,6 +439,24 @@ object GraphQueries {
         .select(col("level"), col("community"), col("n_nodes"),
           col("m_internal"), col("sigtot"), col("contrib"))
         .orderBy(col("level"), col("community"))
+    }),
+
+    "q_ga26_louvain_weighted" -> ((s, _) => {
+      // weighted Louvain sweeps directly on the reference's Action-cost
+      // edges (NetGraphComponent.scala:9-10 — the q_ga6/q_ga18 weight
+      // column's community-detection consumer): parallel edges collapse
+      // by SUMMED milli-unit integer weights — milli, not q_ga18's nano,
+      // because the gain term (2W)² must stay inside BIGINT (the q_ga25
+      // grid-sizing contract: W here ≈ 1.7e5, (2W)² ≈ 1.2e11). Same
+      // integer score, tie-break, and parity schedule as q_ga23; the
+      // oracle unrolls the weighted rounds in pure BIGINT SQL.
+      val g = graph200(s)
+      val e = g.edges.toDF().select(
+        least(col("fromId"), col("toId")).cast("long").as("a"),
+        greatest(col("fromId"), col("toId")).cast("long").as("b"),
+        round(col("cost") * 1000).cast("long").as("w"))
+      GraphAnalytics.louvainSweepsWeighted(g.nodes.toDF(), e, iters = 5)
+        .orderBy(col("id"))
     }),
 
     "q_ga10_label_prop" -> ((s, _) => {
@@ -924,6 +941,69 @@ ORDER BY n.id"""
          ORDER BY level, community"""
   }
 
+  /** The q_ga26 oracle: weighted Louvain sweeps on the MILLI-UNIT cost
+    * graph — parallel edges collapse by sum(round(cost·1000)), self-loop
+    * weight rides the degree ×2 (none in this fixture, carried for the
+    * contract), then `rounds` unrolled weighted rounds (the
+    * louvainTwoLevelSql phase-2 template against the real edge weights).
+    */
+  private def louvainWeightedSql(rounds: Int): String = {
+    val base =
+      s"""WITH n AS MATERIALIZED (SELECT id FROM $nodes200Tbl),
+         wud AS MATERIALIZED (
+           SELECT least(fromId, toId) AS a, greatest(fromId, toId) AS b,
+                  sum(round(cost * 1000)::BIGINT)::BIGINT AS w
+           FROM $edges200Tbl GROUP BY 1, 2),
+         wsym AS MATERIALIZED (
+           SELECT a, b, w FROM wud WHERE a <> b
+           UNION ALL SELECT b, a, w FROM wud WHERE a <> b),
+         wW AS MATERIALIZED (SELECT sum(w)::BIGINT AS m FROM wud),
+         wdeg AS MATERIALIZED (
+           SELECT n.id, (coalesce(s.d, 0) + 2 * coalesce(l.w, 0))::BIGINT AS deg
+           FROM n
+           LEFT JOIN (SELECT a AS id, sum(w)::BIGINT AS d FROM wsym
+                      GROUP BY 1) s ON s.id = n.id
+           LEFT JOIN (SELECT a AS id, w FROM wud WHERE a = b) l
+             ON l.id = n.id),
+         u0 AS MATERIALIZED (SELECT id, id AS comm FROM n)"""
+    val iterCtes = (1 to rounds).map { r =>
+      val p = r % 2
+      s""",
+         usig$r AS MATERIALIZED (
+           SELECT c.comm AS cand, sum(d.deg)::BIGINT AS sigtot
+           FROM u${r - 1} c JOIN wdeg d ON d.id = c.id GROUP BY 1),
+         ukic$r AS MATERIALIZED (
+           SELECT e.a AS id, c.comm AS cand, sum(e.w)::BIGINT AS kic
+           FROM wsym e JOIN u${r - 1} c ON c.id = e.b
+           WHERE e.a % 2 = $p
+           GROUP BY 1, 2),
+         ucand$r AS MATERIALIZED (
+           SELECT id, cand, kic FROM ukic$r
+           UNION ALL
+           SELECT c.id, c.comm, 0::BIGINT FROM u${r - 1} c
+           ANTI JOIN ukic$r k ON k.id = c.id AND k.cand = c.comm
+           WHERE c.id % 2 = $p),
+         uw$r AS MATERIALIZED (
+           SELECT id, cand FROM (
+             SELECT x.id, x.cand,
+                    2 * (SELECT m FROM wW) * x.kic -
+                      d.deg * (s.sigtot - CASE WHEN x.cand = c.comm
+                                               THEN d.deg ELSE 0 END) AS score
+             FROM ucand$r x
+             JOIN u${r - 1} c ON c.id = x.id
+             JOIN wdeg d ON d.id = x.id
+             JOIN usig$r s ON s.cand = x.cand)
+           QUALIFY row_number() OVER (PARTITION BY id
+                                      ORDER BY score DESC, cand) = 1),
+         u$r AS MATERIALIZED (
+           SELECT p.id, coalesce(w.cand, p.comm) AS comm
+           FROM u${r - 1} p LEFT JOIN uw$r w ON w.id = p.id)"""
+    }.mkString
+    base + iterCtes +
+      s"""
+         SELECT id AS "id", comm AS "community" FROM u$rounds ORDER BY id"""
+  }
+
   /** Unrolled fixed-iteration HITS in ANSI SQL — the same power-method
     * half-steps [[GraphAnalytics.hits]] computes (propagate, zero-fill,
     * L2-normalize), with the identical round(_, 10) on every sum and
@@ -1039,6 +1119,7 @@ ORDER BY n.id"""
     "q_ga23_louvain" -> louvainSql(rounds = 5),
     "q_ga24_louvain_two_level" -> louvainTwoLevelSql(r1 = 5, r2 = 3),
     "q_ga25_modularity_score" -> louvainModularitySql(r1 = 5, r2 = 3),
+    "q_ga26_louvain_weighted" -> louvainWeightedSql(rounds = 5),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

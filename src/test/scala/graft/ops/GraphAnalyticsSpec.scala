@@ -647,6 +647,19 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     q(two) should be > q(one)
   }
 
+  test("louvainSweepsWeighted: heavy edges attract, self-loops inflate degree without attracting") {
+    // W=16, degrees k1=10, k2=11, k3=1+2·5=11 (self-loop counts twice).
+    // Hand-run: r1 moves node 1 to {2} (2W·10 − 10·11 = 210 > 0) while
+    // node 3 stays (2W·1 − 11·11 = −89 < 0 — its heavy SELF-loop raises
+    // its own degree but attracts nobody, including itself, across the
+    // light bridge); r2: node 2 stays (210 vs −89). Fixpoint {1,2} | {3}.
+    val n = Seq(1L, 2L, 3L).toDF("id")
+    val e = Seq((1L, 2L, 10L), (2L, 3L, 1L), (3L, 3L, 5L)).toDF("a", "b", "w")
+    val out = GraphAnalytics.louvainSweepsWeighted(n, e, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 3L)
+  }
+
   test("louvainSweeps: isolated nodes keep their own community; dup edges collapse") {
     val n = Seq(1L, 2L, 3L, 9L).toDF("id")
     val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
