@@ -1265,6 +1265,40 @@ object GraphAnalytics {
     comm.select(col("id"), col("comm").as("community"))
   }
 
+  /** Leiden-style REFINEMENT of a community assignment — the fix for
+    * Louvain's documented pathology (Traag, Waltman & van Eck 2019):
+    * local-move sweeps can leave a community INTERNALLY DISCONNECTED
+    * (its label-holder moved on while distant adherents kept the label —
+    * graph200's q_ga23 partition carries ten such communities), and a
+    * disconnected "community" poisons every downstream consumer that
+    * assumes cohesion (mixture weighting, domain stats). The refinement
+    * is Leiden's connectivity guarantee reduced to its deterministic
+    * core: split every community into its CONNECTED components over the
+    * community-internal edge set, each piece labeled by its minimum
+    * member id (stable, data-derived — unlike raw sweep labels, always a
+    * MEMBER of the community it names).
+    *
+    * Scale shape: one intra-community edge filter (two equi-joins), then
+    * [[connectedComponentsStar]] on that edge subset — O(log n) star
+    * rounds, never diameter-bound; no community is ever materialized as
+    * a row set on the driver.
+    */
+  def refineCommunities(nodes: DataFrame, edges: DataFrame,
+                        assign: DataFrame): DataFrame = {
+    val asg = assign.select(col("id").cast("long").as("id"),
+      col("community").cast("long").as("community"))
+    val intra = edges.select(
+        least(col("fromId"), col("toId")).as("ua"),
+        greatest(col("fromId"), col("toId")).as("ub"))
+      .filter(col("ua") =!= col("ub")).distinct()
+      .join(asg.select(col("id").as("ua"), col("community").as("ca")), "ua")
+      .join(asg.select(col("id").as("ub"), col("community").as("cb")), "ub")
+      .filter(col("ca") === col("cb"))
+      .select(col("ua").as("fromId"), col("ub").as("toId"))
+    connectedComponentsStar(nodes, intra)
+      .select(col("id"), col("component_id").as("community"))
+  }
+
   /** EXACT-INTEGER modularity of a partition, per community — the
     * diagnostic that makes community partitions COMPARABLE (which mixture
     * weighting / domain clustering needs before trusting a partition).

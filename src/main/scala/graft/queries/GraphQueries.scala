@@ -459,6 +459,23 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    "q_ga27_louvain_refined" -> ((s, _) => {
+      // Leiden-style refinement of the q_ga23 partition: split every
+      // community into its CONNECTED components over intra-community
+      // edges (graph200's sweeps leave TEN internally disconnected
+      // communities — the documented Louvain pathology this fixes),
+      // each piece labeled by its min member id. The oracle replays the
+      // sweeps then unrolls 16 min-label rounds restricted to
+      // same-community neighbors (community diameter ≤ 13 here; extra
+      // rounds are no-ops, the kCore convention).
+      val g = graph200(s)
+      val nodesDf = g.nodes.toDF()
+      val edgesDf = g.edges.toDF().select(col("fromId"), col("toId"))
+      GraphAnalytics.refineCommunities(nodesDf, edgesDf,
+          GraphAnalytics.louvainSweeps(nodesDf, edgesDf, iters = 5))
+        .orderBy(col("id"))
+    }),
+
     "q_ga10_label_prop" -> ((s, _) => {
       // synchronous min-tie label propagation, 5 fixed rounds — community
       // detection over the fixture graph; the oracle unrolls the same
@@ -941,6 +958,32 @@ ORDER BY n.id"""
          ORDER BY level, community"""
   }
 
+  /** The q_ga27 oracle: the q_ga23 sweep CTEs, then CONNECTED components
+    * within each community by `ccRounds` unrolled min-label rounds over
+    * same-community neighbor pairs (each round: label ← min(label,
+    * min neighbor label within the community); rounds past the fixpoint
+    * are no-ops — the kCoreSql convention; the Spark side's star rounds
+    * reach the same min-id fixpoint by a different recurrence).
+    */
+  private def louvainRefinedSql(r1: Int, ccRounds: Int): String = {
+    val base = louvainBaseCtes + (1 to r1).map(louvainRoundCte).mkString + s""",
+       r0 AS MATERIALIZED (SELECT id, comm, id AS lab FROM c$r1)"""
+    val rounds = (1 to ccRounds).map { r =>
+      s""",
+       r$r AS MATERIALIZED (
+         SELECT l.id, l.comm, least(l.lab, coalesce(m.nl, l.lab)) AS lab
+         FROM r${r - 1} l LEFT JOIN (
+           SELECT x.id, min(y.lab) AS nl
+           FROM e JOIN r${r - 1} x ON x.id = e.a
+                  JOIN r${r - 1} y ON y.id = e.b
+           WHERE x.comm = y.comm
+           GROUP BY x.id) m ON m.id = l.id)"""
+    }.mkString
+    base + rounds +
+      s"""
+         SELECT id AS "id", lab AS "community" FROM r$ccRounds ORDER BY id"""
+  }
+
   /** The q_ga26 oracle: weighted Louvain sweeps on the MILLI-UNIT cost
     * graph — parallel edges collapse by sum(round(cost·1000)), self-loop
     * weight rides the degree ×2 (none in this fixture, carried for the
@@ -1120,6 +1163,7 @@ ORDER BY n.id"""
     "q_ga24_louvain_two_level" -> louvainTwoLevelSql(r1 = 5, r2 = 3),
     "q_ga25_modularity_score" -> louvainModularitySql(r1 = 5, r2 = 3),
     "q_ga26_louvain_weighted" -> louvainWeightedSql(rounds = 5),
+    "q_ga27_louvain_refined" -> louvainRefinedSql(r1 = 5, ccRounds = 16),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -660,6 +660,27 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 3L)
   }
 
+  test("refineCommunities: splits a planted disconnected community; respects boundaries") {
+    // all five nodes share one label, but the internal edge set has
+    // three pieces: {1,2}, {4,5}, {3} — refinement must split them and
+    // relabel each by its min member. A cross-community edge (2,4) under
+    // a two-label assignment must NOT conduct.
+    val n = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val e = Seq((1L, 2L), (4L, 5L)).toDF("fromId", "toId")
+    val oneLabel = Seq(1L, 2L, 3L, 4L, 5L).map(i => (i, 1L))
+      .toDF("id", "community")
+    val out = GraphAnalytics.refineCommunities(n, e, oneLabel)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L)
+    // boundary check: edge (2,4) exists but 2 and 4 hold different labels
+    val e2 = Seq((1L, 2L), (2L, 4L), (4L, 5L)).toDF("fromId", "toId")
+    val twoLabels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 9L), (5L, 9L))
+      .toDF("id", "community")
+    val out2 = GraphAnalytics.refineCommunities(n, e2, twoLabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out2 shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L)
+  }
+
   test("louvainSweeps: isolated nodes keep their own community; dup edges collapse") {
     val n = Seq(1L, 2L, 3L, 9L).toDF("id")
     val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
