@@ -133,13 +133,21 @@ object Pretokenize {
     * the split has exactly two implementations total (scanner + RE2),
     * each gate hashing one against the other.
     */
-  def wordsCteSql: String =
+  def wordsCteSql: String = s"$pdocsCteSql,\n$wordsFromPdocsCteSql"
+
+  /** Just the decorated-corpus CTE (`pdocs(doc_id, ptext)`). */
+  def pdocsCteSql: String =
     s"""pdocs AS (
   SELECT doc_id,
          text || '${sqlLit(decorA)}' || CAST(doc_id AS VARCHAR) ||
            '${sqlLit(decorB)}' AS ptext
-  FROM documents),
-words AS (
+  FROM documents)"""
+
+  /** Just the ordered-pretoken CTE (`words(doc_id, wpos, word)`) over an
+    * existing `pdocs`.
+    */
+  def wordsFromPdocsCteSql: String =
+    s"""words AS (
   SELECT doc_id,
          unnest(generate_series(1,
            len(regexp_extract_all(ptext, '$patternSqlLit')))) AS wpos,

@@ -280,6 +280,37 @@ object Unigram {
     trainOnDict(dict, maxPieceLen, pieceMinCount, emIters, maxMultiPieces)
   }
 
+  /** [[train]] over [[Pretokenize]] pretokens of an arbitrary text
+    * expression (the caller passes the decorated column) — the
+    * PRETOKENIZED training arm: the one corpus-sized pass histograms
+    * regexp pretokens instead of space-split words (Spark's
+    * `regexp_extract_all` is java.util.regex — the same leftmost-first
+    * semantics PretokenizeSpec property-pins against the scanner), then
+    * the identical bounded-dictionary hard-EM. q_t51 replays it with
+    * DuckDB's RE2 + the unrolled EM oracle.
+    */
+  def trainPre(docs: DataFrame, text: Column,
+               maxPieceLen: Int = 4, pieceMinCount: Long = 500L,
+               emIters: Int = 2, wordMinCount: Long = 1L,
+               maxWords: Int = 1 << 20,
+               maxMultiPieces: Option[Int] = None): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.functions.{lit, regexp_extract_all}
+    require(emIters >= 1, s"emIters must be >= 1 (got $emIters)")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1 (got $maxPieceLen)")
+    val dict: Array[(String, Long)] = docs
+      .select(explode(regexp_extract_all(text,
+        lit(Pretokenize.pattern), lit(0))).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains("-"))
+      .groupBy(col("word"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .filter(col("cnt") >= wordMinCount)
+      .orderBy(desc("cnt"), col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnDict(dict, maxPieceLen, pieceMinCount, emIters, maxMultiPieces)
+  }
+
   /** The dictionary-side EM loop (driver-bounded by construction).
     * `maxMultiPieces` is the SentencePiece-style vocabulary PRUNE dial:
     * when set, every count table (the initial candidates and each
@@ -781,11 +812,25 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
+  /** The q_t51 oracle: [[trainOracleSql]]'s full EM replay with the
+    * histogram taken over RE2 pretokens of the decorated corpus instead
+    * of space-split words — regexp in DuckDB vs java.util.regex on the
+    * Spark side, both pinned to the scanner by PretokenizeSpec.
+    */
+  def trainPreOracleSql(maxPieceLen: Int, pieceMinCount: Long,
+                        emIters: Int): String =
+    "WITH RECURSIVE " +
+      trainCtes(maxPieceLen, pieceMinCount, emIters, pretok = true) +
+      s""" SELECT p.piece, p.cnt, c.cost
+         FROM pc$emIters p JOIN cost$emIters c USING (piece)
+         ORDER BY p.piece"""
+
   private def trainCtes(maxPieceLen: Int, pieceMinCount: Long,
                         emIters: Int,
                         maxMultiPieces: Option[Int] = None,
                         wordMinCount: Long = 1L,
-                        maxWords: Int = 1 << 20): String = {
+                        maxWords: Int = 1 << 20,
+                        pretok: Boolean = false): String = {
     // SentencePiece-style prune wrapper: when a multi-char budget is set,
     // pc$t = all singles ∪ top-K multis by (cnt DESC, piece) from the raw
     // table; when unset, pc$t IS the raw table (the q_t43 text unchanged)
@@ -804,14 +849,29 @@ pc$t AS MATERIALIZED (
     // (QUALIFY row_number) train()'s Spark histogram applies — a caller
     // passing non-default wordMinCount/maxWords gets a matching oracle
     // instead of a silently desynced pair (r16 advisory)
-    val head = s"""
+    // word source: the bare space split (q_t43 family) or the decorated
+    // corpus's RE2 pretokens (q_t51) — everything downstream is shared
+    val wordSrc =
+      if (pretok) s"""${Pretokenize.pdocsCteSql},
+wc AS MATERIALIZED (
+  SELECT word, cnt FROM (
+    SELECT word, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(ptext,
+        '${Pretokenize.patternSqlLit}')) AS word
+      FROM pdocs WHERE ptext IS NOT NULL)
+    WHERE word <> '' AND word NOT LIKE '%-%'
+    GROUP BY 1 HAVING count(*) >= $wordMinCount)
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $maxWords),"""
+      else s"""
 wc AS MATERIALIZED (
   SELECT word, cnt FROM (
     SELECT word, count(*)::BIGINT AS cnt FROM (
       SELECT unnest(string_split(text, ' ')) AS word FROM documents)
     WHERE word <> '' AND word NOT LIKE '%-%'
     GROUP BY 1 HAVING count(*) >= $wordMinCount)
-  QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $maxWords),
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $maxWords),"""
+    val head = s"""
+$wordSrc
 subs AS MATERIALIZED (
   SELECT substr(w.word, st.i, ln.l) AS piece, sum(w.cnt)::BIGINT AS freq
   FROM wc w,

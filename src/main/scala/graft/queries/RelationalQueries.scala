@@ -2157,6 +2157,24 @@ object RelationalQueries {
           size(col("ids")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    "q_t51_pretok_unigram_train" -> ((s, d) => {
+      // unigram-LM TRAINING on the pretokenized decorated corpus — the
+      // last tokenizer stage still running on a space split: the corpus
+      // histogram counts regexp pretokens (java.util.regex in Spark, RE2
+      // in the oracle, both pinned to the scanner by PretokenizeSpec),
+      // then the identical bounded-dictionary hard-EM with exact integer
+      // costs. With q_t49/q_sp24/q_sp25 this makes train/encode/budget/
+      // context a complete pretokenized lifecycle.
+      import s.implicits._
+      graft.functions.Unigram.trainPre(Tables.documents(s, d),
+          concat(col("text"), lit(graft.functions.Pretokenize.decorA),
+            col("doc_id").cast("string"),
+            lit(graft.functions.Pretokenize.decorB)),
+          maxPieceLen = 4, pieceMinCount = 500L, emIters = 2)
+        .toDF("piece", "cnt", "cost")
+        .orderBy(col("piece"))
+    }),
+
     "q_t49_pretok_unigram_encode" -> ((s, d) =>
       // the q_t44 lattice encode behind a GPT-2-style regex PRETOKENIZER
       // (Pretokenize.split — contractions, letter runs, digit runs,
@@ -7438,6 +7456,11 @@ object RelationalQueries {
       // Pretokenize.split's scanner), then the q_t44 lattice per distinct
       // PRETOKEN under the extended plantedPre vocab
       graft.functions.Unigram.encodePreOracleSql,
+
+    "q_t51_pretok_unigram_train" ->
+      // the full EM replay with the histogram over RE2 pretokens of the
+      // decorated corpus — same params as the Spark query
+      graft.functions.Unigram.trainPreOracleSql(4, 500L, 2),
 
     "q_t50_pretok_bpe_encode" ->
       // the q_t25 merge walk re-derived per distinct PRETOKEN of the
