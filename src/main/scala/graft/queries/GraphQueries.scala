@@ -52,6 +52,28 @@ object GraphQueries {
                        (thunk: => MitMPipeline.Result): MitMPipeline.Result =
     mitmCache.computeIfAbsent((s.sparkContext, key), _ => new Lazy(thunk)).value
 
+  // ---- the graph200 Louvain sweep assignment, memoized --------------------
+  // q_ga24/q_ga25/q_ga27 all consume the SAME deterministic q_ga23
+  // assignment (5 sweeps on graph200); the cache shares ONE computation
+  // (the IvfIndex.ensureModel / mitmCache convention — deterministic
+  // training makes the cached result identical to a per-query rerun, so
+  // reuse changes no result). 201 collected (id, community) rows —
+  // driver-bounded by the fixture contract; q_ga23 itself still computes
+  // the sweeps live (it IS the sweeps gate).
+  private val sweepCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), Lazy[Array[(Long, Long)]]]()
+  private def louvain200(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val rows = sweepCache.computeIfAbsent((s.sparkContext, "g200_sweeps5"),
+      _ => new Lazy({
+        val g = graph200(s)
+        GraphAnalytics.louvainSweeps(g.nodes.toDF(),
+            g.edges.toDF().select(col("fromId"), col("toId")), iters = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      })).value
+    import s.implicits._
+    rows.toSeq.toDF("id", "community")
+  }
+
   /** q_gg7's pipeline: Graph200, default config, seed 42 — the reference's
     * own flagship invocation (Main.scala:161-212 semantics).
     */
@@ -414,9 +436,8 @@ object GraphQueries {
       // oracle unrolls both phases AND the contraction in pure BIGINT
       // SQL, so the weighted gain arithmetic is hash-gated too.
       val g = graph200(s)
-      GraphAnalytics.louvainTwoLevel(g.nodes.toDF(),
-          g.edges.toDF().select(col("fromId"), col("toId")),
-          sweeps1 = 5, sweeps2 = 3)
+      GraphAnalytics.louvainTwoLevelFrom(louvain200(s),
+          g.edges.toDF().select(col("fromId"), col("toId")), sweeps2 = 3)
         .orderBy(col("id"))
     }),
 
@@ -430,7 +451,7 @@ object GraphQueries {
       val g = graph200(s)
       val nodesDf = g.nodes.toDF()
       val edgesDf = g.edges.toDF().select(col("fromId"), col("toId"))
-      val l1 = GraphAnalytics.louvainSweeps(nodesDf, edgesDf, iters = 5)
+      val l1 = louvain200(s)
       val l2 = GraphAnalytics.louvainTwoLevelFrom(l1, edgesDf, sweeps2 = 3)
       GraphAnalytics.modularityByCommunity(nodesDf, edgesDf, l1)
         .withColumn("level", lit(1))
@@ -471,8 +492,7 @@ object GraphQueries {
       val g = graph200(s)
       val nodesDf = g.nodes.toDF()
       val edgesDf = g.edges.toDF().select(col("fromId"), col("toId"))
-      GraphAnalytics.refineCommunities(nodesDf, edgesDf,
-          GraphAnalytics.louvainSweeps(nodesDf, edgesDf, iters = 5))
+      GraphAnalytics.refineCommunities(nodesDf, edgesDf, louvain200(s))
         .orderBy(col("id"))
     }),
 
