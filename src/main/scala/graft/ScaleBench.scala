@@ -791,6 +791,38 @@ object ScaleBench {
       "louvain ratio" -> (if (b > 0) s / b else -1.0))
   }
 
+  /** [[louvainLadder]]'s TWO-LEVEL sibling (q_ga24's operator): 5 sweeps
+    * + contraction + 3 weighted sweeps on the supergraph. The claim under
+    * measurement: the phase-2 graph is community-count-sized, so the
+    * two-level delta over plain sweeps SHRINKS as the graph grows.
+    */
+  def louvainTwoLevelLadder(spark: SparkSession, nBase: Long = 20000L,
+                            factor: Int = 10, degree: Int = 8,
+                            passes: Int = 2): Seq[(String, Double)] = {
+    import graft.ops.GraphAnalytics
+    def point(n: Long): Double = {
+      val nodes = spark.range(n).select(col("id"))
+      val edges = spark.range(n * degree).select(
+        expr(s"id div $degree").as("fromId"),
+        pmod(graft.functions.Dedup.md5Hash32(
+          concat_ws(":", lit("cl"), col("id"))), lit(n)).as("toId"))
+        .filter(col("fromId") =!= col("toId"))
+      (0 until passes).map { _ =>
+        val t0 = System.nanoTime()
+        GraphAnalytics.louvainTwoLevel(nodes, edges, sweeps1 = 5, sweeps2 = 3)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val b = point(nBase)
+    val s = point(nBase * factor)
+    Seq(
+      f"louvain2lvl n=$nBase 5+3" -> b,
+      f"louvain2lvl n=${nBase * factor} 5+3" -> s,
+      "louvain2lvl ratio" -> (if (b > 0) s / b else -1.0))
+  }
+
   /** The survivor-rule A/B behind [[graft.functions.Dedup
     * .survivorsByEarliestDominator]]'s decision scaladoc: build the q_m21
     * media pair graph (format-dispatched dHash codes, pigeonhole Hamming ≤ 3
@@ -978,7 +1010,8 @@ object ScaleBench {
     if (families.contains("graph")) {
       val rows = closenessLadder(spark, factor = factor, passes = passes) ++
         betweennessLadder(spark, factor = factor, passes = passes) ++
-        louvainLadder(spark, factor = factor, passes = passes)
+        louvainLadder(spark, factor = factor, passes = passes) ++
+        louvainTwoLevelLadder(spark, factor = factor, passes = passes)
       def esc0(s: String) = s.replace("\"", "\\\"")
       val qj = rows.map { case (n, t) => f""""${esc0(n)}":$t%.3f""" }
         .mkString("{", ",", "}")

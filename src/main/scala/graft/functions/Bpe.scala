@@ -222,6 +222,32 @@ object Bpe {
     trainOnDict(dict, numMerges)
   }
 
+  /** [[train]] over [[Pretokenize]] pretokens of an arbitrary text
+    * expression (the q_t52 surface — the [[graft.functions.Unigram
+    * .trainPre]] convention): the corpus histogram counts regexp
+    * pretokens, then the identical bounded-dictionary merge loop. GPT-2's
+    * actual training shape: regex split first, byte-pair merges within
+    * pretokens.
+    */
+  def trainPre(docs: DataFrame, text: org.apache.spark.sql.Column,
+               numMerges: Int, minCount: Long = 1L,
+               maxWords: Int = 1 << 20): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.functions.{lit, regexp_extract_all}
+    require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    val dict: Array[(String, Long)] = docs
+      .select(explode(regexp_extract_all(text,
+        lit(Pretokenize.pattern), lit(0))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(desc("cnt"), col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnDict(dict, numMerges)
+  }
+
   /** The dictionary-side merge loop (driver-bounded by construction). */
   private[functions] def trainOnDict(dict: Array[(String, Long)],
                                      numMerges: Int): Seq[(String, String, Long)] = {
@@ -339,12 +365,23 @@ object Bpe {
     * single fixed pair). Generated programmatically so the step count is
     * the single source of truth shared with the Spark query.
     */
-  def trainOracleSql(numMerges: Int): String = {
-    val head = """
+  def trainOracleSql(numMerges: Int, pretok: Boolean = false): String = {
+    // word source: bare space split (q_t26) or the decorated corpus's
+    // RE2 pretokens (q_t52) — the merge-walk steps are shared verbatim
+    val wc =
+      if (pretok) s"""${Pretokenize.pdocsCteSql},
+wc AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(regexp_extract_all(ptext,
+      '${Pretokenize.patternSqlLit}')) AS word
+    FROM pdocs WHERE ptext IS NOT NULL)
+  WHERE word <> '' GROUP BY 1)"""
+      else """
 wc AS MATERIALIZED (
   SELECT word, count(*)::BIGINT AS cnt FROM (
     SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-  WHERE word <> '' GROUP BY 1),
+  WHERE word <> '' GROUP BY 1)"""
+    val head = wc + """,
 s0 AS MATERIALIZED (SELECT word, cnt, regexp_split_to_array(word, '') AS syms FROM wc)"""
     val steps = (0 until numMerges).map { i =>
       s"""

@@ -2157,6 +2157,26 @@ object RelationalQueries {
           size(col("ids")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    "q_t52_pretok_bpe_train" -> ((s, d) => {
+      // BPE TRAINING on the pretokenized decorated corpus — GPT-2's
+      // actual training shape (regex split, then byte-pair merges within
+      // pretokens): adjacent-pair counts now see contraction suffixes,
+      // punctuation runs and digit runs as their own words, so merges
+      // like ('  ' never appear and the learned ranks differ from q_t26's
+      // space-split walk wherever decoration changes pair mass. The
+      // oracle replays the regexp histogram + all 6 merge steps.
+      import s.implicits._
+      graft.functions.Bpe.trainPre(Tables.documents(s, d),
+          concat(col("text"), lit(graft.functions.Pretokenize.decorA),
+            col("doc_id").cast("string"),
+            lit(graft.functions.Pretokenize.decorB)),
+          numMerges = 6)
+        .zipWithIndex
+        .map { case ((a, b, c), r) => (r, a, b, c) }
+        .toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
     "q_t51_pretok_unigram_train" -> ((s, d) => {
       // unigram-LM TRAINING on the pretokenized decorated corpus — the
       // last tokenizer stage still running on a space split: the corpus
@@ -7461,6 +7481,11 @@ object RelationalQueries {
       // the full EM replay with the histogram over RE2 pretokens of the
       // decorated corpus — same params as the Spark query
       graft.functions.Unigram.trainPreOracleSql(4, 500L, 2),
+
+    "q_t52_pretok_bpe_train" ->
+      // the q_t26 merge-walk replay with the histogram over RE2
+      // pretokens of the decorated corpus
+      graft.functions.Bpe.trainOracleSql(6, pretok = true),
 
     "q_t50_pretok_bpe_encode" ->
       // the q_t25 merge walk re-derived per distinct PRETOKEN of the
