@@ -769,6 +769,50 @@ ORDER BY bin_id"""
     * One generated SQL string gates that the two halves COMPOSE: a drift
     * in either the learned costs or the walk breaks the hash.
     */
+  /** The q_t53 oracle: [[trainPreOracleSql]]'s full pretokenized EM
+    * replay COMPOSED with the lattice encode over the SAME pretoken
+    * stream under the TRAINED vocabulary — the q_t46 lifecycle gate one
+    * level up the realism ladder (ids = positions in the piece-sorted
+    * final table, same (cost, n, path) argmin, ids reassemble in
+    * document order).
+    */
+  def trainEncodePreOracleSql(maxPieceLen: Int, pieceMinCount: Long,
+                              emIters: Int): String =
+    "WITH RECURSIVE " +
+      trainCtes(maxPieceLen, pieceMinCount, emIters, pretok = true) + s""",
+vf AS MATERIALIZED (
+  SELECT p.piece, c.cost,
+         row_number() OVER (ORDER BY p.piece) - 1 AS id
+  FROM pc$emIters p JOIN cost$emIters c USING (piece)),
+${Pretokenize.wordsFromPdocsCteSql},
+dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+eseg(word, pos, cost, n, path, idpath) AS (
+  SELECT word, 1, 0::BIGINT, 0, '', '' FROM dwords
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.cost + v.cost, s.n + 1,
+         CASE WHEN s.path = '' THEN v.piece
+              ELSE s.path || '-' || v.piece END,
+         CASE WHEN s.idpath = '' THEN v.id::VARCHAR
+              ELSE s.idpath || '-' || v.id::VARCHAR END
+  FROM eseg s JOIN vf v ON substr(s.word, s.pos, length(v.piece)) = v.piece
+  WHERE s.pos <= length(s.word)),
+ebest AS (
+  SELECT word, idpath, n FROM (
+    SELECT word, idpath, n,
+           row_number() OVER (PARTITION BY word ORDER BY cost, n, path) AS rn
+    FROM eseg WHERE pos = length(word) + 1) WHERE rn = 1),
+doc_tokens AS (
+  SELECT w.doc_id,
+         string_agg(b.idpath, '-' ORDER BY w.wpos) AS token_ids,
+         sum(b.n)::BIGINT AS n_tokens
+  FROM words w JOIN ebest b ON b.word = w.word
+  GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(t.token_ids, '') AS token_ids,
+       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
   def trainEncodeOracleSql(maxPieceLen: Int, pieceMinCount: Long,
                            emIters: Int,
                            wordMinCount: Long = 1L,

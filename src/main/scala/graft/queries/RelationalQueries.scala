@@ -2157,6 +2157,30 @@ object RelationalQueries {
           size(col("ids")).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))),
 
+    "q_t53_pretok_train_encode" -> ((s, d) => {
+      // the PRETOKENIZED tokenizer lifecycle composed in one gate (the
+      // q_t46 shape one level up the realism ladder): train on the
+      // decorated corpus's pretokens (q_t51's exact hard-EM), then
+      // encode the SAME pretoken stream with the TRAINED model — a drift
+      // in the regexp split, the learned costs, the piece-id convention,
+      // or the lattice walk breaks the hash.
+      def ptext = concat(col("text"),
+        lit(graft.functions.Pretokenize.decorA),
+        col("doc_id").cast("string"),
+        lit(graft.functions.Pretokenize.decorB))
+      val model = graft.functions.UnigramModel(
+        graft.functions.Unigram.trainPre(Tables.documents(s, d), ptext,
+          maxPieceLen = 4, pieceMinCount = 500L, emIters = 2)
+          .map(t => (t._1, t._3)))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Unigram.encodePre(ptext, model).as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_t52_pretok_bpe_train" -> ((s, d) => {
       // BPE TRAINING on the pretokenized decorated corpus — GPT-2's
       // actual training shape (regex split, then byte-pair merges within
@@ -7486,6 +7510,11 @@ object RelationalQueries {
       // the q_t26 merge-walk replay with the histogram over RE2
       // pretokens of the decorated corpus
       graft.functions.Bpe.trainOracleSql(6, pretok = true),
+
+    "q_t53_pretok_train_encode" ->
+      // the pretokenized EM replay composed with the lattice encode
+      // under the trained vocabulary, over the same RE2 pretoken stream
+      graft.functions.Unigram.trainEncodePreOracleSql(4, 500L, 2),
 
     "q_t50_pretok_bpe_encode" ->
       // the q_t25 merge walk re-derived per distinct PRETOKEN of the
