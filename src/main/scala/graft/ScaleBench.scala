@@ -1168,6 +1168,23 @@ object ScaleBench {
     // partition counts, and the q_d15 Bloom corpus-side asymmetry become
     // visible (vs q_d13, whose md5-set join must re-shuffle the batch keys)
     val textFamily: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      // the maxWords-cap twin of q_t51: the decorated corpus plants ONE
+      // distinct digit-run pretoken per doc (an adversarial linear-growth
+      // vocabulary by construction), and the 100× gate-arm ratio shows
+      // the uncapped dictionary's EM cost tracking it; the cap is the
+      // DESIGNED mitigation (count-1 digit runs fall out of the top-32k
+      // histogram first), measured here as the production dial
+      "q_t51_maxwords_cap" -> ((s: SparkSession, d: String) => {
+        import s.implicits._
+        graft.functions.Unigram.trainPre(Tables.documents(s, d),
+            concat(col("text"), lit(graft.functions.Pretokenize.decorA),
+              col("doc_id").cast("string"),
+              lit(graft.functions.Pretokenize.decorB)),
+            maxPieceLen = 4, pieceMinCount = 500L, emIters = 2,
+            maxWords = 1 << 15)
+          .toDF("piece", "cnt", "cost")
+          .orderBy(col("piece"))
+      }),
       "q_t19_suffix_run_dedup" -> gateQueries("q_t19_suffix_run_dedup"),
       "q_t19_hashkeys" -> ((s: SparkSession, d: String) =>
         graft.functions.Dedup.suffixRunDedup(Tables.documents(s, d),
