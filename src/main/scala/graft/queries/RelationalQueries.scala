@@ -428,6 +428,23 @@ object RelationalQueries {
        ORDER BY g_nat, g_seg, c_nationkey NULLS FIRST,
                 c_mktsegment NULLS FIRST"""
 
+  /** ANSI aggregate FILTER clause through the SQL parser — per-aggregate
+    * predicates (`count(*) FILTER (WHERE ...)`) resolved by the
+    * analyzer's aggregate-filter path, which no DSL gate and no earlier
+    * q_sql gate touches (the DSL spells this as count_if/sum(when));
+    * counts and integer-key sums only, so everything is exact, and the
+    * empty-filter sum is NULL in both engines (deliberately left
+    * uncoalesced — the NULL itself is part of the contract under test).
+    */
+  private val sqlAggFilter: String =
+    """SELECT o_custkey,
+              count(*) AS n_orders,
+              count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+              CAST(sum(o_orderkey) FILTER (
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+                AS BIGINT) AS sum_recent_keys
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
+
   /** The one IVF model every q_v* query shares, via the train-once cache:
     * deterministic training (same corpus, k=8, iters=2) makes the cached
     * model identical to a per-query retrain, so reuse changes no result —
@@ -2749,6 +2766,7 @@ object RelationalQueries {
     "q_sql12_unpivot" -> ((s, d) => { sqlViews(s, d); s.sql(sqlUnpivot) }),
     "q_sql13_range_frame" -> ((s, d) => { sqlViews(s, d); s.sql(sqlRangeFrame) }),
     "q_sql14_grouping_sets" -> ((s, d) => { sqlViews(s, d); s.sql(sqlGroupingSets) }),
+    "q_sql15_agg_filter" -> ((s, d) => { sqlViews(s, d); s.sql(sqlAggFilter) }),
 
     "q_a16_zscore" -> ((s, d) => {
       // per-group z-score standardization (the feature-scaling step next
@@ -4543,6 +4561,7 @@ object RelationalQueries {
     "q_sql12_unpivot" -> sqlUnpivot,
     "q_sql13_range_frame" -> sqlRangeFrame,
     "q_sql14_grouping_sets" -> sqlGroupingSets,
+    "q_sql15_agg_filter" -> sqlAggFilter,
 
     "q_a16_zscore" ->
       // stddev == stddev_samp (n−1 denominator) in both engines; the two
