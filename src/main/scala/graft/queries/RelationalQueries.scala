@@ -188,6 +188,33 @@ object RelationalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** The planted-duplicate corpus decoration shared by q_d1/q_d16: every
+    * text in the fixture is distinct (500 docs, 500 md5s), so the
+    * NON-VACUOUS dedup gates append a re-keyed copy of every 7th doc
+    * (doc_id + 1,000,000, same text, source prefixed "copy_"; 7 is
+    * coprime with the fixture's 20-source doc_id cycle, so the copies
+    * spread over ALL sources) — 72 planted exact-duplicate pairs whose canonical survivor is always the
+    * ORIGINAL (min doc_id). Deterministic and replayed verbatim by the
+    * oracle's UNION ALL, the q_t49 decoration convention.
+    */
+  private def plantedDupDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(
+      docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"),
+          col("lang"), concat(lit("copy_"), col("source")).as("source"),
+          col("n_chars")))
+  }
+
+  /** The q_d1/q_d16 oracle spelling of [[plantedDupDocs]] — one constant
+    * so the two engines can never drift.
+    */
+  private val plantedDupDocsSql: String =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000, text, lang, 'copy_' || source, n_chars
+       FROM documents WHERE doc_id % 7 = 0"""
+
   private def sqlViews(s: SparkSession, d: String): Unit = {
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.orders(s, d).createOrReplaceTempView("orders")
@@ -445,6 +472,25 @@ object RelationalQueries {
                 AS BIGINT) AS sum_recent_keys
        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""
 
+  /** CORRELATED scalar subqueries in the SELECT list — the analyzer's
+    * scalar-subquery DECORRELATION path (each subquery rewrites to an
+    * outer join on the correlation key), which q_sql3's uncorrelated
+    * scalar and q_sql10's LATERAL never touch. Two deliberate semantic
+    * knife-edges, both part of the contract: max() over no orders is
+    * NULL (left UNCOALESCED — the q_sql15 convention), while count(*)
+    * over no orders is 0, NOT NULL — the classic "count bug" the
+    * decorrelation rewrite must preserve (a naive outer-join + count
+    * yields NULL). max is exact (no float summation).
+    */
+  private val sqlCorrelatedScalar: String =
+    """SELECT c_custkey,
+              (SELECT max(o_totalprice) FROM orders
+               WHERE o_custkey = c_custkey) AS max_price,
+              (SELECT count(*) FROM orders
+               WHERE o_custkey = c_custkey) AS n_orders
+       FROM customer
+       ORDER BY c_custkey"""
+
   /** The one IVF model every q_v* query shares, via the train-once cache:
     * deterministic training (same corpus, k=8, iters=2) makes the cached
     * model identical to a per-query retrain, so reuse changes no result —
@@ -562,6 +608,23 @@ object RelationalQueries {
 
     // ---- J: joins -----------------------------------------------------------
     "q_j1_anti_join" -> ((s, d) => {
+      // the SURVEY J1 anti-join (reference HelperFunction.scala:181-186:
+      // nodes with no incoming edge), NON-VACUOUS on this fixture:
+      // customers with no order above 350k (8/68/762 rows at the three
+      // SFs — every customer has SOME order, so the unfiltered form is
+      // the empty case, kept as q_j1b). The filter pushes into the
+      // build side before the anti-join shuffle.
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 350000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_j1b_anti_join_empty" -> ((s, d) => {
+      // the EMPTY-case sibling: the fixture generates ≥1 order per
+      // customer, so the unfiltered anti-join proves the empty result /
+      // empty-hash contract (schema still checked by the oracle)
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
@@ -570,6 +633,17 @@ object RelationalQueries {
     }),
 
     "q_j2_anti_ids" -> ((s, d) => {
+      // SURVEY J2 id anti-join, non-vacuous: parts never shipped at
+      // quantity >= 45 (6/53/537 rows); unfiltered form kept as q_j2b
+      val p = Tables.part(s, d)
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 45.0)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q_j2b_anti_ids_empty" -> ((s, d) => {
+      // empty-case sibling: every part appears in some lineitem here
       val p = Tables.part(s, d)
       val li = Tables.lineitem(s, d)
       p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
@@ -1884,6 +1958,18 @@ object RelationalQueries {
 
     // ---- dedup --------------------------------------------------------------
     "q_d1_exact_dup" -> ((s, d) =>
+      // the foundational exact-dedup gate, NON-VACUOUS: every text in the
+      // fixture is distinct, so the corpus is DECORATED with planted exact
+      // duplicates (every 7th doc re-keyed at doc_id + 1e6, same text,
+      // re-sourced — the deterministic decoration convention; built
+      // identically in the oracle) — 72 duplicate groups, each with the
+      // ORIGINAL doc as its canonical min-id survivor. The raw-corpus
+      // empty case is kept as q_d1b.
+      Dedup.exactDuplicates(plantedDupDocs(s, d))
+        .orderBy(col("text_md5"))),
+
+    "q_d1b_exact_dup_empty" -> ((s, d) =>
+      // empty-case sibling: the raw fixture has zero exact duplicates
       Dedup.exactDuplicates(Tables.documents(s, d))
         .orderBy(col("text_md5"))),
 
@@ -2453,13 +2539,18 @@ object RelationalQueries {
       // encode, THIS gates the count actually feeding the packing).
       // Same hash bins and per-bin prefix windows; the oracle replays
       // regexp split → lattice argmin → counts → the exact packing SQL.
+      // The count is coalesced to 0 for a NULL text row (concat
+      // propagates NULL through encodePre) — mirroring the oracle's
+      // LEFT JOIN + coalesce(n_tokens, 0), which keeps missing docs in
+      // the packing; the fixture has no NULL texts, but the pair must
+      // agree on the contract, not on the fixture (r17 advisory).
       graft.functions.Sampling.tokenBudgetPackBy(Tables.documents(s, d),
           "doc_id",
-          size(graft.functions.Unigram.encodePre(
+          coalesce(size(graft.functions.Unigram.encodePre(
             concat(col("text"), lit(graft.functions.Pretokenize.decorA),
               col("doc_id").cast("string"),
               lit(graft.functions.Pretokenize.decorB)),
-            graft.functions.Unigram.plantedPre)).cast("long"),
+            graft.functions.Unigram.plantedPre)).cast("long"), lit(0L)),
           budgetPerBin = 2000L, bins = 8)
         .orderBy(col("doc_id"))),
 
@@ -2483,7 +2574,21 @@ object RelationalQueries {
       // texts each ordered source pair shares — the "which crawls copy
       // which" diagnostic behind per-source dedup budgets. One distinct on
       // (source, md5), one hash-keyed equi self-join (never all-pairs:
-      // the join key is the content hash), a pair-count rollup
+      // the join key is the content hash), a pair-count rollup.
+      // NON-VACUOUS via the planted copy_* sources (q_d1's decoration):
+      // each copy_srcN / srcN pair shares its planted texts; the raw
+      // all-distinct corpus is the empty-case sibling q_d16b.
+      val sh = plantedDupDocs(s, d)
+        .select(col("source"), md5(col("text")).as("h")).distinct()
+      sh.as("a").join(sh.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    "q_d16b_cross_source_overlap_empty" -> ((s, d) => {
+      // empty-case sibling: no two sources share a text in the raw fixture
       val sh = Tables.documents(s, d)
         .select(col("source"), md5(col("text")).as("h")).distinct()
       sh.as("a").join(sh.as("b"),
@@ -2767,6 +2872,8 @@ object RelationalQueries {
     "q_sql13_range_frame" -> ((s, d) => { sqlViews(s, d); s.sql(sqlRangeFrame) }),
     "q_sql14_grouping_sets" -> ((s, d) => { sqlViews(s, d); s.sql(sqlGroupingSets) }),
     "q_sql15_agg_filter" -> ((s, d) => { sqlViews(s, d); s.sql(sqlAggFilter) }),
+    "q_sql16_correlated_scalar" ->
+      ((s, d) => { sqlViews(s, d); s.sql(sqlCorrelatedScalar) }),
 
     "q_a16_zscore" -> ((s, d) => {
       // per-group z-score standardization (the feature-scaling step next
@@ -4444,10 +4551,24 @@ object RelationalQueries {
 
     "q_j1_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_totalprice > 350000.0)
+         ORDER BY 1""",
+
+    "q_j1b_anti_join_empty" ->
+      """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          ORDER BY 1""",
 
     "q_j2_anti_ids" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_partkey = p_partkey
+                             AND l_quantity >= 45.0)
+         ORDER BY 1""",
+
+    "q_j2b_anti_ids_empty" ->
       """SELECT p_partkey, p_name FROM part
          WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
          ORDER BY 1""",
@@ -4562,6 +4683,7 @@ object RelationalQueries {
     "q_sql13_range_frame" -> sqlRangeFrame,
     "q_sql14_grouping_sets" -> sqlGroupingSets,
     "q_sql15_agg_filter" -> sqlAggFilter,
+    "q_sql16_correlated_scalar" -> sqlCorrelatedScalar,
 
     "q_a16_zscore" ->
       // stddev == stddev_samp (n−1 denominator) in both engines; the two
@@ -4961,6 +5083,14 @@ object RelationalQueries {
          ORDER BY 1""",
 
     "q_d1_exact_dup" ->
+      // the planted-duplicates decoration (plantedDupDocsSql) then the
+      // same md5 group: 50 groups, canonical = the original min doc_id
+      s"""WITH ddocs AS ($plantedDupDocsSql)
+         SELECT md5(text) AS text_md5, count(*) AS n_dups,
+                min(doc_id) AS canonical_doc_id
+         FROM ddocs GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+
+    "q_d1b_exact_dup_empty" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_dups,
                 min(doc_id) AS canonical_doc_id
          FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
@@ -7779,6 +7909,14 @@ object RelationalQueries {
          ORDER BY 1""",
 
     "q_d16_cross_source_overlap" ->
+      s"""WITH ddocs AS ($plantedDupDocsSql),
+         sh AS (SELECT DISTINCT source, md5(text) AS h FROM ddocs)
+         SELECT a.source AS source_a, b.source AS source_b,
+                count(*) AS n_shared
+         FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_d16b_cross_source_overlap_empty" ->
       """WITH sh AS (SELECT DISTINCT source, md5(text) AS h FROM documents)
          SELECT a.source AS source_a, b.source AS source_b,
                 count(*) AS n_shared
