@@ -1,0 +1,49 @@
+package graft
+
+import graft.io.GraphText
+import graft.ops.GraphAnalytics
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-shot diagnostic: discover the converged multi-level Louvain round
+  * counts on the Graph200 fixture (the constants q_ga28's oracle unrolls).
+  * Run: sbt "runMain graft.LouvainProbe"
+  */
+object LouvainProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("louvain-probe").master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val g = GraphText.load(spark, "/root/reference/input/Graph200.txt").toDS(spark)
+    val p = GraphAnalytics.prepareUndirected(g.nodes.toDF(),
+      g.edges.toDF().select(col("fromId"), col("toId")))
+    // generous caps; the requires print the actual counts as they trip
+    var expected = Seq(40)
+    var done = false
+    while (!done) {
+      try {
+        val out = GraphAnalytics.louvainConvergedPrepared(p, expected)
+        println("CONVERGED rounds=" + expected.mkString(","))
+        println("communities=" + out.select(col("community")).distinct().count())
+        out.orderBy(col("id")).show(10)
+        done = true
+      } catch {
+        case e: IllegalArgumentException =>
+          println("PROBE: " + e.getMessage)
+          val m = "accepted (\\d+) rounds".r.findFirstMatchIn(e.getMessage)
+          val lastMoved = "last expected level still improved"
+          if (m.isDefined)
+            expected = expected.init :+ m.get.group(1).toInt
+          else if (e.getMessage.contains(lastMoved) ||
+                   e.getMessage.contains("expectedRounds constant is stale"))
+            expected = expected :+ 40
+          else throw e
+          println("PROBE: retry with " + expected.mkString(","))
+      }
+    }
+    spark.stop()
+  }
+}

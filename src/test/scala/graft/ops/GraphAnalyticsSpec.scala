@@ -681,6 +681,86 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     out2 shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L)
   }
 
+  // discover louvainConverged's data-dependent accepted-round vector the
+  // way LouvainProbe does (the vector is a REQUIRE'd input so the oracle
+  // can unroll it; specs re-derive it per construction)
+  private def convergedRounds(n: org.apache.spark.sql.DataFrame,
+                              e: org.apache.spark.sql.DataFrame): Seq[Int] = {
+    var expected = Seq(40)
+    var out: Option[Seq[Int]] = None
+    while (out.isEmpty) {
+      try {
+        GraphAnalytics.louvainConverged(n, e, expected).count()
+        out = Some(expected)
+      } catch {
+        case ex: IllegalArgumentException =>
+          val m = "accepted (\\d+) rounds".r.findFirstMatchIn(ex.getMessage)
+          if (m.isDefined) expected = expected.init :+ m.get.group(1).toInt
+          else if (ex.getMessage.contains("still improved") ||
+                   ex.getMessage.contains("constant is stale"))
+            expected = expected :+ 40
+          else throw ex
+      }
+    }
+    out.get
+  }
+
+  test("louvainConverged: bridged triangles reach the known partition, min-id labels") {
+    val n = (0L to 5L).toDF("id")
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L),
+      (2L, 3L)).toDF("fromId", "toId")
+    val rounds = convergedRounds(n, e)
+    rounds.last shouldBe 0 // terminal level is the fixpoint by contract
+    val out = GraphAnalytics.louvainConverged(n, e, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same partition as the fixed-count sweeps, labels = min member ids
+    out shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L)
+    // determinism: the discovered vector replays exactly
+    val again = GraphAnalytics.louvainConverged(n, e, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    again shouldBe out
+  }
+
+  test("louvainConverged: ring of 16 cliques — deeper-than-two hierarchy under monotone acceptance") {
+    // the resolution-limit ring again, now under CONVERGED control flow:
+    // monotone acceptance must still find whole cliques, contraction
+    // must still merge them (the work local moves cannot do), and the
+    // fixpoint must take MORE than two levels of work (levels = rounds
+    // vector length including the terminal 0-round level) — the deeper
+    // hierarchy the fixed two-level form never exercises. The objective
+    // is non-decreasing per level by construction (require'd inside).
+    val cliques = 16
+    val n = (0L until 4L * cliques).toDF("id")
+    val intra = for {
+      c <- 0 until cliques; i <- 0 until 4; j <- i + 1 until 4
+    } yield (4L * c + i, 4L * c + j)
+    val ring = (0 until cliques).map(c =>
+      (4L * c + 3, 4L * ((c + 1) % cliques)))
+    val e = (intra ++ ring).toDF("fromId", "toId")
+    val rounds = convergedRounds(n, e)
+    rounds.length should be >= 3
+    rounds.last shouldBe 0
+    val conv = GraphAnalytics.louvainConverged(n, e, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cliques intact, ring-merging happened, labels are member minima
+    (0 until cliques).foreach { c =>
+      (0 until 4).map(i => conv(4L * c + i)).toSet.size shouldBe 1
+    }
+    conv.values.toSet.size should be < cliques
+    conv.foreach { case (_, label) => conv(label) shouldBe label }
+    // the converged objective beats single-level sweeps (the hierarchy
+    // earned its extra levels)
+    val one = GraphAnalytics.louvainSweeps(n, e, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import spark.implicits._
+    def q(assign: Map[Long, Long]): Long =
+      GraphAnalytics.modularityByCommunity(n, e,
+          assign.toSeq.toDF("id", "community"))
+        .agg(org.apache.spark.sql.functions.sum("contrib")).head().getLong(0)
+    q(conv) should be > q(one)
+  }
+
   test("louvainSweeps: isolated nodes keep their own community; dup edges collapse") {
     val n = Seq(1L, 2L, 3L, 9L).toDF("id")
     val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
