@@ -164,4 +164,18 @@ object AhoCorasick {
   def plantedPatternsValues: String =
     planted.patterns.zipWithIndex
       .map { case (p, i) => s"('$p',$i)" }.mkString(", ")
+
+  /** The q_t56 MULTI-BYTE pattern pair — BMP-only (the AcModel
+    * contract): "café" and the CJK run 中文. Both occur only in the
+    * [[Pretokenize.decorMbA]]/[[Pretokenize.decorMbB]] decoration on
+    * this corpus, and the gate compares per-doc match COUNTS (positions
+    * are UTF-16 in Java and rune-based in DuckDB — the documented
+    * divergence q_t56 deliberately avoids hashing).
+    */
+  val plantedMb: AcModel = AcModel(Seq("caf\u00e9", "\u4e2d\u6587"))
+
+  /** The multibyte (pattern, id) table as DuckDB VALUES rows. */
+  def plantedMbPatternsValues: String =
+    plantedMb.patterns.zipWithIndex
+      .map { case (p, i) => s"('${Pretokenize.sqlLit(p)}',$i)" }.mkString(", ")
 }

@@ -157,6 +157,21 @@ final case class BpeModel(merges: Seq[(String, String)],
     while (wi < words.length) { buf ++= encodeWord(words(wi)); wi += 1 }
     new GenericArrayData(buf.toArray)
   }
+
+  /** Codegen/eval entry for the LEADING-SPACE-AFFINITY encode: the merge
+    * walk runs per [[Pretokenize.splitSpace]] pretoken with the leading
+    * space '_'-marked ([[Pretokenize.markSpace]]) — GPT-2's Ġ-prefix
+    * semantics on this corpus's alphabet. Same memo, same map-only shape.
+    */
+  def encodeSpacePreArrayData(text: UTF8String): GenericArrayData = {
+    val words = Pretokenize.splitSpace(text.toString)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](words.length * 2 + 4)
+    var wi = 0
+    while (wi < words.length) {
+      buf ++= encodeWord(Pretokenize.markSpace(words(wi))); wi += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
 }
 
 /** Native Catalyst expression wrapping [[BpeModel.encode]]: string in,
@@ -166,7 +181,8 @@ final case class BpeModel(merges: Seq[(String, String)],
   * vocab size.
   */
 case class BpeEncode(child: Expression, model: BpeModel,
-                     pretokenized: Boolean = false) extends UnaryExpression {
+                     pretokenized: Boolean = false,
+                     spaceAffinity: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -174,13 +190,21 @@ case class BpeEncode(child: Expression, model: BpeModel,
     else TypeCheckResult.TypeCheckFailure(
       s"bpe_encode requires a string argument, got ${child.dataType.catalogString}")
 
-  override def nullSafeEval(input: Any): Any =
-    if (pretokenized) model.encodePreArrayData(input.asInstanceOf[UTF8String])
-    else model.encodeArrayData(input.asInstanceOf[UTF8String])
+  private def method: String =
+    if (spaceAffinity) "encodeSpacePreArrayData"
+    else if (pretokenized) "encodePreArrayData"
+    else "encodeArrayData"
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    if (spaceAffinity) model.encodeSpacePreArrayData(t)
+    else if (pretokenized) model.encodePreArrayData(t)
+    else model.encodeArrayData(t)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
-    val m = if (pretokenized) "encodePreArrayData" else "encodeArrayData"
+    val m = method
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$m($c);")
   }
 
@@ -365,22 +389,32 @@ object Bpe {
     * single fixed pair). Generated programmatically so the step count is
     * the single source of truth shared with the Spark query.
     */
-  def trainOracleSql(numMerges: Int, pretok: Boolean = false): String = {
+  def trainOracleSql(numMerges: Int, pretok: Boolean = false,
+                     minCount: Long = 1L, maxWords: Int = 1 << 20): String = {
     // word source: bare space split (q_t26) or the decorated corpus's
-    // RE2 pretokens (q_t52) — the merge-walk steps are shared verbatim
+    // RE2 pretokens (q_t52) — the merge-walk steps are shared verbatim.
+    // The dictionary BOUND is replayed, not assumed: the same minCount
+    // floor (HAVING) and (cnt DESC, word) top-K cap (QUALIFY row_number)
+    // train()/trainPre()'s Spark histogram applies — a caller passing
+    // non-default dials gets a matching oracle instead of a silently
+    // desynced pair (the Unigram.trainCtes discipline; r17 advisory)
     val wc =
       if (pretok) s"""${Pretokenize.pdocsCteSql},
 wc AS MATERIALIZED (
-  SELECT word, count(*)::BIGINT AS cnt FROM (
-    SELECT unnest(regexp_extract_all(ptext,
-      '${Pretokenize.patternSqlLit}')) AS word
-    FROM pdocs WHERE ptext IS NOT NULL)
-  WHERE word <> '' GROUP BY 1)"""
-      else """
+  SELECT word, cnt FROM (
+    SELECT word, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(regexp_extract_all(ptext,
+        '${Pretokenize.patternSqlLit}')) AS word
+      FROM pdocs WHERE ptext IS NOT NULL)
+    WHERE word <> '' GROUP BY 1 HAVING count(*) >= $minCount)
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $maxWords)"""
+      else s"""
 wc AS MATERIALIZED (
-  SELECT word, count(*)::BIGINT AS cnt FROM (
-    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-  WHERE word <> '' GROUP BY 1)"""
+  SELECT word, cnt FROM (
+    SELECT word, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY 1 HAVING count(*) >= $minCount)
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $maxWords)"""
     val head = wc + """,
 s0 AS MATERIALIZED (SELECT word, cnt, regexp_split_to_array(word, '') AS syms FROM wc)"""
     val steps = (0 until numMerges).map { i =>
@@ -432,6 +466,15 @@ s${i + 1} AS MATERIALIZED (
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(
       BpeEncode(GraftSqlBridge.expression(c), model, pretokenized = true))
+  }
+
+  /** [[encode]] over [[Pretokenize.splitSpace]]'s leading-space-affinity
+    * pretokens, '_'-marked — the q_t55 surface.
+    */
+  def encodeSpace(c: Column, model: BpeModel): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      BpeEncode(GraftSqlBridge.expression(c), model, spaceAffinity = true))
   }
 
   /** BPE token count: size of the encode. */
@@ -526,6 +569,48 @@ s${i + 1} AS MATERIALIZED (
     val merged = plantedPre.merges.zipWithIndex
       .map { case ((a, b), r) =>
         s"('${Pretokenize.sqlLit(a + b)}',${plantedPre.baseSymbols.length + r})" }
+    (base ++ merged).mkString(", ")
+  }
+
+  /** [[plantedPre]] extended for the SPACE-AFFINITY q_t55 gate: the '_'
+    * marker joins the base alphabet and the appended merges (rank-
+    * monotone: each builds on the base or an earlier result) assemble
+    * "_the" / "_an" / "_row" from the marker — GPT-2's Ġ-prefix merges,
+    * where the space-glued form of a word is its own vocabulary citizen
+    * with its own merge path. Run-initial (unspaced) words still walk
+    * the original merges, so one decorated doc exercises both.
+    */
+  val plantedSpace: BpeModel = BpeModel(
+    // the space merges come FIRST (rank-monotone: each builds from base
+    // symbols or an earlier space result) — appended at the tail they
+    // would never fire, since the letter merges ((t,h) at rank 0, …)
+    // would always win the min-rank race inside a marked pretoken;
+    // leading ranks are exactly how real learned vocabularies price the
+    // dominant space-glued forms
+    merges = Seq(
+      ("_", "t"), ("_t", "h"), ("_th", "e"),
+      ("_", "a"), ("_a", "n"),
+      ("_", "r"), ("_r", "o"), ("_ro", "w"),
+      ("_", "d"), ("_d", "o"), ("_do", "n"),
+      ("_", "w"), ("_w", "e"),
+      ("_", "i"), ("_i", "t"),
+      ("_", "x")) ++ plantedPre.merges,
+    baseSymbols = plantedPre.baseSymbols :+ "_")
+
+  /** The [[plantedSpace]] merge list as DuckDB VALUES rows. */
+  def plantedSpaceMergesValues: String =
+    plantedSpace.merges.zipWithIndex
+      .map { case ((a, b), r) =>
+        s"('${Pretokenize.sqlLit(a)}','${Pretokenize.sqlLit(b)}',$r)" }
+      .mkString(", ")
+
+  /** The [[plantedSpace]] vocab (symbol → id) as DuckDB VALUES rows. */
+  def plantedSpaceVocabValues: String = {
+    val base = plantedSpace.baseSymbols.zipWithIndex
+      .map { case (s, i) => s"('${Pretokenize.sqlLit(s)}',$i)" }
+    val merged = plantedSpace.merges.zipWithIndex
+      .map { case ((a, b), r) =>
+        s"('${Pretokenize.sqlLit(a + b)}',${plantedSpace.baseSymbols.length + r})" }
     (base ++ merged).mkString(", ")
   }
 }

@@ -67,6 +67,20 @@ object Pretokenize {
   val decorA: String = " it's we'll don't x"
   val decorB: String = "y!! foo,bar... qu'z"
 
+  /** The MULTI-BYTE decoration pair for the q_t56 gate (planted UTF-8
+    * beyond ASCII, spelled as escapes so the source file stays ASCII):
+    * "café" (é = U+00E9, Latin-1 BMP), a CJK run 中文 (U+4E2D U+6587,
+    * BMP), and one NON-BMP emoji 😀 (U+1F600 — a surrogate PAIR in
+    * UTF-16, one rune in DuckDB). Under the ASCII-classed scanner every
+    * non-ASCII char lands in a punctuation run, and both engines agree
+    * on the TOKENS (the scanner walks UTF-16 units, RE2 walks runes —
+    * surrogate halves never match a class boundary char, so the pair
+    * stays glued); offsets would diverge, which is why q_t56 gates
+    * token strings and match COUNTS, never positions.
+    */
+  val decorMbA: String = " caf\u00e9 it's "
+  val decorMbB: String = " \u4e2d\u6587x\ud83d\ude00y caf\u00e9"
+
   private def isLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
@@ -125,6 +139,107 @@ object Pretokenize {
     }
     out.toArray
   }
+
+  // ---- the LEADING-SPACE-AFFINITY form (q_t54/q_t55) -----------------------
+
+  /** GPT-2's space-affinity branches, lookahead-free: a single optional
+    * LEADING SPACE glues to the following letter/digit/punctuation run —
+    * `" the"` is a different pretoken than `"the"`, which is the part of
+    * GPT-2's pattern that changes EVERY vocabulary entry and both
+    * tokenizer families' merge/lattice economics (`"_the"` vs `"the"`).
+    * Only the trailing-whitespace branch `\s+(?!\S)` of the real pattern
+    * needs lookahead; this subset is RE2-expressible, so the oracle story
+    * holds. Spaces not followed by a run character (runs of 2+ spaces,
+    * trailing space) stay unmatched separators. The contraction branch
+    * has no space variant (as in GPT-2), so `" 's"` scans as the
+    * space-glued punct run `" '"` + letter run `"s"` — in BOTH engines.
+    */
+  val patternSpace: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+  /** [[patternSpace]] escaped for a single-quoted SQL literal. */
+  def patternSpaceSqlLit: String = sqlLit(patternSpace)
+
+  /** The space MARKER the tokenizer-facing consumers substitute for the
+    * leading space (pieces/symbols cannot carry ' ' — it is the word-split
+    * separator in both models' contracts): ASCII '_', the SentencePiece
+    * '▁' convention on this corpus's alphabet. Contract: the corpus must
+    * not contain a literal '_' (true of the fixture and decorations; a
+    * corpus with underscores needs the real '▁').
+    */
+  def markSpace(w: String): String =
+    if (w.nonEmpty && w.charAt(0) == ' ') "_" + w.substring(1) else w
+
+  /** The [[patternSpace]] scanner: one left-to-right pass emitting exactly
+    * the leftmost-first matches (property-pinned against java.util.regex
+    * in PretokenizeSpec, the [[split]] discipline). Tokens carry the RAW
+    * leading space; consumers apply [[markSpace]].
+    */
+  def splitSpace(text: String): Array[String] = {
+    val n = text.length
+    val out = new scala.collection.mutable.ArrayBuffer[String](n / 4 + 4)
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == ' ') {
+        // ` ?X+` branches: the space matches only when a run char follows
+        // (contraction branch has no leading-space form, so a following
+        // apostrophe lands in the space-glued PUNCT run)
+        if (i + 1 < n && text.charAt(i + 1) != ' ') {
+          val d = text.charAt(i + 1)
+          var j = i + 2
+          if (isLetter(d)) { while (j < n && isLetter(text.charAt(j))) j += 1 }
+          else if (isDigit(d)) { while (j < n && isDigit(text.charAt(j))) j += 1 }
+          else {
+            while (j < n && { val e = text.charAt(j)
+              e != ' ' && !isLetter(e) && !isDigit(e) }) j += 1
+          }
+          out += text.substring(i, j)
+          i = j
+        } else i += 1 // unmatched separator (run of spaces / trailing)
+      } else if (c == '\'' && contractionLen(text, i) > 0) {
+        val l = contractionLen(text, i)
+        out += text.substring(i, i + 1 + l)
+        i += 1 + l
+      } else if (isLetter(c)) {
+        var j = i + 1
+        while (j < n && isLetter(text.charAt(j))) j += 1
+        out += text.substring(i, j)
+        i = j
+      } else if (isDigit(c)) {
+        var j = i + 1
+        while (j < n && isDigit(text.charAt(j))) j += 1
+        out += text.substring(i, j)
+        i = j
+      } else {
+        var j = i + 1
+        while (j < n && { val d = text.charAt(j)
+          d != ' ' && !isLetter(d) && !isDigit(d) }) j += 1
+        out += text.substring(i, j)
+        i = j
+      }
+    }
+    out.toArray
+  }
+
+  /** The ordered MARKED space-affinity pretoken CTE (`words(doc_id, wpos,
+    * word)`) over an existing `pdocs` — `regexp_extract_all` with
+    * [[patternSpace]] (RE2 replaying [[splitSpace]]'s scanner), leading
+    * spaces replaced by the '_' marker exactly as [[markSpace]] does.
+    */
+  def wordsSpaceFromPdocsCteSql: String =
+    s"""words AS (
+  SELECT doc_id, wpos, replace(word, ' ', '_') AS word FROM (
+    SELECT doc_id,
+           unnest(generate_series(1,
+             len(regexp_extract_all(ptext, '$patternSpaceSqlLit')))) AS wpos,
+           unnest(regexp_extract_all(ptext, '$patternSpaceSqlLit')) AS word
+    FROM pdocs WHERE ptext IS NOT NULL))"""
+
+  /** `pdocs` + marked space-affinity pretokens — the q_t54/q_t55 oracle
+    * word source (the [[wordsCteSql]] sibling one fidelity rung up).
+    */
+  def wordsSpaceCteSql: String = s"$pdocsCteSql,\n$wordsSpaceFromPdocsCteSql"
 
   /** The decorated-corpus CTE for the q_t49/q_t50 oracles: `pdocs`
     * carries `ptext = text || decorA || doc_id || decorB`, and `words`

@@ -27,14 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (total cost ASC, piece count ASC, '-'-joined piece string ASC) —
   *    binary string compare, identical in Java and DuckDB for the ASCII
   *    vocabularies this corpus carries;
-  *  - training is hard-EM (Viterbi-EM): the E-step re-segments the
-  *    bounded dictionary under current costs and counts pieces weighted
-  *    by word frequency; the M-step re-derives costs from the counts.
-  *    Hard EM rather than forward-backward soft EM is a deliberate
-  *    exactness trade: posterior expectations are irrational, so a soft
-  *    E-step cannot be hash-gated cross-engine; the hard variant is a
-  *    documented SentencePiece option and keeps every intermediate an
-  *    integer.
+  *  - training is hard-EM (Viterbi-EM) by default: the E-step re-segments
+  *    the bounded dictionary under current costs and counts pieces
+  *    weighted by word frequency; the M-step re-derives costs from the
+  *    counts. The real tool's default SOFT (forward-backward) E-step has
+  *    irrational posterior expectations, so the soft arm
+  *    ([[Unigram.trainSoft]], q_t57) QUANTIZES them onto a defined Q16
+  *    grid (path weights via [[Unigram.ipow2Frac16]]'s integer sqrt
+  *    chain, per-piece floors) — both arms hash-gate cross-engine.
   *
   * Scale shape mirrors [[Bpe.train]]: the ONLY corpus-sized pass is the
   * distributed word histogram (explode + map-side-combinable groupBy);
@@ -164,6 +164,24 @@ final case class UnigramModel(pieces: Seq[(String, Long)],
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Called from generated code: whole-string encode over
+    * [[Pretokenize.splitSpace]]'s LEADING-SPACE-AFFINITY pretokens, each
+    * marked with [[Pretokenize.markSpace]] before hitting the lattice —
+    * GPT-2's space semantics ("_the" is a different vocabulary citizen
+    * than "the"), the fidelity rung above [[encodePreArrayData]]. Same
+    * map-only shape and per-executor memo.
+    */
+  def encodeSpacePreArrayData(text: UTF8String): GenericArrayData = {
+    val words = Pretokenize.splitSpace(text.toString)
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < words.length) {
+      encodeWord(Pretokenize.markSpace(words(wi))).foreach(id => out += id)
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** string → array<int> unigram-LM encode; NULL in → NULL out. Codegen'd
@@ -172,7 +190,8 @@ final case class UnigramModel(pieces: Seq[(String, Long)],
   * inside whole-stage codegen).
   */
 case class UnigramEncode(child: Expression, model: UnigramModel,
-                         pretokenized: Boolean = false)
+                         pretokenized: Boolean = false,
+                         spaceAffinity: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -181,14 +200,22 @@ case class UnigramEncode(child: Expression, model: UnigramModel,
     else TypeCheckResult.TypeCheckFailure(
       s"unigram_encode requires a string argument, got ${child.dataType.catalogString}")
 
-  override def nullSafeEval(input: Any): Any =
-    if (pretokenized) model.encodePreArrayData(input.asInstanceOf[UTF8String])
-    else model.encodeArrayData(input.asInstanceOf[UTF8String])
+  private def method: String =
+    if (spaceAffinity) "encodeSpacePreArrayData"
+    else if (pretokenized) "encodePreArrayData"
+    else "encodeArrayData"
+
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    if (spaceAffinity) model.encodeSpacePreArrayData(t)
+    else if (pretokenized) model.encodePreArrayData(t)
+    else model.encodeArrayData(t)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("unigramModel", model,
       classOf[UnigramModel].getName)
-    val m = if (pretokenized) "encodePreArrayData" else "encodeArrayData"
+    val m = method
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.$m($c);")
   }
 
@@ -387,6 +414,282 @@ object Unigram {
     counts.keys.toSeq.sorted.map(p => (p, counts(p), costs(p)))
   }
 
+  // ---- SOFT-EM arm (quantized sum-over-paths posterior) -------------------
+
+  /** The 16 Q30 constants c_k defining the [[ipow2Frac16]] grid —
+    * c_k ≈ 2^(2^−k), constructed by the INTEGER sqrt chain
+    * c₁ = isqrt(2⁶¹), c_{k+1} = isqrt(c_k · 2³⁰): every value is the
+    * floor of an integer square root, so the chain (and everything built
+    * on it) is a DEFINITION both engines replay exactly — the
+    * [[ilog2Frac16]] discipline pointed the other way.
+    */
+  private[functions] val pow2Chain: Array[Long] = {
+    def isqrt(n: BigInt): BigInt =
+      if (n < 2) n
+      else {
+        var x = BigInt(1) << ((n.bitLength + 1) / 2)
+        var y = (x + n / x) >> 1
+        while (y < x) { x = y; y = (x + n / x) >> 1 }
+        x
+      }
+    val out = new Array[Long](17)
+    out(1) = isqrt(BigInt(1) << 61).toLong
+    (2 to 16).foreach(k => out(k) = isqrt(BigInt(out(k - 1)) << 30).toLong)
+    out
+  }
+
+  /** ⌊2¹⁶ · 2^(−d/2¹⁶)⌋ on the DEFINED grid (the inverse companion of
+    * [[ilog2Frac16]]): d is a Q16 log2 value ≥ 0; results below 2⁻¹⁶
+    * (d ≥ 16·2¹⁶) truncate to 0 — the documented posterior floor. Pure
+    * integer shifts/multiplies over [[pow2Chain]], bit-identical in SQL
+    * via the generated 16-step CASE ladder ([[ipow2Sql]]).
+    */
+  def ipow2Frac16(d: Long): Long = {
+    require(d >= 0L, s"d must be >= 0 (got $d)")
+    if (d >= (16L << 16)) 0L
+    else {
+      val e = (d >> 16).toInt
+      val f = (d & 0xFFFFL).toInt
+      if (f == 0) 65536L >> e
+      else {
+        // 2^(−f/2¹⁶) = 2^((2¹⁶−f)/2¹⁶) / 2 — evaluate the positive
+        // fractional power by its set bits against the sqrt chain
+        val g = 65536 - f
+        var y = 1L << 30
+        var k = 1
+        while (k <= 16) {
+          if (((g >> (16 - k)) & 1) == 1) y = (y * pow2Chain(k)) >> 30
+          k += 1
+        }
+        y >> (15 + e)
+      }
+    }
+  }
+
+  /** [[ipow2Frac16]] as a generated SQL expression over the integer
+    * column/expression named `d` — the 16 conditional Q30 multiplies
+    * unrolled as nested CASEs with the [[pow2Chain]] constants inlined.
+    */
+  private def ipow2Sql(d: String): String = {
+    val g = s"(65536 - (($d) & 65535))"
+    var y = "1073741824::BIGINT"
+    (1 to 16).foreach { k =>
+      y = s"(CASE WHEN (($g >> ${16 - k}) & 1) = 1 " +
+        s"THEN (($y) * ${pow2Chain(k)}) >> 30 ELSE ($y) END)"
+    }
+    s"(CASE WHEN ($d) >= 1048576 THEN 0 " +
+      s"WHEN (($d) & 65535) = 0 THEN 65536 >> (($d) >> 16) " +
+      s"ELSE ($y) >> (15 + (($d) >> 16)) END)::BIGINT"
+  }
+
+  /** Every complete segmentation of `word` over `costs`' key set with
+    * its exact Q16 total cost (dictionary words are short and pieces
+    * capped at `maxPieceLen`, so enumeration is bounded — the
+    * SentencePieceParitySpec machinery, production-side).
+    */
+  private def enumeratePaths(word: String, costs: Map[String, Long],
+                             maxPieceLen: Int): Seq[(Long, List[String])] =
+    if (word.isEmpty) Seq((0L, Nil))
+    else (1 to math.min(maxPieceLen, word.length)).flatMap { l =>
+      val p = word.substring(0, l)
+      costs.get(p) match {
+        case Some(c) =>
+          enumeratePaths(word.substring(l), costs, maxPieceLen)
+            .map { case (sc, sp) => (c + sc, p :: sp) }
+        case None => Seq.empty
+      }
+    }
+
+  /** Unigram-LM training with a QUANTIZED SOFT E-step — the
+    * forward-backward posterior of real SentencePiece, made exactly
+    * replayable: instead of crediting only the Viterbi path (hard EM,
+    * [[train]]), every segmentation contributes its posterior mass.
+    * Per dictionary word:
+    *
+    *  1. every complete path's EXACT Q16 cost (sum of piece costs — the
+    *     integers the hard arm already uses);
+    *  2. path weight x = [[ipow2Frac16]](cost − minCost) ∈ [0, 2¹⁶] — the
+    *     posterior RATIO to the best path on the Q16 grid (the best path
+    *     carries exactly 2¹⁶, so the total T ≥ 2¹⁶ and no word can
+    *     underflow to nothing, at any word length);
+    *  3. per piece, posterior count c_q = ⌊Σ_occurrences x · 2¹⁶ / T⌋
+    *     (one floor division per (word, piece));
+    *  4. M-step: ĉ(p) = Σ_w freq(w)·c_q — zero-mass multis drop, singles
+    *     floor at 1 (coverage), costs re-derive via [[ilog2Frac16]].
+    *
+    * Named deviations from the real tool (the hard-EM scaladoc's
+    * discipline): the posterior is truncated below 2⁻¹⁶ of the best path
+    * (the ipow2 floor); quantization is per-path-then-per-piece floors
+    * rather than float forward-backward (which computes the SAME
+    * posterior — enumeration over the bounded dictionary is exact); and
+    * there is no digamma/Bayesianized M-step. The q_t57 oracle replays
+    * every step — enumeration, the ipow2 ladder, both floor divisions —
+    * in pure integer SQL.
+    *
+    * Scale shape identical to [[train]]: ONE corpus-sized histogram,
+    * then the dictionary-bounded EM on the driver.
+    */
+  def trainSoft(docs: DataFrame, textCol: String,
+                maxPieceLen: Int = 4, pieceMinCount: Long = 500L,
+                emIters: Int = 2): Seq[(String, Long, Long)] = {
+    require(emIters >= 1, s"emIters must be >= 1 (got $emIters)")
+    val dict: Array[(String, Long)] = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains("-"))
+      .groupBy(col("word"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainSoftOnDict(dict, maxPieceLen, pieceMinCount, emIters)
+  }
+
+  private[functions] def trainSoftOnDict(dict: Array[(String, Long)],
+                                         maxPieceLen: Int,
+                                         pieceMinCount: Long,
+                                         emIters: Int)
+      : Seq[(String, Long, Long)] = {
+    // identical candidate init to trainOnDict (weighted substrings,
+    // minCount floor on multis, singles always kept)
+    val freq = new java.util.HashMap[String, java.lang.Long]()
+    dict.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, w.length - i)) {
+          val p = w.substring(i, i + l)
+          val prev = freq.get(p)
+          freq.put(p, if (prev == null) c else prev + c)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val singles: Set[String] = {
+      val b = Set.newBuilder[String]
+      freq.forEach((p, _) => if (p.length == 1) b += p)
+      b.result()
+    }
+    var counts: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      freq.forEach((p, c) =>
+        if (p.length == 1 || c >= pieceMinCount) b += (p -> c.longValue()))
+      b.result()
+    }
+    var costs: Map[String, Long] = null
+    def recost(): Unit = {
+      val total = counts.valuesIterator.sum
+      costs = counts.map { case (p, c) => p -> ilog2Frac16(total, c) }
+    }
+    recost()
+    var t = 0
+    while (t < emIters) {
+      val next = scala.collection.mutable.HashMap[String, Long]()
+      dict.foreach { case (w, c) =>
+        val paths = enumeratePaths(w, costs, maxPieceLen)
+        // singles coverage guarantees at least one path
+        val minCost = paths.iterator.map(_._1).min
+        val weighted = paths.map { case (pc, ps) =>
+          (ipow2Frac16(pc - minCost), ps)
+        }
+        val tq = weighted.iterator.map(_._1).sum // >= 65536 (best path)
+        val num = scala.collection.mutable.HashMap[String, Long]()
+        weighted.foreach { case (x, ps) =>
+          if (x > 0L) ps.foreach(p => num.update(p, num.getOrElse(p, 0L) + x))
+        }
+        num.foreach { case (p, nm) =>
+          val cq = nm * 65536L / tq
+          if (cq > 0L) next.update(p, next.getOrElse(p, 0L) + c * cq)
+        }
+      }
+      counts = next.toMap.filter(_._2 >= 1L) ++
+        singles.filterNot(next.contains).map(_ -> 1L).toMap
+      recost()
+      t += 1
+    }
+    counts.keys.toSeq.sorted.map(p => (p, counts(p), costs(p)))
+  }
+
+  /** The q_t57 oracle: the ENTIRE quantized soft-EM loop unrolled in
+    * SQL — the [[trainOracleSql]] machinery with the E-step swapped for
+    * the sum-over-paths posterior: per word the complete-path
+    * enumeration (the same recursive CTE), the per-word min cost, the
+    * [[ipow2Frac16]] CASE ladder on (cost − min), the Σx total, the
+    * per-(word, piece) occurrence mass, the ⌊x·2¹⁶/T⌋ floor, the
+    * freq-weighted M-step with the singles floor, and the integer
+    * re-cost.
+    */
+  def trainSoftOracleSql(maxPieceLen: Int, pieceMinCount: Long,
+                         emIters: Int): String =
+    "WITH RECURSIVE " + trainSoftCtes(maxPieceLen, pieceMinCount, emIters) +
+      s""" SELECT p.piece, p.cnt, c.cost
+         FROM pc$emIters p JOIN cost$emIters c USING (piece)
+         ORDER BY p.piece"""
+
+  private def trainSoftCtes(maxPieceLen: Int, pieceMinCount: Long,
+                            emIters: Int): String = {
+    val head = s"""
+wc AS MATERIALIZED (
+  SELECT word, count(*)::BIGINT AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND word NOT LIKE '%-%'
+  GROUP BY 1),
+subs AS MATERIALIZED (
+  SELECT substr(w.word, st.i, ln.l) AS piece, sum(w.cnt)::BIGINT AS freq
+  FROM wc w,
+       unnest(generate_series(1, length(w.word))) AS st(i),
+       unnest(generate_series(1, $maxPieceLen)) AS ln(l)
+  WHERE st.i + ln.l - 1 <= length(w.word)
+  GROUP BY 1),
+singles AS MATERIALIZED (SELECT piece FROM subs WHERE length(piece) = 1),
+pc0 AS MATERIALIZED (
+  SELECT piece, freq AS cnt FROM subs
+  WHERE freq >= $pieceMinCount OR length(piece) = 1),
+tot0 AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS tot FROM pc0),
+${ilogSql(0)}"""
+    val steps = (1 to emIters).map { t =>
+      val prev = t - 1
+      s"""
+v$t AS MATERIALIZED (
+  SELECT p.piece, c.cost FROM pc$prev p JOIN cost$prev c USING (piece)),
+seg$t(word, pos, cost, n, path) AS (
+  SELECT word, 1, 0::BIGINT, 0, '' FROM wc
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.cost + v.cost, s.n + 1,
+         CASE WHEN s.path = '' THEN v.piece ELSE s.path || '-' || v.piece END
+  FROM seg$t s JOIN v$t v ON substr(s.word, s.pos, length(v.piece)) = v.piece
+  WHERE s.pos <= length(s.word)),
+cp$t AS MATERIALIZED (
+  SELECT word, cost, path FROM seg$t WHERE pos = length(word) + 1),
+cm$t AS MATERIALIZED (SELECT word, min(cost) AS mc FROM cp$t GROUP BY 1),
+px$t AS MATERIALIZED (
+  SELECT c.word, c.path, ${ipow2Sql("c.cost - m.mc")} AS xq
+  FROM cp$t c JOIN cm$t m USING (word)),
+pt$t AS MATERIALIZED (SELECT word, sum(xq)::BIGINT AS tq FROM px$t GROUP BY 1),
+occ$t AS MATERIALIZED (
+  SELECT word, unnest(string_split(path, '-')) AS piece, xq
+  FROM px$t WHERE xq > 0),
+num$t AS MATERIALIZED (
+  SELECT word, piece, sum(xq)::BIGINT AS nm FROM occ$t GROUP BY 1, 2),
+cq$t AS MATERIALIZED (
+  SELECT n.word, n.piece, (n.nm * 65536) // t.tq AS cq
+  FROM num$t n JOIN pt$t t USING (word)),
+pcr$t AS MATERIALIZED (
+  SELECT o.piece, sum(w.cnt * o.cq)::BIGINT AS cnt
+  FROM cq$t o JOIN wc w USING (word)
+  WHERE o.cq > 0
+  GROUP BY 1 HAVING sum(w.cnt * o.cq) >= 1),
+pc$t AS MATERIALIZED (
+  SELECT piece, cnt FROM pcr$t
+  UNION ALL
+  SELECT s.piece, 1::BIGINT AS cnt FROM singles s
+  ANTI JOIN pcr$t p USING (piece)),
+tot$t AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS tot FROM pc$t),
+${ilogSql(t)}"""
+    }
+    (head +: steps).mkString(",")
+  }
+
   /** [[train]] packaged as a ready [[UnigramModel]]: pieces in the
     * piece-sorted final-table order (so ids are positions in that order —
     * the convention [[trainEncodeOracleSql]]'s row_number reproduces),
@@ -438,6 +741,16 @@ object Unigram {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(
       UnigramEncode(GraftSqlBridge.expression(c), model, pretokenized = true))
+  }
+
+  /** [[encode]] over [[Pretokenize.splitSpace]]'s leading-space-affinity
+    * pretokens, '_'-marked — the q_t54 surface.
+    */
+  def encodeSpace(c: Column, model: UnigramModel): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      UnigramEncode(GraftSqlBridge.expression(c), model,
+        spaceAffinity = true))
   }
 
   /** Unigram token count: size of the encode. */
@@ -517,6 +830,172 @@ object Unigram {
     plantedPre.pieces.zipWithIndex
       .map { case ((p, c), i) =>
         s"('${Pretokenize.sqlLit(p)}',$i,${c}::BIGINT)" }.mkString(", ")
+
+  /** [[plantedPre]] extended for the SPACE-AFFINITY q_t54 gate: the '_'
+    * marker joins as a single (expensive — falling through to it is the
+    * degenerate segmentation), and '_'-prefixed twins of the planted
+    * word pieces carry DELIBERATE economics — "_the" (3) beats "_"+"the"
+    * (8+3) and every single-char decomposition, so the lattice genuinely
+    * prefers space-affine pieces wherever the pretoken carries its space
+    * (every word after the first of a run, GPT-2's actual vocabulary
+    * shape). The unmarked pieces stay: run-initial words have no space.
+    */
+  val plantedSpace: UnigramModel = UnigramModel(
+    plantedPre.pieces ++
+      Seq(("_", 8L * 65536L),
+        ("_the", 3L * 65536L), ("_table", 4L * 65536L),
+        ("_scan", 4L * 65536L), ("_row", 3L * 65536L),
+        ("_fast", 4L * 65536L), ("_value", 4L * 65536L),
+        ("_order", 4L * 65536L), ("_jo", 4L * 65536L),
+        ("_in", 4L * 65536L), ("_da", 5L * 65536L), ("_qu", 5L * 65536L),
+        ("_st", 5L * 65536L), ("_re", 5L * 65536L), ("_wind", 5L * 65536L),
+        ("_col", 5L * 65536L), ("_sm", 6L * 65536L), ("_ba", 6L * 65536L),
+        ("_ha", 6L * 65536L), ("_x", 6L * 65536L),
+        ("_don", 5L * 65536L), ("_we", 5L * 65536L),
+        ("_it", 5L * 65536L)))
+
+  /** The [[plantedSpace]] (piece, id, cost) table as DuckDB VALUES rows —
+    * single source of truth for the q_t54 oracle.
+    */
+  def plantedSpacePiecesValues: String =
+    plantedSpace.pieces.zipWithIndex
+      .map { case ((p, c), i) =>
+        s"('${Pretokenize.sqlLit(p)}',$i,${c}::BIGINT)" }.mkString(", ")
+
+  /** The q_t54 oracle: the pretokenized lattice replayed over the MARKED
+    * SPACE-AFFINITY pretoken stream — `regexp_extract_all` with the
+    * space pattern (RE2 replaying [[Pretokenize.splitSpace]]'s scanner),
+    * leading spaces '_'-marked in SQL exactly as the expression marks
+    * them, then the recursive segmentation enumeration + (cost, n, path)
+    * argmin under [[plantedSpace]]. Two split implementations, one hash —
+    * and the hash moves if "_the" stops being a different citizen than
+    * "the".
+    */
+  def encodeSpaceOracleSql: String =
+    s"""WITH RECURSIVE
+vocab(piece, id, cost) AS (SELECT * FROM (VALUES $plantedSpacePiecesValues)),
+${Pretokenize.wordsSpaceCteSql},
+dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+seg(word, pos, cost, n, path, idpath) AS (
+  SELECT word, 1, 0::BIGINT, 0, '', '' FROM dwords
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.cost + v.cost, s.n + 1,
+         CASE WHEN s.path = '' THEN v.piece
+              ELSE s.path || '-' || v.piece END,
+         CASE WHEN s.idpath = '' THEN v.id::VARCHAR
+              ELSE s.idpath || '-' || v.id::VARCHAR END
+  FROM seg s JOIN vocab v
+    ON substr(s.word, s.pos, length(v.piece)) = v.piece
+  WHERE s.pos <= length(s.word)),
+best AS (
+  SELECT word, idpath, n FROM (
+    SELECT word, idpath, n,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY cost, n, path) AS rn
+    FROM seg WHERE pos = length(word) + 1) WHERE rn = 1),
+doc_tokens AS (
+  SELECT w.doc_id,
+         string_agg(b.idpath, '-' ORDER BY w.wpos) AS token_ids,
+         sum(b.n)::BIGINT AS n_tokens
+  FROM words w JOIN best b ON b.word = w.word
+  GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(t.token_ids, '') AS token_ids,
+       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+  /** [[plantedPre]] extended for the MULTI-BYTE q_t56 gate: BMP
+    * non-ASCII singles (é, 中, 文) plus the multi-char CJK piece 中文
+    * priced below its singles (5 vs 16) so the lattice genuinely
+    * segments inside a non-ASCII pretoken. The emoji is DELIBERATELY
+    * ABSENT: its pretoken has no covering piece in either engine (Java
+    * would need per-surrogate pieces, DuckDB a per-rune piece — neither
+    * exists), so the whole word falls to unkId in both — the unknown
+    * path, measured cross-engine. Pieces stay BMP-only: a non-BMP piece
+    * would split UTF-16 vs rune substring arithmetic between the
+    * engines (the AcModel BMP contract, same reason).
+    */
+  val plantedMb: UnigramModel = UnigramModel(
+    plantedPre.pieces ++
+      Seq(("\u00e9", 8L * 65536L), ("\u4e2d", 8L * 65536L),
+        ("\u6587", 8L * 65536L), ("\u4e2d\u6587", 5L * 65536L)))
+
+  /** The [[plantedMb]] (piece, id, cost) table as DuckDB VALUES rows. */
+  def plantedMbPiecesValues: String =
+    plantedMb.pieces.zipWithIndex
+      .map { case ((p, c), i) =>
+        s"('${Pretokenize.sqlLit(p)}',$i,${c}::BIGINT)" }.mkString(", ")
+
+  /** The q_t56 oracle: the pretokenized lattice over the MULTI-BYTE
+    * decorated corpus ([[Pretokenize.decorMbA]]/[[Pretokenize.decorMbB]])
+    * under [[plantedMb]], with the UNKNOWN path replayed (LEFT JOIN: a
+    * word no piece chain covers — the planted emoji — contributes one
+    * -1 token), plus per-doc Aho–Corasick match COUNTS of the multibyte
+    * patterns re-derived brute-force with rune-based substr() (counts
+    * agree across UTF-16/rune engines; offsets would not, and are not
+    * hashed). One gate turning the ASCII-contract comments into
+    * measured multi-byte behavior.
+    */
+  def encodeMbOracleSql: String = {
+    val pats = graft.functions.AhoCorasick.plantedMbPatternsValues
+    s"""WITH RECURSIVE
+vocab(piece, id, cost) AS (SELECT * FROM (VALUES $plantedMbPiecesValues)),
+pdocs AS (
+  SELECT doc_id,
+         text || '${Pretokenize.sqlLit(Pretokenize.decorMbA)}' ||
+           CAST(doc_id AS VARCHAR) ||
+           '${Pretokenize.sqlLit(Pretokenize.decorMbB)}' AS ptext
+  FROM documents),
+words AS (
+  SELECT doc_id,
+         unnest(generate_series(1,
+           len(regexp_extract_all(ptext, '${Pretokenize.patternSqlLit}')))) AS wpos,
+         unnest(regexp_extract_all(ptext, '${Pretokenize.patternSqlLit}')) AS word
+  FROM pdocs WHERE ptext IS NOT NULL),
+dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+seg(word, pos, cost, n, path, idpath) AS (
+  SELECT word, 1, 0::BIGINT, 0, '', '' FROM dwords
+  UNION ALL
+  SELECT s.word, s.pos + length(v.piece), s.cost + v.cost, s.n + 1,
+         CASE WHEN s.path = '' THEN v.piece
+              ELSE s.path || '-' || v.piece END,
+         CASE WHEN s.idpath = '' THEN v.id::VARCHAR
+              ELSE s.idpath || '-' || v.id::VARCHAR END
+  FROM seg s JOIN vocab v
+    ON substr(s.word, s.pos, length(v.piece)) = v.piece
+  WHERE s.pos <= length(s.word)),
+best AS (
+  SELECT word, idpath, n FROM (
+    SELECT word, idpath, n,
+           row_number() OVER (PARTITION BY word
+                              ORDER BY cost, n, path) AS rn
+    FROM seg WHERE pos = length(word) + 1) WHERE rn = 1),
+doc_tokens AS (
+  SELECT w.doc_id,
+         string_agg(coalesce(b.idpath, '-1'), '-' ORDER BY w.wpos) AS token_ids,
+         sum(coalesce(b.n, 1))::BIGINT AS n_tokens
+  FROM words w LEFT JOIN best b ON b.word = w.word
+  GROUP BY w.doc_id),
+pats(pat, pid) AS (SELECT * FROM (VALUES $pats)),
+acm AS (
+  SELECT d.doc_id, p.pid, count(*) AS n
+  FROM pdocs d
+  JOIN pats p ON len(d.ptext) >= len(p.pat),
+  LATERAL unnest(generate_series(1, len(d.ptext) - len(p.pat) + 1)) AS u(i)
+  WHERE substr(d.ptext, u.i, len(p.pat)) = p.pat
+  GROUP BY 1, 2)
+SELECT d.doc_id,
+       coalesce(t.token_ids, '') AS token_ids,
+       coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(c0.n, 0)::BIGINT AS n_cafe,
+       coalesce(c1.n, 0)::BIGINT AS n_cjk
+FROM documents d
+LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+LEFT JOIN acm c0 ON c0.doc_id = d.doc_id AND c0.pid = 0
+LEFT JOIN acm c1 ON c1.doc_id = d.doc_id AND c1.pid = 1
+ORDER BY d.doc_id"""
+  }
 
   /** The pretokenized lattice-encode CTE chain (through `doc_tokens`) —
     * [[plantedPre]] vocab over [[Pretokenize.wordsCteSql]]'s

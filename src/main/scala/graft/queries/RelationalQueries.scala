@@ -2304,6 +2304,24 @@ object RelationalQueries {
         .orderBy(col("rank"))
     }),
 
+    "q_t57_soft_unigram_train" -> ((s, d) => {
+      // QUANTIZED SOFT-EM unigram training (the real tool's default EM
+      // flavor, vs q_t43's hard Viterbi-EM): every segmentation of every
+      // dictionary word contributes posterior mass — path weight
+      // ipow2Frac16(cost − minCost) on the Q16 grid (exact-integer sqrt
+      // chain, best path = 2^16 so no word underflows), per-piece
+      // posterior counts via one floor division, freq-weighted M-step.
+      // The oracle replays enumeration, the 16-step ipow2 CASE ladder,
+      // and both floors in pure integer SQL. Deviations from the real
+      // tool named in Unigram.trainSoft's scaladoc (posterior truncation
+      // below 2^-16 of the best path; no digamma).
+      import s.implicits._
+      graft.functions.Unigram.trainSoft(Tables.documents(s, d), "text",
+          maxPieceLen = 4, pieceMinCount = 500L, emIters = 2)
+        .toDF("piece", "cnt", "cost")
+        .orderBy(col("piece"))
+    }),
+
     "q_t51_pretok_unigram_train" -> ((s, d) => {
       // unigram-LM TRAINING on the pretokenized decorated corpus — the
       // last tokenizer stage still running on a space split: the corpus
@@ -2340,6 +2358,74 @@ object RelationalQueries {
               col("doc_id").cast("string"),
               lit(graft.functions.Pretokenize.decorB)),
             graft.functions.Unigram.plantedPre).as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_t56_multibyte_encode" -> ((s, d) => {
+      // NON-ASCII end-to-end: the corpus decorated with planted UTF-8
+      // ("café", the CJK run 中文, one non-BMP emoji — decorMbA/decorMbB),
+      // then (a) the pretokenized lattice encode under plantedMb (é/中/文
+      // singles + the 中文 multi-piece; the emoji is deliberately
+      // uncovered, so its pretoken exercises the whole-word unkId=-1
+      // path in BOTH engines) and (b) Aho–Corasick match COUNTS of the
+      // multibyte patterns. Converts the ASCII-contract comments
+      // (Pretokenize/AcModel) into measured cross-engine behavior:
+      // tokens and counts agree across UTF-16 (Java) and rune (DuckDB)
+      // semantics; offsets would not, and are deliberately not hashed.
+      def ptext = concat(col("text"),
+        lit(graft.functions.Pretokenize.decorMbA),
+        col("doc_id").cast("string"),
+        lit(graft.functions.Pretokenize.decorMbB))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Unigram.encodePre(ptext,
+            graft.functions.Unigram.plantedMb).as("ids"),
+          graft.functions.AhoCorasick.matches(ptext,
+            graft.functions.AhoCorasick.plantedMb).as("m"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          size(filter(col("m"), x => x("pid") === 0)).cast("long").as("n_cafe"),
+          size(filter(col("m"), x => x("pid") === 1)).cast("long").as("n_cjk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_t54_space_unigram_encode" -> ((s, d) =>
+      // the q_t49 lattice one fidelity rung up: GPT-2's LEADING-SPACE
+      // AFFINITY (lookahead-free ' ?X+' branches — Pretokenize
+      // .patternSpace), so " the" is a different pretoken than "the",
+      // '_'-marked before the lattice (the SentencePiece ▁ convention on
+      // this alphabet). plantedSpace prices "_the" below "_"+"the", so
+      // the hash moves if space-affine pieces stop being distinct
+      // vocabulary citizens. Oracle: RE2 replays the scanner, replace()
+      // replays the marker, the recursive lattice replays the walk.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Unigram.encodeSpace(
+            concat(col("text"), lit(graft.functions.Pretokenize.decorA),
+              col("doc_id").cast("string"),
+              lit(graft.functions.Pretokenize.decorB)),
+            graft.functions.Unigram.plantedSpace).as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q_t55_space_bpe_encode" -> ((s, d) =>
+      // the q_t50 merge walk under the SAME space-affinity split and
+      // '_' marker — GPT-2's actual Ġ-prefix economics: plantedSpace
+      // appends rank-monotone merges that build "_the"/"_an"/"_row"
+      // from the marker, so space-affine words merge into single tokens
+      // while run-initial words walk the unmarked merges.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.Bpe.encodeSpace(
+            concat(col("text"), lit(graft.functions.Pretokenize.decorA),
+              col("doc_id").cast("string"),
+              lit(graft.functions.Pretokenize.decorB)),
+            graft.functions.Bpe.plantedSpace).as("ids"))
         .select(col("doc_id"),
           concat_ws("-", transform(col("ids"), _.cast("string"))).as("token_ids"),
           size(col("ids")).cast("long").as("n_tokens"))
@@ -7650,10 +7736,29 @@ object RelationalQueries {
       // PRETOKEN under the extended plantedPre vocab
       graft.functions.Unigram.encodePreOracleSql,
 
+    "q_t54_space_unigram_encode" ->
+      // the SPACE-AFFINITY pattern in RE2 (replaying splitSpace's
+      // scanner), replace(' ','_') replaying the marker, the lattice
+      // under plantedSpace — "_the" priced as its own citizen
+      graft.functions.Unigram.encodeSpaceOracleSql,
+
+    "q_t56_multibyte_encode" ->
+      // the multibyte-decorated lattice (rune-based substr vs UTF-16
+      // scanner — tokens agree), the LEFT-JOIN unknown path (-1 for the
+      // uncovered emoji pretoken), and brute-force rune-substr pattern
+      // counts vs the UTF-16 Aho–Corasick automaton
+      graft.functions.Unigram.encodeMbOracleSql,
+
     "q_t51_pretok_unigram_train" ->
       // the full EM replay with the histogram over RE2 pretokens of the
       // decorated corpus — same params as the Spark query
       graft.functions.Unigram.trainPreOracleSql(4, 500L, 2),
+
+    "q_t57_soft_unigram_train" ->
+      // the quantized soft-EM replay: path enumeration, per-word min
+      // cost, the ipow2Frac16 CASE ladder, Σx totals, ⌊x·2^16/T⌋
+      // posterior counts, freq-weighted M-step, integer re-cost
+      graft.functions.Unigram.trainSoftOracleSql(4, 500L, 2),
 
     "q_t52_pretok_bpe_train" ->
       // the q_t26 merge-walk replay with the histogram over RE2
@@ -7675,6 +7780,50 @@ object RelationalQueries {
          merges(lhs, rhs, rank) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedPreMergesValues})),
          vocab(symbol, id) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedPreVocabValues})),
          ${graft.functions.Pretokenize.wordsCteSql},
+         dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+         walk(word, syms) AS (
+           SELECT word, regexp_split_to_array(word, '') FROM dwords
+           UNION ALL
+           SELECT word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]
+           FROM (
+             SELECT w.word, any_value(w.syms) AS syms,
+                    min_by(u.i, m.rank * 100000 + u.i) AS bi
+             FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+             JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]
+             GROUP BY w.word)),
+         pairable AS (
+           SELECT DISTINCT w.word, w.syms
+           FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+           JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]),
+         final AS (SELECT word, syms FROM walk ANTI JOIN pairable USING (word, syms)),
+         sym_rows AS (
+           SELECT f.word,
+                  unnest(generate_series(1, len(f.syms))) AS spos,
+                  unnest(f.syms) AS sym
+           FROM final f),
+         word_tokens AS (
+           SELECT s.word, list(v.id ORDER BY s.spos) AS ids
+           FROM sym_rows s JOIN vocab v ON v.symbol = s.sym
+           GROUP BY s.word),
+         doc_tokens AS (
+           SELECT w.doc_id, flatten(list(t.ids ORDER BY w.wpos)) AS ids
+           FROM words w JOIN word_tokens t ON t.word = w.word
+           GROUP BY w.doc_id)
+         SELECT d.doc_id,
+                coalesce(array_to_string(t.ids, '-'), '') AS token_ids,
+                coalesce(len(t.ids), 0)::BIGINT AS n_tokens
+         FROM documents d LEFT JOIN doc_tokens t ON t.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+
+    "q_t55_space_bpe_encode" ->
+      // the q_t50 merge-walk replay per distinct MARKED space-affinity
+      // pretoken — regexp_extract_all with the space pattern, the '_'
+      // marker via replace(), vocab/merges from plantedSpace (the
+      // leading-rank space merges), same recursive one-merge-per-step CTE
+      s"""WITH RECURSIVE
+         merges(lhs, rhs, rank) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedSpaceMergesValues})),
+         vocab(symbol, id) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedSpaceVocabValues})),
+         ${graft.functions.Pretokenize.wordsSpaceCteSql},
          dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
          walk(word, syms) AS (
            SELECT word, regexp_split_to_array(word, '') FROM dwords

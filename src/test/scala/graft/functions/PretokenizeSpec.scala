@@ -96,4 +96,71 @@ class PretokenizeSpec extends AnyFunSuite {
       assert(Pretokenize.split(s).mkString == s.replace(" ", ""))
     }
   }
+
+  // ---- the LEADING-SPACE-AFFINITY form (q_t54/q_t55) -------------------
+
+  private def reSpace(text: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(Pretokenize.patternSpace)
+      .matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  test("space attaches to the following word: 'a the' -> [a, ' the']") {
+    assert(Pretokenize.splitSpace("a the").toSeq == Seq("a", " the"))
+    assert(Pretokenize.splitSpace(" the").toSeq == Seq(" the"))
+    assert(Pretokenize.splitSpace("the").toSeq == Seq("the"))
+  }
+
+  test("space glues to digit and punct runs; contraction has no space form") {
+    assert(Pretokenize.splitSpace("x 42 !!").toSeq == Seq("x", " 42", " !!"))
+    // ' 's' -> the space-glued PUNCT run takes the apostrophe (GPT-2's
+    // own behavior: the contraction branch has no leading-space variant)
+    assert(Pretokenize.splitSpace("a 's").toSeq == Seq("a", " '", "s"))
+    // directly after a letter run the contraction still fires
+    assert(Pretokenize.splitSpace("it's").toSeq == Seq("it", "'s"))
+    assert(Pretokenize.splitSpace(" it's").toSeq == Seq(" it", "'s"))
+  }
+
+  test("runs of spaces: only the last one attaches; trailing space drops") {
+    assert(Pretokenize.splitSpace("a  b").toSeq == Seq("a", " b"))
+    assert(Pretokenize.splitSpace("a   b").toSeq == Seq("a", " b"))
+    assert(Pretokenize.splitSpace("a ").toSeq == Seq("a"))
+    assert(Pretokenize.splitSpace("  ").toSeq == Seq.empty)
+  }
+
+  test("markSpace: leading space becomes '_', nothing else changes") {
+    assert(Pretokenize.markSpace(" the") == "_the")
+    assert(Pretokenize.markSpace("the") == "the")
+    assert(Pretokenize.markSpace(" '") == "_'")
+    assert(Pretokenize.markSpace("") == "")
+  }
+
+  test("space scanner matches java.util.regex on random ASCII soup") {
+    val alphabet = "abclmrstvez019!,.' '  ".toCharArray // space-heavy
+    val rnd = new Random(1337)
+    (1 to 500).foreach { i =>
+      val n = rnd.nextInt(30)
+      val s = String.valueOf(Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))))
+      assert(Pretokenize.splitSpace(s).toSeq == reSpace(s), s"case $i: ${s}")
+    }
+  }
+
+  test("space tokens concatenate to the input minus UNATTACHED spaces") {
+    // every attached space survives inside its token, so the only
+    // dropped characters are separators (space-run heads, trailing)
+    val rnd = new Random(99)
+    val alphabet = "abs'l!2  ".toCharArray
+    (1 to 200).foreach { _ =>
+      val s = String.valueOf(
+        Array.fill(rnd.nextInt(25))(alphabet(rnd.nextInt(alphabet.length))))
+      val toks = Pretokenize.splitSpace(s)
+      assert(toks.mkString.replace(" ", "") == s.replace(" ", ""))
+      // attached spaces are singular and leading
+      toks.foreach { t =>
+        assert(!t.drop(1).contains(' '), s"interior space in '$t' of '$s'")
+      }
+    }
+  }
 }

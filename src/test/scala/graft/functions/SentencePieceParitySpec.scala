@@ -98,6 +98,79 @@ class SentencePieceParitySpec extends AnyFunSuite with Matchers {
     checkedUnique should be >= dict.length * 2 / 3
   }
 
+  test("soft-EM (quantized sum-over-paths) trains a model whose segmentations match the float Viterbi") {
+    // the q_t57 arm run through the SAME independent-reference harness as
+    // the hard arm: train with the quantized soft E-step, then every
+    // dictionary word's production segmentation must be float-optimal
+    // under the SOFT-learned probabilities
+    val maxPieceLen = 4
+    val trained = Unigram.trainSoftOnDict(dict, maxPieceLen,
+      pieceMinCount = 300L, emIters = 2)
+    val model = UnigramModel(trained.map(t => (t._1, t._3)))
+    val total = trained.map(_._2).sum.toDouble
+    val probs = trained.map(t => t._1 -> (t._2 / total)).toMap
+    val tieEps = 1e-3
+    var checkedUnique = 0
+    dict.map(_._1).foreach { w =>
+      val ours = model.viterbi(w)
+      ours should not be null
+      val ourPieces = ours.toList.map(id => model.pieces(id)._1)
+      val (_, optimal) = floatOptimal(w, probs, maxPieceLen, tieEps)
+      withClue(s"word '$w' ours=$ourPieces floatOptimal=$optimal: ") {
+        optimal should contain(ourPieces)
+        if (optimal.size == 1) checkedUnique += 1
+      }
+    }
+    checkedUnique should be >= dict.length * 2 / 3
+  }
+
+  test("soft vs hard EM: same vocabulary support, genuinely different posteriors, mostly agreeing segmentations") {
+    val maxPieceLen = 4
+    val hard = Unigram.trainOnDict(dict, maxPieceLen,
+      pieceMinCount = 300L, emIters = 2)
+    val soft = Unigram.trainSoftOnDict(dict, maxPieceLen,
+      pieceMinCount = 300L, emIters = 2)
+    // the soft E-step must actually be soft: its count RATIOS differ from
+    // hard's somewhere (posterior mass credits non-Viterbi paths), even
+    // though both keep singles coverage
+    val hardM = hard.map(t => t._1 -> t._2).toMap
+    val softM = soft.map(t => t._1 -> t._2).toMap
+    val hTot = hardM.values.sum.toDouble
+    val sTot = softM.values.sum.toDouble
+    val sharedPieces = hardM.keySet.intersect(softM.keySet)
+    val ratioDiffers = sharedPieces.exists(p =>
+      math.abs(hardM(p) / hTot - softM(p) / sTot) > 1e-4)
+    ratioDiffers shouldBe true
+    // segmentation-level A/B: the two arms agree on a clear majority of
+    // dictionary words (they optimize the same objective family), but
+    // neither is required to match the other exactly — the DIFFERENCE is
+    // the soft posterior doing its job
+    val hModel = UnigramModel(hard.map(t => (t._1, t._3)))
+    val sModel = UnigramModel(soft.map(t => (t._1, t._3)))
+    def segs(m: UnigramModel, w: String): List[String] =
+      m.viterbi(w).toList.map(id => m.pieces(id)._1)
+    val agree = dict.map(_._1).count(w => segs(hModel, w) == segs(sModel, w))
+    agree should be >= dict.length / 2
+  }
+
+  test("ipow2Frac16 is the exact inverse companion of the log grid") {
+    // fixed points of the defined grids: exact powers of two both ways
+    Unigram.ipow2Frac16(0L) shouldBe 65536L
+    Unigram.ipow2Frac16(65536L) shouldBe 32768L
+    Unigram.ipow2Frac16(2L * 65536L) shouldBe 16384L
+    Unigram.ipow2Frac16(16L * 65536L) shouldBe 0L // the posterior floor
+    // monotone non-increasing across the whole grid, and within 1 ulp of
+    // the float value (the chain constants are floors of exact sqrts)
+    var prev = 65537L
+    (0L until (16L * 65536L) by 997L).foreach { d =>
+      val v = Unigram.ipow2Frac16(d)
+      v should be <= prev
+      val f = math.floor(65536.0 * math.pow(2.0, -d.toDouble / 65536.0)).toLong
+      math.abs(v - f) should be <= 1L
+      prev = v
+    }
+  }
+
   test("planted-model expected table (committed, hand-derived from the objective)") {
     // Σ log p argmax == min Σ cost for the planted integer costs; each
     // row hand-derived: unique-argmax rows are what ANY implementation of
