@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot diagnostic: time q_ga28 under the bench's session conf. */
+object Q28Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("q28-probe").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val t0 = System.nanoTime()
+    val df = SparkEntry.queries("q_ga28_louvain_converged")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    System.err.println(f"[q28] total ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    spark.stop()
+  }
+}

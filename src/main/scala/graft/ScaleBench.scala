@@ -823,6 +823,47 @@ object ScaleBench {
       "louvain2lvl ratio" -> (if (b > 0) s / b else -1.0))
   }
 
+  /** [[louvainTwoLevelLadder]]'s CONVERGED sibling (q_ga28's operator in
+    * discovery mode — no pinned round counts): per level, monotone-
+    * modularity sweeps to their fixpoint under a soft 12-round local-move
+    * cap (exact-fixpoint moves on a hash-random graph improve for O(n)
+    * rounds, so the cap IS the production config — the q_sp22 maxWords
+    * convention), contraction iterated until a level's first round is
+    * non-improving. The claim under measurement:
+    * after the round-18 lineage surgery (per-level and per-round eager
+    * leaves) the data-dependent level count costs LEVELS × the q_ga23
+    * round price, never the exponential plan-analysis wall the fixture
+    * exposed — and only level 1 is node-scale, so the ratio tracks the
+    * level-1 sweeps like the two-level ladder does.
+    */
+  def louvainConvergedLadder(spark: SparkSession, nBase: Long = 20000L,
+                             factor: Int = 10, degree: Int = 8,
+                             passes: Int = 2): Seq[(String, Double)] = {
+    import graft.ops.GraphAnalytics
+    def point(n: Long): Double = {
+      val nodes = spark.range(n).select(col("id"))
+      val edges = spark.range(n * degree).select(
+        expr(s"id div $degree").as("fromId"),
+        pmod(graft.functions.Dedup.md5Hash32(
+          concat_ws(":", lit("cl"), col("id"))), lit(n)).as("toId"))
+        .filter(col("fromId") =!= col("toId"))
+      (0 until passes).map { _ =>
+        val t0 = System.nanoTime()
+        GraphAnalytics.louvainConvergedFree(nodes, edges,
+            maxLevels = 16, maxSweeps = 12)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val b = point(nBase)
+    val s = point(nBase * factor)
+    Seq(
+      f"louvainconv n=$nBase" -> b,
+      f"louvainconv n=${nBase * factor}" -> s,
+      "louvainconv ratio" -> (if (b > 0) s / b else -1.0))
+  }
+
   /** The survivor-rule A/B behind [[graft.functions.Dedup
     * .survivorsByEarliestDominator]]'s decision scaladoc: build the q_m21
     * media pair graph (format-dispatched dHash codes, pigeonhole Hamming ≤ 3
@@ -1004,14 +1045,112 @@ object ScaleBench {
       return
     }
 
+    // SPARK_GRAFT_FAMILIES=pack → the 1000× ladder point (r17 judge ask):
+    // context packing (q_sp23: planted-lattice tokenize → EOS →
+    // range-shuffle prefix sum → concat-and-chop) on an IDENTITY-
+    // replicated corpus. Packing depends on token counts and stream
+    // offsets, never on text DISTINCTNESS, so the 312-affine-map ceiling
+    // does not apply: replicas carry the base text verbatim under fresh
+    // doc_ids (the synthesize() doc_id·f + r convention). Prints the
+    // ladder row plus the scaled passes' shuffle-partition setting and
+    // SPILL totals — a 1000× point that spilled silently would misstate
+    // the plan's memory story.
+    if (families.contains("pack")) {
+      val dir = scaleDir
+      val want = sentinelContent(baseDirEnv, factor, "pack")
+      val sentinel = new java.io.File(s"$dir/_SYNTH_COMPLETE")
+      if (!(sentinel.isFile &&
+            java.nio.file.Files.readString(sentinel.toPath) == want) ||
+          sys.env.contains("SPARK_GRAFT_RESYNTH")) {
+        System.err.println(s"[scale] synthesizing ${factor}x (pack) into $dir")
+        val t0 = System.nanoTime()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$dir/_SYNTH_COMPLETE"))
+        val f = factor
+        Tables.documents(spark, baseDirEnv)
+          .select(explode(sequence(lit(0), lit(f - 1))).as("r"),
+            col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .select((col("doc_id") * f + col("r")).as("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(spark.sparkContext.defaultParallelism * 4)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/_SYNTH_COMPLETE"), want)
+        System.err.println(
+          f"[scale] synthesis took ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      } else System.err.println(s"[scale] reusing $dir")
+      val memSpill = new java.util.concurrent.atomic.AtomicLong
+      val diskSpill = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            memSpill.addAndGet(m.memoryBytesSpilled)
+            diskSpill.addAndGet(m.diskBytesSpilled)
+            ()
+          }
+        }
+      }
+      val fn = SparkEntry.queries("q_sp23_context_pack")
+      def run1(d: String): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      val base = (1 to passes).map { p =>
+        val t = run1(baseDirEnv)
+        System.err.println(f"[scale] pack base pass$p $t%.2fs"); t }.min
+      spark.sparkContext.addSparkListener(listener)
+      val scaled = (1 to passes).map { p =>
+        val t = run1(dir)
+        System.err.println(f"[scale] pack ${factor}x pass$p $t%.2fs"); t }.min
+      spark.sparkContext.removeSparkListener(listener)
+      val nRows = Tables.documents(spark, dir).count()
+      val ratio = scaled / base
+      println(f"""{"metric":"pack_ladder","factor":$factor,"rows":$nRows,"base":$base%.3f,"scaled":$scaled%.3f,"ratio":$ratio%.2f,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"mem_spill_bytes":${memSpill.get()},"disk_spill_bytes":${diskSpill.get()}}""")
+      println(s"\n| pack ladder ($factor×) | value |")
+      println("|---|---|")
+      println(f"| q_sp23 base (s) | $base%.2f |")
+      println(f"| q_sp23 ${factor}x (s) | $scaled%.2f |")
+      println(f"| ratio | $ratio%.1f× |")
+      println(s"| scaled rows | $nRows |")
+      println(s"| mem / disk spill over scaled passes (bytes) | " +
+        s"${memSpill.get()} / ${diskSpill.get()} |")
+      spark.stop()
+      return
+    }
+
     // SPARK_GRAFT_FAMILIES=graph → the sampled-closeness cost envelope on
     // self-synthesized graphs (no doc/emb tables involved): sources scale
     // ∝ log₂ n with the graph, the Eppstein–Wang sampling discipline
     if (families.contains("graph")) {
-      val rows = closenessLadder(spark, factor = factor, passes = passes) ++
-        betweennessLadder(spark, factor = factor, passes = passes) ++
-        louvainLadder(spark, factor = factor, passes = passes) ++
-        louvainTwoLevelLadder(spark, factor = factor, passes = passes)
+      // SPARK_GRAFT_ONLY here selects LADDERS (closeness, betweenness,
+      // louvain, louvain2lvl, louvainconv) — the same re-measure-one
+      // contract the gate-query path honors, at this branch's granularity
+      val onlyG = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      def want(name: String) = onlyG.forall(_.contains(name))
+      val rows =
+        (if (want("closeness"))
+          closenessLadder(spark, factor = factor, passes = passes)
+        else Nil) ++
+        (if (want("betweenness"))
+          betweennessLadder(spark, factor = factor, passes = passes)
+        else Nil) ++
+        (if (want("louvain"))
+          louvainLadder(spark, factor = factor, passes = passes)
+        else Nil) ++
+        (if (want("louvain2lvl"))
+          louvainTwoLevelLadder(spark, factor = factor, passes = passes)
+        else Nil) ++
+        (if (want("louvainconv"))
+          louvainConvergedLadder(spark, factor = factor, passes = passes)
+        else Nil)
       def esc0(s: String) = s.replace("\"", "\\\"")
       val qj = rows.map { case (n, t) => f""""${esc0(n)}":$t%.3f""" }
         .mkString("{", ",", "}")

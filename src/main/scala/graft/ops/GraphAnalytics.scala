@@ -1536,6 +1536,34 @@ object GraphAnalytics {
                                expectedRounds: Seq[Int]): DataFrame = {
     require(expectedRounds.nonEmpty, "expectedRounds must be non-empty")
     require(expectedRounds.forall(_ >= 0), "round counts must be >= 0")
+    convergedCore(p, Some(expectedRounds),
+      maxLevels = expectedRounds.length, maxSweeps = 0)
+  }
+
+  /** [[louvainConvergedPrepared]] WITHOUT the replayed round counts — the
+    * same control flow discovering its own per-level fixpoints, with
+    * `maxSweeps` as a SOFT per-level local-move cap: a level that is
+    * still strictly improving at the cap contracts anyway (the standard
+    * production knob — exact-fixpoint local moves on a large graph can
+    * strictly improve for O(n) rounds, so every real Louvain bounds the
+    * inner loop; contraction preserves the objective bit-for-bit either
+    * way, so the cross-level identity check still holds). `maxLevels`
+    * stays a loud cap — level count grows like the hierarchy depth
+    * (log-ish), not like n. For ladder/bench points on synthesized
+    * graphs; gate queries use the pinned form (the oracle must unroll
+    * the exact schedule, and the fixture converges far below any cap).
+    */
+  def louvainConvergedFree(nodes: DataFrame, edges: DataFrame,
+                           maxLevels: Int, maxSweeps: Int): DataFrame = {
+    val p = prepareUndirected(nodes, edges)
+    try {
+      convergedCore(p, None, maxLevels, maxSweeps).localCheckpoint(true)
+    } finally p.release()
+  }
+
+  private def convergedCore(p: UndirectedPrep,
+                            expectedRounds: Option[Seq[Int]],
+                            maxLevels: Int, maxSweeps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // INDUCED-SUBGRAPH universe: the contraction identity requires every
     // edge endpoint to carry a community, so edges whose endpoint is
@@ -1546,11 +1574,21 @@ object GraphAnalytics {
     // contraction and trip the identity check — which is exactly how
     // they were found)
     val ids = p.deg.select(col("id"))
-    var wedges: DataFrame = p.und
+    // EVERY level's weighted edge list is an EAGER LEAF (checkpoint with a
+    // release handle, freed as soon as the next level's leaf materializes):
+    // the contraction chains wedges → join → groupBy per level, and each
+    // level's staging re-references the previous level's subtree several
+    // times (sym's union reads und twice, deg reads sym and und again), so
+    // an un-cut chain grows the ANALYZED tree exponentially in the level
+    // count — measured on the 201-node fixture: level-5 rounds 28 s,
+    // level-6 staging 28 s, 242 s total; leaf-cut, the whole run is
+    // driver-scheduling-bound like its q_ga23 siblings. Edge-sized frames,
+    // L live at most two at a time.
+    var (wedges, relWedges) = GraftSqlBridge.localCheckpointWithHandle(p.und
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
         lit(1L).as("w"))
       .join(ids.select(col("id").as("a")), Seq("a"), "left_semi")
-      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi")
+      .join(ids.select(col("id").as("b")), Seq("b"), "left_semi"))
     var snodes: DataFrame = ids
     // per-level (assignment, ranked map) for the ONE end-of-run flatten —
     // maintaining a node-sized flattened mapping per level would re-run
@@ -1564,14 +1602,16 @@ object GraphAnalytics {
     var lastAsgn: DataFrame = null
     while (lastAsgn == null) {
       level += 1
-      require(level <= expectedRounds.length,
-        s"louvainConverged: still improving after ${expectedRounds.length} " +
-          "levels — expectedRounds constant is stale")
+      require(level <= maxLevels,
+        s"louvainConverged: still improving after $maxLevels levels — " +
+          expectedRounds.fold("maxLevels cap is too low")(_ =>
+            "expectedRounds constant is stale"))
       val (asgn, rounds, q0, qEnd) = weightedSweepsMonotone(snodes, wedges,
-        maxSweeps = expectedRounds(level - 1) + 1)
-      require(rounds == expectedRounds(level - 1),
+        maxSweeps = expectedRounds.fold(maxSweeps)(_(level - 1) + 1),
+        softCap = expectedRounds.isEmpty)
+      expectedRounds.foreach(er => require(rounds == er(level - 1),
         s"louvainConverged: level $level accepted $rounds rounds, " +
-          s"expected ${expectedRounds(level - 1)} — oracle unroll is stale")
+          s"expected ${er(level - 1)} — oracle unroll is stale"))
       // non-decreasing modularity per level comes from two EXACT facts:
       // within a level every accepted round strictly improves (q0 ≤ qEnd
       // by construction), and ACROSS the contraction the objective is
@@ -1587,9 +1627,9 @@ object GraphAnalytics {
         // the level's first round was already non-improving: fixpoint
         lastAsgn = asgn
       } else {
-        require(level < expectedRounds.length,
+        expectedRounds.foreach(er => require(level < er.length,
           "louvainConverged: last expected level still improved — " +
-            "expectedRounds must end at the fixpoint level")
+            "expectedRounds must end at the fixpoint level"))
         val ranked = asgn.select(col("community")).distinct()
           .select(col("community"),
             (row_number().over(Window.orderBy(col("community"))) - 1)
@@ -1598,15 +1638,17 @@ object GraphAnalytics {
         val sidToRid = asgn.join(ranked, "community")
           .select(col("id").as("sid"), col("rid"))
         chain += ((asgn, ranked))
-        wedges = wedges
+        val (nw, relNw) = GraftSqlBridge.localCheckpointWithHandle(wedges
           .join(sidToRid.select(col("sid").as("a"), col("rid").as("ca")), "a")
           .join(sidToRid.select(col("sid").as("b"), col("rid").as("cb")), "b")
           .select(least(col("ca"), col("cb")).as("a"),
             greatest(col("ca"), col("cb")).as("b"), col("w"))
-          .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+          .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w")))
+        relWedges(); wedges = nw; relWedges = relNw
         snodes = ranked.select(col("rid").as("id"))
       }
     }
+    relWedges() // the flatten below reads only the sealed chain frames
     // flatten ONCE: node → level-1 community → rid → level-2 community →
     // … → final community. Every frame in the chain is sealed and
     // community-count-sized except the first (node-sized) — one plan of
@@ -1653,9 +1695,17 @@ object GraphAnalytics {
     */
   private[graft] def weightedSweepsMonotone(snodes: DataFrame,
                                             wedges: DataFrame,
-                                            maxSweeps: Int)
+                                            maxSweeps: Int,
+                                            softCap: Boolean = false)
       : (DataFrame, Int, Long, Long) = {
     import org.apache.spark.sql.expressions.Window
+    val dbg = sys.env.contains("SPARK_GRAFT_LOUVAIN_TIMING")
+    def tick(label: String, t0: Long): Long = {
+      if (dbg) System.err.println(
+        f"[louvain] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      System.nanoTime()
+    }
+    var tDbg = System.nanoTime()
     val und = wedges.select(col("a").cast("long").as("a"),
         col("b").cast("long").as("b"), col("w").cast("long").as("w"))
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
@@ -1685,6 +1735,7 @@ object GraphAnalytics {
         coalesce(sum(col("deg") * col("deg")), lit(0L)).as("sq")))
       .head()
     val bigW = st.getLong(0)
+    tDbg = tick("staging", tDbg)
     // exact Σ contrib of an assignment over THIS level's weighted rows,
     // as ONE action: w_in sums every row (incl. self-loops) with both
     // ends co-assigned, crossJoined with the Σ Σtot² aggregate —
@@ -1703,18 +1754,27 @@ object GraphAnalytics {
     }
     // no EveryK here: its cut RELEASES the previous round's checkpoint,
     // but a rolled-back round must leave the previous frame readable.
-    // LAZY localCheckpoints instead — each round's frame materializes
-    // inside that round's single contrib action (no extra job), lineage
-    // still cut; blocks reclaimed by the ContextCleaner
-    var comm = n.select(col("id"), col("id").as("comm"))
-      .localCheckpoint(false)
+    // EAGER handle-tracked checkpoints instead, with rollback-aware
+    // releases: a superseded round's blocks free when its successor has
+    // materialized, a rolled-back round's immediately; the FINAL frame's
+    // handle is deliberately left to the ContextCleaner (the caller's
+    // chain reads it). Eager (not lazy) matters for cost: a lazy leaf
+    // defers materialization into the contrib action, whose plan then
+    // carries the whole sweep subtree three times (two assignment sides
+    // + the Σtot join) — measured ~5 s/round on the 201-node fixture vs
+    // ~1 s for sweep-then-contrib-on-the-leaf.
+    var (comm, relComm) = GraftSqlBridge.localCheckpointWithHandle(
+      n.select(col("id"), col("id").as("comm")))
     val w = Window.partitionBy(col("id")).orderBy(desc("score"), col("cand"))
     val q0 = 4L * bigW * st.getLong(1) - st.getLong(2)
     var best = q0
     var accepted = 0
     var done = false
-    while (!done) {
-      require(accepted < maxSweeps,
+    // softCap: a still-improving level stops ACCEPTING at the cap and
+    // contracts (production local-move bound); hard mode throws instead
+    // (the pinned-unroll contract — a too-low cap must fail loudly)
+    while (!done && !(softCap && accepted == maxSweeps)) {
+      require(softCap || accepted < maxSweeps,
         s"louvainConverged: still improving after $maxSweeps sweeps")
       val it = accepted + 1
       val movers = comm.filter(pmod(col("id"), lit(2)) === lit(it % 2))
@@ -1741,12 +1801,16 @@ object GraphAnalytics {
               .otherwise(lit(0L))))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("id"), col("cand").as("wc"))
-      val next = comm.join(winners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("wc"), col("comm")).as("comm"))
-        .localCheckpoint(false)
-      val q = contribOf(next) // the round's one action; materializes next
-      if (q > best) { comm = next; best = q; accepted = it }
-      else done = true // roll back the non-improving round; `comm` stands
+      val (next, relNext) = GraftSqlBridge.localCheckpointWithHandle(
+        comm.join(winners, Seq("id"), "left")
+          .select(col("id"), coalesce(col("wc"), col("comm")).as("comm")))
+      val q = contribOf(next) // shallow: two leaf joins + two aggregates
+      tDbg = tick(s"round $it", tDbg)
+      if (q > best) {
+        relComm(); comm = next; relComm = relNext; best = q; accepted = it
+      } else {
+        relNext(); done = true // roll back; `comm` stands
+      }
     }
     sym.unpersist(); und.unpersist(); deg.unpersist()
     (comm.select(col("id"), col("comm").as("community")), accepted, q0, best)

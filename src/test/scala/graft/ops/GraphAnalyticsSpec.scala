@@ -722,6 +722,22 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     again shouldBe out
   }
 
+  test("louvainConvergedFree: discovery mode matches the pinned schedule") {
+    // the ladder's bench arm runs the SAME control flow without the
+    // REQUIRE'd unroll — on the bridged triangles it must land the
+    // identical partition the pinned form (and its oracle) replays
+    val n = (0L to 5L).toDF("id")
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L), (4L, 5L),
+      (2L, 3L)).toDF("fromId", "toId")
+    val rounds = convergedRounds(n, e)
+    val pinned = GraphAnalytics.louvainConverged(n, e, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val free = GraphAnalytics.louvainConvergedFree(n, e,
+        maxLevels = 16, maxSweeps = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    free shouldBe pinned
+  }
+
   test("louvainConverged: ring of 16 cliques — deeper-than-two hierarchy under monotone acceptance") {
     // the resolution-limit ring again, now under CONVERGED control flow:
     // monotone acceptance must still find whole cliques, contraction
