@@ -36,10 +36,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final case class BpeModel(merges: Seq[(String, String)],
                           baseSymbols: Seq[String],
-                          unkId: Int = -1) extends Serializable {
+                          unkId: Int = -1,
+                          byteLevel: Boolean = false) extends Serializable {
   require(merges.nonEmpty, "merges must be non-empty")
   require(baseSymbols.nonEmpty, "baseSymbols must be non-empty")
   require(baseSymbols.distinct == baseSymbols, "baseSymbols must be distinct")
+  // byte-level models atomize a word into the HEX PAIRS of its UTF-8
+  // bytes (the GPT-2 byte alphabet without the printability remap — the
+  // remap is a display device, the MATH is merges over byte sequences),
+  // so with all 256 pairs as base symbols NO input can ever fall to
+  // unkId: every string is encodable and decode∘encode is exact bytes.
+  require(!byteLevel || baseSymbols.toSet == Bpe.hexAlphabet.toSet,
+    "byteLevel requires the full 256-hex-pair base alphabet (no-unk " +
+      "guarantee is the point of byte level)")
 
   // rank-monotonicity check: every merge operand is a base symbol or the
   // result of an EARLIER merge (see scaladoc — this is what makes
@@ -84,9 +93,11 @@ final case class BpeModel(merges: Seq[(String, String)],
   private val maxCacheEntries = 1 << 16
 
   private[functions] def encodeWordUncached(w: String): Array[Int] = {
-    var syms = new java.util.ArrayList[String](w.length)
+    val s = if (byteLevel) Bpe.toHex(w) else w
+    val step = if (byteLevel) 2 else 1
+    var syms = new java.util.ArrayList[String](s.length / step)
     var i = 0
-    while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+    while (i < s.length) { syms.add(s.substring(i, i + step)); i += step }
     var done = syms.size() < 2
     while (!done) {
       var bestRank = Int.MaxValue
@@ -272,10 +283,40 @@ object Bpe {
     trainOnDict(dict, numMerges)
   }
 
+  /** [[train]] on the BYTE alphabet over an arbitrary text expression
+    * (the q_t59 surface): the same one-pass space-split word histogram,
+    * then the identical bounded-dictionary merge loop seeded with each
+    * word's UTF-8 HEX PAIRS instead of its characters — GPT-2's actual
+    * byte-level training (minus the printability remap; see
+    * [[BpeModel.byteLevel]]). Learned merges are hex-string pairs,
+    * directly loadable into a byteLevel [[BpeModel]].
+    */
+  def trainBytes(docs: DataFrame, text: org.apache.spark.sql.Column,
+                 numMerges: Int, minCount: Long = 1L,
+                 maxWords: Int = 1 << 20): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1 (got $numMerges)")
+    val dict: Array[(String, Long)] = docs
+      .select(explode(split(text, " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(desc("cnt"), col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    trainOnDict(dict, numMerges, byteLevel = true)
+  }
+
   /** The dictionary-side merge loop (driver-bounded by construction). */
   private[functions] def trainOnDict(dict: Array[(String, Long)],
-                                     numMerges: Int): Seq[(String, String, Long)] = {
-    val segs = dict.map { case (w, _) => w.map(String.valueOf(_)).toArray }
+                                     numMerges: Int,
+                                     byteLevel: Boolean = false)
+      : Seq[(String, String, Long)] = {
+    val segs =
+      if (byteLevel) dict.map { case (w, _) =>
+        toHex(w).grouped(2).toArray }
+      else dict.map { case (w, _) => w.map(String.valueOf(_)).toArray }
     val counts = dict.map(_._2)
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var step = 0
@@ -390,16 +431,34 @@ object Bpe {
     * the single source of truth shared with the Spark query.
     */
   def trainOracleSql(numMerges: Int, pretok: Boolean = false,
-                     minCount: Long = 1L, maxWords: Int = 1 << 20): String = {
-    // word source: bare space split (q_t26) or the decorated corpus's
-    // RE2 pretokens (q_t52) — the merge-walk steps are shared verbatim.
+                     minCount: Long = 1L, maxWords: Int = 1 << 20,
+                     byteLevel: Boolean = false): String = {
+    // word source: bare space split (q_t26), the decorated corpus's
+    // RE2 pretokens (q_t52), or the MULTIBYTE-decorated corpus's space
+    // split atomized into UTF-8 hex pairs (q_t59) — the merge-walk
+    // steps are shared verbatim; only the word source and the s0
+    // atomization differ.
     // The dictionary BOUND is replayed, not assumed: the same minCount
     // floor (HAVING) and (cnt DESC, word) top-K cap (QUALIFY row_number)
     // train()/trainPre()'s Spark histogram applies — a caller passing
     // non-default dials gets a matching oracle instead of a silently
     // desynced pair (the Unigram.trainCtes discipline; r17 advisory)
+    require(!(pretok && byteLevel), "one word source at a time")
     val wc =
-      if (pretok) s"""${Pretokenize.pdocsCteSql},
+      if (byteLevel) s"""
+pdocs AS (
+  SELECT doc_id,
+         text || '${Pretokenize.sqlLit(Pretokenize.decorMbA)}' ||
+           CAST(doc_id AS VARCHAR) ||
+           '${Pretokenize.sqlLit(Pretokenize.decorMbB)}' AS ptext
+  FROM documents),
+wc AS MATERIALIZED (
+  SELECT word, cnt FROM (
+    SELECT word, count(*)::BIGINT AS cnt FROM (
+      SELECT unnest(string_split(ptext, ' ')) AS word FROM pdocs)
+    WHERE word <> '' GROUP BY 1 HAVING count(*) >= $minCount)
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $maxWords)"""
+      else if (pretok) s"""${Pretokenize.pdocsCteSql},
 wc AS MATERIALIZED (
   SELECT word, cnt FROM (
     SELECT word, count(*)::BIGINT AS cnt FROM (
@@ -415,8 +474,11 @@ wc AS MATERIALIZED (
       SELECT unnest(string_split(text, ' ')) AS word FROM documents)
     WHERE word <> '' GROUP BY 1 HAVING count(*) >= $minCount)
   QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $maxWords)"""
-    val head = wc + """,
-s0 AS MATERIALIZED (SELECT word, cnt, regexp_split_to_array(word, '') AS syms FROM wc)"""
+    val atomize =
+      if (byteLevel) "regexp_extract_all(hex(word), '..')"
+      else "regexp_split_to_array(word, '')"
+    val head = wc + s""",
+s0 AS MATERIALIZED (SELECT word, cnt, $atomize AS syms FROM wc)"""
     val steps = (0 until numMerges).map { i =>
       s"""
 p$i AS MATERIALIZED (
@@ -612,5 +674,79 @@ s${i + 1} AS MATERIALIZED (
       .map { case ((a, b), r) =>
         s"('${Pretokenize.sqlLit(a + b)}',${plantedSpace.baseSymbols.length + r})" }
     (base ++ merged).mkString(", ")
+  }
+
+  /** The 256 hex pairs "00".."FF" — the byte-level base alphabet. */
+  val hexAlphabet: Seq[String] = (0 until 256).map(b => f"$b%02X")
+
+  /** Uppercase hex of a string's UTF-8 bytes (the byte-level rendering;
+    * matches Spark's and DuckDB's `hex(varchar)` exactly, so both
+    * engines derive the same atoms from the same text).
+    */
+  def toHex(w: String): String = {
+    val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sb.append(Character.forDigit(b >> 4, 16).toUpper)
+      sb.append(Character.forDigit(b & 0xf, 16).toUpper)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The BYTE-LEVEL planted gate model: all 256 hex-pair byte symbols as
+    * the base alphabet (so no input can ever be unknown — GPT-2's core
+    * byte-level guarantee) plus rank-monotone merges chosen to exercise
+    * every byte-level behavior on the multibyte-decorated corpus:
+    * ASCII words fusing across byte boundaries ("the", "can", "scan"),
+    * a 2-byte UTF-8 character fusing into one symbol (é = C3 A9), the
+    * whole word "café" fusing THROUGH the multibyte boundary
+    * (63·61·66 + C3A9), 3-byte CJK characters (中 = E4 B8 AD,
+    * 文 = E6 96 87) and their 2-character fusion 中文, and a PARTIAL
+    * merge of the 4-byte emoji (F0+9F only) — partial coverage yields
+    * more tokens, never unk, the exact contrast to q_t56's unkId path.
+    */
+  val plantedBytes: BpeModel = BpeModel(
+    merges = Seq(
+      ("74", "68"), ("7468", "65"),            // th, the
+      ("63", "61"), ("6361", "66"),            // ca, caf
+      ("C3", "A9"),                            // é   (2-byte char)
+      ("636166", "C3A9"),                      // café (ASCII ∥ multibyte)
+      ("6361", "6E"), ("73", "63616E"),        // can, scan
+      ("E4", "B8"), ("E4B8", "AD"),            // 中  (3-byte char)
+      ("E6", "96"), ("E696", "87"),            // 文
+      ("E4B8AD", "E69687"),                    // 中文 (2-char CJK fusion)
+      ("F0", "9F")),                           // emoji first HALF only
+    baseSymbols = hexAlphabet, byteLevel = true)
+
+  /** The [[plantedBytes]] merge list as DuckDB VALUES rows (hex symbols
+    * need no escaping) — single source of truth for the q_t58 oracle.
+    */
+  def plantedBytesMergesValues: String =
+    plantedBytes.merges.zipWithIndex
+      .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(", ")
+
+  /** The [[plantedBytes]] vocab (hex symbol → id) as DuckDB VALUES rows. */
+  def plantedBytesVocabValues: String = {
+    val base = plantedBytes.baseSymbols.zipWithIndex
+      .map { case (s, i) => s"('$s',$i)" }
+    val merged = plantedBytes.merges.zipWithIndex
+      .map { case ((a, b), r) =>
+        s"('${a + b}',${plantedBytes.baseSymbols.length + r})" }
+    (base ++ merged).mkString(", ")
+  }
+
+  /** Byte-level DETOKENIZE: ids → hex symbols → bytes → UTF-8 string.
+    * With a [[BpeModel.byteLevel]] model decode ∘ encode is the EXACT
+    * original byte string minus the word separators (spaces are split
+    * boundaries, not symbols — the q_t31 convention), including every
+    * multibyte character; one codegen'd transform + unhex, map-only.
+    */
+  def decodeBytes(ids: Column, model: BpeModel): Column = {
+    require(model.byteLevel, "decodeBytes requires a byteLevel model")
+    org.apache.spark.sql.functions.decode(
+      org.apache.spark.sql.functions.unhex(decode(ids, model)), "UTF-8")
   }
 }

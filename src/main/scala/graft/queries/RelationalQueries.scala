@@ -2322,6 +2322,64 @@ object RelationalQueries {
         .orderBy(col("piece"))
     }),
 
+    "q_t58_byte_bpe" -> ((s, d) => {
+      // BYTE-LEVEL BPE (GPT-2's actual alphabet, minus the printability
+      // remap — a display device; the math is merges over byte
+      // sequences): each space-split word atomizes into the HEX PAIRS
+      // of its UTF-8 bytes, and ALL 256 pairs are base symbols, so no
+      // input is ever unknown — the exact contrast to q_t56's unkId=-1
+      // path, measured as n_unk. plantedBytes fuses ASCII words across
+      // byte boundaries ("the", "can", "scan"), a 2-byte char (é),
+      // "café" THROUGH its multibyte boundary, the 3-byte CJK chars and
+      // their 中文 fusion, and only HALF the 4-byte emoji (partial
+      // coverage → more tokens, never unk). The gate hashes ids, the
+      // no-unk count, and the EXACT byte roundtrip — decode∘encode ==
+      // text-minus-spaces including every multibyte character. Oracle:
+      // the q_t25 recursive merge walk seeded with
+      // regexp_extract_all(hex(word), '..'), closed with decode(unhex).
+      def ptext = concat(col("text"),
+        lit(graft.functions.Pretokenize.decorMbA),
+        col("doc_id").cast("string"),
+        lit(graft.functions.Pretokenize.decorMbB))
+      Tables.documents(s, d)
+        .select(col("doc_id"), ptext.as("t"),
+          graft.functions.Bpe.encode(ptext,
+            graft.functions.Bpe.plantedBytes).as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string")))
+            .as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          size(filter(col("ids"), i => i < 0)).cast("long").as("n_unk"),
+          (graft.functions.Bpe.decodeBytes(col("ids"),
+              graft.functions.Bpe.plantedBytes) ===
+            regexp_replace(col("t"), " ", "")).cast("long")
+            .as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_t59_byte_bpe_train" -> ((s, d) => {
+      // BYTE-LEVEL BPE TRAINING — q_t26's loop on the GPT-2 alphabet:
+      // ONE space-split word histogram over the multibyte-decorated
+      // corpus, then the greedy merge loop over UTF-8 HEX-PAIR atoms.
+      // Learned merges are byte sequences, so multibyte characters are
+      // learnable vocabulary exactly like ASCII pairs — frequency
+      // decides which win (the decorations put café twice per doc; the
+      // corpus words carry the ASCII mass), and the hash pins whichever
+      // do. Oracle: the q_t26 unrolled steps over
+      // regexp_extract_all(hex(word), '..') atoms of the same
+      // decorated space split.
+      import s.implicits._
+      graft.functions.Bpe.trainBytes(Tables.documents(s, d),
+          concat(col("text"), lit(graft.functions.Pretokenize.decorMbA),
+            col("doc_id").cast("string"),
+            lit(graft.functions.Pretokenize.decorMbB)),
+          numMerges = 10)
+        .zipWithIndex
+        .map { case ((a, b, c), r) => (r, a, b, c) }
+        .toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy(col("rank"))
+    }),
+
     "q_t51_pretok_unigram_train" -> ((s, d) => {
       // unigram-LM TRAINING on the pretokenized decorated corpus — the
       // last tokenizer stage still running on a space split: the corpus
@@ -7759,6 +7817,74 @@ object RelationalQueries {
       // cost, the ipow2Frac16 CASE ladder, Σx totals, ⌊x·2^16/T⌋
       // posterior counts, freq-weighted M-step, integer re-cost
       graft.functions.Unigram.trainSoftOracleSql(4, 500L, 2),
+
+    "q_t58_byte_bpe" ->
+      // the q_t25 recursive merge walk on the BYTE alphabet: per
+      // distinct word of the multibyte-decorated corpus, initial syms =
+      // regexp_extract_all(hex(word), '..') (DuckDB's hex(varchar) is
+      // the uppercase UTF-8 byte rendering, exactly Bpe.toHex), one
+      // lowest-rank/leftmost merge per step, ids through the 256+14
+      // vocab; the roundtrip closes with decode(unhex(concat of final
+      // syms)) — exact bytes, both engines
+      s"""WITH RECURSIVE
+         merges(lhs, rhs, rank) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedBytesMergesValues})),
+         vocab(symbol, id) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedBytesVocabValues})),
+         pdocs AS (
+           SELECT doc_id,
+                  text || '${graft.functions.Pretokenize.sqlLit(graft.functions.Pretokenize.decorMbA)}' ||
+                    CAST(doc_id AS VARCHAR) ||
+                    '${graft.functions.Pretokenize.sqlLit(graft.functions.Pretokenize.decorMbB)}' AS ptext
+           FROM documents),
+         words AS (
+           SELECT doc_id,
+                  unnest(generate_series(1, len(string_split(ptext, ' ')))) AS wpos,
+                  unnest(string_split(ptext, ' ')) AS word
+           FROM pdocs),
+         dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+         walk(word, syms) AS (
+           SELECT word, regexp_extract_all(hex(word), '..') FROM dwords
+           UNION ALL
+           SELECT word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]
+           FROM (
+             SELECT w.word, any_value(w.syms) AS syms,
+                    min_by(u.i, m.rank * 100000 + u.i) AS bi
+             FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+             JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]
+             GROUP BY w.word)),
+         pairable AS (
+           SELECT DISTINCT w.word, w.syms
+           FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+           JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]),
+         final AS (SELECT word, syms FROM walk ANTI JOIN pairable USING (word, syms)),
+         sym_rows AS (
+           SELECT f.word,
+                  unnest(generate_series(1, len(f.syms))) AS spos,
+                  unnest(f.syms) AS sym
+           FROM final f),
+         word_tokens AS (
+           SELECT s.word, list(v.id ORDER BY s.spos) AS ids,
+                  string_agg(s.sym, '' ORDER BY s.spos) AS hexcat
+           FROM sym_rows s JOIN vocab v ON v.symbol = s.sym
+           GROUP BY s.word),
+         doc_tokens AS (
+           SELECT w.doc_id, flatten(list(t.ids ORDER BY w.wpos)) AS ids,
+                  string_agg(t.hexcat, '' ORDER BY w.wpos) AS hexcat
+           FROM words w JOIN word_tokens t ON t.word = w.word
+           GROUP BY w.doc_id)
+         SELECT p.doc_id,
+                coalesce(array_to_string(t.ids, '-'), '') AS token_ids,
+                coalesce(len(t.ids), 0)::BIGINT AS n_tokens,
+                coalesce(len(list_filter(t.ids, i -> i < 0)), 0)::BIGINT AS n_unk,
+                (coalesce(decode(unhex(t.hexcat)), '') =
+                  replace(p.ptext, ' ', ''))::BIGINT AS roundtrip_ok
+         FROM pdocs p LEFT JOIN doc_tokens t ON t.doc_id = p.doc_id
+         ORDER BY p.doc_id""",
+
+    "q_t59_byte_bpe_train" ->
+      // the q_t26 training unroll on hex-pair atoms of the multibyte-
+      // decorated space split — same weighted pair counts, same
+      // (count DESC, lhs, rhs) argmax, same one-pair merge walk
+      graft.functions.Bpe.trainOracleSql(10, byteLevel = true),
 
     "q_t52_pretok_bpe_train" ->
       // the q_t26 merge-walk replay with the histogram over RE2

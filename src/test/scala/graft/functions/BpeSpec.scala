@@ -212,4 +212,41 @@ class BpeSpec extends AnyFunSuite {
     val out = ids.select(Bpe.decode(col("ids"), Bpe.planted)).head().getString(0)
     assert(out == "abz") // ids 0, 1, 25; -1 (unk) and vocabSize dropped
   }
+
+  test("byte level: hex-pair atoms, multibyte fusions, no unk ever") {
+    val b = Bpe.plantedBytes
+    def bid(sym: String): Int = b.ids.get(sym).intValue()
+    // ASCII word fused through its merge chain
+    assert(b.encodeWord("the").toSeq == Seq(bid("746865")))
+    assert(b.encodeWord("scan").toSeq == Seq(bid("7363616E")))
+    // a 2-byte char is ONE symbol; café fuses THROUGH the boundary
+    assert(b.encodeWord("é").toSeq == Seq(bid("C3A9")))
+    assert(b.encodeWord("café").toSeq == Seq(bid("636166C3A9")))
+    // 3-byte CJK chars fuse, then the 2-char word fuses
+    assert(b.encodeWord("中文").toSeq == Seq(bid("E4B8ADE69687")))
+    // the 4-byte emoji merges only its first HALF: partial coverage
+    // yields MORE tokens, never unk (GPT-2's byte-level guarantee)
+    val emoji = b.encodeWord("😀").toSeq
+    assert(emoji == Seq(bid("F09F"), bid("98"), bid("80")))
+    // no input can produce unkId: arbitrary unseen text stays >= 0
+    assert(b.encodeWord("qßZ9~€").forall(_ >= 0))
+  }
+
+  test("byte level: decodeBytes is the exact byte inverse, multibyte included") {
+    import spark.implicits._
+    val texts = Seq("the scan café", "中文x😀y",
+      "plain ascii words", "ß€ mixed é")
+    val out = texts.toDF("text")
+      .select(Bpe.decodeBytes(Bpe.encode(col("text"), Bpe.plantedBytes),
+        Bpe.plantedBytes))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == texts.map(_.replace(" ", "")))
+  }
+
+  test("byte level: model construction demands the full 256-pair base") {
+    intercept[IllegalArgumentException] {
+      BpeModel(Seq(("61", "62")), Seq("61", "62"), byteLevel = true)
+    }
+    assert(Bpe.toHex("A é") == "4120C3A9")
+  }
 }
