@@ -183,6 +183,22 @@ final case class BpeModel(merges: Seq[(String, String)],
     }
     new GenericArrayData(buf.toArray)
   }
+
+  /** Codegen/eval entry for the BYTE-LEVEL SPACE-AFFINITY encode — the
+    * full GPT-2 shape: [[Pretokenize.splitSpace]] pretokens, each hexed
+    * WITH its raw leading space (0x20 is just another byte on this
+    * alphabet, so no '_' marker is needed and none of the markSpace
+    * underscore-collision contract applies), then the merge walk. The
+    * token stream is therefore LOSSLESS over the matched pretokens —
+    * decode restores the spaces too.
+    */
+  def encodeBytesSpaceArrayData(text: UTF8String): GenericArrayData = {
+    val words = Pretokenize.splitSpace(text.toString)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](words.length * 2 + 4)
+    var wi = 0
+    while (wi < words.length) { buf ++= encodeWord(words(wi)); wi += 1 }
+    new GenericArrayData(buf.toArray)
+  }
 }
 
 /** Native Catalyst expression wrapping [[BpeModel.encode]]: string in,
@@ -193,7 +209,8 @@ final case class BpeModel(merges: Seq[(String, String)],
   */
 case class BpeEncode(child: Expression, model: BpeModel,
                      pretokenized: Boolean = false,
-                     spaceAffinity: Boolean = false) extends UnaryExpression {
+                     spaceAffinity: Boolean = false,
+                     bytesSpace: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -202,13 +219,15 @@ case class BpeEncode(child: Expression, model: BpeModel,
       s"bpe_encode requires a string argument, got ${child.dataType.catalogString}")
 
   private def method: String =
-    if (spaceAffinity) "encodeSpacePreArrayData"
+    if (bytesSpace) "encodeBytesSpaceArrayData"
+    else if (spaceAffinity) "encodeSpacePreArrayData"
     else if (pretokenized) "encodePreArrayData"
     else "encodeArrayData"
 
   override def nullSafeEval(input: Any): Any = {
     val t = input.asInstanceOf[UTF8String]
-    if (spaceAffinity) model.encodeSpacePreArrayData(t)
+    if (bytesSpace) model.encodeBytesSpaceArrayData(t)
+    else if (spaceAffinity) model.encodeSpacePreArrayData(t)
     else if (pretokenized) model.encodePreArrayData(t)
     else model.encodeArrayData(t)
   }
@@ -539,6 +558,18 @@ s${i + 1} AS MATERIALIZED (
       BpeEncode(GraftSqlBridge.expression(c), model, spaceAffinity = true))
   }
 
+  /** [[encode]] as the FULL GPT-2 composition (the q_t60 surface):
+    * [[Pretokenize.splitSpace]] space-affinity pretokens, byte-level
+    * merges per pretoken with the raw leading space hexed as the 0x20
+    * byte — no marker, no marker contract; decode restores spaces.
+    */
+  def encodeBytesSpace(c: Column, model: BpeModel): Column = {
+    require(model.byteLevel, "encodeBytesSpace requires a byteLevel model")
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      BpeEncode(GraftSqlBridge.expression(c), model, bytesSpace = true))
+  }
+
   /** BPE token count: size of the encode. */
   def count(c: Column, model: BpeModel): Column =
     org.apache.spark.sql.functions.size(encode(c, model))
@@ -735,6 +766,46 @@ s${i + 1} AS MATERIALIZED (
     val merged = plantedBytes.merges.zipWithIndex
       .map { case ((a, b), r) =>
         s"('${a + b}',${plantedBytes.baseSymbols.length + r})" }
+    (base ++ merged).mkString(", ")
+  }
+
+  /** [[plantedBytes]] extended for the SPACE-AFFINITY byte-level q_t60
+    * gate — GPT-2's Ġ-prefix economics with the REAL space byte: the
+    * space-glued chains (" the", " café", " 中", " 1") lead the rank
+    * order (the plantedSpace lesson: appended at the tail they would
+    * lose every min-rank race to the letter merges), é comes first
+    * (both café forms need it), and the run-initial chains from
+    * [[plantedBytes]] follow so unspaced occurrences still fuse. All
+    * byte sequences — the 0x20 prefix is ordinary vocabulary, not a
+    * marker.
+    */
+  val plantedBytesSpace: BpeModel = BpeModel(
+    merges = Seq(
+      ("C3", "A9"),                                          // é
+      ("20", "74"), ("2074", "68"), ("207468", "65"),        // " the"
+      ("20", "63"), ("2063", "61"), ("206361", "66"),
+      ("20636166", "C3A9"),                                  // " café"
+      ("20", "E4"), ("20E4", "B8"), ("20E4B8", "AD"),        // " 中"
+      ("20", "31"),                                          // " 1"
+      ("74", "68"), ("7468", "65"),                          // the
+      ("63", "61"), ("6361", "66"), ("636166", "C3A9"),      // café
+      ("E4", "B8"), ("E4B8", "AD"),                          // 中
+      ("E6", "96"), ("E696", "87"),                          // 文
+      ("F0", "9F")),                                         // emoji half
+    baseSymbols = hexAlphabet, byteLevel = true)
+
+  /** The [[plantedBytesSpace]] merge list as DuckDB VALUES rows. */
+  def plantedBytesSpaceMergesValues: String =
+    plantedBytesSpace.merges.zipWithIndex
+      .map { case ((a, b), r) => s"('$a','$b',$r)" }.mkString(", ")
+
+  /** The [[plantedBytesSpace]] vocab (hex symbol → id) as VALUES rows. */
+  def plantedBytesSpaceVocabValues: String = {
+    val base = plantedBytesSpace.baseSymbols.zipWithIndex
+      .map { case (s, i) => s"('$s',$i)" }
+    val merged = plantedBytesSpace.merges.zipWithIndex
+      .map { case ((a, b), r) =>
+        s"('${a + b}',${plantedBytesSpace.baseSymbols.length + r})" }
     (base ++ merged).mkString(", ")
   }
 

@@ -2380,6 +2380,40 @@ object RelationalQueries {
         .orderBy(col("rank"))
     }),
 
+    "q_t60_byte_bpe_space" -> ((s, d) => {
+      // THE FULL GPT-2 COMPOSITION — space-affinity regex pretokenize
+      // (q_t54's split), then BYTE-LEVEL merges per pretoken with the
+      // raw leading space hexed as the 0x20 byte: no '_' marker, no
+      // marker-collision contract — the space is ordinary vocabulary,
+      // and plantedBytesSpace prices " the" / " café" / " 中" / " 1" as
+      // their own space-glued citizens ahead of the run-initial chains
+      // (GPT-2's Ġ-prefix economics on real bytes). Because the space
+      // survives in the tokens, the roundtrip is LOSSLESS over the
+      // matched pretoken stream: decode∘encode == the concatenation of
+      // the pretokens, SPACES INCLUDED (vs q_t58's minus-spaces form).
+      // Oracle: patternSpace in RE2 (no markSpace replace), hex-pair
+      // atoms, the recursive walk, decode(unhex) closing the loop.
+      def ptext = concat(col("text"),
+        lit(graft.functions.Pretokenize.decorMbA),
+        col("doc_id").cast("string"),
+        lit(graft.functions.Pretokenize.decorMbB))
+      Tables.documents(s, d)
+        .select(col("doc_id"), ptext.as("t"),
+          graft.functions.Bpe.encodeBytesSpace(ptext,
+            graft.functions.Bpe.plantedBytesSpace).as("ids"))
+        .select(col("doc_id"),
+          concat_ws("-", transform(col("ids"), _.cast("string")))
+            .as("token_ids"),
+          size(col("ids")).cast("long").as("n_tokens"),
+          size(filter(col("ids"), i => i < 0)).cast("long").as("n_unk"),
+          (graft.functions.Bpe.decodeBytes(col("ids"),
+              graft.functions.Bpe.plantedBytesSpace) ===
+            array_join(regexp_extract_all(col("t"),
+              lit(graft.functions.Pretokenize.patternSpace), lit(0)), ""))
+            .cast("long").as("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_t51_pretok_unigram_train" -> ((s, d) => {
       // unigram-LM TRAINING on the pretokenized decorated corpus — the
       // last tokenizer stage still running on a space split: the corpus
@@ -7885,6 +7919,69 @@ object RelationalQueries {
       // decorated space split — same weighted pair counts, same
       // (count DESC, lhs, rhs) argmax, same one-pair merge walk
       graft.functions.Bpe.trainOracleSql(10, byteLevel = true),
+
+    "q_t60_byte_bpe_space" ->
+      // the q_t58 walk over SPACE-AFFINITY pretokens: patternSpace in
+      // RE2 (replaying splitSpace's scanner, leading space kept RAW —
+      // no markSpace replace), hex-pair atoms so 0x20 is ordinary
+      // vocabulary, and the lossless roundtrip closes against the
+      // concatenated pretoken stream, spaces included
+      s"""WITH RECURSIVE
+         merges(lhs, rhs, rank) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedBytesSpaceMergesValues})),
+         vocab(symbol, id) AS (SELECT * FROM (VALUES ${graft.functions.Bpe.plantedBytesSpaceVocabValues})),
+         pdocs AS (
+           SELECT doc_id,
+                  text || '${graft.functions.Pretokenize.sqlLit(graft.functions.Pretokenize.decorMbA)}' ||
+                    CAST(doc_id AS VARCHAR) ||
+                    '${graft.functions.Pretokenize.sqlLit(graft.functions.Pretokenize.decorMbB)}' AS ptext
+           FROM documents),
+         words AS (
+           SELECT doc_id,
+                  unnest(generate_series(1, len(regexp_extract_all(ptext,
+                    '${graft.functions.Pretokenize.patternSpaceSqlLit}')))) AS wpos,
+                  unnest(regexp_extract_all(ptext,
+                    '${graft.functions.Pretokenize.patternSpaceSqlLit}')) AS word
+           FROM pdocs),
+         dwords AS (SELECT DISTINCT word FROM words WHERE word <> ''),
+         walk(word, syms) AS (
+           SELECT word, regexp_extract_all(hex(word), '..') FROM dwords
+           UNION ALL
+           SELECT word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:len(syms)]
+           FROM (
+             SELECT w.word, any_value(w.syms) AS syms,
+                    min_by(u.i, m.rank * 100000 + u.i) AS bi
+             FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+             JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]
+             GROUP BY w.word)),
+         pairable AS (
+           SELECT DISTINCT w.word, w.syms
+           FROM walk w, unnest(generate_series(1, len(w.syms) - 1)) AS u(i)
+           JOIN merges m ON m.lhs = w.syms[u.i] AND m.rhs = w.syms[u.i + 1]),
+         final AS (SELECT word, syms FROM walk ANTI JOIN pairable USING (word, syms)),
+         sym_rows AS (
+           SELECT f.word,
+                  unnest(generate_series(1, len(f.syms))) AS spos,
+                  unnest(f.syms) AS sym
+           FROM final f),
+         word_tokens AS (
+           SELECT s.word, list(v.id ORDER BY s.spos) AS ids,
+                  string_agg(s.sym, '' ORDER BY s.spos) AS hexcat
+           FROM sym_rows s JOIN vocab v ON v.symbol = s.sym
+           GROUP BY s.word),
+         doc_tokens AS (
+           SELECT w.doc_id, flatten(list(t.ids ORDER BY w.wpos)) AS ids,
+                  string_agg(t.hexcat, '' ORDER BY w.wpos) AS hexcat,
+                  string_agg(w.word, '' ORDER BY w.wpos) AS pretokcat
+           FROM words w JOIN word_tokens t ON t.word = w.word
+           GROUP BY w.doc_id)
+         SELECT p.doc_id,
+                coalesce(array_to_string(t.ids, '-'), '') AS token_ids,
+                coalesce(len(t.ids), 0)::BIGINT AS n_tokens,
+                coalesce(len(list_filter(t.ids, i -> i < 0)), 0)::BIGINT AS n_unk,
+                (coalesce(decode(unhex(t.hexcat)), '') =
+                  coalesce(t.pretokcat, ''))::BIGINT AS roundtrip_ok
+         FROM pdocs p LEFT JOIN doc_tokens t ON t.doc_id = p.doc_id
+         ORDER BY p.doc_id""",
 
     "q_t52_pretok_bpe_train" ->
       // the q_t26 merge-walk replay with the histogram over RE2

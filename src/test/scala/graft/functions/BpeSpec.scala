@@ -249,4 +249,22 @@ class BpeSpec extends AnyFunSuite {
     }
     assert(Bpe.toHex("A é") == "4120C3A9")
   }
+
+  test("byte level + space affinity: the space byte is vocabulary; roundtrip keeps spaces") {
+    val b = Bpe.plantedBytesSpace
+    def bid(sym: String): Int = b.ids.get(sym).intValue()
+    // " the" fuses into ONE space-glued token, distinct from "the"
+    assert(b.encodeWord(" the").toSeq == Seq(bid("20746865")))
+    assert(b.encodeWord("the").toSeq == Seq(bid("746865")))
+    assert(b.encodeWord(" café").toSeq == Seq(bid("20636166C3A9")))
+    assert(b.encodeWord(" 中文").toSeq == Seq(bid("20E4B8AD"), bid("E69687")))
+    // the full composition is LOSSLESS including the spaces (single
+    // spaces before runs are matched pretokens' leading bytes)
+    import spark.implicits._
+    val texts = Seq("the cat sat on the mat", "café the 中文x😀y it's 42")
+    val out = texts.toDF("text")
+      .select(Bpe.decodeBytes(Bpe.encodeBytesSpace(col("text"), b), b))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == texts)
+  }
 }
