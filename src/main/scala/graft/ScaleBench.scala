@@ -864,6 +864,38 @@ object ScaleBench {
       "louvainconv ratio" -> (if (b > 0) s / b else -1.0))
   }
 
+  /** k-truss support peeling on the same synthetic graphs (q_ga29's
+    * operator): the per-round wedge join is the Σ deg² stage — the
+    * ladder measures that the peel loop's cost tracks the surviving
+    * edge set (hash-random graphs at degree 8 shed most edges in round
+    * one, so later rounds ride the shrinking survivor frames).
+    */
+  def kTrussLadder(spark: SparkSession, nBase: Long = 20000L,
+                   factor: Int = 10, degree: Int = 8,
+                   passes: Int = 2): Seq[(String, Double)] = {
+    import graft.ops.GraphAnalytics
+    def point(n: Long): Double = {
+      val edges = spark.range(n * degree).select(
+        expr(s"id div $degree").as("fromId"),
+        pmod(graft.functions.Dedup.md5Hash32(
+          concat_ws(":", lit("cl"), col("id"))), lit(n)).as("toId"))
+        .filter(col("fromId") =!= col("toId"))
+      (0 until passes).map { _ =>
+        val t0 = System.nanoTime()
+        GraphAnalytics.kTruss(edges, k = 4)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val b = point(nBase)
+    val s = point(nBase * factor)
+    Seq(
+      f"ktruss n=$nBase" -> b,
+      f"ktruss n=${nBase * factor}" -> s,
+      "ktruss ratio" -> (if (b > 0) s / b else -1.0))
+  }
+
   /** The survivor-rule A/B behind [[graft.functions.Dedup
     * .survivorsByEarliestDominator]]'s decision scaladoc: build the q_m21
     * media pair graph (format-dispatched dHash codes, pigeonhole Hamming ≤ 3
@@ -1150,6 +1182,9 @@ object ScaleBench {
         else Nil) ++
         (if (want("louvainconv"))
           louvainConvergedLadder(spark, factor = factor, passes = passes)
+        else Nil) ++
+        (if (want("ktruss"))
+          kTrussLadder(spark, factor = factor, passes = passes)
         else Nil)
       def esc0(s: String) = s.replace("\"", "\\\"")
       val qj = rows.map { case (n, t) => f""""${esc0(n)}":$t%.3f""" }

@@ -1047,6 +1047,61 @@ object GraphAnalytics {
       .select(col("id"), coalesce(col("hit"), lit(false)).as("in_kcore"))
   }
 
+  /** k-truss EDGE decomposition: iterative SUPPORT peeling — repeatedly
+    * delete every edge participating in fewer than k−2 triangles within
+    * the surviving subgraph, to the (unique) maximal fixpoint. The
+    * standard edge-level cohesion filter one rung above [[kCore]]'s
+    * degree peeling (Cohen 2008, "Trusses: cohesive subgraphs for social
+    * network analysis"): every k-truss edge's endpoints lie in the
+    * (k−1)-core, but not conversely — truss demands the degrees CLOSE
+    * into triangles. Per round: one wedge equi-join keyed by the shared
+    * endpoint (Σ deg² bound, AQE-splittable) + one semi-join closing the
+    * wedge + one map-side-combinable per-edge count; work shrinks with
+    * the surviving edge set. Survivor sets are EAGER leaves with handle
+    * releases (the q_ga28 lineage lesson) and the loop stops at the
+    * first no-removal round — peeling is monotone, so extra oracle
+    * rounds past the fixpoint are no-ops (the [[kCore]] oracle
+    * convention; no round pinning needed). Self-loops dropped; returns
+    * the surviving canonical edges with their fixpoint support.
+    */
+  def kTruss(edges: DataFrame, k: Int): DataFrame =
+    kTrussFromUnd(edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b")).distinct(), k)
+
+  /** [[kTruss]] over an already-canonical undirected edge list (`a` <
+    * `b`, distinct, loop-free — e.g. [[UndirectedPrep.und]]).
+    */
+  def kTrussFromUnd(und: DataFrame, k: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (got $k)")
+    // support of edge (a,b) = |N(a) ∩ N(b)| over survivors: wedge rows
+    // (a,b,c) with c ∈ N(a), closed by the semi-join c ∈ N(b)
+    def supOf(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      e.join(sym.select(col("a"), col("b").as("c")), "a")
+        .join(sym.select(col("a").as("b"), col("b").as("c")),
+          Seq("b", "c"), "left_semi")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    }
+    var (e, rel) = GraftSqlBridge.localCheckpointWithHandle(
+      und.select(col("a").cast("long").as("a"), col("b").cast("long").as("b")))
+    var size = e.count()
+    var changed = size > 0
+    while (changed) {
+      val (next, relNext) = GraftSqlBridge.localCheckpointWithHandle(
+        e.join(supOf(e).filter(col("sup") >= k - 2), Seq("a", "b"),
+          "left_semi"))
+      val nextSize = next.count()
+      if (nextSize == size) { relNext(); changed = false }
+      else { rel(); e = next; rel = relNext; size = nextSize }
+    }
+    // fixpoint support recomputed lazily over the final leaf (inner join:
+    // at the fixpoint every survivor has sup >= k-2 >= 1)
+    e.join(supOf(e), Seq("a", "b"))
+      .select(col("a"), col("b"), col("sup"))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each round it adopts the most
     * frequent label among its UNDIRECTED neighbors, ties to the SMALLEST

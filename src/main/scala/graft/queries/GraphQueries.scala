@@ -556,6 +556,20 @@ object GraphQueries {
       rows.toSeq.toDF("id", "community").orderBy(col("id"))
     }),
 
+    "q_ga29_ktruss" -> ((s, _) => {
+      // 4-TRUSS edge decomposition — support peeling to the fixpoint:
+      // every surviving edge closes into >= 2 triangles among survivors
+      // (the edge-level cohesion rung above q_ga9's degree peeling; on
+      // graph200 the fixpoint takes 3 rounds and keeps 35 of the
+      // canonical edges). Shares prep200's staging; the oracle unrolls
+      // 5 MATERIALIZED-CTE rounds — peeling is monotone, so the two
+      // rounds past the measured fixpoint are no-ops and the engines
+      // agree regardless of the Spark side's early stop (the q_ga9
+      // convention). Output = surviving edges with fixpoint support.
+      GraphAnalytics.kTrussFromUnd(prep200(s).und, k = 4)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q_ga10_label_prop" -> ((s, _) => {
       // synchronous min-tie label propagation, 5 fixed rounds — community
       // detection over the fixture graph; the oracle unrolls the same
@@ -800,6 +814,47 @@ ORDER BY n.id"""
     * survivors. Rounds past the fixpoint are no-ops, so 60 > any Graph50
     * peeling depth lands both engines on the same set.
     */
+  /** Unrolled k-truss support peeling over the graph200 fixture: per
+    * round the symmetric survivor view, the per-edge triangle-support
+    * count (wedge join closed on the shared neighbor), and the `sup >=
+    * k-2` filter; `rounds` >= the measured fixpoint (extra rounds are
+    * no-ops — peeling is monotone, the [[kCoreSql]] convention). Final
+    * select recomputes support over the fixpoint edges, matching the
+    * Spark side's lazy recompute.
+    */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    val base =
+      s"""WITH ud AS MATERIALIZED (
+         SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+         FROM $edges200Tbl WHERE fromId <> toId),
+         e0 AS MATERIALIZED (SELECT a, b FROM ud)"""
+    val iters = (1 to rounds).map { r =>
+      s""",
+         s$r AS MATERIALIZED (
+           SELECT a, b FROM e${r - 1} UNION ALL SELECT b AS a, a AS b FROM e${r - 1}),
+         p$r AS MATERIALIZED (
+           SELECT e.a, e.b, count(*)::BIGINT AS sup
+           FROM e${r - 1} e
+           JOIN s$r na ON na.a = e.a
+           JOIN s$r nb ON nb.a = e.b AND nb.b = na.b
+           GROUP BY e.a, e.b),
+         e$r AS MATERIALIZED (
+           SELECT e.a, e.b FROM e${r - 1} e
+           JOIN p$r p ON p.a = e.a AND p.b = e.b AND p.sup >= ${k - 2})"""
+    }.mkString
+    base + iters +
+      s""",
+         sf AS MATERIALIZED (
+           SELECT a, b FROM e$rounds UNION ALL SELECT b AS a, a AS b FROM e$rounds),
+         pf AS (
+           SELECT e.a, e.b, count(*)::BIGINT AS sup
+           FROM e$rounds e
+           JOIN sf na ON na.a = e.a
+           JOIN sf nb ON nb.a = e.b AND nb.b = na.b
+           GROUP BY e.a, e.b)
+         SELECT a, b, sup FROM pf ORDER BY a, b"""
+  }
+
   private def kCoreSql(k: Int, rounds: Int): String = {
     val base =
       s"""WITH n AS MATERIALIZED (SELECT id FROM $nodesTbl),
@@ -1351,6 +1406,9 @@ ORDER BY n.id"""
     "q_ga26_louvain_weighted" -> louvainWeightedSql(rounds = 5),
     "q_ga27_louvain_refined" -> louvainRefinedSql(r1 = 5, ccRounds = 16),
     "q_ga28_louvain_converged" -> louvainConvergedSql(louvainConvergedRounds),
+    // 5 unrolled peel rounds: fixpoint measured at 3 on graph200, the
+    // extra two are no-ops by monotonicity (the q_ga9 convention)
+    "q_ga29_ktruss" -> kTrussSql(4, 5),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -722,6 +722,25 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     again shouldBe out
   }
 
+  test("kTruss: keeps the clique, sheds the bridge and the pendant triangle") {
+    // K5 on 0..4; a pendant triangle (5,6,7) bridged to it by (4,5)
+    val k5 = for { i <- 0 until 5; j <- i + 1 until 5 }
+      yield (i.toLong, j.toLong)
+    val extra = Seq((5L, 6L), (5L, 7L), (6L, 7L), (4L, 5L))
+    val e = (k5 ++ extra).toDF("fromId", "toId")
+    // 4-truss (sup >= 2): the bridge has sup 0 and the pendant triangle
+    // edges sup 1 — all peel in round 1; K5 survives at sup 3 exactly
+    val t4 = GraphAnalytics.kTruss(e, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t4.map(x => (x._1, x._2)) == k5.toSet)
+    assert(t4.forall(_._3 == 3L))
+    // 3-truss (sup >= 1): the pendant triangle is cohesive enough to
+    // stay; only the triangle-free bridge peels
+    val t3 = GraphAnalytics.kTruss(e, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t3 == k5.toSet ++ Set((5L, 6L), (5L, 7L), (6L, 7L)))
+  }
+
   test("louvainConvergedFree: discovery mode matches the pinned schedule") {
     // the ladder's bench arm runs the SAME control flow without the
     // REQUIRE'd unroll — on the bridged triangles it must land the
