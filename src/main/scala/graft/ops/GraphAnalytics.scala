@@ -1102,6 +1102,69 @@ object GraphAnalytics {
       .select(col("a"), col("b"), col("sup"))
   }
 
+  /** Luby-style MAXIMAL INDEPENDENT SET — the parallel-algorithms
+    * primitive behind distributed coloring/scheduling (Luby 1986), made
+    * DETERMINISTIC the engine's standard way: the random priorities are
+    * seeded md5 hashes of the node id ([[graft.functions.Dedup
+    * .md5Hash32]], exactly replayable in DuckDB), and a one-job REQUIRE
+    * pins that they are globally distinct, so the strict-min winner rule
+    * is total — a collision fails loudly instead of leaving adjacent
+    * ties unresolvable. Per round: every undecided node whose priority
+    * is strictly below the minimum over its UNDECIDED neighbors joins
+    * the set (neighborless nodes join unconditionally); winners and
+    * their neighbors leave the undecided set; repeat until it empties —
+    * O(log n) rounds in expectation over the hash family. Per-round
+    * plans: one semi-join + one neighbor-min aggregate + two anti-joins,
+    * all edge-bounded; undecided sets are EAGER leaves with handle
+    * releases (the q_ga28 lineage lesson). Rounds past the fixpoint are
+    * no-ops (empty undecided set), so the oracle unrolls a fixed count
+    * (the [[kCore]] convention). Returns every node with an `in_mis`
+    * flag — independent AND maximal by construction.
+    */
+  def maximalIndependentSet(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.concat
+    val und = edges.select(
+        least(col("fromId"), col("toId")).as("a"),
+        greatest(col("fromId"), col("toId")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val (sym, relSym) = GraftSqlBridge.localCheckpointWithHandle(
+      und.unionByName(und.select(col("b").as("a"), col("a").as("b"))))
+    val n0 = nodes.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("p", graft.functions.Dedup.md5Hash32(
+        concat(lit("mis:"), col("id").cast("string"))))
+    var (u, relU) = GraftSqlBridge.localCheckpointWithHandle(n0)
+    val total = u.count()
+    require(u.select(col("p")).distinct().count() == total,
+      "maximalIndependentSet: md5 priority collision — the strict-min " +
+        "winner rule needs globally distinct priorities; change the seed")
+    val winnerFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var remaining = total
+    while (remaining > 0) {
+      val nmin = sym
+        .join(u.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(u.select(col("id").as("b"), col("p").as("pb")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("pb")).as("nm"))
+      // winners' leaves stay for the final union (ContextCleaner reclaims)
+      val (w, _) = GraftSqlBridge.localCheckpointWithHandle(
+        u.join(nmin, Seq("id"), "left")
+          .filter(col("nm").isNull || col("p") < col("nm"))
+          .select(col("id")))
+      winnerFrames += w
+      val (nextU, relNext) = GraftSqlBridge.localCheckpointWithHandle(
+        u.join(w, Seq("id"), "left_anti")
+          .join(sym.join(w.select(col("id").as("a")), Seq("a"), "left_semi")
+            .select(col("b").as("id")).distinct(), Seq("id"), "left_anti"))
+      relU(); u = nextU; relU = relNext
+      remaining = u.count()
+    }
+    relU(); relSym()
+    val mis = winnerFrames.reduceOption(_ unionByName _)
+      .getOrElse(n0.select(col("id")).filter(lit(false)))
+    n0.select(col("id"))
+      .join(mis.withColumn("hit", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hit"), lit(false)).as("in_mis"))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each round it adopts the most
     * frequent label among its UNDIRECTED neighbors, ties to the SMALLEST

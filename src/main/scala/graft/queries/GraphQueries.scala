@@ -570,6 +570,20 @@ object GraphQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    "q_ga30_mis" -> ((s, _) => {
+      // Luby-style maximal independent set with seeded-md5 priorities
+      // (globally distinct, REQUIRE'd — the strict-min winner rule is
+      // total): on graph200 the undecided set empties in 3 rounds
+      // (111 + 37 + 5 = 153 MIS nodes). The oracle unrolls 5 rounds —
+      // the two past the fixpoint are no-ops on an empty undecided set
+      // (the q_ga9 convention). Independence and maximality are
+      // structural; the hash pins the exact membership.
+      val g = graph200(s)
+      GraphAnalytics.maximalIndependentSet(g.nodes.toDF(),
+          g.edges.toDF().select(col("fromId"), col("toId")))
+        .orderBy(col("id"))
+    }),
+
     "q_ga10_label_prop" -> ((s, _) => {
       // synchronous min-tie label propagation, 5 fixed rounds — community
       // detection over the fixture graph; the oracle unrolls the same
@@ -853,6 +867,49 @@ ORDER BY n.id"""
            JOIN sf nb ON nb.a = e.b AND nb.b = na.b
            GROUP BY e.a, e.b)
          SELECT a, b, sup FROM pf ORDER BY a, b"""
+  }
+
+  /** Unrolled Luby MIS over the graph200 fixture: md5 priorities
+    * (`('0x'||substr(md5('mis:'||id),1,8))::BIGINT` — exactly
+    * [[graft.functions.Dedup.md5Hash32]]'s documented DuckDB replay),
+    * per round the strict-min winner filter against undecided-neighbor
+    * minima, winners and their neighbors removed; `rounds` >= the
+    * measured fixpoint (extras are no-ops on the empty undecided set).
+    */
+  private def misSql(rounds: Int): String = {
+    val base =
+      s"""WITH n AS MATERIALIZED (SELECT DISTINCT id FROM $nodes200Tbl),
+         ud AS MATERIALIZED (
+           SELECT DISTINCT least(fromId, toId) AS a, greatest(fromId, toId) AS b
+           FROM $edges200Tbl WHERE fromId <> toId),
+         e AS MATERIALIZED (SELECT a, b FROM ud UNION ALL SELECT b, a FROM ud),
+         u0 AS MATERIALIZED (
+           SELECT id, ('0x' || substr(md5('mis:' || id::VARCHAR), 1, 8))::BIGINT AS p
+           FROM n)"""
+    val iters = (1 to rounds).map { r =>
+      s""",
+         w$r AS MATERIALIZED (
+           SELECT u.id FROM u${r - 1} u
+           LEFT JOIN (
+             SELECT e.a AS id, min(ub.p) AS nm
+             FROM e JOIN u${r - 1} ua ON ua.id = e.a
+                    JOIN u${r - 1} ub ON ub.id = e.b
+             GROUP BY e.a) m ON m.id = u.id
+           WHERE m.nm IS NULL OR u.p < m.nm),
+         u$r AS MATERIALIZED (
+           SELECT u.id, u.p FROM u${r - 1} u
+           WHERE u.id NOT IN (SELECT id FROM w$r)
+             AND NOT EXISTS (
+               SELECT 1 FROM e JOIN w$r w ON w.id = e.a WHERE e.b = u.id))"""
+    }.mkString
+    val misUnion = (1 to rounds).map(r => s"SELECT id FROM w$r")
+      .mkString(" UNION ")
+    base + iters +
+      s""",
+         mis AS ($misUnion)
+         SELECT n.id, (m.id IS NOT NULL) AS in_mis
+         FROM n LEFT JOIN mis m ON m.id = n.id
+         ORDER BY n.id"""
   }
 
   private def kCoreSql(k: Int, rounds: Int): String = {
@@ -1409,6 +1466,7 @@ ORDER BY n.id"""
     // 5 unrolled peel rounds: fixpoint measured at 3 on graph200, the
     // extra two are no-ops by monotonicity (the q_ga9 convention)
     "q_ga29_ktruss" -> kTrussSql(4, 5),
+    "q_ga30_mis" -> misSql(5),
 
     "q_ga1_degrees" ->
       s"""WITH e AS (SELECT DISTINCT fromId, toId FROM $edgesTbl),

@@ -741,6 +741,32 @@ class GraphAnalyticsSpec extends AnyFunSuite with Matchers {
     assert(t3 == k5.toSet ++ Set((5L, 6L), (5L, 7L), (6L, 7L)))
   }
 
+  test("maximalIndependentSet: independent, maximal, deterministic; isolated joins") {
+    // a 4x4 grid (independence is non-trivial) plus an isolated node 99
+    val grid = for {
+      r <- 0 until 4; c <- 0 until 4
+      (dr, dc) <- Seq((0, 1), (1, 0))
+      if r + dr < 4 && c + dc < 4
+    } yield (4L * r + c, 4L * (r + dr) + (c + dc))
+    val n = ((0L until 16L) :+ 99L).toDF("id")
+    val e = grid.toDF("fromId", "toId")
+    val out = GraphAnalytics.maximalIndependentSet(n, e).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val mis = out.filter(_._2).keySet
+    val sym = grid.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+    // independent: no edge inside the set
+    assert(grid.forall { case (a, b) => !(mis(a) && mis(b)) })
+    // maximal: every outside node has a set neighbor
+    val outside = out.keySet -- mis
+    assert(outside.forall(v => sym.exists { case (a, b) => a == v && mis(b) }))
+    // the isolated node always joins
+    assert(mis(99L))
+    // deterministic replay
+    val again = GraphAnalytics.maximalIndependentSet(n, e).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(again == out)
+  }
+
   test("louvainConvergedFree: discovery mode matches the pinned schedule") {
     // the ladder's bench arm runs the SAME control flow without the
     // REQUIRE'd unroll — on the bridged triangles it must land the
