@@ -491,6 +491,23 @@ object RelationalQueries {
        FROM customer
        ORDER BY c_custkey"""
 
+  /** GROUP BY ALL / ORDER BY ALL — the analyzer's grouping-inference
+    * path (every non-aggregate SELECT expression becomes a grouping
+    * key, including the DERIVED `year(...)` column — the interesting
+    * case) and the order-by-everything shorthand, both now standard in
+    * Spark and DuckDB with identical semantics. Counts and an
+    * integer-key sum only, so everything is exact; (priority, yr) is
+    * unique per group, so ORDER BY ALL is a total order cross-engine.
+    */
+  private val sqlGroupByAll: String =
+    """SELECT o_orderpriority,
+              year(o_orderdate) AS yr,
+              count(*) AS n_orders,
+              CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+       FROM orders
+       GROUP BY ALL
+       ORDER BY ALL"""
+
   /** The one IVF model every q_v* query shares, via the train-once cache:
     * deterministic training (same corpus, k=8, iters=2) makes the cached
     * model identical to a per-query retrain, so reuse changes no result —
@@ -3052,6 +3069,8 @@ object RelationalQueries {
     "q_sql15_agg_filter" -> ((s, d) => { sqlViews(s, d); s.sql(sqlAggFilter) }),
     "q_sql16_correlated_scalar" ->
       ((s, d) => { sqlViews(s, d); s.sql(sqlCorrelatedScalar) }),
+    "q_sql17_group_by_all" ->
+      ((s, d) => { sqlViews(s, d); s.sql(sqlGroupByAll) }),
 
     "q_a16_zscore" -> ((s, d) => {
       // per-group z-score standardization (the feature-scaling step next
@@ -4862,6 +4881,7 @@ object RelationalQueries {
     "q_sql14_grouping_sets" -> sqlGroupingSets,
     "q_sql15_agg_filter" -> sqlAggFilter,
     "q_sql16_correlated_scalar" -> sqlCorrelatedScalar,
+    "q_sql17_group_by_all" -> sqlGroupByAll,
 
     "q_a16_zscore" ->
       // stddev == stddev_samp (n−1 denominator) in both engines; the two
