@@ -1,0 +1,164 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Empirical per-stage profiler (optimization guide §1.1: find where the
+  * time actually goes before changing anything). Runs each named query
+  * through the noop sink under the bench's session settings and prints, per
+  * query, every completed stage with its wall time, task count, shuffle
+  * read/write and input bytes, plus the stage's first RDD-scope name so the
+  * stage maps back to an operator. Usage:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.StageProfile <sfDir> [passes] q..."
+  */
+object StageProfile {
+  final case class StageRow(id: Int, name: String, ms: Long, tasks: Int,
+                            input: Long, shRead: Long, shWrite: Long,
+                            spill: Long)
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val (passes, names) = args.drop(1).toList match {
+      case p :: rest if p.forall(_.isDigit) && p.nonEmpty => (p.toInt, rest)
+      case rest => (2, rest)
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-stage-profile")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+
+    // the noop save runs its own QueryExecution (a write command), so the
+    // only way at the executed plan WITH populated SQLMetrics is the
+    // execution listener
+    @volatile var lastQe: org.apache.spark.sql.execution.QueryExecution = null
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = lastQe = qe
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
+    val stages = mutable.ArrayBuffer[StageRow]()
+    val listener = new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+        val si = ev.stageInfo
+        val ms = (for { s <- si.submissionTime; c <- si.completionTime }
+          yield c - s).getOrElse(-1L)
+        val m = si.taskMetrics
+        stages.synchronized {
+          stages += StageRow(si.stageId, si.name.takeWhile(_ != '\n'), ms,
+            si.numTasks, m.inputMetrics.bytesRead,
+            m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten,
+            m.memoryBytesSpilled)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    try SparkEntry.benchWarmup(spark, sfDir)
+    catch { case _: Throwable => () }
+
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => names.isEmpty || names.contains(n) }
+    for ((name, fn) <- qs) {
+      var best = Double.MaxValue
+      var bestRows: Vector[StageRow] = Vector.empty
+      for (p <- 1 to passes) {
+        stages.synchronized(stages.clear())
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          // stage events arrive asynchronously; give the listener bus a
+          // moment to drain (private API; a fixed sleep is good enough for
+          // a profiling aid)
+          Thread.sleep(300)
+          val rows = stages.synchronized(stages.toVector)
+          println(f"== $name pass$p: $dt%.2fs, ${rows.size} stages, " +
+            f"task-time ${rows.map(_.ms).sum}%,d ms")
+          if (dt < best) { best = dt; bestRows = rows }
+        } catch { case e: Throwable =>
+          println(s"== $name pass$p FAILED: ${e.getMessage}")
+        } finally spark.catalog.clearCache()
+      }
+      println(f"== $name BEST ${best}%.2fs — stages by wall ms:")
+      bestRows.sortBy(-_.ms).take(18).foreach { r =>
+        println(f"  ${r.ms}%6d ms  ${r.tasks}%4d tasks  in=${mb(r.input)}%8s " +
+          f"sr=${mb(r.shRead)}%8s sw=${mb(r.shWrite)}%8s sp=${mb(r.spill)}%8s  " +
+          s"[${r.id}] ${r.name.take(90)}")
+      }
+      // operator-level blame: re-run once and dump every executed-plan node
+      // whose time metrics are non-trivial (AQE final plan, subqueries incl.)
+      if (sys.env.get("SPARK_GRAFT_PROFILE_PLAN").forall(_ == "1")) {
+        try {
+          lastQe = null
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          Thread.sleep(200) // listener bus drain
+          println(s"== $name operator metrics:")
+          if (lastQe != null) dumpPlanMetrics(lastQe.executedPlan, 0)
+          else println("  (no QueryExecution captured)")
+        } catch { case e: Throwable =>
+          println(s"== $name plan-metrics FAILED: ${e.getMessage}")
+        } finally spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+
+  private def dumpPlanMetrics(p: org.apache.spark.sql.execution.SparkPlan,
+                              depth: Int): Unit = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.{InputAdapter, WholeStageCodegenExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => dumpPlanMetrics(a.executedPlan, depth)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        dumpPlanMetrics(q.plan, depth)
+      case w: WholeStageCodegenExec => dumpPlanMetrics(w.child, depth)
+      case i: InputAdapter => dumpPlanMetrics(i.child, depth)
+      case _ =>
+        val interesting = p.metrics.toSeq
+          .filter { case (k, m) =>
+            m.value > 0 && (k == "numOutputRows" || k.contains("ime") ||
+              k.contains("uild") || k.contains("pill") ||
+              k.contains("ytes") || k.contains("ataSize"))
+          }
+          .map { case (k, m) => s"$k=${m.value}" }
+        println("  " + ("  " * depth) + p.nodeName +
+          (if (interesting.nonEmpty) interesting.mkString("  {", ", ", "}") else ""))
+        p.children.foreach(dumpPlanMetrics(_, depth + 1))
+        p.subqueries.foreach { sq =>
+          println("  " + ("  " * (depth + 1)) + "[subquery]")
+          dumpPlanMetrics(sq, depth + 2)
+        }
+        p match {
+          case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            println("  " + ("  " * (depth + 1)) + "[cached plan]")
+            dumpPlanMetrics(im.relation.cachedPlan, depth + 2)
+          case _ => ()
+        }
+    }
+  }
+
+  private def mb(b: Long): String =
+    if (b >= 10L * 1024 * 1024) f"${b / 1024.0 / 1024.0}%.0fMB"
+    else if (b > 0) f"${b / 1024.0}%.0fKB" else "0"
+}

@@ -64,7 +64,7 @@ object Dedup {
   // the classic value→key trap), and not weak values, which would make
   // eviction nondeterministic.
   private val shingleCaches =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, Seq[DataFrame]]()
 
   // Backstop lifecycle: when the context ends, drop its registry entry
   // (ApplicationEnd fires at CONTEXT stop — it cannot see newSession()
@@ -86,8 +86,8 @@ object Dedup {
     * once the context is gone.)
     */
   def releaseShingleCache(spark: org.apache.spark.sql.SparkSession): Unit =
-    Option(shingleCaches.remove(spark.sparkContext)).foreach { df =>
-      if (!spark.sparkContext.isStopped) df.unpersist(blocking = true)
+    Option(shingleCaches.remove(spark.sparkContext)).foreach { dfs =>
+      if (!spark.sparkContext.isStopped) dfs.foreach(_.unpersist(blocking = true))
     }
 
   // Same lifecycle convention for incrementalDedupBloom's persisted
@@ -702,16 +702,26 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, k: Int, threshold: Double,
                         candidates: Option[DataFrame] = None): DataFrame = {
+    // EVICT THE PREDECESSOR BEFORE PERSISTING THE SUCCESSOR (blocking, so
+    // "at most one cached copy" stays deterministic). The old order —
+    // persist new, then unpersist old — was a self-defeating no-op whenever
+    // the two invocations built the canonically IDENTICAL plan (the common
+    // case: same corpus, same k): CacheManager matches entries by canonical
+    // plan, so unpersisting the predecessor removed the entry the new
+    // persist had just registered (or been folded into), and every
+    // invocation after the session's first ran with a DEAD shingle cache —
+    // the candidate, verify-a and verify-b subtrees each re-ran the full
+    // scan+shingle pipeline (r18 profiling: 3 parquet scans + 2 shingle
+    // Generates per pass in q_d17's executed plan, no InMemoryTableScan).
+    reapOnStop(docs.sparkSession)
+    Option(shingleCaches.remove(docs.sparkSession.sparkContext))
+      .foreach(_.foreach(_.unpersist(blocking = true)))
     val docSh = Spread.forExplode(docs, col("doc_id"))
       .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("n_shingles", size(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // blocking eviction: deterministic "at most one cached copy" (an async
-    // unpersist could briefly hold two full shingle tables in storage)
-    reapOnStop(docs.sparkSession)
-    Option(shingleCaches.put(docs.sparkSession.sparkContext, docSh))
-      .foreach(_.unpersist(blocking = true))
+    shingleCaches.put(docs.sparkSession.sparkContext, Seq(docSh))
     val candPairs = candidates.getOrElse(prefixFilterCandidates(docSh, threshold))
     val a = docSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
       col("n_shingles").as("size_a"))
@@ -778,20 +788,32 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(prefixDenom >= 2 && threshold >= 1.0 - 1.0 / prefixDenom,
       s"prefix filter incomplete: need threshold >= 1 - 1/$prefixDenom (got $threshold)")
+    // evict-before-persist — see the ngramJaccardPairs note: the old
+    // persist-then-evict order killed the just-registered cache whenever
+    // the predecessor's plan was canonically identical
+    reapOnStop(docs.sparkSession)
+    Option(shingleCaches.remove(docs.sparkSession.sparkContext))
+      .foreach(_.foreach(_.unpersist(blocking = true)))
     val docSh = Spread.forExplode(docs, col("doc_id"))
       .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .withColumn("n_shingles", size(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    reapOnStop(docs.sparkSession)
-    Option(shingleCaches.put(docs.sparkSession.sparkContext, docSh))
-      .foreach(_.unpersist(blocking = true))
     val ex = docSh.select(col("doc_id"), col("n_shingles"),
       explode(col("shingles")).as("shingle"))
     val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    // the ranked inverted index is PERSISTED: it feeds both the probe
+    // (prefix) side and the index side of the candidate join, and without a
+    // materialization each side re-runs the df aggregation + per-doc rank
+    // window (r18 profiling: the whole freq+window subtree executed twice
+    // per pass — AQE's exchange reuse does not fire across the two
+    // consumers once the shingle cache sits below them). Explode-sized,
+    // MEMORY_AND_DISK — the same bytes the candidate join shuffles anyway.
     val ranked = ex.join(freq, "shingle")
       .withColumn("rk", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shingleCaches.put(docs.sparkSession.sparkContext, Seq(docSh, ranked))
     val prefix = ranked
       .filter(col("rk") <= expr(s"n_shingles div $prefixDenom") + 1)
       .select(col("doc_id").as("doc_a"), col("shingle"),

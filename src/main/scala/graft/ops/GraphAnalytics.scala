@@ -29,10 +29,16 @@ object GraphAnalytics {
 
   private def registerEdgeCache(spark: org.apache.spark.sql.SparkSession,
                                 df: DataFrame): DataFrame = {
-    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    Option(edgeCaches.put(spark.sparkContext, cached))
-      .filter(_ ne cached)
+    // evict-before-persist (the Dedup.shingleCaches fix, r18): CacheManager
+    // matches entries by CANONICAL plan, so with the old persist-then-evict
+    // order, unpersisting a predecessor built from the same edge fixture
+    // removed the entry the new persist had just registered — every
+    // invocation after the session's first ran uncached
+    Option(edgeCaches.remove(spark.sparkContext))
+      .filter(_ ne df)
       .foreach(prev => if (!spark.sparkContext.isStopped) prev.unpersist())
+    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    edgeCaches.put(spark.sparkContext, cached)
     cached
   }
 
