@@ -53,6 +53,29 @@ object Bench {
       // they exist to fold (results identical either way — plan shape only)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE coalesce shuffle partitions INSIDE persisted plans (default
+      // false): the iterative graph analytics persist/checkpoint per-round
+      // frames, and with the flag off every cached round materializes at
+      // the full static shuffle-partition count — unions then accumulate
+      // them (r18 profiling: 168-task stages over 78 KB frames, ~10k tasks
+      // per betweenness pass). Scale-adaptive by construction: partition
+      // count follows data size, and user-pinned repartitions (Spread) are
+      // never coalesced.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // whole-stage-codegen source cache (default 100 entries): a 340-query
+      // run cycles it every pass, so pass 2+ re-Janino-compiles plans that
+      // have not changed; sized to hold the full suite (compiled classes
+      // live in metaspace — MBs, not heap)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // scan-split floor (default 4 MB) sized for multi-GB warehouse files;
+      // against this fixture's single-digit-MB parquet it caps CPU-heavy
+      // scans (exact percentiles, z-scores, codecs) at 2-3 tasks on a
+      // 32-core host. 256 KB keeps listing amortization at scale (big files
+      // split by size/parallelism, not open cost) while letting small
+      // inputs use the machine. Parameterised; measured in
+      // OPTIMIZATION_r18.md.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "262144"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")

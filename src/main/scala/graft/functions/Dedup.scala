@@ -206,8 +206,19 @@ object Dedup {
     // expensive explode+hash+minhash pipeline runs ONCE (a broadcast side
     // has no exchange to reuse and re-computes it). Also the only join shape
     // that exists at 100 TB, where the banded table can't broadcast.
-    val a = banded.alias("a").hint("shuffle_hash")
-    val b = banded.alias("b")
+    // user-pinned partitioning on the bucket key: the banded table is small
+    // in BYTES, so AQE coalesces the join's shuffle reads to one partition
+    // and the quadratic bucket expansion (pairs ~ occupancy^2 per bucket)
+    // runs serially - AQE sizes partitions by input bytes and cannot see
+    // join fan-out (r18 profiling: a 1.9 s single-task join stage under a
+    // 723 KB input). The numbered repartition is left alone by AQE,
+    // satisfies the join's required distribution on both sides with ONE
+    // exchange (reused), and spreads the expansion across the cluster.
+    val part = banded.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      col("band"), col("bucket"))
+    val a = part.alias("a").hint("shuffle_hash")
+    val b = part.alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -237,8 +248,12 @@ object Dedup {
         array((0 until bands).map(b =>
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    val cand = banded.alias("a").hint("shuffle_hash")
-      .join(banded.alias("b"),
+    // pinned bucket-key partitioning - see minhashCandidates
+    val part = banded.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      col("band"), col("bucket"))
+    val cand = part.alias("a").hint("shuffle_hash")
+      .join(part.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -332,8 +347,12 @@ object Dedup {
         // arithmetic shiftright would smear it across every higher band
         shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask)
       }: _*)).as(Seq("band", "bval")))
-    val a = banded.alias("a").hint("shuffle_hash")
-    a.join(banded.alias("b"),
+    // pinned bucket-key partitioning - see minhashCandidates
+    val part = banded.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      col("band"), col("bval"))
+    val a = part.alias("a").hint("shuffle_hash")
+    a.join(part.alias("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -463,9 +482,13 @@ object Dedup {
                     hashGramKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1 (got $k)")
-    val toks = docs.filter(col(textCol).isNotNull)
+    // spread FIRST, split AFTER: the split below the exchange would run on
+    // the scan's (possibly single-file) partitioning — serial on coarse
+    // inputs — and shuffle token ARRAYS instead of the smaller raw text
+    val spread = Spread.forExplode(
+        docs.filter(col(textCol).isNotNull)
+          .select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), split(col(textCol), " ").as("toks"))
-    val spread = Spread.forExplode(toks, col(idCol))
     val gramKey: Column => Column =
       if (hashGramKeys) xxhash64(_) else identity
     val grams = spread
@@ -530,9 +553,13 @@ object Dedup {
                      idCol: String = "doc_id", textCol: String = "text",
                      hashGramKeys: Boolean = false): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2 (got $minRun)")
-    val toks = docs.filter(col(textCol).isNotNull)
+    // spread FIRST, split AFTER: the split below the exchange would run on
+    // the scan's (possibly single-file) partitioning — serial on coarse
+    // inputs — and shuffle token ARRAYS instead of the smaller raw text
+    val spread = Spread.forExplode(
+        docs.filter(col(textCol).isNotNull)
+          .select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), split(col(textCol), " ").as("toks"))
-    val spread = Spread.forExplode(toks, col(idCol))
     val gramKey: Column => Column =
       if (hashGramKeys) xxhash64(_) else identity
     val grams = spread
@@ -900,8 +927,12 @@ object Dedup {
         // shuffle-hash self-join via plan aliases: the bucketing+norm
         // subtree shuffles once on the bucket key and the second exchange is
         // reused, instead of recomputing for a broadcast side
-        l.alias("a").hint("shuffle_hash")
-          .join(l.alias("b"),
+        // pinned bucket-key partitioning - see minhashCandidates
+        val lp = l.repartition(
+          embs.sparkSession.sessionState.conf.numShufflePartitions,
+          col("bucket"))
+        lp.alias("a").hint("shuffle_hash")
+          .join(lp.alias("b"),
             col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"),
@@ -955,9 +986,13 @@ object Dedup {
                          hashGramKeys: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs)")
-    val toks = docs.filter(col(textCol).isNotNull)
+    // spread FIRST, split AFTER: the split below the exchange would run on
+    // the scan's (possibly single-file) partitioning — serial on coarse
+    // inputs — and shuffle token ARRAYS instead of the smaller raw text
+    val spread = Spread.forExplode(
+        docs.filter(col(textCol).isNotNull)
+          .select(col(idCol), col(textCol)), col(idCol))
       .select(col(idCol), split(col(textCol), " ").as("toks"))
-    val spread = Spread.forExplode(toks, col(idCol))
     val gramKey: Column => Column =
       if (hashGramKeys) xxhash64(_) else identity
     val grams = spread

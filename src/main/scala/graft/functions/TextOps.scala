@@ -625,6 +625,13 @@ object TextOps {
                  textCol: String = "text"): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
     require(topK > 0, s"topK must be > 0 (got $topK)")
+    // NOTE (r18): spread-first-split-after was tried here and measured
+    // SLOWER — this query consumes `spread` from several branches, and the
+    // generator-inferred `isnotnull(split(text))` filters push below the
+    // spread exchange, re-evaluating split per consumer on the coarse scan
+    // side. The compute-below form keeps toks an attribute at filter time
+    // (cheap pushdown) and parallelizes with the scan on real multi-file
+    // inputs (Spread.auto spreads only coarse inputs).
     val toksArr = docs.filter(col(textCol).isNotNull)
       .select(col("doc_id"), split(col(textCol), " ").as("toks"))
     val spread = Spread.forExplode(toksArr, col("doc_id"))
@@ -1040,6 +1047,9 @@ object TextOps {
     * reads only two token slices of it.
     */
   def phraseSearch(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // compute-below-spread kept deliberately — see the pmiBigrams r18 note
+    // (spread-first re-evaluates the tokenizer in pushed-down inferred
+    // filters per consumer branch and measured slower)
     val toksArr = docs.filter(col(textCol).isNotNull)
       .select(col("doc_id"), tokens(col(textCol)).as("toks"))
     val spread = Spread.forExplode(toksArr, col("doc_id"))
