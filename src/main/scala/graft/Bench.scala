@@ -69,13 +69,16 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       // scan-split floor (default 4 MB) sized for multi-GB warehouse files;
       // against this fixture's single-digit-MB parquet it caps CPU-heavy
-      // scans (exact percentiles, z-scores, codecs) at 2-3 tasks on a
-      // 32-core host. 256 KB keeps listing amortization at scale (big files
-      // split by size/parallelism, not open cost) while letting small
-      // inputs use the machine. Parameterised; measured in
+      // scans (exact percentiles, z-scores, window ranks) at 3 tasks on a
+      // 32-core host. 1 MB measured best of {4 MB, 1 MB, 256 KB}: the
+      // percentile family keeps its 0.66-0.89 win while RDD-converted
+      // (GraphX) and scan-light paths — which pay per-partition overheads
+      // through every Pregel round — stay at their 4 MB shape (256 KB
+      // regressed them 1.2-1.9x). Irrelevant at scale: big files split by
+      // size/parallelism, not open cost. Parameterised; measured in
       // OPTIMIZATION_r18.md.
       .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "262144"))
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "1048576"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")

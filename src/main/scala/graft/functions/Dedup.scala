@@ -323,11 +323,18 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
                       tokenHash: Column => Column = xxhash64(_),
-                      bits: Int = 64): DataFrame = {
+                      bits: Int = 64,
+                      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     require(maxDist >= 0 && maxDist < bits,
       s"maxDist must be in [0, bits) (got $maxDist of $bits)")
     val bands = maxDist + 1
-    val sigs = simhashes(docs, "doc_id", "text", tokenHash, bits)
+    // precomputedSigs: callers that ALSO consume the signature table (the
+    // cross/tri-modal survivor joins) pass their persisted copy so the
+    // token-explode + majority-vote pipeline runs once per pass, not per
+    // consumer. Must be the (doc_id, simhash) output of [[simhashes]] over
+    // the same docs/tokenHash/bits.
+    val sigs = precomputedSigs.getOrElse(
+      simhashes(docs, "doc_id", "text", tokenHash, bits))
     // band b covers bits [bits·b/bands, bits·(b+1)/bands) — any partition
     // into maxDist+1 bands preserves the pigeonhole guarantee, so uneven
     // widths from a non-dividing band count are fine. Band WIDTH is the

@@ -87,8 +87,12 @@ object RelationalQueries {
       .otherwise(mm.synthesizePngPayload(reverse(txt), width = 19,
         filterCycle = true, channels = 1))
       .as("payload"))
+    // persisted: the code table feeds BOTH hamming sides and the survivor
+    // join — without the cache each consumer re-runs the PNG synth+decode
+    // pipeline (the q_d7 persist convention: harness clearCaches per query)
     val codes = mm.extractDHashAny(mediaA.unionByName(mediaB)).toDF()
       .select(col("media_id").as("vec_id"), col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val texts = docs.select(col("doc_id").cast("long"), txt.as("text"))
       .select(col("doc_id"), col("text"))
       .unionByName(docs.select(
@@ -104,12 +108,16 @@ object RelationalQueries {
         codes, codes, reps = 2, wordBits = 32, chunkBits = 16,
         maxDist = 3, ordered = true)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
-        maxDist = 3, tokenHash = tokenHash, bits = bits)
-      .select(col("doc_a"), col("doc_b"))
-    val sigs = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
+    // one persisted signature pass feeds the banding join AND the survivor
+    // join (precomputedSigs — see Dedup.simhashNearDups)
+    val sigsRaw = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
         tokenHash, bits)
-      .select(col("doc_id").as("media_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
+        maxDist = 3, tokenHash = tokenHash, bits = bits,
+        precomputedSigs = Some(sigsRaw))
+      .select(col("doc_a"), col("doc_b"))
+    val sigs = sigsRaw.select(col("doc_id").as("media_id"), col("simhash"))
     // survivor rule: earliest-dominator over the UNION of both
     // modalities' pair graphs (the q_m21 choice — see
     // Dedup.survivorsByEarliestDominator's semantics note)
@@ -162,20 +170,26 @@ object RelationalQueries {
       if (productionSimhash)
         ((c: org.apache.spark.sql.Column) => xxhash64(c), 64)
       else (graft.functions.Dedup.md5Hash32 _, 32)
+    // persisted per-modality code tables — each feeds its hamming pair join
+    // AND the survivor items join (the crossModalDedup convention)
     val imgCodes = mm.extractDHashAny(imgA.unionByName(imgB)).toDF()
       .select(col("media_id").as("vec_id"), col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val audCodes = mm.extractAudioFingerprint(audA.unionByName(audB)).toDF()
       .select(col("media_id").as("vec_id"), col("code"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def pairsOf(codes: org.apache.spark.sql.DataFrame) =
       graft.functions.VectorQuant.hammingNeighbors(codes, codes, reps = 2,
           wordBits = 32, chunkBits = 16, maxDist = 3, ordered = true)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
-        maxDist = 3, tokenHash = tokenHash, bits = bits)
-      .select(col("doc_a"), col("doc_b"))
-    val sigs = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
+    val sigsRaw = graft.functions.Dedup.simhashes(texts, "doc_id", "text",
         tokenHash, bits)
-      .select(col("doc_id").as("media_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val txtPairs = graft.functions.Dedup.simhashNearDups(texts,
+        maxDist = 3, tokenHash = tokenHash, bits = bits,
+        precomputedSigs = Some(sigsRaw))
+      .select(col("doc_a"), col("doc_b"))
+    val sigs = sigsRaw.select(col("doc_id").as("media_id"), col("simhash"))
     val items = imgCodes.select(col("vec_id").as("media_id"),
         col("code").getItem(0).as("iw0"), col("code").getItem(1).as("iw1"))
       .join(audCodes.select(col("vec_id").as("media_id"),
@@ -4476,8 +4490,11 @@ object RelationalQueries {
           .otherwise(mm.synthesizePngPerturbedPayload(txt, width = 19,
             filterCycle = true, brightness = 64, spot = false))
           .as("payload"))
+      // persisted: feeds both hamming sides and the survivor join (the
+      // crossModalDedup convention — decode once per pass)
       val codes = mm.extractDHashAny(mediaA.unionByName(mediaB)).toDF()
         .select(col("media_id").as("vec_id"), col("code"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // survivor rule: earliest-dominator BY CHOICE (not cluster-min) —
       // see Dedup.survivorsByEarliestDominator's semantics note: image
       // re-encode drift chains must not collapse transitively
