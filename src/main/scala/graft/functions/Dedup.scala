@@ -379,10 +379,20 @@ object Dedup {
   def duplicateClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = docs.sparkSession
+    // size-adaptive RDD partitioning (Spread.statsPartitions): the DF→RDD
+    // bridge otherwise keeps the full shuffle-partition fan-out, so every
+    // Pregel superstep pays defaultParallelism near-empty tasks (r18:
+    // q_d7 faster at 8 cores than 32). Sized off DOCS, not pairs: pair
+    // lists are join output, whose no-CBO size estimate is the product of
+    // the inputs (always "huge"), while the doc-id table's scan stats
+    // track the real corpus — and a near-dup pair graph is O(corpus), so
+    // the proxy is honest where it matters. coalesce never increases
+    // counts, so production-scale graphs keep full parallelism.
+    val p = Spread.statsPartitions(docs)
     val vertices = docs.select(col("doc_id").cast("long"))
-      .rdd.map(r => (r.getLong(0), ()))
+      .rdd.coalesce(p).map(r => (r.getLong(0), ()))
     val edges = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .rdd.coalesce(p).map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val labeled = Graph(vertices, edges).connectedComponents().vertices
     spark.createDataFrame(labeled).toDF("doc_id", "cluster_id")
   }
@@ -750,9 +760,18 @@ object Dedup {
     reapOnStop(docs.sparkSession)
     Option(shingleCaches.remove(docs.sparkSession.sparkContext))
       .foreach(_.foreach(_.unpersist(blocking = true)))
-    val docSh = Spread.forExplode(docs, col("doc_id"))
+    // short docs are dropped BELOW the spread with the cheap token-count
+    // predicate (a doc yields >0 shingles iff it has >= k tokens — the
+    // shingles() short-doc branch). The former filter(size(shingles) > 0)
+    // ABOVE the spread was pushed below the exchange by Catalyst, which
+    // re-computed the whole shingle construction serially on the
+    // pre-spread partitioning just to test emptiness (r19 profiling: a
+    // 2.1 s single-task scan stage in q_d17 whose plan-metric scan time
+    // was 9 ms). Same rows out, and short docs now prune before the
+    // shuffle instead of after it.
+    val docSh = Spread.forExplode(
+        docs.filter(size(split(col(textCol), " ")) >= k), col("doc_id"))
       .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
-      .filter(size(col("shingles")) > 0)
       .withColumn("n_shingles", size(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     shingleCaches.put(docs.sparkSession.sparkContext, Seq(docSh))
@@ -828,9 +847,13 @@ object Dedup {
     reapOnStop(docs.sparkSession)
     Option(shingleCaches.remove(docs.sparkSession.sparkContext))
       .foreach(_.foreach(_.unpersist(blocking = true)))
-    val docSh = Spread.forExplode(docs, col("doc_id"))
+    // cheap token-count pre-filter below the spread — see the
+    // ngramJaccardPairs note (the former size(shingles) > 0 filter was
+    // pushdown-duplicated below the exchange, re-running the shingle
+    // construction serially)
+    val docSh = Spread.forExplode(
+        docs.filter(size(split(col(textCol), " ")) >= k), col("doc_id"))
       .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
-      .filter(size(col("shingles")) > 0)
       .withColumn("n_shingles", size(col("shingles")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = docSh.select(col("doc_id"), col("n_shingles"),

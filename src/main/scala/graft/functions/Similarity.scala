@@ -450,7 +450,14 @@ object Similarity {
     * identical, which is why scoring is split out.
     */
   def bruteAlignScores(src: DataFrame, tgt: DataFrame): DataFrame =
-    src.select(col("vec_id").as("src_id"), col("embedding").as("ea"))
+    // spread the STREAMING side first (Spread.forExplode — pinned
+    // repartition only when the scan is too coarse to parallelize): the
+    // crossJoin(broadcast) scoring is map-side work proportional to
+    // |src|·|tgt|, and on a single-split source it all runs in ONE task
+    // (r19 profiling: q_v28's scoring stage 1.9 s serial at 32 cores)
+    Spread.forExplode(
+        src.select(col("vec_id").as("src_id"), col("embedding").as("ea")),
+        col("src_id"))
       .crossJoin(broadcast(
         tgt.select(col("vec_id").as("tgt_id"), col("embedding").as("eb"))))
       .select(col("src_id"), col("tgt_id"),

@@ -79,7 +79,17 @@ final case class NetGraphLocal(nodes: Vector[NodeObject], edges: Vector[EdgeActi
 
   def toDS(spark: SparkSession): NetGraphDS = {
     import spark.implicits._
-    NetGraphDS(spark.createDataset(nodes), spark.createDataset(edges))
+    // coalesce(1): this graph was parsed DRIVER-SIDE from a single-line
+    // text file, so it is driver-memory-sized by construction — but
+    // createDataset plans a LocalRelation whose scan parallelizes to
+    // min(rows, defaultParallelism) partitions, which seeds every
+    // downstream exchange/Pregel wave with a core-count-many task fan-out
+    // over near-empty partitions (r18: 32-task stages over a 75 KB
+    // fixture; the anti-scaling cluster). One partition is the honest
+    // parallelism of a driver-local relation; the first real shuffle
+    // re-spreads at whatever width AQE sizes from the actual bytes.
+    NetGraphDS(spark.createDataset(nodes).coalesce(1),
+      spark.createDataset(edges).coalesce(1))
   }
 }
 

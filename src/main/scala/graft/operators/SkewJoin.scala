@@ -47,6 +47,15 @@ object SkewJoin {
     val l = left.withColumn(saltCol, pmod(rowHash, lit(salts)).cast("int"))
     val r = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, Seq(key, saltCol)).drop(saltCol)
+    // shuffle_hash, never broadcast: the planner's size estimate for the
+    // replicated side ignores the explode's salts× fan-out (guide §3.1 —
+    // estimates go wrong after explodes), so it happily auto-broadcasts a
+    // relation that is salts× its estimate (r19 profiling: a 159 MB,
+    // 1.2M-row broadcast built serially on the driver for q_j8) — and a
+    // broadcast join defeats the operator's whole purpose, since the
+    // skewed side is then never partitioned at all. The hint keeps the
+    // intended shape: both sides shuffle on (key, salt), hot keys spread
+    // over `salts` reducers.
+    l.join(r.hint("shuffle_hash"), Seq(key, saltCol)).drop(saltCol)
   }
 }

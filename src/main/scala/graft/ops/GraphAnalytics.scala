@@ -266,9 +266,17 @@ object GraphAnalytics {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = nodes.sparkSession
-    val vertices = nodes.select(col("id").cast("long")).rdd.map(r => (r.getLong(0), ()))
+    // size-adaptive RDD partitioning (Spread.statsPartitions): the DF→RDD
+    // bridge otherwise inherits LocalRelation's defaultParallelism-many
+    // partitions, and every Pregel superstep pays a full-width task wave
+    // over near-empty partitions (r18: 32-task supersteps over 500 KB,
+    // q_ga5 faster at 8 cores than 32). coalesce never increases counts,
+    // so multi-split production scans keep their parallelism.
+    val p = graft.functions.Spread.statsPartitions(edges)
+    val vertices = nodes.select(col("id").cast("long")).rdd
+      .coalesce(p).map(r => (r.getLong(0), ()))
     val es = edges.select(col("fromId").cast("long"), col("toId").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+      .rdd.coalesce(p).map(r => Edge(r.getLong(0), r.getLong(1), ()))
     // edge endpoints absent from the node list (dangling references — the
     // perturbed fixtures contain them) are materialized by GraphX and DO
     // conduct connectivity; the OUTPUT is restricted back to the declared

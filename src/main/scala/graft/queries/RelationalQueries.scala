@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{Dedup, Similarity, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -21,6 +21,59 @@ import org.apache.spark.sql.expressions.Window
   */
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Exact per-group median via ONE rank-window pass — the codegen'd
+    * replacement (guide §4) for `percentile(v, 0.5)`'s ObjectHashAggregate,
+    * whose partial state is the group's whole value→count map (q_a19
+    * profiling: ~2.5 s of map building + a 16 MB map-serialized exchange
+    * per pass at sf0.1). Sort within the group, keep the floor/ceil
+    * boundary rows of position (n−1)·0.5, interpolate.
+    *
+    * BIT-EXACT with Percentile.getPercentile by construction: position =
+    * (count−1)·0.5 on the non-null count, integral position → lower key,
+    * equal boundary keys → lower key (the aggregate's early return — IEEE
+    * distribution does NOT guarantee (hi−pos)·k + (pos−lo)·k == k), else
+    * (hi−pos)·lk + (pos−lo)·hk in that operand order. Pinned against the
+    * aggregate itself in RelationalQueriesSpec.
+    *
+    * NULLs sort last and are excluded from the rank/count (percentile's
+    * skip-null update); `med_n` reports the TOTAL row count (the q_a19 output
+    * contract). Limitation, documented on purpose: a group whose every
+    * value is NULL is dropped rather than emitted with a NULL median —
+    * no caller feeds one (l_extendedprice is non-null by schema, and the
+    * MAD pass derives from it).
+    *
+    * `carry` columns must be constant per group (q_a19 threads the rounded
+    * p50 and n of the first pass through the second).
+    */
+  private[queries] def exactMedianByGroup(df: DataFrame, groupCol: String,
+      value: Column, carry: Seq[String] = Nil): DataFrame = {
+    val wg = Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__v", value)
+      .withColumn("__ntot", count(lit(1)).over(wg))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__v").asc_nulls_last)))
+      .withColumn("__cnt", count(col("__v")).over(wg))
+      .withColumn("__pos", (col("__cnt") - 1).cast("double") * lit(0.5))
+    val boundary = ranked.filter(
+      col("__rn") === floor(col("__pos")) + 1 ||
+        col("__rn") === ceil(col("__pos")) + 1)
+    val lo = floor(col("__pos"))
+    val hi = ceil(col("__pos"))
+    val aggs = Seq(
+      min(when(col("__rn") === lo + 1, col("__v"))).as("__lk"),
+      min(when(col("__rn") === hi + 1, col("__v"))).as("__hk"),
+      first(col("__pos")).as("__pos"),
+      first(col("__ntot")).as("med_n")) ++ carry.map(c => first(col(c)).as(c))
+    boundary.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn("med",
+        when(col("__hk").isNull || col("__lk") === col("__hk"), col("__lk"))
+          .otherwise((hi - col("__pos")) * col("__lk") +
+            (col("__pos") - lo) * col("__hk")))
+      .drop("__lk", "__hk", "__pos")
+  }
 
   /** Per-process scratch directory for the IO round-trip queries. The pid
     * in the path keeps concurrent processes over the same dataset from
@@ -3716,19 +3769,32 @@ object RelationalQueries {
     "q_a19_median_mad" -> ((s, d) => {
       // robust per-group location/scale: median + MAD (median absolute
       // deviation) — the outlier-immune alternative to mean/stddev for
-      // quality-score thresholds. Two grouped percentile passes with the
-      // group-count-bounded broadcast back (the q_a15/q_a16 shape); the
-      // median rounds to 4dp BEFORE the deviations so cross-engine
-      // interpolation noise collapses at one number per group, not per row.
+      // quality-score thresholds; the median rounds to 4dp BEFORE the
+      // deviations so cross-engine interpolation noise collapses at one
+      // number per group, not per row.
+      //
+      // r19 restructure (guide §4 — keep the hot path in codegen): each
+      // exact median is ONE rank-window pass (sort within the group, pick
+      // the two boundary rows, interpolate) instead of the `percentile`
+      // ObjectHashAggregate, whose partial state is the group's whole
+      // value→count map — profiled at ~2.5 s of map-building + 16 MB
+      // map-serialized shuffle per pass at sf0.1. The interpolation
+      // replicates Percentile.getPercentile exactly — position
+      // (n−1)·p, floor/ceil keys, the equal-keys early return, and the
+      // (hi−pos)·lk + (pos−lo)·hk form — so the output is bit-identical
+      // (oracle-hash-pinned, plus the exactMedian spec vs percentile()).
       val li = Tables.lineitem(s, d)
-      val med = li.groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          count(lit(1)).as("n"))
-      li.join(broadcast(med), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(first(col("p50")).as("p50"),
-          round(expr("percentile(abs(l_extendedprice - p50), 0.5)"), 4).as("mad"),
-          first(col("n")).as("n"))
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val med = exactMedianByGroup(li, "l_returnflag", col("l_extendedprice"))
+        .select(col("l_returnflag"), round(col("med"), 4).as("p50"),
+          col("med_n").as("n"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("p50"), col("n"),
+          abs(col("l_extendedprice") - col("p50")).as("adev"))
+      exactMedianByGroup(dev, "l_returnflag", col("adev"),
+          carry = Seq("p50", "n"))
+        .select(col("l_returnflag"), col("p50"),
+          round(col("med"), 4).as("mad"), col("n"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -3917,7 +3983,12 @@ object RelationalQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(desc("cos"), col("vid_b"))
-      val truth = embs.crossJoin(broadcast(sampled))
+      // spread both corpus scans before the crossJoin scoring (the
+      // bruteAlignScores convention): |corpus|·|sample| map-side cosines
+      // otherwise run in ONE task on a single-split source (r19
+      // profiling: 1.9 s + 1.2 s serial scoring stages at 32 cores)
+      val truth = graft.functions.Spread.forExplode(embs, col("vec_id"))
+        .crossJoin(broadcast(sampled))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("vid_b"),
           round(graft.functions.Similarity.cosine(col("embedding"), col("qe")), 6)
@@ -3930,7 +4001,8 @@ object RelationalQueries {
         .select(col("vec_id").as("qid"), col("qemb").as("qq"))
       val wq = Window.partitionBy(col("vec_id"))
         .orderBy(desc("cos"), col("vid_b"))
-      val pred = qt.crossJoin(broadcast(qs))
+      val pred = graft.functions.Spread.forExplode(qt, col("vec_id"))
+        .crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("vid_b"),
           graft.functions.VectorExprs.intDot(col("qemb"), col("qq"))
