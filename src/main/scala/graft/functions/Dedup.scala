@@ -215,8 +215,7 @@ object Dedup {
     // satisfies the join's required distribution on both sides with ONE
     // exchange (reused), and spreads the expansion across the cluster.
     val part = banded.repartition(
-      docs.sparkSession.sessionState.conf.numShufflePartitions,
-      col("band"), col("bucket"))
+      Spread.fanoutPartitions(banded), col("band"), col("bucket"))
     val a = part.alias("a").hint("shuffle_hash")
     val b = part.alias("b")
     a.join(b,
@@ -250,8 +249,7 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
     // pinned bucket-key partitioning - see minhashCandidates
     val part = banded.repartition(
-      docs.sparkSession.sessionState.conf.numShufflePartitions,
-      col("band"), col("bucket"))
+      Spread.fanoutPartitions(banded), col("band"), col("bucket"))
     val cand = part.alias("a").hint("shuffle_hash")
       .join(part.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -354,7 +352,13 @@ object Dedup {
         // arithmetic shiftright would smear it across every higher band
         shiftrightunsigned(col("simhash"), lo).bitwiseAND(mask)
       }: _*)).as(Seq("band", "bval")))
-    // pinned bucket-key partitioning - see minhashCandidates
+    // pinned bucket-key partitioning at the FULL shuffle-partition count
+    // (not the byte-sized Spread.fanoutPartitions cap the minhash sites
+    // use): these bands are FIXED-WIDTH, so bucket occupancy is n/2^width
+    // and candidate volume grows ~n² at constant input bytes — the one
+    // family where bytes are a provably bad parallelism proxy (r19 A/B:
+    // the byte cap cost q_d11 +10%, while the sparse-keyed minhash sites
+    // gained)
     val part = banded.repartition(
       docs.sparkSession.sessionState.conf.numShufflePartitions,
       col("band"), col("bval"))
@@ -958,6 +962,9 @@ object Dedup {
         // subtree shuffles once on the bucket key and the second exchange is
         // reused, instead of recomputing for a broadcast side
         // pinned bucket-key partitioning - see minhashCandidates
+        // full shuffle-partition pin — hyperplane buckets are a small
+        // fixed value space (2^planes), occupancy grows with n like the
+        // simhash bands above (r19 A/B: byte-capped spread cost q_d5 +10%)
         val lp = l.repartition(
           embs.sparkSession.sessionState.conf.numShufflePartitions,
           col("bucket"))

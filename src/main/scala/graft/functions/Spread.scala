@@ -40,6 +40,28 @@ object Spread {
     ((bytes + targetBytes - 1) / targetBytes).min(cap).max(BigInt(1)).toInt
   }
 
+  /** Partition count for the PINNED fan-out self-joins (banded LSH /
+    * pigeonhole candidates): one partition per 64 KB of plan-stats input,
+    * clamped to [2, numShufflePartitions]. The pin exists because AQE
+    * sizes partitions by input BYTES and cannot see join fan-out (pairs ~
+    * occupancy² per bucket), so it folded KB-sized banded tables to one
+    * partition and ran the quadratic expansion serially (the r18 fix);
+    * but the r18 constant — numShufflePartitions — over-spread tiny
+    * fixtures into core-count task waves that made the dedup family
+    * anti-scale at 32 cores (r18 verdict item 7). 64 KB per partition is
+    * the fan-out-aware divisor: orders of magnitude below the 64 MB
+    * advisory because the downstream join work is orders of magnitude
+    * above the input bytes, while still letting a production-scale banded
+    * table hit the numShufflePartitions cap immediately. Floor 2 keeps
+    * the expansion off a single task even when stats underestimate.
+    */
+  def fanoutPartitions(df: DataFrame, perPartitionBytes: Long = 64L << 10): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = BigInt(df.sparkSession.sessionState.conf.numShufflePartitions)
+    ((bytes + perPartitionBytes - 1) / perPartitionBytes)
+      .min(cap).max(BigInt(2)).toInt
+  }
+
   def forExplode(df: DataFrame, key: Column): DataFrame = {
     val spark = df.sparkSession
     // repartition(n, key), NOT repartition(key): the numberless form is

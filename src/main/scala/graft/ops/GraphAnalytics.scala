@@ -658,8 +658,14 @@ object GraphAnalytics {
     require(sources.nonEmpty, "betweennessCentrality needs at least one source")
     val spark = nodes.sparkSession
     import spark.implicits._
+    // size-adaptive coalesce before the persist: every forward level and
+    // every backward level re-joins this cached frame, so its partition
+    // count multiplies into ~2·diameter map stages — statsPartitions keeps
+    // a fixture-sized edge list at 1 partition instead of the shuffle's
+    // fan-out while production-sized lists keep full parallelism
     val e = edges.select(col("fromId").cast("long").as("fromId"),
         col("toId").cast("long").as("toId")).distinct()
+      .coalesce(graft.functions.Spread.statsPartitions(edges))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cutter = new EveryK(3)
     var visited = sources.distinct.map(s => (s, s, 0, 1L))

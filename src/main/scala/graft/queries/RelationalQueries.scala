@@ -47,7 +47,19 @@ object RelationalQueries {
     * p50 and n of the first pass through the second).
     */
   private[queries] def exactMedianByGroup(df: DataFrame, groupCol: String,
-      value: Column, carry: Seq[String] = Nil): DataFrame = {
+      value: Column, carry: Seq[String] = Nil): DataFrame =
+    exactPercentilesByGroup(df, groupCol, value, Seq("med" -> 0.5), carry)
+      .withColumnRenamed("n_rows", "med_n")
+
+  /** The general form: one rank-window pass yields EVERY requested exact
+    * percentile of the group (named output column per (name, p)), exactly
+    * as `percentile(v, array(...))` shares one sorted buffer across its
+    * percentages. `n_rows` carries the total row count.
+    */
+  private[queries] def exactPercentilesByGroup(df: DataFrame, groupCol: String,
+      value: Column, percentiles: Seq[(String, Double)],
+      carry: Seq[String] = Nil): DataFrame = {
+    require(percentiles.nonEmpty)
     val wg = Window.partitionBy(col(groupCol))
     val ranked = df
       .withColumn("__v", value)
@@ -56,23 +68,27 @@ object RelationalQueries {
         row_number().over(Window.partitionBy(col(groupCol))
           .orderBy(col("__v").asc_nulls_last)))
       .withColumn("__cnt", count(col("__v")).over(wg))
-      .withColumn("__pos", (col("__cnt") - 1).cast("double") * lit(0.5))
+    def pos(p: Double): Column = (col("__cnt") - 1).cast("double") * lit(p)
     val boundary = ranked.filter(
-      col("__rn") === floor(col("__pos")) + 1 ||
-        col("__rn") === ceil(col("__pos")) + 1)
-    val lo = floor(col("__pos"))
-    val hi = ceil(col("__pos"))
-    val aggs = Seq(
-      min(when(col("__rn") === lo + 1, col("__v"))).as("__lk"),
-      min(when(col("__rn") === hi + 1, col("__v"))).as("__hk"),
-      first(col("__pos")).as("__pos"),
-      first(col("__ntot")).as("med_n")) ++ carry.map(c => first(col(c)).as(c))
-    boundary.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
-      .withColumn("med",
-        when(col("__hk").isNull || col("__lk") === col("__hk"), col("__lk"))
-          .otherwise((hi - col("__pos")) * col("__lk") +
-            (col("__pos") - lo) * col("__hk")))
-      .drop("__lk", "__hk", "__pos")
+      percentiles.map { case (_, p) =>
+        col("__rn") === floor(pos(p)) + 1 || col("__rn") === ceil(pos(p)) + 1
+      }.reduce(_ || _))
+    val aggs = percentiles.flatMap { case (name, p) =>
+      Seq(
+        min(when(col("__rn") === floor(pos(p)) + 1, col("__v"))).as(s"__lk_$name"),
+        min(when(col("__rn") === ceil(pos(p)) + 1, col("__v"))).as(s"__hk_$name"),
+        first(pos(p)).as(s"__pos_$name"))
+    } ++ Seq(first(col("__ntot")).as("n_rows")) ++
+      carry.map(c => first(col(c)).as(c))
+    val agged = boundary.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    percentiles.foldLeft(agged) { case (acc, (name, _)) =>
+      val lk = col(s"__lk_$name"); val hk = col(s"__hk_$name")
+      val ps = col(s"__pos_$name")
+      acc.withColumn(name,
+          when(hk.isNull || lk === hk, lk)
+            .otherwise((ceil(ps) - ps) * lk + (ps - floor(ps)) * hk))
+        .drop(s"__lk_$name", s"__hk_$name", s"__pos_$name")
+    }
   }
 
   /** Per-process scratch directory for the IO round-trip queries. The pid
@@ -3060,20 +3076,22 @@ object RelationalQueries {
       // here); for unbounded group cardinality or trillion-row groups the
       // scale path is approx_percentile's mergeable t-digest-style sketch,
       // same pattern as q_a9's HLL-next-to-exact pairing
-      // ONE percentile aggregate with the percentage array, not three:
-      // each separate percentile(...) call buffers and sorts the group's
-      // values independently (measured 3x the dominant cost for identical
-      // output); the array form shares a single buffer
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"),
-          count(lit(1)).as("n"))
+      // r19: ONE rank-window pass yields all three exact percentiles
+      // (exactPercentilesByGroup — the codegen'd replacement for the
+      // percentile ObjectHashAggregate, whose partial state is the whole
+      // value→count map; see q_a19). Bit-identical interpolation, and the
+      // single sorted pass shares across the percentages exactly like the
+      // array form it replaces.
+      exactPercentilesByGroup(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", col("l_extendedprice"),
+          Seq("pv50" -> 0.5, "pv90" -> 0.9, "pv99" -> 0.99))
         .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("p50"),
-          round(element_at(col("ps"), 2), 4).as("p90"),
-          round(element_at(col("ps"), 3), 4).as("p99"),
-          col("n"))
+          round(col("pv50"), 4).as("p50"),
+          round(col("pv90"), 4).as("p90"),
+          round(col("pv99"), 4).as("p99"),
+          col("n_rows").as("n"))
         .orderBy(col("l_returnflag"))),
 
     "q_a12_approx_quantiles" -> ((s, d) =>
@@ -3170,10 +3188,14 @@ object RelationalQueries {
       // the OUTPUT is rounded. approx_percentile is the unbounded-
       // cardinality swap-in, as in q_a10/q_a12.
       val li = Tables.lineitem(s, d)
-      val qs = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.01, 0.99))").as("qs"))
-        .select(col("l_returnflag"),
-          element_at(col("qs"), 1).as("lo"), element_at(col("qs"), 2).as("hi"))
+      // r19: the two exact cut points come from one rank-window pass
+      // (exactPercentilesByGroup — bit-identical interpolation; see q_a19)
+      // instead of the percentile ObjectHashAggregate
+      val qs = exactPercentilesByGroup(
+          li.select(col("l_returnflag"), col("l_extendedprice")),
+          "l_returnflag", col("l_extendedprice"),
+          Seq("lo" -> 0.01, "hi" -> 0.99))
+        .select(col("l_returnflag"), col("lo"), col("hi"))
       li.join(broadcast(qs), "l_returnflag")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 4)

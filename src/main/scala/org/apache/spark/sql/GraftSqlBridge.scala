@@ -33,8 +33,22 @@ object GraftSqlBridge {
     // unsafe-row buffer reuse, localCheckpoint, materialize eagerly
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    rdd.count()
-    val out = spark.internalCreateDataFrame(rdd, df.schema)
+    val rows = rdd.count()
+    // Right-size the VIEW of the checkpoint by the row count the eager
+    // materialization just paid for anyway: iterative loops checkpoint
+    // union chains whose partition counts are the SUM of every per-round
+    // frame's, so each later round re-reads a KB-sized control frame in
+    // a 10+-task wave (r19 profiling: q_ga22's backward pass reading a
+    // 75 KB visited checkpoint as 13 tasks, twice per level). The
+    // coalesce is a narrow read over the SAME cached blocks — the
+    // checkpoint write is untouched, the unpersist handle still targets
+    // the real checkpoint RDD — and the 64k-rows-per-partition floor
+    // only ever LOWERS a partition count the data doesn't justify, so
+    // production-sized frames keep their width.
+    val target = math.min(
+      math.max(1L, rows / 65536L), rdd.getNumPartitions.toLong).toInt
+    val view = if (target < rdd.getNumPartitions) rdd.coalesce(target) else rdd
+    val out = spark.internalCreateDataFrame(view, df.schema)
     (out, () => { rdd.unpersist(blocking = false); () })
   }
 }
