@@ -104,15 +104,24 @@ object StageProfile {
           println(s"== $name pass$p FAILED: ${e.getMessage}")
         } finally spark.catalog.clearCache()
       }
-      println(f"== $name BEST ${best}%.2fs — stages by wall ms:")
-      bestRows.sortBy(-_.ms).take(18).foreach { r =>
-        println(f"  ${r.ms}%6d ms  ${r.tasks}%4d tasks  in=${mb(r.input)}%8s " +
-          f"sr=${mb(r.shRead)}%8s sw=${mb(r.shWrite)}%8s sp=${mb(r.spill)}%8s  " +
-          s"[${r.id}] ${r.name.take(90)}")
+      // all-passes-failed: best never moved off the sentinel — print the
+      // failure marker instead of a Double.MaxValue "time" with an empty
+      // stage list (r18 advisory)
+      if (best == Double.MaxValue) println(s"== $name ALL PASSES FAILED")
+      else {
+        println(f"== $name BEST ${best}%.2fs — stages by wall ms:")
+        bestRows.sortBy(-_.ms).take(18).foreach { r =>
+          println(f"  ${r.ms}%6d ms  ${r.tasks}%4d tasks  in=${mb(r.input)}%8s " +
+            f"sr=${mb(r.shRead)}%8s sw=${mb(r.shWrite)}%8s sp=${mb(r.spill)}%8s  " +
+            s"[${r.id}] ${r.name.take(90)}")
+        }
       }
       // operator-level blame: re-run once and dump every executed-plan node
       // whose time metrics are non-trivial (AQE final plan, subqueries incl.)
-      if (sys.env.get("SPARK_GRAFT_PROFILE_PLAN").forall(_ == "1")) {
+      // OPT-IN via SPARK_GRAFT_PROFILE_PLAN=1 (r18 advisory: the old
+      // Option.forall gate ran this extra un-timed pass when the var was
+      // UNSET, silently doubling every profiling run)
+      if (sys.env.get("SPARK_GRAFT_PROFILE_PLAN").exists(_ == "1")) {
         try {
           lastQe = null
           val df = fn(spark, sfDir)

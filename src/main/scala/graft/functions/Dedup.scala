@@ -762,8 +762,6 @@ object Dedup {
     // scan+shingle pipeline (r18 profiling: 3 parquet scans + 2 shingle
     // Generates per pass in q_d17's executed plan, no InMemoryTableScan).
     reapOnStop(docs.sparkSession)
-    Option(shingleCaches.remove(docs.sparkSession.sparkContext))
-      .foreach(_.foreach(_.unpersist(blocking = true)))
     // short docs are dropped BELOW the spread with the cheap token-count
     // predicate (a doc yields >0 shingles iff it has >= k tokens — the
     // shingles() short-doc branch). The former filter(size(shingles) > 0)
@@ -773,12 +771,20 @@ object Dedup {
     // 2.1 s single-task scan stage in q_d17 whose plan-metric scan time
     // was 9 ms). Same rows out, and short docs now prune before the
     // shuffle instead of after it.
-    val docSh = Spread.forExplode(
-        docs.filter(size(split(col(textCol), " ")) >= k), col("doc_id"))
-      .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
-      .withColumn("n_shingles", size(col("shingles")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shingleCaches.put(docs.sparkSession.sparkContext, Seq(docSh))
+    // evict→persist→put under ONE lock (r18 advisory — see
+    // GraphAnalytics.registerEdgeCache: an unsynchronized interleaving
+    // can orphan a persisted table outside the registry)
+    val docSh = shingleCaches.synchronized {
+      Option(shingleCaches.remove(docs.sparkSession.sparkContext))
+        .foreach(_.foreach(_.unpersist(blocking = true)))
+      val sh = Spread.forExplode(
+          docs.filter(size(split(col(textCol), " ")) >= k), col("doc_id"))
+        .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
+        .withColumn("n_shingles", size(col("shingles")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shingleCaches.put(docs.sparkSession.sparkContext, Seq(sh))
+      sh
+    }
     val candPairs = candidates.getOrElse(prefixFilterCandidates(docSh, threshold))
     val a = docSh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
       col("n_shingles").as("size_a"))
@@ -849,17 +855,27 @@ object Dedup {
     // persist-then-evict order killed the just-registered cache whenever
     // the predecessor's plan was canonically identical
     reapOnStop(docs.sparkSession)
-    Option(shingleCaches.remove(docs.sparkSession.sparkContext))
-      .foreach(_.foreach(_.unpersist(blocking = true)))
+    val sc = docs.sparkSession.sparkContext
     // cheap token-count pre-filter below the spread — see the
     // ngramJaccardPairs note (the former size(shingles) > 0 filter was
     // pushdown-duplicated below the exchange, re-running the shingle
     // construction serially)
-    val docSh = Spread.forExplode(
-        docs.filter(size(split(col(textCol), " ")) >= k), col("doc_id"))
-      .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
-      .withColumn("n_shingles", size(col("shingles")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // evict→persist→put under ONE lock, and docSh registered IMMEDIATELY
+    // after its persist (r18 advisory: an exception in the ranked-index
+    // construction used to leave docSh persisted but unregistered, so
+    // neither the next invocation's evict nor releaseShingleCache could
+    // ever free it); the second put below overwrites idempotently
+    val docSh = shingleCaches.synchronized {
+      Option(shingleCaches.remove(sc))
+        .foreach(_.foreach(_.unpersist(blocking = true)))
+      val sh = Spread.forExplode(
+          docs.filter(size(split(col(textCol), " ")) >= k), col("doc_id"))
+        .select(col("doc_id"), shingles(col(textCol), k).as("shingles"))
+        .withColumn("n_shingles", size(col("shingles")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shingleCaches.put(sc, Seq(sh))
+      sh
+    }
     val ex = docSh.select(col("doc_id"), col("n_shingles"),
       explode(col("shingles")).as("shingle"))
     val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -874,7 +890,7 @@ object Dedup {
     val ranked = ex.join(freq, "shingle")
       .withColumn("rk", row_number().over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    shingleCaches.put(docs.sparkSession.sparkContext, Seq(docSh, ranked))
+    shingleCaches.synchronized { shingleCaches.put(sc, Seq(docSh, ranked)) }
     val prefix = ranked
       .filter(col("rk") <= expr(s"n_shingles div $prefixDenom") + 1)
       .select(col("doc_id").as("doc_a"), col("shingle"),

@@ -28,12 +28,19 @@ object GraphAnalytics {
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, DataFrame]()
 
   private def registerEdgeCache(spark: org.apache.spark.sql.SparkSession,
-                                df: DataFrame): DataFrame = {
+                                df: DataFrame): DataFrame = edgeCaches.synchronized {
     // evict-before-persist (the Dedup.shingleCaches fix, r18): CacheManager
     // matches entries by CANONICAL plan, so with the old persist-then-evict
     // order, unpersisting a predecessor built from the same edge fixture
     // removed the entry the new persist had just registered — every
-    // invocation after the session's first ran uncached
+    // invocation after the session's first ran uncached.
+    // The whole evict→persist→put sequence holds ONE lock (r18 advisory):
+    // two sessions of a context interleaving the unsynchronized remove/
+    // unpersist/put could orphan a persisted table outside the registry —
+    // the lock restores the at-most-one-cached-copy bound. (compute() with
+    // evict-after-swap is NOT an alternative here: unpersisting the
+    // predecessor after the successor registered the same canonical plan
+    // is exactly the self-defeating order the r18 fix removed.)
     Option(edgeCaches.remove(spark.sparkContext))
       .filter(_ ne df)
       .foreach(prev => if (!spark.sparkContext.isStopped) prev.unpersist())
@@ -1329,6 +1336,13 @@ object GraphAnalytics {
     val sym = p.sym
     val deg = p.deg
     val m = p.m
+    // EveryK(1) MEASURED BEST — r19 re-tested k=3 with PERSISTED rounds
+    // (cachedStep: per-consumer recompute protection without the per-round
+    // checkpoint) and it was a 4× loss (q_ga23 4.1 → 16.4 s): between
+    // cuts the round plan nests three-deep with a window+4 joins per
+    // level, and optimizer/codegen time over that tree dwarfs the two
+    // checkpoint row-copies the cadence saves. Same verdict as the r14
+    // labelPropagation k=3 experiment — keep the per-round cut.
     val cutter = new EveryK(1)
     var comm = deg.select(col("id"), col("id").as("comm"))
     val w = Window.partitionBy(col("id")).orderBy(desc("score"), col("cand"))
