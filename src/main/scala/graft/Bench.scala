@@ -67,18 +67,14 @@ object Bench {
       // have not changed; sized to hold the full suite (compiled classes
       // live in metaspace — MBs, not heap)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      // scan-split floor (default 4 MB) sized for multi-GB warehouse files;
-      // against this fixture's single-digit-MB parquet it caps CPU-heavy
-      // scans (exact percentiles, z-scores, window ranks) at 3 tasks on a
-      // 32-core host. 1 MB measured best of {4 MB, 1 MB, 256 KB}: the
-      // percentile family keeps its 0.66-0.89 win while RDD-converted
-      // (GraphX) and scan-light paths — which pay per-partition overheads
-      // through every Pregel round — stay at their 4 MB shape (256 KB
-      // regressed them 1.2-1.9x). Irrelevant at scale: big files split by
-      // size/parallelism, not open cost. Parameterised; measured in
-      // OPTIMIZATION_r18.md.
+      // scan-split floor: BACK TO Spark's 4 MB default (r19 A/B at both 8
+      // and 32 cores, OPTIMIZATION_r19.md). The r18 1 MB override existed
+      // for the exact-percentile family's CPU-heavy scans; r19 moved those
+      // to rank-window plans, after which 1 MB was a pure loss — 23.7 vs
+      // 22.4 s at 32 cores and 33.9 vs 24.4 s at 8 over the A/B set — the
+      // extra splits only buy task overhead. Parameterised for re-measuring.
       .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "1048576"))
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST_BYTES", "4194304"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet is TIMESTAMP(NANOS)
       .config("spark.ui.enabled", "false")

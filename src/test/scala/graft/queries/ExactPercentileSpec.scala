@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[RelationalQueries.exactPercentilesByGroup]] — the rank-window
+  * replacement the q_a10/q_a15/q_a19 gates run — BIT-EXACT against Spark's
+  * own `percentile` aggregate, across group sizes that exercise every
+  * interpolation branch (integral position, equal boundary keys, true
+  * interpolation, singleton groups, heavy ties).
+  */
+class ExactPercentileSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val ps = Seq("p01" -> 0.01, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+
+  private def check(rows: Seq[(String, Double)], clue: String): Unit = {
+    val df = rows.toDF("g", "v")
+    val win = RelationalQueries
+      .exactPercentilesByGroup(df, "g", col("v"), ps)
+      .select(col("g"), col("p01"), col("p50"), col("p90"), col("p99"),
+        col("n_rows"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    val agg = df.groupBy(col("g"))
+      .agg(expr("percentile(v, array(0.01, 0.5, 0.9, 0.99))").as("q"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(win.keySet == agg.keySet, clue)
+    for ((g, (q, n)) <- agg) {
+      val (w1, w2, w3, w4, wn) = win(g)
+      // bit-exact: compare raw doubles via bits, not a tolerance
+      assert(java.lang.Double.doubleToRawLongBits(w1) ==
+        java.lang.Double.doubleToRawLongBits(q(0)), s"$clue $g p01")
+      assert(java.lang.Double.doubleToRawLongBits(w2) ==
+        java.lang.Double.doubleToRawLongBits(q(1)), s"$clue $g p50")
+      assert(java.lang.Double.doubleToRawLongBits(w3) ==
+        java.lang.Double.doubleToRawLongBits(q(2)), s"$clue $g p90")
+      assert(java.lang.Double.doubleToRawLongBits(w4) ==
+        java.lang.Double.doubleToRawLongBits(q(3)), s"$clue $g p99")
+      assert(wn == n, s"$clue $g n")
+    }
+  }
+
+  test("matches the percentile aggregate bit-for-bit on deterministic data") {
+    val rng = new scala.util.Random(42)
+    // group sizes hit integral positions (n=101: 0.5*(n-1)=50 exact),
+    // interpolated ones, singletons, and pairs
+    val rows = Seq("a" -> 101, "b" -> 100, "c" -> 1, "d" -> 2, "e" -> 37)
+      .flatMap { case (g, n) =>
+        (1 to n).map(_ => (g, math.floor(rng.nextDouble() * 10000) / 100.0))
+      }
+    check(rows, "uniform")
+  }
+
+  test("heavy ties (equal boundary keys take the early-return branch)") {
+    val rows = (1 to 200).map(i => ("t", (i % 3).toDouble)) ++
+      (1 to 50).map(_ => ("u", 7.25))
+    check(rows, "ties")
+  }
+
+  test("negative and extreme magnitudes interpolate identically") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 123).map(_ => ("x", (rng.nextDouble() - 0.5) * 1e12)) ++
+      (1 to 9).map(i => ("y", -i * 0.1))
+    check(rows, "extremes")
+  }
+
+  test("NULL values are skipped like the aggregate and n_rows counts all rows") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("a", Some(2.0)), ("b", Some(5.0)), ("b", None)).toDF("g", "v")
+    val win = RelationalQueries
+      .exactPercentilesByGroup(df, "g", col("v"), Seq("p50" -> 0.5))
+      .select(col("g"), col("p50"), col("n_rows"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val agg = df.groupBy(col("g"))
+      .agg(expr("percentile(v, 0.5)").as("p"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(win == agg)
+  }
+}
