@@ -1122,7 +1122,16 @@ object Dedup {
       case Some(t) => levenshtein(col("text_a"), col("text_b"), t)
       case None    => levenshtein(col("text_a"), col("text_b"))
     }
-    val joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    // spread the pair list before the text joins: levenshtein is
+    // O(|a|·|b|) PER ROW, so per-partition cost is work-proportional, not
+    // byte-proportional — AQE coalesces the KB-sized candidate table to
+    // one partition and runs every distance serially (r19 StageProfile:
+    // two ~525 ms single-task stages over 52 KB). Round-robin, not keyed:
+    // candidates arrive hash-partitioned on (doc_a, doc_b) from their
+    // distinct(), so a keyed repartition is optimizer-collapsed. Auto
+    // mode: the repartition disappears on multi-split production scans.
+    val cand = Spread.forPerRowWork(candidates)
+    val joined = cand.join(a, "doc_a").join(b, "doc_b")
       .withColumn("edit_dist", dist)
     earlyStop.fold(joined)(_ => joined.filter(col("edit_dist") >= 0))
       .select(col("doc_a"), col("doc_b"), col("edit_dist"),

@@ -62,7 +62,33 @@ object Spread {
       .min(cap).max(BigInt(2)).toInt
   }
 
-  def forExplode(df: DataFrame, key: Column): DataFrame = {
+  /** Round-robin sibling of [[forExplode]] for per-row-EXPENSIVE stages
+    * (levenshtein verify, decode loops) whose input is already hash-
+    * partitioned on the natural keys: a keyed repartition there is a
+    * distribution no-op the optimizer collapses, after which AQE coalesces
+    * the KB-sized exchange back to one task and the per-row work runs
+    * serially. RoundRobinPartitioning is never satisfied by the child, so
+    * the pinned exchange always survives; Spark's sort-before-repartition
+    * keeps the assignment deterministic. Same auto gating as
+    * [[forExplode]] — multi-split production scans skip the spread.
+    */
+  def forPerRowWork(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    def spread = df.repartition(spark.sessionState.conf.numShufflePartitions)
+    spark.conf.get(ConfKey, "auto") match {
+      case "never"  => df
+      case "always" => spread
+      case "auto" =>
+        val shuffleParts = spark.sessionState.conf.numShufflePartitions
+        val files = scala.util.Try(df.inputFiles.length).getOrElse(0)
+        if (files >= shuffleParts) df else spread
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be auto|always|never, got '$other'")
+    }
+  }
+
+  def forExplode(df: DataFrame, keys: Column*): DataFrame = {
+    require(keys.nonEmpty, "forExplode needs at least one key column")
     val spark = df.sparkSession
     // repartition(n, key), NOT repartition(key): the numberless form is
     // REPARTITION_BY_COL, which AQE's coalescing sees as a ~KB-sized
@@ -70,7 +96,7 @@ object Spread {
     // to one partition — undoing the spread this helper exists to provide.
     // The numbered form is user-pinned and AQE leaves it alone.
     def spread = df.repartition(
-      spark.sessionState.conf.numShufflePartitions, key)
+      spark.sessionState.conf.numShufflePartitions, keys: _*)
     spark.conf.get(ConfKey, "auto") match {
       case "never"  => df
       case "always" => spread

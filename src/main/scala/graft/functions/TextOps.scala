@@ -340,11 +340,16 @@ object TextOps {
     val toks = base.select(col("doc_id"), explode(col("toks")).as("tok"))
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
     val v = uni.agg(count(lit(1)).as("v"))
+    // persisted: the exploded bigram stream feeds BOTH the count table
+    // and the probe side of the scoring join — without the cache each
+    // consumer re-runs tokenize + the pair-struct transform (the q_d7
+    // persist convention; harness clearCaches per query)
     val bigr = base.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
           "i -> struct(toks[i] AS prev, toks[i + 1] AS cur))")).as("bg"))
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bfreq = bigr.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
     bigr.hint("shuffle_hash").join(bfreq.hint("shuffle_hash"), Seq("prev", "cur"))
       .join(uni.hint("shuffle_hash").withColumnRenamed("tok", "prev"), "prev")
@@ -373,8 +378,12 @@ object TextOps {
                        textCol: String = "text",
                        trainModulus: Long = 2): DataFrame = {
     require(trainModulus >= 2, s"trainModulus must be >= 2 (got $trainModulus)")
+    // persisted: the tokenized corpus feeds the unigram table, the train
+    // bigrams and the scored-half bigrams — without the cache the train
+    // half tokenizes twice and every consumer re-splits the raw text
     val base = Spread.forExplode(df, col("doc_id"))
       .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = base.filter(col("doc_id") % trainModulus === 0)
     val uni = train.select(explode(col("toks")).as("tok"))
       .filter(col("tok") =!= "")

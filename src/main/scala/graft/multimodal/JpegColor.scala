@@ -286,7 +286,7 @@ object JpegColorCodec {
 
   private final case class Comp(id: Int, hs: Int, vs: Int, tq: Int)
 
-  def decodeColor(b: Array[Byte]): Option[DecodedColor] = {
+  private[multimodal] def decodePlanes(b: Array[Byte]): Option[ColorPlanes] = {
     if (b == null || b.length < 4 ||
         (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
     val qtables = new Array[Array[Int]](4)
@@ -377,7 +377,7 @@ object JpegColorCodec {
             // progressive: whole-stream delegate — multi-scan decode
             // accumulates coefficients across scans, so it re-parses from
             // the SOI with its own state ([[JpegProgressiveCodec]])
-            return JpegProgressiveCodec.decodeColorProgressive(b)
+            return JpegProgressiveCodec.decodePlanesProgressive(b)
           case mm if mm >= 0xC3 && mm <= 0xCF && mm != 0xC4 && mm != 0xC8 && mm != 0xCC =>
             return None // arithmetic / lossless / hierarchical: refused
           case 0xDD =>
@@ -549,32 +549,131 @@ object JpegColorCodec {
       my += 1
     }
 
-    // upsample (nearest-neighbor index replication) + T.871 → RGB, each
-    // channel ONE IEEE expression in literal order (the oracle contract)
+    Some(ColorPlanes(w, h, planes, planeW,
+      Array(comps(0).hs, comps(1).hs, comps(2).hs),
+      Array(comps(0).vs, comps(1).vs, comps(2).vs), hmax, vmax))
+  }
+
+  /** Decoded-but-not-yet-upsampled color state: the three component
+    * planes plus the sampling geometry the T.871 RGB conversion needs.
+    * Splitting here lets the channel-MEANS consumer
+    * ([[decodeColorMeans]]) fuse the per-pixel RGB expressions with the
+    * accumulation instead of materializing three full-resolution Int
+    * planes it immediately reduces (w·h·12 bytes per image of allocation
+    * and write traffic — pure GC pressure on wide scans).
+    */
+  private[multimodal] final case class ColorPlanes(
+      w: Int, h: Int, planes: Array[Array[Int]], planeW: Array[Int],
+      hs: Array[Int], vs: Array[Int], hmax: Int, vmax: Int)
+
+  // T.871 per-channel lookup tables over the clamped [0,255] plane
+  // values — VALUE-identical to the inline expressions (the same IEEE
+  // products combined in the same order, tabulated over the full input
+  // domain), so the per-pixel conversion is table loads instead of double
+  // multiply+round chains. R and B depend on two 8-bit values (64k-entry
+  // Int tables); G needs three, so only its two products are tabulated
+  // and the subtractions stay per-pixel in the original order.
+  private val rTab: Array[Int] = Array.tabulate(65536) { i =>
+    val yv = i >> 8; val crv = i & 255
+    val v = Math.round(yv + 1.402 * (crv - 128))
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
+  }
+  private val bTab: Array[Int] = Array.tabulate(65536) { i =>
+    val yv = i >> 8; val cbv = i & 255
+    val v = Math.round(yv + 1.772 * (cbv - 128))
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
+  }
+  private val gCb: Array[Double] = Array.tabulate(256)(cb => 0.344136 * (cb - 128))
+  private val gCr: Array[Double] = Array.tabulate(256)(cr => 0.714136 * (cr - 128))
+
+  /** The upsample (nearest-neighbor index replication) + T.871 → RGB
+    * materialization, each channel ONE IEEE expression in literal order
+    * (the oracle contract).
+    */
+  private[multimodal] def rgbMaterialize(cp: ColorPlanes): DecodedColor = {
+    import cp._
     val rOut = new Array[Int](w * h)
     val gOut = new Array[Int](w * h)
     val bOut = new Array[Int](w * h)
     def clamp255(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    // sampling factors are validated to {1, 2}, so x·hs/hmax is either x
+    // or x>>1 — shifts hoisted out of the 6-integer-division-per-pixel
+    // index arithmetic (bit-identical indices, measured ~2x on the loop)
+    val xs0 = if (hs(0) == hmax) 0 else 1
+    val xs1 = if (hs(1) == hmax) 0 else 1
+    val xs2 = if (hs(2) == hmax) 0 else 1
+    val ys0 = if (vs(0) == vmax) 0 else 1
+    val ys1 = if (vs(1) == vmax) 0 else 1
+    val ys2 = if (vs(2) == vmax) 0 else 1
+    val p0 = planes(0); val p1 = planes(1); val p2 = planes(2)
     var y = 0
     while (y < h) {
+      val r0 = (y >> ys0) * planeW(0)
+      val r1 = (y >> ys1) * planeW(1)
+      val r2 = (y >> ys2) * planeW(2)
+      val o = y * w
       var x = 0
       while (x < w) {
-        val yv = planes(0)((y * comps(0).vs / vmax) * planeW(0) +
-          (x * comps(0).hs / hmax))
-        val cbv = planes(1)((y * comps(1).vs / vmax) * planeW(1) +
-          (x * comps(1).hs / hmax))
-        val crv = planes(2)((y * comps(2).vs / vmax) * planeW(2) +
-          (x * comps(2).hs / hmax))
-        rOut(y * w + x) = clamp255(Math.round(yv + 1.402 * (crv - 128)))
-        gOut(y * w + x) = clamp255(Math.round(
-          yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)))
-        bOut(y * w + x) = clamp255(Math.round(yv + 1.772 * (cbv - 128)))
+        val yv = p0(r0 + (x >> xs0))
+        val cbv = p1(r1 + (x >> xs1))
+        val crv = p2(r2 + (x >> xs2))
+        rOut(o + x) = rTab((yv << 8) | crv)
+        gOut(o + x) = clamp255(Math.round(yv - gCb(cbv) - gCr(crv)))
+        bOut(o + x) = bTab((yv << 8) | cbv)
         x += 1
       }
       y += 1
     }
-    Some(DecodedColor(w, h, rOut, gOut, bOut))
+    DecodedColor(w, h, rOut, gOut, bOut)
   }
+
+  /** Per-channel pixel SUMS through the IDENTICAL per-pixel expressions
+    * as [[rgbMaterialize]] (same clamp(round(·)) Ints, summed instead of
+    * stored) — bit-equal to materialize-then-sum by construction, without
+    * the three w·h planes.
+    */
+  private[multimodal] def rgbSums(cp: ColorPlanes): (Long, Long, Long) = {
+    import cp._
+    def clamp255(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    val xs0 = if (hs(0) == hmax) 0 else 1
+    val xs1 = if (hs(1) == hmax) 0 else 1
+    val xs2 = if (hs(2) == hmax) 0 else 1
+    val ys0 = if (vs(0) == vmax) 0 else 1
+    val ys1 = if (vs(1) == vmax) 0 else 1
+    val ys2 = if (vs(2) == vmax) 0 else 1
+    val p0 = planes(0); val p1 = planes(1); val p2 = planes(2)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      val r0 = (y >> ys0) * planeW(0)
+      val r1 = (y >> ys1) * planeW(1)
+      val r2 = (y >> ys2) * planeW(2)
+      var x = 0
+      while (x < w) {
+        val yv = p0(r0 + (x >> xs0))
+        val cbv = p1(r1 + (x >> xs1))
+        val crv = p2(r2 + (x >> xs2))
+        sr += rTab((yv << 8) | crv)
+        sg += clamp255(Math.round(yv - gCb(cbv) - gCr(crv)))
+        sb += bTab((yv << 8) | cbv)
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
+  def decodeColor(b: Array[Byte]): Option[DecodedColor] =
+    decodePlanes(b).map(rgbMaterialize)
+
+  /** (w, h, rSum, gSum, bSum) — the channel-means decode without RGB
+    * plane materialization (see [[ColorPlanes]]).
+    */
+  def decodeColorMeans(b: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    decodePlanes(b).map { cp =>
+      val (sr, sg, sb) = rgbSums(cp)
+      (cp.w, cp.h, sr, sg, sb)
+    }
 }
 
 /** Codegen'd planted COLOR payload builder (the [[JpegGray]] pattern in
@@ -684,12 +783,11 @@ object JpegColor {
         org.apache.spark.sql.functions.col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.flatMap { case (id, p) =>
-        JpegColorCodec.decodeColor(p).map { d =>
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var i = 0
-          while (i < d.r.length) { sr += d.r(i); sg += d.g(i); sb += d.b(i); i += 1 }
-          val n = d.r.length.toLong
-          JpegColorStats(id, d.w, d.h, n, sr.toDouble / n, sg.toDouble / n,
+        // fused means path: same per-pixel expressions, no RGB plane
+        // materialization (JpegColorCodec.rgbSums)
+        JpegColorCodec.decodeColorMeans(p).map { case (w, h, sr, sg, sb) =>
+          val n = w.toLong * h
+          JpegColorStats(id, w, h, n, sr.toDouble / n, sg.toDouble / n,
             sb.toDouble / n)
         }
       })

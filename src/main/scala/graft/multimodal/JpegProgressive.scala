@@ -351,7 +351,11 @@ object JpegProgressiveCodec {
 
   private final case class Comp(id: Int, hs: Int, vs: Int, tq: Int)
 
-  def decodeColorProgressive(b: Array[Byte]): Option[DecodedColor] = {
+  def decodeColorProgressive(b: Array[Byte]): Option[DecodedColor] =
+    decodePlanesProgressive(b).map(JpegColorCodec.rgbMaterialize)
+
+  private[multimodal] def decodePlanesProgressive(
+      b: Array[Byte]): Option[JpegColorCodec.ColorPlanes] = {
     if (b == null || b.length < 4 ||
         (b(0) & 0xff) != 0xFF || (b(1) & 0xff) != 0xD8) return None
     val qtables = new Array[Array[Int]](4)
@@ -816,29 +820,9 @@ object JpegProgressiveCodec {
       }
       ci += 1
     }
-    val rOut = new Array[Int](w * h)
-    val gOut = new Array[Int](w * h)
-    val bOut = new Array[Int](w * h)
-    def clamp255(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val yv = planes(0)((y * comps(0).vs / vmax) * planeW(0) +
-          (x * comps(0).hs / hmax))
-        val cbv = planes(1)((y * comps(1).vs / vmax) * planeW(1) +
-          (x * comps(1).hs / hmax))
-        val crv = planes(2)((y * comps(2).vs / vmax) * planeW(2) +
-          (x * comps(2).hs / hmax))
-        rOut(y * w + x) = clamp255(Math.round(yv + 1.402 * (crv - 128)))
-        gOut(y * w + x) = clamp255(Math.round(
-          yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128)))
-        bOut(y * w + x) = clamp255(Math.round(yv + 1.772 * (cbv - 128)))
-        x += 1
-      }
-      y += 1
-    }
-    Some(DecodedColor(w, h, rOut, gOut, bOut))
+    Some(JpegColorCodec.ColorPlanes(w, h, planes, planeW,
+      Array(comps(0).hs, comps(1).hs, comps(2).hs),
+      Array(comps(0).vs, comps(1).vs, comps(2).vs), hmax, vmax))
   }
 }
 

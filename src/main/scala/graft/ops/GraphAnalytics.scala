@@ -112,6 +112,11 @@ object GraphAnalytics {
     /** True right after a call that cut (callers re-base siblings on it). */
     def justCut: Boolean = since == 0
 
+    /** True when the NEXT step call will cut — callers that must act on
+      * the pre-cut frames (e.g. count an interim persist whose lineage
+      * the cut's release would orphan) check this BEFORE stepping. */
+    def willCut: Boolean = since + 1 >= k
+
     /** Install the round's frame lazily; cuts on every k-th call or when
       * `force` (the last iteration of a fixed-count loop). */
     def step(next: DataFrame, force: Boolean = false): DataFrame = {
@@ -692,7 +697,15 @@ object GraphAnalytics {
           .agg(sum(col("sigma")).as("sigma"))
           .select(col("src"), col("id"), lit(level).as("level"),
             col("sigma")))
-      frontierSize = next.count()
+      // emptiness check only on CUT levels (the backward loop's cadence,
+      // applied forward): a per-level count was one driver job each over
+      // a KB-sized frame — between cuts the loop runs optimistically, an
+      // empty frontier just joins to further empty frames. Counted BEFORE
+      // the step: the cut releases the previous checkpoint, which `next`'s
+      // uncomputed lineage still reads. The ≤k−1 empty overshoot levels
+      // are trimmed by the max(level) recomputation below, so the backward
+      // pass sees the true depth.
+      if (cutter.willCut) frontierSize = next.count()
       visited = cutter.step(visited.unionByName(next))
       frontier = if (cutter.justCut) visited.filter(col("level") === level)
                  else next
@@ -707,7 +720,12 @@ object GraphAnalytics {
         s"non-empty frontier ($frontierSize rows) — raise maxLevels; a " +
         "truncated BFS would silently corrupt the dependency accumulation")
     visited = cutter.seal(visited)
-    val maxLevel = level - 1 // the last expanded level was empty
+    // true BFS depth from the data, not the loop counter: the cut-cadence
+    // emptiness check can overshoot up to k−1 levels past exhaustion, and
+    // those levels contribute zero rows — max(level) reads the sealed
+    // checkpoint (one tiny job) and keeps the backward pass at the real
+    // depth
+    val maxLevel = visited.agg(max(col("level"))).head.getInt(0)
     // backward dependency accumulation, deepest level first; nodes at the
     // deepest level have no DAG successors, so their δ is 0 and the loop
     // starts one level up. Each dL frame holds only nodes WITH successors

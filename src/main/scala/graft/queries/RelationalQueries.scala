@@ -3103,7 +3103,17 @@ object RelationalQueries {
       // interpolated quantiles and asserts each sketch value within ±5% —
       // a drifting sketch fails the hash gate. (Default accuracy 10000 ⇒
       // rank error ≤ n/10⁴; ±5% on value is a loose, stable band.)
-      Tables.lineitem(s, d)
+      // spread on the VALUE column before the aggregate: the exact
+      // percentile's partial state is the group's whole value→count map,
+      // so partial-agg cost is CPU-proportional and the 3-split fixture
+      // scan serialized it onto 3 tasks (r19 StageProfile: 790 ms map +
+      // 702 ms merge). Values hash-spread evenly; percentile is
+      // order-insensitive and the sketch booleans sit far inside their
+      // ±5% band. Auto mode: no repartition on multi-split scans.
+      graft.functions.Spread.forExplode(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), col("l_extendedprice")),
+          col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
@@ -3514,7 +3524,14 @@ object RelationalQueries {
       // render→parse round trip value-transparent for ints, strings, and
       // doubles (JSON shortest-repr doubles reparse to the same bits;
       // rounded to 2dp anyway as the decisive cross-engine form).
-      val o = Tables.orders(s, d)
+      // spread before the render→parse chain: to_json/from_json/
+      // get_json_object are per-row CPU on the scan's partitioning — the
+      // single-split fixture scan ran the whole parse serially TWICE (the
+      // orderBy's range-sample pass re-executes the map subtree; r19
+      // StageProfile: two ~725 ms single-task stages). Auto mode: no
+      // repartition on multi-split production scans.
+      val o = graft.functions.Spread.forExplode(
+        Tables.orders(s, d), col("o_orderkey"))
       val js = o.select(col("o_orderkey"),
         to_json(struct(col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"))).as("payload"))
