@@ -1720,7 +1720,10 @@ object RelationalQueries {
       // recomputes every statistic from the TEXT — a hash match proves
       // header parse, bottom-up row order, padding skip, and per-channel
       // recovery byte for byte.
-      val docs = Tables.documents(s, d)
+      val docs = graft.functions.Spread.forExplode( // spread before the
+          // per-row synth+decode: serialized twice on the single-split
+          // fixture scan by the orderBy range-sample pass (q_io11 shape)
+          Tables.documents(s, d), col("doc_id"))
         .filter(col("text").isNotNull && length(col("text")) >= 10)
       val media = docs.select(col("doc_id").cast("long").as("media_id"),
         graft.multimodal.Multimodal.synthesizeBmpPayload(col("text"), width = 10)
@@ -2441,7 +2444,13 @@ object RelationalQueries {
         lit(graft.functions.Pretokenize.decorMbA),
         col("doc_id").cast("string"),
         lit(graft.functions.Pretokenize.decorMbB))
-      Tables.documents(s, d)
+      // spread before the per-row byte-BPE encode: the merge walk is
+      // per-row CPU on the single-split fixture scan, and the orderBy's
+      // range-sample pass runs the whole encode subtree twice (r19
+      // StageProfile: two ~450 ms single-task stages; the q_io11 shape).
+      // Auto mode: no repartition on multi-split production scans.
+      graft.functions.Spread.forExplode(Tables.documents(s, d),
+          col("doc_id"))
         .select(col("doc_id"), ptext.as("t"),
           graft.functions.Bpe.encode(ptext,
             graft.functions.Bpe.plantedBytes).as("ids"))
@@ -2497,7 +2506,9 @@ object RelationalQueries {
         lit(graft.functions.Pretokenize.decorMbA),
         col("doc_id").cast("string"),
         lit(graft.functions.Pretokenize.decorMbB))
-      Tables.documents(s, d)
+      // spread before the encode — the q_t58 note above
+      graft.functions.Spread.forExplode(Tables.documents(s, d),
+          col("doc_id"))
         .select(col("doc_id"), ptext.as("t"),
           graft.functions.Bpe.encodeBytesSpace(ptext,
             graft.functions.Bpe.plantedBytesSpace).as("ids"))
@@ -3995,7 +4006,10 @@ object RelationalQueries {
       // per-frame statistics from the text slices — a hash match proves
       // frame boundaries, stride selection, and each frame's full LZW
       // decode.
-      val docs = Tables.documents(s, d)
+      val docs = graft.functions.Spread.forExplode( // spread before the
+          // per-row synth+decode: serialized twice on the single-split
+          // fixture scan by the orderBy range-sample pass (q_io11 shape)
+          Tables.documents(s, d), col("doc_id"))
         .filter(col("text").isNotNull && length(col("text")) >= 32)
       val media = docs.select(col("doc_id").cast("long").as("media_id"),
         graft.multimodal.Multimodal.synthesizeGifAnimation(col("text"),
